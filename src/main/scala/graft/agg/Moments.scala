@@ -1,0 +1,171 @@
+package graft.agg
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Input row for moment aggregation: a (possibly time-lagged) pair with an
+  * optional statistical weight. For plain (unlagged) covariance pass y = x. */
+case class LagRow(x: Array[Double], y: Array[Double], w: Double)
+
+/** Mergeable raw-moment buffer with Kahan-compensated accumulation.
+  *
+  * Reference semantics: `moments_XXXY` (covariance/util/_moments.py:687-833)
+  * + pairwise `Moments.combine` (covariance/util/_running_moments.py:37-59)
+  * + Kahan summation (src/include/deeptime/numeric/kahan_summation.h).
+  *
+  * Spark-first design: this is exactly Spark's partial-aggregation contract —
+  * `reduce` runs map-side per partition, `merge` is the combine tree
+  * (the analog of deeptime's MomentsStorage pairwise merging, but with the
+  * tree depth managed by Spark's exec instead of an `ncov` knob).
+  * All state is O(d^2) doubles, independent of row count, so a 100 TB scan
+  * aggregates into a few KB per task.
+  *
+  * Numerics: raw sums with Kahan compensation. Compensated accumulation keeps
+  * the error O(eps) instead of O(N*eps); centering happens once at finalize
+  * (Bessel applied there too, cf. _running_moments.py:69-85).
+  */
+case class MomentsBuf(
+    var w: Double, var n: Long, var d: Int,
+    var sx: Array[Double], var sxc: Array[Double],
+    var sy: Array[Double], var syc: Array[Double],
+    var sxx: Array[Double], var sxxc: Array[Double],
+    var sxy: Array[Double], var sxyc: Array[Double],
+    var syy: Array[Double], var syyc: Array[Double],
+    var wc: Double) {
+
+  def init(dim: Int): Unit = if (d == 0 && dim > 0) {
+    d = dim
+    sx = new Array[Double](dim); sxc = new Array[Double](dim)
+    sy = new Array[Double](dim); syc = new Array[Double](dim)
+    val dd = dim * dim
+    sxx = new Array[Double](dd); sxxc = new Array[Double](dd)
+    sxy = new Array[Double](dd); sxyc = new Array[Double](dd)
+    syy = new Array[Double](dd); syyc = new Array[Double](dd)
+  }
+
+  @inline private def kadd(s: Array[Double], c: Array[Double], i: Int, v: Double): Unit = {
+    val yv = v - c(i)
+    val t = s(i) + yv
+    c(i) = (t - s(i)) - yv
+    s(i) = t
+  }
+
+  def add(x: Array[Double], y: Array[Double], weight: Double): Unit = {
+    init(x.length)
+    val yk = weight - wc
+    val tw = w + yk; wc = (tw - w) - yk; w = tw
+    n += 1
+    var i = 0
+    while (i < d) {
+      kadd(sx, sxc, i, weight * x(i))
+      kadd(sy, syc, i, weight * y(i))
+      var j = 0
+      val base = i * d
+      while (j < d) {
+        kadd(sxx, sxxc, base + j, weight * x(i) * x(j))
+        kadd(sxy, sxyc, base + j, weight * x(i) * y(j))
+        kadd(syy, syyc, base + j, weight * y(i) * y(j))
+        j += 1
+      }
+      i += 1
+    }
+  }
+
+  def mergeIn(o: MomentsBuf): Unit = {
+    if (o.d == 0) return
+    init(o.d)
+    val yk = o.w - wc - o.wc
+    val tw = w + yk; wc = (tw - w) - yk; w = tw
+    n += o.n
+    var i = 0
+    while (i < d) {
+      kadd(sx, sxc, i, o.sx(i)); kadd(sy, syc, i, o.sy(i))
+      i += 1
+    }
+    var k = 0
+    val dd = d * d
+    while (k < dd) {
+      kadd(sxx, sxxc, k, o.sxx(k))
+      kadd(sxy, sxyc, k, o.sxy(k))
+      kadd(syy, syyc, k, o.syy(k))
+      k += 1
+    }
+  }
+}
+
+object MomentsBuf {
+  def empty: MomentsBuf = MomentsBuf(0.0, 0L, 0,
+    Array.empty, Array.empty, Array.empty, Array.empty,
+    Array.empty, Array.empty, Array.empty, Array.empty,
+    Array.empty, Array.empty, 0.0)
+}
+
+/** Finalized covariance model (reference `CovarianceModel`,
+  * covariance/_covariance.py:66-185): means and the three covariance blocks.
+  * Matrices are row-major flat d*d arrays; driver-side linalg converts to
+  * Breeze. */
+case class CovarianceModel(
+    weight: Double, count: Long, d: Int,
+    mean0: Array[Double], meant: Array[Double],
+    cov00: Array[Double], cov0t: Array[Double], covtt: Array[Double]) {
+  def covAt(m: Array[Double], i: Int, j: Int): Double = m(i * d + j)
+}
+
+/** Typed Aggregator producing a CovarianceModel in one distributed pass.
+  * `bessel`: sample (N-1) vs population (N) normalization — deeptime default
+  * bessels_correction=True (covariance/_covariance.py:240). */
+class MomentsAggregator(bessel: Boolean = true)
+    extends Aggregator[LagRow, MomentsBuf, CovarianceModel] {
+
+  def zero: MomentsBuf = MomentsBuf.empty
+  def reduce(b: MomentsBuf, r: LagRow): MomentsBuf = { b.add(r.x, r.y, r.w); b }
+  def merge(a: MomentsBuf, b: MomentsBuf): MomentsBuf = { a.mergeIn(b); a }
+
+  def finish(b: MomentsBuf): CovarianceModel = {
+    val d = b.d
+    if (d == 0) return CovarianceModel(0, 0, 0, Array.empty, Array.empty,
+      Array.empty, Array.empty, Array.empty)
+    val wSum = b.w
+    val denom = if (bessel) wSum - 1.0 else wSum
+    val m0 = Array.tabulate(d)(i => b.sx(i) / wSum)
+    val mt = Array.tabulate(d)(i => b.sy(i) / wSum)
+    def cov(s: Array[Double], ma: Array[Double], mb: Array[Double]) =
+      Array.tabulate(d * d) { k =>
+        val i = k / d; val j = k % d
+        (s(k) - wSum * ma(i) * mb(j)) / denom
+      }
+    CovarianceModel(wSum, b.n, d,
+      m0, mt,
+      cov(b.sxx, m0, m0), cov(b.sxy, m0, mt), cov(b.syy, mt, mt))
+  }
+
+  def bufferEncoder: Encoder[MomentsBuf] = Encoders.product[MomentsBuf]
+  def outputEncoder: Encoder[CovarianceModel] = Encoders.product[CovarianceModel]
+}
+
+/** Covariance estimator façade (reference `Covariance`,
+  * covariance/_covariance.py:186-523). */
+object Covariance {
+
+  /** Fit from a pair frame with columns x: ARRAY<DOUBLE>, y: ARRAY<DOUBLE>
+    * (use Lag.pairs; pass x=y for unlagged) and optional weight column. */
+  def fit(pairs: DataFrame, weightCol: Option[String] = None,
+          bessel: Boolean = true): CovarianceModel = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val wcol = weightCol.map(col).getOrElse(lit(1.0))
+    val ds = pairs.select(
+      col("x").cast("array<double>").as("x"),
+      col("y").cast("array<double>").as("y"),
+      wcol.cast("double").as("w")).as[LagRow]
+    ds.select(new MomentsAggregator(bessel).toColumn).head()
+  }
+
+  /** Unlagged covariance of the canonical trajectory frame. */
+  def fitFeatures(traj: DataFrame, bessel: Boolean = true): CovarianceModel = {
+    val p = traj.select(col(graft.core.Trajectories.FeatCol).as("x"))
+      .withColumn("y", col("x"))
+    fit(p, None, bessel)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Canonical time-series data model.
+  *
+  * Mirrors the reference's universal "(T, d) ndarray trajectory" abstraction
+  * (reference: src/deeptime/util/data.py:324, util/types.py:142
+  * `ensure_timeseries_data`) as a long-format DataFrame:
+  *
+  * {{{ (traj_id BIGINT, t BIGINT, features ARRAY<DOUBLE>) }}}
+  *
+  * Ragged multi-trajectory collections (util/data.py:375-444) are just
+  * multiple `traj_id` groups; window functions partitioned by `traj_id`
+  * guarantee pairs never cross trajectory boundaries.
+  *
+  * Scale notes: at 100 TB the trajectory table is parquet partitioned by a
+  * hash of `traj_id`; every sequential operator here uses
+  * `Window.partitionBy(traj_id).orderBy(t)` which shuffles once by
+  * `traj_id` and then streams — no driver materialization anywhere.
+  */
+object Trajectories {
+
+  val TrajCol = "traj_id"
+  val TimeCol = "t"
+  val FeatCol = "features"
+
+  /** Read a named testdata table. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events table -> canonical trajectories: one trajectory per user,
+    * frame index = arrival order (ties broken by event_id for determinism),
+    * d=1 feature = value.
+    */
+  def fromEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(
+        col("user_id").cast("long").as(TrajCol),
+        (row_number().over(w) - 1).cast("long").as(TimeCol),
+        array(col("value")).as(FeatCol))
+  }
+
+  /** events -> 1-d raw series (traj_id, t, value) without the array wrapper —
+    * convenient for SQL-expressible single-feature operators. */
+  def eventSeries(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(
+        col("user_id").cast("long").as(TrajCol),
+        (row_number().over(w) - 1).cast("long").as(TimeCol),
+        col("value"))
+  }
+
+  /** lineitem -> d=4 feature trajectories: trajectory per order, frame per
+    * line number. Features are scaled to O(1) magnitude so that
+    * double-precision moment sums are stable and oracle-comparable
+    * (reference float64 policy: covariance/util/_moments.py:1-17).
+    */
+  def fromLineitem(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey").as(TrajCol),
+        (col("l_linenumber") - 1).cast("long").as(TimeCol),
+        array(
+          col("l_quantity") / 50.0,
+          col("l_extendedprice") / 100000.0,
+          col("l_discount"),
+          col("l_tax")).as(FeatCol))
+
+  /** Discrete trajectories from events: state = event_type mapped to a
+    * stable integer id (alphabetical), the dtraj model of
+    * util/types.py:123 / markov/_discrete_states.py. */
+  def dtrajFromEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(
+        col("user_id").cast("long").as(TrajCol),
+        (row_number().over(w) - 1).cast("long").as(TimeCol),
+        eventTypeState(col("event_type")).as("state"))
+  }
+
+  /** Alphabetical event_type -> contiguous int state (deterministic,
+    * data-independent so the oracle can replicate it). */
+  def eventTypeState(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c === "click", 0)
+      .when(c === "error", 1)
+      .when(c === "purchase", 2)
+      .when(c === "signup", 3)
+      .when(c === "view", 4)
+      .otherwise(-1)
+
+  /** SQL fragment for the DuckDB oracle replicating eventTypeState. */
+  val eventTypeStateSql: String =
+    "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
+      "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 ELSE -1 END"
+
+  /** Discretize the events value column into `nBins` uniform bins over the
+    * global [min, max] — a 1-d BoxDiscretization used as a dtraj source. */
+  def dtrajFromEventValues(spark: SparkSession, dir: String, nBins: Int): DataFrame = {
+    val ev = eventSeries(spark, dir)
+    val Array(mn, mx) = ev.agg(min("value"), max("value")).collect()(0) match {
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    val width = (mx - mn) / nBins
+    ev.select(col(TrajCol), col(TimeCol),
+      least(floor((col("value") - mn) / width), lit(nBins - 1)).cast("int").as("state"))
+  }
+}

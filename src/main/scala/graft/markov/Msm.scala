@@ -1,0 +1,234 @@
+package graft.markov
+
+import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+import graft.linalg.LinAlg
+
+/** Connectivity (reference markov/tools/estimation dense connectivity /
+  * _transition_counting.py:364 submodel_largest): Tarjan SCC on the count
+  * digraph. n is state-count (small); runs on the driver. */
+object Connectivity {
+
+  /** Strongly connected components of the directed graph with an edge
+    * i->j whenever counts(i,j) > 0. Returns component id per node. */
+  def scc(counts: DenseMatrix[Double]): Array[Int] = {
+    val n = counts.rows
+    val adj = Array.tabulate(n)(i => (0 until n).filter(j => counts(i, j) > 0).toArray)
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = Array.fill(n)(false)
+    val comp = Array.fill(n)(-1)
+    var idx = 0
+    var nComp = 0
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+
+    // iterative Tarjan to avoid deep recursion
+    for (root <- 0 until n if index(root) == -1) {
+      val work = scala.collection.mutable.Stack[(Int, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.pop()
+        if (pi == 0) {
+          index(v) = idx; low(v) = idx; idx += 1
+          stack += v; onStack(v) = true
+        }
+        var recursed = false
+        var i = pi
+        while (i < adj(v).length && !recursed) {
+          val u = adj(v)(i)
+          if (index(u) == -1) {
+            work.push((v, i + 1)); work.push((u, 0)); recursed = true
+          } else if (onStack(u)) {
+            low(v) = math.min(low(v), index(u))
+          }
+          i += 1
+        }
+        if (!recursed) {
+          if (low(v) == index(v)) {
+            var u = -1
+            while (u != v) {
+              u = stack.remove(stack.length - 1)
+              onStack(u) = false
+              comp(u) = nComp
+            }
+            nComp += 1
+          }
+          // propagate lowlink to parent
+          if (work.nonEmpty) {
+            val (p, _) = work.top
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    comp
+  }
+
+  /** States of the largest SCC, by total counts (submodel_largest
+    * directed=True semantics), sorted ascending. */
+  def largestConnectedSet(counts: DenseMatrix[Double]): Array[Int] = {
+    val comp = scc(counts)
+    val n = counts.rows
+    val weight = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+    for (i <- 0 until n) weight(comp(i)) += bsum(counts(i, ::).t) + 1e-9
+    val best = weight.maxBy(_._2)._1
+    (0 until n).filter(comp(_) == best).toArray
+  }
+
+  def submatrix(m: DenseMatrix[Double], states: Array[Int]): DenseMatrix[Double] = {
+    val k = states.length
+    val out = DenseMatrix.zeros[Double](k, k)
+    for (i <- 0 until k; j <- 0 until k) out(i, j) = m(states(i), states(j))
+    out
+  }
+}
+
+/** Transition-matrix maximum-likelihood estimation
+  * (reference markov/tools/estimation/dense/transition_matrix.py:10 nonrev;
+  * dense/mle.py:8 `mle_trev` reversible fixed point). Driver-side on the
+  * collected (small) count matrix. */
+object TransitionMatrixMle {
+
+  /** Non-reversible MLE: row normalization T_ij = c_ij / c_i. */
+  def nonReversible(counts: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val n = counts.rows
+    val t = DenseMatrix.zeros[Double](n, n)
+    for (i <- 0 until n) {
+      val rs = bsum(counts(i, ::).t)
+      if (rs > 0) for (j <- 0 until n) t(i, j) = counts(i, j) / rs
+      else t(i, i) = 1.0
+    }
+    t
+  }
+
+  /** Reversible MLE via the standard fixed-point iteration on x_ij
+    * (dense/mle.py:8 mle_trev): x_ij <- (c_ij + c_ji) / (c_i/x_i + c_j/x_j),
+    * T_ij = x_ij / x_i. Converges to the detailed-balance MLE. */
+  def reversible(counts: DenseMatrix[Double], maxIter: Int = 1000,
+                 tol: Double = 1e-12): DenseMatrix[Double] = {
+    val n = counts.rows
+    val cSym = counts + counts.t
+    val cRow = DenseVector.tabulate(n)(i => bsum(counts(i, ::).t))
+    var x = cSym.copy / bsum(cSym)
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIter && delta > tol) {
+      val xRow = DenseVector.tabulate(n)(i => bsum(x(i, ::).t))
+      val xNew = DenseMatrix.zeros[Double](n, n)
+      for (i <- 0 until n; j <- 0 until n) {
+        if (cSym(i, j) > 0) {
+          val denom = cRow(i) / xRow(i) + cRow(j) / xRow(j)
+          xNew(i, j) = cSym(i, j) / denom
+        }
+      }
+      val z = bsum(xNew)
+      xNew := xNew / z
+      delta = breeze.linalg.max(breeze.numerics.abs(xNew - x))
+      x = xNew
+      iter += 1
+    }
+    val xRow = DenseVector.tabulate(n)(i => bsum(x(i, ::).t))
+    val t = DenseMatrix.zeros[Double](n, n)
+    for (i <- 0 until n; j <- 0 until n)
+      if (xRow(i) > 0) t(i, j) = x(i, j) / xRow(i)
+    for (i <- 0 until n) if (xRow(i) == 0) t(i, i) = 1.0
+    t
+  }
+}
+
+/** MarkovStateModel analysis suite (reference
+  * markov/msm/_markov_state_model.py + markov/tools/analysis/_api.py).
+  * All methods are driver-side on the n x n transition matrix. */
+case class MarkovStateModel(transitionMatrix: DenseMatrix[Double], tau: Int = 1,
+                            states: Array[Int] = Array.empty) {
+  val n: Int = transitionMatrix.rows
+
+  lazy val stationaryDistribution: DenseVector[Double] =
+    LinAlg.stationaryDistribution(transitionMatrix)
+
+  /** Leading eigenvalues by magnitude (real parts; reversible chains have
+    * real spectra). */
+  def eigenvalues(k: Int = -1): Seq[Double] = {
+    val e = breeze.linalg.eig(transitionMatrix)
+    val pairs = (0 until n).map(i => (e.eigenvalues(i), e.eigenvaluesComplex(i)))
+      .sortBy { case (re, im) => -math.hypot(re, im) }
+    val kk = if (k > 0) math.min(k, n) else n
+    pairs.take(kk).map(_._1)
+  }
+
+  /** Implied timescales, excluding the stationary eigenvalue
+    * (_api.py:310). */
+  def timescales(k: Int = -1): Seq[Double] =
+    LinAlg.timescales(eigenvalues(if (k > 0) k + 1 else -1).drop(1), tau.toDouble)
+
+  def isTransitionMatrix(tol: Double = 1e-10): Boolean =
+    (0 until n).forall { i =>
+      math.abs(bsum(transitionMatrix(i, ::).t) - 1.0) < tol &&
+        (0 until n).forall(j => transitionMatrix(i, j) >= -tol)
+    }
+
+  def isReversible(tol: Double = 1e-10): Boolean = {
+    val pi = stationaryDistribution
+    (0 until n).forall(i => (0 until n).forall { j =>
+      math.abs(pi(i) * transitionMatrix(i, j) - pi(j) * transitionMatrix(j, i)) < tol
+    })
+  }
+
+  /** Mean first-passage time from each state into target set
+    * (_api.py:527; linear solve (I - T_restricted) m = 1). */
+  def mfpt(target: Set[Int]): DenseVector[Double] = {
+    val rest = (0 until n).filterNot(target.contains).toArray
+    val k = rest.length
+    val a = DenseMatrix.zeros[Double](k, k)
+    for (i <- 0 until k; j <- 0 until k) {
+      a(i, j) = (if (i == j) 1.0 else 0.0) - transitionMatrix(rest(i), rest(j))
+    }
+    val b = DenseVector.fill(k)(tau.toDouble)
+    val sol = a \ b
+    val out = DenseVector.zeros[Double](n)
+    rest.zipWithIndex.foreach { case (s, i) => out(s) = sol(i) }
+    out
+  }
+
+  /** Forward committor q+ : P(hit B before A) (_api.py:641; boundary-value
+    * linear solve). */
+  def committorForward(a: Set[Int], b: Set[Int]): DenseVector[Double] = {
+    val inter = (0 until n).filterNot(s => a.contains(s) || b.contains(s)).toArray
+    val k = inter.length
+    val lhs = DenseMatrix.zeros[Double](k, k)
+    val rhs = DenseVector.zeros[Double](k)
+    for (i <- 0 until k) {
+      for (j <- 0 until k)
+        lhs(i, j) = (if (i == j) 1.0 else 0.0) - transitionMatrix(inter(i), inter(j))
+      rhs(i) = b.toSeq.map(s => transitionMatrix(inter(i), s)).sum
+    }
+    val sol = lhs \ rhs
+    val out = DenseVector.zeros[Double](n)
+    b.foreach(s => out(s) = 1.0)
+    inter.zipWithIndex.foreach { case (s, i) => out(s) = sol(i) }
+    out
+  }
+
+  /** Propagate a distribution k steps (msm `propagate`,
+    * _markov_state_model.py:541). */
+  def propagate(p0: DenseVector[Double], steps: Int): DenseVector[Double] = {
+    var p = p0.copy
+    (0 until steps).foreach(_ => p = transitionMatrix.t * p)
+    p
+  }
+
+  /** Stationary expectation of a state function (_api.py:1058). */
+  def expectation(a: DenseVector[Double]): Double = stationaryDistribution dot a
+}
+
+object Msm {
+  /** Full pipeline from a distributed COO count frame: collect, restrict to
+    * largest SCC, MLE. Returns model + the retained original state labels. */
+  def fromCounts(counts: org.apache.spark.sql.DataFrame, nStates: Int, tau: Int,
+                 reversible: Boolean = false): MarkovStateModel = {
+    val dense = TransitionCounting.toDense(counts, nStates)
+    val lcs = Connectivity.largestConnectedSet(dense)
+    val sub = Connectivity.submatrix(dense, lcs)
+    val t = if (reversible) TransitionMatrixMle.reversible(sub)
+            else TransitionMatrixMle.nonReversible(sub)
+    MarkovStateModel(t, tau, lcs)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (ARRAY<FLOAT|DOUBLE>).
+  *
+  * Scale design: the baseline is brute-force cosine against a BROADCAST
+  * query set (queries are small; the corpus streams map-side — no corpus
+  * shuffle, no all-pairs). The scale path is LSH bucketing via random
+  * hyperplanes (deterministic seeded planes), which turns top-k into a
+  * bucket-local problem; at 100 TB add IVF (k-means coarse quantizer from
+  * graft.clustering.KMeans) so each query probes a few cells.
+  */
+object Similarity {
+
+  /** Double-precision dot product of two array columns — sequential
+    * left-to-right accumulation (deterministic, oracle-reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query row in `queries` (small,
+    * broadcast), the k nearest corpus rows. Deterministic tie-break on
+    * corpus id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Random-hyperplane LSH bucket id: sign bits of `nPlanes` projections
+    * against deterministic seeded pseudo-random planes (hash-derived, so
+    * executors need no broadcast state at all). */
+  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      // plane component (p, i) = hash-derived value in [-1, 1)
+      val proj = (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((seed, p, i))
+        vec.getItem(i).cast("double") * lit(h.toDouble / Int.MaxValue)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus rows sharing the query's bucket;
+    * exact cosine re-rank inside the bucket. Trades recall for a shuffle
+    * bounded by bucket sizes. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nPlanes: Int = 12, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val bq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val bc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val scored = broadcast(bq).join(bc, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, within
+    * LSH buckets (near-dup detection for embedding-indexed corpora). */
+  def cosineNearDupes(corpus: DataFrame, threshold: Double, dim: Int,
+                      nPlanes: Int = 10, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol), col(vecCol),
+      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val l = b.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = b.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

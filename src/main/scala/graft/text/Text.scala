@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All of these are pure column expressions (whole-stage codegen, no UDF,
+  * no shuffle) — at 100 TB they run at parquet-scan speed.
+  *
+  * Every function has an exact DuckDB-SQL twin (see SparkEntry.oracleSql)
+  * so the correctness gate covers them. */
+object TextFunctions {
+
+  /** Whitespace-token count. */
+  def tokenCount(c: Column): Column = regexp_count(c, lit("\\S+"))
+
+  /** Word (alphabetic run) count. */
+  def wordCount(c: Column): Column = regexp_count(c, lit("[A-Za-z]+"))
+
+  /** ASCII punctuation character count. */
+  def punctCount(c: Column): Column =
+    regexp_count(c, lit("[!-/:-@\\[-`{-~]"))
+
+  def digitCount(c: Column): Column = regexp_count(c, lit("[0-9]"))
+
+  /** English stopword hit count (word-boundary anchored). */
+  val EnStop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+  def stopwordCount(c: Column): Column =
+    regexp_count(c, lit("\\b(" + EnStop.mkString("|") + ")\\b"))
+
+  /** Heuristic quality score in [0,1]: blends length, punctuation ratio and
+    * stopword density (the shape of a classic C4/CCNet-style filter). */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val toks = tokenCount(c).cast("double")
+    val punct = punctCount(c).cast("double")
+    val stop = stopwordCount(c).cast("double")
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    val punctPenalty = least(punct / greatest(len, lit(1.0)) * lit(10.0), lit(1.0))
+    val stopScore = least(stop / greatest(toks, lit(1.0)) * lit(5.0), lit(1.0))
+    round((lenScore * lit(0.4) + (lit(1.0) - punctPenalty) * lit(0.2) +
+      stopScore * lit(0.4)), 6)
+  }
+
+  /** Mean token length (chars per whitespace token). */
+  def meanTokenLength(c: Column): Column =
+    (length(c) - regexp_count(c, lit("\\s"))).cast("double") /
+      greatest(tokenCount(c), lit(1)).cast("double")
+
+  /** n-gram-profile language id heuristic: counts of language-marker words;
+    * deterministic argmax with fixed tie order (en > fr > de > es > zh). */
+  def langIdGuess(c: Column): Column = {
+    val en = regexp_count(c, lit("\\b(the|and|of|is|with)\\b"))
+    val fr = regexp_count(c, lit("\\b(le|la|les|et|des|une)\\b"))
+    val de = regexp_count(c, lit("\\b(der|die|das|und|ist|ein)\\b"))
+    val es = regexp_count(c, lit("\\b(el|los|las|y|una|es)\\b"))
+    val zh = regexp_count(c, lit("[\\u4e00-\\u9fff]"))
+    when(en >= fr && en >= de && en >= es && en >= zh, "en")
+      .when(fr >= de && fr >= es && fr >= zh, "fr")
+      .when(de >= es && de >= zh, "de")
+      .when(es >= zh, "es")
+      .otherwise("zh")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text —
+    * the exact-dedup key. */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(lower(c), lit("\\s+"), lit(" "))).cast("binary"))
+
+  /** Character n-gram (shingle) array; positions 1..len-n+1. */
+  def shingles(c: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(c) - lit(n - 1), lit(0))),
+      i => c.substr(i, lit(n)))
+
+  /** Word n-gram array from whitespace tokens. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = split(trim(c), "\\s+")
+    transform(
+      sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+  }
+}

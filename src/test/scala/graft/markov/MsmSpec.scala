@@ -1,0 +1,115 @@
+package graft.markov
+
+import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+import graft.SparkSpec
+import org.scalatest.matchers.should.Matchers
+
+/** MSM stack: counting vs hand oracle, SCC, MLE, and the analytic
+  * birth-death-chain oracle (reference
+  * tests/markov/msm/test_msm_basic_properties.py;
+  * data/_birth_death_chain.py closed forms). */
+class MsmSpec extends SparkSpec with Matchers {
+
+  /** Analytic birth-death chain: p(i) up, q(i) down, stay otherwise.
+    * Closed-form stationary distribution pi_i ∝ prod_{k<i} p_k/q_{k+1}. */
+  def birthDeath(p: Array[Double], q: Array[Double]): (DenseMatrix[Double], DenseVector[Double]) = {
+    val n = p.length
+    val t = DenseMatrix.zeros[Double](n, n)
+    for (i <- 0 until n) {
+      if (i < n - 1) t(i, i + 1) = p(i)
+      if (i > 0) t(i, i - 1) = q(i)
+      t(i, i) = 1.0 - (if (i < n - 1) p(i) else 0.0) - (if (i > 0) q(i) else 0.0)
+    }
+    val w = new Array[Double](n)
+    w(0) = 1.0
+    for (i <- 1 until n) w(i) = w(i - 1) * p(i - 1) / q(i)
+    val z = w.sum
+    (t, DenseVector(w.map(_ / z)))
+  }
+
+  test("two-state doctest counts: [0,0,1,1],[0,0,1] sliding tau=1 -> [[2,2],[0,1]]") {
+    // reference markov/_transition_counting.py:617-623 doctest
+    import spark.implicits._
+    val dtraj = Seq((0L, 0L, 0), (0L, 1L, 0), (0L, 2L, 1), (0L, 3L, 1),
+      (1L, 0L, 0), (1L, 1L, 0), (1L, 2L, 1))
+      .toDF("traj_id", "t", "state")
+    val counts = TransitionCounting.slidingCounts(dtraj, 1)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    counts shouldBe Map((0, 0) -> 2L, (0, 1) -> 2L, (1, 1) -> 1L)
+  }
+
+  test("nonreversible MLE row-normalizes") {
+    val c = DenseMatrix((2.0, 2.0), (0.0, 1.0))
+    val t = TransitionMatrixMle.nonReversible(c)
+    t(0, 0) shouldBe 0.5 +- 1e-12
+    t(0, 1) shouldBe 0.5 +- 1e-12
+    t(1, 1) shouldBe 1.0 +- 1e-12
+  }
+
+  test("reversible MLE satisfies detailed balance and stochasticity") {
+    val rnd = new scala.util.Random(3)
+    val c = DenseMatrix.tabulate(4, 4)((_, _) => rnd.nextInt(50).toDouble + 1.0)
+    val t = TransitionMatrixMle.reversible(c)
+    val msm = MarkovStateModel(t)
+    msm.isTransitionMatrix() shouldBe true
+    msm.isReversible(1e-8) shouldBe true
+  }
+
+  test("stationary distribution of analytic birth-death chain") {
+    val p = Array(0.3, 0.2, 0.4, 0.25, 0.0)
+    val q = Array(0.0, 0.1, 0.3, 0.2, 0.5)
+    val (t, piExact) = birthDeath(p, q)
+    val msm = MarkovStateModel(t)
+    msm.isTransitionMatrix() shouldBe true
+    (0 until 5).foreach(i => msm.stationaryDistribution(i) shouldBe piExact(i) +- 1e-10)
+  }
+
+  test("birth-death committor matches closed form") {
+    // For a birth-death chain, forward committor between state 0 and N-1
+    // is q+(i) = sum_{k<i} prod(q/p) / sum_{k<N-1} prod(q/p)
+    val p = Array(0.3, 0.2, 0.4, 0.25, 0.0)
+    val q = Array(0.0, 0.1, 0.3, 0.2, 0.5)
+    val (t, _) = birthDeath(p, q)
+    val msm = MarkovStateModel(t)
+    val qf = msm.committorForward(Set(0), Set(4))
+    val ratios = (1 until 4).map(k => q(k) / p(k))
+    val terms = 1.0 +: (1 to 3).map(m => ratios.take(m).product)
+    val z = terms.sum
+    val exact = (0 to 4).map {
+      case 0 => 0.0
+      case 4 => 1.0
+      case i => terms.take(i).sum / z
+    }
+    (0 until 5).foreach(i => qf(i) shouldBe exact(i) +- 1e-10)
+  }
+
+  test("mfpt solves the linear system") {
+    val p = Array(0.5, 0.0)
+    val q = Array(0.0, 0.5)
+    val (t, _) = birthDeath(p, q)  // symmetric 2-state flip with 0.5
+    val msm = MarkovStateModel(t)
+    val m = msm.mfpt(Set(1))
+    m(0) shouldBe 2.0 +- 1e-10   // geometric with success prob 0.5
+    m(1) shouldBe 0.0
+  }
+
+  test("SCC finds largest connected set") {
+    // states 0,1 strongly connected; 2 transient into them; 3 isolated sink
+    val c = DenseMatrix(
+      (1.0, 2.0, 0.0, 0.0),
+      (3.0, 0.0, 0.0, 0.0),
+      (1.0, 0.0, 0.0, 0.0),
+      (0.0, 0.0, 0.0, 5.0))
+    val lcs = Connectivity.largestConnectedSet(c)
+    lcs.toSet shouldBe Set(0, 1)
+  }
+
+  test("propagate converges to stationary distribution") {
+    val rnd = new scala.util.Random(11)
+    val c = DenseMatrix.tabulate(3, 3)((_, _) => rnd.nextInt(30).toDouble + 1.0)
+    val t = TransitionMatrixMle.reversible(c)
+    val msm = MarkovStateModel(t)
+    val p = msm.propagate(DenseVector(1.0, 0.0, 0.0), 200)
+    (0 until 3).foreach(i => p(i) shouldBe msm.stationaryDistribution(i) +- 1e-8)
+  }
+}
