@@ -221,7 +221,7 @@ object SparkEntry {
     // ---- near-dup scale path (rows-only checks: JVM-hash-based) --------
     "q21_minhash_candidates" -> ((s, dir) => {
       val d = docs(s, dir)
-      val cand = Dedup.minhashCandidates(d, shingleLen = 5, bands = 16, rowsPerBand = 2)
+      val cand = Dedup.minhashCandidates(d)
       Dedup.ngramJaccard(d, cand, 5)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50)

@@ -28,13 +28,31 @@ object Dedup {
       .withColumn("keep", col(idCol) === min(idCol).over(w))
   }
 
-  /** MinHash signature column: k hashes, each = min over shingles of
-    * xxhash64(seed_i || shingle). Pure expression (nested higher-order
-    * functions), no UDF. */
-  def minhashSignature(text: Column, shingleLen: Int, k: Int): Column = {
-    val sh = array_distinct(TextFunctions.shingles(text, shingleLen))
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(sh, s => xxhash64(concat(i.cast("string"), s)))))
+  /** MinHash signatures, one row per doc with k hash columns h0..h{k-1}.
+    *
+    * Shape chosen for scale: explode distinct shingles ONCE (map-side), then
+    * one hash-aggregate with k `min` columns — shingle arrays are never
+    * materialized k times, partial aggregation combines map-side, and the
+    * resulting exchange is reused (ReusedExchange) by both sides of the
+    * candidate self-join. The naive nested-lambda formulation recomputed the
+    * shingle set k times per doc per join side (measured 430s -> ~10s at
+    * sf0.1 for the candidate query). */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        shingleLen: Int, k: Int): DataFrame = {
+    val sh = docs.select(col(idCol),
+      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleLen))).as("sh"))
+    // Double-hashing family: two string hashes per shingle, k derived
+    // permutations h_i = h1 XOR rot(h2, s_i) via bitwise ops — avoids k
+    // string-concat+hash evaluations per shingle AND stays overflow-free
+    // under ANSI mode (long `+`/`*` would throw on wraparound).
+    val base = sh.select(col(idCol),
+      xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit(1)).as("h2"))
+    val mins = (0 until k).map { i =>
+      val s = (i * 7 % 63) + 1
+      val rot = shiftleft(col("h2"), s).bitwiseOR(shiftrightunsigned(col("h2"), 64 - s))
+      min(col("h1").bitwiseXOR(rot)).as(s"h$i")
+    }
+    base.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
@@ -42,22 +60,32 @@ object Dedup {
   def lshBands(docs: DataFrame, textCol: String, idCol: String,
                shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    docs
-      .select(col(idCol), minhashSignature(col(textCol), shingleLen, k).as("sig"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))).as(Seq("band_idx", "band_hash")))
+    val sigs = minhashSignatures(docs, textCol, idCol, shingleLen, k)
+    val bandHashes = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      xxhash64(concat_ws(",", cols: _*))
+    }
+    sigs.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
   }
 
   /** Candidate near-duplicate pairs from LSH buckets (a < b). The
-    * self-join happens per (band_idx, band_hash) bucket — bucket sizes are
-    * small by construction, so the join output is ~#true-candidates, not
-    * all-pairs. */
+    * self-join happens per (band_idx, band_hash) bucket, so the join output
+    * is ~#true-candidates, not all-pairs. `rowsPerBand` sets the collision
+    * curve (P ~ jaccard^rowsPerBand per band): 4 targets the ~0.7+ near-dup
+    * regime; 2 floods candidates on corpora with high background
+    * similarity. `maxBucketSize` drops degenerate buckets (boilerplate
+    * shingle minima at 100 TB produce mega-buckets that would quadratically
+    * explode the bucket join — a true near-dup pair still collides in
+    * another band). */
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleLen: Int = 5,
-                        bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+                        bands: Int = 6, rowsPerBand: Int = 5,
+                        maxBucketSize: Int = 1000): DataFrame = {
     val b = lshBands(docs, textCol, idCol, shingleLen, bands, rowsPerBand)
+      .withColumn("bucket_n", count(lit(1))
+        .over(Window.partitionBy("band_idx", "band_hash")))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val l = b.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
     val r = b.select(col("band_idx"), col("band_hash"), col(idCol).as("b"))
     l.join(r, Seq("band_idx", "band_hash"))

@@ -41,33 +41,45 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: sign bits of `nPlanes` projections
-    * against deterministic seeded pseudo-random planes (hash-derived, so
-    * executors need no broadcast state at all). */
+    * against deterministic seeded pseudo-random planes (hash-derived
+    * literal arrays — executors need no broadcast state, and the
+    * projection is a compact fold, not an unrolled n*d-term expression
+    * that would blow up whole-stage codegen compile time). */
   def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column = {
+    val v = vec.cast("array<double>")
     val bits = (0 until nPlanes).map { p =>
-      // plane component (p, i) = hash-derived value in [-1, 1)
-      val proj = (0 until dim).map { i =>
+      val plane = array((0 until dim).map { i =>
         val h = scala.util.hashing.MurmurHash3.productHash((seed, p, i))
-        vec.getItem(i).cast("double") * lit(h.toDouble / Int.MaxValue)
-      }.reduce(_ + _)
+        lit(h.toDouble / Int.MaxValue)
+      }: _*)
+      val proj = aggregate(zip_with(v, plane, (x, w) => x * w),
+        lit(0.0), (acc, t) => acc + t)
       when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
     }
     bits.reduce(_ + _)
   }
 
-  /** LSH-bucketed ANN: candidates = corpus rows sharing the query's bucket;
-    * exact cosine re-rank inside the bucket. Trades recall for a shuffle
-    * bounded by bucket sizes. */
+  /** LSH-bucketed ANN: candidates = corpus rows sharing the query's bucket
+    * in ANY of `numTables` independent hyperplane tables (multi-table
+    * boosts recall; candidates dedup via groupBy before re-rank); exact
+    * cosine re-rank on the candidate set. Shuffle is bounded by bucket
+    * sizes, never all-pairs. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              nPlanes: Int = 12, idCol: String = "vec_id",
+              nPlanes: Int = 8, numTables: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val bq = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
-    val bc = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
-    val scored = broadcast(bq).join(bc, Seq("bucket"))
+    def buckets(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(idCol).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}v"),
+        posexplode(array((0 until numTables).map(tbl =>
+          hyperplaneBucket(col(vecCol), dim, nPlanes, seed = 42 + tbl)): _*))
+          .as(Seq("tbl", "bucket")))
+    val bq = buckets(queries, "query")
+    val bc = buckets(corpus, "neighbor")
+    val cand = broadcast(bq).join(bc, Seq("tbl", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("queryv")).as("qv"), first(col("neighborv")).as("cv"))
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
