@@ -1,0 +1,246 @@
+package graft.markov.hmm
+
+import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.markov.{MarkovStateModel, Pcca, TransitionCounting, TransitionMatrixMle, Msm}
+
+/** Hidden Markov model with discrete output
+  * (reference markov/hmm/_maximum_likelihood_hmm.py:224-423,
+  * _output_model.py DiscreteOutputModel, _hidden_markov_model.py).
+  *
+  * Distributed shape (SURVEY §3 E3): the EM loop runs on the driver; each
+  * iteration is ONE shuffle-free pass — trajectories are grouped by
+  * traj_id, each group runs the scaled forward-backward recursion locally
+  * and emits O(m^2 + m*nObs) sufficient statistics, which `reduce` merges
+  * tree-wise. Model state (A, B, pi) ships as a closure broadcast. Gamma
+  * trajectories are never materialized globally.
+  */
+object Hmm {
+
+  case class HmmModel(
+      transition: DenseMatrix[Double],   // m x m hidden chain
+      emission: DenseMatrix[Double],     // m x nObs
+      initial: DenseVector[Double],      // m
+      logLikelihood: Double,
+      iterations: Int)
+
+  /** Per-trajectory E-step sufficient statistics. */
+  case class EStats(loglik: Double, xi: Array[Double], gammaObs: Array[Double],
+                    gamma0: Array[Double], nTraj: Long) {
+    def merge(o: EStats): EStats = {
+      var i = 0
+      val x = xi.clone; val g = gammaObs.clone; val g0 = gamma0.clone
+      while (i < x.length) { x(i) += o.xi(i); i += 1 }
+      i = 0; while (i < g.length) { g(i) += o.gammaObs(i); i += 1 }
+      i = 0; while (i < g0.length) { g0(i) += o.gamma0(i); i += 1 }
+      EStats(loglik + o.loglik, x, g, g0, nTraj + o.nTraj)
+    }
+  }
+
+  /** Scaled forward-backward for one observation sequence; returns
+    * sufficient statistics (C++ kernel parity:
+    * markov/hmm/src/hmm_module.cpp forward/backward). */
+  private[hmm] def forwardBackward(obs: Array[Int], a: Array[Double], b: Array[Double],
+                      pi: Array[Double], m: Int, nObs: Int): EStats = {
+    val tLen = obs.length
+    val alpha = Array.ofDim[Double](tLen, m)
+    val beta = Array.ofDim[Double](tLen, m)
+    val scale = new Array[Double](tLen)
+    // forward with scaling
+    var s0 = 0.0
+    var i = 0
+    while (i < m) { alpha(0)(i) = pi(i) * b(i * nObs + obs(0)); s0 += alpha(0)(i); i += 1 }
+    scale(0) = if (s0 > 0) s0 else 1e-300
+    i = 0; while (i < m) { alpha(0)(i) /= scale(0); i += 1 }
+    var t = 1
+    while (t < tLen) {
+      var st = 0.0
+      var j = 0
+      while (j < m) {
+        var acc = 0.0
+        var k = 0
+        while (k < m) { acc += alpha(t - 1)(k) * a(k * m + j); k += 1 }
+        val v = acc * b(j * nObs + obs(t))
+        alpha(t)(j) = v; st += v
+        j += 1
+      }
+      scale(t) = if (st > 0) st else 1e-300
+      j = 0; while (j < m) { alpha(t)(j) /= scale(t); j += 1 }
+      t += 1
+    }
+    // backward (scaled by same factors)
+    i = 0; while (i < m) { beta(tLen - 1)(i) = 1.0 / scale(tLen - 1); i += 1 }
+    t = tLen - 2
+    while (t >= 0) {
+      var k = 0
+      while (k < m) {
+        var acc = 0.0
+        var j = 0
+        while (j < m) { acc += a(k * m + j) * b(j * nObs + obs(t + 1)) * beta(t + 1)(j); j += 1 }
+        beta(t)(k) = acc / scale(t)
+        k += 1
+      }
+      t -= 1
+    }
+    // statistics
+    val xi = new Array[Double](m * m)
+    val gammaObs = new Array[Double](m * nObs)
+    val gamma0 = new Array[Double](m)
+    t = 0
+    while (t < tLen) {
+      // gamma_t(i) ∝ alpha_t(i) * beta_t(i) (normalize for safety)
+      var z = 0.0
+      var j = 0
+      while (j < m) { z += alpha(t)(j) * beta(t)(j) * scale(t); j += 1 }
+      if (z <= 0) z = 1.0
+      j = 0
+      while (j < m) {
+        val g = alpha(t)(j) * beta(t)(j) * scale(t) / z
+        gammaObs(j * nObs + obs(t)) += g
+        if (t == 0) gamma0(j) = g
+        j += 1
+      }
+      t += 1
+    }
+    t = 0
+    while (t < tLen - 1) {
+      var k = 0
+      while (k < m) {
+        var j = 0
+        while (j < m) {
+          xi(k * m + j) += alpha(t)(k) * a(k * m + j) * b(j * nObs + obs(t + 1)) * beta(t + 1)(j)
+          j += 1
+        }
+        k += 1
+      }
+      t += 1
+    }
+    val ll = scale.map(math.log).sum
+    EStats(ll, xi, gammaObs, gamma0, 1L)
+  }
+
+  /** Viterbi most-likely hidden path (log-space DP;
+    * _hidden_markov_model.py:14 + C++). */
+  private[hmm] def viterbiPath(obs: Array[Int], a: Array[Double], b: Array[Double],
+                  pi: Array[Double], m: Int, nObs: Int): Array[Int] = {
+    val tLen = obs.length
+    val logA = a.map(v => math.log(math.max(v, 1e-300)))
+    val logB = b.map(v => math.log(math.max(v, 1e-300)))
+    val delta = Array.ofDim[Double](tLen, m)
+    val psi = Array.ofDim[Int](tLen, m)
+    var i = 0
+    while (i < m) { delta(0)(i) = math.log(math.max(pi(i), 1e-300)) + logB(i * nObs + obs(0)); i += 1 }
+    var t = 1
+    while (t < tLen) {
+      var j = 0
+      while (j < m) {
+        var best = Double.NegativeInfinity; var arg = 0
+        var k = 0
+        while (k < m) {
+          val v = delta(t - 1)(k) + logA(k * m + j)
+          if (v > best) { best = v; arg = k }
+          k += 1
+        }
+        delta(t)(j) = best + logB(j * nObs + obs(t))
+        psi(t)(j) = arg
+        j += 1
+      }
+      t += 1
+    }
+    val path = new Array[Int](tLen)
+    path(tLen - 1) = (0 until m).maxBy(delta(tLen - 1)(_))
+    t = tLen - 2
+    while (t >= 0) { path(t) = psi(t + 1)(path(t + 1)); t -= 1 }
+    path
+  }
+
+  /** Initial model from the MSM+PCCA heuristic
+    * (markov/hmm/init/discrete/_init_discrete_impl.py). */
+  def initialGuess(dtraj: DataFrame, nHidden: Int, nObs: Int, lagtime: Int): HmmModel = {
+    val counts = TransitionCounting.slidingCounts(dtraj, lagtime)
+    val msm = Msm.fromCounts(counts, nObs, lagtime, reversible = true)
+    val m = math.min(nHidden, msm.n)
+    val pcca = Pcca(msm, m)
+    // emission: B[k, obs] ∝ memberships(state, k) * pi(state), states mapped
+    // back to original labels
+    val b = DenseMatrix.zeros[Double](m, nObs) +:+ 1e-6
+    val pi = msm.stationaryDistribution
+    for (si <- 0 until msm.n; k <- 0 until m) {
+      b(k, msm.states(si)) += pcca.memberships(si, k) * pi(si)
+    }
+    for (k <- 0 until m) { val s = bsum(b(k, ::).t); b(k, ::) :/= s }
+    HmmModel(pcca.coarseT, b, pcca.coarsePi, Double.NegativeInfinity, 0)
+  }
+
+  /** Collect each trajectory's state sequence ordered by t. */
+  private def trajectories(dtraj: DataFrame): Dataset[(Long, Array[Int])] = {
+    val spark = dtraj.sparkSession
+    import spark.implicits._
+    dtraj.select("traj_id", "t", "state").as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        val arr = it.toArray.sortBy(_._2).map(_._3)
+        (id, arr)
+      }
+  }
+
+  /** Baum-Welch EM. `reversible` applies the detailed-balance MLE to the
+    * hidden transition counts in the M-step. */
+  def fit(dtraj: DataFrame, nHidden: Int, nObs: Int, lagtime: Int = 1,
+          maxIter: Int = 100, tol: Double = 1e-6,
+          reversible: Boolean = true): HmmModel = {
+    val spark = dtraj.sparkSession
+    import spark.implicits._
+    var model = initialGuess(dtraj, nHidden, nObs, lagtime)
+    val m = model.transition.rows
+    val trajs = trajectories(if (lagtime == 1) dtraj
+      else dtraj.where((org.apache.spark.sql.functions.col("t") % lagtime) === 0)).cache()
+    var lastLl = Double.NegativeInfinity
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val a = graft.linalg.LinAlg.toFlat(model.transition)
+      val b = graft.linalg.LinAlg.toFlat(model.emission)
+      val pi = model.initial.toArray
+      val stats = trajs
+        .map { case (_, obs) => forwardBackward(obs, a, b, pi, m, nObs) }
+        .reduce((x, y) => x.merge(y))
+      // M-step
+      val xiM = graft.linalg.LinAlg.fromFlat(stats.xi, m)
+      val aNew = if (reversible) TransitionMatrixMle.reversible(xiM)
+                 else TransitionMatrixMle.nonReversible(xiM)
+      val bNew = DenseMatrix.zeros[Double](m, nObs)
+      for (k <- 0 until m) {
+        var s = 0.0
+        for (o <- 0 until nObs) s += stats.gammaObs(k * nObs + o)
+        for (o <- 0 until nObs) bNew(k, o) = if (s > 0) stats.gammaObs(k * nObs + o) / s else 1.0 / nObs
+      }
+      val piSum = stats.gamma0.sum
+      val piNew = DenseVector(stats.gamma0.map(v => if (piSum > 0) v / piSum else 1.0 / m))
+      converged = math.abs(stats.loglik - lastLl) < tol * math.abs(stats.loglik)
+      lastLl = stats.loglik
+      model = HmmModel(aNew, bNew, piNew, stats.loglik, iter + 1)
+      iter += 1
+    }
+    trajs.unpersist()
+    model
+  }
+
+  /** Most-likely hidden path per frame: (traj_id, t, hidden). */
+  def viterbi(dtraj: DataFrame, model: HmmModel, nObs: Int): DataFrame = {
+    val spark = dtraj.sparkSession
+    import spark.implicits._
+    val m = model.transition.rows
+    val a = graft.linalg.LinAlg.toFlat(model.transition)
+    val b = graft.linalg.LinAlg.toFlat(model.emission)
+    val pi = model.initial.toArray
+    dtraj.select("traj_id", "t", "state").as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val path = viterbiPath(rows.map(_._3), a, b, pi, m, nObs)
+        rows.iterator.zip(path.iterator).map { case ((_, t, _), h) => (id, t, h) }
+      }
+      .toDF("traj_id", "t", "hidden")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Trajectories.{TrajCol, TimeCol}
+
+/** Statistics utilities (reference util/stats.py): autocorrelation,
+  * statistical inefficiency, bootstrap resampling, confidence intervals. */
+object Stats {
+
+  private def w = Window.partitionBy(TrajCol).orderBy(TimeCol)
+
+  /** Autocorrelation of a value column at the given lags, pooled over
+    * trajectories (building block of `statistical_inefficiency`,
+    * util/stats.py:292): acf(k) = cov(x_t, x_{t+k}) / var(x).
+    * One window pass + one aggregate; entirely SQL-expressible. */
+  def autocorrelation(traj: DataFrame, valueCol: String, lags: Seq[Int]): DataFrame = {
+    val withLeads = lags.foldLeft(traj) { (df, k) =>
+      df.withColumn(s"lead_$k", lead(col(valueCol), k).over(w))
+    }
+    val aggs = Seq(
+      count(col(valueCol)).as("n"),
+      avg(col(valueCol)).as("mean"),
+      var_pop(col(valueCol)).as("var")) ++
+      lags.flatMap { k =>
+        Seq(covar_pop(col(valueCol), col(s"lead_$k")).as(s"cov_$k"))
+      }
+    val r = withLeads.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val spark = traj.sparkSession
+    import spark.implicits._
+    val variance = r.getAs[Double]("var")
+    lags.map(k => (k, r.getAs[Double](s"cov_$k") / variance))
+      .toDF("lag", "acf")
+  }
+
+  /** Statistical inefficiency I = 1 + 2 sum_k (1 - k/N) acf(k), truncated
+    * at first negative acf (initial positive sequence estimator,
+    * util/stats.py:292 semantics). Driver-side on the acf table. */
+  def statisticalInefficiency(traj: DataFrame, valueCol: String, maxLag: Int): Double = {
+    val acf = autocorrelation(traj, valueCol, 1 to maxLag)
+      .orderBy("lag").collect().map(_.getDouble(1))
+    var s = 0.0
+    var k = 0
+    while (k < acf.length && acf(k) > 0) { s += acf(k); k += 1 }
+    1.0 + 2.0 * s
+  }
+
+  /** Bootstrap resample of whole trajectories with replacement
+    * (estimation/api.py:300 bootstrap_trajectories): returns the resampled
+    * trajectory frame; seeded and deterministic. */
+  def bootstrapTrajectories(traj: DataFrame, seed: Long): DataFrame = {
+    val ids = traj.select(TrajCol).distinct().orderBy(TrajCol)
+      .collect().map(_.getLong(0))
+    val rnd = new scala.util.Random(seed)
+    val draws = Array.fill(ids.length)(ids(rnd.nextInt(ids.length)))
+    val spark = traj.sparkSession
+    import spark.implicits._
+    // (new_traj_id, source_traj_id) mapping joined broadcast
+    val mapping = draws.zipWithIndex.map { case (src, i) => (i.toLong, src) }
+      .toSeq.toDF("boot_id", TrajCol)
+    val others = traj.columns.filter(c => c != TrajCol && c != TimeCol).map(col).toSeq
+    traj.join(broadcast(mapping), TrajCol)
+      .select(Seq(col("boot_id").as(TrajCol), col(TimeCol)) ++ others: _*)
+  }
+
+  /** Percentile confidence interval over per-sample values
+    * (util/stats.py:10 confidence_interval). */
+  def confidenceInterval(samples: Seq[Double], conf: Double = 0.95): (Double, Double) = {
+    val sorted = samples.sorted
+    val lo = (1.0 - conf) / 2.0
+    def q(p: Double): Double = {
+      val idx = p * (sorted.length - 1)
+      val i = idx.toInt
+      if (i + 1 < sorted.length) sorted(i) + (idx - i) * (sorted(i + 1) - sorted(i))
+      else sorted.last
+    }
+    (q(lo), q(1.0 - lo))
+  }
+
+  /** Weighted 1-d histogram over fixed bounds (util/stats.py histogram
+    * building block): (bin, weight_sum). */
+  def histogram1d(df: DataFrame, valueCol: String, weightCol: Option[String],
+                  lo: Double, hi: Double, nBins: Int): DataFrame = {
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(floor((col(valueCol) - lo) / width), lit(0.0)),
+      lit((nBins - 1).toDouble)).cast("int")
+    val wcol = weightCol.map(col).getOrElse(lit(1.0))
+    df.groupBy(bin.as("bin")).agg(sum(wcol).as("wsum"))
+  }
+}
