@@ -12,15 +12,33 @@ import graft.linalg.LinAlg
   * column expression (the matrix enters as literals — no UDF, no state). */
 case class WhiteningModel(mean: Array[Double], w: Array[Double], d: Int) {
 
-  /** Column: whitened feature array. */
-  def projection(feat: Column): Column = {
-    val comps = (0 until d).map { r =>
-      (0 until d).map { c =>
-        (feat.getItem(c) - lit(mean(c))) * lit(w(r * d + c))
-      }.reduce(_ + _)
+  /** Column: whitened feature array. Unrolled codegen for narrow d; a
+    * captured-array gemv UDF above d*d=256 terms (wide/embedding features
+    * would otherwise blow up whole-stage codegen compile time). */
+  def projection(feat: Column): Column =
+    if (d * d <= 256) {
+      val comps = (0 until d).map { r =>
+        (0 until d).map { c =>
+          (feat.getItem(c) - lit(mean(c))) * lit(w(r * d + c))
+        }.reduce(_ + _)
+      }
+      array(comps: _*)
+    } else {
+      val m = mean; val ww = w; val dd = d
+      val gemv = udf { (x: Seq[Double]) =>
+        val out = new Array[Double](dd)
+        var r = 0
+        while (r < dd) {
+          var s = 0.0
+          var c = 0
+          while (c < dd) { s += (x(c) - m(c)) * ww(r * dd + c); c += 1 }
+          out(r) = s
+          r += 1
+        }
+        out
+      }
+      gemv(feat.cast("array<double>"))
     }
-    array(comps: _*)
-  }
 
   def transform(df: DataFrame, featCol: String = graft.core.Trajectories.FeatCol): DataFrame =
     df.withColumn("whitened", projection(col(featCol)))

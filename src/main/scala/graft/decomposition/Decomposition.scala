@@ -21,16 +21,34 @@ case class KoopmanModel(
   def timescales: Seq[Double] = LinAlg.timescales(singularValues.toSeq, tau.toDouble)
 
   /** Column expression computing the k-dim projection of a features array:
-    * proj_j = sum_i (x_i - mean0_i) * U_ij. Stays inside whole-stage codegen
-    * (plain arithmetic on array elements). */
-  def projection(feat: Column): Column = {
-    val comps = (0 until k).map { j =>
-      (0 until d).map { i =>
-        (feat.getItem(i) - lit(mean0(i))) * lit(u(i * k + j))
-      }.reduce(_ + _)
+    * proj_j = sum_i (x_i - mean0_i) * U_ij. For narrow models this is plain
+    * unrolled arithmetic (whole-stage codegen); above d*k=256 terms the
+    * unrolled expression would blow up codegen compile time (embedding-width
+    * features), so a captured-array gemv UDF takes over — one JIT-compiled
+    * loop per row, no per-plan code growth. */
+  def projection(feat: Column): Column =
+    if (d * k <= 256) {
+      val comps = (0 until k).map { j =>
+        (0 until d).map { i =>
+          (feat.getItem(i) - lit(mean0(i))) * lit(u(i * k + j))
+        }.reduce(_ + _)
+      }
+      array(comps: _*)
+    } else {
+      val m = mean0; val uu = u; val dd = d; val kk = k
+      val gemv = udf { (x: Seq[Double]) =>
+        val out = new Array[Double](kk)
+        var i = 0
+        while (i < dd) {
+          val xi = x(i) - m(i)
+          var j = 0
+          while (j < kk) { out(j) += xi * uu(i * kk + j); j += 1 }
+          i += 1
+        }
+        out
+      }
+      gemv(feat.cast("array<double>"))
     }
-    array(comps: _*)
-  }
 
   def transform(traj: DataFrame, featCol: String = graft.core.Trajectories.FeatCol): DataFrame =
     traj.withColumn("projection", projection(col(featCol)))
@@ -53,16 +71,27 @@ object Tica {
   }
 
   def fitFromCovariance(cov: CovarianceModel, tau: Int, epsilon: Double = 1e-10,
-                        dim: Int = -1): KoopmanModel = {
+                        dim: Int = -1, bessel: Boolean = true): KoopmanModel = {
     val d = cov.d
-    // reversible symmetrization (covariance/_covariance.py reversible path):
-    // means and covariances averaged over (x, y)
+    // Reversible symmetrization (covariance/_covariance.py reversible path,
+    // moments_XXXY symmetrized): reconstruct RAW second moments from the
+    // per-block covariances (each centered at its own mean), then re-center
+    // everything at the joint mean (m0+mt)/2 over the pooled 2w samples.
+    // Averaging the separately-centered blocks instead introduces a
+    // (m0-mt)(m0-mt)^T/4-scale bias.
+    val w = cov.weight
+    val denom = if (bessel) w - 1.0 else w
     val meanSym = Array.tabulate(d)(i => (cov.mean0(i) + cov.meant(i)) / 2.0)
-    val c00 = LinAlg.fromFlat(cov.cov00, d)
-    val ctt = LinAlg.fromFlat(cov.covtt, d)
-    val c0tM = LinAlg.fromFlat(cov.cov0t, d)
-    val c0 = (c00 + ctt) / 2.0
-    val ct = LinAlg.sym(c0tM)
+    def raw(c: Array[Double], ma: Array[Double], mb: Array[Double]) =
+      DenseMatrix.tabulate(d, d)((i, j) => c(i * d + j) * denom + w * ma(i) * mb(j))
+    val s00 = raw(cov.cov00, cov.mean0, cov.mean0)
+    val stt = raw(cov.covtt, cov.meant, cov.meant)
+    val s0t = raw(cov.cov0t, cov.mean0, cov.meant)
+    val wSym = 2.0 * w
+    val denomSym = if (bessel) wSym - 1.0 else wSym
+    val mOuter = DenseMatrix.tabulate(d, d)((i, j) => wSym * meanSym(i) * meanSym(j))
+    val c0 = (s00 + stt - mOuter) / denomSym
+    val ct = (s0t + s0t.t - mOuter) / denomSym
     val (vals, vecs) = LinAlg.eigCorr(c0, ct, epsilon)
     val k0 = vals.length
     val k = if (dim > 0) math.min(dim, k0) else k0

@@ -47,10 +47,15 @@ object Dedup {
     // under ANSI mode (long `+`/`*` would throw on wraparound).
     val base = sh.select(col(idCol),
       xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit(1)).as("h2"))
+    // Full-period rotation schedule s=(i%63)+1 plus a per-i odd-constant XOR
+    // mix (golden-ratio multiples) so all k hash functions are distinct even
+    // for k > 63 — the previous s=(i*7%63)+1 schedule had period 9 and
+    // duplicated signature columns for k > 9, correlating the LSH bands.
     val mins = (0 until k).map { i =>
-      val s = (i * 7 % 63) + 1
+      val s = (i % 63) + 1
+      val mix = lit(0x9E3779B97F4A7C15L * (2L * i + 1L)) // odd => bijective mix
       val rot = shiftleft(col("h2"), s).bitwiseOR(shiftrightunsigned(col("h2"), 64 - s))
-      min(col("h1").bitwiseXOR(rot)).as(s"h$i")
+      min(col("h1").bitwiseXOR(rot).bitwiseXOR(mix)).as(s"h$i")
     }
     base.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }

@@ -144,20 +144,29 @@ case class MarkovStateModel(transitionMatrix: DenseMatrix[Double], tau: Int = 1,
   lazy val stationaryDistribution: DenseVector[Double] =
     LinAlg.stationaryDistribution(transitionMatrix)
 
-  /** Leading eigenvalues by magnitude (real parts; reversible chains have
-    * real spectra). */
-  def eigenvalues(k: Int = -1): Seq[Double] = {
+  /** Leading eigenvalues as (re, im) pairs, sorted by magnitude descending
+    * — non-reversible matrices may have complex pairs, which the real-only
+    * view silently mangled (_api.py:260 returns complex). */
+  def eigenvaluesComplex(k: Int = -1): Seq[(Double, Double)] = {
     val e = breeze.linalg.eig(transitionMatrix)
     val pairs = (0 until n).map(i => (e.eigenvalues(i), e.eigenvaluesComplex(i)))
       .sortBy { case (re, im) => -math.hypot(re, im) }
     val kk = if (k > 0) math.min(k, n) else n
-    pairs.take(kk).map(_._1)
+    pairs.take(kk)
   }
 
-  /** Implied timescales, excluding the stationary eigenvalue
-    * (_api.py:310). */
+  /** Real parts of the leading eigenvalues (convenience; use
+    * `eigenvaluesComplex` when the chain may be non-reversible). */
+  def eigenvalues(k: Int = -1): Seq[Double] = eigenvaluesComplex(k).map(_._1)
+
+  /** Implied timescales from eigenvalue MAGNITUDES |lambda| (matching
+    * _api.py:310 — complex pairs contribute hypot(re, im), not |re|),
+    * excluding the stationary eigenvalue. */
   def timescales(k: Int = -1): Seq[Double] =
-    LinAlg.timescales(eigenvalues(if (k > 0) k + 1 else -1).drop(1), tau.toDouble)
+    LinAlg.timescales(
+      eigenvaluesComplex(if (k > 0) k + 1 else -1).drop(1)
+        .map { case (re, im) => math.hypot(re, im) },
+      tau.toDouble)
 
   def isTransitionMatrix(tol: Double = 1e-10): Boolean =
     (0 until n).forall { i =>
@@ -203,6 +212,34 @@ case class MarkovStateModel(transitionMatrix: DenseMatrix[Double], tau: Int = 1,
     val sol = lhs \ rhs
     val out = DenseVector.zeros[Double](n)
     b.foreach(s => out(s) = 1.0)
+    inter.zipWithIndex.foreach { case (s, i) => out(s) = sol(i) }
+    out
+  }
+
+  /** Backward committor q- : P(last came from A rather than B), solved as
+    * the forward committor of the time-reversed chain
+    * T~_ij = pi_j T_ji / pi_i (markov/tools/analysis/_committor.py).
+    * Valid for NON-reversible chains; for reversible ones it reduces to
+    * 1 - q+. */
+  def committorBackward(a: Set[Int], b: Set[Int]): DenseVector[Double] = {
+    val pi = stationaryDistribution
+    val tRev = DenseMatrix.tabulate(n, n) { (i, j) =>
+      if (pi(i) > 0) pi(j) * transitionMatrix(j, i) / pi(i) else 0.0
+    }
+    // forward committor of the reversed chain with roles swapped: hit A
+    // before B going backwards
+    val inter = (0 until n).filterNot(s => a.contains(s) || b.contains(s)).toArray
+    val k = inter.length
+    val lhs = DenseMatrix.zeros[Double](k, k)
+    val rhs = DenseVector.zeros[Double](k)
+    for (i <- 0 until k) {
+      for (j <- 0 until k)
+        lhs(i, j) = (if (i == j) 1.0 else 0.0) - tRev(inter(i), inter(j))
+      rhs(i) = a.toSeq.map(s => tRev(inter(i), s)).sum
+    }
+    val sol = if (k > 0) lhs \ rhs else DenseVector.zeros[Double](0)
+    val out = DenseVector.zeros[Double](n)
+    a.foreach(s => out(s) = 1.0)
     inter.zipWithIndex.foreach { case (s, i) => out(s) = sol(i) }
     out
   }

@@ -84,8 +84,10 @@ object Tpt {
     val n = t.rows
     val pi = msm.stationaryDistribution
     val qp = msm.committorForward(a, b)
-    // backward committor; for reversible chains q- = 1 - q+
-    val qm = DenseVector.tabulate(n)(i => 1.0 - qp(i))
+    // backward committor via the time-reversed chain — exact for
+    // NON-reversible chains too (for reversible ones it equals 1 - q+,
+    // the shortcut the previous implementation hardcoded)
+    val qm = msm.committorBackward(a, b)
     val f = DenseMatrix.tabulate(n, n)((i, j) =>
       if (i == j) 0.0 else pi(i) * qm(i) * t(i, j) * qp(j))
     val net = DenseMatrix.tabulate(n, n)((i, j) => math.max(f(i, j) - f(j, i), 0.0))

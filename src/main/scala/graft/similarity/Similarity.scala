@@ -85,15 +85,31 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, within
-    * LSH buckets (near-dup detection for embedding-indexed corpora). */
+    * LSH buckets (near-dup detection for embedding-indexed corpora).
+    *
+    * Scale shape mirrors Dedup.minhashCandidates: multiple independent
+    * hyperplane tables for recall, and a `maxBucketSize` cap that drops
+    * degenerate mega-buckets (at 100 TB a boilerplate-heavy bucket would
+    * otherwise quadratically explode the self-join; a true near-dup pair
+    * still collides in another table). Candidate pairs dedup across tables
+    * before the exact-cosine verify. */
   def cosineNearDupes(corpus: DataFrame, threshold: Double, dim: Int,
-                      nPlanes: Int = 10, idCol: String = "vec_id",
+                      nPlanes: Int = 10, numTables: Int = 2,
+                      maxBucketSize: Int = 1000, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val b = corpus.select(col(idCol), col(vecCol),
-      hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
-    val l = b.select(col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
-    val r = b.select(col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
-    l.join(r, Seq("bucket")).where(col("a") < col("b"))
+      posexplode(array((0 until numTables).map(t =>
+        hyperplaneBucket(col(vecCol), dim, nPlanes, seed = 42 + t)): _*))
+        .as(Seq("tbl", "bucket")))
+      .withColumn("bucket_n", count(lit(1))
+        .over(Window.partitionBy("tbl", "bucket")))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val l = b.select(col("tbl"), col("bucket"), col(idCol).as("a"), col(vecCol).as("va"))
+    val r = b.select(col("tbl"), col("bucket"), col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, Seq("tbl", "bucket")).where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(first(col("va")).as("va"), first(col("vb")).as("vb"))
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }

@@ -67,17 +67,22 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(trim(regexp_replace(lower(c), lit("\\s+"), lit(" "))).cast("binary"))
 
-  /** Character n-gram (shingle) array; positions 1..len-n+1. */
+  /** Character n-gram (shingle) array; positions 1..len-n+1. Documents
+    * shorter than n yield an empty array (guards the descending-sequence
+    * quirk: sequence(1, 0) would yield [1, 0], not []). */
   def shingles(c: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(length(c) - lit(n - 1), lit(0))),
-      i => c.substr(i, lit(n)))
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - lit(n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
 
-  /** Word n-gram array from whitespace tokens. */
+  /** Word n-gram array from whitespace tokens; empty when fewer than n
+    * tokens (same descending-sequence guard as `shingles` — slice with a
+    * 0 start index would throw at runtime). */
   def wordShingles(c: Column, n: Int): Column = {
     val toks = split(trim(c), "\\s+")
-    transform(
-      sequence(lit(0), greatest(size(toks) - lit(n), lit(-1))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
   }
 }

@@ -48,19 +48,25 @@ object Stats {
 
   /** Bootstrap resample of whole trajectories with replacement
     * (estimation/api.py:300 bootstrap_trajectories): returns the resampled
-    * trajectory frame; seeded and deterministic. */
+    * trajectory frame; seeded and deterministic.
+    *
+    * Fully distributed: trajectory ids are never collected to the driver
+    * (at 1e8+ trajectories that would OOM). The draw is a seeded hash over
+    * `spark.range(n)` joined to a zipWithIndex-indexed distinct-id table;
+    * the only driver-side value is the id COUNT. */
   def bootstrapTrajectories(traj: DataFrame, seed: Long): DataFrame = {
-    val ids = traj.select(TrajCol).distinct().orderBy(TrajCol)
-      .collect().map(_.getLong(0))
-    val rnd = new scala.util.Random(seed)
-    val draws = Array.fill(ids.length)(ids(rnd.nextInt(ids.length)))
     val spark = traj.sparkSession
     import spark.implicits._
-    // (new_traj_id, source_traj_id) mapping joined broadcast
-    val mapping = draws.zipWithIndex.map { case (src, i) => (i.toLong, src) }
-      .toSeq.toDF("boot_id", TrajCol)
+    val indexed = traj.select(col(TrajCol)).distinct().orderBy(TrajCol)
+      .rdd.map(_.getLong(0)).zipWithIndex()
+      .toDF(TrajCol, "idx")
+    val n = indexed.count()
+    // boot_id -> uniformly drawn source index, deterministic in (seed, id)
+    val draws = spark.range(n).select(col("id").as("boot_id"),
+      pmod(xxhash64(lit(seed), col("id")), lit(n)).as("idx"))
+    val mapping = draws.join(indexed, "idx").select(col("boot_id"), col(TrajCol))
     val others = traj.columns.filter(c => c != TrajCol && c != TimeCol).map(col).toSeq
-    traj.join(broadcast(mapping), TrajCol)
+    traj.join(mapping, TrajCol)
       .select(Seq(col("boot_id").as(TrajCol), col(TimeCol)) ++ others: _*)
   }
 
