@@ -1,0 +1,258 @@
+package graft.markov
+
+import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Random-variate kernels for posterior sampling (replaces the reference's
+  * std::gamma/beta distributions in
+  * src/include/deeptime/markov/tools/sampler.h). Deterministic given the
+  * SplittableRandom stream. */
+object RandomVariates {
+
+  /** Marsaglia-Tsang gamma(shape, scale=1); alpha < 1 handled via the
+    * boosting identity G(a) = G(a+1) * U^{1/a}. */
+  def gamma(rng: java.util.SplittableRandom, shape: Double): Double = {
+    if (shape < 1.0) {
+      val u = rng.nextDouble()
+      gamma(rng, shape + 1.0) * math.pow(u, 1.0 / shape)
+    } else {
+      val d = shape - 1.0 / 3.0
+      val c = 1.0 / math.sqrt(9.0 * d)
+      var result = -1.0
+      while (result < 0) {
+        var x = 0.0
+        var v = 0.0
+        do {
+          x = rng.nextGaussian()
+          v = 1.0 + c * x
+        } while (v <= 0)
+        v = v * v * v
+        val u = rng.nextDouble()
+        if (u < 1.0 - 0.0331 * x * x * x * x ||
+            math.log(u) < 0.5 * x * x + d * (1.0 - v + math.log(v))) {
+          result = d * v
+        }
+      }
+      result
+    }
+  }
+
+  def beta(rng: java.util.SplittableRandom, a: Double, b: Double): Double = {
+    val x = gamma(rng, a)
+    val y = gamma(rng, b)
+    x / (x + y)
+  }
+
+  /** Dirichlet over the positive entries of `alpha`; zeros stay zero. */
+  def dirichlet(rng: java.util.SplittableRandom, alpha: Array[Double]): Array[Double] = {
+    val out = new Array[Double](alpha.length)
+    var s = 0.0
+    var i = 0
+    while (i < alpha.length) {
+      if (alpha(i) > 0) { out(i) = gamma(rng, alpha(i)); s += out(i) }
+      i += 1
+    }
+    if (s > 0) { i = 0; while (i < alpha.length) { out(i) /= s; i += 1 } }
+    out
+  }
+}
+
+/** Posterior transition-matrix samplers (reference
+  * estimation/dense/tmat_sampling/tmatrix_sampler.py;
+  * sampler_nrev.py Dirichlet rows; sampler.h `RevSampler` Gibbs moves on
+  * the unnormalized reversible weights X with x_ij = x_ji). */
+object TmatrixSampler {
+
+  /** Non-reversible: rows are independent Dirichlet(c_i1, ..., c_in)
+    * ("sparse prior" Z = C - 1, alpha = Z + 1 = C; sampler_nrev.py:14). */
+  def sampleNonReversible(counts: DenseMatrix[Double], rng: java.util.SplittableRandom): DenseMatrix[Double] = {
+    val n = counts.rows
+    val out = DenseMatrix.zeros[Double](n, n)
+    for (i <- 0 until n) {
+      val row = RandomVariates.dirichlet(rng, Array.tabulate(n)(j => counts(i, j)))
+      if (row.sum <= 0) out(i, i) = 1.0
+      else for (j <- 0 until n) out(i, j) = row(j)
+    }
+    out
+  }
+
+  /** One update-step of the reversible element sampler: draw a new value for
+    * x0 targeting the conditional density
+    * x0^(c0-1) (x0+v1)^(-c1) (x0+v2)^(-c2)
+    * via a gamma approximation around the mode plus a log-normal random-walk
+    * move, each Metropolis-corrected (sampler.h:244 `updateStep`). */
+  private def updateStep(rng: java.util.SplittableRandom, v0in: Double, v1: Double,
+                         v2: Double, c0: Double, c1: Double, c2: Double): Double = {
+    var v0 = v0in
+    def positive(x: Double) = x > 0 && !x.isNaN && !x.isInfinite
+    def accept(lpOld: Double, lpNew: Double): Boolean = {
+      val diff = lpNew - lpOld
+      diff > 0 || rng.nextDouble() < math.exp(math.min(diff, 0.0))
+    }
+    // gamma proposal matched to mode/curvature of the target
+    val a = c1 + c2 - c0
+    val b = (c1 - c0) * v2 + (c2 - c0) * v1
+    val c = -c0 * v1 * v2
+    val vbar = 0.5 * (-b + math.sqrt(b * b - 4.0 * a * c)) / a
+    val h = c1 / ((vbar + v1) * (vbar + v1)) + c2 / ((vbar + v2) * (vbar + v2)) - c0 / (vbar * vbar)
+    val k = -h * vbar * vbar
+    val theta = -1.0 / (h * vbar)
+    if (positive(k) && positive(theta)) {
+      val v0New = RandomVariates.gamma(rng, k) * theta
+      if (positive(v0New)) {
+        if (v0 == 0) v0 = v0New
+        else {
+          val lpNew = (c0 - 1.0) * math.log(v0New) - c1 * math.log(v0New + v1) -
+            c2 * math.log(v0New + v2) - ((k - 1.0) * math.log(v0New) - v0New / theta)
+          val lpOld = (c0 - 1.0) * math.log(v0) - c1 * math.log(v0 + v1) -
+            c2 * math.log(v0 + v2) - ((k - 1.0) * math.log(v0) - v0 / theta)
+          if (accept(lpOld, lpNew)) v0 = v0New
+        }
+      }
+    }
+    // log-normal random walk
+    val v0New = v0 * math.exp(rng.nextGaussian())
+    if (positive(v0New)) {
+      if (v0 == 0) v0 = v0New
+      else {
+        val lpNew = c0 * math.log(v0New) - c1 * math.log(v0New + v1) - c2 * math.log(v0New + v2)
+        val lpOld = c0 * math.log(v0) - c1 * math.log(v0 + v1) - c2 * math.log(v0 + v2)
+        if (accept(lpOld, lpNew)) v0 = v0New
+      }
+    }
+    v0
+  }
+
+  /** In-place Gibbs sweep(s) over the reversible weight matrix X
+    * (sampler.h `RevSampler::update`): beta move on diagonals, updateStep on
+    * upper-triangle elements with X kept symmetric; X is renormalized after
+    * each sweep. */
+  def reversibleSweeps(counts: DenseMatrix[Double], x: DenseMatrix[Double],
+                       sweeps: Int, rng: java.util.SplittableRandom): Unit = {
+    val n = counts.rows
+    val sumC = Array.tabulate(n)(i => bsum(counts(i, ::).t))
+    for (_ <- 0 until sweeps) {
+      val sumX = Array.tabulate(n)(i => bsum(x(i, ::).t))
+      for (i <- 0 until n; j <- i until n if counts(i, j) + counts(j, i) > 0) {
+        if (i == j) {
+          if (counts(i, i) > 0 && sumC(i) - counts(i, i) > 0) {
+            val b = RandomVariates.beta(rng, counts(i, i), sumC(i) - counts(i, i))
+            val xNew = b / (1.0 - b) * (sumX(i) - x(i, i))
+            if (xNew > 0 && !xNew.isNaN && !xNew.isInfinite) {
+              sumX(i) += xNew - x(i, i)
+              x(i, i) = xNew
+            }
+          }
+        } else {
+          val rest1 = sumX(i) - x(i, j)
+          val rest2 = sumX(j) - x(j, i)
+          val xNew = updateStep(rng, x(i, j), rest1, rest2,
+            counts(i, j) + counts(j, i), sumC(i), sumC(j))
+          x(i, j) = xNew; x(j, i) = xNew
+          sumX(i) = rest1 + xNew
+          sumX(j) = rest2 + xNew
+        }
+      }
+      val z = bsum(x)
+      if (z > 0) x :*= 1.0 / z
+    }
+  }
+
+  /** Draw reversible transition-matrix samples. Returns row-stochastic
+    * matrices T_ij = x_ij / x_i. */
+  def sampleReversible(counts: DenseMatrix[Double], nSamples: Int, seed: Long,
+                       nSteps: Int = -1, burnIn: Int = 10): Seq[DenseMatrix[Double]] = {
+    val n = counts.rows
+    val steps = if (nSteps > 0) nSteps else math.max(1, math.sqrt(n).toInt)
+    val rng = new java.util.SplittableRandom(seed)
+    // init at (a few iterations of) the reversible MLE, as the reference does
+    val p0 = TransitionMatrixMle.reversible(counts, maxIter = 100)
+    val pi0 = graft.linalg.LinAlg.stationaryDistribution(p0)
+    val x = DenseMatrix.tabulate(n, n)((i, j) => pi0(i) * p0(i, j))
+    reversibleSweeps(counts, x, burnIn, rng)
+    (0 until nSamples).map { _ =>
+      reversibleSweeps(counts, x, steps, rng)
+      val t = DenseMatrix.zeros[Double](n, n)
+      for (i <- 0 until n) {
+        val xi = bsum(x(i, ::).t)
+        if (xi > 0) for (j <- 0 until n) t(i, j) = x(i, j) / xi
+        else t(i, i) = 1.0
+      }
+      t
+    }
+  }
+}
+
+/** Bayesian MSM (reference markov/msm/_bayesian_msm.py:176-353): posterior
+  * over transition matrices given effective counts, with summary statistics
+  * over derived quantities.
+  *
+  * Distributed shape: the data-sized work (effective counts) is Spark jobs;
+  * the posterior chains run as PARALLEL SEEDED TASKS — `nChains` independent
+  * Gibbs chains, each a few KB of state, fanned out with one task per chain
+  * and merged by collect. Sample count per chain = nSamples / nChains. */
+object BayesianMsm {
+
+  case class BayesianPosterior(prior: MarkovStateModel,
+                               samples: Seq[MarkovStateModel]) {
+    /** Gather a scalar statistic over samples: (mean, std, lower/upper CI). */
+    def gather(f: MarkovStateModel => Double, conf: Double = 0.95): (Double, Double, Double, Double) = {
+      val vals = samples.map(f)
+      val mean = vals.sum / vals.size
+      val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / math.max(1, vals.size - 1))
+      val (lo, hi) = graft.util.Stats.confidenceInterval(vals, conf)
+      (mean, std, lo, hi)
+    }
+
+    /** Timescale statistics per process: rows (process, mean, std, lo, hi). */
+    def timescaleStats(k: Int, conf: Double = 0.95): Seq[(Int, Double, Double, Double, Double)] =
+      (0 until k).map { p =>
+        val (m, s, lo, hi) = gather(msm => {
+          val ts = msm.timescales(k)
+          if (p < ts.length) ts(p) else Double.NaN
+        }, conf)
+        (p, m, s, lo, hi)
+      }
+  }
+
+  /** Fit from a dtraj frame: effective counts -> largest SCC -> MLE prior +
+    * posterior samples (chains distributed over the cluster). */
+  def fit(dtraj: DataFrame, tau: Int, nStates: Int, nSamples: Int = 100,
+          reversible: Boolean = true, seed: Long = 42L, nChains: Int = 8,
+          useEffectiveCounts: Boolean = true, maxLag: Int = 100): BayesianPosterior = {
+    val spark = dtraj.sparkSession
+    val counts =
+      if (useEffectiveCounts) EffectiveCounts.effectiveCountMatrix(dtraj, tau, nStates, maxLag = maxLag)
+      else TransitionCounting.toDense(TransitionCounting.slidingCounts(dtraj, tau), nStates)
+    val lcs = Connectivity.largestConnectedSet(counts)
+    val sub = Connectivity.submatrix(counts, lcs)
+    fromCounts(spark, sub, tau, lcs, nSamples, reversible, seed, nChains)
+  }
+
+  def fromCounts(spark: SparkSession, counts: DenseMatrix[Double], tau: Int,
+                 states: Array[Int], nSamples: Int, reversible: Boolean,
+                 seed: Long, nChains: Int): BayesianPosterior = {
+    import spark.implicits._
+    val prior = MarkovStateModel(
+      if (reversible) TransitionMatrixMle.reversible(counts)
+      else TransitionMatrixMle.nonReversible(counts), tau, states)
+    val n = counts.rows
+    val flatCounts = graft.linalg.LinAlg.toFlat(counts)
+    val chains = math.max(1, math.min(nChains, nSamples))
+    val perChain = (nSamples + chains - 1) / chains
+    val rev = reversible
+    val sampleRows: Seq[Array[Double]] = spark.range(chains).as[Long]
+      .flatMap { chainId =>
+        val rng = new java.util.SplittableRandom(seed ^ (chainId * 0x9E3779B97F4A7C15L))
+        val c = graft.linalg.LinAlg.fromFlat(flatCounts, n)
+        val mats =
+          if (rev) TmatrixSampler.sampleReversible(c, perChain, rng.nextLong())
+          else Seq.fill(perChain)(TmatrixSampler.sampleNonReversible(c, rng))
+        mats.map(graft.linalg.LinAlg.toFlat)
+      }
+      .collect().toSeq.take(nSamples)
+    val samples = sampleRows.map(f =>
+      MarkovStateModel(graft.linalg.LinAlg.fromFlat(f, n), tau, states))
+    BayesianPosterior(prior, samples)
+  }
+}

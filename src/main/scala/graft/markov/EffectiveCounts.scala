@@ -1,0 +1,154 @@
+package graft.markov
+
+import breeze.linalg.DenseMatrix
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Trajectories.{TrajCol, TimeCol}
+
+/** Statistically effective transition counts (reference
+  * markov/tools/estimation/sparse/effective_counts.py:220
+  * `statistical_inefficiencies` / :302 `effective_count_matrix`;
+  * inefficiency formula util/stats.py:292).
+  *
+  * For start state i, the conditional target sequence Y^(i) concatenates the
+  * states reached at t+tau whenever s_t = i. The indicator series
+  * a^(ij)_u = 1(Y^(i)_u = j) has statistical inefficiency I_ij; effective
+  * counts are c_ij scaled by the row-averaged I.
+  *
+  * Distributed shape: the reference loops over every nonzero (i,j) and runs
+  * a full ACF per pair — O(nnz * N) serial work. Here ALL pair ACFs come out
+  * of ONE scan: the conditional frame gets a per-(i,traj) index u, a single
+  * multi-lag lead pass emits (i, lag, y_u, y_{u+lag}) rows, and one groupBy
+  * produces the sufficient statistics for every (i, j, lag) acf value
+  * simultaneously — at most n^2 * |lags| aggregated rows regardless of
+  * input size. The indicator acf needs only co-occurrence counts because
+  * a_u in {0,1}:  sum (a_u - m)(a_{u+l} - m) = N_jj - m (Sh + St) + m^2 n_l.
+  */
+object EffectiveCounts {
+
+  private def w = Window.partitionBy(TrajCol).orderBy(TimeCol)
+
+  /** Conditional frame: one row per (start-state i, traj, conditional index
+    * u) with the target y = s_{t+tau}. */
+  def conditionalFrame(dtraj: DataFrame, tau: Int): DataFrame = {
+    val wu = Window.partitionBy(col("s0"), col(TrajCol)).orderBy(TimeCol)
+    dtraj
+      .withColumn("y", lead(col("state"), tau).over(w))
+      .where(col("y").isNotNull && col("state") >= 0 && col("y") >= 0)
+      .select(col("state").as("s0"), col(TrajCol), col(TimeCol), col("y"))
+      .withColumn("u", row_number().over(wu))
+  }
+
+  /** Pooled co-occurrence counts of the conditional sequences at every acf
+    * lag: (s0, lag, y0, y1, cnt) where y0 = Y_u, y1 = Y_{u+lag} within one
+    * (s0, traj) sequence. */
+  def acfPairCounts(cond: DataFrame, acfLags: Seq[Int]): DataFrame = {
+    val wc = Window.partitionBy(col("s0"), col(TrajCol)).orderBy(col("u"))
+    val withLeads = acfLags.foldLeft(cond) { (df, l) =>
+      df.withColumn(s"y_$l", lead(col("y"), l).over(wc))
+    }
+    val stacked = array(acfLags.map(l =>
+      struct(lit(l).as("lag"), col(s"y_$l").as("y1"))): _*)
+    withLeads
+      .select(col("s0"), col("y").as("y0"), explode(stacked).as("p"))
+      .select(col("s0"), col("p.lag").as("lag"), col("y0"), col("p.y1").as("y1"))
+      .where(col("y1").isNotNull)
+      .groupBy("s0", "lag", "y0", "y1")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Statistical inefficiency matrix I (n x n): I_ij in (0, 1] wherever
+    * c_ij > 0, else 0. `maxLag` bounds the acf horizon (the reference
+    * integrates to sequence length with truncation at the first
+    * non-positive acf; in practice truncation hits long before). */
+  def statisticalInefficiencies(dtraj: DataFrame, tau: Int, nStates: Int,
+                                maxLag: Int = 100, truncateAcf: Boolean = true,
+                                mact: Double = 1.0): DenseMatrix[Double] = {
+    val cond = conditionalFrame(dtraj, tau).cache()
+    try {
+      // per-(i,j) totals and per-i sequence stats
+      val cRows = cond.groupBy("s0", "y").agg(count(lit(1)).as("cnt")).collect()
+      val c = DenseMatrix.zeros[Double](nStates, nStates)
+      cRows.foreach(r => c(r.getInt(0), r.getInt(1)) = r.getLong(2).toDouble)
+      val cRow = Array.tabulate(nStates)(i => breeze.linalg.sum(c(i, ::).t))
+
+      // N_i = max conditional-sequence length over trajectories
+      val nMaxRows = cond.groupBy("s0", TrajCol).agg(count(lit(1)).as("len"))
+        .groupBy("s0").agg(max("len").as("nmax")).collect()
+      val nMax = new Array[Long](nStates)
+      nMaxRows.foreach(r => nMax(r.getInt(0)) = r.getLong(1))
+
+      val lags = 1 to math.max(1, maxLag)
+      val pairRows = acfPairCounts(cond, lags).collect()
+      // (i, lag) -> [(y0, y1, cnt)]
+      val grouped = pairRows.groupBy(r => (r.getInt(0), r.getInt(1)))
+
+      // per (i, lag): n_l (valid pairs), and per j: N_jj, S_head_j, S_tail_j
+      case class LagStats(nl: Long, njj: Array[Double], sh: Array[Double], st: Array[Double])
+      val statsMap = grouped.map { case ((i, l), rows) =>
+        val njj = new Array[Double](nStates)
+        val sh = new Array[Double](nStates)
+        val st = new Array[Double](nStates)
+        var nl = 0L
+        rows.foreach { r =>
+          val y0 = r.getInt(2); val y1 = r.getInt(3); val cnt = r.getLong(4)
+          nl += cnt
+          sh(y0) += cnt.toDouble
+          st(y1) += cnt.toDouble
+          if (y0 == y1) njj(y0) += cnt.toDouble
+        }
+        (i, l) -> LagStats(nl, njj, sh, st)
+      }
+
+      val ineff = DenseMatrix.zeros[Double](nStates, nStates)
+      for (i <- 0 until nStates if cRow(i) > 0; j <- 0 until nStates if c(i, j) > 0) {
+        val m = c(i, j) / cRow(i)  // indicator mean
+        val x2m = m                // uncentered second moment of a 0/1 series
+        val bigN = nMax(i).toDouble
+        var corrsum = 0.0
+        var continue = true
+        var l = 1
+        while (l <= maxLag && continue) {
+          statsMap.get((i, l)) match {
+            case Some(s) if s.nl > 0 =>
+              val acf = (s.njj(j) - m * (s.sh(j) + s.st(j)) + m * m * s.nl) / s.nl
+              if (acf <= 0 && truncateAcf) continue = false
+              else corrsum += acf * (1.0 - l / bigN)
+            case _ => continue = false
+          }
+          l += 1
+        }
+        val corrtime = 0.5 + mact * corrsum / x2m
+        ineff(i, j) = 1.0 / (2.0 * corrtime)
+      }
+      ineff
+    } finally cond.unpersist()
+  }
+
+  /** Effective count matrix (effective_counts.py:302): row-averaged
+    * inefficiency scaling c_ij^eff = (sum_j I_ij c_ij / c_i) * c_ij. */
+  def effectiveCountMatrix(dtraj: DataFrame, tau: Int, nStates: Int,
+                           average: String = "row", maxLag: Int = 100,
+                           truncateAcf: Boolean = true, mact: Double = 1.0): DenseMatrix[Double] = {
+    val c = TransitionCounting.toDense(
+      TransitionCounting.slidingCounts(dtraj, tau), nStates)
+    val si = statisticalInefficiencies(dtraj, tau, nStates, maxLag, truncateAcf, mact)
+    val ceffEl = c *:* si
+    average.toLowerCase match {
+      case "row" =>
+        val out = DenseMatrix.zeros[Double](nStates, nStates)
+        for (i <- 0 until nStates) {
+          val ci = breeze.linalg.sum(c(i, ::).t)
+          val factor = breeze.linalg.sum(ceffEl(i, ::).t) / math.max(1.0, ci)
+          for (j <- 0 until nStates) out(i, j) = factor * c(i, j)
+        }
+        out
+      case "all" =>
+        val factor = breeze.linalg.sum(ceffEl) / breeze.linalg.sum(c)
+        c * factor
+      case "none" => ceffEl
+      case other => throw new IllegalArgumentException(s"unknown average mode $other")
+    }
+  }
+}

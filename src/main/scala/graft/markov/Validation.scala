@@ -1,0 +1,143 @@
+package graft.markov
+
+import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Trajectories.{TrajCol, TimeCol}
+
+/** Model validation workflows (reference util/validation.py:8
+  * `implied_timescales`, :196 `ck_test`; markov/_observables.py:9
+  * `MembershipsObservable`).
+  *
+  * Scale design: an ITS/CK scan needs count matrices at a GRID of lagtimes.
+  * Estimating them one lag at a time re-reads the trajectory table once per
+  * lag — at 100 TB that is the whole job cost multiplied by the grid size.
+  * `multiLagCounts` instead computes every lag in ONE scan: one window pass
+  * adds a `lead` column per lag, an array-of-structs explode stacks them,
+  * and a single partially-aggregated groupBy(lag, s0, s1) shuffles at most
+  * |lags| * n^2 rows regardless of input size.
+  */
+object Validation {
+
+  private def w = Window.partitionBy(TrajCol).orderBy(TimeCol)
+
+  /** Sliding-window transition counts for every lag in `lags`, one scan.
+    * Output columns: lag, s0, s1, cnt. Blank states (-1) excluded. */
+  def multiLagCounts(dtraj: DataFrame, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ > 0), "lags must be positive")
+    val withLeads = lags.foldLeft(dtraj) { (df, tau) =>
+      df.withColumn(s"s1_$tau", lead(col("state"), tau).over(w))
+    }
+    val stacked = array(lags.map(tau =>
+      struct(lit(tau).as("lag"), col(s"s1_$tau").as("s1"))): _*)
+    withLeads
+      .select(col("state").as("s0"), explode(stacked).as("p"))
+      .select(col("p.lag").as("lag"), col("s0"), col("p.s1").as("s1"))
+      .where(col("s1").isNotNull && col("s0") >= 0 && col("s1") >= 0)
+      .groupBy("lag", "s0", "s1")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Implied-timescales data over a lag grid (util/validation.py:56
+    * `ImpliedTimescales`): `its(l)(p)` = timescale of process p at
+    * `lagtimes(l)`; NaN-padded where a model yields fewer processes. */
+  case class ItsData(lagtimes: Array[Int], its: Array[Array[Double]]) {
+    def nLagtimes: Int = lagtimes.length
+    def maxNProcesses: Int = if (its.isEmpty) 0 else its.map(_.length).max
+    def timescalesForProcess(p: Int): Array[Double] =
+      its.map(row => if (p < row.length) row(p) else Double.NaN)
+  }
+
+  /** Estimate an MSM per lagtime from ONE scan and report implied
+    * timescales (validation.py:8). `k` = number of processes (excludes the
+    * stationary one). */
+  def impliedTimescales(dtraj: DataFrame, lags: Seq[Int], nStates: Int,
+                        k: Int = -1, reversible: Boolean = true): ItsData = {
+    val models = msmPerLag(dtraj, lags, nStates, reversible)
+    val sorted = lags.sorted
+    ItsData(sorted.toArray,
+      sorted.map(l => models(l).timescales(k).toArray).toArray)
+  }
+
+  /** All per-lag MSMs from a single multi-lag scan. */
+  def msmPerLag(dtraj: DataFrame, lags: Seq[Int], nStates: Int,
+                reversible: Boolean): Map[Int, MarkovStateModel] = {
+    val rows = multiLagCounts(dtraj, lags).collect()
+    val byLag = rows.groupBy(_.getInt(0))
+    lags.map { tau =>
+      val dense = DenseMatrix.zeros[Double](nStates, nStates)
+      byLag.getOrElse(tau, Array.empty).foreach { r =>
+        dense(r.getInt(1), r.getInt(2)) = r.getLong(3).toDouble
+      }
+      val lcs = Connectivity.largestConnectedSet(dense)
+      val sub = Connectivity.submatrix(dense, lcs)
+      val t = if (reversible) TransitionMatrixMle.reversible(sub)
+              else TransitionMatrixMle.nonReversible(sub)
+      tau -> MarkovStateModel(t, tau, lcs)
+    }.toMap
+  }
+
+  /** Chapman-Kolmogorov test result (validation.py:284
+    * `ChapmanKolmogorovTest`): `predictions(l)` is the coarse-grained
+    * propagator of the test model powered to `lagtimes(l)/tau`;
+    * `estimates(l)` the same observable on the model re-estimated at
+    * `lagtimes(l)`. */
+  case class CkTestResult(lagtimes: Array[Int], nSets: Int,
+                          predictions: Array[DenseMatrix[Double]],
+                          estimates: Array[DenseMatrix[Double]])
+
+  /** CK test with PCCA-membership observables over `nSets` metastable sets
+    * (validation.py:196 + _observables.py:9). Count matrices for the whole
+    * k*tau grid come from one scan. */
+  def ckTest(dtraj: DataFrame, tau: Int, steps: Int, nStates: Int, nSets: Int,
+             reversible: Boolean = true, includeLag0: Boolean = true): CkTestResult = {
+    require(steps >= 1)
+    val lags = (1 to steps).map(_ * tau)
+    val models = msmPerLag(dtraj, lags, nStates, reversible)
+    val test = models(tau)
+    val pcca = Pcca(test, nSets)
+    val m = pcca.memberships // test.n x nSets
+    val pi = test.stationaryDistribution
+
+    // P0[:, i] = memberships(:, i) * pi, column-normalized
+    // (_observables.py:43-45)
+    val p0 = DenseMatrix.tabulate(test.n, nSets)((s, i) => m(s, i) * pi(s))
+    (0 until nSets).foreach { i =>
+      val s = bsum(p0(::, i))
+      if (s > 0) p0(::, i) :/= s
+    }
+    // full symbol -> test-model active index
+    val full2test = test.states.zipWithIndex.toMap
+
+    def observable(model: MarkovStateModel, mlag: Int): DenseMatrix[Double] = {
+      if (mlag == 0 || model == null) return DenseMatrix.eye[Double](nSets)
+      // subset: model's active states expressed as test-model indices;
+      // symbols absent from the test model are dropped (_observables.py:64-71)
+      val subset = model.states.flatMap(full2test.get)
+      val keep = model.states.zipWithIndex.filter(si => full2test.contains(si._1)).map(_._2)
+      val out = DenseMatrix.zeros[Double](nSets, nSets)
+      for (i <- 0 until nSets) {
+        val p0sub = DenseVector(keep.map(mi => p0(full2test(model.states(mi)), i)))
+        var pk = p0sub
+        // propagate restricted to kept states of the model
+        val tSub = DenseMatrix.tabulate(keep.length, keep.length)((a, b) =>
+          model.transitionMatrix(keep(a), keep(b)))
+        (0 until mlag).foreach(_ => pk = tSub.t * pk)
+        for (j <- 0 until nSets) {
+          var acc = 0.0
+          var a = 0
+          while (a < subset.length) { acc += pk(a) * m(subset(a), j); a += 1 }
+          out(i, j) = acc
+        }
+      }
+      out
+    }
+
+    val lagtimes = (if (includeLag0) Array(0) else Array.empty[Int]) ++ lags
+    val predictions = lagtimes.map(l => observable(test, l / tau))
+    val estimates = lagtimes.map(l =>
+      if (l == 0) observable(null, 0) else observable(models(l), 1))
+    CkTestResult(lagtimes, nSets, predictions, estimates)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.markov
+
+import breeze.linalg.{DenseMatrix, sum => bsum}
+import graft.SparkSpec
+import graft.data.MarkovSim
+import org.scalatest.matchers.should.Matchers
+
+/** Effective counts + Bayesian MSM posterior (reference
+  * tests/markov/msm/test_bayesian_msm.py strategy: posterior concentrates
+  * around truth on simulated data; effective counts <= sliding counts). */
+class BayesianSpec extends SparkSpec with Matchers {
+
+  lazy val chain = MarkovSim.defaultBirthDeath
+  lazy val dtraj = MarkovSim.simulate(spark, chain.transitionMatrix,
+    nTraj = 6, length = 2500, seed = 13L).cache()
+
+  test("effective counts: bounded by sliding counts, preserve row structure") {
+    val c = TransitionCounting.toDense(
+      TransitionCounting.slidingCounts(dtraj, 1), chain.n)
+    val ceff = EffectiveCounts.effectiveCountMatrix(dtraj, 1, chain.n)
+    for (i <- 0 until chain.n; j <- 0 until chain.n) {
+      ceff(i, j) should be <= c(i, j) + 1e-9
+      if (c(i, j) == 0) ceff(i, j) shouldBe 0.0
+      else ceff(i, j) should be > 0.0
+    }
+    // row scaling: ratios within a row are preserved
+    for (i <- 0 until chain.n) {
+      val nz = (0 until chain.n).filter(j => c(i, j) > 0)
+      if (nz.length > 1) {
+        val r0 = ceff(i, nz.head) / c(i, nz.head)
+        nz.foreach(j => ceff(i, j) / c(i, j) shouldBe r0 +- 1e-9)
+      }
+    }
+  }
+
+  test("statistical inefficiency near 1 at lag 1 for a true Markov chain") {
+    // at tau=1 consecutive conditional targets of a Markov chain are nearly
+    // independent draws => I_ij close to 1
+    val si = EffectiveCounts.statisticalInefficiencies(dtraj, 1, chain.n)
+    val c = TransitionCounting.toDense(
+      TransitionCounting.slidingCounts(dtraj, 1), chain.n)
+    for (i <- 0 until chain.n; j <- 0 until chain.n if c(i, j) > 50) {
+      si(i, j) should be > 0.5
+      si(i, j) should be <= 1.0
+    }
+  }
+
+  test("nonreversible sampler: Dirichlet rows are stochastic, mean near MLE") {
+    val c = DenseMatrix((90.0, 10.0), (20.0, 80.0))
+    val rng = new java.util.SplittableRandom(5L)
+    val samples = Seq.fill(400)(TmatrixSampler.sampleNonReversible(c, rng))
+    samples.foreach { t =>
+      bsum(t(0, ::).t) shouldBe 1.0 +- 1e-12
+      bsum(t(1, ::).t) shouldBe 1.0 +- 1e-12
+    }
+    val mean01 = samples.map(_(0, 1)).sum / samples.size
+    // Dirichlet mean = alpha/alpha0 = 10/100
+    mean01 shouldBe 0.1 +- 0.01
+  }
+
+  test("reversible sampler: samples satisfy detailed balance and concentrate") {
+    val c = DenseMatrix((300.0, 40.0, 2.0), (45.0, 500.0, 30.0), (1.0, 35.0, 200.0))
+    val samples = TmatrixSampler.sampleReversible(c, nSamples = 80, seed = 17L)
+    samples.foreach { t =>
+      val msm = MarkovStateModel(t)
+      msm.isTransitionMatrix(1e-8) shouldBe true
+      msm.isReversible(1e-6) shouldBe true
+    }
+    val mle = TransitionMatrixMle.reversible(c)
+    val mean01 = samples.map(_(0, 1)).sum / samples.size
+    mean01 shouldBe mle(0, 1) +- 0.05
+  }
+
+  test("bayesian msm posterior covers the true timescale") {
+    val post = BayesianMsm.fit(dtraj, tau = 1, nStates = chain.n,
+      nSamples = 60, seed = 23L, nChains = 4)
+    post.samples.size shouldBe 60
+    val trueT1 = MarkovStateModel(chain.transitionMatrix).timescales(1).head
+    val Seq((_, mean, std, lo, hi)) = post.timescaleStats(1)
+    std should be > 0.0
+    // truth inside a generous CI band
+    (trueT1 > lo * 0.7 && trueT1 < hi * 1.3) shouldBe true
+    math.abs(mean - trueT1) / trueT1 should be < 0.35
+  }
+}
