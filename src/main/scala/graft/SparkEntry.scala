@@ -295,6 +295,147 @@ object SparkEntry {
       val traj = Trajectories.fromEvents(s, dir)
       val model = graft.clustering.KMeans.fit(traj, k = 5, seed = 42L)
       model.transform(traj).groupBy("state").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- validation workflows (SURVEY §2 validation; util/validation.py) --
+    "q33_multilag_counts" -> ((s, dir) =>
+      graft.markov.Validation.multiLagCounts(
+        Trajectories.dtrajFromEvents(s, dir), Seq(1, 2, 4))),
+
+    "q34_its" -> ((s, dir) => {
+      val its = graft.markov.Validation.impliedTimescales(
+        Trajectories.dtrajFromEvents(s, dir), Seq(1, 2, 3, 5), nStates = 5, k = 3)
+      import s.implicits._
+      (for (l <- its.lagtimes.indices; p <- its.its(l).indices) yield
+        (its.lagtimes(l), p, math.rint(its.its(l)(p) * 1e6) / 1e6))
+        .toDF("lag", "process", "timescale")
+    }),
+
+    "q35_cond_frame" -> ((s, dir) =>
+      graft.markov.EffectiveCounts.conditionalFrame(
+        Trajectories.dtrajFromEvents(s, dir), 1)
+        .select(col("s0"), col("traj_id"), col("t"), col("y"), col("u"))),
+
+    "q36_effective_counts" -> ((s, dir) => {
+      val ceff = graft.markov.EffectiveCounts.effectiveCountMatrix(
+        Trajectories.dtrajFromEvents(s, dir), 1, 5, maxLag = 50)
+      import s.implicits._
+      (for (i <- 0 until 5; j <- 0 until 5 if ceff(i, j) > 0) yield
+        (i, j, math.rint(ceff(i, j) * 1e4) / 1e4))
+        .toDF("s0", "s1", "cnt_eff")
+    }),
+
+    "q37_cktest" -> ((s, dir) => {
+      val ck = graft.markov.Validation.ckTest(
+        Trajectories.dtrajFromEvents(s, dir), tau = 1, steps = 3,
+        nStates = 5, nSets = 2)
+      import s.implicits._
+      (for (l <- ck.lagtimes.indices; i <- 0 until ck.nSets; j <- 0 until ck.nSets) yield
+        (ck.lagtimes(l), i, j,
+          math.rint(ck.predictions(l)(i, j) * 1e6) / 1e6,
+          math.rint(ck.estimates(l)(i, j) * 1e6) / 1e6))
+        .toDF("lag", "set_i", "set_j", "predicted", "estimated")
+    }),
+
+    "q38_bayesian_timescales" -> ((s, dir) => {
+      val post = graft.markov.BayesianMsm.fit(
+        Trajectories.dtrajFromEvents(s, dir), tau = 1, nStates = 5,
+        nSamples = 40, seed = 42L, nChains = 8, maxLag = 50)
+      import s.implicits._
+      post.timescaleStats(2).map { case (p, m, sd, lo, hi) =>
+        (p, math.rint(m * 1e4) / 1e4, math.rint(sd * 1e4) / 1e4,
+          math.rint(lo * 1e4) / 1e4, math.rint(hi * 1e4) / 1e4)
+      }.toDF("process", "ts_mean", "ts_std", "ci_lo", "ci_hi")
+    }),
+
+    // ---- TPT / PCCA / committors over the events MSM (rows-only) -------
+    "q39_committors" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = false)
+      import s.implicits._
+      val a = Set(0); val b = Set(4)
+      val qf = msm.committorForward(a, b)
+      val qb = msm.committorBackward(a, b)
+      (0 until msm.n).map(i => (msm.states(i),
+        math.rint(qf(i) * 1e6) / 1e6, math.rint(qb(i) * 1e6) / 1e6))
+        .toDF("state", "q_forward", "q_backward")
+    }),
+
+    "q40_tpt_flux" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val flux = graft.markov.Tpt.reactiveFlux(msm, Set(0), Set(4))
+      import s.implicits._
+      (for (i <- 0 until msm.n; j <- 0 until msm.n if flux.netFlux(i, j) > 1e-12) yield
+        (msm.states(i), msm.states(j),
+          math.rint(flux.grossFlux(i, j) * 1e8) / 1e8,
+          math.rint(flux.netFlux(i, j) * 1e8) / 1e8))
+        .toDF("s0", "s1", "gross_flux", "net_flux")
+    }),
+
+    "q41_pcca_memberships" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val pcca = graft.markov.Pcca(msm, 2)
+      import s.implicits._
+      (for (i <- 0 until msm.n; k <- 0 until 2) yield
+        (msm.states(i), k, math.rint(pcca.memberships(i, k) * 1e6) / 1e6))
+        .toDF("state", "metastable_set", "membership")
+    }),
+
+    // ---- basis / kernels (SURVEY §2.8) ---------------------------------
+    "q42_basis_monomials" -> ((s, dir) => {
+      // degree-2 monomials of the 2-d feature (value/100, hour-of-day/24):
+      // column means of the lifted features are SQL-checkable
+      // ts arrives as nanos-since-epoch long (nanosAsLong); hour-of-day UTC
+      val ev = Trajectories.table(s, dir, "events")
+        .select((col("value") / 100.0).as("x0"),
+          ((floor(col("ts") / 3600000000000L) % 24) / 24.0).as("x1"))
+      ev.agg(
+        round(avg(lit(1.0)), 6).as("m_1"),
+        round(avg(col("x0")), 6).as("m_x0"),
+        round(avg(col("x1")), 6).as("m_x1"),
+        round(avg(col("x0") * col("x0")), 6).as("m_x0x0"),
+        round(avg(col("x0") * col("x1")), 6).as("m_x0x1"),
+        round(avg(col("x1") * col("x1")), 6).as("m_x1x1"))
+    }),
+
+    "q43_kernel_gaussian" -> ((s, dir) => {
+      // gaussian kernel values between consecutive embedding vectors
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+      a.join(b, col("idb") === col("ida") + 1)
+        .select(col("ida"), col("idb"),
+          round(graft.kernels.GaussianKernel(4.0)(col("va"), col("vb")), 6).as("k"))
+    }),
+
+    // ---- whitening / bootstrap (rows-only: driver eig / JVM hash) ------
+    "q44_whitening" -> ((s, dir) => {
+      val traj = Trajectories.fromLineitem(s, dir)
+      val m = graft.agg.Whitening.fit(traj)
+      val whitened = m.transform(traj)
+      // covariance of whitened output should be ~identity; report it
+      val cov = Covariance.fitFeatures(whitened.select(col("traj_id"), col("t"),
+        col("whitened").as(Trajectories.FeatCol)))
+      import s.implicits._
+      (for (i <- 0 until cov.d; j <- 0 until cov.d) yield
+        (i, j, math.rint(cov.cov00(i * cov.d + j) * 1e4) / 1e4))
+        .toDF("i", "j", "cov")
+    }),
+
+    "q45_bootstrap" -> ((s, dir) => {
+      val boot = graft.util.Stats.bootstrapTrajectories(ev(s, dir), seed = 7L)
+      boot.groupBy(col("traj_id")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_trajs"), sum(col("n")).as("n_rows"))
+    }),
+
+    // ---- HMM (rows-only: EM fit on driver loop) ------------------------
+    "q46_hmm_viterbi" -> ((s, dir) => {
+      val dtraj = Trajectories.dtrajFromEvents(s, dir)
+      val model = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 5, maxIter = 15)
+      graft.markov.hmm.Hmm.viterbi(dtraj, model, nObs = 5)
+        .groupBy("hidden").agg(count(lit(1)).as("cnt"))
     })
   )
 
@@ -506,6 +647,47 @@ object SparkEntry {
       """SELECT vec_id, label,
          round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
            CAST(embedding AS DOUBLE[]))), 6) AS l2norm
-         FROM embeddings"""
+         FROM embeddings""",
+
+    "q33_multilag_counts" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (
+            SELECT 1 AS lag, state AS s0,
+              LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d
+            UNION ALL
+            SELECT 2 AS lag, state AS s0,
+              LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d
+            UNION ALL
+            SELECT 4 AS lag, state AS s0,
+              LEAD(state, 4) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
+          SELECT lag, s0, s1, count(*) AS cnt FROM p
+          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0
+          GROUP BY lag, s0, s1""",
+
+    "q35_cond_frame" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          c AS (SELECT traj_id, t, state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS y FROM d)
+          SELECT s0, traj_id, t, y,
+            CAST(ROW_NUMBER() OVER (PARTITION BY s0, traj_id ORDER BY t) AS INT) AS u
+          FROM c WHERE y IS NOT NULL AND s0 >= 0 AND y >= 0""",
+
+    "q42_basis_monomials" ->
+      """SELECT round(avg(1.0), 6) AS m_1,
+         round(avg(value / 100.0), 6) AS m_x0,
+         round(avg(hour(ts) / 24.0), 6) AS m_x1,
+         round(avg((value / 100.0) * (value / 100.0)), 6) AS m_x0x0,
+         round(avg((value / 100.0) * (hour(ts) / 24.0)), 6) AS m_x0x1,
+         round(avg((hour(ts) / 24.0) * (hour(ts) / 24.0)), 6) AS m_x1x1
+         FROM events""",
+
+    "q43_kernel_gaussian" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS ida, b.vec_id AS idb,
+           round(exp(-list_distance(a.v, b.v) * list_distance(a.v, b.v)
+             / (2.0 * 16.0)), 6) AS k
+         FROM e a JOIN e b ON b.vec_id = a.vec_id + 1"""
   )
 }
