@@ -98,6 +98,19 @@ object Trajectories {
     "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
       "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 ELSE -1 END"
 
+  /** Drop rows whose feature array contains NaN or +-Inf (reference
+    * covariance/_covariance.py nan-robustness; util/data.py drop_nan
+    * semantics). Pure codegen predicate pushed into the scan. */
+  def dropNonFinite(traj: DataFrame, featCol: String = FeatCol): DataFrame =
+    traj.where(forall(col(featCol), v =>
+      !isnan(v) && v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity))
+
+  /** Project the feature array onto a subset of dimensions (reference
+    * covariance `column_selection`; `diag_only` is selectColumns to one dim
+    * at a time). */
+  def selectColumns(traj: DataFrame, indices: Seq[Int], featCol: String = FeatCol): DataFrame =
+    traj.withColumn(featCol, array(indices.map(i => col(featCol).getItem(i)): _*))
+
   /** Discretize the events value column into `nBins` uniform bins over the
     * global [min, max] — a 1-d BoxDiscretization used as a dtraj source. */
   def dtrajFromEventValues(spark: SparkSession, dir: String, nBins: Int): DataFrame = {

@@ -62,6 +62,23 @@ case class KoopmanModel(
   }
 }
 
+object Dim {
+  /** `var_cutoff` dimension selection (reference decomposition/_koopman.py
+    * `CovarianceKoopmanModel.effective_output_dimension`): smallest k whose
+    * cumulative squared spectrum reaches `cutoff` of the total kinetic
+    * variance. */
+  def fromVarCutoff(values: Seq[Double], cutoff: Double): Int = {
+    require(cutoff > 0 && cutoff <= 1.0, "var_cutoff must be in (0, 1]")
+    val sq = values.map(v => v * v)
+    val total = sq.sum
+    if (total <= 0) return values.length
+    var acc = 0.0
+    var k = 0
+    while (k < sq.length && acc / total < cutoff) { acc += sq(k); k += 1 }
+    math.max(k, 1)
+  }
+}
+
 /** TICA (reference decomposition/_tica.py): symmetrized (reversible)
   * estimation, generalized eigenproblem C00 r = lambda C0t r. */
 object Tica {
@@ -71,7 +88,8 @@ object Tica {
   }
 
   def fitFromCovariance(cov: CovarianceModel, tau: Int, epsilon: Double = 1e-10,
-                        dim: Int = -1, bessel: Boolean = true): KoopmanModel = {
+                        dim: Int = -1, bessel: Boolean = true,
+                        varCutoff: Double = -1.0): KoopmanModel = {
     val d = cov.d
     // Reversible symmetrization (covariance/_covariance.py reversible path,
     // moments_XXXY symmetrized): reconstruct RAW second moments from the
@@ -94,7 +112,10 @@ object Tica {
     val ct = (s0t + s0t.t - mOuter) / denomSym
     val (vals, vecs) = LinAlg.eigCorr(c0, ct, epsilon)
     val k0 = vals.length
-    val k = if (dim > 0) math.min(dim, k0) else k0
+    val k = if (dim > 0) math.min(dim, k0)
+            else if (varCutoff > 0 && varCutoff < 1.0)
+              math.min(Dim.fromVarCutoff(Array.tabulate(k0)(vals(_)).toSeq, varCutoff), k0)
+            else k0
     val u = DenseMatrix.zeros[Double](d, k)
     (0 until k).foreach(j => u(::, j) := vecs(::, j))
     KoopmanModel(tau, meanSym, meanSym,
@@ -111,7 +132,7 @@ object Vamp {
   }
 
   def fitFromCovariance(cov: CovarianceModel, tau: Int, epsilon: Double = 1e-10,
-                        dim: Int = -1): KoopmanModel = {
+                        dim: Int = -1, varCutoff: Double = -1.0): KoopmanModel = {
     val d = cov.d
     val c00 = LinAlg.fromFlat(cov.cov00, d)
     val ctt = LinAlg.fromFlat(cov.covtt, d)
@@ -121,7 +142,10 @@ object Vamp {
     val w = l0.t * c0t * lt
     val (uw, s, _) = LinAlg.truncatedSvd(w)
     val kAll = s.length
-    val k = if (dim > 0) math.min(dim, kAll) else kAll
+    val k = if (dim > 0) math.min(dim, kAll)
+            else if (varCutoff > 0 && varCutoff < 1.0)
+              math.min(Dim.fromVarCutoff(Array.tabulate(kAll)(s(_)).toSeq, varCutoff), kAll)
+            else kAll
     val uFull = l0 * uw(::, 0 until k)          // d x k singular functions
     KoopmanModel(tau, cov.mean0, cov.meant,
       Array.tabulate(k)(s(_)), LinAlg.toFlat(uFull), d, k)

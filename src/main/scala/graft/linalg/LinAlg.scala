@@ -119,12 +119,14 @@ object LinAlg {
     v / bsum(v)
   }
 
-  /** Implied timescales -tau/ln|lambda_i| with Inf at |lambda|>=1
-    * (markov/tools/analysis/_api.py:310). */
+  /** Implied timescales -tau/ln|lambda_i| with Inf at |lambda| ~ 1
+    * (markov/tools/analysis/_decomposition.py:478
+    * `timescales_from_eigenvalues`; the reference treats |lambda| within
+    * atol=1e-14 of 1 as infinite). */
   def timescales(eigenvalues: Seq[Double], tau: Double): Seq[Double] =
     eigenvalues.map { l =>
       val a = math.abs(l)
-      if (a >= 1.0) Double.PositiveInfinity
+      if (a >= 1.0 - 1e-14) Double.PositiveInfinity
       else if (a <= 0.0) 0.0
       else -tau / math.log(a)
     }
