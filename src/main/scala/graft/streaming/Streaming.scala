@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.agg.{CovarianceModel, LagRow, MomentsAggregator, MomentsBuf}
+
+/** Streaming estimation surface (SURVEY §2.9; reference
+  * covariance/util/_running_moments.py `RunningCovar.add` /
+  * `Covariance.partial_fit`).
+  *
+  * Two shapes:
+  *  - `RunningCovar`: an online accumulator whose `partialFit` folds ANY
+  *    batch DataFrame into O(d^2) driver state via the same
+  *    partial/merge contract the batch aggregator uses — so streaming
+  *    foreachBatch, micro-batch loops, and incremental re-estimation all
+  *    share one code path with identical numerics (Kahan-compensated).
+  *  - `lagPairsStream`: per-trajectory lag pairing on an unbounded stream
+  *    via flatMapGroupsWithState — each key holds only the last `tau`
+  *    frames (bounded state), emitting (x, y) pairs as frames arrive. */
+object Streaming {
+
+  /** Online covariance with the reference's partial_fit contract. */
+  class RunningCovar(bessel: Boolean = true) extends Serializable {
+    private val agg = new MomentsAggregator(bessel)
+    private var buf: MomentsBuf = MomentsBuf.empty
+
+    /** Fold one batch (columns x, y array<double>, optional w) into state. */
+    def partialFit(batch: DataFrame, weightCol: Option[String] = None): this.type = synchronized {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val wcol = weightCol.map(col).getOrElse(lit(1.0))
+      val ds = batch.select(
+        col("x").cast("array<double>").as("x"),
+        col("y").cast("array<double>").as("y"),
+        wcol.cast("double").as("w")).as[LagRow]
+      // run the distributed partial aggregation for the batch, then merge
+      // the single batch buffer into the driver state
+      val batchBuf = ds.mapPartitions { it =>
+        val b = MomentsBuf.empty
+        it.foreach(r => b.add(r.x, r.y, r.w))
+        Iterator.single(b)
+      }.reduce { (a, b) => a.mergeIn(b); a }
+      buf.mergeIn(batchBuf)
+      this
+    }
+
+    /** Current model snapshot (cheap; does not consume state). */
+    def model: CovarianceModel = agg.finish(copyBuf())
+
+    private def copyBuf(): MomentsBuf = {
+      val c = MomentsBuf.empty
+      c.mergeIn(buf)
+      c
+    }
+
+    def count: Long = buf.n
+  }
+
+  /** Bounded per-key state for streaming lag pairing. */
+  case class LagState(times: List[Long], feats: List[Seq[Double]])
+
+  /** Emit (traj_id, t, x, y=x_{t+tau}) pairs from an unbounded stream of
+    * (traj_id, t, features) rows that arrive IN ORDER per trajectory (the
+    * usual Kafka-partitioned-by-key contract). State per key: `tau` frames. */
+  def lagPairsStream(stream: DataFrame, tau: Int): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("traj_id").cast("long"), col("t").cast("long"),
+        col("features").cast("array<double>"))
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LagState, (Long, Long, Seq[Double], Seq[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (trajId, rows, state: GroupState[LagState]) =>
+          val prev = state.getOption.getOrElse(LagState(Nil, Nil))
+          var times = prev.times
+          var feats = prev.feats
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Seq[Double], Seq[Double])]
+          rows.toSeq.sortBy(_._2).foreach { case (_, t, x) =>
+            times = times :+ t
+            feats = feats :+ x
+            if (times.length > tau) {
+              // head is the frame tau steps back: emit its pair
+              out += ((trajId, times.head, feats.head, x))
+              times = times.tail
+              feats = feats.tail
+            }
+          }
+          state.update(LagState(times, feats))
+          out.iterator
+      }
+      .toDF("traj_id", "t", "x", "y")
+  }
+
+  /** Wire a streaming trajectory source into an online covariance: pairs
+    * via `lagPairsStream`, folded per micro-batch through
+    * `RunningCovar.partialFit` (the foreachBatch shape). Returns the query
+    * and the live accumulator. */
+  def streamingLaggedCovariance(stream: DataFrame, tau: Int,
+                                bessel: Boolean = true,
+                                checkpointDir: String): (org.apache.spark.sql.streaming.StreamingQuery, RunningCovar) = {
+    val rc = new RunningCovar(bessel)
+    val pairs = lagPairsStream(stream, tau)
+    val query = pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        if (!batch.isEmpty) rc.partialFit(batch.select(col("x"), col("y")))
+        ()
+      }
+      .start()
+    (query, rc)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.agg.Covariance
+import graft.lag.Lag
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Streaming partial_fit + lag pairing (SURVEY §2.9; reference
+  * RunningCovar semantics: incremental result == batch result). */
+class StreamingSpec extends SparkSpec with Matchers {
+
+  def trajDf(n: Int, seed: Long) = {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(seed)
+    (0 until n).map { i =>
+      (i.toLong % 4, (i / 4).toLong, Seq(rng.nextGaussian(), rng.nextGaussian()))
+    }.toDF("traj_id", "t", "features")
+  }
+
+  test("RunningCovar over batches equals one-shot covariance") {
+    val full = trajDf(2000, 3L).cache()
+    val pairs = Lag.pairs(full, 1).cache()
+    val oneShot = Covariance.fit(pairs)
+
+    val rc = new Streaming.RunningCovar()
+    // split into 4 chunks by traj (pairs never cross trajectories)
+    (0 until 4).foreach { k =>
+      rc.partialFit(pairs.where(col("traj_id") === k).select(col("x"), col("y")))
+    }
+    val streamed = rc.model
+    streamed.count shouldBe oneShot.count
+    streamed.weight shouldBe oneShot.weight +- 1e-9
+    (0 until streamed.d * streamed.d).foreach { i =>
+      streamed.cov00(i) shouldBe oneShot.cov00(i) +- 1e-9
+      streamed.cov0t(i) shouldBe oneShot.cov0t(i) +- 1e-9
+    }
+    (0 until streamed.d).foreach { i =>
+      streamed.mean0(i) shouldBe oneShot.mean0(i) +- 1e-12
+    }
+  }
+
+  test("streaming lag pairs equal batch lag pairs (MemoryStream end-to-end)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = (0L until 3L).flatMap { id =>
+      (0L until 50L).map(t => (id, t, Seq(id.toDouble + t, t * 0.5)))
+    }
+    val mem = MemoryStream[(Long, Long, Seq[Double])]
+    val stream = mem.toDF().toDF("traj_id", "t", "features")
+    val pairs = Streaming.lagPairsStream(stream, tau = 2)
+    val query = pairs.writeStream.format("memory")
+      .queryName("pairs_out").outputMode("append").start()
+    // feed in two chunks to exercise cross-batch state
+    mem.addData(data.filter(_._2 < 20): _*)
+    query.processAllAvailable()
+    mem.addData(data.filter(_._2 >= 20): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("pairs_out")
+      .select("traj_id", "t", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3))).toSet
+    val batch = Lag.pairs(data.toDF("traj_id", "t", "features"), 2)
+      .select(col("traj_id"), col("t"), col("x"), col("y")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2), r.getSeq[Double](3))).toSet
+    streamed shouldBe batch
+    batch.size shouldBe 3 * 48
+  }
+
+  test("model persistence: java roundtrip and json roundtrip") {
+    val traj = trajDf(500, 7L)
+    val model = graft.decomposition.Tica.fit(traj, tau = 1)
+    val dir = Files_tmp()
+    // java serialization
+    Persist.save(model, s"$dir/tica.bin")
+    val loaded = Persist.load[graft.decomposition.KoopmanModel](s"$dir/tica.bin")
+    loaded.u.toSeq shouldBe model.u.toSeq
+    loaded.singularValues.toSeq shouldBe model.singularValues.toSeq
+    // json
+    Persist.saveJson(Persist.koopmanToJson(model), s"$dir/tica.json")
+    val fromJson = Persist.koopmanFromJson(Persist.loadJson(s"$dir/tica.json"))
+    fromJson.tau shouldBe model.tau
+    fromJson.d shouldBe model.d
+    fromJson.u.zip(model.u).foreach { case (a, b) => a shouldBe b +- 1e-12 }
+    // cluster model json
+    val cm = graft.clustering.ClusterModel(Array(Array(1.0, 2.0), Array(3.0, 4.0)))
+    val cm2 = Persist.clusterFromJson(Persist.clusterToJson(cm))
+    cm2.centers.map(_.toSeq).toSeq shouldBe cm.centers.map(_.toSeq).toSeq
+  }
+
+  private def Files_tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-persist").toString
+  private val Persist = graft.io.Persistence
+}
