@@ -1,0 +1,170 @@
+package graft.markov.hmm
+
+import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.markov.{RandomVariates, TmatrixSampler}
+
+/** Bayesian HMM via Gibbs sampling (reference markov/hmm/_bayesian_hmm.py:
+  * 153-643 `BayesianHMM`): alternate (1) forward-filter backward-sample of
+  * hidden paths given the model, (2) transition-matrix posterior draw from
+  * hidden transition counts, (3) emission-row Dirichlet draws from
+  * hidden-observation counts.
+  *
+  * Distributed shape: step (1) — the data-sized work — runs as one Spark
+  * pass per sweep: every trajectory samples its own hidden path locally
+  * (seeded per (sweep, traj)) and emits O(m^2 + m*nObs) count statistics,
+  * reduced tree-wise; steps (2)-(3) are driver-side draws on tiny
+  * matrices. Hidden paths never leave the executors. */
+object BayesianHmm {
+
+  case class CountStats(trans: Array[Double], emit: Array[Double], init: Array[Double]) {
+    def merge(o: CountStats): CountStats = {
+      def add(a: Array[Double], b: Array[Double]) = {
+        val r = a.clone; var i = 0
+        while (i < r.length) { r(i) += b(i); i += 1 }
+        r
+      }
+      CountStats(add(trans, o.trans), add(emit, o.emit), add(init, o.init))
+    }
+  }
+
+  /** Forward-filter backward-sample for one observation sequence; returns
+    * per-trajectory transition/emission/initial counts of the SAMPLED path
+    * (_bayesian_hmm.py SampleHS step). */
+  private[hmm] def ffbsCounts(obs: Array[Int], a: Array[Double], b: Array[Double],
+                              pi: Array[Double], m: Int, nObs: Int,
+                              rng: java.util.SplittableRandom): CountStats = {
+    val tLen = obs.length
+    val alpha = Array.ofDim[Double](tLen, m)
+    // scaled forward pass
+    var s0 = 0.0
+    var i = 0
+    while (i < m) { alpha(0)(i) = pi(i) * b(i * nObs + obs(0)); s0 += alpha(0)(i); i += 1 }
+    if (s0 <= 0) s0 = 1e-300
+    i = 0; while (i < m) { alpha(0)(i) /= s0; i += 1 }
+    var t = 1
+    while (t < tLen) {
+      var st = 0.0
+      var j = 0
+      while (j < m) {
+        var acc = 0.0
+        var k = 0
+        while (k < m) { acc += alpha(t - 1)(k) * a(k * m + j); k += 1 }
+        val v = acc * b(j * nObs + obs(t))
+        alpha(t)(j) = v; st += v
+        j += 1
+      }
+      if (st <= 0) st = 1e-300
+      j = 0; while (j < m) { alpha(t)(j) /= st; j += 1 }
+      t += 1
+    }
+    // backward sampling
+    def drawFrom(w: Array[Double]): Int = {
+      val z = w.sum
+      if (z <= 0) return rng.nextInt(m)
+      var u = rng.nextDouble() * z
+      var k = 0
+      while (k < w.length - 1) {
+        u -= w(k)
+        if (u < 0) return k
+        k += 1
+      }
+      w.length - 1
+    }
+    val path = new Array[Int](tLen)
+    path(tLen - 1) = drawFrom(alpha(tLen - 1))
+    t = tLen - 2
+    while (t >= 0) {
+      val w = Array.tabulate(m)(k => alpha(t)(k) * a(k * m + path(t + 1)))
+      path(t) = drawFrom(w)
+      t -= 1
+    }
+    // counts
+    val trans = new Array[Double](m * m)
+    val emit = new Array[Double](m * nObs)
+    val init = new Array[Double](m)
+    init(path(0)) = 1.0
+    t = 0
+    while (t < tLen) {
+      emit(path(t) * nObs + obs(t)) += 1.0
+      if (t < tLen - 1) trans(path(t) * m + path(t + 1)) += 1.0
+      t += 1
+    }
+    CountStats(trans, emit, init)
+  }
+
+  case class BayesianHmmPosterior(prior: Hmm.HmmModel, samples: Seq[Hmm.HmmModel]) {
+    def gather(f: Hmm.HmmModel => Double, conf: Double = 0.95): (Double, Double, Double, Double) = {
+      val vals = samples.map(f)
+      val mean = vals.sum / vals.size
+      val std = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / math.max(1, vals.size - 1))
+      val (lo, hi) = graft.util.Stats.confidenceInterval(vals, conf)
+      (mean, std, lo, hi)
+    }
+  }
+
+  /** Gibbs sampler seeded from a maximum-likelihood model (the reference
+    * initializes from an :class:`MaximumLikelihoodHMM` fit). `stride`
+    * sweeps separate retained samples to decorrelate the chain. */
+  def sample(dtraj: DataFrame, mlModel: Hmm.HmmModel, nObs: Int, nSamples: Int = 50,
+             stride: Int = 2, reversible: Boolean = true, seed: Long = 42L,
+             priorPseudocount: Double = 1e-2): BayesianHmmPosterior = {
+    val spark = dtraj.sparkSession
+    import spark.implicits._
+    val m = mlModel.transition.rows
+    val trajs: Dataset[(Long, Array[Int])] =
+      dtraj.select("traj_id", "t", "state").as[(Long, Long, Int)]
+        .groupByKey(_._1)
+        .mapGroups { (id, it) => (id, it.toArray.sortBy(_._2).map(_._3)) }
+        .cache()
+    trajs.count()
+
+    var a = mlModel.transition.copy
+    var b = mlModel.emission.copy
+    var piV = mlModel.initial.copy
+    val rng = new java.util.SplittableRandom(seed)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Hmm.HmmModel]
+    var sweep = 0
+    while (out.length < nSamples) {
+      val aF = graft.linalg.LinAlg.toFlat(a)
+      val bF = graft.linalg.LinAlg.toFlat(b)
+      val piF = piV.toArray
+      val sweepSeed = rng.nextLong()
+      val stats = trajs
+        .map { case (id, obs) =>
+          val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
+          ffbsCounts(obs, aF, bF, piF, m, nObs, trng)
+        }
+        .reduce((x, y) => x.merge(y))
+      // (2) transition posterior
+      val transCounts = graft.linalg.LinAlg.fromFlat(stats.trans, m) +:+ priorPseudocount
+      a = if (reversible)
+        TmatrixSampler.sampleReversible(transCounts, 1, rng.nextLong(), nSteps = 1, burnIn = 0).head
+      else TmatrixSampler.sampleNonReversible(transCounts, rng)
+      // (3) emission posterior: Dirichlet per hidden state
+      for (k <- 0 until m) {
+        val alpha = Array.tabulate(nObs)(o => stats.emit(k * nObs + o) + priorPseudocount)
+        val row = RandomVariates.dirichlet(rng, alpha)
+        (0 until nObs).foreach(o => b(k, o) = row(o))
+      }
+      // initial distribution posterior
+      val piDraw = RandomVariates.dirichlet(rng,
+        Array.tabulate(m)(k => stats.init(k) + priorPseudocount))
+      piV = DenseVector(piDraw)
+      sweep += 1
+      if (sweep % stride == 0)
+        out += Hmm.HmmModel(a.copy, b.copy, piV.copy, Double.NaN, sweep)
+    }
+    trajs.unpersist()
+    BayesianHmmPosterior(mlModel, out.toSeq)
+  }
+
+  /** Convenience: ML fit then posterior sampling. */
+  def fit(dtraj: DataFrame, nHidden: Int, nObs: Int, nSamples: Int = 50,
+          lagtime: Int = 1, reversible: Boolean = true, seed: Long = 42L,
+          maxIterMl: Int = 50): BayesianHmmPosterior = {
+    val ml = Hmm.fit(dtraj, nHidden, nObs, lagtime, maxIter = maxIterMl,
+      reversible = reversible)
+    sample(dtraj, ml, nObs, nSamples, reversible = reversible, seed = seed)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.markov.hmm
+
+import breeze.linalg.{sum => bsum}
+import graft.SparkSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Bayesian HMM Gibbs sampler (reference tests/markov/hmm/test_bayesian_hmm.py:
+  * posterior samples are valid HMMs concentrating near the ML estimate). */
+class BayesianHmmSpec extends SparkSpec with Matchers {
+
+  test("posterior samples are valid and concentrate near truth") {
+    import spark.implicits._
+    // well-separated 2-state data (same generator as HmmSpec)
+    val a = Array(Array(0.92, 0.08), Array(0.06, 0.94))
+    val b = Array(Array(0.55, 0.40, 0.04, 0.01), Array(0.02, 0.03, 0.45, 0.50))
+    val rng = new java.util.SplittableRandom(53L)
+    def draw(p: Array[Double]): Int = {
+      val u = rng.nextDouble(); var acc = 0.0
+      p.indices.foreach { i => acc += p(i); if (u < acc) return i }
+      p.length - 1
+    }
+    val data = (0 until 5).flatMap { id =>
+      var h = 0
+      (0 until 1000).map { t =>
+        val o = draw(b(h)); val row = (id.toLong, t.toLong, o)
+        h = draw(a(h)); row
+      }
+    }.toDF("traj_id", "t", "state").cache()
+
+    val post = BayesianHmm.fit(data, nHidden = 2, nObs = 4,
+      nSamples = 25, seed = 61L, maxIterMl = 40)
+    post.samples.size shouldBe 25
+    post.samples.foreach { s =>
+      (0 until 2).foreach { i =>
+        bsum(s.transition(i, ::).t) shouldBe 1.0 +- 1e-8
+        bsum(s.emission(i, ::).t) shouldBe 1.0 +- 1e-8
+      }
+    }
+    // posterior mean of self-transition near truth (label-matched)
+    val low0 = post.prior.emission(0, 0) + post.prior.emission(0, 1)
+    val (s0, s1) = if (low0 > 0.5) (0, 1) else (1, 0)
+    val (meanA00, stdA00, lo, hi) = post.gather(s => s.transition(s0, s0))
+    meanA00 shouldBe 0.92 +- 0.05
+    stdA00 should be > 0.0
+    stdA00 should be < 0.05
+    (lo < 0.92 + 0.03 && hi > 0.92 - 0.03) shouldBe true
+    val (meanA11, _, _, _) = post.gather(s => s.transition(s1, s1))
+    meanA11 shouldBe 0.94 +- 0.05
+  }
+}
