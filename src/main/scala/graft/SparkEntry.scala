@@ -436,6 +436,129 @@ object SparkEntry {
       val model = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 5, maxIter = 15)
       graft.markov.hmm.Hmm.viterbi(dtraj, model, nObs = 5)
         .groupBy("hidden").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- data generators (rows-only: JVM RNG streams) ------------------
+    "q47_generator_ou" -> ((s, dir) => {
+      val traj = graft.data.Generators.trajectories(s,
+        graft.data.Generators.OrnsteinUhlenbeck(), Array(Array(0.0)),
+        nTraj = 32, length = 500, seed = 42L, h = 1e-3, nSteps = 100)
+      traj.groupBy("traj_id").agg(
+        count(lit(1)).as("n"),
+        round(avg(expr("features[0]")), 6).as("mean_x"),
+        round(var_pop(expr("features[0]")), 6).as("var_x"))
+    }),
+
+    // ---- SINDy (oracle: one-pass normal equations are plain SQL sums) --
+    "q48_sindy_normal_eq" -> ((s, dir) => {
+      // theta = [1, x, x^2] over x = value/100; xdot = np.gradient per traj
+      val series = ev(s, dir).withColumn("features", array(col("value") / 100.0))
+        .select(col("traj_id"), col("t"), col("features"))
+      val g = graft.sindy.Sindy.gradientFrame(series, 1)
+        .where(col("xdot").isNotNull)
+        .withColumn("x", expr("features[0]"))
+        .withColumn("xd", expr("xdot[0]"))
+      g.agg(
+        count(lit(1)).as("n"),
+        round(sum(col("x")), 4).as("a01"),
+        round(sum(col("x") * col("x")), 4).as("a02"),
+        round(sum(col("x") * col("x") * col("x")), 4).as("a12"),
+        round(sum(col("x") * col("x") * col("x") * col("x")), 4).as("a22"),
+        round(sum(col("xd")), 4).as("b0"),
+        round(sum(col("x") * col("xd")), 4).as("b1"),
+        round(sum(col("x") * col("x") * col("xd")), 4).as("b2"))
+    }),
+
+    "q49_edmd_eigs" -> ((s, dir) => {
+      val traj = Trajectories.fromLineitem(s, dir)
+      val m = graft.decomposition.Edmd.fit(traj, graft.basis.Monomials(1),
+        tau = 1, inputDim = 4)
+      import s.implicits._
+      m.eigenvalueMagnitudes.zipWithIndex
+        .map { case (v, i) => (i, math.rint(v * 1e6) / 1e6) }
+        .toSeq.toDF("component", "eig_magnitude")
+    }),
+
+    // ---- clustering extensions (rows-only: partition-order dependent) --
+    "q50_regspace" -> ((s, dir) => {
+      val traj = Trajectories.fromEvents(s, dir)
+      val model = graft.clustering.RegularSpace.fit(traj, dmin = 30.0, maxCenters = 50)
+      import s.implicits._
+      model.centers.map(c => math.rint(c(0) * 1e6) / 1e6).sorted.zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq.toDF("rank", "center_x")
+    }),
+
+    "q51_minibatch_kmeans" -> ((s, dir) => {
+      val traj = Trajectories.fromEvents(s, dir)
+      val model = graft.clustering.MiniBatchKMeans.fit(traj, k = 4,
+        batchFraction = 0.25, seed = 42L)
+      model.transform(traj).groupBy("state").agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ---- multimodal metadata (oracle: binaries constructed in SQL both
+    // sides, dimensions extracted back by the header parsers) ------------
+    "q52_multimodal_meta" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        (lit(16) + col("doc_id") % 1920).cast("int").as("w"),
+        (lit(16) + (col("doc_id") * 7) % 1080).cast("int").as("h"))
+      val bin = unhex(concat(
+        lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(col("w")), 8, "0"), lpad(hex(col("h")), 8, "0"),
+        lit("0802000000")))
+      val payload = d.withColumn("payload", bin)
+      payload.select(col("doc_id"),
+        graft.multimodal.Multimodal.sniffFormat(col("payload")).as("format"),
+        graft.multimodal.Multimodal.pngWidth(col("payload")).as("width"),
+        graft.multimodal.Multimodal.pngHeight(col("payload")).as("height"),
+        length(col("payload")).cast("long").as("n_bytes"))
+    }),
+
+    // ---- tokenizer (oracle: same RE2-compatible regex in DuckDB) -------
+    "q53_pretoken_counts" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.multimodal.Tokenize.preTokenCount(col("text")).as("n_pretokens"),
+        graft.multimodal.Tokenize.subwordCountEstimate(col("text")).as("n_subwords_est"))),
+
+    // ---- sample-by-state (oracle on the COUNT contract; the draw itself
+    // is hash-order dependent) -------------------------------------------
+    "q54_sample_by_state" -> ((s, dir) => {
+      graft.markov.MsmAnalysis.sampleByState(
+        Trajectories.dtrajFromEvents(s, dir), nSamples = 10, seed = 7L)
+        .groupBy("state").agg(count(lit(1)).as("n_sampled"))
+    }),
+
+    // ---- analysis long tail (rows-only: driver eig / linear solves) ----
+    "q55_fingerprints" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val obs = breeze.linalg.DenseVector.tabulate(msm.n)(i => i.toDouble)
+      val (ts, amps) = graft.markov.MsmAnalysis.fingerprintCorrelation(
+        msm.transitionMatrix, obs, obs)
+      import s.implicits._
+      ts.zip(amps).zipWithIndex.map { case ((t, a), i) =>
+        (i, if (t.isPosInfinity) -1.0 else math.rint(t * 1e6) / 1e6,
+          math.rint(a * 1e6) / 1e6)
+      }.toDF("component", "timescale", "amplitude")
+    }),
+
+    "q56_expected_counts" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = false)
+      val ec = graft.markov.MsmAnalysis.expectedCountsStationary(
+        msm.transitionMatrix, 1000)
+      import s.implicits._
+      (for (i <- 0 until msm.n; j <- 0 until msm.n if ec(i, j) > 1e-9) yield
+        (msm.states(i), msm.states(j), math.rint(ec(i, j) * 1e4) / 1e4))
+        .toDF("s0", "s1", "expected_cnt")
+    }),
+
+    "q57_hitting_probability" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = false)
+      val h = graft.markov.MsmAnalysis.hittingProbability(msm.transitionMatrix, Set(2))
+      import s.implicits._
+      (0 until msm.n).map(i => (msm.states(i), math.rint(h(i) * 1e6) / 1e6))
+        .toDF("state", "hitting_prob")
     })
   )
 
@@ -688,6 +811,58 @@ object SparkEntry {
          SELECT a.vec_id AS ida, b.vec_id AS idb,
            round(exp(-list_distance(a.v, b.v) * list_distance(a.v, b.v)
              / (2.0 * 16.0)), 6) AS k
-         FROM e a JOIN e b ON b.vec_id = a.vec_id + 1"""
+         FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""",
+
+    "q48_sindy_normal_eq" ->
+      s"""WITH d AS (SELECT user_id AS traj_id,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t, value / 100.0 AS x FROM events),
+          g AS (SELECT traj_id, t, x,
+            LAG(x, 1) OVER (PARTITION BY traj_id ORDER BY t) AS px,
+            LEAD(x, 1) OVER (PARTITION BY traj_id ORDER BY t) AS nx FROM d),
+          h AS (SELECT x, CASE
+            WHEN px IS NULL AND nx IS NULL THEN NULL
+            WHEN px IS NULL THEN nx - x
+            WHEN nx IS NULL THEN x - px
+            ELSE (nx - px) / 2.0 END AS xd FROM g)
+          SELECT count(*) AS n,
+            round(sum(x), 4) AS a01,
+            round(sum(x * x), 4) AS a02,
+            round(sum(x * x * x), 4) AS a12,
+            round(sum(x * x * x * x), 4) AS a22,
+            round(sum(xd), 4) AS b0,
+            round(sum(x * xd), 4) AS b1,
+            round(sum(x * x * xd), 4) AS b2
+          FROM h WHERE xd IS NOT NULL""",
+
+    "q52_multimodal_meta" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(16 + doc_id % 1920 AS INT) AS w,
+           CAST(16 + (doc_id * 7) % 1080 AS INT) AS h FROM documents),
+         p AS (SELECT doc_id, w, h,
+           unhex('89504E470D0A1A0A0000000D49484452' || printf('%08X', w)
+             || printf('%08X', h) || '0802000000') AS payload FROM d)
+         SELECT doc_id,
+           CASE WHEN hex(payload) LIKE '89504E470D0A1A0A%'
+             THEN 'png' ELSE 'unknown' END AS format,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(octet_length(payload) AS BIGINT) AS n_bytes
+         FROM p""",
+
+    "q53_pretoken_counts" -> {
+      // same RE2-safe pattern; single quotes doubled for SQL
+      val pat = graft.multimodal.Tokenize.pattern.replace("'", "''")
+      s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_pretokens,
+          CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) +
+            CAST((SELECT coalesce(sum(CAST(len(w) / 8 AS BIGINT)), 0)
+              FROM unnest(regexp_split_to_array(text, '\\s+')) AS u(w)
+              WHERE len(w) > 8) AS BIGINT) AS n_subwords_est
+          FROM documents"""
+    },
+
+    "q54_sample_by_state" ->
+      s"""WITH d AS (SELECT ${Trajectories.eventTypeStateSql} AS state FROM events),
+          c AS (SELECT state, count(*) AS cnt FROM d WHERE state >= 0 GROUP BY state)
+          SELECT state, CAST(least(cnt, 10) AS BIGINT) AS n_sampled FROM c"""
   )
 }
