@@ -458,15 +458,17 @@ object SparkEntry {
         .where(col("xdot").isNotNull)
         .withColumn("x", expr("features[0]"))
         .withColumn("xd", expr("xdot[0]"))
+      // averages, not sums: sum-order FP drift at 1e4 rows can flip a
+      // fixed-precision rounding boundary; n recovers the sums exactly
       g.agg(
         count(lit(1)).as("n"),
-        round(sum(col("x")), 4).as("a01"),
-        round(sum(col("x") * col("x")), 4).as("a02"),
-        round(sum(col("x") * col("x") * col("x")), 4).as("a12"),
-        round(sum(col("x") * col("x") * col("x") * col("x")), 4).as("a22"),
-        round(sum(col("xd")), 4).as("b0"),
-        round(sum(col("x") * col("xd")), 4).as("b1"),
-        round(sum(col("x") * col("x") * col("xd")), 4).as("b2"))
+        round(avg(col("x")), 6).as("a01"),
+        round(avg(col("x") * col("x")), 6).as("a02"),
+        round(avg(col("x") * col("x") * col("x")), 6).as("a12"),
+        round(avg(col("x") * col("x") * col("x") * col("x")), 6).as("a22"),
+        round(avg(col("xd")), 6).as("b0"),
+        round(avg(col("x") * col("xd")), 6).as("b1"),
+        round(avg(col("x") * col("x") * col("xd")), 6).as("b2"))
     }),
 
     "q49_edmd_eigs" -> ((s, dir) => {
@@ -825,13 +827,13 @@ object SparkEntry {
             WHEN nx IS NULL THEN x - px
             ELSE (nx - px) / 2.0 END AS xd FROM g)
           SELECT count(*) AS n,
-            round(sum(x), 4) AS a01,
-            round(sum(x * x), 4) AS a02,
-            round(sum(x * x * x), 4) AS a12,
-            round(sum(x * x * x * x), 4) AS a22,
-            round(sum(xd), 4) AS b0,
-            round(sum(x * xd), 4) AS b1,
-            round(sum(x * x * xd), 4) AS b2
+            round(avg(x), 6) AS a01,
+            round(avg(x * x), 6) AS a02,
+            round(avg(x * x * x), 6) AS a12,
+            round(avg(x * x * x * x), 6) AS a22,
+            round(avg(xd), 6) AS b0,
+            round(avg(x * xd), 6) AS b1,
+            round(avg(x * x * xd), 6) AS b2
           FROM h WHERE xd IS NOT NULL""",
 
     "q52_multimodal_meta" ->
