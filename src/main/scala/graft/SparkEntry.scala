@@ -318,7 +318,7 @@ object SparkEntry {
 
     "q36_effective_counts" -> ((s, dir) => {
       val ceff = graft.markov.EffectiveCounts.effectiveCountMatrix(
-        Trajectories.dtrajFromEvents(s, dir), 1, 5, maxLag = 50)
+        Trajectories.dtrajFromEvents(s, dir), 1, 5, maxLag = 25)
       import s.implicits._
       (for (i <- 0 until 5; j <- 0 until 5 if ceff(i, j) > 0) yield
         (i, j, math.rint(ceff(i, j) * 1e4) / 1e4))
@@ -340,7 +340,7 @@ object SparkEntry {
     "q38_bayesian_timescales" -> ((s, dir) => {
       val post = graft.markov.BayesianMsm.fit(
         Trajectories.dtrajFromEvents(s, dir), tau = 1, nStates = 5,
-        nSamples = 40, seed = 42L, nChains = 8, maxLag = 50)
+        nSamples = 40, seed = 42L, nChains = 8, maxLag = 25)
       import s.implicits._
       post.timescaleStats(2).map { case (p, m, sd, lo, hi) =>
         (p, math.rint(m * 1e4) / 1e4, math.rint(sd * 1e4) / 1e4,
@@ -493,7 +493,7 @@ object SparkEntry {
     "q51_minibatch_kmeans" -> ((s, dir) => {
       val traj = Trajectories.fromEvents(s, dir)
       val model = graft.clustering.MiniBatchKMeans.fit(traj, k = 4,
-        batchFraction = 0.25, seed = 42L)
+        batchFraction = 0.2, maxEpochs = 3, seed = 42L)
       model.transform(traj).groupBy("state").agg(count(lit(1)).as("cnt"))
     }),
 

@@ -64,7 +64,15 @@ object EffectiveCounts {
     * non-positive acf; in practice truncation hits long before). */
   def statisticalInefficiencies(dtraj: DataFrame, tau: Int, nStates: Int,
                                 maxLag: Int = 100, truncateAcf: Boolean = true,
-                                mact: Double = 1.0): DenseMatrix[Double] = {
+                                mact: Double = 1.0): DenseMatrix[Double] =
+    inefficienciesAndCounts(dtraj, tau, nStates, maxLag, truncateAcf, mact)._1
+
+  /** One-shot core: (inefficiency matrix, sliding count matrix) from a
+    * single cached conditional frame — the count matrix IS the
+    * conditional-frame (s0, y) histogram, so no second trajectory scan. */
+  def inefficienciesAndCounts(dtraj: DataFrame, tau: Int, nStates: Int,
+                              maxLag: Int = 100, truncateAcf: Boolean = true,
+                              mact: Double = 1.0): (DenseMatrix[Double], DenseMatrix[Double]) = {
     val cond = conditionalFrame(dtraj, tau).cache()
     try {
       // per-(i,j) totals and per-i sequence stats
@@ -122,7 +130,7 @@ object EffectiveCounts {
         val corrtime = 0.5 + mact * corrsum / x2m
         ineff(i, j) = 1.0 / (2.0 * corrtime)
       }
-      ineff
+      (ineff, c)
     } finally cond.unpersist()
   }
 
@@ -131,9 +139,7 @@ object EffectiveCounts {
   def effectiveCountMatrix(dtraj: DataFrame, tau: Int, nStates: Int,
                            average: String = "row", maxLag: Int = 100,
                            truncateAcf: Boolean = true, mact: Double = 1.0): DenseMatrix[Double] = {
-    val c = TransitionCounting.toDense(
-      TransitionCounting.slidingCounts(dtraj, tau), nStates)
-    val si = statisticalInefficiencies(dtraj, tau, nStates, maxLag, truncateAcf, mact)
+    val (si, c) = inefficienciesAndCounts(dtraj, tau, nStates, maxLag, truncateAcf, mact)
     val ceffEl = c *:* si
     average.toLowerCase match {
       case "row" =>
