@@ -15,8 +15,14 @@ case class KoopmanModel(
     tau: Int,
     mean0: Array[Double], meant: Array[Double],
     singularValues: Array[Double],
-    /** projection matrix, d x k, row-major */
-    u: Array[Double], d: Int, k: Int) {
+    /** instantaneous coefficient matrix U, d x k, row-major */
+    u: Array[Double], d: Int, k: Int,
+    /** timelagged coefficient matrix V, d x k, row-major (equals U for the
+      * symmetric/reversible TICA estimate) */
+    vOpt: Option[Array[Double]] = None) {
+
+  /** Timelagged coefficients (falls back to U when symmetric). */
+  def v: Array[Double] = vOpt.getOrElse(u)
 
   def timescales: Seq[Double] = LinAlg.timescales(singularValues.toSeq, tau.toDouble)
 
@@ -140,15 +146,17 @@ object Vamp {
     val l0 = LinAlg.spdInvSplit(c00, epsilon)   // d x k0
     val lt = LinAlg.spdInvSplit(ctt, epsilon)   // d x kt
     val w = l0.t * c0t * lt
-    val (uw, s, _) = LinAlg.truncatedSvd(w)
+    val (uw, s, vwT) = LinAlg.truncatedSvd(w)
     val kAll = s.length
     val k = if (dim > 0) math.min(dim, kAll)
             else if (varCutoff > 0 && varCutoff < 1.0)
               math.min(Dim.fromVarCutoff(Array.tabulate(kAll)(s(_)).toSeq, varCutoff), kAll)
             else kAll
     val uFull = l0 * uw(::, 0 until k)          // d x k singular functions
+    val vFull = lt * vwT(0 until k, ::).t       // d x k timelagged functions
     KoopmanModel(tau, cov.mean0, cov.meant,
-      Array.tabulate(k)(s(_)), LinAlg.toFlat(uFull), d, k)
+      Array.tabulate(k)(s(_)), LinAlg.toFlat(uFull), d, k,
+      vOpt = Some(LinAlg.toFlat(vFull)))
   }
 }
 
