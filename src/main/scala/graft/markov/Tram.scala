@@ -1,0 +1,283 @@
+package graft.markov
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Trajectories.{TrajCol, TimeCol}
+
+/** TRAM — transition-based reweighting analysis method for multi-ensemble
+  * Markov models (reference markov/msm/tram/_tram.py +
+  * src/include/deeptime/markov/msm/tram/tram.h; Wu et al. PNAS 2016).
+  *
+  * Estimates per-thermodynamic-state MSMs and free energies from biased
+  * simulations run in K ensembles.
+  *
+  * Distributed shape: the data-sized inputs — per-ensemble transition
+  * counts, state counts, and the per-sample bias-energy table — are
+  * assembled with Spark jobs (`countsFromFrames`); the TRAM fixed-point
+  * runs on the driver over a deterministically size-capped sample of the
+  * bias table (same landmark contract as the kernel methods: the
+  * self-consistent sweep is sample-order-free, so a capped uniform sample
+  * estimates the same mu(x) sums; raise `maxSamples` to spend more memory
+  * for accuracy). All K x n x n state is model-sized. */
+object Tram {
+
+  private val inf = Double.PositiveInfinity
+  private val prior = 0.0
+  private val logPrior = -inf // matches reference tram::detail with prior 0
+
+  private def logsumexpPair(a: Double, b: Double): Double = {
+    if (a == -inf) return b
+    if (b == -inf) return a
+    val m = math.max(a, b)
+    m + math.log(math.exp(a - m) + math.exp(b - m))
+  }
+
+  private def logsumexp(xs: Array[Double], n: Int): Double = {
+    var m = -inf
+    var i = 0
+    while (i < n) { if (xs(i) > m) m = xs(i); i += 1 }
+    if (m == -inf) return -inf
+    var s = 0.0
+    i = 0
+    while (i < n) { s += math.exp(xs(i) - m); i += 1 }
+    m + math.log(s)
+  }
+
+  /** Per-ensemble inputs: counts (K x n x n flattened), state counts
+    * (K x n), and per-sample (markovState, biasEnergies[K]). */
+  case class TramInput(nTherm: Int, nMarkov: Int,
+                       transitionCounts: Array[Array[Double]],  // K of n*n
+                       stateCounts: Array[Array[Double]],       // K of n
+                       samples: Array[(Int, Array[Double])])    // (i, b_k(x))
+
+  case class TramModel(
+      biasedConfEnergies: DenseMatrix[Double],   // f^k_i (K x n)
+      markovStateEnergies: DenseVector[Double],  // f_i
+      thermStateEnergies: DenseVector[Double],   // f^k
+      transitionMatrices: Array[DenseMatrix[Double]],
+      iterations: Int, finalError: Double) {
+    /** Unbiased stationary estimate pi_i proportional to exp(-f_i). */
+    def stationaryDistribution: DenseVector[Double] = {
+      val w = markovStateEnergies.toArray.map(f => math.exp(-f))
+      DenseVector(w.map(_ / w.sum))
+    }
+    def msm(k: Int, tau: Int = 1): MarkovStateModel =
+      MarkovStateModel(transitionMatrices(k), tau)
+  }
+
+  /** Assemble TramInput from per-ensemble dtraj frames carrying a
+    * `bias` ARRAY<DOUBLE> column of length K (bias energy of the sample
+    * evaluated in every ensemble). One Spark pass per ensemble for counts;
+    * one capped collect for the bias table. */
+  def inputFromFrames(framesPerTherm: Seq[DataFrame], tau: Int, nMarkov: Int,
+                      maxSamples: Int = 200000, seed: Long = 42L): TramInput = {
+    val k = framesPerTherm.length
+    val w = Window.partitionBy(TrajCol).orderBy(TimeCol)
+    val transitionCounts = framesPerTherm.map { df =>
+      val c = TransitionCounting.toDense(
+        TransitionCounting.slidingCounts(df, tau), nMarkov)
+      graft.linalg.LinAlg.toFlat(c)
+    }.toArray
+    val stateCounts = framesPerTherm.map { df =>
+      val hist = df.where(col("state") >= 0).groupBy("state").count().collect()
+      val arr = new Array[Double](nMarkov)
+      hist.foreach(r => arr(r.getInt(0)) = r.getLong(1).toDouble)
+      arr
+    }.toArray
+    val all = framesPerTherm.map(_.select(col("state"), col("bias"))).reduce(_ unionAll _)
+    val total = all.count()
+    val frac = math.min(1.0, maxSamples.toDouble / math.max(1L, total))
+    val sampled = (if (frac < 1.0) all.sample(withReplacement = false, frac, seed) else all)
+      .limit(maxSamples).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    TramInput(k, nMarkov, transitionCounts, stateCounts, sampled)
+  }
+
+  /** Self-consistent TRAM iteration (tram.h:248 `estimate`). */
+  def fit(input: TramInput, maxIter: Int = 1000, maxErr: Double = 1e-8,
+          tau: Int = 1): TramModel = {
+    val kT = input.nTherm
+    val n = input.nMarkov
+    def tc(k: Int, i: Int, j: Int) = input.transitionCounts(k)(i * n + j)
+    def sc(k: Int, i: Int) = input.stateCounts(k)(i)
+
+    // samples grouped by markov state
+    val samplesByState = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    input.samples.foreach { case (i, b) => if (i >= 0 && i < n) samplesByState(i) += b }
+
+    // state: log v, f^k_i, log R^k_i, f^k
+    val logV = DenseMatrix.tabulate(kT, n) { (k, i) =>
+      val s = (0 until n).map(j => tc(k, i, j) + tc(k, j, i)).sum
+      math.log(s / 2.0)
+    }
+    var biasedConf = DenseMatrix.zeros[Double](kT, n)
+    val modStateCountsLog = DenseMatrix.fill(kT, n)(-inf)
+    val thermEnergies = DenseVector.zeros[Double](kT)
+    var statVectors = DenseMatrix.zeros[Double](kT, n)
+
+    def updateLagrangianMult(): Unit = {
+      val oldV = logV.copy
+      val scratch = new Array[Double](n)
+      for (k <- 0 until kT; i <- 0 until n) {
+        if (sc(k, i) == 0) logV(k, i) = -inf
+        else {
+          var o = 0
+          for (j <- 0 until n) {
+            val ckij = tc(k, i, j)
+            if (i == j) {
+              scratch(o) = if (ckij == 0) logPrior else math.log(prior + ckij)
+              o += 1
+            } else {
+              val ck = ckij + tc(k, j, i)
+              if (ck != 0) {
+                val divisor = logsumexpPair(
+                  oldV(k, j) - biasedConf(k, i) - oldV(k, i) + biasedConf(k, j), 0.0)
+                scratch(o) = math.log(ck) - divisor
+                o += 1
+              }
+            }
+          }
+          logV(k, i) = logsumexp(scratch, o)
+        }
+      }
+    }
+
+    def updateStateCounts(): Unit = {
+      for (k <- 0 until kT; i <- 0 until n) {
+        if (sc(k, i) == 0) modStateCountsLog(k, i) = -inf
+        else {
+          val scratch = scala.collection.mutable.ArrayBuffer.empty[Double]
+          var ci = 0.0
+          for (j <- 0 until n) {
+            val ckij = tc(k, i, j); val ckji = tc(k, j, i)
+            ci += ckji
+            if (i == j) {
+              val cl = if (ckij == 0) logPrior else math.log(prior + ckij)
+              scratch += cl + biasedConf(k, i)
+            } else {
+              val ck = ckij + ckji
+              if (ck > 0) {
+                val divisor = logsumexpPair(
+                  logV(k, j) - biasedConf(k, i), logV(k, i) - biasedConf(k, j))
+                scratch += math.log(ck) + logV(k, j) - divisor
+              }
+            }
+          }
+          val nc = sc(k, i) - ci
+          val extra = if (nc > 0) math.log(nc) + biasedConf(k, i) else -inf
+          modStateCountsLog(k, i) =
+            logsumexpPair(logsumexp(scratch.toArray, scratch.length), extra)
+        }
+      }
+    }
+
+    def updateBiasedConfEnergies(): Unit = {
+      val newConf = DenseMatrix.fill(kT, n)(inf)
+      val scratch = new Array[Double](kT)
+      for (i <- 0 until n; b <- samplesByState(i)) {
+        var o = 0
+        for (k <- 0 until kT) {
+          if (modStateCountsLog(k, i) > -inf) {
+            scratch(o) = modStateCountsLog(k, i) - b(k)
+            o += 1
+          }
+        }
+        val divisor = logsumexp(scratch, o)
+        for (k <- 0 until kT)
+          newConf(k, i) = -logsumexpPair(-newConf(k, i), -(divisor + b(k)))
+      }
+      biasedConf = newConf
+    }
+
+    def updateThermEnergies(): Unit = {
+      val scratch = new Array[Double](n)
+      for (k <- 0 until kT) {
+        for (i <- 0 until n) scratch(i) = -biasedConf(k, i)
+        thermEnergies(k) = -logsumexp(scratch, n)
+      }
+    }
+
+    def shiftToZeroMin(): Unit = {
+      val shift = breeze.linalg.min(biasedConf)
+      if (shift.isFinite) {
+        biasedConf :-= shift
+        thermEnergies :-= shift
+      }
+    }
+
+    var iter = 0
+    var err = inf
+    while (iter < maxIter && err > maxErr) {
+      updateLagrangianMult()
+      updateStateCounts()
+      updateBiasedConfEnergies()
+      updateThermEnergies()
+      shiftToZeroMin()
+      // iteration error: change in therm energies + stat vectors
+      val oldStat = statVectors
+      statVectors = DenseMatrix.tabulate(kT, n)((k, i) =>
+        math.exp(thermEnergies(k) - biasedConf(k, i)))
+      val e1 = breeze.linalg.max(breeze.numerics.abs(statVectors - oldStat))
+      err = e1
+      iter += 1
+    }
+
+    // markov state energies from samples (updateMarkovStateEnergies)
+    updateStateCounts()
+    val markovEnergies = DenseVector.fill(n)(inf)
+    val scratch = new Array[Double](kT)
+    for (i <- 0 until n; b <- samplesByState(i)) {
+      var o = 0
+      for (k <- 0 until kT) {
+        if (modStateCountsLog(k, i) > -inf) {
+          scratch(o) = modStateCountsLog(k, i) - b(k)
+          o += 1
+        }
+      }
+      val divisor = logsumexp(scratch, o)
+      markovEnergies(i) = -logsumexpPair(-markovEnergies(i), -divisor)
+    }
+    // normalize: f0 = -logsumexp(-f_i)
+    val f0 = -logsumexp(markovEnergies.toArray.map(-_), n)
+    markovEnergies :-= f0
+    biasedConf :-= f0
+    thermEnergies :-= f0
+
+    // transition matrices (computeTransitionMatrices)
+    val tms = Array.tabulate(kT) { k =>
+      val t = DenseMatrix.zeros[Double](n, n)
+      val rowSums = new Array[Double](n)
+      for (i <- 0 until n; j <- 0 until n) {
+        val c = tc(k, i, j) + tc(k, j, i)
+        if (c > 0) {
+          if (i == j) t(i, i) = 0.5 * c * math.exp(-logV(k, i))
+          else {
+            val divisor = logsumexpPair(
+              logV(k, j) - biasedConf(k, i), logV(k, i) - biasedConf(k, j))
+            t(i, j) = c * math.exp(-(biasedConf(k, j) + divisor))
+          }
+          rowSums(i) += t(i, j)
+        }
+      }
+      val maxSum = if (rowSums.forall(_ == 0)) 1.0 else rowSums.max
+      for (i <- 0 until n; j <- 0 until n) {
+        if (i == j) t(i, i) = (t(i, i) + maxSum - rowSums(i)) / maxSum
+        else t(i, j) = t(i, j) / maxSum
+      }
+      // exact row normalization
+      for (i <- 0 until n) {
+        val rs = breeze.linalg.sum(t(i, ::).t)
+        if (rs > 0) t(i, ::) :/= rs else t(i, i) = 1.0
+      }
+      t
+    }
+    TramModel(biasedConf, markovEnergies, thermEnergies, tms, iter, err)
+  }
+
+  /** End-to-end: per-ensemble frames -> input assembly -> fixed point. */
+  def fit(framesPerTherm: Seq[DataFrame], tau: Int, nMarkov: Int,
+          maxIter: Int, maxErr: Double): TramModel =
+    fit(inputFromFrames(framesPerTherm, tau, nMarkov), maxIter, maxErr, tau)
+}
