@@ -63,6 +63,22 @@ case class LaplacianKernel(sigma: Double) extends Kernel {
     math.exp(-math.sqrt(Kernels.sqdistArr(x, y)) / sigma)
 }
 
+/** exp(-1/2 sum_i (x_i-y_i)^2 / sigma_i^2) — per-dimension bandwidths
+  * (kernels/_kernels.py:65 GeneralizedGaussianKernel). */
+case class GeneralizedGaussianKernel(sigmas: Array[Double]) extends Kernel {
+  private val inv2 = sigmas.map(s => 1.0 / (2.0 * s * s))
+  def apply(x: Column, y: Column): Column =
+    exp(sigmas.indices.map { i =>
+      val d = x.getItem(i) - y.getItem(i)
+      d * d * lit(-inv2(i))
+    }.reduce(_ + _))
+  def applyArrays(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < x.length) { val d = x(i) - y(i); s += d * d * inv2(i); i += 1 }
+    math.exp(-s)
+  }
+}
+
 /** (x.y + c)^p (kernels/_kernels.py PolynomialKernel). */
 case class PolynomialKernel(degree: Int, c: Double) extends Kernel {
   def apply(x: Column, y: Column): Column =
