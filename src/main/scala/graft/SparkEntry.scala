@@ -561,6 +561,70 @@ object SparkEntry {
       import s.implicits._
       (0 until msm.n).map(i => (msm.states(i), math.rint(h(i) * 1e6) / 1e6))
         .toDF("state", "hitting_prob")
+    }),
+
+    // ---- OOM / two-step statistics ------------------------------------
+    "q58_twostep_counts" -> ((s, dir) =>
+      graft.markov.Oom.twoStepCounts(Trajectories.dtrajFromEvents(s, dir), 1)),
+
+    "q59_oom_msm" -> ((s, dir) => {
+      val model = graft.markov.Oom.fit(Trajectories.dtrajFromEvents(s, dir),
+        tau = 1, nStates = 5, rankTol = 2.0, nbs = 50)
+      import s.implicits._
+      (for (i <- model.states.indices; j <- model.states.indices) yield
+        (model.states(i), model.states(j),
+          math.rint(model.transitionMatrix(i, j) * 1e6) / 1e6))
+        .toDF("s0", "s1", "t_prob")
+    }),
+
+    // ---- TRAM multi-ensemble free energies (rows-only) -----------------
+    "q60_tram" -> ((s, dir) => {
+      val d = Trajectories.dtrajFromEvents(s, dir)
+      val biasVec = Seq(2.0, 1.5, 1.0, 0.5, 0.0)
+      val d0 = d.withColumn("bias", array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
+      // second "ensemble": strided half of the data standing in for a
+      // biased simulation (structure check, not physics)
+      val d1 = Lag.strided(d, 2)
+        .withColumn("bias", array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
+      val model = graft.markov.Tram.fit(Seq(d0, d1), tau = 1, nMarkov = 5,
+        maxIter = 100, maxErr = 1e-8)
+      import s.implicits._
+      (0 until 5).map(i => (i,
+        math.rint(model.markovStateEnergies(i) * 1e4) / 1e4,
+        math.rint(model.stationaryDistribution(i) * 1e6) / 1e6))
+        .toDF("state", "free_energy", "pi")
+    }),
+
+    // ---- AMM (rows-only) ------------------------------------------------
+    "q61_amm" -> ((s, dir) => {
+      val counts = TransitionCounting.toDense(
+        TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1), 5)
+      val e = breeze.linalg.DenseMatrix.tabulate(5, 1)((i, _) => i.toDouble)
+      val model = graft.markov.Amm.fit(counts, e,
+        breeze.linalg.DenseVector(2.3), breeze.linalg.DenseVector(2.0))
+      import s.implicits._
+      (0 until 5).map(i => (i,
+        math.rint(model.stationaryDistribution(i) * 1e6) / 1e6))
+        .toDF("state", "pi_biased")
+    }),
+
+    // ---- VAMP cross-validated scores (rows-only) -----------------------
+    "q62_vamp_cv" -> ((s, dir) => {
+      val traj = Trajectories.fromLineitem(s, dir)
+      val scores = graft.decomposition.Scoring.vampScoreCv(traj, tau = 1, n = 3, seed = 42L)
+      import s.implicits._
+      scores.zipWithIndex.map { case (sc, i) => (i, math.rint(sc * 1e6) / 1e6) }
+        .toDF("split", "vamp2_cv")
+    }),
+
+    // ---- Koopman reweighting (rows-only: driver eig coefficients) ------
+    "q63_koopman_weights" -> ((s, dir) => {
+      val traj = Trajectories.fromLineitem(s, dir)
+      val wm = graft.agg.KoopmanWeighting.fit(traj, tau = 1)
+      wm.transform(traj)
+        .groupBy("traj_id")
+        .agg(round(avg(col("koopman_weight")), 6).as("mean_w"),
+          count(lit(1)).as("n"))
     })
   )
 
@@ -865,6 +929,17 @@ object SparkEntry {
     "q54_sample_by_state" ->
       s"""WITH d AS (SELECT ${Trajectories.eventTypeStateSql} AS state FROM events),
           c AS (SELECT state, count(*) AS cnt FROM d WHERE state >= 0 GROUP BY state)
-          SELECT state, CAST(least(cnt, 10) AS BIGINT) AS n_sampled FROM c"""
+          SELECT state, CAST(least(cnt, 10) AS BIGINT) AS n_sampled FROM c""",
+
+    "q58_twostep_counts" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1,
+            LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s2 FROM d)
+          SELECT s0, s1, s2, count(*) AS cnt FROM p
+          WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+            AND s0 >= 0 AND s1 >= 0 AND s2 >= 0
+          GROUP BY s0, s1, s2"""
   )
 }
