@@ -5,6 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.agg.{Covariance, CovarianceModel}
+import graft.lag.Lag
 import graft.linalg.LinAlg
 import graft.core.Trajectories.{TrajCol, TimeCol, FeatCol}
 
@@ -70,6 +71,86 @@ object Scoring {
       .withColumn("x", col(FeatCol))
       .withColumn("y", lead(FeatCol, tau).over(w))
       .where(col("y").isNotNull)
+  }
+
+  /** Koopman-model expectation / time-lagged covariance prediction
+    * (reference decomposition/_koopman.py:489 `expectation`):
+    * cov[g, f; n tau] = Q P^{n-1} Sigma R^T in the singular basis. The
+    * covariance model supplies C00/Ctt/means; observables and statistics
+    * are coefficient matrices in the input basis (d x nObs row-major). */
+  def koopmanExpectation(model: KoopmanModel, cov: CovarianceModel,
+                         observables: DenseMatrix[Double], statistics: DenseMatrix[Double],
+                         lagMultiple: Int, observablesMeanFree: Boolean = true,
+                         statisticsMeanFree: Boolean = true): DenseMatrix[Double] = {
+    require(lagMultiple >= 1)
+    val dim = model.k
+    val u = toMat(model.u, model.d, model.k)
+    val v = toMat(model.v, model.d, model.k)
+    val c00 = LinAlg.fromFlat(cov.cov00, cov.d)
+    val ctt = LinAlg.fromFlat(cov.covtt, cov.d)
+    val m0 = DenseVector(cov.mean0)
+    val mt = DenseVector(cov.meant)
+    val s = DenseMatrix.zeros[Double](dim + 1, dim + 1)
+    s(0, 0) = 1.0
+    (0 until dim).foreach(i => s(i + 1, i + 1) = model.singularValues(i))
+    val p: DenseMatrix[Double] =
+      if (lagMultiple == 1) s
+      else {
+        val pp = DenseMatrix.zeros[Double](dim + 1, dim + 1)
+        pp(0, 0) = 1.0
+        val col0 = u.t * (mt - m0)
+        (0 until dim).foreach(i => pp(i + 1, 0) = col0(i))
+        val block = u.t * ctt * v
+        for (i <- 0 until dim; j <- 0 until dim) pp(i + 1, j + 1) = block(i, j)
+        var acc = DenseMatrix.eye[Double](dim + 1)
+        val sp = s * pp
+        (0 until lagMultiple - 1).foreach(_ => acc = acc * sp)
+        acc * s
+      }
+    val nObs = observables.cols
+    val q = DenseMatrix.zeros[Double](nObs, dim + 1)
+    if (!observablesMeanFree) {
+      val q0 = observables.t * mt
+      (0 until nObs).foreach(i => q(i, 0) = q0(i))
+    }
+    val qBlock = observables.t * ctt * v
+    for (i <- 0 until nObs; j <- 0 until dim) q(i, j + 1) = qBlock(i, j)
+    val nStat = statistics.cols
+    val r = DenseMatrix.zeros[Double](nStat, dim + 1)
+    if (!statisticsMeanFree) {
+      val r0 = statistics.t * m0
+      (0 until nStat).foreach(i => r(i, 0) = r0(i))
+    }
+    val rBlock = statistics.t * c00 * u
+    for (i <- 0 until nStat; j <- 0 until dim) r(i, j + 1) = rBlock(i, j)
+    q * p * r.t
+  }
+
+  /** Chapman-Kolmogorov test for Koopman/VAMP models (reference
+    * _koopman.py:680 `ck_test` with 'phi'/'psi' singular-function
+    * observables): predictions propagate the tau-model to k*tau,
+    * estimates re-fit at k*tau; both evaluated as time-lagged covariances
+    * of the test model's singular functions. */
+  case class KoopmanCkResult(lagtimes: Array[Int],
+                             predictions: Array[DenseMatrix[Double]],
+                             estimates: Array[DenseMatrix[Double]])
+
+  def koopmanCkTest(traj: DataFrame, tau: Int, steps: Int, dim: Int = -1,
+                    epsilon: Double = 1e-10): KoopmanCkResult = {
+    val cached = traj.cache()
+    try {
+      val lags = (1 to steps).map(_ * tau)
+      val covs = lags.map(l => l -> Covariance.fit(Lag.pairs(cached, l))).toMap
+      val models = covs.map { case (l, c) => l -> Vamp.fitFromCovariance(c, l, epsilon, dim) }
+      val test = models(tau)
+      val obs = toMat(test.v, test.d, test.k)   // phi: right singular vectors
+      val stats = toMat(test.u, test.d, test.k) // psi: left singular vectors
+      val predictions = lags.map(l =>
+        koopmanExpectation(test, covs(tau), obs, stats, l / tau)).toArray
+      val estimates = lags.map(l =>
+        koopmanExpectation(models(l), covs(l), obs, stats, 1)).toArray
+      KoopmanCkResult(lags.toArray, predictions, estimates)
+    } finally { cached.unpersist(); () }
   }
 
   /** Cross-validated VAMP score (vamp_score_cv): `n` random half-splits of

@@ -41,6 +41,25 @@ class ScoringSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("koopman ck test: predictions track estimates on Markovian OU data") {
+    val ck = Scoring.koopmanCkTest(traj, tau = 1, steps = 4)
+    ck.lagtimes shouldBe Array(1, 2, 3, 4)
+    // at tau itself prediction == estimate by construction
+    breeze.linalg.max(breeze.numerics.abs(
+      ck.predictions(0) - ck.estimates(0))) should be < 1e-10
+    // OU is exactly Markovian: CK holds within sampling noise at higher lags
+    (1 until 4).foreach { i =>
+      val diff = breeze.linalg.max(breeze.numerics.abs(
+        ck.predictions(i) - ck.estimates(i)))
+      diff should be < 0.08
+    }
+    // the dominant (1,1)-entry decays like sigma^k
+    val sigma = Covariance.fit(Lag.pairs(traj, 1))
+    val m = Vamp.fitFromCovariance(sigma, 1)
+    val s1 = m.singularValues.head
+    ck.predictions(1)(0, 0) / ck.predictions(0)(0, 0) shouldBe s1 +- 0.05
+  }
+
   test("block pairs never cross block boundaries") {
     import org.apache.spark.sql.functions._
     val bp = Scoring.blockPairs(traj, tau = 2, blocksize = 4)
