@@ -43,6 +43,24 @@ object TransitionCounting {
     slidingCounts(dtraj, tau)
       .select(col("s0"), col("s1"), (col("cnt") / tau.toDouble).as("cnt_eff"))
 
+  /** Girsanov-reweighted transition counts (reference
+    * markov/_girsanov_reweighted_transition_counting.py;
+    * estimation/sparse/count_matrix.py:68-87, Schaefer et al. 2024):
+    * each sliding transition t -> t+tau carries weight
+    * g_t * exp(-sum_{s=t+1..t+tau} logM_s). The path-weight rolling sum is
+    * a frames-between window aggregate — one shuffle, pure codegen. */
+  def girsanovReweightedCounts(dtraj: DataFrame, tau: Int,
+                               gCol: String = "g", logMCol: String = "logM"): DataFrame = {
+    val mWindow = w.rowsBetween(1, tau)
+    dtraj
+      .withColumn("s1", lead(col("state"), tau).over(w))
+      .withColumn("m_sum", sum(col(logMCol)).over(mWindow))
+      .where(col("s1").isNotNull && col("state") >= 0 && col("s1") >= 0)
+      .withColumn("weight", col(gCol) * exp(-col("m_sum")))
+      .groupBy(col("state").as("s0"), col("s1"))
+      .agg(sum(col("weight")).as("cnt_reweighted"))
+  }
+
   /** Per-state visit histogram ignoring blanks (markov/_util.py:25
     * `count_states`). */
   def stateHistogram(dtraj: DataFrame): DataFrame =

@@ -112,4 +112,25 @@ class MsmSpec extends SparkSpec with Matchers {
     val p = msm.propagate(DenseVector(1.0, 0.0, 0.0), 200)
     (0 until 3).foreach(i => p(i) shouldBe msm.stationaryDistribution(i) +- 1e-8)
   }
+  test("girsanov-reweighted counts: unit weights reduce to plain counts; weights apply") {
+    import spark.implicits._
+    val dtraj = Seq((0L, 0L, 0), (0L, 1L, 1), (0L, 2L, 0), (0L, 3L, 1))
+      .toDF("traj_id", "t", "state")
+      .withColumn("g", org.apache.spark.sql.functions.lit(1.0))
+      .withColumn("logM", org.apache.spark.sql.functions.lit(0.0))
+    val rw = TransitionCounting.girsanovReweightedCounts(dtraj, 1)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val plain = TransitionCounting.slidingCounts(dtraj, 1)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2).toDouble)).toMap
+    rw shouldBe plain
+    // non-trivial weights: g=2, logM=ln 2 per frame at tau=1 => weight = 2 * exp(-ln2) = 1
+    val dtraj2 = dtraj
+      .withColumn("g", org.apache.spark.sql.functions.lit(2.0))
+      .withColumn("logM", org.apache.spark.sql.functions.lit(math.log(2.0)))
+    val rw2 = TransitionCounting.girsanovReweightedCounts(dtraj2, 1)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // per-transition weight 2*exp(-ln 2) = 1, so reweighted == plain counts
+    rw2.foreach { case (k, v) => v shouldBe plain(k) +- 1e-12 }
+  }
+
 }
