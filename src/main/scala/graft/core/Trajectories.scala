@@ -31,29 +31,33 @@ object Trajectories {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Frame-index window over the ALIASED trajectory column: downstream
+    * sequential operators window on `partitionBy(traj_id)`, and because the
+    * index window already hash-partitioned by the same attribute, Catalyst
+    * reuses that exchange — ONE shuffle for index + lag instead of two
+    * (the SURVEY §1.3 materialize-the-frame-index-once rule, applied
+    * in-plan). */
+  private def wEvents = Window.partitionBy(col(TrajCol)).orderBy(col("ts"), col("event_id"))
+
   /** events table -> canonical trajectories: one trajectory per user,
     * frame index = arrival order (ties broken by event_id for determinism),
     * d=1 feature = value.
     */
-  def fromEvents(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+  def fromEvents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .select(
-        col("user_id").cast("long").as(TrajCol),
-        (row_number().over(w) - 1).cast("long").as(TimeCol),
+      .select(col("user_id").cast("long").as(TrajCol), col("ts"), col("event_id"),
         array(col("value")).as(FeatCol))
-  }
+      .select(col(TrajCol),
+        (row_number().over(wEvents) - 1).cast("long").as(TimeCol), col(FeatCol))
 
   /** events -> 1-d raw series (traj_id, t, value) without the array wrapper —
     * convenient for SQL-expressible single-feature operators. */
-  def eventSeries(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+  def eventSeries(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .select(
-        col("user_id").cast("long").as(TrajCol),
-        (row_number().over(w) - 1).cast("long").as(TimeCol),
+      .select(col("user_id").cast("long").as(TrajCol), col("ts"), col("event_id"),
         col("value"))
-  }
+      .select(col(TrajCol),
+        (row_number().over(wEvents) - 1).cast("long").as(TimeCol), col("value"))
 
   /** lineitem -> d=4 feature trajectories: trajectory per order, frame per
     * line number. Features are scaled to O(1) magnitude so that
@@ -74,14 +78,12 @@ object Trajectories {
   /** Discrete trajectories from events: state = event_type mapped to a
     * stable integer id (alphabetical), the dtraj model of
     * util/types.py:123 / markov/_discrete_states.py. */
-  def dtrajFromEvents(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+  def dtrajFromEvents(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
-      .select(
-        col("user_id").cast("long").as(TrajCol),
-        (row_number().over(w) - 1).cast("long").as(TimeCol),
+      .select(col("user_id").cast("long").as(TrajCol), col("ts"), col("event_id"),
         eventTypeState(col("event_type")).as("state"))
-  }
+      .select(col(TrajCol),
+        (row_number().over(wEvents) - 1).cast("long").as(TimeCol), col("state"))
 
   /** Alphabetical event_type -> contiguous int state (deterministic,
     * data-independent so the oracle can replicate it). */
