@@ -168,4 +168,38 @@ object Covariance {
       .withColumn("y", col("x"))
     fit(p, None, bessel)
   }
+
+  /** Constant-column sparsification (reference covariance/util/_moments.py
+    * :22-58 `sparsify`): detect constant feature dimensions with one cheap
+    * min/max pass, aggregate moments only over the varying subset (the
+    * O(d_var^2) gemm instead of O(d^2)), and reconstitute the full model —
+    * constant dims contribute zero covariance and their constant mean.
+    * Pays off when <= ~50% of columns vary (the reference's empirical
+    * threshold); callers can force either path. */
+  def fitFeaturesSparse(traj: DataFrame, d: Int, bessel: Boolean = true,
+                        tol: Double = 0.0): CovarianceModel = {
+    val featCol = graft.core.Trajectories.FeatCol
+    val aggs = (0 until d).flatMap(i => Seq(
+      min(col(featCol).getItem(i)).as(s"mn$i"),
+      max(col(featCol).getItem(i)).as(s"mx$i")))
+    val r = traj.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val mins = Array.tabulate(d)(i => r.getDouble(2 * i))
+    val maxs = Array.tabulate(d)(i => r.getDouble(2 * i + 1))
+    val varying = (0 until d).filter(i => maxs(i) - mins(i) > tol).toArray
+    if (varying.length == d) return fitFeatures(traj, bessel)
+    val sub = fitFeatures(
+      graft.core.Trajectories.selectColumns(traj, varying.toIndexedSeq), bessel)
+    // reconstitute full-width model
+    val mean = new Array[Double](d)
+    (0 until d).foreach(i => mean(i) = mins(i)) // constant dims: the constant
+    varying.zipWithIndex.foreach { case (full, s) => mean(full) = sub.mean0(s) }
+    def expand(c: Array[Double]): Array[Double] = {
+      val out = new Array[Double](d * d)
+      for (a <- varying.indices; b <- varying.indices)
+        out(varying(a) * d + varying(b)) = c(a * sub.d + b)
+      out
+    }
+    CovarianceModel(sub.weight, sub.count, d, mean, mean,
+      expand(sub.cov00), expand(sub.cov0t), expand(sub.covtt))
+  }
 }

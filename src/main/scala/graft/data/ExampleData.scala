@@ -31,6 +31,23 @@ object ExampleData {
     }.toDF("traj_id", "t", "state", "features")
   }
 
+  /** sqrt model (data/_datasets.py:349 `sqrt_model`): 2-state lazy chain
+    * (P = [[.95,.05],[.05,.95]]) observed through gaussians at (0, +-1) with
+    * cov diag(30, 0.015) and the nonlinear mask (x, y) -> (x, y + sqrt|x|),
+    * making the metastable states not linearly separable. */
+  def sqrtModel(spark: SparkSession, nTraj: Int, length: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val p = DenseMatrix((0.95, 0.05), (0.05, 0.95))
+    MarkovSim.simulate(spark, p, nTraj, length, seed)
+      .as[(Long, Long, Int)].map { case (id, t, s) =>
+        val rng = new java.util.SplittableRandom(
+          seed ^ (id * 0x9E3779B97F4A7C15L) ^ (t * 0xBF58476D1CE4E5B9L) ^ 0x5851F42D4C957F2DL)
+        val x = math.sqrt(30.0) * rng.nextGaussian()
+        val y = (if (s == 0) 1.0 else -1.0) + math.sqrt(0.015) * rng.nextGaussian()
+        (id, t, s, Seq(x, y + math.sqrt(math.abs(x))))
+      }.toDF("traj_id", "t", "state", "features")
+  }
+
   /** Drunkard's-walk grid chain (DrunkardsWalk): uniform 3x3-stencil moves
     * on an n x m grid with absorbing bar/home states; (i, j) -> i + n*j. */
   case class DrunkardsWalk(gridWidth: Int, gridHeight: Int,

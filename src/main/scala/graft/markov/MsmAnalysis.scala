@@ -39,6 +39,29 @@ object MsmAnalysis {
     (r, vals(0 until kk).copy, l)
   }
 
+  /** RDL decomposition with 'standard' norm for general (possibly
+    * non-reversible) matrices with a REAL spectrum
+    * (analysis/_decomposition.py:263 `rdl_decomposition_nrev`): right
+    * eigenvectors from eig, left rows from the inverse, normalized so
+    * L R = I, L[0,:] ~ stationary distribution, R[:,0] = 1. */
+  def rdlNonReversible(t: DenseMatrix[Double], k: Int = -1): (DenseMatrix[Double], DenseVector[Double], DenseMatrix[Double]) = {
+    val n = t.rows
+    val e = breeze.linalg.eig(t)
+    val order = (0 until n).sortBy(i => -math.hypot(e.eigenvalues(i), e.eigenvaluesComplex(i)))
+    require(order.forall(i => math.abs(e.eigenvaluesComplex(i)) < 1e-10),
+      "rdlNonReversible requires a real spectrum; use eigenvaluesComplex for complex pairs")
+    val r = DenseMatrix.zeros[Double](n, n)
+    order.zipWithIndex.foreach { case (src, dst) => r(::, dst) := e.eigenvectors(::, src) }
+    val l = breeze.linalg.inv(r)
+    // normalize: first pair to (1, pi)
+    val s0 = bsum(l(0, ::).t)
+    l(0, ::) :/= s0
+    r(::, 0) :*= s0
+    val vals = DenseVector(order.map(e.eigenvalues(_)).toArray)
+    val kk = if (k > 0) math.min(k, n) else n
+    (r(::, 0 until kk).copy, vals(0 until kk).copy, l(0 until kk, ::).copy)
+  }
+
   /** Stationary time cross-correlation E_pi[obs1(x_0) obs2(x_t)] for each
     * t in `times` (dense/_correlations.py:107 time_correlations_direct —
     * iterative vec-matrix products, valid for non-reversible T). */

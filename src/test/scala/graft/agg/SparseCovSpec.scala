@@ -1,0 +1,58 @@
+package graft.agg
+
+import breeze.linalg.DenseMatrix
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Constant-column sparsification + nonrev RDL + sqrt model fixture. */
+class SparseCovSpec extends SparkSpec with Matchers {
+
+  test("sparse covariance path equals the dense path, constants zeroed") {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(3L)
+    val df = (0 until 500).map { i =>
+      (i.toLong, 0L, Seq(rng.nextGaussian(), 7.0, 2.0 * rng.nextGaussian(), -1.5))
+    }.toDF("traj_id", "t", "features")
+    val dense = Covariance.fitFeatures(df)
+    val sparse = Covariance.fitFeaturesSparse(df, 4)
+    sparse.count shouldBe dense.count
+    (0 until 4).foreach(i => sparse.mean0(i) shouldBe dense.mean0(i) +- 1e-9)
+    for (i <- 0 until 4; j <- 0 until 4)
+      sparse.cov00(i * 4 + j) shouldBe dense.cov00(i * 4 + j) +- 1e-9
+    // constant dims exactly zero covariance
+    (0 until 4).foreach { j =>
+      sparse.cov00(1 * 4 + j) shouldBe 0.0
+      sparse.cov00(3 * 4 + j) shouldBe 0.0
+    }
+  }
+
+  test("nonrev RDL: LR = I, reconstructs T, first pair is (1, pi)") {
+    // non-reversible 3-state matrix with a real spectrum
+    val t = DenseMatrix((0.7, 0.2, 0.1), (0.05, 0.9, 0.05), (0.1, 0.3, 0.6))
+    val (r, vals, l) = graft.markov.MsmAnalysis.rdlNonReversible(t)
+    val lr = l * r
+    breeze.linalg.max(breeze.numerics.abs(lr - DenseMatrix.eye[Double](3))) should be < 1e-9
+    val recon = DenseMatrix.tabulate(3, 3)((i, j) =>
+      (0 until 3).map(m => r(i, m) * vals(m) * l(m, j)).sum)
+    breeze.linalg.max(breeze.numerics.abs(recon - t)) should be < 1e-9
+    val pi = graft.linalg.LinAlg.stationaryDistribution(t)
+    (0 until 3).foreach { i =>
+      l(0, i) shouldBe pi(i) +- 1e-9
+      r(i, 0) shouldBe 1.0 +- 1e-9
+    }
+  }
+
+  test("sqrt model: nonlinearly separable metastable states recovered by gaussian hmm on y") {
+    val df = graft.data.ExampleData.sqrtModel(spark, nTraj = 4, length = 1500, seed = 7L).cache()
+    df.count() shouldBe 6000
+    // raw y is NOT separable by sign alone (sqrt mask shifts it up)
+    val meanY = df.agg(avg(expr("features[1]"))).collect()(0).getDouble(0)
+    meanY should be > 0.5
+    // lazy chain: self-transition ~0.95
+    val counts = graft.markov.TransitionCounting.slidingCounts(
+      df.select("traj_id", "t", "state"), 1)
+    val msm = graft.markov.Msm.fromCounts(counts, 2, 1)
+    msm.transitionMatrix(0, 0) shouldBe 0.95 +- 0.02
+  }
+}
