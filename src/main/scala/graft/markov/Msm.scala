@@ -244,6 +244,22 @@ case class MarkovStateModel(transitionMatrix: DenseMatrix[Double], tau: Int = 1,
     out
   }
 
+  /** Restriction to a subset of states with row re-normalization
+    * (_markov_state_model.py:278 `submodel`). State labels are remapped
+    * through the current `states` array. */
+  def submodel(keep: Seq[Int]): MarkovStateModel = {
+    require(keep.forall(s => s >= 0 && s < n), "submodel states out of range")
+    val idx = keep.toArray
+    val sub = DenseMatrix.tabulate(idx.length, idx.length)((a, b) =>
+      transitionMatrix(idx(a), idx(b)))
+    for (i <- 0 until idx.length) {
+      val rs = bsum(sub(i, ::).t)
+      if (rs > 0) sub(i, ::) :/= rs else sub(i, i) = 1.0
+    }
+    val labels = if (states.nonEmpty) idx.map(states(_)) else idx
+    MarkovStateModel(sub, tau, labels)
+  }
+
   /** Propagate a distribution k steps (msm `propagate`,
     * _markov_state_model.py:541). */
   def propagate(p0: DenseVector[Double], steps: Int): DenseVector[Double] = {
@@ -267,5 +283,69 @@ object Msm {
     val t = if (reversible) TransitionMatrixMle.reversible(sub)
             else TransitionMatrixMle.nonReversible(sub)
     MarkovStateModel(t, tau, lcs)
+  }
+
+  /** Per-frame stationary reweighting (_markov_state_model.py:1097
+    * `compute_trajectory_weights`): w_t = pi(s_t) / hist(s_t), normalized
+    * to sum 1 over all frames. Fully distributed: pi and the state
+    * histogram broadcast as a small map; one pass adds the weight column. */
+  def trajectoryWeights(dtraj: org.apache.spark.sql.DataFrame,
+                        msm: MarkovStateModel): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hist = dtraj.where(col("state") >= 0).groupBy("state").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val pi = msm.stationaryDistribution
+    val labels = if (msm.states.nonEmpty) msm.states else Array.tabulate(msm.n)(identity)
+    val wMap = labels.zipWithIndex.collect {
+      case (sym, i) if hist.getOrElse(sym, 0.0) > 0 => sym -> pi(i) / hist(sym)
+    }.toMap
+    val total = wMap.map { case (sym, w) => w * hist(sym) }.sum
+    val wExpr = wMap.foldLeft(lit(0.0)) { case (acc, (sym, w)) =>
+      when(col("state") === sym, w / total).otherwise(acc)
+    }
+    dtraj.withColumn("weight", wExpr)
+  }
+
+  /** The MSM's empirical Koopman model (the `empirical_koopman_model` used
+    * by `score`, _markov_state_model.py:1263): covariances from the count
+    * matrix with C00 = diag(rowsums), C0t = C, Ctt = diag(colsums). */
+  def empiricalKoopman(counts: DenseMatrix[Double], tau: Int,
+                       epsilon: Double = 1e-10): graft.decomposition.KoopmanModel = {
+    val n = counts.rows
+    val total = bsum(counts)
+    val c00 = DenseMatrix.zeros[Double](n, n)
+    val ctt = DenseMatrix.zeros[Double](n, n)
+    for (i <- 0 until n) {
+      c00(i, i) = bsum(counts(i, ::).t) / total
+      ctt(i, i) = bsum(counts(::, i)) / total
+    }
+    val cov = graft.agg.CovarianceModel(total, total.toLong, n,
+      new Array[Double](n), new Array[Double](n),
+      graft.linalg.LinAlg.toFlat(c00), graft.linalg.LinAlg.toFlat(counts / total),
+      graft.linalg.LinAlg.toFlat(ctt))
+    graft.decomposition.Vamp.fitFromCovariance(cov, tau, epsilon)
+  }
+
+  /** Discrete VAMP score of an MSM's counts, optionally against test
+    * counts (`MarkovStateModel.score`). */
+  def score(counts: DenseMatrix[Double], testCounts: Option[DenseMatrix[Double]] = None,
+            method: String = "VAMP2", tau: Int = 1): Double = {
+    val model = empiricalKoopman(counts, tau)
+    val test = testCounts.getOrElse(counts)
+    val n = test.rows
+    val total = bsum(test)
+    val c00 = DenseMatrix.zeros[Double](n, n)
+    val ctt = DenseMatrix.zeros[Double](n, n)
+    for (i <- 0 until n) {
+      c00(i, i) = bsum(test(i, ::).t) / total
+      ctt(i, i) = bsum(test(::, i)) / total
+    }
+    val covTest = graft.agg.CovarianceModel(total, total.toLong, n,
+      new Array[Double](n), new Array[Double](n),
+      graft.linalg.LinAlg.toFlat(c00), graft.linalg.LinAlg.toFlat(test / total),
+      graft.linalg.LinAlg.toFlat(ctt))
+    // indicator features are not mean-removed: subtract the +1 constant
+    // correction the mean-removed scorer adds
+    graft.decomposition.Scoring.vampScore(model, covTest, method) - 1.0
   }
 }

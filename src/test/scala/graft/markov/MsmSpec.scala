@@ -133,4 +133,40 @@ class MsmSpec extends SparkSpec with Matchers {
     rw2.foreach { case (k, v) => v shouldBe plain(k) +- 1e-12 }
   }
 
+  test("msm facade: submodel, trajectory weights, discrete VAMP score") {
+    import spark.implicits._
+    val chain = graft.data.MarkovSim.defaultBirthDeath
+    val dtraj = graft.data.MarkovSim.simulate(spark, chain.transitionMatrix, 4, 2000, seed = 3L).cache()
+    val counts = TransitionCounting.toDense(TransitionCounting.slidingCounts(dtraj, 1), chain.n)
+    val msm = Msm.fromCounts(TransitionCounting.slidingCounts(dtraj, 1), chain.n, 1, reversible = true)
+
+    // submodel: valid stochastic restriction with remapped labels
+    val sub = msm.submodel(Seq(0, 1, 2))
+    sub.n shouldBe 3
+    sub.isTransitionMatrix(1e-9) shouldBe true
+    sub.states.toSeq shouldBe Seq(0, 1, 2).map(msm.states(_))
+
+    // trajectory weights: sum to 1; per-state weight = pi/hist
+    val weighted = Msm.trajectoryWeights(dtraj, msm)
+    val total = weighted.agg(org.apache.spark.sql.functions.sum("weight"))
+      .collect()(0).getDouble(0)
+    total shouldBe 1.0 +- 1e-9
+    // reweighted expectation of the state index ~ stationary expectation
+    val obsMean = weighted
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.expr("weight * state")))
+      .collect()(0).getDouble(0)
+    val pi = msm.stationaryDistribution
+    val expected = (0 until msm.n).map(i => pi(i) * msm.states(i)).sum
+    obsMean shouldBe expected +- 1e-9
+
+    // discrete VAMP-2 self-score: in (1, n]; equals sum of squared singular
+    // values of the empirical koopman operator
+    val s2 = Msm.score(counts, method = "VAMP2")
+    s2 should be > 1.0
+    s2 should be <= chain.n.toDouble + 1e-9
+    val s1 = Msm.score(counts, method = "VAMP1")
+    s1 should be >= s2 - 1e-9 // sigma <= 1 => sum sigma >= sum sigma^2
+  }
+
 }
