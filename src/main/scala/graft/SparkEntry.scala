@@ -920,7 +920,7 @@ object SparkEntry {
       s"""SELECT doc_id,
           CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_pretokens,
           CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) +
-            CAST((SELECT coalesce(sum(CAST(len(w) / 8 AS BIGINT)), 0)
+            CAST((SELECT coalesce(sum(CAST(floor(len(w) / 8.0) AS BIGINT)), 0)
               FROM unnest(regexp_split_to_array(text, '\\s+')) AS u(w)
               WHERE len(w) > 8) AS BIGINT) AS n_subwords_est
           FROM documents"""

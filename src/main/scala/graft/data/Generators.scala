@@ -186,11 +186,12 @@ object Generators {
         sumPsiY += eps(i) * math.cos(arg)
         i += 1
       }
-      // stream function psi = -U0 L0 tanh(y/L0) + U0 L0 sech^2(y/L0) * Re(sum ...)
-      // velocities u = -dpsi/dy, v = dpsi/dx
+      // u = U0 sech^2 + 2 U0 tanh sech^2 * Re(f); v = U0 L0 sech^2 * Re(df/dx)
+      // with Re(df/dx) = -sum eps_j k_j sin(k_j (x - c_j t))  (systems.h:150-166;
+      // the minus sign keeps the field divergence-free)
       val tanhY = math.tanh(y / l0)
       out(0) = u0 * sh2 + 2.0 * u0 * tanhY * sh2 * sumPsiY
-      out(1) = u0 * l0 * sh2 * sumPsiX
+      out(1) = -u0 * l0 * sh2 * sumPsiX
     }
     val defaultH = 1e-2; val defaultNSteps = 10
   }

@@ -37,7 +37,8 @@ object Persistence {
   def koopmanToJson(m: graft.decomposition.KoopmanModel): String =
     s"""{"type":"KoopmanModel","tau":${m.tau},"d":${m.d},"k":${m.k},""" +
       s""""mean0":${jArr(m.mean0)},"meant":${jArr(m.meant)},""" +
-      s""""singularValues":${jArr(m.singularValues)},"u":${jArr(m.u)}}"""
+      s""""singularValues":${jArr(m.singularValues)},"u":${jArr(m.u)},""" +
+      s""""v":${jArr(m.v)}}"""
 
   def koopmanFromJson(json: String): graft.decomposition.KoopmanModel = {
     val fields = parseFlatJson(json)
@@ -46,7 +47,8 @@ object Persistence {
       mean0 = parseArr(fields("mean0")), meant = parseArr(fields("meant")),
       singularValues = parseArr(fields("singularValues")),
       u = parseArr(fields("u")),
-      d = fields("d").toInt, k = fields("k").toInt)
+      d = fields("d").toInt, k = fields("k").toInt,
+      vOpt = fields.get("v").map(parseArr))
   }
 
   def clusterToJson(m: graft.clustering.ClusterModel): String =

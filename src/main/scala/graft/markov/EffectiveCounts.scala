@@ -112,7 +112,11 @@ object EffectiveCounts {
       val ineff = DenseMatrix.zeros[Double](nStates, nStates)
       for (i <- 0 until nStates if cRow(i) > 0; j <- 0 until nStates if c(i, j) > 0) {
         val m = c(i, j) / cRow(i)  // indicator mean
-        val x2m = m                // uncentered second moment of a 0/1 series
+        // NOTE: the reference normalizes corrsum by the UNCENTERED second
+        // moment (util/stats.py:339 computes x2m from xflat BEFORE the
+        // centered copies are made), not the variance; for a 0/1 indicator
+        // that is exactly the mean. Matched deliberately for parity.
+        val x2m = m
         val bigN = nMax(i).toDouble
         var corrsum = 0.0
         var continue = true

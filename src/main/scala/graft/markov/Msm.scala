@@ -300,10 +300,11 @@ object Msm {
       case (sym, i) if hist.getOrElse(sym, 0.0) > 0 => sym -> pi(i) / hist(sym)
     }.toMap
     val total = wMap.map { case (sym, w) => w * hist(sym) }.sum
-    val wExpr = wMap.foldLeft(lit(0.0)) { case (acc, (sym, w)) =>
-      when(col("state") === sym, w / total).otherwise(acc)
-    }
-    dtraj.withColumn("weight", wExpr)
+    // broadcast map lookup, constant expression depth at any state count
+    // (a nested CASE WHEN chain would blow codegen at n ~ thousands)
+    val lookup = typedLit(wMap.map { case (sym, w) => sym -> w / total })
+    dtraj.withColumn("weight",
+      coalesce(element_at(lookup, col("state")), lit(0.0)))
   }
 
   /** The MSM's empirical Koopman model (the `empirical_koopman_model` used

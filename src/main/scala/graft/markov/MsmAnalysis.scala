@@ -141,8 +141,23 @@ object MsmAnalysis {
     * get 0. */
   def hittingProbability(t: DenseMatrix[Double], target: Set[Int]): DenseVector[Double] = {
     val n = t.rows
-    val stable = (0 until n).filter(i => !target.contains(i) &&
-      math.abs(t(i, i) - 1.0) < 1e-12).toSet
+    // states that can never reach the target (single absorbing states like
+    // the reference's diagonal test, but generalized to closed classes via
+    // reverse reachability — a closed 2+-state trap would otherwise make
+    // the linear system exactly singular)
+    val canReach = {
+      val reached = scala.collection.mutable.Set.empty[Int] ++ target
+      val queue = scala.collection.mutable.Queue.empty[Int] ++ target
+      while (queue.nonEmpty) {
+        val j = queue.dequeue()
+        for (i <- 0 until n if !reached.contains(i) && t(i, j) > 0) {
+          reached += i
+          queue.enqueue(i)
+        }
+      }
+      reached.toSet
+    }
+    val stable = (0 until n).filter(i => !target.contains(i) && !canReach.contains(i)).toSet
     val origin = (0 until n).filterNot(i => target.contains(i) || stable.contains(i)).toArray
     val k = origin.length
     val a = DenseMatrix.tabulate(k, k)((i, j) =>

@@ -112,22 +112,23 @@ object Validation {
 
     def observable(model: MarkovStateModel, mlag: Int): DenseMatrix[Double] = {
       if (mlag == 0 || model == null) return DenseMatrix.eye[Double](nSets)
-      // subset: model's active states expressed as test-model indices;
-      // symbols absent from the test model are dropped (_observables.py:64-71)
-      val subset = model.states.flatMap(full2test.get)
-      val keep = model.states.zipWithIndex.filter(si => full2test.contains(si._1)).map(_._2)
+      // The starting distribution lives on the model's OWN active set
+      // (zero mass on symbols the test model doesn't know), and is
+      // propagated with the model's full row-stochastic matrix — restricting
+      // the matrix instead would leak probability mass
+      // (_observables.py:64-71 maps through full2active the same way).
       val out = DenseMatrix.zeros[Double](nSets, nSets)
       for (i <- 0 until nSets) {
-        val p0sub = DenseVector(keep.map(mi => p0(full2test(model.states(mi)), i)))
-        var pk = p0sub
-        // propagate restricted to kept states of the model
-        val tSub = DenseMatrix.tabulate(keep.length, keep.length)((a, b) =>
-          model.transitionMatrix(keep(a), keep(b)))
-        (0 until mlag).foreach(_ => pk = tSub.t * pk)
+        var pk = DenseVector.tabulate(model.n)(mi =>
+          full2test.get(model.states(mi)).map(ti => p0(ti, i)).getOrElse(0.0))
+        (0 until mlag).foreach(_ => pk = model.transitionMatrix.t * pk)
         for (j <- 0 until nSets) {
           var acc = 0.0
           var a = 0
-          while (a < subset.length) { acc += pk(a) * m(subset(a), j); a += 1 }
+          while (a < model.n) {
+            full2test.get(model.states(a)).foreach(ti => acc += pk(a) * m(ti, j))
+            a += 1
+          }
           out(i, j) = acc
         }
       }

@@ -191,11 +191,13 @@ object Tokenize {
     regexp_count(text, lit(pattern)).cast("long")
 
   /** Crude BPE-token estimate: pre-tokens plus one extra per 8 characters
-    * of long words (long words split into multiple subwords). */
+    * of long words (long words split into multiple subwords). Explicit
+    * floor: Column `/` is double division, and a bare long cast would
+    * diverge from SQL engines that round half-to-even on cast. */
   def subwordCountEstimate(text: Column): Column =
     preTokenCount(text) +
       aggregate(
         filter(split(text, "\\s+"), w => length(w) > lit(8)),
         lit(0L),
-        (acc, w) => acc + (length(w) / 8).cast("long"))
+        (acc, w) => acc + floor(length(w) / lit(8)).cast("long"))
 }

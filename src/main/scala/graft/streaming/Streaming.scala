@@ -25,8 +25,10 @@ object Streaming {
     private val agg = new MomentsAggregator(bessel)
     private var buf: MomentsBuf = MomentsBuf.empty
 
-    /** Fold one batch (columns x, y array<double>, optional w) into state. */
+    /** Fold one batch (columns x, y array<double>, optional w) into state.
+      * Empty batches (incl. zero-partition frames) are a no-op. */
     def partialFit(batch: DataFrame, weightCol: Option[String] = None): this.type = synchronized {
+      if (batch.isEmpty) return this
       val spark = batch.sparkSession
       import spark.implicits._
       val wcol = weightCol.map(col).getOrElse(lit(1.0))

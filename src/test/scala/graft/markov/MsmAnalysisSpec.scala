@@ -88,6 +88,19 @@ class MsmAnalysisSpec extends SparkSpec with Matchers {
     h2(0) shouldBe 0.0
     h2(1) should be > 0.0
     h2(1) should be < 1.0
+    // closed 2-state trap (no single absorbing diagonal): must get 0, not a
+    // singular solve
+    val t3 = DenseMatrix(
+      (0.5, 0.5, 0.0, 0.0),
+      (0.5, 0.5, 0.0, 0.0),
+      (0.1, 0.1, 0.5, 0.3),
+      (0.0, 0.0, 0.0, 1.0))
+    val h3 = MsmAnalysis.hittingProbability(t3, Set(3))
+    h3(0) shouldBe 0.0
+    h3(1) shouldBe 0.0
+    h3(2) should be > 0.0
+    h3(2) should be < 1.0
+    h3(3) shouldBe 1.0
   }
 
   test("pseudo and log generators: rows sum to zero, expm consistency direction") {
