@@ -162,6 +162,28 @@ object Covariance {
     ds.select(new MomentsAggregator(bessel).toColumn).head()
   }
 
+  /** Per-group covariances in ONE pass (e.g. cross-validation folds,
+    * per-ensemble statistics): groupByKey over `keyCol` with the same
+    * mergeable buffer — k models from a single scan instead of k scans. */
+  def fitByKey(pairs: DataFrame, keyCol: String, weightCol: Option[String] = None,
+               bessel: Boolean = true): Map[Long, CovarianceModel] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val wcol = weightCol.map(col).getOrElse(lit(1.0))
+    val agg = new MomentsAggregator(bessel)
+    pairs.select(
+        col(keyCol).cast("long").as("k"),
+        col("x").cast("array<double>").as("x"),
+        col("y").cast("array<double>").as("y"),
+        wcol.cast("double").as("w"))
+      .as[(Long, Array[Double], Array[Double], Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, x, y, w) => LagRow(x, y, w) }
+      .agg(agg.toColumn)
+      .collect()
+      .toMap
+  }
+
   /** Unlagged covariance of the canonical trajectory frame. */
   def fitFeatures(traj: DataFrame, bessel: Boolean = true): CovarianceModel = {
     val p = traj.select(col(graft.core.Trajectories.FeatCol).as("x"))

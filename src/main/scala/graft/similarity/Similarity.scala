@@ -16,15 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two array columns — sequential
-    * left-to-right accumulation (deterministic, oracle-reproducible). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+  /** Double-precision dot product of two array columns — a native Catalyst
+    * expression generating one fused primitive loop (sequential
+    * left-to-right accumulation, deterministic and oracle-reproducible;
+    * graft.functions.ArrayDotProduct replaces the allocating
+    * aggregate(zip_with(...)) formulation on this hot path). */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayNumeric.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine (native expression: one loop computes dot and
+    * both norms — no intermediate arrays). */
+  def cosine(a: Column, b: Column): Column = graft.functions.ArrayNumeric.cosine(a, b)
 
   /** Brute-force cosine top-k: for each query row in `queries` (small,
     * broadcast), the k nearest corpus rows. Deterministic tie-break on
