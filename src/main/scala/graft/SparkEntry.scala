@@ -617,6 +617,15 @@ object SparkEntry {
         .toDF("split", "vamp2_cv")
     }),
 
+    // ---- IVF ANN (rows-only: MLlib codebook) ---------------------------
+    "q64_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.where(col("vec_id") % 40 === 0), k = 5,
+        nCells = 8, nProbe = 3, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+    }),
+
     // ---- Koopman reweighting (rows-only: driver eig coefficients) ------
     "q63_koopman_weights" -> ((s, dir) => {
       val traj = Trajectories.fromLineitem(s, dir)

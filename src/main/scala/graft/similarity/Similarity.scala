@@ -87,6 +87,46 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path: a k-means
+    * codebook partitions the corpus into `nCells` cells; each query probes
+    * only its `nProbe` nearest cells and re-ranks exactly within them.
+    *
+    * Scale shape: the codebook is fit on a seeded sample and broadcast
+    * (k centroids x d floats); corpus cell assignment is one codegen map;
+    * the probe join is an equi-join on cell id, so per-query work is
+    * bounded by the probed cells' sizes — at 100 TB with nCells ~ sqrt(N)
+    * this touches ~nProbe/nCells of the corpus instead of all of it. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              sampleFraction: Double = 0.5): DataFrame = {
+    val spark = corpus.sparkSession
+    // coarse quantizer: k-means codebook on a corpus sample
+    val trainDf = corpus.sample(withReplacement = false, math.min(1.0, sampleFraction), seed)
+      .select(col(vecCol).cast("array<double>").as(graft.core.Trajectories.FeatCol))
+    val codebook = graft.clustering.KMeans.fit(trainDf, nCells, maxIter = 20, seed = seed)
+    // corpus side: each row to its single nearest cell
+    val corpusCells = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), codebook.assignColumn(col(vecCol).cast("array<double>")).as("cell"))
+    // query side: explode to the nProbe nearest cells
+    val centers = codebook.centers
+    val probe = udf { (x: Seq[Double]) =>
+      centers.indices.map { j =>
+        var s = 0.0; var i = 0
+        while (i < x.length) { val d = x(i) - centers(j)(i); s += d * d; i += 1 }
+        (j, s)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val queryCells = broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"),
+        explode(probe(col(vecCol).cast("array<double>"))).as("cell")))
+    val scored = queryCells.join(corpusCells, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, within
     * LSH buckets (near-dup detection for embedding-indexed corpora).
     *
