@@ -205,10 +205,21 @@ object Covariance {
       min(col(featCol).getItem(i)).as(s"mn$i"),
       max(col(featCol).getItem(i)).as(s"mx$i")))
     val r = traj.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (r.isNullAt(0)) // empty input frame
+      return CovarianceModel(0, 0, d, new Array[Double](d), new Array[Double](d),
+        new Array[Double](d * d), new Array[Double](d * d), new Array[Double](d * d))
     val mins = Array.tabulate(d)(i => r.getDouble(2 * i))
     val maxs = Array.tabulate(d)(i => r.getDouble(2 * i + 1))
     val varying = (0 until d).filter(i => maxs(i) - mins(i) > tol).toArray
     if (varying.length == d) return fitFeatures(traj, bessel)
+    if (varying.isEmpty) {
+      // every dimension constant: zero covariance, means = the constants,
+      // weight/count from a plain count (an empty-subset aggregate would
+      // report weight 0)
+      val n = traj.count()
+      return CovarianceModel(n.toDouble, n, d, mins.clone, mins.clone,
+        new Array[Double](d * d), new Array[Double](d * d), new Array[Double](d * d))
+    }
     val sub = fitFeatures(
       graft.core.Trajectories.selectColumns(traj, varying.toIndexedSeq), bessel)
     // reconstitute full-width model

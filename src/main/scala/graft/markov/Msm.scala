@@ -307,11 +307,9 @@ object Msm {
       coalesce(element_at(lookup, col("state")), lit(0.0)))
   }
 
-  /** The MSM's empirical Koopman model (the `empirical_koopman_model` used
-    * by `score`, _markov_state_model.py:1263): covariances from the count
-    * matrix with C00 = diag(rowsums), C0t = C, Ctt = diag(colsums). */
-  def empiricalKoopman(counts: DenseMatrix[Double], tau: Int,
-                       epsilon: Double = 1e-10): graft.decomposition.KoopmanModel = {
+  /** Indicator-basis covariances of a count matrix: C00 = diag(rowsums),
+    * C0t = C, Ctt = diag(colsums), all normalized by the total count. */
+  private def countsToCovariance(counts: DenseMatrix[Double]): graft.agg.CovarianceModel = {
     val n = counts.rows
     val total = bsum(counts)
     val c00 = DenseMatrix.zeros[Double](n, n)
@@ -320,31 +318,24 @@ object Msm {
       c00(i, i) = bsum(counts(i, ::).t) / total
       ctt(i, i) = bsum(counts(::, i)) / total
     }
-    val cov = graft.agg.CovarianceModel(total, total.toLong, n,
+    graft.agg.CovarianceModel(total, total.toLong, n,
       new Array[Double](n), new Array[Double](n),
       graft.linalg.LinAlg.toFlat(c00), graft.linalg.LinAlg.toFlat(counts / total),
       graft.linalg.LinAlg.toFlat(ctt))
-    graft.decomposition.Vamp.fitFromCovariance(cov, tau, epsilon)
   }
+
+  /** The MSM's empirical Koopman model (the `empirical_koopman_model` used
+    * by `score`, _markov_state_model.py:1263). */
+  def empiricalKoopman(counts: DenseMatrix[Double], tau: Int,
+                       epsilon: Double = 1e-10): graft.decomposition.KoopmanModel =
+    graft.decomposition.Vamp.fitFromCovariance(countsToCovariance(counts), tau, epsilon)
 
   /** Discrete VAMP score of an MSM's counts, optionally against test
     * counts (`MarkovStateModel.score`). */
   def score(counts: DenseMatrix[Double], testCounts: Option[DenseMatrix[Double]] = None,
             method: String = "VAMP2", tau: Int = 1): Double = {
     val model = empiricalKoopman(counts, tau)
-    val test = testCounts.getOrElse(counts)
-    val n = test.rows
-    val total = bsum(test)
-    val c00 = DenseMatrix.zeros[Double](n, n)
-    val ctt = DenseMatrix.zeros[Double](n, n)
-    for (i <- 0 until n) {
-      c00(i, i) = bsum(test(i, ::).t) / total
-      ctt(i, i) = bsum(test(::, i)) / total
-    }
-    val covTest = graft.agg.CovarianceModel(total, total.toLong, n,
-      new Array[Double](n), new Array[Double](n),
-      graft.linalg.LinAlg.toFlat(c00), graft.linalg.LinAlg.toFlat(test / total),
-      graft.linalg.LinAlg.toFlat(ctt))
+    val covTest = countsToCovariance(testCounts.getOrElse(counts))
     // indicator features are not mean-removed: subtract the +1 constant
     // correction the mean-removed scorer adds
     graft.decomposition.Scoring.vampScore(model, covTest, method) - 1.0

@@ -50,6 +50,15 @@ object MsmAnalysis {
     val order = (0 until n).sortBy(i => -math.hypot(e.eigenvalues(i), e.eigenvaluesComplex(i)))
     require(order.forall(i => math.abs(e.eigenvaluesComplex(i)) < 1e-10),
       "rdlNonReversible requires a real spectrum; use eigenvaluesComplex for complex pairs")
+    // the (1, pi) normalization needs a UNIQUE Perron eigenvalue: reducible
+    // chains (two eigenvalues at 1) or periodic ones (-1 at modulus 1)
+    // would silently divide by a near-zero row sum
+    require(math.abs(e.eigenvalues(order.head) - 1.0) < 1e-8,
+      "leading eigenvalue is not 1; not a transition matrix?")
+    require(n == 1 || math.hypot(e.eigenvalues(order(1)),
+      e.eigenvaluesComplex(order(1))) < 1.0 - 1e-10,
+      "non-unique modulus-1 eigenvalue (reducible or periodic chain); " +
+        "restrict to the largest connected set first")
     val r = DenseMatrix.zeros[Double](n, n)
     order.zipWithIndex.foreach { case (src, dst) => r(::, dst) := e.eigenvectors(::, src) }
     val l = breeze.linalg.inv(r)

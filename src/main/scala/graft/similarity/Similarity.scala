@@ -100,20 +100,28 @@ object Similarity {
               nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
               idCol: String = "vec_id", vecCol: String = "embedding",
               sampleFraction: Double = 0.5): DataFrame = {
-    val spark = corpus.sparkSession
-    // coarse quantizer: k-means codebook on a corpus sample
+    // cosine metric: quantize UNIT-normalized vectors (spherical-k-means
+    // regime) — L2 cells on raw vectors would split by magnitude and miss
+    // cosine-near neighbors of different norm
+    def unit(c: Column): Column = {
+      val v = c.cast("array<double>")
+      val n = sqrt(greatest(dot(v, v), lit(1e-300)))
+      transform(v, x => x / n)
+    }
+    // coarse quantizer: k-means codebook on a normalized corpus sample
     val trainDf = corpus.sample(withReplacement = false, math.min(1.0, sampleFraction), seed)
-      .select(col(vecCol).cast("array<double>").as(graft.core.Trajectories.FeatCol))
+      .select(unit(col(vecCol)).as(graft.core.Trajectories.FeatCol))
     val codebook = graft.clustering.KMeans.fit(trainDf, nCells, maxIter = 20, seed = seed)
     // corpus side: each row to its single nearest cell
     val corpusCells = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), codebook.assignColumn(col(vecCol).cast("array<double>")).as("cell"))
-    // query side: explode to the nProbe nearest cells
+      col(vecCol).as("cv"), codebook.assignColumn(unit(col(vecCol))).as("cell"))
+    // query side: explode to the nProbe nearest cells (normalized space)
     val centers = codebook.centers
     val probe = udf { (x: Seq[Double]) =>
+      val nrm = math.max(math.sqrt(x.map(v => v * v).sum), 1e-300)
       centers.indices.map { j =>
         var s = 0.0; var i = 0
-        while (i < x.length) { val d = x(i) - centers(j)(i); s += d * d; i += 1 }
+        while (i < x.length) { val d = x(i) / nrm - centers(j)(i); s += d * d; i += 1 }
         (j, s)
       }.sortBy(_._2).take(nProbe).map(_._1)
     }

@@ -27,6 +27,36 @@ class SparseCovSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("fitByKey: per-group covariances equal per-filter fits") {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(9L)
+    val pairs = (0 until 800).map { i =>
+      (i.toLong % 3, Seq(rng.nextGaussian(), rng.nextGaussian()),
+        Seq(rng.nextGaussian(), rng.nextGaussian()))
+    }.toDF("k", "x", "y").cache()
+    val grouped = Covariance.fitByKey(pairs, "k")
+    grouped.keySet shouldBe Set(0L, 1L, 2L)
+    (0L to 2L).foreach { key =>
+      val direct = Covariance.fit(pairs.where(col("k") === key).select(col("x"), col("y")))
+      grouped(key).count shouldBe direct.count
+      grouped(key).cov0t.zip(direct.cov0t).foreach { case (a, b) => a shouldBe b +- 1e-12 }
+    }
+  }
+
+  test("sparse covariance degenerate cases: all-constant and empty input") {
+    import spark.implicits._
+    val allConst = (0 until 100).map(i => (i.toLong, 0L, Seq(2.0, -1.0)))
+      .toDF("traj_id", "t", "features")
+    val m = Covariance.fitFeaturesSparse(allConst, 2)
+    m.count shouldBe 100
+    m.weight shouldBe 100.0 +- 1e-12
+    m.mean0.toSeq shouldBe Seq(2.0, -1.0)
+    m.cov00.foreach(_ shouldBe 0.0)
+    val empty = allConst.where(col("traj_id") < 0)
+    val me = Covariance.fitFeaturesSparse(empty, 2)
+    me.count shouldBe 0
+  }
+
   test("nonrev RDL: LR = I, reconstructs T, first pair is (1, pi)") {
     // non-reversible 3-state matrix with a real spectrum
     val t = DenseMatrix((0.7, 0.2, 0.1), (0.05, 0.9, 0.05), (0.1, 0.3, 0.6))
