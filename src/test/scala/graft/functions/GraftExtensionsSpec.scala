@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.matchers.should.Matchers
+
+/** SparkSessionExtensions integration: SQL-registered native functions and
+  * the dot-product fusion optimizer rule. Uses its own session (extensions
+  * are fixed at session build time). */
+class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll with Matchers {
+
+  private var _spark: SparkSession = _
+  private lazy val spark: SparkSession = _spark
+
+  override def beforeAll(): Unit = {
+    _spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (_spark != null) _spark.stop()
+
+  test("array_dot / array_cosine callable from SQL") {
+    val row = spark.sql(
+      """SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+         array_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""").collect()(0)
+    row.getDouble(0) shouldBe 11.0 +- 1e-12
+    row.getDouble(1) shouldBe 1.0 +- 1e-12
+  }
+
+  test("optimizer rule fuses aggregate(zip_with) into array_dot") {
+    // non-local source: a LocalRelation projection would be constant-folded
+    // by ConvertToLocalRelation before optimizer rules can be observed
+    val df = spark.range(4)
+      .select(array(col("id").cast("double"), lit(2.0)).as("a"),
+        array(lit(3.0), col("id").cast("double")).as("b"))
+      .select(col("a"), col("b"), aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("dot"))
+    // the fused expression appears in the optimized plan...
+    df.queryExecution.optimizedPlan.toString should include ("array_dot")
+    // ...and the values are unchanged: dot = 3*id + 2*id = 5*id
+    df.collect().foreach { r =>
+      val id = r.getSeq[Double](0).head
+      r.getDouble(2) shouldBe 5.0 * id +- 1e-12
+    }
+  }
+
+  test("rule leaves non-matching folds untouched") {
+    import spark.implicits._
+    val df = spark.range(1)
+      .select(array(lit(1.0), lit(2.0)).as("a"), array(lit(3.0), lit(4.0)).as("b"))
+      .select(aggregate(
+        zip_with(col("a"), col("b"), (x, y) => x + y),  // add, not multiply
+        lit(0.0), (acc, v) => acc + v).as("s"))
+    df.queryExecution.optimizedPlan.toString should not include "array_dot"
+    df.collect()(0).getDouble(0) shouldBe 10.0 +- 1e-12
+  }
+}
