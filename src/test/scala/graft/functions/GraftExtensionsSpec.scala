@@ -13,8 +13,17 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll with Matche
 
   private var _spark: SparkSession = _
   private lazy val spark: SparkSession = _spark
+  private var prevDefault: Option[SparkSession] = None
+  private var prevActive: Option[SparkSession] = None
 
   override def beforeAll(): Unit = {
+    // other suites share one session in this JVM: clear the default so
+    // getOrCreate builds a NEW session (with our extensions) on the shared
+    // SparkContext instead of silently returning the extensionless one
+    prevDefault = SparkSession.getDefaultSession
+    prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
     _spark = SparkSession.builder()
       .master("local[2]")
       .appName("graft-ext-test")
@@ -25,7 +34,14 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll with Matche
     spark.sparkContext.setLogLevel("ERROR")
   }
 
-  override def afterAll(): Unit = if (_spark != null) _spark.stop()
+  override def afterAll(): Unit = {
+    // never stop: the SparkContext is shared with every other suite;
+    // just restore the previous session bindings
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    prevActive.foreach(SparkSession.setActiveSession)
+  }
 
   test("array_dot / array_cosine callable from SQL") {
     val row = spark.sql(
