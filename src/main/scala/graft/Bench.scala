@@ -4,8 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .withExtensions(new graft.functions.GraftExtensions)
+    val builder0 = SparkSession.builder()
+    val builder = if (sys.env.get("SPARK_GRAFT_NO_EXT").isEmpty)
+      builder0.withExtensions(new graft.functions.GraftExtensions) else builder0
+    val spark = builder
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
