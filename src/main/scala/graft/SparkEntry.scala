@@ -31,15 +31,8 @@ object SparkEntry {
   /** Flagship query on sf=0.001: TICA pipeline end-to-end (scan -> lag
     * window -> covariance aggregate -> driver eig -> broadcast projection).
     * Driver smoke-checks rows > 0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val traj = Trajectories.fromLineitem(spark, dir)
-    val model = graft.decomposition.Tica.fit(traj, tau = 1, dim = 2)
-    model.transform(traj)
-      .select(col("traj_id"), col("t"),
-        round(col("projection").getItem(0), 6).as("ic0"),
-        round(col("projection").getItem(1), 6).as("ic1"))
-  }
+  def entry(spark: SparkSession): DataFrame =
+    queries("q29_tica_projection")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- helpers
 
@@ -52,7 +45,9 @@ object SparkEntry {
   private def covModelDf(s: SparkSession, m: graft.agg.CovarianceModel,
                          lagged: Boolean): DataFrame = {
     val d = m.d
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // half-away-from-zero, matching Spark round() and DuckDB round()
+    // (math.rint's half-to-even would flip oracle parity on exact ties)
+    def r6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
     val cols = scala.collection.mutable.LinkedHashMap[String, Double]()
     cols += "w" -> m.weight
     (0 until d).foreach(i => cols += s"m0_$i" -> r6(m.mean0(i)))
@@ -71,6 +66,14 @@ object SparkEntry {
     val row = org.apache.spark.sql.Row.fromSeq(m.count +: cols.values.toSeq)
     s.createDataFrame(java.util.Arrays.asList(row), schema)
   }
+
+  /** Shared 2-d histogram over (value bin, event-type state) — q14 and the
+    * q15 energy surface must stay bit-identical. */
+  private def hist2d(s: SparkSession, dir: String): DataFrame =
+    Trajectories.table(s, dir, "events")
+      .select(least(floor(col("value") / 30.0), lit(10.0)).cast("int").as("vbin"),
+        Trajectories.eventTypeState(col("event_type")).as("state"))
+      .groupBy("vbin", "state").agg(count(lit(1)).as("cnt"))
 
   // ---------------------------------------------------------------- queries
 
@@ -133,18 +136,10 @@ object SparkEntry {
         .groupBy(col("state")).agg(count(lit(1)).as("cnt"))
     }),
 
-    "q14_hist2d" -> ((s, dir) => {
-      Trajectories.table(s, dir, "events")
-        .select(least(floor(col("value") / 30.0), lit(10.0)).cast("int").as("vbin"),
-          Trajectories.eventTypeState(col("event_type")).as("state"))
-        .groupBy("vbin", "state").agg(count(lit(1)).as("cnt"))
-    }),
+    "q14_hist2d" -> ((s, dir) => hist2d(s, dir)),
 
     "q15_energy2d" -> ((s, dir) => {
-      val hist = Trajectories.table(s, dir, "events")
-        .select(least(floor(col("value") / 30.0), lit(10.0)).cast("int").as("vbin"),
-          Trajectories.eventTypeState(col("event_type")).as("state"))
-        .groupBy("vbin", "state").agg(count(lit(1)).as("cnt"))
+      val hist = hist2d(s, dir)
       hist.withColumn("energy",
         round(-log(col("cnt").cast("double") /
           sum(col("cnt")).over(Window.partitionBy())), 6))
@@ -432,7 +427,7 @@ object SparkEntry {
 
     // ---- HMM (rows-only: EM fit on driver loop) ------------------------
     "q46_hmm_viterbi" -> ((s, dir) => {
-      val dtraj = Trajectories.dtrajFromEvents(s, dir)
+      val dtraj = Trajectories.dtrajFromEvents(s, dir).where(col("state") >= 0)
       val model = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 5, maxIter = 15)
       graft.markov.hmm.Hmm.viterbi(dtraj, model, nObs = 5)
         .groupBy("hidden").agg(count(lit(1)).as("cnt"))
@@ -455,7 +450,7 @@ object SparkEntry {
       val series = ev(s, dir).withColumn("features", array(col("value") / 100.0))
         .select(col("traj_id"), col("t"), col("features"))
       val g = graft.sindy.Sindy.gradientFrame(series, 1)
-        .where(col("xdot").isNotNull)
+        .where(col("xdot").getItem(0).isNotNull)
         .withColumn("x", expr("features[0]"))
         .withColumn("xd", expr("xdot[0]"))
       // averages, not sums: sum-order FP drift at 1e4 rows can flip a
@@ -579,7 +574,9 @@ object SparkEntry {
 
     // ---- TRAM multi-ensemble free energies (rows-only) -----------------
     "q60_tram" -> ((s, dir) => {
-      val d = Trajectories.dtrajFromEvents(s, dir)
+      // guard: unknown event types map to state -1, which would make the
+      // 1-based element_at throw
+      val d = Trajectories.dtrajFromEvents(s, dir).where(col("state") >= 0)
       val biasVec = Seq(2.0, 1.5, 1.0, 0.5, 0.0)
       val d0 = d.withColumn("bias", array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
       // second "ensemble": strided half of the data standing in for a
@@ -639,9 +636,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracle
 
-  /** DuckDB SQL twins. Omitted keys (q21, q22, q27, q28, q29..q32) get the
-    * driver's weaker rows-only check — they depend on JVM hashing or driver
-    * eigendecompositions that SQL cannot reproduce. */
+  /** DuckDB SQL twins for every SQL-expressible query (33 of 64). Keys
+    * omitted here get the driver's weaker rows-only check — those queries
+    * depend on JVM hashing, seeded JVM RNG streams, MLlib fits, or driver
+    * eigendecompositions/EM/Gibbs loops that DuckDB cannot reproduce. */
   def oracleSql: Map[String, String] = Map(
 
     "q01_tpch_agg" ->

@@ -132,8 +132,10 @@ object Sindy {
     // the moments aggregator carries equally-wide x/y blocks; pad the
     // d-wide derivative target to the p-wide library with zeros (the extra
     // B columns are discarded below)
+    // the gradient array itself is never NULL (nulls live in its elements);
+    // endpoint-degenerate single-frame trajectories null every component
     val withGrad = gradientFrame(traj, inputDim, dt)
-      .where(col("xdot").isNotNull)
+      .where(col("xdot").getItem(0).isNotNull)
       .withColumn("theta", lib(col(FeatCol).cast("array<double>"), inputDim))
       .withColumn("xdot_p", concat(col("xdot").cast("array<double>"),
         array_repeat(lit(0.0), p - inputDim)))
