@@ -614,6 +614,42 @@ object SparkEntry {
         .toDF("split", "vamp2_cv")
     }),
 
+    // ---- TPT pathway decomposition (rows-only: driver flux algebra) ----
+    "q65_tpt_pathways" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val flux = graft.markov.Tpt.reactiveFlux(msm, Set(0), Set(4))
+      import s.implicits._
+      flux.pathways(1.0).zipWithIndex.map { case ((path, f), i) =>
+        (i, path.map(msm.states(_)).mkString("->"), math.rint(f * 1e9) / 1e9)
+      }.toDF("rank", "path", "flux")
+    }),
+
+    // ---- streaming partial_fit surface (oracle: chunked folds must equal
+    // the one-shot covariance, so q04's SQL twin applies verbatim) --------
+    "q66_partial_fit_cov" -> ((s, dir) => {
+      val pairs = Lag.pairs(ev(s, dir)
+        .withColumn(Trajectories.FeatCol, array(col("value")))
+        .select(col("traj_id"), col("t"), col(Trajectories.FeatCol)), 2)
+      val rc = new graft.streaming.Streaming.RunningCovar()
+      // fold four trajectory-ranged batches, as a foreachBatch loop would
+      (0 until 4).foreach { k =>
+        rc.partialFit(pairs.where(pmod(col("traj_id"), lit(4)) === k)
+          .select(col("x"), col("y")))
+      }
+      covModelDf(s, rc.model, lagged = true)
+    }),
+
+    // ---- Girsanov-reweighted counting (oracle: window sum is plain SQL) -
+    "q67_girsanov_counts" -> ((s, dir) => {
+      val d = Trajectories.eventSeries(s, dir)
+        .join(Trajectories.dtrajFromEvents(s, dir), Seq("traj_id", "t"))
+        .withColumn("g", lit(1.0))
+        .withColumn("logM", col("value") / 1e5)
+      TransitionCounting.girsanovReweightedCounts(d, 2)
+        .select(col("s0"), col("s1"), round(col("cnt_reweighted"), 6).as("cnt_rw"))
+    }),
+
     // ---- IVF ANN (rows-only: MLlib codebook) ---------------------------
     "q64_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -937,6 +973,28 @@ object SparkEntry {
       s"""WITH d AS (SELECT ${Trajectories.eventTypeStateSql} AS state FROM events),
           c AS (SELECT state, count(*) AS cnt FROM d WHERE state >= 0 GROUP BY state)
           SELECT state, CAST(least(cnt, 10) AS BIGINT) AS n_sampled FROM c""",
+
+    "q66_partial_fit_cov" ->
+      s"""WITH t AS (SELECT user_id, value,
+            LEAD(value, 2) OVER ($evWindowSql) AS v1 FROM events)
+          SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS w,
+            round(avg(value), 6) AS m0_0, round(avg(v1), 6) AS mt_0,
+            round(covar_samp(value, value), 6) AS c00_0_0,
+            round(covar_samp(value, v1), 6) AS c0t_0_0,
+            round(covar_samp(v1, v1), 6) AS ctt_0_0
+          FROM t WHERE v1 IS NOT NULL""",
+
+    "q67_girsanov_counts" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, value, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT traj_id, t, state, value,
+            LEAD(state, 2) OVER (PARTITION BY traj_id ORDER BY t) AS s1,
+            sum(value / 100000.0) OVER (PARTITION BY traj_id ORDER BY t
+              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS m_sum
+            FROM d)
+          SELECT state AS s0, s1, round(sum(1.0 * exp(-m_sum)), 6) AS cnt_rw
+          FROM p WHERE s1 IS NOT NULL AND state >= 0 AND s1 >= 0
+          GROUP BY state, s1""",
 
     "q58_twostep_counts" ->
       s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
