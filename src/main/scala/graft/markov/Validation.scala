@@ -60,6 +60,36 @@ object Validation {
       sorted.map(l => models(l).timescales(k).toArray).toArray)
   }
 
+  /** Implied timescales WITH Bayesian error bars (validation.py:40-52: the
+    * `its_stats` surface for models carrying posterior samples): per lag,
+    * effective-count Bayesian posteriors drive sampled timescales.
+    * `itsStats(l)(p)` holds the posterior draws for process p at lag l. */
+  case class BayesianItsData(lagtimes: Array[Int], its: Array[Array[Double]],
+                             itsStats: Array[Array[Array[Double]]]) {
+    def ci(l: Int, p: Int, conf: Double = 0.95): (Double, Double) =
+      graft.util.Stats.confidenceInterval(itsStats(l)(p).toSeq, conf)
+  }
+
+  def impliedTimescalesBayesian(dtraj: DataFrame, lags: Seq[Int], nStates: Int,
+                                k: Int = 2, nSamples: Int = 50, seed: Long = 42L,
+                                reversible: Boolean = true,
+                                useEffectiveCounts: Boolean = true,
+                                maxLag: Int = 50): BayesianItsData = {
+    val sorted = lags.sorted
+    val results = sorted.map { tau =>
+      val post = BayesianMsm.fit(dtraj, tau, nStates, nSamples,
+        reversible = reversible, seed = seed + tau,
+        useEffectiveCounts = useEffectiveCounts, maxLag = maxLag)
+      val mlTs = post.prior.timescales(k).toArray
+      val sampleTs = post.samples.map(_.timescales(k).toArray)
+      val stats = Array.tabulate(k)(p =>
+        sampleTs.collect { case ts if p < ts.length => ts(p) }.toArray)
+      (mlTs, stats)
+    }
+    BayesianItsData(sorted.toArray, results.map(_._1).toArray,
+      results.map(_._2).toArray)
+  }
+
   /** All per-lag MSMs from a single multi-lag scan. */
   def msmPerLag(dtraj: DataFrame, lags: Seq[Int], nStates: Int,
                 reversible: Boolean): Map[Int, MarkovStateModel] = {
