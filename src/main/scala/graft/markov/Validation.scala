@@ -108,6 +108,49 @@ object Validation {
     }.toMap
   }
 
+  /** CK test WITH posterior samples on the predictions (validation.py:257
+    * `err_est` path): the test model's Bayesian samples are each propagated
+    * through the membership observable, giving per-lag sampled coarse
+    * propagators for confidence bands. */
+  case class BayesianCkResult(base: CkTestResult,
+                              predictionSamples: Array[Seq[DenseMatrix[Double]]])
+
+  def ckTestBayesian(dtraj: DataFrame, tau: Int, steps: Int, nStates: Int,
+                     nSets: Int, nSamples: Int = 30, seed: Long = 42L,
+                     reversible: Boolean = true,
+                     useEffectiveCounts: Boolean = true,
+                     maxLag: Int = 50): BayesianCkResult = {
+    val base = ckTest(dtraj, tau, steps, nStates, nSets, reversible)
+    val post = BayesianMsm.fit(dtraj, tau, nStates, nSamples,
+      reversible = reversible, seed = seed,
+      useEffectiveCounts = useEffectiveCounts, maxLag = maxLag)
+    // reuse the test model's membership construction: observables are built
+    // against the PRIOR (ML) model's sets, samples share its active set
+    val test = post.prior
+    val pcca = Pcca(test, nSets)
+    val m = pcca.memberships
+    val pi = test.stationaryDistribution
+    val p0 = DenseMatrix.tabulate(test.n, nSets)((s, i) => m(s, i) * pi(s))
+    (0 until nSets).foreach { i =>
+      val s = breeze.linalg.sum(p0(::, i))
+      if (s > 0) p0(::, i) :/= s
+    }
+    def propagated(model: MarkovStateModel, mlag: Int): DenseMatrix[Double] = {
+      val out = DenseMatrix.zeros[Double](nSets, nSets)
+      for (i <- 0 until nSets) {
+        var pk = p0(::, i).copy
+        (0 until mlag).foreach(_ => pk = model.transitionMatrix.t * pk)
+        for (j <- 0 until nSets) out(i, j) = pk dot m(::, j)
+      }
+      out
+    }
+    val samples = base.lagtimes.map { l =>
+      if (l == 0) Seq.fill(nSamples)(DenseMatrix.eye[Double](nSets))
+      else post.samples.map(s => propagated(s, l / tau))
+    }
+    BayesianCkResult(base, samples)
+  }
+
   /** Chapman-Kolmogorov test result (validation.py:284
     * `ChapmanKolmogorovTest`): `predictions(l)` is the coarse-grained
     * propagator of the test model powered to `lagtimes(l)/tau`;
