@@ -272,7 +272,39 @@ case class MarkovStateModel(transitionMatrix: DenseMatrix[Double], tau: Int = 1,
   def expectation(a: DenseVector[Double]): Double = stationaryDistribution dot a
 }
 
+/** A collection of MSMs estimated over different connected sets
+  * (_markov_state_model.py:1292 `MarkovStateModelCollection`): behaves as
+  * the currently selected model; `select(i)` switches. */
+case class MarkovStateModelCollection(models: Seq[MarkovStateModel],
+                                      current: Int = 0) {
+  require(models.nonEmpty, "needs at least one model")
+  require(current >= 0 && current < models.length, "selection out of range")
+  def nConnectedSets: Int = models.length
+  def model: MarkovStateModel = models(current)
+  def select(i: Int): MarkovStateModelCollection = copy(current = i)
+}
+
 object Msm {
+
+  /** Estimate one MSM per connected component of the count graph, largest
+    * first (the `MaximumLikelihoodMSM(... connectivity_threshold)` +
+    * collection path). */
+  def collectionFromCounts(counts: org.apache.spark.sql.DataFrame, nStates: Int,
+                           tau: Int, reversible: Boolean = false): MarkovStateModelCollection = {
+    val dense = TransitionCounting.toDense(counts, nStates)
+    val comp = Connectivity.scc(dense)
+    val groups = (0 until nStates).groupBy(comp(_)).values
+      .map(_.toArray.sorted)
+      .toSeq.sortBy(g => -g.map(i => bsum(dense(i, ::).t)).sum)
+    val models = groups.map { states =>
+      val sub = Connectivity.submatrix(dense, states)
+      val t = if (reversible) TransitionMatrixMle.reversible(sub)
+              else TransitionMatrixMle.nonReversible(sub)
+      MarkovStateModel(t, tau, states)
+    }
+    MarkovStateModelCollection(models)
+  }
+
   /** Full pipeline from a distributed COO count frame: collect, restrict to
     * largest SCC, MLE. Returns model + the retained original state labels. */
   def fromCounts(counts: org.apache.spark.sql.DataFrame, nStates: Int, tau: Int,

@@ -169,4 +169,20 @@ class MsmSpec extends SparkSpec with Matchers {
     s1 should be >= s2 - 1e-9 // sigma <= 1 => sum sigma >= sum sigma^2
   }
 
+  test("msm collection: one model per connected component, largest first") {
+    import spark.implicits._
+    // two disconnected blocks: {0,1} (heavy) and {2,3} (light)
+    val dtraj = (Seq.fill(50)(Seq(0, 1, 0, 1)).flatten ++ Seq.fill(10)(Seq(2, 3, 2)).flatten)
+      .zipWithIndex.map { case (st, i) =>
+        ((if (st <= 1) 0L else 1L), i.toLong, st)
+      }.toDF("traj_id", "t", "state")
+    val counts = TransitionCounting.slidingCounts(dtraj, 1)
+    val coll = Msm.collectionFromCounts(counts, 4, tau = 1)
+    coll.nConnectedSets shouldBe 2
+    coll.model.states.toSeq shouldBe Seq(0, 1)
+    val second = coll.select(1)
+    second.model.states.toSeq shouldBe Seq(2, 3)
+    coll.models.foreach(m => m.isTransitionMatrix(1e-9) shouldBe true)
+  }
+
 }
