@@ -48,6 +48,27 @@ object ExampleData {
       }.toDF("traj_id", "t", "state", "features")
   }
 
+  /** Swiss-roll model (data/_datasets.py:406 `swissroll_model`): 4-state
+    * nearest-neighbor chain observed as unit gaussians at the corners of a
+    * square, rolled into 3-d via (x, y) -> (x cos x, y, x sin x). */
+  def swissrollModel(spark: SparkSession, nTraj: Int, length: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val p = DenseMatrix(
+      (0.95, 0.05, 0.00, 0.00),
+      (0.05, 0.90, 0.05, 0.00),
+      (0.00, 0.05, 0.90, 0.05),
+      (0.00, 0.00, 0.05, 0.95))
+    val means = Array(Array(7.5, 7.5), Array(7.5, 15.0), Array(15.0, 15.0), Array(15.0, 7.5))
+    MarkovSim.simulate(spark, p, nTraj, length, seed)
+      .as[(Long, Long, Int)].map { case (id, t, s) =>
+        val rng = new java.util.SplittableRandom(
+          seed ^ (id * 0x9E3779B97F4A7C15L) ^ (t * 0xBF58476D1CE4E5B9L) ^ 0x94D049BB133111EBL)
+        val x = means(s)(0) + rng.nextGaussian()
+        val y = means(s)(1) + rng.nextGaussian()
+        (id, t, s, Seq(x * math.cos(x), y, x * math.sin(x)))
+      }.toDF("traj_id", "t", "state", "features")
+  }
+
   /** Drunkard's-walk grid chain (DrunkardsWalk): uniform 3x3-stencil moves
     * on an n x m grid with absorbing bar/home states; (i, j) -> i + n*j. */
   case class DrunkardsWalk(gridWidth: Int, gridHeight: Int,

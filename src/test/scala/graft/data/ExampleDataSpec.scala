@@ -46,4 +46,19 @@ class ExampleDataSpec extends SparkSpec with Matchers {
     h(dw.coordToState(3, 3)) should be > 0.0
     h(dw.coordToState(3, 3)) should be < 1.0
   }
+  test("swissroll model: 3-d rolled manifold with nearest-neighbor chain") {
+    val df = ExampleData.swissrollModel(spark, nTraj = 4, length = 1000, seed = 3L).cache()
+    df.count() shouldBe 4000
+    // observations live on the roll: x^2 + z^2 = (radius)^2 with radius ~ N(mu_x, 1)
+    val radii = df.select(expr("sqrt(features[0]*features[0] + features[2]*features[2])").as("r"),
+      col("state")).groupBy("state").agg(avg("r").as("mr")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    radii(0) shouldBe 7.5 +- 0.3
+    radii(2) shouldBe 15.0 +- 0.3
+    // nearest-neighbor chain: never jumps two states at lag 1
+    val counts = graft.markov.TransitionCounting.slidingCounts(
+      df.select("traj_id", "t", "state"), 1).collect()
+    counts.foreach { r => math.abs(r.getInt(0) - r.getInt(1)) should be <= 1 }
+  }
+
 }
