@@ -213,20 +213,32 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
-    // ---- near-dup scale path (rows-only checks: JVM-hash-based) --------
+    // ---- near-dup scale path ------------------------------------------
+    // Near-dup pairs above an exact-jaccard threshold, FOUND via minhash
+    // LSH banding and VERIFIED by the exact shingle jaccard. The DuckDB
+    // oracle computes the same >=0.6 pair set exactly (shingle co-occurrence
+    // join), so this row is green only if the banding recalls every true
+    // pair — the recall gate VERDICT asked for. bands=8 x rowsPerBand=4:
+    // planted near-dups sit at jaccard >= 0.92 (miss prob per pair
+    // (1-0.92^4)^8 ~ 2e-5); background pairs are < 0.5, so the exact
+    // verify+threshold removes all false candidates.
     "q21_minhash_candidates" -> ((s, dir) => {
       val d = docs(s, dir)
-      val cand = Dedup.minhashCandidates(d)
+      val cand = Dedup.minhashCandidates(d, bands = 8, rowsPerBand = 4)
       Dedup.ngramJaccard(d, cand, 5)
+        .where(col("jaccard") >= 0.6)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(50)
     }),
 
     "q22_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))),
 
+    // maxHamming=3 = the 4x16-bit banding's pigeonhole guarantee (recall 1
+    // for <=3 differing bits; DedupRecallSpec asserts equality with the
+    // exact all-pairs Hamming join). The r02 entry ran maxHamming=28, far
+    // outside the guarantee — results were candidates-only.
     "q27_simhash_candidates" -> ((s, dir) => {
-      Dedup.simhashCandidates(docs(s, dir), maxHamming = 28)
+      Dedup.simhashCandidates(docs(s, dir), maxHamming = 3)
         .orderBy(col("hamming"), col("a"), col("b")).limit(100)
     }),
 
@@ -249,11 +261,31 @@ object SparkEntry {
         round(Similarity.norm(col("embedding")), 6).as("l2norm"))
     }),
 
+    // Oracle: DuckDB SIMULATES the full LSH pipeline (sign-plane buckets
+    // embedded as literal +- terms -> candidate join -> exact re-rank), so
+    // the approximate result is hash-checked exactly, not skipped.
     "q28_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(e, e.where(col("vec_id") % 40 === 0), 5, dim = 64)
         .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
           round(col("cos"), 6).as("cos"))
+    }),
+
+    // Recall@5 of LSH vs brute force, per query — wide-bucket parametrization
+    // (nPlanes=2, numTables=8) appropriate for this corpus's near-uniform
+    // geometry (see Similarity.lshTopK note). DuckDB simulates BOTH pipelines
+    // and computes the same recall number exactly.
+    "q68_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") % 40 === 0)
+      val lsh = Similarity.lshTopK(e, q, 5, dim = 64, nPlanes = 2, numTables = 8)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val brute = Similarity.bruteForceTopK(e, q, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("query_id"), col("hits"), (col("hits") / 5.0).as("recall"))
     }),
 
     // ---- decomposition / model pipelines (rows-only: driver eig) -------
@@ -311,12 +343,18 @@ object SparkEntry {
         Trajectories.dtrajFromEvents(s, dir), 1)
         .select(col("s0"), col("traj_id"), col("t"), col("y"), col("u"))),
 
+    // Oracle: the inefficiency formula is closed-form in pair-count sums
+    // (EffectiveCounts.scala acf identity), so DuckDB recomputes the whole
+    // chain — conditional frame, per-lag co-occurrence counts, truncated
+    // corrsum, row-averaged scaling — in SQL.
     "q36_effective_counts" -> ((s, dir) => {
       val ceff = graft.markov.EffectiveCounts.effectiveCountMatrix(
         Trajectories.dtrajFromEvents(s, dir), 1, 5, maxLag = 25)
       import s.implicits._
+      // half-away rounding, matching DuckDB round(x, 4)
+      def r4(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
       (for (i <- 0 until 5; j <- 0 until 5 if ceff(i, j) > 0) yield
-        (i, j, math.rint(ceff(i, j) * 1e4) / 1e4))
+        (i, j, r4(ceff(i, j))))
         .toDF("s0", "s1", "cnt_eff")
     }),
 
@@ -405,17 +443,21 @@ object SparkEntry {
           round(graft.kernels.GaussianKernel(4.0)(col("va"), col("vb")), 6).as("k"))
     }),
 
-    // ---- whitening / bootstrap (rows-only: driver eig / JVM hash) ------
+    // ---- whitening / bootstrap ----------------------------------------
+    // Whitened covariance == identity is an exact invariant (C^{-1/2} C
+    // C^{-1/2} = I, same Bessel on fit and check; numerical error ~1e-12),
+    // so the oracle is the literal identity grid — a real end-to-end check
+    // of covariance + spd_inv_sqrt + transform + re-covariance.
     "q44_whitening" -> ((s, dir) => {
       val traj = Trajectories.fromLineitem(s, dir)
       val m = graft.agg.Whitening.fit(traj)
       val whitened = m.transform(traj)
-      // covariance of whitened output should be ~identity; report it
       val cov = Covariance.fitFeatures(whitened.select(col("traj_id"), col("t"),
         col("whitened").as(Trajectories.FeatCol)))
       import s.implicits._
+      def r4(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
       (for (i <- 0 until cov.d; j <- 0 until cov.d) yield
-        (i, j, math.rint(cov.cov00(i * cov.d + j) * 1e4) / 1e4))
+        (i, j, r4(cov.cov00(i * cov.d + j)) + 0.0)) // +0.0: normalize -0.0
         .toDF("i", "j", "cov")
     }),
 
@@ -862,6 +904,137 @@ object SparkEntry {
            round(CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
              CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
          FROM sh a, sh b WHERE a.doc_id < b.doc_id""",
+
+    "q21_minhash_candidates" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS s
+           FROM documents WHERE len(text) >= 5),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac
+           FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
+         SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.6""",
+
+    "q28_ann_lsh" -> {
+      // the oracle SIMULATES the LSH pipeline: sign-plane buckets (literal
+      // +- terms, same left-to-right accumulation order as the executor
+      // UDF -> bit-identical floating sign), candidate OR-join, exact
+      // cosine re-rank — identical to the Spark plan's semantics.
+      val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 8, numTables = 4)
+      val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
+      val joinCond = b.indices.map(t => s"q.b$t = c.b$t").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT vec_id,
+           $bcols
+           FROM e),
+         qb AS (SELECT * FROM cb WHERE vec_id % 40 = 0),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM qb q JOIN cb c ON q.vec_id != c.vec_id AND ($joinCond)),
+         s AS (SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(qe.v, ce.v) /
+             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos, 6) AS cos FROM r WHERE rank <= 5"""
+    },
+
+    "q68_ann_recall" -> {
+      val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 2, numTables = 8)
+      val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
+      val joinCond = b.indices.map(t => s"q.b$t = c.b$t").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT vec_id,
+           $bcols
+           FROM e),
+         qb AS (SELECT * FROM cb WHERE vec_id % 40 = 0),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM qb q JOIN cb c ON q.vec_id != c.vec_id AND ($joinCond)),
+         ls AS (SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(qe.v, ce.v) /
+             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
+         lr AS (SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM ls),
+         lsh AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 5),
+         bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM e q JOIN e c ON q.vec_id % 40 = 0 AND q.vec_id != c.vec_id),
+         br AS (SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM bs),
+         brute AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+         hit AS (SELECT b.query_id,
+           CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS h
+           FROM brute b LEFT JOIN lsh l
+             ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id),
+         agg AS (SELECT query_id, CAST(sum(h) AS BIGINT) AS hits FROM hit GROUP BY 1)
+         SELECT query_id, hits, hits / 5.0 AS recall FROM agg"""
+    },
+
+    "q36_effective_counts" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          c0 AS (SELECT traj_id, t, state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS y FROM d),
+          cond AS (SELECT s0, traj_id, t, y,
+            ROW_NUMBER() OVER (PARTITION BY s0, traj_id ORDER BY t) AS u
+            FROM c0 WHERE y IS NOT NULL AND s0 >= 0 AND y >= 0),
+          c AS (SELECT s0, y AS s1, CAST(count(*) AS DOUBLE) AS cnt FROM cond GROUP BY 1, 2),
+          crow AS (SELECT s0, sum(cnt) AS ci FROM c GROUP BY 1),
+          nmax AS (SELECT s0, CAST(max(len) AS DOUBLE) AS nm FROM
+            (SELECT s0, traj_id, count(*) AS len FROM cond GROUP BY 1, 2) GROUP BY 1),
+          lags AS (SELECT CAST(lag AS INT) AS lag FROM range(1, 26) t(lag)),
+          pairs AS (SELECT c1.s0, l.lag, c1.y AS y0, c2.y AS y1, count(*) AS pcnt
+            FROM cond c1 CROSS JOIN lags l
+            JOIN cond c2 ON c2.s0 = c1.s0 AND c2.traj_id = c1.traj_id
+              AND c2.u = c1.u + l.lag
+            GROUP BY 1, 2, 3, 4),
+          nl AS (SELECT s0, lag, CAST(sum(pcnt) AS DOUBLE) AS nl FROM pairs GROUP BY 1, 2),
+          shj AS (SELECT s0, lag, y0 AS j, CAST(sum(pcnt) AS DOUBLE) AS sh
+            FROM pairs GROUP BY 1, 2, 3),
+          stj AS (SELECT s0, lag, y1 AS j, CAST(sum(pcnt) AS DOUBLE) AS st
+            FROM pairs GROUP BY 1, 2, 3),
+          njj AS (SELECT s0, lag, y0 AS j, CAST(sum(pcnt) AS DOUBLE) AS njj
+            FROM pairs WHERE y0 = y1 GROUP BY 1, 2, 3),
+          grid AS (SELECT c.s0, c.s1 AS j, l.lag, c.cnt, crow.ci, nmax.nm
+            FROM c JOIN crow USING (s0) JOIN nmax USING (s0) CROSS JOIN lags l),
+          acf AS (SELECT g.s0, g.j, g.lag, g.nm,
+            CASE WHEN nl.nl IS NULL OR nl.nl = 0 THEN NULL ELSE
+              (coalesce(njj.njj, 0) - (g.cnt / g.ci) * (coalesce(shj.sh, 0) + coalesce(stj.st, 0))
+                + (g.cnt / g.ci) * (g.cnt / g.ci) * nl.nl) / nl.nl END AS a
+            FROM grid g
+            LEFT JOIN nl ON nl.s0 = g.s0 AND nl.lag = g.lag
+            LEFT JOIN shj ON shj.s0 = g.s0 AND shj.lag = g.lag AND shj.j = g.j
+            LEFT JOIN stj ON stj.s0 = g.s0 AND stj.lag = g.lag AND stj.j = g.j
+            LEFT JOIN njj ON njj.s0 = g.s0 AND njj.lag = g.lag AND njj.j = g.j),
+          trunc AS (SELECT s0, j, min(lag) AS lmin FROM acf
+            WHERE a IS NULL OR a <= 0 GROUP BY 1, 2),
+          corr AS (SELECT acf.s0, acf.j, sum(acf.a * (1.0 - acf.lag / acf.nm)) AS corrsum
+            FROM acf LEFT JOIN trunc ON trunc.s0 = acf.s0 AND trunc.j = acf.j
+            WHERE trunc.lmin IS NULL OR acf.lag < trunc.lmin
+            GROUP BY 1, 2),
+          ineff AS (SELECT c.s0, c.s1, c.cnt,
+            1.0 / (2.0 * (0.5 + coalesce(corr.corrsum, 0) / (c.cnt / crow.ci))) AS i
+            FROM c JOIN crow USING (s0)
+            LEFT JOIN corr ON corr.s0 = c.s0 AND corr.j = c.s1),
+          factor AS (SELECT ineff.s0, sum(ineff.i * ineff.cnt) / min(crow.ci) AS f
+            FROM ineff JOIN crow USING (s0) GROUP BY 1)
+          SELECT CAST(ineff.s0 AS INT) AS s0, CAST(ineff.s1 AS INT) AS s1,
+            round(factor.f * ineff.cnt, 4) AS cnt_eff
+          FROM ineff JOIN factor USING (s0) WHERE ineff.cnt > 0""",
+
+    "q44_whitening" ->
+      """SELECT CAST(i.r AS INT) AS i, CAST(j.r AS INT) AS j,
+           CASE WHEN i.r = j.r THEN 1.0 ELSE 0.0 END AS cov
+         FROM range(0, 4) i(r), range(0, 4) j(r)""",
 
     "q23_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
