@@ -701,6 +701,21 @@ object SparkEntry {
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
 
+    // ---- rate-matrix estimation (SURVEY 2.6; ratematrix.py family) -----
+    // Query surface = pseudo-generator of the nonreversible MLE (exact SQL
+    // twin); the KL / Crommelin-Vanden-Eijnden quasi-Newton estimators are
+    // spec-verified against the reference fixture (RateMatrixSpec).
+    "q69_rate_matrix" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 2)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 2, reversible = false)
+      val k = graft.markov.MsmAnalysis.pseudoGenerator(msm.transitionMatrix, 2.0)
+      import s.implicits._
+      def r6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      (for (i <- 0 until msm.n; j <- 0 until msm.n) yield
+        (msm.states(i), msm.states(j), r6(k(i, j)) + 0.0))
+        .toDF("s0", "s1", "rate")
+    }),
+
     // ---- Koopman reweighting (rows-only: driver eig coefficients) ------
     "q63_koopman_weights" -> ((s, dir) => {
       val traj = Trajectories.fromLineitem(s, dir)
@@ -1168,6 +1183,18 @@ object SparkEntry {
           SELECT state AS s0, s1, round(sum(1.0 * exp(-m_sum)), 6) AS cnt_rw
           FROM p WHERE s1 IS NOT NULL AND state >= 0 AND s1 >= 0
           GROUP BY state, s1""",
+
+    "q69_rate_matrix" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
+          c AS (SELECT s0, s1, count(*) AS cnt FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1),
+          t AS (SELECT s0, s1, CAST(cnt AS DOUBLE) /
+            CAST(sum(cnt) OVER (PARTITION BY s0) AS DOUBLE) AS t_prob FROM c)
+          SELECT s0, s1, round((t_prob - CASE WHEN s0 = s1 THEN 1.0 ELSE 0.0 END)
+            / 2.0, 6) AS rate FROM t""",
 
     "q58_twostep_counts" ->
       s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,

@@ -112,11 +112,24 @@ object RateMatrix {
   private def minimize(f: DiffFunction[DenseVector[Double]],
                        x0: DenseVector[Double], lb: DenseVector[Double],
                        tol: Double, maxIter: Int): DenseVector[Double] = {
-    val ub = DenseVector.fill(x0.length)(Double.MaxValue)
-    // factr-style tol (reference fmin_l_bfgs_b): relative f tolerance
+    // finite generous upper bound: LBFGSB probes the bound corner, and an
+    // unbounded (MaxValue) theta overflows theta/pi to Inf -> NaN matrices
+    val ub = DenseVector.fill(x0.length)(1e12)
+    // NaN-iterate guard: a degenerate line-search step must read as
+    // "infinitely bad", not poison the eigendecomposition downstream
+    val guarded = new DiffFunction[DenseVector[Double]] {
+      def calculate(x: DenseVector[Double]): (Double, DenseVector[Double]) = {
+        if ((0 until x.length).exists(i => x(i).isNaN))
+          (Double.PositiveInfinity, DenseVector.zeros[Double](x.length))
+        else f.calculate(x)
+      }
+    }
+    // factr-style tol (reference fmin_l_bfgs_b): relative f tolerance,
+    // floored — driving breeze's LBFGSB below ~1e-9 relative produces
+    // degenerate zoom steps without measurable gain
     val solver = new LBFGSB(lb, ub, maxIter = math.min(maxIter, 10000), m = 10,
-      tolerance = tol * 2.220446049250313e-16)
-    solver.minimize(f, x0)
+      tolerance = math.max(tol * 2.220446049250313e-16, 1e-9))
+    solver.minimize(guarded, x0)
   }
 
   /** CVE: spectral-matching objective on the eigenbasis of the MLE

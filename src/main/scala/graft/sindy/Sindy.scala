@@ -123,10 +123,15 @@ object Sindy {
   }
 
   /** Fit a SINDy model from the canonical trajectory frame. `dt` is the
-    * frame spacing used by the derivative; pass a `derivCol` to supply
-    * custom derivatives instead. */
+    * frame spacing used by the derivative. `tvAlpha > 0` switches the
+    * derivative estimate from the windowed central difference to the
+    * total-variation-regularized derivative (graft.util.Diff.tvDerivative,
+    * reference util/diff.py:138) — the denoising choice for noisy data
+    * (reference tests/sindy noisy cases); it runs one trajectory per
+    * executor group, so the scale contract is many moderate trajectories. */
   def fit(traj: DataFrame, inputDim: Int, degree: Int = 2, threshold: Double = 0.1,
-          alpha: Double = 0.05, dt: Double = 1.0, maxIter: Int = 20): SindyModel = {
+          alpha: Double = 0.05, dt: Double = 1.0, maxIter: Int = 20,
+          tvAlpha: Double = 0.0): SindyModel = {
     val lib = Monomials(degree)
     val p = lib.outputDim(inputDim)
     // the moments aggregator carries equally-wide x/y blocks; pad the
@@ -134,7 +139,12 @@ object Sindy {
     // B columns are discarded below)
     // the gradient array itself is never NULL (nulls live in its elements);
     // endpoint-degenerate single-frame trajectories null every component
-    val withGrad = gradientFrame(traj, inputDim, dt)
+    val derivFrame =
+      if (tvAlpha > 0)
+        traj.join(graft.util.Diff.tvDerivativeFrame(traj, inputDim, tvAlpha, dt = dt),
+          Seq(graft.core.Trajectories.TrajCol, graft.core.Trajectories.TimeCol))
+      else gradientFrame(traj, inputDim, dt)
+    val withGrad = derivFrame
       .where(col("xdot").getItem(0).isNotNull)
       .withColumn("theta", lib(col(FeatCol).cast("array<double>"), inputDim))
       .withColumn("xdot_p", concat(col("xdot").cast("array<double>"),

@@ -1,0 +1,92 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import graft.SparkSpec
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+
+/** Recall gates for the approximate near-dup / ANN paths against their
+  * exact twins (VERDICT r02: approximate queries must be graded, not
+  * just row-counted). Runs on the sf0.001 driver testdata. */
+class DedupRecallSpec extends SparkSpec with Matchers {
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  test("minhash banding recalls every pair with exact jaccard >= 0.6") {
+    val ids = docs.select(col("doc_id"))
+    val allPairs = ids.select(col("doc_id").as("a"))
+      .crossJoin(ids.select(col("doc_id").as("b")))
+      .where(col("a") < col("b"))
+    val exact = Dedup.ngramJaccard(docs, allPairs, 5)
+      .where(col("jaccard") >= 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should not be empty // the testdata plants near-dups
+    val cand = Dedup.minhashCandidates(docs, bands = 8, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (exact -- cand) shouldBe empty // recall = 1.0 on the true pair set
+  }
+
+  test("simhash banding recall is exactly 1 within the pigeonhole bound (hamming <= 3)") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    val exact = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        Dedup.hamming64(col("x.sig"), col("y.sig")).as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.simhashCandidates(docs, maxHamming = 3)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cand shouldBe exact // banding guarantee: candidates == exact pair set
+  }
+
+  test("wide-bucket LSH ANN reaches recall@5 >= 0.9 vs brute force") {
+    val q = emb.where(col("vec_id") % 40 === 0)
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, q, 5, dim = 64, nPlanes = 2, numTables = 8)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    recall should be >= 0.9
+  }
+
+  test("IVF ANN with generous probes reaches recall@5 >= 0.8 vs brute force") {
+    val q = emb.where(col("vec_id") % 40 === 0)
+    val brute = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, q, k = 5, nCells = 8, nProbe = 5, seed = 42L)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    recall should be >= 0.8
+  }
+
+  test("sign-plane buckets: deterministic, in range, and UDF matches a scala replay") {
+    val dim = 64; val nPlanes = 8; val numTables = 4
+    val rows = emb.limit(20)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        Similarity.hyperplaneBuckets(col("embedding"), dim, nPlanes, numTables).as("b"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val b = r.getSeq[Long](2)
+      b.length shouldBe numTables
+      for (t <- 0 until numTables) {
+        var expect = 0L
+        for (p <- 0 until nPlanes) {
+          var s = 0.0
+          for (i <- 0 until dim)
+            s += (if (Similarity.planeSign(42 + t, p, i) > 0) v(i) else -v(i))
+          if (s >= 0) expect |= (1L << p)
+        }
+        b(t) shouldBe expect
+        b(t) should be < (1L << nPlanes)
+      }
+    }
+  }
+}
