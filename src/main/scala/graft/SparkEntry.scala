@@ -218,13 +218,16 @@ object SparkEntry {
     // LSH banding and VERIFIED by the exact shingle jaccard. The DuckDB
     // oracle computes the same >=0.6 pair set exactly (shingle co-occurrence
     // join), so this row is green only if the banding recalls every true
-    // pair — the recall gate VERDICT asked for. bands=8 x rowsPerBand=4:
+    // pair — the recall gate VERDICT asked for. bands=8 x rowsPerBand=5:
     // planted near-dups sit at jaccard >= 0.92 (miss prob per pair
-    // (1-0.92^4)^8 ~ 2e-5); background pairs are < 0.5, so the exact
-    // verify+threshold removes all false candidates.
+    // (1-0.92^5)^8 ~ 2e-4, empirically zero misses on the fixed testdata,
+    // see DedupRecallSpec); rowsPerBand=5 keeps the background (j~0.3)
+    // band-collision rate ~2% so the exact verify join stays small
+    // (rowsPerBand=4 flooded it 3x at sf0.1). Background pairs are < 0.5,
+    // so the exact verify+threshold removes all false candidates.
     "q21_minhash_candidates" -> ((s, dir) => {
       val d = docs(s, dir)
-      val cand = Dedup.minhashCandidates(d, bands = 8, rowsPerBand = 4)
+      val cand = Dedup.minhashCandidates(d, bands = 8, rowsPerBand = 5)
       Dedup.ngramJaccard(d, cand, 5)
         .where(col("jaccard") >= 0.6)
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
@@ -290,11 +293,16 @@ object SparkEntry {
 
     // ---- decomposition / model pipelines (rows-only: driver eig) -------
     "q29_tica_projection" -> ((s, dir) => {
-      val traj = Trajectories.fromLineitem(s, dir)
+      // cache the canonical frame across fit + transform: the fit's
+      // covariance aggregate materializes it, the projection re-reads it
+      // from memory instead of re-scanning parquet + re-running the lag
+      // window (r02 creep: 1.23 -> 2.08 s). Dropped by LRU at scale.
+      val traj = Trajectories.fromLineitem(s, dir).cache()
       val m = graft.decomposition.Tica.fit(traj, tau = 1, dim = 2)
-      m.transform(traj).select(col("traj_id"), col("t"),
+      val out = m.transform(traj).select(col("traj_id"), col("t"),
         round(col("projection").getItem(0), 6).as("ic0"),
         round(col("projection").getItem(1), 6).as("ic1"))
+      out
     }),
 
     "q30_vamp_singular" -> ((s, dir) => {

@@ -184,6 +184,45 @@ object Covariance {
       .toMap
   }
 
+  /** Complement model by raw-moment subtraction: the covariance of
+    * (total \ part) WITHOUT another scan. Exact because the buffer sums
+    * (w, s_x, s_y, X'X, X'Y, Y'Y) are additive over disjoint row sets —
+    * the inverse of the Chan combine. Used by cross-validation: test-fold
+    * covariance = total - train, halving the aggregation passes. */
+  def subtractModel(total: CovarianceModel, part: CovarianceModel,
+                    bessel: Boolean = true): CovarianceModel = {
+    val d = total.d
+    require(part.d == d, "dimension mismatch")
+    def raw(m: CovarianceModel, c: Array[Double], ma: Array[Double],
+            mb: Array[Double]): Array[Double] = {
+      val denom = if (bessel) m.weight - 1.0 else m.weight
+      Array.tabulate(d * d) { k =>
+        val i = k / d; val j = k % d
+        c(k) * denom + m.weight * ma(i) * mb(j)
+      }
+    }
+    val w = total.weight - part.weight
+    val n = total.count - part.count
+    val denom = if (bessel) w - 1.0 else w
+    val sx = Array.tabulate(d)(i => total.mean0(i) * total.weight - part.mean0(i) * part.weight)
+    val sy = Array.tabulate(d)(i => total.meant(i) * total.weight - part.meant(i) * part.weight)
+    val m0 = Array.tabulate(d)(i => sx(i) / w)
+    val mt = Array.tabulate(d)(i => sy(i) / w)
+    def diff(get: CovarianceModel => Array[Double], maT: Array[Double], mbT: Array[Double],
+             maP: Array[Double], mbP: Array[Double], ma: Array[Double], mb: Array[Double]) = {
+      val st = raw(total, get(total), maT, mbT)
+      val sp = raw(part, get(part), maP, mbP)
+      Array.tabulate(d * d) { k =>
+        val i = k / d; val j = k % d
+        (st(k) - sp(k) - w * ma(i) * mb(j)) / denom
+      }
+    }
+    CovarianceModel(w, n, d, m0, mt,
+      diff(_.cov00, total.mean0, total.mean0, part.mean0, part.mean0, m0, m0),
+      diff(_.cov0t, total.mean0, total.meant, part.mean0, part.meant, m0, mt),
+      diff(_.covtt, total.meant, total.meant, part.meant, part.meant, mt, mt))
+  }
+
   /** Unlagged covariance of the canonical trajectory frame. */
   def fitFeatures(traj: DataFrame, bessel: Boolean = true): CovarianceModel = {
     val p = traj.select(col(graft.core.Trajectories.FeatCol).as("x"))

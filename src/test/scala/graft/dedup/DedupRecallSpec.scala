@@ -24,7 +24,7 @@ class DedupRecallSpec extends SparkSpec with Matchers {
       .where(col("jaccard") >= 0.6)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     exact should not be empty // the testdata plants near-dups
-    val cand = Dedup.minhashCandidates(docs, bands = 8, rowsPerBand = 4)
+    val cand = Dedup.minhashCandidates(docs, bands = 8, rowsPerBand = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (exact -- cand) shouldBe empty // recall = 1.0 on the true pair set
   }
