@@ -709,6 +709,30 @@ object SparkEntry {
           col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
     }),
 
+    // ---- real PNG decode, oracle-checked end to end --------------------
+    // Per doc: a REAL gray PNG is encoded (PngCodec.encode: zlib deflate)
+    // with pixel(i) = (doc_id*31 + i*7) % 256, then decoded by the
+    // pure-JVM decoder (inflate + un-filter). The oracle recomputes the
+    // pixel sums straight from the generating formula, so a wrong decode
+    // (off-by-one filter, bad inflate reassembly, channel mixup) breaks
+    // the hash — codec correctness is gated, not assumed.
+    "q70_png_decode" -> ((s, dir) => {
+      val mk = udf { (docId: Long) =>
+        val w = (3 + docId % 6).toInt
+        val h = (2 + (docId * 7) % 5).toInt
+        val px = Array.tabulate(w * h)(i => ((docId * 31 + i * 7) % 256).toByte)
+        graft.multimodal.PngCodec.encode(w, h, 1, px)
+      }
+      val withPng = docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      graft.multimodal.Multimodal.decodeImages(withPng, "payload")
+        .select(col("doc_id"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          size(col("decoded.pixels")).cast("long").as("n_px"),
+          aggregate(col("decoded.pixels"), lit(0L),
+            (acc, p) => acc + round(p * 255.0f).cast("long")).as("px_sum"))
+    }),
+
     // ---- rate-matrix estimation (SURVEY 2.6; ratematrix.py family) -----
     // Query surface = pseudo-generator of the nonreversible MLE (exact SQL
     // twin); the KL / Crommelin-Vanden-Eijnden quasi-Newton estimators are
@@ -1191,6 +1215,15 @@ object SparkEntry {
           SELECT state AS s0, s1, round(sum(1.0 * exp(-m_sum)), 6) AS cnt_rw
           FROM p WHERE s1 IS NOT NULL AND state >= 0 AND s1 >= 0
           GROUP BY state, s1""",
+
+    "q70_png_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 6 AS INT) AS width,
+           CAST(2 + (doc_id * 7) % 5 AS INT) AS height FROM documents)
+         SELECT d.doc_id, d.width, d.height,
+           CAST(d.width * d.height AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, d.width * d.height),
+             i -> (d.doc_id * 31 + i * 7) % 256)) AS BIGINT) AS px_sum
+         FROM d""",
 
     "q69_rate_matrix" ->
       s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,

@@ -49,6 +49,41 @@ object Sensitivity {
     out
   }
 
+  /** d (v_k)_j / dT for the k-th right (or left) eigenvector
+    * (_sensitivity.py:212 `eigenvector_sensitivity`): adjoint least-squares
+    * solve of (T - lambda_k I)^T phi = e_j with the orthogonality-to-v_k
+    * condition appended; sensitivity = -phi v_k^T + (phi.v_k) l_k v_k^T.
+    * Normalization contract matches the reference: unit-norm eigenvectors
+    * (LAPACK dgeev convention), NOT the rdl scaling — so do not use this
+    * for the stationary distribution (use
+    * stationaryDistributionSensitivity). Real spectrum assumed. */
+  def eigenvectorSensitivity(t0: DenseMatrix[Double], k: Int, j: Int,
+                             right: Boolean = true): DenseMatrix[Double] = {
+    val n = t0.rows
+    val t = if (right) t0 else t0.t
+    val e = breeze.linalg.eig(t)
+    val perm = (0 until n).sortBy(i => -e.eigenvalues(i))
+    val rightM = DenseMatrix.zeros[Double](n, n)
+    perm.zipWithIndex.foreach { case (src, dst) => rightM(::, dst) := e.eigenvectors(::, src) }
+    val leftM = breeze.linalg.inv(rightM)
+    val rEV = rightM(::, k)
+    val lEV = leftM(k, ::).t
+    val eVal = e.eigenvalues(perm(k))
+    // matA = [T - lambda I; rEV'] (n+1 x n); least-squares matA' phi = e_j
+    val matA = DenseMatrix.zeros[Double](n + 1, n)
+    for (i <- 0 until n; c <- 0 until n)
+      matA(i, c) = t(i, c) - (if (i == c) eVal else 0.0)
+    for (c <- 0 until n) matA(n, c) = rEV(c)
+    val vecA = DenseVector.zeros[Double](n)
+    vecA(j) = 1.0
+    val phiFull = matA.t \ vecA
+    val phi = phiFull(0 until n)
+    val dot = phi dot rEV
+    val s = DenseMatrix.tabulate(n, n)((i, c) =>
+      -phi(i) * rEV(c) + dot * lEV(i) * rEV(c))
+    if (right) s else s.t
+  }
+
   /** d pi_j / dT (_sensitivity.py:280): adjoint solve with the
     * normalization row appended. */
   def stationaryDistributionSensitivity(t: DenseMatrix[Double], j: Int): DenseMatrix[Double] = {

@@ -123,32 +123,20 @@ object Multimodal {
     * plumbing: iterate a partition, emit fixed-schema feature rows with
     * bounded memory).
     *
-    * STUB NOTE: this container ships no image codecs, so `decodePixels`
-    * is a clearly-marked deterministic fake — header dims are REAL
-    * (parsed), pixel content is a seeded hash ramp standing in for the
-    * decoded plane. Swap `decodePixels` for a real codec (e.g. TwelveMonkeys
-    * ImageIO) to productionize; schema, batching and downstream ops don't
-    * change. */
+    * PNG payloads are decoded FOR REAL by the pure-JVM codec
+    * (graft.multimodal.PngCodec: IDAT inflate + all five scanline
+    * un-filters, gray/rgb/rgba/palette) — the r02 fake plane is gone.
+    * Non-PNG formats (no codec in this container) and unsupported PNG
+    * variants decode to NULL, never to fabricated pixels. Pixels are
+    * channel-interleaved floats in [0, 1]. */
   def decodeImages(df: DataFrame, binCol: String, targetW: Int = 8, targetH: Int = 8): DataFrame = {
     val dec = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null
-      else {
-        val (w, h) =
-          if (bytes.length >= 24 && (bytes(0) & 0xFF) == 0x89) // png
-            (((bytes(16) & 0xFF) << 24) | ((bytes(17) & 0xFF) << 16) | ((bytes(18) & 0xFF) << 8) | (bytes(19) & 0xFF),
-             ((bytes(20) & 0xFF) << 24) | ((bytes(21) & 0xFF) << 16) | ((bytes(22) & 0xFF) << 8) | (bytes(23) & 0xFF))
-          else (targetW, targetH)
-        // ??? real decode goes here; deterministic fake plane instead
-        val px = new Array[Float](targetW * targetH)
-        var seed = bytes.length * 31 + (if (bytes.length > 8) bytes(8) else 0)
+      PngCodec.decode(bytes).map { d =>
+        val px = new Array[Float](d.pixels.length)
         var i = 0
-        while (i < px.length) {
-          seed = seed * 1103515245 + 12345
-          px(i) = ((seed >>> 16) & 0xFF) / 255.0f
-          i += 1
-        }
-        (w, h, 3, px)
-      }
+        while (i < px.length) { px(i) = (d.pixels(i) & 0xFF) / 255.0f; i += 1 }
+        (d.width, d.height, d.channels, px)
+      }.orNull
     }
     df.withColumn("decoded", dec(col(binCol)).cast(decodedSchema))
   }

@@ -73,4 +73,34 @@ class SensitivitySpec extends SparkSpec with Matchers {
     val expected = s(1, 2) - s(1, 1)
     fd(expectation, 1, 2, 1) shouldBe expected +- 1e-5
   }
+
+  test("eigenvector sensitivity matches finite differences (right and left)") {
+    val k = 1; val j = 2
+    def evEntry(m: DenseMatrix[Double], right: Boolean): Double = {
+      val mm = if (right) m else m.t
+      val e = breeze.linalg.eig(mm)
+      val perm = (0 until n).sortBy(i => -e.eigenvalues(i))
+      var v = DenseVector.tabulate(n)(i => e.eigenvectors(i, perm(k)))
+      v = v / breeze.linalg.norm(v)
+      // fix sign: align with a reference direction (largest-|.| entry positive)
+      val pivot = (0 until n).maxBy(i => math.abs(v(i)))
+      if (v(pivot) < 0) v = -v
+      v(j)
+    }
+    for (right <- Seq(true, false)) {
+      // sign-align the analytic sensitivity with the same pivot convention:
+      // evEntry is smooth in T near t (pivot stable under small eps)
+      val s = Sensitivity.eigenvectorSensitivity(t, k, j, right)
+      // determine whether our eig's v_k matches the pivot-positive convention
+      val mm = if (right) t else t.t
+      val e = breeze.linalg.eig(mm)
+      val perm = (0 until n).sortBy(i => -e.eigenvalues(i))
+      var v = DenseVector.tabulate(n)(i => e.eigenvectors(i, perm(k)))
+      v = v / breeze.linalg.norm(v)
+      val pivot = (0 until n).maxBy(i => math.abs(v(i)))
+      val flip = if (v(pivot) < 0) -1.0 else 1.0
+      val expected = flip * (s(1, 2) - s(1, 1))
+      fd(evEntry(_, right), 1, 2, 1, eps = 1e-6) shouldBe expected +- 1e-4
+    }
+  }
 }

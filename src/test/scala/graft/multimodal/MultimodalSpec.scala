@@ -67,22 +67,33 @@ class MultimodalSpec extends SparkSpec with Matchers {
     meta(5L)._2 shouldBe Some(360L); meta(5L)._3 shouldBe Some(240L)
   }
 
-  test("decode plumbing: schema, determinism, resize") {
-    val df = binDf(1L -> png640x480, 2L -> png640x480)
+  test("decode plumbing: real decode, schema, honest null, resize") {
+    // a REAL 8x8 gray PNG (zlib-deflated) decodes to its exact pixels;
+    // a header-only payload (no IDAT) decodes to NULL, never fake pixels
+    val realPng = PngCodec.encode(8, 8, 1, Array.tabulate[Byte](64)(i => (i * 3).toByte))
+    val df = binDf(1L -> realPng, 2L -> realPng, 3L -> png640x480)
     val dec = Multimodal.decodeImages(df, "payload", targetW = 8, targetH = 8)
-    val rows = dec.select(col("decoded.width"), col("decoded.height"),
-      col("decoded.channels"), expr("size(decoded.pixels)")).collect()
+    val rows = dec.where(col("id") =!= 3)
+      .select(col("decoded.width"), col("decoded.height"),
+        col("decoded.channels"), expr("size(decoded.pixels)")).collect()
+    rows should have length 2
     rows.foreach { r =>
-      r.getInt(0) shouldBe 640
-      r.getInt(1) shouldBe 480
-      r.getInt(2) shouldBe 3
+      r.getInt(0) shouldBe 8
+      r.getInt(1) shouldBe 8
+      r.getInt(2) shouldBe 1
       r.getInt(3) shouldBe 64
     }
-    // deterministic across rows with same payload
-    val px = dec.select(col("decoded.pixels")).collect().map(_.getSeq[Float](0))
+    // pixel values are the real ones
+    val px = dec.where(col("id") =!= 3)
+      .select(col("decoded.pixels")).collect().map(_.getSeq[Float](0))
     px(0) shouldBe px(1)
+    (0 until 64).foreach(i => (px(0)(i) * 255.0f).round shouldBe ((i * 3).toByte & 0xFF))
+    // header-only png: honest null
+    dec.where(col("id") === 3).select(col("decoded").isNull).collect()
+      .head.getBoolean(0) shouldBe true
     // resize 8x8 -> 4x4 via stride sampling
-    val resized = dec.select(Multimodal.resizePixels(col("decoded"), 8, 8, 4, 4).as("r"))
+    val resized = dec.where(col("id") === 1)
+      .select(Multimodal.resizePixels(col("decoded"), 8, 8, 4, 4).as("r"))
     resized.select(expr("size(r)")).collect().head.getInt(0) shouldBe 16
   }
 
