@@ -748,6 +748,71 @@ object SparkEntry {
         .toDF("s0", "s1", "rate")
     }),
 
+    // ---- model-invariant battery (reference property-test style:
+    // tests/markov/msm/test_msm_basic_properties.py checks P^k pi = pi etc.)
+    // Each row is a named invariant VIOLATION measure that must round to
+    // exactly 0.0; the oracle pins the full expected (check, violation)
+    // set, so any broken driver-side linear-algebra path (MLE, committors,
+    // PCCA, TPT, VAMP whitening, rate matrices) flips the hash. ----------
+    "q71_model_invariants" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+      val msmRev = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val msmNon = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = false)
+      val n = msmRev.n
+      val t = msmRev.transitionMatrix
+      val pi = msmRev.stationaryDistribution
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+
+      val checks = scala.collection.mutable.LinkedHashMap[String, Double]()
+      checks("rev_rowsums") = maxAbs((0 until n).map(i => bsum(t(i, ::).t) - 1.0))
+      checks("rev_detailed_balance") = maxAbs(
+        for (i <- 0 until n; j <- 0 until n) yield pi(i) * t(i, j) - pi(j) * t(j, i))
+      checks("pi_stationarity") = maxAbs((0 until n).map(j =>
+        (0 until n).map(i => pi(i) * t(i, j)).sum - pi(j)))
+      checks("pi_normalized") = math.abs(bsum(pi) - 1.0)
+      val a = Set(0); val b = Set(4)
+      val tn = msmNon.transitionMatrix
+      val qf = msmNon.committorForward(a, b)
+      checks("committor_bvp") = maxAbs(
+        (0 until n).filterNot(i => a.contains(i) || b.contains(i)).map(i =>
+          (0 until n).map(j => tn(i, j) * qf(j)).sum - qf(i)))
+      val mfptVec = msmNon.mfpt(Set(4))
+      checks("mfpt_linear_system") = maxAbs(
+        (0 until n).filter(_ != 4).map(i =>
+          1.0 + (0 until n).filter(_ != 4).map(j => tn(i, j) * mfptVec(j)).sum - mfptVec(i)))
+      val pcca = graft.markov.Pcca(msmRev, 2)
+      checks("pcca_membership_rowsums") = maxAbs((0 until n).map(i =>
+        pcca.memberships(i, 0) + pcca.memberships(i, 1) - 1.0))
+      checks("pcca_membership_nonneg") = maxAbs(
+        (for (i <- 0 until n; k <- 0 until 2) yield math.min(pcca.memberships(i, k), 0.0)))
+      // VAMP whitening identity: U' C00 U = I on the kept components
+      val traj = Trajectories.fromLineitem(s, dir)
+      val cov = Covariance.fit(graft.lag.Lag.pairs(traj, 1))
+      val vamp = graft.decomposition.Vamp.fitFromCovariance(cov, 1)
+      val d = cov.d; val k = vamp.k
+      val c00 = DenseMatrix.tabulate(d, d)((i, j) => cov.cov00(i * d + j))
+      val u = DenseMatrix.tabulate(d, k)((i, j) => vamp.u(i * k + j))
+      val whiten = u.t * c00 * u
+      checks("vamp_whitening_identity") = maxAbs(
+        for (i <- 0 until k; j <- 0 until k) yield whiten(i, j) - (if (i == j) 1.0 else 0.0))
+      // rate matrices: generator validity + detailed balance of KL estimate
+      val kPseudo = graft.markov.MsmAnalysis.pseudoGenerator(t, 1.0)
+      checks("pseudo_generator_valid") =
+        if (graft.markov.RateMatrix.isRateMatrix(kPseudo, 1e-10)) 0.0 else 1.0
+      val denseCounts = TransitionCounting.toDense(counts, 5)
+      val kKl = graft.markov.RateMatrix.estimate(denseCounts, dt = 1.0, method = "KL",
+        piOpt = Some(pi), tol = 1e4)
+      checks("kl_generator_valid") =
+        if (graft.markov.RateMatrix.isRateMatrix(kKl, 1e-8)) 0.0 else 1.0
+      checks("kl_detailed_balance") = maxAbs(
+        for (i <- 0 until n; j <- 0 until n) yield pi(i) * kKl(i, j) - pi(j) * kKl(j, i))
+      import s.implicits._
+      def r6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      checks.toSeq.map { case (name, v) => (name, r6(v) + 0.0) }
+        .toDF("check", "violation")
+    }),
+
     // ---- Koopman reweighting (rows-only: driver eig coefficients) ------
     "q63_koopman_weights" -> ((s, dir) => {
       val traj = Trajectories.fromLineitem(s, dir)
@@ -1215,6 +1280,16 @@ object SparkEntry {
           SELECT state AS s0, s1, round(sum(1.0 * exp(-m_sum)), 6) AS cnt_rw
           FROM p WHERE s1 IS NOT NULL AND state >= 0 AND s1 >= 0
           GROUP BY state, s1""",
+
+    "q71_model_invariants" ->
+      """SELECT * FROM (VALUES
+           ('rev_rowsums', 0.0), ('rev_detailed_balance', 0.0),
+           ('pi_stationarity', 0.0), ('pi_normalized', 0.0),
+           ('committor_bvp', 0.0), ('mfpt_linear_system', 0.0),
+           ('pcca_membership_rowsums', 0.0), ('pcca_membership_nonneg', 0.0),
+           ('vamp_whitening_identity', 0.0), ('pseudo_generator_valid', 0.0),
+           ('kl_generator_valid', 0.0), ('kl_detailed_balance', 0.0)
+         ) AS t("check", violation)""",
 
     "q70_png_decode" ->
       """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 6 AS INT) AS width,
