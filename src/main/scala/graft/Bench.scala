@@ -17,6 +17,15 @@ object Bench {
     // optional comma-separated query-name filter for targeted timing
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // untimed session warmup: the first executed query otherwise absorbs
+    // ~5 s of one-time JVM/codegen/scan-infra cost (documented in
+    // BASELINE.md) and WHICH query that is shifts with map ordering as
+    // queries are added — q28 measured 0.85 s warm vs ~7 s when it drew
+    // the first slot. Warm the scan + window + agg + shuffle paths once.
+    try {
+      SparkEntry.queries("q01_tpch_agg")(spark, sfDir).count()
+      SparkEntry.queries("q02_lag_pairs")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

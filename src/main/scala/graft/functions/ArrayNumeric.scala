@@ -146,4 +146,114 @@ object ArrayNumeric {
   def cosine(x: Column, y: Column): Column =
     GraftExpressionBridge.toColumn(ArrayCosineSimilarity(
       expr(x.cast("array<double>")), expr(y.cast("array<double>"))))
+
+  /** All sign-plane LSH bucket ids of an embedding (native codegen). */
+  def signPlaneBuckets(v: Column, dim: Int, nPlanes: Int, numTables: Int,
+                       seed: Int): Column =
+    GraftExpressionBridge.toColumn(SignPlaneBuckets(
+      expr(v.cast("array<double>")), dim, nPlanes, numTables, seed))
+}
+
+/** All `numTables` sign-plane LSH bucket ids of a DOUBLE[] embedding in one
+  * fused codegen loop (graft.similarity sign-random-projection family).
+  * The +-1 plane pattern is precomputed from (seed, plane, dim) murmur
+  * signs and attached as a codegen reference object; accumulation order is
+  * ascending-index, matching both the Scala replay (Similarity.planeSign)
+  * and the DuckDB oracle twin (Similarity.bucketSqlExprs) bit-for-bit.
+  * Replaces the boxed Seq[Double] UDF on the q28 hot path. */
+case class SignPlaneBuckets(child: Expression, dim: Int, nPlanes: Int,
+                            numTables: Int, seed: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def prettyName: String = "sign_plane_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  /** flat [table][plane][dim] sign pattern; true = +1 */
+  @transient private lazy val signs: Array[Boolean] = {
+    val out = new Array[Boolean](numTables * nPlanes * dim)
+    var t = 0
+    while (t < numTables) {
+      var p = 0
+      while (p < nPlanes) {
+        var i = 0
+        while (i < dim) {
+          out((t * nPlanes + p) * dim + i) =
+            scala.util.hashing.MurmurHash3.productHash((seed + t, p, i)) >= 0
+          i += 1
+        }
+        p += 1
+      }
+      t += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val d = math.min(dim, v.numElements())
+    var i = 0
+    while (i < d) { if (v.isNullAt(i)) return null; i += 1 }
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var s = 0.0
+        val off = (t * nPlanes + p) * dim
+        i = 0
+        while (i < d) { s += (if (signs(off + i)) v.getDouble(i) else -v.getDouble(i)); i += 1 }
+        if (s >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val signsRef = ctx.addReferenceObj("signPlanes", signs, "boolean[]")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val off = ctx.freshName("off")
+      val bucket = ctx.freshName("bucket")
+      val out = ctx.freshName("out")
+      val ok = ctx.freshName("ok")
+      s"""
+         |int $d = java.lang.Math.min($dim, $v.numElements());
+         |boolean $ok = true;
+         |for (int $i = 0; $i < $d && $ok; $i++) {
+         |  if ($v.isNullAt($i)) $ok = false;
+         |}
+         |if ($ok) {
+         |  long[] $out = new long[$numTables];
+         |  for (int $t = 0; $t < $numTables; $t++) {
+         |    long $bucket = 0L;
+         |    for (int $p = 0; $p < $nPlanes; $p++) {
+         |      double $s = 0.0;
+         |      int $off = ($t * $nPlanes + $p) * $dim;
+         |      for (int $i = 0; $i < $d; $i++) {
+         |        $s += $signsRef[$off + $i] ? $v.getDouble($i) : -$v.getDouble($i);
+         |      }
+         |      if ($s >= 0.0) $bucket |= (1L << $p);
+         |    }
+         |    $out[$t] = $bucket;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

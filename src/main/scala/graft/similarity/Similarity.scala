@@ -63,35 +63,14 @@ object Similarity {
     if (scala.util.hashing.MurmurHash3.productHash((seed, p, i)) >= 0) 1 else -1
 
   /** All `numTables` bucket ids of a vector in ONE pass: array<bigint> of
-    * length numTables, bucket = nPlanes sign bits of +-1 projections.
-    * One UDF call per row over a precomputed sign table replaces the r02
-    * shape (numTables separate literal-array aggregate folds, recomputed
-    * per join side). */
+    * length numTables, bucket = nPlanes sign bits of +-1 projections —
+    * a native codegen Expression (fused loop over a precomputed sign
+    * table, no boxing), replacing both the r02 shape (numTables separate
+    * literal-array aggregate folds recomputed per join side) and the
+    * interim Seq[Double] UDF. */
   def hyperplaneBuckets(vec: Column, dim: Int, nPlanes: Int, numTables: Int,
-                        seed: Int = 42): Column = {
-    val signs: Array[Array[Int]] = Array.tabulate(numTables) { t =>
-      Array.tabulate(nPlanes * dim)(pi => planeSign(seed + t, pi / dim, pi % dim))
-    }
-    val nt = numTables; val np = nPlanes; val dd = dim
-    val f = udf { (v: Seq[Double]) =>
-      val d = math.min(dd, v.length)
-      Array.tabulate(nt) { t =>
-        val st = signs(t)
-        var bucket = 0L
-        var p = 0
-        while (p < np) {
-          var s = 0.0
-          val off = p * dd
-          var i = 0
-          while (i < d) { s += (if (st(off + i) > 0) v(i) else -v(i)); i += 1 }
-          if (s >= 0) bucket |= (1L << p)
-          p += 1
-        }
-        bucket
-      }
-    }
-    f(vec.cast("array<double>"))
-  }
+                        seed: Int = 42): Column =
+    graft.functions.ArrayNumeric.signPlaneBuckets(vec, dim, nPlanes, numTables, seed)
 
   /** DuckDB SQL twins of `hyperplaneBuckets`: one expression per table
     * computing the identical bucket id over a DOUBLE[] SQL column
