@@ -115,30 +115,16 @@ object Dedup {
 
   /** 64-bit SimHash of whitespace tokens: bit j of the signature is the
     * sign of sum over tokens of (+1 if bit j of xxhash64(token) else -1).
-    * Token hashing uses Spark's native xxhash64 for parity with the
-    * column-expression ops; the bit-vote loop is a deterministic Scala UDF
-    * over the pre-hashed token array (the hash pass stays codegen'd). */
+    * Token hashing uses Spark's native xxhash64; the bit-vote is a native
+    * codegen expression (graft.functions.SimhashFromHashes) — the whole
+    * signature pass now stays inside whole-stage codegen, no UDF. */
   def simhash(text: Column): Column = {
     val hashes = transform(split(trim(text), "\\s+"), t => xxhash64(t))
     simhashFromHashes(hashes)
   }
 
-  private val simhashUdf = udf { (hs: Seq[Long]) =>
-    val votes = new Array[Int](64)
-    hs.foreach { h =>
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
-    sig
-  }
-
-  def simhashFromHashes(hashes: Column): Column = simhashUdf(hashes)
+  def simhashFromHashes(hashes: Column): Column =
+    graft.functions.ArrayNumeric.simhash64(hashes)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column =

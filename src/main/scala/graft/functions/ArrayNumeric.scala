@@ -147,6 +147,11 @@ object ArrayNumeric {
     GraftExpressionBridge.toColumn(ArrayCosineSimilarity(
       expr(x.cast("array<double>")), expr(y.cast("array<double>"))))
 
+
+  /** 64-bit simhash of a pre-hashed token array (native codegen). */
+  def simhash64(hashes: Column): Column =
+    GraftExpressionBridge.toColumn(SimhashFromHashes(expr(hashes)))
+
   /** All sign-plane LSH bucket ids of an embedding (native codegen). */
   def signPlaneBuckets(v: Column, dim: Int, nPlanes: Int, numTables: Int,
                        seed: Int): Column =
@@ -251,6 +256,73 @@ case class SignPlaneBuckets(child: Expression, dim: Int, nPlanes: Int,
          |} else {
          |  ${ev.isNull} = true;
          |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash signature from a pre-hashed token array: bit j of the
+  * result is set iff the majority of token hashes have bit j set
+  * (sign of the +-1 bit vote). One fused loop in codegen — replaces the
+  * last UDF on the dedup hot path (the xxhash64 token pass was already
+  * codegen; now the vote is too). Null tokens are skipped, matching the
+  * UDF's Seq[Long] behavior on non-null input; NULL array -> NULL. */
+case class SimhashFromHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val h = hs.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $hs.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$hs.isNullAt($i)) {
+         |    long $h = $hs.getLong($i);
+         |    for (int $j = 0; $j < 64; $j++) {
+         |      if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
        """.stripMargin
     })
 

@@ -96,6 +96,53 @@ object Streaming {
       .toDF("traj_id", "t", "x", "y")
   }
 
+  /** Bounded per-key state for streaming discrete lag pairing. */
+  case class DLagState(times: List[Long], states: List[Int])
+
+  /** Emit (traj_id, t, s0, s1=s_{t+tau}) transition pairs from an
+    * unbounded dtraj stream (in order per trajectory, as lagPairsStream).
+    * Blank states (-1) still occupy a time slot — pairs touching them are
+    * dropped downstream exactly like the batch path. */
+  def lagStatePairsStream(stream: DataFrame, tau: Int): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("traj_id").cast("long"), col("t").cast("long"),
+        col("state").cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DLagState, (Long, Long, Int, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (trajId, rows, state: GroupState[DLagState]) =>
+          val prev = state.getOption.getOrElse(DLagState(Nil, Nil))
+          var times = prev.times
+          var states = prev.states
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, t, s) =>
+            times = times :+ t
+            states = states :+ s
+            if (times.length > tau) {
+              out += ((trajId, times.head, states.head, s))
+              times = times.tail
+              states = states.tail
+            }
+          }
+          state.update(DLagState(times, states))
+          out.iterator
+      }
+      .toDF("traj_id", "t", "s0", "s1")
+  }
+
+  /** Streaming transition-count matrix: the state-pair stream into an
+    * UPDATE-mode groupBy count — a genuine streaming aggregation whose
+    * state is bounded by n^2 keys regardless of stream length, so it runs
+    * forever at any rate. Collecting the update-mode sink (or reading the
+    * state store) yields the live count matrix for online MSM refresh. */
+  def streamingCountMatrix(stream: DataFrame, tau: Int): DataFrame =
+    lagStatePairsStream(stream, tau)
+      .where(col("s0") >= 0 && col("s1") >= 0)
+      .groupBy("s0", "s1")
+      .agg(count(lit(1)).as("cnt"))
+
   /** Wire a streaming trajectory source into an online covariance: pairs
     * via `lagPairsStream`, folded per micro-batch through
     * `RunningCovar.partialFit` (the foreachBatch shape). Returns the query

@@ -69,6 +69,33 @@ class StreamingSpec extends SparkSpec with Matchers {
     batch.size shouldBe 3 * 48
   }
 
+
+  test("streaming count matrix (update mode) equals batch sliding counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(5)
+    val data = (0L until 4L).flatMap { id =>
+      (0L until 60L).map(t => (id, t, rng.nextInt(5)))
+    }
+    val mem = MemoryStream[(Long, Long, Int)]
+    val stream = mem.toDF().toDF("traj_id", "t", "state")
+    val counts = Streaming.streamingCountMatrix(stream, tau = 1)
+    val query = counts.writeStream.format("memory")
+      .queryName("counts_out").outputMode("complete").start()
+    mem.addData(data.filter(_._2 < 25): _*)
+    query.processAllAvailable()
+    mem.addData(data.filter(_._2 >= 25): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.table("counts_out").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = graft.markov.TransitionCounting.slidingCounts(
+        data.toDF("traj_id", "t", "state"), 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    streamed shouldBe batch
+  }
+
   test("model persistence: java roundtrip and json roundtrip") {
     val traj = trajDf(500, 7L)
     val model = graft.decomposition.Tica.fit(traj, tau = 1)
