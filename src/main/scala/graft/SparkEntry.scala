@@ -89,6 +89,21 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Fact-to-fact shuffle join (orders |x| lineitem on orderkey): the one
+    // join class q25's broadcast dimension join doesn't cover — both sides
+    // are data-sized, so this is the sort-merge/shuffled-hash shape a
+    // 100 TB join planner must get right (AQE picks the strategy; the join
+    // key is the natural co-partitioning key for both tables at scale).
+    "q72_order_priority_join" -> ((s, dir) => {
+      val orders = Trajectories.table(s, dir, "orders")
+      val li = Trajectories.table(s, dir, "lineitem")
+      orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
     "q25_symbol_remap_join" -> ((s, dir) => {
       val c = Trajectories.table(s, dir, "customer")
       val n = Trajectories.table(s, dir, "nation")
@@ -838,6 +853,14 @@ object SparkEntry {
          round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
          count(*) AS n
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q72_order_priority_join" ->
+      """SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority""",
 
     "q25_symbol_remap_join" ->
       """SELECT n_name, count(*) AS n_customers
