@@ -828,6 +828,57 @@ object SparkEntry {
         .toDF("check", "violation")
     }),
 
+    // ---- iterative-estimator invariant battery (q71's counterpart for
+    // the EM / Gibbs / spectral-correction family whose values cannot have
+    // SQL twins; every violation must round to exactly 0.0) -------------
+    "q73_estimator_invariants" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, sum => bsum}
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+      def stochViolation(t: DenseMatrix[Double]): Double = math.max(
+        maxAbs((0 until t.rows).map(i => bsum(t(i, ::).t) - 1.0)),
+        maxAbs(for (i <- 0 until t.rows; j <- 0 until t.cols)
+          yield math.min(t(i, j), 0.0)))
+      val checks = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val dtrajAll = Trajectories.dtrajFromEvents(s, dir)
+      val dtraj = dtrajAll.where(col("state") >= 0)
+
+      val hmm = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 5, maxIter = 15)
+      checks("hmm_transition_stochastic") = stochViolation(hmm.transition)
+      checks("hmm_emission_stochastic") = stochViolation(hmm.emission)
+
+      // Gibbs posterior: every sample must be a reversible transition matrix
+      val post = graft.markov.BayesianMsm.fit(dtrajAll, tau = 1, nStates = 5,
+        nSamples = 20, seed = 42L, nChains = 4, useEffectiveCounts = false)
+      checks("bayes_samples_stochastic") =
+        maxAbs(post.samples.map(m => stochViolation(m.transitionMatrix)))
+      checks("bayes_samples_detailed_balance") = maxAbs(post.samples.map { m =>
+        val pi = m.stationaryDistribution
+        maxAbs(for (i <- 0 until m.n; j <- 0 until m.n)
+          yield pi(i) * m.transitionMatrix(i, j) - pi(j) * m.transitionMatrix(j, i))
+      })
+
+      // OOM equilibrium correction preserves row normalization
+      val oom = graft.markov.Oom.fit(dtrajAll, tau = 1, nStates = 5,
+        rankTol = 2.0, nbs = 50)
+      checks("oom_rows_normalized") = maxAbs(
+        (0 until oom.transitionMatrix.rows).map(i =>
+          bsum(oom.transitionMatrix(i, ::).t) - 1.0))
+
+      // AMM: biased model is a proper MSM with a normalized stationary dist
+      val counts = TransitionCounting.toDense(
+        TransitionCounting.slidingCounts(dtrajAll, 1), 5)
+      val eObs = breeze.linalg.DenseMatrix.tabulate(5, 1)((i, _) => i.toDouble)
+      val amm = graft.markov.Amm.fit(counts, eObs,
+        breeze.linalg.DenseVector(2.3), breeze.linalg.DenseVector(2.0))
+      checks("amm_transition_stochastic") = stochViolation(amm.transitionMatrix)
+      checks("amm_pi_normalized") = math.abs(bsum(amm.stationaryDistribution) - 1.0)
+
+      import s.implicits._
+      def r6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+      checks.toSeq.map { case (name, v) => (name, r6(v) + 0.0) }
+        .toDF("check", "violation")
+    }),
+
     // ---- Koopman reweighting (rows-only: driver eig coefficients) ------
     "q63_koopman_weights" -> ((s, dir) => {
       val traj = Trajectories.fromLineitem(s, dir)
@@ -1303,6 +1354,14 @@ object SparkEntry {
           SELECT state AS s0, s1, round(sum(1.0 * exp(-m_sum)), 6) AS cnt_rw
           FROM p WHERE s1 IS NOT NULL AND state >= 0 AND s1 >= 0
           GROUP BY state, s1""",
+
+    "q73_estimator_invariants" ->
+      """SELECT * FROM (VALUES
+           ('hmm_transition_stochastic', 0.0), ('hmm_emission_stochastic', 0.0),
+           ('bayes_samples_stochastic', 0.0), ('bayes_samples_detailed_balance', 0.0),
+           ('oom_rows_normalized', 0.0),
+           ('amm_transition_stochastic', 0.0), ('amm_pi_normalized', 0.0)
+         ) AS t("check", violation)""",
 
     "q71_model_invariants" ->
       """SELECT * FROM (VALUES
