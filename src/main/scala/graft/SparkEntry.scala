@@ -753,14 +753,21 @@ object SparkEntry {
     // twin); the KL / Crommelin-Vanden-Eijnden quasi-Newton estimators are
     // spec-verified against the reference fixture (RateMatrixSpec).
     "q69_rate_matrix" -> ((s, dir) => {
+      // fully distributed pseudo-generator over OBSERVED transitions (the
+      // q09 pattern): row-normalize the count frame, subtract identity,
+      // divide by tau — same row set as the oracle on ANY data, including
+      // disconnected states / unobserved pairs (the earlier driver-matrix
+      // emit produced the full n x n grid over the largest connected set,
+      // which only coincided with the oracle because this dataset happens
+      // to observe all 25 pairs). The driver-side generator estimators
+      // (pseudo/truncated_log/CVE/KL) are exercised by RateMatrixSpec and
+      // the q71 invariants.
       val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 2)
-      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 2, reversible = false)
-      val k = graft.markov.MsmAnalysis.pseudoGenerator(msm.transitionMatrix, 2.0)
-      import s.implicits._
-      def r6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
-      (for (i <- 0 until msm.n; j <- 0 until msm.n) yield
-        (msm.states(i), msm.states(j), r6(k(i, j)) + 0.0))
-        .toDF("s0", "s1", "rate")
+      counts.withColumn("t_prob",
+          col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy("s0")))
+        .select(col("s0"), col("s1"),
+          round((col("t_prob") -
+            when(col("s0") === col("s1"), 1.0).otherwise(0.0)) / 2.0, 6).as("rate"))
     }),
 
     // ---- model-invariant battery (reference property-test style:
@@ -786,16 +793,20 @@ object SparkEntry {
       checks("pi_stationarity") = maxAbs((0 until n).map(j =>
         (0 until n).map(i => pi(i) * t(i, j)).sum - pi(j)))
       checks("pi_normalized") = math.abs(bsum(pi) - 1.0)
-      val a = Set(0); val b = Set(4)
+      // endpoint states in MODEL indexing (robust to a largest-connected
+      // set smaller than the raw state count)
+      val a = Set(0); val b = Set(msmNon.n - 1)
       val tn = msmNon.transitionMatrix
+      val nn = msmNon.n
       val qf = msmNon.committorForward(a, b)
       checks("committor_bvp") = maxAbs(
-        (0 until n).filterNot(i => a.contains(i) || b.contains(i)).map(i =>
-          (0 until n).map(j => tn(i, j) * qf(j)).sum - qf(i)))
-      val mfptVec = msmNon.mfpt(Set(4))
+        (0 until nn).filterNot(i => a.contains(i) || b.contains(i)).map(i =>
+          (0 until nn).map(j => tn(i, j) * qf(j)).sum - qf(i)))
+      val tgt = nn - 1
+      val mfptVec = msmNon.mfpt(Set(tgt))
       checks("mfpt_linear_system") = maxAbs(
-        (0 until n).filter(_ != 4).map(i =>
-          1.0 + (0 until n).filter(_ != 4).map(j => tn(i, j) * mfptVec(j)).sum - mfptVec(i)))
+        (0 until nn).filter(_ != tgt).map(i =>
+          1.0 + (0 until nn).filter(_ != tgt).map(j => tn(i, j) * mfptVec(j)).sum - mfptVec(i)))
       val pcca = graft.markov.Pcca(msmRev, 2)
       checks("pcca_membership_rowsums") = maxAbs((0 until n).map(i =>
         pcca.memberships(i, 0) + pcca.memberships(i, 1) - 1.0))
@@ -815,7 +826,12 @@ object SparkEntry {
       val kPseudo = graft.markov.MsmAnalysis.pseudoGenerator(t, 1.0)
       checks("pseudo_generator_valid") =
         if (graft.markov.RateMatrix.isRateMatrix(kPseudo, 1e-10)) 0.0 else 1.0
-      val denseCounts = TransitionCounting.toDense(counts, 5)
+      // KL over the SAME largest-connected-set restriction msmRev uses, so
+      // pi's indexing always matches the count submatrix (the full 5x5
+      // frame would mismatch whenever a state is disconnected)
+      val denseAll = TransitionCounting.toDense(counts, 5)
+      val lcsStates = graft.markov.Connectivity.largestConnectedSet(denseAll)
+      val denseCounts = graft.markov.Connectivity.submatrix(denseAll, lcsStates)
       val kKl = graft.markov.RateMatrix.estimate(denseCounts, dt = 1.0, method = "KL",
         piOpt = Some(pi), tol = 1e4)
       checks("kl_generator_valid") =

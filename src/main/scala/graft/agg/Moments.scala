@@ -184,43 +184,62 @@ object Covariance {
       .toMap
   }
 
-  /** Complement model by raw-moment subtraction: the covariance of
-    * (total \ part) WITHOUT another scan. Exact because the buffer sums
-    * (w, s_x, s_y, X'X, X'Y, Y'Y) are additive over disjoint row sets —
-    * the inverse of the Chan combine. Used by cross-validation: test-fold
-    * covariance = total - train, halving the aggregation passes. */
+  /** Complement model by moment subtraction: the covariance of
+    * (total \ part) WITHOUT another scan — the inverse of the Chan
+    * combine. Used by cross-validation: test-fold covariance = total -
+    * train, halving the aggregation passes.
+    *
+    * Numerical shape: all second moments are reconstructed CENTERED AT THE
+    * TOTAL MEANS before subtracting (for any fixed center c the shifted
+    * sums S(c) = sum (x_i - c_a)(y_i - c_b) are additive over disjoint row
+    * sets). Subtracting RAW (zero-centered) moments instead would difference
+    * two near-equal ~w*mean^2 quantities and reintroduce exactly the
+    * catastrophic cancellation the centered-at-finalize aggregator avoids
+    * (reference float64 policy, covariance/util/_moments.py:1-17). */
   def subtractModel(total: CovarianceModel, part: CovarianceModel,
                     bessel: Boolean = true): CovarianceModel = {
     val d = total.d
     require(part.d == d, "dimension mismatch")
-    def raw(m: CovarianceModel, c: Array[Double], ma: Array[Double],
-            mb: Array[Double]): Array[Double] = {
-      val denom = if (bessel) m.weight - 1.0 else m.weight
-      Array.tabulate(d * d) { k =>
-        val i = k / d; val j = k % d
-        c(k) * denom + m.weight * ma(i) * mb(j)
-      }
-    }
     val w = total.weight - part.weight
     val n = total.count - part.count
     val denom = if (bessel) w - 1.0 else w
-    val sx = Array.tabulate(d)(i => total.mean0(i) * total.weight - part.mean0(i) * part.weight)
-    val sy = Array.tabulate(d)(i => total.meant(i) * total.weight - part.meant(i) * part.weight)
-    val m0 = Array.tabulate(d)(i => sx(i) / w)
-    val mt = Array.tabulate(d)(i => sy(i) / w)
-    def diff(get: CovarianceModel => Array[Double], maT: Array[Double], mbT: Array[Double],
-             maP: Array[Double], mbP: Array[Double], ma: Array[Double], mb: Array[Double]) = {
-      val st = raw(total, get(total), maT, mbT)
-      val sp = raw(part, get(part), maP, mbP)
+    // means subtract via weighted sums (mild cancellation only: the two
+    // terms differ by O(w) not O(w * mean))
+    val m0 = Array.tabulate(d)(i =>
+      (total.mean0(i) * total.weight - part.mean0(i) * part.weight) / w)
+    val mt = Array.tabulate(d)(i =>
+      (total.meant(i) * total.weight - part.meant(i) * part.weight) / w)
+    // shifted second-moment sums about center (ca, cb) = total means:
+    // S_m(c) = cov_m * denom_m + w_m (mean_a - c_a)(mean_b - c_b)
+    def shifted(m: CovarianceModel, c: Array[Double], ma: Array[Double],
+                mb: Array[Double], ca: Array[Double], cb: Array[Double]): Array[Double] = {
+      val dm = if (bessel) m.weight - 1.0 else m.weight
       Array.tabulate(d * d) { k =>
         val i = k / d; val j = k % d
-        (st(k) - sp(k) - w * ma(i) * mb(j)) / denom
+        c(k) * dm + m.weight * (ma(i) - ca(i)) * (mb(j) - cb(j))
+      }
+    }
+    def diff(get: CovarianceModel => Array[Double],
+             maT: Array[Double], mbT: Array[Double],
+             maP: Array[Double], mbP: Array[Double],
+             ma: Array[Double], mb: Array[Double],
+             ca: Array[Double], cb: Array[Double]) = {
+      val st = shifted(total, get(total), maT, mbT, ca, cb)
+      val sp = shifted(part, get(part), maP, mbP, ca, cb)
+      // re-center the complement from c to its own means:
+      // S_test(own) = S_test(c) - w (m_a - c_a)(m_b - c_b)
+      Array.tabulate(d * d) { k =>
+        val i = k / d; val j = k % d
+        (st(k) - sp(k) - w * (ma(i) - ca(i)) * (mb(j) - cb(j))) / denom
       }
     }
     CovarianceModel(w, n, d, m0, mt,
-      diff(_.cov00, total.mean0, total.mean0, part.mean0, part.mean0, m0, m0),
-      diff(_.cov0t, total.mean0, total.meant, part.mean0, part.meant, m0, mt),
-      diff(_.covtt, total.meant, total.meant, part.meant, part.meant, mt, mt))
+      diff(_.cov00, total.mean0, total.mean0, part.mean0, part.mean0,
+        m0, m0, total.mean0, total.mean0),
+      diff(_.cov0t, total.mean0, total.meant, part.mean0, part.meant,
+        m0, mt, total.mean0, total.meant),
+      diff(_.covtt, total.meant, total.meant, part.meant, part.meant,
+        mt, mt, total.meant, total.meant))
   }
 
   /** Unlagged covariance of the canonical trajectory frame. */

@@ -150,7 +150,8 @@ object ArrayNumeric {
 
   /** 64-bit simhash of a pre-hashed token array (native codegen). */
   def simhash64(hashes: Column): Column =
-    GraftExpressionBridge.toColumn(SimhashFromHashes(expr(hashes)))
+    GraftExpressionBridge.toColumn(SimhashFromHashes(
+      expr(hashes.cast("array<bigint>"))))
 
   /** All sign-plane LSH bucket ids of an embedding (native codegen). */
   def signPlaneBuckets(v: Column, dim: Int, nPlanes: Int, numTables: Int,

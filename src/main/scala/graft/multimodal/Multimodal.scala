@@ -128,8 +128,10 @@ object Multimodal {
     * un-filters, gray/rgb/rgba/palette) — the r02 fake plane is gone.
     * Non-PNG formats (no codec in this container) and unsupported PNG
     * variants decode to NULL, never to fabricated pixels. Pixels are
-    * channel-interleaved floats in [0, 1]. */
-  def decodeImages(df: DataFrame, binCol: String, targetW: Int = 8, targetH: Int = 8): DataFrame = {
+    * channel-interleaved floats in [0, 1] at NATIVE dimensions — resample
+    * afterwards with `resizePixels` (the old targetW/targetH parameters
+    * documented a resize this function never performed). */
+  def decodeImages(df: DataFrame, binCol: String): DataFrame = {
     val dec = udf { (bytes: Array[Byte]) =>
       PngCodec.decode(bytes).map { d =>
         val px = new Array[Float](d.pixels.length)

@@ -75,7 +75,10 @@ object PngCodec {
     try {
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // n == 0 while unfinished means needsInput (truncated) OR
+        // needsDictionary (FDICT streams, unsupported) — either way bail,
+        // never spin: one adversarial payload must not wedge an executor
+        if (n == 0) return None
         got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return None }

@@ -59,12 +59,36 @@ object Streaming {
     def count: Long = buf.n
   }
 
-  /** Bounded per-key state for streaming lag pairing. */
-  case class LagState(times: List[Long], feats: List[Seq[Double]])
+  /** Bounded per-key state for streaming lag pairing over any payload. */
+  case class LagState[V](times: List[Long], vals: List[V])
 
-  /** Emit (traj_id, t, x, y=x_{t+tau}) pairs from an unbounded stream of
-    * (traj_id, t, features) rows that arrive IN ORDER per trajectory (the
-    * usual Kafka-partitioned-by-key contract). State per key: `tau` frames. */
+  /** The one streaming lag-buffer state machine, shared by the feature and
+    * discrete-state pairings: rows arrive IN ORDER per trajectory (the
+    * usual Kafka-partitioned-by-key contract), state per key holds `tau`
+    * frames, and each arrival beyond that emits the pair for the frame
+    * `tau` steps back. */
+  private def lagBuffered[V](trajId: Long, rows: Iterator[(Long, Long, V)],
+                             state: GroupState[LagState[V]],
+                             tau: Int): Iterator[(Long, Long, V, V)] = {
+    val prev = state.getOption.getOrElse(LagState[V](Nil, Nil))
+    var times = prev.times
+    var vals = prev.vals
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, V, V)]
+    rows.toSeq.sortBy(_._2).foreach { case (_, t, x) =>
+      times = times :+ t
+      vals = vals :+ x
+      if (times.length > tau) {
+        out += ((trajId, times.head, vals.head, x))
+        times = times.tail
+        vals = vals.tail
+      }
+    }
+    state.update(LagState(times, vals))
+    out.iterator
+  }
+
+  /** Emit (traj_id, t, x, y=x_{t+tau}) feature pairs from an unbounded
+    * stream of (traj_id, t, features) rows. */
   def lagPairsStream(stream: DataFrame, tau: Int): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
@@ -72,37 +96,17 @@ object Streaming {
         col("features").cast("array<double>"))
       .as[(Long, Long, Seq[Double])]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[LagState, (Long, Long, Seq[Double], Seq[Double])](
+      .flatMapGroupsWithState[LagState[Seq[Double]], (Long, Long, Seq[Double], Seq[Double])](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (trajId, rows, state: GroupState[LagState]) =>
-          val prev = state.getOption.getOrElse(LagState(Nil, Nil))
-          var times = prev.times
-          var feats = prev.feats
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Seq[Double], Seq[Double])]
-          rows.toSeq.sortBy(_._2).foreach { case (_, t, x) =>
-            times = times :+ t
-            feats = feats :+ x
-            if (times.length > tau) {
-              // head is the frame tau steps back: emit its pair
-              out += ((trajId, times.head, feats.head, x))
-              times = times.tail
-              feats = feats.tail
-            }
-          }
-          state.update(LagState(times, feats))
-          out.iterator
+        (trajId, rows, state) => lagBuffered(trajId, rows, state, tau)
       }
       .toDF("traj_id", "t", "x", "y")
   }
 
-  /** Bounded per-key state for streaming discrete lag pairing. */
-  case class DLagState(times: List[Long], states: List[Int])
-
   /** Emit (traj_id, t, s0, s1=s_{t+tau}) transition pairs from an
-    * unbounded dtraj stream (in order per trajectory, as lagPairsStream).
-    * Blank states (-1) still occupy a time slot — pairs touching them are
-    * dropped downstream exactly like the batch path. */
+    * unbounded dtraj stream (same contract/state machine as
+    * lagPairsStream). Blank states (-1) still occupy a time slot — pairs
+    * touching them are dropped downstream exactly like the batch path. */
   def lagStatePairsStream(stream: DataFrame, tau: Int): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
@@ -110,24 +114,9 @@ object Streaming {
         col("state").cast("int"))
       .as[(Long, Long, Int)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[DLagState, (Long, Long, Int, Int)](
+      .flatMapGroupsWithState[LagState[Int], (Long, Long, Int, Int)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (trajId, rows, state: GroupState[DLagState]) =>
-          val prev = state.getOption.getOrElse(DLagState(Nil, Nil))
-          var times = prev.times
-          var states = prev.states
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
-          rows.toSeq.sortBy(_._2).foreach { case (_, t, s) =>
-            times = times :+ t
-            states = states :+ s
-            if (times.length > tau) {
-              out += ((trajId, times.head, states.head, s))
-              times = times.tail
-              states = states.tail
-            }
-          }
-          state.update(DLagState(times, states))
-          out.iterator
+        (trajId, rows, state) => lagBuffered(trajId, rows, state, tau)
       }
       .toDF("traj_id", "t", "s0", "s1")
   }

