@@ -748,6 +748,28 @@ object SparkEntry {
             (acc, p) => acc + round(p * 255.0f).cast("long")).as("px_sum"))
     }),
 
+    // ---- real WAV PCM decode, oracle-checked end to end (q70 pattern) --
+    "q74_wav_decode" -> ((s, dir) => {
+      val mk = udf { (docId: Long) =>
+        val n = (50 + docId % 40).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((docId * 13 + i * 7) % 2001 - 1000).toShort)
+        graft.multimodal.WavCodec.encodePcm16(8000 + (docId % 3).toInt * 4000, 1, samples)
+      }
+      val dec = udf { (bytes: Array[Byte]) =>
+        graft.multimodal.WavCodec.decode(bytes).map { d =>
+          // reconstruct the exact int16 values from the float samples
+          val ints = d.samples.map(f => math.round(f * 32768.0f).toLong)
+          (d.sampleRate, d.samples.length.toLong, ints.sum)
+        }.orNull
+      }
+      docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
+        .select(col("doc_id"),
+          dec(col("payload")).cast("struct<sample_rate: int, n_samples: bigint, sample_sum: bigint>").as("d"))
+        .select(col("doc_id"), col("d.sample_rate").as("sample_rate"),
+          col("d.n_samples").as("n_samples"), col("d.sample_sum").as("sample_sum"))
+    }),
+
     // ---- rate-matrix estimation (SURVEY 2.6; ratematrix.py family) -----
     // Query surface = pseudo-generator of the nonreversible MLE (exact SQL
     // twin); the KL / Crommelin-Vanden-Eijnden quasi-Newton estimators are
@@ -1388,6 +1410,15 @@ object SparkEntry {
            ('vamp_whitening_identity', 0.0), ('pseudo_generator_valid', 0.0),
            ('kl_generator_valid', 0.0), ('kl_detailed_balance', 0.0)
          ) AS t("check", violation)""",
+
+    "q74_wav_decode" ->
+      """WITH d AS (SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+           CAST(50 + doc_id % 40 AS BIGINT) AS n_samples FROM documents)
+         SELECT d.doc_id, d.sample_rate, d.n_samples,
+           CAST(list_sum(list_transform(range(0, CAST(d.n_samples AS INT)),
+             i -> (d.doc_id * 13 + i * 7) % 2001 - 1000)) AS BIGINT) AS sample_sum
+         FROM d""",
 
     "q70_png_decode" ->
       """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 6 AS INT) AS width,

@@ -85,4 +85,41 @@ class SparseCovSpec extends SparkSpec with Matchers {
     val msm = graft.markov.Msm.fromCounts(counts, 2, 1)
     msm.transitionMatrix(0, 0) shouldBe 0.95 +- 0.02
   }
+
+  test("subtractModel: complement equals direct fit, including ill-centered data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    // mean >> std (condition ~1e6): the raw-moment subtraction formulation
+    // differences near-equal ~w*mean^2 terms; centered-at-total-mean
+    // reconstruction keeps full accuracy. (At even more extreme centering,
+    // mean/std ~ 1e6, the ONE-PASS aggregator's own finish term w*m*m
+    // dominates the error budget for every model — the reference's answer
+    // is the same: scale features to O(1), as Trajectories.fromLineitem
+    // does deliberately.)
+    val rows = (0 until 4000).map { i =>
+      val flag = i % 3 == 0
+      (flag,
+        Seq(1.0e3 + rng.nextGaussian(), -5.0e2 + 2.0 * rng.nextGaussian()),
+        Seq(1.0e3 + rng.nextGaussian(), -5.0e2 + 2.0 * rng.nextGaussian()))
+    }
+    val df = rows.toDF("flag", "x", "y").cache()
+    val total = Covariance.fit(df.select(col("x"), col("y")))
+    val part = Covariance.fit(df.where(col("flag")).select(col("x"), col("y")))
+    val direct = Covariance.fit(df.where(!col("flag")).select(col("x"), col("y")))
+    val sub = Covariance.subtractModel(total, part)
+    sub.count shouldBe direct.count
+    sub.weight shouldBe direct.weight +- 1e-9
+    for (i <- 0 until 2) {
+      sub.mean0(i) shouldBe direct.mean0(i) +- 1e-6
+      sub.meant(i) shouldBe direct.meant(i) +- 1e-6
+    }
+    for (k <- 0 until 4) {
+      // covariances are O(1)-O(4); demand absolute accuracy ~1e-6 even
+      // though the means are O(1e6)
+      sub.cov00(k) shouldBe direct.cov00(k) +- 1e-6
+      sub.cov0t(k) shouldBe direct.cov0t(k) +- 1e-6
+      sub.covtt(k) shouldBe direct.covtt(k) +- 1e-6
+    }
+    df.unpersist()
+  }
 }

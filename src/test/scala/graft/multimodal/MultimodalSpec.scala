@@ -106,6 +106,26 @@ class MultimodalSpec extends SparkSpec with Matchers {
     frames.select(expr("length(frame)")).collect().foreach(_.getInt(0) shouldBe 100)
   }
 
+
+  test("wav codec: pcm16 round trip, canonical fixture, honest None") {
+    val rng = new scala.util.Random(11)
+    val samples = Array.fill[Short](500)((rng.nextInt(65536) - 32768).toShort)
+    val d = WavCodec.decode(WavCodec.encodePcm16(44100, 2, samples)).get
+    d.sampleRate shouldBe 44100
+    d.channels shouldBe 2
+    d.bitsPerSample shouldBe 16
+    d.samples.length shouldBe 500
+    samples.indices.foreach(i =>
+      math.round(d.samples(i) * 32768.0f).toShort shouldBe samples(i))
+    // the spec fixture: 16000 bytes of 16-bit silence at 8 kHz
+    val f = WavCodec.decode(wav8k).get
+    f.sampleRate shouldBe 8000
+    f.samples.length shouldBe 8000
+    f.samples.forall(_ == 0.0f) shouldBe true
+    WavCodec.decode("RIFFnope".getBytes ++ new Array[Byte](64)) shouldBe None
+    WavCodec.decode(null) shouldBe None
+  }
+
   test("pre-token count matches hand count on GPT-2-style boundaries") {
     import spark.implicits._
     val df = Seq(
