@@ -770,6 +770,20 @@ object SparkEntry {
           col("d.n_samples").as("n_samples"), col("d.sample_sum").as("sample_sum"))
     }),
 
+    // ---- audio decode -> frame -> features, oracle-checked end to end --
+    "q75_audio_features" -> ((s, dir) => {
+      val mk = udf { (docId: Long) =>
+        val n = (50 + docId % 40).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((docId * 13 + i * 7) % 2001 - 1000).toShort)
+        graft.multimodal.WavCodec.encodePcm16(8000, 1, samples)
+      }
+      val withWav = docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      graft.multimodal.Multimodal.audioFrameFeatures(withWav, "payload", frameLen = 25)
+        .select(col("doc_id"), col("frame_idx"),
+          round(col("rms"), 6).as("rms"), col("zero_crossings"))
+    }),
+
     // ---- rate-matrix estimation (SURVEY 2.6; ratematrix.py family) -----
     // Query surface = pseudo-generator of the nonreversible MLE (exact SQL
     // twin); the KL / Crommelin-Vanden-Eijnden quasi-Newton estimators are
@@ -1410,6 +1424,21 @@ object SparkEntry {
            ('vamp_whitening_identity', 0.0), ('pseudo_generator_valid', 0.0),
            ('kl_generator_valid', 0.0), ('kl_detailed_balance', 0.0)
          ) AS t("check", violation)""",
+
+    "q75_audio_features" ->
+      """WITH d AS (SELECT doc_id, CAST(50 + doc_id % 40 AS INT) AS n FROM documents),
+         f AS (SELECT doc_id, n, unnest(range(0, n // 25)) AS frame_idx FROM d),
+         s AS (SELECT doc_id, frame_idx,
+           list_transform(range(0, 25),
+             i -> CAST((doc_id * 13 + (frame_idx * 25 + i) * 7) % 2001 - 1000 AS DOUBLE)
+               / 32768.0) AS v
+           FROM f)
+         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           round(sqrt(list_sum(list_transform(v, x -> x * x)) / 25.0), 6) AS rms,
+           CAST(list_sum(list_transform(range(1, 25),
+             i -> CASE WHEN (v[i + 1] >= 0) != (v[i] >= 0) THEN 1 ELSE 0 END)) AS INT)
+             AS zero_crossings
+         FROM s""",
 
     "q74_wav_decode" ->
       """WITH d AS (SELECT doc_id,

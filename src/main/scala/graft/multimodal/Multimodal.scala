@@ -156,6 +156,39 @@ object Multimodal {
     })
   }
 
+  /** Frame-level audio features over REAL decoded WAV PCM: one row per
+    * non-overlapping `frameLen`-sample frame with RMS energy and
+    * zero-crossing rate — the decode -> frame -> feature-extract pipeline
+    * shape of the multimodal brief, end to end on actual samples. Rows
+    * with undecodable payloads are dropped (WavCodec's decoded-or-None
+    * contract); the UDF emits bounded per-row output and the explode is
+    * partition-local. */
+  def audioFrameFeatures(df: DataFrame, binCol: String, frameLen: Int): DataFrame = {
+    val feats = udf { (bytes: Array[Byte]) =>
+      WavCodec.decode(bytes).map { d =>
+        val n = d.samples.length / frameLen
+        Array.tabulate(n) { f =>
+          val off = f * frameLen
+          var sq = 0.0
+          var zc = 0
+          var i = 0
+          while (i < frameLen) {
+            val v = d.samples(off + i).toDouble
+            sq += v * v
+            if (i > 0 && (v >= 0) != (d.samples(off + i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          (f, math.sqrt(sq / frameLen), zc)
+        }
+      }.orNull
+    }
+    df.withColumn("frames", feats(col(binCol)))
+      .where(col("frames").isNotNull)
+      .select(df.columns.map(col) :+ explode(col("frames")).as("fr"): _*)
+      .select(df.columns.map(col) :+ col("fr._1").as("frame_idx")
+        :+ col("fr._2").as("rms") :+ col("fr._3").as("zero_crossings"): _*)
+  }
+
   /** Frame sampling for (stub) video/audio payloads: every k-th fixed-size
     * frame of the raw payload as its own row — the partition-local explode
     * shape a real codec would also use. */
