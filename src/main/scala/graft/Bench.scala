@@ -32,18 +32,28 @@ object Bench {
     // 2.2 s in back-to-back sweeps); the per-query minimum is the
     // standard low-noise estimator and is applied uniformly — protocol
     // documented in BASELINE.md.
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
       }
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val pass1 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
     val pass2 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
     val results = selected.map { case (name, _) =>
-      name -> math.min(pass1(name), pass2(name))
+      // min over SUCCESSFUL passes only — a fast crash must not masquerade
+      // as a fast query; if both failed, report the slower (worst) time
+      val (t1, ok1) = pass1(name)
+      val (t2, ok2) = pass2(name)
+      name -> ((ok1, ok2) match {
+        case (true, true) => math.min(t1, t2)
+        case (true, false) => t1
+        case (false, true) => t2
+        case (false, false) => math.max(t1, t2)
+      })
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -159,34 +159,48 @@ object Multimodal {
   /** Frame-level audio features over REAL decoded WAV PCM: one row per
     * non-overlapping `frameLen`-sample frame with RMS energy and
     * zero-crossing rate — the decode -> frame -> feature-extract pipeline
-    * shape of the multimodal brief, end to end on actual samples. Rows
-    * with undecodable payloads are dropped (WavCodec's decoded-or-None
-    * contract); the UDF emits bounded per-row output and the explode is
-    * partition-local. */
+    * shape of the multimodal brief, end to end on actual samples.
+    * Multi-channel audio is downmixed to mono (per-step channel mean)
+    * before framing, so zero crossings are crossings of the mono signal,
+    * never interleaving artifacts. Undecodable payloads emit no rows
+    * (WavCodec's decoded-or-None contract; explode drops the null).
+    * Adds columns `frame_idx`, `rms`, `zero_crossings`. */
   def audioFrameFeatures(df: DataFrame, binCol: String, frameLen: Int): DataFrame = {
     val feats = udf { (bytes: Array[Byte]) =>
       WavCodec.decode(bytes).map { d =>
-        val n = d.samples.length / frameLen
+        val ch = math.max(1, d.channels)
+        val t = d.samples.length / ch
+        val mono = new Array[Double](t)
+        var k = 0
+        while (k < t) {
+          var s = 0.0; var c = 0
+          while (c < ch) { s += d.samples(k * ch + c); c += 1 }
+          mono(k) = s / ch
+          k += 1
+        }
+        val n = t / frameLen
         Array.tabulate(n) { f =>
           val off = f * frameLen
           var sq = 0.0
           var zc = 0
           var i = 0
           while (i < frameLen) {
-            val v = d.samples(off + i).toDouble
+            val v = mono(off + i)
             sq += v * v
-            if (i > 0 && (v >= 0) != (d.samples(off + i - 1) >= 0)) zc += 1
+            if (i > 0 && (v >= 0) != (mono(off + i - 1) >= 0)) zc += 1
             i += 1
           }
           (f, math.sqrt(sq / frameLen), zc)
         }
       }.orNull
     }
-    df.withColumn("frames", feats(col(binCol)))
-      .where(col("frames").isNotNull)
-      .select(df.columns.map(col) :+ explode(col("frames")).as("fr"): _*)
-      .select(df.columns.map(col) :+ col("fr._1").as("frame_idx")
-        :+ col("fr._2").as("rms") :+ col("fr._3").as("zero_crossings"): _*)
+    // unique intermediate names: never clobber caller columns
+    val tmpFrames = "__graft_frames"
+    val tmpFr = "__graft_fr"
+    df.withColumn(tmpFrames, feats(col(binCol)))
+      .select(df.columns.map(col) :+ explode(col(tmpFrames)).as(tmpFr): _*)
+      .select(df.columns.map(col) :+ col(s"$tmpFr._1").as("frame_idx")
+        :+ col(s"$tmpFr._2").as("rms") :+ col(s"$tmpFr._3").as("zero_crossings"): _*)
   }
 
   /** Frame sampling for (stub) video/audio payloads: every k-th fixed-size

@@ -29,14 +29,17 @@ object WavCodec {
     while (off + 8 <= bytes.length) {
       val id = new String(bytes, off, 4, "US-ASCII")
       val len = leInt(bytes, off + 4)
+      // does a plausible RIFF chunk start at `o`? (printable ASCII id +
+      // in-bounds length) — used to distinguish a genuinely empty data
+      // chunk followed by more chunks from a streaming-writer zero length
+      def chunkStartsAt(o: Int): Boolean =
+        o + 8 <= bytes.length &&
+          (o until o + 4).forall(k => bytes(k) >= 0x20 && bytes(k) <= 0x7E) && {
+            val l = leInt(bytes, o + 4)
+            l >= 0 && o + 8 + l.toLong <= bytes.length
+          }
       if (len < 0 || off + 8 + len.toLong > bytes.length) {
-        if (id == "data" && dataOff < 0) {
-          // tolerate a short final data chunk length field only if header
-          // said 0 (streams written before close) — else malformed
-          if (len != 0) return None
-          dataOff = off + 8; dataLen = bytes.length - dataOff
-          off = bytes.length
-        } else return None
+        return None // malformed/truncated chunk
       } else {
         id match {
           case "fmt " =>
@@ -45,9 +48,12 @@ object WavCodec {
             channels = leShort(bytes, off + 10)
             rate = leInt(bytes, off + 12)
             bits = leShort(bytes, off + 22)
-          case "data" if len == 0 && off + 8 < bytes.length =>
+          case "data" if len == 0 && off + 8 < bytes.length && !chunkStartsAt(off + 8) =>
             // streaming-writer convention: zero length stamped before
-            // close, actual samples follow to end of payload
+            // close, raw samples to EOF. Only taken when the trailing
+            // bytes are NOT another parseable chunk — a real empty data
+            // chunk followed by LIST/fact metadata must never be
+            // reinterpreted as audio (decoded-or-None contract).
             dataOff = off + 8; dataLen = bytes.length - dataOff
             off = bytes.length
           case "data" => dataOff = off + 8; dataLen = len

@@ -126,6 +126,34 @@ class MultimodalSpec extends SparkSpec with Matchers {
     WavCodec.decode(null) shouldBe None
   }
 
+
+  test("wav codec: empty data chunk + trailing LIST metadata is not audio") {
+    // canonical header with len-0 data chunk, then a valid LIST chunk —
+    // the metadata bytes must NOT be reinterpreted as samples
+    val base = WavCodec.encodePcm16(8000, 1, Array.empty[Short])
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](8, 0, 0, 0) ++ "INFOdata".getBytes("US-ASCII")
+    val d = WavCodec.decode(base ++ listChunk).get
+    d.samples.length shouldBe 0
+    // whereas raw non-chunk trailing bytes ARE streaming samples
+    val streaming = WavCodec.decode(base ++ Array[Byte](0, 0, 0, 0)).get
+    streaming.samples.length shouldBe 2
+  }
+
+  test("audio frame features downmix stereo before framing") {
+    import spark.implicits._
+    // constant L=+8192, R=-8192: mono mix is 0, so RMS 0 and NO crossings
+    val stereo = WavCodec.encodePcm16(8000, 2,
+      Array.tabulate[Short](100)(i => if (i % 2 == 0) 8192 else -8192))
+    val df = Seq((1L, stereo)).toDF("id", "payload")
+    val out = Multimodal.audioFrameFeatures(df, "payload", frameLen = 25).collect()
+    out.length shouldBe 2 // 50 mono steps / 25
+    out.foreach { r =>
+      r.getAs[Double]("rms") shouldBe 0.0 +- 1e-12
+      r.getAs[Int]("zero_crossings") shouldBe 0
+    }
+  }
+
   test("pre-token count matches hand count on GPT-2-style boundaries") {
     import spark.implicits._
     val df = Seq(
