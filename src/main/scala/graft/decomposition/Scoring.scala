@@ -153,6 +153,15 @@ object Scoring {
     } finally { cached.unpersist(); () }
   }
 
+  /** Random trajectory-level train/test split (decomposition/_score.py
+    * `cvsplit_trajs`): hash-partitions WHOLE trajectories 50/50 — the
+    * coarser CV unit for data with long correlations where block splits
+    * within a trajectory would leak. */
+  def cvSplitTrajs(traj: DataFrame, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val inTrain = pmod(xxhash64(col(graft.core.Trajectories.TrajCol), lit(seed)), lit(2)) === 0
+    (traj.where(inTrain), traj.where(!inTrain))
+  }
+
   /** Cross-validated VAMP score (vamp_score_cv): `n` random half-splits of
     * the block set; fit on train, score on test covariances. Returns the
     * per-split scores. */

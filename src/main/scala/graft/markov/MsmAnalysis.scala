@@ -264,4 +264,51 @@ object MsmAnalysis {
       .where(col("sample_idx") <= nSamples)
       .select(col("state"), col("sample_idx"), col("traj_id"), col("t"))
   }
+
+  /** Sample frames according to per-distribution state probabilities
+    * (markov/sample/__init__.py:124 `indices_by_distribution`, e.g. PCCA
+    * metastable distributions): for each distribution, `nSample` states
+    * are drawn on the driver (seeded multinomial — the distributions are
+    * model-sized), then each draw resolves to an occurrence of that state
+    * through the same distributed hash-ranked frame index sampleByState
+    * uses (draw k of a state takes hash-rank (k mod available), i.e.
+    * with-replacement across draws, bounded per-state output). Returns
+    * (dist_idx, sample_idx, state, traj_id, t). */
+  def sampleByDistribution(dtraj: DataFrame, distributions: Seq[Array[Double]],
+                           nSample: Int, seed: Long = 42L): DataFrame = {
+    val spark = dtraj.sparkSession
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(seed)
+    // driver multinomial draws: (dist_idx, sample_idx, state, rank_within_state)
+    val draws = distributions.zipWithIndex.flatMap { case (dist, d) =>
+      val cum = dist.scanLeft(0.0)(_ + _).tail
+      val seen = scala.collection.mutable.Map.empty[Int, Int]
+      (0 until nSample).map { k =>
+        val u = rng.nextDouble() * cum.last
+        val s = cum.indexWhere(u <= _) max 0
+        val r = seen.getOrElse(s, 0)
+        seen(s) = r + 1
+        (d, k, s, r)
+      }
+    }
+    val drawsDf = broadcast(draws.toDF("dist_idx", "sample_idx", "state", "rank"))
+    // occurrences hash-ranked per state; per-state need is bounded by the
+    // max rank requested, so the window output stays small
+    val maxRank = draws.groupBy(_._3).map { case (s, g) => s -> g.map(_._4).max }
+    val maxRankDf = broadcast(maxRank.toSeq.toDF("state", "max_rank"))
+    val w = Window.partitionBy(col("state"))
+      .orderBy(xxhash64(col("traj_id"), col("t"), lit(seed)))
+    val ranked = dtraj.where(col("state") >= 0)
+      .join(maxRankDf, "state")
+      .withColumn("occ", row_number().over(w) - 1)
+      .where(col("occ") <= col("max_rank"))
+      .select(col("state"), col("occ"), col("traj_id"), col("t"))
+    // per-state occurrence counts for the mod-available resolution
+    val counts = ranked.groupBy("state").agg(max(col("occ")).as("n_occ"))
+    drawsDf
+      .join(broadcast(counts), "state")
+      .withColumn("occ", col("rank") % (col("n_occ") + 1))
+      .join(ranked, Seq("state", "occ"))
+      .select(col("dist_idx"), col("sample_idx"), col("state"), col("traj_id"), col("t"))
+  }
 }

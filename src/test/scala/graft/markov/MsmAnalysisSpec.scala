@@ -163,4 +163,46 @@ class MsmAnalysisSpec extends SparkSpec with Matchers {
     sel.select(org.apache.spark.sql.functions.expr("features[0]"))
       .collect().map(_.getDouble(0)).toSet shouldBe Set(2.0, 4.0)
   }
+
+  test("sampleByDistribution: frequencies follow the distributions, deterministic") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9)
+    val rows = (0L until 4L).flatMap(id => (0L until 500L).map(t =>
+      (id, t, rng.nextInt(4))))
+    val dtraj = rows.toDF("traj_id", "t", "state")
+    val dists = Seq(Array(0.7, 0.3, 0.0, 0.0), Array(0.0, 0.0, 0.5, 0.5))
+    val out = MsmAnalysis.sampleByDistribution(dtraj, dists, nSample = 400, seed = 5L)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    out.length shouldBe 800
+    // every sampled frame really has the sampled state
+    val stateOf = rows.map { case (id, t, s) => (id, t) -> s }.toMap
+    out.foreach { case (_, _, s, id, t) => stateOf((id, t)) shouldBe s }
+    // distribution 0 only samples states {0, 1} with ~70/30 frequency
+    val d0 = out.filter(_._1 == 0).map(_._3)
+    d0.forall(s => s == 0 || s == 1) shouldBe true
+    val frac0 = d0.count(_ == 0).toDouble / d0.length
+    frac0 shouldBe 0.7 +- 0.08
+    // distribution 1 only samples {2, 3}
+    out.filter(_._1 == 1).map(_._3).forall(s => s == 2 || s == 3) shouldBe true
+    // deterministic
+    val again = MsmAnalysis.sampleByDistribution(dtraj, dists, nSample = 400, seed = 5L)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    again.toSet shouldBe out.toSet
+  }
+
+  test("cvSplitTrajs: whole trajectories split, disjoint and exhaustive") {
+    import spark.implicits._
+    val rows = (0L until 20L).flatMap(id => (0L until 10L).map(t =>
+      (id, t, Seq(id.toDouble, t.toDouble))))
+    val traj = rows.toDF("traj_id", "t", "features")
+    val (tr, te) = graft.decomposition.Scoring.cvSplitTrajs(traj, seed = 3L)
+    val trIds = tr.select("traj_id").distinct().collect().map(_.getLong(0)).toSet
+    val teIds = te.select("traj_id").distinct().collect().map(_.getLong(0)).toSet
+    (trIds & teIds) shouldBe empty
+    (trIds | teIds) shouldBe (0L until 20L).toSet
+    trIds.size should be > 3
+    teIds.size should be > 3
+    // whole trajectories: every id keeps all 10 frames on its side
+    tr.groupBy("traj_id").count().collect().foreach(_.getLong(1) shouldBe 10L)
+  }
 }
