@@ -28,47 +28,35 @@ object Dedup {
       .withColumn("keep", col(idCol) === min(idCol).over(w))
   }
 
-  /** MinHash signatures, one row per doc with k hash columns h0..h{k-1}.
-    *
-    * Shape chosen for scale: explode distinct shingles ONCE (map-side), then
-    * one hash-aggregate with k `min` columns — shingle arrays are never
-    * materialized k times, partial aggregation combines map-side, and the
-    * resulting exchange is reused (ReusedExchange) by both sides of the
-    * candidate self-join. The naive nested-lambda formulation recomputed the
-    * shingle set k times per doc per join side (measured 430s -> ~10s at
-    * sf0.1 for the candidate query). */
+  /** MinHash signatures, one row per doc with k hash columns h0..h{k-1},
+    * computed by the native `MinhashSignature` expression: the whole
+    * k-min signature comes out of ONE row-local codegen pass over the
+    * shingle array — no shingle explode, no k-column min hash-aggregate,
+    * NO exchange at all (the r02 explode+groupBy shape shuffled
+    * |docs| x |shingles| rows; at 100 TB the aggregation exchange was the
+    * whole cost of candidate generation). Hash family unchanged
+    * (double-hashing h1 XOR rotl(h2, (i mod 63)+1) XOR mix_i with
+    * Spark-native xxhash64 kernels) — signatures are bit-identical to the
+    * aggregate formulation, asserted by DedupRecallSpec. */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         shingleLen: Int, k: Int): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(array_distinct(TextFunctions.shingles(col(textCol), shingleLen))).as("sh"))
-    // Double-hashing family: two string hashes per shingle, k derived
-    // permutations h_i = h1 XOR rot(h2, s_i) via bitwise ops — avoids k
-    // string-concat+hash evaluations per shingle AND stays overflow-free
-    // under ANSI mode (long `+`/`*` would throw on wraparound).
-    val base = sh.select(col(idCol),
-      xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit(1)).as("h2"))
-    // Full-period rotation schedule s=(i%63)+1 plus a per-i odd-constant XOR
-    // mix (golden-ratio multiples) so all k hash functions are distinct even
-    // for k > 63 — the previous s=(i*7%63)+1 schedule had period 9 and
-    // duplicated signature columns for k > 9, correlating the LSH bands.
-    val mins = (0 until k).map { i =>
-      val s = (i % 63) + 1
-      val mix = lit(0x9E3779B97F4A7C15L * (2L * i + 1L)) // odd => bijective mix
-      val rot = shiftleft(col("h2"), s).bitwiseOR(shiftrightunsigned(col("h2"), 64 - s))
-      min(col("h1").bitwiseXOR(rot).bitwiseXOR(mix)).as(s"h$i")
-    }
-    base.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val sig = graft.functions.Minhash.signature(
+      TextFunctions.shingles(col(textCol), shingleLen), k)
+    docs.where(length(col(textCol)) >= shingleLen)
+      .select(col(idCol) +: Seq(sig.as("sig")): _*)
+      .select(col(idCol) +: (0 until k).map(i => col("sig").getItem(i).as(s"h$i")): _*)
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band. Emits (doc_id, band_idx, band_hash). */
+    * and hash each band (chained xxhash64 over the band's longs — no
+    * string building). Emits (doc_id, band_idx, band_hash). */
   def lshBands(docs: DataFrame, textCol: String, idCol: String,
                shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
     val sigs = minhashSignatures(docs, textCol, idCol, shingleLen, k)
     val bandHashes = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      xxhash64(concat_ws(",", cols: _*))
+      xxhash64(cols: _*)
     }
     sigs.select(col(idCol), posexplode(array(bandHashes: _*)).as(Seq("band_idx", "band_hash")))
   }

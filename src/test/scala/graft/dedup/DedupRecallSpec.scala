@@ -89,4 +89,24 @@ class DedupRecallSpec extends SparkSpec with Matchers {
       }
     }
   }
+
+  test("native minhash signature is bit-identical to the explode+groupBy formulation") {
+    import org.apache.spark.sql.functions._
+    val k = 12
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(TextFunctions.shingles(col("text"), 5))).as("sh"))
+    val base = sh.select(col("doc_id"),
+      xxhash64(col("sh")).as("h1"), xxhash64(col("sh"), lit(1)).as("h2"))
+    val mins = (0 until k).map { i =>
+      val s = (i % 63) + 1
+      val mix = lit(0x9E3779B97F4A7C15L * (2L * i + 1L))
+      val rot = shiftleft(col("h2"), s).bitwiseOR(shiftrightunsigned(col("h2"), 64 - s))
+      min(col("h1").bitwiseXOR(rot).bitwiseXOR(mix)).as(s"h$i")
+    }
+    val viaAgg = base.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    val viaExpr = Dedup.minhashSignatures(docs, "text", "doc_id", 5, k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    viaExpr shouldBe viaAgg
+  }
 }
