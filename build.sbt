@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through (no "[info] " logger prefix):
+// the driver parses Bench's one-line JSON from a bounded stdout tail, and
+// the sbt prefix + full-precision doubles made that line unparseable in
+// rounds 1-3 (BENCH_r{1,2,3}.json all have parsed: null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,10 +55,15 @@ object Bench {
         case (false, false) => math.max(t1, t2)
       })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (millisecond) precision keeps the whole JSON line under
+    // ~2.5 KB for 80+ queries: the driver captures only a bounded stdout
+    // tail, and full-precision doubles pushed the r02/r03 line past that
+    // window (BENCH JSON arrived truncated -> unparseable).
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,19 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Trajectories.table(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Trajectories.table(s, dir, "embeddings")
 
+  // half-away-from-zero rounding, matching Spark round() and DuckDB round()
+  // (math.rint's half-to-even would flip oracle parity on exact ties)
+  private def r6(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
+
+  /** (check, violation) battery frame: every violation must round to
+    * exactly 0.0 (or to a SQL-computable constant), so the DuckDB twin is
+    * a literal VALUES table — the q71/q73 invariant-oracle pattern. */
+  private def checksDf(s: SparkSession, checks: Seq[(String, Double)]): DataFrame = {
+    import s.implicits._
+    checks.map { case (name, v) => (name, r6(v) + 0.0) }.toDF("check", "violation")
+  }
+
   /** One-row DataFrame from a covariance model: weight, count, means and
     * upper-triangle covariance entries, rounded. */
   private def covModelDf(s: SparkSession, m: graft.agg.CovarianceModel,
@@ -248,15 +261,21 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // Portable md5-keyed 60-bit simhash — the DuckDB oracle recomputes the
+    // signature bit-for-bit (token split -> md5 -> bit votes -> sign), so
+    // the whole signature pipeline is hash-gated, not rows-only. The
+    // xxhash64 variant stays the fast default (DedupRecallSpec covers it).
     "q22_simhash" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))),
+      docs(s, dir).select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sig"))),
 
-    // maxHamming=3 = the 4x16-bit banding's pigeonhole guarantee (recall 1
+    // maxHamming=3 = the 4x15-bit banding's pigeonhole guarantee (recall 1
     // for <=3 differing bits; DedupRecallSpec asserts equality with the
     // exact all-pairs Hamming join). The r02 entry ran maxHamming=28, far
-    // outside the guarantee — results were candidates-only.
+    // outside the guarantee — results were candidates-only. Portable
+    // signature (q22) makes the DuckDB oracle simulate banding + Hamming
+    // verify exactly.
     "q27_simhash_candidates" -> ((s, dir) => {
-      Dedup.simhashCandidates(docs(s, dir), maxHamming = 3)
+      Dedup.simhashCandidatesPortable(docs(s, dir), maxHamming = 3)
         .orderBy(col("hamming"), col("a"), col("b")).limit(100)
     }),
 
@@ -381,15 +400,21 @@ object SparkEntry {
         .toDF("s0", "s1", "cnt_eff")
     }),
 
+    // Crisp-set CK test with empirical weights: estimates = coarse-grained
+    // row-normalized count matrices at lag l, predictions = coarse-grained
+    // l-th powers of the lag-1 matrix — every value is a ratio of pair
+    // counts, so the DuckDB oracle recomputes the WHOLE grid (powers via
+    // self-joins) and the Chapman-Kolmogorov surface is value-checked, not
+    // rows-only. The PCCA-membership ckTest stays the API default
+    // (ValidationSpec covers it against the reference semantics).
     "q37_cktest" -> ((s, dir) => {
-      val ck = graft.markov.Validation.ckTest(
+      val ck = graft.markov.Validation.ckTestSets(
         Trajectories.dtrajFromEvents(s, dir), tau = 1, steps = 3,
-        nStates = 5, nSets = 2)
+        nStates = 5, sets = Seq(Set(0, 1), Set(2, 3, 4)))
       import s.implicits._
       (for (l <- ck.lagtimes.indices; i <- 0 until ck.nSets; j <- 0 until ck.nSets) yield
         (ck.lagtimes(l), i, j,
-          math.rint(ck.predictions(l)(i, j) * 1e6) / 1e6,
-          math.rint(ck.estimates(l)(i, j) * 1e6) / 1e6))
+          r6(ck.predictions(l)(i, j)), r6(ck.estimates(l)(i, j))))
         .toDF("lag", "set_i", "set_j", "predicted", "estimated")
     }),
 
@@ -603,15 +628,24 @@ object SparkEntry {
       }.toDF("component", "timescale", "amplitude")
     }),
 
+    // Expected stationary counts E[C_ij] = N pi_i T_ij. The row-sum ratio
+    // E[C_ij] / sum_j E[C_ij] cancels N pi_i and equals T_ij EXACTLY, so
+    // the DuckDB twin is the row-normalized count matrix; the stationarity
+    // residual ||pi T - pi||_inf (driver-exact zero) rides along on every
+    // row — together they hash-gate both factors of the product.
     "q56_expected_counts" -> ((s, dir) => {
       val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
       val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = false)
-      val ec = graft.markov.MsmAnalysis.expectedCountsStationary(
-        msm.transitionMatrix, 1000)
+      val t = msm.transitionMatrix
+      val pi = msm.stationaryDistribution
+      val ec = graft.markov.MsmAnalysis.expectedCountsStationary(t, 1000)
+      val piResid = (0 until msm.n).map(j =>
+        math.abs((0 until msm.n).map(i => pi(i) * t(i, j)).sum - pi(j))).max
       import s.implicits._
-      (for (i <- 0 until msm.n; j <- 0 until msm.n if ec(i, j) > 1e-9) yield
-        (msm.states(i), msm.states(j), math.rint(ec(i, j) * 1e4) / 1e4))
-        .toDF("s0", "s1", "expected_cnt")
+      (for (i <- 0 until msm.n; j <- 0 until msm.n if ec(i, j) > 1e-9) yield {
+        val rowSum = (0 until msm.n).map(jj => ec(i, jj)).sum
+        (msm.states(i), msm.states(j), r6(ec(i, j) / rowSum), r6(piResid) + 0.0)
+      }).toDF("s0", "s1", "tprob", "pi_resid")
     }),
 
     "q57_hitting_probability" -> ((s, dir) => {

@@ -118,6 +118,38 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Portable 60-bit simhash: per-token key = first 15 hex chars of the
+    * token's md5, so any engine with md5 (DuckDB included) recomputes the
+    * signature bit-for-bit — the oracle-checkable twin of the xxhash64
+    * `simhash` above (which stays the fast default; its 64-bit keys come
+    * from Spark's non-portable xxhash64). Bits 60-63 of the 64-bit vote
+    * are always 0 (their votes are all -1), so the signature fits a
+    * positive BIGINT in both engines. */
+  def simhashPortable(text: Column): Column = {
+    val hashes = transform(split(trim(text), "\\s+"),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    simhashFromHashes(hashes)
+  }
+
+  /** `simhashCandidates` over the portable 60-bit signature: 4 bands x
+    * 15 bits (pigeonhole recall 1 for Hamming <= 3). Fully reproducible
+    * in the DuckDB oracle: band values are plain bit slices of the
+    * md5-derived signature. */
+  def simhashCandidatesPortable(docs: DataFrame, textCol: String = "text",
+                                idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol), simhashPortable(col(textCol)).as("sig"))
+    val banded = sigs.select(col(idCol), col("sig"), posexplode(
+      array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
+      .as(Seq("band_idx", "chunk")))
+    val l = banded.select(col("band_idx"), col("chunk"), col(idCol).as("a"), col("sig").as("siga"))
+    val r = banded.select(col("band_idx"), col("chunk"), col(idCol).as("b"), col("sig").as("sigb"))
+    l.join(r, Seq("band_idx", "chunk")).where(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming64(col("siga"), col("sigb")).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup candidates: band the 64-bit signature into 4 16-bit
     * chunks; docs sharing any chunk are candidates (Hamming<=3 guaranteed
     * recall by pigeonhole for <=3 differing bits). */

@@ -214,4 +214,58 @@ object Validation {
       if (l == 0) observable(null, 0) else observable(models(l), 1))
     CkTestResult(lagtimes, nSets, predictions, estimates)
   }
+
+  /** CK test over CRISP state sets with EMPIRICAL visitation weights — the
+    * SQL-expressible counterpart of the PCCA-membership `ckTest` above
+    * (reference validation.py:196 allows arbitrary observables; crisp-set
+    * indicator observables are its simplest instance). Every quantity is a
+    * ratio of pair counts: estimates are coarse-grained row-normalized
+    * count matrices at lag l*tau, predictions coarse-grain the l-th matrix
+    * power of the lag-tau matrix, and the starting weights w_i are the
+    * state histogram restricted to each set. A DuckDB oracle recomputes
+    * the whole grid exactly (matrix powers = n^2-row self-joins). */
+  def ckTestSets(dtraj: DataFrame, tau: Int, steps: Int, nStates: Int,
+                 sets: Seq[Set[Int]]): CkTestResult = {
+    require(steps >= 1)
+    val lags = (1 to steps).map(_ * tau)
+    val models = msmPerLag(dtraj, lags, nStates, reversible = false)
+    val hist: Map[Int, Double] = dtraj.where(col("state") >= 0)
+      .groupBy("state").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
+    val nSets = sets.length
+
+    def coarse(t: DenseMatrix[Double], states: Array[Int]): DenseMatrix[Double] = {
+      val out = DenseMatrix.zeros[Double](nSets, nSets)
+      for (a <- 0 until nSets; b <- 0 until nSets) {
+        var num = 0.0
+        var den = 0.0
+        for (i <- states.indices if sets(a).contains(states(i))) {
+          val wi = hist.getOrElse(states(i), 0.0)
+          den += wi
+          var srow = 0.0
+          for (j <- states.indices if sets(b).contains(states(j))) srow += t(i, j)
+          num += wi * srow
+        }
+        out(a, b) = if (den > 0) num / den else 0.0
+      }
+      out
+    }
+
+    val base = models(tau)
+    def power(t: DenseMatrix[Double], p: Int): DenseMatrix[Double] = {
+      var acc = DenseMatrix.eye[Double](t.rows)
+      (0 until p).foreach(_ => acc = acc * t)
+      acc
+    }
+    val lagtimes = Array(0) ++ lags
+    val predictions = lagtimes.map {
+      case 0 => DenseMatrix.eye[Double](nSets)
+      case l => coarse(power(base.transitionMatrix, l / tau), base.states)
+    }
+    val estimates = lagtimes.map {
+      case 0 => DenseMatrix.eye[Double](nSets)
+      case l => coarse(models(l).transitionMatrix, models(l).states)
+    }
+    CkTestResult(lagtimes, nSets, predictions, estimates)
+  }
 }
