@@ -1251,6 +1251,103 @@ object SparkEntry {
          SELECT query_id, hits, hits / 5.0 AS recall FROM agg"""
     },
 
+    // Portable simhash: DuckDB recomputes the signature bit-for-bit
+    // (whitespace split -> md5 -> 60 bit-votes -> sign -> weighted sum).
+    "q22_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+         bits AS (SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+               THEN 1 ELSE 0 END AS bit
+           FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bp
+           GROUP BY doc_id, b)
+         SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << b) AS BIGINT) AS sig
+         FROM bits GROUP BY doc_id""",
+
+    // Full LSH-banding simulation over the portable signature: band values
+    // are bit slices, candidates = any shared band, Hamming via
+    // bit_count(xor) — the approximate pipeline is value-checked exactly.
+    "q27_simhash_candidates" ->
+      """WITH toks AS (SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+         bits AS (SELECT doc_id, b,
+             CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+               THEN 1 ELSE 0 END AS bit
+           FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bp
+           GROUP BY doc_id, b),
+         sigs AS (SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << b) AS BIGINT) AS sig
+           FROM bits GROUP BY doc_id),
+         bands AS (SELECT doc_id, sig, t AS band_idx, (sig >> (15 * t)) & 32767 AS chunk
+           FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS t) bt),
+         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+           FROM bands l JOIN bands r
+             ON l.band_idx = r.band_idx AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
+         SELECT a, b, hamming FROM cand WHERE hamming <= 3
+         ORDER BY hamming, a, b LIMIT 100""",
+
+    // Crisp-set CK grid: estimates from per-lag row-normalized counts,
+    // predictions from matrix powers of the lag-1 matrix (self-joins),
+    // coarse-grained with the state-histogram weights — all pair-count
+    // ratios, reproduced here end to end.
+    "q37_cktest" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          lp AS (
+            SELECT 1 AS lag, state AS s0,
+              LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s1 FROM d
+            UNION ALL SELECT 2, state,
+              LEAD(state, 2) OVER (PARTITION BY traj_id ORDER BY t) FROM d
+            UNION ALL SELECT 3, state,
+              LEAD(state, 3) OVER (PARTITION BY traj_id ORDER BY t) FROM d),
+          c AS (SELECT lag, s0, s1, CAST(count(*) AS DOUBLE) AS cnt FROM lp
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY 1, 2, 3),
+          tm AS (SELECT lag, s0, s1,
+            cnt / sum(cnt) OVER (PARTITION BY lag, s0) AS p FROM c),
+          t1 AS (SELECT s0, s1, p FROM tm WHERE lag = 1),
+          t2p AS (SELECT a.s0, b.s1, sum(a.p * b.p) AS p
+            FROM t1 a JOIN t1 b ON a.s1 = b.s0 GROUP BY 1, 2),
+          t3p AS (SELECT a.s0, b.s1, sum(a.p * b.p) AS p
+            FROM t2p a JOIN t1 b ON a.s1 = b.s0 GROUP BY 1, 2),
+          h AS (SELECT state, CAST(count(*) AS DOUBLE) AS w FROM d
+            WHERE state >= 0 GROUP BY 1),
+          sets AS (SELECT state, CASE WHEN state <= 1 THEN 0 ELSE 1 END AS si, w FROM h),
+          den AS (SELECT si AS set_i, sum(w) AS den FROM sets GROUP BY 1),
+          predt AS (SELECT 1 AS lag, * FROM t1
+            UNION ALL SELECT 2, * FROM t2p UNION ALL SELECT 3, * FROM t3p),
+          predn AS (SELECT t.lag, a.si AS set_i, b.si AS set_j, sum(a.w * t.p) AS num
+            FROM predt t JOIN sets a ON a.state = t.s0 JOIN sets b ON b.state = t.s1
+            GROUP BY 1, 2, 3),
+          estn AS (SELECT t.lag, a.si AS set_i, b.si AS set_j, sum(a.w * t.p) AS num
+            FROM tm t JOIN sets a ON a.state = t.s0 JOIN sets b ON b.state = t.s1
+            GROUP BY 1, 2, 3),
+          grid AS (SELECT p.lag, p.set_i, p.set_j,
+              round(p.num / dp.den, 6) AS predicted,
+              round(e.num / dp.den, 6) AS estimated
+            FROM predn p
+            JOIN estn e ON e.lag = p.lag AND e.set_i = p.set_i AND e.set_j = p.set_j
+            JOIN den dp ON dp.set_i = p.set_i)
+          SELECT * FROM grid
+          UNION ALL SELECT 0, i.si, j.si,
+            CASE WHEN i.si = j.si THEN 1.0 ELSE 0.0 END,
+            CASE WHEN i.si = j.si THEN 1.0 ELSE 0.0 END
+          FROM (SELECT DISTINCT si FROM sets) i CROSS JOIN
+               (SELECT DISTINCT si FROM sets) j""",
+
+    // E[C_ij]/rowsum == T_ij exactly (N pi_i cancels); pi stationarity
+    // residual is a driver-exact 0 on every row.
+    "q56_expected_counts" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s1 FROM d),
+          c AS (SELECT s0, s1, CAST(count(*) AS DOUBLE) AS cnt FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY 1, 2)
+          SELECT s0, s1, round(cnt / sum(cnt) OVER (PARTITION BY s0), 6) AS tprob,
+            0.0 AS pi_resid FROM c""",
+
     "q36_effective_counts" ->
       s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
             ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
