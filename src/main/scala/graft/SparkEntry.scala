@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Trajectories
 import graft.lag.Lag
 import graft.agg.Covariance
+import graft.linalg.LinAlg
 import graft.markov.TransitionCounting
 import graft.text.TextFunctions
 import graft.dedup.Dedup
@@ -45,12 +46,13 @@ object SparkEntry {
   private def r6(x: Double): Double =
     math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
 
-  /** (check, violation) battery frame: every violation must round to
-    * exactly 0.0 (or to a SQL-computable constant), so the DuckDB twin is
-    * a literal VALUES table — the q71/q73 invariant-oracle pattern. */
+  /** (check, value) battery frame — the q71/q73 invariant-oracle pattern
+    * generalized: invariant rows carry a violation measure that must round
+    * to exactly 0.0, and count-like rows carry a value the DuckDB twin can
+    * compute from the base tables (or pin as a literal). */
   private def checksDf(s: SparkSession, checks: Seq[(String, Double)]): DataFrame = {
     import s.implicits._
-    checks.map { case (name, v) => (name, r6(v) + 0.0) }.toDF("check", "violation")
+    checks.map { case (name, v) => (name, r6(v) + 0.0) }.toDF("check", "value")
   }
 
   /** One-row DataFrame from a covariance model: weight, count, means and
@@ -265,6 +267,27 @@ object SparkEntry {
     // signature bit-for-bit (token split -> md5 -> bit votes -> sign), so
     // the whole signature pipeline is hash-gated, not rows-only. The
     // xxhash64 variant stays the fast default (DedupRecallSpec covers it).
+    // Near-dup cluster assignment: minhash candidates -> exact-jaccard
+    // verify (>= 0.6) -> connected components (iterative min-label
+    // propagation) -> canonical id per cluster. The DuckDB oracle computes
+    // the SAME clusters from the exact all-pairs shingle join + a
+    // recursive transitive closure, so both the candidate recall AND the
+    // component labeling are value-checked. This is the fuzzy-dedup end
+    // game a training-data pipeline runs at 100 TB (keep one doc per
+    // cluster).
+    "q76_dup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Dedup.minhashCandidates(d, bands = 8, rowsPerBand = 5)
+      val pairs = Dedup.ngramJaccard(d, cand, 5)
+        .where(col("jaccard") >= 0.6)
+        .select(col("a"), col("b"))
+      val cc = Dedup.duplicateClusters(pairs)
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
+          when(col("id") === col("cluster_id"), 1L).otherwise(0L).as("is_canonical"))
+    }),
+
     "q22_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sig"))),
 
@@ -325,45 +348,114 @@ object SparkEntry {
         .select(col("query_id"), col("hits"), (col("hits") / 5.0).as("recall"))
     }),
 
-    // ---- decomposition / model pipelines (rows-only: driver eig) -------
+    // ---- decomposition / model pipelines ------------------------------
+    // TICA end to end, hash-gated by its sample identities: with r the
+    // C00sym-orthonormal eigenvectors fit on THIS data, the projected
+    // pairs' symmetrized covariances satisfy r'C00sym r = I and
+    // r'C0tsym r = diag(lambda) exactly (projection is affine, these are
+    // sample identities, FP residual ~1e-12). The check transforms ALL
+    // rows and re-runs the covariance aggregate on the projections, so
+    // scan -> lag window -> covariance -> driver eig -> broadcast
+    // projection -> covariance is verified end to end, not rows-only.
     "q29_tica_projection" -> ((s, dir) => {
-      // cache the canonical frame across fit + transform: the fit's
-      // covariance aggregate materializes it, the projection re-reads it
-      // from memory instead of re-scanning parquet + re-running the lag
-      // window (r02 creep: 1.23 -> 2.08 s). Dropped by LRU at scale.
-      val traj = Trajectories.fromLineitem(s, dir).cache()
-      val m = graft.decomposition.Tica.fit(traj, tau = 1, dim = 2)
-      val out = m.transform(traj).select(col("traj_id"), col("t"),
-        round(col("projection").getItem(0), 6).as("ic0"),
-        round(col("projection").getItem(1), 6).as("ic1"))
-      out
+      // cache the lag-pair frame across fit + the projected re-covariance
+      // (r02 creep: the transform otherwise re-scans parquet + re-runs
+      // the window). Dropped by LRU at scale.
+      val pairs = Lag.pairs(Trajectories.fromLineitem(s, dir), 1).cache()
+      try {
+        val cov = Covariance.fit(pairs)
+        val m = graft.decomposition.Tica.fitFromCovariance(cov, 1, dim = 2)
+        val proj = pairs.select(col("traj_id"), col("t"),
+          m.projection(col("x")).as("x"), m.projection(col("y")).as("y"))
+        val pcov = Covariance.fit(proj.select(col("x"), col("y")))
+        val (pc0, pct, _) = graft.decomposition.Tica.symmetrized(pcov)
+        val k = m.k
+        import s.implicits._
+        (for (i <- 0 until k; j <- 0 until k) yield
+          (i, j, r6(pc0(i, j) - (if (i == j) 1.0 else 0.0)) + 0.0,
+            r6(pct(i, j) - (if (i == j) m.singularValues(i) else 0.0)) + 0.0))
+          .toDF("ic_i", "ic_j", "c00_resid", "c0t_resid")
+      } finally { pairs.unpersist(); () }
     }),
 
+    // VAMP whitening/SVD identities per component pair: U'C00 U = I,
+    // V'Ctt V = I, U'C0t V = diag(sigma) — exact sample identities of the
+    // whitened SVD, so a broken spd_inv_split / SVD / covariance path
+    // flips the hash.
     "q30_vamp_singular" -> ((s, dir) => {
+      import breeze.linalg.DenseMatrix
       val traj = Trajectories.fromLineitem(s, dir)
-      val m = graft.decomposition.Vamp.fit(traj, tau = 1)
+      val cov = Covariance.fit(Lag.pairs(traj, 1))
+      val m = graft.decomposition.Vamp.fitFromCovariance(cov, 1)
+      val d = cov.d; val k = m.k
+      val c00 = LinAlg.fromFlat(cov.cov00, d)
+      val ctt = LinAlg.fromFlat(cov.covtt, d)
+      val c0t = LinAlg.fromFlat(cov.cov0t, d)
+      val u = DenseMatrix.tabulate(d, k)((i, j) => m.u(i * k + j))
+      val v = DenseMatrix.tabulate(d, k)((i, j) => m.vOpt.get(i * k + j))
+      val w00 = u.t * c00 * u
+      val wtt = v.t * ctt * v
+      val cross = u.t * c0t * v
       import s.implicits._
-      m.singularValues.toSeq.zipWithIndex
-        .map { case (sv, i) => (i, math.rint(sv * 1e6) / 1e6) }
-        .toDF("component", "sigma")
+      (for (i <- 0 until k; j <- 0 until k) yield
+        (i, j, r6(w00(i, j) - (if (i == j) 1.0 else 0.0)) + 0.0,
+          r6(wtt(i, j) - (if (i == j) 1.0 else 0.0)) + 0.0,
+          r6(cross(i, j) - (if (i == j) m.singularValues(i) else 0.0)) + 0.0))
+        .toDF("comp_i", "comp_j", "u_c00_u_resid", "v_ctt_v_resid", "u_c0t_v_resid")
     }),
 
+    // Reversible MLE hash-gated per entry: support = symmetrized observed
+    // pairs (exact SQL), detailed balance pi_i T_ij = pi_j T_ji (the
+    // defining property of the reversible estimator, exact at convergence)
+    // and row-stochasticity, both driver-exact zeros on every row.
     "q31_msm_reversible" -> ((s, dir) => {
       val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
       val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
       import s.implicits._
+      val t = msm.transitionMatrix
       val pi = msm.stationaryDistribution
-      (for (i <- 0 until msm.n; j <- 0 until msm.n) yield
-        (msm.states(i), msm.states(j),
-          math.rint(msm.transitionMatrix(i, j) * 1e6) / 1e6,
-          math.rint(pi(i) * 1e6) / 1e6))
-        .toDF("s0", "s1", "t_prob", "pi_s0")
+      val cDense = TransitionCounting.toDense(counts, 5)
+      (for (i <- 0 until msm.n; j <- 0 until msm.n
+            if cDense(msm.states(i), msm.states(j)) + cDense(msm.states(j), msm.states(i)) > 0)
+        yield {
+          val rowSum = (0 until msm.n).map(t(i, _)).sum
+          (msm.states(i), msm.states(j),
+            r6(pi(i) * t(i, j) - pi(j) * t(j, i)) + 0.0,
+            r6(rowSum - 1.0) + 0.0)
+        }).toDF("s0", "s1", "db_resid", "row_resid")
     }),
 
+    // Lloyd k-means run to the exact fixed point (tol ~ 0): at convergence
+    // each center equals the mean of its assigned points, and every row's
+    // own-center distance equals its minimum center distance — both checked
+    // over the FULL data with our codegen argmin assignment, so MLlib fit +
+    // ClusterModel.transform are cross-validated against each other. The
+    // row count has an exact SQL twin.
     "q32_kmeans_assign" -> ((s, dir) => {
       val traj = Trajectories.fromEvents(s, dir)
-      val model = graft.clustering.KMeans.fit(traj, k = 5, seed = 42L)
-      model.transform(traj).groupBy("state").agg(count(lit(1)).as("cnt"))
+      val model = graft.clustering.KMeans.fit(traj, k = 5, seed = 42L,
+        maxIter = 200, tol = 1e-12)
+      val assigned = model.transform(traj).cache()
+      try {
+        val centers = model.centers.map(_(0))
+        // per-row argmin violation: |x - c_state| - min_j |x - c_j| == 0
+        val x = col(Trajectories.FeatCol).getItem(0)
+        val ownDist = abs(x - element_at(typedLit(centers.toSeq), col("state") + 1))
+        val minDist = least(centers.map(c => abs(x - lit(c))): _*)
+        val aggRow = assigned.agg(
+          max(ownDist - minDist).as("argmin_viol"),
+          count(lit(1)).as("n")).collect()(0)
+        // fixed point: center_s == mean of assigned values
+        val meansMap = assigned.groupBy("state").agg(avg(x).as("m")).collect()
+          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val fixedPoint = centers.indices.map(i =>
+          math.abs(centers(i) - meansMap.getOrElse(i, centers(i)))).max
+        checksDf(s, Seq(
+          "assign_argmin" -> aggRow.getDouble(0),
+          "centroid_fixed_point" -> fixedPoint,
+          "k_centers_minus_5" -> (model.k - 5).toDouble,
+          "n_assigned" -> aggRow.getLong(1).toDouble))
+      } finally { assigned.unpersist(); () }
     }),
 
     // ---- validation workflows (SURVEY §2 validation; util/validation.py) --
@@ -371,13 +463,46 @@ object SparkEntry {
       graft.markov.Validation.multiLagCounts(
         Trajectories.dtrajFromEvents(s, dir), Seq(1, 2, 4))),
 
+    // Implied-timescale grid hash-gated by the eigenproblem itself: for
+    // each (lag, process), the eigenpair satisfies T v = lambda v (complex
+    // pairs in real arithmetic) and the reported timescale equals
+    // -lag/ln|lambda| recomputed from an INDEPENDENT eig call — both
+    // residuals are exact zeros over the SQL-pinned (lag, process) grid.
     "q34_its" -> ((s, dir) => {
-      val its = graft.markov.Validation.impliedTimescales(
-        Trajectories.dtrajFromEvents(s, dir), Seq(1, 2, 3, 5), nStates = 5, k = 3)
+      import breeze.linalg.{DenseMatrix, DenseVector}
+      val dtraj = Trajectories.dtrajFromEvents(s, dir)
+      val lags = Seq(1, 2, 3, 5)
+      val k = 3
+      val its = graft.markov.Validation.impliedTimescales(dtraj, lags, nStates = 5, k = k)
+      val models = graft.markov.Validation.msmPerLag(dtraj, lags, 5, reversible = true)
       import s.implicits._
-      (for (l <- its.lagtimes.indices; p <- its.its(l).indices) yield
-        (its.lagtimes(l), p, math.rint(its.its(l)(p) * 1e6) / 1e6))
-        .toDF("lag", "process", "timescale")
+      (for (l <- lags.indices; p <- 0 until k) yield {
+        val msm = models(lags(l))
+        val t = msm.transitionMatrix
+        val e = breeze.linalg.eig(t)
+        val order = (0 until msm.n)
+          .sortBy(i => -math.hypot(e.eigenvalues(i), e.eigenvaluesComplex(i)))
+        val c = order(p + 1) // skip the stationary eigenvalue
+        val re = e.eigenvalues(c); val im = e.eigenvaluesComplex(c)
+        val mag = math.hypot(re, im)
+        // eigen residual ||T v - lambda v||_inf in real arithmetic
+        val eigResid = if (im == 0.0) {
+          val v = DenseVector.tabulate(msm.n)(i => e.eigenvectors(i, c))
+          breeze.linalg.max(breeze.numerics.abs(t * v - v * re))
+        } else {
+          val cf = if (im > 0) c else c - 1 // +im member precedes in LAPACK pairs
+          val vr = DenseVector.tabulate(msm.n)(i => e.eigenvectors(i, cf))
+          val vi = DenseVector.tabulate(msm.n)(i => e.eigenvectors(i, cf + 1))
+          val reF = e.eigenvalues(cf); val imF = e.eigenvaluesComplex(cf)
+          val rr = t * vr - (vr * reF - vi * imF)
+          val ri = t * vi - (vi * reF + vr * imF)
+          math.max(breeze.linalg.max(breeze.numerics.abs(rr)),
+            breeze.linalg.max(breeze.numerics.abs(ri)))
+        }
+        val tsRecomputed = -lags(l) / math.log(mag)
+        (lags(l), p, r6(eigResid) + 0.0,
+          r6(tsRecomputed - its.its(l)(p)) + 0.0)
+      }).toDF("lag", "process", "eig_resid", "its_consistency")
     }),
 
     "q35_cond_frame" -> ((s, dir) =>
@@ -418,18 +543,27 @@ object SparkEntry {
         .toDF("lag", "set_i", "set_j", "predicted", "estimated")
     }),
 
+    // Bayesian posterior invariants per process: CI endpoints ordered,
+    // timescales/std positive and finite (sample validity itself — every
+    // Gibbs sample stochastic + reversible — is hash-gated in q73).
     "q38_bayesian_timescales" -> ((s, dir) => {
       val post = graft.markov.BayesianMsm.fit(
         Trajectories.dtrajFromEvents(s, dir), tau = 1, nStates = 5,
         nSamples = 40, seed = 42L, nChains = 8, maxLag = 25)
       import s.implicits._
       post.timescaleStats(2).map { case (p, m, sd, lo, hi) =>
-        (p, math.rint(m * 1e4) / 1e4, math.rint(sd * 1e4) / 1e4,
-          math.rint(lo * 1e4) / 1e4, math.rint(hi * 1e4) / 1e4)
-      }.toDF("process", "ts_mean", "ts_std", "ci_lo", "ci_hi")
+        val finite = Seq(m, sd, lo, hi).forall(v => !v.isNaN && !v.isInfinite)
+        (p, r6(math.max(0.0, lo - hi)) + 0.0,
+          r6(math.max(0.0, -math.min(math.min(m, sd), lo))) + 0.0,
+          if (finite) 0.0 else 1.0)
+      }.toDF("process", "ci_order_viol", "negativity_viol", "nonfinite")
     }),
 
-    // ---- TPT / PCCA / committors over the events MSM (rows-only) -------
+    // ---- TPT / PCCA / committors over the events MSM -------------------
+    // Committors hash-gated by their boundary-value problems on a
+    // per-state grid the SQL twin pins: q+(A)=0, q+(B)=1, interior rows
+    // satisfy sum_j T_ij q+(j) = q+(i); q- satisfies the adjoint system on
+    // the time-reversed chain. All residuals driver-exact zeros.
     "q39_committors" -> ((s, dir) => {
       val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
       val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = false)
@@ -437,31 +571,64 @@ object SparkEntry {
       val a = Set(0); val b = Set(4)
       val qf = msm.committorForward(a, b)
       val qb = msm.committorBackward(a, b)
-      (0 until msm.n).map(i => (msm.states(i),
-        math.rint(qf(i) * 1e6) / 1e6, math.rint(qb(i) * 1e6) / 1e6))
-        .toDF("state", "q_forward", "q_backward")
+      val t = msm.transitionMatrix
+      val pi = msm.stationaryDistribution
+      // time-reversed matrix for the backward BVP residual
+      val tRev = breeze.linalg.DenseMatrix.tabulate(msm.n, msm.n)((i, j) =>
+        if (pi(i) > 0) pi(j) * t(j, i) / pi(i) else 0.0)
+      // a/b are MODEL indices (committorForward's contract); emit symbols
+      (0 until msm.n).map { i =>
+        val fwdResid =
+          if (a.contains(i)) qf(i) - 0.0
+          else if (b.contains(i)) qf(i) - 1.0
+          else (0 until msm.n).map(j => t(i, j) * qf(j)).sum - qf(i)
+        val bwdResid =
+          if (a.contains(i)) qb(i) - 1.0
+          else if (b.contains(i)) qb(i) - 0.0
+          else (0 until msm.n).map(j => tRev(i, j) * qb(j)).sum - qb(i)
+        (msm.states(i), r6(fwdResid) + 0.0, r6(bwdResid) + 0.0)
+      }.toDF("state", "fwd_bvp_resid", "bwd_bvp_resid")
     }),
 
+    // Reactive-flux conservation per state: gross flux into an
+    // intermediate state equals gross flux out (exact TPT identity given
+    // the committor solves); endpoint rows check total-flux consistency
+    // (A-outflow == B-inflow == rate * sum_i pi_i q-_i).
     "q40_tpt_flux" -> ((s, dir) => {
       val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
       val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
       val flux = graft.markov.Tpt.reactiveFlux(msm, Set(0), Set(4))
+      val f = flux.grossFlux
+      val n = msm.n
       import s.implicits._
-      (for (i <- 0 until msm.n; j <- 0 until msm.n if flux.netFlux(i, j) > 1e-12) yield
-        (msm.states(i), msm.states(j),
-          math.rint(flux.grossFlux(i, j) * 1e8) / 1e8,
-          math.rint(flux.netFlux(i, j) * 1e8) / 1e8))
-        .toDF("s0", "s1", "gross_flux", "net_flux")
+      // A/B are MODEL-index sets (reactiveFlux's contract)
+      def outOf(states: Set[Int]): Double =
+        (for (i <- 0 until n if states.contains(i);
+              j <- 0 until n if !states.contains(j)) yield f(i, j)).sum
+      def into(states: Set[Int]): Double =
+        (for (j <- 0 until n if states.contains(j);
+              i <- 0 until n if !states.contains(i)) yield f(i, j)).sum
+      (0 until n).map { i =>
+        val resid =
+          if (i == 0) outOf(Set(0)) - flux.totalFlux              // A-outflow
+          else if (i == 4) into(Set(4)) - flux.totalFlux          // B-inflow
+          else (0 until n).map(j => f(j, i)).sum - (0 until n).map(j => f(i, j)).sum
+        (msm.states(i), r6(resid) + 0.0)
+      }.toDF("state", "conservation_resid")
     }),
 
+    // PCCA membership invariants per (state, set): rows sum to 1 and
+    // memberships are non-negative, over the SQL-pinned grid.
     "q41_pcca_memberships" -> ((s, dir) => {
       val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
       val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
       val pcca = graft.markov.Pcca(msm, 2)
       import s.implicits._
       (for (i <- 0 until msm.n; k <- 0 until 2) yield
-        (msm.states(i), k, math.rint(pcca.memberships(i, k) * 1e6) / 1e6))
-        .toDF("state", "metastable_set", "membership")
+        (msm.states(i), k,
+          r6(pcca.memberships(i, 0) + pcca.memberships(i, 1) - 1.0) + 0.0,
+          r6(math.max(0.0, -pcca.memberships(i, k))) + 0.0))
+        .toDF("state", "metastable_set", "rowsum_resid", "nonneg_viol")
     }),
 
     // ---- basis / kernels (SURVEY §2.8) ---------------------------------
@@ -509,29 +676,73 @@ object SparkEntry {
         .toDF("i", "j", "cov")
     }),
 
+    // Bootstrap contract: the number of draws equals the source trajectory
+    // count (exact SQL twin) and every drawn trajectory carries its full
+    // source length (resampled rows join-verified against source lengths).
     "q45_bootstrap" -> ((s, dir) => {
-      val boot = graft.util.Stats.bootstrapTrajectories(ev(s, dir), seed = 7L)
-      boot.groupBy(col("traj_id")).agg(count(lit(1)).as("n"))
-        .agg(count(lit(1)).as("n_trajs"), sum(col("n")).as("n_rows"))
+      val src = ev(s, dir)
+      val boot = graft.util.Stats.bootstrapTrajectories(src, seed = 7L)
+      val nDraws = boot.select(col("traj_id")).distinct().count()
+      val bootRows = boot.count()
+      // every boot trajectory's length must be SOME source trajectory's
+      // length; total rows = sum of drawn source lengths (verified via the
+      // length multiset join)
+      val srcLens = src.groupBy("traj_id").count()
+        .groupBy("count").agg(count(lit(1)).as("n_src")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bootLens = boot.groupBy("traj_id").count().collect().map(_.getLong(1))
+      val lenViol = bootLens.count(l => !srcLens.contains(l)).toDouble
+      checksDf(s, Seq(
+        "n_draws" -> nDraws.toDouble,
+        "rows_minus_sum_of_lengths" -> (bootRows - bootLens.sum).toDouble,
+        "unmatched_lengths" -> lenViol))
     }),
 
-    // ---- HMM (rows-only: EM fit on driver loop) ------------------------
+    // ---- HMM ------------------------------------------------------------
+    // Viterbi path contract: path length = #observed frames (exact SQL),
+    // hidden labels in range; emission/transition stochasticity of the EM
+    // fit is hash-gated in q73.
     "q46_hmm_viterbi" -> ((s, dir) => {
       val dtraj = Trajectories.dtrajFromEvents(s, dir).where(col("state") >= 0)
       val model = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 5, maxIter = 15)
-      graft.markov.hmm.Hmm.viterbi(dtraj, model, nObs = 5)
-        .groupBy("hidden").agg(count(lit(1)).as("cnt"))
+      val path = graft.markov.hmm.Hmm.viterbi(dtraj, model, nObs = 5)
+      val row = path.agg(
+        count(lit(1)).as("len"),
+        sum(when(col("hidden") < 0 || col("hidden") >= 2, 1L).otherwise(0L)).as("oob"))
+        .collect()(0)
+      checksDf(s, Seq(
+        "path_len" -> row.getLong(0).toDouble,
+        "hidden_out_of_range" -> row.getLong(1).toDouble))
     }),
 
-    // ---- data generators (rows-only: JVM RNG streams) ------------------
+    // ---- data generators ------------------------------------------------
+    // OU moment gates: the Euler-Maruyama chain x_{t+1} = a x_t + s xi with
+    // a = (1 - alpha h)^nSteps has known stationary moments; violations are
+    // tolerance-margined (5 sigma of the 16k-sample estimators), so the
+    // seeded JVM RNG stream stays deterministic-green without the oracle
+    // needing the stream itself. Row count is pinned exactly.
     "q47_generator_ou" -> ((s, dir) => {
-      val traj = graft.data.Generators.trajectories(s,
-        graft.data.Generators.OrnsteinUhlenbeck(), Array(Array(0.0)),
-        nTraj = 32, length = 500, seed = 42L, h = 1e-3, nSteps = 100)
-      traj.groupBy("traj_id").agg(
-        count(lit(1)).as("n"),
-        round(avg(expr("features[0]")), 6).as("mean_x"),
-        round(var_pop(expr("features[0]")), 6).as("var_x"))
+      val sys = graft.data.Generators.OrnsteinUhlenbeck()
+      val h = 1e-3; val nSteps = 100
+      val traj = graft.data.Generators.trajectories(s, sys, Array(Array(0.0)),
+        nTraj = 32, length = 500, seed = 42L, h = h, nSteps = nSteps)
+      val x = expr("features[0]")
+      val row = traj.agg(count(lit(1)).as("n"), avg(x).as("m"),
+        var_pop(x).as("v")).collect()(0)
+      val n = row.getLong(0)
+      // Euler-Maruyama fine-step AR(1) stationary variance:
+      // var_inf = sigma^2 h / (1 - a1^2), a1 = 1 - alpha h (the discrete
+      // analog of sigma^2/(2 alpha); burn-in from x0=0 shifts the pooled
+      // variance < 1% here)
+      val a1 = 1.0 - sys.alpha * h
+      val varStat = sys.sigma(0) * sys.sigma(0) * h / (1.0 - a1 * a1)
+      val sd = math.sqrt(varStat)
+      val meanTol = 5.0 * sd / math.sqrt(n.toDouble / 100.0) // AC-inflated ESS
+      val varTol = 0.3 * varStat
+      checksDf(s, Seq(
+        "n_rows" -> n.toDouble,
+        "mean_out_of_bounds" -> math.max(0.0, math.abs(row.getDouble(1)) - meanTol),
+        "var_out_of_bounds" -> math.max(0.0, math.abs(row.getDouble(2) - varStat) - varTol)))
     }),
 
     // ---- SINDy (oracle: one-pass normal equations are plain SQL sums) --
@@ -556,30 +767,97 @@ object SparkEntry {
         round(avg(col("x") * col("x") * col("xd")), 6).as("b2"))
     }),
 
+    // EDMD hash-gated by its defining identities: the operator solves the
+    // (uncentered) normal equations C00 M = C0t, and every eigenpair
+    // satisfies M v = lambda v (complex pairs checked in real arithmetic
+    // over the LAPACK-encoded columns). Both residuals are driver-exact
+    // zeros; the data side (basis lift + covariance) feeds them.
     "q49_edmd_eigs" -> ((s, dir) => {
+      import breeze.linalg.DenseMatrix
       val traj = Trajectories.fromLineitem(s, dir)
-      val m = graft.decomposition.Edmd.fit(traj, graft.basis.Monomials(1),
-        tau = 1, inputDim = 4)
+      val basis = graft.basis.Monomials(1)
+      val m = graft.decomposition.Edmd.fit(traj, basis, tau = 1, inputDim = 4)
+      val p = m.p
+      // recompute the raw moments the fit consumed (second scan; the
+      // residual must come from independently-assembled inputs)
+      val pairs = Lag.pairs(traj, 1)
+        .select(basis(col("x").cast("array<double>"), 4).as("x"),
+          basis(col("y").cast("array<double>"), 4).as("y"))
+      val cov = Covariance.fit(pairs, bessel = false)
+      def raw(c: Array[Double], ma: Array[Double], mb: Array[Double]) =
+        DenseMatrix.tabulate(p, p)((i, j) => c(i * p + j) + ma(i) * mb(j))
+      val c00 = raw(cov.cov00, cov.mean0, cov.mean0)
+      val c0t = raw(cov.cov0t, cov.mean0, cov.meant)
+      val op = DenseMatrix.tabulate(p, p)((i, j) => m.operator(i * p + j))
+      val neRes = breeze.linalg.max(breeze.numerics.abs(c00 * op - c0t))
+      val vecs = DenseMatrix.tabulate(p, p)((i, j) => m.modes(i * p + j))
+      // per-component eigen residual ||M v - lambda v||_inf, complex pairs
+      // via their (re, im) column encoding (+im column first after the
+      // stable magnitude sort)
+      def eigRes(c: Int): Double = {
+        val re = m.eigenvaluesRe(c); val im = m.eigenvaluesIm(c)
+        if (im == 0.0) {
+          val v = vecs(::, c)
+          breeze.linalg.max(breeze.numerics.abs(op * v - v * re))
+        } else {
+          // evaluate the canonical +im member of the conjugate pair (its
+          // partner's residual has identical magnitude)
+          val cf = if (im > 0) c else c - 1
+          val reF = m.eigenvaluesRe(cf); val imF = m.eigenvaluesIm(cf)
+          val vr = vecs(::, cf); val vi = vecs(::, cf + 1)
+          val rr = op * vr - (vr * reF - vi * imF)
+          val ri = op * vi - (vi * reF + vr * imF)
+          math.max(breeze.linalg.max(breeze.numerics.abs(rr)),
+            breeze.linalg.max(breeze.numerics.abs(ri)))
+        }
+      }
       import s.implicits._
-      m.eigenvalueMagnitudes.zipWithIndex
-        .map { case (v, i) => (i, math.rint(v * 1e6) / 1e6) }
-        .toSeq.toDF("component", "eig_magnitude")
+      (0 until p).map(c => (c, r6(eigRes(c)) + 0.0, r6(neRes) + 0.0))
+        .toDF("component", "eig_resid", "normal_eq_resid")
     }),
 
-    // ---- clustering extensions (rows-only: partition-order dependent) --
+    // ---- clustering extensions ----------------------------------------
+    // Regular-space invariants: kept centers are pairwise >= dmin apart
+    // (exact by the leader-merge rule) and every data point lies within
+    // 2*dmin of some center (the two-level partition-then-merge pass
+    // guarantees 2*dmin, not the sequential dmin: a partition-local leader
+    // can be merged away into a center < dmin from it). The coverage check
+    // scans the FULL data with the broadcast centers.
     "q50_regspace" -> ((s, dir) => {
       val traj = Trajectories.fromEvents(s, dir)
-      val model = graft.clustering.RegularSpace.fit(traj, dmin = 30.0, maxCenters = 50)
-      import s.implicits._
-      model.centers.map(c => math.rint(c(0) * 1e6) / 1e6).sorted.zipWithIndex
-        .map { case (c, i) => (i, c) }.toSeq.toDF("rank", "center_x")
+      val dmin = 30.0
+      val model = graft.clustering.RegularSpace.fit(traj, dmin = dmin, maxCenters = 50)
+      val centers = model.centers.map(_(0))
+      val minPair = (for (i <- centers.indices; j <- i + 1 until centers.length)
+        yield math.abs(centers(i) - centers(j))).min
+      val x = col(Trajectories.FeatCol).getItem(0)
+      val minDist = least(centers.map(c => abs(x - lit(c))): _*)
+      val maxMin = traj.agg(max(minDist)).collect()(0).getDouble(0)
+      checksDf(s, Seq(
+        "pairwise_ge_dmin" -> math.max(0.0, dmin - minPair),
+        "coverage_within_2dmin" -> math.max(0.0, maxMin - 2.0 * dmin),
+        "n_centers_gt_max" -> math.max(0.0, (centers.length - 50).toDouble)))
     }),
 
+    // Mini-batch k-means invariants: k centers, finite, and the final
+    // full-data assignment is the exact argmin of the learned centers
+    // (cross-checks the epoch loop's output against the codegen argmin).
     "q51_minibatch_kmeans" -> ((s, dir) => {
       val traj = Trajectories.fromEvents(s, dir)
       val model = graft.clustering.MiniBatchKMeans.fit(traj, k = 4,
         batchFraction = 0.2, maxEpochs = 3, seed = 42L)
-      model.transform(traj).groupBy("state").agg(count(lit(1)).as("cnt"))
+      val centers = model.centers.map(_(0))
+      val assigned = model.transform(traj)
+      val x = col(Trajectories.FeatCol).getItem(0)
+      val ownDist = abs(x - element_at(typedLit(centers.toSeq), col("state") + 1))
+      val minDist = least(centers.map(c => abs(x - lit(c))): _*)
+      val row = assigned.agg(max(ownDist - minDist).as("v"),
+        count(lit(1)).as("n")).collect()(0)
+      checksDf(s, Seq(
+        "assign_argmin" -> row.getDouble(0),
+        "k_centers_minus_4" -> (model.k - 4).toDouble,
+        "centers_nonfinite" -> (if (centers.forall(c => !c.isNaN && !c.isInfinite)) 0.0 else 1.0),
+        "n_assigned" -> row.getLong(1).toDouble))
     }),
 
     // ---- multimodal metadata (oracle: binaries constructed in SQL both
@@ -614,18 +892,27 @@ object SparkEntry {
         .groupBy("state").agg(count(lit(1)).as("n_sampled"))
     }),
 
-    // ---- analysis long tail (rows-only: driver eig / linear solves) ----
+    // ---- analysis long tail --------------------------------------------
+    // Correlation-fingerprint identities: summed amplitudes equal the
+    // instantaneous correlation E_pi[obs^2] (t=0 spectral completeness),
+    // the stationary amplitude equals (pi . obs)^2, and autocorrelation
+    // amplitudes are non-negative — exact spectral-decomposition facts.
     "q55_fingerprints" -> ((s, dir) => {
       val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
       val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
       val obs = breeze.linalg.DenseVector.tabulate(msm.n)(i => i.toDouble)
       val (ts, amps) = graft.markov.MsmAnalysis.fingerprintCorrelation(
         msm.transitionMatrix, obs, obs)
-      import s.implicits._
-      ts.zip(amps).zipWithIndex.map { case ((t, a), i) =>
-        (i, if (t.isPosInfinity) -1.0 else math.rint(t * 1e6) / 1e6,
-          math.rint(a * 1e6) / 1e6)
-      }.toDF("component", "timescale", "amplitude")
+      val pi = msm.stationaryDistribution
+      val corr0 = (0 until msm.n).map(i => pi(i) * obs(i) * obs(i)).sum
+      val statAmp = math.pow((0 until msm.n).map(i => pi(i) * obs(i)).sum, 2)
+      val statIdx = ts.indexWhere(_.isPosInfinity)
+      checksDf(s, Seq(
+        "amp_sum_minus_corr0" -> (amps.sum - corr0),
+        "stationary_amp_resid" ->
+          (if (statIdx >= 0) amps(statIdx) - statAmp else 1.0),
+        "autocorr_amp_negativity" -> amps.map(a => math.max(0.0, -a)).max,
+        "n_components" -> ts.length.toDouble))
     }),
 
     // Expected stationary counts E[C_ij] = N pi_i T_ij. The row-sum ratio
@@ -648,27 +935,42 @@ object SparkEntry {
       }).toDF("s0", "s1", "tprob", "pi_resid")
     }),
 
+    // Hitting-probability BVP per state: h = 1 on the target, and on the
+    // rest h_i = sum_j T_ij h_j (this chain is irreducible, so no
+    // absorbing-zero branch applies); residuals driver-exact zeros over
+    // the SQL-pinned state grid.
     "q57_hitting_probability" -> ((s, dir) => {
       val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
       val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = false)
-      val h = graft.markov.MsmAnalysis.hittingProbability(msm.transitionMatrix, Set(2))
+      val t = msm.transitionMatrix
+      val h = graft.markov.MsmAnalysis.hittingProbability(t, Set(2))
       import s.implicits._
-      (0 until msm.n).map(i => (msm.states(i), math.rint(h(i) * 1e6) / 1e6))
-        .toDF("state", "hitting_prob")
+      (0 until msm.n).map { i =>
+        val resid =
+          if (i == 2) h(i) - 1.0
+          else (0 until msm.n).map(j => t(i, j) * h(j)).sum - h(i)
+        (msm.states(i), r6(resid) + 0.0)
+      }.toDF("state", "bvp_resid")
     }),
 
     // ---- OOM / two-step statistics ------------------------------------
     "q58_twostep_counts" -> ((s, dir) =>
       graft.markov.Oom.twoStepCounts(Trajectories.dtrajFromEvents(s, dir), 1)),
 
+    // OOM-corrected MSM invariants per entry over the SQL-pinned state
+    // grid: the equilibrium-corrected matrix is exactly row-stochastic
+    // (explicit renormalization) and non-negative (clipped correction).
     "q59_oom_msm" -> ((s, dir) => {
       val model = graft.markov.Oom.fit(Trajectories.dtrajFromEvents(s, dir),
         tau = 1, nStates = 5, rankTol = 2.0, nbs = 50)
       import s.implicits._
-      (for (i <- model.states.indices; j <- model.states.indices) yield
+      val t = model.transitionMatrix
+      (for (i <- model.states.indices; j <- model.states.indices) yield {
+        val rowSum = model.states.indices.map(t(i, _)).sum
         (model.states(i), model.states(j),
-          math.rint(model.transitionMatrix(i, j) * 1e6) / 1e6))
-        .toDF("s0", "s1", "t_prob")
+          r6(rowSum - 1.0) + 0.0,
+          r6(math.max(0.0, -t(i, j))) + 0.0)
+      }).toDF("s0", "s1", "row_resid", "nonneg_viol")
     }),
 
     // ---- TRAM multi-ensemble free energies (rows-only) -----------------
@@ -685,13 +987,25 @@ object SparkEntry {
       val model = graft.markov.Tram.fit(Seq(d0, d1), tau = 1, nMarkov = 5,
         maxIter = 100, maxErr = 1e-8)
       import s.implicits._
-      (0 until 5).map(i => (i,
-        math.rint(model.markovStateEnergies(i) * 1e4) / 1e4,
-        math.rint(model.stationaryDistribution(i) * 1e6) / 1e6))
-        .toDF("state", "free_energy", "pi")
+      // Per-state invariants: pi = exp(-f)/Z is a normalized distribution
+      // (exact by construction), free energies finite, pi positive —
+      // over the SQL-pinned state grid. Free-energy recovery vs an
+      // analytic two-ensemble fixture is spec-gated (TramSpec).
+      val pi = model.stationaryDistribution
+      val piSum = (0 until 5).map(pi(_)).sum
+      (0 until 5).map { i =>
+        val f = model.markovStateEnergies(i)
+        (i, r6(piSum - 1.0) + 0.0,
+          if (f.isNaN || f.isInfinite) 1.0 else 0.0,
+          r6(math.max(0.0, -pi(i))) + 0.0)
+      }.toDF("state", "pi_norm_resid", "f_nonfinite", "pi_negativity")
     }),
 
-    // ---- AMM (rows-only) ------------------------------------------------
+    // ---- AMM -----------------------------------------------------------
+    // Per-state invariants: the biased MSM is built from a symmetric
+    // stationary-weight matrix, so pi is EXACTLY the stationary vector of
+    // T (pi_j = sum_i pi_i T_ij identically) and normalized; residuals are
+    // driver-exact zeros over the SQL-pinned state grid.
     "q61_amm" -> ((s, dir) => {
       val counts = TransitionCounting.toDense(
         TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1), 5)
@@ -699,29 +1013,57 @@ object SparkEntry {
       val model = graft.markov.Amm.fit(counts, e,
         breeze.linalg.DenseVector(2.3), breeze.linalg.DenseVector(2.0))
       import s.implicits._
-      (0 until 5).map(i => (i,
-        math.rint(model.stationaryDistribution(i) * 1e6) / 1e6))
-        .toDF("state", "pi_biased")
+      val t = model.transitionMatrix
+      val pi = model.stationaryDistribution
+      val piSum = (0 until 5).map(pi(_)).sum
+      (0 until 5).map { j =>
+        val statResid = (0 until 5).map(i => pi(i) * t(i, j)).sum - pi(j)
+        (j, r6(statResid) + 0.0, r6(piSum - 1.0) + 0.0)
+      }.toDF("state", "pi_stationarity_resid", "pi_norm_resid")
     }),
 
-    // ---- VAMP cross-validated scores (rows-only) -----------------------
+    // ---- VAMP cross-validated scores ----------------------------------
+    // Per-split invariants: VAMP2 CV scores are bounded by the score of
+    // the constant singular function alone (>= 1) and by 1 + d from above
+    // on the train side; the held-out score additionally stays finite.
+    // The split draw is a seeded hash so the run is deterministic, but the
+    // score VALUES are eig-path-only — the oracle checks the bounds grid.
     "q62_vamp_cv" -> ((s, dir) => {
       val traj = Trajectories.fromLineitem(s, dir)
       val scores = graft.decomposition.Scoring.vampScoreCv(traj, tau = 1, n = 3, seed = 42L)
       import s.implicits._
-      scores.zipWithIndex.map { case (sc, i) => (i, math.rint(sc * 1e6) / 1e6) }
-        .toDF("split", "vamp2_cv")
+      scores.zipWithIndex.map { case (sc, i) =>
+        val finite = if (sc.isNaN || sc.isInfinite) 1.0 else 0.0
+        // held-out VAMP2 of a d=4 model: >= 1 (constant function) and
+        // far below the generous 2*(1+d) sanity ceiling
+        (i, r6(math.max(0.0, 1.0 - sc)) + 0.0,
+          r6(math.max(0.0, sc - 10.0)) + 0.0, finite)
+      }.toDF("split", "lower_bound_viol", "upper_bound_viol", "nonfinite")
     }),
 
-    // ---- TPT pathway decomposition (rows-only: driver flux algebra) ----
+    // ---- TPT pathway decomposition --------------------------------------
+    // Widest-path decomposition invariants: every path runs A -> B through
+    // valid edges, fluxes are positive and non-increasing in rank, and the
+    // full decomposition (fraction=1.0) captures the total flux to within
+    // the stop tolerance — all driver-exact checks.
     "q65_tpt_pathways" -> ((s, dir) => {
       val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
       val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
       val flux = graft.markov.Tpt.reactiveFlux(msm, Set(0), Set(4))
-      import s.implicits._
-      flux.pathways(1.0).zipWithIndex.map { case ((path, f), i) =>
-        (i, path.map(msm.states(_)).mkString("->"), math.rint(f * 1e9) / 1e9)
-      }.toDF("rank", "path", "flux")
+      val paths = flux.pathways(1.0)
+      val endpointViol = paths.count { case (p, _) =>
+        p.isEmpty || p.head != 0 || p.last != 4 }.toDouble
+      val fluxNonPos = paths.count { case (_, f) => f <= 0.0 }.toDouble
+      val orderViol = paths.map(_._2).sliding(2)
+        .count { case Seq(a, b) => b > a + 1e-15; case _ => false }.toDouble
+      val captured = paths.map(_._2).sum
+      checksDf(s, Seq(
+        "path_endpoints_viol" -> endpointViol,
+        "flux_nonpositive" -> fluxNonPos,
+        "flux_rank_order_viol" -> orderViol,
+        "uncaptured_total_flux" ->
+          math.max(0.0, flux.totalFlux - captured - 1e-9),
+        "n_paths_positive" -> (if (paths.nonEmpty) 0.0 else 1.0)))
     }),
 
     // ---- streaming partial_fit surface (oracle: chunked folds must equal
@@ -749,13 +1091,34 @@ object SparkEntry {
         .select(col("s0"), col("s1"), round(col("cnt_reweighted"), 6).as("cnt_rw"))
     }),
 
-    // ---- IVF ANN (rows-only: MLlib codebook) ---------------------------
+    // ---- IVF ANN -------------------------------------------------------
+    // The MLlib-seeded codebook isn't SQL-reproducible, so the oracle
+    // gates the CONTRACT instead: recall@5 vs the in-query brute force
+    // (>= 0.9, the VERDICT r02 bar), exactly 5 results per query, and the
+    // query count (exact SQL twin). A recall drop — from codebook drift,
+    // probe-routing bugs, or re-rank errors — flips the hash.
     "q64_ann_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      Similarity.ivfTopK(e, e.where(col("vec_id") % 40 === 0), k = 5,
-        nCells = 8, nProbe = 3, seed = 42L)
-        .select(col("query_id"), col("neighbor_id"),
-          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cos"))
+      val q = e.where(col("vec_id") % 40 === 0)
+      // nProbe=6/8: this synthetic corpus is near-uniform on the sphere —
+      // the worst case for a coarse quantizer (true neighbors scatter
+      // across cells; measured recall@5 by nProbe at sf0.01:
+      // 3 -> 0.71, 4 -> 0.80, 5 -> 0.89, 6 -> 0.95) — so meeting the 0.9
+      // recall bar costs 6/8 of the cells. On clustered real corpora the
+      // same pipeline meets it at much lower probe fractions (IvfSpec).
+      val ivf = Similarity.ivfTopK(e, q, k = 5, nCells = 8, nProbe = 6, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val brute = Similarity.bruteForceTopK(e, q, 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val perQ = ivf.join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"), count(lit(1)).as("k"))
+      val row = perQ.agg(avg(col("hits") / 5.0).as("recall"),
+        max(abs(col("k") - 5)).as("kviol"), count(lit(1)).as("nq")).collect()(0)
+      checksDf(s, Seq(
+        "recall_below_0p9" -> math.max(0.0, 0.9 - row.getDouble(0)),
+        "results_per_query_minus_5" -> row.getLong(1).toDouble,
+        "n_queries" -> row.getLong(2).toDouble))
     }),
 
     // ---- real PNG decode, oracle-checked end to end --------------------
@@ -965,14 +1328,21 @@ object SparkEntry {
         .toDF("check", "violation")
     }),
 
-    // ---- Koopman reweighting (rows-only: driver eig coefficients) ------
+    // ---- Koopman reweighting ------------------------------------------
+    // The left eigenvector normalization pins E[w] = 1 over the x-frames
+    // of the lag pairs EXACTLY (the padded-basis eigenvector is scaled to
+    // last component 1 and the basis is mean-centered), so the full-data
+    // mean weight is a hash-gated zero residual and the pair count has an
+    // exact SQL twin.
     "q63_koopman_weights" -> ((s, dir) => {
       val traj = Trajectories.fromLineitem(s, dir)
       val wm = graft.agg.KoopmanWeighting.fit(traj, tau = 1)
-      wm.transform(traj)
-        .groupBy("traj_id")
-        .agg(round(avg(col("koopman_weight")), 6).as("mean_w"),
-          count(lit(1)).as("n"))
+      val row = Lag.pairs(traj, 1)
+        .select(wm.weightColumn(col("x")).as("w"))
+        .agg(avg(col("w")).as("mw"), count(lit(1)).as("n")).collect()(0)
+      checksDf(s, Seq(
+        "mean_weight_minus_one" -> (row.getDouble(0) - 1.0),
+        "n_pairs" -> row.getLong(1).toDouble))
     })
   )
 
@@ -1188,6 +1558,32 @@ object SparkEntry {
            FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
          SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.6""",
 
+    // Exact pair set (q21's oracle) + recursive transitive closure = the
+    // same cluster labels the distributed min-label propagation converges
+    // to (component minimum).
+    "q76_dup_clusters" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS s
+           FROM documents WHERE len(text) >= 5),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         tp AS (SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.6),
+         edges AS (SELECT a AS src, b AS dst FROM tp UNION SELECT b, a FROM tp),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+         lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM lab GROUP BY 1)
+         SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+         FROM lab l JOIN sz s USING (cluster_id)""",
+
     "q28_ann_lsh" -> {
       // the oracle SIMULATES the LSH pipeline: sign-plane buckets (literal
       // +- terms, same left-to-right accumulation order as the executor
@@ -1250,6 +1646,165 @@ object SparkEntry {
          agg AS (SELECT query_id, CAST(sum(h) AS BIGINT) AS hits FROM hit GROUP BY 1)
          SELECT query_id, hits, hits / 5.0 AS recall FROM agg"""
     },
+
+    // TICA sample-identity grid: projected symmetrized covariances must be
+    // exactly I / diag(lambda) (see the query comment).
+    "q29_tica_projection" -> {
+      val rows = (for (i <- 0 until 2; j <- 0 until 2) yield s"($i, $j, 0.0, 0.0)").mkString(", ")
+      s"""SELECT * FROM (VALUES $rows) AS t(ic_i, ic_j, c00_resid, c0t_resid)"""
+    },
+
+    // VAMP whitening/SVD identity grid (d=4 full-rank lineitem features).
+    "q30_vamp_singular" -> {
+      val rows = (for (i <- 0 until 4; j <- 0 until 4) yield s"($i, $j, 0.0, 0.0, 0.0)").mkString(", ")
+      s"""SELECT * FROM (VALUES $rows)
+          AS t(comp_i, comp_j, u_c00_u_resid, v_ctt_v_resid, u_c0t_v_resid)"""
+    },
+
+    // EDMD normal-equation + eigenpair residual grid (p = 1 + 4 monomial
+    // basis functions).
+    "q49_edmd_eigs" -> {
+      val rows = (0 until 5).map(c => s"($c, 0.0, 0.0)").mkString(", ")
+      s"""SELECT * FROM (VALUES $rows) AS t(component, eig_resid, normal_eq_resid)"""
+    },
+
+    // VAMP CV bounds grid (3 deterministic seeded splits).
+    "q62_vamp_cv" -> {
+      val rows = (0 until 3).map(c => s"($c, 0.0, 0.0, 0.0)").mkString(", ")
+      s"""SELECT * FROM (VALUES $rows)
+          AS t(split, lower_bound_viol, upper_bound_viol, nonfinite)"""
+    },
+
+    // Koopman-weight normalization battery; the pair count is exact SQL.
+    "q63_koopman_weights" ->
+      """SELECT 'mean_weight_minus_one' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'n_pairs',
+           (SELECT CAST(count(*) AS DOUBLE) FROM
+             (SELECT LEAD(l_linenumber) OVER
+                (PARTITION BY l_orderkey ORDER BY l_linenumber) AS nx
+              FROM lineitem) WHERE nx IS NOT NULL)""",
+
+    // Lloyd fixed-point battery; the assigned-row count is exact SQL.
+    "q32_kmeans_assign" ->
+      """SELECT 'assign_argmin' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'centroid_fixed_point', 0.0
+         UNION ALL SELECT 'k_centers_minus_5', 0.0
+         UNION ALL SELECT 'n_assigned', (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
+
+    "q50_regspace" ->
+      """SELECT * FROM (VALUES
+           ('pairwise_ge_dmin', 0.0), ('coverage_within_2dmin', 0.0),
+           ('n_centers_gt_max', 0.0)) AS t("check", "value")""",
+
+    "q51_minibatch_kmeans" ->
+      """SELECT 'assign_argmin' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'k_centers_minus_4', 0.0
+         UNION ALL SELECT 'centers_nonfinite', 0.0
+         UNION ALL SELECT 'n_assigned', (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
+
+    // Reversible-MLE residual grid over the symmetrized observed-pair
+    // support (computed from the base tables).
+    "q31_msm_reversible" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s1 FROM d),
+          c AS (SELECT DISTINCT s0, s1 FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0),
+          sym AS (SELECT s0, s1 FROM c UNION SELECT s1, s0 FROM c)
+          SELECT s0, s1, 0.0 AS db_resid, 0.0 AS row_resid FROM sym""",
+
+    // Implied-timescales eigenproblem-residual grid.
+    "q34_its" -> {
+      val rows = (for (l <- Seq(1, 2, 3, 5); p <- 0 until 3)
+        yield s"($l, $p, 0.0, 0.0)").mkString(", ")
+      s"""SELECT * FROM (VALUES $rows) AS t(lag, process, eig_resid, its_consistency)"""
+    },
+
+    "q38_bayesian_timescales" ->
+      """SELECT * FROM (VALUES (0, 0.0, 0.0, 0.0), (1, 0.0, 0.0, 0.0))
+         AS t(process, ci_order_viol, negativity_viol, nonfinite)""",
+
+    // Committor BVP-residual grid over the observed states.
+    "q39_committors" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS fwd_bvp_resid, 0.0 AS bwd_bvp_resid
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    "q40_tpt_flux" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS conservation_resid
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    "q41_pcca_memberships" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            k.k AS metastable_set, 0.0 AS rowsum_resid, 0.0 AS nonneg_viol
+          FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+          WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    // Bootstrap contract battery; the draw count is exact SQL.
+    "q45_bootstrap" ->
+      """SELECT 'n_draws' AS "check",
+           (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) FROM events) AS "value"
+         UNION ALL SELECT 'rows_minus_sum_of_lengths', 0.0
+         UNION ALL SELECT 'unmatched_lengths', 0.0""",
+
+    // Viterbi path battery; path length is the exact observed-frame count.
+    "q46_hmm_viterbi" ->
+      s"""SELECT 'path_len' AS "check",
+            (SELECT CAST(count(*) AS DOUBLE) FROM events
+             WHERE ${Trajectories.eventTypeStateSql} >= 0) AS "value"
+          UNION ALL SELECT 'hidden_out_of_range', 0.0""",
+
+    // OU generator battery: row count pinned, moment gates zero.
+    "q47_generator_ou" ->
+      """SELECT * FROM (VALUES
+           ('n_rows', 16000.0), ('mean_out_of_bounds', 0.0),
+           ('var_out_of_bounds', 0.0)) AS t("check", "value")""",
+
+    // Fingerprint spectral-identity battery; component count = state count.
+    "q55_fingerprints" ->
+      s"""SELECT 'amp_sum_minus_corr0' AS "check", 0.0 AS "value"
+          UNION ALL SELECT 'stationary_amp_resid', 0.0
+          UNION ALL SELECT 'autocorr_amp_negativity', 0.0
+          UNION ALL SELECT 'n_components',
+            (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
+             FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)""",
+
+    "q57_hitting_probability" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS bvp_resid
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    // OOM invariant grid over the observed-state cross product.
+    "q59_oom_msm" ->
+      s"""WITH sts AS (SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state
+            FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)
+          SELECT a.state AS s0, b.state AS s1, 0.0 AS row_resid, 0.0 AS nonneg_viol
+          FROM sts a CROSS JOIN sts b""",
+
+    "q60_tram" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS pi_norm_resid, 0.0 AS f_nonfinite, 0.0 AS pi_negativity
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    "q61_amm" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS pi_stationarity_resid, 0.0 AS pi_norm_resid
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    // IVF ANN recall/contract battery; the query count is exact SQL.
+    "q64_ann_ivf" ->
+      """SELECT 'recall_below_0p9' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'results_per_query_minus_5', 0.0
+         UNION ALL SELECT 'n_queries',
+           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings WHERE vec_id % 40 = 0)""",
+
+    "q65_tpt_pathways" ->
+      """SELECT * FROM (VALUES
+           ('path_endpoints_viol', 0.0), ('flux_nonpositive', 0.0),
+           ('flux_rank_order_viol', 0.0), ('uncaptured_total_flux', 0.0),
+           ('n_paths_positive', 0.0)) AS t("check", "value")""",
 
     // Portable simhash: DuckDB recomputes the signature bit-for-bit
     // (whitespace split -> md5 -> 60 bit-votes -> sign -> weighted sum).

@@ -92,11 +92,11 @@ case class ClusterModel(centers: Array[Array[Double]]) {
   * prescribes). Deterministic via fixed seed. */
 object KMeans {
   def fit(traj: DataFrame, k: Int, maxIter: Int = 50, seed: Long = 42L,
-          featCol: String = FeatCol): ClusterModel = {
+          featCol: String = FeatCol, tol: Double = 1e-4): ClusterModel = {
     import org.apache.spark.ml.functions.array_to_vector
     val df = traj.select(array_to_vector(col(featCol).cast("array<double>")).as("fv"))
     val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(k).setMaxIter(maxIter).setSeed(seed).setFeaturesCol("fv")
+      .setK(k).setMaxIter(maxIter).setSeed(seed).setFeaturesCol("fv").setTol(tol)
     val model = km.fit(df)
     ClusterModel(model.clusterCenters.map(_.toArray))
   }

@@ -93,16 +93,18 @@ object Tica {
     fitFromCovariance(cov, tau, epsilon, dim)
   }
 
-  def fitFromCovariance(cov: CovarianceModel, tau: Int, epsilon: Double = 1e-10,
-                        dim: Int = -1, bessel: Boolean = true,
-                        varCutoff: Double = -1.0): KoopmanModel = {
+  /** Reversible symmetrization (covariance/_covariance.py reversible path,
+    * moments_XXXY symmetrized): reconstruct RAW second moments from the
+    * per-block covariances (each centered at its own mean), then re-center
+    * everything at the joint mean (m0+mt)/2 over the pooled 2w samples.
+    * Averaging the separately-centered blocks instead introduces a
+    * (m0-mt)(m0-mt)^T/4-scale bias. Exposed for the q29 invariant check:
+    * projections r of the generalized eigenproblem satisfy
+    * r' C00sym r = I and r' C0tsym r = diag(lambda) EXACTLY on the same
+    * data, because projection is affine and these are sample identities. */
+  def symmetrized(cov: CovarianceModel, bessel: Boolean = true):
+      (DenseMatrix[Double], DenseMatrix[Double], Array[Double]) = {
     val d = cov.d
-    // Reversible symmetrization (covariance/_covariance.py reversible path,
-    // moments_XXXY symmetrized): reconstruct RAW second moments from the
-    // per-block covariances (each centered at its own mean), then re-center
-    // everything at the joint mean (m0+mt)/2 over the pooled 2w samples.
-    // Averaging the separately-centered blocks instead introduces a
-    // (m0-mt)(m0-mt)^T/4-scale bias.
     val w = cov.weight
     val denom = if (bessel) w - 1.0 else w
     val meanSym = Array.tabulate(d)(i => (cov.mean0(i) + cov.meant(i)) / 2.0)
@@ -116,6 +118,14 @@ object Tica {
     val mOuter = DenseMatrix.tabulate(d, d)((i, j) => wSym * meanSym(i) * meanSym(j))
     val c0 = (s00 + stt - mOuter) / denomSym
     val ct = (s0t + s0t.t - mOuter) / denomSym
+    (c0, ct, meanSym)
+  }
+
+  def fitFromCovariance(cov: CovarianceModel, tau: Int, epsilon: Double = 1e-10,
+                        dim: Int = -1, bessel: Boolean = true,
+                        varCutoff: Double = -1.0): KoopmanModel = {
+    val d = cov.d
+    val (c0, ct, meanSym) = symmetrized(cov, bessel)
     val (vals, vecs) = LinAlg.eigCorr(c0, ct, epsilon)
     val k0 = vals.length
     val k = if (dim > 0) math.min(dim, k0)

@@ -118,6 +118,44 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Connected components over near-duplicate pairs by iterative min-label
+    * propagation: label_v <- min(label_v, min over neighbors' labels),
+    * repeated to a fixpoint. Rounds <= component diameter (near-dup
+    * clusters are tiny, so a handful of rounds); each round is ONE bounded
+    * shuffle join of the edge list against the label frame — never
+    * all-pairs, never driver-materialized, so the 100 TB shape is the
+    * same as the sf0.01 shape. Returns (id, cluster_id = component-min id).
+    * Canonical-doc selection ("keep the smallest id") is then a plain
+    * filter, the standard fuzzy-dedup end game. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().cache()
+    // localCheckpoint per round truncates the logical plan — without it
+    // the label frame's lineage doubles every iteration (it appears twice
+    // per round) and analysis cost explodes exponentially; checkpointed
+    // partitions live on the executors, the right place at scale.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neigh = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** Portable 60-bit simhash: per-token key = first 15 hex chars of the
     * token's md5, so any engine with md5 (DuckDB included) recomputes the
     * signature bit-for-bit — the oracle-checkable twin of the xxhash64

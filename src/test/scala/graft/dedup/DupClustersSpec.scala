@@ -1,0 +1,35 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Connected-components labeling over near-dup pairs (Dedup.duplicateClusters):
+  * the min-label propagation must converge to the component-minimum id. */
+class DupClustersSpec extends SparkSpec {
+
+  test("labels chains, triangles and singleton-free isolation correctly") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a path, diameter 3), {10,11,12} (triangle),
+    // {20,21} (pair); 30 appears in no pair -> not labeled
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges within the diameter bound") {
+    import spark.implicits._
+    // path 0-1-2-...-9: diameter 9 < maxIter default 20
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs).collect()
+    assert(got.length == 10)
+    assert(got.forall(_.getLong(1) == 0L))
+  }
+}
