@@ -321,6 +321,25 @@ object SparkEntry {
         round(Similarity.norm(col("embedding")), 6).as("l2norm"))
     }),
 
+    // int8-quantized cosine vs exact cosine on consecutive-id pairs: the
+    // quantization (scale = maxabs/127, half-away rounding) and the
+    // quantized cosine (integer arithmetic, scales cancel) are both
+    // engine-portable, so the DuckDB oracle recomputes every value — the
+    // 8x-compression ANN path is value-checked, and the emitted |error|
+    // column doubles as the accuracy contract (~1e-2 at dim 64).
+    "q77_quantized_cosine" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("qv"))
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"), col("qv").as("qa"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("qv").as("qb"))
+      a.join(b, col("idb") === col("ida") + 1)
+        .select(col("ida"), col("idb"),
+          round(Similarity.quantizedCosine(col("qa"), col("qb")), 6).as("qcos"),
+          round(abs(Similarity.quantizedCosine(col("qa"), col("qb")) -
+            Similarity.cosine(col("va").cast("array<double>"), col("vb").cast("array<double>"))), 3)
+            .as("abs_err"))
+    }),
+
     // Oracle: DuckDB SIMULATES the full LSH pipeline (sign-plane buckets
     // embedded as literal +- terms -> candidate join -> exact re-rank), so
     // the approximate result is hash-checked exactly, not skipped.
@@ -1557,6 +1576,26 @@ object SparkEntry {
          j AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac
            FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
          SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.6""",
+
+    // Quantization + quantized cosine recomputed exactly: integer dot over
+    // integer norms (scales cancel), plus the exact-cosine error column.
+    "q77_quantized_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id, v,
+           list_transform(v, x -> round(x /
+             (greatest(list_max(list_transform(v, y -> abs(y))), 1e-300) / 127.0))) AS qv
+           FROM e),
+         p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+             a.v AS va, b.v AS vb, a.qv AS qa, b.qv AS qb
+           FROM q a JOIN q b ON b.vec_id = a.vec_id + 1),
+         c AS (SELECT ida, idb,
+           list_dot_product(qa, qb) /
+             (sqrt(list_dot_product(qa, qa)) * sqrt(list_dot_product(qb, qb))) AS qcos,
+           list_dot_product(va, vb) /
+             (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
+           FROM p)
+         SELECT ida, idb, round(qcos, 6) AS qcos,
+           round(abs(qcos - cos), 3) AS abs_err FROM c""",
 
     // Exact pair set (q21's oracle) + recursive transitive closure = the
     // same cluster labels the distributed min-label propagation converges

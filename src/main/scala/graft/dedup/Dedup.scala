@@ -128,9 +128,21 @@ object Dedup {
     * Canonical-doc selection ("keep the smallest id") is then a plain
     * filter, the standard fuzzy-dedup end game. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+    val edges0 = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().cache()
+    // The candidate-pair graph is orders of magnitude smaller than the
+    // corpus (bucket caps bound it), so size the iteration's parallelism
+    // by EDGE count, not by the session default: every round is several
+    // chained stages whose fixed per-partition overhead dominates when
+    // 32-way shuffles carry a few thousand rows. ~1M edges per partition;
+    // grows naturally with the graph at 100 TB.
+    val nEdges = edges0.count()
+    val parts = math.max(1, math.min(pairs.sparkSession.sparkContext.defaultParallelism,
+      (nEdges / 1000000L + 1L).toInt))
+    val edges = edges0.repartition(parts, col("src")).cache()
+    edges.count()
+    edges0.unpersist()
     // localCheckpoint per round truncates the logical plan — without it
     // the label frame's lineage doubles every iteration (it appears twice
     // per round) and analysis cost explodes exponentially; checkpointed
@@ -143,13 +155,17 @@ object Dedup {
       val neigh = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
+      // carry the change flag inside the checkpointed frame: the
+      // convergence count is then a cheap local scan of materialized
+      // partitions instead of a second join per round
       val next = labels.join(neigh, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label"))
+            .cast("long").as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.agg(sum(col("chg"))).collect()(0).getLong(0)
+      labels = next.drop("chg")
       it += 1
     }
     edges.unpersist()

@@ -35,6 +35,29 @@ object Similarity {
     * both norms — no intermediate arrays). */
   def cosine(a: Column, b: Column): Column = graft.functions.ArrayNumeric.cosine(a, b)
 
+  /** Symmetric int8 quantization of an embedding: per-vector scale =
+    * maxabs/127, elements rounded half-away to [-127, 127]. The 100 TB
+    * lever: 8x smaller than DOUBLE[] (4x vs FLOAT[]) for the ANN corpus
+    * side, with cosine ranking preserved to ~1e-2 (the per-vector scales
+    * CANCEL in the cosine ratio, so quantized cosine is integer-exact
+    * arithmetic — deterministic and engine-portable). Emitted as INT
+    * elements for plan simplicity; the storage contract is 8-bit range. */
+  def quantizeInt8(v: Column): Column = {
+    val x = v.cast("array<double>")
+    val scale = greatest(
+      aggregate(x, lit(0.0), (acc, e) => greatest(acc, abs(e))),
+      lit(1e-300)) / 127.0
+    transform(x, e => round(e / scale, 0).cast("int"))
+  }
+
+  /** Cosine over int8-quantized vectors: scales cancel, so this is the
+    * integer dot over integer norms — bit-reproducible anywhere. */
+  def quantizedCosine(qa: Column, qb: Column): Column = {
+    val a = qa.cast("array<double>")
+    val b = qb.cast("array<double>")
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
   /** Brute-force cosine top-k: for each query row in `queries` (small,
     * broadcast), the k nearest corpus rows. Deterministic tie-break on
     * corpus id. */
