@@ -123,7 +123,8 @@ object Tica {
 
   def fitFromCovariance(cov: CovarianceModel, tau: Int, epsilon: Double = 1e-10,
                         dim: Int = -1, bessel: Boolean = true,
-                        varCutoff: Double = -1.0): KoopmanModel = {
+                        varCutoff: Double = -1.0,
+                        scaling: String = "none"): KoopmanModel = {
     val d = cov.d
     val (c0, ct, meanSym) = symmetrized(cov, bessel)
     val (vals, vecs) = LinAlg.eigCorr(c0, ct, epsilon)
@@ -134,6 +135,24 @@ object Tica {
             else k0
     val u = DenseMatrix.zeros[Double](d, k)
     (0 until k).foreach(j => u(::, j) := vecs(::, j))
+    // Eigenvector scaling (reference _tica.py:150-158; its TICA DEFAULT is
+    // kinetic_map — ours is "none" so the C00-orthonormal sample
+    // identities stay the q29 oracle contract; pass explicitly for parity):
+    // kinetic_map scales by eigenvalues (kinetic-distance-preserving map,
+    // Noe & Clementi 2015), commute_map by sqrt of half the regularized
+    // timescales (Noe et al. 2016 section 2.5 damping).
+    scaling match {
+      case "kinetic_map" | "km" =>
+        (0 until k).foreach(j => u(::, j) :*= vals(j))
+      case "commute_map" =>
+        (0 until k).foreach { j =>
+          val ts = 1.0 - tau / math.log(math.abs(vals(j)))
+          val reg = 0.5 * ts * math.max(math.tanh(math.Pi * ((ts - tau) / tau) + 1), 0.0)
+          u(::, j) :*= math.sqrt(reg / 2.0)
+        }
+      case "none" | "" =>
+      case other => throw new IllegalArgumentException(s"unknown scaling '$other'")
+    }
     KoopmanModel(tau, meanSym, meanSym,
       Array.tabulate(k)(vals(_)), LinAlg.toFlat(u), d, k)
   }
@@ -148,7 +167,8 @@ object Vamp {
   }
 
   def fitFromCovariance(cov: CovarianceModel, tau: Int, epsilon: Double = 1e-10,
-                        dim: Int = -1, varCutoff: Double = -1.0): KoopmanModel = {
+                        dim: Int = -1, varCutoff: Double = -1.0,
+                        scaling: String = "none"): KoopmanModel = {
     val d = cov.d
     val c00 = LinAlg.fromFlat(cov.cov00, d)
     val ctt = LinAlg.fromFlat(cov.covtt, d)
@@ -164,6 +184,15 @@ object Vamp {
             else kAll
     val uFull = l0 * uw(::, 0 until k)          // d x k singular functions
     val vFull = lt * vwT(0 until k, ::).t       // d x k timelagged functions
+    // kinetic_map scaling (reference _vamp.py:188-190): both singular
+    // function sets scaled by the singular values. Default "none" matches
+    // the reference VAMP default.
+    scaling match {
+      case "kinetic_map" | "km" =>
+        (0 until k).foreach { j => uFull(::, j) :*= s(j); vFull(::, j) :*= s(j) }
+      case "none" | "" =>
+      case other => throw new IllegalArgumentException(s"unknown scaling '$other'")
+    }
     KoopmanModel(tau, cov.mean0, cov.meant,
       Array.tabulate(k)(s(_)), LinAlg.toFlat(uFull), d, k,
       vOpt = Some(LinAlg.toFlat(vFull)))

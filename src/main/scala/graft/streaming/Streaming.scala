@@ -132,6 +132,25 @@ object Streaming {
       .groupBy("s0", "s1")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming exact dedup for a document stream: fingerprint each doc
+    * (md5 of whitespace-normalized lowercased text, the same key as the
+    * batch `Dedup` path) and keep only the FIRST occurrence via
+    * `dropDuplicates` over the fingerprint — Structured Streaming's
+    * state-store dedup, the exactly-once ingest gate a training-data
+    * pipeline puts in front of its corpus.
+    *
+    * State contract: one state-store entry per distinct fingerprint. With
+    * an event-time watermark column present (`withWatermark` upstream),
+    * pass its name in `extraKeys` so expired fingerprints age out of the
+    * store; without one the state grows with the distinct-doc count —
+    * bounded by corpus cardinality, the same budget a batch dedup needs,
+    * but resident. */
+  def streamingDedup(stream: DataFrame, textCol: String = "text",
+                     extraKeys: Seq[String] = Nil): DataFrame = {
+    val fp = graft.text.TextFunctions.fingerprint(col(textCol))
+    stream.withColumn("fp", fp).dropDuplicates("fp" +: extraKeys)
+  }
+
   /** Wire a streaming trajectory source into an online covariance: pairs
     * via `lagPairsStream`, folded per micro-batch through
     * `RunningCovar.partialFit` (the foreachBatch shape). Returns the query

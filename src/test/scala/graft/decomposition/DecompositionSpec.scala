@@ -54,6 +54,36 @@ class DecompositionSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("TICA scaling modes match the reference formulas (_tica.py:150-158)") {
+    import graft.agg.Covariance
+    import graft.lag.Lag
+    val a = Array(0.9, 0.2)
+    val traj = ar1(spark, a, nTraj = 3, len = 2000, seed = 11)
+    val cov = Covariance.fit(Lag.pairs(traj, 1))
+    val none = Tica.fitFromCovariance(cov, 1)
+    val km = Tica.fitFromCovariance(cov, 1, scaling = "kinetic_map")
+    val cm = Tica.fitFromCovariance(cov, 1, scaling = "commute_map")
+    val k = none.k
+    for (j <- 0 until k; i <- 0 until cov.d) {
+      // kinetic map scales column j by eigenvalue lambda_j
+      km.u(i * k + j) shouldBe none.u(i * k + j) * none.singularValues(j) +- 1e-12
+      // commute map scales by sqrt(regularized_timescale / 2)
+      val lam = none.singularValues(j)
+      val ts = 1.0 - 1.0 / math.log(math.abs(lam))
+      val reg = 0.5 * ts * math.max(math.tanh(math.Pi * ((ts - 1.0) / 1.0) + 1), 0.0)
+      cm.u(i * k + j) shouldBe none.u(i * k + j) * math.sqrt(reg / 2.0) +- 1e-12
+    }
+    // VAMP kinetic map scales BOTH singular function sets by sigma
+    val vn = Vamp.fitFromCovariance(cov, 1)
+    val vkm = Vamp.fitFromCovariance(cov, 1, scaling = "km")
+    val vk = vn.k
+    for (j <- 0 until vk; i <- 0 until cov.d) {
+      vkm.u(i * vk + j) shouldBe vn.u(i * vk + j) * vn.singularValues(j) +- 1e-12
+      vkm.vOpt.get(i * vk + j) shouldBe
+        vn.vOpt.get(i * vk + j) * vn.singularValues(j) +- 1e-12
+    }
+  }
+
   test("TICA on AR(1) recovers mixing coefficients as eigenvalues") {
     val a = Array(0.9, 0.2)
     val traj = ar1(spark, a, nTraj = 5, len = 4000, seed = 42)

@@ -41,6 +41,26 @@ class StreamingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("streaming dedup keeps exactly the first occurrence per fingerprint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = Streaming.streamingDedup(
+      input.toDF().toDF("doc_id", "text"))
+    val query = deduped.writeStream.format("memory")
+      .queryName("dedup_sink").outputMode("append").start()
+    try {
+      // duplicates within AND across micro-batches; whitespace/case
+      // variants collapse to the same fingerprint
+      input.addData((1L, "alpha beta"), (2L, "gamma"), (3L, "alpha beta"))
+      query.processAllAvailable()
+      input.addData((4L, "  Alpha   BETA "), (5L, "delta"))
+      query.processAllAvailable()
+      val out = spark.table("dedup_sink").select("doc_id").as[Long].collect().sorted
+      out shouldBe Array(1L, 2L, 5L)
+    } finally { query.stop() }
+  }
+
   test("streaming lag pairs equal batch lag pairs (MemoryStream end-to-end)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
