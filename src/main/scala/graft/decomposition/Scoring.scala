@@ -61,6 +61,16 @@ object Scoring {
   def vampScore(model: KoopmanModel, cov: CovarianceModel, method: String): Double =
     vampScore(model, cov, method, -1, 1e-10)
 
+  /** Score a fitted model against a (test) trajectory frame — the
+    * reference's `vamp_score_data` shape: one covariance pass over the
+    * test data, then the covariance-based score above. */
+  def vampScoreData(model: KoopmanModel, testTraj: org.apache.spark.sql.DataFrame,
+                    tau: Int, method: String = "VAMP2", dim: Int = -1,
+                    epsilon: Double = 1e-10): Double = {
+    val cov = graft.agg.Covariance.fit(graft.lag.Lag.pairs(testTraj, tau))
+    vampScore(model, cov, method, dim, epsilon)
+  }
+
   /** Lag pairs formed within tumbling blocks (pairs never cross a block
     * boundary), plus the block id for fold assignment. */
   def blockPairs(traj: DataFrame, tau: Int, blocksize: Int): DataFrame = {

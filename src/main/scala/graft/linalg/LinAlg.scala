@@ -132,4 +132,68 @@ object LinAlg {
     }
 
   def matInv(m: DenseMatrix[Double]): DenseMatrix[Double] = inv(m)
+
+  /** Schatten p-norm (reference numeric/_utils.py `schatten_norm`):
+    * (sum_i sigma_i^p)^(1/p) over the singular values. */
+  def schattenNorm(m: DenseMatrix[Double], p: Double): Double = {
+    require(p >= 1.0, "schatten norm requires p >= 1")
+    val s = breeze.linalg.svd(m).singularValues
+    math.pow((0 until s.length).map(i => math.pow(s(i), p)).sum, 1.0 / p)
+  }
+
+  /** Matrix predicates (reference numeric/_utils.py is_square_matrix,
+    * is_diagonal_matrix, is_sorted). */
+  def isSquare(m: DenseMatrix[Double]): Boolean = m.rows == m.cols
+  def isDiagonal(m: DenseMatrix[Double], tol: Double = 0.0): Boolean =
+    (0 until m.rows).forall(i => (0 until m.cols)
+      .forall(j => i == j || math.abs(m(i, j)) <= tol))
+  def isSorted(xs: Seq[Double], descending: Boolean = false): Boolean =
+    if (descending) xs.zip(xs.drop(1)).forall { case (a, b) => a >= b }
+    else xs.zip(xs.drop(1)).forall { case (a, b) => a <= b }
+
+  /** Neumaier-compensated (improved Kahan) sum / dot (reference numeric
+    * kahan.h ksum/kdot — the float64 long-sum policy; the distributed
+    * moments path has its own in-aggregator compensation, this is the
+    * driver-side counterpart). Neumaier keeps the correction when a large
+    * term later cancels, which plain Kahan loses. */
+  def ksum(xs: Array[Double]): Double = {
+    var s = 0.0; var c = 0.0; var i = 0
+    while (i < xs.length) {
+      val x = xs(i)
+      val t = s + x
+      c += (if (math.abs(s) >= math.abs(x)) (s - t) + x else (x - t) + s)
+      s = t
+      i += 1
+    }
+    s + c
+  }
+  def kdot(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length, "kdot length mismatch")
+    var s = 0.0; var c = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i) * b(i)
+      val t = s + x
+      c += (if (math.abs(s) >= math.abs(x)) (s - t) + x else (x - t) + s)
+      s = t
+      i += 1
+    }
+    s + c
+  }
+
+  /** Numerically-stable log(exp(a) + exp(b)) and log-sum-exp (reference
+    * numeric logsumexp surface; TRAM keeps a private fused copy). */
+  def logsumexpPair(a: Double, b: Double): Double = {
+    if (a.isNegInfinity) return b
+    if (b.isNegInfinity) return a
+    val m = math.max(a, b)
+    m + math.log1p(math.exp(math.min(a, b) - m))
+  }
+  def logsumexp(xs: Array[Double]): Double = {
+    if (xs.isEmpty) return Double.NegativeInfinity
+    val m = xs.max
+    if (m.isNegInfinity) return Double.NegativeInfinity
+    var s = 0.0; var i = 0
+    while (i < xs.length) { s += math.exp(xs(i) - m); i += 1 }
+    m + math.log(s)
+  }
 }

@@ -79,6 +79,25 @@ object Connectivity {
     for (i <- 0 until k; j <- 0 until k) out(i, j) = m(states(i), states(j))
     out
   }
+
+  /** Whether the count/transition graph is one strongly connected
+    * component (reference tools/analysis `is_connected`, directed). */
+  def isConnected(counts: DenseMatrix[Double]): Boolean = {
+    val comp = scc(counts)
+    comp.isEmpty || comp.forall(_ == comp(0))
+  }
+
+  /** All connected sets, largest first (reference
+    * `compute_connected_sets` directed=True semantics): SCCs sorted by
+    * total outgoing counts. */
+  def connectedSets(counts: DenseMatrix[Double]): Seq[Array[Int]] = {
+    val comp = scc(counts)
+    val n = counts.rows
+    val weight = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+    for (i <- 0 until n) weight(comp(i)) += bsum(counts(i, ::).t) + 1e-9
+    comp.distinct.toSeq.sortBy((c: Int) => -weight(c))
+      .map(c => (0 until n).filter(comp(_) == c).toArray)
+  }
 }
 
 /** Transition-matrix maximum-likelihood estimation
