@@ -42,6 +42,22 @@ class DedupRecallSpec extends SparkSpec with Matchers {
     cand shouldBe exact // banding guarantee: candidates == exact pair set
   }
 
+  test("portable simhash banding == exact hamming<=3 join (60-bit, 4x15 bands)") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sig"))
+    val exact = sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        Dedup.hamming64(col("x.sig"), col("y.sig")).as("hamming"))
+      .where(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.simhashCandidatesPortable(docs, maxHamming = 3)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cand shouldBe exact
+    // signatures use only the low 60 bits
+    val maxSig = sigs.agg(max(col("sig"))).collect()(0).getLong(0)
+    assert(maxSig >= 0L && maxSig < (1L << 60))
+  }
+
   test("wide-bucket LSH ANN reaches recall@5 >= 0.9 vs brute force") {
     val q = emb.where(col("vec_id") % 40 === 0)
     val brute = Similarity.bruteForceTopK(emb, q, 5)
