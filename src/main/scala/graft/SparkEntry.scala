@@ -208,6 +208,31 @@ object SparkEntry {
           max("t").as("last_t"), countDistinct("traj_id").as("n_trajs"))
     }),
 
+    // Event sessionization: gap > 30000 s opens a new session; per-session
+    // aggregates. Timestamp arithmetic runs in integral microseconds
+    // (ts div 1000 == DuckDB epoch_us truncation) so the oracle is exact.
+    "q78_sessionize" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("value"))
+      Trajectories.sessionize(ev, gapMicros = 30000000000L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("tsu")) - min(col("tsu"))).as("dur_us"),
+          round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // Exact token-count quantiles over the corpus (percentile_disc
+    // semantics, rank = ceil(q*n)); the scale path is approx_percentile,
+    // this exact variant is the oracle-checkable reporting op.
+    "q79_token_quantiles" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.util.Stats.exactQuantiles(counts, "n_tokens",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .withColumnRenamed("v", "n_tokens")
+    }),
+
     // ---- text analysis -------------------------------------------------
     "q16_dedup_exact" -> ((s, dir) => {
       docs(s, dir)
@@ -1576,6 +1601,31 @@ object SparkEntry {
          j AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac
            FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
          SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.6""",
+
+    "q78_sessionize" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events),
+         s AS (SELECT user_id, tsu, event_id, value,
+           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
+             THEN 1 ELSE 0 END AS brk
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         x AS (SELECT user_id, tsu, value,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess
+           FROM s)
+         SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(tsu) - min(tsu) AS BIGINT) AS dur_us,
+           round(sum(value), 4) AS sum_value
+         FROM x GROUP BY 1, 2""",
+
+    "q79_token_quantiles" ->
+      """WITH c AS (SELECT len(regexp_extract_all(text, '\S+')) AS n FROM documents),
+         r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn FROM c),
+         t AS (SELECT count(*) AS cnt FROM c),
+         qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+         SELECT qs.q, CAST(r.n AS BIGINT) AS n_tokens
+         FROM qs JOIN t ON true
+         JOIN r ON r.rn = greatest(1, CAST(ceil(qs.q * t.cnt) AS BIGINT))""",
 
     // Quantization + quantized cosine recomputed exactly: integer dot over
     // integer norms (scales cancel), plus the exact-cosine error column.

@@ -100,6 +100,27 @@ object Trajectories {
     "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 " +
       "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 ELSE -1 END"
 
+  /** Sessionize an event stream: a new session opens when the gap to the
+    * user's previous event exceeds `gapMicros`. One window pass (lag for
+    * the gap flag + running sum for the session index) partitioned by
+    * user — a single shuffle at any scale, the canonical event-pipeline
+    * op. `tsMicrosCol` must be an integral microsecond timestamp (the
+    * nanos-as-long scans use `ts div 1000`, which matches DuckDB's
+    * `epoch_us` truncation). */
+  def sessionize(events: DataFrame, gapMicros: Long,
+                 userCol: String = "user_id", tsMicrosCol: String = "tsu",
+                 tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsMicrosCol), col(tieCol))
+    events
+      .withColumn("prev_tsu", lag(col(tsMicrosCol), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_tsu").isNull ||
+          col(tsMicrosCol) - col("prev_tsu") > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_tsu", "brk")
+  }
+
   /** Drop rows whose feature array contains NaN or +-Inf (reference
     * covariance/_covariance.py nan-robustness; util/data.py drop_nan
     * semantics). Pure codegen predicate pushed into the scan. */

@@ -70,6 +70,24 @@ object Stats {
       .select(Seq(col("boot_id").as(TrajCol), col(TimeCol)) ++ others: _*)
   }
 
+  /** Exact discrete quantiles of a numeric column: value at rank
+    * ceil(q*n) in ascending order (percentile_disc semantics — the
+    * smallest value whose cumulative rank reaches q). The global sort is
+    * one single-partition window: exact quantiles are inherently a total
+    * order, so at 100 TB use `approx_percentile` instead — this is the
+    * oracle-checkable exact path for corpus-statistics reporting. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val ranks = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong)).toDF("q", "rn")
+    val ranked = df.select(col(valueCol).as("v"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"))).cast("long"))
+    ranks.join(ranked, "rn").select(col("q"), col("v"))
+  }
+
   /** Percentile confidence interval over per-sample values
     * (util/stats.py:10 confidence_interval). */
   def confidenceInterval(samples: Seq[Double], conf: Double = 0.95): (Double, Double) = {
