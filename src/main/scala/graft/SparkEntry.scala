@@ -922,6 +922,37 @@ object SparkEntry {
         length(col("payload")).cast("long").as("n_bytes"))
     }),
 
+    // ---- video container metadata (VIDEO leg of the multimodal family:
+    // real ISO-BMFF box walker + mvhd parse; per-doc MP4s are constructed
+    // by the REAL encoder and round-tripped through the REAL parser, the
+    // oracle recomputes every field from the generating formulas — q52/q70
+    // pattern. Frame-sample timestamps are the metadata-derived work list
+    // a decode stage consumes (codec decode is out of scope by contract:
+    // no video codecs in a plain JVM). --------------------------------
+    "q80_video_meta" -> ((s, dir) => {
+      val mk = udf { (docId: Long) =>
+        graft.multimodal.Mp4.encodeMinimal("isom", 600L, (30 + docId % 600) * 600L)
+      }
+      val parse = udf { (bytes: Array[Byte]) =>
+        graft.multimodal.Mp4.parse(bytes).map { m =>
+          (m.brand, m.timescale, m.duration,
+            m.duration / math.max(m.timescale, 1L),
+            graft.multimodal.Mp4.frameSampleTimestamps(m.timescale, m.duration, 10L)
+              .length.toLong)
+        }.orNull
+      }
+      docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
+        .select(col("doc_id"),
+          graft.multimodal.Multimodal.sniffFormat(col("payload")).as("format"),
+          parse(col("payload")).cast(
+            "struct<brand:string,timescale:bigint,duration:bigint," +
+              "duration_sec:bigint,n_sample_points:bigint>").as("m"))
+        .select(col("doc_id"), col("format"), col("m.brand").as("brand"),
+          col("m.timescale").as("timescale"), col("m.duration").as("duration"),
+          col("m.duration_sec").as("duration_sec"),
+          col("m.n_sample_points").as("n_sample_points"))
+    }),
+
     // ---- tokenizer (oracle: same RE2-compatible regex in DuckDB) -------
     "q53_pretoken_counts" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -1601,6 +1632,16 @@ object SparkEntry {
          j AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac
            FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
          SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.6""",
+
+    // MP4 metadata recomputed from the generating formulas; the Spark side
+    // must round-trip them through the real encoder + box parser.
+    "q80_video_meta" ->
+      """WITH d AS (SELECT doc_id, CAST(600 AS BIGINT) AS timescale,
+           CAST((30 + doc_id % 600) * 600 AS BIGINT) AS duration FROM documents)
+         SELECT doc_id, 'mp4' AS format, 'isom' AS brand, timescale, duration,
+           CAST(duration // timescale AS BIGINT) AS duration_sec,
+           CAST(duration // timescale // 10 + 1 AS BIGINT) AS n_sample_points
+         FROM d""",
 
     "q78_sessionize" ->
       """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events),

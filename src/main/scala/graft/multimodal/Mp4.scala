@@ -41,7 +41,7 @@ object Mp4 {
         val size32 = beU32(b, pos)
         val typ = fourcc(b, pos + 4)
         val (payloadStart, boxEnd) =
-          if (size32 == 1L && pos + 16 <= end) (pos + 16, pos + beU64(b, pos + 8))
+          if (size32 == 1L && pos + 16 <= end) (pos + 16L, pos + beU64(b, pos + 8))
           else if (size32 == 0L) (pos + 8L, end.toLong)
           else (pos + 8L, pos + size32)
         val clampedEnd = math.min(boxEnd, end.toLong).toInt
