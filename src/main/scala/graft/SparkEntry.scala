@@ -922,6 +922,34 @@ object SparkEntry {
         length(col("payload")).cast("long").as("n_bytes"))
     }),
 
+    // Semi-structured props column: JSON field extraction (codegen
+    // get_json_object) feeding a relational aggregate — the schema-on-read
+    // path every event pipeline needs; DuckDB twin via json_extract.
+    "q81_json_props" -> ((s, dir) => {
+      Trajectories.table(s, dir, "events")
+        .select(Trajectories.eventTypeState(col("event_type")).as("state"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+    }),
+
+    // Skew-aware exact distinct count: hash-partition the VALUE space into
+    // buckets, count distinct per (key, bucket), sum the bucket counts —
+    // exact because hash buckets partition the values; the two-phase shape
+    // caps any single reducer's state at |distinct|/buckets, which is the
+    // standard fix when one hot key owns most of the data. The oracle is
+    // the plain COUNT(DISTINCT) it must equal.
+    "q82_skew_distinct" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(Trajectories.eventTypeState(col("event_type")).as("state"),
+          col("user_id"))
+      graft.util.Salting.skewAwareDistinctCount(ev, Seq("state"), "user_id",
+        buckets = 16)
+        .withColumnRenamed("n_distinct", "n_users")
+    }),
+
     // ---- video container metadata (VIDEO leg of the multimodal family:
     // real ISO-BMFF box walker + mvhd parse; per-doc MP4s are constructed
     // by the REAL encoder and round-tripped through the REAL parser, the
@@ -1632,6 +1660,20 @@ object SparkEntry {
          j AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac
            FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
          SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.6""",
+
+    "q81_json_props" ->
+      s"""SELECT ${Trajectories.eventTypeStateSql} AS state,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+            CAST(count(DISTINCT CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT)
+              AS n_distinct_k
+          FROM events GROUP BY 1""",
+
+    // The salted two-phase distinct must equal the plain COUNT(DISTINCT).
+    "q82_skew_distinct" ->
+      s"""SELECT ${Trajectories.eventTypeStateSql} AS state,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events GROUP BY 1""",
 
     // MP4 metadata recomputed from the generating formulas; the Spark side
     // must round-trip them through the real encoder + box parser.
