@@ -90,6 +90,49 @@ case class ClusterModel(centers: Array[Array[Double]]) {
   * (reference clustering/_kmeans.py; MLlib = broadcast centers +
   * treeAggregate partial sums, the exact distributed shape SURVEY §2.7
   * prescribes). Deterministic via fixed seed. */
+/** Standalone k-means++ seeding (reference clustering/_kmeans.py exports
+  * `kmeans_plusplus`; MLlib's fit path uses k-means|| internally — this is
+  * the composable initializer for custom loops). D^2-weighted selection
+  * runs on the driver over a deterministic hash-sampled row cap: seeding
+  * quality needs a representative sample, not the corpus, so the 100 TB
+  * contract is the same row-capped landmark rule as the kernel methods. */
+object KMeansPlusPlus {
+  def seed(traj: DataFrame, k: Int, seedVal: Long = 42L,
+           maxSampleRows: Long = 65536L, featCol: String = FeatCol): Array[Array[Double]] = {
+    require(k > 0, "k must be positive")
+    val n = traj.count()
+    val frac = if (n <= maxSampleRows) 1.0 else maxSampleRows.toDouble / n
+    val rows = traj.sample(withReplacement = false, frac, seedVal)
+      .select(col(featCol).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "empty input")
+    val rnd = new java.util.Random(seedVal)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val centers = scala.collection.mutable.ArrayBuffer(rows(rnd.nextInt(rows.length)))
+    val minD2 = rows.map(d2(_, centers(0)))
+    while (centers.length < math.min(k, rows.length)) {
+      val total = minD2.sum
+      val pick =
+        if (total <= 0) rnd.nextInt(rows.length)
+        else {
+          var r = rnd.nextDouble() * total
+          var i = 0
+          while (i < rows.length - 1 && r >= minD2(i)) { r -= minD2(i); i += 1 }
+          i
+        }
+      val c = rows(pick)
+      centers += c
+      var i = 0
+      while (i < rows.length) { minD2(i) = math.min(minD2(i), d2(rows(i), c)); i += 1 }
+    }
+    centers.toArray
+  }
+}
+
 object KMeans {
   def fit(traj: DataFrame, k: Int, maxIter: Int = 50, seed: Long = 42L,
           featCol: String = FeatCol, tol: Double = 1e-4): ClusterModel = {

@@ -132,6 +132,20 @@ object Streaming {
       .groupBy("s0", "s1")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Watermarked event-time windowed aggregation over a trajectory/event
+    * stream (SURVEY §2.9 "watermarks + windowed aggs"): tumbling windows
+    * of `windowDur` over the event-time column, state bounded by the
+    * watermark `delay` — late data beyond it is dropped and windows
+    * finalize, so APPEND mode emits each window exactly once. The
+    * streaming analog of the q14 histogram / q07 state-count family. */
+  def windowedStateCounts(stream: DataFrame, tsCol: String, stateCol: String,
+                          windowDur: String, delay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur), col(stateCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col(stateCol), col("cnt"))
+
   /** Streaming exact dedup for a document stream: fingerprint each doc
     * (md5 of whitespace-normalized lowercased text, the same key as the
     * batch `Dedup` path) and keep only the FIRST occurrence via

@@ -41,6 +41,34 @@ class StreamingSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("watermarked windowed counts finalize exactly once in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Int)]
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val counts = Streaming.windowedStateCounts(
+      input.toDF().toDF("ts", "state"), "ts", "state",
+      windowDur = "10 seconds", delay = "5 seconds")
+    val query = counts.writeStream.format("memory")
+      .queryName("win_sink").outputMode("append").start()
+    try {
+      // window [0,10): states 1,1,2 ; window [10,20): state 3
+      input.addData((ts(1), 1), (ts(3), 1), (ts(9), 2), (ts(12), 3))
+      query.processAllAvailable()
+      // advance the watermark past 10+5 so [0,10) finalizes
+      input.addData((ts(21), 4))
+      query.processAllAvailable()
+      val done = spark.table("win_sink")
+        .select(col("win_start").cast("long"), col("state"), col("cnt"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      done shouldBe Set((0L, 1, 2L), (0L, 2, 1L)) // only the finalized window
+      // a late row for [0,10) beyond the watermark is DROPPED
+      input.addData((ts(2), 1))
+      query.processAllAvailable()
+      spark.table("win_sink").count() shouldBe 2
+    } finally { query.stop() }
+  }
+
   test("streaming dedup keeps exactly the first occurrence per fingerprint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
