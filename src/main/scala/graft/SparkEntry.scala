@@ -922,6 +922,18 @@ object SparkEntry {
         length(col("payload")).cast("long").as("n_bytes"))
     }),
 
+    // Eval-decontamination scan: corpus docs sharing >= 10 distinct 8-gram
+    // shingles with the "benchmark" slice (doc_id % 100 == 0) are flagged.
+    // Benchmark shingles broadcast; corpus streams map-side. The oracle
+    // recomputes the overlap counts from the raw string shingles.
+    "q83_decontamination" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationScan(
+        d.where(col("doc_id") % 100 =!= 0),
+        d.where(col("doc_id") % 100 === 0),
+        shingleLen = 8, minOverlap = 10L)
+    }),
+
     // Semi-structured props column: JSON field extraction (codegen
     // get_json_object) feeding a relational aggregate — the schema-on-read
     // path every event pipeline needs; DuckDB twin via json_extract.
@@ -1660,6 +1672,20 @@ object SparkEntry {
          j AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac
            FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
          SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.6""",
+
+    "q83_decontamination" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(text) - 6), i -> substr(text, CAST(i AS INT), 8)))) AS s
+           FROM documents WHERE len(text) >= 8),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+         corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 != 0),
+         ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
+           FROM corp c JOIN bench b ON b.s = c.s GROUP BY 1)
+         SELECT d.doc_id, coalesce(ov.n, 0) AS n_overlap,
+           CAST(CASE WHEN coalesce(ov.n, 0) >= 10 THEN 1 ELSE 0 END AS INT)
+             AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 100 != 0) d
+         LEFT JOIN ov USING (doc_id)""",
 
     "q81_json_props" ->
       s"""SELECT ${Trajectories.eventTypeStateSql} AS state,

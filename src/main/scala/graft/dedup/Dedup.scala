@@ -125,6 +125,29 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Benchmark-contamination scan: count each corpus doc's distinct
+    * character n-grams that also appear ANYWHERE in the benchmark set
+    * (the eval-decontamination pass every training-data pipeline runs).
+    * Scale shape: benchmark sets are eval-suite sized, so their distinct
+    * shingle-hash set broadcasts; the corpus side streams map-side through
+    * one semi-join + per-doc count — no corpus shuffle of text, ever.
+    * Shingles are 64-bit-hashed (same collision argument as
+    * `ngramJaccard`). */
+  def contaminationScan(corpus: DataFrame, benchmark: DataFrame,
+                        shingleLen: Int = 8, minOverlap: Long = 10L,
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def hashed(c: Column) = array_distinct(transform(
+      TextFunctions.shingles(c, shingleLen), s => xxhash64(s)))
+    val bench = benchmark.select(explode(hashed(col(textCol))).as("h")).distinct()
+    val corp = corpus.select(col(idCol), explode(hashed(col(textCol))).as("h"))
+    val overlaps = corp.join(broadcast(bench), "h")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol)).join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).cast("int").as("contaminated"))
+  }
+
   /** Connected components over near-duplicate pairs by iterative min-label
     * propagation: label_v <- min(label_v, min over neighbors' labels),
     * repeated to a fixpoint. Rounds <= component diameter (near-dup
