@@ -146,6 +146,20 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col(stateCol), col("cnt"))
 
+  /** Streaming sessionization (the streaming twin of
+    * `Trajectories.sessionize`): Structured Streaming's `session_window`
+    * merges events into gap-bounded sessions per user; with a watermark,
+    * sessions finalize once the gap cannot be bridged by late data, so
+    * append mode emits each session exactly once. */
+  def sessionWindowCounts(stream: DataFrame, tsCol: String, userCol: String,
+                          gap: String, delay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"))
+
   /** Streaming exact dedup for a document stream: fingerprint each doc
     * (md5 of whitespace-normalized lowercased text, the same key as the
     * batch `Dedup` path) and keep only the FIRST occurrence via

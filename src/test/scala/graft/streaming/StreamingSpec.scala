@@ -69,6 +69,34 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally { query.stop() }
   }
 
+  test("session windows merge gap-bounded events and finalize exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val sessions = Streaming.sessionWindowCounts(
+      input.toDF().toDF("ts", "user_id"), "ts", "user_id",
+      gap = "10 seconds", delay = "5 seconds")
+    val query = sessions.writeStream.format("memory")
+      .queryName("sess_sink").outputMode("append").start()
+    try {
+      // user 1: events at 0,5,8 chain into one session [0, 18); a later
+      // event at 40 is a separate session
+      input.addData((ts(0), 1L), (ts(5), 1L), (ts(8), 1L), (ts(40), 1L))
+      query.processAllAvailable()
+      // watermark must pass 18 + 5 for the first session to finalize
+      input.addData((ts(60), 2L))
+      query.processAllAvailable()
+      val done = spark.table("sess_sink")
+        .select(col("user_id"), col("sess_start").cast("long"),
+          col("sess_end").cast("long"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // watermark = 60 - 5 = 55 finalizes BOTH user-1 sessions
+      // ([0,18) and [40,50)); user 2's own session stays open
+      done shouldBe Set((1L, 0L, 18L, 3L), (1L, 40L, 50L, 1L))
+    } finally { query.stop() }
+  }
+
   test("streaming dedup keeps exactly the first occurrence per fingerprint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
