@@ -59,7 +59,9 @@ object Bench {
     // ~2.5 KB for 80+ queries: the driver captures only a bounded stdout
     // tail, and full-precision doubles pushed the r02/r03 line past that
     // window (BENCH JSON arrived truncated -> unparseable).
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would render 1,234 — invalid JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

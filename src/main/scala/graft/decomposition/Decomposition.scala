@@ -146,6 +146,11 @@ object Tica {
         (0 until k).foreach(j => u(::, j) :*= vals(j))
       case "commute_map" =>
         (0 until k).foreach { j =>
+          // NOTE: the reference's literal formula (_tica.py:152) is
+          // `1. - lagtime / log|lambda|`, i.e. 1 + the usual implied
+          // timescale -tau/log|lambda| — reproduced verbatim here for
+          // output parity (bug-compatible by design; the regularizer then
+          // dampens sub-lagtime values as in Noe et al. 2016 sec. 2.5).
           val ts = 1.0 - tau / math.log(math.abs(vals(j)))
           val reg = 0.5 * ts * math.max(math.tanh(math.Pi * ((ts - tau) / tau) + 1), 0.0)
           u(::, j) :*= math.sqrt(reg / 2.0)

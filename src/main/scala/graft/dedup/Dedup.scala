@@ -199,6 +199,11 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // fail LOUD on non-convergence: silently-partial labels would emit
+    // multiple cluster ids (and canonicals) for one true component
+    require(changed == 0,
+      s"duplicateClusters did not converge within $maxIter rounds " +
+        "(a component's diameter exceeds maxIter); raise maxIter")
     labels.withColumnRenamed("label", "cluster_id")
   }
 

@@ -228,22 +228,39 @@ object Validation {
                  sets: Seq[Set[Int]]): CkTestResult = {
     require(steps >= 1)
     val lags = (1 to steps).map(_ * tau)
-    val models = msmPerLag(dtraj, lags, nStates, reversible = false)
+    // RAW row-normalized count matrices over the full 0..nStates-1 frame
+    // (zero rows for states without outgoing pairs at that lag) — NO
+    // largest-connected-set restriction: the SQL twin sums over all
+    // observed pairs, and an LCS-restricted model would silently diverge
+    // from it on data where a state drops out of the LCS at some lag.
+    val rows = multiLagCounts(dtraj, lags).collect()
+    val byLag = rows.groupBy(_.getInt(0))
+    val tms: Map[Int, DenseMatrix[Double]] = lags.map { l =>
+      val c = DenseMatrix.zeros[Double](nStates, nStates)
+      byLag.getOrElse(l, Array.empty).foreach { r =>
+        c(r.getInt(1), r.getInt(2)) = r.getLong(3).toDouble
+      }
+      for (i <- 0 until nStates) {
+        val rs = bsum(c(i, ::).t)
+        if (rs > 0) c(i, ::) :/= rs
+      }
+      l -> c
+    }.toMap
     val hist: Map[Int, Double] = dtraj.where(col("state") >= 0)
       .groupBy("state").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1).toDouble).toMap
     val nSets = sets.length
 
-    def coarse(t: DenseMatrix[Double], states: Array[Int]): DenseMatrix[Double] = {
+    def coarse(t: DenseMatrix[Double]): DenseMatrix[Double] = {
       val out = DenseMatrix.zeros[Double](nSets, nSets)
       for (a <- 0 until nSets; b <- 0 until nSets) {
         var num = 0.0
         var den = 0.0
-        for (i <- states.indices if sets(a).contains(states(i))) {
-          val wi = hist.getOrElse(states(i), 0.0)
+        for (i <- 0 until nStates if sets(a).contains(i)) {
+          val wi = hist.getOrElse(i, 0.0)
           den += wi
           var srow = 0.0
-          for (j <- states.indices if sets(b).contains(states(j))) srow += t(i, j)
+          for (j <- 0 until nStates if sets(b).contains(j)) srow += t(i, j)
           num += wi * srow
         }
         out(a, b) = if (den > 0) num / den else 0.0
@@ -251,7 +268,7 @@ object Validation {
       out
     }
 
-    val base = models(tau)
+    val base = tms(tau)
     def power(t: DenseMatrix[Double], p: Int): DenseMatrix[Double] = {
       var acc = DenseMatrix.eye[Double](t.rows)
       (0 until p).foreach(_ => acc = acc * t)
@@ -260,11 +277,11 @@ object Validation {
     val lagtimes = Array(0) ++ lags
     val predictions = lagtimes.map {
       case 0 => DenseMatrix.eye[Double](nSets)
-      case l => coarse(power(base.transitionMatrix, l / tau), base.states)
+      case l => coarse(power(base, l / tau))
     }
     val estimates = lagtimes.map {
       case 0 => DenseMatrix.eye[Double](nSets)
-      case l => coarse(models(l).transitionMatrix, models(l).states)
+      case l => coarse(tms(l))
     }
     CkTestResult(lagtimes, nSets, predictions, estimates)
   }

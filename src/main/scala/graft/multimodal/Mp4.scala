@@ -63,7 +63,8 @@ object Mp4 {
       typ match {
         case "ftyp" if pe - ps >= 4 => brand = fourcc(bytes, ps)
         case "moov" =>
-          for ((ctyp, cps, cpe) <- boxes(bytes, ps, pe) if ctyp == "mvhd") {
+          for ((ctyp, cps, cpe) <- boxes(bytes, ps, pe)
+               if ctyp == "mvhd" && cpe - cps >= 1 && cps < bytes.length) {
             val version = bytes(cps) & 0xFF
             if (version == 0 && cpe - cps >= 20) {
               timescale = beU32(bytes, cps + 12)
@@ -102,7 +103,7 @@ object Mp4 {
     u32(0); u32(0) // creation, modification
     u32(timescale); u32(duration)
     u32(0x00010000L) // rate 1.0
-    out.write(Array.fill[Byte](10)(0)) // volume + reserved
+    out.write(Array.fill[Byte](12)(0)) // volume(2) + reserved(2) + reserved2(8)
     // identity matrix
     u32(0x00010000L); u32(0); u32(0); u32(0); u32(0x00010000L); u32(0)
     u32(0); u32(0); u32(0x40000000L)

@@ -167,16 +167,21 @@ object Streaming {
     * state-store dedup, the exactly-once ingest gate a training-data
     * pipeline puts in front of its corpus.
     *
-    * State contract: one state-store entry per distinct fingerprint. With
-    * an event-time watermark column present (`withWatermark` upstream),
-    * pass its name in `extraKeys` so expired fingerprints age out of the
-    * store; without one the state grows with the distinct-doc count —
+    * State contract: one state-store entry per distinct fingerprint.
+    * Without a watermark the state grows with the distinct-doc count —
     * bounded by corpus cardinality, the same budget a batch dedup needs,
-    * but resident. */
+    * but resident. With `withinWatermark=true` (requires `withWatermark`
+    * upstream) Spark's `dropDuplicatesWithinWatermark` expires fingerprint
+    * state once it can no longer collide — the dedup KEY stays the
+    * fingerprint alone, so identical docs at different event times are
+    * still deduplicated while their state windows overlap (widening the
+    * key with the time column would silently stop deduplicating at all). */
   def streamingDedup(stream: DataFrame, textCol: String = "text",
-                     extraKeys: Seq[String] = Nil): DataFrame = {
+                     withinWatermark: Boolean = false): DataFrame = {
     val fp = graft.text.TextFunctions.fingerprint(col(textCol))
-    stream.withColumn("fp", fp).dropDuplicates("fp" +: extraKeys)
+    val withFp = stream.withColumn("fp", fp)
+    if (withinWatermark) withFp.dropDuplicatesWithinWatermark("fp")
+    else withFp.dropDuplicates("fp")
   }
 
   /** Wire a streaming trajectory source into an online covariance: pairs

@@ -34,8 +34,8 @@ object Salting {
   /** Salted broadcast-side replication for a skewed join: explode the
     * (small) build side `buckets` times and salt the probe side's key with
     * a random-ish hash bucket, so one hot join key spreads over `buckets`
-    * tasks. Returns (saltedLeft, replicatedRight, joinCols). The caller
-    * joins on `keyCol` + `__salt`. */
+    * tasks. Returns (saltedProbe, replicatedBuild); the caller joins them
+    * on `keyCol` AND the generated `__salt` column. */
   def saltJoinSides(probe: DataFrame, build: DataFrame, keyCol: String,
                     buckets: Int, probeTieBreak: String):
       (DataFrame, DataFrame) = {
