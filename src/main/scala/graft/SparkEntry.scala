@@ -46,6 +46,19 @@ object SparkEntry {
   private def r6(x: Double): Double =
     math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
 
+  private def r4(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
+
+  /** Distinct observed (state >= 0) dtraj states, ascending — the SQL
+    * oracles' row support. Residual grids iterate THIS set, emitting 0.0
+    * for states the model dropped via its largest-connected-set
+    * restriction, so Spark and SQL agree on ANY data (on datasets less
+    * connected than the current testdata the model-state loop alone would
+    * emit fewer rows than the oracle). */
+  private def observedStates(s: SparkSession, dir: String): Seq[Int] =
+    Trajectories.dtrajFromEvents(s, dir).where(col("state") >= 0)
+      .select("state").distinct().collect().map(_.getInt(0)).sorted.toSeq
+
   /** (check, value) battery frame — the q71/q73 invariant-oracle pattern
     * generalized: invariant rows carry a violation measure that must round
     * to exactly 0.0, and count-like rows carry a value the DuckDB twin can
@@ -62,7 +75,6 @@ object SparkEntry {
     val d = m.d
     // half-away-from-zero, matching Spark round() and DuckDB round()
     // (math.rint's half-to-even would flip oracle parity on exact ties)
-    def r6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
     val cols = scala.collection.mutable.LinkedHashMap[String, Double]()
     cols += "w" -> m.weight
     (0 until d).foreach(i => cols += s"m0_$i" -> r6(m.mean0(i)))
@@ -458,15 +470,21 @@ object SparkEntry {
       import s.implicits._
       val t = msm.transitionMatrix
       val pi = msm.stationaryDistribution
-      val cDense = TransitionCounting.toDense(counts, 5)
-      (for (i <- 0 until msm.n; j <- 0 until msm.n
-            if cDense(msm.states(i), msm.states(j)) + cDense(msm.states(j), msm.states(i)) > 0)
-        yield {
-          val rowSum = (0 until msm.n).map(t(i, _)).sum
-          (msm.states(i), msm.states(j),
-            r6(pi(i) * t(i, j) - pi(j) * t(j, i)) + 0.0,
-            r6(rowSum - 1.0) + 0.0)
-        }).toDF("s0", "s1", "db_resid", "row_resid")
+      val sym2idx = msm.states.zipWithIndex.toMap
+      // support = SYMMETRIZED OBSERVED pairs (the oracle's row set on any
+      // data); pairs outside the model's connected set carry 0.0 residuals
+      val observedPairs = counts.select(col("s0"), col("s1")).collect()
+        .flatMap(r => Seq((r.getInt(0), r.getInt(1)), (r.getInt(1), r.getInt(0))))
+        .distinct.sorted
+      observedPairs.map { case (a, b) =>
+        (sym2idx.get(a), sym2idx.get(b)) match {
+          case (Some(i), Some(j)) =>
+            val rowSum = (0 until msm.n).map(t(i, _)).sum
+            (a, b, r6(pi(i) * t(i, j) - pi(j) * t(j, i)) + 0.0,
+              r6(rowSum - 1.0) + 0.0)
+          case _ => (a, b, 0.0, 0.0)
+        }
+      }.toSeq.toDF("s0", "s1", "db_resid", "row_resid")
     }),
 
     // Lloyd k-means run to the exact fixed point (tol ~ 0): at convergence
@@ -563,7 +581,6 @@ object SparkEntry {
         Trajectories.dtrajFromEvents(s, dir), 1, 5, maxLag = 25)
       import s.implicits._
       // half-away rounding, matching DuckDB round(x, 4)
-      def r4(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
       (for (i <- 0 until 5; j <- 0 until 5 if ceff(i, j) > 0) yield
         (i, j, r4(ceff(i, j))))
         .toDF("s0", "s1", "cnt_eff")
@@ -620,17 +637,23 @@ object SparkEntry {
       // time-reversed matrix for the backward BVP residual
       val tRev = breeze.linalg.DenseMatrix.tabulate(msm.n, msm.n)((i, j) =>
         if (pi(i) > 0) pi(j) * t(j, i) / pi(i) else 0.0)
-      // a/b are MODEL indices (committorForward's contract); emit symbols
-      (0 until msm.n).map { i =>
-        val fwdResid =
-          if (a.contains(i)) qf(i) - 0.0
-          else if (b.contains(i)) qf(i) - 1.0
-          else (0 until msm.n).map(j => t(i, j) * qf(j)).sum - qf(i)
-        val bwdResid =
-          if (a.contains(i)) qb(i) - 1.0
-          else if (b.contains(i)) qb(i) - 0.0
-          else (0 until msm.n).map(j => tRev(i, j) * qb(j)).sum - qb(i)
-        (msm.states(i), r6(fwdResid) + 0.0, r6(bwdResid) + 0.0)
+      // a/b are MODEL indices (committorForward's contract); rows span the
+      // OBSERVED states (oracle support) with 0.0 for non-model states
+      val sym2idx = msm.states.zipWithIndex.toMap
+      observedStates(s, dir).map { sym =>
+        sym2idx.get(sym) match {
+          case Some(i) =>
+            val fwdResid =
+              if (a.contains(i)) qf(i) - 0.0
+              else if (b.contains(i)) qf(i) - 1.0
+              else (0 until msm.n).map(j => t(i, j) * qf(j)).sum - qf(i)
+            val bwdResid =
+              if (a.contains(i)) qb(i) - 1.0
+              else if (b.contains(i)) qb(i) - 0.0
+              else (0 until msm.n).map(j => tRev(i, j) * qb(j)).sum - qb(i)
+            (sym, r6(fwdResid) + 0.0, r6(bwdResid) + 0.0)
+          case None => (sym, 0.0, 0.0)
+        }
       }.toDF("state", "fwd_bvp_resid", "bwd_bvp_resid")
     }),
 
@@ -645,19 +668,25 @@ object SparkEntry {
       val f = flux.grossFlux
       val n = msm.n
       import s.implicits._
-      // A/B are MODEL-index sets (reactiveFlux's contract)
+      // A/B are MODEL-index sets (reactiveFlux's contract); rows span the
+      // OBSERVED states (oracle support) with 0.0 for non-model states
       def outOf(states: Set[Int]): Double =
         (for (i <- 0 until n if states.contains(i);
               j <- 0 until n if !states.contains(j)) yield f(i, j)).sum
       def into(states: Set[Int]): Double =
         (for (j <- 0 until n if states.contains(j);
               i <- 0 until n if !states.contains(i)) yield f(i, j)).sum
-      (0 until n).map { i =>
-        val resid =
-          if (i == 0) outOf(Set(0)) - flux.totalFlux              // A-outflow
-          else if (i == 4) into(Set(4)) - flux.totalFlux          // B-inflow
-          else (0 until n).map(j => f(j, i)).sum - (0 until n).map(j => f(i, j)).sum
-        (msm.states(i), r6(resid) + 0.0)
+      val sym2idx = msm.states.zipWithIndex.toMap
+      observedStates(s, dir).map { sym =>
+        sym2idx.get(sym) match {
+          case Some(i) =>
+            val resid =
+              if (i == 0) outOf(Set(0)) - flux.totalFlux          // A-outflow
+              else if (i == 4) into(Set(4)) - flux.totalFlux      // B-inflow
+              else (0 until n).map(j => f(j, i)).sum - (0 until n).map(j => f(i, j)).sum
+            (sym, r6(resid) + 0.0)
+          case None => (sym, 0.0)
+        }
       }.toDF("state", "conservation_resid")
     }),
 
@@ -668,21 +697,27 @@ object SparkEntry {
       val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
       val pcca = graft.markov.Pcca(msm, 2)
       import s.implicits._
-      (for (i <- 0 until msm.n; k <- 0 until 2) yield
-        (msm.states(i), k,
-          r6(pcca.memberships(i, 0) + pcca.memberships(i, 1) - 1.0) + 0.0,
-          r6(math.max(0.0, -pcca.memberships(i, k))) + 0.0))
-        .toDF("state", "metastable_set", "rowsum_resid", "nonneg_viol")
+      val sym2idx = msm.states.zipWithIndex.toMap
+      (for (sym <- observedStates(s, dir); k <- 0 until 2) yield
+        sym2idx.get(sym) match {
+          case Some(i) =>
+            (sym, k, r6(pcca.memberships(i, 0) + pcca.memberships(i, 1) - 1.0) + 0.0,
+              r6(math.max(0.0, -pcca.memberships(i, k))) + 0.0)
+          case None => (sym, k, 0.0, 0.0)
+        }).toDF("state", "metastable_set", "rowsum_resid", "nonneg_viol")
     }),
 
     // ---- basis / kernels (SURVEY §2.8) ---------------------------------
     "q42_basis_monomials" -> ((s, dir) => {
       // degree-2 monomials of the 2-d feature (value/100, hour-of-day/24):
-      // column means of the lifted features are SQL-checkable
+      // column means of the lifted features are SQL-checkable.
       // ts arrives as nanos-since-epoch long (nanosAsLong); hour-of-day UTC
+      // via INTEGER division — double division of ~1.7e18 nanos carries a
+      // 256 ns ulp that could misfloor a timestamp sitting on an hour
+      // boundary, where DuckDB's hour(ts) is exact.
       val ev = Trajectories.table(s, dir, "events")
         .select((col("value") / 100.0).as("x0"),
-          ((floor(col("ts") / 3600000000000L) % 24) / 24.0).as("x1"))
+          ((expr("ts div 3600000000000") % 24) / 24.0).as("x1"))
       ev.agg(
         round(avg(lit(1.0)), 6).as("m_1"),
         round(avg(col("x0")), 6).as("m_x0"),
@@ -714,7 +749,6 @@ object SparkEntry {
       val cov = Covariance.fitFeatures(whitened.select(col("traj_id"), col("t"),
         col("whitened").as(Trajectories.FeatCol)))
       import s.implicits._
-      def r4(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
       (for (i <- 0 until cov.d; j <- 0 until cov.d) yield
         (i, j, r4(cov.cov00(i * cov.d + j)) + 0.0)) // +0.0: normalize -0.0
         .toDF("i", "j", "cov")
@@ -727,18 +761,22 @@ object SparkEntry {
       val src = ev(s, dir)
       val boot = graft.util.Stats.bootstrapTrajectories(src, seed = 7L)
       val nDraws = boot.select(col("traj_id")).distinct().count()
-      val bootRows = boot.count()
-      // every boot trajectory's length must be SOME source trajectory's
-      // length; total rows = sum of drawn source lengths (verified via the
-      // length multiset join)
+      // every boot trajectory must be a FULL copy of some source
+      // trajectory: its length equals a source length AND its frame
+      // indices are the contiguous range 0..len-1 (count == max_t+1,
+      // min_t == 0 catches dropped/duplicated rows inside a draw)
       val srcLens = src.groupBy("traj_id").count()
         .groupBy("count").agg(count(lit(1)).as("n_src")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val bootLens = boot.groupBy("traj_id").count().collect().map(_.getLong(1))
-      val lenViol = bootLens.count(l => !srcLens.contains(l)).toDouble
+      val bootStats = boot.groupBy("traj_id").agg(count(lit(1)).as("n"),
+        min(col("t")).as("t0"), max(col("t")).as("t1")).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val lenViol = bootStats.count { case (n, _, _) => !srcLens.contains(n) }.toDouble
+      val contigViol = bootStats.count { case (n, t0, t1) =>
+        t0 != 0L || t1 != n - 1 }.toDouble
       checksDf(s, Seq(
         "n_draws" -> nDraws.toDouble,
-        "rows_minus_sum_of_lengths" -> (bootRows - bootLens.sum).toDouble,
+        "noncontiguous_draws" -> contigViol,
         "unmatched_lengths" -> lenViol))
     }),
 
@@ -872,8 +910,9 @@ object SparkEntry {
       val dmin = 30.0
       val model = graft.clustering.RegularSpace.fit(traj, dmin = dmin, maxCenters = 50)
       val centers = model.centers.map(_(0))
+      // a single center has no pair distances; the constraint is vacuously met
       val minPair = (for (i <- centers.indices; j <- i + 1 until centers.length)
-        yield math.abs(centers(i) - centers(j))).min
+        yield math.abs(centers(i) - centers(j))).minOption.getOrElse(dmin)
       val x = col(Trajectories.FeatCol).getItem(0)
       val minDist = least(centers.map(c => abs(x - lit(c))): _*)
       val maxMin = traj.agg(max(minDist)).collect()(0).getDouble(0)
@@ -1060,11 +1099,16 @@ object SparkEntry {
       val t = msm.transitionMatrix
       val h = graft.markov.MsmAnalysis.hittingProbability(t, Set(2))
       import s.implicits._
-      (0 until msm.n).map { i =>
-        val resid =
-          if (i == 2) h(i) - 1.0
-          else (0 until msm.n).map(j => t(i, j) * h(j)).sum - h(i)
-        (msm.states(i), r6(resid) + 0.0)
+      val sym2idx = msm.states.zipWithIndex.toMap
+      observedStates(s, dir).map { sym =>
+        sym2idx.get(sym) match {
+          case Some(i) =>
+            val resid =
+              if (i == 2) h(i) - 1.0
+              else (0 until msm.n).map(j => t(i, j) * h(j)).sum - h(i)
+            (sym, r6(resid) + 0.0)
+          case None => (sym, 0.0)
+        }
       }.toDF("state", "bvp_resid")
     }),
 
@@ -1080,12 +1124,15 @@ object SparkEntry {
         tau = 1, nStates = 5, rankTol = 2.0, nbs = 50)
       import s.implicits._
       val t = model.transitionMatrix
-      (for (i <- model.states.indices; j <- model.states.indices) yield {
-        val rowSum = model.states.indices.map(t(i, _)).sum
-        (model.states(i), model.states(j),
-          r6(rowSum - 1.0) + 0.0,
-          r6(math.max(0.0, -t(i, j))) + 0.0)
-      }).toDF("s0", "s1", "row_resid", "nonneg_viol")
+      val sym2idx = model.states.zipWithIndex.toMap
+      val obs = observedStates(s, dir)
+      (for (a <- obs; b <- obs) yield
+        (sym2idx.get(a), sym2idx.get(b)) match {
+          case (Some(i), Some(j)) =>
+            val rowSum = model.states.indices.map(t(i, _)).sum
+            (a, b, r6(rowSum - 1.0) + 0.0, r6(math.max(0.0, -t(i, j))) + 0.0)
+          case _ => (a, b, 0.0, 0.0)
+        }).toDF("s0", "s1", "row_resid", "nonneg_viol")
     }),
 
     // ---- TRAM multi-ensemble free energies (rows-only) -----------------
@@ -1108,7 +1155,8 @@ object SparkEntry {
       // analytic two-ensemble fixture is spec-gated (TramSpec).
       val pi = model.stationaryDistribution
       val piSum = (0 until 5).map(pi(_)).sum
-      (0 until 5).map { i =>
+      // rows span the observed states (the oracle's support on any data)
+      observedStates(s, dir).map { i =>
         val f = model.markovStateEnergies(i)
         (i, r6(piSum - 1.0) + 0.0,
           if (f.isNaN || f.isInfinite) 1.0 else 0.0,
@@ -1131,7 +1179,8 @@ object SparkEntry {
       val t = model.transitionMatrix
       val pi = model.stationaryDistribution
       val piSum = (0 until 5).map(pi(_)).sum
-      (0 until 5).map { j =>
+      // rows span the observed states (the oracle's support on any data)
+      observedStates(s, dir).map { j =>
         val statResid = (0 until 5).map(i => pi(i) * t(i, j)).sum - pi(j)
         (j, r6(statResid) + 0.0, r6(piSum - 1.0) + 0.0)
       }.toDF("state", "pi_stationarity_resid", "pi_norm_resid")
@@ -1387,8 +1436,7 @@ object SparkEntry {
       checks("kl_detailed_balance") = maxAbs(
         for (i <- 0 until n; j <- 0 until n) yield pi(i) * kKl(i, j) - pi(j) * kKl(j, i))
       import s.implicits._
-      def r6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
-      checks.toSeq.map { case (name, v) => (name, r6(v) + 0.0) }
+        checks.toSeq.map { case (name, v) => (name, r6(v) + 0.0) }
         .toDF("check", "violation")
     }),
 
@@ -1438,8 +1486,7 @@ object SparkEntry {
       checks("amm_pi_normalized") = math.abs(bsum(amm.stationaryDistribution) - 1.0)
 
       import s.implicits._
-      def r6(x: Double) = math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
-      checks.toSeq.map { case (name, v) => (name, r6(v) + 0.0) }
+        checks.toSeq.map { case (name, v) => (name, r6(v) + 0.0) }
         .toDF("check", "violation")
     }),
 
@@ -1944,7 +1991,7 @@ object SparkEntry {
     "q45_bootstrap" ->
       """SELECT 'n_draws' AS "check",
            (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) FROM events) AS "value"
-         UNION ALL SELECT 'rows_minus_sum_of_lengths', 0.0
+         UNION ALL SELECT 'noncontiguous_draws', 0.0
          UNION ALL SELECT 'unmatched_lengths', 0.0""",
 
     // Viterbi path battery; path length is the exact observed-frame count.

@@ -74,16 +74,29 @@ object Dedup {
                         idCol: String = "doc_id", shingleLen: Int = 5,
                         bands: Int = 6, rowsPerBand: Int = 5,
                         maxBucketSize: Int = 1000): DataFrame = {
-    val b = lshBands(docs, textCol, idCol, shingleLen, bands, rowsPerBand)
+    // Over-cap buckets (> maxBucketSize members — at web scale, thousands
+    // of copies of the same boilerplate landing in one band bucket) emit
+    // STAR edges to the bucket-minimum doc instead of all pairs: candidate
+    // count stays LINEAR in bucket size while every member remains
+    // connected through the hub, so downstream connected-components
+    // clustering (duplicateClusters) still recovers the full duplicate
+    // cluster. Dropping the bucket outright — the previous behavior —
+    // silently lost exactly the densest duplicate clusters.
+    val banded = lshBands(docs, textCol, idCol, shingleLen, bands, rowsPerBand)
       .withColumn("bucket_n", count(lit(1))
         .over(Window.partitionBy("band_idx", "band_hash")))
-      .where(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    val l = b.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
-    val r = b.select(col("band_idx"), col("band_hash"), col(idCol).as("b"))
-    l.join(r, Seq("band_idx", "band_hash"))
+      .withColumn("bucket_min", min(col(idCol))
+        .over(Window.partitionBy("band_idx", "band_hash")))
+    val small = banded.where(col("bucket_n") <= maxBucketSize)
+    val l = small.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
+    val r = small.select(col("band_idx"), col("band_hash"), col(idCol).as("b"))
+    val allPairs = l.join(r, Seq("band_idx", "band_hash"))
       .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
+    val starPairs = banded.where(col("bucket_n") > maxBucketSize)
+      .where(col(idCol) =!= col("bucket_min"))
+      .select(col("bucket_min").as("a"), col(idCol).as("b"))
+    allPairs.union(starPairs).distinct()
   }
 
   /** Exact character-n-gram Jaccard similarity for given candidate pairs.

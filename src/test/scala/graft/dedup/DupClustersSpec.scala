@@ -24,6 +24,22 @@ class DupClustersSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("over-cap band buckets degrade to star edges, not silence") {
+    import spark.implicits._
+    // 8 identical docs share every band bucket; with maxBucketSize=3 the
+    // all-pairs join is skipped but star edges must keep the duplicate
+    // cluster connected (previously the whole bucket was dropped)
+    val docs = (0L until 8L).map(i => (i, "the quick brown fox jumps over the lazy dog repeatedly"))
+      .toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(docs, maxBucketSize = 3)
+    val clusters = Dedup.duplicateClusters(cand.select("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.keySet == (0L until 8L).toSet)
+    assert(clusters.values.toSet == Set(0L)) // one cluster, canonical = min id
+    // and the candidate count stayed linear, not quadratic (28 pairs)
+    assert(cand.count() <= 7L)
+  }
+
   test("long path converges within the diameter bound") {
     import spark.implicits._
     // path 0-1-2-...-9: diameter 9 < maxIter default 20
