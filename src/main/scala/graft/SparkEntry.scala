@@ -487,16 +487,19 @@ object SparkEntry {
       }.toSeq.toDF("s0", "s1", "db_resid", "row_resid")
     }),
 
-    // Lloyd k-means run to the exact fixed point (tol ~ 0): at convergence
-    // each center equals the mean of its assigned points, and every row's
+    // Lloyd k-means run to the exact fixed point: at convergence each
+    // center equals the mean of its assigned points, and every row's
     // own-center distance equals its minimum center distance — both checked
-    // over the FULL data with our codegen argmin assignment, so MLlib fit +
-    // ClusterModel.transform are cross-validated against each other. The
-    // row count has an exact SQL twin.
+    // over the FULL data with our codegen argmin assignment. The fit is the
+    // distinct-value-histogram exact Lloyd (fit1dExact): one aggregation
+    // scan replaces the r04 shape's ~200 sequential MLlib jobs (the 2.31x
+    // bench-cap violation), and because every row equals its value the
+    // histogram fixed point IS the full-data fixed point — the oracle
+    // contract is unchanged and tighter. The row count has an exact SQL
+    // twin.
     "q32_kmeans_assign" -> ((s, dir) => {
       val traj = Trajectories.fromEvents(s, dir)
-      val model = graft.clustering.KMeans.fit(traj, k = 5, seed = 42L,
-        maxIter = 200, tol = 1e-12)
+      val model = graft.clustering.KMeans.fit1dExact(traj, k = 5, seed = 42L)
       val assigned = model.transform(traj).cache()
       try {
         val centers = model.centers.map(_(0))

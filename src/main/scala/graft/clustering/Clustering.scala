@@ -114,20 +114,23 @@ object KMeansPlusPlus {
     }
     val centers = scala.collection.mutable.ArrayBuffer(rows(rnd.nextInt(rows.length)))
     val minD2 = rows.map(d2(_, centers(0)))
-    while (centers.length < math.min(k, rows.length)) {
+    var exhausted = false
+    while (centers.length < math.min(k, rows.length) && !exhausted) {
       val total = minD2.sum
-      val pick =
-        if (total <= 0) rnd.nextInt(rows.length)
-        else {
-          var r = rnd.nextDouble() * total
-          var i = 0
-          while (i < rows.length - 1 && r >= minD2(i)) { r -= minD2(i); i += 1 }
-          i
-        }
-      val c = rows(pick)
-      centers += c
-      var i = 0
-      while (i < rows.length) { minD2(i) = math.min(minD2(i), d2(rows(i), c)); i += 1 }
+      if (total <= 0) {
+        // every remaining point coincides with an existing center: drawing
+        // more would only duplicate centers — stop at the distinct-point
+        // count (mirrors the reference, which cannot pick a zero-D^2 point)
+        exhausted = true
+      } else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < rows.length - 1 && r >= minD2(i)) { r -= minD2(i); i += 1 }
+        val c = rows(i)
+        centers += c
+        var j = 0
+        while (j < rows.length) { minD2(j) = math.min(minD2(j), d2(rows(j), c)); j += 1 }
+      }
     }
     centers.toArray
   }
@@ -142,5 +145,145 @@ object KMeans {
       .setK(k).setMaxIter(maxIter).setSeed(seed).setFeaturesCol("fv").setTol(tol)
     val model = km.fit(df)
     ClusterModel(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Exact Lloyd fixed point for 1-d features via distinct-value
+    * pre-aggregation (reference clustering/_kmeans.py Lloyd loop; the
+    * histogram trick is the standard low-dimensional scale path — BIRCH /
+    * grid k-means family). One `groupBy(value).count()` scan compresses the
+    * corpus to its distinct values; because every row EQUALS its value, the
+    * weighted Lloyd iteration on (value, count) makes the IDENTICAL
+    * assignment and mean-update decisions as full-data Lloyd — the fixed
+    * point reached is exactly the full-data fixed point, at driver cost
+    * instead of one full scan per iteration. At 100 TB a quantized 1-d
+    * measurement has bounded distinct values; if the cap is exceeded we
+    * fall back to the general MLlib path. */
+  def fit1dExact(traj: DataFrame, k: Int, seed: Long = 42L,
+                 maxIter: Int = 500, maxDistinct: Int = 1 << 20,
+                 featCol: String = FeatCol): ClusterModel = {
+    val hist = traj.groupBy(col(featCol).getItem(0).as("v")).count()
+      .limit(maxDistinct + 1).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    if (hist.length > maxDistinct)
+      return fit(traj, k, maxIter = 50, seed = seed, featCol = featCol, tol = 1e-9)
+    val values = hist.map(_._1)
+    val weights = hist.map(_._2.toDouble)
+    val n = values.length
+    // weighted k-means++ seeding (D^2 * weight mass), deterministic
+    val rnd = new java.util.Random(seed)
+    val centers = scala.collection.mutable.ArrayBuffer(values(rnd.nextInt(n)))
+    val minD2 = Array.tabulate(n)(i => { val d = values(i) - centers(0); d * d * weights(i) })
+    while (centers.length < math.min(k, n)) {
+      val total = minD2.sum
+      if (total <= 0) {
+        // all remaining mass sits on existing centers
+        centers ++= values.filterNot(centers.contains).take(k - centers.length)
+      } else {
+        var r = rnd.nextDouble() * total
+        var i = 0
+        while (i < n - 1 && r >= minD2(i)) { r -= minD2(i); i += 1 }
+        val c = values(i)
+        centers += c
+        var j = 0
+        while (j < n) {
+          val d = values(j) - c
+          minD2(j) = math.min(minD2(j), d * d * weights(j)); j += 1
+        }
+      }
+    }
+    var cs = centers.toArray.sorted
+    // Lloyd to the exact fixed point: stop when centers stop moving (the
+    // assignment is then provably stable too)
+    var iter = 0
+    var moved = true
+    val assign = new Array[Int](n)
+    while (iter < maxIter && moved) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < cs.length) {
+          val d = math.abs(values(i) - cs(j))
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = new Array[Double](cs.length)
+      val cnts = new Array[Double](cs.length)
+      i = 0
+      while (i < n) {
+        sums(assign(i)) += values(i) * weights(i)
+        cnts(assign(i)) += weights(i)
+        i += 1
+      }
+      val next = Array.tabulate(cs.length)(j =>
+        if (cnts(j) > 0) sums(j) / cnts(j) else cs(j))
+      moved = !java.util.Arrays.equals(next, cs)
+      cs = next
+      iter += 1
+    }
+    ClusterModel(cs.map(Array(_)))
+  }
+}
+
+/** Custom-metric full Lloyd k-means — completes parity with the reference's
+  * metric-pluggable loop (clustering/_kmeans.py:148-473 + metric.h registry:
+  * the metric drives ASSIGNMENT; the center update is the arithmetic mean of
+  * assigned points, exactly as kmeans_bits.h's cluster_loop). Distributed
+  * shape per SURVEY §2.7: broadcast centers, per-partition partial
+  * (sum, count) accumulators, a single reduce per iteration — the data is
+  * never shuffled and nothing but k*(d+1) doubles crosses the network. */
+object LloydKMeans {
+
+  def fit(traj: DataFrame, k: Int, metric: Metric = EuclideanMetric,
+          maxIter: Int = 50, tol: Double = 1e-6, seed: Long = 42L,
+          featCol: String = FeatCol): ClusterModel = {
+    require(k > 0, "k must be positive")
+    val spark = traj.sparkSession
+    import spark.implicits._
+    val data = traj.select(col(featCol).cast("array<double>")).as[Seq[Double]]
+    var centers = KMeansPlusPlus.seed(traj, k, seed, featCol = featCol)
+    val m = metric
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val bc = spark.sparkContext.broadcast(centers)
+      val (sums, counts) = data
+        .mapPartitions { it =>
+          val cs = bc.value
+          val kk = cs.length
+          val d = if (kk > 0) cs(0).length else 0
+          val sums = Array.ofDim[Double](kk, d)
+          val counts = new Array[Long](kk)
+          it.foreach { xs =>
+            val x = xs.toArray
+            var best = 0; var bestD = Double.MaxValue
+            var j = 0
+            while (j < kk) {
+              val dist = m.dist(x, cs(j))
+              if (dist < bestD) { bestD = dist; best = j }
+              j += 1
+            }
+            counts(best) += 1
+            var i = 0
+            while (i < d) { sums(best)(i) += x(i); i += 1 }
+          }
+          Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
+        }
+        .reduce { (a, b) =>
+          (a._1.zip(b._1).map { case (ra, rb) => ra.zip(rb).map(t => t._1 + t._2) },
+            a._2.zip(b._2).map(t => t._1 + t._2))
+        }
+      val next = centers.indices.map { j =>
+        if (counts(j) > 0) sums(j).map(_ / counts(j)).toArray else centers(j)
+      }.toArray
+      moved = centers.indices.map(j => m.dist(centers(j), next(j))).max
+      centers = next
+      bc.destroy()
+      iter += 1
+    }
+    ClusterModel(centers)
   }
 }
