@@ -1079,6 +1079,7 @@ object SparkEntry {
     // row — together they hash-gate both factors of the product.
     "q56_expected_counts" -> ((s, dir) => {
       val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+      val dense = TransitionCounting.toDense(counts, 5)
       val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = false)
       val t = msm.transitionMatrix
       val pi = msm.stationaryDistribution
@@ -1086,7 +1087,12 @@ object SparkEntry {
       val piResid = (0 until msm.n).map(j =>
         math.abs((0 until msm.n).map(i => pi(i) * t(i, j)).sum - pi(j))).max
       import s.implicits._
-      (for (i <- 0 until msm.n; j <- 0 until msm.n if ec(i, j) > 1e-9) yield {
+      // row support = OBSERVED pairs (count > 0), exactly the oracle's
+      // observed-pair support — an ec-magnitude cutoff (the r04 shape,
+      // ec > 1e-9) could drop a counted pair whose stationary weight is
+      // tiny and silently break row-set parity on less-balanced data
+      (for (i <- 0 until msm.n; j <- 0 until msm.n
+            if dense(msm.states(i), msm.states(j)) > 0) yield {
         val rowSum = (0 until msm.n).map(jj => ec(i, jj)).sum
         (msm.states(i), msm.states(j), r6(ec(i, j) / rowSum), r6(piResid) + 0.0)
       }).toDF("s0", "s1", "tprob", "pi_resid")
@@ -1508,6 +1514,123 @@ object SparkEntry {
       checksDf(s, Seq(
         "mean_weight_minus_one" -> (row.getDouble(0) - 1.0),
         "n_pairs" -> row.getLong(1).toDouble))
+    }),
+
+    // Custom-metric (Manhattan) distributed Lloyd k-means over the 4-d
+    // lineitem features (reference _kmeans.py:148-473 + metric.h registry:
+    // any registered metric drives assignment; centers update by mean).
+    // q51-style contract battery: the metric-aware codegen argmin
+    // (struct-sort) is cross-checked against an independently-built
+    // least(...) expression over the full data, centers are finite and k
+    // as requested; the assigned-row count has an exact SQL twin.
+    "q84_custom_kmeans" -> ((s, dir) => {
+      import graft.clustering.{LloydKMeans, ManhattanMetric}
+      val traj = Trajectories.fromLineitem(s, dir)
+      val model = LloydKMeans.fit(traj, k = 4, metric = ManhattanMetric,
+        maxIter = 15, tol = 1e-7, seed = 42L)
+      val assigned = model.transformMetric(traj, ManhattanMetric).cache()
+      try {
+        val feat = col(Trajectories.FeatCol)
+        val dists = model.centers.map(c => ManhattanMetric.distColumn(feat, c))
+        val ownDist = element_at(array(dists: _*), col("state") + 1)
+        val minDist = least(dists: _*)
+        val aggRow = assigned.agg(
+          max(ownDist - minDist).as("argmin_viol"),
+          count(lit(1)).as("n")).collect()(0)
+        val nonfinite = model.centers.flatten
+          .count(v => v.isNaN || v.isInfinite).toDouble
+        checksDf(s, Seq(
+          "assign_argmin" -> aggRow.getDouble(0),
+          "k_centers_minus_4" -> (model.k - 4).toDouble,
+          "centers_nonfinite" -> nonfinite,
+          "n_assigned" -> aggRow.getLong(1).toDouble))
+      } finally { assigned.unpersist(); () }
+    }),
+
+    // Sensitivity family made oracle-visible (markov/Sensitivity.scala was
+    // the one §2.6 family with spec-only coverage): every row is a
+    // driver-exact algebraic identity of the sensitivity matrices — NOT a
+    // finite-difference approximation — so the residuals round to literal
+    // zeros on any data:
+    //   * eigenvalue sensitivity S = outer(l_k, r_k): bi-orthonormality
+    //     makes trace(S) = l_k . r_k = 1, and rank-1 structure zeroes all
+    //     2x2 minors;
+    //   * timescale sensitivity is the exact chain-rule multiple of S;
+    //   * sum_j dpi_j/dT = 0 (pi stays normalized under any perturbation),
+    //     checked through expectationSensitivity(ones) = sum of all
+    //     per-component pi sensitivities;
+    //   * mfpt/committor sensitivities: the ADJOINT-solve implementation is
+    //     replayed by independent FORWARD solves of the perturbed linear
+    //     systems (dm = -A^-1 E m; u dq = -E qbar) over every (a,b).
+    // The state count has an exact SQL twin.
+    "q85_sensitivities" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, DenseVector}
+      import graft.markov.{Sensitivity, TransitionCounting}
+      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val t = msm.transitionMatrix
+      val n = msm.n
+      def maxAbs(xs: Iterable[Double]): Double =
+        if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+
+      val sEig = Sensitivity.eigenvalueSensitivity(t, 1)
+      val traceResid = (0 until n).map(i => sEig(i, i)).sum - 1.0
+      val rank1Resid = maxAbs(for {
+        i <- 0 until n; j <- 0 until n; k <- 0 until n; l <- 0 until n
+      } yield sEig(i, j) * sEig(k, l) - sEig(i, l) * sEig(k, j))
+
+      val e = breeze.linalg.eig(t)
+      val lam = (0 until n).map(e.eigenvalues(_)).sorted(Ordering[Double].reverse)(1)
+      val factor = 1.0 / (lam * math.log(lam) * math.log(lam))
+      val sTs = Sensitivity.timescaleSensitivity(t, 1, tau = 1.0)
+      val chainResid = maxAbs(for (i <- 0 until n; j <- 0 until n)
+        yield sTs(i, j) - factor * sEig(i, j))
+
+      // sum_j dpi_j/dT == 0 through the public expectation API (a = ones)
+      val sOnes = Sensitivity.expectationSensitivity(t, DenseVector.ones[Double](n))
+      val piSumResid = maxAbs(sOnes.toArray)
+
+      // mfpt: forward replay dm = -A^-1 (E_ab m) vs the adjoint solve
+      val target = n - 1; val jM = 0
+      val sMfpt = Sensitivity.mfptSensitivity(t, target, jM)
+      val matA = t - DenseMatrix.eye[Double](n)
+      for (c <- 0 until n) matA(target, c) = 0.0
+      matA(target, target) = 1.0
+      val tVec = DenseVector.fill(n)(-1.0); tVec(target) = 0.0
+      val mfpt = matA \ tVec
+      val mfptResid = maxAbs(for (a <- 0 until n if a != target; b <- 0 until n) yield {
+        val rhs = DenseVector.zeros[Double](n); rhs(a) = -mfpt(b)
+        val dm = matA \ rhs
+        sMfpt(a, b) - dm(jM)
+      })
+
+      // committor: forward replay u dq = -e_a qbar(b) vs the adjoint solve
+      val aSet = Set(0); val bSet = Set(n - 1); val idx = 1
+      val sQ = Sensitivity.forwardCommittorSensitivity(t, aSet, bSet, idx)
+      val notAB = (0 until n).filterNot(x => aSet(x) || bSet(x)).toArray
+      val m = notAB.length
+      val kMat = t - DenseMatrix.eye[Double](n)
+      val u = DenseMatrix.tabulate(m, m)((i, j) => kMat(notAB(i), notAB(j)))
+      val v = DenseVector.tabulate(m)(i => -bSet.toSeq.map(x => kMat(notAB(i), x)).sum)
+      val qI = u \ v
+      val qBar = DenseVector.zeros[Double](n)
+      bSet.foreach(x => qBar(x) = 1.0)
+      notAB.zipWithIndex.foreach { case (x, i) => qBar(x) = qI(i) }
+      val idxPos = notAB.indexOf(idx)
+      val qResid = maxAbs(for (ai <- notAB.indices; b <- 0 until n) yield {
+        val rhs = DenseVector.zeros[Double](m); rhs(ai) = -qBar(b)
+        val dq = u \ rhs
+        sQ(notAB(ai), b) - dq(idxPos)
+      })
+
+      checksDf(s, Seq(
+        "eig_trace_minus_one" -> traceResid,
+        "eig_rank1_minors" -> rank1Resid,
+        "timescale_chain" -> chainResid,
+        "pi_sens_sum" -> piSumResid,
+        "mfpt_adjoint_vs_forward" -> mfptResid,
+        "committor_adjoint_vs_forward" -> qResid,
+        "n_states" -> n.toDouble))
     })
   )
 
@@ -2084,10 +2207,19 @@ object SparkEntry {
            FROM bits GROUP BY doc_id),
          bands AS (SELECT doc_id, sig, t AS band_idx, (sig >> (15 * t)) & 32767 AS chunk
            FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS t) bt),
+         b2 AS (SELECT *,
+             count(*) OVER (PARTITION BY band_idx, chunk) AS bn,
+             row_number() OVER (PARTITION BY band_idx, chunk ORDER BY doc_id) AS rk
+           FROM bands),
+         -- bucket cap + hub fallback mirrored from the Spark side: buckets
+         -- over 1000 members emit only edges whose left end is one of the 3
+         -- smallest ids (hubs precede every member, so hub edges are
+         -- exactly rk <= 3 on the smaller-id side)
          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
              CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
-           FROM bands l JOIN bands r
-             ON l.band_idx = r.band_idx AND l.chunk = r.chunk AND l.doc_id < r.doc_id)
+           FROM b2 l JOIN b2 r
+             ON l.band_idx = r.band_idx AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+           WHERE l.bn <= 1000 OR l.rk <= 3)
          SELECT a, b, hamming FROM cand WHERE hamming <= 3
          ORDER BY hamming, a, b LIMIT 100""",
 
@@ -2413,6 +2545,27 @@ object SparkEntry {
           SELECT s0, s1, s2, count(*) AS cnt FROM p
           WHERE s1 IS NOT NULL AND s2 IS NOT NULL
             AND s0 >= 0 AND s1 >= 0 AND s2 >= 0
-          GROUP BY s0, s1, s2"""
+          GROUP BY s0, s1, s2""",
+
+    // Custom-metric Lloyd battery; the assigned-row count is exact SQL.
+    "q84_custom_kmeans" ->
+      """SELECT 'assign_argmin' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'k_centers_minus_4', 0.0
+         UNION ALL SELECT 'centers_nonfinite', 0.0
+         UNION ALL SELECT 'n_assigned', (SELECT CAST(count(*) AS DOUBLE) FROM lineitem)""",
+
+    // Sensitivity identity battery: every residual is a driver-exact
+    // algebraic zero; the state count is the observed distinct states
+    // (the chain is fully connected on this data, same assumption as
+    // q56's row-normalized twin).
+    "q85_sensitivities" ->
+      s"""SELECT 'eig_trace_minus_one' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'eig_rank1_minors', 0.0
+         UNION ALL SELECT 'timescale_chain', 0.0
+         UNION ALL SELECT 'pi_sens_sum', 0.0
+         UNION ALL SELECT 'mfpt_adjoint_vs_forward', 0.0
+         UNION ALL SELECT 'committor_adjoint_vs_forward', 0.0
+         UNION ALL SELECT 'n_states', (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
+           FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)"""
   )
 }

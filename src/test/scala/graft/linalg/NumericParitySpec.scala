@@ -27,10 +27,13 @@ class NumericParitySpec extends AnyFunSuite with Matchers {
     Connectivity.isConnected(DenseMatrix((1.0, 1.0), (1.0, 1.0))) shouldBe true
     // 0 -> 1 only: two SCCs
     Connectivity.isConnected(DenseMatrix((0.0, 1.0), (0.0, 0.0))) shouldBe false
-    // {0} outgoing weight 5 > {1,2} weight 4 -> largest-first ordering
+    // reference semantics: "largest" = most STATES, not most counts —
+    // {1,2} (2 states) precedes {0} even though {0} carries weight 5
     val sets = Connectivity.connectedSets(DenseMatrix(
       (5.0, 0.0, 0.0), (0.0, 1.0, 1.0), (0.0, 1.0, 1.0)))
-    sets.map(_.toSeq) shouldBe Seq(Seq(0), Seq(1, 2))
+    sets.map(_.toSeq) shouldBe Seq(Seq(1, 2), Seq(0))
+    Connectivity.largestConnectedSet(DenseMatrix(
+      (5.0, 0.0, 0.0), (0.0, 1.0, 1.0), (0.0, 1.0, 1.0))).toSeq shouldBe Seq(1, 2)
   }
 
   test("ksum/kdot recover precision a naive sum loses") {
