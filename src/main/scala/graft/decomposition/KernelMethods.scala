@@ -33,7 +33,14 @@ object Edmd {
 
   /** `operator`: 'koopman' (default) or 'perron-frobenius' (_dmd.py:282). */
   def fit(traj: DataFrame, basis: Observable, tau: Int, inputDim: Int,
-          operator: String = "koopman"): EdmdModel = {
+          operator: String = "koopman"): EdmdModel =
+    fitWithCov(traj, basis, tau, inputDim, operator)._1
+
+  /** `fit` that also returns the lifted-pair covariance the solve consumed
+    * — callers auditing the normal equations (q49) check against it
+    * directly instead of paying a second full lift+aggregate scan. */
+  def fitWithCov(traj: DataFrame, basis: Observable, tau: Int, inputDim: Int,
+                 operator: String = "koopman"): (EdmdModel, graft.agg.CovarianceModel) = {
     val p = basis.outputDim(inputDim)
     val pairs = Lag.pairs(traj, tau)
       .select(basis(col("x").cast("array<double>"), inputDim).as("x"),
@@ -52,9 +59,9 @@ object Edmd {
     val idx = (0 until p).sortBy(i => -math.hypot(e.eigenvalues(i), e.eigenvaluesComplex(i)))
     val vecs = DenseMatrix.zeros[Double](p, p)
     idx.zipWithIndex.foreach { case (src, dst) => vecs(::, dst) := e.eigenvectors(::, src) }
-    EdmdModel(LinAlg.toFlat(m), p,
+    (EdmdModel(LinAlg.toFlat(m), p,
       idx.map(e.eigenvalues(_)).toArray, idx.map(e.eigenvaluesComplex(_)).toArray,
-      LinAlg.toFlat(vecs), basis, inputDim)
+      LinAlg.toFlat(vecs), basis, inputDim), cov)
   }
 }
 

@@ -118,8 +118,16 @@ object Dedup {
     // collision (P ~ |shingles|^2 / 2^64, ~1e-12 here), while the shuffled
     // verify payload shrinks ~3x vs 5-char strings and the set compares
     // become long compares — the verify join is the dedup pipeline's
-    // dominant cost at every scale.
-    val sh = docs.select(col(idCol),
+    // dominant cost at every scale. The verify is CANDIDATE-DRIVEN: docs
+    // are semi-joined to the pair endpoints before shingling, so the
+    // shingle-set computation touches only documents that actually appear
+    // in a candidate pair (at 100 TB the candidate set is orders of
+    // magnitude smaller than the corpus). NOTE `pairs` appears three times
+    // in this plan — pass a materialized (cached/localCheckpoint) frame
+    // when it is itself an expensive pipeline.
+    val ids = pairs.select(col("a").as(idCol))
+      .union(pairs.select(col("b").as(idCol))) // left_semi dedups itself
+    val sh = docs.join(ids, Seq(idCol), "left_semi").select(col(idCol),
       array_distinct(transform(
         TextFunctions.shingles(col(textCol), shingleLen), s => xxhash64(s))).as("sh"))
     pairs
@@ -179,7 +187,8 @@ object Dedup {
     * same as the sf0.01 shape. Returns (id, cluster_id = component-min id).
     * Canonical-doc selection ("keep the smallest id") is then a plain
     * filter, the standard fuzzy-dedup end game. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+                        driverEdgeThreshold: Long = 4000000L): DataFrame = {
     val edges0 = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().cache()
@@ -190,6 +199,35 @@ object Dedup {
     // 32-way shuffles carry a few thousand rows. ~1M edges per partition;
     // grows naturally with the graph at 100 TB.
     val nEdges = edges0.count()
+    // Small graphs (the common case after verification: near-dup edge sets
+    // are a vanishing fraction of the corpus) run union-find on the driver
+    // in one collect — identical labels, none of the per-round job
+    // overhead of the distributed loop (measured 2.4 s for 256 edges).
+    // Above the threshold the label-propagation loop below takes over;
+    // 4M edges x 16 B ~ 64 MB driver memory at the crossover.
+    if (nEdges <= driverEdgeThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges0.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN root so the representative is the component minimum
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keys.toSeq.map(id => (id, find(id)))
+        .toDF("id", "cluster_id")
+    }
     val parts = math.max(1, math.min(pairs.sparkSession.sparkContext.defaultParallelism,
       (nEdges / 1000000L + 1L).toInt))
     val edges = edges0.repartition(parts, col("src")).cache()

@@ -27,6 +27,19 @@ object TransitionCounting {
       .groupBy(col("state").as("s0"), col("s1"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Sliding counts KEEPING terminal/blank-successor frames as rows with
+    * s1 NULL (or s1 < 0): every observed valid frame then appears exactly
+    * once as s0, so `SELECT DISTINCT s0` of this result IS the observed
+    * state set — one scan serves both the count matrix and its support,
+    * where the separate `distinct` pass cost a second full scan. Pair
+    * rows are exactly `s1 IS NOT NULL AND s1 >= 0`. */
+  def slidingCountsWithTerminals(dtraj: DataFrame, tau: Int): DataFrame =
+    dtraj
+      .withColumn("s1", lead(col("state"), tau).over(w))
+      .where(col("state") >= 0)
+      .groupBy(col("state").as("s0"), col("s1"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Sample-mode counts: pairs at t = 0, tau, 2tau, ...
     * (estimation/api.py count_matrix sample mode). */
   def sampleCounts(dtraj: DataFrame, tau: Int): DataFrame =

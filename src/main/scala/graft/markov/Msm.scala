@@ -324,8 +324,14 @@ object Msm {
   /** Full pipeline from a distributed COO count frame: collect, restrict to
     * largest SCC, MLE. Returns model + the retained original state labels. */
   def fromCounts(counts: org.apache.spark.sql.DataFrame, nStates: Int, tau: Int,
-                 reversible: Boolean = false): MarkovStateModel = {
-    val dense = TransitionCounting.toDense(counts, nStates)
+                 reversible: Boolean = false): MarkovStateModel =
+    fromDense(TransitionCounting.toDense(counts, nStates), tau, reversible)
+
+  /** Same pipeline from an already-collected dense count matrix (callers
+    * that fused counting with other work, e.g. the one-scan
+    * counts+support pass). */
+  def fromDense(dense: DenseMatrix[Double], tau: Int,
+                reversible: Boolean = false): MarkovStateModel = {
     val lcs = Connectivity.largestConnectedSet(dense)
     val sub = Connectivity.submatrix(dense, lcs)
     val t = if (reversible) TransitionMatrixMle.reversible(sub)

@@ -176,7 +176,11 @@ object Similarity {
     val frac = if (n <= cap) 1.0 else cap.toDouble / n
     val trainDf = corpus.sample(withReplacement = false, frac, seed)
       .select(unit(col(vecCol)).as(graft.core.Trajectories.FeatCol))
-    val codebook = graft.clustering.KMeans.fit(trainDf, nCells, maxIter = 20, seed = seed)
+    // a COARSE quantizer only needs rough Voronoi cells — recall is set by
+    // the probe fraction, not codebook polish; maxIter=20 (the r04 value)
+    // spent ~25 sequential MLlib jobs converging cells that nProbe/nCells
+    // smooths over anyway (recall unchanged at 6/8 probes, IvfSpec)
+    val codebook = graft.clustering.KMeans.fit(trainDf, nCells, maxIter = 6, seed = seed)
     // corpus side: each row to its single nearest cell
     val corpusCells = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), codebook.assignColumn(unit(col(vecCol))).as("cell"))

@@ -57,10 +57,16 @@ object Stats {
   def bootstrapTrajectories(traj: DataFrame, seed: Long): DataFrame = {
     val spark = traj.sparkSession
     import spark.implicits._
-    val indexed = traj.select(col(TrajCol)).distinct().orderBy(TrajCol)
-      .rdd.map(_.getLong(0)).zipWithIndex()
-      .toDF(TrajCol, "idx")
+    // cache + localCheckpoint: without them the distinct+sort+zipWithIndex
+    // lineage re-executes for the count AND once per downstream action on
+    // the boot frame (three full source scans for one draw). The id RDD
+    // cache covers zipWithIndex's two internal passes; the checkpoint
+    // frees it for the (lazy) join consumers.
+    val idRdd = traj.select(col(TrajCol)).distinct().orderBy(TrajCol)
+      .rdd.map(_.getLong(0)).cache()
+    val indexed = idRdd.zipWithIndex().toDF(TrajCol, "idx").localCheckpoint()
     val n = indexed.count()
+    idRdd.unpersist(false)
     // boot_id -> uniformly drawn source index, deterministic in (seed, id)
     val draws = spark.range(n).select(col("id").as("boot_id"),
       pmod(xxhash64(lit(seed), col("id")), lit(n)).as("idx"))

@@ -7,7 +7,7 @@ import graft.SparkSpec
   * the min-label propagation must converge to the component-minimum id. */
 class DupClustersSpec extends SparkSpec {
 
-  test("labels chains, triangles and singleton-free isolation correctly") {
+  test("labels chains, triangles and singleton-free isolation correctly (both paths)") {
     import spark.implicits._
     // components: {1,2,3,4} (a path, diameter 3), {10,11,12} (triangle),
     // {20,21} (pair); 30 appears in no pair -> not labeled
@@ -16,12 +16,18 @@ class DupClustersSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (10L, 12L),
       (21L, 20L)
     ).toDF("a", "b")
-    val got = Dedup.duplicateClusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(
+    val expect = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L,
-      20L -> 20L, 21L -> 20L))
+      20L -> 20L, 21L -> 20L)
+    // driver union-find fallback (default threshold)
+    val gotDriver = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDriver == expect)
+    // distributed min-label propagation (threshold 0 forces the loop)
+    val gotDist = Dedup.duplicateClusters(pairs, driverEdgeThreshold = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == expect)
   }
 
   test("over-cap band buckets degrade to star edges, not silence") {
@@ -64,11 +70,11 @@ class DupClustersSpec extends SparkSpec {
     }
   }
 
-  test("long path converges within the diameter bound") {
+  test("long path converges within the diameter bound (distributed loop)") {
     import spark.implicits._
     // path 0-1-2-...-9: diameter 9 < maxIter default 20
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Dedup.duplicateClusters(pairs).collect()
+    val got = Dedup.duplicateClusters(pairs, driverEdgeThreshold = 0L).collect()
     assert(got.length == 10)
     assert(got.forall(_.getLong(1) == 0L))
   }
