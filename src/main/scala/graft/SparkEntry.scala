@@ -1318,6 +1318,28 @@ object SparkEntry {
         "n_queries" -> row.getLong(2).toDouble))
     }),
 
+    // Embedding-cosine near-duplicate pairs (the embedding leg of the
+    // dedup family): sign-plane LSH buckets -> capped bucket self-join ->
+    // exact-cosine verify at threshold 0.35 (this corpus has no planted
+    // near-dup structure — top pair cosines sit at ~0.3-0.45 — so the
+    // threshold is set where true pairs exist; a real dedup corpus runs
+    // 0.9+ with the same plan, where sign-plane collision probability is
+    // high and bucketing recalls near-identical vectors — at 0.35 the
+    // LSH recall is inherently low, so this query gates PIPELINE
+    // correctness, with recall gated in its proper regime by q68).
+    // nPlanes=7 keeps buckets selective (~40 vectors at sf0.1): wide
+    // 2-plane buckets measured 10 s — the capped join's output is
+    // quadratic in bucket size, exactly the degenerate regime the
+    // maxBucketSize cap exists for. The oracle SIMULATES the whole
+    // pipeline: literal sign-plane bucket terms (bit-identical add
+    // order, the q28/q68 pattern), per-table bucket-size caps, candidate
+    // dedup, and the exact cosine filter.
+    "q86_cosine_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupes(emb(s, dir), threshold = 0.35, dim = 64,
+        nPlanes = 7, numTables = 2)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    }),
+
     // ---- real PNG decode, oracle-checked end to end --------------------
     // Per doc: a REAL gray PNG is encoded (PngCodec.encode: zlib deflate)
     // with pixel(i) = (doc_id*31 + i*7) % 256, then decoded by the
@@ -1614,6 +1636,14 @@ object SparkEntry {
       val sOnes = Sensitivity.expectationSensitivity(t, DenseVector.ones[Double](n))
       val piSumResid = maxAbs(sOnes.toArray)
 
+      // eigenvector sensitivity preserves the unit norm: ||v_k|| = 1 for
+      // every T, so sum_j v_j d(v_j)/dT_ab == 0 (adjoint-solve identity)
+      val perm = (0 until n).sortBy(i => -e.eigenvalues(i))
+      val vK = DenseVector.tabulate(n)(i => e.eigenvectors(i, perm(1)))
+      val evSens = (0 until n).map(j => Sensitivity.eigenvectorSensitivity(t, 1, j))
+      val evNormResid = maxAbs(for (a <- 0 until n; b <- 0 until n) yield
+        (0 until n).map(j => vK(j) * evSens(j)(a, b)).sum)
+
       // mfpt: forward replay dm = -A^-1 (E_ab m) vs the adjoint solve
       val target = n - 1; val jM = 0
       val sMfpt = Sensitivity.mfptSensitivity(t, target, jM)
@@ -1652,6 +1682,7 @@ object SparkEntry {
         "eig_rank1_minors" -> rank1Resid,
         "timescale_chain" -> chainResid,
         "pi_sens_sum" -> piSumResid,
+        "eigvec_norm_preserved" -> evNormResid,
         "mfpt_adjoint_vs_forward" -> mfptResid,
         "committor_adjoint_vs_forward" -> qResid,
         "n_states" -> n.toDouble))
@@ -2004,6 +2035,34 @@ object SparkEntry {
            FROM s)
          SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
            round(cos, 6) AS cos FROM r WHERE rank <= 5"""
+    },
+
+    // Full simulation of the cosine near-dup pipeline: per-table bucket
+    // sizes mirror the Spark-side maxBucketSize=1000 drop, candidates
+    // union over tables, exact cosine at the threshold.
+    "q86_cosine_neardup" -> {
+      val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 7, numTables = 2)
+      val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
+      val ncols = b.indices.map(t => s"count(*) OVER (PARTITION BY b$t) AS n$t")
+        .mkString(",\n           ")
+      val unions = b.indices.map(t =>
+        s"""SELECT l.vec_id AS a, r.vec_id AS b FROM cb2 l JOIN cb2 r
+            ON l.b$t = r.b$t AND l.vec_id < r.vec_id WHERE l.n$t <= 1000""")
+        .mkString("\n           UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT vec_id,
+           $bcols
+           FROM e),
+         cb2 AS (SELECT *,
+           $ncols
+           FROM cb),
+         cand AS (SELECT DISTINCT a, b FROM ($unions)),
+         sc AS (SELECT cand.a, cand.b,
+           list_dot_product(ae.v, be.v) /
+             (sqrt(list_dot_product(ae.v, ae.v)) * sqrt(list_dot_product(be.v, be.v))) AS cos
+           FROM cand JOIN e ae ON ae.vec_id = cand.a
+                     JOIN e be ON be.vec_id = cand.b)
+         SELECT a, b, round(cos, 6) AS cos FROM sc WHERE cos >= 0.35"""
     },
 
     "q68_ann_recall" -> {
@@ -2587,6 +2646,7 @@ object SparkEntry {
          UNION ALL SELECT 'eig_rank1_minors', 0.0
          UNION ALL SELECT 'timescale_chain', 0.0
          UNION ALL SELECT 'pi_sens_sum', 0.0
+         UNION ALL SELECT 'eigvec_norm_preserved', 0.0
          UNION ALL SELECT 'mfpt_adjoint_vs_forward', 0.0
          UNION ALL SELECT 'committor_adjoint_vs_forward', 0.0
          UNION ALL SELECT 'n_states', (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)

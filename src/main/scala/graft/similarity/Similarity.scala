@@ -231,7 +231,10 @@ object Similarity {
       .select("a", "b").distinct()
     val va = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
     val vb = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
-    broadcast(cand).join(va, "a").join(vb, "b")
+    // no broadcast hint: the candidate set's size is data-dependent (a
+    // forced broadcast of a multi-million-pair candidate frame caused
+    // driver GC pressure); AQE broadcasts it when it is actually small
+    cand.join(va, "a").join(vb, "b")
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }

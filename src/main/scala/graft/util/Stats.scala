@@ -54,19 +54,27 @@ object Stats {
     * (at 1e8+ trajectories that would OOM). The draw is a seeded hash over
     * `spark.range(n)` joined to a zipWithIndex-indexed distinct-id table;
     * the only driver-side value is the id COUNT. */
-  def bootstrapTrajectories(traj: DataFrame, seed: Long): DataFrame = {
+  def bootstrapTrajectories(traj: DataFrame, seed: Long,
+                            windowIndexThreshold: Long = 33554432L): DataFrame = {
     val spark = traj.sparkSession
     import spark.implicits._
-    // cache + localCheckpoint: without them the distinct+sort+zipWithIndex
-    // lineage re-executes for the count AND once per downstream action on
-    // the boot frame (three full source scans for one draw). The id RDD
-    // cache covers zipWithIndex's two internal passes; the checkpoint
-    // frees it for the (lazy) join consumers.
-    val idRdd = traj.select(col(TrajCol)).distinct().orderBy(TrajCol)
-      .rdd.map(_.getLong(0)).cache()
-    val indexed = idRdd.zipWithIndex().toDF(TrajCol, "idx").localCheckpoint()
-    val n = indexed.count()
-    idRdd.unpersist(false)
+    val ids = traj.select(col(TrajCol)).distinct()
+    val n = ids.count()
+    // Dense 0..n-1 index over the distinct ids. Below the threshold a
+    // row_number window builds it LAZILY inside the consumer's own job
+    // (one action total instead of the zipWithIndex path's two eager
+    // materializations — the id table is #trajectories rows, far smaller
+    // than the data, so a single-partition sort of it is cheap). Above
+    // the threshold (1e8-trajectory regime) the distributed zipWithIndex
+    // takes over; both paths assign idx by ascending id, so draws are
+    // identical either way.
+    val indexed =
+      if (n <= windowIndexThreshold)
+        ids.withColumn("idx", (row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(TrajCol)) - 1).cast("long"))
+      else
+        ids.orderBy(TrajCol).rdd.map(_.getLong(0)).zipWithIndex()
+          .toDF(TrajCol, "idx").localCheckpoint()
     // boot_id -> uniformly drawn source index, deterministic in (seed, id)
     val draws = spark.range(n).select(col("id").as("boot_id"),
       pmod(xxhash64(lit(seed), col("id")), lit(n)).as("idx"))

@@ -103,4 +103,18 @@ class SensitivitySpec extends SparkSpec with Matchers {
       fd(evEntry(_, right), 1, 2, 1, eps = 1e-6) shouldBe expected +- 1e-4
     }
   }
+
+  test("eigenvector sensitivity preserves the unit norm algebraically") {
+    // ||v_k|| = 1 for every T (LAPACK dgeev convention), so the derivative
+    // of the norm vanishes: sum_j v_j * d(v_j)/dT_ab == 0 exactly — an
+    // algebraic identity of the adjoint solve, not a finite difference
+    val k = 1
+    val e = breeze.linalg.eig(t)
+    val perm = (0 until n).sortBy(i => -e.eigenvalues(i))
+    val v = DenseVector.tabulate(n)(i => e.eigenvectors(i, perm(k)))
+    val sens = (0 until n).map(j => Sensitivity.eigenvectorSensitivity(t, k, j))
+    val resid = (for (a <- 0 until n; b <- 0 until n) yield
+      math.abs((0 until n).map(j => v(j) * sens(j)(a, b)).sum)).max
+    resid should be < 1e-9
+  }
 }

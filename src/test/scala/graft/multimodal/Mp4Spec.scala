@@ -48,4 +48,16 @@ class Mp4Spec extends AnyFunSuite with Matchers {
     Mp4.frameSampleTimestamps(0L, 100L, 10L) shouldBe Seq.empty
     Mp4.frameSampleTimestamps(600L, 0L, 10L) shouldBe Seq.empty
   }
+
+  test("hostile container metadata cannot blow up the schedule") {
+    // u32-max duration at timescale 1 (a malicious mvhd) would naively
+    // materialize 4.3e9 Longs and OOM the executor; the schedule is
+    // clamped to maxSamples
+    val sched = Mp4.frameSampleTimestamps(1L, 4294967295L, 1L)
+    sched.length shouldBe 604800
+    // a smaller explicit cap clamps likewise and keeps the stride
+    val small = Mp4.frameSampleTimestamps(1L, 4294967295L, 1L, maxSamples = 100)
+    small.length shouldBe 100
+    small.take(3) shouldBe Seq(0L, 1L, 2L)
+  }
 }
