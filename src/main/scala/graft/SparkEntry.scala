@@ -289,6 +289,17 @@ object SparkEntry {
         TextFunctions.langIdGuess(col("text")).as("lang_guess"))
     }),
 
+    // Gopher-rules repetition filters (duplicate lines / word 2-grams /
+    // char 5-grams per document) — pure codegen column math, and the
+    // DuckDB twin recomputes every fraction from the raw text.
+    "q87_repetition" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        size(split(col("text"), "\n")).cast("long").as("n_lines"),
+        round(TextFunctions.dupLineFrac(col("text")), 6).as("dup_line_frac"),
+        round(TextFunctions.dupWordNgramFrac(col("text"), 2), 6).as("dup_word2_frac"),
+        round(TextFunctions.dupNgramFrac(col("text"), 5), 6).as("dup_char5_frac"))
+    }),
+
     "q20_ngram_jaccard" -> ((s, dir) => {
       val sel = docs(s, dir).where(col("doc_id") % 97 === 0)
       val ids = sel.select(col("doc_id"))
@@ -1914,6 +1925,37 @@ object SparkEntry {
              AS contaminated
          FROM (SELECT doc_id FROM documents WHERE doc_id % 100 != 0) d
          LEFT JOIN ov USING (doc_id)""",
+
+    // Duplicate-fraction twins: lines by literal newline split, word
+    // 2-grams over whitespace tokens joined with a single space (the
+    // exact wordShingles format), char 5-grams via substr. Guards match
+    // the Spark side: empty shingle sets yield fraction 0. The token
+    // split spells out Java's \s class ([ \t\n\x0B\f\r]) because RE2's
+    // \s omits vertical tab — a \x0B byte in a doc would otherwise
+    // tokenize differently on the two sides.
+    "q87_repetition" ->
+      """WITH t AS (SELECT doc_id, text,
+           str_split(text, chr(10)) AS lines,
+           str_split_regex(trim(text), '[\t\n\x{0B}\f\r ]+') AS toks FROM documents),
+         g AS (SELECT doc_id, lines, text,
+           CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
+             ELSE [] END AS w2,
+           CASE WHEN len(text) >= 5 THEN list_transform(range(1, len(text) - 3),
+             i -> substr(text, CAST(i AS INT), 5))
+             ELSE [] END AS c5
+           FROM t)
+         SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
+             AS dup_line_frac,
+           CASE WHEN len(w2) > 0 THEN
+             round(1.0 - CAST(len(list_distinct(w2)) AS DOUBLE) / len(w2), 6)
+             ELSE 0.0 END AS dup_word2_frac,
+           CASE WHEN len(c5) > 0 THEN
+             round(1.0 - CAST(len(list_distinct(c5)) AS DOUBLE) / len(c5), 6)
+             ELSE 0.0 END AS dup_char5_frac
+         FROM g""",
 
     "q81_json_props" ->
       s"""SELECT ${Trajectories.eventTypeStateSql} AS state,

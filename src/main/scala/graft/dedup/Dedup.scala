@@ -188,7 +188,7 @@ object Dedup {
     * Canonical-doc selection ("keep the smallest id") is then a plain
     * filter, the standard fuzzy-dedup end game. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
-                        driverEdgeThreshold: Long = 4000000L): DataFrame = {
+                        driverEdgeThreshold: Long = 1000000L): DataFrame = {
     val edges0 = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .distinct().cache()
@@ -203,15 +203,19 @@ object Dedup {
     // are a vanishing fraction of the corpus) run union-find on the driver
     // in one collect — identical labels, none of the per-round job
     // overhead of the distributed loop (measured 2.4 s for 256 edges).
-    // Above the threshold the label-propagation loop below takes over;
-    // 4M edges x 16 B ~ 64 MB driver memory at the crossover.
+    // Above the threshold the label-propagation loop below takes over.
+    // Driver cost at the 1M-edge crossover is boxed-object dominated
+    // (collected Rows + a LongMap of up to 2M entries), roughly a few
+    // hundred MB transient heap — NOT the 16 B/edge a primitive layout
+    // suggests; the threshold is set where that comfortably fits any
+    // driver that could run the distributed loop at all.
     if (nEdges <= driverEdgeThreshold) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges0.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .as[(Long, Long)].collect()
       edges0.unpersist()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      val parent = new scala.collection.mutable.LongMap[Long]()
       def find(x: Long): Long = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)

@@ -85,4 +85,29 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Within-document repetition signals (the Gopher-rules quality-filter
+    * family every LLM training pipeline applies; no reference
+    * counterpart — LLM-pipeline extension surface): fraction of duplicate
+    * lines, duplicate word 2-grams, and duplicate character 5-grams.
+    * Pure codegen column math (split / array_distinct / size) — per-row,
+    * no shuffle, no UDF; the fractions are exact and SQL-twinnable. */
+  def dupLineFrac(c: Column): Column = {
+    val lines = split(c, "\n")
+    lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)
+  }
+
+  def dupNgramFrac(c: Column, n: Int): Column = {
+    val sh = shingles(c, n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+      .otherwise(lit(0.0))
+  }
+
+  def dupWordNgramFrac(c: Column, n: Int): Column = {
+    val sh = wordShingles(c, n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
+      .otherwise(lit(0.0))
+  }
 }

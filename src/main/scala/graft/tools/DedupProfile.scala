@@ -25,7 +25,11 @@ object DedupProfile {
       val s = Dedup.minhashSignatures(docs, "text", "doc_id", 5, 32); s.count(); s
     }
     val cand = time("candidates") {
-      val c = Dedup.minhashCandidates(docs); println("  candidates=" + c.count()); c
+      // localCheckpoint: ngramJaccard is candidate-driven and references
+      // the pairs frame three times — an unmaterialized frame would
+      // re-execute the whole candidate pipeline inside the verify timing
+      val c = Dedup.minhashCandidates(docs).localCheckpoint()
+      println("  candidates=" + c.count()); c
     }
     time("verify-jaccard") {
       val v = Dedup.ngramJaccard(docs, cand, 5)

@@ -130,4 +130,26 @@ class OpsSpec extends SparkSpec with Matchers {
       .select("deriv").as[Double].collect()
     d.foreach(_ shouldBe 3.0 +- 1e-12)
   }
+
+  test("repetition fractions match hand-computed values") {
+    import spark.implicits._
+    import graft.text.TextFunctions
+    // 4 lines, "aa" repeated twice -> dup_line_frac = 1 - 3/4
+    // tokens: aa bb aa bb aa -> 2-grams: [aa bb, bb aa, aa bb, bb aa]
+    //   -> 1 - 2/4 = 0.5
+    val doc = "aa\nbb\naa\nbb aa"
+    val df = Seq((1L, doc), (2L, "xy"), (3L, "")).toDF("doc_id", "text")
+    val r = df.select(col("doc_id"),
+      TextFunctions.dupLineFrac(col("text")).as("l"),
+      TextFunctions.dupWordNgramFrac(col("text"), 2).as("w"),
+      TextFunctions.dupNgramFrac(col("text"), 5).as("c"))
+      .as[(Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    r(1L)._1 shouldBe (1.0 - 3.0 / 4.0) +- 1e-12
+    r(1L)._2 shouldBe 0.5 +- 1e-12
+    // doc shorter than the shingle width -> fraction 0, not NaN
+    r(2L)._3 shouldBe 0.0
+    r(3L)._1 shouldBe 0.0 +- 1e-12 // [""] single line, no dups
+    r(3L)._2 shouldBe 0.0
+  }
 }
