@@ -9,7 +9,7 @@ import graft.lag.Lag
 import graft.agg.Covariance
 import graft.linalg.LinAlg
 import graft.markov.TransitionCounting
-import graft.text.TextFunctions
+import graft.text.{Packing, TextFunctions}
 import graft.dedup.Dedup
 import graft.similarity.Similarity
 
@@ -298,6 +298,64 @@ object SparkEntry {
         round(TextFunctions.dupLineFrac(col("text")), 6).as("dup_line_frac"),
         round(TextFunctions.dupWordNgramFrac(col("text"), 2), 6).as("dup_word2_frac"),
         round(TextFunctions.dupNgramFrac(col("text"), 5), 6).as("dup_char5_frac"))
+    }),
+
+    // Deterministic mixture sampling (training-mix assembly): each source
+    // stratum is Bernoulli-sampled at its target rate by a pure integer
+    // hash of doc_id — no RNG state, no sampleBy second pass, decisions
+    // reproducible row-by-row (re-runs and incremental appends keep the
+    // exact same sample). Rates are derived from the source suffix so the
+    // contract covers 20 strata without a literal table. The DuckDB twin
+    // recomputes hash, rate, and per-stratum kept counts exactly.
+    "q88_mixture_sample" -> ((s, dir) => {
+      val ratePpm = (lit(100000L) + lit(50000L) *
+        (expr("CAST(substr(source, 4) AS INT)") % 10)).cast("long")
+      docs(s, dir)
+        .withColumn("target_ppm", ratePpm)
+        .withColumn("keep",
+          Packing.mixtureKeep(col("doc_id"), col("target_ppm")).cast("int"))
+        .groupBy(col("source"), col("target_ppm"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("keep")).cast("long").as("n_kept"))
+    }),
+
+    // Greedy sequence packing (the step that turns filtered docs into
+    // fixed-budget training shards): within each (source, 100-doc_id
+    // chunk) group, docs in doc_id order pack first-fit into <=160-token
+    // shards. The sequential recurrence is confined to bounded chunks —
+    // group memory is O(chunkSize) at any corpus size and parallelism
+    // grows with the data. The DuckDB twin replays the fold exactly via
+    // a recursive CTE, so a wrong boundary decision on any single doc
+    // breaks the hash.
+    "q89_pack_sequences" -> ((s, dir) =>
+      Packing.packGreedy(docs(s, dir), budget = 160, chunkSize = 100)),
+
+    // Sketch aggregates — the single-pass approximate reporting ops a
+    // 100 TB pipeline uses where exact distinct/percentile would shuffle
+    // the corpus: HLL++ (approx_count_distinct) and QuantileSummaries
+    // (approx_percentile). Both are mergeable sketches (commutative
+    // combine — partitioning-independent results). The oracle gates the
+    // CONTRACT: HLL relative error vs the in-query exact distinct must
+    // round to 0 residual at a 5% tolerance (rsd=2%), and the approx
+    // median's true rank must sit within 2% of 0.5; anchor rows (exact
+    // n_rows / n_distinct) are recomputed by DuckDB from the base table.
+    "q90_sketches" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+      val r = ev.agg(
+        approx_count_distinct(col("user_id"), 0.02).as("acd"),
+        countDistinct(col("user_id")).as("exact_d"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        count(lit(1)).as("n")).collect()(0)
+      val (acd, exactD, p50, n) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      val rankP50 = ev.where(col("value") <= p50).count()
+      checksDf(s, Seq(
+        "acd_relerr_over_5pct" ->
+          math.max(0.0, math.abs(acd - exactD).toDouble / exactD - 0.05),
+        "p50_rank_err_over_2pct" ->
+          math.max(0.0, math.abs(rankP50.toDouble / n - 0.5) - 0.02),
+        "n_rows" -> n.toDouble,
+        "n_distinct_users" -> exactD.toDouble))
     }),
 
     "q20_ngram_jaccard" -> ((s, dir) => {
@@ -1956,6 +2014,58 @@ object SparkEntry {
              round(1.0 - CAST(len(list_distinct(c5)) AS DOUBLE) / len(c5), 6)
              ELSE 0.0 END AS dup_char5_frac
          FROM g""",
+
+    // Mixture-sampling twin: the MINSTD-style affine hash, the ppm rate
+    // derived from the source suffix, and the per-stratum kept counts are
+    // all recomputed in pure integer SQL (doc_id >= 0, so % == pmod).
+    "q88_mixture_sample" ->
+      """WITH t AS (SELECT source,
+           CAST(100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10) AS BIGINT)
+             AS target_ppm,
+           CASE WHEN ((doc_id * 2654435761 + 101) % 2147483647) % 1000000
+                < 100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10)
+                THEN 1 ELSE 0 END AS keep
+         FROM documents)
+         SELECT source, target_ppm, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(keep) AS BIGINT) AS n_kept
+         FROM t GROUP BY 1, 2""",
+
+    // Sketch-contract twin: residual rows are driver-exact zeros when the
+    // HLL++/QuantileSummaries error bounds hold; anchor rows are exact
+    // aggregates DuckDB recomputes from the base table.
+    "q90_sketches" ->
+      """SELECT 'acd_relerr_over_5pct' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'p50_rank_err_over_2pct', 0.0
+         UNION ALL SELECT 'n_rows',
+           (SELECT CAST(count(*) AS DOUBLE) FROM events)
+         UNION ALL SELECT 'n_distinct_users',
+           (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) FROM events)""",
+
+    // Packing twin: replays the greedy first-fit fold exactly with a
+    // recursive CTE over each (source, chunk) group in doc_id order —
+    // same budget (160), same chunking (doc_id // 100), same oversize
+    // rule (a doc that overflows starts a new shard and may exceed the
+    // budget alone).
+    "q89_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, source, doc_id // 100 AS chunk,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source, doc_id // 100
+                                ORDER BY doc_id) AS rn
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, chunk, n_tokens, rn,
+             CAST(0 AS BIGINT) AS shard, n_tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.source, d.chunk, d.n_tokens, d.rn,
+             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.shard
+                  ELSE r.shard + 1 END,
+             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.fill + d.n_tokens
+                  ELSE d.n_tokens END
+           FROM r JOIN d ON d.source = r.source AND d.chunk = r.chunk
+                        AND d.rn = r.rn + 1)
+         SELECT doc_id, source, chunk, n_tokens, shard FROM r""",
 
     "q81_json_props" ->
       s"""SELECT ${Trajectories.eventTypeStateSql} AS state,

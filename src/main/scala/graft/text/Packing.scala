@@ -1,0 +1,70 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data assembly operators: deterministic mixture sampling and
+  * greedy sequence packing. No reference counterpart — these are the
+  * LLM-pipeline extension surface (SURVEY §2 "training-data ops"), the
+  * steps that turn a filtered corpus into an actual training mix.
+  *
+  * Both are designed for the 100 TB shape:
+  *  - mixture sampling is a pure per-row codegen predicate (no shuffle,
+  *    no RNG state, no sampleBy two-pass) — it runs at parquet-scan speed
+  *    and the decision for a row is reproducible from its key alone, so
+  *    re-runs, retries and incremental appends keep identical samples;
+  *  - packing groups by (source, bounded doc_id chunk) so group memory is
+  *    O(chunkSize) regardless of corpus size and parallelism grows with
+  *    the data; the greedy fold is sequential ONLY within a chunk, which
+  *    is exactly how production packers bound the inherently-sequential
+  *    first-fit recurrence.
+  */
+object Packing {
+
+  /** Deterministic keep-predicate for source-stratified Bernoulli
+    * sampling at `ratePpm` parts-per-million: a MINSTD-style affine hash
+    * of the row key reduced mod 1e6, compared against the stratum rate.
+    * Pure integer arithmetic so an ANSI-SQL oracle reproduces it bit-for-
+    * bit (a prod pipeline would use xxhash64(key) — same shape, stronger
+    * mixing; the arithmetic hash keeps the DuckDB twin exact). */
+  def sampleHashPpm(key: Column): Column =
+    pmod(key * lit(2654435761L) + lit(101L), lit(2147483647L)) % lit(1000000L)
+
+  def mixtureKeep(key: Column, ratePpm: Column): Column =
+    sampleHashPpm(key) < ratePpm
+
+  /** Greedy sequence packing: within each (source, doc_id-chunk) group,
+    * documents in doc_id order are packed into shards of at most
+    * `budget` tokens; a document that would overflow the current shard
+    * starts a new one (an oversized document occupies a shard alone).
+    * Returns (doc_id, source, chunk, n_tokens, shard) — shard indices
+    * restart at 0 per group, so (source, chunk, shard) is the global
+    * shard key. */
+  def packGreedy(docs: DataFrame, budget: Long, chunkSize: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("source"),
+      floor(col("doc_id") / chunkSize).cast("long").as("chunk"),
+      TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .as[(Long, String, Long, Long)]
+    base.groupByKey(r => (r._2, r._3))
+      .flatMapGroups { (key: (String, Long), it: Iterator[(Long, String, Long, Long)]) =>
+        val (src, ch) = key
+        // group size is bounded by chunkSize, so the sort is O(chunkSize
+        // log chunkSize) local work — never corpus-sized
+        val ds = it.toArray.sortBy(_._1)
+        var shard = 0L
+        var fill = 0L
+        var first = true
+        ds.iterator.map { case (id, _, _, nt) =>
+          if (first) { fill = nt; first = false }
+          else if (fill + nt <= budget) { fill += nt }
+          else { shard += 1; fill = nt }
+          (id, src, ch, nt, shard)
+        }
+      }
+      .toDF("doc_id", "source", "chunk", "n_tokens", "shard")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.text.Packing
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Training-data assembly: deterministic mixture sampling + greedy
+  * sequence packing (q88/q89). */
+class PackingSpec extends SparkSpec with Matchers {
+
+  private def mkDocs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("packGreedy: shard fills respect the budget except oversize singletons") {
+    // tokens: a=3, b=4, c=5 words etc. budget 8 -> [a,b]=7, [c]=5 ...
+    val docs = mkDocs(Seq(
+      (0L, "s", "w w w"), (1L, "s", "w w w w"), (2L, "s", "w w w w w"),
+      (3L, "s", "w w w w w w w w w w"), // oversize (10 > 8): alone
+      (4L, "s", "w w"), (5L, "s", "w w w w w w")))
+    val out = Packing.packGreedy(docs, budget = 8, chunkSize = 100)
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(4)).toSeq shouldBe Seq(0L, 0L, 1L, 2L, 3L, 3L)
+    // every shard's fill <= budget unless it is a single oversize doc
+    val byShard = out.groupBy(_.getLong(4)).values
+    byShard.foreach { rows =>
+      val fill = rows.map(_.getLong(3)).sum
+      if (rows.length > 1) assert(fill <= 8L)
+      else assert(fill <= 8L || rows.length == 1)
+    }
+  }
+
+  test("packGreedy: chunk boundaries reset the fold and bound group size") {
+    val docs = mkDocs(Seq(
+      (98L, "s", "w w w"), (99L, "s", "w w w"),
+      (100L, "s", "w w w"), (101L, "s", "w w w")))
+    val out = Packing.packGreedy(docs, budget = 100, chunkSize = 100)
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(2)).toSeq shouldBe Seq(0L, 0L, 1L, 1L)
+    // both chunks start their own shard 0 even though all 4 would fit
+    out.map(_.getLong(4)).toSeq shouldBe Seq(0L, 0L, 0L, 0L)
+  }
+
+  test("packGreedy is deterministic across runs and partitionings") {
+    val docs = mkDocs((0L until 200L).map(i =>
+      (i, s"src${i % 3}", ("w " * (1 + (i % 37).toInt)).trim)))
+    val a = Packing.packGreedy(docs, 40, 50).orderBy("doc_id").collect().toSeq
+    val b = Packing.packGreedy(docs.repartition(7), 40, 50)
+      .orderBy("doc_id").collect().toSeq
+    a shouldBe b
+  }
+
+  test("mixtureKeep: deterministic, and per-stratum rate tracks the target") {
+    import spark.implicits._
+    val n = 20000L
+    val ids = spark.range(n).toDF("doc_id")
+    val kept = ids.where(Packing.mixtureKeep(col("doc_id"), lit(250000L)))
+    val c1 = kept.count()
+    val c2 = ids.where(Packing.mixtureKeep(col("doc_id"), lit(250000L))).count()
+    c1 shouldBe c2
+    // 25% target; affine-hash equidistribution should land well within 2%
+    math.abs(c1.toDouble / n - 0.25) should be < 0.02
+    // monotone: a higher rate keeps a superset
+    val hi = ids.where(Packing.mixtureKeep(col("doc_id"), lit(600000L)))
+    kept.join(hi, Seq("doc_id"), "left_anti").count() shouldBe 0L
+  }
+}
