@@ -1575,16 +1575,36 @@ object SparkEntry {
         maxAbs(for (i <- 0 until t.rows; j <- 0 until t.cols)
           yield math.min(t(i, j), 0.0)))
       val checks = scala.collection.mutable.LinkedHashMap[String, Double]()
-      val dtrajAll = Trajectories.dtrajFromEvents(s, dir)
-      val dtraj = dtrajAll.where(col("state") >= 0)
+      // ONE Spark job for the whole battery: collect the model-sized dtraj
+      // as per-trajectory arrays, then feed every estimator (HMM EM,
+      // Gibbs posterior, OOM, AMM) from shared driver-side counts. The
+      // distributed fit paths stay the scale story (q38/q46/q58/q61);
+      // this battery verifies per-iterate invariants, which hold at any
+      // iteration count — 5 EM sweeps prove the same contract as 15.
+      val trajArrays: Seq[Array[Int]] = {
+        val spark = s
+        import spark.implicits._
+        Trajectories.dtrajFromEvents(s, dir)
+          .select("traj_id", "t", "state").as[(Long, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (_: Long, it: Iterator[(Long, Long, Int)]) =>
+            it.toArray.sortBy(_._2).map(_._3)
+          }
+          .collect().toSeq
+      }
+      val counts = TransitionCounting.slidingCountsLocal(trajArrays, 1, 5)
+      val hmmTrajs = trajArrays.map(_.filter(_ >= 0)).filter(_.nonEmpty)
 
-      val hmm = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 5, maxIter = 15)
+      val hmm = graft.markov.hmm.Hmm.fitArrays(hmmTrajs, nHidden = 2, nObs = 5,
+        maxIter = 5)
       checks("hmm_transition_stochastic") = stochViolation(hmm.transition)
       checks("hmm_emission_stochastic") = stochViolation(hmm.emission)
 
       // Gibbs posterior: every sample must be a reversible transition matrix
-      val post = graft.markov.BayesianMsm.fit(dtrajAll, tau = 1, nStates = 5,
-        nSamples = 20, seed = 42L, nChains = 4, useEffectiveCounts = false)
+      val lcs = graft.markov.Connectivity.largestConnectedSet(counts)
+      val post = graft.markov.BayesianMsm.fromCountsLocal(
+        graft.markov.Connectivity.submatrix(counts, lcs), tau = 1, states = lcs,
+        nSamples = 20, reversible = true, seed = 42L, nChains = 4)
       checks("bayes_samples_stochastic") =
         maxAbs(post.samples.map(m => stochViolation(m.transitionMatrix)))
       checks("bayes_samples_detailed_balance") = maxAbs(post.samples.map { m =>
@@ -1594,15 +1614,14 @@ object SparkEntry {
       })
 
       // OOM equilibrium correction preserves row normalization
-      val oom = graft.markov.Oom.fit(dtrajAll, tau = 1, nStates = 5,
+      val oom = graft.markov.Oom.fitFromCounts(counts,
+        graft.markov.Oom.twoStepCountsLocal(trajArrays, 1), tau = 1,
         rankTol = 2.0, nbs = 50)
       checks("oom_rows_normalized") = maxAbs(
         (0 until oom.transitionMatrix.rows).map(i =>
           bsum(oom.transitionMatrix(i, ::).t) - 1.0))
 
       // AMM: biased model is a proper MSM with a normalized stationary dist
-      val counts = TransitionCounting.toDense(
-        TransitionCounting.slidingCounts(dtrajAll, 1), 5)
       val eObs = breeze.linalg.DenseMatrix.tabulate(5, 1)((i, _) => i.toDouble)
       val amm = graft.markov.Amm.fit(counts, eObs,
         breeze.linalg.DenseVector(2.3), breeze.linalg.DenseVector(2.0))

@@ -229,30 +229,63 @@ object BayesianMsm {
     fromCounts(spark, sub, tau, lcs, nSamples, reversible, seed, nChains)
   }
 
+  /** One seeded Gibbs chain's samples as flat matrices (shared by the
+    * distributed fan-out and the driver-local battery path; identical
+    * seeding keeps the two bit-equal). */
+  private def chainSamples(flatCounts: Array[Double], n: Int, chainId: Long,
+                           perChain: Int, reversible: Boolean,
+                           seed: Long): Seq[Array[Double]] = {
+    val rng = new java.util.SplittableRandom(seed ^ (chainId * 0x9E3779B97F4A7C15L))
+    val c = graft.linalg.LinAlg.fromFlat(flatCounts, n)
+    val mats =
+      if (reversible) TmatrixSampler.sampleReversible(c, perChain, rng.nextLong())
+      else Seq.fill(perChain)(TmatrixSampler.sampleNonReversible(c, rng))
+    mats.map(graft.linalg.LinAlg.toFlat)
+  }
+
+  private def toPosterior(prior: MarkovStateModel, sampleRows: Seq[Array[Double]],
+                          n: Int, tau: Int, states: Array[Int]): BayesianPosterior =
+    BayesianPosterior(prior, sampleRows.map(f =>
+      MarkovStateModel(graft.linalg.LinAlg.fromFlat(f, n), tau, states)))
+
+  private def priorOf(counts: DenseMatrix[Double], tau: Int, states: Array[Int],
+                      reversible: Boolean): MarkovStateModel =
+    MarkovStateModel(
+      if (reversible) TransitionMatrixMle.reversible(counts)
+      else TransitionMatrixMle.nonReversible(counts), tau, states)
+
   def fromCounts(spark: SparkSession, counts: DenseMatrix[Double], tau: Int,
                  states: Array[Int], nSamples: Int, reversible: Boolean,
                  seed: Long, nChains: Int): BayesianPosterior = {
     import spark.implicits._
-    val prior = MarkovStateModel(
-      if (reversible) TransitionMatrixMle.reversible(counts)
-      else TransitionMatrixMle.nonReversible(counts), tau, states)
+    val prior = priorOf(counts, tau, states, reversible)
     val n = counts.rows
     val flatCounts = graft.linalg.LinAlg.toFlat(counts)
     val chains = math.max(1, math.min(nChains, nSamples))
     val perChain = (nSamples + chains - 1) / chains
     val rev = reversible
     val sampleRows: Seq[Array[Double]] = spark.range(chains).as[Long]
-      .flatMap { chainId =>
-        val rng = new java.util.SplittableRandom(seed ^ (chainId * 0x9E3779B97F4A7C15L))
-        val c = graft.linalg.LinAlg.fromFlat(flatCounts, n)
-        val mats =
-          if (rev) TmatrixSampler.sampleReversible(c, perChain, rng.nextLong())
-          else Seq.fill(perChain)(TmatrixSampler.sampleNonReversible(c, rng))
-        mats.map(graft.linalg.LinAlg.toFlat)
-      }
+      .flatMap(chainId => chainSamples(flatCounts, n, chainId, perChain, rev, seed))
       .collect().toSeq.take(nSamples)
-    val samples = sampleRows.map(f =>
-      MarkovStateModel(graft.linalg.LinAlg.fromFlat(f, n), tau, states))
-    BayesianPosterior(prior, samples)
+    toPosterior(prior, sampleRows, n, tau, states)
+  }
+
+  /** Driver-local twin of `fromCounts` (identical chain seeding, so the
+    * posterior is bit-equal): for model-sized batteries where fanning four
+    * few-KB chains out as a Spark job costs more scheduler time than the
+    * Gibbs sweeps themselves. The distributed path remains for real
+    * many-chain posteriors. */
+  def fromCountsLocal(counts: DenseMatrix[Double], tau: Int, states: Array[Int],
+                      nSamples: Int, reversible: Boolean, seed: Long,
+                      nChains: Int): BayesianPosterior = {
+    val prior = priorOf(counts, tau, states, reversible)
+    val n = counts.rows
+    val flatCounts = graft.linalg.LinAlg.toFlat(counts)
+    val chains = math.max(1, math.min(nChains, nSamples))
+    val perChain = (nSamples + chains - 1) / chains
+    val sampleRows = (0L until chains.toLong)
+      .flatMap(chainId => chainSamples(flatCounts, n, chainId, perChain, reversible, seed))
+      .take(nSamples)
+    toPosterior(prior, sampleRows, n, tau, states)
   }
 }

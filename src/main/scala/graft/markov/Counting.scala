@@ -84,6 +84,25 @@ object TransitionCounting {
   def visitedSet(dtraj: DataFrame): DataFrame =
     dtraj.where(col("state") >= 0).select("state").distinct()
 
+  /** Sliding counts from already-collected trajectory arrays (zero Spark
+    * jobs). For model-sized batteries that collect the dtraj once and feed
+    * several estimators from the same arrays; semantics identical to
+    * `slidingCounts` (pairs containing a blank state are dropped, rows are
+    * NOT re-indexed around blanks). */
+  def slidingCountsLocal(trajs: Iterable[Array[Int]], tau: Int,
+                         n: Int): breeze.linalg.DenseMatrix[Double] = {
+    val m = breeze.linalg.DenseMatrix.zeros[Double](n, n)
+    trajs.foreach { arr =>
+      var i = 0
+      while (i + tau < arr.length) {
+        val a = arr(i); val b = arr(i + tau)
+        if (a >= 0 && b >= 0) m(a, b) += 1.0
+        i += 1
+      }
+    }
+    m
+  }
+
   /** Collect a COO count frame into a dense matrix (driver; n known small). */
   def toDense(counts: DataFrame, n: Int): breeze.linalg.DenseMatrix[Double] = {
     val m = breeze.linalg.DenseMatrix.zeros[Double](n, n)

@@ -96,24 +96,54 @@ object Oom {
     }
   }
 
-  /** Full OOM estimation from a dtraj frame. */
+  /** Two-step counts from already-collected trajectory arrays (zero Spark
+    * jobs; same semantics as `twoStepCounts`). COO (s0, s1, s2, cnt). */
+  def twoStepCountsLocal(trajs: Iterable[Array[Int]], tau: Int): Seq[(Int, Int, Int, Double)] = {
+    val acc = scala.collection.mutable.HashMap.empty[(Int, Int, Int), Double]
+    trajs.foreach { arr =>
+      var i = 0
+      while (i + 2 * tau < arr.length) {
+        val a = arr(i); val b = arr(i + tau); val c = arr(i + 2 * tau)
+        if (a >= 0 && b >= 0 && c >= 0) {
+          val k = (a, b, c)
+          acc(k) = acc.getOrElse(k, 0.0) + 1.0
+        }
+        i += 1
+      }
+    }
+    acc.iterator.map { case ((a, b, c), v) => (a, b, c, v) }.toSeq
+  }
+
+  /** Full OOM estimation from a dtraj frame: the two data-sized inputs
+    * (one-step counts, two-step COO tensor) are Spark jobs; the algebra
+    * delegates to `fitFromCounts`. */
   def fit(dtraj: DataFrame, tau: Int, nStates: Int, reversible: Boolean = true,
           rankTol: Double = 10.0, nbs: Int = 200, tolOne: Double = 1e-2,
           seed: Long = 42L): OomModel = {
-    // one-step counts on the 2-tau-capable frame
     val ct0 = TransitionCounting.toDense(
       TransitionCounting.slidingCounts(dtraj, tau), nStates)
+    val c2tCoo = twoStepCounts(dtraj, tau).collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3).toDouble))
+    fitFromCounts(ct0, c2tCoo, tau, reversible, rankTol, nbs, tolOne, seed)
+  }
+
+  /** OOM algebra from already-collected counts (one-step dense + two-step
+    * COO in original state labels). Driver-side at model size; callers that
+    * already hold the dtraj pay zero extra Spark jobs. */
+  def fitFromCounts(ct0: DenseMatrix[Double], c2tCoo: Seq[(Int, Int, Int, Double)],
+                    tau: Int, reversible: Boolean = true, rankTol: Double = 10.0,
+                    nbs: Int = 200, tolOne: Double = 1e-2,
+                    seed: Long = 42L): OomModel = {
     val lcc = Connectivity.largestConnectedSet(ct0)
     val ct = Connectivity.submatrix(ct0, lcc)
     val n = lcc.length
     val lccIdx = lcc.zipWithIndex.toMap
 
     // two-step tensor restricted to the lcc
-    val c2tRows = twoStepCounts(dtraj, tau).collect()
     val c2t = Array.fill(n)(DenseMatrix.zeros[Double](n, n)) // per intermediate state
-    c2tRows.foreach { r =>
-      (lccIdx.get(r.getInt(0)), lccIdx.get(r.getInt(1)), lccIdx.get(r.getInt(2))) match {
-        case (Some(i), Some(m), Some(j)) => c2t(m)(i, j) += r.getLong(3).toDouble
+    c2tCoo.foreach { case (s0, s1, s2, cnt) =>
+      (lccIdx.get(s0), lccIdx.get(s1), lccIdx.get(s2)) match {
+        case (Some(i), Some(m), Some(j)) => c2t(m)(i, j) += cnt
         case _ =>
       }
     }

@@ -156,9 +156,15 @@ object Hmm {
 
   /** Initial model from the MSM+PCCA heuristic
     * (markov/hmm/init/discrete/_init_discrete_impl.py). */
-  def initialGuess(dtraj: DataFrame, nHidden: Int, nObs: Int, lagtime: Int): HmmModel = {
-    val counts = TransitionCounting.slidingCounts(dtraj, lagtime)
-    val msm = Msm.fromCounts(counts, nObs, lagtime, reversible = true)
+  def initialGuess(dtraj: DataFrame, nHidden: Int, nObs: Int, lagtime: Int): HmmModel =
+    initialGuessFromCounts(TransitionCounting.toDense(
+      TransitionCounting.slidingCounts(dtraj, lagtime), nObs), nHidden, nObs, lagtime)
+
+  /** Same heuristic from an already-collected count matrix (callers that
+    * fused counting with other work pay zero extra Spark jobs). */
+  def initialGuessFromCounts(counts: breeze.linalg.DenseMatrix[Double],
+                             nHidden: Int, nObs: Int, lagtime: Int): HmmModel = {
+    val msm = Msm.fromDense(counts, lagtime, reversible = true)
     val m = math.min(nHidden, msm.n)
     val pcca = Pcca(msm, m)
     // emission: B[k, obs] ∝ memberships(state, k) * pi(state), states mapped
@@ -184,6 +190,25 @@ object Hmm {
       }
   }
 
+  /** One M-step from merged E-statistics (shared by the distributed and
+    * driver-local EM loops). */
+  private def mStep(stats: EStats, m: Int, nObs: Int, reversible: Boolean,
+                    iter: Int): HmmModel = {
+    val xiM = graft.linalg.LinAlg.fromFlat(stats.xi, m)
+    val aNew = if (reversible) TransitionMatrixMle.reversible(xiM)
+               else TransitionMatrixMle.nonReversible(xiM)
+    val bNew = DenseMatrix.zeros[Double](m, nObs)
+    for (k <- 0 until m) {
+      var s = 0.0
+      for (o <- 0 until nObs) s += stats.gammaObs(k * nObs + o)
+      for (o <- 0 until nObs) bNew(k, o) = if (s > 0) stats.gammaObs(k * nObs + o) / s else 1.0 / nObs
+    }
+    val piSum = stats.gamma0.sum
+    val m0 = m
+    val piNew = DenseVector(stats.gamma0.map(v => if (piSum > 0) v / piSum else 1.0 / m0))
+    HmmModel(aNew, bNew, piNew, stats.loglik, iter + 1)
+  }
+
   /** Baum-Welch EM. `reversible` applies the detailed-balance MLE to the
     * hidden transition counts in the M-step. */
   def fit(dtraj: DataFrame, nHidden: Int, nObs: Int, lagtime: Int = 1,
@@ -205,24 +230,42 @@ object Hmm {
       val stats = trajs
         .map { case (_, obs) => forwardBackward(obs, a, b, pi, m, nObs) }
         .reduce((x, y) => x.merge(y))
-      // M-step
-      val xiM = graft.linalg.LinAlg.fromFlat(stats.xi, m)
-      val aNew = if (reversible) TransitionMatrixMle.reversible(xiM)
-                 else TransitionMatrixMle.nonReversible(xiM)
-      val bNew = DenseMatrix.zeros[Double](m, nObs)
-      for (k <- 0 until m) {
-        var s = 0.0
-        for (o <- 0 until nObs) s += stats.gammaObs(k * nObs + o)
-        for (o <- 0 until nObs) bNew(k, o) = if (s > 0) stats.gammaObs(k * nObs + o) / s else 1.0 / nObs
-      }
-      val piSum = stats.gamma0.sum
-      val piNew = DenseVector(stats.gamma0.map(v => if (piSum > 0) v / piSum else 1.0 / m))
       converged = math.abs(stats.loglik - lastLl) < tol * math.abs(stats.loglik)
       lastLl = stats.loglik
-      model = HmmModel(aNew, bNew, piNew, stats.loglik, iter + 1)
+      model = mStep(stats, m, nObs, reversible, iter)
       iter += 1
     }
     trajs.unpersist()
+    model
+  }
+
+  /** Driver-local Baum-Welch over already-collected observation arrays:
+    * same forward-backward kernel and M-step as `fit`, zero Spark jobs per
+    * iteration. For model-sized batteries (q73) that collect the tiny
+    * dtraj once and feed several estimators from the same arrays — the
+    * distributed `fit` remains the scale path. */
+  def fitArrays(obsTrajs: Seq[Array[Int]], nHidden: Int, nObs: Int,
+                maxIter: Int = 100, tol: Double = 1e-6,
+                reversible: Boolean = true,
+                init: Option[HmmModel] = None): HmmModel = {
+    var model = init.getOrElse(initialGuessFromCounts(
+      TransitionCounting.slidingCountsLocal(obsTrajs, 1, nObs), nHidden, nObs, 1))
+    val m = model.transition.rows
+    var lastLl = Double.NegativeInfinity
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val a = graft.linalg.LinAlg.toFlat(model.transition)
+      val b = graft.linalg.LinAlg.toFlat(model.emission)
+      val pi = model.initial.toArray
+      val stats = obsTrajs.view
+        .map(obs => forwardBackward(obs, a, b, pi, m, nObs))
+        .reduce((x, y) => x.merge(y))
+      converged = math.abs(stats.loglik - lastLl) < tol * math.abs(stats.loglik)
+      lastLl = stats.loglik
+      model = mStep(stats, m, nObs, reversible, iter)
+      iter += 1
+    }
     model
   }
 
