@@ -321,7 +321,7 @@ object SparkEntry {
 
     // Greedy sequence packing (the step that turns filtered docs into
     // fixed-budget training shards): within each (source, 100-doc_id
-    // chunk) group, docs in doc_id order pack first-fit into <=160-token
+    // chunk) group, docs in doc_id order pack next-fit into <=160-token
     // shards. The sequential recurrence is confined to bounded chunks —
     // group memory is O(chunkSize) at any corpus size and parallelism
     // grows with the data. The DuckDB twin replays the fold exactly via
@@ -2041,7 +2041,8 @@ object SparkEntry {
       """WITH t AS (SELECT source,
            CAST(100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10) AS BIGINT)
              AS target_ppm,
-           CASE WHEN ((doc_id * 2654435761 + 101) % 2147483647) % 1000000
+           CASE WHEN (((doc_id % 2147483647) * 506952114 + 101) % 2147483647)
+                  % 1000000
                 < 100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10)
                 THEN 1 ELSE 0 END AS keep
          FROM documents)
@@ -2060,7 +2061,7 @@ object SparkEntry {
          UNION ALL SELECT 'n_distinct_users',
            (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) FROM events)""",
 
-    // Packing twin: replays the greedy first-fit fold exactly with a
+    // Packing twin: replays the greedy next-fit fold exactly with a
     // recursive CTE over each (source, chunk) group in doc_id order —
     // same budget (160), same chunking (doc_id // 100), same oversize
     // rule (a doc that overflows starts a new shard and may exceed the

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *    O(chunkSize) regardless of corpus size and parallelism grows with
   *    the data; the greedy fold is sequential ONLY within a chunk, which
   *    is exactly how production packers bound the inherently-sequential
-  *    first-fit recurrence.
+  *    next-fit recurrence.
   */
 object Packing {
 
@@ -26,27 +26,36 @@ object Packing {
     * of the row key reduced mod 1e6, compared against the stratum rate.
     * Pure integer arithmetic so an ANSI-SQL oracle reproduces it bit-for-
     * bit (a prod pipeline would use xxhash64(key) — same shape, stronger
-    * mixing; the arithmetic hash keeps the DuckDB twin exact). */
+    * mixing; the arithmetic hash keeps the DuckDB twin exact).
+    *
+    * The key is reduced mod p BEFORE the multiply — (key mod p)(m mod p)
+    * mod p == key*m mod p, but the reduced product peaks at ~1.1e18 and
+    * never overflows Long, where the naive key*2654435761 wraps silently
+    * above doc_id ~3.4e9 (and ANSI mode / the SQL twin would error). */
   def sampleHashPpm(key: Column): Column =
-    pmod(key * lit(2654435761L) + lit(101L), lit(2147483647L)) % lit(1000000L)
+    pmod(pmod(key, lit(2147483647L)) * lit(2654435761L % 2147483647L) + lit(101L),
+      lit(2147483647L)) % lit(1000000L)
 
   def mixtureKeep(key: Column, ratePpm: Column): Column =
     sampleHashPpm(key) < ratePpm
 
-  /** Greedy sequence packing: within each (source, doc_id-chunk) group,
-    * documents in doc_id order are packed into shards of at most
-    * `budget` tokens; a document that would overflow the current shard
-    * starts a new one (an oversized document occupies a shard alone).
-    * Returns (doc_id, source, chunk, n_tokens, shard) — shard indices
-    * restart at 0 per group, so (source, chunk, shard) is the global
-    * shard key. */
+  /** Greedy sequential (next-fit) packing: within each (source,
+    * doc_id-chunk) group, documents in doc_id order are packed into
+    * shards of at most `budget` tokens; a document that would overflow
+    * the CURRENT shard starts a new one (next-fit — earlier shards are
+    * never revisited, unlike first-fit), and an oversized document
+    * occupies a shard alone. Returns (doc_id, source, chunk, n_tokens,
+    * shard) — shard indices restart at 0 per group, so (source, chunk,
+    * shard) is the global shard key. */
   def packGreedy(docs: DataFrame, budget: Long, chunkSize: Long): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(
       col("doc_id").cast("long").as("doc_id"),
       col("source"),
-      floor(col("doc_id") / chunkSize).cast("long").as("chunk"),
+      // integer division: floor(col/chunkSize) is a DOUBLE divide that
+      // loses exactness above 2^53; `div` stays exact at any doc_id
+      expr(s"CAST(doc_id AS BIGINT) div ${chunkSize}L").as("chunk"),
       TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .as[(Long, String, Long, Long)]
     base.groupByKey(r => (r._2, r._3))

@@ -23,12 +23,16 @@ class PackingSpec extends SparkSpec with Matchers {
     val out = Packing.packGreedy(docs, budget = 8, chunkSize = 100)
       .orderBy("doc_id").collect()
     out.map(_.getLong(4)).toSeq shouldBe Seq(0L, 0L, 1L, 2L, 3L, 3L)
-    // every shard's fill <= budget unless it is a single oversize doc
+    // every multi-doc shard's fill <= budget, and any oversize doc
+    // (n_tokens > budget) must be the only member of its shard
     val byShard = out.groupBy(_.getLong(4)).values
     byShard.foreach { rows =>
       val fill = rows.map(_.getLong(3)).sum
-      if (rows.length > 1) assert(fill <= 8L)
-      else assert(fill <= 8L || rows.length == 1)
+      if (rows.length > 1) assert(fill <= 8L, s"multi-doc shard overflows: $fill")
+    }
+    out.filter(_.getLong(3) > 8L).foreach { r =>
+      val mates = out.count(_.getLong(4) == r.getLong(4))
+      assert(mates == 1, s"oversize doc ${r.getLong(0)} shares shard with others")
     }
   }
 
@@ -50,6 +54,29 @@ class PackingSpec extends SparkSpec with Matchers {
     val b = Packing.packGreedy(docs.repartition(7), 40, 50)
       .orderBy("doc_id").collect().toSeq
     a shouldBe b
+  }
+
+  test("sampleHashPpm matches unreduced BigInt hash at huge doc_id (no overflow)") {
+    import spark.implicits._
+    val keys = Seq(0L, 42L, 3470000000L, 1L << 40, (1L << 62) + 13, Long.MaxValue - 7)
+    val got = keys.toDF("doc_id")
+      .select(Packing.sampleHashPpm(col("doc_id")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = keys.map { k =>
+      (((BigInt(k) * BigInt(2654435761L) + 101) mod BigInt(2147483647L))
+        mod BigInt(1000000L)).toLong
+    }
+    got shouldBe want
+  }
+
+  test("chunk key is exact integer division above 2^53 (no double rounding)") {
+    val base = 1L << 54
+    val docs = mkDocs(Seq(
+      (base + 1, "s", "w w"), (base + 101, "s", "w w"), (base + 201, "s", "w w")))
+    val out = Packing.packGreedy(docs, budget = 10, chunkSize = 100)
+      .orderBy("doc_id").collect()
+    out.map(_.getLong(2)).toSeq shouldBe Seq(
+      (base + 1) / 100L, (base + 101) / 100L, (base + 201) / 100L)
   }
 
   test("mixtureKeep: deterministic, and per-stratum rate tracks the target") {
