@@ -358,6 +358,44 @@ object SparkEntry {
         "n_distinct_users" -> exactD.toDouble))
     }),
 
+    // ---- sparse large-n MSM path --------------------------------------
+    // Fine discretization (2000 value bins) -> COO counts -> sparse MSM
+    // with NO dense n^2 allocation anywhere (markov/SparseMsm.scala;
+    // reference _transition_counting.py:471 sparse_return +
+    // estimation/api.py:768-956 sparse dispatch + numeric/_eigen.py:289
+    // iterative eigs). Exact SQL rows anchor the data-sized facts
+    // (visited states, count-matrix nnz, transition total); residual rows
+    // gate the model contract: Tarjan SCC == independent forward/backward
+    // BFS intersection, pi stationarity/normalization via sparse matvec,
+    // row-stochasticity, detailed balance of the reversible MLE, and the
+    // deflated-Lanczos lambda_2 cross-checked against Arnoldi (two
+    // independent iterative eigensolvers must agree).
+    "q91_sparse_msm" -> ((s, dir) => {
+      val nBins = 2000
+      val dtraj = Trajectories.dtrajFromEventValues(s, dir, nBins)
+      val coo = graft.markov.SparseMsm.collectCoo(
+        TransitionCounting.slidingCounts(dtraj, 1), nBins)
+      require(!graft.markov.SparseMsm.denseIsEfficient(coo.n, coo.nnz),
+        "q91 must exercise the sparse branch")
+      val model = graft.markov.SparseMsm.fromCoo(coo, tau = 1, reversible = true)
+      val lcc = model.states
+      val bfs = graft.markov.SparseMsm.sccOfViaBfs(coo, lcc(0))
+      val lanczos = model.eigenvaluesK(3)
+      val arnoldi = graft.markov.SparseMsm.eigenvaluesArnoldi(model.transition, 3)
+      val nTrans = coo.vals.sum
+      checksDf(s, Seq(
+        "n_states_visited" -> coo.rows.concat(coo.cols).distinct.length.toDouble,
+        "nnz" -> coo.nnz.toDouble,
+        "n_transitions" -> nTrans,
+        "scc_bfs_parity" -> (if (bfs.sameElements(lcc)) 0.0 else 1.0),
+        "rowsums" -> model.rowSumResidual,
+        "pi_normalized" -> math.abs(breeze.linalg.sum(model.stationaryDistribution) - 1.0),
+        "pi_stationarity" -> model.stationarityResidual,
+        "detailed_balance" -> model.detailedBalanceResidual,
+        "lambda1_minus_one" -> (lanczos(0) - 1.0),
+        "lanczos_arnoldi_lambda2" -> (lanczos(1) - arnoldi(1))))
+    }),
+
     "q20_ngram_jaccard" -> ((s, dir) => {
       val sel = docs(s, dir).where(col("doc_id") % 97 === 0)
       val ids = sel.select(col("doc_id"))
@@ -2060,6 +2098,36 @@ object SparkEntry {
            (SELECT CAST(count(*) AS DOUBLE) FROM events)
          UNION ALL SELECT 'n_distinct_users',
            (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) FROM events)""",
+
+    // Sparse-MSM twin: the three data-sized anchors (visited states, count
+    // nnz, transition total) are exact SQL over the same 2000-bin
+    // discretization and lag-1 pairs; the model-contract rows are
+    // driver-exact zero residuals (SCC parity, stationarity, detailed
+    // balance, eigensolver cross-check).
+    "q91_sparse_msm" ->
+      """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+         d AS (SELECT user_id,
+             CAST(least(floor((value - mn) / ((mx - mn) / 2000)), 1999) AS INT) AS state,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t
+           FROM events, mm),
+         p AS (SELECT state AS s0,
+             LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
+         pairs AS (SELECT s0, s1 FROM p WHERE s1 IS NOT NULL),
+         agg AS (SELECT count(*) AS n_trans,
+                        count(DISTINCT (s0, s1)) AS nnz FROM pairs),
+         st AS (SELECT count(DISTINCT s) AS n_states FROM
+                 (SELECT s0 AS s FROM pairs UNION SELECT s1 FROM pairs))
+         SELECT 'n_states_visited' AS "check",
+                (SELECT CAST(n_states AS DOUBLE) FROM st) AS "value"
+         UNION ALL SELECT 'nnz', (SELECT CAST(nnz AS DOUBLE) FROM agg)
+         UNION ALL SELECT 'n_transitions', (SELECT CAST(n_trans AS DOUBLE) FROM agg)
+         UNION ALL SELECT 'scc_bfs_parity', 0.0
+         UNION ALL SELECT 'rowsums', 0.0
+         UNION ALL SELECT 'pi_normalized', 0.0
+         UNION ALL SELECT 'pi_stationarity', 0.0
+         UNION ALL SELECT 'detailed_balance', 0.0
+         UNION ALL SELECT 'lambda1_minus_one', 0.0
+         UNION ALL SELECT 'lanczos_arnoldi_lambda2', 0.0""",
 
     // Packing twin: replays the greedy next-fit fold exactly with a
     // recursive CTE over each (source, chunk) group in doc_id order —

@@ -1,0 +1,524 @@
+package graft.markov
+
+import breeze.linalg.{CSCMatrix, DenseMatrix, DenseVector}
+import org.apache.spark.sql.DataFrame
+
+/** Sparse large-n MSM estimation path.
+  *
+  * The dense pipeline (`Msm.fromCounts` -> `DenseMatrix`) allocates 8*n^2
+  * bytes on the driver — an OOM at n ~ 1e5 states (fine-grained
+  * discretizations). The reference keeps count/transition matrices sparse
+  * end-to-end (markov/_transition_counting.py:471-473 `sparse_return`;
+  * markov/tools/estimation/api.py:768-956 auto dense/sparse dispatch with
+  * the `dimension^2 < 3*nnz -> dense` rule) and solves k-eigenpair
+  * problems iteratively (numeric/_eigen.py:289 `eigs` -> ARPACK Lanczos).
+  *
+  * This module mirrors that: COO count rows (a Spark aggregate of at most
+  * nnz rows — never collected as n^2) -> Breeze `CSCMatrix`, Tarjan SCC on
+  * adjacency lists, the reversible MLE fixed point iterated over the
+  * symmetric nonzero pattern only, damped power iteration for the
+  * stationary distribution, and Lanczos (reversible, via the
+  * pi-symmetrized operator) / Arnoldi (general) for the leading k
+  * eigenvalues. Everything is O(nnz) time and memory.
+  */
+object SparseMsm {
+
+  /** COO triples collected from a distributed count frame (nnz-sized). */
+  final case class CooCounts(n: Int, rows: Array[Int], cols: Array[Int],
+                             vals: Array[Double]) {
+    def nnz: Int = vals.length
+    def rowSums: DenseVector[Double] = {
+      val rs = DenseVector.zeros[Double](n)
+      var k = 0
+      while (k < nnz) { rs(rows(k)) += vals(k); k += 1 }
+      rs
+    }
+    def toCsc: CSCMatrix[Double] = {
+      val b = new CSCMatrix.Builder[Double](n, n, nnz)
+      var k = 0
+      while (k < nnz) { b.add(rows(k), cols(k), vals(k)); k += 1 }
+      b.result()
+    }
+    /** Restriction to `states` (sorted ascending), relabeled 0..k-1. */
+    def submatrix(states: Array[Int]): CooCounts = {
+      val idx = new java.util.HashMap[Int, Int](states.length * 2)
+      var i = 0
+      while (i < states.length) { idx.put(states(i), i); i += 1 }
+      val r = Array.newBuilder[Int]; val c = Array.newBuilder[Int]
+      val v = Array.newBuilder[Double]
+      var k = 0
+      while (k < nnz) {
+        if (idx.containsKey(rows(k)) && idx.containsKey(cols(k))) {
+          r += idx.get(rows(k)); c += idx.get(cols(k)); v += vals(k)
+        }
+        k += 1
+      }
+      CooCounts(states.length, r.result(), c.result(), v.result())
+    }
+  }
+
+  /** Collect a distributed COO count frame (s0, s1, cnt) into driver COO.
+    * Memory is O(nnz); n is the max state label + 1 unless given. */
+  def collectCoo(counts: DataFrame, nStates: Int = -1): CooCounts = {
+    val rows = counts.select("s0", "s1", "cnt").collect()
+    val r = new Array[Int](rows.length)
+    val c = new Array[Int](rows.length)
+    val v = new Array[Double](rows.length)
+    var i = 0
+    var maxS = -1
+    while (i < rows.length) {
+      r(i) = rows(i).getInt(0); c(i) = rows(i).getInt(1)
+      v(i) = rows(i).get(2) match {
+        case l: java.lang.Long => l.toDouble
+        case d: java.lang.Double => d
+        case x => x.toString.toDouble
+      }
+      if (r(i) > maxS) maxS = r(i)
+      if (c(i) > maxS) maxS = c(i)
+      i += 1
+    }
+    CooCounts(if (nStates > 0) nStates else maxS + 1, r, c, v)
+  }
+
+  /** api.py:846-855 auto rule: dense when dimension^2 < 3*nnz. */
+  def denseIsEfficient(n: Int, nnz: Int): Boolean = n.toLong * n < 3L * nnz
+
+  // ---------------------------------------------------------------- graphs
+
+  /** CSR adjacency (pattern only) from COO. */
+  private def adjacency(coo: CooCounts, transpose: Boolean): (Array[Int], Array[Int]) = {
+    val n = coo.n
+    val deg = new Array[Int](n + 1)
+    val src = if (transpose) coo.cols else coo.rows
+    val dst = if (transpose) coo.rows else coo.cols
+    var k = 0
+    while (k < coo.nnz) { if (coo.vals(k) > 0) deg(src(k) + 1) += 1; k += 1 }
+    var i = 0
+    while (i < n) { deg(i + 1) += deg(i); i += 1 }
+    val ptr = deg.clone()
+    val out = new Array[Int](ptr(n))
+    val fill = ptr.clone()
+    k = 0
+    while (k < coo.nnz) {
+      if (coo.vals(k) > 0) { out(fill(src(k))) = dst(k); fill(src(k)) += 1 }
+      k += 1
+    }
+    (ptr, out)
+  }
+
+  /** Tarjan SCC over COO adjacency — O(n + nnz), iterative (no recursion
+    * depth limit). Same component ordering contract as the dense
+    * `Connectivity.connectedSets`: size-descending, ties on smallest
+    * contained state. */
+  def connectedSets(coo: CooCounts): Seq[Array[Int]] = {
+    val n = coo.n
+    val (ptr, adj) = adjacency(coo, transpose = false)
+    val index = Array.fill(n)(-1)
+    val low = new Array[Int](n)
+    val onStack = Array.fill(n)(false)
+    val comp = Array.fill(n)(-1)
+    var idx = 0
+    var nComp = 0
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (root <- 0 until n if index(root) == -1) {
+      val work = scala.collection.mutable.Stack[(Int, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (v, pi) = work.pop()
+        if (pi == 0) {
+          index(v) = idx; low(v) = idx; idx += 1
+          stack += v; onStack(v) = true
+        }
+        var recursed = false
+        var i = pi
+        while (i < ptr(v + 1) - ptr(v) && !recursed) {
+          val u = adj(ptr(v) + i)
+          if (index(u) == -1) {
+            work.push((v, i + 1)); work.push((u, 0)); recursed = true
+          } else if (onStack(u)) {
+            low(v) = math.min(low(v), index(u))
+          }
+          i += 1
+        }
+        if (!recursed) {
+          if (low(v) == index(v)) {
+            var u = -1
+            while (u != v) {
+              u = stack.remove(stack.length - 1)
+              onStack(u) = false
+              comp(u) = nComp
+            }
+            nComp += 1
+          }
+          if (work.nonEmpty) {
+            val (p, _) = work.top
+            low(p) = math.min(low(p), low(v))
+          }
+        }
+      }
+    }
+    val members = Array.fill(nComp)(Array.newBuilder[Int])
+    var v = 0
+    while (v < n) { members(comp(v)) += v; v += 1 }
+    members.toSeq.map(_.result()).sortBy(s => (-s.length, s.min))
+  }
+
+  def largestConnectedSet(coo: CooCounts): Array[Int] = connectedSets(coo).head
+
+  /** Forward/backward reachable intersection from `seed` — an independent
+    * (BFS-based) computation of the SCC containing `seed`, used as an
+    * internal cross-check of the Tarjan result. */
+  def sccOfViaBfs(coo: CooCounts, seed: Int): Array[Int] = {
+    def reach(transpose: Boolean): Array[Boolean] = {
+      val (ptr, adj) = adjacency(coo, transpose)
+      val seen = new Array[Boolean](coo.n)
+      val queue = new java.util.ArrayDeque[Int]()
+      seen(seed) = true; queue.add(seed)
+      while (!queue.isEmpty) {
+        val v = queue.poll()
+        var i = ptr(v)
+        while (i < ptr(v + 1)) {
+          val u = adj(i)
+          if (!seen(u)) { seen(u) = true; queue.add(u) }
+          i += 1
+        }
+      }
+      seen
+    }
+    val fwd = reach(transpose = false)
+    val bwd = reach(transpose = true)
+    (0 until coo.n).filter(i => fwd(i) && bwd(i)).toArray
+  }
+
+  // ------------------------------------------------------------------ MLE
+
+  /** Non-reversible MLE: row-normalize the COO (api.py transition_matrix
+    * reversible=False, sparse branch). Empty rows get T_ii = 1. */
+  def mleNonReversible(coo: CooCounts): CSCMatrix[Double] = {
+    val rs = coo.rowSums
+    val b = new CSCMatrix.Builder[Double](coo.n, coo.n, coo.nnz + coo.n)
+    var k = 0
+    while (k < coo.nnz) {
+      if (rs(coo.rows(k)) > 0)
+        b.add(coo.rows(k), coo.cols(k), coo.vals(k) / rs(coo.rows(k)))
+      k += 1
+    }
+    var i = 0
+    while (i < coo.n) { if (rs(i) == 0) b.add(i, i, 1.0); i += 1 }
+    b.result()
+  }
+
+  /** Reversible MLE fixed point iterated over the SYMMETRIC nonzero
+    * pattern only (sparse twin of `TransitionMatrixMle.reversible`;
+    * reference estimation/sparse/mle/mle_trev.pyx): x_ij <- csym_ij /
+    * (c_i/x_i + c_j/x_j), T_ij = x_ij / x_i, pi = x rowsums. Convergence
+    * is tracked on the relative change of x_i (api.py maxerr contract).
+    * Returns (T, pi). */
+  def mleReversible(coo: CooCounts, maxIter: Int = 1000,
+                    tol: Double = 1e-12): (CSCMatrix[Double], DenseVector[Double]) = {
+    val n = coo.n
+    // symmetric pattern: merge (i,j) and (j,i) counts; store upper+lower
+    val sym = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+    var k = 0
+    while (k < coo.nnz) {
+      val key = (coo.rows(k), coo.cols(k))
+      sym(key) = sym.getOrElse(key, 0.0) + coo.vals(k)
+      val kt = (coo.cols(k), coo.rows(k))
+      sym(kt) = sym.getOrElse(kt, 0.0) + coo.vals(k)
+      k += 1
+    }
+    val m = sym.size
+    val si = new Array[Int](m); val sj = new Array[Int](m)
+    val csym = new Array[Double](m)
+    var p = 0
+    sym.foreach { case ((i, j), v) => si(p) = i; sj(p) = j; csym(p) = v; p += 1 }
+    val cRow = coo.rowSums
+    val total = csym.sum
+    val x = csym.map(_ / total)
+    val xRow = DenseVector.zeros[Double](n)
+    def recomputeXRow(): Unit = {
+      var i = 0
+      while (i < n) { xRow(i) = 0.0; i += 1 }
+      var q = 0
+      while (q < m) { xRow(si(q)) += x(q); q += 1 }
+    }
+    recomputeXRow()
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIter && delta > tol) {
+      val xRowPrev = xRow.copy
+      var q = 0
+      while (q < m) {
+        val i = si(q); val j = sj(q)
+        val denom = cRow(i) / xRow(i) + cRow(j) / xRow(j)
+        x(q) = if (denom > 0) csym(q) / denom else 0.0
+        q += 1
+      }
+      recomputeXRow()
+      delta = 0.0
+      var i = 0
+      while (i < n) {
+        val s = xRowPrev(i) + xRow(i)
+        if (s > 0) {
+          val e = math.abs(xRow(i) - xRowPrev(i)) / s
+          if (e > delta) delta = e
+        }
+        i += 1
+      }
+      iter += 1
+    }
+    val b = new CSCMatrix.Builder[Double](n, n, m)
+    var q = 0
+    while (q < m) {
+      if (xRow(si(q)) > 0) b.add(si(q), sj(q), x(q) / xRow(si(q)))
+      q += 1
+    }
+    val piSum = breeze.linalg.sum(xRow)
+    (b.result(), xRow / piSum)
+  }
+
+  // ------------------------------------------------------------- spectral
+
+  /** y = T' x (left matvec) without materializing the transpose. */
+  private def leftMatvec(t: CSCMatrix[Double], x: DenseVector[Double]): DenseVector[Double] = {
+    // CSC stores by column: y_j = sum_i x_i T_ij is a per-column dot
+    val y = DenseVector.zeros[Double](t.cols)
+    var j = 0
+    while (j < t.cols) {
+      var p = t.colPtrs(j)
+      var acc = 0.0
+      while (p < t.colPtrs(j + 1)) { acc += x(t.rowIndices(p)) * t.data(p); p += 1 }
+      y(j) = acc
+      j += 1
+    }
+    y
+  }
+
+  private def rightMatvec(t: CSCMatrix[Double], x: DenseVector[Double]): DenseVector[Double] = {
+    val y = DenseVector.zeros[Double](t.rows)
+    var j = 0
+    while (j < t.cols) {
+      val xj = x(j)
+      if (xj != 0.0) {
+        var p = t.colPtrs(j)
+        while (p < t.colPtrs(j + 1)) { y(t.rowIndices(p)) += t.data(p) * xj; p += 1 }
+      }
+      j += 1
+    }
+    y
+  }
+
+  /** Stationary distribution by DAMPED left power iteration: pi' (I+T)/2
+    * has the same fixed point but no period-2 oscillation
+    * (tools/analysis `stationary_distribution` sparse backend parity —
+    * the reference solves an eigenproblem; the damped iteration is the
+    * standard matrix-free equivalent). Assumes T is irreducible (call on
+    * the largest SCC). */
+  def stationaryDistribution(t: CSCMatrix[Double], maxIter: Int = 100000,
+                             tol: Double = 1e-14): DenseVector[Double] = {
+    val n = t.rows
+    var pi = DenseVector.fill(n)(1.0 / n)
+    var iter = 0
+    var delta = Double.MaxValue
+    while (iter < maxIter && delta > tol) {
+      val nxt = (leftMatvec(t, pi) + pi) * 0.5
+      nxt := nxt / breeze.linalg.sum(nxt)
+      delta = breeze.linalg.max(breeze.numerics.abs(nxt - pi))
+      pi = nxt
+      iter += 1
+    }
+    pi
+  }
+
+  /** Leading k eigenvalues of a REVERSIBLE T by Lanczos on the
+    * pi-symmetrized operator S = D^{1/2} T D^{-1/2} (symmetric, same
+    * spectrum; numeric/_eigen.py:289 `eigs` n_eigs branch parity).
+    *
+    * The dominant eigenpair is known analytically — S sqrt(pi) =
+    * sqrt(pi) with eigenvalue exactly 1 — so it is DEFLATED: the Krylov
+    * space is kept orthogonal to sqrt(pi) and lambda_1 = 1.0 is
+    * prepended exactly. This matters for clustered spectra (a 50k-state
+    * diffusive chain has lambda_2 - lambda_1 ~ 1e-9, unresolvable by
+    * any practical subspace). Full reorthogonalization; subspace size
+    * max(2k+10, 30, `subspace`) capped at n. */
+  def eigenvaluesReversible(t: CSCMatrix[Double], pi: DenseVector[Double],
+                            k: Int, subspace: Int = -1): Array[Double] = {
+    if (k <= 0) return Array.empty
+    val n = t.rows
+    val m = math.min(n, math.max(math.max(4 * k + 20, 60), subspace))
+    val sqrtPi = pi.map(v => math.sqrt(math.max(v, 1e-300)))
+    val v1 = sqrtPi / breeze.linalg.norm(sqrtPi)
+    def matvec(x: DenseVector[Double]): DenseVector[Double] = {
+      val scaled = DenseVector.tabulate(n)(i => x(i) / sqrtPi(i))
+      val y = rightMatvec(t, scaled)
+      DenseVector.tabulate(n)(i => y(i) * sqrtPi(i))
+    }
+    val qs = scala.collection.mutable.ArrayBuffer.empty[DenseVector[Double]]
+    val alpha = new Array[Double](m)
+    val beta = new Array[Double](m)
+    // deterministic pseudo-random start, deflated against the known
+    // dominant eigenvector (and re-deflated every step below)
+    val rng = new java.util.SplittableRandom(42L)
+    val q = DenseVector.fill(n)(rng.nextDouble() - 0.5)
+    q := q - v1 * (q dot v1)
+    q := q / breeze.linalg.norm(q)
+    qs += q
+    var j = 0
+    var done = false
+    while (j < m && !done) {
+      var w = matvec(qs(j))
+      alpha(j) = w dot qs(j)
+      w = w - qs(j) * alpha(j)
+      if (j > 0) w = w - qs(j - 1) * beta(j - 1)
+      // full reorthogonalization incl. the deflated eigenvector
+      var r = 0
+      while (r < 2) {
+        w = w - v1 * (w dot v1)
+        qs.foreach(qi => w = w - qi * (w dot qi))
+        r += 1
+      }
+      val nrm = breeze.linalg.norm(w)
+      if (j < m - 1) {
+        if (nrm < 1e-12) done = true // invariant subspace found
+        else { beta(j) = nrm; qs += (w / nrm) }
+      }
+      j += 1
+    }
+    val steps = j
+    val tri = DenseMatrix.zeros[Double](steps, steps)
+    var i = 0
+    while (i < steps) {
+      tri(i, i) = alpha(i)
+      if (i + 1 < steps) { tri(i, i + 1) = beta(i); tri(i + 1, i) = beta(i) }
+      i += 1
+    }
+    val es = breeze.linalg.eigSym(tri)
+    // 'LM' ordering (magnitude-descending real Ritz values), matching the
+    // dense model's magnitude convention (Msm.scala timescales + _eigen.py
+    // eigs which='LM'); lambda_1 = 1 is exact by deflation
+    val rest = es.eigenvalues.toArray.sortBy(v => -math.abs(v)).take(k - 1)
+    1.0 +: rest
+  }
+
+  /** Leading k eigenvalues (largest magnitude Ritz values) of a general
+    * T by Arnoldi — the non-reversible twin of `eigenvaluesReversible`
+    * (scipy.sparse.linalg.eigs parity at _eigen.py:311). Returns real
+    * parts of the top-k Ritz values sorted by magnitude. */
+  def eigenvaluesArnoldi(t: CSCMatrix[Double], k: Int): Array[Double] = {
+    val n = t.rows
+    val m = math.min(n, math.max(4 * k + 20, 60))
+    val qs = scala.collection.mutable.ArrayBuffer.empty[DenseVector[Double]]
+    val h = DenseMatrix.zeros[Double](m + 1, m)
+    val rng = new java.util.SplittableRandom(42L)
+    val q0 = DenseVector.fill(n)(rng.nextDouble() - 0.5)
+    qs += q0 / breeze.linalg.norm(q0)
+    var j = 0
+    var steps = m
+    while (j < m && steps == m) {
+      var w = rightMatvec(t, qs(j))
+      var i = 0
+      while (i <= j) {
+        h(i, j) = w dot qs(i)
+        w = w - qs(i) * h(i, j)
+        i += 1
+      }
+      val nrm = breeze.linalg.norm(w)
+      h(j + 1, j) = nrm
+      if (nrm < 1e-12) steps = j + 1
+      else if (j + 1 < m) qs += (w / nrm)
+      j += 1
+    }
+    val hm = h(0 until steps, 0 until steps).copy
+    val e = breeze.linalg.eig(hm)
+    (0 until steps)
+      .map(i => (math.hypot(e.eigenvalues(i), e.eigenvaluesComplex(i)), e.eigenvalues(i)))
+      .sortBy(-_._1).take(k).map(_._2).toArray
+  }
+
+  // ---------------------------------------------------------------- model
+
+  /** Sparse Markov state model on the largest SCC. */
+  final case class SparseMarkovModel(transition: CSCMatrix[Double], tau: Int,
+                                     states: Array[Int],
+                                     piOpt: Option[DenseVector[Double]],
+                                     reversible: Boolean) {
+    def n: Int = transition.rows
+    lazy val stationaryDistribution: DenseVector[Double] =
+      piOpt.getOrElse(SparseMsm.stationaryDistribution(transition))
+    /** Leading eigenvalues (incl. lambda_1 = 1). */
+    def eigenvaluesK(k: Int): Array[Double] =
+      if (reversible) eigenvaluesReversible(transition, stationaryDistribution, k)
+      else eigenvaluesArnoldi(transition, k)
+    /** Implied timescales from the k leading nontrivial eigenvalue
+      * MAGNITUDES (|lambda| like the dense `MarkovStateModel.timescales`
+      * / _markov_state_model.py). */
+    def timescales(k: Int): Array[Double] =
+      graft.linalg.LinAlg.timescales(
+        eigenvaluesK(k + 1).drop(1).map(math.abs).toSeq, tau.toDouble).toArray
+    /** ||pi' T - pi'||_inf — stationarity residual via sparse matvec. */
+    def stationarityResidual: Double = {
+      val pi = stationaryDistribution
+      breeze.linalg.max(breeze.numerics.abs(leftMatvec(transition, pi) - pi))
+    }
+    /** max_i |sum_j T_ij - 1| via one pass over the nonzeros. */
+    def rowSumResidual: Double = {
+      val rs = DenseVector.zeros[Double](n)
+      var j = 0
+      while (j < transition.cols) {
+        var p = transition.colPtrs(j)
+        while (p < transition.colPtrs(j + 1)) {
+          rs(transition.rowIndices(p)) += transition.data(p); p += 1
+        }
+        j += 1
+      }
+      breeze.linalg.max(breeze.numerics.abs(rs - 1.0))
+    }
+    /** max_(ij) |pi_i T_ij - pi_j T_ji| over the nonzero pattern. */
+    def detailedBalanceResidual: Double = {
+      val pi = stationaryDistribution
+      // flux matrix entries via hash of the pattern
+      val flux = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+      var j = 0
+      while (j < transition.cols) {
+        var p = transition.colPtrs(j)
+        while (p < transition.colPtrs(j + 1)) {
+          val i = transition.rowIndices(p)
+          flux((i, j)) = pi(i) * transition.data(p)
+          p += 1
+        }
+        j += 1
+      }
+      if (flux.isEmpty) 0.0
+      else flux.map { case ((i, j), f) => math.abs(f - flux.getOrElse((j, i), 0.0)) }.max
+    }
+  }
+
+  /** Fit a sparse MSM from a distributed COO count frame: collect nnz
+    * rows, restrict to the largest SCC, sparse MLE. */
+  def fromCounts(counts: DataFrame, tau: Int, reversible: Boolean,
+                 nStates: Int = -1): SparseMarkovModel =
+    fromCoo(collectCoo(counts, nStates), tau, reversible)
+
+  def fromCoo(coo: CooCounts, tau: Int, reversible: Boolean): SparseMarkovModel = {
+    val lcc = largestConnectedSet(coo)
+    val sub = coo.submatrix(lcc)
+    if (reversible) {
+      val (t, pi) = mleReversible(sub)
+      SparseMarkovModel(t, tau, lcc, Some(pi), reversible = true)
+    } else {
+      SparseMarkovModel(mleNonReversible(sub), tau, lcc, None, reversible = false)
+    }
+  }
+
+  /** api.py:768-956 auto dispatch: Left(dense MarkovStateModel) when
+    * dimension^2 < 3*nnz, Right(sparse model) otherwise. */
+  def fromCountsAuto(counts: DataFrame, tau: Int, reversible: Boolean,
+                     nStates: Int = -1): Either[MarkovStateModel, SparseMarkovModel] = {
+    val coo = collectCoo(counts, nStates)
+    if (denseIsEfficient(coo.n, coo.nnz)) {
+      val dense = DenseMatrix.zeros[Double](coo.n, coo.n)
+      var k = 0
+      while (k < coo.nnz) { dense(coo.rows(k), coo.cols(k)) += coo.vals(k); k += 1 }
+      Left(Msm.fromDense(dense, tau, reversible))
+    } else Right(fromCoo(coo, tau, reversible))
+  }
+}

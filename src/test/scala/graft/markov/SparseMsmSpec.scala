@@ -1,0 +1,149 @@
+package graft.markov
+
+import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Sparse large-n MSM path (reference _transition_counting.py:471-473
+  * sparse_return + estimation/api.py:768-956 auto dispatch +
+  * numeric/_eigen.py:289 iterative eigs). */
+class SparseMsmSpec extends SparkSpec with Matchers {
+
+  private def maxAbs(xs: Iterable[Double]) =
+    if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+
+  test("sparse MSM on a 50k-state chain: no dense n^2 allocation, correct pi") {
+    // lazy birth-death chain, 50,000 states: c(i,i+1) = c(i+1,i) = 10
+    // plus self-loops c(i,i) = 5 (aperiodic — a pure path graph is
+    // bipartite with lambda = -1). Dense would need 8 * 5e4^2 = 20 GB —
+    // running at all proves the path is O(nnz). Reversible MLE on
+    // symmetric counts converges immediately with pi_i proportional to
+    // the symmetrized row sum csym_i: 20+20+10 inside, 20+10 at the ends.
+    val n = 50000
+    import spark.implicits._
+    val counts = spark.range(n - 1).select(
+      col("id").cast("int").as("s0"),
+      (col("id") + 1).cast("int").as("s1"),
+      lit(10L).as("cnt"))
+      .unionAll(spark.range(n - 1).select(
+        (col("id") + 1).cast("int").as("s0"),
+        col("id").cast("int").as("s1"),
+        lit(10L).as("cnt")))
+      .unionAll(spark.range(n).select(
+        col("id").cast("int").as("s0"),
+        col("id").cast("int").as("s1"),
+        lit(5L).as("cnt")))
+    val model = SparseMsm.fromCounts(counts, tau = 1, reversible = true)
+    model.n shouldBe n
+    model.transition.activeSize should be <= 3 * n
+
+    val pi = model.stationaryDistribution
+    math.abs(bsum(pi) - 1.0) should be < 1e-10 // 50k-term summation rounding
+    val denom = 50.0 * (n - 2) + 2 * 30.0 // total symmetrized mass
+    math.abs(pi(0) - 30.0 / denom) should be < 1e-12
+    math.abs(pi(n / 2) - 50.0 / denom) should be < 1e-12
+
+    model.rowSumResidual should be < 1e-12
+    model.stationarityResidual should be < 1e-10
+    model.detailedBalanceResidual should be < 1e-12
+
+    // diffusive spectrum: lambda_2 = 1 - O(1/n^2), a ~4e-9 gap no Krylov
+    // subspace resolves exactly — deflation pins lambda_1 = 1.0 and the
+    // remaining Ritz values must sit inside the top cluster, ordered
+    val eigs = model.eigenvaluesK(4)
+    eigs(0) shouldBe 1.0
+    eigs.sliding(2).foreach { case Array(a, b) => a should be >= b - 1e-12 }
+    eigs.tail.foreach { l => l should be > 0.9; l should be < 1.0 }
+
+    val ts = model.timescales(2)
+    ts.foreach(t => assert(t > 0 && !t.isNaN))
+    ts(0) should be >= ts(1)
+  }
+
+  test("sparse path matches the dense path on a small random chain") {
+    val n = 60
+    val rng = new java.util.SplittableRandom(7L)
+    // random sparse counts with a guaranteed strongly connected ring
+    val entries = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+    for (i <- 0 until n) entries((i, (i + 1) % n)) = 1.0 + rng.nextInt(5)
+    for (_ <- 0 until 300) {
+      val i = rng.nextInt(n); val j = rng.nextInt(n)
+      entries((i, j)) = entries.getOrElse((i, j), 0.0) + 1.0 + rng.nextInt(9)
+    }
+    val dense = DenseMatrix.zeros[Double](n, n)
+    entries.foreach { case ((i, j), v) => dense(i, j) = v }
+    import spark.implicits._
+    val coo = entries.toSeq.map { case ((i, j), v) => (i, j, v.toLong) }
+      .toDF("s0", "s1", "cnt")
+
+    // non-reversible: T must equal dense row-normalization entrywise
+    val sNon = SparseMsm.fromCounts(coo, tau = 1, reversible = false)
+    val dNon = Msm.fromDense(dense, tau = 1, reversible = false)
+    sNon.states shouldBe dNon.states
+    val tNon = dNon.transitionMatrix
+    maxAbs(sNon.transition.activeIterator.map { case ((i, j), v) => v - tNon(i, j) }.toSeq) should be < 1e-12
+
+    // reversible: same fixed point as the dense MLE
+    val sRev = SparseMsm.fromCoo(SparseMsm.collectCoo(coo), tau = 1, reversible = true)
+    val dRev = Msm.fromDense(dense, tau = 1, reversible = true)
+    val tRev = dRev.transitionMatrix
+    maxAbs(sRev.transition.activeIterator.map { case ((i, j), v) => v - tRev(i, j) }.toSeq) should be < 1e-7
+    // both iterations converge to the same fixed point but track
+    // different stopping criteria (absolute vs relative x_i change)
+    maxAbs((sRev.stationaryDistribution - dRev.stationaryDistribution).toArray.toSeq) should be < 1e-7
+
+    // iterative eigenvalues vs dense Breeze eig (reversible, top 5 by
+    // MAGNITUDE — the 'LM' / dense-model convention)
+    val sparseEigs = sRev.eigenvaluesK(5)
+    val denseEigs = {
+      val e = breeze.linalg.eig(tRev)
+      (0 until tRev.rows).map(i => e.eigenvalues(i))
+        .sortBy(v => -math.abs(v)).take(5)
+    }
+    // the two MLE fixed points themselves agree to ~1e-8 (different
+    // stopping criteria), which bounds the eigenvalue agreement
+    (0 until 5).foreach { i =>
+      math.abs(sparseEigs(i) - denseEigs(i)) should be < 1e-7
+    }
+
+    // Arnoldi (general path) agrees on the leading eigenvalues too
+    val arnoldi = SparseMsm.eigenvaluesArnoldi(sRev.transition, 3)
+    (0 until 3).foreach { i =>
+      math.abs(arnoldi(i) - denseEigs(i)) should be < 1e-6
+    }
+  }
+
+  test("sparse Tarjan SCC matches dense connectivity and the BFS cross-check") {
+    val n = 12
+    // two SCCs {0..5} ring and {6..9} ring, plus a one-way bridge 5 -> 6
+    // and isolated-ish tail 10 -> 11
+    val edges = (0 until 6).map(i => (i, (i + 1) % 6, 3.0)) ++
+      (6 until 10).map(i => (i, if (i == 9) 6 else i + 1, 2.0)) ++
+      Seq((5, 6, 1.0), (10, 11, 1.0))
+    val coo = SparseMsm.CooCounts(n, edges.map(_._1).toArray,
+      edges.map(_._2).toArray, edges.map(_._3).toArray)
+    val dense = DenseMatrix.zeros[Double](n, n)
+    edges.foreach { case (i, j, v) => dense(i, j) = v }
+
+    val sparseSets = SparseMsm.connectedSets(coo).map(_.toSeq)
+    val denseSets = Connectivity.connectedSets(dense).map(_.toSeq)
+    sparseSets shouldBe denseSets
+    sparseSets.head shouldBe (0 until 6)
+
+    val lcc = SparseMsm.largestConnectedSet(coo)
+    SparseMsm.sccOfViaBfs(coo, lcc(0)).toSeq shouldBe lcc.toSeq
+  }
+
+  test("auto dispatch follows the api.py dimension^2 < 3*nnz rule") {
+    import spark.implicits._
+    // 3x3 fully dense counts -> dense (9 < 3*9)
+    val denseCounts = (for (i <- 0 until 3; j <- 0 until 3) yield (i, j, 5L))
+      .toDF("s0", "s1", "cnt")
+    SparseMsm.fromCountsAuto(denseCounts, 1, reversible = false).isLeft shouldBe true
+    // 100-state ring: nnz=100, 10000 >= 300 -> sparse
+    val ringCounts = (0 until 100).map(i => (i, (i + 1) % 100, 5L))
+      .toDF("s0", "s1", "cnt")
+    SparseMsm.fromCountsAuto(ringCounts, 1, reversible = false).isRight shouldBe true
+  }
+}
