@@ -1638,6 +1638,23 @@ object SparkEntry {
       checks("hmm_transition_stochastic") = stochViolation(hmm.transition)
       checks("hmm_emission_stochastic") = stochViolation(hmm.emission)
 
+      // HMM CK test (hmm/_hidden_markov_model.py:313 via identity
+      // memberships): lag-0 slots are exact identities, the lag-tau
+      // prediction IS the lag-tau estimate (same model, first power),
+      // and every propagator row stays a distribution
+      val ck = graft.markov.hmm.HmmValidation.ckTestArrays(hmmTrajs,
+        nHidden = 2, nObs = 5, tau = 1, steps = 2, maxIter = 5)
+      checks("hmm_ck_lag0_identity") = maxAbs(
+        for (i <- 0 until 2; j <- 0 until 2) yield
+          (ck.predictions(0)(i, j) - (if (i == j) 1.0 else 0.0)) +
+            (ck.estimates(0)(i, j) - (if (i == j) 1.0 else 0.0)))
+      checks("hmm_ck_lag1_pred_eq_est") = maxAbs(
+        for (i <- 0 until 2; j <- 0 until 2)
+          yield ck.predictions(1)(i, j) - ck.estimates(1)(i, j))
+      checks("hmm_ck_rows_stochastic") = maxAbs(
+        (ck.predictions ++ ck.estimates).flatMap(m => (0 until m.rows).map(i =>
+          bsum(m(i, ::).t) - 1.0)))
+
       // Gibbs posterior: every sample must be a reversible transition matrix
       val lcs = graft.markov.Connectivity.largestConnectedSet(counts)
       val post = graft.markov.BayesianMsm.fromCountsLocal(
@@ -2799,6 +2816,8 @@ object SparkEntry {
     "q73_estimator_invariants" ->
       """SELECT * FROM (VALUES
            ('hmm_transition_stochastic', 0.0), ('hmm_emission_stochastic', 0.0),
+           ('hmm_ck_lag0_identity', 0.0), ('hmm_ck_lag1_pred_eq_est', 0.0),
+           ('hmm_ck_rows_stochastic', 0.0),
            ('bayes_samples_stochastic', 0.0), ('bayes_samples_detailed_balance', 0.0),
            ('oom_rows_normalized', 0.0),
            ('amm_transition_stochastic', 0.0), ('amm_pi_normalized', 0.0)
