@@ -745,12 +745,36 @@ object SparkEntry {
         Trajectories.dtrajFromEvents(s, dir), tau = 1, nStates = 5,
         nSamples = 40, seed = 42L, nChains = 8, maxLag = 25)
       import s.implicits._
+      // QuantityStatistics.gather facade (util/stats.py:197-290) over the
+      // 2-process timescale vector: per element the gathered mean must
+      // equal the direct sample mean, the mean-anchored CI must bracket
+      // the mean and stay inside the sample range, population std is
+      // nonnegative, and conf=1 gather returns exact min/max
+      val tsOf = (m: graft.markov.MarkovStateModel) => {
+        val t = m.timescales(2).toArray
+        Array.tabulate(2)(i => if (i < t.length) t(i) else Double.NaN)
+      }
+      val gs = post.gatherStats(tsOf, "timescales")
+      val g1 = post.gatherStats(tsOf, "timescales", conf = 1.0)
+      val tsSamples = post.samples.map(tsOf)
       post.timescaleStats(2).map { case (p, m, sd, lo, hi) =>
         val finite = Seq(m, sd, lo, hi).forall(v => !v.isNaN && !v.isInfinite)
+        val vals = tsSamples.map(_(p))
+        val gatherViol = Seq(
+          math.abs(gs.mean(p) - vals.sum / vals.size),
+          math.max(0.0, gs.lower(p) - gs.mean(p)),
+          math.max(0.0, gs.mean(p) - gs.upper(p)),
+          math.max(0.0, vals.min - gs.lower(p)),
+          math.max(0.0, gs.upper(p) - vals.max),
+          math.abs(g1.lower(p) - vals.min),
+          math.abs(g1.upper(p) - vals.max),
+          -math.min(gs.std(p), 0.0)).max
         (p, r6(math.max(0.0, lo - hi)) + 0.0,
           r6(math.max(0.0, -math.min(math.min(m, sd), lo))) + 0.0,
-          if (finite) 0.0 else 1.0)
-      }.toDF("process", "ci_order_viol", "negativity_viol", "nonfinite")
+          if (finite) 0.0 else 1.0,
+          r6(gatherViol) + 0.0)
+      }.toDF("process", "ci_order_viol", "negativity_viol", "nonfinite",
+        "gather_viol")
     }),
 
     // ---- TPT / PCCA / committors over the events MSM -------------------
@@ -2433,8 +2457,8 @@ object SparkEntry {
     },
 
     "q38_bayesian_timescales" ->
-      """SELECT * FROM (VALUES (0, 0.0, 0.0, 0.0), (1, 0.0, 0.0, 0.0))
-         AS t(process, ci_order_viol, negativity_viol, nonfinite)""",
+      """SELECT * FROM (VALUES (0, 0.0, 0.0, 0.0, 0.0), (1, 0.0, 0.0, 0.0, 0.0))
+         AS t(process, ci_order_viol, negativity_viol, nonfinite, gather_viol)""",
 
     // Committor BVP-residual grid over the observed states.
     "q39_committors" ->

@@ -204,6 +204,13 @@ object BayesianMsm {
       (mean, std, lo, hi)
     }
 
+    /** Generic statistics facade over an arbitrary (vector-valued) model
+      * quantity — mean / population std / mean-anchored CI per element
+      * (util/stats.py:197-290 `QuantityStatistics.gather`). */
+    def gatherStats(f: MarkovStateModel => Array[Double], quantity: String = "",
+                    conf: Double = 0.95): graft.util.QuantityStatistics =
+      graft.util.QuantityStatistics.gather(samples, f, quantity, conf)
+
     /** Timescale statistics per process: rows (process, mean, std, lo, hi). */
     def timescaleStats(k: Int, conf: Double = 0.95): Seq[(Int, Double, Double, Double, Double)] =
       (0 until k).map { p =>

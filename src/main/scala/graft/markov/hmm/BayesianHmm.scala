@@ -101,6 +101,12 @@ object BayesianHmm {
       val (lo, hi) = graft.util.Stats.confidenceInterval(vals, conf)
       (mean, std, lo, hi)
     }
+
+    /** Generic statistics facade over an arbitrary (vector-valued) model
+      * quantity (util/stats.py:197-290 `QuantityStatistics.gather`). */
+    def gatherStats(f: Hmm.HmmModel => Array[Double], quantity: String = "",
+                    conf: Double = 0.95): graft.util.QuantityStatistics =
+      graft.util.QuantityStatistics.gather(samples, f, quantity, conf)
   }
 
   /** Gibbs sampler seeded from a maximum-likelihood model (the reference
