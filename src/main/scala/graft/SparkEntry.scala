@@ -595,15 +595,22 @@ object SparkEntry {
     // defining property of the reversible estimator, exact at convergence)
     // and row-stochasticity, both driver-exact zeros on every row.
     "q31_msm_reversible" -> ((s, dir) => {
-      val counts = TransitionCounting.slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
-      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      // ONE collect of the COO count frame feeds BOTH the model build and
+      // the observed-pair support (the previous shape ran the window +
+      // count scan twice — 2x the whole query's data cost)
+      val cooRows = TransitionCounting
+        .slidingCounts(Trajectories.dtrajFromEvents(s, dir), 1)
+        .select(col("s0"), col("s1"), col("cnt")).collect()
+      val dense = breeze.linalg.DenseMatrix.zeros[Double](5, 5)
+      cooRows.foreach(r => dense(r.getInt(0), r.getInt(1)) = r.getLong(2).toDouble)
+      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = true)
       import s.implicits._
       val t = msm.transitionMatrix
       val pi = msm.stationaryDistribution
       val sym2idx = msm.states.zipWithIndex.toMap
       // support = SYMMETRIZED OBSERVED pairs (the oracle's row set on any
       // data); pairs outside the model's connected set carry 0.0 residuals
-      val observedPairs = counts.select(col("s0"), col("s1")).collect()
+      val observedPairs = cooRows
         .flatMap(r => Seq((r.getInt(0), r.getInt(1)), (r.getInt(1), r.getInt(0))))
         .distinct.sorted
       observedPairs.map { case (a, b) =>
@@ -915,23 +922,26 @@ object SparkEntry {
     // count (exact SQL twin) and every drawn trajectory carries its full
     // source length (resampled rows join-verified against source lengths).
     "q45_bootstrap" -> ((s, dir) => {
-      val src = ev(s, dir)
-      val boot = graft.util.Stats.bootstrapTrajectories(src, seed = 7L)
       // every boot trajectory must be a FULL copy of some source
       // trajectory: its length equals a source length AND its frame
       // indices are the contiguous range 0..len-1 (count == max_t+1,
       // min_t == 0 catches dropped/duplicated rows inside a draw).
-      // ONE aggregation job for both sides: src and boot rows are tagged
-      // and aggregated together (the r04 shape ran three separate actions
-      // — a distinct count over a second full boot execution plus two
-      // aggregations); the draw count is just the number of boot groups.
-      val stats = src.select(lit(0).as("side"), col("traj_id"), col("t"))
-        .union(boot.select(lit(1).as("side"), col("traj_id"), col("t")))
-        .groupBy("side", "traj_id").agg(count(lit(1)).as("n"),
+      // TWO single-scan jobs: the src aggregate runs first and its group
+      // count feeds bootstrapTrajectories' nTrajsHint, eliminating the
+      // internal distinct-id count — the prior union shape scanned the
+      // events window three times in one job (src side + boot join probe
+      // + the hidden ids.count), which drifted to 1.37x baseline in the
+      // round-5 driver record.
+      val src = ev(s, dir)
+      def trajStats(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("traj_id").agg(count(lit(1)).as("n"),
           min(col("t")).as("t0"), max(col("t")).as("t1")).collect()
-      val srcLens = stats.filter(_.getInt(0) == 0).map(_.getLong(2)).toSet
-      val bootStats = stats.filter(_.getInt(0) == 1)
-        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      val srcStats = trajStats(src)
+      val boot = graft.util.Stats.bootstrapTrajectories(src, seed = 7L,
+        nTrajsHint = srcStats.length.toLong)
+      val bootStats = trajStats(boot)
+      val srcLens = srcStats.map(_._1).toSet
       val nDraws = bootStats.length.toLong
       val lenViol = bootStats.count { case (n, _, _) => !srcLens.contains(n) }.toDouble
       val contigViol = bootStats.count { case (n, t0, t1) =>

@@ -55,11 +55,14 @@ object Stats {
     * `spark.range(n)` joined to a zipWithIndex-indexed distinct-id table;
     * the only driver-side value is the id COUNT. */
   def bootstrapTrajectories(traj: DataFrame, seed: Long,
-                            windowIndexThreshold: Long = 33554432L): DataFrame = {
+                            windowIndexThreshold: Long = 33554432L,
+                            nTrajsHint: Long = -1L): DataFrame = {
     val spark = traj.sparkSession
     import spark.implicits._
     val ids = traj.select(col(TrajCol)).distinct()
-    val n = ids.count()
+    // callers that already know the trajectory count (e.g. from an
+    // earlier per-trajectory aggregate) pass it to skip the count job
+    val n = if (nTrajsHint >= 0) nTrajsHint else ids.count()
     // Dense 0..n-1 index over the distinct ids. Below the threshold a
     // row_number window builds it LAZILY inside the consumer's own job
     // (one action total instead of the zipWithIndex path's two eager
