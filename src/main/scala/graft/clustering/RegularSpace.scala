@@ -134,11 +134,19 @@ object MiniBatchKMeans {
           featCol: String = FeatCol): ClusterModel = {
     val spark = traj.sparkSession
     import spark.implicits._
-    val data = traj.select(col(featCol).cast("array<double>").as("x"))
+    // cache the projected frame ONCE: every mini-batch is a seeded sample
+    // of it, and without the cache each of the up-to maxEpochs *
+    // batchesPerEpoch sequential batch jobs re-scans the source (parquet +
+    // any upstream window) — the same many-small-jobs pathology that blew
+    // up q73 under driver contention. Same seeds on the cached frame draw
+    // identical batches, so the model is unchanged.
+    val data = traj.select(col(featCol).cast("array<double>").as("x")).cache()
+    try {
     // init: k-means|| on one batch (reference init_strategy kmeans++)
     var centers = KMeans.fit(
-      traj.sample(withReplacement = false, math.min(1.0, batchFraction), seed)
-        .select(col(featCol)), k, maxIter = 5, seed = seed, featCol = featCol).centers
+      data.sample(withReplacement = false, math.min(1.0, batchFraction), seed)
+        .select(col("x").as(featCol)), k, maxIter = 5, seed = seed,
+      featCol = featCol).centers
     var lastCost = Double.MaxValue
     var converged = false
     var batch = 0
@@ -188,5 +196,6 @@ object MiniBatchKMeans {
       batch += 1
     }
     ClusterModel(centers)
+    } finally { data.unpersist(); () }
   }
 }

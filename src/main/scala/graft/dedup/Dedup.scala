@@ -127,7 +127,13 @@ object Dedup {
     // when it is itself an expensive pipeline.
     val ids = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))) // left_semi dedups itself
-    val sh = docs.join(ids, Seq(idCol), "left_semi").select(col(idCol),
+    // BROADCAST the candidate-id set: a shuffle semi-join would move the
+    // whole corpus (text included) through an exchange keyed by doc id —
+    // the one full-corpus shuffle this pipeline is designed to avoid. The
+    // id set is 8 bytes per candidate endpoint (ScaleAudit: ~100k ids =
+    // <1 MB at the 10x corpus); at scales where even that outgrows the
+    // broadcast budget, pre-bucketing docs by id is the intended path.
+    val sh = docs.join(broadcast(ids), Seq(idCol), "left_semi").select(col(idCol),
       array_distinct(transform(
         TextFunctions.shingles(col(textCol), shingleLen), s => xxhash64(s))).as("sh"))
     pairs

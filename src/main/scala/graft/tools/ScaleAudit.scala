@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale proof-point for the dedup/ANN family (VERDICT r05 item 7):
+  * builds a 10x corpus (50k documents / 20k embeddings) by replicating
+  * sf0.1 with per-copy word perturbations (copies land BELOW the
+  * near-dup thresholds, so candidate structure stays organic instead of
+  * degenerating into 10-member exact-dup cliques), then runs the q21 /
+  * q76 / q86 shapes against it and asserts the plan invariants that
+  * make them 100 TB-safe PROGRAMMATICALLY:
+  *
+  *   1. no shuffle exchange ever carries the text or embedding payload
+  *      column (candidates travel as ids; payloads are re-joined
+  *      candidate-driven),
+  *   2. no cartesian product anywhere,
+  *   3. q76's duplicate-graph stays edge-proportional (reports the edge
+  *      count vs the 1M driver union-find bound).
+  *
+  * Run: sbt "runMain graft.tools.ScaleAudit" (env SCALE_SRC to point at
+  * a different base sf dir, SCALE_DIR for the generated corpus).
+  */
+object ScaleAudit {
+
+  def buildCorpus(spark: SparkSession, src: String, out: String): Unit = {
+    val fs = new java.io.File(out)
+    if (new java.io.File(fs, "_DONE").exists()) return
+    fs.mkdirs()
+    val copies = 10
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    // copy k != 0 replaces every 7th word (phase k) with a copy-tagged
+    // token: ~14% word turnover kills ~70% of 5-shingles, so replicas sit
+    // far below the 0.6 near-dup threshold while in-copy planted pairs
+    // keep their similarity structure
+    spark.range(copies).crossJoin(docs).select(
+      (col("doc_id") + col("id") * 10000000L).as("doc_id"),
+      col("source"),
+      when(col("id") === 0, col("text")).otherwise(
+        concat_ws(" ", transform(split(col("text"), " "),
+          (w, i) => when(pmod(i + col("id"), lit(7)) === 0,
+            concat(lit("cp"), col("id"), lit("_"), w)).otherwise(w)))
+      ).as("text"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val d = emb.select(size(col("embedding"))).head().getInt(0)
+    // per-copy random SIGN pattern: (u*s).(v*s) = u.v exactly, so every
+    // within-copy cosine (incl. planted near-dups) is preserved, while
+    // cross-copy cosines randomize to ~0 — the corpus scales 10x with
+    // organic pair structure instead of cross-copy explosion
+    spark.range(copies).crossJoin(emb).select(
+      (col("vec_id") + col("id") * 10000000L).as("vec_id"),
+      when(col("id") === 0, col("embedding")).otherwise(
+        transform(col("embedding"),
+          (v, i) => when(pmod(xxhash64(i, col("id")), lit(2)) === 0, v)
+            .otherwise(-v))
+      ).as("embedding"),
+      col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    // the q21/q76/q86 shapes only read documents + embeddings; symlink
+    // nothing else
+    new java.io.FileOutputStream(new java.io.File(fs, "_DONE")).close()
+    println(s"[scale-audit] built ${copies}x corpus at $out (embedding dim $d)")
+  }
+
+  /** Shuffle-exchange payload audit: names of text/embedding columns that
+    * cross a shuffle boundary (must be empty). */
+  def shuffledPayloadColumns(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan
+    val inner = plan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    inner.collect {
+      case e: ShuffleExchangeExec =>
+        e.output.collect {
+          case a if a.name == "text" || a.name == "embedding" => a.name
+        }
+    }.flatten.distinct
+  }
+
+  def hasCartesian(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("CartesianProduct")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SCALE_SRC", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SCALE_DIR", "/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildCorpus(spark, src, out)
+
+    val targets = Seq("q21_minhash_candidates", "q76_dup_clusters",
+      "q86_cosine_neardup")
+    var failures = 0
+    targets.foreach { name =>
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, out)
+      val rows = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // invariants are checked on the EXECUTED plan of the counted query
+      val leaked = shuffledPayloadColumns(df)
+      val cart = hasCartesian(df)
+      val ok = leaked.isEmpty && !cart
+      if (!ok) failures += 1
+      println(f"[scale-audit] $name%-24s rows=$rows%-8d ${sec}%.2f s  " +
+        s"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")}  " +
+        s"cartesian=$cart  ${if (ok) "OK" else "FAIL"}")
+    }
+    // q76 edge bound: duplicate-graph edge count vs the 1M driver bound
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    println(s"[scale-audit] corpus docs=${docs.count()} " +
+      s"embeddings=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+    println(if (failures == 0) "[scale-audit] ALL INVARIANTS HOLD"
+            else s"[scale-audit] $failures FAILURES")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

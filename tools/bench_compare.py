@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Compare a bench JSON line against the per-query baselines.
+
+Usage: python3 tools/bench_compare.py <bench.log|bench.json> [cap]
+
+Parses the LAST {"metric":...} line from the file, joins against the
+baseline table below (values = first round in which each query appeared,
+per BASELINE.md protocol), and prints ratio-sorted results plus any
+cap violations (default cap 2.0; pass 1.5 for the contended gate).
+"""
+import json
+import re
+import sys
+
+BASELINES = {
+    "q01": 0.430, "q02": 0.539, "q03": 0.450, "q04": 0.776, "q05": 0.416,
+    "q06": 0.553, "q07": 0.288, "q08": 0.225, "q09": 0.467, "q10": 0.534,
+    "q11": 0.401, "q12": 0.521, "q13": 0.136, "q14": 0.356, "q15": 0.290,
+    "q16": 2.404, "q17": 0.197, "q18": 0.136, "q19": 0.120, "q20": 0.516,
+    "q21": 8.531, "q22": 0.136, "q23": 2.212, "q24": 0.156, "q25": 0.492,
+    "q26": 5.257, "q27": 1.592, "q28": 3.898, "q29": 1.231, "q30": 4.073,
+    "q31": 0.525, "q32": 4.851, "q33": 0.675, "q34": 0.862, "q35": 0.424,
+    "q36": 6.505, "q37": 0.706, "q38": 4.260, "q39": 0.483, "q40": 0.541,
+    "q41": 0.568, "q42": 0.169, "q43": 0.236, "q44": 1.010, "q45": 0.700,
+    "q46": 2.386, "q47": 0.534, "q48": 0.671, "q49": 1.101, "q50": 0.332,
+    "q51": 3.391, "q52": 0.203, "q53": 0.154, "q54": 0.587, "q55": 0.528,
+    "q56": 0.547, "q57": 0.950, "q58": 0.769, "q59": 1.280, "q60": 3.204,
+    "q61": 0.572, "q62": 4.814, "q63": 1.650, "q64": 2.891, "q65": 0.461,
+    "q66": 1.915, "q67": 1.040, "q68": 0.720, "q69": 0.580, "q70": 0.110,
+    "q71": 2.560, "q72": 0.630, "q73": 2.450, "q74": 0.120, "q75": 0.280,
+    "q76": 4.670, "q77": 0.230, "q78": 0.490, "q79": 0.330, "q80": 0.120,
+    "q81": 0.250, "q82": 0.240, "q83": 0.180, "q84": 3.584, "q85": 0.393,
+    "q86": 0.726,
+    # r05 first-appearance values
+    "q87": 0.090, "q88": 0.332, "q89": 0.477, "q90": 0.949,
+    # r06 first-appearance values
+    "q91": 0.850,
+}
+
+
+def main():
+    path = sys.argv[1]
+    cap = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    line = None
+    with open(path) as f:
+        for ln in f:
+            if '"metric"' in ln:
+                line = ln[ln.index('{"metric"'):].strip()
+    if line is None:
+        print("no bench line found")
+        sys.exit(1)
+    rec = json.loads(line)
+    qs = rec["queries"]
+    rows = []
+    for k, v in qs.items():
+        b = BASELINES.get(k)
+        rows.append((k, v, b, v / b if b else None))
+    rows.sort(key=lambda r: -(r[3] or 0))
+    viol = [r for r in rows if r[3] and r[3] > cap]
+    new = [r for r in rows if r[3] is None]
+    print(f"total {rec['value']:.1f}s over {len(qs)} queries; "
+          f"baselined sum {sum(r[1] for r in rows if r[2]):.1f}s vs "
+          f"{sum(r[2] for r in rows if r[2]):.1f}s = "
+          f"{sum(r[1] for r in rows if r[2]) / sum(r[2] for r in rows if r[2]):.2f}x")
+    print(f"\ntop ratios (cap {cap}x):")
+    for k, v, b, r in rows[:15]:
+        flag = " <-- VIOLATION" if r and r > cap else ""
+        print(f"  {k}  {v:7.3f}s  base {b if b else '---':>7}  "
+              f"{f'{r:.2f}x' if r else 'new'}{flag}")
+    if new:
+        print("\nnew queries (no baseline yet): " +
+              ", ".join(f"{k}={v:.3f}s" for k, v, _, _ in new))
+    print(f"\n{len(viol)} violation(s) at cap {cap}x"
+          + ("" if not viol else ": " + ", ".join(r[0] for r in viol)))
+
+
+if __name__ == "__main__":
+    main()
