@@ -371,6 +371,8 @@ object SparkEntry {
     // deflated-Lanczos lambda_2 cross-checked against Arnoldi (two
     // independent iterative eigensolvers must agree).
     "q91_sparse_msm" -> ((s, dir) => {
+      def maxAbsD(xs: Iterable[Double]): Double =
+        if (xs.isEmpty) 0.0 else xs.map(math.abs).max
       val nBins = 2000
       val dtraj = Trajectories.dtrajFromEventValues(s, dir, nBins)
       val coo = graft.markov.SparseMsm.collectCoo(
@@ -383,6 +385,42 @@ object SparkEntry {
       val lanczos = model.eigenvaluesK(3)
       val arnoldi = graft.markov.SparseMsm.eigenvaluesArnoldi(model.transition, 3)
       val nTrans = coo.vals.sum
+      // matrix-free CG solves: gate the boundary-value problems the same
+      // way q39/q71 gate the dense ones — interior rows of the committor
+      // satisfy sum_j T_ij q_j = q_i (replayed via a second sparse
+      // matvec), boundaries are exact; mfpt rows satisfy m - T_rest m = tau
+      val setA = Set(0); val setB = Set(model.n - 1)
+      val qPlus = model.committorForward(setA, setB)
+      val mf = model.mfpt(setB)
+      val t = model.transition
+      val tq = {
+        val y = breeze.linalg.DenseVector.zeros[Double](model.n)
+        var j = 0
+        while (j < t.cols) {
+          var p = t.colPtrs(j)
+          while (p < t.colPtrs(j + 1)) { y(t.rowIndices(p)) += t.data(p) * qPlus(j); p += 1 }
+          j += 1
+        }
+        y
+      }
+      val tm = {
+        val y = breeze.linalg.DenseVector.zeros[Double](model.n)
+        var j = 0
+        while (j < t.cols) {
+          if (!setB.contains(j)) {
+            var p = t.colPtrs(j)
+            while (p < t.colPtrs(j + 1)) { y(t.rowIndices(p)) += t.data(p) * mf(j); p += 1 }
+          }
+          j += 1
+        }
+        y
+      }
+      val committorResid = math.max(
+        math.max(math.abs(qPlus(0) - 0.0), math.abs(qPlus(model.n - 1) - 1.0)),
+        maxAbsD((1 until model.n - 1).map(i => tq(i) - qPlus(i))))
+      val mfptResid = maxAbsD((0 until model.n).collect {
+        case i if !setB.contains(i) => (mf(i) - tm(i) - 1.0) / math.max(1.0, mf(i))
+      })
       checksDf(s, Seq(
         "n_states_visited" -> coo.rows.concat(coo.cols).distinct.length.toDouble,
         "nnz" -> coo.nnz.toDouble,
@@ -393,7 +431,9 @@ object SparkEntry {
         "pi_stationarity" -> model.stationarityResidual,
         "detailed_balance" -> model.detailedBalanceResidual,
         "lambda1_minus_one" -> (lanczos(0) - 1.0),
-        "lanczos_arnoldi_lambda2" -> (lanczos(1) - arnoldi(1))))
+        "lanczos_arnoldi_lambda2" -> (lanczos(1) - arnoldi(1)),
+        "committor_bvp" -> committorResid,
+        "mfpt_linear_system" -> mfptResid))
     }),
 
     "q20_ngram_jaccard" -> ((s, dir) => {
@@ -2178,7 +2218,9 @@ object SparkEntry {
          UNION ALL SELECT 'pi_stationarity', 0.0
          UNION ALL SELECT 'detailed_balance', 0.0
          UNION ALL SELECT 'lambda1_minus_one', 0.0
-         UNION ALL SELECT 'lanczos_arnoldi_lambda2', 0.0""",
+         UNION ALL SELECT 'lanczos_arnoldi_lambda2', 0.0
+         UNION ALL SELECT 'committor_bvp', 0.0
+         UNION ALL SELECT 'mfpt_linear_system', 0.0""",
 
     // Packing twin: replays the greedy next-fit fold exactly with a
     // recursive CTE over each (source, chunk) group in doc_id order —

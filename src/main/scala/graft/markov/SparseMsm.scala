@@ -434,6 +434,97 @@ object SparseMsm {
       .sortBy(-_._1).take(k).map(_._2).toArray
   }
 
+  // ------------------------------------------------- interior linear solves
+
+  /** Interior-restricted matvec y = T_II x (I = states with sub(i) >= 0),
+    * matrix-free over the CSC nonzeros. `sub` maps full index -> interior
+    * index or -1. */
+  private def interiorMatvec(t: CSCMatrix[Double], sub: Array[Int],
+                             x: DenseVector[Double]): DenseVector[Double] = {
+    val y = DenseVector.zeros[Double](x.length)
+    var j = 0
+    while (j < t.cols) {
+      val ji = sub(j)
+      if (ji >= 0) {
+        val xj = x(ji)
+        if (xj != 0.0) {
+          var p = t.colPtrs(j)
+          while (p < t.colPtrs(j + 1)) {
+            val ii = sub(t.rowIndices(p))
+            if (ii >= 0) y(ii) += t.data(p) * xj
+            p += 1
+          }
+        }
+      }
+      j += 1
+    }
+    y
+  }
+
+  /** Solve (I - T_II) x = rhs for a REVERSIBLE T by preconditioned
+    * conjugate gradient on the pi-symmetrized SPD form
+    * M = D^{1/2} (I - T_II) D^{-1/2} (D = diag(pi_I)): the sparse twin of
+    * the dense `\` solves in `Msm.committorForward` / `Msm.mfpt`
+    * (reference tools/analysis sparse backend solves the same interior
+    * systems with scipy spsolve — CG is the matrix-free equivalent and
+    * needs only O(nnz) per iteration). Jacobi-preconditioned; T_II is
+    * strictly substochastic on the interior of an irreducible chain, so
+    * M is SPD and CG converges. */
+  private[markov] def solveInterior(t: CSCMatrix[Double], pi: DenseVector[Double],
+                                    interior: Array[Int], rhs: DenseVector[Double],
+                                    maxIter: Int = 200000,
+                                    tol: Double = 1e-13): DenseVector[Double] = {
+    val k = interior.length
+    if (k == 0) return DenseVector.zeros[Double](0)
+    val sub = Array.fill(t.rows)(-1)
+    var i = 0
+    while (i < k) { sub(interior(i)) = i; i += 1 }
+    val sqrtPi = DenseVector.tabulate(k)(i => math.sqrt(math.max(pi(interior(i)), 1e-300)))
+    // M x = D^{1/2} (I - T_II) D^{-1/2} x
+    def matvec(x: DenseVector[Double]): DenseVector[Double] = {
+      val scaled = DenseVector.tabulate(k)(i => x(i) / sqrtPi(i))
+      val tx = interiorMatvec(t, sub, scaled)
+      DenseVector.tabulate(k)(i => (scaled(i) - tx(i)) * sqrtPi(i))
+    }
+    // Jacobi preconditioner: diag(M)_ii = 1 - T_ii
+    val diag = {
+      val d = DenseVector.ones[Double](k)
+      var j = 0
+      while (j < t.cols) {
+        val ji = sub(j)
+        if (ji >= 0) {
+          var p = t.colPtrs(j)
+          while (p < t.colPtrs(j + 1)) {
+            if (t.rowIndices(p) == j) d(ji) = math.max(1.0 - t.data(p), 1e-12)
+            p += 1
+          }
+        }
+        j += 1
+      }
+      d
+    }
+    val b = DenseVector.tabulate(k)(i => rhs(i) * sqrtPi(i))
+    val bNorm = math.max(breeze.linalg.norm(b), 1e-300)
+    var x = DenseVector.zeros[Double](k)
+    var r = b - matvec(x)
+    var z = DenseVector.tabulate(k)(i => r(i) / diag(i))
+    var p = z.copy
+    var rz = r dot z
+    var iter = 0
+    while (iter < maxIter && breeze.linalg.norm(r) / bNorm > tol) {
+      val ap = matvec(p)
+      val alpha = rz / (p dot ap)
+      x = x + p * alpha
+      r = r - ap * alpha
+      z = DenseVector.tabulate(k)(i => r(i) / diag(i))
+      val rzNew = r dot z
+      p = z + p * (rzNew / rz)
+      rz = rzNew
+      iter += 1
+    }
+    DenseVector.tabulate(k)(i => x(i) / sqrtPi(i))
+  }
+
   // ---------------------------------------------------------------- model
 
   /** Sparse Markov state model on the largest SCC. */
@@ -472,6 +563,53 @@ object SparseMsm {
       }
       breeze.linalg.max(breeze.numerics.abs(rs - 1.0))
     }
+    /** Forward committor q+ (P(hit B before A)) by matrix-free CG on the
+      * interior system — the sparse twin of `Msm.committorForward`
+      * (tools/analysis _api.py:641, sparse backend). Reversible models
+      * only (the symmetrization needs pi). */
+    def committorForward(a: Set[Int], b: Set[Int]): DenseVector[Double] = {
+      require(reversible, "sparse committor needs a reversible model (pi-symmetrized CG)")
+      val interior = (0 until n).filterNot(s => a.contains(s) || b.contains(s)).toArray
+      val pi = stationaryDistribution
+      // rhs_i = sum_{s in B} T_is over the interior rows
+      val bArr = b.toArray
+      val inB = Array.fill(n)(false)
+      bArr.foreach(inB(_) = true)
+      val subIdx = Array.fill(n)(-1)
+      interior.zipWithIndex.foreach { case (s, i) => subIdx(s) = i }
+      val rhs = DenseVector.zeros[Double](interior.length)
+      var j = 0
+      while (j < transition.cols) {
+        if (inB(j)) {
+          var p = transition.colPtrs(j)
+          while (p < transition.colPtrs(j + 1)) {
+            val ii = subIdx(transition.rowIndices(p))
+            if (ii >= 0) rhs(ii) += transition.data(p)
+            p += 1
+          }
+        }
+        j += 1
+      }
+      val sol = SparseMsm.solveInterior(transition, pi, interior, rhs)
+      val out = DenseVector.zeros[Double](n)
+      b.foreach(s => out(s) = 1.0)
+      interior.zipWithIndex.foreach { case (s, i) => out(s) = sol(i) }
+      out
+    }
+
+    /** Mean first-passage time into `target` by matrix-free CG — the
+      * sparse twin of `Msm.mfpt` ((I - T_rest) m = tau). */
+    def mfpt(target: Set[Int]): DenseVector[Double] = {
+      require(reversible, "sparse mfpt needs a reversible model (pi-symmetrized CG)")
+      val interior = (0 until n).filterNot(target.contains).toArray
+      val pi = stationaryDistribution
+      val rhs = DenseVector.fill(interior.length)(tau.toDouble)
+      val sol = SparseMsm.solveInterior(transition, pi, interior, rhs)
+      val out = DenseVector.zeros[Double](n)
+      interior.zipWithIndex.foreach { case (s, i) => out(s) = sol(i) }
+      out
+    }
+
     /** max_(ij) |pi_i T_ij - pi_j T_ji| over the nonzero pattern. */
     def detailedBalanceResidual: Double = {
       val pi = stationaryDistribution

@@ -114,6 +114,74 @@ class SparseMsmSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("sparse CG committor/mfpt match the dense linear solves") {
+    val n = 60
+    val rng = new java.util.SplittableRandom(7L)
+    val entries = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+    for (i <- 0 until n) entries((i, (i + 1) % n)) = 1.0 + rng.nextInt(5)
+    for (_ <- 0 until 300) {
+      val i = rng.nextInt(n); val j = rng.nextInt(n)
+      entries((i, j)) = entries.getOrElse((i, j), 0.0) + 1.0 + rng.nextInt(9)
+    }
+    val dense = DenseMatrix.zeros[Double](n, n)
+    entries.foreach { case ((i, j), v) => dense(i, j) = v }
+    import spark.implicits._
+    val coo = entries.toSeq.map { case ((i, j), v) => (i, j, v.toLong) }
+      .toDF("s0", "s1", "cnt")
+    val sRev = SparseMsm.fromCoo(SparseMsm.collectCoo(coo), tau = 1, reversible = true)
+    val dRev = Msm.fromDense(dense, tau = 1, reversible = true)
+    // same count graph -> same model; solves must agree to solver tol
+    val a = Set(0, 1); val b = Set(n - 1, n - 2)
+    val qs = sRev.committorForward(a, b)
+    val qd = dRev.committorForward(a, b)
+    maxAbs((qs - qd).toArray.toSeq) should be < 1e-6
+    val ms = sRev.mfpt(Set(n - 1))
+    val md = dRev.mfpt(Set(n - 1))
+    maxAbs((0 until n).map(i => (ms(i) - md(i)) / math.max(1.0, md(i)))) should be < 1e-6
+  }
+
+  test("sparse committor on a 5000-state chain is the analytic linear ramp") {
+    // lazy symmetric birth-death chain: the forward committor between the
+    // two ends of a symmetric walk is exactly linear in the state index,
+    // independent of the laziness
+    val n = 5000
+    import spark.implicits._
+    val counts = spark.range(n - 1).select(
+      col("id").cast("int").as("s0"), (col("id") + 1).cast("int").as("s1"),
+      lit(10L).as("cnt"))
+      .unionAll(spark.range(n - 1).select((col("id") + 1).cast("int").as("s0"),
+        col("id").cast("int").as("s1"), lit(10L).as("cnt")))
+      .unionAll(spark.range(n).select(col("id").cast("int").as("s0"),
+        col("id").cast("int").as("s1"), lit(5L).as("cnt")))
+    val model = SparseMsm.fromCounts(counts, tau = 1, reversible = true)
+    val q = model.committorForward(Set(0), Set(n - 1))
+    q(0) shouldBe 0.0
+    q(n - 1) shouldBe 1.0
+    maxAbs((0 until n).map(i => q(i) - i.toDouble / (n - 1))) should be < 1e-6
+
+    // mfpt: gate the linear system residual (I - T_rest) m = tau via
+    // sparse matvec — analytic values grow O(n^2) and would drown tol
+    val m = model.mfpt(Set(n - 1))
+    m(n - 1) shouldBe 0.0
+    val t = model.transition
+    val resid = (0 until n - 1).map { i =>
+      var acc = m(i) // (I m)_i
+      // subtract (T m)_i over row i of the CSC
+      var j = 0
+      var dot = 0.0
+      while (j < t.cols) {
+        var p = t.colPtrs(j)
+        while (p < t.colPtrs(j + 1)) {
+          if (t.rowIndices(p) == i && j != n - 1) dot += t.data(p) * m(j)
+          p += 1
+        }
+        j += 1
+      }
+      math.abs(acc - dot - 1.0) / math.max(1.0, m(i))
+    }
+    maxAbs(resid.take(50)) should be < 1e-7 // spot-check rows (O(n*nnz) full loop)
+  }
+
   test("sparse Tarjan SCC matches dense connectivity and the BFS cross-check") {
     val n = 12
     // two SCCs {0..5} ring and {6..9} ring, plus a one-way bridge 5 -> 6
