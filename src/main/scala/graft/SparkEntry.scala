@@ -436,6 +436,16 @@ object SparkEntry {
         "mfpt_linear_system" -> mfptResid))
     }),
 
+    // Cross-document exact substring duplication (Lee et al. 2021 suffix-
+    // array dedup, relational formulation): per doc, the fraction of its
+    // 10-word rolling windows whose md5 key appears in >= 2 distinct
+    // docs. Window extraction is pure codegen; only 16-char hashes
+    // shuffle. The DuckDB twin rebuilds every window and fraction
+    // bit-for-bit, so key construction, the distinct-doc rule, and the
+    // per-doc aggregation are all value-checked.
+    "q92_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateWindowStats(docs(s, dir), k = 10)),
+
     "q20_ngram_jaccard" -> ((s, dir) => {
       val sel = docs(s, dir).where(col("doc_id") % 97 === 0)
       val ids = sel.select(col("doc_id"))
@@ -1769,11 +1779,15 @@ object SparkEntry {
     // mean weight is a hash-gated zero residual and the pair count has an
     // exact SQL twin.
     "q63_koopman_weights" -> ((s, dir) => {
-      val traj = Trajectories.fromLineitem(s, dir)
-      val wm = graft.agg.KoopmanWeighting.fit(traj, tau = 1)
-      val row = Lag.pairs(traj, 1)
-        .select(wm.weightColumn(col("x")).as("w"))
-        .agg(avg(col("w")).as("mw"), count(lit(1)).as("n")).collect()(0)
+      // cache the lag-pair frame across the covariance fit and the weight
+      // check (the q29 pattern — the pairs window otherwise runs twice)
+      val pairs = Lag.pairs(Trajectories.fromLineitem(s, dir), 1).cache()
+      val row = try {
+        val wm = graft.agg.KoopmanWeighting.fromCovariance(
+          graft.agg.Covariance.fit(pairs))
+        pairs.select(wm.weightColumn(col("x")).as("w"))
+          .agg(avg(col("w")).as("mw"), count(lit(1)).as("n")).collect()(0)
+      } finally { pairs.unpersist(); () }
       checksDf(s, Seq(
         "mean_weight_minus_one" -> (row.getDouble(0) - 1.0),
         "n_pairs" -> row.getLong(1).toDouble))
@@ -2221,6 +2235,25 @@ object SparkEntry {
          UNION ALL SELECT 'lanczos_arnoldi_lambda2', 0.0
          UNION ALL SELECT 'committor_bvp', 0.0
          UNION ALL SELECT 'mfpt_linear_system', 0.0""",
+
+    // Exact-substring-duplication twin: identical window keys
+    // (single-space tokens, 10-word slices, md5 prefix), the same
+    // >= 2-distinct-docs rule, and the same per-doc fraction.
+    "q92_dup_spans" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+           FROM documents),
+         w AS (SELECT doc_id, substr(md5(array_to_string(words[i:i+9], ' ')), 1, 16) AS span
+           FROM d, unnest(generate_series(1, greatest(len(words) - 9, 0))) AS t(i)),
+         dup AS (SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         dc AS (SELECT doc_id, count(*) AS n_dup FROM w
+                WHERE span IN (SELECT span FROM dup) GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(greatest(len(d.words) - 9, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(dc.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           round(CAST(coalesce(dc.n_dup, 0) AS DOUBLE) /
+             greatest(CAST(greatest(len(d.words) - 9, 0) AS DOUBLE), 1.0), 6) AS dup_frac
+         FROM d LEFT JOIN dc ON d.doc_id = dc.doc_id""",
 
     // Packing twin: replays the greedy next-fit fold exactly with a
     // recursive CTE over each (source, chunk) group in doc_id order —

@@ -350,4 +350,48 @@ object Dedup {
     bandedHammingCandidates(
       docs.select(col(idCol), simhash(col(textCol)).as("sig")),
       idCol, bandBits = 16, maxHamming, maxBucketSize, nHubs)
+
+  /** Cross-document EXACT SUBSTRING duplication (the suffix-array dedup of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally): every k-word rolling window of
+    * every document is keyed by a hash; windows whose key occurs in >= 2
+    * DISTINCT documents are "duplicated"; per document, report the
+    * fraction of its windows that are duplicated elsewhere in the corpus.
+    * This is the metric used to drop or trim boilerplate-heavy documents.
+    *
+    * Distributed shape: window extraction is a pure codegen column
+    * expression (split -> sequence -> transform(slice->md5) -> explode, no
+    * UDF); the corpus-wide key table shuffles HASHES only (16-char md5
+    * prefix — no text moves); duplicated keys come from one
+    * partial-aggregated groupBy, and the per-doc fraction from one
+    * aggregate after an id-only semi-structured join. Suffix arrays give
+    * the same answer with lower constants on a single machine; the
+    * groupBy-hash formulation is the shape that scales out.
+    *
+    * Words are single-space tokens (empty runs filtered), md5 is used as
+    * the window key so a DuckDB oracle reproduces every value bit-for-bit.
+    */
+  def duplicateWindowStats(docs: DataFrame, k: Int = 10,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val nw = size(words)
+    val idxs = when(nw >= k, sequence(lit(1), nw - (k - 1))).otherwise(
+      array().cast("array<int>"))
+    val spans = transform(idxs, i =>
+      substring(md5(concat_ws(" ", slice(words, i, lit(k)))), 1, 16))
+    val windows = docs.select(col(idCol), explode(spans).as("span"))
+    val dupSpans = windows.groupBy("span")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2)
+      .select("span")
+    val dupCounts = windows.join(dupSpans, Seq("span"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
+    docs.select(col(idCol), size(spans).cast("long").as("n_windows"))
+      .join(dupCounts, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+          greatest(col("n_windows"), lit(1L)).cast("double"), 6).as("dup_frac"))
+  }
 }
