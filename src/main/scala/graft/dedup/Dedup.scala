@@ -380,18 +380,30 @@ object Dedup {
       array().cast("array<int>"))
     val spans = transform(idxs, i =>
       substring(md5(concat_ws(" ", slice(words, i, lit(k)))), 1, 16))
-    val windows = docs.select(col(idCol), explode(spans).as("span"))
-    val dupSpans = windows.groupBy("span")
+    // ONE evaluation of the split+md5 window pipeline: the exploded table
+    // is cached and feeds both the dup-key aggregate and the per-doc
+    // recount; n_windows rides along as greatest(nw-k+1, 0) arithmetic
+    // (size(spans) would re-hash every window just to count them).
+    // explode_outer keeps sub-k-word docs as one NULL-span row so they
+    // appear in the output with zero windows.
+    // (cached, not unpersisted here: the returned plan is lazy, so an
+    // eager unpersist would fire before the caller executes it — the
+    // 16-byte-hash table is LRU-evictable, the q29 pattern)
+    val windows = docs.select(col(idCol),
+      greatest(nw - (k - 1), lit(0)).cast("long").as("n_windows"),
+      explode_outer(spans).as("span")).cache()
+    val dupSpans = windows.where(col("span").isNotNull)
+      .groupBy("span")
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= 2)
-      .select("span")
-    val dupCounts = windows.join(dupSpans, Seq("span"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_dup_windows"))
-    docs.select(col(idCol), size(spans).cast("long").as("n_windows"))
-      .join(dupCounts, Seq(idCol), "left")
-      .select(col(idCol), col("n_windows"),
-        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
-        round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+      .select(col("span"), lit(1).as("is_dup"))
+    windows
+      .join(dupSpans, Seq("span"), "left")
+      .groupBy(idCol)
+      .agg(first(col("n_windows")).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0))).cast("long").as("n_dup_windows"))
+      .select(col(idCol), col("n_windows"), col("n_dup_windows"),
+        round(col("n_dup_windows").cast("double") /
           greatest(col("n_windows"), lit(1L)).cast("double"), 6).as("dup_frac"))
   }
 }

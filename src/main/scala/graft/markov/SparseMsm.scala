@@ -162,7 +162,10 @@ object SparseMsm {
     members.toSeq.map(_.result()).sortBy(s => (-s.length, s.min))
   }
 
-  def largestConnectedSet(coo: CooCounts): Array[Int] = connectedSets(coo).head
+  def largestConnectedSet(coo: CooCounts): Array[Int] = {
+    require(coo.n > 0, "empty count matrix: no states observed (0 COO rows)")
+    connectedSets(coo).head
+  }
 
   /** Forward/backward reachable intersection from `seed` — an independent
     * (BFS-based) computation of the SCC containing `seed`, used as an
@@ -279,7 +282,7 @@ object SparseMsm {
   // ------------------------------------------------------------- spectral
 
   /** y = T' x (left matvec) without materializing the transpose. */
-  private def leftMatvec(t: CSCMatrix[Double], x: DenseVector[Double]): DenseVector[Double] = {
+  private[graft] def leftMatvec(t: CSCMatrix[Double], x: DenseVector[Double]): DenseVector[Double] = {
     // CSC stores by column: y_j = sum_i x_i T_ij is a per-column dot
     val y = DenseVector.zeros[Double](t.cols)
     var j = 0
@@ -293,12 +296,15 @@ object SparseMsm {
     y
   }
 
-  private def rightMatvec(t: CSCMatrix[Double], x: DenseVector[Double]): DenseVector[Double] = {
+  /** y = T x over the CSC nonzeros; `skipCol` masks columns out of the
+    * product (used for restricted systems like (I - T_rest) m = tau). */
+  private[graft] def rightMatvec(t: CSCMatrix[Double], x: DenseVector[Double],
+                                 skipCol: Int => Boolean = _ => false): DenseVector[Double] = {
     val y = DenseVector.zeros[Double](t.rows)
     var j = 0
     while (j < t.cols) {
       val xj = x(j)
-      if (xj != 0.0) {
+      if (xj != 0.0 && !skipCol(j)) {
         var p = t.colPtrs(j)
         while (p < t.colPtrs(j + 1)) { y(t.rowIndices(p)) += t.data(p) * xj; p += 1 }
       }
@@ -326,6 +332,15 @@ object SparseMsm {
       pi = nxt
       iter += 1
     }
+    // fail LOUD on a maxIter bailout: for slowly-mixing chains (spectral
+    // gap ~1e-9 at n~5e4) the damped iteration can exit still near its
+    // uniform start, and a silently-wrong pi would poison every
+    // downstream quantity. Reversible models never hit this (their pi is
+    // exact from the MLE fixed point); non-reversible callers must raise
+    // maxIter or relax tol deliberately.
+    require(delta <= tol,
+      s"power iteration did not converge: delta=$delta after $iter iterations " +
+        s"(tol=$tol); raise maxIter or loosen tol for slowly-mixing chains")
     pi
   }
 
@@ -339,7 +354,7 @@ object SparseMsm {
     * prepended exactly. This matters for clustered spectra (a 50k-state
     * diffusive chain has lambda_2 - lambda_1 ~ 1e-9, unresolvable by
     * any practical subspace). Full reorthogonalization; subspace size
-    * max(2k+10, 30, `subspace`) capped at n. */
+    * max(4k+20, 60, `subspace`) capped at n. */
   def eigenvaluesReversible(t: CSCMatrix[Double], pi: DenseVector[Double],
                             k: Int, subspace: Int = -1): Array[Double] = {
     if (k <= 0) return Array.empty

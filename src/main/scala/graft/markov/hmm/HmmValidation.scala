@@ -62,16 +62,24 @@ object HmmValidation {
     model.copy(transition = a, emission = b, initial = pi)
   }
 
-  /** Every l-th frame of each trajectory (the lag-l stride `Hmm.fit`
-    * applies via its `t % lagtime === 0` filter). */
+  /** Every l-th frame of each trajectory BY POSITION. This equals the
+    * distributed `Hmm.fit` stride (`t % lagtime === 0`) only when each
+    * array's positions coincide with its t values — i.e. t is contiguous
+    * from 0 with no gaps. Callers holding gap-filtered dtrajs (blank
+    * states removed AFTER t assignment) get a position-strided CK test of
+    * the compressed sequences — a valid CK contract, but not frame-level
+    * identical to `ckTest` on the gapped frame; the parity spec uses
+    * contiguous t for this reason. Empty strided arrays are dropped
+    * (forwardBackward needs >= 1 frame); length-1 arrays are kept, like
+    * the distributed path. */
   private def stride(trajs: Seq[Array[Int]], l: Int): Seq[Array[Int]] =
-    if (l == 1) trajs
+    if (l == 1) trajs.filter(_.nonEmpty)
     else trajs.map { arr =>
       val out = new Array[Int]((arr.length + l - 1) / l)
       var i = 0
       while (i * l < arr.length) { out(i) = arr(i * l); i += 1 }
       out
-    }.filter(_.length >= 2)
+    }.filter(_.nonEmpty)
 
   /** Driver-local HMM CK test from collected observation arrays — one
     * `Hmm.fitArrays` per lag, zero Spark jobs (the q73-battery path). */

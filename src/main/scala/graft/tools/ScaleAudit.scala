@@ -66,20 +66,23 @@ object ScaleAudit {
   }
 
   /** Shuffle-exchange payload audit: names of text/embedding columns that
-    * cross a shuffle boundary (must be empty). */
+    * cross a shuffle boundary (must be empty). Handles both pre-execution
+    * plans (bare ShuffleExchangeExec) and adaptively executed ones, where
+    * materialized exchanges hide inside LEAF ShuffleQueryStageExec nodes
+    * that a plain collect would not descend into. */
   def shuffledPayloadColumns(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
     val plan = df.queryExecution.executedPlan
     val inner = plan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+    def payload(names: Seq[String]): Seq[String] =
+      names.filter(n => n == "text" || n == "embedding")
     inner.collect {
-      case e: ShuffleExchangeExec =>
-        e.output.collect {
-          case a if a.name == "text" || a.name == "embedding" => a.name
-        }
+      case e: ShuffleExchangeExec => payload(e.output.map(_.name))
+      case s: ShuffleQueryStageExec => payload(s.output.map(_.name))
     }.flatten.distinct
   }
 
@@ -106,9 +109,12 @@ object ScaleAudit {
     targets.foreach { name =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(name)(spark, out)
-      val rows = df.count()
+      // execute the AUDITED plan itself (toRdd, not count(): count builds
+      // a different QueryExecution, leaving df's adaptive plan unexecuted
+      // — the inspected exchanges must be the ones that actually ran)
+      val qe = df.queryExecution
+      val rows = qe.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // invariants are checked on the EXECUTED plan of the counted query
       val leaked = shuffledPayloadColumns(df)
       val cart = hasCartesian(df)
       val ok = leaked.isEmpty && !cart
@@ -117,9 +123,19 @@ object ScaleAudit {
         s"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")}  " +
         s"cartesian=$cart  ${if (ok) "OK" else "FAIL"}")
     }
-    // q76 edge bound: duplicate-graph edge count vs the 1M driver bound
-    val docs = spark.read.parquet(s"$out/documents.parquet")
-    println(s"[scale-audit] corpus docs=${docs.count()} " +
+    // invariant 3 — q76's duplicate graph stays edge-proportional: the
+    // verified-pair count at 10x must remain far under the 1M-edge driver
+    // union-find bound (a super-linear candidate blowup fails here)
+    val d10 = spark.read.parquet(s"$out/documents.parquet")
+    val edges = graft.dedup.Dedup.ngramJaccard(d10,
+      graft.dedup.Dedup.minhashCandidates(d10, bands = 8, rowsPerBand = 5)
+        .localCheckpoint(), 5)
+      .where(org.apache.spark.sql.functions.col("jaccard") >= 0.6).count()
+    val edgeOk = edges < 1000000L
+    if (!edgeOk) failures += 1
+    println(s"[scale-audit] q76 duplicate-graph edges=$edges " +
+      s"(driver union-find bound 1000000) ${if (edgeOk) "OK" else "FAIL"}")
+    println(s"[scale-audit] corpus docs=${d10.count()} " +
       s"embeddings=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
     println(if (failures == 0) "[scale-audit] ALL INVARIANTS HOLD"
             else s"[scale-audit] $failures FAILURES")

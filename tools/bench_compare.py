@@ -44,7 +44,7 @@ def main():
     line = None
     with open(path) as f:
         for ln in f:
-            if '"metric"' in ln:
+            if '{"metric"' in ln:
                 line = ln[ln.index('{"metric"'):].strip()
     if line is None:
         print("no bench line found")
