@@ -177,6 +177,19 @@ object Pcca {
     if (evecs(0, 0) < 0) evecs(::, 0) :*= -1.0
     for (i <- 0 until n) evecs(i, 0) = math.abs(evecs(i, 0))
 
+    fromEigenvectors(pi, evecs, m, chi => t * chi)
+  }
+
+  /** PCCA+ core from pi-orthonormalized right eigenvectors (n x m, first
+    * column the positive constant) plus a T*chi evaluator: the ISA +
+    * opt_soft + coarse-graining never touch T itself, only m
+    * matrix-vector products — which lets sparse large-n models
+    * coarse-grain without a dense n^2 transition matrix (the dense
+    * `apply` above delegates here with `t * chi`). */
+  def fromEigenvectors(pi: DenseVector[Double], evecs: DenseMatrix[Double],
+                       m: Int,
+                       applyT: DenseMatrix[Double] => DenseMatrix[Double]): PccaModel = {
+    val n = evecs.rows
     // ISA initial guess + refinement optimization
     val (_, rot0) = innerSimplex(evecs, m)
     val rotOpt = optSoft(evecs, rot0, m)
@@ -194,9 +207,11 @@ object Pcca {
     }
 
     // coarse-grained quantities: (chi' diag(pi) chi)^-1 chi' diag(pi) T chi
-    val dPi = DenseMatrix.tabulate(n, n)((i, j) => if (i == j) pi(i) else 0.0)
-    val w1 = chi.t * dPi * chi
-    val coarseT = inv(w1) * (chi.t * dPi * t * chi)
+    // — all O(n m^2) given T*chi, no n x n intermediate
+    val piChi = DenseMatrix.tabulate(n, m)((i, k) => pi(i) * chi(i, k))
+    val w1 = piChi.t * chi
+    val tChi = applyT(chi)
+    val coarseT = inv(w1) * (piChi.t * tChi)
     val coarsePi = chi.t * pi
     val assign = Array.tabulate(n)(i => (0 until m).maxBy(k => chi(i, k)))
     PccaModel(chi, coarseT, coarsePi / bsum(coarsePi), assign)

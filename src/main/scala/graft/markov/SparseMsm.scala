@@ -358,6 +358,20 @@ object SparseMsm {
   def eigenvaluesReversible(t: CSCMatrix[Double], pi: DenseVector[Double],
                             k: Int, subspace: Int = -1): Array[Double] = {
     if (k <= 0) return Array.empty
+    val (qs, es, _) = lanczosDeflated(t, pi, k, subspace)
+    val _ = qs // values-only path
+    // 'LM' ordering (magnitude-descending real Ritz values), matching the
+    // dense model's magnitude convention (Msm.scala timescales + _eigen.py
+    // eigs which='LM'); lambda_1 = 1 is exact by deflation
+    val rest = es.eigenvalues.toArray.sortBy(v => -math.abs(v)).take(k - 1)
+    1.0 +: rest
+  }
+
+  /** Deflated Lanczos core on S = D^{1/2} T D^{-1/2}: returns the Krylov
+    * basis, the tridiagonal eigendecomposition, and sqrtPi. */
+  private def lanczosDeflated(t: CSCMatrix[Double], pi: DenseVector[Double],
+                              k: Int, subspace: Int)
+      : (Seq[DenseVector[Double]], breeze.linalg.eigSym.DenseEigSym, DenseVector[Double]) = {
     val n = t.rows
     val m = math.min(n, math.max(math.max(4 * k + 20, 60), subspace))
     val sqrtPi = pi.map(v => math.sqrt(math.max(v, 1e-300)))
@@ -406,12 +420,40 @@ object SparseMsm {
       if (i + 1 < steps) { tri(i, i + 1) = beta(i); tri(i + 1, i) = beta(i) }
       i += 1
     }
-    val es = breeze.linalg.eigSym(tri)
-    // 'LM' ordering (magnitude-descending real Ritz values), matching the
-    // dense model's magnitude convention (Msm.scala timescales + _eigen.py
-    // eigs which='LM'); lambda_1 = 1 is exact by deflation
-    val rest = es.eigenvalues.toArray.sortBy(v => -math.abs(v)).take(k - 1)
-    1.0 +: rest
+    (qs.toSeq.take(steps), breeze.linalg.eigSym(tri), sqrtPi)
+  }
+
+  /** Leading k eigenPAIRS of a reversible T: ALGEBRAIC-descending values
+    * (the PCCA convention of dense/_pcca.py:253 — metastable structure
+    * lives in the top positive spectrum) with pi-orthonormalized RIGHT
+    * eigenvectors; pair 1 is the exact (1, positive-constant) by
+    * deflation. Ritz vectors u_r = Q V_r, right eigenvectors
+    * r = u / sqrtPi, pi-normalized — O(n * subspace) memory. */
+  def eigenpairsReversible(t: CSCMatrix[Double], pi: DenseVector[Double],
+                           k: Int, subspace: Int = -1)
+      : (Array[Double], DenseMatrix[Double]) = {
+    val n = t.rows
+    require(k >= 1 && k <= n, s"need 1 <= k <= $n")
+    val (qs, es, sqrtPi) = lanczosDeflated(t, pi, k, subspace)
+    val steps = qs.length
+    val order = (0 until steps).sortBy(i => -es.eigenvalues(i)).take(k - 1)
+    val values = new Array[Double](k)
+    val vecs = DenseMatrix.zeros[Double](n, k)
+    // exact dominant pair: lambda = 1, right eigenvector = positive constant
+    values(0) = 1.0
+    val piNorm0 = math.sqrt((0 until n).map(i => pi(i)).sum) // ||1||_pi = 1
+    for (i <- 0 until n) vecs(i, 0) = 1.0 / piNorm0
+    for ((src, dst) <- order.zipWithIndex) {
+      values(dst + 1) = es.eigenvalues(src)
+      val ritz = DenseVector.zeros[Double](n)
+      for (s <- 0 until steps) ritz += qs(s) * es.eigenvectors(s, src)
+      // back-transform to a right eigenvector of T and pi-normalize
+      val r = DenseVector.tabulate(n)(i => ritz(i) / sqrtPi(i))
+      val nrm = math.sqrt((0 until n).map(i => r(i) * r(i) * pi(i)).sum)
+      if (nrm > 1e-300) r := r / nrm
+      for (i <- 0 until n) vecs(i, dst + 1) = r(i)
+    }
+    (values, vecs)
   }
 
   /** Leading k eigenvalues (largest magnitude Ritz values) of a general
@@ -578,6 +620,28 @@ object SparseMsm {
       }
       breeze.linalg.max(breeze.numerics.abs(rs - 1.0))
     }
+    /** PCCA+ coarse-graining at large n (dense twin: `Pcca(msm, m)`):
+      * top-m eigenpairs from deflated Lanczos feed the same ISA +
+      * opt_soft + fill_matrix core, and the coarse quantities use m
+      * sparse matvecs — no dense n^2 matrix anywhere. Reversible models
+      * only. Accuracy note: Ritz vectors require the top-m spectrum to
+      * be resolved by the Krylov subspace — exactly the metastable
+      * (gapped) regime PCCA targets; raise `subspace` if lambda_m sits
+      * in a cluster. */
+    def pcca(m: Int, subspace: Int = -1): Pcca.PccaModel = {
+      require(reversible, "sparse PCCA needs a reversible model")
+      val pi = stationaryDistribution
+      val (_, evecs) = SparseMsm.eigenpairsReversible(transition, pi, m, subspace)
+      Pcca.fromEigenvectors(pi, evecs, m, chi => {
+        val out = DenseMatrix.zeros[Double](n, m)
+        for (k <- 0 until m) {
+          val col = SparseMsm.rightMatvec(transition, chi(::, k))
+          for (i <- 0 until n) out(i, k) = col(i)
+        }
+        out
+      })
+    }
+
     /** Forward committor q+ (P(hit B before A)) by matrix-free CG on the
       * interior system — the sparse twin of `Msm.committorForward`
       * (tools/analysis _api.py:641, sparse backend). Reversible models

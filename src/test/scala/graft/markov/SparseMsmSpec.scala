@@ -182,6 +182,89 @@ class SparseMsmSpec extends SparkSpec with Matchers {
     maxAbs(resid.take(50)) should be < 1e-7 // spot-check rows (O(n*nnz) full loop)
   }
 
+  test("sparse PCCA recovers metastable blocks and matches dense co-membership") {
+    // 3 metastable blocks of 20 states: dense-ish random intra-block
+    // counts, weak inter-block links
+    val n = 60
+    val rng = new java.util.SplittableRandom(3L)
+    val entries = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+    def block(i: Int) = i / 20
+    for (b <- 0 until 3; _ <- 0 until 400) {
+      val i = b * 20 + rng.nextInt(20); val j = b * 20 + rng.nextInt(20)
+      entries((i, j)) = entries.getOrElse((i, j), 0.0) + 1.0 + rng.nextInt(4)
+    }
+    for (b <- 0 until 3) { // weak bridges both ways
+      val i = b * 20; val j = ((b + 1) % 3) * 20
+      entries((i, j)) = entries.getOrElse((i, j), 0.0) + 1.0
+      entries((j, i)) = entries.getOrElse((j, i), 0.0) + 1.0
+    }
+    val dense = DenseMatrix.zeros[Double](n, n)
+    entries.foreach { case ((i, j), v) => dense(i, j) = v }
+    import spark.implicits._
+    val coo = entries.toSeq.map { case ((i, j), v) => (i, j, v.toLong) }
+      .toDF("s0", "s1", "cnt")
+
+    val sModel = SparseMsm.fromCoo(SparseMsm.collectCoo(coo), tau = 1, reversible = true)
+    val sPcca = sModel.pcca(3)
+    val dPcca = Pcca(Msm.fromDense(dense, tau = 1, reversible = true), 3)
+
+    // crisp assignments must recover the 3 blocks (up to label permutation)
+    (0 until n).foreach { i =>
+      sPcca.assignments(i) shouldBe sPcca.assignments(block(i) * 20)
+    }
+    sPcca.assignments.distinct.length shouldBe 3
+
+    // permutation-invariant parity with the dense path: co-membership
+    // matrices chi chi' must agree elementwise
+    val sCo = sPcca.memberships * sPcca.memberships.t
+    val dCo = dPcca.memberships * dPcca.memberships.t
+    maxAbs(for (i <- 0 until n; j <- 0 until n) yield sCo(i, j) - dCo(i, j)) should be < 1e-4
+
+    // model contracts: membership rows are distributions, coarse pi sums 1,
+    // coarse T rows sum to 1
+    (0 until n).foreach { i =>
+      math.abs((0 until 3).map(sPcca.memberships(i, _)).sum - 1.0) should be < 1e-12
+    }
+    math.abs(bsum(sPcca.coarsePi) - 1.0) should be < 1e-12
+    (0 until 3).foreach { a =>
+      math.abs(bsum(sPcca.coarseT(a, ::).t) - 1.0) should be < 1e-8
+    }
+  }
+
+  test("sparse PCCA on a 30k-state metastable graph (no dense allocation)") {
+    // two 15k-state FAST-MIXING circulant halves (steps 1/37/1024 — an
+    // expander-like intra spectrum with lambda_intra <~ 0.97) joined by
+    // one weak bridge, so the crossing mode (~1 - 1e-6) is the isolated
+    // lambda_2 PCCA needs. A plain diffusive chain would NOT work here:
+    // its intra-half modes cluster against the crossing mode (gaps ~1e-9)
+    // and no practical Krylov subspace separates them — PCCA's own
+    // applicability condition (a gapped metastable spectrum).
+    val n = 30000
+    import spark.implicits._
+    val half = n / 2
+    val steps = Seq(1, 37, 1024)
+    def halfCounts(off: Int) = steps.map { c =>
+      spark.range(half).select(
+        (col("id") + off).cast("int").as("s0"),
+        (pmod(col("id") + c, lit(half)) + off).cast("int").as("s1"),
+        lit(10L).as("cnt"))
+    }.reduce(_ unionAll _)
+    def sym(df: org.apache.spark.sql.DataFrame) =
+      df.unionAll(df.select(col("s1").as("s0"), col("s0").as("s1"), col("cnt")))
+    val counts = sym(halfCounts(0)).unionAll(sym(halfCounts(half)))
+      .unionAll(sym(Seq((half - 1, half, 1L)).toDF("s0", "s1", "cnt")))
+    val model = SparseMsm.fromCounts(counts, tau = 1, reversible = true)
+    val pcca = model.pcca(2)
+    // the two halves are the two metastable sets
+    pcca.assignments(100) shouldBe pcca.assignments(half - 100)
+    pcca.assignments(half + 100) shouldBe pcca.assignments(n - 100)
+    pcca.assignments(100) should not be pcca.assignments(half + 100)
+    math.abs(bsum(pcca.coarsePi) - 1.0) should be < 1e-10
+    // crossing is rare: the coarse matrix must be strongly diagonal
+    pcca.coarseT(0, 0) should be > 0.99
+    pcca.coarseT(1, 1) should be > 0.99
+  }
+
   test("sparse Tarjan SCC matches dense connectivity and the BFS cross-check") {
     val n = 12
     // two SCCs {0..5} ring and {6..9} ring, plus a one-way bridge 5 -> 6
