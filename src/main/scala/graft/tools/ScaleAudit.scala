@@ -104,7 +104,7 @@ object ScaleAudit {
     buildCorpus(spark, src, out)
 
     val targets = Seq("q21_minhash_candidates", "q76_dup_clusters",
-      "q86_cosine_neardup")
+      "q86_cosine_neardup", "q92_dup_spans")
     var failures = 0
     targets.foreach { name =>
       val t0 = System.nanoTime()
