@@ -892,13 +892,22 @@ object SparkEntry {
       val pcca = graft.markov.Pcca(msm, 2)
       import s.implicits._
       val sym2idx = msm.states.zipWithIndex.toMap
+      // metastable_distributions (Bayesian inversion, _pcca.py:54): each
+      // set's distribution over states sums to 1, and the inversion
+      // identity dists(k,i) * Z_k = chi(i,k) * pi(i) is driver-exact
+      val pi = msm.stationaryDistribution
+      val zk = Array.tabulate(2)(k =>
+        (0 until msm.n).map(i => pcca.memberships(i, k) * pi(i)).sum)
       (for (sym <- obs; k <- 0 until 2) yield
         sym2idx.get(sym) match {
           case Some(i) =>
             (sym, k, r6(pcca.memberships(i, 0) + pcca.memberships(i, 1) - 1.0) + 0.0,
-              r6(math.max(0.0, -pcca.memberships(i, k))) + 0.0)
-          case None => (sym, k, 0.0, 0.0)
-        }).toDF("state", "metastable_set", "rowsum_resid", "nonneg_viol")
+              r6(math.max(0.0, -pcca.memberships(i, k))) + 0.0,
+              r6(pcca.metastableDistributions(k, i) * zk(k) -
+                pcca.memberships(i, k) * pi(i)) + 0.0)
+          case None => (sym, k, 0.0, 0.0, 0.0)
+        }).toDF("state", "metastable_set", "rowsum_resid", "nonneg_viol",
+          "bayes_inversion_resid")
     }),
 
     // ---- basis / kernels (SURVEY §2.8) ---------------------------------
@@ -2542,7 +2551,8 @@ object SparkEntry {
 
     "q41_pcca_memberships" ->
       s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
-            k.k AS metastable_set, 0.0 AS rowsum_resid, 0.0 AS nonneg_viol
+            k.k AS metastable_set, 0.0 AS rowsum_resid, 0.0 AS nonneg_viol,
+            0.0 AS bayes_inversion_resid
           FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
           WHERE ${Trajectories.eventTypeStateSql} >= 0""",
 

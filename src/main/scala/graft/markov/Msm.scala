@@ -213,6 +213,19 @@ case class MarkovStateModel(transitionMatrix: DenseMatrix[Double], tau: Int = 1,
     out
   }
 
+  /** Mean first-passage time FROM a starting set TO a target set
+    * (_mean_first_passage_time.py:84 `mfpt_between_sets`): the per-state
+    * mfpt vector averaged under the stationary distribution restricted
+    * to (and renormalized on) the origin set. */
+  def mfptBetweenSets(target: Set[Int], origin: Set[Int]): Double = {
+    val tY = mfpt(target)
+    val pi = stationaryDistribution
+    val orig = origin.toSeq.sorted
+    val z = orig.map(pi(_)).sum
+    require(z > 0, "origin set has zero stationary mass")
+    orig.map(x => pi(x) / z * tY(x)).sum
+  }
+
   /** Forward committor q+ : P(hit B before A) (_api.py:641; boundary-value
     * linear solve). */
   def committorForward(a: Set[Int], b: Set[Int]): DenseVector[Double] = {

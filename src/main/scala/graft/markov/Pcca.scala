@@ -15,7 +15,14 @@ object Pcca {
       memberships: DenseMatrix[Double],     // n x m fuzzy assignment
       coarseT: DenseMatrix[Double],         // m x m coarse transition matrix
       coarsePi: DenseVector[Double],        // m coarse stationary distribution
-      assignments: Array[Int])              // crisp argmax per state
+      assignments: Array[Int],              // crisp argmax per state
+      /** p(state | metastable) by Bayesian inversion of the memberships
+        * (reference _pcca.py:54 `B = diag(1/pi_coarse) M' diag(pi)`,
+        * row-renormalized; Noe et al. JCP 139, 184114 (2013)): row a is
+        * the probability distribution over states given metastable set a
+        * — the reference's `metastable_distributions` / HMM output
+        * matrix. (m x n, rows sum to 1.) */
+      metastableDistributions: DenseMatrix[Double])
 
   /** Inner-simplex algorithm (_pcca.py:14 `_pcca_connected_isa`): pick m
     * rows of the eigenvector matrix as simplex vertices — most outlying
@@ -214,6 +221,13 @@ object Pcca {
     val coarseT = inv(w1) * (piChi.t * tChi)
     val coarsePi = chi.t * pi
     val assign = Array.tabulate(n)(i => (0 until m).maxBy(k => chi(i, k)))
-    PccaModel(chi, coarseT, coarsePi / bsum(coarsePi), assign)
+    // Bayesian inversion p(state|metastable): B(a, i) ∝ chi(i, a) pi(i),
+    // rows renormalized (_pcca.py:54-56)
+    val dists = DenseMatrix.tabulate(m, n)((a, i) => chi(i, a) * pi(i))
+    for (a <- 0 until m) {
+      val s = bsum(dists(a, ::).t)
+      if (s > 0) dists(a, ::) :/= s
+    }
+    PccaModel(chi, coarseT, coarsePi / bsum(coarsePi), assign, dists)
   }
 }

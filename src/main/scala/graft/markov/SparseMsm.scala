@@ -689,6 +689,18 @@ object SparseMsm {
       out
     }
 
+    /** Mean first-passage time from `origin` to `target` — the sparse
+      * twin of `Msm.mfptBetweenSets` (stationary-weighted average of the
+      * CG mfpt vector over the origin set). */
+    def mfptBetweenSets(target: Set[Int], origin: Set[Int]): Double = {
+      val tY = mfpt(target)
+      val pi = stationaryDistribution
+      val orig = origin.toSeq.sorted
+      val z = orig.map(pi(_)).sum
+      require(z > 0, "origin set has zero stationary mass")
+      orig.map(x => pi(x) / z * tY(x)).sum
+    }
+
     /** max_(ij) |pi_i T_ij - pi_j T_ji| over the nonzero pattern. */
     def detailedBalanceResidual: Double = {
       val pi = stationaryDistribution

@@ -138,6 +138,16 @@ class SparseMsmSpec extends SparkSpec with Matchers {
     val ms = sRev.mfpt(Set(n - 1))
     val md = dRev.mfpt(Set(n - 1))
     maxAbs((0 until n).map(i => (ms(i) - md(i)) / math.max(1.0, md(i)))) should be < 1e-6
+
+    // set-to-set mfpt (mfpt_between_sets parity, sparse vs dense vs manual)
+    val orig = Set(2, 3, 4)
+    val sBet = sRev.mfptBetweenSets(Set(n - 1), orig)
+    val dBet = dRev.mfptBetweenSets(Set(n - 1), orig)
+    math.abs(sBet - dBet) / dBet should be < 1e-6
+    val pi = dRev.stationaryDistribution
+    val z = orig.toSeq.map(pi(_)).sum
+    val manual = orig.toSeq.map(x => pi(x) / z * md(x)).sum
+    math.abs(dBet - manual) should be < 1e-10
   }
 
   test("sparse committor on a 5000-state chain is the analytic linear ramp") {
@@ -228,6 +238,19 @@ class SparseMsmSpec extends SparkSpec with Matchers {
     math.abs(bsum(sPcca.coarsePi) - 1.0) should be < 1e-12
     (0 until 3).foreach { a =>
       math.abs(bsum(sPcca.coarseT(a, ::).t) - 1.0) should be < 1e-8
+    }
+
+    // metastable_distributions (Bayesian inversion, _pcca.py:54): rows are
+    // distributions over states, and the unnormalized identity
+    // B(a,i) * Z_a = chi(i,a) pi(i) holds with Z_a = sum_i chi(i,a) pi(i)
+    val piS = sModel.stationaryDistribution
+    (0 until 3).foreach { a =>
+      math.abs(bsum(sPcca.metastableDistributions(a, ::).t) - 1.0) should be < 1e-12
+      val z = (0 until n).map(i => sPcca.memberships(i, a) * piS(i)).sum
+      (0 until n).foreach { i =>
+        math.abs(sPcca.metastableDistributions(a, i) * z -
+          sPcca.memberships(i, a) * piS(i)) should be < 1e-12
+      }
     }
   }
 
