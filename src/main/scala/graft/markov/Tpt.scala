@@ -16,6 +16,33 @@ object Tpt {
       forwardCommittor: DenseVector[Double],
       backwardCommittor: DenseVector[Double]) {
 
+    /** Net flux production per state: rowsum(F) - colsum(F)
+      * (flux/api.py:134 `flux_production`). Positive for producers
+      * (typically A), negative for consumers (typically B). */
+    def fluxProduction: DenseVector[Double] = {
+      val n = netFlux.rows
+      DenseVector.tabulate(n)(i =>
+        bsum(netFlux(i, ::).t) - bsum(netFlux(::, i)))
+    }
+
+    /** States producing net flux (flux/api.py:170 `flux_producers`). */
+    def fluxProducers(rtol: Double = 1e-5, atol: Double = 1e-12): Seq[Int] = {
+      val prod = fluxProduction
+      val scale = breeze.linalg.max(breeze.numerics.abs(prod))
+      (0 until prod.length).filter(i => prod(i) > atol + rtol * scale)
+    }
+
+    /** States consuming net flux (flux/api.py:193 `flux_consumers`). */
+    def fluxConsumers(rtol: Double = 1e-5, atol: Double = 1e-12): Seq[Int] = {
+      val prod = fluxProduction
+      val scale = breeze.linalg.max(breeze.numerics.abs(prod))
+      (0 until prod.length).filter(i => prod(i) < -(atol + rtol * scale))
+    }
+
+    /** TPT mean first-passage time A->B: 1/rate scaled by tau implicitly
+      * 1 here (flux/api.py:359 `mfpt` = 1 / rate). */
+    def tptMfpt: Double = 1.0 / rate
+
     /** Pathway decomposition: repeatedly extract the bottleneck-capacity
       * path A->B from the net flux and remove its flux, until `fraction`
       * of the total flux is explained (flux/pathways.py). Returns

@@ -55,6 +55,19 @@ class TptSpec extends AnyFunSuite with Matchers {
     // pathway decomposition recovers the dominant 0->1->2 channel
     val paths = flux.pathways(fraction = 0.99)
     paths.head._1 shouldBe Seq(0, 1, 2)
+
+    // flux production/producers/consumers (flux/api.py:134-216): the
+    // source produces all net flux, the target consumes it, interior
+    // states conserve (production 0); total production balances to 0
+    val prod = flux.fluxProduction
+    math.abs(bsum(prod)) should be < 1e-12
+    math.abs(prod(0) - flux.totalFlux) should be < 1e-10
+    math.abs(prod(2) + flux.totalFlux) should be < 1e-10
+    flux.fluxProducers() shouldBe Seq(0)
+    flux.fluxConsumers() shouldBe Seq(2)
+    math.abs(prod(1)) should be < 1e-12
+    // TPT mfpt = 1 / rate
+    flux.tptMfpt shouldBe (1.0 / flux.rate)
   }
 
   test("timescales use |lambda| for complex eigenvalue pairs") {
