@@ -184,6 +184,65 @@ object Streaming {
     else withFp.dropDuplicates("fp")
   }
 
+  /** Per-bucket state for streaming LSH near-dup candidates: the first
+    * `maxStored` doc ids seen in the (band, band_hash) bucket. */
+  case class BucketState(members: List[Long])
+
+  private def bucketCandidates(rows: Iterator[(Int, Long, Long)],
+                               state: GroupState[BucketState],
+                               maxStored: Int): Iterator[(Long, Long)] = {
+    var members = state.getOption.map(_.members).getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    rows.toSeq.sortBy(_._3).foreach { case (_, _, id) =>
+      if (!members.contains(id)) {
+        members.foreach(m => out += ((math.min(m, id), math.max(m, id))))
+        if (members.length < maxStored) members = members :+ id
+      }
+    }
+    state.update(BucketState(members))
+    out.iterator
+  }
+
+  /** Streaming NEAR-dup candidates: incremental minhash-LSH over an
+    * unbounded document stream — each arriving doc is banded with the
+    * SAME signature/banding expressions as the batch
+    * `Dedup.minhashCandidates`, and per (band, band_hash) bucket the
+    * stateful operator emits a candidate pair against every stored
+    * member. The streaming twin of fuzzy corpus dedup: an ingest
+    * pipeline flags near-duplicates of everything seen so far without
+    * re-scanning the corpus.
+    *
+    * State contract: at most `maxStoredPerBucket` doc ids per bucket
+    * (first arrivals). Under-cap buckets reproduce the batch all-pairs
+    * candidates exactly (StreamingSpec gates set equality); over-cap
+    * arrivals still pair with every STORED member but are not stored —
+    * candidate growth stays LINEAR in bucket size, the streaming
+    * analogue of the batch hub fallback (batch hubs are the smallest
+    * ids; streaming hubs are the earliest arrivals — both arbitrary-but-
+    * deterministic representatives for downstream connected components).
+    * A pair colliding in several bands (or re-sent docs) can emit more
+    * than once — dedup downstream exactly like the batch `.distinct()`. */
+  def streamingNearDupCandidates(stream: DataFrame, textCol: String = "text",
+                                 idCol: String = "doc_id",
+                                 shingleLen: Int = 5, bands: Int = 8,
+                                 rowsPerBand: Int = 5,
+                                 maxStoredPerBucket: Int = 64): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val capped = maxStoredPerBucket
+    graft.dedup.Dedup.lshBands(stream, textCol, idCol, shingleLen, bands, rowsPerBand)
+      .select(col("band_idx").cast("int"), col("band_hash").cast("long"),
+        col(idCol).cast("long"))
+      .as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketState, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Int, Long, Long)], state: GroupState[BucketState]) =>
+          bucketCandidates(rows, state, capped)
+      }
+      .toDF("a", "b")
+  }
+
   /** Wire a streaming trajectory source into an online covariance: pairs
     * via `lagPairsStream`, folded per micro-batch through
     * `RunningCovar.partialFit` (the foreachBatch shape). Returns the query

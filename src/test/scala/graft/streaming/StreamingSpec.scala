@@ -117,6 +117,50 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally { query.stop() }
   }
 
+  test("streaming near-dup candidates equal the batch minhash candidates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // synthetic corpus with planted near-dup families: each family shares
+    // a long common text with tiny per-member edits; unrelated docs are
+    // distinct word streams
+    def familyText(f: Int, member: Int): String = {
+      val base = (0 until 40).map(w => s"f${f}w$w").mkString(" ")
+      base + s" tail$member"
+    }
+    def loner(i: Int): String = (0 until 40).map(w => s"solo${i}x$w").mkString(" ")
+    val docs: Seq[(Long, String)] =
+      (0 until 4).flatMap(f => (0 until 3).map(m =>
+        ((f * 3 + m).toLong, familyText(f, m)))) ++
+        (12 until 20).map(i => (i.toLong, loner(i)))
+
+    val input = MemoryStream[(Long, String)]
+    val cand = Streaming.streamingNearDupCandidates(
+      input.toDF().toDF("doc_id", "text"))
+    val query = cand.writeStream.format("memory")
+      .queryName("neardup_sink").outputMode("append").start()
+    try {
+      // feed in doc_id order across THREE micro-batches (stored members
+      // then have smaller ids, matching the batch a < b normalization)
+      input.addData(docs.take(7))
+      query.processAllAvailable()
+      input.addData(docs.slice(7, 14))
+      query.processAllAvailable()
+      input.addData(docs.drop(14))
+      query.processAllAvailable()
+      val streamed = spark.table("neardup_sink").select("a", "b")
+        .as[(Long, Long)].collect().toSet
+      val batch = graft.dedup.Dedup.minhashCandidates(
+        docs.toDF("doc_id", "text"), bands = 8, rowsPerBand = 5)
+        .as[(Long, Long)].collect().toSet
+      streamed shouldBe batch
+      // the planted families must be found
+      (0 until 4).foreach { f =>
+        val ids = (0 until 3).map(m => (f * 3 + m).toLong)
+        for (a <- ids; b <- ids if a < b) streamed should contain((a, b))
+      }
+    } finally { query.stop() }
+  }
+
   test("streaming lag pairs equal batch lag pairs (MemoryStream end-to-end)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
