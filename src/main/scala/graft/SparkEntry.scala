@@ -426,6 +426,16 @@ object SparkEntry {
     "q92_dup_spans" -> ((s, dir) =>
       Dedup.duplicateWindowStats(docs(s, dir), k = 10)),
 
+    // The ACTION step: trim every word covered by a cross-document
+    // duplicated 10-word window and emit the cleaned text (keyed by md5
+    // so the compare stays row-sized). The DuckDB twin reconstructs the
+    // trimmed text word-for-word — one wrong covered position anywhere
+    // in the corpus breaks the hash.
+    "q93_trim_dup_spans" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(docs(s, dir), k = 10)
+        .select(col("doc_id"), col("kept_words"),
+          substring(md5(col("cleaned")), 1, 16).as("clean_key"))),
+
     "q20_ngram_jaccard" -> ((s, dir) => {
       val sel = docs(s, dir).where(col("doc_id") % 97 === 0)
       val ids = sel.select(col("doc_id"))
@@ -2247,6 +2257,29 @@ object SparkEntry {
            round(CAST(coalesce(dc.n_dup, 0) AS DOUBLE) /
              greatest(CAST(greatest(len(d.words) - 9, 0) AS DOUBLE), 1.0), 6) AS dup_frac
          FROM d LEFT JOIN dc ON d.doc_id = dc.doc_id""",
+
+    // Trim twin: covered positions from the same window keys, word-level
+    // reconstruction via position join + ordered string_agg.
+    "q93_trim_dup_spans" ->
+      """WITH d AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+           FROM documents),
+         w AS (SELECT doc_id, i, substr(md5(array_to_string(words[i:i+9], ' ')), 1, 16) AS span
+           FROM d, unnest(generate_series(1, greatest(len(words) - 9, 0))) AS t(i)),
+         dup AS (SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT w.doc_id, u.j AS pos
+                 FROM w, unnest(generate_series(w.i, w.i + 9)) AS u(j)
+                 WHERE w.span IN (SELECT span FROM dup)),
+         tok AS (SELECT d.doc_id, d.words[u.j] AS word, u.j AS pos
+                 FROM d, unnest(generate_series(1, len(d.words))) AS u(j)),
+         kept AS (SELECT tok.doc_id, count(*) AS kept_words,
+                    string_agg(tok.word, ' ' ORDER BY tok.pos) AS cleaned
+                  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+                  WHERE cov.pos IS NULL GROUP BY tok.doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(k.kept_words, 0) AS BIGINT) AS kept_words,
+           substr(md5(coalesce(k.cleaned, '')), 1, 16) AS clean_key
+         FROM d LEFT JOIN kept k USING (doc_id)""",
 
     // Packing twin: replays the greedy next-fit fold exactly with a
     // recursive CTE over each (source, chunk) group in doc_id order —

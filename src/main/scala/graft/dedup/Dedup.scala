@@ -406,4 +406,49 @@ object Dedup {
         round(col("n_dup_windows").cast("double") /
           greatest(col("n_windows"), lit(1L)).cast("double"), 6).as("dup_frac"))
   }
+
+  /** The ACTION step of exact-substring dedup (Lee et al. 2021 trim
+    * their corpus at the matched spans): remove every word covered by a
+    * cross-document duplicated k-word window and re-join the survivors.
+    * Returns (doc_id, kept_words, cleaned) with `cleaned` the trimmed
+    * single-space text — empty when the whole document was boilerplate.
+    *
+    * Distributed shape: same hashed-window key table as
+    * `duplicateWindowStats` (only 16-char hashes + start indexes
+    * shuffle); the covered-position set returns to the document as an
+    * array of start indexes (bounded by the doc's own window count), and
+    * the word-level trim is a pure codegen filter-with-index — the
+    * corpus text itself never moves. */
+  def removeDuplicateSpans(docs: DataFrame, k: Int = 10,
+                           textCol: String = "text",
+                           idCol: String = "doc_id"): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val nw = size(words)
+    val idxs = when(nw >= k, sequence(lit(1), nw - (k - 1))).otherwise(
+      array().cast("array<int>"))
+    val spans = transform(idxs, i =>
+      substring(md5(concat_ws(" ", slice(words, i, lit(k)))), 1, 16))
+    // (doc, window start i, span hash); pos0 is 0-based over the array
+    val windows = docs.select(col(idCol),
+      posexplode(spans).as(Seq("pos0", "span"))).cache()
+    val dupSpans = windows.groupBy("span")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2)
+      .select("span")
+    val dupStarts = windows.join(dupSpans, Seq("span"), "left_semi")
+      .select(col(idCol), (col("pos0") + 1).as("i"))
+      .groupBy(idCol).agg(collect_set(col("i")).as("starts"))
+    val starts = coalesce(col("starts"), array().cast("array<int>"))
+    // covered 1-based word positions = union of [i, i+k-1] per dup start
+    val covered = array_distinct(flatten(transform(starts,
+      i => sequence(i, i + (k - 1)))))
+    docs.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        filter(words, (w, j) => {
+          val _ = w
+          !array_contains(covered, j + 1)
+        }).as("kept"))
+      .select(col(idCol), size(col("kept")).cast("long").as("kept_words"),
+        array_join(col("kept"), " ").as("cleaned"))
+  }
 }

@@ -48,6 +48,36 @@ class DupSpansSpec extends SparkSpec with Matchers {
     out(0L)._2 shouldBe 0L
   }
 
+  test("removeDuplicateSpans trims exactly the covered words") {
+    import spark.implicits._
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ")
+    val a = s"a1 a2 a3 $shared a4"
+    val b = s"b1 $shared b2 b3 b4"
+    val c = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    val out = Dedup.removeDuplicateSpans(
+      Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text"), k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // doc 0's dup windows start at s1 and s2 (positions 4 and 5 of 10
+    // words), covering words 4..9 -> keep a1 a2 a3 a4
+    out(0L) shouldBe ((4L, "a1 a2 a3 a4"))
+    // doc 1's dup windows start at positions 2 and 3, covering 2..7 ->
+    // keep b1 b2 b3 b4
+    out(1L) shouldBe ((4L, "b1 b2 b3 b4"))
+    // untouched doc survives verbatim
+    out(2L) shouldBe ((10L, c))
+  }
+
+  test("removeDuplicateSpans empties exact copies and keeps short docs") {
+    import spark.implicits._
+    val text = (1 to 12).map(i => s"w$i").mkString(" ")
+    val out = Dedup.removeDuplicateSpans(
+      Seq((0L, text), (1L, text), (2L, "tiny doc")).toDF("doc_id", "text"), k = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    out(0L) shouldBe ((0L, ""))
+    out(1L) shouldBe ((0L, ""))
+    out(2L) shouldBe ((2L, "tiny doc"))
+  }
+
   test("multiple consecutive spaces do not create empty tokens") {
     val out = run(Seq((0L, "a  b   c d e f"), (1L, "a b c d e f")), k = 5)
     // identical token streams after empty-run filtering -> all windows dup

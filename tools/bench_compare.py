@@ -34,7 +34,7 @@ BASELINES = {
     # r05 first-appearance values
     "q87": 0.090, "q88": 0.332, "q89": 0.477, "q90": 0.949,
     # r06 first-appearance values
-    "q91": 0.850, "q92": 0.318,
+    "q91": 0.850, "q92": 0.318, "q93": 0.263,
 }
 
 
