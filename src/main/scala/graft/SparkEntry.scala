@@ -9,7 +9,7 @@ import graft.lag.Lag
 import graft.agg.Covariance
 import graft.linalg.LinAlg
 import graft.markov.TransitionCounting
-import graft.text.{Packing, TextFunctions}
+import graft.text.{Packing, Pii, Scoring, TextFunctions}
 import graft.dedup.Dedup
 import graft.similarity.Similarity
 
@@ -357,6 +357,75 @@ object SparkEntry {
         "n_rows" -> n.toDouble,
         "n_distinct_users" -> exactD.toDouble))
     }),
+
+    // ---- PII scrubbing (q94): deterministic PII is injected by doc_id
+    // class (email / IPv4 / phone / clean), then detected and redacted by
+    // the shared Java-regex/RE2 automaton subset — the DuckDB twin
+    // re-injects, re-counts, and re-redacts the identical strings, so a
+    // wrong pattern, wrong replacement order, or missed match breaks the
+    // md5 of the redacted text. Pure codegen column math, no shuffle. ---
+    "q94_pii_scrub" -> ((s, dir) => {
+      val id = col("doc_id")
+      val aug = when(pmod(id, lit(4)) === 0,
+          concat(col("text"), lit(" reach user"), id.cast("string"),
+            lit("@example.com now")))
+        .when(pmod(id, lit(4)) === 1,
+          concat(col("text"), lit(" server 10."),
+            pmod(id, lit(256)).cast("string"), lit(".0."),
+            pmod(id, lit(100)).cast("string"), lit(" up")))
+        .when(pmod(id, lit(4)) === 2,
+          concat(col("text"), lit(" call 555-"),
+            lpad(pmod(id, lit(1000)).cast("string"), 3, "0"), lit("-"),
+            lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text"))
+      docs(s, dir).withColumn("t", aug)
+        .select(id,
+          Pii.emailCount(col("t")).cast("long").as("n_email"),
+          Pii.ipv4Count(col("t")).cast("long").as("n_ipv4"),
+          Pii.phoneCount(col("t")).cast("long").as("n_phone"),
+          length(Pii.redact(col("t"))).cast("long").as("red_len"),
+          md5(Pii.redact(col("t")).cast("binary")).as("red_md5"))
+    }),
+
+    // ---- Gopher document-quality GATE (q95): hard accept/reject with
+    // the first failing rule named (what a pipeline logs for filter-rate
+    // monitoring); the DuckDB twin evaluates the identical IEEE-754 rule
+    // expressions so every keep/reason decision is hash-gated. ----------
+    "q95_gopher_gate" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextFunctions.gopherGate(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.mean_word_len").as("mean_word_len"),
+          col("g.alpha_frac").as("alpha_frac"),
+          col("g.n_stop").as("n_stop"),
+          col("g.keep").as("keep"), col("g.reason").as("reason"))),
+
+    // ---- Bloom-prefilter incremental exact dedup (q96): which of the
+    // incoming crawl already exists in the reference corpus (simulated as
+    // the doc_id%7==0 slice)? The broadcast Bloom prefilter drops ~6/7 of
+    // the batch map-side; the exact semi-join verify makes the result
+    // EXACT (fp false positives eliminated, false negatives impossible),
+    // so the oracle is a plain fingerprint semi-join. ---------------------
+    "q96_bloom_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.bloomDedupAgainst(d, d.where(pmod(col("doc_id"), lit(7)) === 0),
+        expectedItems = 100000L, fpp = 0.01)
+    }),
+
+    // ---- unigram-LM perplexity scoring (q97): add-one-smoothed unigram
+    // LM fit on the corpus itself (deterministic), each doc scored by
+    // average negative log-likelihood — the CCNet/KenLM-style quality
+    // signal. Model table is vocabulary-sized and broadcast; the corpus
+    // text never shuffles. DuckDB refits the identical LM and rescores. --
+    "q97_lm_score" -> ((s, dir) => Scoring.unigramNll(docs(s, dir))),
+
+    // ---- DSIR importance weights (q98): hashed word-bigram bucket
+    // distributions, target slice (source='src0') vs raw corpus, per-doc
+    // log-likelihood-ratio score (Xie et al. 2023). Bucket table is
+    // fixed-width (256) and broadcast; the md5-portable bucket hash is
+    // recomputed bit-identically by the DuckDB twin. ----------------------
+    "q98_dsir_weights" -> ((s, dir) =>
+      Scoring.dsirScores(docs(s, dir), targetPred = col("source") === "src0")),
 
     // ---- sparse large-n MSM path --------------------------------------
     // Fine discretization (2000 value bins) -> COO counts -> sparse MSM
@@ -1530,6 +1599,37 @@ object SparkEntry {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
     }),
 
+    // ---- SemDeDup semantic dedup (q99): k-means clusters confine the
+    // cosine sweep; a vector is dropped iff a smaller-id same-cluster
+    // vector is cosine >= tau. The battery independently re-derives the
+    // earlier-neighbor relation from the emitted cell assignment and
+    // raw vectors and asserts the keep/drop partition is exactly the
+    // "no earlier neighbor" set (0 violations both directions); the
+    // n_vectors anchor is exact SQL. tau=0.3 sits where this corpus has
+    // real cosine-near pairs (q86 note: top pair cosines ~0.3-0.45). --
+    "q99_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val res = Similarity.semDedup(e, tau = 0.3, nClusters = 8, seed = 42L)
+      val withVec = res.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      val l = withVec.select(col("cell"), col("vec_id").as("a"),
+        col("embedding").as("va"))
+      val r = withVec.select(col("cell"), col("vec_id").as("b"),
+        col("embedding").as("vb"))
+      val hasEarlier = l.join(r, Seq("cell"))
+        .where(col("a") < col("b") &&
+          Similarity.cosine(col("va"), col("vb")) >= 0.3)
+        .select(col("b").as("vec_id")).distinct()
+      val joined = res.join(hasEarlier.withColumn("he", lit(1)), Seq("vec_id"), "left")
+      val row = joined.agg(
+        sum(when(col("keep") === 1 && col("he") === 1, 1).otherwise(0)).as("kept_viol"),
+        sum(when(col("keep") === 0 && col("he").isNull, 1).otherwise(0)).as("drop_viol"),
+        count(lit(1)).as("n")).collect()(0)
+      checksDf(s, Seq(
+        "kept_with_earlier_neighbor" -> row.getLong(0).toDouble,
+        "dropped_without_earlier_neighbor" -> row.getLong(1).toDouble,
+        "n_vectors" -> row.getLong(2).toDouble))
+    }),
+
     // ---- real PNG decode, oracle-checked end to end --------------------
     // Per doc: a REAL gray PNG is encoded (PngCodec.encode: zlib deflate)
     // with pixel(i) = (doc_id*31 + i*7) % 256, then decoded by the
@@ -2280,6 +2380,115 @@ object SparkEntry {
            CAST(coalesce(k.kept_words, 0) AS BIGINT) AS kept_words,
            substr(md5(coalesce(k.cleaned, '')), 1, 16) AS clean_key
          FROM d LEFT JOIN kept k USING (doc_id)""",
+
+    // PII twin: re-injects the identical deterministic PII, re-counts
+    // with the same RE2/Java-common automatons, and re-redacts in the
+    // same order — the md5 of the redacted text gates every replacement.
+    "q94_pii_scrub" ->
+      """WITH aug AS (SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com now'
+             WHEN 1 THEN text || ' server 10.' || CAST(doc_id % 256 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+             WHEN 2 THEN text || ' call 555-'
+                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE text END AS t
+           FROM documents),
+         red AS (SELECT doc_id, t,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS rt
+           FROM aug)
+         SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+           CAST(len(rt) AS BIGINT) AS red_len,
+           md5(rt) AS red_md5
+         FROM red""",
+
+    // Gopher-gate twin: identical IEEE-754 rule expressions and rule
+    // order — every keep/reason decision is hash-gated.
+    "q95_gopher_gate" ->
+      """WITH t AS (SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS nw,
+           CAST(len(text) - len(regexp_extract_all(text, '\s')) AS DOUBLE) /
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ml,
+           CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+             CAST(greatest(len(str_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS af,
+           len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS ns
+           FROM documents),
+         r AS (SELECT *,
+           CASE WHEN nw < 50 THEN 'too_few_words'
+                WHEN nw > 100000 THEN 'too_many_words'
+                WHEN ml < 3.0 THEN 'short_words'
+                WHEN ml > 10.0 THEN 'long_words'
+                WHEN af < 0.8 THEN 'nonalpha'
+                WHEN ns < 2 THEN 'no_stopwords'
+                ELSE 'pass' END AS reason
+           FROM t)
+         SELECT doc_id, nw AS n_words, round(ml, 4) AS mean_word_len,
+           round(af, 4) AS alpha_frac, ns AS n_stop,
+           CAST(CASE WHEN reason = 'pass' THEN 1 ELSE 0 END AS INT) AS keep,
+           reason
+         FROM r""",
+
+    // Bloom-dedup twin: the Bloom stage is a pure prefilter (verify
+    // restores exactness), so the oracle is the plain fingerprint
+    // semi-join against the reference slice.
+    "q96_bloom_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents)
+         SELECT a.doc_id, a.fp FROM fp a
+         WHERE EXISTS (SELECT 1 FROM fp b WHERE b.doc_id % 7 = 0 AND b.fp = a.fp)""",
+
+    // LM twin: refit the identical add-one unigram LM and rescore.
+    "q97_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         totals AS (SELECT sum(c) AS t_total, count(*) AS v FROM counts)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(CAST(c + 1 AS DOUBLE) / CAST(t_total + v AS DOUBLE))), 6) AS avg_nll
+         FROM toks JOIN counts USING (tok) CROSS JOIN totals
+         GROUP BY doc_id""",
+
+    // DSIR twin: identical md5-portable bucket hash (q22/q88 pattern),
+    // identical add-one bucket distributions and log-ratio sum.
+    "q98_dsir_weights" ->
+      """WITH d AS (SELECT doc_id,
+           CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
+           str_split_regex(trim(lower(text)), '\s+') AS l
+           FROM documents),
+         grams AS (SELECT doc_id, is_t,
+           unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
+           FROM d),
+         hashed AS (SELECT doc_id, is_t,
+           ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b
+           FROM grams),
+         buckets AS (SELECT b, count(*) AS c_raw, sum(is_t) AS c_t
+           FROM hashed GROUP BY b),
+         totals AS (SELECT sum(c_raw) AS t_raw, sum(c_t) AS t_t FROM buckets)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(sum(ln(CAST(c_t + 1 AS DOUBLE) / CAST(t_t + 256 AS DOUBLE))
+                   - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + 256 AS DOUBLE))), 6) AS score
+         FROM hashed JOIN buckets USING (b) CROSS JOIN totals
+         GROUP BY doc_id""",
+
+    // SemDeDup battery twin: residuals are exact zeros when the
+    // keep/drop partition equals the "no earlier same-cluster neighbor"
+    // set; the vector-count anchor is exact SQL.
+    "q99_semdedup" ->
+      """SELECT 'kept_with_earlier_neighbor' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'dropped_without_earlier_neighbor', 0.0
+         UNION ALL SELECT 'n_vectors',
+           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings)""",
 
     // Packing twin: replays the greedy next-fit fold exactly with a
     // recursive CTE over each (source, chunk) group in doc_id order —

@@ -451,4 +451,34 @@ object Dedup {
       .select(col(idCol), size(col("kept")).cast("long").as("kept_words"),
         array_join(col("kept"), " ").as("cleaned"))
   }
+
+  /** Exact dedup of an incoming batch AGAINST an existing reference
+    * corpus, with a broadcast Bloom-filter prefilter — the incremental
+    * ingest shape: "which of today's crawl is already in the corpus?".
+    *
+    * Scale design: the reference side is reduced to 16-byte fingerprints
+    * and folded into a Bloom filter (~1.2 GB for 10^9 docs at 1% fpp —
+    * broadcastable), so the incoming batch is filtered MAP-SIDE with no
+    * shuffle of either corpus. Only the surviving ~(dup_rate + fpp)
+    * fraction reaches the exact semi-join verify, whose left side is now
+    * tiny. The verify step makes the RESULT exact — Bloom false
+    * positives are eliminated, false negatives are impossible — so the
+    * oracle is a plain fingerprint semi-join and approximation never
+    * leaks into the answer.
+    *
+    * Returns (idCol, fp) for incoming docs that already exist in `ref`. */
+  def bloomDedupAgainst(incoming: DataFrame, ref: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        expectedItems: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val refFp = ref.select(fp.as("fp"))
+    val bloom = refFp.stat.bloomFilter("fp", math.max(expectedItems, 1L), fpp)
+    val bc = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    incoming.select(col(idCol), fp.as("fp"))
+      .where(mightContain(col("fp")))
+      .join(refFp.distinct(), Seq("fp"), "left_semi")
+      .select(col(idCol), col("fp"))
+  }
 }

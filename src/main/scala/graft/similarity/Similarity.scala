@@ -238,4 +238,47 @@ object Similarity {
       .select(col("a"), col("b"), cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means clustering of embeddings followed by a
+    * WITHIN-CLUSTER cosine sweep. A vector is dropped iff some
+    * smaller-id vector in the SAME cluster is cosine-similar above
+    * `tau` (the deterministic "keep earliest" tie policy); everything
+    * else is kept.
+    *
+    * Scale design, per the paper: all-pairs is confined to clusters, so
+    * the pairwise cost is Σ|cluster|², and `nClusters` GROWS with the
+    * corpus (the paper uses ~11k clusters for LAION-440M — ~40k vectors
+    * a cluster) keeping each cluster's quadratic sweep bounded while
+    * total work stays linear × cluster size. The self-join shuffles
+    * (cell, id, vec) once on the cell key; the quantizer trains on a
+    * capped sample (one MLlib fit); nothing is corpus × corpus.
+    *
+    * Returns (idCol, cell, keep ∈ {0,1}) for every input vector. */
+  def semDedup(corpus: DataFrame, tau: Double, nClusters: Int = 8,
+               seed: Long = 42L, maxIter: Int = 6,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxTrainRows: Long = 0L): DataFrame = {
+    def unit(c: Column): Column = {
+      val v = c.cast("array<double>")
+      val n = sqrt(greatest(dot(v, v), lit(1e-300)))
+      transform(v, x => x / n)
+    }
+    val cap = if (maxTrainRows > 0) maxTrainRows else math.max(100L * nClusters, 65536L)
+    val n = corpus.count()
+    val frac = if (n <= cap) 1.0 else cap.toDouble / n
+    val trainDf = corpus.sample(withReplacement = false, frac, seed)
+      .select(unit(col(vecCol)).as(graft.core.Trajectories.FeatCol))
+    val codebook = graft.clustering.KMeans.fit(trainDf, nClusters, maxIter = maxIter, seed = seed)
+    val cells = corpus.select(col(idCol), col(vecCol).as("v"),
+      codebook.assignColumn(unit(col(vecCol))).as("cell"))
+    val l = cells.select(col("cell"), col(idCol).as("a"), col("v").as("va"))
+    val r = cells.select(col("cell"), col(idCol).as("b"), col("v").as("vb"))
+    val dropped = l.join(r, Seq("cell"))
+      .where(col("a") < col("b") && cosine(col("va"), col("vb")) >= tau)
+      .select(col("b").as(idCol)).distinct()
+    cells.join(dropped.withColumn("hit", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        when(col("hit").isNull, 1).otherwise(0).as("keep"))
+  }
 }

@@ -110,4 +110,52 @@ object TextFunctions {
       lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh))
       .otherwise(lit(0.0))
   }
+
+  /** Fraction of whitespace tokens containing at least one alphabetic
+    * character (the Gopher "80% of words must contain an alphabetic
+    * character" signal). Pure array math — no shuffle, no UDF. */
+  def alphaTokenFrac(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Gopher-rules document-level quality GATE (Rae et al. 2021 §A1.1
+    * adapted to doc granularity): hard accept/reject with the FIRST
+    * failing rule named, which is what a production pipeline logs for
+    * filter-rate monitoring. Complements `qualityScore` (a soft score)
+    * and the repetition fractions (`dupNgramFrac` family).
+    *
+    * Rule order is part of the contract (first-fail wins):
+    * too_few_words < too_many_words < short_words < long_words <
+    * nonalpha < no_stopwords < pass.
+    *
+    * Returns (n_words, mean_word_len, alpha_frac, n_stop, keep, reason)
+    * as a struct; all comparisons run on the unrounded doubles so the
+    * DuckDB twin — evaluating the identical IEEE-754 expressions —
+    * makes the identical decisions. */
+  def gopherGate(c: Column,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 minAlphaFrac: Double = 0.8, minStop: Int = 2): Column = {
+    val nWords = tokenCount(c)
+    val meanLen = meanTokenLength(c)
+    val alphaFrac = alphaTokenFrac(c)
+    val nStop = stopwordCount(c)
+    val reason =
+      when(nWords < minWords, "too_few_words")
+        .when(nWords > maxWords, "too_many_words")
+        .when(meanLen < minMeanLen, "short_words")
+        .when(meanLen > maxMeanLen, "long_words")
+        .when(alphaFrac < minAlphaFrac, "nonalpha")
+        .when(nStop < minStop, "no_stopwords")
+        .otherwise("pass")
+    struct(
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 4).as("mean_word_len"),
+      round(alphaFrac, 4).as("alpha_frac"),
+      nStop.cast("long").as("n_stop"),
+      (reason === "pass").cast("int").as("keep"),
+      reason.as("reason"))
+  }
 }
