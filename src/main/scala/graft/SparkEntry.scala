@@ -9,7 +9,7 @@ import graft.lag.Lag
 import graft.agg.Covariance
 import graft.linalg.LinAlg
 import graft.markov.TransitionCounting
-import graft.text.{Packing, Pii, Scoring, TextFunctions}
+import graft.text.{Bpe, Packing, Pii, Scoring, TextFunctions}
 import graft.dedup.Dedup
 import graft.similarity.Similarity
 
@@ -426,6 +426,35 @@ object SparkEntry {
     // recomputed bit-identically by the DuckDB twin. ----------------------
     "q98_dsir_weights" -> ((s, dir) =>
       Scoring.dsirScores(docs(s, dir), targetPred = col("source") === "src0")),
+
+    // ---- BPE tokenizer train + encode (q100): the production shape —
+    // ONE corpus scan reduces text to a Zipf-bounded word-frequency
+    // table, the 32-merge training loop runs driver-side on that table,
+    // and encoding is a map-only scan with the broadcast merge ranks.
+    // Battery (q71/q99 pattern): argmax replay gates every traced merge,
+    // roundtrip gates losslessness over the whole vocabulary, and the
+    // token-count identity ties the DISTRIBUTED encode scan total to the
+    // driver table's predicted total (two independent paths must agree);
+    // word-count anchors are exact SQL. --------------------------------
+    "q100_bpe_tokenize" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val wf = Bpe.wordFrequencies(d, maxVocab = 65536)
+      val (model, trace) = Bpe.trainFromFrequencies(wf, numMerges = 32)
+      val (argmaxViol, roundtripViol, expectedTotal) = Bpe.invariants(wf, model, trace)
+      val scanTotal = Bpe.tokenCounts(d, model)
+        .agg(sum(col("n_tokens_bpe"))).collect()(0).getLong(0)
+      // identity valid only when the word table is untruncated (it is at
+      // every test SF; at 100 TB the anchor degrades gracefully to 0)
+      val identityResid =
+        if (wf.length < 65536) math.abs(scanTotal - expectedTotal).toDouble else 0.0
+      checksDf(s, Seq(
+        "argmax_violations" -> argmaxViol.toDouble,
+        "roundtrip_violations" -> roundtripViol.toDouble,
+        "token_identity_resid" -> identityResid,
+        "n_merges" -> trace.length.toDouble,
+        "n_distinct_words" -> wf.length.toDouble,
+        "total_word_occurrences" -> wf.map(_._2).sum.toDouble))
+    }),
 
     // ---- sparse large-n MSM path --------------------------------------
     // Fine discretization (2000 value bins) -> COO counts -> sparse MSM
@@ -2480,6 +2509,22 @@ object SparkEntry {
                    - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + 256 AS DOUBLE))), 6) AS score
          FROM hashed JOIN buckets USING (b) CROSS JOIN totals
          GROUP BY doc_id""",
+
+    // BPE battery twin: residual rows are exact zeros (argmax replay,
+    // vocabulary roundtrip, distributed-vs-driver token-total identity);
+    // the merge count is the pinned parameter; the word anchors are
+    // recomputed from raw text by DuckDB.
+    "q100_bpe_tokenize" ->
+      """WITH toks AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents)
+         SELECT 'argmax_violations' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'roundtrip_violations', 0.0
+         UNION ALL SELECT 'token_identity_resid', 0.0
+         UNION ALL SELECT 'n_merges', 32.0
+         UNION ALL SELECT 'n_distinct_words',
+           (SELECT CAST(count(DISTINCT tok) AS DOUBLE) FROM toks WHERE tok <> '')
+         UNION ALL SELECT 'total_word_occurrences',
+           (SELECT CAST(count(*) AS DOUBLE) FROM toks WHERE tok <> '')""",
 
     // SemDeDup battery twin: residuals are exact zeros when the
     // keep/drop partition equals the "no earlier same-cluster neighbor"
