@@ -456,6 +456,68 @@ object SparkEntry {
         "total_word_occurrences" -> wf.map(_._2).sum.toDouble))
     }),
 
+    // ---- end-to-end curation pipeline (q101): the five stages a corpus
+    // actually flows through, COMPOSED — Gopher gate -> exact dedup
+    // (keep min doc_id per fingerprint) -> unigram-LM scoring fit on the
+    // dedup survivors -> deterministic mixture sampling -> next-fit
+    // sequence packing. Scale shape of the whole chain: the gate is a
+    // codegen filter at the scan, dedup is the pipeline's one corpus-keyed
+    // shuffle, the LM is a vocabulary-sized broadcast, sampling is a
+    // map-side hash predicate, and packing is confined to bounded chunks —
+    // ~3 shuffles end to end at any corpus size. The DuckDB twin replays
+    // every stage including the recursive packing fold, so one wrong
+    // keep/drop/boundary decision anywhere in the chain breaks the hash.
+    "q101_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gated = d.withColumn("g", TextFunctions.gopherGate(col("text")))
+        .where(col("g.keep") === 1).drop("g")
+      val withFp = gated.withColumn("fp", TextFunctions.fingerprint(col("text")))
+      val minIds = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      val deduped = withFp.join(minIds, Seq("fp", "doc_id"), "left_semi")
+      val scored = Scoring.unigramNll(deduped).select(col("doc_id"), col("avg_nll"))
+      val ratePpm = (lit(100000L) + lit(50000L) *
+        (expr("CAST(substr(source, 4) AS INT)") % 10)).cast("long")
+      val sampled = deduped.where(Packing.mixtureKeep(col("doc_id"), ratePpm))
+      Packing.packGreedy(sampled, budget = 160, chunkSize = 100)
+        .join(scored, "doc_id")
+        .select(col("doc_id"), col("source"), col("chunk"), col("n_tokens"),
+          col("shard"), col("avg_nll"))
+    }),
+
+    // ---- Structured Streaming under the oracle gate (q102): the
+    // flatMapGroupsWithState lag pairing + update-mode count aggregation
+    // (streaming/Streaming.scala) run as a REAL StreamingQuery over the
+    // events-derived dtraj, fed through a MemoryStream in four event-time
+    // chunks so the lag buffer genuinely crosses micro-batch boundaries;
+    // the final complete-mode sink must equal the batch sliding count
+    // matrix that DuckDB recomputes (q05's twin). The driver-side feed is
+    // the test-harness transport only — the operator itself holds O(tau)
+    // state per trajectory and n^2 aggregation state, unbounded-stream
+    // safe at any rate. -------------------------------------------------
+    "q102_streaming_counts" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = Trajectories.dtrajFromEvents(s, dir)
+        .as[(Long, Long, Int)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Int)]
+      val stream = mem.toDF().toDF("traj_id", "t", "state")
+      val counts = graft.streaming.Streaming.streamingCountMatrix(stream, tau = 1)
+      val sink = "q102_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        val tmax = data.iterator.map(_._2).max
+        (0 to 3).foreach { k =>
+          val lo = (tmax + 1) * k / 4
+          val hi = (tmax + 1) * (k + 1) / 4
+          val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
+          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink).select(col("s0"), col("s1"), col("cnt").cast("long").as("cnt"))
+    }),
+
     // ---- sparse large-n MSM path --------------------------------------
     // Fine discretization (2000 value bins) -> COO counts -> sparse MSM
     // with NO dense n^2 allocation anywhere (markov/SparseMsm.scala;
@@ -2525,6 +2587,66 @@ object SparkEntry {
            (SELECT CAST(count(DISTINCT tok) AS DOUBLE) FROM toks WHERE tok <> '')
          UNION ALL SELECT 'total_word_occurrences',
            (SELECT CAST(count(*) AS DOUBLE) FROM toks WHERE tok <> '')""",
+
+    // Curation-pipeline twin: replays all five stages — gate rules,
+    // min-doc_id dedup, survivor-fit unigram LM, the affine sampling
+    // hash, and the recursive next-fit packing fold.
+    "q101_curation_pipeline" ->
+      """WITH RECURSIVE gt AS (SELECT doc_id, source, text,
+           len(regexp_extract_all(text, '\S+')) AS nw,
+           CAST(len(text) - len(regexp_extract_all(text, '\s')) AS DOUBLE) /
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ml,
+           CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+             CAST(greatest(len(str_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS af,
+           len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS ns
+           FROM documents),
+         g AS (SELECT doc_id, source, text FROM gt
+           WHERE nw >= 50 AND nw <= 100000 AND ml >= 3.0 AND ml <= 10.0
+             AND af >= 0.8 AND ns >= 2),
+         f AS (SELECT doc_id, source, text,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM g),
+         dd AS (SELECT doc_id, source, text FROM
+           (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS mid FROM f)
+           WHERE doc_id = mid),
+         toks AS (SELECT doc_id,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok FROM dd),
+         counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         totals AS (SELECT sum(c) AS t_total, count(*) AS v FROM counts),
+         scored AS (SELECT doc_id,
+           round(avg(-ln(CAST(c + 1 AS DOUBLE) / CAST(t_total + v AS DOUBLE))), 6) AS avg_nll
+           FROM toks JOIN counts USING (tok) CROSS JOIN totals GROUP BY doc_id),
+         samp AS (SELECT doc_id, source, text FROM dd
+           WHERE (((doc_id % 2147483647) * 506952114 + 101) % 2147483647) % 1000000
+                 < 100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10)),
+         d AS (SELECT doc_id, source, doc_id // 100 AS chunk,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           row_number() OVER (PARTITION BY source, doc_id // 100
+                              ORDER BY doc_id) AS rn
+           FROM samp),
+         r AS (SELECT doc_id, source, chunk, n_tokens, rn,
+             CAST(0 AS BIGINT) AS shard, n_tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.source, d.chunk, d.n_tokens, d.rn,
+             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.shard
+                  ELSE r.shard + 1 END,
+             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.fill + d.n_tokens
+                  ELSE d.n_tokens END
+           FROM r JOIN d ON d.source = r.source AND d.chunk = r.chunk
+                        AND d.rn = r.rn + 1)
+         SELECT r.doc_id, r.source, r.chunk, r.n_tokens, r.shard, s.avg_nll
+         FROM r JOIN scored s USING (doc_id)""",
+
+    // Streaming-counts twin: the streaming query's final state must equal
+    // the batch sliding count matrix (same SQL as q05's twin).
+    "q102_streaming_counts" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
+          SELECT s0, s1, count(*) AS cnt FROM p
+          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1""",
 
     // SemDeDup battery twin: residuals are exact zeros when the
     // keep/drop partition equals the "no earlier same-cluster neighbor"
