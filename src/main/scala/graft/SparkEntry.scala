@@ -518,6 +518,91 @@ object SparkEntry {
       s.table(sink).select(col("s0"), col("s1"), col("cnt").cast("long").as("cnt"))
     }),
 
+    // ---- interpolated bigram LM scoring (q103): the KenLM-shaped
+    // upgrade of q97 — per-doc avg NLL under lambda*P(w2|w1) +
+    // (1-lambda)*P_addone(w2), both models fit on the corpus itself.
+    // The bigram table is vocabulary-pair-sized (Zipf-bounded) and every
+    // model join is a broadcast, so the corpus text never shuffles.
+    // DuckDB refits both models and rescores identically. ----------------
+    "q103_bigram_lm" -> ((s, dir) => Scoring.bigramNll(docs(s, dir))),
+
+    // ---- quality-aware near-dup survivor selection (q104): the
+    // "keep one per duplicate cluster" action step — q76's banded
+    // minhash -> capped-bucket candidates -> exact-jaccard clusters,
+    // then each cluster keeps its HIGHEST-quality member (q18's score;
+    // doc_id tie-break) instead of the arbitrary min-id canonical.
+    // Cluster assignment shuffles only (id, cluster_id) pairs and the
+    // argmax is a per-cluster window — no text moves after scoring. ------
+    "q104_dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Dedup.minhashCandidates(d, bands = 8, rowsPerBand = 5)
+        .localCheckpoint()
+      val pairs = Dedup.ngramJaccard(d, cand, 5)
+        .where(col("jaccard") >= 0.6)
+        .select(col("a"), col("b"))
+      val cc = Dedup.duplicateClusters(pairs)
+      val q = d.select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+      val clustered = q.join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      val w = Window.partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
+      clustered.withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), col("quality"),
+          when(col("rk") === 1, 1L).otherwise(0L).as("keep"))
+    }),
+
+    // ---- leakage-safe train/val split (q105): the test-set-leakage
+    // guard every training pipeline needs — exact-duplicate groups
+    // (normalized fingerprint) are assigned to train or val AS A UNIT by
+    // the deterministic affine hash of the group representative, so a
+    // duplicated document can never land on both sides of the split.
+    // One corpus-keyed shuffle (the fingerprint group-min); the split
+    // decision itself is map-side arithmetic, append-stable on re-crawl. -
+    "q105_leakage_split" -> ((s, dir) => {
+      val withFp = docs(s, dir)
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      val rep = withFp.groupBy("fp").agg(min(col("doc_id")).as("group_id"))
+      withFp.join(rep, Seq("fp"))
+        .withColumn("split",
+          when(Packing.sampleHashPpm(col("group_id")) < lit(900000L), lit("train"))
+            .otherwise(lit("val")))
+        .select(col("doc_id"), col("group_id"), col("split"))
+    }),
+
+    // ---- per-source vocabulary health (q106): corpus diagnostics that
+    // gate mixture design — token/type counts, type-token ratio, hapax
+    // fraction, and top-1 token share per source. One explode + one
+    // (source, token) aggregation (map-side combined); the per-source
+    // rollup is source-cardinality-sized. All ratios are exact rationals
+    // rounded at 6dp, so the DuckDB twin matches bit-for-bit. ------------
+    "q106_vocab_stats" -> ((s, dir) => {
+      val t = docs(s, dir).select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("source").agg(
+          sum(col("c")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_types"),
+          round(count(lit(1)).cast("double") / sum(col("c")).cast("double"), 6)
+            .as("type_token_ratio"),
+          round(sum(when(col("c") === 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("hapax_frac"),
+          round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+            .as("top1_share"))
+    }),
+
+    // ---- per-source quality cap (q107): the CommonCrawl-style domain
+    // cap — keep at most K=50 highest-quality documents per source
+    // (quality desc, doc_id tie-break). The rank filter triggers Spark's
+    // WindowGroupLimit pushdown: each map partition keeps only its local
+    // top-K per source BEFORE the shuffle, so the exchange carries
+    // O(sources*K) rows per partition regardless of corpus size. ---------
+    "q107_source_quality_cap" -> ((s, dir) => {
+      val q = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      q.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 50)
+    }),
+
     // ---- sparse large-n MSM path --------------------------------------
     // Fine discretization (2000 value bins) -> COO counts -> sparse MSM
     // with NO dense n^2 allocation anywhere (markov/SparseMsm.scala;
@@ -2647,6 +2732,109 @@ object SparkEntry {
             LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
           SELECT s0, s1, count(*) AS cnt FROM p
           WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1""",
+
+    // Bigram-LM twin: refit both models (MLE bigram + add-one unigram)
+    // and rescore; 0.75/0.25 are exact binary doubles so the
+    // interpolation matches Spark bit-for-bit before the 6dp round.
+    "q103_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS l
+           FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok FROM d),
+         uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+         tot AS (SELECT sum(cu) AS t_total, count(*) AS v FROM uni),
+         grams AS (SELECT doc_id,
+           unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
+           FROM d),
+         g2 AS (SELECT doc_id, split_part(g, ' ', 1) AS w1,
+           split_part(g, ' ', 2) AS w2 FROM grams),
+         big AS (SELECT w1, w2, count(*) AS c12 FROM g2 GROUP BY w1, w2),
+         ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln(0.75 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
+             + 0.25 * (CAST(cu + 1 AS DOUBLE) / CAST(t_total + v AS DOUBLE)))), 6)
+             AS avg_nll
+         FROM g2 JOIN big USING (w1, w2) JOIN ctx USING (w1)
+           JOIN uni ON uni.tok = g2.w2 CROSS JOIN tot
+         GROUP BY doc_id""",
+
+    // Keep-best twin: q76's full cluster simulation (shingles -> exact
+    // jaccard >= 0.6 -> recursive-CTE connected components), then q18's
+    // quality expression and a per-cluster argmax window; singletons
+    // (docs in no edge) are their own cluster.
+    "q104_dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS s
+           FROM documents WHERE len(text) >= 5),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         tp AS (SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.6),
+         edges AS (SELECT a AS src, b AS dst FROM tp UNION SELECT b, a FROM tp),
+         reach(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
+         lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         q AS (SELECT doc_id, round(
+           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+               / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
+           + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
+               / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
+           , 6) AS quality FROM documents),
+         cl AS (SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+           q.quality FROM q LEFT JOIN lab l ON l.doc_id = q.doc_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+           ORDER BY quality DESC, doc_id) AS rk FROM cl)
+         SELECT doc_id, cluster_id, quality,
+           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r""",
+
+    // Leakage-split twin: fingerprint group-min representative, then the
+    // q88 affine hash of the REPRESENTATIVE decides the whole group.
+    "q105_leakage_split" ->
+      """WITH f AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         g AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS group_id
+           FROM f)
+         SELECT doc_id, group_id,
+           CASE WHEN (((group_id % 2147483647) * 506952114 + 101) % 2147483647)
+                  % 1000000 < 900000
+                THEN 'train' ELSE 'val' END AS split
+         FROM g""",
+
+    // Vocab-health twin: exact rational ratios rounded at 6dp.
+    "q106_vocab_stats" ->
+      """WITH t AS (SELECT source,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         tc AS (SELECT source, tok, count(*) AS c FROM t
+           WHERE tok <> '' GROUP BY source, tok)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             AS type_token_ratio,
+           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(*) AS DOUBLE), 6) AS hapax_frac,
+           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top1_share
+         FROM tc GROUP BY source""",
+
+    // Quality-cap twin: q18's quality expression + top-50 per source.
+    "q107_source_quality_cap" ->
+      """WITH q AS (SELECT doc_id, source, round(
+           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+               / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
+           + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
+               / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
+           , 6) AS quality FROM documents),
+         r AS (SELECT doc_id, source, quality,
+           row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+           FROM q)
+         SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 50""",
 
     // SemDeDup battery twin: residuals are exact zeros when the
     // keep/drop partition equals the "no earlier same-cluster neighbor"

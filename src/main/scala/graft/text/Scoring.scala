@@ -45,6 +45,49 @@ object Scoring {
           (col("t_total") + col("v")).cast("double"))), 6).as("avg_nll"))
   }
 
+  /** Per-document average negative log-likelihood under an INTERPOLATED
+    * bigram LM fit on the corpus itself — the KenLM-shaped upgrade of
+    * [[unigramNll]]: per bigram occurrence (w1, w2),
+    *   p(w2 | w1) = lambda * c(w1 w2)/c(w1 *) + (1-lambda) * (c(w2)+1)/(T+V)
+    * with MLE bigram probabilities (contexts are always observed when
+    * scoring the fitting corpus) linearly interpolated against the
+    * add-one-smoothed unigram floor (default lambda = 0.75: both 0.75
+    * and 0.25 are exact binary doubles, so a SQL twin's literals match
+    * bit-for-bit — 0.7/0.3 would differ in the last ulp between
+    * engines). Docs with fewer than 2 tokens have
+    * no bigrams and drop out (no evidence — same contract as
+    * [[dsirScores]]).
+    *
+    * Scale shape: the bigram-count model table is the only addition over
+    * the unigram path — it is vocabulary-pair-sized (Zipf-bounded, NOT
+    * corpus-sized; frequency-truncate upstream if a web-scale vocabulary
+    * ever outgrows broadcast) and both model joins are broadcasts, so
+    * the corpus again never shuffles: one explode, two bounded
+    * aggregations, broadcast joins back, one per-doc aggregation.
+    * Returns (idCol, n_bigrams, avg_nll rounded to 6). */
+  def bigramNll(docs: DataFrame, lambda: Double = 0.75,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+        explode(TextFunctions.wordShingles(lower(trim(col(textCol))), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val t = tokens(docs, idCol, textCol)
+    val uni = t.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val totals = uni.agg(sum(col("cu")).as("t_total"), count(lit(1)).as("v"))
+    val pBi = col("c12").cast("double") / col("c1").cast("double")
+    val pUni = (col("cu") + lit(1)).cast("double") /
+      (col("t_total") + col("v")).cast("double")
+    grams.join(broadcast(big), Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("tok", "w2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log(lit(lambda) * pBi + lit(1.0 - lambda) * pUni)), 6).as("avg_nll"))
+  }
+
   /** Engine-portable bucket hash (the q22/q88 md5 pattern: 15 hex chars
     * = 60 bits, exactly reproducible as `('0x'||substr(md5(x),1,15))::BIGINT`
     * in DuckDB). */
