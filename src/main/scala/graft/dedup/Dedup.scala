@@ -134,8 +134,7 @@ object Dedup {
     // <1 MB at the 10x corpus); at scales where even that outgrows the
     // broadcast budget, pre-bucketing docs by id is the intended path.
     val sh = docs.join(broadcast(ids), Seq(idCol), "left_semi").select(col(idCol),
-      array_distinct(transform(
-        TextFunctions.shingles(col(textCol), shingleLen), s => xxhash64(s))).as("sh"))
+      array_distinct(graft.functions.Shingles.charHashes(col(textCol), shingleLen)).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), "b")
@@ -172,8 +171,8 @@ object Dedup {
   def contaminationScan(corpus: DataFrame, benchmark: DataFrame,
                         shingleLen: Int = 8, minOverlap: Long = 10L,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    def hashed(c: Column) = array_distinct(transform(
-      TextFunctions.shingles(c, shingleLen), s => xxhash64(s)))
+    def hashed(c: Column) =
+      array_distinct(graft.functions.Shingles.charHashes(c, shingleLen))
     val bench = benchmark.select(explode(hashed(col(textCol))).as("h")).distinct()
     val corp = corpus.select(col(idCol), explode(hashed(col(textCol))).as("h"))
     val overlaps = corp.join(broadcast(bench), "h")

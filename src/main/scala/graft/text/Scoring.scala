@@ -71,10 +71,15 @@ object Scoring {
         explode(TextFunctions.wordShingles(lower(trim(col(textCol))), 2)).as("g"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("w2", substring_index(col("g"), " ", -1))
+    // materialize the two model tables ONCE: they are vocab(-pair)-sized,
+    // so the checkpoint is cheap at any corpus scale, and without it each
+    // downstream broadcast build re-runs the corpus-wide explode (the
+    // corpus would be scanned ~6x instead of 3x)
     val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val t = tokens(docs, idCol, textCol)
-    val uni = t.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val uni = t.groupBy("tok").agg(count(lit(1)).as("cu")).localCheckpoint()
     val totals = uni.agg(sum(col("cu")).as("t_total"), count(lit(1)).as("v"))
     val pBi = col("c12").cast("double") / col("c1").cast("double")
     val pUni = (col("cu") + lit(1)).cast("double") /
@@ -106,8 +111,11 @@ object Scoring {
     val grams = docs.select(col(idCol), targetPred.cast("long").as("is_t"),
         explode(TextFunctions.wordShingles(lower(trim(col(textCol))), 2)).as("g"))
       .withColumn("b", hashBucket(col("g"), nBuckets))
+    // bucket table is fixed-width (nBuckets rows) — checkpoint it so the
+    // totals agg and the broadcast build don't each re-run the corpus
+    // explode + md5 bucket hash
     val buckets = grams.groupBy("b").agg(count(lit(1)).as("c_raw"),
-      sum(col("is_t")).as("c_t"))
+      sum(col("is_t")).as("c_t")).localCheckpoint()
     val totals = buckets.agg(sum(col("c_raw")).as("t_raw"), sum(col("c_t")).as("t_t"))
     val logRatio =
       log((col("c_t") + lit(1)).cast("double") / (col("t_t") + lit(nBuckets)).cast("double")) -

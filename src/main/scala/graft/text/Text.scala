@@ -68,23 +68,17 @@ object TextFunctions {
     md5(trim(regexp_replace(lower(c), lit("\\s+"), lit(" "))).cast("binary"))
 
   /** Character n-gram (shingle) array; positions 1..len-n+1. Documents
-    * shorter than n yield an empty array (guards the descending-sequence
-    * quirk: sequence(1, 0) would yield [1, 0], not []). */
-  def shingles(c: Column, n: Int): Column =
-    when(length(c) >= n,
-      transform(sequence(lit(1), length(c) - lit(n - 1)), i => c.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
+    * shorter than n yield an empty array. Native codegen expression —
+    * the old `transform(sequence(...), substr)` HOF formulation was
+    * interpreted per position (round-7 profile: seconds per sweep on the
+    * dedup hot paths); output is value-identical. */
+  def shingles(c: Column, n: Int): Column = graft.functions.Shingles.chars(c, n)
 
-  /** Word n-gram array from whitespace tokens; empty when fewer than n
-    * tokens (same descending-sequence guard as `shingles` — slice with a
-    * 0 start index would throw at runtime). */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = split(trim(c), "\\s+")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - lit(n)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word n-gram array from whitespace tokens (split(trim(c), "\\s+"),
+    * n-token windows joined with a single space); empty when fewer than
+    * n tokens. Native codegen expression — value-identical to the old
+    * HOF formulation, minus its interpreted per-position cost. */
+  def wordShingles(c: Column, n: Int): Column = graft.functions.Shingles.words(c, n)
 
   /** Within-document repetition signals (the Gopher-rules quality-filter
     * family every LLM training pipeline applies; no reference
