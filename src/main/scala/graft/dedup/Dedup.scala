@@ -375,10 +375,7 @@ object Dedup {
                            idCol: String = "doc_id"): DataFrame = {
     val words = filter(split(col(textCol), " "), w => w =!= "")
     val nw = size(words)
-    val idxs = when(nw >= k, sequence(lit(1), nw - (k - 1))).otherwise(
-      array().cast("array<int>"))
-    val spans = transform(idxs, i =>
-      substring(md5(concat_ws(" ", slice(words, i, lit(k)))), 1, 16))
+    val spans = graft.functions.Shingles.wordWindowMd5(col(textCol), k, 16)
     // ONE evaluation of the split+md5 window pipeline: the exploded table
     // is cached and feeds both the dup-key aggregate and the per-doc
     // recount; n_windows rides along as greatest(nw-k+1, 0) arithmetic
@@ -422,11 +419,7 @@ object Dedup {
                            textCol: String = "text",
                            idCol: String = "doc_id"): DataFrame = {
     val words = filter(split(col(textCol), " "), w => w =!= "")
-    val nw = size(words)
-    val idxs = when(nw >= k, sequence(lit(1), nw - (k - 1))).otherwise(
-      array().cast("array<int>"))
-    val spans = transform(idxs, i =>
-      substring(md5(concat_ws(" ", slice(words, i, lit(k)))), 1, 16))
+    val spans = graft.functions.Shingles.wordWindowMd5(col(textCol), k, 16)
     // (doc, window start i, span hash); pos0 is 0-based over the array
     val windows = docs.select(col(idCol),
       posexplode(spans).as(Seq("pos0", "span"))).cache()

@@ -113,6 +113,55 @@ object CharShingleOps {
     }
   }
 
+  private val HEX = "0123456789abcdef".toCharArray
+
+  /** Single-space tokens (empty runs dropped) -> md5 of each k-token
+    * window joined with ' ' -> lowercase-hex prefix. One digest object
+    * and one StringBuilder reused across windows. */
+  def wordWindowMd5(s: UTF8String, k: Int, prefixLen: Int): ArrayData = {
+    val toks0 = s.toString.split(" ", -1)
+    var m0 = 0
+    var i = 0
+    while (i < toks0.length) { if (!toks0(i).isEmpty) m0 += 1; i += 1 }
+    if (m0 < k) new GenericArrayData(Array.empty[Any])
+    else {
+      val toks = new Array[String](m0)
+      var j = 0
+      i = 0
+      while (i < toks0.length) {
+        if (!toks0(i).isEmpty) { toks(j) = toks0(i); j += 1 }
+        i += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sb = new java.lang.StringBuilder
+      val nWin = m0 - k + 1
+      val out = new Array[Any](nWin)
+      val hexChars = new Array[Char](prefixLen)
+      var w = 0
+      while (w < nWin) {
+        sb.setLength(0)
+        var t = 0
+        while (t < k) {
+          if (t > 0) sb.append(' ')
+          sb.append(toks(w + t))
+          t += 1
+        }
+        md.reset()
+        val digest = md.digest(
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0
+        while (h < prefixLen) {
+          val b = digest(h >> 1)
+          hexChars(h) = HEX(if ((h & 1) == 0) (b >> 4) & 0xf else b & 0xf)
+          h += 1
+        }
+        out(w) = UTF8String.fromString(new String(hexChars))
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** xxhash64 (seed 42, = the builtin `xxhash64(col)`) of every n-char
     * substring WITHOUT allocating the substrings — byte-window hashing
     * over one owned copy. Bit-identical to
@@ -175,6 +224,31 @@ case class ShingleXxhashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused k-word rolling-window md5-prefix keys — the exact-substring
+  * dedup span table (`transform(idxs, i -> substring(md5(concat_ws(" ",
+  * slice(words, i, k))), 1, p))` in HOF form, interpreted per window
+  * with a slice + join + digest allocation each). Tokenization matches
+  * the call sites exactly: split on the single SPACE character, empty
+  * runs dropped. md5 hex is lowercase like the builtin, so DuckDB twins
+  * keep reproducing every key. */
+case class WordWindowMd5(child: Expression, k: Int, prefixLen: Int)
+    extends UnaryExpression {
+  require(k >= 1 && prefixLen >= 1 && prefixLen <= 32)
+  override def prettyName: String = "word_window_md5"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    CharShingleOps.wordWindowMd5(input.asInstanceOf[UTF8String], k, prefixLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharShingleOps.wordWindowMd5($c, $k, $prefixLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object Shingles {
   /** Word n-grams of a string column (native codegen). */
   def words(c: Column, n: Int): Column =
@@ -190,4 +264,9 @@ object Shingles {
   def charHashes(c: Column, n: Int): Column =
     GraftExpressionBridge.toColumn(ShingleXxhashes(
       GraftExpressionBridge.toExpression(c.cast("string")), n))
+
+  /** md5-hex-prefix keys of every k-word window (native codegen, fused). */
+  def wordWindowMd5(c: Column, k: Int, prefixLen: Int): Column =
+    GraftExpressionBridge.toColumn(WordWindowMd5(
+      GraftExpressionBridge.toExpression(c.cast("string")), k, prefixLen))
 }
