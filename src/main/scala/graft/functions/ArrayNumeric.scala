@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expressions for the embedding hot path (SURVEY §2.8 /
   * the build brief's preference order: custom `Expression` with
@@ -158,6 +158,52 @@ object ArrayNumeric {
                        seed: Int): Column =
     GraftExpressionBridge.toColumn(SignPlaneBuckets(
       expr(v.cast("array<double>")), dim, nPlanes, numTables, seed))
+
+  /** x / max(||x||, 1e-150) over an ARRAY<DOUBLE> column (native codegen).
+    * Value-identical to the old `transform(v, x => x / sqrt(greatest(
+    * dot(v, v), 1e-300)))` HOF (same left-to-right squared-sum order),
+    * which Spark evaluated interpreted per element on the IVF/SemDeDup
+    * assignment hot paths. */
+  def unit(x: Column): Column =
+    GraftExpressionBridge.toColumn(ArrayUnitNormalize(
+      expr(x.cast("array<double>"))))
+}
+
+/** Unit-normalization kernel — kept on an object so generated code can
+  * call the static forwarder. */
+object ArrayUnitOps {
+  def unit(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = arr.getDouble(i)
+      xs(i) = x
+      ss += x * x
+      i += 1
+    }
+    val inv = math.sqrt(if (ss < 1e-300) 1e-300 else ss)
+    i = 0
+    while (i < n) { xs(i) = xs(i) / inv; i += 1 }
+    new GenericArrayData(xs)
+  }
+}
+
+case class ArrayUnitNormalize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "array_unit"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayUnitOps.unit(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ArrayUnitOps.unit($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** All `numTables` sign-plane LSH bucket ids of a DOUBLE[] embedding in one

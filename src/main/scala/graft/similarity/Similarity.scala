@@ -166,11 +166,7 @@ object Similarity {
     // cosine metric: quantize UNIT-normalized vectors (spherical-k-means
     // regime) — L2 cells on raw vectors would split by magnitude and miss
     // cosine-near neighbors of different norm
-    def unit(c: Column): Column = {
-      val v = c.cast("array<double>")
-      val n = sqrt(greatest(dot(v, v), lit(1e-300)))
-      transform(v, x => x / n)
-    }
+    def unit(c: Column): Column = graft.functions.ArrayNumeric.unit(c)
     val cap = if (maxTrainRows > 0) maxTrainRows else math.max(100L * nCells, 65536L)
     val n = corpus.count()
     val frac = if (n <= cap) 1.0 else cap.toDouble / n
@@ -259,11 +255,7 @@ object Similarity {
                seed: Long = 42L, maxIter: Int = 6,
                idCol: String = "vec_id", vecCol: String = "embedding",
                maxTrainRows: Long = 0L): DataFrame = {
-    def unit(c: Column): Column = {
-      val v = c.cast("array<double>")
-      val n = sqrt(greatest(dot(v, v), lit(1e-300)))
-      transform(v, x => x / n)
-    }
+    def unit(c: Column): Column = graft.functions.ArrayNumeric.unit(c)
     val cap = if (maxTrainRows > 0) maxTrainRows else math.max(100L * nClusters, 65536L)
     val n = corpus.count()
     val frac = if (n <= cap) 1.0 else cap.toDouble / n
