@@ -494,7 +494,15 @@ object SparkEntry {
     // the test-harness transport only — the operator itself holds O(tau)
     // state per trajectory and n^2 aggregation state, unbounded-stream
     // safe at any rate. -------------------------------------------------
-    "q102_streaming_counts" -> ((s, dir) => {
+    "q102_streaming_counts" -> ((s0, dir) => {
+      // dedicated session: state-store count per stateful op = shuffle
+      // partitions, and each store checkpoints per micro-batch — 32
+      // partitions x 2 stateful ops x 4 batches is ~256 store commits for
+      // a toy stream. 4 partitions keeps the harness honest (parallel
+      // state, cross-batch buffers) at 1/8 the fixed cost; a real
+      // deployment sizes this to the key cardinality as usual.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val data = Trajectories.dtrajFromEvents(s, dir)
