@@ -11,6 +11,7 @@ import graft.linalg.LinAlg
 import graft.markov.TransitionCounting
 import graft.text.{Bpe, Packing, Pii, Scoring, TextFunctions}
 import graft.dedup.Dedup
+import graft.operators.Joins
 import graft.similarity.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
@@ -609,6 +610,48 @@ object SparkEntry {
         TextFunctions.qualityScore(col("text")).as("quality"))
       val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
       q.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 50)
+    }),
+
+    // ---- as-of join (q108): point-in-time-correct event enrichment —
+    // every event gets the payload of the user's LATEST strictly-prior
+    // 'click'. Union-tag + one per-key window: ONE hash exchange, no
+    // join operator, no probe — the canonical distributed as-of shape
+    // (operators/Joins.scala). DuckDB's native ASOF LEFT JOIN is the
+    // independent twin. -------------------------------------------------
+    "q108_asof_join" -> ((s, dir) => {
+      val e = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
+          col("event_type"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("t"),
+          col("event_id").as("prior_click_event_id"),
+          col("value").as("prior_click_value"))
+      Joins.asofJoinStrict(e, clicks, key = "user_id",
+          leftTime = "t", rightTime = "t")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("__match.prior_click_event_id").as("prior_click_event_id"),
+          round(col("__match.prior_click_value"), 6).as("prior_click_value"))
+    }),
+
+    // ---- bucketed range join (q109): lineitems priced within ±1% of a
+    // part's retail price, WITHOUT the BroadcastNestedLoopJoin Spark
+    // plans for a bare BETWEEN (|points|x|intervals| comparisons). Each
+    // point hashes to ONE value-bucket, each ±1% interval replicates to
+    // the <=2 buckets it overlaps, and a plain equi-join + exact BETWEEN
+    // filter recovers the containment pairs — work is output-
+    // proportional. Result is aggregated per part (exact counts). -------
+    "q109_range_join" -> ((s, dir) => {
+      val iv = Trajectories.table(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          (col("p_retailprice").cast("double") * 0.99).as("lo"),
+          (col("p_retailprice").cast("double") * 1.01).as("hi"))
+      val pts = Trajectories.table(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("price"),
+          col("l_quantity").cast("long").as("qty"))
+      Joins.rangeJoin(pts, "price", iv, "lo", "hi", bucketWidth = 20.0)
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_matches"),
+          sum(col("qty")).as("sum_qty"))
     }),
 
     // ---- sparse large-n MSM path --------------------------------------
@@ -2843,6 +2886,33 @@ object SparkEntry {
            FROM q)
          SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 50""",
+
+    // As-of twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // implementation of the same point-in-time semantics (strictly-prior
+    // via the > inequality), so the union-tag window decomposition is
+    // checked against a real asof operator, not a replay of itself.
+    "q108_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.value,
+           c.event_id AS prior_click_event_id,
+           round(c.value, 6) AS prior_click_value
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND e.ts > c.ts""",
+
+    // Range-join twin: plain BETWEEN join (DuckDB plans an IEJoin) +
+    // exact integer aggregates.
+    "q109_range_join" ->
+      """WITH iv AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(p_retailprice AS DOUBLE) * CAST(0.99 AS DOUBLE) AS lo,
+           CAST(p_retailprice AS DOUBLE) * CAST(1.01 AS DOUBLE) AS hi
+           FROM part),
+         pts AS (SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+           CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+         SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(sum(qty) AS BIGINT) AS sum_qty
+         FROM iv JOIN pts ON price >= lo AND price <= hi
+         GROUP BY p_partkey""",
 
     // SemDeDup battery twin: residuals are exact zeros when the
     // keep/drop partition equals the "no earlier same-cluster neighbor"

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/interval join operators Spark lacks natively (the build
+  * brief's "compose existing ops if semantics allow" rung — both of
+  * these have well-known relational decompositions that scale, so no
+  * custom physical operator is warranted).
+  *
+  * No reference counterpart (deeptime has no join surface); these are
+  * the event/feature-alignment primitives a training-data pipeline needs
+  * (point-in-time-correct feature lookup, interval enrichment). */
+object Joins {
+
+  /** Point-in-time (as-of) join: for every left row, attach the payload
+    * of the LATEST right row with the same key and `rightTime` STRICTLY
+    * before `leftTime` (nulls when no such row — left-outer semantics).
+    *
+    * Decomposition: union the two sides with a tag (left = 0, right = 1),
+    * one window per key ordered by (time, tag), and carry the last
+    * non-null right payload forward. Strictness falls out of the tag
+    * order: at equal timestamps the right copy sorts AFTER the left row,
+    * so it is not visible to it.
+    *
+    * Scale shape: ONE hash exchange keyed by `key` (the window) — no
+    * join operator at all, no per-row probe, state is a single struct
+    * per partition-ordered row. At 100 TB the window sort is the only
+    * super-linear term; range-partitioning by (key, time-bucket) with
+    * per-bucket seeding is the standard refinement when single keys
+    * outgrow a partition.
+    *
+    * `payload` columns are taken from `right`; they come back prefixed
+    * via `as` aliases chosen by the caller (pass a pre-selected right). */
+  def asofJoinStrict(left: DataFrame, right: DataFrame, key: String,
+                     leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filter(c => c != key && c != rightTime)
+    val pay = struct(payloadCols.map(col).toIndexedSeq: _*)
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(0))
+      .withColumn("__pay",
+        lit(null).cast(right.select(pay).schema.fields(0).dataType))
+    val r0 = right.select(col(key), col(rightTime).as("__t"), pay.as("__pay"))
+      .withColumn("__tag", lit(1))
+    // align schemas: right rows carry nulls for left columns
+    val leftCols = left.columns
+    val r = leftCols.foldLeft(r0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
+    val unioned = l.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
+      .unionByName(r)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 0)
+      .drop("__t", "__tag", "__pay")
+  }
+
+  /** Interval (range) join: pair every point row with every interval row
+    * whose [lo, hi] contains the point, without a nested-loop join.
+    *
+    * Decomposition: quantize the value axis into `bucketWidth`-wide
+    * buckets; each point lands in exactly ONE bucket, each interval is
+    * replicated to the ceil(width/bucketWidth)+1 buckets it overlaps, and
+    * a plain hash equi-join on the bucket id + the exact BETWEEN filter
+    * recovers precisely the containment pairs (no dedup needed — a point
+    * has one bucket, so each qualifying pair arises exactly once).
+    *
+    * Scale shape: a shuffle hash join keyed by bucket — work is
+    * O(|points| + replicated |intervals| + |output|), vs the
+    * BroadcastNestedLoopJoin Spark plans for a bare BETWEEN predicate
+    * (|points| x |intervals| comparisons — the 100 TB killer). Pick
+    * `bucketWidth` >= the typical interval width so replication stays
+    * O(1) per interval; heavily-populated buckets are ordinary join skew
+    * (AQE skew-join / salting territory, like any hot key). */
+  def rangeJoin(points: DataFrame, pointCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0)
+    val p = points.withColumn("__bk",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals.withColumn("__bk",
+      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    iv.join(p, Seq("__bk"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bk")
+  }
+}

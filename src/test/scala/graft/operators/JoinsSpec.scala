@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** As-of and bucketed range joins (q108/q109). */
+class JoinsSpec extends SparkSpec with Matchers {
+
+  test("asofJoinStrict: strictly-prior semantics, ties excluded, no-match nulls") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 5L),   // before any right row -> null
+      (1L, 20L, 6L),   // right rows at 15 -> matches 15
+      (1L, 30L, 7L),   // rights at 15, 25 -> matches 25
+      (2L, 25L, 8L)    // right at 25 SAME time -> strict: null
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 15L, 100L), (1L, 25L, 200L), (2L, 25L, 300L), (2L, 40L, 400L)
+    ).toDF("k", "t", "rv")
+    val out = Joins.asofJoinStrict(left, right, "k", "t", "t")
+      .select(col("k"), col("t"), col("lv"), col("__match.rv").as("rv"))
+      .orderBy("k", "t").collect()
+    out.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq shouldBe Seq(
+      (1L, 10L, -1L), (1L, 20L, 100L), (1L, 30L, 200L), (2L, 25L, -1L))
+  }
+
+  test("asofJoinStrict matches a brute-force max-prior computation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val right = (0 until 200).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong * 2 + 1, i.toLong))
+    // right times are odd, left times even-ish random -> occasional ties
+    // across sides are possible only at odd left times; dedupe right on
+    // (k, t) keeping max payload to make the expected value well-defined
+    val rightDd = right.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val exp = left.map { case (k, t, lv) =>
+      val cands = rightDd.filter(r => r._1 == k && r._2 < t)
+      val m = if (cands.isEmpty) -1L else cands.maxBy(r => (r._2, r._3))._3
+      (k, t, lv, m)
+    }.sortBy(x => (x._1, x._2, x._3))
+    val out = Joins.asofJoinStrict(
+        left.toDF("k", "t", "lv"), rightDd.toDF("k", "t", "rv"), "k", "t", "t")
+      .select(col("k"), col("t"), col("lv"), col("__match.rv").as("rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+    out shouldBe exp
+  }
+
+  test("rangeJoin: exact containment incl. boundaries and bucket-spanning intervals") {
+    import spark.implicits._
+    val pts = Seq(0.0, 5.0, 10.0, 19.999, 20.0, 35.0, 60.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "price")
+    val iv = Seq(
+      (1L, 5.0, 20.0),    // inclusive both ends, spans buckets 0-2 at w=10
+      (2L, 20.0, 20.0),   // degenerate point interval
+      (3L, 36.0, 59.0)    // matches nothing
+    ).toDF("ivid", "lo", "hi")
+    val out = Joins.rangeJoin(pts, "price", iv, "lo", "hi", bucketWidth = 10.0)
+      .select("ivid", "pid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    out shouldBe Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L))
+  }
+
+  test("rangeJoin plans a hash equi-join on the bucket key, not a nested loop") {
+    import spark.implicits._
+    val pts = (0 until 1000).map(i => (i.toLong, i * 0.1)).toDF("pid", "price")
+    val iv = (0 until 100).map(i => (i.toLong, i * 1.0, i * 1.0 + 0.5))
+      .toDF("ivid", "lo", "hi")
+    val plan = Joins.rangeJoin(pts, "price", iv, "lo", "hi", 1.0)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+}
