@@ -1881,6 +1881,32 @@ object SparkEntry {
             (acc, p) => acc + round(p * 255.0f).cast("long")).as("px_sum"))
     }),
 
+    // ---- decode -> RESIZE -> aggregate, oracle-checked (q110): the
+    // missing action step between q70's decode gate and feature
+    // extraction — every doc's synthetic PNG is decoded for real, stride-
+    // resampled (nearest-neighbor) to a fixed 4x3 thumbnail with per-row
+    // source dims, and the thumbnail's integer pixel sum must match the
+    // oracle's replay of the same stride arithmetic on the generating
+    // formula. A wrong stride (row-major mixup, off-by-one, double-vs-int
+    // division drift) breaks the hash. --------------------------------
+    "q110_image_resize" -> ((s, dir) => {
+      val mk = udf { (docId: Long) =>
+        val w = (3 + docId % 6).toInt
+        val h = (2 + (docId * 7) % 5).toInt
+        val px = Array.tabulate(w * h)(i => ((docId * 31 + i * 7) % 256).toByte)
+        graft.multimodal.PngCodec.encode(w, h, 1, px)
+      }
+      val withPng = docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      graft.multimodal.Multimodal.decodeImages(withPng, "payload")
+        .select(col("doc_id"),
+          graft.multimodal.Multimodal.resizePixelsDyn(col("decoded"),
+            col("decoded.width"), col("decoded.height"), 4, 3).as("thumb"))
+        .select(col("doc_id"),
+          size(col("thumb")).cast("long").as("n_px"),
+          aggregate(col("thumb"), lit(0L),
+            (acc, p) => acc + round(p * 255.0f).cast("long")).as("px_sum"))
+    }),
+
     // ---- real WAV PCM decode, oracle-checked end to end (q70 pattern) --
     "q74_wav_decode" -> ((s, dir) => {
       val mk = udf { (docId: Long) =>
@@ -3642,6 +3668,20 @@ object SparkEntry {
            CAST(d.width * d.height AS BIGINT) AS n_px,
            CAST(list_sum(list_transform(range(0, d.width * d.height),
              i -> (d.doc_id * 31 + i * 7) % 256)) AS BIGINT) AS px_sum
+         FROM d""",
+
+    // Resize twin: replay the nearest-neighbor stride arithmetic
+    // (double division + floor, exactly as the Spark column math) on the
+    // q70 generating formula; the decoded float roundtrip is exact (q70).
+    "q110_image_resize" ->
+      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 6 AS INT) AS w,
+           CAST(2 + (doc_id * 7) % 5 AS INT) AS h FROM documents)
+         SELECT doc_id, CAST(12 AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, 12), i ->
+             (doc_id * 31 +
+              (CAST(floor((i // 4) * h / 3.0) AS BIGINT) * w +
+               CAST(floor((i % 4) * w / 4.0) AS BIGINT)) * 7) % 256))
+             AS BIGINT) AS px_sum
          FROM d""",
 
     "q69_rate_matrix" ->

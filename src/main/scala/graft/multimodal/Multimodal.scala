@@ -145,14 +145,20 @@ object Multimodal {
 
   /** Stride-resample a decoded pixel plane to (w, h) — real array math on
     * the stubbed representation (nearest-neighbor). */
-  def resizePixels(decoded: Column, srcW: Int, srcH: Int, dstW: Int, dstH: Int): Column = {
+  def resizePixels(decoded: Column, srcW: Int, srcH: Int, dstW: Int, dstH: Int): Column =
+    resizePixelsDyn(decoded, lit(srcW), lit(srcH), dstW, dstH)
+
+  /** Per-row source dimensions (e.g. `decoded.width`/`decoded.height`) —
+    * same nearest-neighbor stride arithmetic with Column dims. */
+  def resizePixelsDyn(decoded: Column, srcW: Column, srcH: Column,
+                      dstW: Int, dstH: Int): Column = {
     val idx = sequence(lit(0), lit(dstW * dstH - 1))
     transform(idx, i => {
       // integer stride arithmetic (Column `/` is double division)
       val y = floor(i / lit(dstW)).cast("int") * srcH / lit(dstH)
       val x = (i % dstW) * srcW / lit(dstW)
       element_at(decoded.getField("pixels"),
-        (floor(y).cast("int") * srcW + floor(x).cast("int") + 1))
+        (floor(y).cast("int") * srcW.cast("int") + floor(x).cast("int") + 1))
     })
   }
 
