@@ -612,6 +612,52 @@ object SparkEntry {
       q.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 50)
     }),
 
+    // ---- streaming session windows under the oracle gate (q111): the
+    // session_window + watermark path (streaming/Streaming.scala) run as
+    // a REAL append-mode StreamingQuery over event-time-ordered chunks,
+    // with two far-future sentinel batches (negative user ids, filtered
+    // out) pushing the watermark so every real session finalizes and is
+    // emitted EXACTLY once; the emitted set must equal the batch
+    // sessionization that DuckDB replays (q78's gap rule). ---------------
+    "q111_streaming_sessions" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = Trajectories.table(s, dir, "events")
+        .select(col("user_id").cast("long"), expr("ts div 1000").cast("long"))
+        .as[(Long, Long)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val stream = mem.toDF().toDF("user_id", "tsu")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+      val sess = graft.streaming.Streaming.sessionWindowCounts(
+        stream, "ts", "user_id", gap = "30000 seconds", delay = "0 seconds")
+      val sink = "q111_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = sess.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val tmax = data.iterator.map(_._2).max
+        val tmin = data.iterator.map(_._2).min
+        (0 to 2).foreach { k =>
+          val lo = tmin + (tmax - tmin + 1) * k / 3
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 3
+          val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
+          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        // two sentinel batches: the first advances the watermark past
+        // every open session's close point, the second triggers the state
+        // eviction that emits them (watermark updates at batch END)
+        mem.addData((-1L, tmax + 100L * 30000000000L))
+        query.processAllAvailable()
+        mem.addData((-2L, tmax + 100L * 30000000000L + 1L))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink).where(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("sess_start")).as("sess_start_us"),
+          col("n_events"))
+    }),
+
     // ---- as-of join (q108): point-in-time-correct event enrichment —
     // every event gets the payload of the user's LATEST strictly-prior
     // 'click'. Union-tag + one per-key window: ONE hash exchange, no
@@ -2912,6 +2958,22 @@ object SparkEntry {
            FROM q)
          SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 50""",
+
+    // Streaming-sessions twin: the batch gap rule (q78), reporting each
+    // session's exact start micros + event count.
+    "q111_streaming_sessions" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+         s AS (SELECT user_id, tsu, event_id,
+           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
+             THEN 1 ELSE 0 END AS brk
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         x AS (SELECT user_id, tsu,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess
+           FROM s)
+         SELECT user_id, CAST(min(tsu) AS BIGINT) AS sess_start_us,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM x GROUP BY user_id, sess""",
 
     // As-of twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent
     // implementation of the same point-in-time semantics (strictly-prior
