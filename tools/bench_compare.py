@@ -35,6 +35,14 @@ BASELINES = {
     "q87": 0.090, "q88": 0.332, "q89": 0.477, "q90": 0.949,
     # r06 first-appearance values
     "q91": 0.850, "q92": 0.318, "q93": 0.263,
+    # r07 first-appearance values (final quiet sweep, post native-shingle
+    # optimization — q94-q100 were authored in r06 but BENCH_r06 never ran
+    # driver-side, so their first driver record is r07)
+    "q94": 0.115, "q95": 0.104, "q96": 0.551, "q97": 0.562, "q98": 1.255,
+    "q99": 2.949, "q100": 0.461, "q101": 2.692, "q102": 2.929,
+    "q103": 0.979, "q104": 2.887, "q105": 0.508, "q106": 0.257,
+    "q107": 0.425, "q108": 0.120, "q109": 0.504, "q110": 0.105,
+    "q111": 3.314,
 }
 
 
