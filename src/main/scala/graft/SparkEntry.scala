@@ -612,6 +612,76 @@ object SparkEntry {
       q.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 50)
     }),
 
+    // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
+    // extended to frequency estimation — Spark's distributed CMS
+    // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
+    // top-10 token counts. CMS NEVER underestimates, and the seeded
+    // sketch makes the eps*N overshoot bound a deterministic residual;
+    // exact counts and deterministic (cnt desc, tok) tie-break anchor
+    // the oracle. The scale story: the sketch replaces the full
+    // (token, count) shuffle with a fixed-width mergeable summary. ------
+    "q112_heavy_hitters" -> ((s, dir) => {
+      val t = docs(s, dir).select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      val top = t.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10).collect()
+      val cms = t.stat.countMinSketch("tok", eps = 0.001,
+        confidence = 0.999999, seed = 42)
+      val totalN = cms.totalCount.toDouble
+      import s.implicits._
+      top.map { r =>
+        val tok = r.getString(0)
+        val cnt = r.getLong(1)
+        val est = cms.estimateCount(tok)
+        (tok, cnt, if (est < cnt) 1L else 0L,
+          math.max(0.0, (est - cnt).toDouble - 0.001 * totalN))
+      }.toSeq.toDF("tok", "cnt", "under_viol", "over_resid")
+    }),
+
+    // ---- streaming exact dedup under the oracle gate (q113): the
+    // dropDuplicates state path run as a REAL append-mode StreamingQuery
+    // over doc_id-ordered chunks (each chunk pre-deduped driver-side so
+    // the within-batch keep is well-defined; CROSS-batch exactly-once is
+    // what the state store must deliver). The corpus has no exact dups at
+    // sf0.01, so every doc_id%10==0 text is re-fed as a clone at
+    // doc_id+1e6 — the clones sort into LATER batches and the state
+    // store must drop every one of them. The kept set must equal the
+    // batch min-doc_id-per-fingerprint rule DuckDB replays over the same
+    // augmented corpus — a duplicate emission or a dropped
+    // first-occurrence breaks the hash. ---------------------------------
+    "q113_streaming_dedup" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val orig = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val data = (orig ++ orig.filter(_._1 % 10 == 0)
+        .map { case (id, t) => (id + 1000000L, t) }).sortBy(_._1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+      val dd = graft.streaming.Streaming.streamingDedup(stream)
+      val sink = "q113_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = dd.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        data.grouped(math.max(1, data.length / 4 + 1)).foreach { chunk =>
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          // same normalization as TextFunctions.fingerprint (lower ->
+          // \s+ collapse -> space trim), so the pre-dedup groups exactly
+          // the rows the streaming fingerprint will
+          val batch = chunk.filter { case (_, text) =>
+            val k = text.toLowerCase.replaceAll("\\s+", " ")
+            seen.add(k.stripPrefix(" ").stripSuffix(" "))
+          }
+          if (batch.nonEmpty) mem.addData(batch.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink).select(col("doc_id"), col("fp"))
+    }),
+
     // ---- streaming session windows under the oracle gate (q111): the
     // session_window + watermark path (streaming/Streaming.scala) run as
     // a REAL append-mode StreamingQuery over event-time-ordered chunks,
@@ -2958,6 +3028,31 @@ object SparkEntry {
            FROM q)
          SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 50""",
+
+    // Heavy-hitters twin: exact top-10 with the same (cnt desc, tok)
+    // tie-break; the CMS columns are deterministic residuals (seeded
+    // sketch, never-underestimate + eps*N overshoot bound).
+    "q112_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM t WHERE tok <> '' GROUP BY tok)
+         SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+           CAST(0 AS BIGINT) AS under_viol, 0.0 AS over_resid
+         FROM c ORDER BY cnt DESC, tok LIMIT 10""",
+
+    // Streaming-dedup twin: the batch min-doc_id-per-fingerprint rule
+    // over the SAME clone-augmented corpus (doc_id-ordered feed makes
+    // the streaming first-occurrence = the global minimum).
+    "q113_streaming_dedup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         f AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM aug)
+         SELECT doc_id, fp FROM
+           (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS mid FROM f)
+         WHERE doc_id = mid""",
 
     // Streaming-sessions twin: the batch gap rule (q78), reporting each
     // session's exact start micros + event count.
