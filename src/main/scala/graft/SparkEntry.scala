@@ -612,6 +612,47 @@ object SparkEntry {
       q.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 50)
     }),
 
+    // ---- rolling per-entity features (q114): the point-in-time feature
+    // engineering primitive — per user, over the event-time order, a
+    // 5-event trailing moving average/max of `value` and the lag-1 value,
+    // all STRICTLY prior (rows -5..-1) so a training pipeline can join
+    // them leak-free at the event itself. One hash exchange (the per-user
+    // window); frames are row-bounded so state is O(window). ------------
+    "q114_rolling_features" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
+          col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val trail = w.rowsBetween(-5, -1)
+      ev.select(col("event_id"), col("user_id"), col("value"),
+          round(avg(col("value")).over(trail), 6).as("trail_avg"),
+          max(col("value")).over(trail).as("trail_max"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          count(lit(1)).over(trail).cast("long").as("n_trail"))
+    }),
+
+    // ---- PMI collocations (q115): corpus-level word-pair association —
+    // pointwise mutual information log(c12*T / (c1*c2)) over the q103
+    // bigram/context tables, support-filtered (c12 >= 20) and top-30 by
+    // (PMI, pair) with a deterministic tie-break. Model tables are
+    // Zipf-bounded aggregates; the corpus shuffles only (w1, w2) pairs. -
+    "q115_pmi_collocations" -> ((s, dir) => {
+      val grams = docs(s, dir).select(
+          explode(TextFunctions.wordShingles(lower(trim(col("text"))), 2)).as("g"))
+        .select(substring_index(col("g"), " ", 1).as("w1"),
+          substring_index(col("g"), " ", -1).as("w2"))
+      val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val left = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val right = big.groupBy("w2").agg(sum(col("c12")).as("c2"))
+      val total = big.agg(sum(col("c12")).as("t")).collect()(0).getLong(0)
+      big.where(col("c12") >= 20)
+        .join(broadcast(left), "w1").join(broadcast(right), "w2")
+        .select(col("w1"), col("w2"), col("c12").cast("long").as("c12"),
+          round(log(col("c12").cast("double") * lit(total.toDouble) /
+            (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(30)
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -3028,6 +3069,37 @@ object SparkEntry {
            FROM q)
          SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 50""",
+
+    // Rolling-features twin: identical strictly-prior row frames.
+    "q114_rolling_features" ->
+      """SELECT event_id, user_id, value,
+           round(avg(value) OVER trail, 6) AS trail_avg,
+           max(value) OVER trail AS trail_max,
+           lag(value, 1) OVER w AS prev_value,
+           CAST(count(*) OVER trail AS BIGINT) AS n_trail
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           trail AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""",
+
+    // PMI twin: same bigram/margin tables, support filter, and
+    // deterministic (pmi desc, w1, w2) top-30.
+    "q115_pmi_collocations" ->
+      """WITH d AS (SELECT str_split_regex(trim(lower(text)), '\s+') AS l
+           FROM documents),
+         g2 AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+           FROM (SELECT unnest(list_transform(range(1, len(l)),
+             i -> l[i] || ' ' || l[i+1])) AS g FROM d)),
+         big AS (SELECT w1, w2, count(*) AS c12 FROM g2 GROUP BY w1, w2),
+         lft AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1),
+         rgt AS (SELECT w2, sum(c12) AS c2 FROM big GROUP BY w2),
+         tot AS (SELECT sum(c12) AS t FROM big)
+         SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           round(ln(CAST(c12 AS DOUBLE) * CAST(t AS DOUBLE) /
+             (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+         FROM big JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+         WHERE c12 >= 20
+         ORDER BY pmi DESC, w1, w2 LIMIT 30""",
 
     // Heavy-hitters twin: exact top-10 with the same (cnt desc, tok)
     // tie-break; the CMS columns are deterministic residuals (seeded
