@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-7 plan-shape assertions for the documented scale claims:
+  * q107 (WindowGroupLimit pushdown bounds the pre-shuffle exchange),
+  * q114 (ONE exchange serves both window frames), q109 (hash equi-join,
+  * no nested loop), q108 (single exchange, no join operator). Fails loud
+  * on any mismatch so a Spark upgrade that silently changes a plan gets
+  * caught. */
+object PlanChecks {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    var failed = 0
+    def check(name: String)(assertions: (String, String => Boolean)*): Unit = {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assertions.foreach { case (desc, p) =>
+        val ok = p(plan)
+        if (!ok) failed += 1
+        println(s"[plan] $name :: $desc -> ${if (ok) "OK" else "FAIL"}")
+      }
+    }
+    check("q107_source_quality_cap")(
+      ("WindowGroupLimit pushdown present", _.contains("WindowGroupLimit")),
+      ("no cartesian", !_.contains("CartesianProduct")))
+    check("q114_rolling_features")(
+      ("exactly one exchange (shared by both frames)",
+        p => "Exchange".r.findAllIn(p).length == 1),
+      ("single Window covers all frames or reuses the partitioning",
+        p => !p.contains("Exchange hashpartitioning") ||
+          "Exchange hashpartitioning".r.findAllIn(p).length == 1))
+    check("q109_range_join")(
+      ("no BroadcastNestedLoopJoin", !_.contains("BroadcastNestedLoopJoin")),
+      ("no cartesian", !_.contains("CartesianProduct")))
+    check("q108_asof_join")(
+      ("no join operator at all", p =>
+        !p.contains("Join") || !p.replace("joinOutputRows", "").contains("Join")))
+    if (failed > 0) { println(s"[plan] $failed FAILED"); sys.exit(1) }
+    println("[plan] ALL PLAN CLAIMS HOLD")
+    spark.stop()
+  }
+}
