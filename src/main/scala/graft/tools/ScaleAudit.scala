@@ -104,7 +104,7 @@ object ScaleAudit {
     buildCorpus(spark, src, out)
 
     val targets = Seq("q21_minhash_candidates", "q76_dup_clusters",
-      "q86_cosine_neardup", "q92_dup_spans")
+      "q86_cosine_neardup", "q92_dup_spans", "q104_dedup_keep_best")
     var failures = 0
     targets.foreach { name =>
       val t0 = System.nanoTime()
@@ -123,6 +123,33 @@ object ScaleAudit {
         s"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")}  " +
         s"cartesian=$cart  ${if (ok) "OK" else "FAIL"}")
     }
+    // q101 composes the whole curation chain; its exact-dedup stage IS
+    // the pipeline's one documented corpus-keyed shuffle, so the
+    // invariant here is AT MOST ONE exchange carrying text (gate/LM/
+    // sample/pack must not add another), plus no cartesian
+    locally {
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries("q101_curation_pipeline")(spark, out)
+      val qe = df.queryExecution
+      val rows = qe.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+      val inner = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val textExchanges = inner.collect {
+        case e: ShuffleExchangeExec if e.output.exists(_.name == "text") => 1
+        case s: ShuffleQueryStageExec if s.output.exists(_.name == "text") => 1
+      }.sum
+      val cart = hasCartesian(df)
+      val ok = textExchanges <= 1 && !cart
+      if (!ok) failures += 1
+      println(f"[scale-audit] q101_curation_pipeline   rows=$rows%-8d ${sec}%.2f s  " +
+        s"text-exchanges=$textExchanges (bound 1)  cartesian=$cart  ${if (ok) "OK" else "FAIL"}")
+    }
+
     // invariant 3 — q76's duplicate graph stays edge-proportional: the
     // verified-pair count at 10x must remain far under the 1M-edge driver
     // union-find bound (a super-linear candidate blowup fails here)
