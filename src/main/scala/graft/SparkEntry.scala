@@ -439,7 +439,11 @@ object SparkEntry {
     // word-count anchors are exact SQL. --------------------------------
     "q100_bpe_tokenize" -> ((s, dir) => {
       val d = docs(s, dir)
-      val wf = Bpe.wordFrequencies(d, maxVocab = 65536)
+      // totals come from the UNTRUNCATED grouped table (same single
+      // scan), so the word anchors match the twin's full-corpus counts
+      // even when the training table is maxVocab-truncated
+      val (wf, nDistinct, totalOcc) =
+        Bpe.wordFrequenciesWithTotals(d, maxVocab = 65536)
       val (model, trace) = Bpe.trainFromFrequencies(wf, numMerges = 32)
       val (argmaxViol, roundtripViol, expectedTotal) = Bpe.invariants(wf, model, trace)
       val scanTotal = Bpe.tokenCounts(d, model)
@@ -453,8 +457,8 @@ object SparkEntry {
         "roundtrip_violations" -> roundtripViol.toDouble,
         "token_identity_resid" -> identityResid,
         "n_merges" -> trace.length.toDouble,
-        "n_distinct_words" -> wf.length.toDouble,
-        "total_word_occurrences" -> wf.map(_._2).sum.toDouble))
+        "n_distinct_words" -> nDistinct.toDouble,
+        "total_word_occurrences" -> totalOcc.toDouble))
     }),
 
     // ---- end-to-end curation pipeline (q101): the five stages a corpus
@@ -641,7 +645,11 @@ object SparkEntry {
           explode(TextFunctions.wordShingles(lower(trim(col("text"))), 2)).as("g"))
         .select(substring_index(col("g"), " ", 1).as("w1"),
           substring_index(col("g"), " ", -1).as("w2"))
+      // materialize the bigram table once: margins, total, and the final
+      // join all read it (4 consumers -> without this the corpus would be
+      // re-scanned and re-shuffled 4x, the Scoring.bigramNll lesson)
       val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .localCheckpoint()
       val left = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
       val right = big.groupBy("w2").agg(sum(col("c12")).as("c2"))
       val total = big.agg(sum(col("c12")).as("t")).collect()(0).getLong(0)
@@ -713,7 +721,7 @@ object SparkEntry {
           // \s+ collapse -> space trim), so the pre-dedup groups exactly
           // the rows the streaming fingerprint will
           val batch = chunk.filter { case (_, text) =>
-            val k = text.toLowerCase.replaceAll("\\s+", " ")
+            val k = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
             seen.add(k.stripPrefix(" ").stripSuffix(" "))
           }
           if (batch.nonEmpty) mem.addData(batch.toIndexedSeq: _*)

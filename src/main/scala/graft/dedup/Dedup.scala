@@ -427,9 +427,14 @@ object Dedup {
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= 2)
       .select("span")
+    // materialize the (small, doc-count-bounded) start table eagerly so
+    // the corpus-window cache can be released NOW instead of pinning a
+    // corpus-sized dataset for the session lifetime
     val dupStarts = windows.join(dupSpans, Seq("span"), "left_semi")
       .select(col(idCol), (col("pos0") + 1).as("i"))
       .groupBy(idCol).agg(collect_set(col("i")).as("starts"))
+      .localCheckpoint()
+    windows.unpersist()
     val starts = coalesce(col("starts"), array().cast("array<int>"))
     // covered 1-based word positions = union of [i, i+k-1] per dup start
     val covered = array_distinct(flatten(transform(starts,

@@ -50,7 +50,12 @@ object Joins {
     }.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
     val unioned = l.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
       .unionByName(r)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+    // __pay as the final sort key makes ties among right rows sharing
+    // (key, rightTime) deterministic: last() then picks the greatest
+    // payload struct instead of an arbitrary partition-order-dependent
+    // one. (Payload columns must be orderable types — true for the
+    // scalar payloads this operator targets.)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"), col("__pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))

@@ -109,6 +109,27 @@ object Bpe {
     (Model(merges.result()), trace.result())
   }
 
+  /** `wordFrequencies` plus the UNTRUNCATED corpus totals
+    * (distinct-word count, total word occurrences) from the same single
+    * scan — the grouped table is materialized once (localCheckpoint), so
+    * the totals stay exact even when the returned word table is
+    * maxVocab-truncated. Use this when anchors must match an external
+    * full-corpus count. */
+  def wordFrequenciesWithTotals(docs: DataFrame, maxVocab: Int,
+                                textCol: String = "text"):
+      (Array[(String, Long)], Long, Long) = {
+    val grouped = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val t = grouped.agg(count(lit(1)).cast("long").as("nd"),
+      sum(col("c")).cast("long").as("tot")).collect()(0)
+    val wf = grouped.orderBy(col("c").desc, col("w").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    (wf, t.getLong(0), t.getLong(1))
+  }
+
   def train(docs: DataFrame, numMerges: Int, maxVocab: Int = 65536,
             textCol: String = "text"): (Model, IndexedSeq[((String, String), Long)]) =
     trainFromFrequencies(wordFrequencies(docs, maxVocab, textCol), numMerges)
@@ -189,7 +210,11 @@ object Bpe {
       val memo = mutable.HashMap.empty[String, Int]
       it.map { case (id, text) =>
         var n = 0L
-        text.toLowerCase.trim.split("\\s+").foreach { w =>
+        // Locale.ROOT: must match Spark's locale-independent lower() used
+        // in wordFrequencies (default-locale toLowerCase diverges under
+        // e.g. tr_TR: "I" -> dotless i), or encode-side words miss the
+        // trained vocabulary.
+        text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").foreach { w =>
           if (w.nonEmpty)
             n += memo.getOrElseUpdate(w, encodeWord(w, ranks).length)
         }
