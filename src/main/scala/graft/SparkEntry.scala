@@ -661,6 +661,144 @@ object SparkEntry {
         .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(30)
     }),
 
+    // ---- perceptual image hash dedup (q116): the image-corpus analog of
+    // q16's text fingerprint — REAL PNG decode (q70 codec), 8x8 nearest-
+    // neighbor thumbnail (q110 stride arithmetic), average-hash (bit i =
+    // thumb pixel i > thumbnail mean) packed into two 32-bit halves, and
+    // hash-group dedup stats. Payloads are synthetic (base = doc_id % 37
+    // drives dims+pixels) so the DuckDB twin replays decode+resize+hash
+    // from the generating formula — a wrong stride, threshold, or bit
+    // order breaks the hash. Scale shape: decode+hash are MAP-SIDE (the
+    // image bytes never shuffle); only (hash, doc_id) reaches the
+    // exchange — the shape that dedups a billion-image corpus. ----------
+    "q116_image_ahash" -> ((s, dir) => {
+      val mk = udf { (docId: Long) =>
+        val base = docId % 37
+        val w = (6 + base % 5).toInt
+        val h = (4 + (base * 3) % 4).toInt
+        val px = Array.tabulate(w * h)(i => ((base * 31 + i * 7) % 256).toByte)
+        graft.multimodal.PngCodec.encode(w, h, 1, px)
+      }
+      val withPng = docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      val thumb = graft.multimodal.Multimodal.resizePixelsDyn(col("decoded"),
+        col("decoded.width"), col("decoded.height"), 8, 8)
+      // exact integer pixels (q70's lossless float roundtrip contract)
+      val tp = graft.multimodal.Multimodal.decodeImages(withPng, "payload")
+        .select(col("doc_id"),
+          transform(thumb, p => round(p * lit(255.0f)).cast("long")).as("tp"))
+        .withColumn("avg64",
+          aggregate(col("tp"), lit(0L), (a, p) => a + p).cast("double") / lit(64.0))
+      // one 32-bit half: sum of exact powers of two (every term and the
+      // total are < 2^32, so the double accumulator is integer-exact)
+      def half(off: Int): Column = aggregate(
+        zip_with(slice(col("tp"), off + 1, 32), sequence(lit(0), lit(31)),
+          (p, i) => when(p.cast("double") > col("avg64"), pow(lit(2.0), i))
+            .otherwise(lit(0.0))),
+        lit(0.0), (a, x) => a + x).cast("long")
+      tp.select(col("doc_id"), half(0).as("ahash_lo"), half(32).as("ahash_hi"))
+        .groupBy("ahash_lo", "ahash_hi")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .withColumn("dup_pairs", expr("n_docs * (n_docs - 1) div 2"))
+    }),
+
+    // ---- TF-IDF top terms (q117): the classic per-document keyword
+    // extraction — tf = cnt/doc_len, idf = ln(N/df), top-3 terms per doc
+    // by (tfidf desc, term asc). Scale shape: ONE (doc, term) aggregation
+    // shuffle; the document-frequency table is Zipf-bounded and broadcast;
+    // the rank filter hits Spark's WindowGroupLimit pushdown so each map
+    // partition ships only its local top-3 per doc. --------------------
+    "q117_tfidf_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val words = d.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val nw = Window.partitionBy("doc_id")
+      val scored = tf.withColumn("nw", sum(col("cnt")).over(nw))
+        .join(broadcast(dfreq), "term")
+        .withColumn("tfidf",
+          (col("cnt").cast("double") / col("nw").cast("double")) *
+            log(lit(nDocs.toDouble) / col("dfreq").cast("double")))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("cnt").cast("long").as("cnt"),
+          round(col("tfidf"), 6).as("tfidf"), col("rk"))
+    }),
+
+    // ---- multinomial Naive Bayes language classifier (q118): the
+    // supervised classifier rung of the curation family (the fastText-
+    // style quality/language-filter analog; q19's heuristic langid is the
+    // unsupervised twin). Training IS aggregation — per-(class, word)
+    // counts with add-1 smoothing — so the whole fit is SQL-replayable.
+    // Scale shape: one corpus scan builds the Zipf-bounded class-count
+    // table, pivoted and BROADCAST; scoring is a map-side join + ONE
+    // per-doc aggregation; priors/totals are 5 driver scalars. The
+    // prediction ranks on the ROUNDED score with a class tie-break, so
+    // parity never rides on last-ulp summation order. -------------------
+    "q118_naive_bayes" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val langs = d.select("lang").distinct().collect().map(_.getString(0)).sorted
+      val words = d.select(col("doc_id"), col("lang"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+      val cw = words.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = cw.groupBy("lang").agg(sum(col("c")).as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val vocab = cw.select("w").distinct().count()
+      val nd = d.groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ndAll = nd.values.sum
+      val piv = cw.groupBy("w").pivot("lang", langs).agg(first(col("c")))
+      val sums = langs.map(l => sum(
+        log((coalesce(col(l), lit(0L)) + 1).cast("double") /
+          lit((tot(l) + vocab).toDouble))).as("s_" + l))
+      val agged = words.join(broadcast(piv), "w")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sums.head, (sums.tail :+ count(lit(1)).as("nw")): _*)
+      val priors = typedLit(langs.map(l =>
+        l -> math.log(nd(l).toDouble / ndAll.toDouble)).toMap)
+      val stacked = agged.select(col("doc_id"), col("lang"), col("nw"),
+          expr("stack(" + langs.length + ", " +
+            langs.map(l => s"'$l', s_$l").mkString(", ") + ") AS (cand, sumll)"))
+        .withColumn("avg_ll", round(
+          (element_at(priors, col("cand")) + col("sumll")) /
+            col("nw").cast("double"), 6))
+      val w = Window.partitionBy("doc_id").orderBy(col("avg_ll").desc, col("cand"))
+      stacked.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
+          col("avg_ll"),
+          when(col("cand") === col("lang"), 1L).otherwise(0L).as("correct"))
+    }),
+
+    // ---- per-class embedding outliers (q119): the CLIP-score-filtering
+    // analog — per label, the element-wise mean centroid; each vector's
+    // cosine to its OWN class centroid; bottom-3 per class (rounded-cos
+    // asc, vec_id tie-break) are the mislabeled/noise candidates a
+    // curation pass drops. Scale shape: centroids via map-side-combined
+    // (label, dim) partial sums (shuffle carries nClasses x dim doubles
+    // per partition, not vectors), broadcast back; cosine is the fused
+    // native expression; the rank filter is WindowGroupLimit-pushed. ----
+    "q119_embedding_outliers" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(avg(col("x")).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          t => t.getField("c")).as("cv"))
+      val sc = e.join(broadcast(cent), "label")
+        .select(col("label"), col("vec_id"),
+          round(graft.functions.ArrayNumeric.cosine(col("v"), col("cv")), 6)
+            .as("cos_c"))
+      val w = Window.partitionBy("label").orderBy(col("cos_c"), col("vec_id"))
+      sc.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 3)
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -3964,6 +4102,112 @@ object SparkEntry {
          UNION ALL SELECT 'mfpt_adjoint_vs_forward', 0.0
          UNION ALL SELECT 'committor_adjoint_vs_forward', 0.0
          UNION ALL SELECT 'n_states', (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
-           FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)"""
+           FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)""",
+
+    // aHash twin: replay decode (generating formula, exact per q70),
+    // the 8x8 nearest-neighbor stride (q110 double-division arithmetic),
+    // the mean threshold, and the per-half bit packing; then the same
+    // hash-group dedup stats. Integer shifts stay < 2^32 per half.
+    "q116_image_ahash" ->
+      """WITH d AS (SELECT doc_id, doc_id % 37 AS base FROM documents),
+         dims AS (SELECT doc_id, base,
+           CAST(6 + base % 5 AS BIGINT) AS w,
+           CAST(4 + (base * 3) % 4 AS BIGINT) AS h FROM d),
+         tp AS (SELECT doc_id, list_transform(range(0, 64), i ->
+             (base * 31 +
+              (CAST(floor((i // 8) * h / 8.0) AS BIGINT) * w +
+               CAST(floor((i % 8) * w / 8.0) AS BIGINT)) * 7) % 256) AS px
+           FROM dims),
+         m AS (SELECT doc_id, px,
+           CAST(list_sum(px) AS DOUBLE) / 64.0 AS avg64 FROM tp),
+         hsh AS (SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, 32), j ->
+             CASE WHEN px[j + 1] > avg64 THEN 1::BIGINT << j
+                  ELSE 0::BIGINT END)) AS BIGINT) AS ahash_lo,
+           CAST(list_sum(list_transform(range(0, 32), j ->
+             CASE WHEN px[j + 33] > avg64 THEN 1::BIGINT << j
+                  ELSE 0::BIGINT END)) AS BIGINT) AS ahash_hi
+           FROM m)
+         SELECT ahash_lo, ahash_hi, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_doc,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS dup_pairs
+         FROM hsh GROUP BY 1, 2""",
+
+    // TF-IDF twin: identical tokenization (q112 pairing), tf = cnt/nw,
+    // idf = ln(N/df), rank on the UNROUNDED score with term tie-break.
+    "q117_tfidf_topk" ->
+      """WITH w AS (SELECT doc_id,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS cnt FROM wf GROUP BY 1, 2),
+         nwt AS (SELECT doc_id, term, cnt,
+           sum(cnt) OVER (PARTITION BY doc_id) AS nw FROM tf),
+         dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         s AS (SELECT t.doc_id, t.term, t.cnt,
+           (CAST(t.cnt AS DOUBLE) / CAST(t.nw AS DOUBLE)) *
+             ln(CAST(n.n AS DOUBLE) / CAST(d.dfreq AS DOUBLE)) AS tfidf
+           FROM nwt t JOIN dfq d USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, cnt, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term) AS rk FROM s)
+         SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt,
+           round(tfidf, 6) AS tfidf, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3""",
+
+    // Naive Bayes twin: replays the add-1-smoothed per-class word
+    // log-probs, priors, and the argmax on the ROUNDED per-doc average
+    // log-likelihood with the class tie-break.
+    "q118_naive_bayes" ->
+      """WITH wds AS (SELECT doc_id, lang,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         wf AS (SELECT doc_id, lang, w FROM wds WHERE w <> ''),
+         cw AS (SELECT lang, w, count(*) AS c FROM wf GROUP BY 1, 2),
+         tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cw GROUP BY 1),
+         vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM wf),
+         pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
+         nall AS (SELECT count(*) AS nd_all FROM documents),
+         langs AS (SELECT DISTINCT lang FROM documents),
+         terms AS (SELECT f.doc_id, f.lang AS actual, l.lang AS cand,
+             ln(CAST(coalesce(cw.c, 0) + 1 AS DOUBLE) /
+                CAST(t.tot + vv.v AS DOUBLE)) AS ll
+           FROM wf f CROSS JOIN langs l
+           JOIN tot t ON t.lang = l.lang CROSS JOIN vv
+           LEFT JOIN cw ON cw.lang = l.lang AND cw.w = f.w),
+         sc AS (SELECT doc_id, actual, cand,
+             round((ln(CAST(p.nd AS DOUBLE) / CAST(n.nd_all AS DOUBLE)) +
+               sum(ll)) / count(*), 6) AS avg_ll
+           FROM terms JOIN pri p ON p.lang = cand CROSS JOIN nall n
+           GROUP BY doc_id, actual, cand, p.nd, n.nd_all),
+         r AS (SELECT doc_id, actual, cand, avg_ll,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY avg_ll DESC, cand) AS rk FROM sc)
+         SELECT doc_id, actual AS lang, cand AS pred_lang, avg_ll,
+           CAST(CASE WHEN cand = actual THEN 1 ELSE 0 END AS BIGINT) AS correct
+         FROM r WHERE rk = 1""",
+
+    // Embedding-outlier twin: per-label element-wise mean centroid
+    // (parallel unnest), cosine via list_dot_product in the exact fused-
+    // expression formula dot/(sqrt(xx)*sqrt(yy)), bottom-3 per label on
+    // the rounded cosine with vec_id tie-break.
+    "q119_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pos AS (SELECT vec_id, label,
+           unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM e),
+         cent AS (SELECT label, i, avg(x) AS c FROM pos GROUP BY 1, 2),
+         cl AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
+         sc AS (SELECT e.label, e.vec_id,
+             round(list_dot_product(e.v, cl.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cl.cv, cl.cv))), 6) AS cos_c
+           FROM e JOIN cl USING (label)),
+         r AS (SELECT label, vec_id, cos_c,
+           ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY cos_c, vec_id) AS rk FROM sc)
+         SELECT label, vec_id, cos_c, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3"""
   )
 }

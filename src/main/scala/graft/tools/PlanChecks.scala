@@ -43,6 +43,13 @@ object PlanChecks {
       ("no cartesian", !_.contains("CartesianProduct")))
     check("q108_asof_join")(
       ("no join operator at all", p => !p.contains("Join")))
+    check("q117_tfidf_topk")(
+      ("WindowGroupLimit pushdown present", _.contains("WindowGroupLimit")),
+      ("df table broadcast, not shuffled", _.contains("BroadcastHashJoin")))
+    check("q119_embedding_outliers")(
+      ("WindowGroupLimit pushdown present", _.contains("WindowGroupLimit")),
+      ("centroid broadcast, not shuffled", _.contains("BroadcastHashJoin")),
+      ("no cartesian", !_.contains("CartesianProduct")))
     if (failed > 0) { println(s"[plan] $failed FAILED"); sys.exit(1) }
     println("[plan] ALL PLAN CLAIMS HOLD")
     spark.stop()
