@@ -799,6 +799,66 @@ object SparkEntry {
       sc.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 3)
     }),
 
+    // ---- Zipf power-law fit (q120): corpus-health diagnostic — least-
+    // squares fit of ln(freq) = intercept - alpha*ln(rank) over the top
+    // 1000 words; alpha far from ~1 flags templated/spam corpora. The
+    // global rank window runs on the Zipf-bounded AGGREGATE (vocab-sized,
+    // same single-partition argument as the BPE word table), never the
+    // corpus; the fit is one closed-form aggregation of 5 sums. --------
+    "q120_zipf_fit" -> ((s, dir) => {
+      val tf = docs(s, dir).select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val ranked = tf
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
+        .where(col("rk") <= 1000)
+        .select(log(col("rk").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      val a = ranked.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      a.select(
+        round(-(col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("alpha"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 6).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"),
+        col("n").cast("long").as("n_points"))
+    }),
+
+    // ---- forward as-of join (q121): time-to-next-event labels — every
+    // event gets the user's EARLIEST strictly-later 'click' payload and
+    // the nanosecond delta to it (the training-target primitive: time-
+    // to-next-purchase/churn labels). Same single-exchange union-tag
+    // window as q108, order reversed. DuckDB's native ASOF LEFT JOIN
+    // with the < inequality is the independent twin. -------------------
+    "q121_asof_forward" -> ((s, dir) => {
+      val e = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
+          col("event_type"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("t"),
+          col("event_id").as("next_click_event_id"),
+          col("value").as("next_click_value"))
+      Joins.asofJoinForwardStrict(e, clicks, key = "user_id",
+          leftTime = "t", rightTime = "t")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("__match.next_click_event_id").as("next_click_event_id"),
+          // per-timestamp us truncation BEFORE the delta: DuckDB parses
+          // the parquet TIMESTAMP(NANOS) at us precision, so parity
+          // requires flooring each side, not the ns difference
+          expr("__match.__mt div 1000 - t div 1000").as("us_to_next_click"),
+          round(col("__match.next_click_value"), 6).as("next_click_value"))
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4208,6 +4268,40 @@ object SparkEntry {
            ROW_NUMBER() OVER (PARTITION BY label
              ORDER BY cos_c, vec_id) AS rk FROM sc)
          SELECT label, vec_id, cos_c, CAST(rk AS BIGINT) AS rk
-         FROM r WHERE rk <= 3"""
+         FROM r WHERE rk <= 3""",
+
+    // Zipf twin: identical tokenization + rank, the SAME raw-sums
+    // closed-form least squares (not DuckDB's regr_* builtins, whose
+    // internal arithmetic could differ pre-rounding).
+    "q120_zipf_fit" ->
+      """WITH w AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         tf AS (SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1),
+         rkd AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM tf),
+         pts AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+           FROM rkd WHERE rk <= 1000),
+         a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy FROM pts)
+         SELECT round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS alpha,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+           CAST(n AS BIGINT) AS n_points
+         FROM a""",
+
+    // Forward as-of twin: DuckDB's native ASOF LEFT JOIN with the <
+    // inequality (nearest strictly-later match) — again an independent
+    // implementation, not a replay; the delta uses epoch_ns to match
+    // Spark's nanosAsLong read of the TIMESTAMP(NANOS) column.
+    "q121_asof_forward" ->
+      """SELECT e.event_id, e.user_id, e.value,
+           c.event_id AS next_click_event_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS us_to_next_click,
+           round(c.value, 6) AS next_click_value
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND e.ts < c.ts"""
   )
 }

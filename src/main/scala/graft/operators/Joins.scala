@@ -63,6 +63,44 @@ object Joins {
       .drop("__t", "__tag", "__pay")
   }
 
+  /** Forward (next-event) as-of join: for every left row, attach the
+    * payload and time of the EARLIEST right row with the same key and
+    * `rightTime` STRICTLY after `leftTime` — the "time-to-next-event"
+    * label primitive of a training pipeline (e.g. time-to-next-purchase
+    * targets). Same union-tag single-exchange decomposition as
+    * `asofJoinStrict`, with the window order REVERSED (time desc): the
+    * running last-non-null then carries the nearest strictly-later right
+    * row. At equal timestamps the right copy sorts after the left row in
+    * the reversed order too, so strictness again falls out of the tag.
+    * The matched right time comes back as `__match.__mt` so callers can
+    * derive the time-to-next delta. Ties among right rows sharing
+    * (key, rightTime) resolve to the greatest payload struct
+    * (deterministic, as in `asofJoinStrict`). */
+  def asofJoinForwardStrict(left: DataFrame, right: DataFrame, key: String,
+                            leftTime: String, rightTime: String): DataFrame = {
+    val payloadCols = right.columns.filter(c => c != key && c != rightTime)
+    val pay = struct((col(rightTime).as("__mt") +:
+      payloadCols.map(col).toIndexedSeq): _*)
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(0))
+      .withColumn("__pay",
+        lit(null).cast(right.select(pay).schema.fields(0).dataType))
+    val r0 = right.select(col(key), col(rightTime).as("__t"), pay.as("__pay"))
+      .withColumn("__tag", lit(1))
+    val leftCols = left.columns
+    val r = leftCols.foldLeft(r0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
+    val unioned = l.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
+      .unionByName(r)
+    val w = Window.partitionBy(key).orderBy(col("__t").desc, col("__tag"), col("__pay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__tag") === 0)
+      .drop("__t", "__tag", "__pay")
+  }
+
   /** Interval (range) join: pair every point row with every interval row
     * whose [lo, hi] contains the point, without a nested-loop join.
     *

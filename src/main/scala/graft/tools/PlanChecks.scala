@@ -43,6 +43,8 @@ object PlanChecks {
       ("no cartesian", !_.contains("CartesianProduct")))
     check("q108_asof_join")(
       ("no join operator at all", p => !p.contains("Join")))
+    check("q121_asof_forward")(
+      ("no join operator at all", p => !p.contains("Join")))
     check("q117_tfidf_topk")(
       ("WindowGroupLimit pushdown present", _.contains("WindowGroupLimit")),
       ("df table broadcast, not shuffled", _.contains("BroadcastHashJoin")))

@@ -35,7 +35,7 @@ object ScaleAudit {
     // keep their similarity structure
     spark.range(copies).crossJoin(docs).select(
       (col("doc_id") + col("id") * 10000000L).as("doc_id"),
-      col("source"),
+      col("source"), col("lang"),
       when(col("id") === 0, col("text")).otherwise(
         concat_ws(" ", transform(split(col("text"), " "),
           (w, i) => when(pmod(i + col("id"), lit(7)) === 0,
@@ -78,8 +78,11 @@ object ScaleAudit {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+    // "payload"/"v" cover the audited queries' renamed binary/vector
+    // columns (q116's PNG bytes, q119's cast embedding)
     def payload(names: Seq[String]): Seq[String] =
-      names.filter(n => n == "text" || n == "embedding")
+      names.filter(n =>
+        n == "text" || n == "embedding" || n == "payload" || n == "v")
     inner.collect {
       case e: ShuffleExchangeExec => payload(e.output.map(_.name))
       case s: ShuffleQueryStageExec => payload(s.output.map(_.name))
@@ -104,7 +107,9 @@ object ScaleAudit {
     buildCorpus(spark, src, out)
 
     val targets = Seq("q21_minhash_candidates", "q76_dup_clusters",
-      "q86_cosine_neardup", "q92_dup_spans", "q104_dedup_keep_best")
+      "q86_cosine_neardup", "q92_dup_spans", "q104_dedup_keep_best",
+      "q116_image_ahash", "q117_tfidf_topk", "q118_naive_bayes",
+      "q119_embedding_outliers")
     var failures = 0
     targets.foreach { name =>
       val t0 = System.nanoTime()

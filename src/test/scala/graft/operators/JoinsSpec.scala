@@ -52,6 +52,56 @@ class JoinsSpec extends SparkSpec with Matchers {
     out shouldBe exp
   }
 
+  test("asofJoinForwardStrict: strictly-later semantics, ties excluded, no-match nulls") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, 5L),   // rights at 15, 25 -> matches 15 (earliest later)
+      (1L, 20L, 6L),   // right at 25 -> matches 25
+      (1L, 30L, 7L),   // nothing later -> null
+      (2L, 25L, 8L)    // right at 25 SAME time -> strict: matches 40
+    ).toDF("k", "t", "lv")
+    val right = Seq(
+      (1L, 15L, 100L), (1L, 25L, 200L), (2L, 25L, 300L), (2L, 40L, 400L)
+    ).toDF("k", "t", "rv")
+    val out = Joins.asofJoinForwardStrict(left, right, "k", "t", "t")
+      .select(col("k"), col("t"), col("lv"),
+        col("__match.rv").as("rv"), col("__match.__mt").as("mt"))
+      .orderBy("k", "t").collect()
+    out.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(3)) -1L else r.getLong(3),
+      if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq shouldBe Seq(
+      (1L, 10L, 100L, 15L), (1L, 20L, 200L, 25L), (1L, 30L, -1L, -1L),
+      (2L, 25L, 400L, 40L))
+  }
+
+  test("asofJoinForwardStrict matches a brute-force min-later computation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val left = (0 until 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, i.toLong))
+    val right = (0 until 200).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong * 2 + 1, i.toLong))
+    // expected = earliest strictly-later right; among equal-(k,t) rights
+    // the operator picks the greatest payload struct, so the brute force
+    // takes min time then max payload — no dedup needed
+    val exp = left.map { case (k, t, lv) =>
+      val cands = right.filter(r => r._1 == k && r._2 > t)
+      val m = if (cands.isEmpty) -1L else {
+        val tm = cands.map(_._2).min
+        cands.filter(_._2 == tm).map(_._3).max
+      }
+      (k, t, lv, m)
+    }.sortBy(x => (x._1, x._2, x._3))
+    val out = Joins.asofJoinForwardStrict(
+        left.toDF("k", "t", "lv"), right.toDF("k", "t", "rv"), "k", "t", "t")
+      .select(col("k"), col("t"), col("lv"), col("__match.rv").as("rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+    out shouldBe exp
+  }
+
   test("rangeJoin: exact containment incl. boundaries and bucket-spanning intervals") {
     import spark.implicits._
     val pts = Seq(0.0, 5.0, 10.0, 19.999, 20.0, 35.0, 60.0).zipWithIndex
