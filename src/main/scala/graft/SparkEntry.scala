@@ -859,6 +859,65 @@ object SparkEntry {
           round(col("__match.next_click_value"), 6).as("next_click_value"))
     }),
 
+    // ---- hard-negative mining (q122): contrastive-training data prep —
+    // for each of 20 deterministic anchor vectors, the top-3 most-cosine-
+    // similar vectors with a DIFFERENT label (the "hard negatives" an
+    // embedding trainer pairs with positives). Brute rung of the q23/q28
+    // ANN family: anchors broadcast, fused native cosine, rank on the
+    // ROUNDED score (vec_id tie-break); the LSH/IVF rungs apply unchanged
+    // at corpus scale with the label-exclusion pushed into the candidate
+    // filter. -----------------------------------------------------------
+    "q122_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val anchors = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+          col("v").as("av"))
+      val scored = e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
+        .select(col("anchor_id"), col("vec_id"),
+          round(graft.functions.ArrayNumeric.cosine(col("v"), col("av")), 6)
+            .as("cos_hn"))
+      val w = Window.partitionBy("anchor_id")
+        .orderBy(col("cos_hn").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+    }),
+
+    // ---- per-source distribution drift (q123): Jensen-Shannon
+    // divergence between each source's add-1-smoothed unigram
+    // distribution and the corpus distribution — the mixture-design
+    // diagnostic that flags templated/outlier sources before they skew a
+    // training mix. Scale shape: everything after the one corpus scan
+    // operates on Zipf-bounded MODEL tables (vocab x sources grid); the
+    // corpus itself never re-shuffles. ----------------------------------
+    "q123_source_divergence" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val words = d.select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+      val cw = words.groupBy("source", "w").agg(count(lit(1)).as("cs"))
+        .localCheckpoint()
+      val cAll = words.groupBy("w").agg(count(lit(1)).as("ca"))
+        .localCheckpoint()
+      val vocab = cAll.count()
+      val totAll = words.count()
+      val tots = cw.groupBy("source").agg(sum(col("cs")).as("tots"))
+      // vocab x sources grid (zero-count words still contribute their
+      // smoothed mass), then the sparse per-source counts rejoin
+      val grid = cAll.crossJoin(broadcast(tots))
+        .join(cw, Seq("source", "w"), "left")
+      val p = (coalesce(col("cs"), lit(0L)) + 1).cast("double") /
+        (col("tots") + vocab).cast("double")
+      val q = (col("ca") + 1).cast("double") / lit((totAll + vocab).toDouble)
+      val m = (p + q) / 2.0
+      grid.select(col("source"), col("tots"),
+          (p * log(p / m) * 0.5 + q * log(q / m) * 0.5).as("term"))
+        .groupBy("source")
+        .agg(round(sum(col("term")), 6).as("js_div"),
+          max(col("tots")).cast("long").as("n_tokens"))
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4302,6 +4361,53 @@ object SparkEntry {
          FROM events e ASOF LEFT JOIN
            (SELECT user_id, ts, event_id, value FROM events
             WHERE event_type = 'click') c
-           ON e.user_id = c.user_id AND e.ts < c.ts"""
+           ON e.user_id = c.user_id AND e.ts < c.ts""",
+
+    // Hard-negative twin: exhaustive different-label cosine ranking per
+    // anchor in the exact fused-expression formula, rank on the rounded
+    // score with the vec_id tie-break.
+    "q122_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+           FROM e WHERE vec_id < 20),
+         sc AS (SELECT a.anchor_id, e.vec_id,
+             round(list_dot_product(e.v, a.av) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(a.av, a.av))), 6) AS cos_hn
+           FROM e JOIN a ON e.label <> a.anchor_label),
+         r AS (SELECT anchor_id, vec_id, cos_hn,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+             ORDER BY cos_hn DESC, vec_id) AS rk FROM sc)
+         SELECT anchor_id, vec_id, cos_hn, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3""",
+
+    // JS-divergence twin: identical tokenization, add-1 smoothing over
+    // the shared vocab grid (zero-count words included), and the same
+    // term expression structure so pre-rounding arithmetic matches.
+    "q123_source_divergence" ->
+      """WITH wds AS (SELECT source,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         wf AS (SELECT source, w FROM wds WHERE w <> ''),
+         cw AS (SELECT source, w, count(*) AS cs FROM wf GROUP BY 1, 2),
+         ca AS (SELECT w, count(*) AS ca FROM wf GROUP BY 1),
+         vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ca),
+         ta AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM wf),
+         ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS tots
+           FROM cw GROUP BY 1),
+         grid AS (SELECT ts.source, ca.w, ca.ca, ts.tots,
+             coalesce(cw.cs, 0) AS cs
+           FROM ca CROSS JOIN ts
+           LEFT JOIN cw ON cw.source = ts.source AND cw.w = ca.w),
+         terms AS (SELECT source, tots,
+             CAST(cs + 1 AS DOUBLE) / CAST(tots + vv.v AS DOUBLE) AS p,
+             CAST(ca + 1 AS DOUBLE) / CAST(ta.tot + vv.v AS DOUBLE) AS q
+           FROM grid CROSS JOIN vv CROSS JOIN ta)
+         SELECT source,
+           round(sum(p * ln(p / ((p + q) / 2.0)) * 0.5 +
+                     q * ln(q / ((p + q) / 2.0)) * 0.5), 6) AS js_div,
+           CAST(max(tots) AS BIGINT) AS n_tokens
+         FROM terms GROUP BY source"""
   )
 }
