@@ -918,6 +918,55 @@ object SparkEntry {
           max(col("tots")).cast("long").as("n_tokens"))
     }),
 
+    // ---- inverted-index construction (q124): the search/retrieval-prep
+    // primitive — per term with document frequency >= 5, the top-10
+    // postings (doc_id by tf desc, doc_id tie-break) plus the term's df.
+    // ONE (doc, term) aggregation; the per-term rank filter is
+    // WindowGroupLimit-pushed so each map partition ships only its local
+    // top-10 per term; at corpus scale the postings cap bounds the
+    // output at O(vocab * k). --------------------------------------------
+    "q124_inverted_index" -> ((s, dir) => {
+      val tf = docs(s, dir).select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      val wd = Window.partitionBy("term")
+      val wr = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+      tf.withColumn("df", count(lit(1)).over(wd).cast("long"))
+        .withColumn("rk", row_number().over(wr).cast("long"))
+        .where(col("df") >= 5 && col("rk") <= 10)
+        .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"),
+          col("df"), col("rk"))
+    }),
+
+    // ---- mergeable-sketch re-aggregation (q125): the incremental-
+    // corpus-stats identity — HLL sketches built PER SOURCE, then
+    // union-merged, must land on byte-identical registers (hence the
+    // identical estimate) as one direct corpus-level sketch, because HLL
+    // union is per-register max. This is the property that lets a 100 TB
+    // pipeline keep per-partition/per-day sketches and re-aggregate
+    // without rescanning; the estimate itself is gated against the exact
+    // distinct count (DuckDB anchor) with the standard error bound. -----
+    "q125_sketch_merge" -> ((s, dir) => {
+      val words = docs(s, dir).select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+      val perSource = words.groupBy("source")
+        .agg(expr("hll_sketch_agg(w, 12)").as("sk"))
+      val merged = perSource
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+        .collect()(0).getLong(0)
+      val direct = words
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(w, 12))").as("est"))
+        .collect()(0).getLong(0)
+      val exact = words.select("w").distinct().count()
+      checksDf(s, Seq(
+        "merge_vs_direct_resid" -> math.abs(merged - direct).toDouble,
+        "est_relerr_over_5pct" ->
+          math.max(0.0, math.abs(direct - exact).toDouble / exact - 0.05),
+        "n_distinct_words" -> exact.toDouble))
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4408,6 +4457,32 @@ object SparkEntry {
            round(sum(p * ln(p / ((p + q) / 2.0)) * 0.5 +
                      q * ln(q / ((p + q) / 2.0)) * 0.5), 6) AS js_div,
            CAST(max(tots) AS BIGINT) AS n_tokens
-         FROM terms GROUP BY source"""
+         FROM terms GROUP BY source""",
+
+    // Inverted-index twin: same tokenization/aggregation/rank replay.
+    "q124_inverted_index" ->
+      """WITH w AS (SELECT doc_id,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM wf GROUP BY 1, 2),
+         r AS (SELECT term, doc_id, tf,
+           CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+           ROW_NUMBER() OVER (PARTITION BY term
+             ORDER BY tf DESC, doc_id) AS rk FROM tf)
+         SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, df,
+           CAST(rk AS BIGINT) AS rk
+         FROM r WHERE df >= 5 AND rk <= 10""",
+
+    // Sketch-merge battery twin: the merge-vs-direct register identity
+    // is checked Spark-side (exact zero); DuckDB anchors the exact
+    // distinct-word count.
+    "q125_sketch_merge" ->
+      """WITH toks AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents)
+         SELECT 'merge_vs_direct_resid' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'est_relerr_over_5pct', 0.0
+         UNION ALL SELECT 'n_distinct_words',
+           (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM toks WHERE w <> '')"""
   )
 }

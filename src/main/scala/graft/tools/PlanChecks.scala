@@ -48,6 +48,8 @@ object PlanChecks {
     check("q117_tfidf_topk")(
       ("WindowGroupLimit pushdown present", _.contains("WindowGroupLimit")),
       ("df table broadcast, not shuffled", _.contains("BroadcastHashJoin")))
+    check("q124_inverted_index")(
+      ("WindowGroupLimit pushdown present", _.contains("WindowGroupLimit")))
     check("q119_embedding_outliers")(
       ("WindowGroupLimit pushdown present", _.contains("WindowGroupLimit")),
       ("centroid broadcast, not shuffled", _.contains("BroadcastHashJoin")),
