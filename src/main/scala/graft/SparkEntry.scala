@@ -2749,10 +2749,12 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracle
 
-  /** DuckDB SQL twins for every SQL-expressible query (33 of 64). Keys
-    * omitted here get the driver's weaker rows-only check — those queries
-    * depend on JVM hashing, seeded JVM RNG streams, MLlib fits, or driver
-    * eigendecompositions/EM/Gibbs loops that DuckDB cannot reproduce. */
+  /** DuckDB SQL twins — one per query, no rows-only fallbacks
+    * (ContractSpec pins the key sets equal). Queries whose computation
+    * DuckDB cannot reproduce directly (JVM hashing, seeded RNG streams,
+    * MLlib fits, driver eigendecompositions/EM/Gibbs loops) are gated
+    * through battery checks: residuals that must be exactly zero plus
+    * exact-SQL anchors, so the twin still binds. */
   def oracleSql: Map[String, String] = Map(
 
     "q01_tpch_agg" ->
