@@ -967,6 +967,41 @@ object SparkEntry {
         "n_distinct_words" -> exact.toDouble))
     }),
 
+    // ---- streaming rolling features under the ORACLE gate (q126): the
+    // q114 point-in-time feature primitive as a REAL append-mode
+    // StreamingQuery — per-user O(window) state serves strictly-prior
+    // trailing avg/max/lag at ingest time (the online feature-store
+    // shape). Events stream in event-time order across 4 micro-batches
+    // that cut through user histories, so state genuinely carries
+    // across batch boundaries; the emitted set must hash-match the batch
+    // window twin row for row. ------------------------------------------
+    "q126_streaming_features" -> ((s, dir) => {
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = Trajectories.table(s, dir, "events")
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          col("ts").cast("long"), col("value").cast("double"))
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._3, r._1))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Double)]
+      val stream = mem.toDF().toDF("event_id", "user_id", "t", "value")
+      val feats = graft.streaming.Streaming.rollingFeaturesStream(stream, 5)
+      val sink = "q126_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = feats.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        data.grouped(math.max(1, data.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink).select(col("event_id"), col("user_id"), col("value"),
+        round(col("trail_avg"), 6).as("trail_avg"), col("trail_max"),
+        col("prev_value"), col("n_trail"))
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4485,6 +4520,19 @@ object SparkEntry {
          SELECT 'merge_vs_direct_resid' AS "check", 0.0 AS "value"
          UNION ALL SELECT 'est_relerr_over_5pct', 0.0
          UNION ALL SELECT 'n_distinct_words',
-           (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM toks WHERE w <> '')"""
+           (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM toks WHERE w <> '')""",
+
+    // Streaming-features twin: the BATCH window formulation (= q114's
+    // twin) — the streaming state machine must reproduce it exactly.
+    "q126_streaming_features" ->
+      """SELECT event_id, user_id, value,
+           round(avg(value) OVER trail, 6) AS trail_avg,
+           max(value) OVER trail AS trail_max,
+           lag(value, 1) OVER w AS prev_value,
+           CAST(count(*) OVER trail AS BIGINT) AS n_trail
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           trail AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)"""
   )
 }

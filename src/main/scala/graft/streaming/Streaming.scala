@@ -184,6 +184,48 @@ object Streaming {
     else withFp.dropDuplicates("fp")
   }
 
+  /** Per-user state for streaming rolling features: the trailing
+    * `window` values, oldest first. */
+  case class RollState(vals: List[Double])
+
+  /** Streaming rolling per-entity features — the stateful twin of the
+    * batch q114 window: per user, each event emits the STRICTLY-PRIOR
+    * trailing-`window` average/max, the lag-1 value, and the trailing
+    * count, then folds its own value into the state. Rows arrive in
+    * event-time order per user (the Kafka-partitioned-by-key contract;
+    * within a micro-batch they are sorted by (t, event_id)); state is
+    * O(window) doubles per user — the online feature-store shape that
+    * serves point-in-time-correct features at ingest time instead of
+    * recomputing the batch window. The trailing sum folds oldest-first,
+    * matching the batch window frame's accumulation order, so values are
+    * bit-identical to the batch path. */
+  def rollingFeaturesStream(stream: DataFrame, window: Int = 5): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("event_id").cast("long"), col("user_id").cast("long"),
+        col("t").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[RollState,
+        (Long, Long, Double, Option[Double], Option[Double], Option[Double], Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) { (user, rows, state) =>
+          var vals = state.getOption.map(_.vals).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Double, Option[Double], Option[Double], Option[Double], Long)]
+          rows.toSeq.sortBy(r => (r._3, r._1)).foreach { case (eid, _, _, v) =>
+            val n = vals.length
+            val avg = if (n == 0) None else Some(vals.sum / n)
+            val mx = if (n == 0) None else Some(vals.max)
+            out += ((eid, user, v, avg, mx, vals.lastOption, n.toLong))
+            vals = (vals :+ v).takeRight(window)
+          }
+          state.update(RollState(vals))
+          out.iterator
+        }
+      .toDF("event_id", "user_id", "value", "trail_avg", "trail_max",
+        "prev_value", "n_trail")
+  }
+
   /** Per-bucket state for streaming LSH near-dup candidates: the first
     * `maxStored` doc ids seen in the (band, band_hash) bucket. */
   case class BucketState(members: List[Long])

@@ -34,7 +34,9 @@ BASELINES = {
     # r05 first-appearance values
     "q87": 0.090, "q88": 0.332, "q89": 0.477, "q90": 0.949,
     # r06 first-appearance values
-    "q91": 0.850, "q92": 0.318, "q93": 0.263,
+    # q93 corrected late round 7: 0.263 was an artifact of the (since-
+    # fixed) corpus-window cache leak making bench pass 2 free
+    "q91": 0.850, "q92": 0.318, "q93": 1.381,
     # r07 first-appearance values (final quiet sweep, post native-shingle
     # optimization — q94-q100 were authored in r06 but BENCH_r06 never ran
     # driver-side, so their first driver record is r07)
@@ -45,7 +47,7 @@ BASELINES = {
     "q111": 3.314, "q112": 0.707, "q113": 1.832, "q114": 0.198, "q115": 0.854,
     "q116": 0.727, "q117": 0.981, "q118": 2.115, "q119": 0.475,
     "q120": 0.398, "q121": 0.292, "q122": 0.547, "q123": 0.815,
-    "q124": 0.667, "q125": 0.717,
+    "q124": 0.667, "q125": 0.717, "q126": 2.170,
 }
 
 
