@@ -975,7 +975,10 @@ object SparkEntry {
     // that cut through user histories, so state genuinely carries
     // across batch boundaries; the emitted set must hash-match the batch
     // window twin row for row. ------------------------------------------
-    "q126_streaming_features" -> ((s, dir) => {
+    "q126_streaming_features" -> ((s0, dir) => {
+      // isolated session: the 4-partition state-store sizing (q102
+      // rationale) must not leak into later queries on the shared session
+      val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", 4)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
