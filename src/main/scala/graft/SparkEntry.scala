@@ -1005,6 +1005,45 @@ object SparkEntry {
         col("prev_value"), col("n_trail"))
     }),
 
+    // ---- containment near-dup metrics (q127): the asymmetric dedup
+    // semantic — a short doc wholly quoted in a long one has containment
+    // ~1 while Jaccard stays low. Same candidate-driven verify shape as
+    // q20 over a deterministic selection; at corpus scale candidates come
+    // from the minhash banding exactly as q21. ---------------------------
+    "q127_containment" -> ((s, dir) => {
+      val sel = docs(s, dir).where(col("doc_id") % 43 === 0)
+      val ids = sel.select(col("doc_id"))
+      val pairs = ids.select(col("doc_id").as("a"))
+        .crossJoin(ids.select(col("doc_id").as("b")))
+        .where(col("a") < col("b"))
+      Dedup.ngramContainment(sel, pairs, 5)
+        .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+          round(col("jaccard"), 6).as("jaccard"),
+          round(col("containment"), 6).as("containment"))
+    }),
+
+    // ---- cross-source duplication matrix (q128): where duplication
+    // comes FROM — per (source, source) pair, the count of exact-dup doc
+    // pairs (shared fingerprint), the mixture-design view of q16. Only
+    // (fp, source, doc_id) tuples shuffle; the self-join fans out per
+    // fingerprint GROUP, which exact-dup group sizes keep small. ---------
+    "q128_cross_source_dup" -> ((s, dir) => {
+      // plant cross-source clones (every 10th doc mirrored under a
+      // tagged source) so the matrix is exercised at every SF — organic
+      // cross-source dups only appear at sf0.1+
+      val base = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("mirror_"), col("source")).as("source"), col("text")))
+      val f = aug.select(col("doc_id"), col("source"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      f.select(col("fp"), col("source").as("src_a"), col("doc_id").as("ida"))
+        .join(f.select(col("fp"), col("source").as("src_b"),
+          col("doc_id").as("idb")), "fp")
+        .where(col("ida") < col("idb"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("dup_pairs"))
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4536,6 +4575,38 @@ object SparkEntry {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
            trail AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)"""
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""",
+
+    // Containment twin: raw-substring shingle sets (cardinalities are
+    // hash-invariant, q20 convention), same guards and rounding.
+    "q127_containment" ->
+      """WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 43 = 0),
+         sh AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5))) AS s
+           FROM sel)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+           CAST(len(a.s) AS BIGINT) AS na, CAST(len(b.s) AS BIGINT) AS nb,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+             AS jaccard,
+           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+             CAST(least(len(a.s), len(b.s)) AS DOUBLE), 6) AS containment
+         FROM sh a, sh b
+         WHERE a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0""",
+
+    // Cross-source dup-matrix twin: same fingerprint, same directed-by-
+    // doc_id pair rule.
+    "q128_cross_source_dup" ->
+      """WITH aug AS (SELECT doc_id, source, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, 'mirror_' || source, text
+           FROM documents WHERE doc_id % 10 = 0),
+         f AS (SELECT doc_id, source,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM aug)
+         SELECT x.source AS src_a, y.source AS src_b,
+           CAST(count(*) AS BIGINT) AS dup_pairs
+         FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         GROUP BY 1, 2"""
   )
 }

@@ -143,6 +143,36 @@ object Dedup {
           size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
   }
 
+  /** Containment metrics for candidate pairs — the ASYMMETRIC near-dup
+    * semantic Jaccard misses: a short document wholly quoted inside a
+    * long one has containment ~1 while its Jaccard stays low (the union
+    * is dominated by the long doc). Returns per pair the intersection
+    * and set sizes, Jaccard, and max-directional containment
+    * |A∩B| / min(|A|,|B|). Same candidate-driven broadcast-semi-join
+    * shape as `ngramJaccard` (and the same 64-bit shingle hashing — all
+    * reported quantities are set CARDINALITIES, unchanged by hashing
+    * barring a ~1e-12 collision). */
+  def ngramContainment(docs: DataFrame, pairs: DataFrame, shingleLen: Int = 5,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val ids = pairs.select(col("a").as(idCol))
+      .union(pairs.select(col("b").as(idCol)))
+    val sh = docs.join(broadcast(ids), Seq(idCol), "left_semi").select(col(idCol),
+      array_distinct(graft.functions.Shingles.charHashes(col(textCol), shingleLen)).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"),
+        size(array_union(col("sha"), col("shb"))).cast("long").as("nu"))
+      .where(col("na") > 0 && col("nb") > 0)
+      .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") / col("nu").cast("double")).as("jaccard"),
+        (col("inter").cast("double") /
+          least(col("na"), col("nb")).cast("double")).as("containment"))
+  }
+
   /** 64-bit SimHash of whitespace tokens: bit j of the signature is the
     * sign of sum over tokens of (+1 if bit j of xxhash64(token) else -1).
     * Token hashing uses Spark's native xxhash64; the bit-vote is a native
