@@ -190,6 +190,50 @@ class StreamingSpec extends SparkSpec with Matchers {
   }
 
 
+  test("streaming rolling features equal the batch window on random data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new java.util.SplittableRandom(29L)
+    // 4 users x 40 events, distinct times per user, random values
+    val data = (0L until 4L).flatMap { u =>
+      (0L until 40L).map(t => (u * 100 + t, u, t * 3 + u, rng.nextDouble()))
+    }.sortBy(r => (r._3, r._1)) // event-time order across users
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    val stream = mem.toDF().toDF("event_id", "user_id", "t", "value")
+    val feats = Streaming.rollingFeaturesStream(stream, 5)
+    val query = feats.writeStream.format("memory")
+      .queryName("roll_out").outputMode("append").start()
+    // three chunks cutting through every user's history
+    data.grouped(55).foreach { chunk =>
+      mem.addData(chunk: _*)
+      query.processAllAvailable()
+    }
+    query.stop()
+    val streamed = spark.table("roll_out")
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(col("trail_avg"), 9).as("ta"), col("trail_max"),
+        col("prev_value"), col("n_trail")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5), r.getLong(6))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val trail = w.rowsBetween(-5, -1)
+    val batch = data.toDF("event_id", "user_id", "t", "value")
+      .select(col("event_id"), col("user_id"), col("value"),
+        round(avg(col("value")).over(trail), 9).as("ta"),
+        max(col("value")).over(trail).as("trail_max"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        count(lit(1)).over(trail).cast("long").as("n_trail")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5), r.getLong(6))).toSet
+    streamed shouldBe batch
+    batch.size shouldBe 4 * 40
+  }
+
   test("streaming count matrix (update mode) equals batch sliding counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
