@@ -1044,6 +1044,81 @@ object SparkEntry {
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("dup_pairs"))
     }),
 
+    // ---- stupid-backoff trigram LM (q129): the web-scale LM scoring
+    // rung above q103's interpolated bigram (Brants et al. 2007: no
+    // discounting, fixed 0.4 backoff — the scheme built FOR distributed
+    // count tables). Fit on even doc_ids, score the odd ones, so backoff
+    // genuinely fires on unseen trigrams/bigrams; the unigram floor is
+    // add-1-smoothed so OOV words stay finite. Scale shape: three
+    // Zipf-bounded count tables broadcast; scoring is one map-side
+    // multi-join + a per-doc aggregation. -------------------------------
+    "q129_trigram_backoff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val train = d.where(col("doc_id") % 2 === 0)
+      val test = d.where(col("doc_id") % 2 === 1)
+      def tris(src: DataFrame) = src.select(col("doc_id"),
+          explode(TextFunctions.wordShingles(lower(trim(col("text"))), 3)).as("g"))
+        .withColumn("p", split(col("g"), " "))
+        .select(col("doc_id"), col("p").getItem(0).as("w1"),
+          col("p").getItem(1).as("w2"), col("p").getItem(2).as("w3"))
+      val tri = tris(train).groupBy("w1", "w2", "w3")
+        .agg(count(lit(1)).as("c123")).localCheckpoint()
+      val big = train.select(
+          explode(TextFunctions.wordShingles(lower(trim(col("text"))), 2)).as("g"))
+        .select(substring_index(col("g"), " ", 1).as("x1"),
+          substring_index(col("g"), " ", -1).as("x2"))
+        .groupBy("x1", "x2").agg(count(lit(1)).as("cb")).localCheckpoint()
+      val uni = train.select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cu")).localCheckpoint()
+      val totals = uni.agg(sum(col("cu")), count(lit(1))).collect()(0)
+      val (nTok, vocab) = (totals.getLong(0), totals.getLong(1))
+      val scored = tris(test)
+        .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
+        .join(broadcast(big.select(col("x1").as("w1"), col("x2").as("w2"),
+          col("cb").as("c12"))), Seq("w1", "w2"), "left")
+        .join(broadcast(big.select(col("x1").as("w2"), col("x2").as("w3"),
+          col("cb").as("c23"))), Seq("w2", "w3"), "left")
+        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))),
+          Seq("w2"), "left")
+        .join(broadcast(uni.select(col("w").as("w3"), col("cu").as("c3"))),
+          Seq("w3"), "left")
+      val s1 = (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+        lit((nTok + vocab).toDouble)
+      val s2 = when(coalesce(col("c23"), lit(0L)) > 0,
+        col("c23").cast("double") / col("c2").cast("double"))
+        .otherwise(lit(0.4) * s1)
+      val s3 = when(coalesce(col("c123"), lit(0L)) > 0,
+        col("c123").cast("double") / col("c12").cast("double"))
+        .otherwise(lit(0.4) * s2)
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_trigrams"),
+          round(avg(-log(s3)), 6).as("avg_nll"))
+    }),
+
+    // ---- near-dup graph triangles (q130): graph analytics over the
+    // verified >= 0.6 Jaccard dup graph (q21's edge set) — triangle
+    // density distinguishes tight clone CLUSTERS from chains, informing
+    // whether keep-one-per-cluster (q76/q104) over- or under-deletes.
+    // The oriented wedge join (a<b<c) is the standard distributed
+    // triangle algorithm: two self-joins of the model-sized edge table,
+    // each triangle counted exactly once. -------------------------------
+    "q130_dup_triangles" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cand = Dedup.minhashCandidates(d, bands = 8, rowsPerBand = 5)
+        .localCheckpoint()
+      val e = Dedup.ngramJaccard(d, cand, 5).where(col("jaccard") >= 0.6)
+        .select(col("a"), col("b")).localCheckpoint()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+        .count()
+      import s.implicits._
+      Seq((e.count(), tri)).toDF("n_edges", "n_triangles")
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4607,6 +4682,63 @@ object SparkEntry {
          SELECT x.source AS src_a, y.source AS src_b,
            CAST(count(*) AS BIGINT) AS dup_pairs
          FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
-         GROUP BY 1, 2"""
+         GROUP BY 1, 2""",
+
+    // Stupid-backoff twin: same even/odd split, same three count tables
+    // (q115's list-window idiom), and the identical nested-CASE backoff
+    // expression structure.
+    "q129_trigram_backoff" ->
+      """WITH tr AS (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS l
+           FROM documents WHERE doc_id % 2 = 0),
+         te AS (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS l
+           FROM documents WHERE doc_id % 2 = 1),
+         t3tr AS (SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+           FROM (SELECT l, unnest(generate_series(1, len(l) - 2)) AS i FROM tr)),
+         tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM t3tr GROUP BY 1, 2, 3),
+         g2tr AS (SELECT l[i] AS x1, l[i+1] AS x2
+           FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM tr)),
+         big AS (SELECT x1, x2, count(*) AS cb FROM g2tr GROUP BY 1, 2),
+         unitr AS (SELECT w, count(*) AS cu
+           FROM (SELECT unnest(l) AS w FROM tr) WHERE w <> '' GROUP BY 1),
+         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS v FROM unitr),
+         t3te AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+           FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+                 FROM te)),
+         sc AS (SELECT t.doc_id,
+             CASE WHEN coalesce(tri.c123, 0) > 0
+                  THEN CAST(tri.c123 AS DOUBLE) / CAST(b12.cb AS DOUBLE)
+                  ELSE 0.4 * (CASE WHEN coalesce(b23.cb, 0) > 0
+                    THEN CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE)
+                    ELSE 0.4 * (CAST(coalesce(u3.cu, 0) + 1 AS DOUBLE) /
+                                CAST(tot.n + tot.v AS DOUBLE)) END) END AS s3
+           FROM t3te t
+           LEFT JOIN tri ON tri.w1 = t.w1 AND tri.w2 = t.w2 AND tri.w3 = t.w3
+           LEFT JOIN big b12 ON b12.x1 = t.w1 AND b12.x2 = t.w2
+           LEFT JOIN big b23 ON b23.x1 = t.w2 AND b23.x2 = t.w3
+           LEFT JOIN unitr u2 ON u2.w = t.w2
+           LEFT JOIN unitr u3 ON u3.w = t.w3
+           CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(avg(-ln(s3)), 6) AS avg_nll
+         FROM sc GROUP BY doc_id""",
+
+    // Triangle twin: the exact >= 0.6 edge set (q21's oracle derivation)
+    // plus the same oriented a<b<c wedge join.
+    "q130_dup_triangles" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS s
+           FROM documents WHERE len(text) >= 5),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         e AS (SELECT a, b FROM inter
+           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+           WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.6)
+         SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM e e1 JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"""
   )
 }
