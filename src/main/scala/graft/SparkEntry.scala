@@ -1119,6 +1119,33 @@ object SparkEntry {
       Seq((e.count(), tri)).toDF("n_edges", "n_triangles")
     }),
 
+    // ---- HTML boilerplate stripping (q131): the crawl-cleaning step —
+    // deterministic markup is injected by doc_id class (full page /
+    // inline tags / clean), then stripped: tags out, the common entities
+    // decoded, whitespace renormalized. The twin re-injects and re-cleans
+    // the identical strings, so a wrong tag regex, entity order, or
+    // collapse rule breaks the cleaned-text md5. Pure codegen column
+    // chain at the scan — no shuffle, no UDF. ---------------------------
+    "q131_html_strip" -> ((s, dir) => {
+      val id = col("doc_id")
+      val wrapped = when(pmod(id, lit(3)) === 0,
+          concat(lit("<html><head><title>T"), id.cast("string"),
+            lit("</title></head><body><p>"), col("text"),
+            lit("</p><div class=\"footer\">&copy; 2026 Example&nbsp;Corp</div></body></html>")))
+        .when(pmod(id, lit(3)) === 1,
+          concat(lit("<p>"), col("text"), lit("</p><br/><a href=\"http://x.example/"),
+            id.cast("string"), lit("\">link &amp; more</a>")))
+        .otherwise(col("text"))
+      val noTags = regexp_replace(wrapped, "<[^>]*>", " ")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        noTags, "&nbsp;", " "), "&copy;", "(c)"), "&amp;", "&")
+      val cleaned = trim(regexp_replace(decoded, "\\s+", " "))
+      docs(s, dir).select(id,
+        regexp_count(wrapped, lit("<[^>]*>")).cast("long").as("n_tags"),
+        length(cleaned).cast("long").as("clean_len"),
+        md5(cleaned.cast("binary")).as("clean_md5"))
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4739,6 +4766,31 @@ object SparkEntry {
          SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
            (SELECT CAST(count(*) AS BIGINT)
             FROM e e1 JOIN e e2 ON e1.b = e2.a
-            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles"""
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""",
+
+    // HTML-strip twin: re-inject and re-clean the identical strings
+    // (DuckDB has no regexp_count — len(regexp_extract_all), per the
+    // established gotcha).
+    "q131_html_strip" ->
+      """WITH w AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN
+             '<html><head><title>T' || CAST(doc_id AS VARCHAR) ||
+             '</title></head><body><p>' || text ||
+             '</p><div class="footer">&copy; 2026 Example&nbsp;Corp</div></body></html>'
+           WHEN doc_id % 3 = 1 THEN
+             '<p>' || text || '</p><br/><a href="http://x.example/' ||
+             CAST(doc_id AS VARCHAR) || '">link &amp; more</a>'
+           ELSE text END AS wrapped FROM documents),
+         c AS (SELECT doc_id, wrapped,
+           trim(regexp_replace(
+             replace(replace(replace(
+               regexp_replace(wrapped, '<[^>]*>', ' ', 'g'),
+               '&nbsp;', ' '), '&copy;', '(c)'), '&amp;', '&'),
+             '\s+', ' ', 'g')) AS cleaned FROM w)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(wrapped, '<[^>]*>')) AS BIGINT) AS n_tags,
+           CAST(len(cleaned) AS BIGINT) AS clean_len,
+           md5(cleaned) AS clean_md5
+         FROM c"""
   )
 }
