@@ -716,16 +716,19 @@ object SparkEntry {
       val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
       val nw = Window.partitionBy("doc_id")
+      // rank on the ROUNDED score (q118/q119/q122 convention): JVM log
+      // and libm ln are only 1-ulp-accurate, so an unrounded rank could
+      // order near-tied terms differently than the twin
       val scored = tf.withColumn("nw", sum(col("cnt")).over(nw))
         .join(broadcast(dfreq), "term")
-        .withColumn("tfidf",
+        .withColumn("tfidf", round(
           (col("cnt").cast("double") / col("nw").cast("double")) *
-            log(lit(nDocs.toDouble) / col("dfreq").cast("double")))
+            log(lit(nDocs.toDouble) / col("dfreq").cast("double")), 6))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
         .select(col("doc_id"), col("term"), col("cnt").cast("long").as("cnt"),
-          round(col("tfidf"), 6).as("tfidf"), col("rk"))
+          col("tfidf"), col("rk"))
     }),
 
     // ---- multinomial Naive Bayes language classifier (q118): the
@@ -844,7 +847,11 @@ object SparkEntry {
       val e = Trajectories.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
           col("event_type"), col("value"))
+      // same (user, time) click dedup as q108 — the ASOF twin's
+      // equal-timestamp pick is arbitrary, so pin it on both sides
+      val cw = Window.partitionBy("user_id", "t").orderBy(col("event_id").desc)
       val clicks = e.where(col("event_type") === "click")
+        .withColumn("rn", row_number().over(cw)).where(col("rn") === 1)
         .select(col("user_id"), col("t"),
           col("event_id").as("next_click_event_id"),
           col("value").as("next_click_value"))
@@ -898,10 +905,12 @@ object SparkEntry {
         .where(col("w") =!= "")
       val cw = words.groupBy("source", "w").agg(count(lit(1)).as("cs"))
         .localCheckpoint()
-      val cAll = words.groupBy("w").agg(count(lit(1)).as("ca"))
+      // the corpus margin and totals DERIVE from cw (exact integer sums)
+      // — one corpus scan total, everything downstream is model-sized
+      val cAll = cw.groupBy("w").agg(sum(col("cs")).as("ca"))
         .localCheckpoint()
-      val vocab = cAll.count()
-      val totAll = words.count()
+      val vt = cAll.agg(count(lit(1)), sum(col("ca"))).collect()(0)
+      val (vocab, totAll) = (vt.getLong(0), vt.getLong(1))
       val tots = cw.groupBy("source").agg(sum(col("cs")).as("tots"))
       // vocab x sources grid (zero-count words still contribute their
       // smoothed mass), then the sparse per-source counts rejoin
@@ -956,10 +965,11 @@ object SparkEntry {
       val merged = perSource
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
         .collect()(0).getLong(0)
-      val direct = words
-        .agg(expr("hll_sketch_estimate(hll_sketch_agg(w, 12))").as("est"))
-        .collect()(0).getLong(0)
-      val exact = words.select("w").distinct().count()
+      // direct sketch + exact distinct share ONE corpus pass
+      val de = words.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(w, 12))").as("est"),
+        countDistinct(col("w")).as("exact")).collect()(0)
+      val (direct, exact) = (de.getLong(0), de.getLong(1))
       checksDf(s, Seq(
         "merge_vs_direct_resid" -> math.abs(merged - direct).toDouble,
         "est_relerr_over_5pct" ->
@@ -1030,10 +1040,12 @@ object SparkEntry {
     "q128_cross_source_dup" -> ((s, dir) => {
       // plant cross-source clones (every 10th doc mirrored under a
       // tagged source) so the matrix is exercised at every SF — organic
-      // cross-source dups only appear at sf0.1+
+      // cross-source dups only appear at sf0.1+. Mirror ids are NEGATIVE
+      // (-id-1), collision-free against any nonnegative corpus id range
+      // (a fixed +1e6 offset would collide on a >= 1M-doc corpus)
       val base = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
       val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
+        .select((-col("doc_id") - 1).as("doc_id"),
           concat(lit("mirror_"), col("source")).as("source"), col("text")))
       val f = aug.select(col("doc_id"), col("source"),
         TextFunctions.fingerprint(col("text")).as("fp"))
@@ -1272,7 +1284,12 @@ object SparkEntry {
       val e = Trajectories.table(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
           col("event_type"), col("value"))
+      // dedup clicks per (user_id, t) keeping max event_id: DuckDB's
+      // ASOF twin picks ARBITRARILY among equal-timestamp matches, so
+      // parity requires at most one click per (user, time) on both sides
+      val cw = Window.partitionBy("user_id", "t").orderBy(col("event_id").desc)
       val clicks = e.where(col("event_type") === "click")
+        .withColumn("rn", row_number().over(cw)).where(col("rn") === 1)
         .select(col("user_id"), col("t"),
           col("event_id").as("prior_click_event_id"),
           col("value").as("prior_click_value"))
@@ -3647,7 +3664,9 @@ object SparkEntry {
            round(c.value, 6) AS prior_click_value
          FROM events e ASOF LEFT JOIN
            (SELECT user_id, ts, event_id, value FROM events
-            WHERE event_type = 'click') c
+            WHERE event_type = 'click'
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+              ORDER BY event_id DESC) = 1) c
            ON e.user_id = c.user_id AND e.ts > c.ts""",
 
     // Range-join twin: plain BETWEEN join (DuckDB plans an IEJoin) +
@@ -4483,7 +4502,7 @@ object SparkEntry {
          FROM hsh GROUP BY 1, 2""",
 
     // TF-IDF twin: identical tokenization (q112 pairing), tf = cnt/nw,
-    // idf = ln(N/df), rank on the UNROUNDED score with term tie-break.
+    // idf = ln(N/df), rank on the ROUNDED score with term tie-break.
     "q117_tfidf_topk" ->
       """WITH w AS (SELECT doc_id,
            unnest(str_split_regex(trim(lower(text)), '\s+')) AS term
@@ -4495,14 +4514,14 @@ object SparkEntry {
          dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
          n AS (SELECT count(*) AS n FROM documents),
          s AS (SELECT t.doc_id, t.term, t.cnt,
-           (CAST(t.cnt AS DOUBLE) / CAST(t.nw AS DOUBLE)) *
-             ln(CAST(n.n AS DOUBLE) / CAST(d.dfreq AS DOUBLE)) AS tfidf
+           round((CAST(t.cnt AS DOUBLE) / CAST(t.nw AS DOUBLE)) *
+             ln(CAST(n.n AS DOUBLE) / CAST(d.dfreq AS DOUBLE)), 6) AS tfidf
            FROM nwt t JOIN dfq d USING (term) CROSS JOIN n),
          r AS (SELECT doc_id, term, cnt, tfidf,
            ROW_NUMBER() OVER (PARTITION BY doc_id
              ORDER BY tfidf DESC, term) AS rk FROM s)
          SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt,
-           round(tfidf, 6) AS tfidf, CAST(rk AS BIGINT) AS rk
+           tfidf, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 3""",
 
     // Naive Bayes twin: replays the add-1-smoothed per-class word
@@ -4590,7 +4609,9 @@ object SparkEntry {
            round(c.value, 6) AS next_click_value
          FROM events e ASOF LEFT JOIN
            (SELECT user_id, ts, event_id, value FROM events
-            WHERE event_type = 'click') c
+            WHERE event_type = 'click'
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+              ORDER BY event_id DESC) = 1) c
            ON e.user_id = c.user_id AND e.ts < c.ts""",
 
     // Hard-negative twin: exhaustive different-label cosine ranking per
@@ -4701,7 +4722,7 @@ object SparkEntry {
     // doc_id pair rule.
     "q128_cross_source_dup" ->
       """WITH aug AS (SELECT doc_id, source, text FROM documents
-           UNION ALL SELECT doc_id + 1000000, 'mirror_' || source, text
+           UNION ALL SELECT -doc_id - 1, 'mirror_' || source, text
            FROM documents WHERE doc_id % 10 = 0),
          f AS (SELECT doc_id, source,
            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

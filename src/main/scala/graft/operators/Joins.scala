@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,31 +36,8 @@ object Joins {
   def asofJoinStrict(left: DataFrame, right: DataFrame, key: String,
                      leftTime: String, rightTime: String): DataFrame = {
     val payloadCols = right.columns.filter(c => c != key && c != rightTime)
-    val pay = struct(payloadCols.map(col).toIndexedSeq: _*)
-    val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(0))
-      .withColumn("__pay",
-        lit(null).cast(right.select(pay).schema.fields(0).dataType))
-    val r0 = right.select(col(key), col(rightTime).as("__t"), pay.as("__pay"))
-      .withColumn("__tag", lit(1))
-    // align schemas: right rows carry nulls for left columns
-    val leftCols = left.columns
-    val r = leftCols.foldLeft(r0) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
-    val unioned = l.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
-      .unionByName(r)
-    // __pay as the final sort key makes ties among right rows sharing
-    // (key, rightTime) deterministic: last() then picks the greatest
-    // payload struct instead of an arbitrary partition-order-dependent
-    // one. (Payload columns must be orderable types — true for the
-    // scalar payloads this operator targets.)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__tag"), col("__pay"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))
-      .where(col("__tag") === 0)
-      .drop("__t", "__tag", "__pay")
+    unionTagAsof(left, right, key, leftTime, rightTime,
+      struct(payloadCols.map(col).toIndexedSeq: _*), descending = false)
   }
 
   /** Forward (next-event) as-of join: for every left row, attach the
@@ -79,13 +56,28 @@ object Joins {
   def asofJoinForwardStrict(left: DataFrame, right: DataFrame, key: String,
                             leftTime: String, rightTime: String): DataFrame = {
     val payloadCols = right.columns.filter(c => c != key && c != rightTime)
-    val pay = struct((col(rightTime).as("__mt") +:
-      payloadCols.map(col).toIndexedSeq): _*)
+    unionTagAsof(left, right, key, leftTime, rightTime,
+      struct((col(rightTime).as("__mt") +:
+        payloadCols.map(col).toIndexedSeq): _*), descending = true)
+  }
+
+  /** Shared union-tag as-of core: tag left 0 / right 1, align schemas,
+    * ONE per-key window ordered by (time [desc], tag, payload), carry
+    * the last non-null payload. The tag order makes equal-timestamp
+    * right rows invisible to the left row (strictness) in both
+    * directions; the payload sort key makes same-(key, time) right-row
+    * ties deterministic (greatest payload struct wins — payload columns
+    * must be orderable types, true for the scalar payloads this
+    * operator targets). */
+  private def unionTagAsof(left: DataFrame, right: DataFrame, key: String,
+                           leftTime: String, rightTime: String,
+                           pay: Column, descending: Boolean): DataFrame = {
     val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(0))
       .withColumn("__pay",
         lit(null).cast(right.select(pay).schema.fields(0).dataType))
     val r0 = right.select(col(key), col(rightTime).as("__t"), pay.as("__pay"))
       .withColumn("__tag", lit(1))
+    // align schemas: right rows carry nulls for left columns
     val leftCols = left.columns
     val r = leftCols.foldLeft(r0) { (df, c) =>
       if (df.columns.contains(c)) df
@@ -93,7 +85,8 @@ object Joins {
     }.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
     val unioned = l.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
       .unionByName(r)
-    val w = Window.partitionBy(key).orderBy(col("__t").desc, col("__tag"), col("__pay"))
+    val tOrd = if (descending) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(key).orderBy(tOrd, col("__tag"), col("__pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(w))

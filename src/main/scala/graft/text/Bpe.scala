@@ -65,13 +65,19 @@ object Bpe {
     out.result()
   }
 
+  /** The one tokenize/filter/group pipeline both frequency entry points
+    * share — a tokenization tweak must reach them together or the q100
+    * anchor identity between the training table and the totals breaks. */
+  private def groupedWords(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+
   /** The distributed step: lowercased whitespace word frequencies,
     * truncated deterministically to the `maxVocab` most frequent. */
   def wordFrequencies(docs: DataFrame, maxVocab: Int,
                       textCol: String = "text"): Array[(String, Long)] =
-    docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("c"))
+    groupedWords(docs, textCol)
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -118,11 +124,7 @@ object Bpe {
   def wordFrequenciesWithTotals(docs: DataFrame, maxVocab: Int,
                                 textCol: String = "text"):
       (Array[(String, Long)], Long, Long) = {
-    val grouped = docs
-      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    val grouped = groupedWords(docs, textCol).localCheckpoint()
     val t = grouped.agg(count(lit(1)).cast("long").as("nd"),
       sum(col("c")).cast("long").as("tot")).collect()(0)
     val wf = grouped.orderBy(col("c").desc, col("w").asc).limit(maxVocab)
