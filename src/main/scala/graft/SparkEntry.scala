@@ -1158,6 +1158,28 @@ object SparkEntry {
         md5(cleaned.cast("binary")).as("clean_md5"))
     }),
 
+    // ---- temperature mixture sampling (q132): the multi-source mixing
+    // scheme of multilingual/multi-corpus training (alpha-weighted:
+    // small sources up-weighted relative to size) — per-source quota
+    // floor(12*sqrt(n_s)) (alpha = 0.5), filled by the deterministic
+    // affine-hash order (q88's RNG-free sampling), so re-runs and
+    // re-crawls keep the same docs. sqrt/mul/floor are all IEEE-exact,
+    // so the quota boundary is bit-identical across engines. One
+    // per-source window; quotas broadcast. ------------------------------
+    "q132_temperature_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quotas = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .select(col("source"),
+          floor(sqrt(col("n").cast("double")) * 12.0).cast("long").as("quota"))
+      val w = Window.partitionBy("source")
+        .orderBy(Packing.sampleHashPpm(col("doc_id")), col("doc_id"))
+      d.select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), "source")
+        .where(col("rk") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("rk"), col("quota"))
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4812,6 +4834,22 @@ object SparkEntry {
            CAST(len(regexp_extract_all(wrapped, '<[^>]*>')) AS BIGINT) AS n_tags,
            CAST(len(cleaned) AS BIGINT) AS clean_len,
            md5(cleaned) AS clean_md5
-         FROM c"""
+         FROM c""",
+
+    // Temperature-mixture twin: same sqrt quota (IEEE-exact on both
+    // engines) and the same affine hash order (q88's constants;
+    // 506952114 = 2654435761 % 2147483647).
+    "q132_temperature_mixture" ->
+      """WITH q AS (SELECT source,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 12.0) AS BIGINT) AS quota
+           FROM documents GROUP BY 1),
+         h AS (SELECT doc_id, source,
+           ((doc_id % 2147483647) * 506952114 + 101) % 2147483647 % 1000000 AS hv
+           FROM documents),
+         r AS (SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+           FROM h)
+         SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk, q.quota
+         FROM r JOIN q USING (source) WHERE r.rk <= q.quota"""
   )
 }
