@@ -1180,6 +1180,34 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("rk"), col("quota"))
     }),
 
+    // ---- real BMP decode, oracle-checked end to end (q133): the third
+    // genuine codec (after PNG q70 / WAV q74) — 8-bit paletted gray,
+    // BOTTOM-UP rows padded to 4-byte boundaries (widths 3..9 make the
+    // padding branch fire on most docs). The oracle recomputes pixel
+    // sums from the generating formula, so a wrong row order or pad
+    // stride breaks the hash. -------------------------------------------
+    "q133_bmp_decode" -> ((s, dir) => {
+      val mk = udf { (docId: Long) =>
+        val w = (3 + docId % 7).toInt
+        val h = (2 + (docId * 5) % 4).toInt
+        val px = Array.tabulate(w * h)(i => ((docId * 17 + i * 11) % 256).toByte)
+        graft.multimodal.BmpCodec.encode(w, h, px)
+      }
+      val dec = udf { (bytes: Array[Byte]) =>
+        graft.multimodal.BmpCodec.decode(bytes).map { d =>
+          (d.width, d.height, d.pixels.length.toLong,
+            d.pixels.map(p => (p & 0xFF).toLong).sum)
+        }.orNull
+      }
+      docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
+        .select(col("doc_id"), dec(col("payload"))
+          .cast("struct<width: int, height: int, n_px: bigint, px_sum: bigint>")
+          .as("d"))
+        .select(col("doc_id"), col("d.width").as("width"),
+          col("d.height").as("height"), col("d.n_px").as("n_px"),
+          col("d.px_sum").as("px_sum"))
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4850,6 +4878,17 @@ object SparkEntry {
            ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
            FROM h)
          SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk, q.quota
-         FROM r JOIN q USING (source) WHERE r.rk <= q.quota"""
+         FROM r JOIN q USING (source) WHERE r.rk <= q.quota""",
+
+    // BMP twin: replay the generating formula (q70 convention — decode
+    // correctness is gated by the formula-derived pixel sums).
+    "q133_bmp_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 7 AS INT) AS width,
+           CAST(2 + (doc_id * 5) % 4 AS INT) AS height FROM documents)
+         SELECT doc_id, width, height,
+           CAST(width * height AS BIGINT) AS n_px,
+           CAST(list_sum(list_transform(range(0, width * height),
+             i -> (doc_id * 17 + i * 11) % 256)) AS BIGINT) AS px_sum
+         FROM d"""
   )
 }
