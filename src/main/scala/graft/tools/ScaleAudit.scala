@@ -109,7 +109,9 @@ object ScaleAudit {
     val targets = Seq("q21_minhash_candidates", "q76_dup_clusters",
       "q86_cosine_neardup", "q92_dup_spans", "q104_dedup_keep_best",
       "q116_image_ahash", "q117_tfidf_topk", "q118_naive_bayes",
-      "q119_embedding_outliers", "q127_containment", "q128_cross_source_dup")
+      "q119_embedding_outliers", "q127_containment", "q128_cross_source_dup",
+      "q129_trigram_backoff", "q131_html_strip", "q132_temperature_mixture",
+      "q133_bmp_decode")
     var failures = 0
     targets.foreach { name =>
       val t0 = System.nanoTime()
