@@ -1208,6 +1208,43 @@ object SparkEntry {
           col("d.px_sum").as("px_sum"))
     }),
 
+    // ---- session path mining (q134): funnel/journey analytics — per
+    // q78-rule session, the ordered event-type path (capped at the first
+    // 5 steps), then the top-20 most common paths. The per-session
+    // sequence is built by sort_array over (time, event_id, type)
+    // structs, so ordering is deterministic; paths aggregate to a
+    // Zipf-bounded table before the top-k. -------------------------------
+    "q134_session_paths" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("event_type"))
+      val paths = Trajectories.sessionize(ev, gapMicros = 30000000000L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(array_join(transform(
+          slice(sort_array(collect_list(struct(col("tsu"), col("event_id"),
+            col("event_type")))), 1, 5),
+          t => t.getField("event_type")), ">").as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    }),
+
+    // ---- cohort retention (q135): the product-analytics staple — users
+    // bucketed by first-activity week; for every (cohort week, week
+    // offset) the count of distinct users still active. One exchange
+    // (the per-user window) + one model-sized aggregation. --------------
+    "q135_cohort_retention" -> ((s, dir) => {
+      val wk = Trajectories.table(s, dir, "events")
+        .select(col("user_id"),
+          expr("(ts div 1000) div 604800000000").as("week"))
+        .distinct()
+      val uw = Window.partitionBy("user_id")
+      wk.withColumn("cohort_week", min(col("week")).over(uw))
+        .select(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"), col("user_id"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4889,6 +4926,36 @@ object SparkEntry {
            CAST(width * height AS BIGINT) AS n_px,
            CAST(list_sum(list_transform(range(0, width * height),
              i -> (doc_id * 17 + i * 11) % 256)) AS BIGINT) AS px_sum
-         FROM d"""
+         FROM d""",
+
+    // Session-path twin: the q78 gap rule, ordered-list path capped at
+    // 5 steps, same (count desc, path) top-20.
+    "q134_session_paths" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+           FROM events),
+         s AS (SELECT user_id, tsu, event_id, event_type,
+           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
+             THEN 1 ELSE 0 END AS brk
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         x AS (SELECT user_id, tsu, event_id, event_type,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess
+           FROM s),
+         p AS (SELECT user_id, sess,
+           array_to_string(list(event_type ORDER BY tsu, event_id)[1:5], '>') AS path
+           FROM x GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20""",
+
+    // Cohort twin: same integer week bucketing of the us epoch.
+    "q135_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+           epoch_us(ts) // 604800000000 AS week FROM events),
+         c AS (SELECT user_id, week,
+           min(week) OVER (PARTITION BY user_id) AS cohort_week FROM wk)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM c GROUP BY 1, 2"""
   )
 }
