@@ -1245,6 +1245,63 @@ object SparkEntry {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // ---- funnel conversion (q136): ordered view -> click -> purchase
+    // within a q78-rule session — each step's earliest time must be
+    // STRICTLY after the previous step's (the standard ordered-funnel
+    // semantics). Three conditional-min aggregations over the sessionized
+    // events; output is one row of step counts + rounded conversion
+    // fractions. --------------------------------------------------------
+    "q136_funnel" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("event_type"))
+      val sess = Trajectories.sessionize(ev, gapMicros = 30000000000L)
+        .localCheckpoint()
+      val t1 = sess.groupBy("user_id", "session_idx")
+        .agg(min(when(col("event_type") === "view", col("tsu"))).as("t1"))
+        .where(col("t1").isNotNull)
+      val t2 = sess.join(t1, Seq("user_id", "session_idx"))
+        .where(col("event_type") === "click" && col("tsu") > col("t1"))
+        .groupBy("user_id", "session_idx").agg(min(col("tsu")).as("t2"))
+      val t3 = sess.join(t2, Seq("user_id", "session_idx"))
+        .where(col("event_type") === "purchase" && col("tsu") > col("t2"))
+        .groupBy("user_id", "session_idx").agg(min(col("tsu")).as("t3"))
+      val nAll = sess.select("user_id", "session_idx").distinct().count()
+      val n1 = t1.count(); val n2 = t2.count(); val n3 = t3.count()
+      import s.implicits._
+      Seq((nAll, n1, n2, n3,
+        r6(n1.toDouble / nAll.toDouble),
+        r6(n2.toDouble / math.max(n1, 1L).toDouble),
+        r6(n3.toDouble / math.max(n2, 1L).toDouble)))
+        .toDF("n_sessions", "n_view", "n_view_click", "n_full_funnel",
+          "view_rate", "click_after_view_rate", "purchase_after_click_rate")
+    }),
+
+    // ---- lang x source independence (q137): dataset bias detection —
+    // the Pearson chi-square statistic over the language/source
+    // contingency table (a skewed crawl shows up as a huge chi2). The
+    // contingency table is model-sized (|langs| x |sources|); the
+    // statistic is one closed-form aggregation over it. -----------------
+    "q137_chi_square" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        .localCheckpoint()
+      val rowT = cells.groupBy("lang").agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy("source").agg(sum(col("o")).as("ct"))
+      val n = d.count()
+      val withE = cells.join(broadcast(rowT), "lang")
+        .join(broadcast(colT), "source")
+        .select((col("rt") * col("ct")).cast("double")./(lit(n.toDouble)).as("e"),
+          col("o").cast("double").as("od"))
+      val chi2 = withE
+        .agg(sum((col("od") - col("e")) * (col("od") - col("e")) / col("e")))
+        .collect()(0).getDouble(0)
+      val (nr, nc) = (rowT.count(), colT.count())
+      import s.implicits._
+      Seq((r6(chi2), (nr - 1) * (nc - 1), n))
+        .toDF("chi2", "dof", "n_docs")
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -4956,6 +5013,61 @@ object SparkEntry {
            min(week) OVER (PARTITION BY user_id) AS cohort_week FROM wk)
          SELECT cohort_week, week - cohort_week AS week_offset,
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM c GROUP BY 1, 2"""
+         FROM c GROUP BY 1, 2""",
+
+    // Funnel twin: the q78 session rule + the same three strictly-after
+    // conditional-min steps.
+    "q136_funnel" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+           FROM events),
+         s0 AS (SELECT user_id, tsu, event_id, event_type,
+           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
+             THEN 1 ELSE 0 END AS brk
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         x AS (SELECT user_id, tsu, event_type,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess
+           FROM s0),
+         t1 AS (SELECT user_id, sess,
+             min(CASE WHEN event_type = 'view' THEN tsu END) AS t1
+           FROM x GROUP BY 1, 2 HAVING t1 IS NOT NULL),
+         t2 AS (SELECT x.user_id, x.sess, min(x.tsu) AS t2
+           FROM x JOIN t1 ON x.user_id = t1.user_id AND x.sess = t1.sess
+           WHERE x.event_type = 'click' AND x.tsu > t1.t1 GROUP BY 1, 2),
+         t3 AS (SELECT x.user_id, x.sess, min(x.tsu) AS t3
+           FROM x JOIN t2 ON x.user_id = t2.user_id AND x.sess = t2.sess
+           WHERE x.event_type = 'purchase' AND x.tsu > t2.t2 GROUP BY 1, 2),
+         c AS (SELECT
+           (SELECT count(*) FROM (SELECT DISTINCT user_id, sess FROM x)) AS na,
+           (SELECT count(*) FROM t1) AS n1,
+           (SELECT count(*) FROM t2) AS n2,
+           (SELECT count(*) FROM t3) AS n3)
+         SELECT CAST(na AS BIGINT) AS n_sessions, CAST(n1 AS BIGINT) AS n_view,
+           CAST(n2 AS BIGINT) AS n_view_click,
+           CAST(n3 AS BIGINT) AS n_full_funnel,
+           round(CAST(n1 AS DOUBLE) / CAST(na AS DOUBLE), 6) AS view_rate,
+           round(CAST(n2 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE), 6)
+             AS click_after_view_rate,
+           round(CAST(n3 AS DOUBLE) / CAST(greatest(n2, 1) AS DOUBLE), 6)
+             AS purchase_after_click_rate
+         FROM c""",
+
+    // Chi-square twin: same expected-count and statistic structure over
+    // the contingency table.
+    "q137_chi_square" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS o FROM documents
+           GROUP BY 1, 2),
+         rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         terms AS (SELECT
+             CAST(cells.o AS DOUBLE) AS od,
+             CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+           FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n)
+         SELECT round(sum((od - e) * (od - e) / e), 6) AS chi2,
+           CAST(((SELECT count(*) FROM rt) - 1) *
+                ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+           CAST((SELECT n FROM n) AS BIGINT) AS n_docs
+         FROM terms"""
   )
 }

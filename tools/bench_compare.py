@@ -50,6 +50,7 @@ BASELINES = {
     "q124": 0.667, "q125": 0.717, "q126": 2.170, "q127": 0.530,
     "q128": 0.607, "q129": 0.887, "q130": 2.649, "q131": 0.251,
     "q132": 0.465, "q133": 0.254, "q134": 0.600, "q135": 0.347,
+    "q136": 1.400, "q137": 0.605,
 }
 
 
