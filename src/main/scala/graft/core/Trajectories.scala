@@ -31,6 +31,30 @@ object Trajectories {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events table with `ts` normalized to NANOSECONDS-since-epoch as LONG,
+    * whatever the physical parquet type of the column:
+    *  - TIMESTAMP(NANOS) read as long under `nanosAsLong=true` → identity;
+    *  - TIMESTAMP(MICROS/MILLIS, adjustedToUTC) read as TimestampType →
+    *    `unix_micros * 1000` (exact; epoch-nanos of 2026 ≈ 1.8e18 < 2^63);
+    *  - naive TIMESTAMP read as TIMESTAMP_NTZ → cast through TimestampType
+    *    (session timezone must be UTC, matching DuckDB's naive-as-UTC
+    *    `epoch_us` semantics).
+    * Every ts-arithmetic query goes through here so `ts div 1000` ==
+    * DuckDB `epoch_us(ts)` holds regardless of how the driver regenerates
+    * the testdata (the r06 record lost 10 queries to exactly this drift). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df
+      case TimestampType    => df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case TimestampNTZType => df.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other")
+    }
+  }
+
   /** Frame-index window over the ALIASED trajectory column: downstream
     * sequential operators window on `partitionBy(traj_id)`, and because the
     * index window already hash-partitioned by the same attribute, Catalyst
