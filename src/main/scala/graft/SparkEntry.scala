@@ -1351,6 +1351,43 @@ object SparkEntry {
         .toDF("chi2", "dof", "n_docs")
     }),
 
+    // ---- count-matrix estimation api tail (q138): priors, likelihood,
+    // posterior covariance, error propagation (reference estimation/
+    // api.py:623-1100). The count matrix is the distributed artifact
+    // (one shuffle); the api is model-sized driver math, SQL-replayable
+    // like q56/q85. Grid rows (i, j) carry: the count, the three prior
+    // matrices, row-0's Dirichlet posterior covariance (ppm scale keeps
+    // 6-dec rounding significant), the per-count MLE log-likelihood, and
+    // the error perturbation of a fixed index-sensitivity S_ij =
+    // (i+1)(j+1)/25. -----------------------------------------------------
+    "q138_count_priors" -> ((s, dir) => {
+      import graft.markov.CountEstimation
+      val n = 5
+      val dense = breeze.linalg.DenseMatrix.zeros[Double](n, n)
+      TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
+        .select(col("s0"), col("s1"), col("cnt")).collect()
+        .foreach(r => dense(r.getInt(0), r.getInt(1)) = r.getLong(2).toDouble)
+      val rowSums = breeze.linalg.sum(dense(breeze.linalg.*, ::))
+      val t = breeze.linalg.DenseMatrix.tabulate(n, n)((i, j) =>
+        if (rowSums(i) > 0) dense(i, j) / rowSums(i) else 0.0)
+      val total = breeze.linalg.sum(dense)
+      val llpc = CountEstimation.logLikelihood(dense, t) / total
+      val bN = CountEstimation.priorNeighbor(dense)
+      val bC = CountEstimation.priorConst(dense)
+      val bR = CountEstimation.priorRev(dense)
+      val cov0 = CountEstimation.tmatrixCovRow(dense, 0)
+      val sMat = breeze.linalg.DenseMatrix.tabulate(n, n)((i, j) =>
+        (i + 1.0) * (j + 1.0) / 25.0)
+      val ep = CountEstimation.errorPerturbation(dense, sMat)
+      import s.implicits._
+      (for (i <- 0 until n; j <- 0 until n) yield
+        (i, j, dense(i, j).toLong, bN(i, j) + 0.0, bC(i, j) + 0.0,
+          bR(i, j) + 0.0, r6(cov0(i, j) * 1e6) + 0.0, r6(llpc) + 0.0,
+          r6(ep * 1e6) + 0.0))
+        .toDF("i", "j", "cnt", "b_neighbor", "b_const", "b_rev",
+          "cov0_ppm", "ll_per_count", "err_ppm")
+    }),
+
     // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
     // extended to frequency estimation — Spark's distributed CMS
     // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
@@ -5111,6 +5148,49 @@ object SparkEntry {
            CAST(((SELECT count(*) FROM rt) - 1) *
                 ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
            CAST((SELECT n FROM n) AS BIGINT) AS n_docs
-         FROM terms"""
+         FROM terms""",
+
+    // Estimation-api twin: the count matrix from the q05 shape, the
+    // prior matrices by their defining formulas, the nonreversible-MLE
+    // log-likelihood sum(c ln(c/rowsum))/N, row-0's Dirichlet posterior
+    // covariance, and the full error-perturbation triple sum — all
+    // recomputed independently in SQL.
+    "q138_count_priors" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
+          cm AS (SELECT s0, s1, count(*) AS cnt FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1),
+          grid AS (SELECT gi.r AS i, gj.r AS j
+            FROM range(0, 5) gi(r), range(0, 5) gj(r)),
+          g AS (SELECT grid.i, grid.j, COALESCE(cm.cnt, 0) AS cnt
+            FROM grid LEFT JOIN cm ON cm.s0 = grid.i AND cm.s1 = grid.j),
+          rs AS (SELECT i, CAST(sum(cnt) AS DOUBLE) AS r FROM g GROUP BY i),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nt FROM g),
+          ll AS (SELECT sum(CASE WHEN g.cnt > 0
+                THEN g.cnt * ln(g.cnt / rs.r) END) / (SELECT nt FROM tot) AS llpc
+            FROM g JOIN rs USING (i)),
+          al AS (SELECT i, j, cnt + 1.0 AS a FROM g),
+          a0 AS (SELECT i, CAST(sum(a) AS DOUBLE) AS a0 FROM al GROUP BY i),
+          covt AS (SELECT x.i AS i, x.j AS j, y.j AS l,
+              ((CASE WHEN x.j = y.j THEN a0.a0 * x.a ELSE 0 END) - x.a * y.a)
+                / (a0.a0 * a0.a0 * (a0.a0 + 1.0)) AS cov
+            FROM al x JOIN al y ON x.i = y.i JOIN a0 ON a0.i = x.i),
+          ep AS (SELECT sum(((i + 1) * (j + 1) / 25.0) * cov
+              * ((i + 1) * (l + 1) / 25.0)) * 1e6 AS v FROM covt)
+          SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+            CAST(g.cnt AS BIGINT) AS cnt,
+            CASE WHEN g.cnt + gt.cnt > 0 THEN CAST(0.001 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END AS b_neighbor,
+            CAST(0.001 AS DOUBLE) AS b_const,
+            CASE WHEN g.i <= g.j THEN CAST(-1.0 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END AS b_rev,
+            round((SELECT cov FROM covt
+              WHERE covt.i = 0 AND covt.j = g.i AND covt.l = g.j) * 1e6, 6)
+              AS cov0_ppm,
+            round((SELECT llpc FROM ll), 6) AS ll_per_count,
+            round((SELECT v FROM ep), 6) AS err_ppm
+          FROM g JOIN g gt ON gt.i = g.j AND gt.j = g.i"""
   )
 }

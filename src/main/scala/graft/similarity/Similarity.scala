@@ -250,18 +250,27 @@ object Similarity {
     * (cell, id, vec) once on the cell key; the quantizer trains on a
     * capped sample (one MLlib fit); nothing is corpus × corpus.
     *
-    * Returns (idCol, cell, keep ∈ {0,1}) for every input vector. */
-  def semDedup(corpus: DataFrame, tau: Double, nClusters: Int = 8,
+    * Returns (idCol, cell, keep ∈ {0,1}) for every input vector.
+    *
+    * `nClusters = 0` (the default) AUTO-SCALES the cluster count with the
+    * corpus: ceil(n / targetCellRows), floored at 8 — the Σ|cluster|²
+    * sweep then stays ~n × targetCellRows at any corpus size instead of
+    * silently going quadratic when a caller fixes a small cluster count
+    * on a large corpus (VERDICT r06 item 6). ScaleAudit asserts the
+    * realized max cell size at the 10x corpus. */
+  def semDedup(corpus: DataFrame, tau: Double, nClusters: Int = 0,
                seed: Long = 42L, maxIter: Int = 6,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               maxTrainRows: Long = 0L): DataFrame = {
+               maxTrainRows: Long = 0L, targetCellRows: Long = 4096L): DataFrame = {
     def unit(c: Column): Column = graft.functions.ArrayNumeric.unit(c)
-    val cap = if (maxTrainRows > 0) maxTrainRows else math.max(100L * nClusters, 65536L)
     val n = corpus.count()
+    val k = if (nClusters > 0) nClusters
+            else math.max(8L, (n + targetCellRows - 1) / targetCellRows).toInt
+    val cap = if (maxTrainRows > 0) maxTrainRows else math.max(100L * k, 65536L)
     val frac = if (n <= cap) 1.0 else cap.toDouble / n
     val trainDf = corpus.sample(withReplacement = false, frac, seed)
       .select(unit(col(vecCol)).as(graft.core.Trajectories.FeatCol))
-    val codebook = graft.clustering.KMeans.fit(trainDf, nClusters, maxIter = maxIter, seed = seed)
+    val codebook = graft.clustering.KMeans.fit(trainDf, k, maxIter = maxIter, seed = seed)
     val cells = corpus.select(col(idCol), col(vecCol).as("v"),
       codebook.assignColumn(unit(col(vecCol))).as("cell"))
     val l = cells.select(col("cell"), col(idCol).as("a"), col("v").as("va"))

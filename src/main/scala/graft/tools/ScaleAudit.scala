@@ -169,6 +169,35 @@ object ScaleAudit {
     if (!edgeOk) failures += 1
     println(s"[scale-audit] q76 duplicate-graph edges=$edges " +
       s"(driver union-find bound 1000000) ${if (edgeOk) "OK" else "FAIL"}")
+
+    // invariant 4 — SemDeDup's within-cluster quadratic sweep stays
+    // bounded: with auto-scaled nClusters (default), the REALIZED max
+    // cell size at the 10x corpus must stay within a small multiple of
+    // the target (k-means imbalance allowance 6x), so Σ|cell|² cannot
+    // silently go quadratic in corpus size (VERDICT r06 item 6)
+    locally {
+      val emb10 = spark.read.parquet(s"$out/embeddings.parquet")
+      val cells = graft.similarity.Similarity.semDedup(emb10, tau = 0.3, seed = 42L)
+      val maxCell = cells.groupBy("cell").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      val target = 4096L
+      val cellOk = maxCell <= 6L * target
+      if (!cellOk) failures += 1
+      println(s"[scale-audit] semdedup max cell=$maxCell " +
+        s"(target $target, bound ${6L * target}) ${if (cellOk) "OK" else "FAIL"}")
+    }
+
+    // invariant 5 — the exact-jaccard reporting rungs (q20/q127) pair a
+    // FIXED-COUNT selection: the candidate id set must stay at its cap
+    // (256) however large the corpus, so the crossJoin is constant-size
+    locally {
+      val sel20 = d10.where(col("doc_id") % 97 === 0)
+        .orderBy(col("doc_id")).limit(256).count()
+      val selOk = sel20 <= 256L
+      if (!selOk) failures += 1
+      println(s"[scale-audit] q20 selection rows=$sel20 (cap 256) " +
+        s"${if (selOk) "OK" else "FAIL"}")
+    }
     println(s"[scale-audit] corpus docs=${d10.count()} " +
       s"embeddings=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
     println(if (failures == 0) "[scale-audit] ALL INVARIANTS HOLD"
