@@ -1594,6 +1594,28 @@ object SparkEntry {
       val mfptResid = maxAbsD((0 until model.n).collect {
         case i if !setB.contains(i) => (mf(i) - tm(i) - 1.0) / math.max(1.0, mf(i))
       })
+      // matrix-free fingerprint/correlation family (reference sparse path,
+      // impl/sparse/fingerprints_test.py): exact identities gate the
+      // propagated products — unit autocorrelation of the constant
+      // observable, reversibility symmetry of the cross-correlation, flat
+      // relaxation from the stationary start, and the stationary
+      // fingerprint amplitude via the analytic first eigenpair (r=1, l=pi)
+      import breeze.linalg.DenseVector
+      val third = model.n / 3
+      val obsA = DenseVector.tabulate(model.n)(i => if (i < third) 1.0 else 0.0)
+      val obsB = DenseVector.tabulate(model.n)(i =>
+        if (i >= model.n - third) 1.0 else 0.0)
+      val piV = model.stationaryDistribution
+      val ftimes = Seq(0, 1, 5, 10)
+      val onesV = DenseVector.ones[Double](model.n)
+      val cOne = graft.markov.SparseMsm.correlationMatvec(t, piV, onesV, onesV, ftimes)
+      val cAB = graft.markov.SparseMsm.correlationMatvec(t, piV, obsA, obsB, ftimes)
+      val cBA = graft.markov.SparseMsm.correlationMatvec(t, piV, obsB, obsA, ftimes)
+      val rFlat = graft.markov.SparseMsm.relaxationMatvec(t, piV, obsA, ftimes)
+      val eA = piV dot obsA
+      val amp0 = graft.markov.SparseMsm.fingerprintAmplitudes(
+        Seq(onesV), Seq(piV),
+        DenseVector.tabulate(model.n)(i => piV(i) * obsA(i)), obsB)(0)
       checksDf(s, Seq(
         "n_states_visited" -> coo.rows.concat(coo.cols).distinct.length.toDouble,
         "nnz" -> coo.nnz.toDouble,
@@ -1606,7 +1628,12 @@ object SparkEntry {
         "lambda1_minus_one" -> (lanczos(0) - 1.0),
         "lanczos_arnoldi_lambda2" -> (lanczos(1) - arnoldi(1)),
         "committor_bvp" -> committorResid,
-        "mfpt_linear_system" -> mfptResid))
+        "mfpt_linear_system" -> mfptResid,
+        "corr_const_one" -> maxAbsD(cOne.map(_ - 1.0)),
+        "corr_reversible_symmetry" ->
+          maxAbsD(cAB.zip(cBA).map { case (a, b) => a - b }),
+        "relax_from_pi_flat" -> maxAbsD(rFlat.map(_ - eA)),
+        "fingerprint_amp0" -> (amp0 - eA * (piV dot obsB))))
     }),
 
     // Cross-document exact substring duplication (Lee et al. 2021 suffix-
@@ -3482,7 +3509,11 @@ object SparkEntry {
          UNION ALL SELECT 'lambda1_minus_one', 0.0
          UNION ALL SELECT 'lanczos_arnoldi_lambda2', 0.0
          UNION ALL SELECT 'committor_bvp', 0.0
-         UNION ALL SELECT 'mfpt_linear_system', 0.0""",
+         UNION ALL SELECT 'mfpt_linear_system', 0.0
+         UNION ALL SELECT 'corr_const_one', 0.0
+         UNION ALL SELECT 'corr_reversible_symmetry', 0.0
+         UNION ALL SELECT 'relax_from_pi_flat', 0.0
+         UNION ALL SELECT 'fingerprint_amp0', 0.0""",
 
     // Exact-substring-duplication twin: identical window keys
     // (single-space tokens, 10-word slices, md5 prefix), the same

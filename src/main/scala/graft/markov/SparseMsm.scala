@@ -313,6 +313,45 @@ object SparseMsm {
     y
   }
 
+  /** Relaxation experiment by matrix-free propagation: for each time t,
+    * r(t) = p0 . (T^t obs), with obs propagated by repeated sparse
+    * matvec between the SORTED time points — never a dense matrix power
+    * (reference _fingerprints.py:363 `relaxation_matvec`; sparse-path
+    * tests tests/markov/tools/analysis/impl/sparse/fingerprints_test.py). */
+  def relaxationMatvec(t: CSCMatrix[Double], p0: DenseVector[Double],
+                       obs: DenseVector[Double], times: Seq[Int]): Array[Double] = {
+    require(times.forall(_ >= 0), "times must be nonnegative")
+    val order = times.zipWithIndex.sortBy(_._1)
+    val out = new Array[Double](times.length)
+    var cur = obs.copy
+    var tNow = 0
+    order.foreach { case (tt, idx) =>
+      while (tNow < tt) { cur = rightMatvec(t, cur); tNow += 1 }
+      out(idx) = p0 dot cur
+    }
+    out
+  }
+
+  /** Equilibrium time-correlation by matrix-free propagation:
+    * corr(t) = (pi .* obs1) . (T^t obs2) — the relaxation experiment
+    * started from the stationary-weighted observable (reference
+    * _fingerprints.py:222 `correlation_matvec`). */
+  def correlationMatvec(t: CSCMatrix[Double], pi: DenseVector[Double],
+                        obs1: DenseVector[Double], obs2: DenseVector[Double],
+                        times: Seq[Int]): Array[Double] =
+    relaxationMatvec(t, pi *:* obs1, obs2, times)
+
+  /** Spectral fingerprint amplitudes from k eigenpairs: gamma_i =
+    * (p0 . r_i)(l_i . obs) for the relaxation experiment, with
+    * p0 = pi .* obs1 giving the correlation fingerprint (reference
+    * _fingerprints.py `fingerprint`; amplitudes match the
+    * impl/sparse/fingerprints_test.py formula dot(p0, R) * dot(L, obs)). */
+  def fingerprintAmplitudes(right: Seq[DenseVector[Double]],
+                            left: Seq[DenseVector[Double]],
+                            p0: DenseVector[Double],
+                            obs: DenseVector[Double]): Array[Double] =
+    right.zip(left).map { case (r, l) => (p0 dot r) * (l dot obs) }.toArray
+
   /** Stationary distribution by DAMPED left power iteration: pi' (I+T)/2
     * has the same fixed point but no period-2 oscillation
     * (tools/analysis `stationary_distribution` sparse backend parity —

@@ -309,6 +309,54 @@ class SparseMsmSpec extends SparkSpec with Matchers {
     SparseMsm.sccOfViaBfs(coo, lcc(0)).toSeq shouldBe lcc.toSeq
   }
 
+  test("matvec correlation/relaxation match explicit dense propagation " +
+       "(sparse fingerprints path)") {
+    // birth-death chain in the reference fingerprints_test.py shape
+    val n = 10
+    val p = DenseVector.fill(n)(0.5); p(n - 1) = 0.0; p(4) = 0.01
+    val q = DenseVector.fill(n)(0.5); q(0) = 0.0; q(6) = 0.1
+    val dense = DenseMatrix.zeros[Double](n, n)
+    for (i <- 0 until n) {
+      if (i < n - 1) dense(i, i + 1) = p(i)
+      if (i > 0) dense(i, i - 1) = q(i)
+      dense(i, i) = 1.0 - p(i) - q(i)
+    }
+    val csc = {
+      val b = new breeze.linalg.CSCMatrix.Builder[Double](n, n)
+      for (i <- 0 until n; j <- 0 until n if dense(i, j) != 0.0)
+        b.add(i, j, dense(i, j))
+      b.result
+    }
+    val pi = SparseMsm.stationaryDistribution(csc)
+    val obs1 = DenseVector.zeros[Double](n); obs1(0) = 1.0; obs1(1) = 1.0
+    val obs2 = DenseVector.zeros[Double](n); obs2(8) = 1.0; obs2(9) = 1.0
+    val p0 = DenseVector.zeros[Double](n); (0 until 4).foreach(p0(_) = 0.25)
+    val times = Seq(1, 5, 10, 20)
+
+    // dense reference: corr(t) = (pi .* obs1)' T^t obs2 via matrix powers
+    def densePow(t: Int): DenseMatrix[Double] =
+      (1 until t).foldLeft(DenseMatrix.eye[Double](n) * dense)((m, _) => m * dense)
+    val w = pi *:* obs1
+    val corrDense = times.map(t => w dot (densePow(t) * obs2))
+    val corrSparse = SparseMsm.correlationMatvec(csc, pi, obs1, obs2, times)
+    maxAbs(corrSparse.zip(corrDense).map { case (a, b) => a - b }) should be < 1e-13
+
+    val relaxDense = times.map(t => p0 dot (densePow(t) * obs1))
+    val relaxSparse = SparseMsm.relaxationMatvec(csc, p0, obs1, times)
+    maxAbs(relaxSparse.zip(relaxDense).map { case (a, b) => a - b }) should be < 1e-13
+
+    // unsorted times return in caller order
+    val shuffled = SparseMsm.relaxationMatvec(csc, p0, obs1, Seq(20, 1, 10, 5))
+    shuffled(0) shouldBe relaxSparse(3)
+    shuffled(1) shouldBe relaxSparse(0)
+
+    // fingerprint amplitude of the stationary component (r = 1, l = pi)
+    // is E_pi[obs1] * E_pi[obs2]
+    val amp0 = SparseMsm.fingerprintAmplitudes(
+      Seq(DenseVector.ones[Double](n)), Seq(pi), pi *:* obs1, obs2)(0)
+    math.abs(amp0 - (pi dot obs1) * (pi dot obs2)) should be < 1e-14
+  }
+
   test("auto dispatch follows the api.py dimension^2 < 3*nnz rule") {
     import spark.implicits._
     // 3x3 fully dense counts -> dense (9 < 3*9)
