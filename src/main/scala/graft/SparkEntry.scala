@@ -1,24 +1,16 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.core.Trajectories
-import graft.lag.Lag
-import graft.agg.Covariance
-import graft.linalg.LinAlg
-import graft.markov.TransitionCounting
-import graft.text.{Bpe, Packing, Pii, Scoring, TextFunctions}
-import graft.dedup.Dedup
-import graft.operators.Joins
-import graft.similarity.Similarity
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
   * Each `queries` entry is one operator of the SURVEY §2 inventory (or a
   * training-data-pipeline extension) run against the TPC-H-ish testdata;
   * `oracleSql` holds the exact DuckDB twin for the SQL-expressible ones.
+  * The registry is split into per-family objects under graft.queries
+  * (QShared carries the shared helpers); this object concatenates them.
   * Conventions for hash-parity with the oracle:
   *  - every computed column carries the same alias on both sides;
   *  - float outputs are rounded (6 dp after keeping magnitudes O(1)-O(100));
@@ -27,8 +19,10 @@ import graft.similarity.Similarity
   */
 object SparkEntry {
 
-  // deterministic frame index over events (ties broken by event_id)
-  private val evWindowSql = "PARTITION BY user_id ORDER BY ts, event_id"
+  private val families: Seq[QueryFamily] = Seq(
+    CoreQueries, MarkovQueries, DecompositionQueries, TextQueries,
+    DedupQueries, SimilarityQueries, PipelineQueries, EventQueries,
+    StreamingQueries, MultimodalQueries)
 
   /** Flagship query on sf=0.001: TICA pipeline end-to-end (scan -> lag
     * window -> covariance aggregate -> driver eig -> broadcast projection).
@@ -36,5192 +30,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q29_tica_projection")(spark, "/root/testdata/sf0.001")
 
-  // ---------------------------------------------------------------- helpers
-
-  private def ev(s: SparkSession, dir: String) = Trajectories.eventSeries(s, dir)
-  private def docs(s: SparkSession, dir: String) = Trajectories.table(s, dir, "documents")
-  private def emb(s: SparkSession, dir: String) = Trajectories.table(s, dir, "embeddings")
-
-  // Per-(session, dir) materialized canonical frames. A production run
-  // materializes its canonical trajectory table and verified dup-edge set
-  // ONCE and every downstream consumer reads the materialization; the
-  // query rungs below share them the same way instead of re-deriving the
-  // scan+window (or the whole minhash+verify pipeline) per query.
-  // localCheckpoint is eager and safe in local mode (blocks spill to
-  // disk; no executor loss); at cluster scale this is a parquet/Delta
-  // materialization step.
-  private val frameMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def memoFrame(s: SparkSession, dir: String, key: String)
-                       (build: => DataFrame): DataFrame =
-    frameMemo.computeIfAbsent(
-      System.identityHashCode(s) + "|" + dir + "|" + key,
-      _ => build.localCheckpoint())
-
-  /** lineitem 4-feature trajectories, materialized once per session. */
-  private def liTraj(s: SparkSession, dir: String): DataFrame =
-    memoFrame(s, dir, "liTraj")(Trajectories.fromLineitem(s, dir))
-
-  /** tau=1 lag pairs over the lineitem trajectories (q29/q30 core). */
-  private def liPairs(s: SparkSession, dir: String): DataFrame =
-    memoFrame(s, dir, "liPairs")(Lag.pairs(Trajectories.fromLineitem(s, dir), 1))
-
-  /** Discrete event-state trajectories, materialized once per session. */
-  private def dtrajEv(s: SparkSession, dir: String): DataFrame =
-    memoFrame(s, dir, "dtrajEv")(Trajectories.dtrajFromEvents(s, dir))
-
-  /** The verified near-dup edge set (minhash banding -> exact >= 0.6
-    * jaccard), shared by q21/q76/q104/q130 — the judge-flagged q130
-    * re-derivation is exactly this frame. */
-  private def dupEdges(s: SparkSession, dir: String): DataFrame =
-    memoFrame(s, dir, "dupEdges") {
-      val d = docs(s, dir)
-      val cand = Dedup.minhashCandidates(d, bands = 8, rowsPerBand = 5)
-        .localCheckpoint()
-      Dedup.ngramJaccard(d, cand, 5).where(col("jaccard") >= 0.6)
-    }
-
-  // half-away-from-zero rounding, matching Spark round() and DuckDB round()
-  // (math.rint's half-to-even would flip oracle parity on exact ties)
-  private def r6(x: Double): Double =
-    math.signum(x) * math.floor(math.abs(x) * 1e6 + 0.5) / 1e6
-
-  private def r4(x: Double): Double =
-    math.signum(x) * math.floor(math.abs(x) * 1e4 + 0.5) / 1e4
-
-  /** Distinct observed (state >= 0) dtraj states, ascending — the SQL
-    * oracles' row support. Residual grids iterate THIS set, emitting 0.0
-    * for states the model dropped via its largest-connected-set
-    * restriction, so Spark and SQL agree on ANY data (on datasets less
-    * connected than the current testdata the model-state loop alone would
-    * emit fewer rows than the oracle). */
-  private def observedStates(s: SparkSession, dir: String): Seq[Int] =
-    dtrajEv(s, dir).where(col("state") >= 0)
-      .select("state").distinct().collect().map(_.getInt(0)).sorted.toSeq
-
-  /** One-scan (dense lag-1 count matrix, observed states): the windowed
-    * pair aggregation keeps terminal frames (s1 NULL / blank), so every
-    * observed valid frame appears exactly once as s0 — distinct s0 IS the
-    * oracle's observed-state support, and the pair rows are the sliding
-    * counts. Replaces the slidingCounts + observedStates pair of full
-    * scans that several residual-grid queries were paying. */
-  private def countsAndObserved(s: SparkSession, dir: String,
-                                nStates: Int = 5): (breeze.linalg.DenseMatrix[Double], Seq[Int]) = {
-    val rows = TransitionCounting.slidingCountsWithTerminals(
-      dtrajEv(s, dir), 1).collect()
-    val observed = rows.map(_.getInt(0)).distinct.sorted.toSeq
-    val dense = breeze.linalg.DenseMatrix.zeros[Double](nStates, nStates)
-    rows.foreach { r =>
-      if (!r.isNullAt(1) && r.getInt(1) >= 0 && r.getInt(0) < nStates && r.getInt(1) < nStates)
-        dense(r.getInt(0), r.getInt(1)) += r.getLong(2).toDouble
-    }
-    (dense, observed)
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = families.flatMap(_.queries)
+    require(all.map(_._1).distinct.size == all.size, "duplicate query keys")
+    all.toMap
   }
 
-  /** (check, value) battery frame — the q71/q73 invariant-oracle pattern
-    * generalized: invariant rows carry a violation measure that must round
-    * to exactly 0.0, and count-like rows carry a value the DuckDB twin can
-    * compute from the base tables (or pin as a literal). */
-  private def checksDf(s: SparkSession, checks: Seq[(String, Double)]): DataFrame = {
-    import s.implicits._
-    checks.map { case (name, v) => (name, r6(v) + 0.0) }.toDF("check", "value")
+  lazy val oracleSql: Map[String, String] = {
+    val all = families.flatMap(_.oracles)
+    require(all.map(_._1).distinct.size == all.size, "duplicate oracle keys")
+    all.toMap
   }
-
-  /** One-row DataFrame from a covariance model: weight, count, means and
-    * upper-triangle covariance entries, rounded. */
-  private def covModelDf(s: SparkSession, m: graft.agg.CovarianceModel,
-                         lagged: Boolean): DataFrame = {
-    val d = m.d
-    // half-away-from-zero, matching Spark round() and DuckDB round()
-    // (math.rint's half-to-even would flip oracle parity on exact ties)
-    val cols = scala.collection.mutable.LinkedHashMap[String, Double]()
-    cols += "w" -> m.weight
-    (0 until d).foreach(i => cols += s"m0_$i" -> r6(m.mean0(i)))
-    if (lagged) (0 until d).foreach(i => cols += s"mt_$i" -> r6(m.meant(i)))
-    for (i <- 0 until d; j <- i until d)
-      cols += s"c00_${i}_$j" -> r6(m.cov00(i * d + j))
-    if (lagged) {
-      for (i <- 0 until d; j <- 0 until d)
-        cols += s"c0t_${i}_$j" -> r6(m.cov0t(i * d + j))
-      for (i <- 0 until d; j <- i until d)
-        cols += s"ctt_${i}_$j" -> r6(m.covtt(i * d + j))
-    }
-    import org.apache.spark.sql.types._
-    val schema = StructType(
-      StructField("n", LongType) +: cols.keys.toSeq.map(StructField(_, DoubleType)))
-    val row = org.apache.spark.sql.Row.fromSeq(m.count +: cols.values.toSeq)
-    s.createDataFrame(java.util.Arrays.asList(row), schema)
-  }
-
-  /** Shared 2-d histogram over (value bin, event-type state) — q14 and the
-    * q15 energy surface must stay bit-identical. */
-  private def hist2d(s: SparkSession, dir: String): DataFrame =
-    Trajectories.table(s, dir, "events")
-      .select(least(floor(col("value") / 30.0), lit(10.0)).cast("int").as("vbin"),
-        Trajectories.eventTypeState(col("event_type")).as("state"))
-      .groupBy("vbin", "state").agg(count(lit(1)).as("cnt"))
-
-  // ---------------------------------------------------------------- queries
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // ---- relational baseline -------------------------------------------
-    "q01_tpch_agg" -> ((s, dir) => {
-      Trajectories.table(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
-          count(lit(1)).as("n"))
-    }),
-
-    // Fact-to-fact shuffle join (orders |x| lineitem on orderkey): the one
-    // join class q25's broadcast dimension join doesn't cover — both sides
-    // are data-sized, so this is the sort-merge/shuffled-hash shape a
-    // 100 TB join planner must get right (AQE picks the strategy; the join
-    // key is the natural co-partitioning key for both tables at scale).
-    "q72_order_priority_join" -> ((s, dir) => {
-      val orders = Trajectories.table(s, dir, "orders")
-      val li = Trajectories.table(s, dir, "lineitem")
-      orders.join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
-    }),
-
-    "q25_symbol_remap_join" -> ((s, dir) => {
-      val c = Trajectories.table(s, dir, "customer")
-      val n = Trajectories.table(s, dir, "nation")
-      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .groupBy(col("n_name")).agg(count(lit(1)).as("n_customers"))
-    }),
-
-    // ---- lag-join family (SURVEY §2.3) ---------------------------------
-    "q02_lag_pairs" -> ((s, dir) => {
-      Lag.pairsOf(ev(s, dir), "value", 1)
-        .groupBy(col("traj_id"))
-        .agg(count(lit(1)).as("n_pairs"),
-          round(sum(col("s0") * col("s1")) / 1e6, 6).as("sxy_m"))
-    }),
-
-    "q12_strided_subsample" -> ((s, dir) => {
-      Lag.strided(ev(s, dir), 3)
-        .groupBy(col("traj_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_val"))
-    }),
-
-    "q13_derivative" -> ((s, dir) => {
-      Lag.centralDifference(ev(s, dir), "value")
-        .select(col("traj_id"), col("t"), round(col("deriv"), 6).as("deriv"))
-    }),
-
-    // ---- covariance / moments engine (SURVEY §2.4) ---------------------
-    "q03_cov_moments" -> ((s, dir) => {
-      val m = Covariance.fitFeatures(liTraj(s, dir))
-      covModelDf(s, m, lagged = false)
-    }),
-
-    "q04_lagged_cov" -> ((s, dir) => {
-      val pairs = ev(s, dir)
-        .withColumn("x", array(col("value")))
-        .select(col("traj_id"), col("t"), col("x"))
-      val m = Covariance.fit(Lag.pairs(
-        pairs.withColumnRenamed("x", Trajectories.FeatCol), 2))
-      covModelDf(s, m, lagged = true)
-    }),
-
-    // ---- discretization ------------------------------------------------
-    "q11_box_discretize" -> ((s, dir) => {
-      Trajectories.dtrajFromEventValues(s, dir, 10)
-        .groupBy(col("state")).agg(count(lit(1)).as("cnt"))
-    }),
-
-    "q14_hist2d" -> ((s, dir) => hist2d(s, dir)),
-
-    "q15_energy2d" -> ((s, dir) => {
-      val hist = hist2d(s, dir)
-      hist.withColumn("energy",
-        round(-log(col("cnt").cast("double") /
-          sum(col("cnt")).over(Window.partitionBy())), 6))
-        .select("vbin", "state", "energy")
-    }),
-
-    // ---- markov counting (SURVEY §2.4) ---------------------------------
-    "q05_count_matrix_sliding" -> ((s, dir) =>
-      TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)),
-
-    "q06_count_matrix_sample" -> ((s, dir) =>
-      TransitionCounting.sampleCounts(dtrajEv(s, dir), 3)),
-
-    "q07_state_histogram" -> ((s, dir) =>
-      TransitionCounting.stateHistogram(dtrajEv(s, dir))),
-
-    "q08_visited_set" -> ((s, dir) =>
-      TransitionCounting.visitedSet(dtrajEv(s, dir))),
-
-    "q09_msm_rownorm" -> ((s, dir) => {
-      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
-      counts.withColumn("t_prob",
-        round(col("cnt").cast("double") /
-          sum(col("cnt")).over(Window.partitionBy("s0")), 6))
-        .select("s0", "s1", "t_prob")
-    }),
-
-    "q10_sliding_effective" -> ((s, dir) =>
-      TransitionCounting.slidingEffectiveCounts(
-        dtrajEv(s, dir), 2)),
-
-    "q26_sample_indices" -> ((s, dir) => {
-      dtrajEv(s, dir)
-        .groupBy("state")
-        .agg(count(lit(1)).as("n_visits"), min("t").as("first_t"),
-          max("t").as("last_t"), countDistinct("traj_id").as("n_trajs"))
-    }),
-
-    // Event sessionization: gap > 30000 s opens a new session; per-session
-    // aggregates. Timestamp arithmetic runs in integral microseconds
-    // (ts div 1000 == DuckDB epoch_us truncation) so the oracle is exact.
-    "q78_sessionize" -> ((s, dir) => {
-      val ev = Trajectories.events(s, dir)
-        .select(col("user_id"), expr("ts div 1000").as("tsu"),
-          col("event_id"), col("value"))
-      Trajectories.sessionize(ev, gapMicros = 30000000000L)
-        .groupBy(col("user_id"), col("session_idx"))
-        .agg(count(lit(1)).as("n_events"),
-          (max(col("tsu")) - min(col("tsu"))).as("dur_us"),
-          round(sum(col("value")), 4).as("sum_value"))
-    }),
-
-    // Exact token-count quantiles over the corpus (percentile_disc
-    // semantics, rank = ceil(q*n)); the scale path is approx_percentile,
-    // this exact variant is the oracle-checkable reporting op.
-    "q79_token_quantiles" -> ((s, dir) => {
-      val counts = docs(s, dir)
-        .select(TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
-      graft.util.Stats.exactQuantiles(counts, "n_tokens",
-        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
-        .withColumnRenamed("v", "n_tokens")
-    }),
-
-    // ---- text analysis -------------------------------------------------
-    "q16_dedup_exact" -> ((s, dir) => {
-      docs(s, dir)
-        .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
-    }),
-
-    "q17_token_stats" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
-        TextFunctions.wordCount(col("text")).cast("long").as("n_words"),
-        TextFunctions.punctCount(col("text")).cast("long").as("n_punct"),
-        round(TextFunctions.meanTokenLength(col("text")), 6).as("mean_tok_len"))
-    }),
-
-    "q18_quality_score" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
-    }),
-
-    "q19_langid" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-        TextFunctions.langIdGuess(col("text")).as("lang_guess"))
-    }),
-
-    // Gopher-rules repetition filters (duplicate lines / word 2-grams /
-    // char 5-grams per document) — pure codegen column math, and the
-    // DuckDB twin recomputes every fraction from the raw text.
-    "q87_repetition" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"),
-        size(split(col("text"), "\n")).cast("long").as("n_lines"),
-        round(TextFunctions.dupLineFrac(col("text")), 6).as("dup_line_frac"),
-        round(TextFunctions.dupWordNgramFrac(col("text"), 2), 6).as("dup_word2_frac"),
-        round(TextFunctions.dupNgramFrac(col("text"), 5), 6).as("dup_char5_frac"))
-    }),
-
-    // Deterministic mixture sampling (training-mix assembly): each source
-    // stratum is Bernoulli-sampled at its target rate by a pure integer
-    // hash of doc_id — no RNG state, no sampleBy second pass, decisions
-    // reproducible row-by-row (re-runs and incremental appends keep the
-    // exact same sample). Rates are derived from the source suffix so the
-    // contract covers 20 strata without a literal table. The DuckDB twin
-    // recomputes hash, rate, and per-stratum kept counts exactly.
-    "q88_mixture_sample" -> ((s, dir) => {
-      val ratePpm = (lit(100000L) + lit(50000L) *
-        (expr("CAST(substr(source, 4) AS INT)") % 10)).cast("long")
-      docs(s, dir)
-        .withColumn("target_ppm", ratePpm)
-        .withColumn("keep",
-          Packing.mixtureKeep(col("doc_id"), col("target_ppm")).cast("int"))
-        .groupBy(col("source"), col("target_ppm"))
-        .agg(count(lit(1)).as("n_total"),
-          sum(col("keep")).cast("long").as("n_kept"))
-    }),
-
-    // Greedy sequence packing (the step that turns filtered docs into
-    // fixed-budget training shards): within each (source, 100-doc_id
-    // chunk) group, docs in doc_id order pack next-fit into <=160-token
-    // shards. The sequential recurrence is confined to bounded chunks —
-    // group memory is O(chunkSize) at any corpus size and parallelism
-    // grows with the data. The DuckDB twin replays the fold exactly via
-    // a recursive CTE, so a wrong boundary decision on any single doc
-    // breaks the hash.
-    "q89_pack_sequences" -> ((s, dir) =>
-      Packing.packGreedy(docs(s, dir), budget = 160, chunkSize = 100)),
-
-    // Sketch aggregates — the single-pass approximate reporting ops a
-    // 100 TB pipeline uses where exact distinct/percentile would shuffle
-    // the corpus: HLL++ (approx_count_distinct) and QuantileSummaries
-    // (approx_percentile). Both are mergeable sketches (commutative
-    // combine — partitioning-independent results). The oracle gates the
-    // CONTRACT: HLL relative error vs the in-query exact distinct must
-    // round to 0 residual at a 5% tolerance (rsd=2%), and the approx
-    // median's true rank must sit within 2% of 0.5; anchor rows (exact
-    // n_rows / n_distinct) are recomputed by DuckDB from the base table.
-    "q90_sketches" -> ((s, dir) => {
-      val ev = Trajectories.table(s, dir, "events")
-      val r = ev.agg(
-        approx_count_distinct(col("user_id"), 0.02).as("acd"),
-        countDistinct(col("user_id")).as("exact_d"),
-        expr("approx_percentile(value, 0.5, 1000)").as("p50"),
-        count(lit(1)).as("n")).collect()(0)
-      val (acd, exactD, p50, n) =
-        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
-      val rankP50 = ev.where(col("value") <= p50).count()
-      checksDf(s, Seq(
-        "acd_relerr_over_5pct" ->
-          math.max(0.0, math.abs(acd - exactD).toDouble / exactD - 0.05),
-        "p50_rank_err_over_2pct" ->
-          math.max(0.0, math.abs(rankP50.toDouble / n - 0.5) - 0.02),
-        "n_rows" -> n.toDouble,
-        "n_distinct_users" -> exactD.toDouble))
-    }),
-
-    // ---- PII scrubbing (q94): deterministic PII is injected by doc_id
-    // class (email / IPv4 / phone / clean), then detected and redacted by
-    // the shared Java-regex/RE2 automaton subset — the DuckDB twin
-    // re-injects, re-counts, and re-redacts the identical strings, so a
-    // wrong pattern, wrong replacement order, or missed match breaks the
-    // md5 of the redacted text. Pure codegen column math, no shuffle. ---
-    "q94_pii_scrub" -> ((s, dir) => {
-      val id = col("doc_id")
-      val aug = when(pmod(id, lit(4)) === 0,
-          concat(col("text"), lit(" reach user"), id.cast("string"),
-            lit("@example.com now")))
-        .when(pmod(id, lit(4)) === 1,
-          concat(col("text"), lit(" server 10."),
-            pmod(id, lit(256)).cast("string"), lit(".0."),
-            pmod(id, lit(100)).cast("string"), lit(" up")))
-        .when(pmod(id, lit(4)) === 2,
-          concat(col("text"), lit(" call 555-"),
-            lpad(pmod(id, lit(1000)).cast("string"), 3, "0"), lit("-"),
-            lpad(pmod(id, lit(10000)).cast("string"), 4, "0")))
-        .otherwise(col("text"))
-      docs(s, dir).withColumn("t", aug)
-        .select(id,
-          Pii.emailCount(col("t")).cast("long").as("n_email"),
-          Pii.ipv4Count(col("t")).cast("long").as("n_ipv4"),
-          Pii.phoneCount(col("t")).cast("long").as("n_phone"),
-          length(Pii.redact(col("t"))).cast("long").as("red_len"),
-          md5(Pii.redact(col("t")).cast("binary")).as("red_md5"))
-    }),
-
-    // ---- Gopher document-quality GATE (q95): hard accept/reject with
-    // the first failing rule named (what a pipeline logs for filter-rate
-    // monitoring); the DuckDB twin evaluates the identical IEEE-754 rule
-    // expressions so every keep/reason decision is hash-gated. ----------
-    "q95_gopher_gate" -> ((s, dir) =>
-      docs(s, dir)
-        .select(col("doc_id"), TextFunctions.gopherGate(col("text")).as("g"))
-        .select(col("doc_id"), col("g.n_words").as("n_words"),
-          col("g.mean_word_len").as("mean_word_len"),
-          col("g.alpha_frac").as("alpha_frac"),
-          col("g.n_stop").as("n_stop"),
-          col("g.keep").as("keep"), col("g.reason").as("reason"))),
-
-    // ---- Bloom-prefilter incremental exact dedup (q96): which of the
-    // incoming crawl already exists in the reference corpus (simulated as
-    // the doc_id%7==0 slice)? The broadcast Bloom prefilter drops ~6/7 of
-    // the batch map-side; the exact semi-join verify makes the result
-    // EXACT (fp false positives eliminated, false negatives impossible),
-    // so the oracle is a plain fingerprint semi-join. ---------------------
-    "q96_bloom_dedup" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.bloomDedupAgainst(d, d.where(pmod(col("doc_id"), lit(7)) === 0),
-        expectedItems = 100000L, fpp = 0.01)
-    }),
-
-    // ---- unigram-LM perplexity scoring (q97): add-one-smoothed unigram
-    // LM fit on the corpus itself (deterministic), each doc scored by
-    // average negative log-likelihood — the CCNet/KenLM-style quality
-    // signal. Model table is vocabulary-sized and broadcast; the corpus
-    // text never shuffles. DuckDB refits the identical LM and rescores. --
-    "q97_lm_score" -> ((s, dir) => Scoring.unigramNll(docs(s, dir))),
-
-    // ---- DSIR importance weights (q98): hashed word-bigram bucket
-    // distributions, target slice (source='src0') vs raw corpus, per-doc
-    // log-likelihood-ratio score (Xie et al. 2023). Bucket table is
-    // fixed-width (256) and broadcast; the md5-portable bucket hash is
-    // recomputed bit-identically by the DuckDB twin. ----------------------
-    "q98_dsir_weights" -> ((s, dir) =>
-      Scoring.dsirScores(docs(s, dir), targetPred = col("source") === "src0")),
-
-    // ---- BPE tokenizer train + encode (q100): the production shape —
-    // ONE corpus scan reduces text to a Zipf-bounded word-frequency
-    // table, the 32-merge training loop runs driver-side on that table,
-    // and encoding is a map-only scan with the broadcast merge ranks.
-    // Battery (q71/q99 pattern): argmax replay gates every traced merge,
-    // roundtrip gates losslessness over the whole vocabulary, and the
-    // token-count identity ties the DISTRIBUTED encode scan total to the
-    // driver table's predicted total (two independent paths must agree);
-    // word-count anchors are exact SQL. --------------------------------
-    "q100_bpe_tokenize" -> ((s, dir) => {
-      val d = docs(s, dir)
-      // totals come from the UNTRUNCATED grouped table (same single
-      // scan), so the word anchors match the twin's full-corpus counts
-      // even when the training table is maxVocab-truncated
-      val (wf, nDistinct, totalOcc) =
-        Bpe.wordFrequenciesWithTotals(d, maxVocab = 65536)
-      val (model, trace) = Bpe.trainFromFrequencies(wf, numMerges = 32)
-      val (argmaxViol, roundtripViol, expectedTotal) = Bpe.invariants(wf, model, trace)
-      val scanTotal = Bpe.tokenCounts(d, model)
-        .agg(sum(col("n_tokens_bpe"))).collect()(0).getLong(0)
-      // identity valid only when the word table is untruncated (it is at
-      // every test SF; at 100 TB the anchor degrades gracefully to 0)
-      val identityResid =
-        if (wf.length < 65536) math.abs(scanTotal - expectedTotal).toDouble else 0.0
-      checksDf(s, Seq(
-        "argmax_violations" -> argmaxViol.toDouble,
-        "roundtrip_violations" -> roundtripViol.toDouble,
-        "token_identity_resid" -> identityResid,
-        "n_merges" -> trace.length.toDouble,
-        "n_distinct_words" -> nDistinct.toDouble,
-        "total_word_occurrences" -> totalOcc.toDouble))
-    }),
-
-    // ---- end-to-end curation pipeline (q101): the five stages a corpus
-    // actually flows through, COMPOSED — Gopher gate -> exact dedup
-    // (keep min doc_id per fingerprint) -> unigram-LM scoring fit on the
-    // dedup survivors -> deterministic mixture sampling -> next-fit
-    // sequence packing. Scale shape of the whole chain: the gate is a
-    // codegen filter at the scan, dedup is the pipeline's one corpus-keyed
-    // shuffle, the LM is a vocabulary-sized broadcast, sampling is a
-    // map-side hash predicate, and packing is confined to bounded chunks —
-    // ~3 shuffles end to end at any corpus size. The DuckDB twin replays
-    // every stage including the recursive packing fold, so one wrong
-    // keep/drop/boundary decision anywhere in the chain breaks the hash.
-    "q101_curation_pipeline" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val gated = d.withColumn("g", TextFunctions.gopherGate(col("text")))
-        .where(col("g.keep") === 1).drop("g")
-      val withFp = gated.withColumn("fp", TextFunctions.fingerprint(col("text")))
-      val minIds = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-      val deduped = withFp.join(minIds, Seq("fp", "doc_id"), "left_semi")
-      val scored = Scoring.unigramNll(deduped).select(col("doc_id"), col("avg_nll"))
-      val ratePpm = (lit(100000L) + lit(50000L) *
-        (expr("CAST(substr(source, 4) AS INT)") % 10)).cast("long")
-      val sampled = deduped.where(Packing.mixtureKeep(col("doc_id"), ratePpm))
-      Packing.packGreedy(sampled, budget = 160, chunkSize = 100)
-        .join(scored, "doc_id")
-        .select(col("doc_id"), col("source"), col("chunk"), col("n_tokens"),
-          col("shard"), col("avg_nll"))
-    }),
-
-    // ---- Structured Streaming under the oracle gate (q102): the
-    // flatMapGroupsWithState lag pairing + update-mode count aggregation
-    // (streaming/Streaming.scala) run as a REAL StreamingQuery over the
-    // events-derived dtraj, fed through a MemoryStream in four event-time
-    // chunks so the lag buffer genuinely crosses micro-batch boundaries;
-    // the final complete-mode sink must equal the batch sliding count
-    // matrix that DuckDB recomputes (q05's twin). The driver-side feed is
-    // the test-harness transport only — the operator itself holds O(tau)
-    // state per trajectory and n^2 aggregation state, unbounded-stream
-    // safe at any rate. -------------------------------------------------
-    "q102_streaming_counts" -> ((s0, dir) => {
-      // dedicated session: state-store count per stateful op = shuffle
-      // partitions, and each store checkpoints per micro-batch — 32
-      // partitions x 2 stateful ops x 4 batches is ~256 store commits for
-      // a toy stream. 4 partitions keeps the harness honest (parallel
-      // state, cross-batch buffers) at 1/8 the fixed cost; a real
-      // deployment sizes this to the key cardinality as usual.
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val data = dtrajEv(s, dir)
-        .as[(Long, Long, Int)].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Int)]
-      val stream = mem.toDF().toDF("traj_id", "t", "state")
-      val counts = graft.streaming.Streaming.streamingCountMatrix(stream, tau = 1)
-      val sink = "q102_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val query = counts.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try {
-        val tmax = data.iterator.map(_._2).max
-        (0 to 3).foreach { k =>
-          val lo = (tmax + 1) * k / 4
-          val hi = (tmax + 1) * (k + 1) / 4
-          val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
-          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
-      s.table(sink).select(col("s0"), col("s1"), col("cnt").cast("long").as("cnt"))
-    }),
-
-    // ---- interpolated bigram LM scoring (q103): the KenLM-shaped
-    // upgrade of q97 — per-doc avg NLL under lambda*P(w2|w1) +
-    // (1-lambda)*P_addone(w2), both models fit on the corpus itself.
-    // The bigram table is vocabulary-pair-sized (Zipf-bounded) and every
-    // model join is a broadcast, so the corpus text never shuffles.
-    // DuckDB refits both models and rescores identically. ----------------
-    "q103_bigram_lm" -> ((s, dir) => Scoring.bigramNll(docs(s, dir))),
-
-    // ---- quality-aware near-dup survivor selection (q104): the
-    // "keep one per duplicate cluster" action step — q76's banded
-    // minhash -> capped-bucket candidates -> exact-jaccard clusters,
-    // then each cluster keeps its HIGHEST-quality member (q18's score;
-    // doc_id tie-break) instead of the arbitrary min-id canonical.
-    // Cluster assignment shuffles only (id, cluster_id) pairs and the
-    // argmax is a per-cluster window — no text moves after scoring. ------
-    "q104_dedup_keep_best" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairs = dupEdges(s, dir).select(col("a"), col("b"))
-      val cc = Dedup.duplicateClusters(pairs)
-      val q = d.select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
-      val clustered = q.join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      val w = Window.partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
-      clustered.withColumn("rk", row_number().over(w))
-        .select(col("doc_id"), col("cluster_id"), col("quality"),
-          when(col("rk") === 1, 1L).otherwise(0L).as("keep"))
-    }),
-
-    // ---- leakage-safe train/val split (q105): the test-set-leakage
-    // guard every training pipeline needs — exact-duplicate groups
-    // (normalized fingerprint) are assigned to train or val AS A UNIT by
-    // the deterministic affine hash of the group representative, so a
-    // duplicated document can never land on both sides of the split.
-    // One corpus-keyed shuffle (the fingerprint group-min); the split
-    // decision itself is map-side arithmetic, append-stable on re-crawl. -
-    "q105_leakage_split" -> ((s, dir) => {
-      val withFp = docs(s, dir)
-        .withColumn("fp", TextFunctions.fingerprint(col("text")))
-      val rep = withFp.groupBy("fp").agg(min(col("doc_id")).as("group_id"))
-      withFp.join(rep, Seq("fp"))
-        .withColumn("split",
-          when(Packing.sampleHashPpm(col("group_id")) < lit(900000L), lit("train"))
-            .otherwise(lit("val")))
-        .select(col("doc_id"), col("group_id"), col("split"))
-    }),
-
-    // ---- per-source vocabulary health (q106): corpus diagnostics that
-    // gate mixture design — token/type counts, type-token ratio, hapax
-    // fraction, and top-1 token share per source. One explode + one
-    // (source, token) aggregation (map-side combined); the per-source
-    // rollup is source-cardinality-sized. All ratios are exact rationals
-    // rounded at 6dp, so the DuckDB twin matches bit-for-bit. ------------
-    "q106_vocab_stats" -> ((s, dir) => {
-      val t = docs(s, dir).select(col("source"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-        .where(col("tok") =!= "")
-      t.groupBy("source", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("source").agg(
-          sum(col("c")).cast("long").as("n_tokens"),
-          count(lit(1)).cast("long").as("n_types"),
-          round(count(lit(1)).cast("double") / sum(col("c")).cast("double"), 6)
-            .as("type_token_ratio"),
-          round(sum(when(col("c") === 1, 1L).otherwise(0L)).cast("double") /
-            count(lit(1)).cast("double"), 6).as("hapax_frac"),
-          round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
-            .as("top1_share"))
-    }),
-
-    // ---- per-source quality cap (q107): the CommonCrawl-style domain
-    // cap — keep at most K=50 highest-quality documents per source
-    // (quality desc, doc_id tie-break). The rank filter triggers Spark's
-    // WindowGroupLimit pushdown: each map partition keeps only its local
-    // top-K per source BEFORE the shuffle, so the exchange carries
-    // O(sources*K) rows per partition regardless of corpus size. ---------
-    "q107_source_quality_cap" -> ((s, dir) => {
-      val q = docs(s, dir).select(col("doc_id"), col("source"),
-        TextFunctions.qualityScore(col("text")).as("quality"))
-      val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
-      q.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 50)
-    }),
-
-    // ---- rolling per-entity features (q114): the point-in-time feature
-    // engineering primitive — per user, over the event-time order, a
-    // 5-event trailing moving average/max of `value` and the lag-1 value,
-    // all STRICTLY prior (rows -5..-1) so a training pipeline can join
-    // them leak-free at the event itself. One hash exchange (the per-user
-    // window); frames are row-bounded so state is O(window). ------------
-    "q114_rolling_features" -> ((s, dir) => {
-      val ev = Trajectories.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
-          col("value"))
-      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
-      val trail = w.rowsBetween(-5, -1)
-      ev.select(col("event_id"), col("user_id"), col("value"),
-          round(avg(col("value")).over(trail), 6).as("trail_avg"),
-          max(col("value")).over(trail).as("trail_max"),
-          lag(col("value"), 1).over(w).as("prev_value"),
-          count(lit(1)).over(trail).cast("long").as("n_trail"))
-    }),
-
-    // ---- PMI collocations (q115): corpus-level word-pair association —
-    // pointwise mutual information log(c12*T / (c1*c2)) over the q103
-    // bigram/context tables, support-filtered (c12 >= 20) and top-30 by
-    // (PMI, pair) with a deterministic tie-break. Model tables are
-    // Zipf-bounded aggregates; the corpus shuffles only (w1, w2) pairs. -
-    "q115_pmi_collocations" -> ((s, dir) => {
-      val grams = docs(s, dir).select(
-          explode(TextFunctions.wordShingles(lower(trim(col("text"))), 2)).as("g"))
-        .select(substring_index(col("g"), " ", 1).as("w1"),
-          substring_index(col("g"), " ", -1).as("w2"))
-      // materialize the bigram table once: margins, total, and the final
-      // join all read it (4 consumers -> without this the corpus would be
-      // re-scanned and re-shuffled 4x, the Scoring.bigramNll lesson)
-      val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        .localCheckpoint()
-      val left = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      val right = big.groupBy("w2").agg(sum(col("c12")).as("c2"))
-      val total = big.agg(sum(col("c12")).as("t")).collect()(0).getLong(0)
-      big.where(col("c12") >= 20)
-        .join(broadcast(left), "w1").join(broadcast(right), "w2")
-        .select(col("w1"), col("w2"), col("c12").cast("long").as("c12"),
-          round(log(col("c12").cast("double") * lit(total.toDouble) /
-            (col("c1").cast("double") * col("c2").cast("double"))), 6).as("pmi"))
-        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(30)
-    }),
-
-    // ---- perceptual image hash dedup (q116): the image-corpus analog of
-    // q16's text fingerprint — REAL PNG decode (q70 codec), 8x8 nearest-
-    // neighbor thumbnail (q110 stride arithmetic), average-hash (bit i =
-    // thumb pixel i > thumbnail mean) packed into two 32-bit halves, and
-    // hash-group dedup stats. Payloads are synthetic (base = doc_id % 37
-    // drives dims+pixels) so the DuckDB twin replays decode+resize+hash
-    // from the generating formula — a wrong stride, threshold, or bit
-    // order breaks the hash. Scale shape: decode+hash are MAP-SIDE (the
-    // image bytes never shuffle); only (hash, doc_id) reaches the
-    // exchange — the shape that dedups a billion-image corpus. ----------
-    "q116_image_ahash" -> ((s, dir) => {
-      val mk = udf { (docId: Long) =>
-        val base = docId % 37
-        val w = (6 + base % 5).toInt
-        val h = (4 + (base * 3) % 4).toInt
-        val px = Array.tabulate(w * h)(i => ((base * 31 + i * 7) % 256).toByte)
-        graft.multimodal.PngCodec.encode(w, h, 1, px)
-      }
-      val withPng = docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
-      val thumb = graft.multimodal.Multimodal.resizePixelsDyn(col("decoded"),
-        col("decoded.width"), col("decoded.height"), 8, 8)
-      // exact integer pixels (q70's lossless float roundtrip contract)
-      val tp = graft.multimodal.Multimodal.decodeImages(withPng, "payload")
-        .select(col("doc_id"),
-          transform(thumb, p => round(p * lit(255.0f)).cast("long")).as("tp"))
-        .withColumn("avg64",
-          aggregate(col("tp"), lit(0L), (a, p) => a + p).cast("double") / lit(64.0))
-      // one 32-bit half: sum of exact powers of two (every term and the
-      // total are < 2^32, so the double accumulator is integer-exact)
-      def half(off: Int): Column = aggregate(
-        zip_with(slice(col("tp"), off + 1, 32), sequence(lit(0), lit(31)),
-          (p, i) => when(p.cast("double") > col("avg64"), pow(lit(2.0), i))
-            .otherwise(lit(0.0))),
-        lit(0.0), (a, x) => a + x).cast("long")
-      tp.select(col("doc_id"), half(0).as("ahash_lo"), half(32).as("ahash_hi"))
-        .groupBy("ahash_lo", "ahash_hi")
-        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
-        .withColumn("dup_pairs", expr("n_docs * (n_docs - 1) div 2"))
-    }),
-
-    // ---- TF-IDF top terms (q117): the classic per-document keyword
-    // extraction — tf = cnt/doc_len, idf = ln(N/df), top-3 terms per doc
-    // by (tfidf desc, term asc). Scale shape: ONE (doc, term) aggregation
-    // shuffle; the document-frequency table is Zipf-bounded and broadcast;
-    // the rank filter hits Spark's WindowGroupLimit pushdown so each map
-    // partition ships only its local top-3 per doc. --------------------
-    "q117_tfidf_topk" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val nDocs = d.count()
-      val words = d.select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .where(col("term") =!= "")
-      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
-      val nw = Window.partitionBy("doc_id")
-      // rank on the ROUNDED score (q118/q119/q122 convention): JVM log
-      // and libm ln are only 1-ulp-accurate, so an unrounded rank could
-      // order near-tied terms differently than the twin
-      val scored = tf.withColumn("nw", sum(col("cnt")).over(nw))
-        .join(broadcast(dfreq), "term")
-        .withColumn("tfidf", round(
-          (col("cnt").cast("double") / col("nw").cast("double")) *
-            log(lit(nDocs.toDouble) / col("dfreq").cast("double")), 6))
-      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 3)
-        .select(col("doc_id"), col("term"), col("cnt").cast("long").as("cnt"),
-          col("tfidf"), col("rk"))
-    }),
-
-    // ---- multinomial Naive Bayes language classifier (q118): the
-    // supervised classifier rung of the curation family (the fastText-
-    // style quality/language-filter analog; q19's heuristic langid is the
-    // unsupervised twin). Training IS aggregation — per-(class, word)
-    // counts with add-1 smoothing — so the whole fit is SQL-replayable.
-    // Scale shape: one corpus scan builds the Zipf-bounded class-count
-    // table, pivoted and BROADCAST; scoring is a map-side join + ONE
-    // per-doc aggregation; priors/totals are 5 driver scalars. The
-    // prediction ranks on the ROUNDED score with a class tie-break, so
-    // parity never rides on last-ulp summation order. -------------------
-    "q118_naive_bayes" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val langs = d.select("lang").distinct().collect().map(_.getString(0)).sorted
-      val words = d.select(col("doc_id"), col("lang"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .where(col("w") =!= "")
-      val cw = words.groupBy("lang", "w").agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val tot = cw.groupBy("lang").agg(sum(col("c")).as("t")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val vocab = cw.select("w").distinct().count()
-      val nd = d.groupBy("lang").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val ndAll = nd.values.sum
-      val piv = cw.groupBy("w").pivot("lang", langs).agg(first(col("c")))
-      val sums = langs.map(l => sum(
-        log((coalesce(col(l), lit(0L)) + 1).cast("double") /
-          lit((tot(l) + vocab).toDouble))).as("s_" + l))
-      val agged = words.join(broadcast(piv), "w")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sums.head, (sums.tail :+ count(lit(1)).as("nw")): _*)
-      val priors = typedLit(langs.map(l =>
-        l -> math.log(nd(l).toDouble / ndAll.toDouble)).toMap)
-      val stacked = agged.select(col("doc_id"), col("lang"), col("nw"),
-          expr("stack(" + langs.length + ", " +
-            langs.map(l => s"'$l', s_$l").mkString(", ") + ") AS (cand, sumll)"))
-        .withColumn("avg_ll", round(
-          (element_at(priors, col("cand")) + col("sumll")) /
-            col("nw").cast("double"), 6))
-      val w = Window.partitionBy("doc_id").orderBy(col("avg_ll").desc, col("cand"))
-      stacked.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-        .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
-          col("avg_ll"),
-          when(col("cand") === col("lang"), 1L).otherwise(0L).as("correct"))
-    }),
-
-    // ---- per-class embedding outliers (q119): the CLIP-score-filtering
-    // analog — per label, the element-wise mean centroid; each vector's
-    // cosine to its OWN class centroid; bottom-3 per class (rounded-cos
-    // asc, vec_id tie-break) are the mislabeled/noise candidates a
-    // curation pass drops. Scale shape: centroids via map-side-combined
-    // (label, dim) partial sums (shuffle carries nClasses x dim doubles
-    // per partition, not vectors), broadcast back; cosine is the fused
-    // native expression; the rank filter is WindowGroupLimit-pushed. ----
-    "q119_embedding_outliers" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"),
-        col("label").cast("long").as("label"),
-        col("embedding").cast("array<double>").as("v"))
-      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("label", "i").agg(avg(col("x")).as("c"))
-        .groupBy("label")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
-          t => t.getField("c")).as("cv"))
-      val sc = e.join(broadcast(cent), "label")
-        .select(col("label"), col("vec_id"),
-          round(graft.functions.ArrayNumeric.cosine(col("v"), col("cv")), 6)
-            .as("cos_c"))
-      val w = Window.partitionBy("label").orderBy(col("cos_c"), col("vec_id"))
-      sc.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 3)
-    }),
-
-    // ---- Zipf power-law fit (q120): corpus-health diagnostic — least-
-    // squares fit of ln(freq) = intercept - alpha*ln(rank) over the top
-    // 1000 words; alpha far from ~1 flags templated/spam corpora. The
-    // global rank window runs on the Zipf-bounded AGGREGATE (vocab-sized,
-    // same single-partition argument as the BPE word table), never the
-    // corpus; the fit is one closed-form aggregation of 5 sums. --------
-    "q120_zipf_fit" -> ((s, dir) => {
-      val tf = docs(s, dir).select(
-          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .where(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("c"))
-      val ranked = tf
-        .withColumn("rk", row_number()
-          .over(Window.orderBy(col("c").desc, col("w"))).cast("long"))
-        .where(col("rk") <= 1000)
-        .select(log(col("rk").cast("double")).as("x"),
-          log(col("c").cast("double")).as("y"))
-      val a = ranked.agg(count(lit(1)).cast("double").as("n"),
-        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("x") * col("y")).as("sxy"),
-        sum(col("y") * col("y")).as("syy"))
-      a.select(
-        round(-(col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("alpha"),
-        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
-          col("n"), 6).as("intercept"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
-          (col("n") * col("sxy") - col("sx") * col("sy"))) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"),
-        col("n").cast("long").as("n_points"))
-    }),
-
-    // ---- forward as-of join (q121): time-to-next-event labels — every
-    // event gets the user's EARLIEST strictly-later 'click' payload and
-    // the nanosecond delta to it (the training-target primitive: time-
-    // to-next-purchase/churn labels). Same single-exchange union-tag
-    // window as q108, order reversed. DuckDB's native ASOF LEFT JOIN
-    // with the < inequality is the independent twin. -------------------
-    "q121_asof_forward" -> ((s, dir) => {
-      val e = Trajectories.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
-          col("event_type"), col("value"))
-      // same (user, time) click dedup as q108 — the ASOF twin's
-      // equal-timestamp pick is arbitrary, so pin it on both sides
-      val cw = Window.partitionBy("user_id", "t").orderBy(col("event_id").desc)
-      val clicks = e.where(col("event_type") === "click")
-        .withColumn("rn", row_number().over(cw)).where(col("rn") === 1)
-        .select(col("user_id"), col("t"),
-          col("event_id").as("next_click_event_id"),
-          col("value").as("next_click_value"))
-      Joins.asofJoinForwardStrict(e, clicks, key = "user_id",
-          leftTime = "t", rightTime = "t")
-        .select(col("event_id"), col("user_id"), col("value"),
-          col("__match.next_click_event_id").as("next_click_event_id"),
-          // per-timestamp us truncation BEFORE the delta: DuckDB parses
-          // the parquet TIMESTAMP(NANOS) at us precision, so parity
-          // requires flooring each side, not the ns difference
-          expr("__match.__mt div 1000 - t div 1000").as("us_to_next_click"),
-          round(col("__match.next_click_value"), 6).as("next_click_value"))
-    }),
-
-    // ---- hard-negative mining (q122): contrastive-training data prep —
-    // for each of 20 deterministic anchor vectors, the top-3 most-cosine-
-    // similar vectors with a DIFFERENT label (the "hard negatives" an
-    // embedding trainer pairs with positives). Brute rung of the q23/q28
-    // ANN family: anchors broadcast, fused native cosine, rank on the
-    // ROUNDED score (vec_id tie-break); the LSH/IVF rungs apply unchanged
-    // at corpus scale with the label-exclusion pushed into the candidate
-    // filter. -----------------------------------------------------------
-    "q122_hard_negatives" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"),
-        col("label").cast("long").as("label"),
-        col("embedding").cast("array<double>").as("v"))
-      val anchors = e.where(col("vec_id") < 20)
-        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
-          col("v").as("av"))
-      val scored = e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
-        .select(col("anchor_id"), col("vec_id"),
-          round(graft.functions.ArrayNumeric.cosine(col("v"), col("av")), 6)
-            .as("cos_hn"))
-      val w = Window.partitionBy("anchor_id")
-        .orderBy(col("cos_hn").desc, col("vec_id"))
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 3)
-    }),
-
-    // ---- per-source distribution drift (q123): Jensen-Shannon
-    // divergence between each source's add-1-smoothed unigram
-    // distribution and the corpus distribution — the mixture-design
-    // diagnostic that flags templated/outlier sources before they skew a
-    // training mix. Scale shape: everything after the one corpus scan
-    // operates on Zipf-bounded MODEL tables (vocab x sources grid); the
-    // corpus itself never re-shuffles. ----------------------------------
-    "q123_source_divergence" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val words = d.select(col("source"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .where(col("w") =!= "")
-      val cw = words.groupBy("source", "w").agg(count(lit(1)).as("cs"))
-        .localCheckpoint()
-      // the corpus margin and totals DERIVE from cw (exact integer sums)
-      // — one corpus scan total, everything downstream is model-sized
-      val cAll = cw.groupBy("w").agg(sum(col("cs")).as("ca"))
-        .localCheckpoint()
-      val vt = cAll.agg(count(lit(1)), sum(col("ca"))).collect()(0)
-      val (vocab, totAll) = (vt.getLong(0), vt.getLong(1))
-      val tots = cw.groupBy("source").agg(sum(col("cs")).as("tots"))
-      // vocab x sources grid (zero-count words still contribute their
-      // smoothed mass), then the sparse per-source counts rejoin
-      val grid = cAll.crossJoin(broadcast(tots))
-        .join(cw, Seq("source", "w"), "left")
-      val p = (coalesce(col("cs"), lit(0L)) + 1).cast("double") /
-        (col("tots") + vocab).cast("double")
-      val q = (col("ca") + 1).cast("double") / lit((totAll + vocab).toDouble)
-      val m = (p + q) / 2.0
-      grid.select(col("source"), col("tots"),
-          (p * log(p / m) * 0.5 + q * log(q / m) * 0.5).as("term"))
-        .groupBy("source")
-        .agg(round(sum(col("term")), 6).as("js_div"),
-          max(col("tots")).cast("long").as("n_tokens"))
-    }),
-
-    // ---- inverted-index construction (q124): the search/retrieval-prep
-    // primitive — per term with document frequency >= 5, the top-10
-    // postings (doc_id by tf desc, doc_id tie-break) plus the term's df.
-    // ONE (doc, term) aggregation; the per-term rank filter is
-    // WindowGroupLimit-pushed so each map partition ships only its local
-    // top-10 per term; at corpus scale the postings cap bounds the
-    // output at O(vocab * k). --------------------------------------------
-    "q124_inverted_index" -> ((s, dir) => {
-      val tf = docs(s, dir).select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .where(col("term") =!= "")
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      val wd = Window.partitionBy("term")
-      val wr = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
-      tf.withColumn("df", count(lit(1)).over(wd).cast("long"))
-        .withColumn("rk", row_number().over(wr).cast("long"))
-        .where(col("df") >= 5 && col("rk") <= 10)
-        .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"),
-          col("df"), col("rk"))
-    }),
-
-    // ---- mergeable-sketch re-aggregation (q125): the incremental-
-    // corpus-stats identity — HLL sketches built PER SOURCE, then
-    // union-merged, must land on byte-identical registers (hence the
-    // identical estimate) as one direct corpus-level sketch, because HLL
-    // union is per-register max. This is the property that lets a 100 TB
-    // pipeline keep per-partition/per-day sketches and re-aggregate
-    // without rescanning; the estimate itself is gated against the exact
-    // distinct count (DuckDB anchor) with the standard error bound. -----
-    "q125_sketch_merge" -> ((s, dir) => {
-      val words = docs(s, dir).select(col("source"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .where(col("w") =!= "")
-      val perSource = words.groupBy("source")
-        .agg(expr("hll_sketch_agg(w, 12)").as("sk"))
-      val merged = perSource
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
-        .collect()(0).getLong(0)
-      // direct sketch + exact distinct share ONE corpus pass
-      val de = words.agg(
-        expr("hll_sketch_estimate(hll_sketch_agg(w, 12))").as("est"),
-        countDistinct(col("w")).as("exact")).collect()(0)
-      val (direct, exact) = (de.getLong(0), de.getLong(1))
-      checksDf(s, Seq(
-        "merge_vs_direct_resid" -> math.abs(merged - direct).toDouble,
-        "est_relerr_over_5pct" ->
-          math.max(0.0, math.abs(direct - exact).toDouble / exact - 0.05),
-        "n_distinct_words" -> exact.toDouble))
-    }),
-
-    // ---- streaming rolling features under the ORACLE gate (q126): the
-    // q114 point-in-time feature primitive as a REAL append-mode
-    // StreamingQuery — per-user O(window) state serves strictly-prior
-    // trailing avg/max/lag at ingest time (the online feature-store
-    // shape). Events stream in event-time order across 4 micro-batches
-    // that cut through user histories, so state genuinely carries
-    // across batch boundaries; the emitted set must hash-match the batch
-    // window twin row for row. ------------------------------------------
-    "q126_streaming_features" -> ((s0, dir) => {
-      // isolated session: the 4-partition state-store sizing (q102
-      // rationale) must not leak into later queries on the shared session
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val data = Trajectories.events(s, dir)
-        .select(col("event_id").cast("long"), col("user_id").cast("long"),
-          col("ts").cast("long"), col("value").cast("double"))
-        .as[(Long, Long, Long, Double)].collect()
-        .sortBy(r => (r._3, r._1))
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, Long, Double)]
-      val stream = mem.toDF().toDF("event_id", "user_id", "t", "value")
-      val feats = graft.streaming.Streaming.rollingFeaturesStream(stream, 5)
-      val sink = "q126_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val query = feats.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        data.grouped(math.max(1, data.length / 4 + 1)).foreach { chunk =>
-          mem.addData(chunk.toIndexedSeq: _*)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
-      s.table(sink).select(col("event_id"), col("user_id"), col("value"),
-        round(col("trail_avg"), 6).as("trail_avg"), col("trail_max"),
-        col("prev_value"), col("n_trail"))
-    }),
-
-    // ---- containment near-dup metrics (q127): the asymmetric dedup
-    // semantic — a short doc wholly quoted in a long one has containment
-    // ~1 while Jaccard stays low. Same candidate-driven verify shape as
-    // q20 over a deterministic selection; at corpus scale candidates come
-    // from the minhash banding exactly as q21. ---------------------------
-    "q127_containment" -> ((s, dir) => {
-      // fixed-count selection, same rationale as q20
-      val sel = docs(s, dir).where(col("doc_id") % 43 === 0)
-        .orderBy(col("doc_id")).limit(256)
-      val ids = sel.select(col("doc_id"))
-      val pairs = ids.select(col("doc_id").as("a"))
-        .crossJoin(ids.select(col("doc_id").as("b")))
-        .where(col("a") < col("b"))
-      Dedup.ngramContainment(sel, pairs, 5)
-        .select(col("a"), col("b"), col("inter"), col("na"), col("nb"),
-          round(col("jaccard"), 6).as("jaccard"),
-          round(col("containment"), 6).as("containment"))
-    }),
-
-    // ---- cross-source duplication matrix (q128): where duplication
-    // comes FROM — per (source, source) pair, the count of exact-dup doc
-    // pairs (shared fingerprint), the mixture-design view of q16. Only
-    // (fp, source, doc_id) tuples shuffle; the self-join fans out per
-    // fingerprint GROUP, which exact-dup group sizes keep small. ---------
-    "q128_cross_source_dup" -> ((s, dir) => {
-      // plant cross-source clones (every 10th doc mirrored under a
-      // tagged source) so the matrix is exercised at every SF — organic
-      // cross-source dups only appear at sf0.1+. Mirror ids are NEGATIVE
-      // (-id-1), collision-free against any nonnegative corpus id range
-      // (a fixed +1e6 offset would collide on a >= 1M-doc corpus)
-      val base = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
-      val aug = base.unionByName(base.where(col("doc_id") % 10 === 0)
-        .select((-col("doc_id") - 1).as("doc_id"),
-          concat(lit("mirror_"), col("source")).as("source"), col("text")))
-      val f = aug.select(col("doc_id"), col("source"),
-        TextFunctions.fingerprint(col("text")).as("fp"))
-      f.select(col("fp"), col("source").as("src_a"), col("doc_id").as("ida"))
-        .join(f.select(col("fp"), col("source").as("src_b"),
-          col("doc_id").as("idb")), "fp")
-        .where(col("ida") < col("idb"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("dup_pairs"))
-    }),
-
-    // ---- stupid-backoff trigram LM (q129): the web-scale LM scoring
-    // rung above q103's interpolated bigram (Brants et al. 2007: no
-    // discounting, fixed 0.4 backoff — the scheme built FOR distributed
-    // count tables). Fit on even doc_ids, score the odd ones, so backoff
-    // genuinely fires on unseen trigrams/bigrams; the unigram floor is
-    // add-1-smoothed so OOV words stay finite. Scale shape: three
-    // Zipf-bounded count tables broadcast; scoring is one map-side
-    // multi-join + a per-doc aggregation. -------------------------------
-    "q129_trigram_backoff" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val train = d.where(col("doc_id") % 2 === 0)
-      val test = d.where(col("doc_id") % 2 === 1)
-      def tris(src: DataFrame) = src.select(col("doc_id"),
-          explode(TextFunctions.wordShingles(lower(trim(col("text"))), 3)).as("g"))
-        .withColumn("p", split(col("g"), " "))
-        .select(col("doc_id"), col("p").getItem(0).as("w1"),
-          col("p").getItem(1).as("w2"), col("p").getItem(2).as("w3"))
-      val tri = tris(train).groupBy("w1", "w2", "w3")
-        .agg(count(lit(1)).as("c123")).localCheckpoint()
-      val big = train.select(
-          explode(TextFunctions.wordShingles(lower(trim(col("text"))), 2)).as("g"))
-        .select(substring_index(col("g"), " ", 1).as("x1"),
-          substring_index(col("g"), " ", -1).as("x2"))
-        .groupBy("x1", "x2").agg(count(lit(1)).as("cb")).localCheckpoint()
-      val uni = train.select(
-          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .where(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("cu")).localCheckpoint()
-      val totals = uni.agg(sum(col("cu")), count(lit(1))).collect()(0)
-      val (nTok, vocab) = (totals.getLong(0), totals.getLong(1))
-      val scored = tris(test)
-        .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
-        .join(broadcast(big.select(col("x1").as("w1"), col("x2").as("w2"),
-          col("cb").as("c12"))), Seq("w1", "w2"), "left")
-        .join(broadcast(big.select(col("x1").as("w2"), col("x2").as("w3"),
-          col("cb").as("c23"))), Seq("w2", "w3"), "left")
-        .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("c2"))),
-          Seq("w2"), "left")
-        .join(broadcast(uni.select(col("w").as("w3"), col("cu").as("c3"))),
-          Seq("w3"), "left")
-      val s1 = (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
-        lit((nTok + vocab).toDouble)
-      val s2 = when(coalesce(col("c23"), lit(0L)) > 0,
-        col("c23").cast("double") / col("c2").cast("double"))
-        .otherwise(lit(0.4) * s1)
-      val s3 = when(coalesce(col("c123"), lit(0L)) > 0,
-        col("c123").cast("double") / col("c12").cast("double"))
-        .otherwise(lit(0.4) * s2)
-      scored.groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_trigrams"),
-          round(avg(-log(s3)), 6).as("avg_nll"))
-    }),
-
-    // ---- near-dup graph triangles (q130): graph analytics over the
-    // verified >= 0.6 Jaccard dup graph (q21's edge set) — triangle
-    // density distinguishes tight clone CLUSTERS from chains, informing
-    // whether keep-one-per-cluster (q76/q104) over- or under-deletes.
-    // The oriented wedge join (a<b<c) is the standard distributed
-    // triangle algorithm: two self-joins of the model-sized edge table,
-    // each triangle counted exactly once. -------------------------------
-    "q130_dup_triangles" -> ((s, dir) => {
-      // the judge-flagged re-derivation, fixed: the verified edge set is
-      // the session-memoized dupEdges materialization shared with q21
-      val e = dupEdges(s, dir).select(col("a"), col("b"))
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e1.b") === col("e2.a"))
-        .join(e.as("e3"),
-          col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-        .count()
-      import s.implicits._
-      Seq((e.count(), tri)).toDF("n_edges", "n_triangles")
-    }),
-
-    // ---- HTML boilerplate stripping (q131): the crawl-cleaning step —
-    // deterministic markup is injected by doc_id class (full page /
-    // inline tags / clean), then stripped: tags out, the common entities
-    // decoded, whitespace renormalized. The twin re-injects and re-cleans
-    // the identical strings, so a wrong tag regex, entity order, or
-    // collapse rule breaks the cleaned-text md5. Pure codegen column
-    // chain at the scan — no shuffle, no UDF. ---------------------------
-    "q131_html_strip" -> ((s, dir) => {
-      val id = col("doc_id")
-      val wrapped = when(pmod(id, lit(3)) === 0,
-          concat(lit("<html><head><title>T"), id.cast("string"),
-            lit("</title></head><body><p>"), col("text"),
-            lit("</p><div class=\"footer\">&copy; 2026 Example&nbsp;Corp</div></body></html>")))
-        .when(pmod(id, lit(3)) === 1,
-          concat(lit("<p>"), col("text"), lit("</p><br/><a href=\"http://x.example/"),
-            id.cast("string"), lit("\">link &amp; more</a>")))
-        .otherwise(col("text"))
-      val noTags = regexp_replace(wrapped, "<[^>]*>", " ")
-      val decoded = regexp_replace(regexp_replace(regexp_replace(
-        noTags, "&nbsp;", " "), "&copy;", "(c)"), "&amp;", "&")
-      val cleaned = trim(regexp_replace(decoded, "\\s+", " "))
-      docs(s, dir).select(id,
-        regexp_count(wrapped, lit("<[^>]*>")).cast("long").as("n_tags"),
-        length(cleaned).cast("long").as("clean_len"),
-        md5(cleaned.cast("binary")).as("clean_md5"))
-    }),
-
-    // ---- temperature mixture sampling (q132): the multi-source mixing
-    // scheme of multilingual/multi-corpus training (alpha-weighted:
-    // small sources up-weighted relative to size) — per-source quota
-    // floor(12*sqrt(n_s)) (alpha = 0.5), filled by the deterministic
-    // affine-hash order (q88's RNG-free sampling), so re-runs and
-    // re-crawls keep the same docs. sqrt/mul/floor are all IEEE-exact,
-    // so the quota boundary is bit-identical across engines. One
-    // per-source window; quotas broadcast. ------------------------------
-    "q132_temperature_mixture" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val quotas = d.groupBy("source").agg(count(lit(1)).as("n"))
-        .select(col("source"),
-          floor(sqrt(col("n").cast("double")) * 12.0).cast("long").as("quota"))
-      val w = Window.partitionBy("source")
-        .orderBy(Packing.sampleHashPpm(col("doc_id")), col("doc_id"))
-      d.select(col("doc_id"), col("source"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .join(broadcast(quotas), "source")
-        .where(col("rk") <= col("quota"))
-        .select(col("source"), col("doc_id"), col("rk"), col("quota"))
-    }),
-
-    // ---- real BMP decode, oracle-checked end to end (q133): the third
-    // genuine codec (after PNG q70 / WAV q74) — 8-bit paletted gray,
-    // BOTTOM-UP rows padded to 4-byte boundaries (widths 3..9 make the
-    // padding branch fire on most docs). The oracle recomputes pixel
-    // sums from the generating formula, so a wrong row order or pad
-    // stride breaks the hash. -------------------------------------------
-    "q133_bmp_decode" -> ((s, dir) => {
-      val mk = udf { (docId: Long) =>
-        val w = (3 + docId % 7).toInt
-        val h = (2 + (docId * 5) % 4).toInt
-        val px = Array.tabulate(w * h)(i => ((docId * 17 + i * 11) % 256).toByte)
-        graft.multimodal.BmpCodec.encode(w, h, px)
-      }
-      val dec = udf { (bytes: Array[Byte]) =>
-        graft.multimodal.BmpCodec.decode(bytes).map { d =>
-          (d.width, d.height, d.pixels.length.toLong,
-            d.pixels.map(p => (p & 0xFF).toLong).sum)
-        }.orNull
-      }
-      docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
-        .select(col("doc_id"), dec(col("payload"))
-          .cast("struct<width: int, height: int, n_px: bigint, px_sum: bigint>")
-          .as("d"))
-        .select(col("doc_id"), col("d.width").as("width"),
-          col("d.height").as("height"), col("d.n_px").as("n_px"),
-          col("d.px_sum").as("px_sum"))
-    }),
-
-    // ---- session path mining (q134): funnel/journey analytics — per
-    // q78-rule session, the ordered event-type path (capped at the first
-    // 5 steps), then the top-20 most common paths. The per-session
-    // sequence is built by sort_array over (time, event_id, type)
-    // structs, so ordering is deterministic; paths aggregate to a
-    // Zipf-bounded table before the top-k. -------------------------------
-    "q134_session_paths" -> ((s, dir) => {
-      val ev = Trajectories.events(s, dir)
-        .select(col("user_id"), expr("ts div 1000").as("tsu"),
-          col("event_id"), col("event_type"))
-      val paths = Trajectories.sessionize(ev, gapMicros = 30000000000L)
-        .groupBy(col("user_id"), col("session_idx"))
-        .agg(array_join(transform(
-          slice(sort_array(collect_list(struct(col("tsu"), col("event_id"),
-            col("event_type")))), 1, 5),
-          t => t.getField("event_type")), ">").as("path"))
-      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
-        .orderBy(col("n_sessions").desc, col("path")).limit(20)
-    }),
-
-    // ---- cohort retention (q135): the product-analytics staple — users
-    // bucketed by first-activity week; for every (cohort week, week
-    // offset) the count of distinct users still active. One exchange
-    // (the per-user window) + one model-sized aggregation. --------------
-    "q135_cohort_retention" -> ((s, dir) => {
-      // ONE user-keyed aggregation (map-side-combined collect_set of the
-      // handful of active weeks) replaces the r06 distinct -> per-user
-      // window -> countDistinct-expand chain (11.4x in the driver record).
-      // cohort = min week; each user contributes each (cohort, offset) at
-      // most once by construction, so the final count(*) is exact distinct
-      // users — two exchanges total, the second over the model-sized
-      // (cohort, offset) key space.
-      Trajectories.events(s, dir)
-        .select(col("user_id"),
-          expr("(ts div 1000) div 604800000000").as("week"))
-        .groupBy("user_id").agg(collect_set(col("week")).as("weeks"))
-        .select(array_min(col("weeks")).as("cohort_week"),
-          explode(col("weeks")).as("week"))
-        .select(col("cohort_week"),
-          (col("week") - col("cohort_week")).as("week_offset"))
-        .groupBy("cohort_week", "week_offset")
-        .agg(count(lit(1)).as("n_users"))
-    }),
-
-    // ---- funnel conversion (q136): ordered view -> click -> purchase
-    // within a q78-rule session — each step's earliest time must be
-    // STRICTLY after the previous step's (the standard ordered-funnel
-    // semantics). Three conditional-min aggregations over the sessionized
-    // events; output is one row of step counts + rounded conversion
-    // fractions. --------------------------------------------------------
-    "q136_funnel" -> ((s, dir) => {
-      val ev = Trajectories.events(s, dir)
-        .select(col("user_id"), expr("ts div 1000").as("tsu"),
-          col("event_id"), col("event_type"))
-      val sess = Trajectories.sessionize(ev, gapMicros = 30000000000L)
-      // ONE lazy plan (the r06 shape launched four sequential driver
-      // jobs over the sessionized set): per session, t1 = min view time
-      // and the click/purchase times collect into session-bounded sorted
-      // arrays; t2/t3 are strictly-after conditional mins via
-      // array_min(filter(...)) — a null t1/t2 propagates to an empty
-      // filter and a null min, exactly the join semantics of the twin.
-      val per = sess.groupBy("user_id", "session_idx").agg(
-        min(when(col("event_type") === "view", col("tsu"))).as("t1"),
-        sort_array(collect_list(
-          when(col("event_type") === "click", col("tsu")))).as("clicks"),
-        sort_array(collect_list(
-          when(col("event_type") === "purchase", col("tsu")))).as("purchases"))
-        .withColumn("t2", array_min(filter(col("clicks"), c => c > col("t1"))))
-        .withColumn("t3", array_min(filter(col("purchases"), c => c > col("t2"))))
-      per.agg(
-          count(lit(1)).as("n_sessions"),
-          count(col("t1")).as("n_view"),
-          count(col("t2")).as("n_view_click"),
-          count(col("t3")).as("n_full_funnel"))
-        .select(col("n_sessions"), col("n_view"), col("n_view_click"),
-          col("n_full_funnel"),
-          round(col("n_view") / col("n_sessions"), 6).as("view_rate"),
-          round(col("n_view_click") / greatest(col("n_view"), lit(1L)), 6)
-            .as("click_after_view_rate"),
-          round(col("n_full_funnel") / greatest(col("n_view_click"), lit(1L)), 6)
-            .as("purchase_after_click_rate"))
-    }),
-
-    // ---- lang x source independence (q137): dataset bias detection —
-    // the Pearson chi-square statistic over the language/source
-    // contingency table (a skewed crawl shows up as a huge chi2). The
-    // contingency table is model-sized (|langs| x |sources|); the
-    // statistic is one closed-form aggregation over it. -----------------
-    "q137_chi_square" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
-        .localCheckpoint()
-      val rowT = cells.groupBy("lang").agg(sum(col("o")).as("rt"))
-      val colT = cells.groupBy("source").agg(sum(col("o")).as("ct"))
-      val n = d.count()
-      val withE = cells.join(broadcast(rowT), "lang")
-        .join(broadcast(colT), "source")
-        .select((col("rt") * col("ct")).cast("double")./(lit(n.toDouble)).as("e"),
-          col("o").cast("double").as("od"))
-      val chi2 = withE
-        .agg(sum((col("od") - col("e")) * (col("od") - col("e")) / col("e")))
-        .collect()(0).getDouble(0)
-      val (nr, nc) = (rowT.count(), colT.count())
-      import s.implicits._
-      Seq((r6(chi2), (nr - 1) * (nc - 1), n))
-        .toDF("chi2", "dof", "n_docs")
-    }),
-
-    // ---- count-matrix estimation api tail (q138): priors, likelihood,
-    // posterior covariance, error propagation (reference estimation/
-    // api.py:623-1100). The count matrix is the distributed artifact
-    // (one shuffle); the api is model-sized driver math, SQL-replayable
-    // like q56/q85. Grid rows (i, j) carry: the count, the three prior
-    // matrices, row-0's Dirichlet posterior covariance (ppm scale keeps
-    // 6-dec rounding significant), the per-count MLE log-likelihood, and
-    // the error perturbation of a fixed index-sensitivity S_ij =
-    // (i+1)(j+1)/25. -----------------------------------------------------
-    "q138_count_priors" -> ((s, dir) => {
-      import graft.markov.CountEstimation
-      val n = 5
-      val dense = breeze.linalg.DenseMatrix.zeros[Double](n, n)
-      TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
-        .select(col("s0"), col("s1"), col("cnt")).collect()
-        .foreach(r => dense(r.getInt(0), r.getInt(1)) = r.getLong(2).toDouble)
-      val rowSums = breeze.linalg.sum(dense(breeze.linalg.*, ::))
-      val t = breeze.linalg.DenseMatrix.tabulate(n, n)((i, j) =>
-        if (rowSums(i) > 0) dense(i, j) / rowSums(i) else 0.0)
-      val total = breeze.linalg.sum(dense)
-      val llpc = CountEstimation.logLikelihood(dense, t) / total
-      val bN = CountEstimation.priorNeighbor(dense)
-      val bC = CountEstimation.priorConst(dense)
-      val bR = CountEstimation.priorRev(dense)
-      val cov0 = CountEstimation.tmatrixCovRow(dense, 0)
-      val sMat = breeze.linalg.DenseMatrix.tabulate(n, n)((i, j) =>
-        (i + 1.0) * (j + 1.0) / 25.0)
-      val ep = CountEstimation.errorPerturbation(dense, sMat)
-      import s.implicits._
-      (for (i <- 0 until n; j <- 0 until n) yield
-        (i, j, dense(i, j).toLong, bN(i, j) + 0.0, bC(i, j) + 0.0,
-          bR(i, j) + 0.0, r6(cov0(i, j) * 1e6) + 0.0, r6(llpc) + 0.0,
-          r6(ep * 1e6) + 0.0))
-        .toDF("i", "j", "cnt", "b_neighbor", "b_const", "b_rev",
-          "cov0_ppm", "ll_per_count", "err_ppm")
-    }),
-
-    // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
-    // extended to frequency estimation — Spark's distributed CMS
-    // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
-    // top-10 token counts. CMS NEVER underestimates, and the seeded
-    // sketch makes the eps*N overshoot bound a deterministic residual;
-    // exact counts and deterministic (cnt desc, tok) tie-break anchor
-    // the oracle. The scale story: the sketch replaces the full
-    // (token, count) shuffle with a fixed-width mergeable summary. ------
-    "q112_heavy_hitters" -> ((s, dir) => {
-      val t = docs(s, dir).select(
-          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
-        .where(col("tok") =!= "")
-      val top = t.groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("tok")).limit(10).collect()
-      val cms = t.stat.countMinSketch("tok", eps = 0.001,
-        confidence = 0.999999, seed = 42)
-      val totalN = cms.totalCount.toDouble
-      import s.implicits._
-      top.map { r =>
-        val tok = r.getString(0)
-        val cnt = r.getLong(1)
-        val est = cms.estimateCount(tok)
-        (tok, cnt, if (est < cnt) 1L else 0L,
-          math.max(0.0, (est - cnt).toDouble - 0.001 * totalN))
-      }.toSeq.toDF("tok", "cnt", "under_viol", "over_resid")
-    }),
-
-    // ---- streaming exact dedup under the oracle gate (q113): the
-    // dropDuplicates state path run as a REAL append-mode StreamingQuery
-    // over doc_id-ordered chunks (each chunk pre-deduped driver-side so
-    // the within-batch keep is well-defined; CROSS-batch exactly-once is
-    // what the state store must deliver). The corpus has no exact dups at
-    // sf0.01, so every doc_id%10==0 text is re-fed as a clone at
-    // doc_id+1e6 — the clones sort into LATER batches and the state
-    // store must drop every one of them. The kept set must equal the
-    // batch min-doc_id-per-fingerprint rule DuckDB replays over the same
-    // augmented corpus — a duplicate emission or a dropped
-    // first-occurrence breaks the hash. ---------------------------------
-    "q113_streaming_dedup" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val orig = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
-        .as[(Long, String)].collect()
-      val data = (orig ++ orig.filter(_._1 % 10 == 0)
-        .map { case (id, t) => (id + 1000000L, t) }).sortBy(_._1)
-      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-      val stream = mem.toDF().toDF("doc_id", "text")
-      val dd = graft.streaming.Streaming.streamingDedup(stream)
-      val sink = "q113_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val query = dd.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        data.grouped(math.max(1, data.length / 4 + 1)).foreach { chunk =>
-          val seen = scala.collection.mutable.HashSet.empty[String]
-          // same normalization as TextFunctions.fingerprint (lower ->
-          // \s+ collapse -> space trim), so the pre-dedup groups exactly
-          // the rows the streaming fingerprint will
-          val batch = chunk.filter { case (_, text) =>
-            val k = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
-            seen.add(k.stripPrefix(" ").stripSuffix(" "))
-          }
-          if (batch.nonEmpty) mem.addData(batch.toIndexedSeq: _*)
-          query.processAllAvailable()
-        }
-      } finally query.stop()
-      s.table(sink).select(col("doc_id"), col("fp"))
-    }),
-
-    // ---- streaming session windows under the oracle gate (q111): the
-    // session_window + watermark path (streaming/Streaming.scala) run as
-    // a REAL append-mode StreamingQuery over event-time-ordered chunks,
-    // with two far-future sentinel batches (negative user ids, filtered
-    // out) pushing the watermark so every real session finalizes and is
-    // emitted EXACTLY once; the emitted set must equal the batch
-    // sessionization that DuckDB replays (q78's gap rule). ---------------
-    "q111_streaming_sessions" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val data = Trajectories.events(s, dir)
-        .select(col("user_id").cast("long"), expr("ts div 1000").cast("long"))
-        .as[(Long, Long)].collect()
-      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
-      val stream = mem.toDF().toDF("user_id", "tsu")
-        .withColumn("ts", timestamp_micros(col("tsu")))
-      val sess = graft.streaming.Streaming.sessionWindowCounts(
-        stream, "ts", "user_id", gap = "30000 seconds", delay = "0 seconds")
-      val sink = "q111_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val query = sess.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try {
-        val tmax = data.iterator.map(_._2).max
-        val tmin = data.iterator.map(_._2).min
-        (0 to 2).foreach { k =>
-          val lo = tmin + (tmax - tmin + 1) * k / 3
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 3
-          val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
-          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
-          query.processAllAvailable()
-        }
-        // two sentinel batches: the first advances the watermark past
-        // every open session's close point, the second triggers the state
-        // eviction that emits them (watermark updates at batch END)
-        mem.addData((-1L, tmax + 100L * 30000000000L))
-        query.processAllAvailable()
-        mem.addData((-2L, tmax + 100L * 30000000000L + 1L))
-        query.processAllAvailable()
-      } finally query.stop()
-      s.table(sink).where(col("user_id") >= 0)
-        .select(col("user_id"), unix_micros(col("sess_start")).as("sess_start_us"),
-          col("n_events"))
-    }),
-
-    // ---- as-of join (q108): point-in-time-correct event enrichment —
-    // every event gets the payload of the user's LATEST strictly-prior
-    // 'click'. Union-tag + one per-key window: ONE hash exchange, no
-    // join operator, no probe — the canonical distributed as-of shape
-    // (operators/Joins.scala). DuckDB's native ASOF LEFT JOIN is the
-    // independent twin. -------------------------------------------------
-    "q108_asof_join" -> ((s, dir) => {
-      val e = Trajectories.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
-          col("event_type"), col("value"))
-      // dedup clicks per (user_id, t) keeping max event_id: DuckDB's
-      // ASOF twin picks ARBITRARILY among equal-timestamp matches, so
-      // parity requires at most one click per (user, time) on both sides
-      val cw = Window.partitionBy("user_id", "t").orderBy(col("event_id").desc)
-      val clicks = e.where(col("event_type") === "click")
-        .withColumn("rn", row_number().over(cw)).where(col("rn") === 1)
-        .select(col("user_id"), col("t"),
-          col("event_id").as("prior_click_event_id"),
-          col("value").as("prior_click_value"))
-      Joins.asofJoinStrict(e, clicks, key = "user_id",
-          leftTime = "t", rightTime = "t")
-        .select(col("event_id"), col("user_id"), col("value"),
-          col("__match.prior_click_event_id").as("prior_click_event_id"),
-          round(col("__match.prior_click_value"), 6).as("prior_click_value"))
-    }),
-
-    // ---- bucketed range join (q109): lineitems priced within ±1% of a
-    // part's retail price, WITHOUT the BroadcastNestedLoopJoin Spark
-    // plans for a bare BETWEEN (|points|x|intervals| comparisons). Each
-    // point hashes to ONE value-bucket, each ±1% interval replicates to
-    // the <=2 buckets it overlaps, and a plain equi-join + exact BETWEEN
-    // filter recovers the containment pairs — work is output-
-    // proportional. Result is aggregated per part (exact counts). -------
-    "q109_range_join" -> ((s, dir) => {
-      val iv = Trajectories.table(s, dir, "part")
-        .select(col("p_partkey").cast("long").as("p_partkey"),
-          (col("p_retailprice").cast("double") * 0.99).as("lo"),
-          (col("p_retailprice").cast("double") * 1.01).as("hi"))
-      val pts = Trajectories.table(s, dir, "lineitem")
-        .select(col("l_extendedprice").cast("double").as("price"),
-          col("l_quantity").cast("long").as("qty"))
-      Joins.rangeJoin(pts, "price", iv, "lo", "hi", bucketWidth = 20.0)
-        .groupBy("p_partkey")
-        .agg(count(lit(1)).as("n_matches"),
-          sum(col("qty")).as("sum_qty"))
-    }),
-
-    // ---- sparse large-n MSM path --------------------------------------
-    // Fine discretization (2000 value bins) -> COO counts -> sparse MSM
-    // with NO dense n^2 allocation anywhere (markov/SparseMsm.scala;
-    // reference _transition_counting.py:471 sparse_return +
-    // estimation/api.py:768-956 sparse dispatch + numeric/_eigen.py:289
-    // iterative eigs). Exact SQL rows anchor the data-sized facts
-    // (visited states, count-matrix nnz, transition total); residual rows
-    // gate the model contract: Tarjan SCC == independent forward/backward
-    // BFS intersection, pi stationarity/normalization via sparse matvec,
-    // row-stochasticity, detailed balance of the reversible MLE, and the
-    // deflated-Lanczos lambda_2 cross-checked against Arnoldi (two
-    // independent iterative eigensolvers must agree).
-    "q91_sparse_msm" -> ((s, dir) => {
-      def maxAbsD(xs: Iterable[Double]): Double =
-        if (xs.isEmpty) 0.0 else xs.map(math.abs).max
-      val nBins = 2000
-      val dtraj = Trajectories.dtrajFromEventValues(s, dir, nBins)
-      val coo = graft.markov.SparseMsm.collectCoo(
-        TransitionCounting.slidingCounts(dtraj, 1), nBins)
-      require(!graft.markov.SparseMsm.denseIsEfficient(coo.n, coo.nnz),
-        "q91 must exercise the sparse branch")
-      val model = graft.markov.SparseMsm.fromCoo(coo, tau = 1, reversible = true)
-      val lcc = model.states
-      val bfs = graft.markov.SparseMsm.sccOfViaBfs(coo, lcc(0))
-      val lanczos = model.eigenvaluesK(3)
-      val arnoldi = graft.markov.SparseMsm.eigenvaluesArnoldi(model.transition, 3)
-      val nTrans = coo.vals.sum
-      // matrix-free CG solves: gate the boundary-value problems the same
-      // way q39/q71 gate the dense ones — interior rows of the committor
-      // satisfy sum_j T_ij q_j = q_i (replayed via a second sparse
-      // matvec), boundaries are exact; mfpt rows satisfy m - T_rest m = tau
-      val setA = Set(0); val setB = Set(model.n - 1)
-      val qPlus = model.committorForward(setA, setB)
-      val mf = model.mfpt(setB)
-      val t = model.transition
-      val tq = graft.markov.SparseMsm.rightMatvec(t, qPlus)
-      val tm = graft.markov.SparseMsm.rightMatvec(t, mf, setB.contains)
-      val committorResid = math.max(
-        math.max(math.abs(qPlus(0) - 0.0), math.abs(qPlus(model.n - 1) - 1.0)),
-        maxAbsD((1 until model.n - 1).map(i => tq(i) - qPlus(i))))
-      val mfptResid = maxAbsD((0 until model.n).collect {
-        case i if !setB.contains(i) => (mf(i) - tm(i) - 1.0) / math.max(1.0, mf(i))
-      })
-      // matrix-free fingerprint/correlation family (reference sparse path,
-      // impl/sparse/fingerprints_test.py): exact identities gate the
-      // propagated products — unit autocorrelation of the constant
-      // observable, reversibility symmetry of the cross-correlation, flat
-      // relaxation from the stationary start, and the stationary
-      // fingerprint amplitude via the analytic first eigenpair (r=1, l=pi)
-      import breeze.linalg.DenseVector
-      val third = model.n / 3
-      val obsA = DenseVector.tabulate(model.n)(i => if (i < third) 1.0 else 0.0)
-      val obsB = DenseVector.tabulate(model.n)(i =>
-        if (i >= model.n - third) 1.0 else 0.0)
-      val piV = model.stationaryDistribution
-      val ftimes = Seq(0, 1, 5, 10)
-      val onesV = DenseVector.ones[Double](model.n)
-      val cOne = graft.markov.SparseMsm.correlationMatvec(t, piV, onesV, onesV, ftimes)
-      val cAB = graft.markov.SparseMsm.correlationMatvec(t, piV, obsA, obsB, ftimes)
-      val cBA = graft.markov.SparseMsm.correlationMatvec(t, piV, obsB, obsA, ftimes)
-      val rFlat = graft.markov.SparseMsm.relaxationMatvec(t, piV, obsA, ftimes)
-      val eA = piV dot obsA
-      val amp0 = graft.markov.SparseMsm.fingerprintAmplitudes(
-        Seq(onesV), Seq(piV),
-        DenseVector.tabulate(model.n)(i => piV(i) * obsA(i)), obsB)(0)
-      checksDf(s, Seq(
-        "n_states_visited" -> coo.rows.concat(coo.cols).distinct.length.toDouble,
-        "nnz" -> coo.nnz.toDouble,
-        "n_transitions" -> nTrans,
-        "scc_bfs_parity" -> (if (bfs.sameElements(lcc)) 0.0 else 1.0),
-        "rowsums" -> model.rowSumResidual,
-        "pi_normalized" -> math.abs(breeze.linalg.sum(model.stationaryDistribution) - 1.0),
-        "pi_stationarity" -> model.stationarityResidual,
-        "detailed_balance" -> model.detailedBalanceResidual,
-        "lambda1_minus_one" -> (lanczos(0) - 1.0),
-        "lanczos_arnoldi_lambda2" -> (lanczos(1) - arnoldi(1)),
-        "committor_bvp" -> committorResid,
-        "mfpt_linear_system" -> mfptResid,
-        "corr_const_one" -> maxAbsD(cOne.map(_ - 1.0)),
-        "corr_reversible_symmetry" ->
-          maxAbsD(cAB.zip(cBA).map { case (a, b) => a - b }),
-        "relax_from_pi_flat" -> maxAbsD(rFlat.map(_ - eA)),
-        "fingerprint_amp0" -> (amp0 - eA * (piV dot obsB))))
-    }),
-
-    // Cross-document exact substring duplication (Lee et al. 2021 suffix-
-    // array dedup, relational formulation): per doc, the fraction of its
-    // 10-word rolling windows whose md5 key appears in >= 2 distinct
-    // docs. Window extraction is pure codegen; only 16-char hashes
-    // shuffle. The DuckDB twin rebuilds every window and fraction
-    // bit-for-bit, so key construction, the distinct-doc rule, and the
-    // per-doc aggregation are all value-checked.
-    "q92_dup_spans" -> ((s, dir) =>
-      Dedup.duplicateWindowStats(docs(s, dir), k = 10)),
-
-    // The ACTION step: trim every word covered by a cross-document
-    // duplicated 10-word window and emit the cleaned text (keyed by md5
-    // so the compare stays row-sized). The DuckDB twin reconstructs the
-    // trimmed text word-for-word — one wrong covered position anywhere
-    // in the corpus breaks the hash.
-    "q93_trim_dup_spans" -> ((s, dir) =>
-      Dedup.removeDuplicateSpans(docs(s, dir), k = 10)
-        .select(col("doc_id"), col("kept_words"),
-          substring(md5(col("cleaned")), 1, 16).as("clean_key"))),
-
-    "q20_ngram_jaccard" -> ((s, dir) => {
-      // FIXED-COUNT selection (first 256 sampled ids): the pair set is
-      // bounded at 256^2/2 at ANY corpus size — the r06 shape paired a
-      // corpus-proportional sample, i.e. quadratic growth. The scale rung
-      // for unbounded inputs stays q21 (banded candidates).
-      val sel = docs(s, dir).where(col("doc_id") % 97 === 0)
-        .orderBy(col("doc_id")).limit(256)
-      val ids = sel.select(col("doc_id"))
-      val pairs = ids.select(col("doc_id").as("a"))
-        .crossJoin(ids.select(col("doc_id").as("b")))
-        .where(col("a") < col("b"))
-      Dedup.ngramJaccard(sel, pairs, 5)
-        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
-    }),
-
-    // ---- near-dup scale path ------------------------------------------
-    // Near-dup pairs above an exact-jaccard threshold, FOUND via minhash
-    // LSH banding and VERIFIED by the exact shingle jaccard. The DuckDB
-    // oracle computes the same >=0.6 pair set exactly (shingle co-occurrence
-    // join), so this row is green only if the banding recalls every true
-    // pair — the recall gate VERDICT asked for. bands=8 x rowsPerBand=5:
-    // planted near-dups sit at jaccard >= 0.92 (miss prob per pair
-    // (1-0.92^5)^8 ~ 2e-4, empirically zero misses on the fixed testdata,
-    // see DedupRecallSpec); rowsPerBand=5 keeps the background (j~0.3)
-    // band-collision rate ~2% so the exact verify join stays small
-    // (rowsPerBand=4 flooded it 3x at sf0.1). Background pairs are < 0.5,
-    // so the exact verify+threshold removes all false candidates.
-    "q21_minhash_candidates" -> ((s, dir) =>
-      // the session-memoized verified edge set (banding -> capped-bucket
-      // candidates -> exact jaccard >= 0.6); q76/q104/q130 read the SAME
-      // materialization instead of re-deriving the pipeline
-      dupEdges(s, dir)
-        .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))),
-
-    // Portable md5-keyed 60-bit simhash — the DuckDB oracle recomputes the
-    // signature bit-for-bit (token split -> md5 -> bit votes -> sign), so
-    // the whole signature pipeline is hash-gated, not rows-only. The
-    // xxhash64 variant stays the fast default (DedupRecallSpec covers it).
-    // Near-dup cluster assignment: minhash candidates -> exact-jaccard
-    // verify (>= 0.6) -> connected components (iterative min-label
-    // propagation) -> canonical id per cluster. The DuckDB oracle computes
-    // the SAME clusters from the exact all-pairs shingle join + a
-    // recursive transitive closure, so both the candidate recall AND the
-    // component labeling are value-checked. This is the fuzzy-dedup end
-    // game a training-data pipeline runs at 100 TB (keep one doc per
-    // cluster).
-    "q76_dup_clusters" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val pairs = dupEdges(s, dir).select(col("a"), col("b"))
-      val cc = Dedup.duplicateClusters(pairs)
-      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      cc.join(sizes, "cluster_id")
-        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"),
-          when(col("id") === col("cluster_id"), 1L).otherwise(0L).as("is_canonical"))
-    }),
-
-    "q22_simhash" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"), Dedup.simhashPortable(col("text")).as("sig"))),
-
-    // maxHamming=3 = the 4x15-bit banding's pigeonhole guarantee (recall 1
-    // for <=3 differing bits; DedupRecallSpec asserts equality with the
-    // exact all-pairs Hamming join). The r02 entry ran maxHamming=28, far
-    // outside the guarantee — results were candidates-only. Portable
-    // signature (q22) makes the DuckDB oracle simulate banding + Hamming
-    // verify exactly.
-    "q27_simhash_candidates" -> ((s, dir) => {
-      Dedup.simhashCandidatesPortable(docs(s, dir), maxHamming = 3)
-        .orderBy(col("hamming"), col("a"), col("b")).limit(100)
-    }),
-
-    // ---- similarity search --------------------------------------------
-    "q23_ann_brute" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = broadcast(e.where(col("vec_id") % 40 === 0)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
-      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
-      val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          round(Similarity.cosine(col("qv"), col("cv")), 6).as("cos"))
-      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .where(col("rank") <= 5)
-    }),
-
-    "q24_embedding_norms" -> ((s, dir) => {
-      emb(s, dir).select(col("vec_id"), col("label"),
-        round(Similarity.norm(col("embedding")), 6).as("l2norm"))
-    }),
-
-    // int8-quantized cosine vs exact cosine on consecutive-id pairs: the
-    // quantization (scale = maxabs/127, half-away rounding) and the
-    // quantized cosine (integer arithmetic, scales cancel) are both
-    // engine-portable, so the DuckDB oracle recomputes every value — the
-    // 8x-compression ANN path is value-checked, and the emitted |error|
-    // column doubles as the accuracy contract (~1e-2 at dim 64).
-    "q77_quantized_cosine" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
-        Similarity.quantizeInt8(col("embedding")).as("qv"))
-      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"), col("qv").as("qa"))
-      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("qv").as("qb"))
-      a.join(b, col("idb") === col("ida") + 1)
-        .select(col("ida"), col("idb"),
-          round(Similarity.quantizedCosine(col("qa"), col("qb")), 6).as("qcos"),
-          round(abs(Similarity.quantizedCosine(col("qa"), col("qb")) -
-            Similarity.cosine(col("va").cast("array<double>"), col("vb").cast("array<double>"))), 3)
-            .as("abs_err"))
-    }),
-
-    // Oracle: DuckDB SIMULATES the full LSH pipeline (sign-plane buckets
-    // embedded as literal +- terms -> candidate join -> exact re-rank), so
-    // the approximate result is hash-checked exactly, not skipped.
-    "q28_ann_lsh" -> ((s, dir) => {
-      val e = emb(s, dir)
-      Similarity.lshTopK(e, e.where(col("vec_id") % 40 === 0), 5, dim = 64)
-        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
-          round(col("cos"), 6).as("cos"))
-    }),
-
-    // Recall@5 of LSH vs brute force, per query — wide-bucket parametrization
-    // (nPlanes=2, numTables=8) appropriate for this corpus's near-uniform
-    // geometry (see Similarity.lshTopK note). DuckDB simulates BOTH pipelines
-    // and computes the same recall number exactly.
-    "q68_ann_recall" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = e.where(col("vec_id") % 40 === 0)
-      val lsh = Similarity.lshTopK(e, q, 5, dim = 64, nPlanes = 2, numTables = 8)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      val brute = Similarity.bruteForceTopK(e, q, 5)
-        .select(col("query_id"), col("neighbor_id"))
-      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
-        .select(col("query_id"), col("hits"), (col("hits") / 5.0).as("recall"))
-    }),
-
-    // ---- decomposition / model pipelines ------------------------------
-    // TICA end to end, hash-gated by its sample identities: with r the
-    // C00sym-orthonormal eigenvectors fit on THIS data, the projected
-    // pairs' symmetrized covariances satisfy r'C00sym r = I and
-    // r'C0tsym r = diag(lambda) exactly (projection is affine, these are
-    // sample identities, FP residual ~1e-12). The check transforms ALL
-    // rows and re-runs the covariance aggregate on the projections, so
-    // scan -> lag window -> covariance -> driver eig -> broadcast
-    // projection -> covariance is verified end to end, not rows-only.
-    "q29_tica_projection" -> ((s, dir) => {
-      // session-memoized lag-pair frame (liPairs): materialized once,
-      // shared with q30/q63/q73 — fit + the projected re-covariance both
-      // read the checkpointed blocks instead of re-running scan+window
-      val pairs = liPairs(s, dir)
-      val cov = Covariance.fit(pairs)
-      val m = graft.decomposition.Tica.fitFromCovariance(cov, 1, dim = 2)
-      val proj = pairs.select(col("traj_id"), col("t"),
-        m.projection(col("x")).as("x"), m.projection(col("y")).as("y"))
-      val pcov = Covariance.fit(proj.select(col("x"), col("y")))
-      val (pc0, pct, _) = graft.decomposition.Tica.symmetrized(pcov)
-      val k = m.k
-      import s.implicits._
-      (for (i <- 0 until k; j <- 0 until k) yield
-        (i, j, r6(pc0(i, j) - (if (i == j) 1.0 else 0.0)) + 0.0,
-          r6(pct(i, j) - (if (i == j) m.singularValues(i) else 0.0)) + 0.0))
-        .toDF("ic_i", "ic_j", "c00_resid", "c0t_resid")
-    }),
-
-    // VAMP whitening/SVD identities per component pair: U'C00 U = I,
-    // V'Ctt V = I, U'C0t V = diag(sigma) — exact sample identities of the
-    // whitened SVD, so a broken spd_inv_split / SVD / covariance path
-    // flips the hash.
-    "q30_vamp_singular" -> ((s, dir) => {
-      import breeze.linalg.DenseMatrix
-      val cov = Covariance.fit(liPairs(s, dir))
-      val m = graft.decomposition.Vamp.fitFromCovariance(cov, 1)
-      val d = cov.d; val k = m.k
-      val c00 = LinAlg.fromFlat(cov.cov00, d)
-      val ctt = LinAlg.fromFlat(cov.covtt, d)
-      val c0t = LinAlg.fromFlat(cov.cov0t, d)
-      val u = DenseMatrix.tabulate(d, k)((i, j) => m.u(i * k + j))
-      val v = DenseMatrix.tabulate(d, k)((i, j) => m.vOpt.get(i * k + j))
-      val w00 = u.t * c00 * u
-      val wtt = v.t * ctt * v
-      val cross = u.t * c0t * v
-      import s.implicits._
-      (for (i <- 0 until k; j <- 0 until k) yield
-        (i, j, r6(w00(i, j) - (if (i == j) 1.0 else 0.0)) + 0.0,
-          r6(wtt(i, j) - (if (i == j) 1.0 else 0.0)) + 0.0,
-          r6(cross(i, j) - (if (i == j) m.singularValues(i) else 0.0)) + 0.0))
-        .toDF("comp_i", "comp_j", "u_c00_u_resid", "v_ctt_v_resid", "u_c0t_v_resid")
-    }),
-
-    // Reversible MLE hash-gated per entry: support = symmetrized observed
-    // pairs (exact SQL), detailed balance pi_i T_ij = pi_j T_ji (the
-    // defining property of the reversible estimator, exact at convergence)
-    // and row-stochasticity, both driver-exact zeros on every row.
-    "q31_msm_reversible" -> ((s, dir) => {
-      // ONE collect of the COO count frame feeds BOTH the model build and
-      // the observed-pair support (the previous shape ran the window +
-      // count scan twice — 2x the whole query's data cost)
-      val cooRows = TransitionCounting
-        .slidingCounts(dtrajEv(s, dir), 1)
-        .select(col("s0"), col("s1"), col("cnt")).collect()
-      val dense = breeze.linalg.DenseMatrix.zeros[Double](5, 5)
-      cooRows.foreach(r => dense(r.getInt(0), r.getInt(1)) = r.getLong(2).toDouble)
-      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = true)
-      import s.implicits._
-      val t = msm.transitionMatrix
-      val pi = msm.stationaryDistribution
-      val sym2idx = msm.states.zipWithIndex.toMap
-      // support = SYMMETRIZED OBSERVED pairs (the oracle's row set on any
-      // data); pairs outside the model's connected set carry 0.0 residuals
-      val observedPairs = cooRows
-        .flatMap(r => Seq((r.getInt(0), r.getInt(1)), (r.getInt(1), r.getInt(0))))
-        .distinct.sorted
-      observedPairs.map { case (a, b) =>
-        (sym2idx.get(a), sym2idx.get(b)) match {
-          case (Some(i), Some(j)) =>
-            val rowSum = (0 until msm.n).map(t(i, _)).sum
-            (a, b, r6(pi(i) * t(i, j) - pi(j) * t(j, i)) + 0.0,
-              r6(rowSum - 1.0) + 0.0)
-          case _ => (a, b, 0.0, 0.0)
-        }
-      }.toSeq.toDF("s0", "s1", "db_resid", "row_resid")
-    }),
-
-    // Lloyd k-means run to the exact fixed point: at convergence each
-    // center equals the mean of its assigned points, and every row's
-    // own-center distance equals its minimum center distance — both checked
-    // over the FULL data with our codegen argmin assignment. The fit is the
-    // distinct-value-histogram exact Lloyd (fit1dExact): one aggregation
-    // scan replaces the r04 shape's ~200 sequential MLlib jobs (the 2.31x
-    // bench-cap violation), and because every row equals its value the
-    // histogram fixed point IS the full-data fixed point — the oracle
-    // contract is unchanged and tighter. The row count has an exact SQL
-    // twin.
-    "q32_kmeans_assign" -> ((s, dir) => {
-      val traj = Trajectories.fromEvents(s, dir)
-      val model = graft.clustering.KMeans.fit1dExact(traj, k = 5, seed = 42L)
-      val assigned = model.transform(traj).cache()
-      try {
-        val centers = model.centers.map(_(0))
-        // per-row argmin violation: |x - c_state| - min_j |x - c_j| == 0
-        val x = col(Trajectories.FeatCol).getItem(0)
-        val ownDist = abs(x - element_at(typedLit(centers.toSeq), col("state") + 1))
-        val minDist = least(centers.map(c => abs(x - lit(c))): _*)
-        val aggRow = assigned.agg(
-          max(ownDist - minDist).as("argmin_viol"),
-          count(lit(1)).as("n")).collect()(0)
-        // fixed point: center_s == mean of assigned values
-        val meansMap = assigned.groupBy("state").agg(avg(x).as("m")).collect()
-          .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-        val fixedPoint = centers.indices.map(i =>
-          math.abs(centers(i) - meansMap.getOrElse(i, centers(i)))).max
-        checksDf(s, Seq(
-          "assign_argmin" -> aggRow.getDouble(0),
-          "centroid_fixed_point" -> fixedPoint,
-          "k_centers_minus_5" -> (model.k - 5).toDouble,
-          "n_assigned" -> aggRow.getLong(1).toDouble))
-      } finally { assigned.unpersist(); () }
-    }),
-
-    // ---- validation workflows (SURVEY §2 validation; util/validation.py) --
-    "q33_multilag_counts" -> ((s, dir) =>
-      graft.markov.Validation.multiLagCounts(
-        dtrajEv(s, dir), Seq(1, 2, 4))),
-
-    // Implied-timescale grid hash-gated by the eigenproblem itself: for
-    // each (lag, process), the eigenpair satisfies T v = lambda v (complex
-    // pairs in real arithmetic) and the reported timescale equals
-    // -lag/ln|lambda| recomputed from an INDEPENDENT eig call — both
-    // residuals are exact zeros over the SQL-pinned (lag, process) grid.
-    "q34_its" -> ((s, dir) => {
-      import breeze.linalg.{DenseMatrix, DenseVector}
-      val dtraj = dtrajEv(s, dir)
-      val lags = Seq(1, 2, 3, 5)
-      val k = 3
-      val its = graft.markov.Validation.impliedTimescales(dtraj, lags, nStates = 5, k = k)
-      val models = graft.markov.Validation.msmPerLag(dtraj, lags, 5, reversible = true)
-      import s.implicits._
-      (for (l <- lags.indices; p <- 0 until k) yield {
-        val msm = models(lags(l))
-        val t = msm.transitionMatrix
-        val e = breeze.linalg.eig(t)
-        val order = (0 until msm.n)
-          .sortBy(i => -math.hypot(e.eigenvalues(i), e.eigenvaluesComplex(i)))
-        val c = order(p + 1) // skip the stationary eigenvalue
-        val re = e.eigenvalues(c); val im = e.eigenvaluesComplex(c)
-        val mag = math.hypot(re, im)
-        // eigen residual ||T v - lambda v||_inf in real arithmetic
-        val eigResid = if (im == 0.0) {
-          val v = DenseVector.tabulate(msm.n)(i => e.eigenvectors(i, c))
-          breeze.linalg.max(breeze.numerics.abs(t * v - v * re))
-        } else {
-          val cf = if (im > 0) c else c - 1 // +im member precedes in LAPACK pairs
-          val vr = DenseVector.tabulate(msm.n)(i => e.eigenvectors(i, cf))
-          val vi = DenseVector.tabulate(msm.n)(i => e.eigenvectors(i, cf + 1))
-          val reF = e.eigenvalues(cf); val imF = e.eigenvaluesComplex(cf)
-          val rr = t * vr - (vr * reF - vi * imF)
-          val ri = t * vi - (vi * reF + vr * imF)
-          math.max(breeze.linalg.max(breeze.numerics.abs(rr)),
-            breeze.linalg.max(breeze.numerics.abs(ri)))
-        }
-        val tsRecomputed = -lags(l) / math.log(mag)
-        (lags(l), p, r6(eigResid) + 0.0,
-          r6(tsRecomputed - its.its(l)(p)) + 0.0)
-      }).toDF("lag", "process", "eig_resid", "its_consistency")
-    }),
-
-    "q35_cond_frame" -> ((s, dir) =>
-      graft.markov.EffectiveCounts.conditionalFrame(
-        dtrajEv(s, dir), 1)
-        .select(col("s0"), col("traj_id"), col("t"), col("y"), col("u"))),
-
-    // Oracle: the inefficiency formula is closed-form in pair-count sums
-    // (EffectiveCounts.scala acf identity), so DuckDB recomputes the whole
-    // chain — conditional frame, per-lag co-occurrence counts, truncated
-    // corrsum, row-averaged scaling — in SQL.
-    "q36_effective_counts" -> ((s, dir) => {
-      val ceff = graft.markov.EffectiveCounts.effectiveCountMatrix(
-        dtrajEv(s, dir), 1, 5, maxLag = 25)
-      import s.implicits._
-      // half-away rounding, matching DuckDB round(x, 4)
-      (for (i <- 0 until 5; j <- 0 until 5 if ceff(i, j) > 0) yield
-        (i, j, r4(ceff(i, j))))
-        .toDF("s0", "s1", "cnt_eff")
-    }),
-
-    // Crisp-set CK test with empirical weights: estimates = coarse-grained
-    // row-normalized count matrices at lag l, predictions = coarse-grained
-    // l-th powers of the lag-1 matrix — every value is a ratio of pair
-    // counts, so the DuckDB oracle recomputes the WHOLE grid (powers via
-    // self-joins) and the Chapman-Kolmogorov surface is value-checked, not
-    // rows-only. The PCCA-membership ckTest stays the API default
-    // (ValidationSpec covers it against the reference semantics).
-    "q37_cktest" -> ((s, dir) => {
-      val ck = graft.markov.Validation.ckTestSets(
-        dtrajEv(s, dir), tau = 1, steps = 3,
-        nStates = 5, sets = Seq(Set(0, 1), Set(2, 3, 4)))
-      import s.implicits._
-      (for (l <- ck.lagtimes.indices; i <- 0 until ck.nSets; j <- 0 until ck.nSets) yield
-        (ck.lagtimes(l), i, j,
-          r6(ck.predictions(l)(i, j)), r6(ck.estimates(l)(i, j))))
-        .toDF("lag", "set_i", "set_j", "predicted", "estimated")
-    }),
-
-    // Bayesian posterior invariants per process: CI endpoints ordered,
-    // timescales/std positive and finite (sample validity itself — every
-    // Gibbs sample stochastic + reversible — is hash-gated in q73).
-    "q38_bayesian_timescales" -> ((s, dir) => {
-      val post = graft.markov.BayesianMsm.fit(
-        dtrajEv(s, dir), tau = 1, nStates = 5,
-        nSamples = 40, seed = 42L, nChains = 8, maxLag = 25)
-      import s.implicits._
-      // QuantityStatistics.gather facade (util/stats.py:197-290) over the
-      // 2-process timescale vector: per element the gathered mean must
-      // equal the direct sample mean, the mean-anchored CI must bracket
-      // the mean and stay inside the sample range, population std is
-      // nonnegative, and conf=1 gather returns exact min/max
-      val tsOf = (m: graft.markov.MarkovStateModel) => {
-        val t = m.timescales(2).toArray
-        Array.tabulate(2)(i => if (i < t.length) t(i) else Double.NaN)
-      }
-      val gs = post.gatherStats(tsOf, "timescales")
-      val g1 = post.gatherStats(tsOf, "timescales", conf = 1.0)
-      val tsSamples = post.samples.map(tsOf)
-      post.timescaleStats(2).map { case (p, m, sd, lo, hi) =>
-        val finite = Seq(m, sd, lo, hi).forall(v => !v.isNaN && !v.isInfinite)
-        val vals = tsSamples.map(_(p))
-        val gatherViol = Seq(
-          math.abs(gs.mean(p) - vals.sum / vals.size),
-          math.max(0.0, gs.lower(p) - gs.mean(p)),
-          math.max(0.0, gs.mean(p) - gs.upper(p)),
-          math.max(0.0, vals.min - gs.lower(p)),
-          math.max(0.0, gs.upper(p) - vals.max),
-          math.abs(g1.lower(p) - vals.min),
-          math.abs(g1.upper(p) - vals.max),
-          -math.min(gs.std(p), 0.0)).max
-        (p, r6(math.max(0.0, lo - hi)) + 0.0,
-          r6(math.max(0.0, -math.min(math.min(m, sd), lo))) + 0.0,
-          if (finite) 0.0 else 1.0,
-          r6(gatherViol) + 0.0)
-      }.toDF("process", "ci_order_viol", "negativity_viol", "nonfinite",
-        "gather_viol")
-    }),
-
-    // ---- TPT / PCCA / committors over the events MSM -------------------
-    // Committors hash-gated by their boundary-value problems on a
-    // per-state grid the SQL twin pins: q+(A)=0, q+(B)=1, interior rows
-    // satisfy sum_j T_ij q+(j) = q+(i); q- satisfies the adjoint system on
-    // the time-reversed chain. All residuals driver-exact zeros.
-    "q39_committors" -> ((s, dir) => {
-      val (dense, obs) = countsAndObserved(s, dir)
-      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = false)
-      import s.implicits._
-      val a = Set(0); val b = Set(4)
-      val qf = msm.committorForward(a, b)
-      val qb = msm.committorBackward(a, b)
-      val t = msm.transitionMatrix
-      val pi = msm.stationaryDistribution
-      // time-reversed matrix for the backward BVP residual
-      val tRev = breeze.linalg.DenseMatrix.tabulate(msm.n, msm.n)((i, j) =>
-        if (pi(i) > 0) pi(j) * t(j, i) / pi(i) else 0.0)
-      // a/b are MODEL indices (committorForward's contract); rows span the
-      // OBSERVED states (oracle support) with 0.0 for non-model states
-      val sym2idx = msm.states.zipWithIndex.toMap
-      obs.map { sym =>
-        sym2idx.get(sym) match {
-          case Some(i) =>
-            val fwdResid =
-              if (a.contains(i)) qf(i) - 0.0
-              else if (b.contains(i)) qf(i) - 1.0
-              else (0 until msm.n).map(j => t(i, j) * qf(j)).sum - qf(i)
-            val bwdResid =
-              if (a.contains(i)) qb(i) - 1.0
-              else if (b.contains(i)) qb(i) - 0.0
-              else (0 until msm.n).map(j => tRev(i, j) * qb(j)).sum - qb(i)
-            (sym, r6(fwdResid) + 0.0, r6(bwdResid) + 0.0)
-          case None => (sym, 0.0, 0.0)
-        }
-      }.toDF("state", "fwd_bvp_resid", "bwd_bvp_resid")
-    }),
-
-    // Reactive-flux conservation per state: gross flux into an
-    // intermediate state equals gross flux out (exact TPT identity given
-    // the committor solves); endpoint rows check total-flux consistency
-    // (A-outflow == B-inflow == rate * sum_i pi_i q-_i).
-    "q40_tpt_flux" -> ((s, dir) => {
-      val (dense, obs) = countsAndObserved(s, dir)
-      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = true)
-      val flux = graft.markov.Tpt.reactiveFlux(msm, Set(0), Set(4))
-      val f = flux.grossFlux
-      val n = msm.n
-      import s.implicits._
-      // A/B are MODEL-index sets (reactiveFlux's contract); rows span the
-      // OBSERVED states (oracle support) with 0.0 for non-model states
-      def outOf(states: Set[Int]): Double =
-        (for (i <- 0 until n if states.contains(i);
-              j <- 0 until n if !states.contains(j)) yield f(i, j)).sum
-      def into(states: Set[Int]): Double =
-        (for (j <- 0 until n if states.contains(j);
-              i <- 0 until n if !states.contains(i)) yield f(i, j)).sum
-      val sym2idx = msm.states.zipWithIndex.toMap
-      obs.map { sym =>
-        sym2idx.get(sym) match {
-          case Some(i) =>
-            val resid =
-              if (i == 0) outOf(Set(0)) - flux.totalFlux          // A-outflow
-              else if (i == 4) into(Set(4)) - flux.totalFlux      // B-inflow
-              else (0 until n).map(j => f(j, i)).sum - (0 until n).map(j => f(i, j)).sum
-            (sym, r6(resid) + 0.0)
-          case None => (sym, 0.0)
-        }
-      }.toDF("state", "conservation_resid")
-    }),
-
-    // PCCA membership invariants per (state, set): rows sum to 1 and
-    // memberships are non-negative, over the SQL-pinned grid.
-    "q41_pcca_memberships" -> ((s, dir) => {
-      val (dense, obs) = countsAndObserved(s, dir)
-      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = true)
-      val pcca = graft.markov.Pcca(msm, 2)
-      import s.implicits._
-      val sym2idx = msm.states.zipWithIndex.toMap
-      // metastable_distributions (Bayesian inversion, _pcca.py:54): each
-      // set's distribution over states sums to 1, and the inversion
-      // identity dists(k,i) * Z_k = chi(i,k) * pi(i) is driver-exact
-      val pi = msm.stationaryDistribution
-      val zk = Array.tabulate(2)(k =>
-        (0 until msm.n).map(i => pcca.memberships(i, k) * pi(i)).sum)
-      (for (sym <- obs; k <- 0 until 2) yield
-        sym2idx.get(sym) match {
-          case Some(i) =>
-            (sym, k, r6(pcca.memberships(i, 0) + pcca.memberships(i, 1) - 1.0) + 0.0,
-              r6(math.max(0.0, -pcca.memberships(i, k))) + 0.0,
-              r6(pcca.metastableDistributions(k, i) * zk(k) -
-                pcca.memberships(i, k) * pi(i)) + 0.0)
-          case None => (sym, k, 0.0, 0.0, 0.0)
-        }).toDF("state", "metastable_set", "rowsum_resid", "nonneg_viol",
-          "bayes_inversion_resid")
-    }),
-
-    // ---- basis / kernels (SURVEY §2.8) ---------------------------------
-    "q42_basis_monomials" -> ((s, dir) => {
-      // degree-2 monomials of the 2-d feature (value/100, hour-of-day/24):
-      // column means of the lifted features are SQL-checkable.
-      // ts arrives as nanos-since-epoch long (nanosAsLong); hour-of-day UTC
-      // via INTEGER division — double division of ~1.7e18 nanos carries a
-      // 256 ns ulp that could misfloor a timestamp sitting on an hour
-      // boundary, where DuckDB's hour(ts) is exact.
-      val ev = Trajectories.events(s, dir)
-        .select((col("value") / 100.0).as("x0"),
-          ((expr("ts div 3600000000000") % 24) / 24.0).as("x1"))
-      ev.agg(
-        round(avg(lit(1.0)), 6).as("m_1"),
-        round(avg(col("x0")), 6).as("m_x0"),
-        round(avg(col("x1")), 6).as("m_x1"),
-        round(avg(col("x0") * col("x0")), 6).as("m_x0x0"),
-        round(avg(col("x0") * col("x1")), 6).as("m_x0x1"),
-        round(avg(col("x1") * col("x1")), 6).as("m_x1x1"))
-    }),
-
-    "q43_kernel_gaussian" -> ((s, dir) => {
-      // gaussian kernel values between consecutive embedding vectors
-      val e = emb(s, dir)
-      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
-      a.join(b, col("idb") === col("ida") + 1)
-        .select(col("ida"), col("idb"),
-          round(graft.kernels.GaussianKernel(4.0)(col("va"), col("vb")), 6).as("k"))
-    }),
-
-    // ---- whitening / bootstrap ----------------------------------------
-    // Whitened covariance == identity is an exact invariant (C^{-1/2} C
-    // C^{-1/2} = I, same Bessel on fit and check; numerical error ~1e-12),
-    // so the oracle is the literal identity grid — a real end-to-end check
-    // of covariance + spd_inv_sqrt + transform + re-covariance.
-    "q44_whitening" -> ((s, dir) => {
-      val traj = liTraj(s, dir)
-      val m = graft.agg.Whitening.fit(traj)
-      val whitened = m.transform(traj)
-      val cov = Covariance.fitFeatures(whitened.select(col("traj_id"), col("t"),
-        col("whitened").as(Trajectories.FeatCol)))
-      import s.implicits._
-      (for (i <- 0 until cov.d; j <- 0 until cov.d) yield
-        (i, j, r4(cov.cov00(i * cov.d + j)) + 0.0)) // +0.0: normalize -0.0
-        .toDF("i", "j", "cov")
-    }),
-
-    // Bootstrap contract: the number of draws equals the source trajectory
-    // count (exact SQL twin) and every drawn trajectory carries its full
-    // source length (resampled rows join-verified against source lengths).
-    "q45_bootstrap" -> ((s, dir) => {
-      // every boot trajectory must be a FULL copy of some source
-      // trajectory: its length equals a source length AND its frame
-      // indices are the contiguous range 0..len-1 (count == max_t+1,
-      // min_t == 0 catches dropped/duplicated rows inside a draw).
-      // TWO single-scan jobs: the src aggregate runs first and its group
-      // count feeds bootstrapTrajectories' nTrajsHint, eliminating the
-      // internal distinct-id count — the prior union shape scanned the
-      // events window three times in one job (src side + boot join probe
-      // + the hidden ids.count), which drifted to 1.37x baseline in the
-      // round-5 driver record.
-      val src = ev(s, dir)
-      def trajStats(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy("traj_id").agg(count(lit(1)).as("n"),
-          min(col("t")).as("t0"), max(col("t")).as("t1")).collect()
-          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
-      val srcStats = trajStats(src)
-      val boot = graft.util.Stats.bootstrapTrajectories(src, seed = 7L,
-        nTrajsHint = srcStats.length.toLong)
-      val bootStats = trajStats(boot)
-      val srcLens = srcStats.map(_._1).toSet
-      val nDraws = bootStats.length.toLong
-      val lenViol = bootStats.count { case (n, _, _) => !srcLens.contains(n) }.toDouble
-      val contigViol = bootStats.count { case (n, t0, t1) =>
-        t0 != 0L || t1 != n - 1 }.toDouble
-      checksDf(s, Seq(
-        "n_draws" -> nDraws.toDouble,
-        "noncontiguous_draws" -> contigViol,
-        "unmatched_lengths" -> lenViol))
-    }),
-
-    // ---- HMM ------------------------------------------------------------
-    // Viterbi path contract: path length = #observed frames (exact SQL),
-    // hidden labels in range; emission/transition stochasticity of the EM
-    // fit is hash-gated in q73.
-    "q46_hmm_viterbi" -> ((s, dir) => {
-      val dtraj = dtrajEv(s, dir).where(col("state") >= 0)
-      val model = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 5, maxIter = 15)
-      val path = graft.markov.hmm.Hmm.viterbi(dtraj, model, nObs = 5)
-      val row = path.agg(
-        count(lit(1)).as("len"),
-        sum(when(col("hidden") < 0 || col("hidden") >= 2, 1L).otherwise(0L)).as("oob"))
-        .collect()(0)
-      checksDf(s, Seq(
-        "path_len" -> row.getLong(0).toDouble,
-        "hidden_out_of_range" -> row.getLong(1).toDouble))
-    }),
-
-    // ---- data generators ------------------------------------------------
-    // OU moment gates: the Euler-Maruyama chain x_{t+1} = a x_t + s xi with
-    // a = (1 - alpha h)^nSteps has known stationary moments; violations are
-    // tolerance-margined (5 sigma of the 16k-sample estimators), so the
-    // seeded JVM RNG stream stays deterministic-green without the oracle
-    // needing the stream itself. Row count is pinned exactly.
-    "q47_generator_ou" -> ((s, dir) => {
-      val sys = graft.data.Generators.OrnsteinUhlenbeck()
-      val h = 1e-3; val nSteps = 100
-      val traj = graft.data.Generators.trajectories(s, sys, Array(Array(0.0)),
-        nTraj = 32, length = 500, seed = 42L, h = h, nSteps = nSteps)
-      val x = expr("features[0]")
-      val row = traj.agg(count(lit(1)).as("n"), avg(x).as("m"),
-        var_pop(x).as("v")).collect()(0)
-      val n = row.getLong(0)
-      // Euler-Maruyama fine-step AR(1) stationary variance:
-      // var_inf = sigma^2 h / (1 - a1^2), a1 = 1 - alpha h (the discrete
-      // analog of sigma^2/(2 alpha); burn-in from x0=0 shifts the pooled
-      // variance < 1% here)
-      val a1 = 1.0 - sys.alpha * h
-      val varStat = sys.sigma(0) * sys.sigma(0) * h / (1.0 - a1 * a1)
-      val sd = math.sqrt(varStat)
-      val meanTol = 5.0 * sd / math.sqrt(n.toDouble / 100.0) // AC-inflated ESS
-      val varTol = 0.3 * varStat
-      checksDf(s, Seq(
-        "n_rows" -> n.toDouble,
-        "mean_out_of_bounds" -> math.max(0.0, math.abs(row.getDouble(1)) - meanTol),
-        "var_out_of_bounds" -> math.max(0.0, math.abs(row.getDouble(2) - varStat) - varTol)))
-    }),
-
-    // ---- SINDy (oracle: one-pass normal equations are plain SQL sums) --
-    "q48_sindy_normal_eq" -> ((s, dir) => {
-      // theta = [1, x, x^2] over x = value/100; xdot = np.gradient per traj
-      val series = ev(s, dir).withColumn("features", array(col("value") / 100.0))
-        .select(col("traj_id"), col("t"), col("features"))
-      val g = graft.sindy.Sindy.gradientFrame(series, 1)
-        .where(col("xdot").getItem(0).isNotNull)
-        .withColumn("x", expr("features[0]"))
-        .withColumn("xd", expr("xdot[0]"))
-      // averages, not sums: sum-order FP drift at 1e4 rows can flip a
-      // fixed-precision rounding boundary; n recovers the sums exactly
-      g.agg(
-        count(lit(1)).as("n"),
-        round(avg(col("x")), 6).as("a01"),
-        round(avg(col("x") * col("x")), 6).as("a02"),
-        round(avg(col("x") * col("x") * col("x")), 6).as("a12"),
-        round(avg(col("x") * col("x") * col("x") * col("x")), 6).as("a22"),
-        round(avg(col("xd")), 6).as("b0"),
-        round(avg(col("x") * col("xd")), 6).as("b1"),
-        round(avg(col("x") * col("x") * col("xd")), 6).as("b2"))
-    }),
-
-    // EDMD hash-gated by its defining identities: the operator solves the
-    // (uncentered) normal equations C00 M = C0t, and every eigenpair
-    // satisfies M v = lambda v (complex pairs checked in real arithmetic
-    // over the LAPACK-encoded columns). Both residuals are driver-exact
-    // zeros; the data side (basis lift + covariance) feeds them.
-    "q49_edmd_eigs" -> ((s, dir) => {
-      import breeze.linalg.DenseMatrix
-      val traj = liTraj(s, dir)
-      val basis = graft.basis.Monomials(1)
-      // one lift+aggregate scan: the normal-equation residual checks the
-      // pinv solve against the covariance the fit actually consumed (the
-      // r04 shape re-scanned the data to rebuild the same moments — same
-      // code path, so no extra independence, 2x the data cost)
-      val (m, cov) = graft.decomposition.Edmd.fitWithCov(traj, basis, tau = 1, inputDim = 4)
-      val p = m.p
-      def raw(c: Array[Double], ma: Array[Double], mb: Array[Double]) =
-        DenseMatrix.tabulate(p, p)((i, j) => c(i * p + j) + ma(i) * mb(j))
-      val c00 = raw(cov.cov00, cov.mean0, cov.mean0)
-      val c0t = raw(cov.cov0t, cov.mean0, cov.meant)
-      val op = DenseMatrix.tabulate(p, p)((i, j) => m.operator(i * p + j))
-      val neRes = breeze.linalg.max(breeze.numerics.abs(c00 * op - c0t))
-      val vecs = DenseMatrix.tabulate(p, p)((i, j) => m.modes(i * p + j))
-      // per-component eigen residual ||M v - lambda v||_inf, complex pairs
-      // via their (re, im) column encoding (+im column first after the
-      // stable magnitude sort)
-      def eigRes(c: Int): Double = {
-        val re = m.eigenvaluesRe(c); val im = m.eigenvaluesIm(c)
-        if (im == 0.0) {
-          val v = vecs(::, c)
-          breeze.linalg.max(breeze.numerics.abs(op * v - v * re))
-        } else {
-          // evaluate the canonical +im member of the conjugate pair (its
-          // partner's residual has identical magnitude)
-          val cf = if (im > 0) c else c - 1
-          val reF = m.eigenvaluesRe(cf); val imF = m.eigenvaluesIm(cf)
-          val vr = vecs(::, cf); val vi = vecs(::, cf + 1)
-          val rr = op * vr - (vr * reF - vi * imF)
-          val ri = op * vi - (vi * reF + vr * imF)
-          math.max(breeze.linalg.max(breeze.numerics.abs(rr)),
-            breeze.linalg.max(breeze.numerics.abs(ri)))
-        }
-      }
-      import s.implicits._
-      (0 until p).map(c => (c, r6(eigRes(c)) + 0.0, r6(neRes) + 0.0))
-        .toDF("component", "eig_resid", "normal_eq_resid")
-    }),
-
-    // ---- clustering extensions ----------------------------------------
-    // Regular-space invariants: kept centers are pairwise >= dmin apart
-    // (exact by the leader-merge rule) and every data point lies within
-    // 2*dmin of some center (the two-level partition-then-merge pass
-    // guarantees 2*dmin, not the sequential dmin: a partition-local leader
-    // can be merged away into a center < dmin from it). The coverage check
-    // scans the FULL data with the broadcast centers.
-    "q50_regspace" -> ((s, dir) => {
-      val traj = Trajectories.fromEvents(s, dir)
-      val dmin = 30.0
-      val model = graft.clustering.RegularSpace.fit(traj, dmin = dmin, maxCenters = 50)
-      val centers = model.centers.map(_(0))
-      // a single center has no pair distances; the constraint is vacuously met
-      val minPair = (for (i <- centers.indices; j <- i + 1 until centers.length)
-        yield math.abs(centers(i) - centers(j))).minOption.getOrElse(dmin)
-      val x = col(Trajectories.FeatCol).getItem(0)
-      val minDist = least(centers.map(c => abs(x - lit(c))): _*)
-      val maxMin = traj.agg(max(minDist)).collect()(0).getDouble(0)
-      checksDf(s, Seq(
-        "pairwise_ge_dmin" -> math.max(0.0, dmin - minPair),
-        "coverage_within_2dmin" -> math.max(0.0, maxMin - 2.0 * dmin),
-        "n_centers_gt_max" -> math.max(0.0, (centers.length - 50).toDouble)))
-    }),
-
-    // Mini-batch k-means invariants: k centers, finite, and the final
-    // full-data assignment is the exact argmin of the learned centers
-    // (cross-checks the epoch loop's output against the codegen argmin).
-    "q51_minibatch_kmeans" -> ((s, dir) => {
-      val traj = Trajectories.fromEvents(s, dir)
-      val model = graft.clustering.MiniBatchKMeans.fit(traj, k = 4,
-        batchFraction = 0.2, maxEpochs = 3, seed = 42L)
-      val centers = model.centers.map(_(0))
-      val assigned = model.transform(traj)
-      val x = col(Trajectories.FeatCol).getItem(0)
-      val ownDist = abs(x - element_at(typedLit(centers.toSeq), col("state") + 1))
-      val minDist = least(centers.map(c => abs(x - lit(c))): _*)
-      val row = assigned.agg(max(ownDist - minDist).as("v"),
-        count(lit(1)).as("n")).collect()(0)
-      checksDf(s, Seq(
-        "assign_argmin" -> row.getDouble(0),
-        "k_centers_minus_4" -> (model.k - 4).toDouble,
-        "centers_nonfinite" -> (if (centers.forall(c => !c.isNaN && !c.isInfinite)) 0.0 else 1.0),
-        "n_assigned" -> row.getLong(1).toDouble))
-    }),
-
-    // ---- multimodal metadata (oracle: binaries constructed in SQL both
-    // sides, dimensions extracted back by the header parsers) ------------
-    "q52_multimodal_meta" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"),
-        (lit(16) + col("doc_id") % 1920).cast("int").as("w"),
-        (lit(16) + (col("doc_id") * 7) % 1080).cast("int").as("h"))
-      val bin = unhex(concat(
-        lit("89504E470D0A1A0A0000000D49484452"),
-        lpad(hex(col("w")), 8, "0"), lpad(hex(col("h")), 8, "0"),
-        lit("0802000000")))
-      val payload = d.withColumn("payload", bin)
-      payload.select(col("doc_id"),
-        graft.multimodal.Multimodal.sniffFormat(col("payload")).as("format"),
-        graft.multimodal.Multimodal.pngWidth(col("payload")).as("width"),
-        graft.multimodal.Multimodal.pngHeight(col("payload")).as("height"),
-        length(col("payload")).cast("long").as("n_bytes"))
-    }),
-
-    // Eval-decontamination scan: corpus docs sharing >= 10 distinct 8-gram
-    // shingles with the "benchmark" slice (doc_id % 100 == 0) are flagged.
-    // Benchmark shingles broadcast; corpus streams map-side. The oracle
-    // recomputes the overlap counts from the raw string shingles.
-    "q83_decontamination" -> ((s, dir) => {
-      val d = docs(s, dir)
-      Dedup.contaminationScan(
-        d.where(col("doc_id") % 100 =!= 0),
-        d.where(col("doc_id") % 100 === 0),
-        shingleLen = 8, minOverlap = 10L)
-    }),
-
-    // Semi-structured props column: JSON field extraction (codegen
-    // get_json_object) feeding a relational aggregate — the schema-on-read
-    // path every event pipeline needs; DuckDB twin via json_extract.
-    "q81_json_props" -> ((s, dir) => {
-      Trajectories.table(s, dir, "events")
-        .select(Trajectories.eventTypeState(col("event_type")).as("state"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy("state")
-        .agg(count(lit(1)).as("n"),
-          sum(col("k")).as("sum_k"),
-          countDistinct(col("k")).as("n_distinct_k"))
-    }),
-
-    // Skew-aware exact distinct count: hash-partition the VALUE space into
-    // buckets, count distinct per (key, bucket), sum the bucket counts —
-    // exact because hash buckets partition the values; the two-phase shape
-    // caps any single reducer's state at |distinct|/buckets, which is the
-    // standard fix when one hot key owns most of the data. The oracle is
-    // the plain COUNT(DISTINCT) it must equal.
-    "q82_skew_distinct" -> ((s, dir) => {
-      val ev = Trajectories.table(s, dir, "events")
-        .select(Trajectories.eventTypeState(col("event_type")).as("state"),
-          col("user_id"))
-      graft.util.Salting.skewAwareDistinctCount(ev, Seq("state"), "user_id",
-        buckets = 16)
-        .withColumnRenamed("n_distinct", "n_users")
-    }),
-
-    // ---- video container metadata (VIDEO leg of the multimodal family:
-    // real ISO-BMFF box walker + mvhd parse; per-doc MP4s are constructed
-    // by the REAL encoder and round-tripped through the REAL parser, the
-    // oracle recomputes every field from the generating formulas — q52/q70
-    // pattern. Frame-sample timestamps are the metadata-derived work list
-    // a decode stage consumes (codec decode is out of scope by contract:
-    // no video codecs in a plain JVM). --------------------------------
-    "q80_video_meta" -> ((s, dir) => {
-      val mk = udf { (docId: Long) =>
-        graft.multimodal.Mp4.encodeMinimal("isom", 600L, (30 + docId % 600) * 600L)
-      }
-      val parse = udf { (bytes: Array[Byte]) =>
-        graft.multimodal.Mp4.parse(bytes).map { m =>
-          (m.brand, m.timescale, m.duration,
-            m.duration / math.max(m.timescale, 1L),
-            graft.multimodal.Mp4.frameSampleTimestamps(m.timescale, m.duration, 10L)
-              .length.toLong)
-        }.orNull
-      }
-      docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
-        .select(col("doc_id"),
-          graft.multimodal.Multimodal.sniffFormat(col("payload")).as("format"),
-          parse(col("payload")).cast(
-            "struct<brand:string,timescale:bigint,duration:bigint," +
-              "duration_sec:bigint,n_sample_points:bigint>").as("m"))
-        .select(col("doc_id"), col("format"), col("m.brand").as("brand"),
-          col("m.timescale").as("timescale"), col("m.duration").as("duration"),
-          col("m.duration_sec").as("duration_sec"),
-          col("m.n_sample_points").as("n_sample_points"))
-    }),
-
-    // ---- tokenizer (oracle: same RE2-compatible regex in DuckDB) -------
-    "q53_pretoken_counts" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        graft.multimodal.Tokenize.preTokenCount(col("text")).as("n_pretokens"),
-        graft.multimodal.Tokenize.subwordCountEstimate(col("text")).as("n_subwords_est"))),
-
-    // ---- sample-by-state (oracle on the COUNT contract; the draw itself
-    // is hash-order dependent) -------------------------------------------
-    "q54_sample_by_state" -> ((s, dir) => {
-      graft.markov.MsmAnalysis.sampleByState(
-        dtrajEv(s, dir), nSamples = 10, seed = 7L)
-        .groupBy("state").agg(count(lit(1)).as("n_sampled"))
-    }),
-
-    // ---- analysis long tail --------------------------------------------
-    // Correlation-fingerprint identities: summed amplitudes equal the
-    // instantaneous correlation E_pi[obs^2] (t=0 spectral completeness),
-    // the stationary amplitude equals (pi . obs)^2, and autocorrelation
-    // amplitudes are non-negative — exact spectral-decomposition facts.
-    "q55_fingerprints" -> ((s, dir) => {
-      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
-      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
-      val obs = breeze.linalg.DenseVector.tabulate(msm.n)(i => i.toDouble)
-      val (ts, amps) = graft.markov.MsmAnalysis.fingerprintCorrelation(
-        msm.transitionMatrix, obs, obs)
-      val pi = msm.stationaryDistribution
-      val corr0 = (0 until msm.n).map(i => pi(i) * obs(i) * obs(i)).sum
-      val statAmp = math.pow((0 until msm.n).map(i => pi(i) * obs(i)).sum, 2)
-      val statIdx = ts.indexWhere(_.isPosInfinity)
-      checksDf(s, Seq(
-        "amp_sum_minus_corr0" -> (amps.sum - corr0),
-        "stationary_amp_resid" ->
-          (if (statIdx >= 0) amps(statIdx) - statAmp else 1.0),
-        "autocorr_amp_negativity" -> amps.map(a => math.max(0.0, -a)).max,
-        "n_components" -> ts.length.toDouble))
-    }),
-
-    // Expected stationary counts E[C_ij] = N pi_i T_ij. The row-sum ratio
-    // E[C_ij] / sum_j E[C_ij] cancels N pi_i and equals T_ij EXACTLY, so
-    // the DuckDB twin is the row-normalized count matrix; the stationarity
-    // residual ||pi T - pi||_inf (driver-exact zero) rides along on every
-    // row — together they hash-gate both factors of the product.
-    "q56_expected_counts" -> ((s, dir) => {
-      val (dense, _) = countsAndObserved(s, dir)
-      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = false)
-      val t = msm.transitionMatrix
-      val pi = msm.stationaryDistribution
-      val ec = graft.markov.MsmAnalysis.expectedCountsStationary(t, 1000)
-      val piResid = (0 until msm.n).map(j =>
-        math.abs((0 until msm.n).map(i => pi(i) * t(i, j)).sum - pi(j))).max
-      import s.implicits._
-      // row support = OBSERVED pairs (count > 0), exactly the oracle's
-      // observed-pair support — an ec-magnitude cutoff (the r04 shape,
-      // ec > 1e-9) could drop a counted pair whose stationary weight is
-      // tiny and silently break row-set parity on less-balanced data
-      (for (i <- 0 until msm.n; j <- 0 until msm.n
-            if dense(msm.states(i), msm.states(j)) > 0) yield {
-        val rowSum = (0 until msm.n).map(jj => ec(i, jj)).sum
-        (msm.states(i), msm.states(j), r6(ec(i, j) / rowSum), r6(piResid) + 0.0)
-      }).toDF("s0", "s1", "tprob", "pi_resid")
-    }),
-
-    // Hitting-probability BVP per state: h = 1 on the target, and on the
-    // rest h_i = sum_j T_ij h_j (this chain is irreducible, so no
-    // absorbing-zero branch applies); residuals driver-exact zeros over
-    // the SQL-pinned state grid.
-    "q57_hitting_probability" -> ((s, dir) => {
-      val (dense, obs) = countsAndObserved(s, dir)
-      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = false)
-      val t = msm.transitionMatrix
-      val h = graft.markov.MsmAnalysis.hittingProbability(t, Set(2))
-      import s.implicits._
-      val sym2idx = msm.states.zipWithIndex.toMap
-      obs.map { sym =>
-        sym2idx.get(sym) match {
-          case Some(i) =>
-            val resid =
-              if (i == 2) h(i) - 1.0
-              else (0 until msm.n).map(j => t(i, j) * h(j)).sum - h(i)
-            (sym, r6(resid) + 0.0)
-          case None => (sym, 0.0)
-        }
-      }.toDF("state", "bvp_resid")
-    }),
-
-    // ---- OOM / two-step statistics ------------------------------------
-    "q58_twostep_counts" -> ((s, dir) =>
-      graft.markov.Oom.twoStepCounts(dtrajEv(s, dir), 1)),
-
-    // OOM-corrected MSM invariants per entry over the SQL-pinned state
-    // grid: the equilibrium-corrected matrix is exactly row-stochastic
-    // (explicit renormalization) and non-negative (clipped correction).
-    "q59_oom_msm" -> ((s, dir) => {
-      val model = graft.markov.Oom.fit(dtrajEv(s, dir),
-        tau = 1, nStates = 5, rankTol = 2.0, nbs = 50)
-      import s.implicits._
-      val t = model.transitionMatrix
-      val sym2idx = model.states.zipWithIndex.toMap
-      val obs = observedStates(s, dir)
-      (for (a <- obs; b <- obs) yield
-        (sym2idx.get(a), sym2idx.get(b)) match {
-          case (Some(i), Some(j)) =>
-            val rowSum = model.states.indices.map(t(i, _)).sum
-            (a, b, r6(rowSum - 1.0) + 0.0, r6(math.max(0.0, -t(i, j))) + 0.0)
-          case _ => (a, b, 0.0, 0.0)
-        }).toDF("s0", "s1", "row_resid", "nonneg_viol")
-    }),
-
-    // ---- TRAM multi-ensemble free energies (rows-only) -----------------
-    "q60_tram" -> ((s, dir) => {
-      // guard: unknown event types map to state -1, which would make the
-      // 1-based element_at throw
-      val d = dtrajEv(s, dir).where(col("state") >= 0)
-      val biasVec = Seq(2.0, 1.5, 1.0, 0.5, 0.0)
-      val d0 = d.withColumn("bias", array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
-      // second "ensemble": strided half of the data standing in for a
-      // biased simulation (structure check, not physics)
-      val d1 = Lag.strided(d, 2)
-        .withColumn("bias", array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
-      val model = graft.markov.Tram.fit(Seq(d0, d1), tau = 1, nMarkov = 5,
-        maxIter = 100, maxErr = 1e-8)
-      import s.implicits._
-      // Per-state invariants: pi = exp(-f)/Z is a normalized distribution
-      // (exact by construction), free energies finite, pi positive —
-      // over the SQL-pinned state grid. Free-energy recovery vs an
-      // analytic two-ensemble fixture is spec-gated (TramSpec).
-      val pi = model.stationaryDistribution
-      val piSum = (0 until 5).map(pi(_)).sum
-      // rows span the observed states (the oracle's support on any data)
-      observedStates(s, dir).map { i =>
-        val f = model.markovStateEnergies(i)
-        (i, r6(piSum - 1.0) + 0.0,
-          if (f.isNaN || f.isInfinite) 1.0 else 0.0,
-          r6(math.max(0.0, -pi(i))) + 0.0)
-      }.toDF("state", "pi_norm_resid", "f_nonfinite", "pi_negativity")
-    }),
-
-    // ---- AMM -----------------------------------------------------------
-    // Per-state invariants: the biased MSM is built from a symmetric
-    // stationary-weight matrix, so pi is EXACTLY the stationary vector of
-    // T (pi_j = sum_i pi_i T_ij identically) and normalized; residuals are
-    // driver-exact zeros over the SQL-pinned state grid.
-    "q61_amm" -> ((s, dir) => {
-      val (counts, obs) = countsAndObserved(s, dir)
-      val e = breeze.linalg.DenseMatrix.tabulate(5, 1)((i, _) => i.toDouble)
-      val model = graft.markov.Amm.fit(counts, e,
-        breeze.linalg.DenseVector(2.3), breeze.linalg.DenseVector(2.0))
-      import s.implicits._
-      val t = model.transitionMatrix
-      val pi = model.stationaryDistribution
-      val piSum = (0 until 5).map(pi(_)).sum
-      // rows span the observed states (the oracle's support on any data)
-      obs.map { j =>
-        val statResid = (0 until 5).map(i => pi(i) * t(i, j)).sum - pi(j)
-        (j, r6(statResid) + 0.0, r6(piSum - 1.0) + 0.0)
-      }.toDF("state", "pi_stationarity_resid", "pi_norm_resid")
-    }),
-
-    // ---- VAMP cross-validated scores ----------------------------------
-    // Per-split invariants: VAMP2 CV scores are bounded by the score of
-    // the constant singular function alone (>= 1) and by 1 + d from above
-    // on the train side; the held-out score additionally stays finite.
-    // The split draw is a seeded hash so the run is deterministic, but the
-    // score VALUES are eig-path-only — the oracle checks the bounds grid.
-    "q62_vamp_cv" -> ((s, dir) => {
-      val traj = liTraj(s, dir)
-      val scores = graft.decomposition.Scoring.vampScoreCv(traj, tau = 1, n = 3, seed = 42L)
-      import s.implicits._
-      scores.zipWithIndex.map { case (sc, i) =>
-        val finite = if (sc.isNaN || sc.isInfinite) 1.0 else 0.0
-        // held-out VAMP2 of a d=4 model: >= 1 (constant function) and
-        // far below the generous 2*(1+d) sanity ceiling
-        (i, r6(math.max(0.0, 1.0 - sc)) + 0.0,
-          r6(math.max(0.0, sc - 10.0)) + 0.0, finite)
-      }.toDF("split", "lower_bound_viol", "upper_bound_viol", "nonfinite")
-    }),
-
-    // ---- TPT pathway decomposition --------------------------------------
-    // Widest-path decomposition invariants: every path runs A -> B through
-    // valid edges, fluxes are positive and non-increasing in rank, and the
-    // full decomposition (fraction=1.0) captures the total flux to within
-    // the stop tolerance — all driver-exact checks.
-    "q65_tpt_pathways" -> ((s, dir) => {
-      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
-      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
-      val flux = graft.markov.Tpt.reactiveFlux(msm, Set(0), Set(4))
-      val paths = flux.pathways(1.0)
-      val endpointViol = paths.count { case (p, _) =>
-        p.isEmpty || p.head != 0 || p.last != 4 }.toDouble
-      val fluxNonPos = paths.count { case (_, f) => f <= 0.0 }.toDouble
-      val orderViol = paths.map(_._2).sliding(2)
-        .count { case Seq(a, b) => b > a + 1e-15; case _ => false }.toDouble
-      val captured = paths.map(_._2).sum
-      checksDf(s, Seq(
-        "path_endpoints_viol" -> endpointViol,
-        "flux_nonpositive" -> fluxNonPos,
-        "flux_rank_order_viol" -> orderViol,
-        "uncaptured_total_flux" ->
-          math.max(0.0, flux.totalFlux - captured - 1e-9),
-        "n_paths_positive" -> (if (paths.nonEmpty) 0.0 else 1.0)))
-    }),
-
-    // ---- streaming partial_fit surface (oracle: chunked folds must equal
-    // the one-shot covariance, so q04's SQL twin applies verbatim) --------
-    "q66_partial_fit_cov" -> ((s, dir) => {
-      val pairs = Lag.pairs(ev(s, dir)
-        .withColumn(Trajectories.FeatCol, array(col("value")))
-        .select(col("traj_id"), col("t"), col(Trajectories.FeatCol)), 2)
-      val rc = new graft.streaming.Streaming.RunningCovar()
-      // fold four trajectory-ranged batches, as a foreachBatch loop would
-      (0 until 4).foreach { k =>
-        rc.partialFit(pairs.where(pmod(col("traj_id"), lit(4)) === k)
-          .select(col("x"), col("y")))
-      }
-      covModelDf(s, rc.model, lagged = true)
-    }),
-
-    // ---- Girsanov-reweighted counting (oracle: window sum is plain SQL) -
-    "q67_girsanov_counts" -> ((s, dir) => {
-      val d = Trajectories.eventSeries(s, dir)
-        .join(dtrajEv(s, dir), Seq("traj_id", "t"))
-        .withColumn("g", lit(1.0))
-        .withColumn("logM", col("value") / 1e5)
-      TransitionCounting.girsanovReweightedCounts(d, 2)
-        .select(col("s0"), col("s1"), round(col("cnt_reweighted"), 6).as("cnt_rw"))
-    }),
-
-    // ---- IVF ANN -------------------------------------------------------
-    // The MLlib-seeded codebook isn't SQL-reproducible, so the oracle
-    // gates the CONTRACT instead: recall@5 vs the in-query brute force
-    // (>= 0.9, the VERDICT r02 bar), exactly 5 results per query, and the
-    // query count (exact SQL twin). A recall drop — from codebook drift,
-    // probe-routing bugs, or re-rank errors — flips the hash.
-    "q64_ann_ivf" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val q = e.where(col("vec_id") % 40 === 0)
-      // nProbe=6/8: this synthetic corpus is near-uniform on the sphere —
-      // the worst case for a coarse quantizer (true neighbors scatter
-      // across cells; measured recall@5 by nProbe at sf0.01:
-      // 3 -> 0.71, 4 -> 0.80, 5 -> 0.89, 6 -> 0.95) — so meeting the 0.9
-      // recall bar costs 6/8 of the cells. On clustered real corpora the
-      // same pipeline meets it at much lower probe fractions (IvfSpec).
-      val ivf = Similarity.ivfTopK(e, q, k = 5, nCells = 8, nProbe = 6, seed = 42L)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
-      val brute = Similarity.bruteForceTopK(e, q, 5)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      val perQ = ivf.join(brute, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"), count(lit(1)).as("k"))
-      val row = perQ.agg(avg(col("hits") / 5.0).as("recall"),
-        max(abs(col("k") - 5)).as("kviol"), count(lit(1)).as("nq")).collect()(0)
-      checksDf(s, Seq(
-        "recall_below_0p9" -> math.max(0.0, 0.9 - row.getDouble(0)),
-        "results_per_query_minus_5" -> row.getLong(1).toDouble,
-        "n_queries" -> row.getLong(2).toDouble))
-    }),
-
-    // Embedding-cosine near-duplicate pairs (the embedding leg of the
-    // dedup family): sign-plane LSH buckets -> capped bucket self-join ->
-    // exact-cosine verify at threshold 0.35 (this corpus has no planted
-    // near-dup structure — top pair cosines sit at ~0.3-0.45 — so the
-    // threshold is set where true pairs exist; a real dedup corpus runs
-    // 0.9+ with the same plan, where sign-plane collision probability is
-    // high and bucketing recalls near-identical vectors — at 0.35 the
-    // LSH recall is inherently low, so this query gates PIPELINE
-    // correctness, with recall gated in its proper regime by q68).
-    // nPlanes=7 keeps buckets selective (~40 vectors at sf0.1): wide
-    // 2-plane buckets measured 10 s — the capped join's output is
-    // quadratic in bucket size, exactly the degenerate regime the
-    // maxBucketSize cap exists for. The oracle SIMULATES the whole
-    // pipeline: literal sign-plane bucket terms (bit-identical add
-    // order, the q28/q68 pattern), per-table bucket-size caps, candidate
-    // dedup, and the exact cosine filter.
-    "q86_cosine_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDupes(emb(s, dir), threshold = 0.35, dim = 64,
-        nPlanes = 7, numTables = 2)
-        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
-    }),
-
-    // ---- SemDeDup semantic dedup (q99): k-means clusters confine the
-    // cosine sweep; a vector is dropped iff a smaller-id same-cluster
-    // vector is cosine >= tau. The battery independently re-derives the
-    // earlier-neighbor relation from the emitted cell assignment and
-    // raw vectors and asserts the keep/drop partition is exactly the
-    // "no earlier neighbor" set (0 violations both directions); the
-    // n_vectors anchor is exact SQL. tau=0.3 sits where this corpus has
-    // real cosine-near pairs (q86 note: top pair cosines ~0.3-0.45). --
-    "q99_semdedup" -> ((s, dir) => {
-      val e = emb(s, dir)
-      val res = Similarity.semDedup(e, tau = 0.3, nClusters = 8, seed = 42L)
-      val withVec = res.join(e.select(col("vec_id"), col("embedding")), "vec_id")
-      val l = withVec.select(col("cell"), col("vec_id").as("a"),
-        col("embedding").as("va"))
-      val r = withVec.select(col("cell"), col("vec_id").as("b"),
-        col("embedding").as("vb"))
-      val hasEarlier = l.join(r, Seq("cell"))
-        .where(col("a") < col("b") &&
-          Similarity.cosine(col("va"), col("vb")) >= 0.3)
-        .select(col("b").as("vec_id")).distinct()
-      val joined = res.join(hasEarlier.withColumn("he", lit(1)), Seq("vec_id"), "left")
-      val row = joined.agg(
-        sum(when(col("keep") === 1 && col("he") === 1, 1).otherwise(0)).as("kept_viol"),
-        sum(when(col("keep") === 0 && col("he").isNull, 1).otherwise(0)).as("drop_viol"),
-        count(lit(1)).as("n")).collect()(0)
-      checksDf(s, Seq(
-        "kept_with_earlier_neighbor" -> row.getLong(0).toDouble,
-        "dropped_without_earlier_neighbor" -> row.getLong(1).toDouble,
-        "n_vectors" -> row.getLong(2).toDouble))
-    }),
-
-    // ---- real PNG decode, oracle-checked end to end --------------------
-    // Per doc: a REAL gray PNG is encoded (PngCodec.encode: zlib deflate)
-    // with pixel(i) = (doc_id*31 + i*7) % 256, then decoded by the
-    // pure-JVM decoder (inflate + un-filter). The oracle recomputes the
-    // pixel sums straight from the generating formula, so a wrong decode
-    // (off-by-one filter, bad inflate reassembly, channel mixup) breaks
-    // the hash — codec correctness is gated, not assumed.
-    "q70_png_decode" -> ((s, dir) => {
-      val mk = udf { (docId: Long) =>
-        val w = (3 + docId % 6).toInt
-        val h = (2 + (docId * 7) % 5).toInt
-        val px = Array.tabulate(w * h)(i => ((docId * 31 + i * 7) % 256).toByte)
-        graft.multimodal.PngCodec.encode(w, h, 1, px)
-      }
-      val withPng = docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
-      graft.multimodal.Multimodal.decodeImages(withPng, "payload")
-        .select(col("doc_id"),
-          col("decoded.width").as("width"),
-          col("decoded.height").as("height"),
-          size(col("decoded.pixels")).cast("long").as("n_px"),
-          aggregate(col("decoded.pixels"), lit(0L),
-            (acc, p) => acc + round(p * 255.0f).cast("long")).as("px_sum"))
-    }),
-
-    // ---- decode -> RESIZE -> aggregate, oracle-checked (q110): the
-    // missing action step between q70's decode gate and feature
-    // extraction — every doc's synthetic PNG is decoded for real, stride-
-    // resampled (nearest-neighbor) to a fixed 4x3 thumbnail with per-row
-    // source dims, and the thumbnail's integer pixel sum must match the
-    // oracle's replay of the same stride arithmetic on the generating
-    // formula. A wrong stride (row-major mixup, off-by-one, double-vs-int
-    // division drift) breaks the hash. --------------------------------
-    "q110_image_resize" -> ((s, dir) => {
-      val mk = udf { (docId: Long) =>
-        val w = (3 + docId % 6).toInt
-        val h = (2 + (docId * 7) % 5).toInt
-        val px = Array.tabulate(w * h)(i => ((docId * 31 + i * 7) % 256).toByte)
-        graft.multimodal.PngCodec.encode(w, h, 1, px)
-      }
-      val withPng = docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
-      graft.multimodal.Multimodal.decodeImages(withPng, "payload")
-        .select(col("doc_id"),
-          graft.multimodal.Multimodal.resizePixelsDyn(col("decoded"),
-            col("decoded.width"), col("decoded.height"), 4, 3).as("thumb"))
-        .select(col("doc_id"),
-          size(col("thumb")).cast("long").as("n_px"),
-          aggregate(col("thumb"), lit(0L),
-            (acc, p) => acc + round(p * 255.0f).cast("long")).as("px_sum"))
-    }),
-
-    // ---- real WAV PCM decode, oracle-checked end to end (q70 pattern) --
-    "q74_wav_decode" -> ((s, dir) => {
-      val mk = udf { (docId: Long) =>
-        val n = (50 + docId % 40).toInt
-        val samples = Array.tabulate(n)(i =>
-          ((docId * 13 + i * 7) % 2001 - 1000).toShort)
-        graft.multimodal.WavCodec.encodePcm16(8000 + (docId % 3).toInt * 4000, 1, samples)
-      }
-      val dec = udf { (bytes: Array[Byte]) =>
-        graft.multimodal.WavCodec.decode(bytes).map { d =>
-          // reconstruct the exact int16 values from the float samples
-          val ints = d.samples.map(f => math.round(f * 32768.0f).toLong)
-          (d.sampleRate, d.samples.length.toLong, ints.sum)
-        }.orNull
-      }
-      docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
-        .select(col("doc_id"),
-          dec(col("payload")).cast("struct<sample_rate: int, n_samples: bigint, sample_sum: bigint>").as("d"))
-        .select(col("doc_id"), col("d.sample_rate").as("sample_rate"),
-          col("d.n_samples").as("n_samples"), col("d.sample_sum").as("sample_sum"))
-    }),
-
-    // ---- audio decode -> frame -> features, oracle-checked end to end --
-    "q75_audio_features" -> ((s, dir) => {
-      val mk = udf { (docId: Long) =>
-        val n = (50 + docId % 40).toInt
-        val samples = Array.tabulate(n)(i =>
-          ((docId * 13 + i * 7) % 2001 - 1000).toShort)
-        graft.multimodal.WavCodec.encodePcm16(8000, 1, samples)
-      }
-      val withWav = docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
-      graft.multimodal.Multimodal.audioFrameFeatures(withWav, "payload", frameLen = 25)
-        .select(col("doc_id"), col("frame_idx"),
-          round(col("rms"), 6).as("rms"), col("zero_crossings"))
-    }),
-
-    // ---- rate-matrix estimation (SURVEY 2.6; ratematrix.py family) -----
-    // Query surface = pseudo-generator of the nonreversible MLE (exact SQL
-    // twin); the KL / Crommelin-Vanden-Eijnden quasi-Newton estimators are
-    // spec-verified against the reference fixture (RateMatrixSpec).
-    "q69_rate_matrix" -> ((s, dir) => {
-      // fully distributed pseudo-generator over OBSERVED transitions (the
-      // q09 pattern): row-normalize the count frame, subtract identity,
-      // divide by tau — same row set as the oracle on ANY data, including
-      // disconnected states / unobserved pairs (the earlier driver-matrix
-      // emit produced the full n x n grid over the largest connected set,
-      // which only coincided with the oracle because this dataset happens
-      // to observe all 25 pairs). The driver-side generator estimators
-      // (pseudo/truncated_log/CVE/KL) are exercised by RateMatrixSpec and
-      // the q71 invariants.
-      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 2)
-      counts.withColumn("t_prob",
-          col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy("s0")))
-        .select(col("s0"), col("s1"),
-          round((col("t_prob") -
-            when(col("s0") === col("s1"), 1.0).otherwise(0.0)) / 2.0, 6).as("rate"))
-    }),
-
-    // ---- model-invariant battery (reference property-test style:
-    // tests/markov/msm/test_msm_basic_properties.py checks P^k pi = pi etc.)
-    // Each row is a named invariant VIOLATION measure that must round to
-    // exactly 0.0; the oracle pins the full expected (check, violation)
-    // set, so any broken driver-side linear-algebra path (MLE, committors,
-    // PCCA, TPT, VAMP whitening, rate matrices) flips the hash. ----------
-    "q71_model_invariants" -> ((s, dir) => {
-      import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
-      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
-      val msmRev = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
-      val msmNon = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = false)
-      val n = msmRev.n
-      val t = msmRev.transitionMatrix
-      val pi = msmRev.stationaryDistribution
-      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
-
-      val checks = scala.collection.mutable.LinkedHashMap[String, Double]()
-      checks("rev_rowsums") = maxAbs((0 until n).map(i => bsum(t(i, ::).t) - 1.0))
-      checks("rev_detailed_balance") = maxAbs(
-        for (i <- 0 until n; j <- 0 until n) yield pi(i) * t(i, j) - pi(j) * t(j, i))
-      checks("pi_stationarity") = maxAbs((0 until n).map(j =>
-        (0 until n).map(i => pi(i) * t(i, j)).sum - pi(j)))
-      checks("pi_normalized") = math.abs(bsum(pi) - 1.0)
-      // endpoint states in MODEL indexing (robust to a largest-connected
-      // set smaller than the raw state count)
-      val a = Set(0); val b = Set(msmNon.n - 1)
-      val tn = msmNon.transitionMatrix
-      val nn = msmNon.n
-      val qf = msmNon.committorForward(a, b)
-      checks("committor_bvp") = maxAbs(
-        (0 until nn).filterNot(i => a.contains(i) || b.contains(i)).map(i =>
-          (0 until nn).map(j => tn(i, j) * qf(j)).sum - qf(i)))
-      val tgt = nn - 1
-      val mfptVec = msmNon.mfpt(Set(tgt))
-      checks("mfpt_linear_system") = maxAbs(
-        (0 until nn).filter(_ != tgt).map(i =>
-          1.0 + (0 until nn).filter(_ != tgt).map(j => tn(i, j) * mfptVec(j)).sum - mfptVec(i)))
-      val pcca = graft.markov.Pcca(msmRev, 2)
-      checks("pcca_membership_rowsums") = maxAbs((0 until n).map(i =>
-        pcca.memberships(i, 0) + pcca.memberships(i, 1) - 1.0))
-      checks("pcca_membership_nonneg") = maxAbs(
-        (for (i <- 0 until n; k <- 0 until 2) yield math.min(pcca.memberships(i, k), 0.0)))
-      // VAMP whitening identity: U' C00 U = I on the kept components
-      val cov = Covariance.fit(liPairs(s, dir))
-      val vamp = graft.decomposition.Vamp.fitFromCovariance(cov, 1)
-      val d = cov.d; val k = vamp.k
-      val c00 = DenseMatrix.tabulate(d, d)((i, j) => cov.cov00(i * d + j))
-      val u = DenseMatrix.tabulate(d, k)((i, j) => vamp.u(i * k + j))
-      val whiten = u.t * c00 * u
-      checks("vamp_whitening_identity") = maxAbs(
-        for (i <- 0 until k; j <- 0 until k) yield whiten(i, j) - (if (i == j) 1.0 else 0.0))
-      // rate matrices: generator validity + detailed balance of KL estimate
-      val kPseudo = graft.markov.MsmAnalysis.pseudoGenerator(t, 1.0)
-      checks("pseudo_generator_valid") =
-        if (graft.markov.RateMatrix.isRateMatrix(kPseudo, 1e-10)) 0.0 else 1.0
-      // KL over the SAME largest-connected-set restriction msmRev uses, so
-      // pi's indexing always matches the count submatrix (the full 5x5
-      // frame would mismatch whenever a state is disconnected)
-      val denseAll = TransitionCounting.toDense(counts, 5)
-      val lcsStates = graft.markov.Connectivity.largestConnectedSet(denseAll)
-      val denseCounts = graft.markov.Connectivity.submatrix(denseAll, lcsStates)
-      val kKl = graft.markov.RateMatrix.estimate(denseCounts, dt = 1.0, method = "KL",
-        piOpt = Some(pi), tol = 1e4)
-      checks("kl_generator_valid") =
-        if (graft.markov.RateMatrix.isRateMatrix(kKl, 1e-8)) 0.0 else 1.0
-      checks("kl_detailed_balance") = maxAbs(
-        for (i <- 0 until n; j <- 0 until n) yield pi(i) * kKl(i, j) - pi(j) * kKl(j, i))
-      import s.implicits._
-        checks.toSeq.map { case (name, v) => (name, r6(v) + 0.0) }
-        .toDF("check", "violation")
-    }),
-
-    // ---- iterative-estimator invariant battery (q71's counterpart for
-    // the EM / Gibbs / spectral-correction family whose values cannot have
-    // SQL twins; every violation must round to exactly 0.0) -------------
-    "q73_estimator_invariants" -> ((s, dir) => {
-      import breeze.linalg.{DenseMatrix, sum => bsum}
-      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
-      def stochViolation(t: DenseMatrix[Double]): Double = math.max(
-        maxAbs((0 until t.rows).map(i => bsum(t(i, ::).t) - 1.0)),
-        maxAbs(for (i <- 0 until t.rows; j <- 0 until t.cols)
-          yield math.min(t(i, j), 0.0)))
-      val checks = scala.collection.mutable.LinkedHashMap[String, Double]()
-      // ONE Spark job for the whole battery: collect the model-sized dtraj
-      // as per-trajectory arrays, then feed every estimator (HMM EM,
-      // Gibbs posterior, OOM, AMM) from shared driver-side counts. The
-      // distributed fit paths stay the scale story (q38/q46/q58/q61);
-      // this battery verifies per-iterate invariants, which hold at any
-      // iteration count — 5 EM sweeps prove the same contract as 15.
-      val trajArrays: Seq[Array[Int]] = {
-        val spark = s
-        import spark.implicits._
-        dtrajEv(s, dir)
-          .select("traj_id", "t", "state").as[(Long, Long, Int)]
-          .groupByKey(_._1)
-          .mapGroups { (_: Long, it: Iterator[(Long, Long, Int)]) =>
-            it.toArray.sortBy(_._2).map(_._3)
-          }
-          .collect().toSeq
-      }
-      val counts = TransitionCounting.slidingCountsLocal(trajArrays, 1, 5)
-      val hmmTrajs = trajArrays.map(_.filter(_ >= 0)).filter(_.nonEmpty)
-
-      val hmm = graft.markov.hmm.Hmm.fitArrays(hmmTrajs, nHidden = 2, nObs = 5,
-        maxIter = 5)
-      checks("hmm_transition_stochastic") = stochViolation(hmm.transition)
-      checks("hmm_emission_stochastic") = stochViolation(hmm.emission)
-
-      // HMM CK test (hmm/_hidden_markov_model.py:313 via identity
-      // memberships): the lag-tau prediction IS the lag-tau estimate
-      // (same model, first power — a nontrivial wiring check because the
-      // two come through different code paths: matPow vs the aligned
-      // estimate map), every propagator row stays a distribution, and
-      // the prediction at lag 2*tau must be the exact SQUARE of the
-      // lag-tau transition matrix (the Chapman-Kolmogorov propagation
-      // itself, algebraically exact regardless of the data)
-      val ck = graft.markov.hmm.HmmValidation.ckTestArrays(hmmTrajs,
-        nHidden = 2, nObs = 5, tau = 1, steps = 2, maxIter = 5)
-      checks("hmm_ck_lag1_pred_eq_est") = maxAbs(
-        for (i <- 0 until 2; j <- 0 until 2)
-          yield ck.predictions(1)(i, j) - ck.estimates(1)(i, j))
-      val aSq = ck.estimates(1) * ck.estimates(1)
-      checks("hmm_ck_pred2_is_square") = maxAbs(
-        for (i <- 0 until 2; j <- 0 until 2)
-          yield ck.predictions(2)(i, j) - aSq(i, j))
-      checks("hmm_ck_rows_stochastic") = maxAbs(
-        (ck.predictions ++ ck.estimates).flatMap(m => (0 until m.rows).map(i =>
-          bsum(m(i, ::).t) - 1.0)))
-
-      // Gibbs posterior: every sample must be a reversible transition matrix
-      val lcs = graft.markov.Connectivity.largestConnectedSet(counts)
-      val post = graft.markov.BayesianMsm.fromCountsLocal(
-        graft.markov.Connectivity.submatrix(counts, lcs), tau = 1, states = lcs,
-        nSamples = 20, reversible = true, seed = 42L, nChains = 4)
-      checks("bayes_samples_stochastic") =
-        maxAbs(post.samples.map(m => stochViolation(m.transitionMatrix)))
-      checks("bayes_samples_detailed_balance") = maxAbs(post.samples.map { m =>
-        val pi = m.stationaryDistribution
-        maxAbs(for (i <- 0 until m.n; j <- 0 until m.n)
-          yield pi(i) * m.transitionMatrix(i, j) - pi(j) * m.transitionMatrix(j, i))
-      })
-
-      // OOM equilibrium correction preserves row normalization
-      val oom = graft.markov.Oom.fitFromCounts(counts,
-        graft.markov.Oom.twoStepCountsLocal(trajArrays, 1), tau = 1,
-        rankTol = 2.0, nbs = 50)
-      checks("oom_rows_normalized") = maxAbs(
-        (0 until oom.transitionMatrix.rows).map(i =>
-          bsum(oom.transitionMatrix(i, ::).t) - 1.0))
-
-      // AMM: biased model is a proper MSM with a normalized stationary dist
-      val eObs = breeze.linalg.DenseMatrix.tabulate(5, 1)((i, _) => i.toDouble)
-      val amm = graft.markov.Amm.fit(counts, eObs,
-        breeze.linalg.DenseVector(2.3), breeze.linalg.DenseVector(2.0))
-      checks("amm_transition_stochastic") = stochViolation(amm.transitionMatrix)
-      checks("amm_pi_normalized") = math.abs(bsum(amm.stationaryDistribution) - 1.0)
-
-      import s.implicits._
-        checks.toSeq.map { case (name, v) => (name, r6(v) + 0.0) }
-        .toDF("check", "violation")
-    }),
-
-    // ---- Koopman reweighting ------------------------------------------
-    // The left eigenvector normalization pins E[w] = 1 over the x-frames
-    // of the lag pairs EXACTLY (the padded-basis eigenvector is scaled to
-    // last component 1 and the basis is mean-centered), so the full-data
-    // mean weight is a hash-gated zero residual and the pair count has an
-    // exact SQL twin.
-    "q63_koopman_weights" -> ((s, dir) => {
-      // session-memoized lag-pair frame (liPairs, the q29 pattern)
-      val pairs = liPairs(s, dir)
-      val row = {
-        val wm = graft.agg.KoopmanWeighting.fromCovariance(
-          graft.agg.Covariance.fit(pairs))
-        pairs.select(wm.weightColumn(col("x")).as("w"))
-          .agg(avg(col("w")).as("mw"), count(lit(1)).as("n")).collect()(0)
-      }
-      checksDf(s, Seq(
-        "mean_weight_minus_one" -> (row.getDouble(0) - 1.0),
-        "n_pairs" -> row.getLong(1).toDouble))
-    }),
-
-    // Custom-metric (Manhattan) distributed Lloyd k-means over the 4-d
-    // lineitem features (reference _kmeans.py:148-473 + metric.h registry:
-    // any registered metric drives assignment; centers update by mean).
-    // q51-style contract battery: the metric-aware codegen argmin
-    // (struct-sort) is cross-checked against an independently-built
-    // least(...) expression over the full data, centers are finite and k
-    // as requested; the assigned-row count has an exact SQL twin.
-    "q84_custom_kmeans" -> ((s, dir) => {
-      import graft.clustering.{LloydKMeans, ManhattanMetric}
-      val traj = liTraj(s, dir)
-      val model = LloydKMeans.fit(traj, k = 4, metric = ManhattanMetric,
-        maxIter = 8, tol = 1e-4, seed = 42L)
-      val assigned = model.transformMetric(traj, ManhattanMetric).cache()
-      try {
-        val feat = col(Trajectories.FeatCol)
-        val dists = model.centers.map(c => ManhattanMetric.distColumn(feat, c))
-        val ownDist = element_at(array(dists: _*), col("state") + 1)
-        val minDist = least(dists: _*)
-        val aggRow = assigned.agg(
-          max(ownDist - minDist).as("argmin_viol"),
-          count(lit(1)).as("n")).collect()(0)
-        val nonfinite = model.centers.flatten
-          .count(v => v.isNaN || v.isInfinite).toDouble
-        checksDf(s, Seq(
-          "assign_argmin" -> aggRow.getDouble(0),
-          "k_centers_minus_4" -> (model.k - 4).toDouble,
-          "centers_nonfinite" -> nonfinite,
-          "n_assigned" -> aggRow.getLong(1).toDouble))
-      } finally { assigned.unpersist(); () }
-    }),
-
-    // Sensitivity family made oracle-visible (markov/Sensitivity.scala was
-    // the one §2.6 family with spec-only coverage): every row is a
-    // driver-exact algebraic identity of the sensitivity matrices — NOT a
-    // finite-difference approximation — so the residuals round to literal
-    // zeros on any data:
-    //   * eigenvalue sensitivity S = outer(l_k, r_k): bi-orthonormality
-    //     makes trace(S) = l_k . r_k = 1, and rank-1 structure zeroes all
-    //     2x2 minors;
-    //   * timescale sensitivity is the exact chain-rule multiple of S;
-    //   * sum_j dpi_j/dT = 0 (pi stays normalized under any perturbation),
-    //     checked through expectationSensitivity(ones) = sum of all
-    //     per-component pi sensitivities;
-    //   * mfpt/committor sensitivities: the ADJOINT-solve implementation is
-    //     replayed by independent FORWARD solves of the perturbed linear
-    //     systems (dm = -A^-1 E m; u dq = -E qbar) over every (a,b).
-    // The state count has an exact SQL twin.
-    "q85_sensitivities" -> ((s, dir) => {
-      import breeze.linalg.{DenseMatrix, DenseVector}
-      import graft.markov.{Sensitivity, TransitionCounting}
-      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
-      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
-      val t = msm.transitionMatrix
-      val n = msm.n
-      def maxAbs(xs: Iterable[Double]): Double =
-        if (xs.isEmpty) 0.0 else xs.map(math.abs).max
-
-      val sEig = Sensitivity.eigenvalueSensitivity(t, 1)
-      val traceResid = (0 until n).map(i => sEig(i, i)).sum - 1.0
-      val rank1Resid = maxAbs(for {
-        i <- 0 until n; j <- 0 until n; k <- 0 until n; l <- 0 until n
-      } yield sEig(i, j) * sEig(k, l) - sEig(i, l) * sEig(k, j))
-
-      val e = breeze.linalg.eig(t)
-      val lam = (0 until n).map(e.eigenvalues(_)).sorted(Ordering[Double].reverse)(1)
-      val factor = 1.0 / (lam * math.log(lam) * math.log(lam))
-      val sTs = Sensitivity.timescaleSensitivity(t, 1, tau = 1.0)
-      val chainResid = maxAbs(for (i <- 0 until n; j <- 0 until n)
-        yield sTs(i, j) - factor * sEig(i, j))
-
-      // sum_j dpi_j/dT == 0 through the public expectation API (a = ones)
-      val sOnes = Sensitivity.expectationSensitivity(t, DenseVector.ones[Double](n))
-      val piSumResid = maxAbs(sOnes.toArray)
-
-      // eigenvector sensitivity preserves the unit norm: ||v_k|| = 1 for
-      // every T, so sum_j v_j d(v_j)/dT_ab == 0 (adjoint-solve identity)
-      val perm = (0 until n).sortBy(i => -e.eigenvalues(i))
-      val vK = DenseVector.tabulate(n)(i => e.eigenvectors(i, perm(1)))
-      val evSens = (0 until n).map(j => Sensitivity.eigenvectorSensitivity(t, 1, j))
-      val evNormResid = maxAbs(for (a <- 0 until n; b <- 0 until n) yield
-        (0 until n).map(j => vK(j) * evSens(j)(a, b)).sum)
-
-      // mfpt: forward replay dm = -A^-1 (E_ab m) vs the adjoint solve
-      val target = n - 1; val jM = 0
-      val sMfpt = Sensitivity.mfptSensitivity(t, target, jM)
-      val matA = t - DenseMatrix.eye[Double](n)
-      for (c <- 0 until n) matA(target, c) = 0.0
-      matA(target, target) = 1.0
-      val tVec = DenseVector.fill(n)(-1.0); tVec(target) = 0.0
-      val mfpt = matA \ tVec
-      val mfptResid = maxAbs(for (a <- 0 until n if a != target; b <- 0 until n) yield {
-        val rhs = DenseVector.zeros[Double](n); rhs(a) = -mfpt(b)
-        val dm = matA \ rhs
-        sMfpt(a, b) - dm(jM)
-      })
-
-      // committor: forward replay u dq = -e_a qbar(b) vs the adjoint solve
-      val aSet = Set(0); val bSet = Set(n - 1); val idx = 1
-      val sQ = Sensitivity.forwardCommittorSensitivity(t, aSet, bSet, idx)
-      val notAB = (0 until n).filterNot(x => aSet(x) || bSet(x)).toArray
-      val m = notAB.length
-      val kMat = t - DenseMatrix.eye[Double](n)
-      val u = DenseMatrix.tabulate(m, m)((i, j) => kMat(notAB(i), notAB(j)))
-      val v = DenseVector.tabulate(m)(i => -bSet.toSeq.map(x => kMat(notAB(i), x)).sum)
-      val qI = u \ v
-      val qBar = DenseVector.zeros[Double](n)
-      bSet.foreach(x => qBar(x) = 1.0)
-      notAB.zipWithIndex.foreach { case (x, i) => qBar(x) = qI(i) }
-      val idxPos = notAB.indexOf(idx)
-      val qResid = maxAbs(for (ai <- notAB.indices; b <- 0 until n) yield {
-        val rhs = DenseVector.zeros[Double](m); rhs(ai) = -qBar(b)
-        val dq = u \ rhs
-        sQ(notAB(ai), b) - dq(idxPos)
-      })
-
-      checksDf(s, Seq(
-        "eig_trace_minus_one" -> traceResid,
-        "eig_rank1_minors" -> rank1Resid,
-        "timescale_chain" -> chainResid,
-        "pi_sens_sum" -> piSumResid,
-        "eigvec_norm_preserved" -> evNormResid,
-        "mfpt_adjoint_vs_forward" -> mfptResid,
-        "committor_adjoint_vs_forward" -> qResid,
-        "n_states" -> n.toDouble))
-    })
-  )
-
-  // ---------------------------------------------------------------- oracle
-
-  /** DuckDB SQL twins — one per query, no rows-only fallbacks
-    * (ContractSpec pins the key sets equal). Queries whose computation
-    * DuckDB cannot reproduce directly (JVM hashing, seeded RNG streams,
-    * MLlib fits, driver eigendecompositions/EM/Gibbs loops) are gated
-    * through battery checks: residuals that must be exactly zero plus
-    * exact-SQL anchors, so the twin still binds. */
-  def oracleSql: Map[String, String] = Map(
-
-    "q01_tpch_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 4) AS sum_qty,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-         count(*) AS n
-         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
-
-    "q72_order_priority_join" ->
-      """SELECT o_orderpriority,
-         CAST(count(*) AS BIGINT) AS n_lines,
-         round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
-         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         GROUP BY o_orderpriority""",
-
-    "q25_symbol_remap_join" ->
-      """SELECT n_name, count(*) AS n_customers
-         FROM customer JOIN nation ON c_nationkey = n_nationkey
-         GROUP BY n_name""",
-
-    "q02_lag_pairs" ->
-      s"""WITH t AS (SELECT user_id AS traj_id, value,
-            LEAD(value, 1) OVER ($evWindowSql) AS v1 FROM events)
-          SELECT traj_id, count(*) AS n_pairs,
-            round(sum(value * v1) / 1000000.0, 6) AS sxy_m
-          FROM t WHERE v1 IS NOT NULL GROUP BY traj_id""",
-
-    "q12_strided_subsample" ->
-      s"""WITH d AS (SELECT user_id AS traj_id,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t, value FROM events)
-          SELECT traj_id, count(*) AS n, round(sum(value), 4) AS sum_val
-          FROM d WHERE t % 3 = 0 GROUP BY traj_id""",
-
-    "q13_derivative" ->
-      s"""WITH d AS (SELECT user_id AS traj_id,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t, value FROM events),
-          x AS (SELECT traj_id, t, value,
-            LAG(value, 1) OVER (PARTITION BY traj_id ORDER BY t) AS pv,
-            LEAD(value, 1) OVER (PARTITION BY traj_id ORDER BY t) AS nv
-            FROM d)
-          SELECT traj_id, t, round(CASE
-            WHEN pv IS NULL AND nv IS NULL THEN NULL
-            WHEN pv IS NULL THEN (nv - value) / 1.0
-            WHEN nv IS NULL THEN (value - pv) / 1.0
-            ELSE (nv - pv) / 2.0 END, 6) AS deriv
-          FROM x""",
-
-    "q03_cov_moments" ->
-      """SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS w,
-         round(avg(l_quantity/50.0), 6) AS m0_0,
-         round(avg(l_extendedprice/100000.0), 6) AS m0_1,
-         round(avg(l_discount), 6) AS m0_2,
-         round(avg(l_tax), 6) AS m0_3,
-         round(covar_samp(l_quantity/50.0, l_quantity/50.0), 6) AS c00_0_0,
-         round(covar_samp(l_quantity/50.0, l_extendedprice/100000.0), 6) AS c00_0_1,
-         round(covar_samp(l_quantity/50.0, l_discount), 6) AS c00_0_2,
-         round(covar_samp(l_quantity/50.0, l_tax), 6) AS c00_0_3,
-         round(covar_samp(l_extendedprice/100000.0, l_extendedprice/100000.0), 6) AS c00_1_1,
-         round(covar_samp(l_extendedprice/100000.0, l_discount), 6) AS c00_1_2,
-         round(covar_samp(l_extendedprice/100000.0, l_tax), 6) AS c00_1_3,
-         round(covar_samp(l_discount, l_discount), 6) AS c00_2_2,
-         round(covar_samp(l_discount, l_tax), 6) AS c00_2_3,
-         round(covar_samp(l_tax, l_tax), 6) AS c00_3_3
-         FROM lineitem""",
-
-    "q04_lagged_cov" ->
-      s"""WITH t AS (SELECT user_id, value,
-            LEAD(value, 2) OVER ($evWindowSql) AS v1 FROM events)
-          SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS w,
-            round(avg(value), 6) AS m0_0, round(avg(v1), 6) AS mt_0,
-            round(covar_samp(value, value), 6) AS c00_0_0,
-            round(covar_samp(value, v1), 6) AS c0t_0_0,
-            round(covar_samp(v1, v1), 6) AS ctt_0_0
-          FROM t WHERE v1 IS NOT NULL""",
-
-    "q11_box_discretize" ->
-      """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
-         b AS (SELECT CAST(least(floor((value - mn) / ((mx - mn) / 10)), 9) AS INT) AS state
-               FROM events, mm)
-         SELECT state, count(*) AS cnt FROM b GROUP BY state""",
-
-    "q14_hist2d" ->
-      s"""SELECT CAST(least(floor(value / 30.0), 10) AS INT) AS vbin,
-            ${Trajectories.eventTypeStateSql} AS state, count(*) AS cnt
-          FROM events GROUP BY 1, 2""",
-
-    "q15_energy2d" ->
-      s"""WITH h AS (SELECT CAST(least(floor(value / 30.0), 10) AS INT) AS vbin,
-            ${Trajectories.eventTypeStateSql} AS state, count(*) AS cnt
-          FROM events GROUP BY 1, 2)
-          SELECT vbin, state,
-            round(-ln(CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM h)), 6) AS energy
-          FROM h""",
-
-    "q05_count_matrix_sliding" ->
-      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT state AS s0,
-            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
-          SELECT s0, s1, count(*) AS cnt FROM p
-          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1""",
-
-    "q06_count_matrix_sample" ->
-      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT t, state AS s0,
-            LEAD(state, 3) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
-          SELECT s0, s1, count(*) AS cnt FROM p
-          WHERE s1 IS NOT NULL AND t % 3 = 0 AND s0 >= 0 AND s1 >= 0
-          GROUP BY s0, s1""",
-
-    "q07_state_histogram" ->
-      s"""SELECT ${Trajectories.eventTypeStateSql} AS state, count(*) AS cnt
-          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0 GROUP BY 1""",
-
-    "q08_visited_set" ->
-      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state
-          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
-
-    "q09_msm_rownorm" ->
-      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT state AS s0,
-            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
-          c AS (SELECT s0, s1, count(*) AS cnt FROM p
-            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1)
-          SELECT s0, s1, round(CAST(cnt AS DOUBLE) /
-            CAST(sum(cnt) OVER (PARTITION BY s0) AS DOUBLE), 6) AS t_prob
-          FROM c""",
-
-    "q10_sliding_effective" ->
-      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT state AS s0,
-            LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
-          SELECT s0, s1, CAST(count(*) AS DOUBLE) / 2.0 AS cnt_eff FROM p
-          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1""",
-
-    "q26_sample_indices" ->
-      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events)
-          SELECT state, count(*) AS n_visits, min(t) AS first_t, max(t) AS last_t,
-            count(DISTINCT traj_id) AS n_trajs
-          FROM d GROUP BY state""",
-
-    "q16_dedup_exact" ->
-      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-         count(*) AS n_docs, min(doc_id) AS keep_id
-         FROM documents GROUP BY 1""",
-
-    "q17_token_stats" ->
-      """SELECT doc_id,
-         len(regexp_extract_all(text, '\S+')) AS n_tokens,
-         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
-         len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS n_punct,
-         round(CAST(len(text) - len(regexp_extract_all(text, '\s')) AS DOUBLE) /
-           CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE), 6) AS mean_tok_len
-         FROM documents""",
-
-    "q18_quality_score" ->
-      """SELECT doc_id, round(
-           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-           + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
-               / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
-           + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
-               / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
-         , 6) AS quality FROM documents""",
-
-    "q19_langid" ->
-      """WITH c AS (SELECT doc_id,
-           len(regexp_extract_all(text, '\b(the|and|of|is|with)\b')) AS en,
-           len(regexp_extract_all(text, '\b(le|la|les|et|des|une)\b')) AS fr,
-           len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS de,
-           len(regexp_extract_all(text, '\b(el|los|las|y|una|es)\b')) AS es,
-           len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
-         FROM documents)
-         SELECT doc_id, CASE
-           WHEN en >= fr AND en >= de AND en >= es AND en >= zh THEN 'en'
-           WHEN fr >= de AND fr >= es AND fr >= zh THEN 'fr'
-           WHEN de >= es AND de >= zh THEN 'de'
-           WHEN es >= zh THEN 'es' ELSE 'zh' END AS lang_guess
-         FROM c""",
-
-    "q20_ngram_jaccard" ->
-      """WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
-           ORDER BY doc_id LIMIT 256),
-         sh AS (SELECT doc_id, list_distinct(list_transform(
-           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5))) AS s
-           FROM sel)
-         SELECT a.doc_id AS a, b.doc_id AS b,
-           round(CAST(len(list_distinct(list_intersect(a.s, b.s))) AS DOUBLE) /
-             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
-         FROM sh a, sh b WHERE a.doc_id < b.doc_id""",
-
-    "q21_minhash_candidates" ->
-      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS s
-           FROM documents WHERE len(text) >= 5),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         j AS (SELECT a, b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac
-           FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b)
-         SELECT a, b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.6""",
-
-    "q83_decontamination" ->
-      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, len(text) - 6), i -> substr(text, CAST(i AS INT), 8)))) AS s
-           FROM documents WHERE len(text) >= 8),
-         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
-         corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 != 0),
-         ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n
-           FROM corp c JOIN bench b ON b.s = c.s GROUP BY 1)
-         SELECT d.doc_id, coalesce(ov.n, 0) AS n_overlap,
-           CAST(CASE WHEN coalesce(ov.n, 0) >= 10 THEN 1 ELSE 0 END AS INT)
-             AS contaminated
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 100 != 0) d
-         LEFT JOIN ov USING (doc_id)""",
-
-    // Duplicate-fraction twins: lines by literal newline split, word
-    // 2-grams over whitespace tokens joined with a single space (the
-    // exact wordShingles format), char 5-grams via substr. Guards match
-    // the Spark side: empty shingle sets yield fraction 0. The token
-    // split spells out Java's \s class ([ \t\n\x0B\f\r]) because RE2's
-    // \s omits vertical tab — a \x0B byte in a doc would otherwise
-    // tokenize differently on the two sides.
-    "q87_repetition" ->
-      """WITH t AS (SELECT doc_id, text,
-           str_split(text, chr(10)) AS lines,
-           str_split_regex(trim(text), '[\t\n\x{0B}\f\r ]+') AS toks FROM documents),
-         g AS (SELECT doc_id, lines, text,
-           CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
-             i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])
-             ELSE [] END AS w2,
-           CASE WHEN len(text) >= 5 THEN list_transform(range(1, len(text) - 3),
-             i -> substr(text, CAST(i AS INT), 5))
-             ELSE [] END AS c5
-           FROM t)
-         SELECT doc_id,
-           CAST(len(lines) AS BIGINT) AS n_lines,
-           round(1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines), 6)
-             AS dup_line_frac,
-           CASE WHEN len(w2) > 0 THEN
-             round(1.0 - CAST(len(list_distinct(w2)) AS DOUBLE) / len(w2), 6)
-             ELSE 0.0 END AS dup_word2_frac,
-           CASE WHEN len(c5) > 0 THEN
-             round(1.0 - CAST(len(list_distinct(c5)) AS DOUBLE) / len(c5), 6)
-             ELSE 0.0 END AS dup_char5_frac
-         FROM g""",
-
-    // Mixture-sampling twin: the MINSTD-style affine hash, the ppm rate
-    // derived from the source suffix, and the per-stratum kept counts are
-    // all recomputed in pure integer SQL (doc_id >= 0, so % == pmod).
-    "q88_mixture_sample" ->
-      """WITH t AS (SELECT source,
-           CAST(100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10) AS BIGINT)
-             AS target_ppm,
-           CASE WHEN (((doc_id % 2147483647) * 506952114 + 101) % 2147483647)
-                  % 1000000
-                < 100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10)
-                THEN 1 ELSE 0 END AS keep
-         FROM documents)
-         SELECT source, target_ppm, CAST(count(*) AS BIGINT) AS n_total,
-           CAST(sum(keep) AS BIGINT) AS n_kept
-         FROM t GROUP BY 1, 2""",
-
-    // Sketch-contract twin: residual rows are driver-exact zeros when the
-    // HLL++/QuantileSummaries error bounds hold; anchor rows are exact
-    // aggregates DuckDB recomputes from the base table.
-    "q90_sketches" ->
-      """SELECT 'acd_relerr_over_5pct' AS "check", 0.0 AS "value"
-         UNION ALL SELECT 'p50_rank_err_over_2pct', 0.0
-         UNION ALL SELECT 'n_rows',
-           (SELECT CAST(count(*) AS DOUBLE) FROM events)
-         UNION ALL SELECT 'n_distinct_users',
-           (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) FROM events)""",
-
-    // Sparse-MSM twin: the three data-sized anchors (visited states, count
-    // nnz, transition total) are exact SQL over the same 2000-bin
-    // discretization and lag-1 pairs; the model-contract rows are
-    // driver-exact zero residuals (SCC parity, stationarity, detailed
-    // balance, eigensolver cross-check).
-    "q91_sparse_msm" ->
-      """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
-         d AS (SELECT user_id,
-             CAST(least(floor((value - mn) / ((mx - mn) / 2000)), 1999) AS INT) AS state,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t
-           FROM events, mm),
-         p AS (SELECT state AS s0,
-             LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
-         pairs AS (SELECT s0, s1 FROM p WHERE s1 IS NOT NULL),
-         agg AS (SELECT count(*) AS n_trans,
-                        count(DISTINCT (s0, s1)) AS nnz FROM pairs),
-         st AS (SELECT count(DISTINCT s) AS n_states FROM
-                 (SELECT s0 AS s FROM pairs UNION SELECT s1 FROM pairs))
-         SELECT 'n_states_visited' AS "check",
-                (SELECT CAST(n_states AS DOUBLE) FROM st) AS "value"
-         UNION ALL SELECT 'nnz', (SELECT CAST(nnz AS DOUBLE) FROM agg)
-         UNION ALL SELECT 'n_transitions', (SELECT CAST(n_trans AS DOUBLE) FROM agg)
-         UNION ALL SELECT 'scc_bfs_parity', 0.0
-         UNION ALL SELECT 'rowsums', 0.0
-         UNION ALL SELECT 'pi_normalized', 0.0
-         UNION ALL SELECT 'pi_stationarity', 0.0
-         UNION ALL SELECT 'detailed_balance', 0.0
-         UNION ALL SELECT 'lambda1_minus_one', 0.0
-         UNION ALL SELECT 'lanczos_arnoldi_lambda2', 0.0
-         UNION ALL SELECT 'committor_bvp', 0.0
-         UNION ALL SELECT 'mfpt_linear_system', 0.0
-         UNION ALL SELECT 'corr_const_one', 0.0
-         UNION ALL SELECT 'corr_reversible_symmetry', 0.0
-         UNION ALL SELECT 'relax_from_pi_flat', 0.0
-         UNION ALL SELECT 'fingerprint_amp0', 0.0""",
-
-    // Exact-substring-duplication twin: identical window keys
-    // (single-space tokens, 10-word slices, md5 prefix), the same
-    // >= 2-distinct-docs rule, and the same per-doc fraction.
-    "q92_dup_spans" ->
-      """WITH d AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS words
-           FROM documents),
-         w AS (SELECT doc_id, substr(md5(array_to_string(words[i:i+9], ' ')), 1, 16) AS span
-           FROM d, unnest(generate_series(1, greatest(len(words) - 9, 0))) AS t(i)),
-         dup AS (SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
-         dc AS (SELECT doc_id, count(*) AS n_dup FROM w
-                WHERE span IN (SELECT span FROM dup) GROUP BY doc_id)
-         SELECT d.doc_id,
-           CAST(greatest(len(d.words) - 9, 0) AS BIGINT) AS n_windows,
-           CAST(coalesce(dc.n_dup, 0) AS BIGINT) AS n_dup_windows,
-           round(CAST(coalesce(dc.n_dup, 0) AS DOUBLE) /
-             greatest(CAST(greatest(len(d.words) - 9, 0) AS DOUBLE), 1.0), 6) AS dup_frac
-         FROM d LEFT JOIN dc ON d.doc_id = dc.doc_id""",
-
-    // Trim twin: covered positions from the same window keys, word-level
-    // reconstruction via position join + ordered string_agg.
-    "q93_trim_dup_spans" ->
-      """WITH d AS (SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS words
-           FROM documents),
-         w AS (SELECT doc_id, i, substr(md5(array_to_string(words[i:i+9], ' ')), 1, 16) AS span
-           FROM d, unnest(generate_series(1, greatest(len(words) - 9, 0))) AS t(i)),
-         dup AS (SELECT span FROM w GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
-         cov AS (SELECT DISTINCT w.doc_id, u.j AS pos
-                 FROM w, unnest(generate_series(w.i, w.i + 9)) AS u(j)
-                 WHERE w.span IN (SELECT span FROM dup)),
-         tok AS (SELECT d.doc_id, d.words[u.j] AS word, u.j AS pos
-                 FROM d, unnest(generate_series(1, len(d.words))) AS u(j)),
-         kept AS (SELECT tok.doc_id, count(*) AS kept_words,
-                    string_agg(tok.word, ' ' ORDER BY tok.pos) AS cleaned
-                  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
-                  WHERE cov.pos IS NULL GROUP BY tok.doc_id)
-         SELECT d.doc_id,
-           CAST(coalesce(k.kept_words, 0) AS BIGINT) AS kept_words,
-           substr(md5(coalesce(k.cleaned, '')), 1, 16) AS clean_key
-         FROM d LEFT JOIN kept k USING (doc_id)""",
-
-    // PII twin: re-injects the identical deterministic PII, re-counts
-    // with the same RE2/Java-common automatons, and re-redacts in the
-    // same order — the md5 of the redacted text gates every replacement.
-    "q94_pii_scrub" ->
-      """WITH aug AS (SELECT doc_id,
-           CASE doc_id % 4
-             WHEN 0 THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
-                    || '@example.com now'
-             WHEN 1 THEN text || ' server 10.' || CAST(doc_id % 256 AS VARCHAR)
-                    || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
-             WHEN 2 THEN text || ' call 555-'
-                    || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
-                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-             ELSE text END AS t
-           FROM documents),
-         red AS (SELECT doc_id, t,
-           regexp_replace(regexp_replace(regexp_replace(t,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS rt
-           FROM aug)
-         SELECT doc_id,
-           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-           len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-           len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
-           CAST(len(rt) AS BIGINT) AS red_len,
-           md5(rt) AS red_md5
-         FROM red""",
-
-    // Gopher-gate twin: identical IEEE-754 rule expressions and rule
-    // order — every keep/reason decision is hash-gated.
-    "q95_gopher_gate" ->
-      """WITH t AS (SELECT doc_id,
-           len(regexp_extract_all(text, '\S+')) AS nw,
-           CAST(len(text) - len(regexp_extract_all(text, '\s')) AS DOUBLE) /
-             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ml,
-           CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
-                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
-             CAST(greatest(len(str_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS af,
-           len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS ns
-           FROM documents),
-         r AS (SELECT *,
-           CASE WHEN nw < 50 THEN 'too_few_words'
-                WHEN nw > 100000 THEN 'too_many_words'
-                WHEN ml < 3.0 THEN 'short_words'
-                WHEN ml > 10.0 THEN 'long_words'
-                WHEN af < 0.8 THEN 'nonalpha'
-                WHEN ns < 2 THEN 'no_stopwords'
-                ELSE 'pass' END AS reason
-           FROM t)
-         SELECT doc_id, nw AS n_words, round(ml, 4) AS mean_word_len,
-           round(af, 4) AS alpha_frac, ns AS n_stop,
-           CAST(CASE WHEN reason = 'pass' THEN 1 ELSE 0 END AS INT) AS keep,
-           reason
-         FROM r""",
-
-    // Bloom-dedup twin: the Bloom stage is a pure prefilter (verify
-    // restores exactness), so the oracle is the plain fingerprint
-    // semi-join against the reference slice.
-    "q96_bloom_dedup" ->
-      """WITH fp AS (SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-           FROM documents)
-         SELECT a.doc_id, a.fp FROM fp a
-         WHERE EXISTS (SELECT 1 FROM fp b WHERE b.doc_id % 7 = 0 AND b.fp = a.fp)""",
-
-    // LM twin: refit the identical add-one unigram LM and rescore.
-    "q97_lm_score" ->
-      """WITH toks AS (SELECT doc_id,
-           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
-           FROM documents),
-         counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-         totals AS (SELECT sum(c) AS t_total, count(*) AS v FROM counts)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(-ln(CAST(c + 1 AS DOUBLE) / CAST(t_total + v AS DOUBLE))), 6) AS avg_nll
-         FROM toks JOIN counts USING (tok) CROSS JOIN totals
-         GROUP BY doc_id""",
-
-    // DSIR twin: identical md5-portable bucket hash (q22/q88 pattern),
-    // identical add-one bucket distributions and log-ratio sum.
-    "q98_dsir_weights" ->
-      """WITH d AS (SELECT doc_id,
-           CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t,
-           str_split_regex(trim(lower(text)), '\s+') AS l
-           FROM documents),
-         grams AS (SELECT doc_id, is_t,
-           unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
-           FROM d),
-         hashed AS (SELECT doc_id, is_t,
-           ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS b
-           FROM grams),
-         buckets AS (SELECT b, count(*) AS c_raw, sum(is_t) AS c_t
-           FROM hashed GROUP BY b),
-         totals AS (SELECT sum(c_raw) AS t_raw, sum(c_t) AS t_t FROM buckets)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-           round(sum(ln(CAST(c_t + 1 AS DOUBLE) / CAST(t_t + 256 AS DOUBLE))
-                   - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + 256 AS DOUBLE))), 6) AS score
-         FROM hashed JOIN buckets USING (b) CROSS JOIN totals
-         GROUP BY doc_id""",
-
-    // BPE battery twin: residual rows are exact zeros (argmax replay,
-    // vocabulary roundtrip, distributed-vs-driver token-total identity);
-    // the merge count is the pinned parameter; the word anchors are
-    // recomputed from raw text by DuckDB.
-    "q100_bpe_tokenize" ->
-      """WITH toks AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
-           FROM documents)
-         SELECT 'argmax_violations' AS "check", 0.0 AS "value"
-         UNION ALL SELECT 'roundtrip_violations', 0.0
-         UNION ALL SELECT 'token_identity_resid', 0.0
-         UNION ALL SELECT 'n_merges', 32.0
-         UNION ALL SELECT 'n_distinct_words',
-           (SELECT CAST(count(DISTINCT tok) AS DOUBLE) FROM toks WHERE tok <> '')
-         UNION ALL SELECT 'total_word_occurrences',
-           (SELECT CAST(count(*) AS DOUBLE) FROM toks WHERE tok <> '')""",
-
-    // Curation-pipeline twin: replays all five stages — gate rules,
-    // min-doc_id dedup, survivor-fit unigram LM, the affine sampling
-    // hash, and the recursive next-fit packing fold.
-    "q101_curation_pipeline" ->
-      """WITH RECURSIVE gt AS (SELECT doc_id, source, text,
-           len(regexp_extract_all(text, '\S+')) AS nw,
-           CAST(len(text) - len(regexp_extract_all(text, '\s')) AS DOUBLE) /
-             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ml,
-           CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
-                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
-             CAST(greatest(len(str_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS af,
-           len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS ns
-           FROM documents),
-         g AS (SELECT doc_id, source, text FROM gt
-           WHERE nw >= 50 AND nw <= 100000 AND ml >= 3.0 AND ml <= 10.0
-             AND af >= 0.8 AND ns >= 2),
-         f AS (SELECT doc_id, source, text,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM g),
-         dd AS (SELECT doc_id, source, text FROM
-           (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS mid FROM f)
-           WHERE doc_id = mid),
-         toks AS (SELECT doc_id,
-           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok FROM dd),
-         counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-         totals AS (SELECT sum(c) AS t_total, count(*) AS v FROM counts),
-         scored AS (SELECT doc_id,
-           round(avg(-ln(CAST(c + 1 AS DOUBLE) / CAST(t_total + v AS DOUBLE))), 6) AS avg_nll
-           FROM toks JOIN counts USING (tok) CROSS JOIN totals GROUP BY doc_id),
-         samp AS (SELECT doc_id, source, text FROM dd
-           WHERE (((doc_id % 2147483647) * 506952114 + 101) % 2147483647) % 1000000
-                 < 100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10)),
-         d AS (SELECT doc_id, source, doc_id // 100 AS chunk,
-           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-           row_number() OVER (PARTITION BY source, doc_id // 100
-                              ORDER BY doc_id) AS rn
-           FROM samp),
-         r AS (SELECT doc_id, source, chunk, n_tokens, rn,
-             CAST(0 AS BIGINT) AS shard, n_tokens AS fill
-           FROM d WHERE rn = 1
-           UNION ALL
-           SELECT d.doc_id, d.source, d.chunk, d.n_tokens, d.rn,
-             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.shard
-                  ELSE r.shard + 1 END,
-             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.fill + d.n_tokens
-                  ELSE d.n_tokens END
-           FROM r JOIN d ON d.source = r.source AND d.chunk = r.chunk
-                        AND d.rn = r.rn + 1)
-         SELECT r.doc_id, r.source, r.chunk, r.n_tokens, r.shard, s.avg_nll
-         FROM r JOIN scored s USING (doc_id)""",
-
-    // Streaming-counts twin: the streaming query's final state must equal
-    // the batch sliding count matrix (same SQL as q05's twin).
-    "q102_streaming_counts" ->
-      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT state AS s0,
-            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
-          SELECT s0, s1, count(*) AS cnt FROM p
-          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1""",
-
-    // Bigram-LM twin: refit both models (MLE bigram + add-one unigram)
-    // and rescore; 0.75/0.25 are exact binary doubles so the
-    // interpolation matches Spark bit-for-bit before the 6dp round.
-    "q103_bigram_lm" ->
-      """WITH d AS (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS l
-           FROM documents),
-         toks AS (SELECT doc_id, unnest(l) AS tok FROM d),
-         uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
-         tot AS (SELECT sum(cu) AS t_total, count(*) AS v FROM uni),
-         grams AS (SELECT doc_id,
-           unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1])) AS g
-           FROM d),
-         g2 AS (SELECT doc_id, split_part(g, ' ', 1) AS w1,
-           split_part(g, ' ', 2) AS w2 FROM grams),
-         big AS (SELECT w1, w2, count(*) AS c12 FROM g2 GROUP BY w1, w2),
-         ctx AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(-ln(0.75 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))
-             + 0.25 * (CAST(cu + 1 AS DOUBLE) / CAST(t_total + v AS DOUBLE)))), 6)
-             AS avg_nll
-         FROM g2 JOIN big USING (w1, w2) JOIN ctx USING (w1)
-           JOIN uni ON uni.tok = g2.w2 CROSS JOIN tot
-         GROUP BY doc_id""",
-
-    // Keep-best twin: q76's full cluster simulation (shingles -> exact
-    // jaccard >= 0.6 -> recursive-CTE connected components), then q18's
-    // quality expression and a per-cluster argmax window; singletons
-    // (docs in no edge) are their own cluster.
-    "q104_dedup_keep_best" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS s
-           FROM documents WHERE len(text) >= 5),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         tp AS (SELECT a, b FROM inter
-           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-           WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.6),
-         edges AS (SELECT a AS src, b AS dst FROM tp UNION SELECT b, a FROM tp),
-         reach(id, r) AS (
-           SELECT src, src FROM edges
-           UNION
-           SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
-         lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-         q AS (SELECT doc_id, round(
-           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-           + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
-               / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
-           + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
-               / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
-           , 6) AS quality FROM documents),
-         cl AS (SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
-           q.quality FROM q LEFT JOIN lab l ON l.doc_id = q.doc_id),
-         r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
-           ORDER BY quality DESC, doc_id) AS rk FROM cl)
-         SELECT doc_id, cluster_id, quality,
-           CAST(CASE WHEN rk = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep FROM r""",
-
-    // Leakage-split twin: fingerprint group-min representative, then the
-    // q88 affine hash of the REPRESENTATIVE decides the whole group.
-    "q105_leakage_split" ->
-      """WITH f AS (SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-           FROM documents),
-         g AS (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS group_id
-           FROM f)
-         SELECT doc_id, group_id,
-           CASE WHEN (((group_id % 2147483647) * 506952114 + 101) % 2147483647)
-                  % 1000000 < 900000
-                THEN 'train' ELSE 'val' END AS split
-         FROM g""",
-
-    // Vocab-health twin: exact rational ratios rounded at 6dp.
-    "q106_vocab_stats" ->
-      """WITH t AS (SELECT source,
-           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
-           FROM documents),
-         tc AS (SELECT source, tok, count(*) AS c FROM t
-           WHERE tok <> '' GROUP BY source, tok)
-         SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-           CAST(count(*) AS BIGINT) AS n_types,
-           round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
-             AS type_token_ratio,
-           round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
-             CAST(count(*) AS DOUBLE), 6) AS hapax_frac,
-           round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top1_share
-         FROM tc GROUP BY source""",
-
-    // Quality-cap twin: q18's quality expression + top-50 per source.
-    "q107_source_quality_cap" ->
-      """WITH q AS (SELECT doc_id, source, round(
-           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-           + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
-               / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
-           + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
-               / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
-           , 6) AS quality FROM documents),
-         r AS (SELECT doc_id, source, quality,
-           row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
-           FROM q)
-         SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
-         FROM r WHERE rk <= 50""",
-
-    // Rolling-features twin: identical strictly-prior row frames.
-    "q114_rolling_features" ->
-      """SELECT event_id, user_id, value,
-           round(avg(value) OVER trail, 6) AS trail_avg,
-           max(value) OVER trail AS trail_max,
-           lag(value, 1) OVER w AS prev_value,
-           CAST(count(*) OVER trail AS BIGINT) AS n_trail
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-           trail AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""",
-
-    // PMI twin: same bigram/margin tables, support filter, and
-    // deterministic (pmi desc, w1, w2) top-30.
-    "q115_pmi_collocations" ->
-      """WITH d AS (SELECT str_split_regex(trim(lower(text)), '\s+') AS l
-           FROM documents),
-         g2 AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
-           FROM (SELECT unnest(list_transform(range(1, len(l)),
-             i -> l[i] || ' ' || l[i+1])) AS g FROM d)),
-         big AS (SELECT w1, w2, count(*) AS c12 FROM g2 GROUP BY w1, w2),
-         lft AS (SELECT w1, sum(c12) AS c1 FROM big GROUP BY w1),
-         rgt AS (SELECT w2, sum(c12) AS c2 FROM big GROUP BY w2),
-         tot AS (SELECT sum(c12) AS t FROM big)
-         SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
-           round(ln(CAST(c12 AS DOUBLE) * CAST(t AS DOUBLE) /
-             (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
-         FROM big JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
-         WHERE c12 >= 20
-         ORDER BY pmi DESC, w1, w2 LIMIT 30""",
-
-    // Heavy-hitters twin: exact top-10 with the same (cnt desc, tok)
-    // tie-break; the CMS columns are deterministic residuals (seeded
-    // sketch, never-underestimate + eps*N overshoot bound).
-    "q112_heavy_hitters" ->
-      """WITH t AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
-           FROM documents),
-         c AS (SELECT tok, count(*) AS cnt FROM t WHERE tok <> '' GROUP BY tok)
-         SELECT tok, CAST(cnt AS BIGINT) AS cnt,
-           CAST(0 AS BIGINT) AS under_viol, 0.0 AS over_resid
-         FROM c ORDER BY cnt DESC, tok LIMIT 10""",
-
-    // Streaming-dedup twin: the batch min-doc_id-per-fingerprint rule
-    // over the SAME clone-augmented corpus (doc_id-ordered feed makes
-    // the streaming first-occurrence = the global minimum).
-    "q113_streaming_dedup" ->
-      """WITH aug AS (SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
-         f AS (SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-           FROM aug)
-         SELECT doc_id, fp FROM
-           (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS mid FROM f)
-         WHERE doc_id = mid""",
-
-    // Streaming-sessions twin: the batch gap rule (q78), reporting each
-    // session's exact start micros + event count.
-    "q111_streaming_sessions" ->
-      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
-         s AS (SELECT user_id, tsu, event_id,
-           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
-             THEN 1 ELSE 0 END AS brk
-           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-         x AS (SELECT user_id, tsu,
-           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-             ROWS UNBOUNDED PRECEDING) AS sess
-           FROM s)
-         SELECT user_id, CAST(min(tsu) AS BIGINT) AS sess_start_us,
-           CAST(count(*) AS BIGINT) AS n_events
-         FROM x GROUP BY user_id, sess""",
-
-    // As-of twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent
-    // implementation of the same point-in-time semantics (strictly-prior
-    // via the > inequality), so the union-tag window decomposition is
-    // checked against a real asof operator, not a replay of itself.
-    "q108_asof_join" ->
-      """SELECT e.event_id, e.user_id, e.value,
-           c.event_id AS prior_click_event_id,
-           round(c.value, 6) AS prior_click_value
-         FROM events e ASOF LEFT JOIN
-           (SELECT user_id, ts, event_id, value FROM events
-            WHERE event_type = 'click'
-            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
-              ORDER BY event_id DESC) = 1) c
-           ON e.user_id = c.user_id AND e.ts > c.ts""",
-
-    // Range-join twin: plain BETWEEN join (DuckDB plans an IEJoin) +
-    // exact integer aggregates.
-    "q109_range_join" ->
-      """WITH iv AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
-           CAST(p_retailprice AS DOUBLE) * CAST(0.99 AS DOUBLE) AS lo,
-           CAST(p_retailprice AS DOUBLE) * CAST(1.01 AS DOUBLE) AS hi
-           FROM part),
-         pts AS (SELECT CAST(l_extendedprice AS DOUBLE) AS price,
-           CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
-         SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_matches,
-           CAST(sum(qty) AS BIGINT) AS sum_qty
-         FROM iv JOIN pts ON price >= lo AND price <= hi
-         GROUP BY p_partkey""",
-
-    // SemDeDup battery twin: residuals are exact zeros when the
-    // keep/drop partition equals the "no earlier same-cluster neighbor"
-    // set; the vector-count anchor is exact SQL.
-    "q99_semdedup" ->
-      """SELECT 'kept_with_earlier_neighbor' AS "check", 0.0 AS "value"
-         UNION ALL SELECT 'dropped_without_earlier_neighbor', 0.0
-         UNION ALL SELECT 'n_vectors',
-           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings)""",
-
-    // Packing twin: replays the greedy next-fit fold exactly with a
-    // recursive CTE over each (source, chunk) group in doc_id order —
-    // same budget (160), same chunking (doc_id // 100), same oversize
-    // rule (a doc that overflows starts a new shard and may exceed the
-    // budget alone).
-    "q89_pack_sequences" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, source, doc_id // 100 AS chunk,
-             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-             row_number() OVER (PARTITION BY source, doc_id // 100
-                                ORDER BY doc_id) AS rn
-           FROM documents),
-         r AS (
-           SELECT doc_id, source, chunk, n_tokens, rn,
-             CAST(0 AS BIGINT) AS shard, n_tokens AS fill
-           FROM d WHERE rn = 1
-           UNION ALL
-           SELECT d.doc_id, d.source, d.chunk, d.n_tokens, d.rn,
-             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.shard
-                  ELSE r.shard + 1 END,
-             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.fill + d.n_tokens
-                  ELSE d.n_tokens END
-           FROM r JOIN d ON d.source = r.source AND d.chunk = r.chunk
-                        AND d.rn = r.rn + 1)
-         SELECT doc_id, source, chunk, n_tokens, shard FROM r""",
-
-    "q81_json_props" ->
-      s"""SELECT ${Trajectories.eventTypeStateSql} AS state,
-            CAST(count(*) AS BIGINT) AS n,
-            CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-            CAST(count(DISTINCT CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT)
-              AS n_distinct_k
-          FROM events GROUP BY 1""",
-
-    // The salted two-phase distinct must equal the plain COUNT(DISTINCT).
-    "q82_skew_distinct" ->
-      s"""SELECT ${Trajectories.eventTypeStateSql} AS state,
-            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-          FROM events GROUP BY 1""",
-
-    // MP4 metadata recomputed from the generating formulas; the Spark side
-    // must round-trip them through the real encoder + box parser.
-    "q80_video_meta" ->
-      """WITH d AS (SELECT doc_id, CAST(600 AS BIGINT) AS timescale,
-           CAST((30 + doc_id % 600) * 600 AS BIGINT) AS duration FROM documents)
-         SELECT doc_id, 'mp4' AS format, 'isom' AS brand, timescale, duration,
-           CAST(duration // timescale AS BIGINT) AS duration_sec,
-           CAST(duration // timescale // 10 + 1 AS BIGINT) AS n_sample_points
-         FROM d""",
-
-    "q78_sessionize" ->
-      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events),
-         s AS (SELECT user_id, tsu, event_id, value,
-           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
-             THEN 1 ELSE 0 END AS brk
-           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-         x AS (SELECT user_id, tsu, value,
-           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-             ROWS UNBOUNDED PRECEDING) AS sess
-           FROM s)
-         SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
-           CAST(count(*) AS BIGINT) AS n_events,
-           CAST(max(tsu) - min(tsu) AS BIGINT) AS dur_us,
-           round(sum(value), 4) AS sum_value
-         FROM x GROUP BY 1, 2""",
-
-    "q79_token_quantiles" ->
-      """WITH c AS (SELECT len(regexp_extract_all(text, '\S+')) AS n FROM documents),
-         r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn FROM c),
-         t AS (SELECT count(*) AS cnt FROM c),
-         qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
-         SELECT qs.q, CAST(r.n AS BIGINT) AS n_tokens
-         FROM qs JOIN t ON true
-         JOIN r ON r.rn = greatest(1, CAST(ceil(qs.q * t.cnt) AS BIGINT))""",
-
-    // Quantization + quantized cosine recomputed exactly: integer dot over
-    // integer norms (scales cancel), plus the exact-cosine error column.
-    "q77_quantized_cosine" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         q AS (SELECT vec_id, v,
-           list_transform(v, x -> round(x /
-             (greatest(list_max(list_transform(v, y -> abs(y))), 1e-300) / 127.0))) AS qv
-           FROM e),
-         p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
-             a.v AS va, b.v AS vb, a.qv AS qa, b.qv AS qb
-           FROM q a JOIN q b ON b.vec_id = a.vec_id + 1),
-         c AS (SELECT ida, idb,
-           list_dot_product(qa, qb) /
-             (sqrt(list_dot_product(qa, qa)) * sqrt(list_dot_product(qb, qb))) AS qcos,
-           list_dot_product(va, vb) /
-             (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
-           FROM p)
-         SELECT ida, idb, round(qcos, 6) AS qcos,
-           round(abs(qcos - cos), 3) AS abs_err FROM c""",
-
-    // Exact pair set (q21's oracle) + recursive transitive closure = the
-    // same cluster labels the distributed min-label propagation converges
-    // to (component minimum).
-    "q76_dup_clusters" ->
-      """WITH RECURSIVE sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS s
-           FROM documents WHERE len(text) >= 5),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-         tp AS (SELECT a, b FROM inter
-           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-           WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.6),
-         edges AS (SELECT a AS src, b AS dst FROM tp UNION SELECT b, a FROM tp),
-         reach(id, r) AS (
-           SELECT src, src FROM edges
-           UNION
-           SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src),
-         lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
-           FROM lab GROUP BY 1)
-         SELECT l.doc_id, l.cluster_id, s.cluster_size,
-           CAST(CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS BIGINT)
-             AS is_canonical
-         FROM lab l JOIN sz s USING (cluster_id)""",
-
-    "q28_ann_lsh" -> {
-      // the oracle SIMULATES the LSH pipeline: sign-plane buckets (literal
-      // +- terms, same left-to-right accumulation order as the executor
-      // UDF -> bit-identical floating sign), candidate OR-join, exact
-      // cosine re-rank — identical to the Spark plan's semantics.
-      val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 8, numTables = 4)
-      val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
-      val joinCond = b.indices.map(t => s"q.b$t = c.b$t").mkString(" OR ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cb AS (SELECT vec_id,
-           $bcols
-           FROM e),
-         qb AS (SELECT * FROM cb WHERE vec_id % 40 = 0),
-         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-           FROM qb q JOIN cb c ON q.vec_id != c.vec_id AND ($joinCond)),
-         s AS (SELECT cand.query_id, cand.neighbor_id,
-           list_dot_product(qe.v, ce.v) /
-             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
-           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
-                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
-         r AS (SELECT query_id, neighbor_id, cos,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           FROM s)
-         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
-           round(cos, 6) AS cos FROM r WHERE rank <= 5"""
-    },
-
-    // Full simulation of the cosine near-dup pipeline: per-table bucket
-    // sizes mirror the Spark-side maxBucketSize=1000 drop, candidates
-    // union over tables, exact cosine at the threshold.
-    "q86_cosine_neardup" -> {
-      val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 7, numTables = 2)
-      val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
-      val ncols = b.indices.map(t => s"count(*) OVER (PARTITION BY b$t) AS n$t")
-        .mkString(",\n           ")
-      val unions = b.indices.map(t =>
-        s"""SELECT l.vec_id AS a, r.vec_id AS b FROM cb2 l JOIN cb2 r
-            ON l.b$t = r.b$t AND l.vec_id < r.vec_id WHERE l.n$t <= 1000""")
-        .mkString("\n           UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cb AS (SELECT vec_id,
-           $bcols
-           FROM e),
-         cb2 AS (SELECT *,
-           $ncols
-           FROM cb),
-         cand AS (SELECT DISTINCT a, b FROM ($unions)),
-         sc AS (SELECT cand.a, cand.b,
-           list_dot_product(ae.v, be.v) /
-             (sqrt(list_dot_product(ae.v, ae.v)) * sqrt(list_dot_product(be.v, be.v))) AS cos
-           FROM cand JOIN e ae ON ae.vec_id = cand.a
-                     JOIN e be ON be.vec_id = cand.b)
-         SELECT a, b, round(cos, 6) AS cos FROM sc WHERE cos >= 0.35"""
-    },
-
-    "q68_ann_recall" -> {
-      val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 2, numTables = 8)
-      val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
-      val joinCond = b.indices.map(t => s"q.b$t = c.b$t").mkString(" OR ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cb AS (SELECT vec_id,
-           $bcols
-           FROM e),
-         qb AS (SELECT * FROM cb WHERE vec_id % 40 = 0),
-         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-           FROM qb q JOIN cb c ON q.vec_id != c.vec_id AND ($joinCond)),
-         ls AS (SELECT cand.query_id, cand.neighbor_id,
-           list_dot_product(qe.v, ce.v) /
-             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
-           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
-                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
-         lr AS (SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           FROM ls),
-         lsh AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 5),
-         bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           list_dot_product(q.v, c.v) /
-             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-           FROM e q JOIN e c ON q.vec_id % 40 = 0 AND q.vec_id != c.vec_id),
-         br AS (SELECT query_id, neighbor_id,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           FROM bs),
-         brute AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
-         hit AS (SELECT b.query_id,
-           CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS h
-           FROM brute b LEFT JOIN lsh l
-             ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id),
-         agg AS (SELECT query_id, CAST(sum(h) AS BIGINT) AS hits FROM hit GROUP BY 1)
-         SELECT query_id, hits, hits / 5.0 AS recall FROM agg"""
-    },
-
-    // TICA sample-identity grid: projected symmetrized covariances must be
-    // exactly I / diag(lambda) (see the query comment).
-    "q29_tica_projection" -> {
-      val rows = (for (i <- 0 until 2; j <- 0 until 2) yield s"($i, $j, 0.0, 0.0)").mkString(", ")
-      s"""SELECT * FROM (VALUES $rows) AS t(ic_i, ic_j, c00_resid, c0t_resid)"""
-    },
-
-    // VAMP whitening/SVD identity grid (d=4 full-rank lineitem features).
-    "q30_vamp_singular" -> {
-      val rows = (for (i <- 0 until 4; j <- 0 until 4) yield s"($i, $j, 0.0, 0.0, 0.0)").mkString(", ")
-      s"""SELECT * FROM (VALUES $rows)
-          AS t(comp_i, comp_j, u_c00_u_resid, v_ctt_v_resid, u_c0t_v_resid)"""
-    },
-
-    // EDMD normal-equation + eigenpair residual grid (p = 1 + 4 monomial
-    // basis functions).
-    "q49_edmd_eigs" -> {
-      val rows = (0 until 5).map(c => s"($c, 0.0, 0.0)").mkString(", ")
-      s"""SELECT * FROM (VALUES $rows) AS t(component, eig_resid, normal_eq_resid)"""
-    },
-
-    // VAMP CV bounds grid (3 deterministic seeded splits).
-    "q62_vamp_cv" -> {
-      val rows = (0 until 3).map(c => s"($c, 0.0, 0.0, 0.0)").mkString(", ")
-      s"""SELECT * FROM (VALUES $rows)
-          AS t(split, lower_bound_viol, upper_bound_viol, nonfinite)"""
-    },
-
-    // Koopman-weight normalization battery; the pair count is exact SQL.
-    "q63_koopman_weights" ->
-      """SELECT 'mean_weight_minus_one' AS "check", 0.0 AS "value"
-         UNION ALL SELECT 'n_pairs',
-           (SELECT CAST(count(*) AS DOUBLE) FROM
-             (SELECT LEAD(l_linenumber) OVER
-                (PARTITION BY l_orderkey ORDER BY l_linenumber) AS nx
-              FROM lineitem) WHERE nx IS NOT NULL)""",
-
-    // Lloyd fixed-point battery; the assigned-row count is exact SQL.
-    "q32_kmeans_assign" ->
-      """SELECT 'assign_argmin' AS "check", 0.0 AS "value"
-         UNION ALL SELECT 'centroid_fixed_point', 0.0
-         UNION ALL SELECT 'k_centers_minus_5', 0.0
-         UNION ALL SELECT 'n_assigned', (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
-
-    "q50_regspace" ->
-      """SELECT * FROM (VALUES
-           ('pairwise_ge_dmin', 0.0), ('coverage_within_2dmin', 0.0),
-           ('n_centers_gt_max', 0.0)) AS t("check", "value")""",
-
-    "q51_minibatch_kmeans" ->
-      """SELECT 'assign_argmin' AS "check", 0.0 AS "value"
-         UNION ALL SELECT 'k_centers_minus_4', 0.0
-         UNION ALL SELECT 'centers_nonfinite', 0.0
-         UNION ALL SELECT 'n_assigned', (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
-
-    // Reversible-MLE residual grid over the symmetrized observed-pair
-    // support (computed from the base tables).
-    "q31_msm_reversible" ->
-      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT state AS s0,
-            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s1 FROM d),
-          c AS (SELECT DISTINCT s0, s1 FROM p
-            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0),
-          sym AS (SELECT s0, s1 FROM c UNION SELECT s1, s0 FROM c)
-          SELECT s0, s1, 0.0 AS db_resid, 0.0 AS row_resid FROM sym""",
-
-    // Implied-timescales eigenproblem-residual grid.
-    "q34_its" -> {
-      val rows = (for (l <- Seq(1, 2, 3, 5); p <- 0 until 3)
-        yield s"($l, $p, 0.0, 0.0)").mkString(", ")
-      s"""SELECT * FROM (VALUES $rows) AS t(lag, process, eig_resid, its_consistency)"""
-    },
-
-    "q38_bayesian_timescales" ->
-      """SELECT * FROM (VALUES (0, 0.0, 0.0, 0.0, 0.0), (1, 0.0, 0.0, 0.0, 0.0))
-         AS t(process, ci_order_viol, negativity_viol, nonfinite, gather_viol)""",
-
-    // Committor BVP-residual grid over the observed states.
-    "q39_committors" ->
-      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
-            0.0 AS fwd_bvp_resid, 0.0 AS bwd_bvp_resid
-          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
-
-    "q40_tpt_flux" ->
-      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
-            0.0 AS conservation_resid
-          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
-
-    "q41_pcca_memberships" ->
-      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
-            k.k AS metastable_set, 0.0 AS rowsum_resid, 0.0 AS nonneg_viol,
-            0.0 AS bayes_inversion_resid
-          FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
-          WHERE ${Trajectories.eventTypeStateSql} >= 0""",
-
-    // Bootstrap contract battery; the draw count is exact SQL.
-    "q45_bootstrap" ->
-      """SELECT 'n_draws' AS "check",
-           (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) FROM events) AS "value"
-         UNION ALL SELECT 'noncontiguous_draws', 0.0
-         UNION ALL SELECT 'unmatched_lengths', 0.0""",
-
-    // Viterbi path battery; path length is the exact observed-frame count.
-    "q46_hmm_viterbi" ->
-      s"""SELECT 'path_len' AS "check",
-            (SELECT CAST(count(*) AS DOUBLE) FROM events
-             WHERE ${Trajectories.eventTypeStateSql} >= 0) AS "value"
-          UNION ALL SELECT 'hidden_out_of_range', 0.0""",
-
-    // OU generator battery: row count pinned, moment gates zero.
-    "q47_generator_ou" ->
-      """SELECT * FROM (VALUES
-           ('n_rows', 16000.0), ('mean_out_of_bounds', 0.0),
-           ('var_out_of_bounds', 0.0)) AS t("check", "value")""",
-
-    // Fingerprint spectral-identity battery; component count = state count.
-    "q55_fingerprints" ->
-      s"""SELECT 'amp_sum_minus_corr0' AS "check", 0.0 AS "value"
-          UNION ALL SELECT 'stationary_amp_resid', 0.0
-          UNION ALL SELECT 'autocorr_amp_negativity', 0.0
-          UNION ALL SELECT 'n_components',
-            (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
-             FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)""",
-
-    "q57_hitting_probability" ->
-      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
-            0.0 AS bvp_resid
-          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
-
-    // OOM invariant grid over the observed-state cross product.
-    "q59_oom_msm" ->
-      s"""WITH sts AS (SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state
-            FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)
-          SELECT a.state AS s0, b.state AS s1, 0.0 AS row_resid, 0.0 AS nonneg_viol
-          FROM sts a CROSS JOIN sts b""",
-
-    "q60_tram" ->
-      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
-            0.0 AS pi_norm_resid, 0.0 AS f_nonfinite, 0.0 AS pi_negativity
-          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
-
-    "q61_amm" ->
-      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
-            0.0 AS pi_stationarity_resid, 0.0 AS pi_norm_resid
-          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
-
-    // IVF ANN recall/contract battery; the query count is exact SQL.
-    "q64_ann_ivf" ->
-      """SELECT 'recall_below_0p9' AS "check", 0.0 AS "value"
-         UNION ALL SELECT 'results_per_query_minus_5', 0.0
-         UNION ALL SELECT 'n_queries',
-           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings WHERE vec_id % 40 = 0)""",
-
-    "q65_tpt_pathways" ->
-      """SELECT * FROM (VALUES
-           ('path_endpoints_viol', 0.0), ('flux_nonpositive', 0.0),
-           ('flux_rank_order_viol', 0.0), ('uncaptured_total_flux', 0.0),
-           ('n_paths_positive', 0.0)) AS t("check", "value")""",
-
-    // Portable simhash: DuckDB recomputes the signature bit-for-bit
-    // (whitespace split -> md5 -> 60 bit-votes -> sign -> weighted sum).
-    "q22_simhash" ->
-      """WITH toks AS (SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS tok
-           FROM documents),
-         th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-         bits AS (SELECT doc_id, b,
-             CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-               THEN 1 ELSE 0 END AS bit
-           FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bp
-           GROUP BY doc_id, b)
-         SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << b) AS BIGINT) AS sig
-         FROM bits GROUP BY doc_id""",
-
-    // Full LSH-banding simulation over the portable signature: band values
-    // are bit slices, candidates = any shared band, Hamming via
-    // bit_count(xor) — the approximate pipeline is value-checked exactly.
-    "q27_simhash_candidates" ->
-      """WITH toks AS (SELECT doc_id, unnest(str_split_regex(trim(text), '\s+')) AS tok
-           FROM documents),
-         th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-         bits AS (SELECT doc_id, b,
-             CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-               THEN 1 ELSE 0 END AS bit
-           FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bp
-           GROUP BY doc_id, b),
-         sigs AS (SELECT doc_id, CAST(sum(CAST(bit AS BIGINT) << b) AS BIGINT) AS sig
-           FROM bits GROUP BY doc_id),
-         bands AS (SELECT doc_id, sig, t AS band_idx, (sig >> (15 * t)) & 32767 AS chunk
-           FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS t) bt),
-         b2 AS (SELECT *,
-             count(*) OVER (PARTITION BY band_idx, chunk) AS bn,
-             row_number() OVER (PARTITION BY band_idx, chunk ORDER BY doc_id) AS rk
-           FROM bands),
-         -- bucket cap + hub fallback mirrored from the Spark side: buckets
-         -- over 1000 members emit only edges whose left end is one of the 3
-         -- smallest ids (hubs precede every member, so hub edges are
-         -- exactly rk <= 3 on the smaller-id side)
-         cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
-             CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
-           FROM b2 l JOIN b2 r
-             ON l.band_idx = r.band_idx AND l.chunk = r.chunk AND l.doc_id < r.doc_id
-           WHERE l.bn <= 1000 OR l.rk <= 3)
-         SELECT a, b, hamming FROM cand WHERE hamming <= 3
-         ORDER BY hamming, a, b LIMIT 100""",
-
-    // Crisp-set CK grid: estimates from per-lag row-normalized counts,
-    // predictions from matrix powers of the lag-1 matrix (self-joins),
-    // coarse-grained with the state-histogram weights — all pair-count
-    // ratios, reproduced here end to end.
-    "q37_cktest" ->
-      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          lp AS (
-            SELECT 1 AS lag, state AS s0,
-              LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s1 FROM d
-            UNION ALL SELECT 2, state,
-              LEAD(state, 2) OVER (PARTITION BY traj_id ORDER BY t) FROM d
-            UNION ALL SELECT 3, state,
-              LEAD(state, 3) OVER (PARTITION BY traj_id ORDER BY t) FROM d),
-          c AS (SELECT lag, s0, s1, CAST(count(*) AS DOUBLE) AS cnt FROM lp
-            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY 1, 2, 3),
-          tm AS (SELECT lag, s0, s1,
-            cnt / sum(cnt) OVER (PARTITION BY lag, s0) AS p FROM c),
-          t1 AS (SELECT s0, s1, p FROM tm WHERE lag = 1),
-          t2p AS (SELECT a.s0, b.s1, sum(a.p * b.p) AS p
-            FROM t1 a JOIN t1 b ON a.s1 = b.s0 GROUP BY 1, 2),
-          t3p AS (SELECT a.s0, b.s1, sum(a.p * b.p) AS p
-            FROM t2p a JOIN t1 b ON a.s1 = b.s0 GROUP BY 1, 2),
-          h AS (SELECT state, CAST(count(*) AS DOUBLE) AS w FROM d
-            WHERE state >= 0 GROUP BY 1),
-          sets AS (SELECT state, CASE WHEN state <= 1 THEN 0 ELSE 1 END AS si, w FROM h),
-          den AS (SELECT si AS set_i, sum(w) AS den FROM sets GROUP BY 1),
-          predt AS (SELECT 1 AS lag, * FROM t1
-            UNION ALL SELECT 2, * FROM t2p UNION ALL SELECT 3, * FROM t3p),
-          predn AS (SELECT t.lag, a.si AS set_i, b.si AS set_j, sum(a.w * t.p) AS num
-            FROM predt t JOIN sets a ON a.state = t.s0 JOIN sets b ON b.state = t.s1
-            GROUP BY 1, 2, 3),
-          estn AS (SELECT t.lag, a.si AS set_i, b.si AS set_j, sum(a.w * t.p) AS num
-            FROM tm t JOIN sets a ON a.state = t.s0 JOIN sets b ON b.state = t.s1
-            GROUP BY 1, 2, 3),
-          grid AS (SELECT p.lag, p.set_i, p.set_j,
-              round(p.num / dp.den, 6) AS predicted,
-              round(e.num / dp.den, 6) AS estimated
-            FROM predn p
-            JOIN estn e ON e.lag = p.lag AND e.set_i = p.set_i AND e.set_j = p.set_j
-            JOIN den dp ON dp.set_i = p.set_i)
-          SELECT * FROM grid
-          UNION ALL SELECT 0, i.si, j.si,
-            CASE WHEN i.si = j.si THEN 1.0 ELSE 0.0 END,
-            CASE WHEN i.si = j.si THEN 1.0 ELSE 0.0 END
-          FROM (SELECT DISTINCT si FROM sets) i CROSS JOIN
-               (SELECT DISTINCT si FROM sets) j""",
-
-    // E[C_ij]/rowsum == T_ij exactly (N pi_i cancels); pi stationarity
-    // residual is a driver-exact 0 on every row.
-    "q56_expected_counts" ->
-      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT state AS s0,
-            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s1 FROM d),
-          c AS (SELECT s0, s1, CAST(count(*) AS DOUBLE) AS cnt FROM p
-            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY 1, 2)
-          SELECT s0, s1, round(cnt / sum(cnt) OVER (PARTITION BY s0), 6) AS tprob,
-            0.0 AS pi_resid FROM c""",
-
-    "q36_effective_counts" ->
-      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          c0 AS (SELECT traj_id, t, state AS s0,
-            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS y FROM d),
-          cond AS (SELECT s0, traj_id, t, y,
-            ROW_NUMBER() OVER (PARTITION BY s0, traj_id ORDER BY t) AS u
-            FROM c0 WHERE y IS NOT NULL AND s0 >= 0 AND y >= 0),
-          c AS (SELECT s0, y AS s1, CAST(count(*) AS DOUBLE) AS cnt FROM cond GROUP BY 1, 2),
-          crow AS (SELECT s0, sum(cnt) AS ci FROM c GROUP BY 1),
-          nmax AS (SELECT s0, CAST(max(len) AS DOUBLE) AS nm FROM
-            (SELECT s0, traj_id, count(*) AS len FROM cond GROUP BY 1, 2) GROUP BY 1),
-          lags AS (SELECT CAST(lag AS INT) AS lag FROM range(1, 26) t(lag)),
-          pairs AS (SELECT c1.s0, l.lag, c1.y AS y0, c2.y AS y1, count(*) AS pcnt
-            FROM cond c1 CROSS JOIN lags l
-            JOIN cond c2 ON c2.s0 = c1.s0 AND c2.traj_id = c1.traj_id
-              AND c2.u = c1.u + l.lag
-            GROUP BY 1, 2, 3, 4),
-          nl AS (SELECT s0, lag, CAST(sum(pcnt) AS DOUBLE) AS nl FROM pairs GROUP BY 1, 2),
-          shj AS (SELECT s0, lag, y0 AS j, CAST(sum(pcnt) AS DOUBLE) AS sh
-            FROM pairs GROUP BY 1, 2, 3),
-          stj AS (SELECT s0, lag, y1 AS j, CAST(sum(pcnt) AS DOUBLE) AS st
-            FROM pairs GROUP BY 1, 2, 3),
-          njj AS (SELECT s0, lag, y0 AS j, CAST(sum(pcnt) AS DOUBLE) AS njj
-            FROM pairs WHERE y0 = y1 GROUP BY 1, 2, 3),
-          grid AS (SELECT c.s0, c.s1 AS j, l.lag, c.cnt, crow.ci, nmax.nm
-            FROM c JOIN crow USING (s0) JOIN nmax USING (s0) CROSS JOIN lags l),
-          acf AS (SELECT g.s0, g.j, g.lag, g.nm,
-            CASE WHEN nl.nl IS NULL OR nl.nl = 0 THEN NULL ELSE
-              (coalesce(njj.njj, 0) - (g.cnt / g.ci) * (coalesce(shj.sh, 0) + coalesce(stj.st, 0))
-                + (g.cnt / g.ci) * (g.cnt / g.ci) * nl.nl) / nl.nl END AS a
-            FROM grid g
-            LEFT JOIN nl ON nl.s0 = g.s0 AND nl.lag = g.lag
-            LEFT JOIN shj ON shj.s0 = g.s0 AND shj.lag = g.lag AND shj.j = g.j
-            LEFT JOIN stj ON stj.s0 = g.s0 AND stj.lag = g.lag AND stj.j = g.j
-            LEFT JOIN njj ON njj.s0 = g.s0 AND njj.lag = g.lag AND njj.j = g.j),
-          trunc AS (SELECT s0, j, min(lag) AS lmin FROM acf
-            WHERE a IS NULL OR a <= 0 GROUP BY 1, 2),
-          corr AS (SELECT acf.s0, acf.j, sum(acf.a * (1.0 - acf.lag / acf.nm)) AS corrsum
-            FROM acf LEFT JOIN trunc ON trunc.s0 = acf.s0 AND trunc.j = acf.j
-            WHERE trunc.lmin IS NULL OR acf.lag < trunc.lmin
-            GROUP BY 1, 2),
-          ineff AS (SELECT c.s0, c.s1, c.cnt,
-            1.0 / (2.0 * (0.5 + coalesce(corr.corrsum, 0) / (c.cnt / crow.ci))) AS i
-            FROM c JOIN crow USING (s0)
-            LEFT JOIN corr ON corr.s0 = c.s0 AND corr.j = c.s1),
-          factor AS (SELECT ineff.s0, sum(ineff.i * ineff.cnt) / min(crow.ci) AS f
-            FROM ineff JOIN crow USING (s0) GROUP BY 1)
-          SELECT CAST(ineff.s0 AS INT) AS s0, CAST(ineff.s1 AS INT) AS s1,
-            round(factor.f * ineff.cnt, 4) AS cnt_eff
-          FROM ineff JOIN factor USING (s0) WHERE ineff.cnt > 0""",
-
-    "q44_whitening" ->
-      """SELECT CAST(i.r AS INT) AS i, CAST(j.r AS INT) AS j,
-           CASE WHEN i.r = j.r THEN 1.0 ELSE 0.0 END AS cov
-         FROM range(0, 4) i(r), range(0, 4) j(r)""",
-
-    "q23_ann_brute" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 40 = 0),
-         s AS (SELECT query_id, e.vec_id AS neighbor_id,
-           round(list_dot_product(qv, e.v) /
-             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
-           FROM q, e WHERE query_id != e.vec_id),
-         r AS (SELECT query_id, neighbor_id, cos,
-           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-           FROM s)
-         SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
-
-    "q24_embedding_norms" ->
-      """SELECT vec_id, label,
-         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-           CAST(embedding AS DOUBLE[]))), 6) AS l2norm
-         FROM embeddings""",
-
-    "q33_multilag_counts" ->
-      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (
-            SELECT 1 AS lag, state AS s0,
-              LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d
-            UNION ALL
-            SELECT 2 AS lag, state AS s0,
-              LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d
-            UNION ALL
-            SELECT 4 AS lag, state AS s0,
-              LEAD(state, 4) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
-          SELECT lag, s0, s1, count(*) AS cnt FROM p
-          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0
-          GROUP BY lag, s0, s1""",
-
-    "q35_cond_frame" ->
-      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          c AS (SELECT traj_id, t, state AS s0,
-            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS y FROM d)
-          SELECT s0, traj_id, t, y,
-            CAST(ROW_NUMBER() OVER (PARTITION BY s0, traj_id ORDER BY t) AS INT) AS u
-          FROM c WHERE y IS NOT NULL AND s0 >= 0 AND y >= 0""",
-
-    "q42_basis_monomials" ->
-      """SELECT round(avg(1.0), 6) AS m_1,
-         round(avg(value / 100.0), 6) AS m_x0,
-         round(avg(hour(ts) / 24.0), 6) AS m_x1,
-         round(avg((value / 100.0) * (value / 100.0)), 6) AS m_x0x0,
-         round(avg((value / 100.0) * (hour(ts) / 24.0)), 6) AS m_x0x1,
-         round(avg((hour(ts) / 24.0) * (hour(ts) / 24.0)), 6) AS m_x1x1
-         FROM events""",
-
-    "q43_kernel_gaussian" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         SELECT a.vec_id AS ida, b.vec_id AS idb,
-           round(exp(-list_distance(a.v, b.v) * list_distance(a.v, b.v)
-             / (2.0 * 16.0)), 6) AS k
-         FROM e a JOIN e b ON b.vec_id = a.vec_id + 1""",
-
-    "q48_sindy_normal_eq" ->
-      s"""WITH d AS (SELECT user_id AS traj_id,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t, value / 100.0 AS x FROM events),
-          g AS (SELECT traj_id, t, x,
-            LAG(x, 1) OVER (PARTITION BY traj_id ORDER BY t) AS px,
-            LEAD(x, 1) OVER (PARTITION BY traj_id ORDER BY t) AS nx FROM d),
-          h AS (SELECT x, CASE
-            WHEN px IS NULL AND nx IS NULL THEN NULL
-            WHEN px IS NULL THEN nx - x
-            WHEN nx IS NULL THEN x - px
-            ELSE (nx - px) / 2.0 END AS xd FROM g)
-          SELECT count(*) AS n,
-            round(avg(x), 6) AS a01,
-            round(avg(x * x), 6) AS a02,
-            round(avg(x * x * x), 6) AS a12,
-            round(avg(x * x * x * x), 6) AS a22,
-            round(avg(xd), 6) AS b0,
-            round(avg(x * xd), 6) AS b1,
-            round(avg(x * x * xd), 6) AS b2
-          FROM h WHERE xd IS NOT NULL""",
-
-    "q52_multimodal_meta" ->
-      """WITH d AS (SELECT doc_id,
-           CAST(16 + doc_id % 1920 AS INT) AS w,
-           CAST(16 + (doc_id * 7) % 1080 AS INT) AS h FROM documents),
-         p AS (SELECT doc_id, w, h,
-           unhex('89504E470D0A1A0A0000000D49484452' || printf('%08X', w)
-             || printf('%08X', h) || '0802000000') AS payload FROM d)
-         SELECT doc_id,
-           CASE WHEN hex(payload) LIKE '89504E470D0A1A0A%'
-             THEN 'png' ELSE 'unknown' END AS format,
-           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-           CAST(octet_length(payload) AS BIGINT) AS n_bytes
-         FROM p""",
-
-    "q53_pretoken_counts" -> {
-      // same RE2-safe pattern; single quotes doubled for SQL
-      val pat = graft.multimodal.Tokenize.pattern.replace("'", "''")
-      s"""SELECT doc_id,
-          CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_pretokens,
-          CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) +
-            CAST((SELECT coalesce(sum(CAST(floor(len(w) / 8.0) AS BIGINT)), 0)
-              FROM unnest(regexp_split_to_array(text, '\\s+')) AS u(w)
-              WHERE len(w) > 8) AS BIGINT) AS n_subwords_est
-          FROM documents"""
-    },
-
-    "q54_sample_by_state" ->
-      s"""WITH d AS (SELECT ${Trajectories.eventTypeStateSql} AS state FROM events),
-          c AS (SELECT state, count(*) AS cnt FROM d WHERE state >= 0 GROUP BY state)
-          SELECT state, CAST(least(cnt, 10) AS BIGINT) AS n_sampled FROM c""",
-
-    "q66_partial_fit_cov" ->
-      s"""WITH t AS (SELECT user_id, value,
-            LEAD(value, 2) OVER ($evWindowSql) AS v1 FROM events)
-          SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS w,
-            round(avg(value), 6) AS m0_0, round(avg(v1), 6) AS mt_0,
-            round(covar_samp(value, value), 6) AS c00_0_0,
-            round(covar_samp(value, v1), 6) AS c0t_0_0,
-            round(covar_samp(v1, v1), 6) AS ctt_0_0
-          FROM t WHERE v1 IS NOT NULL""",
-
-    "q67_girsanov_counts" ->
-      s"""WITH d AS (SELECT user_id AS traj_id, value, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT traj_id, t, state, value,
-            LEAD(state, 2) OVER (PARTITION BY traj_id ORDER BY t) AS s1,
-            sum(value / 100000.0) OVER (PARTITION BY traj_id ORDER BY t
-              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS m_sum
-            FROM d)
-          SELECT state AS s0, s1, round(sum(1.0 * exp(-m_sum)), 6) AS cnt_rw
-          FROM p WHERE s1 IS NOT NULL AND state >= 0 AND s1 >= 0
-          GROUP BY state, s1""",
-
-    "q73_estimator_invariants" ->
-      """SELECT * FROM (VALUES
-           ('hmm_transition_stochastic', 0.0), ('hmm_emission_stochastic', 0.0),
-           ('hmm_ck_lag1_pred_eq_est', 0.0), ('hmm_ck_pred2_is_square', 0.0),
-           ('hmm_ck_rows_stochastic', 0.0),
-           ('bayes_samples_stochastic', 0.0), ('bayes_samples_detailed_balance', 0.0),
-           ('oom_rows_normalized', 0.0),
-           ('amm_transition_stochastic', 0.0), ('amm_pi_normalized', 0.0)
-         ) AS t("check", violation)""",
-
-    "q71_model_invariants" ->
-      """SELECT * FROM (VALUES
-           ('rev_rowsums', 0.0), ('rev_detailed_balance', 0.0),
-           ('pi_stationarity', 0.0), ('pi_normalized', 0.0),
-           ('committor_bvp', 0.0), ('mfpt_linear_system', 0.0),
-           ('pcca_membership_rowsums', 0.0), ('pcca_membership_nonneg', 0.0),
-           ('vamp_whitening_identity', 0.0), ('pseudo_generator_valid', 0.0),
-           ('kl_generator_valid', 0.0), ('kl_detailed_balance', 0.0)
-         ) AS t("check", violation)""",
-
-    "q75_audio_features" ->
-      """WITH d AS (SELECT doc_id, CAST(50 + doc_id % 40 AS INT) AS n FROM documents),
-         f AS (SELECT doc_id, n, unnest(range(0, n // 25)) AS frame_idx FROM d),
-         s AS (SELECT doc_id, frame_idx,
-           list_transform(range(0, 25),
-             i -> CAST((doc_id * 13 + (frame_idx * 25 + i) * 7) % 2001 - 1000 AS DOUBLE)
-               / 32768.0) AS v
-           FROM f)
-         SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-           round(sqrt(list_sum(list_transform(v, x -> x * x)) / 25.0), 6) AS rms,
-           CAST(list_sum(list_transform(range(1, 25),
-             i -> CASE WHEN (v[i + 1] >= 0) != (v[i] >= 0) THEN 1 ELSE 0 END)) AS INT)
-             AS zero_crossings
-         FROM s""",
-
-    "q74_wav_decode" ->
-      """WITH d AS (SELECT doc_id,
-           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
-           CAST(50 + doc_id % 40 AS BIGINT) AS n_samples FROM documents)
-         SELECT d.doc_id, d.sample_rate, d.n_samples,
-           CAST(list_sum(list_transform(range(0, CAST(d.n_samples AS INT)),
-             i -> (d.doc_id * 13 + i * 7) % 2001 - 1000)) AS BIGINT) AS sample_sum
-         FROM d""",
-
-    "q70_png_decode" ->
-      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 6 AS INT) AS width,
-           CAST(2 + (doc_id * 7) % 5 AS INT) AS height FROM documents)
-         SELECT d.doc_id, d.width, d.height,
-           CAST(d.width * d.height AS BIGINT) AS n_px,
-           CAST(list_sum(list_transform(range(0, d.width * d.height),
-             i -> (d.doc_id * 31 + i * 7) % 256)) AS BIGINT) AS px_sum
-         FROM d""",
-
-    // Resize twin: replay the nearest-neighbor stride arithmetic
-    // (double division + floor, exactly as the Spark column math) on the
-    // q70 generating formula; the decoded float roundtrip is exact (q70).
-    "q110_image_resize" ->
-      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 6 AS INT) AS w,
-           CAST(2 + (doc_id * 7) % 5 AS INT) AS h FROM documents)
-         SELECT doc_id, CAST(12 AS BIGINT) AS n_px,
-           CAST(list_sum(list_transform(range(0, 12), i ->
-             (doc_id * 31 +
-              (CAST(floor((i // 4) * h / 3.0) AS BIGINT) * w +
-               CAST(floor((i % 4) * w / 4.0) AS BIGINT)) * 7) % 256))
-             AS BIGINT) AS px_sum
-         FROM d""",
-
-    "q69_rate_matrix" ->
-      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT state AS s0,
-            LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
-          c AS (SELECT s0, s1, count(*) AS cnt FROM p
-            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1),
-          t AS (SELECT s0, s1, CAST(cnt AS DOUBLE) /
-            CAST(sum(cnt) OVER (PARTITION BY s0) AS DOUBLE) AS t_prob FROM c)
-          SELECT s0, s1, round((t_prob - CASE WHEN s0 = s1 THEN 1.0 ELSE 0.0 END)
-            / 2.0, 6) AS rate FROM t""",
-
-    "q58_twostep_counts" ->
-      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT state AS s0,
-            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1,
-            LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s2 FROM d)
-          SELECT s0, s1, s2, count(*) AS cnt FROM p
-          WHERE s1 IS NOT NULL AND s2 IS NOT NULL
-            AND s0 >= 0 AND s1 >= 0 AND s2 >= 0
-          GROUP BY s0, s1, s2""",
-
-    // Custom-metric Lloyd battery; the assigned-row count is exact SQL.
-    "q84_custom_kmeans" ->
-      """SELECT 'assign_argmin' AS "check", 0.0 AS "value"
-         UNION ALL SELECT 'k_centers_minus_4', 0.0
-         UNION ALL SELECT 'centers_nonfinite', 0.0
-         UNION ALL SELECT 'n_assigned', (SELECT CAST(count(*) AS DOUBLE) FROM lineitem)""",
-
-    // Sensitivity identity battery: every residual is a driver-exact
-    // algebraic zero; the state count is the observed distinct states
-    // (the chain is fully connected on this data, same assumption as
-    // q56's row-normalized twin).
-    "q85_sensitivities" ->
-      s"""SELECT 'eig_trace_minus_one' AS "check", 0.0 AS "value"
-         UNION ALL SELECT 'eig_rank1_minors', 0.0
-         UNION ALL SELECT 'timescale_chain', 0.0
-         UNION ALL SELECT 'pi_sens_sum', 0.0
-         UNION ALL SELECT 'eigvec_norm_preserved', 0.0
-         UNION ALL SELECT 'mfpt_adjoint_vs_forward', 0.0
-         UNION ALL SELECT 'committor_adjoint_vs_forward', 0.0
-         UNION ALL SELECT 'n_states', (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
-           FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)""",
-
-    // aHash twin: replay decode (generating formula, exact per q70),
-    // the 8x8 nearest-neighbor stride (q110 double-division arithmetic),
-    // the mean threshold, and the per-half bit packing; then the same
-    // hash-group dedup stats. Integer shifts stay < 2^32 per half.
-    "q116_image_ahash" ->
-      """WITH d AS (SELECT doc_id, doc_id % 37 AS base FROM documents),
-         dims AS (SELECT doc_id, base,
-           CAST(6 + base % 5 AS BIGINT) AS w,
-           CAST(4 + (base * 3) % 4 AS BIGINT) AS h FROM d),
-         tp AS (SELECT doc_id, list_transform(range(0, 64), i ->
-             (base * 31 +
-              (CAST(floor((i // 8) * h / 8.0) AS BIGINT) * w +
-               CAST(floor((i % 8) * w / 8.0) AS BIGINT)) * 7) % 256) AS px
-           FROM dims),
-         m AS (SELECT doc_id, px,
-           CAST(list_sum(px) AS DOUBLE) / 64.0 AS avg64 FROM tp),
-         hsh AS (SELECT doc_id,
-           CAST(list_sum(list_transform(range(0, 32), j ->
-             CASE WHEN px[j + 1] > avg64 THEN 1::BIGINT << j
-                  ELSE 0::BIGINT END)) AS BIGINT) AS ahash_lo,
-           CAST(list_sum(list_transform(range(0, 32), j ->
-             CASE WHEN px[j + 33] > avg64 THEN 1::BIGINT << j
-                  ELSE 0::BIGINT END)) AS BIGINT) AS ahash_hi
-           FROM m)
-         SELECT ahash_lo, ahash_hi, CAST(count(*) AS BIGINT) AS n_docs,
-           min(doc_id) AS keep_doc,
-           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS dup_pairs
-         FROM hsh GROUP BY 1, 2""",
-
-    // TF-IDF twin: identical tokenization (q112 pairing), tf = cnt/nw,
-    // idf = ln(N/df), rank on the ROUNDED score with term tie-break.
-    "q117_tfidf_topk" ->
-      """WITH w AS (SELECT doc_id,
-           unnest(str_split_regex(trim(lower(text)), '\s+')) AS term
-           FROM documents),
-         wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
-         tf AS (SELECT doc_id, term, count(*) AS cnt FROM wf GROUP BY 1, 2),
-         nwt AS (SELECT doc_id, term, cnt,
-           sum(cnt) OVER (PARTITION BY doc_id) AS nw FROM tf),
-         dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
-         n AS (SELECT count(*) AS n FROM documents),
-         s AS (SELECT t.doc_id, t.term, t.cnt,
-           round((CAST(t.cnt AS DOUBLE) / CAST(t.nw AS DOUBLE)) *
-             ln(CAST(n.n AS DOUBLE) / CAST(d.dfreq AS DOUBLE)), 6) AS tfidf
-           FROM nwt t JOIN dfq d USING (term) CROSS JOIN n),
-         r AS (SELECT doc_id, term, cnt, tfidf,
-           ROW_NUMBER() OVER (PARTITION BY doc_id
-             ORDER BY tfidf DESC, term) AS rk FROM s)
-         SELECT doc_id, term, CAST(cnt AS BIGINT) AS cnt,
-           tfidf, CAST(rk AS BIGINT) AS rk
-         FROM r WHERE rk <= 3""",
-
-    // Naive Bayes twin: replays the add-1-smoothed per-class word
-    // log-probs, priors, and the argmax on the ROUNDED per-doc average
-    // log-likelihood with the class tie-break.
-    "q118_naive_bayes" ->
-      """WITH wds AS (SELECT doc_id, lang,
-           unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
-           FROM documents),
-         wf AS (SELECT doc_id, lang, w FROM wds WHERE w <> ''),
-         cw AS (SELECT lang, w, count(*) AS c FROM wf GROUP BY 1, 2),
-         tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot FROM cw GROUP BY 1),
-         vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM wf),
-         pri AS (SELECT lang, count(*) AS nd FROM documents GROUP BY 1),
-         nall AS (SELECT count(*) AS nd_all FROM documents),
-         langs AS (SELECT DISTINCT lang FROM documents),
-         terms AS (SELECT f.doc_id, f.lang AS actual, l.lang AS cand,
-             ln(CAST(coalesce(cw.c, 0) + 1 AS DOUBLE) /
-                CAST(t.tot + vv.v AS DOUBLE)) AS ll
-           FROM wf f CROSS JOIN langs l
-           JOIN tot t ON t.lang = l.lang CROSS JOIN vv
-           LEFT JOIN cw ON cw.lang = l.lang AND cw.w = f.w),
-         sc AS (SELECT doc_id, actual, cand,
-             round((ln(CAST(p.nd AS DOUBLE) / CAST(n.nd_all AS DOUBLE)) +
-               sum(ll)) / count(*), 6) AS avg_ll
-           FROM terms JOIN pri p ON p.lang = cand CROSS JOIN nall n
-           GROUP BY doc_id, actual, cand, p.nd, n.nd_all),
-         r AS (SELECT doc_id, actual, cand, avg_ll,
-           ROW_NUMBER() OVER (PARTITION BY doc_id
-             ORDER BY avg_ll DESC, cand) AS rk FROM sc)
-         SELECT doc_id, actual AS lang, cand AS pred_lang, avg_ll,
-           CAST(CASE WHEN cand = actual THEN 1 ELSE 0 END AS BIGINT) AS correct
-         FROM r WHERE rk = 1""",
-
-    // Embedding-outlier twin: per-label element-wise mean centroid
-    // (parallel unnest), cosine via list_dot_product in the exact fused-
-    // expression formula dot/(sqrt(xx)*sqrt(yy)), bottom-3 per label on
-    // the rounded cosine with vec_id tie-break.
-    "q119_embedding_outliers" ->
-      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         pos AS (SELECT vec_id, label,
-           unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM e),
-         cent AS (SELECT label, i, avg(x) AS c FROM pos GROUP BY 1, 2),
-         cl AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
-         sc AS (SELECT e.label, e.vec_id,
-             round(list_dot_product(e.v, cl.cv) /
-               (sqrt(list_dot_product(e.v, e.v)) *
-                sqrt(list_dot_product(cl.cv, cl.cv))), 6) AS cos_c
-           FROM e JOIN cl USING (label)),
-         r AS (SELECT label, vec_id, cos_c,
-           ROW_NUMBER() OVER (PARTITION BY label
-             ORDER BY cos_c, vec_id) AS rk FROM sc)
-         SELECT label, vec_id, cos_c, CAST(rk AS BIGINT) AS rk
-         FROM r WHERE rk <= 3""",
-
-    // Zipf twin: identical tokenization + rank, the SAME raw-sums
-    // closed-form least squares (not DuckDB's regr_* builtins, whose
-    // internal arithmetic could differ pre-rounding).
-    "q120_zipf_fit" ->
-      """WITH w AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
-           FROM documents),
-         tf AS (SELECT w, count(*) AS c FROM w WHERE w <> '' GROUP BY 1),
-         rkd AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM tf),
-         pts AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
-           FROM rkd WHERE rk <= 1000),
-         a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
-           sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy FROM pts)
-         SELECT round(-(n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS alpha,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
-             AS intercept,
-           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
-           CAST(n AS BIGINT) AS n_points
-         FROM a""",
-
-    // Forward as-of twin: DuckDB's native ASOF LEFT JOIN with the <
-    // inequality (nearest strictly-later match) — again an independent
-    // implementation, not a replay; the delta uses epoch_ns to match
-    // Spark's nanosAsLong read of the TIMESTAMP(NANOS) column.
-    "q121_asof_forward" ->
-      """SELECT e.event_id, e.user_id, e.value,
-           c.event_id AS next_click_event_id,
-           epoch_us(c.ts) - epoch_us(e.ts) AS us_to_next_click,
-           round(c.value, 6) AS next_click_value
-         FROM events e ASOF LEFT JOIN
-           (SELECT user_id, ts, event_id, value FROM events
-            WHERE event_type = 'click'
-            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
-              ORDER BY event_id DESC) = 1) c
-           ON e.user_id = c.user_id AND e.ts < c.ts""",
-
-    // Hard-negative twin: exhaustive different-label cosine ranking per
-    // anchor in the exact fused-expression formula, rank on the rounded
-    // score with the vec_id tie-break.
-    "q122_hard_negatives" ->
-      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
-           FROM e WHERE vec_id < 20),
-         sc AS (SELECT a.anchor_id, e.vec_id,
-             round(list_dot_product(e.v, a.av) /
-               (sqrt(list_dot_product(e.v, e.v)) *
-                sqrt(list_dot_product(a.av, a.av))), 6) AS cos_hn
-           FROM e JOIN a ON e.label <> a.anchor_label),
-         r AS (SELECT anchor_id, vec_id, cos_hn,
-           ROW_NUMBER() OVER (PARTITION BY anchor_id
-             ORDER BY cos_hn DESC, vec_id) AS rk FROM sc)
-         SELECT anchor_id, vec_id, cos_hn, CAST(rk AS BIGINT) AS rk
-         FROM r WHERE rk <= 3""",
-
-    // JS-divergence twin: identical tokenization, add-1 smoothing over
-    // the shared vocab grid (zero-count words included), and the same
-    // term expression structure so pre-rounding arithmetic matches.
-    "q123_source_divergence" ->
-      """WITH wds AS (SELECT source,
-           unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
-           FROM documents),
-         wf AS (SELECT source, w FROM wds WHERE w <> ''),
-         cw AS (SELECT source, w, count(*) AS cs FROM wf GROUP BY 1, 2),
-         ca AS (SELECT w, count(*) AS ca FROM wf GROUP BY 1),
-         vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM ca),
-         ta AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM wf),
-         ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS tots
-           FROM cw GROUP BY 1),
-         grid AS (SELECT ts.source, ca.w, ca.ca, ts.tots,
-             coalesce(cw.cs, 0) AS cs
-           FROM ca CROSS JOIN ts
-           LEFT JOIN cw ON cw.source = ts.source AND cw.w = ca.w),
-         terms AS (SELECT source, tots,
-             CAST(cs + 1 AS DOUBLE) / CAST(tots + vv.v AS DOUBLE) AS p,
-             CAST(ca + 1 AS DOUBLE) / CAST(ta.tot + vv.v AS DOUBLE) AS q
-           FROM grid CROSS JOIN vv CROSS JOIN ta)
-         SELECT source,
-           round(sum(p * ln(p / ((p + q) / 2.0)) * 0.5 +
-                     q * ln(q / ((p + q) / 2.0)) * 0.5), 6) AS js_div,
-           CAST(max(tots) AS BIGINT) AS n_tokens
-         FROM terms GROUP BY source""",
-
-    // Inverted-index twin: same tokenization/aggregation/rank replay.
-    "q124_inverted_index" ->
-      """WITH w AS (SELECT doc_id,
-           unnest(str_split_regex(trim(lower(text)), '\s+')) AS term
-           FROM documents),
-         wf AS (SELECT doc_id, term FROM w WHERE term <> ''),
-         tf AS (SELECT term, doc_id, count(*) AS tf FROM wf GROUP BY 1, 2),
-         r AS (SELECT term, doc_id, tf,
-           CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
-           ROW_NUMBER() OVER (PARTITION BY term
-             ORDER BY tf DESC, doc_id) AS rk FROM tf)
-         SELECT term, doc_id, CAST(tf AS BIGINT) AS tf, df,
-           CAST(rk AS BIGINT) AS rk
-         FROM r WHERE df >= 5 AND rk <= 10""",
-
-    // Sketch-merge battery twin: the merge-vs-direct register identity
-    // is checked Spark-side (exact zero); DuckDB anchors the exact
-    // distinct-word count.
-    "q125_sketch_merge" ->
-      """WITH toks AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
-           FROM documents)
-         SELECT 'merge_vs_direct_resid' AS "check", 0.0 AS "value"
-         UNION ALL SELECT 'est_relerr_over_5pct', 0.0
-         UNION ALL SELECT 'n_distinct_words',
-           (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM toks WHERE w <> '')""",
-
-    // Streaming-features twin: the BATCH window formulation (= q114's
-    // twin) — the streaming state machine must reproduce it exactly.
-    "q126_streaming_features" ->
-      """SELECT event_id, user_id, value,
-           round(avg(value) OVER trail, 6) AS trail_avg,
-           max(value) OVER trail AS trail_max,
-           lag(value, 1) OVER w AS prev_value,
-           CAST(count(*) OVER trail AS BIGINT) AS n_trail
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-           trail AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""",
-
-    // Containment twin: raw-substring shingle sets (cardinalities are
-    // hash-invariant, q20 convention), same guards and rounding.
-    "q127_containment" ->
-      """WITH sel AS (SELECT doc_id, text FROM documents WHERE doc_id % 43 = 0
-           ORDER BY doc_id LIMIT 256),
-         sh AS (SELECT doc_id, list_distinct(list_transform(
-           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5))) AS s
-           FROM sel)
-         SELECT a.doc_id AS a, b.doc_id AS b,
-           CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
-           CAST(len(a.s) AS BIGINT) AS na, CAST(len(b.s) AS BIGINT) AS nb,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
-             AS jaccard,
-           round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-             CAST(least(len(a.s), len(b.s)) AS DOUBLE), 6) AS containment
-         FROM sh a, sh b
-         WHERE a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0""",
-
-    // Cross-source dup-matrix twin: same fingerprint, same directed-by-
-    // doc_id pair rule.
-    "q128_cross_source_dup" ->
-      """WITH aug AS (SELECT doc_id, source, text FROM documents
-           UNION ALL SELECT -doc_id - 1, 'mirror_' || source, text
-           FROM documents WHERE doc_id % 10 = 0),
-         f AS (SELECT doc_id, source,
-           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-           FROM aug)
-         SELECT x.source AS src_a, y.source AS src_b,
-           CAST(count(*) AS BIGINT) AS dup_pairs
-         FROM f x JOIN f y ON x.fp = y.fp AND x.doc_id < y.doc_id
-         GROUP BY 1, 2""",
-
-    // Stupid-backoff twin: same even/odd split, same three count tables
-    // (q115's list-window idiom), and the identical nested-CASE backoff
-    // expression structure.
-    "q129_trigram_backoff" ->
-      """WITH tr AS (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS l
-           FROM documents WHERE doc_id % 2 = 0),
-         te AS (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS l
-           FROM documents WHERE doc_id % 2 = 1),
-         t3tr AS (SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
-           FROM (SELECT l, unnest(generate_series(1, len(l) - 2)) AS i FROM tr)),
-         tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM t3tr GROUP BY 1, 2, 3),
-         g2tr AS (SELECT l[i] AS x1, l[i+1] AS x2
-           FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM tr)),
-         big AS (SELECT x1, x2, count(*) AS cb FROM g2tr GROUP BY 1, 2),
-         unitr AS (SELECT w, count(*) AS cu
-           FROM (SELECT unnest(l) AS w FROM tr) WHERE w <> '' GROUP BY 1),
-         tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
-           CAST(count(*) AS BIGINT) AS v FROM unitr),
-         t3te AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
-           FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
-                 FROM te)),
-         sc AS (SELECT t.doc_id,
-             CASE WHEN coalesce(tri.c123, 0) > 0
-                  THEN CAST(tri.c123 AS DOUBLE) / CAST(b12.cb AS DOUBLE)
-                  ELSE 0.4 * (CASE WHEN coalesce(b23.cb, 0) > 0
-                    THEN CAST(b23.cb AS DOUBLE) / CAST(u2.cu AS DOUBLE)
-                    ELSE 0.4 * (CAST(coalesce(u3.cu, 0) + 1 AS DOUBLE) /
-                                CAST(tot.n + tot.v AS DOUBLE)) END) END AS s3
-           FROM t3te t
-           LEFT JOIN tri ON tri.w1 = t.w1 AND tri.w2 = t.w2 AND tri.w3 = t.w3
-           LEFT JOIN big b12 ON b12.x1 = t.w1 AND b12.x2 = t.w2
-           LEFT JOIN big b23 ON b23.x1 = t.w2 AND b23.x2 = t.w3
-           LEFT JOIN unitr u2 ON u2.w = t.w2
-           LEFT JOIN unitr u3 ON u3.w = t.w3
-           CROSS JOIN tot)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
-           round(avg(-ln(s3)), 6) AS avg_nll
-         FROM sc GROUP BY doc_id""",
-
-    // Triangle twin: the exact >= 0.6 edge set (q21's oracle derivation)
-    // plus the same oriented a<b<c wedge join.
-    "q130_dup_triangles" ->
-      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS s
-           FROM documents WHERE len(text) >= 5),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
-           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         e AS (SELECT a, b FROM inter
-           JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-           WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.6)
-         SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-           (SELECT CAST(count(*) AS BIGINT)
-            FROM e e1 JOIN e e2 ON e1.b = e2.a
-            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""",
-
-    // HTML-strip twin: re-inject and re-clean the identical strings
-    // (DuckDB has no regexp_count — len(regexp_extract_all), per the
-    // established gotcha).
-    "q131_html_strip" ->
-      """WITH w AS (SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN
-             '<html><head><title>T' || CAST(doc_id AS VARCHAR) ||
-             '</title></head><body><p>' || text ||
-             '</p><div class="footer">&copy; 2026 Example&nbsp;Corp</div></body></html>'
-           WHEN doc_id % 3 = 1 THEN
-             '<p>' || text || '</p><br/><a href="http://x.example/' ||
-             CAST(doc_id AS VARCHAR) || '">link &amp; more</a>'
-           ELSE text END AS wrapped FROM documents),
-         c AS (SELECT doc_id, wrapped,
-           trim(regexp_replace(
-             replace(replace(replace(
-               regexp_replace(wrapped, '<[^>]*>', ' ', 'g'),
-               '&nbsp;', ' '), '&copy;', '(c)'), '&amp;', '&'),
-             '\s+', ' ', 'g')) AS cleaned FROM w)
-         SELECT doc_id,
-           CAST(len(regexp_extract_all(wrapped, '<[^>]*>')) AS BIGINT) AS n_tags,
-           CAST(len(cleaned) AS BIGINT) AS clean_len,
-           md5(cleaned) AS clean_md5
-         FROM c""",
-
-    // Temperature-mixture twin: same sqrt quota (IEEE-exact on both
-    // engines) and the same affine hash order (q88's constants;
-    // 506952114 = 2654435761 % 2147483647).
-    "q132_temperature_mixture" ->
-      """WITH q AS (SELECT source,
-           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 12.0) AS BIGINT) AS quota
-           FROM documents GROUP BY 1),
-         h AS (SELECT doc_id, source,
-           ((doc_id % 2147483647) * 506952114 + 101) % 2147483647 % 1000000 AS hv
-           FROM documents),
-         r AS (SELECT doc_id, source,
-           ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
-           FROM h)
-         SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk, q.quota
-         FROM r JOIN q USING (source) WHERE r.rk <= q.quota""",
-
-    // BMP twin: replay the generating formula (q70 convention — decode
-    // correctness is gated by the formula-derived pixel sums).
-    "q133_bmp_decode" ->
-      """WITH d AS (SELECT doc_id, CAST(3 + doc_id % 7 AS INT) AS width,
-           CAST(2 + (doc_id * 5) % 4 AS INT) AS height FROM documents)
-         SELECT doc_id, width, height,
-           CAST(width * height AS BIGINT) AS n_px,
-           CAST(list_sum(list_transform(range(0, width * height),
-             i -> (doc_id * 17 + i * 11) % 256)) AS BIGINT) AS px_sum
-         FROM d""",
-
-    // Session-path twin: the q78 gap rule, ordered-list path capped at
-    // 5 steps, same (count desc, path) top-20.
-    "q134_session_paths" ->
-      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
-           FROM events),
-         s AS (SELECT user_id, tsu, event_id, event_type,
-           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
-             THEN 1 ELSE 0 END AS brk
-           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-         x AS (SELECT user_id, tsu, event_id, event_type,
-           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-             ROWS UNBOUNDED PRECEDING) AS sess
-           FROM s),
-         p AS (SELECT user_id, sess,
-           array_to_string(list(event_type ORDER BY tsu, event_id)[1:5], '>') AS path
-           FROM x GROUP BY 1, 2)
-         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
-         FROM p GROUP BY 1
-         ORDER BY n_sessions DESC, path LIMIT 20""",
-
-    // Cohort twin: same integer week bucketing of the us epoch.
-    "q135_cohort_retention" ->
-      """WITH wk AS (SELECT DISTINCT user_id,
-           epoch_us(ts) // 604800000000 AS week FROM events),
-         c AS (SELECT user_id, week,
-           min(week) OVER (PARTITION BY user_id) AS cohort_week FROM wk)
-         SELECT cohort_week, week - cohort_week AS week_offset,
-           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         FROM c GROUP BY 1, 2""",
-
-    // Funnel twin: the q78 session rule + the same three strictly-after
-    // conditional-min steps.
-    "q136_funnel" ->
-      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
-           FROM events),
-         s0 AS (SELECT user_id, tsu, event_id, event_type,
-           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
-             THEN 1 ELSE 0 END AS brk
-           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
-         x AS (SELECT user_id, tsu, event_type,
-           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-             ROWS UNBOUNDED PRECEDING) AS sess
-           FROM s0),
-         t1 AS (SELECT user_id, sess,
-             min(CASE WHEN event_type = 'view' THEN tsu END) AS t1
-           FROM x GROUP BY 1, 2 HAVING t1 IS NOT NULL),
-         t2 AS (SELECT x.user_id, x.sess, min(x.tsu) AS t2
-           FROM x JOIN t1 ON x.user_id = t1.user_id AND x.sess = t1.sess
-           WHERE x.event_type = 'click' AND x.tsu > t1.t1 GROUP BY 1, 2),
-         t3 AS (SELECT x.user_id, x.sess, min(x.tsu) AS t3
-           FROM x JOIN t2 ON x.user_id = t2.user_id AND x.sess = t2.sess
-           WHERE x.event_type = 'purchase' AND x.tsu > t2.t2 GROUP BY 1, 2),
-         c AS (SELECT
-           (SELECT count(*) FROM (SELECT DISTINCT user_id, sess FROM x)) AS na,
-           (SELECT count(*) FROM t1) AS n1,
-           (SELECT count(*) FROM t2) AS n2,
-           (SELECT count(*) FROM t3) AS n3)
-         SELECT CAST(na AS BIGINT) AS n_sessions, CAST(n1 AS BIGINT) AS n_view,
-           CAST(n2 AS BIGINT) AS n_view_click,
-           CAST(n3 AS BIGINT) AS n_full_funnel,
-           round(CAST(n1 AS DOUBLE) / CAST(na AS DOUBLE), 6) AS view_rate,
-           round(CAST(n2 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE), 6)
-             AS click_after_view_rate,
-           round(CAST(n3 AS DOUBLE) / CAST(greatest(n2, 1) AS DOUBLE), 6)
-             AS purchase_after_click_rate
-         FROM c""",
-
-    // Chi-square twin: same expected-count and statistic structure over
-    // the contingency table.
-    "q137_chi_square" ->
-      """WITH cells AS (SELECT lang, source, count(*) AS o FROM documents
-           GROUP BY 1, 2),
-         rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
-         ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
-         n AS (SELECT count(*) AS n FROM documents),
-         terms AS (SELECT
-             CAST(cells.o AS DOUBLE) AS od,
-             CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
-           FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN n)
-         SELECT round(sum((od - e) * (od - e) / e), 6) AS chi2,
-           CAST(((SELECT count(*) FROM rt) - 1) *
-                ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
-           CAST((SELECT n FROM n) AS BIGINT) AS n_docs
-         FROM terms""",
-
-    // Estimation-api twin: the count matrix from the q05 shape, the
-    // prior matrices by their defining formulas, the nonreversible-MLE
-    // log-likelihood sum(c ln(c/rowsum))/N, row-0's Dirichlet posterior
-    // covariance, and the full error-perturbation triple sum — all
-    // recomputed independently in SQL.
-    "q138_count_priors" ->
-      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
-            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
-          p AS (SELECT state AS s0,
-            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
-          cm AS (SELECT s0, s1, count(*) AS cnt FROM p
-            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1),
-          grid AS (SELECT gi.r AS i, gj.r AS j
-            FROM range(0, 5) gi(r), range(0, 5) gj(r)),
-          g AS (SELECT grid.i, grid.j, COALESCE(cm.cnt, 0) AS cnt
-            FROM grid LEFT JOIN cm ON cm.s0 = grid.i AND cm.s1 = grid.j),
-          rs AS (SELECT i, CAST(sum(cnt) AS DOUBLE) AS r FROM g GROUP BY i),
-          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nt FROM g),
-          ll AS (SELECT sum(CASE WHEN g.cnt > 0
-                THEN g.cnt * ln(g.cnt / rs.r) END) / (SELECT nt FROM tot) AS llpc
-            FROM g JOIN rs USING (i)),
-          al AS (SELECT i, j, cnt + 1.0 AS a FROM g),
-          a0 AS (SELECT i, CAST(sum(a) AS DOUBLE) AS a0 FROM al GROUP BY i),
-          covt AS (SELECT x.i AS i, x.j AS j, y.j AS l,
-              ((CASE WHEN x.j = y.j THEN a0.a0 * x.a ELSE 0 END) - x.a * y.a)
-                / (a0.a0 * a0.a0 * (a0.a0 + 1.0)) AS cov
-            FROM al x JOIN al y ON x.i = y.i JOIN a0 ON a0.i = x.i),
-          ep AS (SELECT sum(((i + 1) * (j + 1) / 25.0) * cov
-              * ((i + 1) * (l + 1) / 25.0)) * 1e6 AS v FROM covt)
-          SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
-            CAST(g.cnt AS BIGINT) AS cnt,
-            CASE WHEN g.cnt + gt.cnt > 0 THEN CAST(0.001 AS DOUBLE)
-                 ELSE CAST(0.0 AS DOUBLE) END AS b_neighbor,
-            CAST(0.001 AS DOUBLE) AS b_const,
-            CASE WHEN g.i <= g.j THEN CAST(-1.0 AS DOUBLE)
-                 ELSE CAST(0.0 AS DOUBLE) END AS b_rev,
-            round((SELECT cov FROM covt
-              WHERE covt.i = 0 AND covt.j = g.i AND covt.l = g.j) * 1e6, 6)
-              AS cov0_ppm,
-            round((SELECT llpc FROM ll), 6) AS ll_per_count,
-            round((SELECT v FROM ep), 6) AS err_ppm
-          FROM g JOIN g gt ON gt.i = g.j AND gt.j = g.i"""
-  )
 }

@@ -1,0 +1,405 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Trajectories
+import graft.lag.Lag
+import graft.agg.Covariance
+import graft.linalg.LinAlg
+import graft.markov.TransitionCounting
+import graft.text.{Bpe, Packing, Pii, Scoring, TextFunctions}
+import graft.dedup.Dedup
+import graft.operators.Joins
+import graft.similarity.Similarity
+import graft.queries.QShared._
+
+/** EventQueries: sessionization, as-of/range joins, rolling features, session paths, cohort retention, funnel, JSON/skew aggregates.
+  *
+  * One slice of the driver-contract registry (VERDICT r06 item 8 split
+  * of the 5,000-line SparkEntry monolith). Entry bodies are UNCHANGED;
+  * graft.SparkEntry merges every family into the single `queries` /
+  * `oracleSql` maps the driver consumes, and ContractSpec keeps the
+  * key sets equal. */
+private[graft] object EventQueries extends QueryFamily {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // Event sessionization: gap > 30000 s opens a new session; per-session
+    // aggregates. Timestamp arithmetic runs in integral microseconds
+    // (ts div 1000 == DuckDB epoch_us truncation) so the oracle is exact.
+    "q78_sessionize" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("value"))
+      Trajectories.sessionize(ev, gapMicros = 30000000000L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("tsu")) - min(col("tsu"))).as("dur_us"),
+          round(sum(col("value")), 4).as("sum_value"))
+    }),
+
+    // ---- rolling per-entity features (q114): the point-in-time feature
+    // engineering primitive — per user, over the event-time order, a
+    // 5-event trailing moving average/max of `value` and the lag-1 value,
+    // all STRICTLY prior (rows -5..-1) so a training pipeline can join
+    // them leak-free at the event itself. One hash exchange (the per-user
+    // window); frames are row-bounded so state is O(window). ------------
+    "q114_rolling_features" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
+          col("value"))
+      val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+      val trail = w.rowsBetween(-5, -1)
+      ev.select(col("event_id"), col("user_id"), col("value"),
+          round(avg(col("value")).over(trail), 6).as("trail_avg"),
+          max(col("value")).over(trail).as("trail_max"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          count(lit(1)).over(trail).cast("long").as("n_trail"))
+    }),
+
+    // ---- forward as-of join (q121): time-to-next-event labels — every
+    // event gets the user's EARLIEST strictly-later 'click' payload and
+    // the nanosecond delta to it (the training-target primitive: time-
+    // to-next-purchase/churn labels). Same single-exchange union-tag
+    // window as q108, order reversed. DuckDB's native ASOF LEFT JOIN
+    // with the < inequality is the independent twin. -------------------
+    "q121_asof_forward" -> ((s, dir) => {
+      val e = Trajectories.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
+          col("event_type"), col("value"))
+      // same (user, time) click dedup as q108 — the ASOF twin's
+      // equal-timestamp pick is arbitrary, so pin it on both sides
+      val cw = Window.partitionBy("user_id", "t").orderBy(col("event_id").desc)
+      val clicks = e.where(col("event_type") === "click")
+        .withColumn("rn", row_number().over(cw)).where(col("rn") === 1)
+        .select(col("user_id"), col("t"),
+          col("event_id").as("next_click_event_id"),
+          col("value").as("next_click_value"))
+      Joins.asofJoinForwardStrict(e, clicks, key = "user_id",
+          leftTime = "t", rightTime = "t")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("__match.next_click_event_id").as("next_click_event_id"),
+          // per-timestamp us truncation BEFORE the delta: DuckDB parses
+          // the parquet TIMESTAMP(NANOS) at us precision, so parity
+          // requires flooring each side, not the ns difference
+          expr("__match.__mt div 1000 - t div 1000").as("us_to_next_click"),
+          round(col("__match.next_click_value"), 6).as("next_click_value"))
+    }),
+
+    // ---- session path mining (q134): funnel/journey analytics — per
+    // q78-rule session, the ordered event-type path (capped at the first
+    // 5 steps), then the top-20 most common paths. The per-session
+    // sequence is built by sort_array over (time, event_id, type)
+    // structs, so ordering is deterministic; paths aggregate to a
+    // Zipf-bounded table before the top-k. -------------------------------
+    "q134_session_paths" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("event_type"))
+      val paths = Trajectories.sessionize(ev, gapMicros = 30000000000L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(array_join(transform(
+          slice(sort_array(collect_list(struct(col("tsu"), col("event_id"),
+            col("event_type")))), 1, 5),
+          t => t.getField("event_type")), ">").as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path")).limit(20)
+    }),
+
+    // ---- cohort retention (q135): the product-analytics staple — users
+    // bucketed by first-activity week; for every (cohort week, week
+    // offset) the count of distinct users still active. One exchange
+    // (the per-user window) + one model-sized aggregation. --------------
+    "q135_cohort_retention" -> ((s, dir) => {
+      // ONE user-keyed aggregation (map-side-combined collect_set of the
+      // handful of active weeks) replaces the r06 distinct -> per-user
+      // window -> countDistinct-expand chain (11.4x in the driver record).
+      // cohort = min week; each user contributes each (cohort, offset) at
+      // most once by construction, so the final count(*) is exact distinct
+      // users — two exchanges total, the second over the model-sized
+      // (cohort, offset) key space.
+      Trajectories.events(s, dir)
+        .select(col("user_id"),
+          expr("(ts div 1000) div 604800000000").as("week"))
+        .groupBy("user_id").agg(collect_set(col("week")).as("weeks"))
+        .select(array_min(col("weeks")).as("cohort_week"),
+          explode(col("weeks")).as("week"))
+        .select(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
+    // ---- funnel conversion (q136): ordered view -> click -> purchase
+    // within a q78-rule session — each step's earliest time must be
+    // STRICTLY after the previous step's (the standard ordered-funnel
+    // semantics). Three conditional-min aggregations over the sessionized
+    // events; output is one row of step counts + rounded conversion
+    // fractions. --------------------------------------------------------
+    "q136_funnel" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("event_type"))
+      val sess = Trajectories.sessionize(ev, gapMicros = 30000000000L)
+      // ONE lazy plan (the r06 shape launched four sequential driver
+      // jobs over the sessionized set): per session, t1 = min view time
+      // and the click/purchase times collect into session-bounded sorted
+      // arrays; t2/t3 are strictly-after conditional mins via
+      // array_min(filter(...)) — a null t1/t2 propagates to an empty
+      // filter and a null min, exactly the join semantics of the twin.
+      val per = sess.groupBy("user_id", "session_idx").agg(
+        min(when(col("event_type") === "view", col("tsu"))).as("t1"),
+        sort_array(collect_list(
+          when(col("event_type") === "click", col("tsu")))).as("clicks"),
+        sort_array(collect_list(
+          when(col("event_type") === "purchase", col("tsu")))).as("purchases"))
+        .withColumn("t2", array_min(filter(col("clicks"), c => c > col("t1"))))
+        .withColumn("t3", array_min(filter(col("purchases"), c => c > col("t2"))))
+      per.agg(
+          count(lit(1)).as("n_sessions"),
+          count(col("t1")).as("n_view"),
+          count(col("t2")).as("n_view_click"),
+          count(col("t3")).as("n_full_funnel"))
+        .select(col("n_sessions"), col("n_view"), col("n_view_click"),
+          col("n_full_funnel"),
+          round(col("n_view") / col("n_sessions"), 6).as("view_rate"),
+          round(col("n_view_click") / greatest(col("n_view"), lit(1L)), 6)
+            .as("click_after_view_rate"),
+          round(col("n_full_funnel") / greatest(col("n_view_click"), lit(1L)), 6)
+            .as("purchase_after_click_rate"))
+    }),
+
+    // ---- as-of join (q108): point-in-time-correct event enrichment —
+    // every event gets the payload of the user's LATEST strictly-prior
+    // 'click'. Union-tag + one per-key window: ONE hash exchange, no
+    // join operator, no probe — the canonical distributed as-of shape
+    // (operators/Joins.scala). DuckDB's native ASOF LEFT JOIN is the
+    // independent twin. -------------------------------------------------
+    "q108_asof_join" -> ((s, dir) => {
+      val e = Trajectories.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
+          col("event_type"), col("value"))
+      // dedup clicks per (user_id, t) keeping max event_id: DuckDB's
+      // ASOF twin picks ARBITRARILY among equal-timestamp matches, so
+      // parity requires at most one click per (user, time) on both sides
+      val cw = Window.partitionBy("user_id", "t").orderBy(col("event_id").desc)
+      val clicks = e.where(col("event_type") === "click")
+        .withColumn("rn", row_number().over(cw)).where(col("rn") === 1)
+        .select(col("user_id"), col("t"),
+          col("event_id").as("prior_click_event_id"),
+          col("value").as("prior_click_value"))
+      Joins.asofJoinStrict(e, clicks, key = "user_id",
+          leftTime = "t", rightTime = "t")
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("__match.prior_click_event_id").as("prior_click_event_id"),
+          round(col("__match.prior_click_value"), 6).as("prior_click_value"))
+    }),
+
+    // ---- bucketed range join (q109): lineitems priced within ±1% of a
+    // part's retail price, WITHOUT the BroadcastNestedLoopJoin Spark
+    // plans for a bare BETWEEN (|points|x|intervals| comparisons). Each
+    // point hashes to ONE value-bucket, each ±1% interval replicates to
+    // the <=2 buckets it overlaps, and a plain equi-join + exact BETWEEN
+    // filter recovers the containment pairs — work is output-
+    // proportional. Result is aggregated per part (exact counts). -------
+    "q109_range_join" -> ((s, dir) => {
+      val iv = Trajectories.table(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("p_partkey"),
+          (col("p_retailprice").cast("double") * 0.99).as("lo"),
+          (col("p_retailprice").cast("double") * 1.01).as("hi"))
+      val pts = Trajectories.table(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast("double").as("price"),
+          col("l_quantity").cast("long").as("qty"))
+      Joins.rangeJoin(pts, "price", iv, "lo", "hi", bucketWidth = 20.0)
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n_matches"),
+          sum(col("qty")).as("sum_qty"))
+    }),
+
+    // Semi-structured props column: JSON field extraction (codegen
+    // get_json_object) feeding a relational aggregate — the schema-on-read
+    // path every event pipeline needs; DuckDB twin via json_extract.
+    "q81_json_props" -> ((s, dir) => {
+      Trajectories.table(s, dir, "events")
+        .select(Trajectories.eventTypeState(col("event_type")).as("state"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+    }),
+
+    // Skew-aware exact distinct count: hash-partition the VALUE space into
+    // buckets, count distinct per (key, bucket), sum the bucket counts —
+    // exact because hash buckets partition the values; the two-phase shape
+    // caps any single reducer's state at |distinct|/buckets, which is the
+    // standard fix when one hot key owns most of the data. The oracle is
+    // the plain COUNT(DISTINCT) it must equal.
+    "q82_skew_distinct" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(Trajectories.eventTypeState(col("event_type")).as("state"),
+          col("user_id"))
+      graft.util.Salting.skewAwareDistinctCount(ev, Seq("state"), "user_id",
+        buckets = 16)
+        .withColumnRenamed("n_distinct", "n_users")
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    // Rolling-features twin: identical strictly-prior row frames.
+    "q114_rolling_features" ->
+      """SELECT event_id, user_id, value,
+           round(avg(value) OVER trail, 6) AS trail_avg,
+           max(value) OVER trail AS trail_max,
+           lag(value, 1) OVER w AS prev_value,
+           CAST(count(*) OVER trail AS BIGINT) AS n_trail
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           trail AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""",
+
+    // As-of twin: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // implementation of the same point-in-time semantics (strictly-prior
+    // via the > inequality), so the union-tag window decomposition is
+    // checked against a real asof operator, not a replay of itself.
+    "q108_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.value,
+           c.event_id AS prior_click_event_id,
+           round(c.value, 6) AS prior_click_value
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'click'
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+              ORDER BY event_id DESC) = 1) c
+           ON e.user_id = c.user_id AND e.ts > c.ts""",
+
+    // Range-join twin: plain BETWEEN join (DuckDB plans an IEJoin) +
+    // exact integer aggregates.
+    "q109_range_join" ->
+      """WITH iv AS (SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(p_retailprice AS DOUBLE) * CAST(0.99 AS DOUBLE) AS lo,
+           CAST(p_retailprice AS DOUBLE) * CAST(1.01 AS DOUBLE) AS hi
+           FROM part),
+         pts AS (SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+           CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+         SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_matches,
+           CAST(sum(qty) AS BIGINT) AS sum_qty
+         FROM iv JOIN pts ON price >= lo AND price <= hi
+         GROUP BY p_partkey""",
+
+    "q81_json_props" ->
+      s"""SELECT ${Trajectories.eventTypeStateSql} AS state,
+            CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+            CAST(count(DISTINCT CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT)
+              AS n_distinct_k
+          FROM events GROUP BY 1""",
+
+    // The salted two-phase distinct must equal the plain COUNT(DISTINCT).
+    "q82_skew_distinct" ->
+      s"""SELECT ${Trajectories.eventTypeStateSql} AS state,
+            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          FROM events GROUP BY 1""",
+
+    "q78_sessionize" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, value FROM events),
+         s AS (SELECT user_id, tsu, event_id, value,
+           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
+             THEN 1 ELSE 0 END AS brk
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         x AS (SELECT user_id, tsu, value,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess
+           FROM s)
+         SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(tsu) - min(tsu) AS BIGINT) AS dur_us,
+           round(sum(value), 4) AS sum_value
+         FROM x GROUP BY 1, 2""",
+
+    // Forward as-of twin: DuckDB's native ASOF LEFT JOIN with the <
+    // inequality (nearest strictly-later match) — again an independent
+    // implementation, not a replay; the delta uses epoch_ns to match
+    // Spark's nanosAsLong read of the TIMESTAMP(NANOS) column.
+    "q121_asof_forward" ->
+      """SELECT e.event_id, e.user_id, e.value,
+           c.event_id AS next_click_event_id,
+           epoch_us(c.ts) - epoch_us(e.ts) AS us_to_next_click,
+           round(c.value, 6) AS next_click_value
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'click'
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+              ORDER BY event_id DESC) = 1) c
+           ON e.user_id = c.user_id AND e.ts < c.ts""",
+
+    // Session-path twin: the q78 gap rule, ordered-list path capped at
+    // 5 steps, same (count desc, path) top-20.
+    "q134_session_paths" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+           FROM events),
+         s AS (SELECT user_id, tsu, event_id, event_type,
+           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
+             THEN 1 ELSE 0 END AS brk
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         x AS (SELECT user_id, tsu, event_id, event_type,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess
+           FROM s),
+         p AS (SELECT user_id, sess,
+           array_to_string(list(event_type ORDER BY tsu, event_id)[1:5], '>') AS path
+           FROM x GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+         FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20""",
+
+    // Cohort twin: same integer week bucketing of the us epoch.
+    "q135_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+           epoch_us(ts) // 604800000000 AS week FROM events),
+         c AS (SELECT user_id, week,
+           min(week) OVER (PARTITION BY user_id) AS cohort_week FROM wk)
+         SELECT cohort_week, week - cohort_week AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM c GROUP BY 1, 2""",
+
+    // Funnel twin: the q78 session rule + the same three strictly-after
+    // conditional-min steps.
+    "q136_funnel" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+           FROM events),
+         s0 AS (SELECT user_id, tsu, event_id, event_type,
+           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
+             THEN 1 ELSE 0 END AS brk
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         x AS (SELECT user_id, tsu, event_type,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess
+           FROM s0),
+         t1 AS (SELECT user_id, sess,
+             min(CASE WHEN event_type = 'view' THEN tsu END) AS t1
+           FROM x GROUP BY 1, 2 HAVING t1 IS NOT NULL),
+         t2 AS (SELECT x.user_id, x.sess, min(x.tsu) AS t2
+           FROM x JOIN t1 ON x.user_id = t1.user_id AND x.sess = t1.sess
+           WHERE x.event_type = 'click' AND x.tsu > t1.t1 GROUP BY 1, 2),
+         t3 AS (SELECT x.user_id, x.sess, min(x.tsu) AS t3
+           FROM x JOIN t2 ON x.user_id = t2.user_id AND x.sess = t2.sess
+           WHERE x.event_type = 'purchase' AND x.tsu > t2.t2 GROUP BY 1, 2),
+         c AS (SELECT
+           (SELECT count(*) FROM (SELECT DISTINCT user_id, sess FROM x)) AS na,
+           (SELECT count(*) FROM t1) AS n1,
+           (SELECT count(*) FROM t2) AS n2,
+           (SELECT count(*) FROM t3) AS n3)
+         SELECT CAST(na AS BIGINT) AS n_sessions, CAST(n1 AS BIGINT) AS n_view,
+           CAST(n2 AS BIGINT) AS n_view_click,
+           CAST(n3 AS BIGINT) AS n_full_funnel,
+           round(CAST(n1 AS DOUBLE) / CAST(na AS DOUBLE), 6) AS view_rate,
+           round(CAST(n2 AS DOUBLE) / CAST(greatest(n1, 1) AS DOUBLE), 6)
+             AS click_after_view_rate,
+           round(CAST(n3 AS DOUBLE) / CAST(greatest(n2, 1) AS DOUBLE), 6)
+             AS purchase_after_click_rate
+         FROM c""",
+  )
+}

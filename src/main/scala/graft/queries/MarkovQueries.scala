@@ -1,0 +1,1349 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Trajectories
+import graft.lag.Lag
+import graft.agg.Covariance
+import graft.linalg.LinAlg
+import graft.markov.TransitionCounting
+import graft.text.{Bpe, Packing, Pii, Scoring, TextFunctions}
+import graft.dedup.Dedup
+import graft.operators.Joins
+import graft.similarity.Similarity
+import graft.queries.QShared._
+
+/** MarkovQueries: transition counting, MSM estimation and analysis, HMM, Bayesian/OOM/TRAM/AMM, TPT, sensitivities, sparse MSM, estimation-api tail.
+  *
+  * One slice of the driver-contract registry (VERDICT r06 item 8 split
+  * of the 5,000-line SparkEntry monolith). Entry bodies are UNCHANGED;
+  * graft.SparkEntry merges every family into the single `queries` /
+  * `oracleSql` maps the driver consumes, and ContractSpec keeps the
+  * key sets equal. */
+private[graft] object MarkovQueries extends QueryFamily {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // ---- markov counting (SURVEY §2.4) ---------------------------------
+    "q05_count_matrix_sliding" -> ((s, dir) =>
+      TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)),
+
+    "q06_count_matrix_sample" -> ((s, dir) =>
+      TransitionCounting.sampleCounts(dtrajEv(s, dir), 3)),
+
+    "q07_state_histogram" -> ((s, dir) =>
+      TransitionCounting.stateHistogram(dtrajEv(s, dir))),
+
+    "q08_visited_set" -> ((s, dir) =>
+      TransitionCounting.visitedSet(dtrajEv(s, dir))),
+
+    "q09_msm_rownorm" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
+      counts.withColumn("t_prob",
+        round(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy("s0")), 6))
+        .select("s0", "s1", "t_prob")
+    }),
+
+    "q10_sliding_effective" -> ((s, dir) =>
+      TransitionCounting.slidingEffectiveCounts(
+        dtrajEv(s, dir), 2)),
+
+    "q26_sample_indices" -> ((s, dir) => {
+      dtrajEv(s, dir)
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_visits"), min("t").as("first_t"),
+          max("t").as("last_t"), countDistinct("traj_id").as("n_trajs"))
+    }),
+
+    // ---- count-matrix estimation api tail (q138): priors, likelihood,
+    // posterior covariance, error propagation (reference estimation/
+    // api.py:623-1100). The count matrix is the distributed artifact
+    // (one shuffle); the api is model-sized driver math, SQL-replayable
+    // like q56/q85. Grid rows (i, j) carry: the count, the three prior
+    // matrices, row-0's Dirichlet posterior covariance (ppm scale keeps
+    // 6-dec rounding significant), the per-count MLE log-likelihood, and
+    // the error perturbation of a fixed index-sensitivity S_ij =
+    // (i+1)(j+1)/25. -----------------------------------------------------
+    "q138_count_priors" -> ((s, dir) => {
+      import graft.markov.CountEstimation
+      val n = 5
+      val dense = breeze.linalg.DenseMatrix.zeros[Double](n, n)
+      TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
+        .select(col("s0"), col("s1"), col("cnt")).collect()
+        .foreach(r => dense(r.getInt(0), r.getInt(1)) = r.getLong(2).toDouble)
+      val rowSums = breeze.linalg.sum(dense(breeze.linalg.*, ::))
+      val t = breeze.linalg.DenseMatrix.tabulate(n, n)((i, j) =>
+        if (rowSums(i) > 0) dense(i, j) / rowSums(i) else 0.0)
+      val total = breeze.linalg.sum(dense)
+      val llpc = CountEstimation.logLikelihood(dense, t) / total
+      val bN = CountEstimation.priorNeighbor(dense)
+      val bC = CountEstimation.priorConst(dense)
+      val bR = CountEstimation.priorRev(dense)
+      val cov0 = CountEstimation.tmatrixCovRow(dense, 0)
+      val sMat = breeze.linalg.DenseMatrix.tabulate(n, n)((i, j) =>
+        (i + 1.0) * (j + 1.0) / 25.0)
+      val ep = CountEstimation.errorPerturbation(dense, sMat)
+      import s.implicits._
+      (for (i <- 0 until n; j <- 0 until n) yield
+        (i, j, dense(i, j).toLong, bN(i, j) + 0.0, bC(i, j) + 0.0,
+          bR(i, j) + 0.0, r6(cov0(i, j) * 1e6) + 0.0, r6(llpc) + 0.0,
+          r6(ep * 1e6) + 0.0))
+        .toDF("i", "j", "cnt", "b_neighbor", "b_const", "b_rev",
+          "cov0_ppm", "ll_per_count", "err_ppm")
+    }),
+
+    // ---- sparse large-n MSM path --------------------------------------
+    // Fine discretization (2000 value bins) -> COO counts -> sparse MSM
+    // with NO dense n^2 allocation anywhere (markov/SparseMsm.scala;
+    // reference _transition_counting.py:471 sparse_return +
+    // estimation/api.py:768-956 sparse dispatch + numeric/_eigen.py:289
+    // iterative eigs). Exact SQL rows anchor the data-sized facts
+    // (visited states, count-matrix nnz, transition total); residual rows
+    // gate the model contract: Tarjan SCC == independent forward/backward
+    // BFS intersection, pi stationarity/normalization via sparse matvec,
+    // row-stochasticity, detailed balance of the reversible MLE, and the
+    // deflated-Lanczos lambda_2 cross-checked against Arnoldi (two
+    // independent iterative eigensolvers must agree).
+    "q91_sparse_msm" -> ((s, dir) => {
+      def maxAbsD(xs: Iterable[Double]): Double =
+        if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+      val nBins = 2000
+      val dtraj = Trajectories.dtrajFromEventValues(s, dir, nBins)
+      val coo = graft.markov.SparseMsm.collectCoo(
+        TransitionCounting.slidingCounts(dtraj, 1), nBins)
+      require(!graft.markov.SparseMsm.denseIsEfficient(coo.n, coo.nnz),
+        "q91 must exercise the sparse branch")
+      val model = graft.markov.SparseMsm.fromCoo(coo, tau = 1, reversible = true)
+      val lcc = model.states
+      val bfs = graft.markov.SparseMsm.sccOfViaBfs(coo, lcc(0))
+      val lanczos = model.eigenvaluesK(3)
+      val arnoldi = graft.markov.SparseMsm.eigenvaluesArnoldi(model.transition, 3)
+      val nTrans = coo.vals.sum
+      // matrix-free CG solves: gate the boundary-value problems the same
+      // way q39/q71 gate the dense ones — interior rows of the committor
+      // satisfy sum_j T_ij q_j = q_i (replayed via a second sparse
+      // matvec), boundaries are exact; mfpt rows satisfy m - T_rest m = tau
+      val setA = Set(0); val setB = Set(model.n - 1)
+      val qPlus = model.committorForward(setA, setB)
+      val mf = model.mfpt(setB)
+      val t = model.transition
+      val tq = graft.markov.SparseMsm.rightMatvec(t, qPlus)
+      val tm = graft.markov.SparseMsm.rightMatvec(t, mf, setB.contains)
+      val committorResid = math.max(
+        math.max(math.abs(qPlus(0) - 0.0), math.abs(qPlus(model.n - 1) - 1.0)),
+        maxAbsD((1 until model.n - 1).map(i => tq(i) - qPlus(i))))
+      val mfptResid = maxAbsD((0 until model.n).collect {
+        case i if !setB.contains(i) => (mf(i) - tm(i) - 1.0) / math.max(1.0, mf(i))
+      })
+      // matrix-free fingerprint/correlation family (reference sparse path,
+      // impl/sparse/fingerprints_test.py): exact identities gate the
+      // propagated products — unit autocorrelation of the constant
+      // observable, reversibility symmetry of the cross-correlation, flat
+      // relaxation from the stationary start, and the stationary
+      // fingerprint amplitude via the analytic first eigenpair (r=1, l=pi)
+      import breeze.linalg.DenseVector
+      val third = model.n / 3
+      val obsA = DenseVector.tabulate(model.n)(i => if (i < third) 1.0 else 0.0)
+      val obsB = DenseVector.tabulate(model.n)(i =>
+        if (i >= model.n - third) 1.0 else 0.0)
+      val piV = model.stationaryDistribution
+      val ftimes = Seq(0, 1, 5, 10)
+      val onesV = DenseVector.ones[Double](model.n)
+      val cOne = graft.markov.SparseMsm.correlationMatvec(t, piV, onesV, onesV, ftimes)
+      val cAB = graft.markov.SparseMsm.correlationMatvec(t, piV, obsA, obsB, ftimes)
+      val cBA = graft.markov.SparseMsm.correlationMatvec(t, piV, obsB, obsA, ftimes)
+      val rFlat = graft.markov.SparseMsm.relaxationMatvec(t, piV, obsA, ftimes)
+      val eA = piV dot obsA
+      val amp0 = graft.markov.SparseMsm.fingerprintAmplitudes(
+        Seq(onesV), Seq(piV),
+        DenseVector.tabulate(model.n)(i => piV(i) * obsA(i)), obsB)(0)
+      checksDf(s, Seq(
+        "n_states_visited" -> coo.rows.concat(coo.cols).distinct.length.toDouble,
+        "nnz" -> coo.nnz.toDouble,
+        "n_transitions" -> nTrans,
+        "scc_bfs_parity" -> (if (bfs.sameElements(lcc)) 0.0 else 1.0),
+        "rowsums" -> model.rowSumResidual,
+        "pi_normalized" -> math.abs(breeze.linalg.sum(model.stationaryDistribution) - 1.0),
+        "pi_stationarity" -> model.stationarityResidual,
+        "detailed_balance" -> model.detailedBalanceResidual,
+        "lambda1_minus_one" -> (lanczos(0) - 1.0),
+        "lanczos_arnoldi_lambda2" -> (lanczos(1) - arnoldi(1)),
+        "committor_bvp" -> committorResid,
+        "mfpt_linear_system" -> mfptResid,
+        "corr_const_one" -> maxAbsD(cOne.map(_ - 1.0)),
+        "corr_reversible_symmetry" ->
+          maxAbsD(cAB.zip(cBA).map { case (a, b) => a - b }),
+        "relax_from_pi_flat" -> maxAbsD(rFlat.map(_ - eA)),
+        "fingerprint_amp0" -> (amp0 - eA * (piV dot obsB))))
+    }),
+
+    // Reversible MLE hash-gated per entry: support = symmetrized observed
+    // pairs (exact SQL), detailed balance pi_i T_ij = pi_j T_ji (the
+    // defining property of the reversible estimator, exact at convergence)
+    // and row-stochasticity, both driver-exact zeros on every row.
+    "q31_msm_reversible" -> ((s, dir) => {
+      // ONE collect of the COO count frame feeds BOTH the model build and
+      // the observed-pair support (the previous shape ran the window +
+      // count scan twice — 2x the whole query's data cost)
+      val cooRows = TransitionCounting
+        .slidingCounts(dtrajEv(s, dir), 1)
+        .select(col("s0"), col("s1"), col("cnt")).collect()
+      val dense = breeze.linalg.DenseMatrix.zeros[Double](5, 5)
+      cooRows.foreach(r => dense(r.getInt(0), r.getInt(1)) = r.getLong(2).toDouble)
+      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = true)
+      import s.implicits._
+      val t = msm.transitionMatrix
+      val pi = msm.stationaryDistribution
+      val sym2idx = msm.states.zipWithIndex.toMap
+      // support = SYMMETRIZED OBSERVED pairs (the oracle's row set on any
+      // data); pairs outside the model's connected set carry 0.0 residuals
+      val observedPairs = cooRows
+        .flatMap(r => Seq((r.getInt(0), r.getInt(1)), (r.getInt(1), r.getInt(0))))
+        .distinct.sorted
+      observedPairs.map { case (a, b) =>
+        (sym2idx.get(a), sym2idx.get(b)) match {
+          case (Some(i), Some(j)) =>
+            val rowSum = (0 until msm.n).map(t(i, _)).sum
+            (a, b, r6(pi(i) * t(i, j) - pi(j) * t(j, i)) + 0.0,
+              r6(rowSum - 1.0) + 0.0)
+          case _ => (a, b, 0.0, 0.0)
+        }
+      }.toSeq.toDF("s0", "s1", "db_resid", "row_resid")
+    }),
+
+    // ---- validation workflows (SURVEY §2 validation; util/validation.py) --
+    "q33_multilag_counts" -> ((s, dir) =>
+      graft.markov.Validation.multiLagCounts(
+        dtrajEv(s, dir), Seq(1, 2, 4))),
+
+    // Implied-timescale grid hash-gated by the eigenproblem itself: for
+    // each (lag, process), the eigenpair satisfies T v = lambda v (complex
+    // pairs in real arithmetic) and the reported timescale equals
+    // -lag/ln|lambda| recomputed from an INDEPENDENT eig call — both
+    // residuals are exact zeros over the SQL-pinned (lag, process) grid.
+    "q34_its" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, DenseVector}
+      val dtraj = dtrajEv(s, dir)
+      val lags = Seq(1, 2, 3, 5)
+      val k = 3
+      val its = graft.markov.Validation.impliedTimescales(dtraj, lags, nStates = 5, k = k)
+      val models = graft.markov.Validation.msmPerLag(dtraj, lags, 5, reversible = true)
+      import s.implicits._
+      (for (l <- lags.indices; p <- 0 until k) yield {
+        val msm = models(lags(l))
+        val t = msm.transitionMatrix
+        val e = breeze.linalg.eig(t)
+        val order = (0 until msm.n)
+          .sortBy(i => -math.hypot(e.eigenvalues(i), e.eigenvaluesComplex(i)))
+        val c = order(p + 1) // skip the stationary eigenvalue
+        val re = e.eigenvalues(c); val im = e.eigenvaluesComplex(c)
+        val mag = math.hypot(re, im)
+        // eigen residual ||T v - lambda v||_inf in real arithmetic
+        val eigResid = if (im == 0.0) {
+          val v = DenseVector.tabulate(msm.n)(i => e.eigenvectors(i, c))
+          breeze.linalg.max(breeze.numerics.abs(t * v - v * re))
+        } else {
+          val cf = if (im > 0) c else c - 1 // +im member precedes in LAPACK pairs
+          val vr = DenseVector.tabulate(msm.n)(i => e.eigenvectors(i, cf))
+          val vi = DenseVector.tabulate(msm.n)(i => e.eigenvectors(i, cf + 1))
+          val reF = e.eigenvalues(cf); val imF = e.eigenvaluesComplex(cf)
+          val rr = t * vr - (vr * reF - vi * imF)
+          val ri = t * vi - (vi * reF + vr * imF)
+          math.max(breeze.linalg.max(breeze.numerics.abs(rr)),
+            breeze.linalg.max(breeze.numerics.abs(ri)))
+        }
+        val tsRecomputed = -lags(l) / math.log(mag)
+        (lags(l), p, r6(eigResid) + 0.0,
+          r6(tsRecomputed - its.its(l)(p)) + 0.0)
+      }).toDF("lag", "process", "eig_resid", "its_consistency")
+    }),
+
+    "q35_cond_frame" -> ((s, dir) =>
+      graft.markov.EffectiveCounts.conditionalFrame(
+        dtrajEv(s, dir), 1)
+        .select(col("s0"), col("traj_id"), col("t"), col("y"), col("u"))),
+
+    // Oracle: the inefficiency formula is closed-form in pair-count sums
+    // (EffectiveCounts.scala acf identity), so DuckDB recomputes the whole
+    // chain — conditional frame, per-lag co-occurrence counts, truncated
+    // corrsum, row-averaged scaling — in SQL.
+    "q36_effective_counts" -> ((s, dir) => {
+      val ceff = graft.markov.EffectiveCounts.effectiveCountMatrix(
+        dtrajEv(s, dir), 1, 5, maxLag = 25)
+      import s.implicits._
+      // half-away rounding, matching DuckDB round(x, 4)
+      (for (i <- 0 until 5; j <- 0 until 5 if ceff(i, j) > 0) yield
+        (i, j, r4(ceff(i, j))))
+        .toDF("s0", "s1", "cnt_eff")
+    }),
+
+    // Crisp-set CK test with empirical weights: estimates = coarse-grained
+    // row-normalized count matrices at lag l, predictions = coarse-grained
+    // l-th powers of the lag-1 matrix — every value is a ratio of pair
+    // counts, so the DuckDB oracle recomputes the WHOLE grid (powers via
+    // self-joins) and the Chapman-Kolmogorov surface is value-checked, not
+    // rows-only. The PCCA-membership ckTest stays the API default
+    // (ValidationSpec covers it against the reference semantics).
+    "q37_cktest" -> ((s, dir) => {
+      val ck = graft.markov.Validation.ckTestSets(
+        dtrajEv(s, dir), tau = 1, steps = 3,
+        nStates = 5, sets = Seq(Set(0, 1), Set(2, 3, 4)))
+      import s.implicits._
+      (for (l <- ck.lagtimes.indices; i <- 0 until ck.nSets; j <- 0 until ck.nSets) yield
+        (ck.lagtimes(l), i, j,
+          r6(ck.predictions(l)(i, j)), r6(ck.estimates(l)(i, j))))
+        .toDF("lag", "set_i", "set_j", "predicted", "estimated")
+    }),
+
+    // Bayesian posterior invariants per process: CI endpoints ordered,
+    // timescales/std positive and finite (sample validity itself — every
+    // Gibbs sample stochastic + reversible — is hash-gated in q73).
+    "q38_bayesian_timescales" -> ((s, dir) => {
+      val post = graft.markov.BayesianMsm.fit(
+        dtrajEv(s, dir), tau = 1, nStates = 5,
+        nSamples = 40, seed = 42L, nChains = 8, maxLag = 25)
+      import s.implicits._
+      // QuantityStatistics.gather facade (util/stats.py:197-290) over the
+      // 2-process timescale vector: per element the gathered mean must
+      // equal the direct sample mean, the mean-anchored CI must bracket
+      // the mean and stay inside the sample range, population std is
+      // nonnegative, and conf=1 gather returns exact min/max
+      val tsOf = (m: graft.markov.MarkovStateModel) => {
+        val t = m.timescales(2).toArray
+        Array.tabulate(2)(i => if (i < t.length) t(i) else Double.NaN)
+      }
+      val gs = post.gatherStats(tsOf, "timescales")
+      val g1 = post.gatherStats(tsOf, "timescales", conf = 1.0)
+      val tsSamples = post.samples.map(tsOf)
+      post.timescaleStats(2).map { case (p, m, sd, lo, hi) =>
+        val finite = Seq(m, sd, lo, hi).forall(v => !v.isNaN && !v.isInfinite)
+        val vals = tsSamples.map(_(p))
+        val gatherViol = Seq(
+          math.abs(gs.mean(p) - vals.sum / vals.size),
+          math.max(0.0, gs.lower(p) - gs.mean(p)),
+          math.max(0.0, gs.mean(p) - gs.upper(p)),
+          math.max(0.0, vals.min - gs.lower(p)),
+          math.max(0.0, gs.upper(p) - vals.max),
+          math.abs(g1.lower(p) - vals.min),
+          math.abs(g1.upper(p) - vals.max),
+          -math.min(gs.std(p), 0.0)).max
+        (p, r6(math.max(0.0, lo - hi)) + 0.0,
+          r6(math.max(0.0, -math.min(math.min(m, sd), lo))) + 0.0,
+          if (finite) 0.0 else 1.0,
+          r6(gatherViol) + 0.0)
+      }.toDF("process", "ci_order_viol", "negativity_viol", "nonfinite",
+        "gather_viol")
+    }),
+
+    // ---- TPT / PCCA / committors over the events MSM -------------------
+    // Committors hash-gated by their boundary-value problems on a
+    // per-state grid the SQL twin pins: q+(A)=0, q+(B)=1, interior rows
+    // satisfy sum_j T_ij q+(j) = q+(i); q- satisfies the adjoint system on
+    // the time-reversed chain. All residuals driver-exact zeros.
+    "q39_committors" -> ((s, dir) => {
+      val (dense, obs) = countsAndObserved(s, dir)
+      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = false)
+      import s.implicits._
+      val a = Set(0); val b = Set(4)
+      val qf = msm.committorForward(a, b)
+      val qb = msm.committorBackward(a, b)
+      val t = msm.transitionMatrix
+      val pi = msm.stationaryDistribution
+      // time-reversed matrix for the backward BVP residual
+      val tRev = breeze.linalg.DenseMatrix.tabulate(msm.n, msm.n)((i, j) =>
+        if (pi(i) > 0) pi(j) * t(j, i) / pi(i) else 0.0)
+      // a/b are MODEL indices (committorForward's contract); rows span the
+      // OBSERVED states (oracle support) with 0.0 for non-model states
+      val sym2idx = msm.states.zipWithIndex.toMap
+      obs.map { sym =>
+        sym2idx.get(sym) match {
+          case Some(i) =>
+            val fwdResid =
+              if (a.contains(i)) qf(i) - 0.0
+              else if (b.contains(i)) qf(i) - 1.0
+              else (0 until msm.n).map(j => t(i, j) * qf(j)).sum - qf(i)
+            val bwdResid =
+              if (a.contains(i)) qb(i) - 1.0
+              else if (b.contains(i)) qb(i) - 0.0
+              else (0 until msm.n).map(j => tRev(i, j) * qb(j)).sum - qb(i)
+            (sym, r6(fwdResid) + 0.0, r6(bwdResid) + 0.0)
+          case None => (sym, 0.0, 0.0)
+        }
+      }.toDF("state", "fwd_bvp_resid", "bwd_bvp_resid")
+    }),
+
+    // Reactive-flux conservation per state: gross flux into an
+    // intermediate state equals gross flux out (exact TPT identity given
+    // the committor solves); endpoint rows check total-flux consistency
+    // (A-outflow == B-inflow == rate * sum_i pi_i q-_i).
+    "q40_tpt_flux" -> ((s, dir) => {
+      val (dense, obs) = countsAndObserved(s, dir)
+      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = true)
+      val flux = graft.markov.Tpt.reactiveFlux(msm, Set(0), Set(4))
+      val f = flux.grossFlux
+      val n = msm.n
+      import s.implicits._
+      // A/B are MODEL-index sets (reactiveFlux's contract); rows span the
+      // OBSERVED states (oracle support) with 0.0 for non-model states
+      def outOf(states: Set[Int]): Double =
+        (for (i <- 0 until n if states.contains(i);
+              j <- 0 until n if !states.contains(j)) yield f(i, j)).sum
+      def into(states: Set[Int]): Double =
+        (for (j <- 0 until n if states.contains(j);
+              i <- 0 until n if !states.contains(i)) yield f(i, j)).sum
+      val sym2idx = msm.states.zipWithIndex.toMap
+      obs.map { sym =>
+        sym2idx.get(sym) match {
+          case Some(i) =>
+            val resid =
+              if (i == 0) outOf(Set(0)) - flux.totalFlux          // A-outflow
+              else if (i == 4) into(Set(4)) - flux.totalFlux      // B-inflow
+              else (0 until n).map(j => f(j, i)).sum - (0 until n).map(j => f(i, j)).sum
+            (sym, r6(resid) + 0.0)
+          case None => (sym, 0.0)
+        }
+      }.toDF("state", "conservation_resid")
+    }),
+
+    // PCCA membership invariants per (state, set): rows sum to 1 and
+    // memberships are non-negative, over the SQL-pinned grid.
+    "q41_pcca_memberships" -> ((s, dir) => {
+      val (dense, obs) = countsAndObserved(s, dir)
+      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = true)
+      val pcca = graft.markov.Pcca(msm, 2)
+      import s.implicits._
+      val sym2idx = msm.states.zipWithIndex.toMap
+      // metastable_distributions (Bayesian inversion, _pcca.py:54): each
+      // set's distribution over states sums to 1, and the inversion
+      // identity dists(k,i) * Z_k = chi(i,k) * pi(i) is driver-exact
+      val pi = msm.stationaryDistribution
+      val zk = Array.tabulate(2)(k =>
+        (0 until msm.n).map(i => pcca.memberships(i, k) * pi(i)).sum)
+      (for (sym <- obs; k <- 0 until 2) yield
+        sym2idx.get(sym) match {
+          case Some(i) =>
+            (sym, k, r6(pcca.memberships(i, 0) + pcca.memberships(i, 1) - 1.0) + 0.0,
+              r6(math.max(0.0, -pcca.memberships(i, k))) + 0.0,
+              r6(pcca.metastableDistributions(k, i) * zk(k) -
+                pcca.memberships(i, k) * pi(i)) + 0.0)
+          case None => (sym, k, 0.0, 0.0, 0.0)
+        }).toDF("state", "metastable_set", "rowsum_resid", "nonneg_viol",
+          "bayes_inversion_resid")
+    }),
+
+    // ---- HMM ------------------------------------------------------------
+    // Viterbi path contract: path length = #observed frames (exact SQL),
+    // hidden labels in range; emission/transition stochasticity of the EM
+    // fit is hash-gated in q73.
+    "q46_hmm_viterbi" -> ((s, dir) => {
+      val dtraj = dtrajEv(s, dir).where(col("state") >= 0)
+      val model = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 5, maxIter = 15)
+      val path = graft.markov.hmm.Hmm.viterbi(dtraj, model, nObs = 5)
+      val row = path.agg(
+        count(lit(1)).as("len"),
+        sum(when(col("hidden") < 0 || col("hidden") >= 2, 1L).otherwise(0L)).as("oob"))
+        .collect()(0)
+      checksDf(s, Seq(
+        "path_len" -> row.getLong(0).toDouble,
+        "hidden_out_of_range" -> row.getLong(1).toDouble))
+    }),
+
+    // ---- sample-by-state (oracle on the COUNT contract; the draw itself
+    // is hash-order dependent) -------------------------------------------
+    "q54_sample_by_state" -> ((s, dir) => {
+      graft.markov.MsmAnalysis.sampleByState(
+        dtrajEv(s, dir), nSamples = 10, seed = 7L)
+        .groupBy("state").agg(count(lit(1)).as("n_sampled"))
+    }),
+
+    // ---- analysis long tail --------------------------------------------
+    // Correlation-fingerprint identities: summed amplitudes equal the
+    // instantaneous correlation E_pi[obs^2] (t=0 spectral completeness),
+    // the stationary amplitude equals (pi . obs)^2, and autocorrelation
+    // amplitudes are non-negative — exact spectral-decomposition facts.
+    "q55_fingerprints" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val obs = breeze.linalg.DenseVector.tabulate(msm.n)(i => i.toDouble)
+      val (ts, amps) = graft.markov.MsmAnalysis.fingerprintCorrelation(
+        msm.transitionMatrix, obs, obs)
+      val pi = msm.stationaryDistribution
+      val corr0 = (0 until msm.n).map(i => pi(i) * obs(i) * obs(i)).sum
+      val statAmp = math.pow((0 until msm.n).map(i => pi(i) * obs(i)).sum, 2)
+      val statIdx = ts.indexWhere(_.isPosInfinity)
+      checksDf(s, Seq(
+        "amp_sum_minus_corr0" -> (amps.sum - corr0),
+        "stationary_amp_resid" ->
+          (if (statIdx >= 0) amps(statIdx) - statAmp else 1.0),
+        "autocorr_amp_negativity" -> amps.map(a => math.max(0.0, -a)).max,
+        "n_components" -> ts.length.toDouble))
+    }),
+
+    // Expected stationary counts E[C_ij] = N pi_i T_ij. The row-sum ratio
+    // E[C_ij] / sum_j E[C_ij] cancels N pi_i and equals T_ij EXACTLY, so
+    // the DuckDB twin is the row-normalized count matrix; the stationarity
+    // residual ||pi T - pi||_inf (driver-exact zero) rides along on every
+    // row — together they hash-gate both factors of the product.
+    "q56_expected_counts" -> ((s, dir) => {
+      val (dense, _) = countsAndObserved(s, dir)
+      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = false)
+      val t = msm.transitionMatrix
+      val pi = msm.stationaryDistribution
+      val ec = graft.markov.MsmAnalysis.expectedCountsStationary(t, 1000)
+      val piResid = (0 until msm.n).map(j =>
+        math.abs((0 until msm.n).map(i => pi(i) * t(i, j)).sum - pi(j))).max
+      import s.implicits._
+      // row support = OBSERVED pairs (count > 0), exactly the oracle's
+      // observed-pair support — an ec-magnitude cutoff (the r04 shape,
+      // ec > 1e-9) could drop a counted pair whose stationary weight is
+      // tiny and silently break row-set parity on less-balanced data
+      (for (i <- 0 until msm.n; j <- 0 until msm.n
+            if dense(msm.states(i), msm.states(j)) > 0) yield {
+        val rowSum = (0 until msm.n).map(jj => ec(i, jj)).sum
+        (msm.states(i), msm.states(j), r6(ec(i, j) / rowSum), r6(piResid) + 0.0)
+      }).toDF("s0", "s1", "tprob", "pi_resid")
+    }),
+
+    // Hitting-probability BVP per state: h = 1 on the target, and on the
+    // rest h_i = sum_j T_ij h_j (this chain is irreducible, so no
+    // absorbing-zero branch applies); residuals driver-exact zeros over
+    // the SQL-pinned state grid.
+    "q57_hitting_probability" -> ((s, dir) => {
+      val (dense, obs) = countsAndObserved(s, dir)
+      val msm = graft.markov.Msm.fromDense(dense, tau = 1, reversible = false)
+      val t = msm.transitionMatrix
+      val h = graft.markov.MsmAnalysis.hittingProbability(t, Set(2))
+      import s.implicits._
+      val sym2idx = msm.states.zipWithIndex.toMap
+      obs.map { sym =>
+        sym2idx.get(sym) match {
+          case Some(i) =>
+            val resid =
+              if (i == 2) h(i) - 1.0
+              else (0 until msm.n).map(j => t(i, j) * h(j)).sum - h(i)
+            (sym, r6(resid) + 0.0)
+          case None => (sym, 0.0)
+        }
+      }.toDF("state", "bvp_resid")
+    }),
+
+    // ---- OOM / two-step statistics ------------------------------------
+    "q58_twostep_counts" -> ((s, dir) =>
+      graft.markov.Oom.twoStepCounts(dtrajEv(s, dir), 1)),
+
+    // OOM-corrected MSM invariants per entry over the SQL-pinned state
+    // grid: the equilibrium-corrected matrix is exactly row-stochastic
+    // (explicit renormalization) and non-negative (clipped correction).
+    "q59_oom_msm" -> ((s, dir) => {
+      val model = graft.markov.Oom.fit(dtrajEv(s, dir),
+        tau = 1, nStates = 5, rankTol = 2.0, nbs = 50)
+      import s.implicits._
+      val t = model.transitionMatrix
+      val sym2idx = model.states.zipWithIndex.toMap
+      val obs = observedStates(s, dir)
+      (for (a <- obs; b <- obs) yield
+        (sym2idx.get(a), sym2idx.get(b)) match {
+          case (Some(i), Some(j)) =>
+            val rowSum = model.states.indices.map(t(i, _)).sum
+            (a, b, r6(rowSum - 1.0) + 0.0, r6(math.max(0.0, -t(i, j))) + 0.0)
+          case _ => (a, b, 0.0, 0.0)
+        }).toDF("s0", "s1", "row_resid", "nonneg_viol")
+    }),
+
+    // ---- TRAM multi-ensemble free energies (rows-only) -----------------
+    "q60_tram" -> ((s, dir) => {
+      // guard: unknown event types map to state -1, which would make the
+      // 1-based element_at throw
+      val d = dtrajEv(s, dir).where(col("state") >= 0)
+      val biasVec = Seq(2.0, 1.5, 1.0, 0.5, 0.0)
+      val d0 = d.withColumn("bias", array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
+      // second "ensemble": strided half of the data standing in for a
+      // biased simulation (structure check, not physics)
+      val d1 = Lag.strided(d, 2)
+        .withColumn("bias", array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
+      val model = graft.markov.Tram.fit(Seq(d0, d1), tau = 1, nMarkov = 5,
+        maxIter = 100, maxErr = 1e-8)
+      import s.implicits._
+      // Per-state invariants: pi = exp(-f)/Z is a normalized distribution
+      // (exact by construction), free energies finite, pi positive —
+      // over the SQL-pinned state grid. Free-energy recovery vs an
+      // analytic two-ensemble fixture is spec-gated (TramSpec).
+      val pi = model.stationaryDistribution
+      val piSum = (0 until 5).map(pi(_)).sum
+      // rows span the observed states (the oracle's support on any data)
+      observedStates(s, dir).map { i =>
+        val f = model.markovStateEnergies(i)
+        (i, r6(piSum - 1.0) + 0.0,
+          if (f.isNaN || f.isInfinite) 1.0 else 0.0,
+          r6(math.max(0.0, -pi(i))) + 0.0)
+      }.toDF("state", "pi_norm_resid", "f_nonfinite", "pi_negativity")
+    }),
+
+    // ---- AMM -----------------------------------------------------------
+    // Per-state invariants: the biased MSM is built from a symmetric
+    // stationary-weight matrix, so pi is EXACTLY the stationary vector of
+    // T (pi_j = sum_i pi_i T_ij identically) and normalized; residuals are
+    // driver-exact zeros over the SQL-pinned state grid.
+    "q61_amm" -> ((s, dir) => {
+      val (counts, obs) = countsAndObserved(s, dir)
+      val e = breeze.linalg.DenseMatrix.tabulate(5, 1)((i, _) => i.toDouble)
+      val model = graft.markov.Amm.fit(counts, e,
+        breeze.linalg.DenseVector(2.3), breeze.linalg.DenseVector(2.0))
+      import s.implicits._
+      val t = model.transitionMatrix
+      val pi = model.stationaryDistribution
+      val piSum = (0 until 5).map(pi(_)).sum
+      // rows span the observed states (the oracle's support on any data)
+      obs.map { j =>
+        val statResid = (0 until 5).map(i => pi(i) * t(i, j)).sum - pi(j)
+        (j, r6(statResid) + 0.0, r6(piSum - 1.0) + 0.0)
+      }.toDF("state", "pi_stationarity_resid", "pi_norm_resid")
+    }),
+
+    // ---- TPT pathway decomposition --------------------------------------
+    // Widest-path decomposition invariants: every path runs A -> B through
+    // valid edges, fluxes are positive and non-increasing in rank, and the
+    // full decomposition (fraction=1.0) captures the total flux to within
+    // the stop tolerance — all driver-exact checks.
+    "q65_tpt_pathways" -> ((s, dir) => {
+      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val flux = graft.markov.Tpt.reactiveFlux(msm, Set(0), Set(4))
+      val paths = flux.pathways(1.0)
+      val endpointViol = paths.count { case (p, _) =>
+        p.isEmpty || p.head != 0 || p.last != 4 }.toDouble
+      val fluxNonPos = paths.count { case (_, f) => f <= 0.0 }.toDouble
+      val orderViol = paths.map(_._2).sliding(2)
+        .count { case Seq(a, b) => b > a + 1e-15; case _ => false }.toDouble
+      val captured = paths.map(_._2).sum
+      checksDf(s, Seq(
+        "path_endpoints_viol" -> endpointViol,
+        "flux_nonpositive" -> fluxNonPos,
+        "flux_rank_order_viol" -> orderViol,
+        "uncaptured_total_flux" ->
+          math.max(0.0, flux.totalFlux - captured - 1e-9),
+        "n_paths_positive" -> (if (paths.nonEmpty) 0.0 else 1.0)))
+    }),
+
+    // ---- Girsanov-reweighted counting (oracle: window sum is plain SQL) -
+    "q67_girsanov_counts" -> ((s, dir) => {
+      val d = Trajectories.eventSeries(s, dir)
+        .join(dtrajEv(s, dir), Seq("traj_id", "t"))
+        .withColumn("g", lit(1.0))
+        .withColumn("logM", col("value") / 1e5)
+      TransitionCounting.girsanovReweightedCounts(d, 2)
+        .select(col("s0"), col("s1"), round(col("cnt_reweighted"), 6).as("cnt_rw"))
+    }),
+
+    // ---- rate-matrix estimation (SURVEY 2.6; ratematrix.py family) -----
+    // Query surface = pseudo-generator of the nonreversible MLE (exact SQL
+    // twin); the KL / Crommelin-Vanden-Eijnden quasi-Newton estimators are
+    // spec-verified against the reference fixture (RateMatrixSpec).
+    "q69_rate_matrix" -> ((s, dir) => {
+      // fully distributed pseudo-generator over OBSERVED transitions (the
+      // q09 pattern): row-normalize the count frame, subtract identity,
+      // divide by tau — same row set as the oracle on ANY data, including
+      // disconnected states / unobserved pairs (the earlier driver-matrix
+      // emit produced the full n x n grid over the largest connected set,
+      // which only coincided with the oracle because this dataset happens
+      // to observe all 25 pairs). The driver-side generator estimators
+      // (pseudo/truncated_log/CVE/KL) are exercised by RateMatrixSpec and
+      // the q71 invariants.
+      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 2)
+      counts.withColumn("t_prob",
+          col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy("s0")))
+        .select(col("s0"), col("s1"),
+          round((col("t_prob") -
+            when(col("s0") === col("s1"), 1.0).otherwise(0.0)) / 2.0, 6).as("rate"))
+    }),
+
+    // ---- model-invariant battery (reference property-test style:
+    // tests/markov/msm/test_msm_basic_properties.py checks P^k pi = pi etc.)
+    // Each row is a named invariant VIOLATION measure that must round to
+    // exactly 0.0; the oracle pins the full expected (check, violation)
+    // set, so any broken driver-side linear-algebra path (MLE, committors,
+    // PCCA, TPT, VAMP whitening, rate matrices) flips the hash. ----------
+    "q71_model_invariants" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
+      val msmRev = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val msmNon = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = false)
+      val n = msmRev.n
+      val t = msmRev.transitionMatrix
+      val pi = msmRev.stationaryDistribution
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+
+      val checks = scala.collection.mutable.LinkedHashMap[String, Double]()
+      checks("rev_rowsums") = maxAbs((0 until n).map(i => bsum(t(i, ::).t) - 1.0))
+      checks("rev_detailed_balance") = maxAbs(
+        for (i <- 0 until n; j <- 0 until n) yield pi(i) * t(i, j) - pi(j) * t(j, i))
+      checks("pi_stationarity") = maxAbs((0 until n).map(j =>
+        (0 until n).map(i => pi(i) * t(i, j)).sum - pi(j)))
+      checks("pi_normalized") = math.abs(bsum(pi) - 1.0)
+      // endpoint states in MODEL indexing (robust to a largest-connected
+      // set smaller than the raw state count)
+      val a = Set(0); val b = Set(msmNon.n - 1)
+      val tn = msmNon.transitionMatrix
+      val nn = msmNon.n
+      val qf = msmNon.committorForward(a, b)
+      checks("committor_bvp") = maxAbs(
+        (0 until nn).filterNot(i => a.contains(i) || b.contains(i)).map(i =>
+          (0 until nn).map(j => tn(i, j) * qf(j)).sum - qf(i)))
+      val tgt = nn - 1
+      val mfptVec = msmNon.mfpt(Set(tgt))
+      checks("mfpt_linear_system") = maxAbs(
+        (0 until nn).filter(_ != tgt).map(i =>
+          1.0 + (0 until nn).filter(_ != tgt).map(j => tn(i, j) * mfptVec(j)).sum - mfptVec(i)))
+      val pcca = graft.markov.Pcca(msmRev, 2)
+      checks("pcca_membership_rowsums") = maxAbs((0 until n).map(i =>
+        pcca.memberships(i, 0) + pcca.memberships(i, 1) - 1.0))
+      checks("pcca_membership_nonneg") = maxAbs(
+        (for (i <- 0 until n; k <- 0 until 2) yield math.min(pcca.memberships(i, k), 0.0)))
+      // VAMP whitening identity: U' C00 U = I on the kept components
+      val cov = Covariance.fit(liPairs(s, dir))
+      val vamp = graft.decomposition.Vamp.fitFromCovariance(cov, 1)
+      val d = cov.d; val k = vamp.k
+      val c00 = DenseMatrix.tabulate(d, d)((i, j) => cov.cov00(i * d + j))
+      val u = DenseMatrix.tabulate(d, k)((i, j) => vamp.u(i * k + j))
+      val whiten = u.t * c00 * u
+      checks("vamp_whitening_identity") = maxAbs(
+        for (i <- 0 until k; j <- 0 until k) yield whiten(i, j) - (if (i == j) 1.0 else 0.0))
+      // rate matrices: generator validity + detailed balance of KL estimate
+      val kPseudo = graft.markov.MsmAnalysis.pseudoGenerator(t, 1.0)
+      checks("pseudo_generator_valid") =
+        if (graft.markov.RateMatrix.isRateMatrix(kPseudo, 1e-10)) 0.0 else 1.0
+      // KL over the SAME largest-connected-set restriction msmRev uses, so
+      // pi's indexing always matches the count submatrix (the full 5x5
+      // frame would mismatch whenever a state is disconnected)
+      val denseAll = TransitionCounting.toDense(counts, 5)
+      val lcsStates = graft.markov.Connectivity.largestConnectedSet(denseAll)
+      val denseCounts = graft.markov.Connectivity.submatrix(denseAll, lcsStates)
+      val kKl = graft.markov.RateMatrix.estimate(denseCounts, dt = 1.0, method = "KL",
+        piOpt = Some(pi), tol = 1e4)
+      checks("kl_generator_valid") =
+        if (graft.markov.RateMatrix.isRateMatrix(kKl, 1e-8)) 0.0 else 1.0
+      checks("kl_detailed_balance") = maxAbs(
+        for (i <- 0 until n; j <- 0 until n) yield pi(i) * kKl(i, j) - pi(j) * kKl(j, i))
+      import s.implicits._
+        checks.toSeq.map { case (name, v) => (name, r6(v) + 0.0) }
+        .toDF("check", "violation")
+    }),
+
+    // ---- iterative-estimator invariant battery (q71's counterpart for
+    // the EM / Gibbs / spectral-correction family whose values cannot have
+    // SQL twins; every violation must round to exactly 0.0) -------------
+    "q73_estimator_invariants" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, sum => bsum}
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+      def stochViolation(t: DenseMatrix[Double]): Double = math.max(
+        maxAbs((0 until t.rows).map(i => bsum(t(i, ::).t) - 1.0)),
+        maxAbs(for (i <- 0 until t.rows; j <- 0 until t.cols)
+          yield math.min(t(i, j), 0.0)))
+      val checks = scala.collection.mutable.LinkedHashMap[String, Double]()
+      // ONE Spark job for the whole battery: collect the model-sized dtraj
+      // as per-trajectory arrays, then feed every estimator (HMM EM,
+      // Gibbs posterior, OOM, AMM) from shared driver-side counts. The
+      // distributed fit paths stay the scale story (q38/q46/q58/q61);
+      // this battery verifies per-iterate invariants, which hold at any
+      // iteration count — 5 EM sweeps prove the same contract as 15.
+      val trajArrays: Seq[Array[Int]] = {
+        val spark = s
+        import spark.implicits._
+        dtrajEv(s, dir)
+          .select("traj_id", "t", "state").as[(Long, Long, Int)]
+          .groupByKey(_._1)
+          .mapGroups { (_: Long, it: Iterator[(Long, Long, Int)]) =>
+            it.toArray.sortBy(_._2).map(_._3)
+          }
+          .collect().toSeq
+      }
+      val counts = TransitionCounting.slidingCountsLocal(trajArrays, 1, 5)
+      val hmmTrajs = trajArrays.map(_.filter(_ >= 0)).filter(_.nonEmpty)
+
+      val hmm = graft.markov.hmm.Hmm.fitArrays(hmmTrajs, nHidden = 2, nObs = 5,
+        maxIter = 5)
+      checks("hmm_transition_stochastic") = stochViolation(hmm.transition)
+      checks("hmm_emission_stochastic") = stochViolation(hmm.emission)
+
+      // HMM CK test (hmm/_hidden_markov_model.py:313 via identity
+      // memberships): the lag-tau prediction IS the lag-tau estimate
+      // (same model, first power — a nontrivial wiring check because the
+      // two come through different code paths: matPow vs the aligned
+      // estimate map), every propagator row stays a distribution, and
+      // the prediction at lag 2*tau must be the exact SQUARE of the
+      // lag-tau transition matrix (the Chapman-Kolmogorov propagation
+      // itself, algebraically exact regardless of the data)
+      val ck = graft.markov.hmm.HmmValidation.ckTestArrays(hmmTrajs,
+        nHidden = 2, nObs = 5, tau = 1, steps = 2, maxIter = 5)
+      checks("hmm_ck_lag1_pred_eq_est") = maxAbs(
+        for (i <- 0 until 2; j <- 0 until 2)
+          yield ck.predictions(1)(i, j) - ck.estimates(1)(i, j))
+      val aSq = ck.estimates(1) * ck.estimates(1)
+      checks("hmm_ck_pred2_is_square") = maxAbs(
+        for (i <- 0 until 2; j <- 0 until 2)
+          yield ck.predictions(2)(i, j) - aSq(i, j))
+      checks("hmm_ck_rows_stochastic") = maxAbs(
+        (ck.predictions ++ ck.estimates).flatMap(m => (0 until m.rows).map(i =>
+          bsum(m(i, ::).t) - 1.0)))
+
+      // Gibbs posterior: every sample must be a reversible transition matrix
+      val lcs = graft.markov.Connectivity.largestConnectedSet(counts)
+      val post = graft.markov.BayesianMsm.fromCountsLocal(
+        graft.markov.Connectivity.submatrix(counts, lcs), tau = 1, states = lcs,
+        nSamples = 20, reversible = true, seed = 42L, nChains = 4)
+      checks("bayes_samples_stochastic") =
+        maxAbs(post.samples.map(m => stochViolation(m.transitionMatrix)))
+      checks("bayes_samples_detailed_balance") = maxAbs(post.samples.map { m =>
+        val pi = m.stationaryDistribution
+        maxAbs(for (i <- 0 until m.n; j <- 0 until m.n)
+          yield pi(i) * m.transitionMatrix(i, j) - pi(j) * m.transitionMatrix(j, i))
+      })
+
+      // OOM equilibrium correction preserves row normalization
+      val oom = graft.markov.Oom.fitFromCounts(counts,
+        graft.markov.Oom.twoStepCountsLocal(trajArrays, 1), tau = 1,
+        rankTol = 2.0, nbs = 50)
+      checks("oom_rows_normalized") = maxAbs(
+        (0 until oom.transitionMatrix.rows).map(i =>
+          bsum(oom.transitionMatrix(i, ::).t) - 1.0))
+
+      // AMM: biased model is a proper MSM with a normalized stationary dist
+      val eObs = breeze.linalg.DenseMatrix.tabulate(5, 1)((i, _) => i.toDouble)
+      val amm = graft.markov.Amm.fit(counts, eObs,
+        breeze.linalg.DenseVector(2.3), breeze.linalg.DenseVector(2.0))
+      checks("amm_transition_stochastic") = stochViolation(amm.transitionMatrix)
+      checks("amm_pi_normalized") = math.abs(bsum(amm.stationaryDistribution) - 1.0)
+
+      import s.implicits._
+        checks.toSeq.map { case (name, v) => (name, r6(v) + 0.0) }
+        .toDF("check", "violation")
+    }),
+
+    // Sensitivity family made oracle-visible (markov/Sensitivity.scala was
+    // the one §2.6 family with spec-only coverage): every row is a
+    // driver-exact algebraic identity of the sensitivity matrices — NOT a
+    // finite-difference approximation — so the residuals round to literal
+    // zeros on any data:
+    //   * eigenvalue sensitivity S = outer(l_k, r_k): bi-orthonormality
+    //     makes trace(S) = l_k . r_k = 1, and rank-1 structure zeroes all
+    //     2x2 minors;
+    //   * timescale sensitivity is the exact chain-rule multiple of S;
+    //   * sum_j dpi_j/dT = 0 (pi stays normalized under any perturbation),
+    //     checked through expectationSensitivity(ones) = sum of all
+    //     per-component pi sensitivities;
+    //   * mfpt/committor sensitivities: the ADJOINT-solve implementation is
+    //     replayed by independent FORWARD solves of the perturbed linear
+    //     systems (dm = -A^-1 E m; u dq = -E qbar) over every (a,b).
+    // The state count has an exact SQL twin.
+    "q85_sensitivities" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, DenseVector}
+      import graft.markov.{Sensitivity, TransitionCounting}
+      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val t = msm.transitionMatrix
+      val n = msm.n
+      def maxAbs(xs: Iterable[Double]): Double =
+        if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+
+      val sEig = Sensitivity.eigenvalueSensitivity(t, 1)
+      val traceResid = (0 until n).map(i => sEig(i, i)).sum - 1.0
+      val rank1Resid = maxAbs(for {
+        i <- 0 until n; j <- 0 until n; k <- 0 until n; l <- 0 until n
+      } yield sEig(i, j) * sEig(k, l) - sEig(i, l) * sEig(k, j))
+
+      val e = breeze.linalg.eig(t)
+      val lam = (0 until n).map(e.eigenvalues(_)).sorted(Ordering[Double].reverse)(1)
+      val factor = 1.0 / (lam * math.log(lam) * math.log(lam))
+      val sTs = Sensitivity.timescaleSensitivity(t, 1, tau = 1.0)
+      val chainResid = maxAbs(for (i <- 0 until n; j <- 0 until n)
+        yield sTs(i, j) - factor * sEig(i, j))
+
+      // sum_j dpi_j/dT == 0 through the public expectation API (a = ones)
+      val sOnes = Sensitivity.expectationSensitivity(t, DenseVector.ones[Double](n))
+      val piSumResid = maxAbs(sOnes.toArray)
+
+      // eigenvector sensitivity preserves the unit norm: ||v_k|| = 1 for
+      // every T, so sum_j v_j d(v_j)/dT_ab == 0 (adjoint-solve identity)
+      val perm = (0 until n).sortBy(i => -e.eigenvalues(i))
+      val vK = DenseVector.tabulate(n)(i => e.eigenvectors(i, perm(1)))
+      val evSens = (0 until n).map(j => Sensitivity.eigenvectorSensitivity(t, 1, j))
+      val evNormResid = maxAbs(for (a <- 0 until n; b <- 0 until n) yield
+        (0 until n).map(j => vK(j) * evSens(j)(a, b)).sum)
+
+      // mfpt: forward replay dm = -A^-1 (E_ab m) vs the adjoint solve
+      val target = n - 1; val jM = 0
+      val sMfpt = Sensitivity.mfptSensitivity(t, target, jM)
+      val matA = t - DenseMatrix.eye[Double](n)
+      for (c <- 0 until n) matA(target, c) = 0.0
+      matA(target, target) = 1.0
+      val tVec = DenseVector.fill(n)(-1.0); tVec(target) = 0.0
+      val mfpt = matA \ tVec
+      val mfptResid = maxAbs(for (a <- 0 until n if a != target; b <- 0 until n) yield {
+        val rhs = DenseVector.zeros[Double](n); rhs(a) = -mfpt(b)
+        val dm = matA \ rhs
+        sMfpt(a, b) - dm(jM)
+      })
+
+      // committor: forward replay u dq = -e_a qbar(b) vs the adjoint solve
+      val aSet = Set(0); val bSet = Set(n - 1); val idx = 1
+      val sQ = Sensitivity.forwardCommittorSensitivity(t, aSet, bSet, idx)
+      val notAB = (0 until n).filterNot(x => aSet(x) || bSet(x)).toArray
+      val m = notAB.length
+      val kMat = t - DenseMatrix.eye[Double](n)
+      val u = DenseMatrix.tabulate(m, m)((i, j) => kMat(notAB(i), notAB(j)))
+      val v = DenseVector.tabulate(m)(i => -bSet.toSeq.map(x => kMat(notAB(i), x)).sum)
+      val qI = u \ v
+      val qBar = DenseVector.zeros[Double](n)
+      bSet.foreach(x => qBar(x) = 1.0)
+      notAB.zipWithIndex.foreach { case (x, i) => qBar(x) = qI(i) }
+      val idxPos = notAB.indexOf(idx)
+      val qResid = maxAbs(for (ai <- notAB.indices; b <- 0 until n) yield {
+        val rhs = DenseVector.zeros[Double](m); rhs(ai) = -qBar(b)
+        val dq = u \ rhs
+        sQ(notAB(ai), b) - dq(idxPos)
+      })
+
+      checksDf(s, Seq(
+        "eig_trace_minus_one" -> traceResid,
+        "eig_rank1_minors" -> rank1Resid,
+        "timescale_chain" -> chainResid,
+        "pi_sens_sum" -> piSumResid,
+        "eigvec_norm_preserved" -> evNormResid,
+        "mfpt_adjoint_vs_forward" -> mfptResid,
+        "committor_adjoint_vs_forward" -> qResid,
+        "n_states" -> n.toDouble))
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    "q05_count_matrix_sliding" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
+          SELECT s0, s1, count(*) AS cnt FROM p
+          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1""",
+
+    "q06_count_matrix_sample" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT t, state AS s0,
+            LEAD(state, 3) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
+          SELECT s0, s1, count(*) AS cnt FROM p
+          WHERE s1 IS NOT NULL AND t % 3 = 0 AND s0 >= 0 AND s1 >= 0
+          GROUP BY s0, s1""",
+
+    "q07_state_histogram" ->
+      s"""SELECT ${Trajectories.eventTypeStateSql} AS state, count(*) AS cnt
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0 GROUP BY 1""",
+
+    "q08_visited_set" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    "q09_msm_rownorm" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
+          c AS (SELECT s0, s1, count(*) AS cnt FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1)
+          SELECT s0, s1, round(CAST(cnt AS DOUBLE) /
+            CAST(sum(cnt) OVER (PARTITION BY s0) AS DOUBLE), 6) AS t_prob
+          FROM c""",
+
+    "q10_sliding_effective" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
+          SELECT s0, s1, CAST(count(*) AS DOUBLE) / 2.0 AS cnt_eff FROM p
+          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1""",
+
+    "q26_sample_indices" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events)
+          SELECT state, count(*) AS n_visits, min(t) AS first_t, max(t) AS last_t,
+            count(DISTINCT traj_id) AS n_trajs
+          FROM d GROUP BY state""",
+
+    // Sparse-MSM twin: the three data-sized anchors (visited states, count
+    // nnz, transition total) are exact SQL over the same 2000-bin
+    // discretization and lag-1 pairs; the model-contract rows are
+    // driver-exact zero residuals (SCC parity, stationarity, detailed
+    // balance, eigensolver cross-check).
+    "q91_sparse_msm" ->
+      """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+         d AS (SELECT user_id,
+             CAST(least(floor((value - mn) / ((mx - mn) / 2000)), 1999) AS INT) AS state,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS t
+           FROM events, mm),
+         p AS (SELECT state AS s0,
+             LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
+         pairs AS (SELECT s0, s1 FROM p WHERE s1 IS NOT NULL),
+         agg AS (SELECT count(*) AS n_trans,
+                        count(DISTINCT (s0, s1)) AS nnz FROM pairs),
+         st AS (SELECT count(DISTINCT s) AS n_states FROM
+                 (SELECT s0 AS s FROM pairs UNION SELECT s1 FROM pairs))
+         SELECT 'n_states_visited' AS "check",
+                (SELECT CAST(n_states AS DOUBLE) FROM st) AS "value"
+         UNION ALL SELECT 'nnz', (SELECT CAST(nnz AS DOUBLE) FROM agg)
+         UNION ALL SELECT 'n_transitions', (SELECT CAST(n_trans AS DOUBLE) FROM agg)
+         UNION ALL SELECT 'scc_bfs_parity', 0.0
+         UNION ALL SELECT 'rowsums', 0.0
+         UNION ALL SELECT 'pi_normalized', 0.0
+         UNION ALL SELECT 'pi_stationarity', 0.0
+         UNION ALL SELECT 'detailed_balance', 0.0
+         UNION ALL SELECT 'lambda1_minus_one', 0.0
+         UNION ALL SELECT 'lanczos_arnoldi_lambda2', 0.0
+         UNION ALL SELECT 'committor_bvp', 0.0
+         UNION ALL SELECT 'mfpt_linear_system', 0.0
+         UNION ALL SELECT 'corr_const_one', 0.0
+         UNION ALL SELECT 'corr_reversible_symmetry', 0.0
+         UNION ALL SELECT 'relax_from_pi_flat', 0.0
+         UNION ALL SELECT 'fingerprint_amp0', 0.0""",
+
+    // Reversible-MLE residual grid over the symmetrized observed-pair
+    // support (computed from the base tables).
+    "q31_msm_reversible" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s1 FROM d),
+          c AS (SELECT DISTINCT s0, s1 FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0),
+          sym AS (SELECT s0, s1 FROM c UNION SELECT s1, s0 FROM c)
+          SELECT s0, s1, 0.0 AS db_resid, 0.0 AS row_resid FROM sym""",
+
+    // Implied-timescales eigenproblem-residual grid.
+    "q34_its" -> {
+      val rows = (for (l <- Seq(1, 2, 3, 5); p <- 0 until 3)
+        yield s"($l, $p, 0.0, 0.0)").mkString(", ")
+      s"""SELECT * FROM (VALUES $rows) AS t(lag, process, eig_resid, its_consistency)"""
+    },
+
+    "q38_bayesian_timescales" ->
+      """SELECT * FROM (VALUES (0, 0.0, 0.0, 0.0, 0.0), (1, 0.0, 0.0, 0.0, 0.0))
+         AS t(process, ci_order_viol, negativity_viol, nonfinite, gather_viol)""",
+
+    // Committor BVP-residual grid over the observed states.
+    "q39_committors" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS fwd_bvp_resid, 0.0 AS bwd_bvp_resid
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    "q40_tpt_flux" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS conservation_resid
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    "q41_pcca_memberships" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            k.k AS metastable_set, 0.0 AS rowsum_resid, 0.0 AS nonneg_viol,
+            0.0 AS bayes_inversion_resid
+          FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+          WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    // Viterbi path battery; path length is the exact observed-frame count.
+    "q46_hmm_viterbi" ->
+      s"""SELECT 'path_len' AS "check",
+            (SELECT CAST(count(*) AS DOUBLE) FROM events
+             WHERE ${Trajectories.eventTypeStateSql} >= 0) AS "value"
+          UNION ALL SELECT 'hidden_out_of_range', 0.0""",
+
+    // Fingerprint spectral-identity battery; component count = state count.
+    "q55_fingerprints" ->
+      s"""SELECT 'amp_sum_minus_corr0' AS "check", 0.0 AS "value"
+          UNION ALL SELECT 'stationary_amp_resid', 0.0
+          UNION ALL SELECT 'autocorr_amp_negativity', 0.0
+          UNION ALL SELECT 'n_components',
+            (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
+             FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)""",
+
+    "q57_hitting_probability" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS bvp_resid
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    // OOM invariant grid over the observed-state cross product.
+    "q59_oom_msm" ->
+      s"""WITH sts AS (SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state
+            FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)
+          SELECT a.state AS s0, b.state AS s1, 0.0 AS row_resid, 0.0 AS nonneg_viol
+          FROM sts a CROSS JOIN sts b""",
+
+    "q60_tram" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS pi_norm_resid, 0.0 AS f_nonfinite, 0.0 AS pi_negativity
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    "q61_amm" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS pi_stationarity_resid, 0.0 AS pi_norm_resid
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    "q65_tpt_pathways" ->
+      """SELECT * FROM (VALUES
+           ('path_endpoints_viol', 0.0), ('flux_nonpositive', 0.0),
+           ('flux_rank_order_viol', 0.0), ('uncaptured_total_flux', 0.0),
+           ('n_paths_positive', 0.0)) AS t("check", "value")""",
+
+    // Crisp-set CK grid: estimates from per-lag row-normalized counts,
+    // predictions from matrix powers of the lag-1 matrix (self-joins),
+    // coarse-grained with the state-histogram weights — all pair-count
+    // ratios, reproduced here end to end.
+    "q37_cktest" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          lp AS (
+            SELECT 1 AS lag, state AS s0,
+              LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s1 FROM d
+            UNION ALL SELECT 2, state,
+              LEAD(state, 2) OVER (PARTITION BY traj_id ORDER BY t) FROM d
+            UNION ALL SELECT 3, state,
+              LEAD(state, 3) OVER (PARTITION BY traj_id ORDER BY t) FROM d),
+          c AS (SELECT lag, s0, s1, CAST(count(*) AS DOUBLE) AS cnt FROM lp
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY 1, 2, 3),
+          tm AS (SELECT lag, s0, s1,
+            cnt / sum(cnt) OVER (PARTITION BY lag, s0) AS p FROM c),
+          t1 AS (SELECT s0, s1, p FROM tm WHERE lag = 1),
+          t2p AS (SELECT a.s0, b.s1, sum(a.p * b.p) AS p
+            FROM t1 a JOIN t1 b ON a.s1 = b.s0 GROUP BY 1, 2),
+          t3p AS (SELECT a.s0, b.s1, sum(a.p * b.p) AS p
+            FROM t2p a JOIN t1 b ON a.s1 = b.s0 GROUP BY 1, 2),
+          h AS (SELECT state, CAST(count(*) AS DOUBLE) AS w FROM d
+            WHERE state >= 0 GROUP BY 1),
+          sets AS (SELECT state, CASE WHEN state <= 1 THEN 0 ELSE 1 END AS si, w FROM h),
+          den AS (SELECT si AS set_i, sum(w) AS den FROM sets GROUP BY 1),
+          predt AS (SELECT 1 AS lag, * FROM t1
+            UNION ALL SELECT 2, * FROM t2p UNION ALL SELECT 3, * FROM t3p),
+          predn AS (SELECT t.lag, a.si AS set_i, b.si AS set_j, sum(a.w * t.p) AS num
+            FROM predt t JOIN sets a ON a.state = t.s0 JOIN sets b ON b.state = t.s1
+            GROUP BY 1, 2, 3),
+          estn AS (SELECT t.lag, a.si AS set_i, b.si AS set_j, sum(a.w * t.p) AS num
+            FROM tm t JOIN sets a ON a.state = t.s0 JOIN sets b ON b.state = t.s1
+            GROUP BY 1, 2, 3),
+          grid AS (SELECT p.lag, p.set_i, p.set_j,
+              round(p.num / dp.den, 6) AS predicted,
+              round(e.num / dp.den, 6) AS estimated
+            FROM predn p
+            JOIN estn e ON e.lag = p.lag AND e.set_i = p.set_i AND e.set_j = p.set_j
+            JOIN den dp ON dp.set_i = p.set_i)
+          SELECT * FROM grid
+          UNION ALL SELECT 0, i.si, j.si,
+            CASE WHEN i.si = j.si THEN 1.0 ELSE 0.0 END,
+            CASE WHEN i.si = j.si THEN 1.0 ELSE 0.0 END
+          FROM (SELECT DISTINCT si FROM sets) i CROSS JOIN
+               (SELECT DISTINCT si FROM sets) j""",
+
+    // E[C_ij]/rowsum == T_ij exactly (N pi_i cancels); pi stationarity
+    // residual is a driver-exact 0 on every row.
+    "q56_expected_counts" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS s1 FROM d),
+          c AS (SELECT s0, s1, CAST(count(*) AS DOUBLE) AS cnt FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY 1, 2)
+          SELECT s0, s1, round(cnt / sum(cnt) OVER (PARTITION BY s0), 6) AS tprob,
+            0.0 AS pi_resid FROM c""",
+
+    "q36_effective_counts" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          c0 AS (SELECT traj_id, t, state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS y FROM d),
+          cond AS (SELECT s0, traj_id, t, y,
+            ROW_NUMBER() OVER (PARTITION BY s0, traj_id ORDER BY t) AS u
+            FROM c0 WHERE y IS NOT NULL AND s0 >= 0 AND y >= 0),
+          c AS (SELECT s0, y AS s1, CAST(count(*) AS DOUBLE) AS cnt FROM cond GROUP BY 1, 2),
+          crow AS (SELECT s0, sum(cnt) AS ci FROM c GROUP BY 1),
+          nmax AS (SELECT s0, CAST(max(len) AS DOUBLE) AS nm FROM
+            (SELECT s0, traj_id, count(*) AS len FROM cond GROUP BY 1, 2) GROUP BY 1),
+          lags AS (SELECT CAST(lag AS INT) AS lag FROM range(1, 26) t(lag)),
+          pairs AS (SELECT c1.s0, l.lag, c1.y AS y0, c2.y AS y1, count(*) AS pcnt
+            FROM cond c1 CROSS JOIN lags l
+            JOIN cond c2 ON c2.s0 = c1.s0 AND c2.traj_id = c1.traj_id
+              AND c2.u = c1.u + l.lag
+            GROUP BY 1, 2, 3, 4),
+          nl AS (SELECT s0, lag, CAST(sum(pcnt) AS DOUBLE) AS nl FROM pairs GROUP BY 1, 2),
+          shj AS (SELECT s0, lag, y0 AS j, CAST(sum(pcnt) AS DOUBLE) AS sh
+            FROM pairs GROUP BY 1, 2, 3),
+          stj AS (SELECT s0, lag, y1 AS j, CAST(sum(pcnt) AS DOUBLE) AS st
+            FROM pairs GROUP BY 1, 2, 3),
+          njj AS (SELECT s0, lag, y0 AS j, CAST(sum(pcnt) AS DOUBLE) AS njj
+            FROM pairs WHERE y0 = y1 GROUP BY 1, 2, 3),
+          grid AS (SELECT c.s0, c.s1 AS j, l.lag, c.cnt, crow.ci, nmax.nm
+            FROM c JOIN crow USING (s0) JOIN nmax USING (s0) CROSS JOIN lags l),
+          acf AS (SELECT g.s0, g.j, g.lag, g.nm,
+            CASE WHEN nl.nl IS NULL OR nl.nl = 0 THEN NULL ELSE
+              (coalesce(njj.njj, 0) - (g.cnt / g.ci) * (coalesce(shj.sh, 0) + coalesce(stj.st, 0))
+                + (g.cnt / g.ci) * (g.cnt / g.ci) * nl.nl) / nl.nl END AS a
+            FROM grid g
+            LEFT JOIN nl ON nl.s0 = g.s0 AND nl.lag = g.lag
+            LEFT JOIN shj ON shj.s0 = g.s0 AND shj.lag = g.lag AND shj.j = g.j
+            LEFT JOIN stj ON stj.s0 = g.s0 AND stj.lag = g.lag AND stj.j = g.j
+            LEFT JOIN njj ON njj.s0 = g.s0 AND njj.lag = g.lag AND njj.j = g.j),
+          trunc AS (SELECT s0, j, min(lag) AS lmin FROM acf
+            WHERE a IS NULL OR a <= 0 GROUP BY 1, 2),
+          corr AS (SELECT acf.s0, acf.j, sum(acf.a * (1.0 - acf.lag / acf.nm)) AS corrsum
+            FROM acf LEFT JOIN trunc ON trunc.s0 = acf.s0 AND trunc.j = acf.j
+            WHERE trunc.lmin IS NULL OR acf.lag < trunc.lmin
+            GROUP BY 1, 2),
+          ineff AS (SELECT c.s0, c.s1, c.cnt,
+            1.0 / (2.0 * (0.5 + coalesce(corr.corrsum, 0) / (c.cnt / crow.ci))) AS i
+            FROM c JOIN crow USING (s0)
+            LEFT JOIN corr ON corr.s0 = c.s0 AND corr.j = c.s1),
+          factor AS (SELECT ineff.s0, sum(ineff.i * ineff.cnt) / min(crow.ci) AS f
+            FROM ineff JOIN crow USING (s0) GROUP BY 1)
+          SELECT CAST(ineff.s0 AS INT) AS s0, CAST(ineff.s1 AS INT) AS s1,
+            round(factor.f * ineff.cnt, 4) AS cnt_eff
+          FROM ineff JOIN factor USING (s0) WHERE ineff.cnt > 0""",
+
+    "q33_multilag_counts" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (
+            SELECT 1 AS lag, state AS s0,
+              LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d
+            UNION ALL
+            SELECT 2 AS lag, state AS s0,
+              LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d
+            UNION ALL
+            SELECT 4 AS lag, state AS s0,
+              LEAD(state, 4) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
+          SELECT lag, s0, s1, count(*) AS cnt FROM p
+          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0
+          GROUP BY lag, s0, s1""",
+
+    "q35_cond_frame" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          c AS (SELECT traj_id, t, state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY traj_id ORDER BY t) AS y FROM d)
+          SELECT s0, traj_id, t, y,
+            CAST(ROW_NUMBER() OVER (PARTITION BY s0, traj_id ORDER BY t) AS INT) AS u
+          FROM c WHERE y IS NOT NULL AND s0 >= 0 AND y >= 0""",
+
+    "q54_sample_by_state" ->
+      s"""WITH d AS (SELECT ${Trajectories.eventTypeStateSql} AS state FROM events),
+          c AS (SELECT state, count(*) AS cnt FROM d WHERE state >= 0 GROUP BY state)
+          SELECT state, CAST(least(cnt, 10) AS BIGINT) AS n_sampled FROM c""",
+
+    "q67_girsanov_counts" ->
+      s"""WITH d AS (SELECT user_id AS traj_id, value, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT traj_id, t, state, value,
+            LEAD(state, 2) OVER (PARTITION BY traj_id ORDER BY t) AS s1,
+            sum(value / 100000.0) OVER (PARTITION BY traj_id ORDER BY t
+              ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS m_sum
+            FROM d)
+          SELECT state AS s0, s1, round(sum(1.0 * exp(-m_sum)), 6) AS cnt_rw
+          FROM p WHERE s1 IS NOT NULL AND state >= 0 AND s1 >= 0
+          GROUP BY state, s1""",
+
+    "q73_estimator_invariants" ->
+      """SELECT * FROM (VALUES
+           ('hmm_transition_stochastic', 0.0), ('hmm_emission_stochastic', 0.0),
+           ('hmm_ck_lag1_pred_eq_est', 0.0), ('hmm_ck_pred2_is_square', 0.0),
+           ('hmm_ck_rows_stochastic', 0.0),
+           ('bayes_samples_stochastic', 0.0), ('bayes_samples_detailed_balance', 0.0),
+           ('oom_rows_normalized', 0.0),
+           ('amm_transition_stochastic', 0.0), ('amm_pi_normalized', 0.0)
+         ) AS t("check", violation)""",
+
+    "q71_model_invariants" ->
+      """SELECT * FROM (VALUES
+           ('rev_rowsums', 0.0), ('rev_detailed_balance', 0.0),
+           ('pi_stationarity', 0.0), ('pi_normalized', 0.0),
+           ('committor_bvp', 0.0), ('mfpt_linear_system', 0.0),
+           ('pcca_membership_rowsums', 0.0), ('pcca_membership_nonneg', 0.0),
+           ('vamp_whitening_identity', 0.0), ('pseudo_generator_valid', 0.0),
+           ('kl_generator_valid', 0.0), ('kl_detailed_balance', 0.0)
+         ) AS t("check", violation)""",
+
+    "q69_rate_matrix" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
+          c AS (SELECT s0, s1, count(*) AS cnt FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1),
+          t AS (SELECT s0, s1, CAST(cnt AS DOUBLE) /
+            CAST(sum(cnt) OVER (PARTITION BY s0) AS DOUBLE) AS t_prob FROM c)
+          SELECT s0, s1, round((t_prob - CASE WHEN s0 = s1 THEN 1.0 ELSE 0.0 END)
+            / 2.0, 6) AS rate FROM t""",
+
+    "q58_twostep_counts" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1,
+            LEAD(state, 2) OVER (PARTITION BY user_id ORDER BY t) AS s2 FROM d)
+          SELECT s0, s1, s2, count(*) AS cnt FROM p
+          WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+            AND s0 >= 0 AND s1 >= 0 AND s2 >= 0
+          GROUP BY s0, s1, s2""",
+
+    // Sensitivity identity battery: every residual is a driver-exact
+    // algebraic zero; the state count is the observed distinct states
+    // (the chain is fully connected on this data, same assumption as
+    // q56's row-normalized twin).
+    "q85_sensitivities" ->
+      s"""SELECT 'eig_trace_minus_one' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'eig_rank1_minors', 0.0
+         UNION ALL SELECT 'timescale_chain', 0.0
+         UNION ALL SELECT 'pi_sens_sum', 0.0
+         UNION ALL SELECT 'eigvec_norm_preserved', 0.0
+         UNION ALL SELECT 'mfpt_adjoint_vs_forward', 0.0
+         UNION ALL SELECT 'committor_adjoint_vs_forward', 0.0
+         UNION ALL SELECT 'n_states', (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
+           FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)""",
+
+    // Estimation-api twin: the count matrix from the q05 shape, the
+    // prior matrices by their defining formulas, the nonreversible-MLE
+    // log-likelihood sum(c ln(c/rowsum))/N, row-0's Dirichlet posterior
+    // covariance, and the full error-perturbation triple sum — all
+    // recomputed independently in SQL.
+    "q138_count_priors" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
+          cm AS (SELECT s0, s1, count(*) AS cnt FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1),
+          grid AS (SELECT gi.r AS i, gj.r AS j
+            FROM range(0, 5) gi(r), range(0, 5) gj(r)),
+          g AS (SELECT grid.i, grid.j, COALESCE(cm.cnt, 0) AS cnt
+            FROM grid LEFT JOIN cm ON cm.s0 = grid.i AND cm.s1 = grid.j),
+          rs AS (SELECT i, CAST(sum(cnt) AS DOUBLE) AS r FROM g GROUP BY i),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS nt FROM g),
+          ll AS (SELECT sum(CASE WHEN g.cnt > 0
+                THEN g.cnt * ln(g.cnt / rs.r) END) / (SELECT nt FROM tot) AS llpc
+            FROM g JOIN rs USING (i)),
+          al AS (SELECT i, j, cnt + 1.0 AS a FROM g),
+          a0 AS (SELECT i, CAST(sum(a) AS DOUBLE) AS a0 FROM al GROUP BY i),
+          covt AS (SELECT x.i AS i, x.j AS j, y.j AS l,
+              ((CASE WHEN x.j = y.j THEN a0.a0 * x.a ELSE 0 END) - x.a * y.a)
+                / (a0.a0 * a0.a0 * (a0.a0 + 1.0)) AS cov
+            FROM al x JOIN al y ON x.i = y.i JOIN a0 ON a0.i = x.i),
+          ep AS (SELECT sum(((i + 1) * (j + 1) / 25.0) * cov
+              * ((i + 1) * (l + 1) / 25.0)) * 1e6 AS v FROM covt)
+          SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+            CAST(g.cnt AS BIGINT) AS cnt,
+            CASE WHEN g.cnt + gt.cnt > 0 THEN CAST(0.001 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END AS b_neighbor,
+            CAST(0.001 AS DOUBLE) AS b_const,
+            CASE WHEN g.i <= g.j THEN CAST(-1.0 AS DOUBLE)
+                 ELSE CAST(0.0 AS DOUBLE) END AS b_rev,
+            round((SELECT cov FROM covt
+              WHERE covt.i = 0 AND covt.j = g.i AND covt.l = g.j) * 1e6, 6)
+              AS cov0_ppm,
+            round((SELECT llpc FROM ll), 6) AS ll_per_count,
+            round((SELECT v FROM ep), 6) AS err_ppm
+          FROM g JOIN g gt ON gt.i = g.j AND gt.j = g.i""",
+  )
+}

@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Trajectories
+import graft.lag.Lag
+import graft.agg.Covariance
+import graft.linalg.LinAlg
+import graft.markov.TransitionCounting
+import graft.text.{Bpe, Packing, Pii, Scoring, TextFunctions}
+import graft.dedup.Dedup
+import graft.operators.Joins
+import graft.similarity.Similarity
+import graft.queries.QShared._
+
+/** PipelineQueries: mixture sampling, sequence packing, sketches, heavy hitters, source capping, end-to-end curation.
+  *
+  * One slice of the driver-contract registry (VERDICT r06 item 8 split
+  * of the 5,000-line SparkEntry monolith). Entry bodies are UNCHANGED;
+  * graft.SparkEntry merges every family into the single `queries` /
+  * `oracleSql` maps the driver consumes, and ContractSpec keeps the
+  * key sets equal. */
+private[graft] object PipelineQueries extends QueryFamily {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // Deterministic mixture sampling (training-mix assembly): each source
+    // stratum is Bernoulli-sampled at its target rate by a pure integer
+    // hash of doc_id — no RNG state, no sampleBy second pass, decisions
+    // reproducible row-by-row (re-runs and incremental appends keep the
+    // exact same sample). Rates are derived from the source suffix so the
+    // contract covers 20 strata without a literal table. The DuckDB twin
+    // recomputes hash, rate, and per-stratum kept counts exactly.
+    "q88_mixture_sample" -> ((s, dir) => {
+      val ratePpm = (lit(100000L) + lit(50000L) *
+        (expr("CAST(substr(source, 4) AS INT)") % 10)).cast("long")
+      docs(s, dir)
+        .withColumn("target_ppm", ratePpm)
+        .withColumn("keep",
+          Packing.mixtureKeep(col("doc_id"), col("target_ppm")).cast("int"))
+        .groupBy(col("source"), col("target_ppm"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("keep")).cast("long").as("n_kept"))
+    }),
+
+    // Greedy sequence packing (the step that turns filtered docs into
+    // fixed-budget training shards): within each (source, 100-doc_id
+    // chunk) group, docs in doc_id order pack next-fit into <=160-token
+    // shards. The sequential recurrence is confined to bounded chunks —
+    // group memory is O(chunkSize) at any corpus size and parallelism
+    // grows with the data. The DuckDB twin replays the fold exactly via
+    // a recursive CTE, so a wrong boundary decision on any single doc
+    // breaks the hash.
+    "q89_pack_sequences" -> ((s, dir) =>
+      Packing.packGreedy(docs(s, dir), budget = 160, chunkSize = 100)),
+
+    // Sketch aggregates — the single-pass approximate reporting ops a
+    // 100 TB pipeline uses where exact distinct/percentile would shuffle
+    // the corpus: HLL++ (approx_count_distinct) and QuantileSummaries
+    // (approx_percentile). Both are mergeable sketches (commutative
+    // combine — partitioning-independent results). The oracle gates the
+    // CONTRACT: HLL relative error vs the in-query exact distinct must
+    // round to 0 residual at a 5% tolerance (rsd=2%), and the approx
+    // median's true rank must sit within 2% of 0.5; anchor rows (exact
+    // n_rows / n_distinct) are recomputed by DuckDB from the base table.
+    "q90_sketches" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+      val r = ev.agg(
+        approx_count_distinct(col("user_id"), 0.02).as("acd"),
+        countDistinct(col("user_id")).as("exact_d"),
+        expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+        count(lit(1)).as("n")).collect()(0)
+      val (acd, exactD, p50, n) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+      val rankP50 = ev.where(col("value") <= p50).count()
+      checksDf(s, Seq(
+        "acd_relerr_over_5pct" ->
+          math.max(0.0, math.abs(acd - exactD).toDouble / exactD - 0.05),
+        "p50_rank_err_over_2pct" ->
+          math.max(0.0, math.abs(rankP50.toDouble / n - 0.5) - 0.02),
+        "n_rows" -> n.toDouble,
+        "n_distinct_users" -> exactD.toDouble))
+    }),
+
+    // ---- end-to-end curation pipeline (q101): the five stages a corpus
+    // actually flows through, COMPOSED — Gopher gate -> exact dedup
+    // (keep min doc_id per fingerprint) -> unigram-LM scoring fit on the
+    // dedup survivors -> deterministic mixture sampling -> next-fit
+    // sequence packing. Scale shape of the whole chain: the gate is a
+    // codegen filter at the scan, dedup is the pipeline's one corpus-keyed
+    // shuffle, the LM is a vocabulary-sized broadcast, sampling is a
+    // map-side hash predicate, and packing is confined to bounded chunks —
+    // ~3 shuffles end to end at any corpus size. The DuckDB twin replays
+    // every stage including the recursive packing fold, so one wrong
+    // keep/drop/boundary decision anywhere in the chain breaks the hash.
+    "q101_curation_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gated = d.withColumn("g", TextFunctions.gopherGate(col("text")))
+        .where(col("g.keep") === 1).drop("g")
+      val withFp = gated.withColumn("fp", TextFunctions.fingerprint(col("text")))
+      val minIds = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      val deduped = withFp.join(minIds, Seq("fp", "doc_id"), "left_semi")
+      val scored = Scoring.unigramNll(deduped).select(col("doc_id"), col("avg_nll"))
+      val ratePpm = (lit(100000L) + lit(50000L) *
+        (expr("CAST(substr(source, 4) AS INT)") % 10)).cast("long")
+      val sampled = deduped.where(Packing.mixtureKeep(col("doc_id"), ratePpm))
+      Packing.packGreedy(sampled, budget = 160, chunkSize = 100)
+        .join(scored, "doc_id")
+        .select(col("doc_id"), col("source"), col("chunk"), col("n_tokens"),
+          col("shard"), col("avg_nll"))
+    }),
+
+    // ---- per-source quality cap (q107): the CommonCrawl-style domain
+    // cap — keep at most K=50 highest-quality documents per source
+    // (quality desc, doc_id tie-break). The rank filter triggers Spark's
+    // WindowGroupLimit pushdown: each map partition keeps only its local
+    // top-K per source BEFORE the shuffle, so the exchange carries
+    // O(sources*K) rows per partition regardless of corpus size. ---------
+    "q107_source_quality_cap" -> ((s, dir) => {
+      val q = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      q.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 50)
+    }),
+
+    // ---- mergeable-sketch re-aggregation (q125): the incremental-
+    // corpus-stats identity — HLL sketches built PER SOURCE, then
+    // union-merged, must land on byte-identical registers (hence the
+    // identical estimate) as one direct corpus-level sketch, because HLL
+    // union is per-register max. This is the property that lets a 100 TB
+    // pipeline keep per-partition/per-day sketches and re-aggregate
+    // without rescanning; the estimate itself is gated against the exact
+    // distinct count (DuckDB anchor) with the standard error bound. -----
+    "q125_sketch_merge" -> ((s, dir) => {
+      val words = docs(s, dir).select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+      val perSource = words.groupBy("source")
+        .agg(expr("hll_sketch_agg(w, 12)").as("sk"))
+      val merged = perSource
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+        .collect()(0).getLong(0)
+      // direct sketch + exact distinct share ONE corpus pass
+      val de = words.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(w, 12))").as("est"),
+        countDistinct(col("w")).as("exact")).collect()(0)
+      val (direct, exact) = (de.getLong(0), de.getLong(1))
+      checksDf(s, Seq(
+        "merge_vs_direct_resid" -> math.abs(merged - direct).toDouble,
+        "est_relerr_over_5pct" ->
+          math.max(0.0, math.abs(direct - exact).toDouble / exact - 0.05),
+        "n_distinct_words" -> exact.toDouble))
+    }),
+
+    // ---- temperature mixture sampling (q132): the multi-source mixing
+    // scheme of multilingual/multi-corpus training (alpha-weighted:
+    // small sources up-weighted relative to size) — per-source quota
+    // floor(12*sqrt(n_s)) (alpha = 0.5), filled by the deterministic
+    // affine-hash order (q88's RNG-free sampling), so re-runs and
+    // re-crawls keep the same docs. sqrt/mul/floor are all IEEE-exact,
+    // so the quota boundary is bit-identical across engines. One
+    // per-source window; quotas broadcast. ------------------------------
+    "q132_temperature_mixture" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val quotas = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .select(col("source"),
+          floor(sqrt(col("n").cast("double")) * 12.0).cast("long").as("quota"))
+      val w = Window.partitionBy("source")
+        .orderBy(Packing.sampleHashPpm(col("doc_id")), col("doc_id"))
+      d.select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .join(broadcast(quotas), "source")
+        .where(col("rk") <= col("quota"))
+        .select(col("source"), col("doc_id"), col("rk"), col("quota"))
+    }),
+
+    // ---- count-min-sketch heavy hitters (q112): the q90 sketch family
+    // extended to frequency estimation — Spark's distributed CMS
+    // (treeAggregate, 435 KB at eps=1e-3/delta=1e-6) against the exact
+    // top-10 token counts. CMS NEVER underestimates, and the seeded
+    // sketch makes the eps*N overshoot bound a deterministic residual;
+    // exact counts and deterministic (cnt desc, tok) tie-break anchor
+    // the oracle. The scale story: the sketch replaces the full
+    // (token, count) shuffle with a fixed-width mergeable summary. ------
+    "q112_heavy_hitters" -> ((s, dir) => {
+      val t = docs(s, dir).select(
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      val top = t.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10).collect()
+      val cms = t.stat.countMinSketch("tok", eps = 0.001,
+        confidence = 0.999999, seed = 42)
+      val totalN = cms.totalCount.toDouble
+      import s.implicits._
+      top.map { r =>
+        val tok = r.getString(0)
+        val cnt = r.getLong(1)
+        val est = cms.estimateCount(tok)
+        (tok, cnt, if (est < cnt) 1L else 0L,
+          math.max(0.0, (est - cnt).toDouble - 0.001 * totalN))
+      }.toSeq.toDF("tok", "cnt", "under_viol", "over_resid")
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    // Mixture-sampling twin: the MINSTD-style affine hash, the ppm rate
+    // derived from the source suffix, and the per-stratum kept counts are
+    // all recomputed in pure integer SQL (doc_id >= 0, so % == pmod).
+    "q88_mixture_sample" ->
+      """WITH t AS (SELECT source,
+           CAST(100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10) AS BIGINT)
+             AS target_ppm,
+           CASE WHEN (((doc_id % 2147483647) * 506952114 + 101) % 2147483647)
+                  % 1000000
+                < 100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10)
+                THEN 1 ELSE 0 END AS keep
+         FROM documents)
+         SELECT source, target_ppm, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(keep) AS BIGINT) AS n_kept
+         FROM t GROUP BY 1, 2""",
+
+    // Sketch-contract twin: residual rows are driver-exact zeros when the
+    // HLL++/QuantileSummaries error bounds hold; anchor rows are exact
+    // aggregates DuckDB recomputes from the base table.
+    "q90_sketches" ->
+      """SELECT 'acd_relerr_over_5pct' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'p50_rank_err_over_2pct', 0.0
+         UNION ALL SELECT 'n_rows',
+           (SELECT CAST(count(*) AS DOUBLE) FROM events)
+         UNION ALL SELECT 'n_distinct_users',
+           (SELECT CAST(count(DISTINCT user_id) AS DOUBLE) FROM events)""",
+
+    // Curation-pipeline twin: replays all five stages — gate rules,
+    // min-doc_id dedup, survivor-fit unigram LM, the affine sampling
+    // hash, and the recursive next-fit packing fold.
+    "q101_curation_pipeline" ->
+      """WITH RECURSIVE gt AS (SELECT doc_id, source, text,
+           len(regexp_extract_all(text, '\S+')) AS nw,
+           CAST(len(text) - len(regexp_extract_all(text, '\s')) AS DOUBLE) /
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ml,
+           CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+             CAST(greatest(len(str_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS af,
+           len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS ns
+           FROM documents),
+         g AS (SELECT doc_id, source, text FROM gt
+           WHERE nw >= 50 AND nw <= 100000 AND ml >= 3.0 AND ml <= 10.0
+             AND af >= 0.8 AND ns >= 2),
+         f AS (SELECT doc_id, source, text,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM g),
+         dd AS (SELECT doc_id, source, text FROM
+           (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS mid FROM f)
+           WHERE doc_id = mid),
+         toks AS (SELECT doc_id,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok FROM dd),
+         counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         totals AS (SELECT sum(c) AS t_total, count(*) AS v FROM counts),
+         scored AS (SELECT doc_id,
+           round(avg(-ln(CAST(c + 1 AS DOUBLE) / CAST(t_total + v AS DOUBLE))), 6) AS avg_nll
+           FROM toks JOIN counts USING (tok) CROSS JOIN totals GROUP BY doc_id),
+         samp AS (SELECT doc_id, source, text FROM dd
+           WHERE (((doc_id % 2147483647) * 506952114 + 101) % 2147483647) % 1000000
+                 < 100000 + 50000 * (CAST(substr(source, 4) AS INT) % 10)),
+         d AS (SELECT doc_id, source, doc_id // 100 AS chunk,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+           row_number() OVER (PARTITION BY source, doc_id // 100
+                              ORDER BY doc_id) AS rn
+           FROM samp),
+         r AS (SELECT doc_id, source, chunk, n_tokens, rn,
+             CAST(0 AS BIGINT) AS shard, n_tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.source, d.chunk, d.n_tokens, d.rn,
+             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.shard
+                  ELSE r.shard + 1 END,
+             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.fill + d.n_tokens
+                  ELSE d.n_tokens END
+           FROM r JOIN d ON d.source = r.source AND d.chunk = r.chunk
+                        AND d.rn = r.rn + 1)
+         SELECT r.doc_id, r.source, r.chunk, r.n_tokens, r.shard, s.avg_nll
+         FROM r JOIN scored s USING (doc_id)""",
+
+    // Quality-cap twin: q18's quality expression + top-50 per source.
+    "q107_source_quality_cap" ->
+      """WITH q AS (SELECT doc_id, source, round(
+           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+               / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
+           + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
+               / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
+           , 6) AS quality FROM documents),
+         r AS (SELECT doc_id, source, quality,
+           row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+           FROM q)
+         SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 50""",
+
+    // Heavy-hitters twin: exact top-10 with the same (cnt desc, tok)
+    // tie-break; the CMS columns are deterministic residuals (seeded
+    // sketch, never-underestimate + eps*N overshoot bound).
+    "q112_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM t WHERE tok <> '' GROUP BY tok)
+         SELECT tok, CAST(cnt AS BIGINT) AS cnt,
+           CAST(0 AS BIGINT) AS under_viol, 0.0 AS over_resid
+         FROM c ORDER BY cnt DESC, tok LIMIT 10""",
+
+    // Packing twin: replays the greedy next-fit fold exactly with a
+    // recursive CTE over each (source, chunk) group in doc_id order —
+    // same budget (160), same chunking (doc_id // 100), same oversize
+    // rule (a doc that overflows starts a new shard and may exceed the
+    // budget alone).
+    "q89_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, source, doc_id // 100 AS chunk,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+             row_number() OVER (PARTITION BY source, doc_id // 100
+                                ORDER BY doc_id) AS rn
+           FROM documents),
+         r AS (
+           SELECT doc_id, source, chunk, n_tokens, rn,
+             CAST(0 AS BIGINT) AS shard, n_tokens AS fill
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.source, d.chunk, d.n_tokens, d.rn,
+             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.shard
+                  ELSE r.shard + 1 END,
+             CASE WHEN r.fill + d.n_tokens <= 160 THEN r.fill + d.n_tokens
+                  ELSE d.n_tokens END
+           FROM r JOIN d ON d.source = r.source AND d.chunk = r.chunk
+                        AND d.rn = r.rn + 1)
+         SELECT doc_id, source, chunk, n_tokens, shard FROM r""",
+
+    // Sketch-merge battery twin: the merge-vs-direct register identity
+    // is checked Spark-side (exact zero); DuckDB anchors the exact
+    // distinct-word count.
+    "q125_sketch_merge" ->
+      """WITH toks AS (SELECT unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents)
+         SELECT 'merge_vs_direct_resid' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'est_relerr_over_5pct', 0.0
+         UNION ALL SELECT 'n_distinct_words',
+           (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM toks WHERE w <> '')""",
+
+    // Temperature-mixture twin: same sqrt quota (IEEE-exact on both
+    // engines) and the same affine hash order (q88's constants;
+    // 506952114 = 2654435761 % 2147483647).
+    "q132_temperature_mixture" ->
+      """WITH q AS (SELECT source,
+           CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 12.0) AS BIGINT) AS quota
+           FROM documents GROUP BY 1),
+         h AS (SELECT doc_id, source,
+           ((doc_id % 2147483647) * 506952114 + 101) % 2147483647 % 1000000 AS hv
+           FROM documents),
+         r AS (SELECT doc_id, source,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+           FROM h)
+         SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk, q.quota
+         FROM r JOIN q USING (source) WHERE r.rk <= q.quota""",
+  )
+}

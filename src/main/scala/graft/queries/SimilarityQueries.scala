@@ -1,0 +1,415 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Trajectories
+import graft.lag.Lag
+import graft.agg.Covariance
+import graft.linalg.LinAlg
+import graft.markov.TransitionCounting
+import graft.text.{Bpe, Packing, Pii, Scoring, TextFunctions}
+import graft.dedup.Dedup
+import graft.operators.Joins
+import graft.similarity.Similarity
+import graft.queries.QShared._
+
+/** SimilarityQueries: ANN (brute/LSH/IVF), quantized cosine, embedding near-dup, SemDeDup, outliers, hard negatives.
+  *
+  * One slice of the driver-contract registry (VERDICT r06 item 8 split
+  * of the 5,000-line SparkEntry monolith). Entry bodies are UNCHANGED;
+  * graft.SparkEntry merges every family into the single `queries` /
+  * `oracleSql` maps the driver consumes, and ContractSpec keeps the
+  * key sets equal. */
+private[graft] object SimilarityQueries extends QueryFamily {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // ---- per-class embedding outliers (q119): the CLIP-score-filtering
+    // analog — per label, the element-wise mean centroid; each vector's
+    // cosine to its OWN class centroid; bottom-3 per class (rounded-cos
+    // asc, vec_id tie-break) are the mislabeled/noise candidates a
+    // curation pass drops. Scale shape: centroids via map-side-combined
+    // (label, dim) partial sums (shuffle carries nClasses x dim doubles
+    // per partition, not vectors), broadcast back; cosine is the fused
+    // native expression; the rank filter is WindowGroupLimit-pushed. ----
+    "q119_embedding_outliers" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(avg(col("x")).as("c"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+          t => t.getField("c")).as("cv"))
+      val sc = e.join(broadcast(cent), "label")
+        .select(col("label"), col("vec_id"),
+          round(graft.functions.ArrayNumeric.cosine(col("v"), col("cv")), 6)
+            .as("cos_c"))
+      val w = Window.partitionBy("label").orderBy(col("cos_c"), col("vec_id"))
+      sc.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 3)
+    }),
+
+    // ---- hard-negative mining (q122): contrastive-training data prep —
+    // for each of 20 deterministic anchor vectors, the top-3 most-cosine-
+    // similar vectors with a DIFFERENT label (the "hard negatives" an
+    // embedding trainer pairs with positives). Brute rung of the q23/q28
+    // ANN family: anchors broadcast, fused native cosine, rank on the
+    // ROUNDED score (vec_id tie-break); the LSH/IVF rungs apply unchanged
+    // at corpus scale with the label-exclusion pushed into the candidate
+    // filter. -----------------------------------------------------------
+    "q122_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"),
+        col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val anchors = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+          col("v").as("av"))
+      val scored = e.join(broadcast(anchors), col("label") =!= col("anchor_label"))
+        .select(col("anchor_id"), col("vec_id"),
+          round(graft.functions.ArrayNumeric.cosine(col("v"), col("av")), 6)
+            .as("cos_hn"))
+      val w = Window.partitionBy("anchor_id")
+        .orderBy(col("cos_hn").desc, col("vec_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+    }),
+
+    // ---- similarity search --------------------------------------------
+    "q23_ann_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = broadcast(e.where(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Similarity.cosine(col("qv"), col("cv")), 6).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 5)
+    }),
+
+    "q24_embedding_norms" -> ((s, dir) => {
+      emb(s, dir).select(col("vec_id"), col("label"),
+        round(Similarity.norm(col("embedding")), 6).as("l2norm"))
+    }),
+
+    // int8-quantized cosine vs exact cosine on consecutive-id pairs: the
+    // quantization (scale = maxabs/127, half-away rounding) and the
+    // quantized cosine (integer arithmetic, scales cancel) are both
+    // engine-portable, so the DuckDB oracle recomputes every value — the
+    // 8x-compression ANN path is value-checked, and the emitted |error|
+    // column doubles as the accuracy contract (~1e-2 at dim 64).
+    "q77_quantized_cosine" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"),
+        Similarity.quantizeInt8(col("embedding")).as("qv"))
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"), col("qv").as("qa"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"), col("qv").as("qb"))
+      a.join(b, col("idb") === col("ida") + 1)
+        .select(col("ida"), col("idb"),
+          round(Similarity.quantizedCosine(col("qa"), col("qb")), 6).as("qcos"),
+          round(abs(Similarity.quantizedCosine(col("qa"), col("qb")) -
+            Similarity.cosine(col("va").cast("array<double>"), col("vb").cast("array<double>"))), 3)
+            .as("abs_err"))
+    }),
+
+    // Oracle: DuckDB SIMULATES the full LSH pipeline (sign-plane buckets
+    // embedded as literal +- terms -> candidate join -> exact re-rank), so
+    // the approximate result is hash-checked exactly, not skipped.
+    "q28_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.where(col("vec_id") % 40 === 0), 5, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+          round(col("cos"), 6).as("cos"))
+    }),
+
+    // Recall@5 of LSH vs brute force, per query — wide-bucket parametrization
+    // (nPlanes=2, numTables=8) appropriate for this corpus's near-uniform
+    // geometry (see Similarity.lshTopK note). DuckDB simulates BOTH pipelines
+    // and computes the same recall number exactly.
+    "q68_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") % 40 === 0)
+      val lsh = Similarity.lshTopK(e, q, 5, dim = 64, nPlanes = 2, numTables = 8)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val brute = Similarity.bruteForceTopK(e, q, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .select(col("query_id"), col("hits"), (col("hits") / 5.0).as("recall"))
+    }),
+
+    // ---- IVF ANN -------------------------------------------------------
+    // The MLlib-seeded codebook isn't SQL-reproducible, so the oracle
+    // gates the CONTRACT instead: recall@5 vs the in-query brute force
+    // (>= 0.9, the VERDICT r02 bar), exactly 5 results per query, and the
+    // query count (exact SQL twin). A recall drop — from codebook drift,
+    // probe-routing bugs, or re-rank errors — flips the hash.
+    "q64_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") % 40 === 0)
+      // nProbe=6/8: this synthetic corpus is near-uniform on the sphere —
+      // the worst case for a coarse quantizer (true neighbors scatter
+      // across cells; measured recall@5 by nProbe at sf0.01:
+      // 3 -> 0.71, 4 -> 0.80, 5 -> 0.89, 6 -> 0.95) — so meeting the 0.9
+      // recall bar costs 6/8 of the cells. On clustered real corpora the
+      // same pipeline meets it at much lower probe fractions (IvfSpec).
+      val ivf = Similarity.ivfTopK(e, q, k = 5, nCells = 8, nProbe = 6, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val brute = Similarity.bruteForceTopK(e, q, 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val perQ = ivf.join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"), count(lit(1)).as("k"))
+      val row = perQ.agg(avg(col("hits") / 5.0).as("recall"),
+        max(abs(col("k") - 5)).as("kviol"), count(lit(1)).as("nq")).collect()(0)
+      checksDf(s, Seq(
+        "recall_below_0p9" -> math.max(0.0, 0.9 - row.getDouble(0)),
+        "results_per_query_minus_5" -> row.getLong(1).toDouble,
+        "n_queries" -> row.getLong(2).toDouble))
+    }),
+
+    // Embedding-cosine near-duplicate pairs (the embedding leg of the
+    // dedup family): sign-plane LSH buckets -> capped bucket self-join ->
+    // exact-cosine verify at threshold 0.35 (this corpus has no planted
+    // near-dup structure — top pair cosines sit at ~0.3-0.45 — so the
+    // threshold is set where true pairs exist; a real dedup corpus runs
+    // 0.9+ with the same plan, where sign-plane collision probability is
+    // high and bucketing recalls near-identical vectors — at 0.35 the
+    // LSH recall is inherently low, so this query gates PIPELINE
+    // correctness, with recall gated in its proper regime by q68).
+    // nPlanes=7 keeps buckets selective (~40 vectors at sf0.1): wide
+    // 2-plane buckets measured 10 s — the capped join's output is
+    // quadratic in bucket size, exactly the degenerate regime the
+    // maxBucketSize cap exists for. The oracle SIMULATES the whole
+    // pipeline: literal sign-plane bucket terms (bit-identical add
+    // order, the q28/q68 pattern), per-table bucket-size caps, candidate
+    // dedup, and the exact cosine filter.
+    "q86_cosine_neardup" -> ((s, dir) => {
+      Similarity.cosineNearDupes(emb(s, dir), threshold = 0.35, dim = 64,
+        nPlanes = 7, numTables = 2)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    }),
+
+    // ---- SemDeDup semantic dedup (q99): k-means clusters confine the
+    // cosine sweep; a vector is dropped iff a smaller-id same-cluster
+    // vector is cosine >= tau. The battery independently re-derives the
+    // earlier-neighbor relation from the emitted cell assignment and
+    // raw vectors and asserts the keep/drop partition is exactly the
+    // "no earlier neighbor" set (0 violations both directions); the
+    // n_vectors anchor is exact SQL. tau=0.3 sits where this corpus has
+    // real cosine-near pairs (q86 note: top pair cosines ~0.3-0.45). --
+    "q99_semdedup" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val res = Similarity.semDedup(e, tau = 0.3, nClusters = 8, seed = 42L)
+      val withVec = res.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      val l = withVec.select(col("cell"), col("vec_id").as("a"),
+        col("embedding").as("va"))
+      val r = withVec.select(col("cell"), col("vec_id").as("b"),
+        col("embedding").as("vb"))
+      val hasEarlier = l.join(r, Seq("cell"))
+        .where(col("a") < col("b") &&
+          Similarity.cosine(col("va"), col("vb")) >= 0.3)
+        .select(col("b").as("vec_id")).distinct()
+      val joined = res.join(hasEarlier.withColumn("he", lit(1)), Seq("vec_id"), "left")
+      val row = joined.agg(
+        sum(when(col("keep") === 1 && col("he") === 1, 1).otherwise(0)).as("kept_viol"),
+        sum(when(col("keep") === 0 && col("he").isNull, 1).otherwise(0)).as("drop_viol"),
+        count(lit(1)).as("n")).collect()(0)
+      checksDf(s, Seq(
+        "kept_with_earlier_neighbor" -> row.getLong(0).toDouble,
+        "dropped_without_earlier_neighbor" -> row.getLong(1).toDouble,
+        "n_vectors" -> row.getLong(2).toDouble))
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    // SemDeDup battery twin: residuals are exact zeros when the
+    // keep/drop partition equals the "no earlier same-cluster neighbor"
+    // set; the vector-count anchor is exact SQL.
+    "q99_semdedup" ->
+      """SELECT 'kept_with_earlier_neighbor' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'dropped_without_earlier_neighbor', 0.0
+         UNION ALL SELECT 'n_vectors',
+           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings)""",
+
+    // Quantization + quantized cosine recomputed exactly: integer dot over
+    // integer norms (scales cancel), plus the exact-cosine error column.
+    "q77_quantized_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id, v,
+           list_transform(v, x -> round(x /
+             (greatest(list_max(list_transform(v, y -> abs(y))), 1e-300) / 127.0))) AS qv
+           FROM e),
+         p AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+             a.v AS va, b.v AS vb, a.qv AS qa, b.qv AS qb
+           FROM q a JOIN q b ON b.vec_id = a.vec_id + 1),
+         c AS (SELECT ida, idb,
+           list_dot_product(qa, qb) /
+             (sqrt(list_dot_product(qa, qa)) * sqrt(list_dot_product(qb, qb))) AS qcos,
+           list_dot_product(va, vb) /
+             (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb))) AS cos
+           FROM p)
+         SELECT ida, idb, round(qcos, 6) AS qcos,
+           round(abs(qcos - cos), 3) AS abs_err FROM c""",
+
+    "q28_ann_lsh" -> {
+      // the oracle SIMULATES the LSH pipeline: sign-plane buckets (literal
+      // +- terms, same left-to-right accumulation order as the executor
+      // UDF -> bit-identical floating sign), candidate OR-join, exact
+      // cosine re-rank — identical to the Spark plan's semantics.
+      val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 8, numTables = 4)
+      val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
+      val joinCond = b.indices.map(t => s"q.b$t = c.b$t").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT vec_id,
+           $bcols
+           FROM e),
+         qb AS (SELECT * FROM cb WHERE vec_id % 40 = 0),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM qb q JOIN cb c ON q.vec_id != c.vec_id AND ($joinCond)),
+         s AS (SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(qe.v, ce.v) /
+             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(cos, 6) AS cos FROM r WHERE rank <= 5"""
+    },
+
+    // Full simulation of the cosine near-dup pipeline: per-table bucket
+    // sizes mirror the Spark-side maxBucketSize=1000 drop, candidates
+    // union over tables, exact cosine at the threshold.
+    "q86_cosine_neardup" -> {
+      val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 7, numTables = 2)
+      val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
+      val ncols = b.indices.map(t => s"count(*) OVER (PARTITION BY b$t) AS n$t")
+        .mkString(",\n           ")
+      val unions = b.indices.map(t =>
+        s"""SELECT l.vec_id AS a, r.vec_id AS b FROM cb2 l JOIN cb2 r
+            ON l.b$t = r.b$t AND l.vec_id < r.vec_id WHERE l.n$t <= 1000""")
+        .mkString("\n           UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT vec_id,
+           $bcols
+           FROM e),
+         cb2 AS (SELECT *,
+           $ncols
+           FROM cb),
+         cand AS (SELECT DISTINCT a, b FROM ($unions)),
+         sc AS (SELECT cand.a, cand.b,
+           list_dot_product(ae.v, be.v) /
+             (sqrt(list_dot_product(ae.v, ae.v)) * sqrt(list_dot_product(be.v, be.v))) AS cos
+           FROM cand JOIN e ae ON ae.vec_id = cand.a
+                     JOIN e be ON be.vec_id = cand.b)
+         SELECT a, b, round(cos, 6) AS cos FROM sc WHERE cos >= 0.35"""
+    },
+
+    "q68_ann_recall" -> {
+      val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 2, numTables = 8)
+      val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
+      val joinCond = b.indices.map(t => s"q.b$t = c.b$t").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         cb AS (SELECT vec_id,
+           $bcols
+           FROM e),
+         qb AS (SELECT * FROM cb WHERE vec_id % 40 = 0),
+         cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           FROM qb q JOIN cb c ON q.vec_id != c.vec_id AND ($joinCond)),
+         ls AS (SELECT cand.query_id, cand.neighbor_id,
+           list_dot_product(qe.v, ce.v) /
+             (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+           FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+                     JOIN e ce ON ce.vec_id = cand.neighbor_id),
+         lr AS (SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM ls),
+         lsh AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 5),
+         bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.v, c.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+           FROM e q JOIN e c ON q.vec_id % 40 = 0 AND q.vec_id != c.vec_id),
+         br AS (SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM bs),
+         brute AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+         hit AS (SELECT b.query_id,
+           CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS h
+           FROM brute b LEFT JOIN lsh l
+             ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id),
+         agg AS (SELECT query_id, CAST(sum(h) AS BIGINT) AS hits FROM hit GROUP BY 1)
+         SELECT query_id, hits, hits / 5.0 AS recall FROM agg"""
+    },
+
+    // IVF ANN recall/contract battery; the query count is exact SQL.
+    "q64_ann_ivf" ->
+      """SELECT 'recall_below_0p9' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'results_per_query_minus_5', 0.0
+         UNION ALL SELECT 'n_queries',
+           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings WHERE vec_id % 40 = 0)""",
+
+    "q23_ann_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 40 = 0),
+         s AS (SELECT query_id, e.vec_id AS neighbor_id,
+           round(list_dot_product(qv, e.v) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+           FROM q, e WHERE query_id != e.vec_id),
+         r AS (SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM s)
+         SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5""",
+
+    "q24_embedding_norms" ->
+      """SELECT vec_id, label,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           CAST(embedding AS DOUBLE[]))), 6) AS l2norm
+         FROM embeddings""",
+
+    // Embedding-outlier twin: per-label element-wise mean centroid
+    // (parallel unnest), cosine via list_dot_product in the exact fused-
+    // expression formula dot/(sqrt(xx)*sqrt(yy)), bottom-3 per label on
+    // the rounded cosine with vec_id tie-break.
+    "q119_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pos AS (SELECT vec_id, label,
+           unnest(generate_series(1, len(v))) AS i, unnest(v) AS x FROM e),
+         cent AS (SELECT label, i, avg(x) AS c FROM pos GROUP BY 1, 2),
+         cl AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY 1),
+         sc AS (SELECT e.label, e.vec_id,
+             round(list_dot_product(e.v, cl.cv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(cl.cv, cl.cv))), 6) AS cos_c
+           FROM e JOIN cl USING (label)),
+         r AS (SELECT label, vec_id, cos_c,
+           ROW_NUMBER() OVER (PARTITION BY label
+             ORDER BY cos_c, vec_id) AS rk FROM sc)
+         SELECT label, vec_id, cos_c, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3""",
+
+    // Hard-negative twin: exhaustive different-label cosine ranking per
+    // anchor in the exact fused-expression formula, rank on the rounded
+    // score with the vec_id tie-break.
+    "q122_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+           CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+           FROM e WHERE vec_id < 20),
+         sc AS (SELECT a.anchor_id, e.vec_id,
+             round(list_dot_product(e.v, a.av) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(a.av, a.av))), 6) AS cos_hn
+           FROM e JOIN a ON e.label <> a.anchor_label),
+         r AS (SELECT anchor_id, vec_id, cos_hn,
+           ROW_NUMBER() OVER (PARTITION BY anchor_id
+             ORDER BY cos_hn DESC, vec_id) AS rk FROM sc)
+         SELECT anchor_id, vec_id, cos_hn, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3""",
+  )
+}

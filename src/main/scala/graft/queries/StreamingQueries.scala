@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Trajectories
+import graft.lag.Lag
+import graft.agg.Covariance
+import graft.linalg.LinAlg
+import graft.markov.TransitionCounting
+import graft.text.{Bpe, Packing, Pii, Scoring, TextFunctions}
+import graft.dedup.Dedup
+import graft.operators.Joins
+import graft.similarity.Similarity
+import graft.queries.QShared._
+
+/** StreamingQueries: structured-streaming count matrix, dedup, session windows, rolling features (MemoryStream harnesses).
+  *
+  * One slice of the driver-contract registry (VERDICT r06 item 8 split
+  * of the 5,000-line SparkEntry monolith). Entry bodies are UNCHANGED;
+  * graft.SparkEntry merges every family into the single `queries` /
+  * `oracleSql` maps the driver consumes, and ContractSpec keeps the
+  * key sets equal. */
+private[graft] object StreamingQueries extends QueryFamily {
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // ---- Structured Streaming under the oracle gate (q102): the
+    // flatMapGroupsWithState lag pairing + update-mode count aggregation
+    // (streaming/Streaming.scala) run as a REAL StreamingQuery over the
+    // events-derived dtraj, fed through a MemoryStream in four event-time
+    // chunks so the lag buffer genuinely crosses micro-batch boundaries;
+    // the final complete-mode sink must equal the batch sliding count
+    // matrix that DuckDB recomputes (q05's twin). The driver-side feed is
+    // the test-harness transport only — the operator itself holds O(tau)
+    // state per trajectory and n^2 aggregation state, unbounded-stream
+    // safe at any rate. -------------------------------------------------
+    "q102_streaming_counts" -> ((s0, dir) => {
+      // dedicated session: state-store count per stateful op = shuffle
+      // partitions, and each store checkpoints per micro-batch — 32
+      // partitions x 2 stateful ops x 4 batches is ~256 store commits for
+      // a toy stream. 4 partitions keeps the harness honest (parallel
+      // state, cross-batch buffers) at 1/8 the fixed cost; a real
+      // deployment sizes this to the key cardinality as usual.
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = dtrajEv(s, dir)
+        .as[(Long, Long, Int)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Int)]
+      val stream = mem.toDF().toDF("traj_id", "t", "state")
+      val counts = graft.streaming.Streaming.streamingCountMatrix(stream, tau = 1)
+      val sink = "q102_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        val tmax = data.iterator.map(_._2).max
+        (0 to 3).foreach { k =>
+          val lo = (tmax + 1) * k / 4
+          val hi = (tmax + 1) * (k + 1) / 4
+          val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
+          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink).select(col("s0"), col("s1"), col("cnt").cast("long").as("cnt"))
+    }),
+
+    // ---- streaming rolling features under the ORACLE gate (q126): the
+    // q114 point-in-time feature primitive as a REAL append-mode
+    // StreamingQuery — per-user O(window) state serves strictly-prior
+    // trailing avg/max/lag at ingest time (the online feature-store
+    // shape). Events stream in event-time order across 4 micro-batches
+    // that cut through user histories, so state genuinely carries
+    // across batch boundaries; the emitted set must hash-match the batch
+    // window twin row for row. ------------------------------------------
+    "q126_streaming_features" -> ((s0, dir) => {
+      // isolated session: the 4-partition state-store sizing (q102
+      // rationale) must not leak into later queries on the shared session
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = Trajectories.events(s, dir)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          col("ts").cast("long"), col("value").cast("double"))
+        .as[(Long, Long, Long, Double)].collect()
+        .sortBy(r => (r._3, r._1))
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long, Double)]
+      val stream = mem.toDF().toDF("event_id", "user_id", "t", "value")
+      val feats = graft.streaming.Streaming.rollingFeaturesStream(stream, 5)
+      val sink = "q126_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = feats.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        data.grouped(math.max(1, data.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink).select(col("event_id"), col("user_id"), col("value"),
+        round(col("trail_avg"), 6).as("trail_avg"), col("trail_max"),
+        col("prev_value"), col("n_trail"))
+    }),
+
+    // ---- streaming exact dedup under the oracle gate (q113): the
+    // dropDuplicates state path run as a REAL append-mode StreamingQuery
+    // over doc_id-ordered chunks (each chunk pre-deduped driver-side so
+    // the within-batch keep is well-defined; CROSS-batch exactly-once is
+    // what the state store must deliver). The corpus has no exact dups at
+    // sf0.01, so every doc_id%10==0 text is re-fed as a clone at
+    // doc_id+1e6 — the clones sort into LATER batches and the state
+    // store must drop every one of them. The kept set must equal the
+    // batch min-doc_id-per-fingerprint rule DuckDB replays over the same
+    // augmented corpus — a duplicate emission or a dropped
+    // first-occurrence breaks the hash. ---------------------------------
+    "q113_streaming_dedup" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val orig = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val data = (orig ++ orig.filter(_._1 % 10 == 0)
+        .map { case (id, t) => (id + 1000000L, t) }).sortBy(_._1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+      val dd = graft.streaming.Streaming.streamingDedup(stream)
+      val sink = "q113_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = dd.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        data.grouped(math.max(1, data.length / 4 + 1)).foreach { chunk =>
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          // same normalization as TextFunctions.fingerprint (lower ->
+          // \s+ collapse -> space trim), so the pre-dedup groups exactly
+          // the rows the streaming fingerprint will
+          val batch = chunk.filter { case (_, text) =>
+            val k = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+            seen.add(k.stripPrefix(" ").stripSuffix(" "))
+          }
+          if (batch.nonEmpty) mem.addData(batch.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink).select(col("doc_id"), col("fp"))
+    }),
+
+    // ---- streaming session windows under the oracle gate (q111): the
+    // session_window + watermark path (streaming/Streaming.scala) run as
+    // a REAL append-mode StreamingQuery over event-time-ordered chunks,
+    // with two far-future sentinel batches (negative user ids, filtered
+    // out) pushing the watermark so every real session finalizes and is
+    // emitted EXACTLY once; the emitted set must equal the batch
+    // sessionization that DuckDB replays (q78's gap rule). ---------------
+    "q111_streaming_sessions" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = Trajectories.events(s, dir)
+        .select(col("user_id").cast("long"), expr("ts div 1000").cast("long"))
+        .as[(Long, Long)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val stream = mem.toDF().toDF("user_id", "tsu")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+      val sess = graft.streaming.Streaming.sessionWindowCounts(
+        stream, "ts", "user_id", gap = "30000 seconds", delay = "0 seconds")
+      val sink = "q111_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = sess.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val tmax = data.iterator.map(_._2).max
+        val tmin = data.iterator.map(_._2).min
+        (0 to 2).foreach { k =>
+          val lo = tmin + (tmax - tmin + 1) * k / 3
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 3
+          val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
+          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        // two sentinel batches: the first advances the watermark past
+        // every open session's close point, the second triggers the state
+        // eviction that emits them (watermark updates at batch END)
+        mem.addData((-1L, tmax + 100L * 30000000000L))
+        query.processAllAvailable()
+        mem.addData((-2L, tmax + 100L * 30000000000L + 1L))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink).where(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("sess_start")).as("sess_start_us"),
+          col("n_events"))
+    }),
+  )
+
+  val oracles: Seq[(String, String)] = Seq(
+
+    // Streaming-counts twin: the streaming query's final state must equal
+    // the batch sliding count matrix (same SQL as q05's twin).
+    "q102_streaming_counts" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
+          SELECT s0, s1, count(*) AS cnt FROM p
+          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1""",
+
+    // Streaming-dedup twin: the batch min-doc_id-per-fingerprint rule
+    // over the SAME clone-augmented corpus (doc_id-ordered feed makes
+    // the streaming first-occurrence = the global minimum).
+    "q113_streaming_dedup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         f AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM aug)
+         SELECT doc_id, fp FROM
+           (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS mid FROM f)
+         WHERE doc_id = mid""",
+
+    // Streaming-sessions twin: the batch gap rule (q78), reporting each
+    // session's exact start micros + event count.
+    "q111_streaming_sessions" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+         s AS (SELECT user_id, tsu, event_id,
+           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
+             THEN 1 ELSE 0 END AS brk
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         x AS (SELECT user_id, tsu,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess
+           FROM s)
+         SELECT user_id, CAST(min(tsu) AS BIGINT) AS sess_start_us,
+           CAST(count(*) AS BIGINT) AS n_events
+         FROM x GROUP BY user_id, sess""",
+
+    // Streaming-features twin: the BATCH window formulation (= q114's
+    // twin) — the streaming state machine must reproduce it exactly.
+    "q126_streaming_features" ->
+      """SELECT event_id, user_id, value,
+           round(avg(value) OVER trail, 6) AS trail_avg,
+           max(value) OVER trail AS trail_max,
+           lag(value, 1) OVER w AS prev_value,
+           CAST(count(*) OVER trail AS BIGINT) AS n_trail
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           trail AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)""",
+  )
+}
