@@ -273,6 +273,118 @@ private[graft] object CoreQueries extends QueryFamily {
         "mean_weight_minus_one" -> (row.getDouble(0) - 1.0),
         "n_pairs" -> row.getLong(1).toDouble))
     }),
+
+    // ---- column selection + NaN/Inf row dropping (q139): the reference
+    // covariance column_selection + drop-nan semantics as ONE exactly
+    // SQL-replayable rung. Non-finite values are injected
+    // deterministically: dim 1 (UNSELECTED) gets NaN on t % 7 == 3 and
+    // must NOT drop the row once dims (0, 2) are selected; dim 2
+    // (SELECTED) gets +Inf on t % 5 == 2 and must. Pure codegen
+    // predicate at the scan — no shuffle. ------------------------------
+    "q139_select_drop_nonfinite" -> ((s, dir) => {
+      val traj = Trajectories.fromLineitem(s, dir)
+        .withColumn(Trajectories.FeatCol, array(
+          col(Trajectories.FeatCol).getItem(0),
+          when(col("t") % 7 === 3, lit(Double.NaN))
+            .otherwise(col(Trajectories.FeatCol).getItem(1)),
+          when(col("t") % 5 === 2, lit(Double.PositiveInfinity))
+            .otherwise(col(Trajectories.FeatCol).getItem(2)),
+          col(Trajectories.FeatCol).getItem(3)))
+      val kept = Trajectories.dropNonFinite(
+        Trajectories.selectColumns(traj, Seq(0, 2)))
+      kept.agg(count(lit(1)).as("n"),
+        round(avg(expr("features[0]")), 6).as("m0"),
+        round(avg(expr("features[1]")), 6).as("m1"))
+    }),
+
+    // ---- Chan pairwise moment merge (q148): MomentsBuf.mergeIn of two
+    // disjoint halves equals the single-pass accumulation over the same
+    // rows (the associativity the treeAggregate combine tree relies on),
+    // with the pair count anchored by exact SQL over lineitem. ----------
+    "q148_moments_combine" -> ((s, dir) => {
+      val rows = liPairs(s, dir).where(col("traj_id") % 17 === 0)
+        .orderBy(col("traj_id"), col("t"))
+        .select(col("traj_id"), col("x"), col("y")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray))
+      val full = graft.agg.MomentsBuf.empty
+      rows.foreach { case (_, x, y) => full.add(x, y, 1.0) }
+      val h0 = graft.agg.MomentsBuf.empty
+      val h1 = graft.agg.MomentsBuf.empty
+      rows.foreach { case (id, x, y) =>
+        (if (id % 2 == 0) h0 else h1).add(x, y, 1.0) }
+      h0.mergeIn(h1)
+      def maxDiff(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (p, q) => math.abs(p - q) }.foldLeft(0.0)(math.max)
+      val scale = math.max(1.0, full.w)
+      checksDf(s, Seq(
+        "n_pairs" -> full.n.toDouble,
+        "merged_weight_resid" -> (h0.w - full.w) / scale,
+        "merged_sums_resid" -> (maxDiff(h0.sx, full.sx)
+          .max(maxDiff(h0.sy, full.sy))) / scale,
+        "merged_second_moments_resid" -> (maxDiff(h0.sxx, full.sxx)
+          .max(maxDiff(h0.sxy, full.sxy)).max(maxDiff(h0.syy, full.syy))) / scale))
+    }),
+
+    // ---- stochastic example generators battery (q150): ellipsoids,
+    // sqrt model, swiss-roll, and the PBF fluid surface (reference
+    // data/_datasets.py; q47 gate pattern). Exact anchors: row counts,
+    // feature dims, state ranges, swiss-roll nearest-neighbor transition
+    // support, PBF positions inside the box. Statistical gates: the
+    // state-conditional observation separations the generators define. --
+    "q150_sim_battery" -> ((s, dir) => {
+      val ell = graft.data.ExampleData.ellipsoids(s, nTraj = 4, length = 1000,
+        seed = 42L).localCheckpoint()
+      val ellRow = ell.agg(count(lit(1)),
+        max(size(col("features"))), min(size(col("features"))),
+        sum(when(col("state") < 0 || col("state") > 1, 1L).otherwise(0L)),
+        avg(when(col("state") === 1, expr("features[1]"))),
+        avg(when(col("state") === 0, expr("features[1]")))).collect()(0)
+      val ellSep = ellRow.getDouble(4) - ellRow.getDouble(5)
+
+      val sq = graft.data.ExampleData.sqrtModel(s, nTraj = 4, length = 1000,
+        seed = 42L).localCheckpoint()
+      val sqRow = sq.agg(count(lit(1)),
+        sum(when(col("state") < 0 || col("state") > 1, 1L).otherwise(0L)),
+        avg(when(col("state") === 0, expr("features[1]"))),
+        avg(when(col("state") === 1, expr("features[1]")))).collect()(0)
+      val sqSep = sqRow.getDouble(2) - sqRow.getDouble(3)
+
+      val sw = graft.data.ExampleData.swissrollModel(s, nTraj = 4, length = 1000,
+        seed = 42L).localCheckpoint()
+      val swPairs = sw
+        .withColumn("s1", lead(col("state"), 1)
+          .over(Window.partitionBy("traj_id").orderBy("t")))
+        .where(col("s1").isNotNull)
+      val swRow = sw.agg(count(lit(1)), max(size(col("features"))),
+        sum(when(col("state") < 0 || col("state") > 3, 1L).otherwise(0L))).collect()(0)
+      val swOffSupport = swPairs.where(abs(col("s1") - col("state")) > 1).count()
+
+      val pbf = graft.data.Pbf.trajectories(s, drifts = Seq(0.0, 1.0),
+        steps = 50, nBurnIn = 100).localCheckpoint()
+      val pbfRow = pbf.agg(count(lit(1)),
+        sum(when(size(col("features")) % 2 =!= 0, 1L).otherwise(0L)),
+        // centered box: x in [-40, 40], y in [-25, 25] — every coordinate
+        // is clamped inside the half-width 40
+        sum(when(exists(col("features"), v => abs(v) > 40.0 + 1e-9),
+          1L).otherwise(0L))).collect()(0)
+
+      checksDf(s, Seq(
+        "ellipsoids_rows" -> ellRow.getLong(0).toDouble,
+        "ellipsoids_dim" -> ellRow.getInt(1).toDouble,
+        "ellipsoids_dim_min" -> ellRow.getInt(2).toDouble,
+        "ellipsoids_state_oob" -> ellRow.getLong(3).toDouble,
+        "ellipsoids_sep_out_of_bounds" -> math.max(0.0, math.abs(ellSep - 5.0) - 0.25),
+        "sqrt_rows" -> sqRow.getLong(0).toDouble,
+        "sqrt_state_oob" -> sqRow.getLong(1).toDouble,
+        "sqrt_sep_out_of_bounds" -> math.max(0.0, math.abs(sqSep - 2.0) - 0.3),
+        "swissroll_rows" -> swRow.getLong(0).toDouble,
+        "swissroll_dim" -> swRow.getInt(1).toDouble,
+        "swissroll_state_oob" -> swRow.getLong(2).toDouble,
+        "swissroll_off_support" -> swOffSupport.toDouble,
+        "pbf_rows" -> pbfRow.getLong(0).toDouble,
+        "pbf_dim_odd" -> pbfRow.getLong(1).toDouble,
+        "pbf_out_of_box" -> pbfRow.getLong(2).toDouble))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -443,5 +555,42 @@ private[graft] object CoreQueries extends QueryFamily {
             round(covar_samp(value, v1), 6) AS c0t_0_0,
             round(covar_samp(v1, v1), 6) AS ctt_0_0
           FROM t WHERE v1 IS NOT NULL""",
+
+    // Selection/drop twin: selected dims are l_quantity/50 and
+    // l_discount; only the injected +Inf rows (t % 5 = 2) drop.
+    "q139_select_drop_nonfinite" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_quantity / 50.0), 6) AS m0,
+           round(avg(l_discount), 6) AS m1
+         FROM lineitem WHERE (l_linenumber - 1) % 5 <> 2""",
+
+    // Combine twin: the pair count is exact SQL (per-order line counts
+    // minus one, over the sampled orders); merge residuals are zeros.
+    "q148_moments_combine" ->
+      """SELECT 'n_pairs' AS "check",
+           (SELECT CAST(sum(c - 1) AS DOUBLE) FROM
+             (SELECT count(*) AS c FROM lineitem
+              WHERE l_orderkey % 17 = 0 GROUP BY l_orderkey)) AS "value"
+         UNION ALL SELECT 'merged_weight_resid', 0.0
+         UNION ALL SELECT 'merged_sums_resid', 0.0
+         UNION ALL SELECT 'merged_second_moments_resid', 0.0""",
+
+    // Sim-battery twin: exact anchors and zero residuals.
+    "q150_sim_battery" ->
+      """SELECT 'ellipsoids_rows' AS "check", 4000.0 AS "value"
+         UNION ALL SELECT 'ellipsoids_dim', 2.0
+         UNION ALL SELECT 'ellipsoids_dim_min', 2.0
+         UNION ALL SELECT 'ellipsoids_state_oob', 0.0
+         UNION ALL SELECT 'ellipsoids_sep_out_of_bounds', 0.0
+         UNION ALL SELECT 'sqrt_rows', 4000.0
+         UNION ALL SELECT 'sqrt_state_oob', 0.0
+         UNION ALL SELECT 'sqrt_sep_out_of_bounds', 0.0
+         UNION ALL SELECT 'swissroll_rows', 4000.0
+         UNION ALL SELECT 'swissroll_dim', 3.0
+         UNION ALL SELECT 'swissroll_state_oob', 0.0
+         UNION ALL SELECT 'swissroll_off_support', 0.0
+         UNION ALL SELECT 'pbf_rows', 100.0
+         UNION ALL SELECT 'pbf_dim_odd', 0.0
+         UNION ALL SELECT 'pbf_out_of_box', 0.0""",
   )
 }

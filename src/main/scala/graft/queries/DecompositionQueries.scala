@@ -255,6 +255,78 @@ private[graft] object DecompositionQueries extends QueryFamily {
           "n_assigned" -> aggRow.getLong(1).toDouble))
       } finally { assigned.unpersist(); () }
     }),
+
+    // ---- k-means++ seeding contract (q143): the standalone D^2
+    // initializer returns exactly k pairwise-distinct centers, each one
+    // an actual input point (min squared distance to the data is an
+    // exact zero — same doubles, no recomputation slack). --------------
+    "q143_kmeanspp_init" -> ((s, dir) => {
+      val traj = liTraj(s, dir)
+      val centers = graft.clustering.KMeansPlusPlus.seed(traj, k = 6, seedVal = 42L)
+      val feat = col(Trajectories.FeatCol)
+      def d2(c: Array[Double]) = {
+        val terms = c.indices.map(i =>
+          (feat.getItem(i) - lit(c(i))) * (feat.getItem(i) - lit(c(i))))
+        terms.reduce(_ + _)
+      }
+      val minDists = traj.agg(
+        min(d2(centers(0))), min(d2(centers(1))), min(d2(centers(2))),
+        min(d2(centers(3))), min(d2(centers(4))), min(d2(centers(5))))
+        .collect()(0)
+      val memberResid = (0 until 6).map(minDists.getDouble).max
+      def dist(a: Array[Double], b: Array[Double]) =
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val minPair = (for (i <- 0 until 6; j <- i + 1 until 6) yield
+        dist(centers(i), centers(j))).min
+      checksDf(s, Seq(
+        "n_centers" -> centers.length.toDouble,
+        "centers_are_data_points" -> memberResid,
+        "centers_pairwise_distinct" -> (if (minPair > 0.0) 0.0 else 1.0)))
+    }),
+
+    // ---- Kernel CCA (q146): canonical correlations of the Gaussian-
+    // kernel embedding over the landmark subset. Gates: k eigenvalues
+    // returned, each inside [0, 1] up to the epsilon regularization,
+    // magnitude-sorted decreasing, and the eigenfunction evaluation has
+    // the requested dimension. ------------------------------------------
+    "q146_kernel_cca" -> ((s, dir) => {
+      val m = graft.decomposition.KernelCca.fit(liTraj(s, dir),
+        graft.kernels.GaussianKernel(1.0), tau = 1, nEigs = 5,
+        maxLandmarks = 200, seed = 42L)
+      val ev = m.eigenvalues
+      val inUnit = ev.map(v => math.max(0.0, math.max(-v, v - 1.0 - 1e-3))).max
+      val sorted = if (ev.zip(ev.tail).forall { case (a, b) =>
+        math.abs(a) >= math.abs(b) - 1e-12 }) 0.0 else 1.0
+      val probe = m.transformPoint(Array(0.5, 0.5, 0.05, 0.05))
+      checksDf(s, Seq(
+        "n_eigs" -> ev.length.toDouble,
+        "eig_in_unit_interval" -> inUnit,
+        "eig_sorted_by_magnitude" -> sorted,
+        "transform_dim" -> probe.length.toDouble,
+        "transform_finite" -> (if (probe.forall(v =>
+          !v.isNaN && !v.isInfinite)) 0.0 else 1.0)))
+    }),
+
+    // ---- KVAD (q147): kernel-embedding variational score over the
+    // monomial observable. Gates: nonnegative magnitude-sorted singular
+    // values, finite score, and the Koopman matrix has the lifted
+    // observable dimension. ---------------------------------------------
+    "q147_kvad" -> ((s, dir) => {
+      val basis = graft.basis.Monomials(1)
+      val m = graft.decomposition.Kvad.fit(liTraj(s, dir),
+        graft.kernels.GaussianKernel(1.0), tau = 1, chi = basis,
+        inputDim = 4, maxLandmarks = 200, seed = 42L)
+      val sv = m.singularValues
+      val nonneg = sv.map(v => math.max(0.0, -v)).max
+      val sorted = if (sv.zip(sv.tail).forall { case (a, b) => a >= b - 1e-12 })
+        0.0 else 1.0
+      checksDf(s, Seq(
+        "n_singular_values" -> sv.length.toDouble,
+        "sv_nonnegative" -> nonneg,
+        "sv_sorted_desc" -> sorted,
+        "score_finite" -> (if (!m.score.isNaN && !m.score.isInfinite) 0.0 else 1.0),
+        "koopman_rows" -> m.koopmanMatrix.rows.toDouble))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -311,5 +383,30 @@ private[graft] object DecompositionQueries extends QueryFamily {
          UNION ALL SELECT 'k_centers_minus_4', 0.0
          UNION ALL SELECT 'centers_nonfinite', 0.0
          UNION ALL SELECT 'n_assigned', (SELECT CAST(count(*) AS DOUBLE) FROM lineitem)""",
+
+    // k-means++ twin: exact contract anchors.
+    "q143_kmeanspp_init" ->
+      """SELECT 'n_centers' AS "check", 6.0 AS "value"
+         UNION ALL SELECT 'centers_are_data_points', 0.0
+         UNION ALL SELECT 'centers_pairwise_distinct', 0.0""",
+
+    // Kernel-CCA twin: contract anchors.
+    "q146_kernel_cca" ->
+      """SELECT 'n_eigs' AS "check", 5.0 AS "value"
+         UNION ALL SELECT 'eig_in_unit_interval', 0.0
+         UNION ALL SELECT 'eig_sorted_by_magnitude', 0.0
+         UNION ALL SELECT 'transform_dim', 5.0
+         UNION ALL SELECT 'transform_finite', 0.0""",
+
+    // KVAD twin: contract anchors. Monomials(1) over 4 dims lifts to 5
+    // coordinates, but the constant coordinate centers to zero and the
+    // whitening truncates it — 4 singular directions survive, and the
+    // Koopman matrix re-adds the constant row (4 + 1 = 5).
+    "q147_kvad" ->
+      """SELECT 'n_singular_values' AS "check", 4.0 AS "value"
+         UNION ALL SELECT 'sv_nonnegative', 0.0
+         UNION ALL SELECT 'sv_sorted_desc', 0.0
+         UNION ALL SELECT 'score_finite', 0.0
+         UNION ALL SELECT 'koopman_rows', 5.0""",
   )
 }

@@ -915,6 +915,155 @@ private[graft] object MarkovQueries extends QueryFamily {
         "committor_adjoint_vs_forward" -> qResid,
         "n_states" -> n.toDouble))
     }),
+
+    // ---- MSM submodel / state-set restriction (q140): restricting the
+    // nonreversible MLE to states {0, 2, 4} and renormalizing rows
+    // equals row-normalizing the RESTRICTED count matrix — an exact SQL
+    // identity, so the submodel remap + renormalization path
+    // (_markov_state_model.py:278) is value-gated entry by entry. ------
+    "q140_msm_submodel" -> ((s, dir) => {
+      val (dense, _) = countsAndObserved(s, dir)
+      val sub = graft.markov.Msm.fromDense(dense, tau = 1, reversible = false)
+        .submodel(Seq(0, 2, 4))
+      import s.implicits._
+      val labs = sub.states
+      (for (a <- labs.indices; b <- labs.indices) yield
+        (labs(a), labs(b), r6(sub.transitionMatrix(a, b)) + 0.0))
+        .toDF("s0", "s1", "p")
+    }),
+
+    // ---- MSM trajectory simulation (q142): the seeded distributed
+    // simulator (one task per trajectory) over the analytic 5-state
+    // birth-death chain. Gates: exact row/start anchors, transition
+    // support INSIDE the chain's nonzeros (exact zero), every state
+    // visited, and empirical state occupancies within a generous
+    // CLT band of the closed-form stationary distribution — the q47
+    // simulator-gate pattern. -------------------------------------------
+    "q142_markov_simulate" -> ((s, dir) => {
+      val chain = graft.data.MarkovSim.defaultBirthDeath
+      val t = chain.transitionMatrix
+      val nTraj = 64; val len = 500
+      val sim = graft.data.MarkovSim.simulate(s, t, nTraj, len, seed = 42L)
+        .localCheckpoint()
+      val n = sim.count()
+      val pairs = sim
+        .withColumn("s1", lead(col("state"), 1)
+          .over(Window.partitionBy("traj_id").orderBy("t")))
+        .where(col("s1").isNotNull)
+      // transitions outside the tridiagonal support
+      val offSupport = pairs.where(abs(col("s1") - col("state")) > 1).count()
+      val occ = sim.groupBy("state").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1).toLong).toMap
+      val pi = chain.stationaryDistribution
+      val tol = 4.0 * math.sqrt(0.25 / (n.toDouble / 10.0)) // AC-inflated CLT
+      val occResid = (0 until chain.n).map { i =>
+        math.max(0.0, math.abs(occ.getOrElse(i, 0L).toDouble / n - pi(i)) - tol)
+      }.max
+      checksDf(s, Seq(
+        "n_rows" -> n.toDouble,
+        "n_states_visited" -> occ.size.toDouble,
+        "off_support_transitions" -> offSupport.toDouble,
+        "occupancy_out_of_bounds" -> occResid))
+    }),
+
+    // ---- drunkard's-walk example generator (q144): absorbing 2-d grid
+    // walk (reference data/drunkards_walk). Exact gates: row anchor,
+    // absorbing states never exit, every step is an 8-neighbor move that
+    // avoids barriers — the full support contract of the generator. ----
+    "q144_drunkard_walk" -> ((s, dir) => {
+      val gw = graft.data.ExampleData.DrunkardsWalk(
+        gridWidth = 6, gridHeight = 6, barState = 35, homeState = 0,
+        barriers = Set(14, 15, 21))
+      val nTraj = 48; val len = 200
+      val sim = gw.simulate(s, startX = 2, startY = 3, nTraj = nTraj,
+        length = len, seed = 42L).localCheckpoint()
+      val n = sim.count()
+      val pairs = sim
+        .withColumn("s1", lead(col("state"), 1)
+          .over(Window.partitionBy("traj_id").orderBy("t")))
+        .where(col("s1").isNotNull)
+      val exitAbsorbing = pairs
+        .where((col("state") === 0 || col("state") === 35) &&
+          col("s1") =!= col("state")).count()
+      val dx = abs(col("s1") % 6 - col("state") % 6)
+      val dy = abs(expr("s1 div 6") - expr("state div 6"))
+      val illegalMove = pairs.where(col("state") =!= 0 && col("state") =!= 35 &&
+        (dx > 1 || dy > 1 || (dx === 0 && dy === 0) ||
+          col("s1").isin(14, 15, 21))).count()
+      checksDf(s, Seq(
+        "n_rows" -> n.toDouble,
+        "absorbing_exits" -> exitAbsorbing.toDouble,
+        "illegal_moves" -> illegalMove.toDouble))
+    }),
+
+    // ---- Bayesian HMM posterior (q145): Gibbs sampling seeded from the
+    // q46 maximum-likelihood fit; the QuantityStatistics gather facade is
+    // gated — sample count, row-stochastic samples (exact), CI ordering
+    // lo <= mean <= hi, nonnegative spread. --------------------------------
+    "q145_bayesian_hmm" -> ((s, dir) => {
+      val dtraj = dtrajEv(s, dir).where(col("state") >= 0)
+      val ml = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 5, maxIter = 10)
+      val post = graft.markov.hmm.BayesianHmm.sample(dtraj, ml, nObs = 5,
+        nSamples = 20, stride = 1, seed = 42L)
+      val rowStoch = post.samples.map { m =>
+        val a = m.transition
+        (0 until a.rows).map(i =>
+          math.abs(breeze.linalg.sum(a(i, ::).t) - 1.0)).max
+      }.max
+      val (mean, std, lo, hi) = post.gather(m => m.transition(0, 0))
+      val ciOrder = if (lo <= mean && mean <= hi && std >= 0.0) 0.0 else 1.0
+      val stats = post.gatherStats(m => Array(m.transition(0, 0), m.transition(1, 1)))
+      val statsOk = if (stats.mean.length == 2 &&
+        stats.lower.zip(stats.upper).forall { case (l, u) => l <= u }) 0.0 else 1.0
+      checksDf(s, Seq(
+        "n_samples" -> post.samples.size.toDouble,
+        "samples_row_stochastic" -> rowStoch,
+        "ci_ordering" -> ciOrder,
+        "gather_stats_contract" -> statsOk))
+    }),
+
+    // ---- eigenvalue sorting + spectral trace identity (q149): sortEigs
+    // ordering contract plus sum(eigenvalues) = trace(T) — and the trace
+    // of the nonreversible MLE is plain SQL (sum of diagonal counts over
+    // row sums), so the spectrum ties back to the data. ------------------
+    "q149_eig_sort_trace" -> ((s, dir) => {
+      val (dense, _) = countsAndObserved(s, dir)
+      val m0 = graft.markov.Msm.fromDense(dense, tau = 1, reversible = false)
+      val t = m0.transitionMatrix
+      val e = breeze.linalg.eig(t)
+      val (sorted, _) = LinAlg.sortEigs(e.eigenvalues, e.eigenvectors)
+      val trace = (0 until t.rows).map(i => t(i, i)).sum
+      val sortedOk = if (LinAlg.isSorted(sorted.toArray.toSeq, descending = true)) 0.0 else 1.0
+      checksDf(s, Seq(
+        "eig_sorted_desc" -> sortedOk,
+        "lambda1_minus_one" -> (sorted(0) - 1.0),
+        "eig_sum_minus_trace" -> (breeze.linalg.sum(sorted) - trace),
+        "trace" -> trace))
+    }),
+
+    // ---- HMM init heuristic (q151): the MSM+PCCA initial guess
+    // (reference hmm/init/discrete) — coarse transition/emission/initial
+    // are proper stochastic objects of the requested shape, gated as
+    // exact residuals. ----------------------------------------------------
+    "q151_hmm_init" -> ((s, dir) => {
+      val m = graft.markov.hmm.Hmm.initialGuess(
+        dtrajEv(s, dir).where(col("state") >= 0), nHidden = 2, nObs = 5,
+        lagtime = 1)
+      def rowResid(a: breeze.linalg.DenseMatrix[Double]): Double =
+        (0 until a.rows).map(i =>
+          math.abs(breeze.linalg.sum(a(i, ::).t) - 1.0)).max
+      def negResid(a: breeze.linalg.DenseMatrix[Double]): Double =
+        a.toArray.map(v => math.max(0.0, -v)).max
+      checksDf(s, Seq(
+        "transition_shape" -> (m.transition.rows * 10 + m.transition.cols).toDouble,
+        "emission_shape" -> (m.emission.rows * 10 + m.emission.cols).toDouble,
+        "transition_row_stochastic" -> rowResid(m.transition),
+        "emission_row_stochastic" -> rowResid(m.emission),
+        "initial_normalized" -> math.abs(breeze.linalg.sum(m.initial) - 1.0),
+        "all_nonnegative" -> math.max(negResid(m.transition),
+          math.max(negResid(m.emission),
+            m.initial.toArray.map(v => math.max(0.0, -v)).max))))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1345,5 +1494,72 @@ private[graft] object MarkovQueries extends QueryFamily {
             round((SELECT llpc FROM ll), 6) AS ll_per_count,
             round((SELECT v FROM ep), 6) AS err_ppm
           FROM g JOIN g gt ON gt.i = g.j AND gt.j = g.i""",
+
+    // Submodel twin: rownorm of the restricted count matrix over the
+    // kept {0, 2, 4} states, all 9 grid cells.
+    "q140_msm_submodel" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
+          cm AS (SELECT s0, s1, count(*) AS cnt FROM p
+            WHERE s1 IS NOT NULL AND s0 IN (0, 2, 4) AND s1 IN (0, 2, 4)
+            GROUP BY s0, s1),
+          ks(k) AS (VALUES (0), (2), (4)),
+          grid AS (SELECT a.k AS i, b.k AS j FROM ks a, ks b),
+          g AS (SELECT grid.i, grid.j, COALESCE(cm.cnt, 0) AS cnt
+            FROM grid LEFT JOIN cm ON cm.s0 = grid.i AND cm.s1 = grid.j),
+          rs AS (SELECT i, CAST(sum(cnt) AS DOUBLE) AS r FROM g GROUP BY i)
+          SELECT CAST(g.i AS INT) AS s0, CAST(g.j AS INT) AS s1,
+            round(CAST(g.cnt AS DOUBLE) / rs.r, 6) AS p
+          FROM g JOIN rs USING (i)""",
+
+    // Simulator gates: exact anchors + statistically-bounded residuals
+    // (the q47 convention — residual columns are exact zeros).
+    "q142_markov_simulate" ->
+      """SELECT 'n_rows' AS "check", 32000.0 AS "value"
+         UNION ALL SELECT 'n_states_visited', 5.0
+         UNION ALL SELECT 'off_support_transitions', 0.0
+         UNION ALL SELECT 'occupancy_out_of_bounds', 0.0""",
+
+    // Drunkard twin: exact contract anchors (48 walks x 200 steps).
+    "q144_drunkard_walk" ->
+      """SELECT 'n_rows' AS "check", 9600.0 AS "value"
+         UNION ALL SELECT 'absorbing_exits', 0.0
+         UNION ALL SELECT 'illegal_moves', 0.0""",
+
+    // Bayesian-HMM twin: facade contract anchors.
+    "q145_bayesian_hmm" ->
+      """SELECT 'n_samples' AS "check", 20.0 AS "value"
+         UNION ALL SELECT 'samples_row_stochastic', 0.0
+         UNION ALL SELECT 'ci_ordering', 0.0
+         UNION ALL SELECT 'gather_stats_contract', 0.0""",
+
+    // Eig-sort twin: ordering/identity zeros plus the SQL-recomputed
+    // trace of the row-normalized count matrix.
+    "q149_eig_sort_trace" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d),
+          cm AS (SELECT s0, s1, count(*) AS cnt FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1),
+          rs AS (SELECT s0, CAST(sum(cnt) AS DOUBLE) AS r FROM cm GROUP BY s0),
+          tr AS (SELECT sum(CAST(cm.cnt AS DOUBLE) / rs.r) AS v
+            FROM cm JOIN rs USING (s0) WHERE cm.s0 = cm.s1)
+          SELECT 'eig_sorted_desc' AS "check", 0.0 AS "value"
+          UNION ALL SELECT 'lambda1_minus_one', 0.0
+          UNION ALL SELECT 'eig_sum_minus_trace', 0.0
+          UNION ALL SELECT 'trace', (SELECT round(v, 6) FROM tr)""",
+
+    // HMM-init twin: shape anchors (2x2 -> 22, 2x5 -> 25) and exact-zero
+    // stochasticity residuals.
+    "q151_hmm_init" ->
+      """SELECT 'transition_shape' AS "check", 22.0 AS "value"
+         UNION ALL SELECT 'emission_shape', 25.0
+         UNION ALL SELECT 'transition_row_stochastic', 0.0
+         UNION ALL SELECT 'emission_row_stochastic', 0.0
+         UNION ALL SELECT 'initial_normalized', 0.0
+         UNION ALL SELECT 'all_nonnegative', 0.0""",
   )
 }

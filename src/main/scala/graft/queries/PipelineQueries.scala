@@ -201,6 +201,40 @@ private[graft] object PipelineQueries extends QueryFamily {
           math.max(0.0, (est - cnt).toDouble - 0.001 * totalN))
       }.toSeq.toDF("tok", "cnt", "under_viol", "over_resid")
     }),
+
+    // ---- model persistence roundtrip (q141): the fitted TICA Koopman
+    // model and a k-means cluster model survive the JSON save/load
+    // bit-for-bit (Double.toString shortest-repr roundtrip), gated as
+    // exact-zero residuals with exact shape anchors — the io surface the
+    // reference ships as save_/load_model. ------------------------------
+    "q141_persistence_roundtrip" -> ((s, dir) => {
+      val model = graft.decomposition.Tica.fitFromCovariance(
+        Covariance.fit(liPairs(s, dir)), tau = 1, dim = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q141").toString
+      graft.io.Persistence.saveJson(
+        graft.io.Persistence.koopmanToJson(model), s"$tmp/koopman.json")
+      val back = graft.io.Persistence.koopmanFromJson(
+        graft.io.Persistence.loadJson(s"$tmp/koopman.json"))
+      def maxDiff(a: Array[Double], b: Array[Double]): Double =
+        if (a.length != b.length) Double.MaxValue
+        else a.zip(b).map { case (x, y) => math.abs(x - y) }.foldLeft(0.0)(math.max)
+      val km = graft.clustering.KMeans.fit(liTraj(s, dir), k = 3,
+        maxIter = 5, seed = 42L)
+      graft.io.Persistence.saveJson(
+        graft.io.Persistence.clusterToJson(km), s"$tmp/cluster.json")
+      val kmBack = graft.io.Persistence.clusterFromJson(
+        graft.io.Persistence.loadJson(s"$tmp/cluster.json"))
+      val centerDiff = km.centers.zip(kmBack.centers)
+        .map { case (a, b) => maxDiff(a, b) }.foldLeft(0.0)(math.max)
+      checksDf(s, Seq(
+        "koopman_u_roundtrip" -> maxDiff(model.u, back.u),
+        "koopman_sv_roundtrip" -> maxDiff(model.singularValues, back.singularValues),
+        "koopman_mean_roundtrip" -> maxDiff(model.mean0, back.mean0),
+        "koopman_tau_dim" -> ((back.tau - model.tau) + (back.d - model.d)
+          + (back.k - model.k)).toDouble,
+        "cluster_centers_roundtrip" -> centerDiff,
+        "n_centers" -> kmBack.centers.length.toDouble))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -360,5 +394,14 @@ private[graft] object PipelineQueries extends QueryFamily {
            FROM h)
          SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk, q.quota
          FROM r JOIN q USING (source) WHERE r.rk <= q.quota""",
+
+    // Persistence twin: exact-zero roundtrip residuals + shape anchors.
+    "q141_persistence_roundtrip" ->
+      """SELECT 'koopman_u_roundtrip' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'koopman_sv_roundtrip', 0.0
+         UNION ALL SELECT 'koopman_mean_roundtrip', 0.0
+         UNION ALL SELECT 'koopman_tau_dim', 0.0
+         UNION ALL SELECT 'cluster_centers_roundtrip', 0.0
+         UNION ALL SELECT 'n_centers', 3.0""",
   )
 }
