@@ -51,6 +51,11 @@ BASELINES = {
     "q128": 0.607, "q129": 0.887, "q130": 2.649, "q131": 0.251,
     "q132": 0.465, "q133": 0.254, "q134": 0.600, "q135": 0.347,
     "q136": 1.400, "q137": 0.605,
+    # round-8 build cycle first-appearance values (quiet sweep)
+    "q138": 0.300, "q139": 0.490, "q140": 0.386, "q141": 4.727,
+    "q142": 0.767, "q143": 0.506, "q144": 0.667, "q145": 2.101,
+    "q146": 1.842, "q147": 1.180, "q148": 0.513, "q149": 0.209,
+    "q150": 2.613, "q151": 0.371,
 }
 
 
