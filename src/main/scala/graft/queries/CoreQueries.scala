@@ -385,6 +385,20 @@ private[graft] object CoreQueries extends QueryFamily {
         "pbf_dim_odd" -> pbfRow.getLong(1).toDouble,
         "pbf_out_of_box" -> pbfRow.getLong(2).toDouble))
     }),
+
+    // ---- constant-column sparsification (q152): two constant dims are
+    // appended to the lineitem features; fitFeaturesSparse must detect
+    // them in its min/max pass, aggregate only the varying 2x2 block,
+    // and reconstitute the full 4x4 model — gated against DuckDB's
+    // var_samp/covar_samp on the raw columns (constants: exact mean,
+    // zero covariance). --------------------------------------------------
+    "q152_sparse_covariance" -> ((s, dir) => {
+      val traj = liTraj(s, dir).withColumn(Trajectories.FeatCol, array(
+        col(Trajectories.FeatCol).getItem(0), lit(7.5),
+        col(Trajectories.FeatCol).getItem(2), lit(-2.5)))
+      val m = Covariance.fitFeaturesSparse(traj, d = 4)
+      covModelDf(s, m, lagged = false)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -592,5 +606,24 @@ private[graft] object CoreQueries extends QueryFamily {
          UNION ALL SELECT 'pbf_rows', 100.0
          UNION ALL SELECT 'pbf_dim_odd', 0.0
          UNION ALL SELECT 'pbf_out_of_box', 0.0""",
+
+    // Sparsification twin: varying dims are l_quantity/50 and
+    // l_discount; constant dims carry their constant mean and zero
+    // covariance rows/columns.
+    "q152_sparse_covariance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE), 6) AS w,
+           round(avg(l_quantity / 50.0), 6) AS m0_0,
+           7.5 AS m0_1,
+           round(avg(l_discount), 6) AS m0_2,
+           -2.5 AS m0_3,
+           round(var_samp(l_quantity / 50.0), 6) AS c00_0_0,
+           0.0 AS c00_0_1,
+           round(covar_samp(l_quantity / 50.0, l_discount), 6) AS c00_0_2,
+           0.0 AS c00_0_3,
+           0.0 AS c00_1_1, 0.0 AS c00_1_2, 0.0 AS c00_1_3,
+           round(var_samp(l_discount), 6) AS c00_2_2,
+           0.0 AS c00_2_3, 0.0 AS c00_3_3
+         FROM lineitem""",
   )
 }

@@ -959,11 +959,27 @@ private[graft] object MarkovQueries extends QueryFamily {
       val occResid = (0 until chain.n).map { i =>
         math.max(0.0, math.abs(occ.getOrElse(i, 0L).toDouble / n - pi(i)) - tol)
       }.max
+      // double_well_discrete: the analytically-built Metropolis walk on
+      // V(x) = (x^2-1)^2 — detailed balance wrt pi ~ exp(-beta V) is
+      // EXACT by construction, rows are stochastic, support tridiagonal
+      val dw = graft.data.MarkovSim.doubleWellDiscrete(nStates = 50, beta = 3.0)
+      val xs = Array.tabulate(50)(i => -2.0 + 4.0 * i / 49.0)
+      val piW = xs.map(x => math.exp(-3.0 * (x * x - 1.0) * (x * x - 1.0)))
+      val piZ = piW.sum
+      val dwDb = (for (i <- 0 until 50; j <- 0 until 50) yield
+        math.abs(piW(i) / piZ * dw(i, j) - piW(j) / piZ * dw(j, i))).max
+      val dwRows = (0 until 50).map(i =>
+        math.abs(breeze.linalg.sum(dw(i, ::).t) - 1.0)).max
+      val dwSupport = (for (i <- 0 until 50; j <- 0 until 50
+        if math.abs(i - j) > 1) yield math.abs(dw(i, j))).max
       checksDf(s, Seq(
         "n_rows" -> n.toDouble,
         "n_states_visited" -> occ.size.toDouble,
         "off_support_transitions" -> offSupport.toDouble,
-        "occupancy_out_of_bounds" -> occResid))
+        "occupancy_out_of_bounds" -> occResid,
+        "double_well_detailed_balance" -> dwDb,
+        "double_well_row_stochastic" -> dwRows,
+        "double_well_tridiagonal" -> dwSupport))
     }),
 
     // ---- drunkard's-walk example generator (q144): absorbing 2-d grid
@@ -1520,7 +1536,10 @@ private[graft] object MarkovQueries extends QueryFamily {
       """SELECT 'n_rows' AS "check", 32000.0 AS "value"
          UNION ALL SELECT 'n_states_visited', 5.0
          UNION ALL SELECT 'off_support_transitions', 0.0
-         UNION ALL SELECT 'occupancy_out_of_bounds', 0.0""",
+         UNION ALL SELECT 'occupancy_out_of_bounds', 0.0
+         UNION ALL SELECT 'double_well_detailed_balance', 0.0
+         UNION ALL SELECT 'double_well_row_stochastic', 0.0
+         UNION ALL SELECT 'double_well_tridiagonal', 0.0""",
 
     // Drunkard twin: exact contract anchors (48 walks x 200 steps).
     "q144_drunkard_walk" ->
