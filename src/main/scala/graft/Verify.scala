@@ -21,15 +21,28 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for fast targeted local checks
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // a failed query must be LOUD and visible in the record: r06 silently
+    // lost 10 queries to caught AnalysisExceptions (events.ts type drift).
+    // Each failure is retried once (transient-error insurance) and then
+    // recorded in _verify_errors.json next to the result dirs.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        try attempt()
+        catch { case e1: Throwable =>
+          System.err.println(s"[verify] $name failed (${e1.getClass.getSimpleName}: " +
+            s"${e1.getMessage}); retrying once")
+          try attempt()
+          catch { case e2: Throwable =>
+            val msg = s"${e2.getClass.getName}: ${String.valueOf(e2.getMessage).take(500)}"
+            System.err.println(s"[verify] $name FAILED PERMANENTLY: $msg")
+            errors(name) = msg
+          }
+        }
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,6 +58,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_verify_errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} PERMANENT FAILURES: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }
