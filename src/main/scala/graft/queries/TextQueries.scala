@@ -361,22 +361,25 @@ private[graft] object TextQueries extends QueryFamily {
     // ---- inverted-index construction (q124): the search/retrieval-prep
     // primitive — per term with document frequency >= 5, the top-10
     // postings (doc_id by tf desc, doc_id tie-break) plus the term's df.
-    // ONE (doc, term) aggregation; the per-term rank filter is
-    // WindowGroupLimit-pushed so each map partition ships only its local
-    // top-10 per term; at corpus scale the postings cap bounds the
-    // output at O(vocab * k). --------------------------------------------
+    // ONE (doc, term) aggregation; df comes from a partial-aggregated
+    // groupBy broadcast back onto the postings (vocab-sized after the
+    // df >= 5 filter) rather than an unbounded per-term window, so rare
+    // terms drop BEFORE the term-shuffle and the rank filter is the sole
+    // window — WindowGroupLimit pushes the top-10 map-side; at corpus
+    // scale the postings cap bounds the output at O(vocab * k). ----------
     "q124_inverted_index" -> ((s, dir) => {
       val tf = docs(s, dir).select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         .where(col("term") =!= "")
         .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-      val wd = Window.partitionBy("term")
+      val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 5)
       val wr = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
-      tf.withColumn("df", count(lit(1)).over(wd).cast("long"))
+      tf.join(broadcast(dfTbl), Seq("term"))
         .withColumn("rk", row_number().over(wr).cast("long"))
-        .where(col("df") >= 5 && col("rk") <= 10)
+        .where(col("rk") <= 10)
         .select(col("term"), col("doc_id"), col("tf").cast("long").as("tf"),
-          col("df"), col("rk"))
+          col("df").cast("long").as("df"), col("rk"))
     }),
 
     // ---- stupid-backoff trigram LM (q129): the web-scale LM scoring
@@ -396,19 +399,37 @@ private[graft] object TextQueries extends QueryFamily {
         .withColumn("p", split(col("g"), " "))
         .select(col("doc_id"), col("p").getItem(0).as("w1"),
           col("p").getItem(1).as("w2"), col("p").getItem(2).as("w3"))
-      val tri = tris(train).groupBy("w1", "w2", "w3")
-        .agg(count(lit(1)).as("c123")).localCheckpoint()
-      val big = train.select(
-          explode(TextFunctions.wordShingles(lower(trim(col("text"))), 2)).as("g"))
-        .select(substring_index(col("g"), " ", 1).as("x1"),
-          substring_index(col("g"), " ", -1).as("x2"))
-        .groupBy("x1", "x2").agg(count(lit(1)).as("cb")).localCheckpoint()
-      val uni = train.select(
-          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .where(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("cu")).localCheckpoint()
-      val totals = uni.agg(sum(col("cu")), count(lit(1))).collect()(0)
-      val (nTok, vocab) = (totals.getLong(0), totals.getLong(1))
+      // ONE training scan + ONE shuffle builds all three order-tagged
+      // count tables (the r06 shape paid three scans, three shuffles and
+      // three eager localCheckpoint jobs); the union key space is still
+      // Zipf-bounded, so the grouped table collects driver-side exactly
+      // like the broadcasts it feeds. \u0001 can't appear in \s+-split
+      // tokens, so the tag never collides with gram content.
+      val txt = lower(trim(col("text")))
+      val tagged = train.select(explode(concat(
+          transform(filter(split(txt, "\\s+"), w => w =!= ""),
+            w => concat_ws("\u0001", lit("1"), w)),
+          transform(TextFunctions.wordShingles(txt, 2),
+            g => concat_ws("\u0001", lit("2"), g)),
+          transform(TextFunctions.wordShingles(txt, 3),
+            g => concat_ws("\u0001", lit("3"), g)))).as("og"))
+        .groupBy("og").agg(count(lit(1)).as("c")).collect()
+      import s.implicits._
+      def tbl(ord: String): Seq[(String, Long)] = tagged.iterator
+        .map(r => (r.getString(0), r.getLong(1)))
+        .filter(_._1.startsWith(ord + "\u0001"))
+        .map { case (k, c) => (k.substring(2), c) }.toSeq
+      val uni = tbl("1").toDF("w", "cu")
+      val big = tbl("2").map { case (g, c) =>
+          val i = g.indexOf(' '); (g.substring(0, i), g.substring(i + 1), c) }
+        .toDF("x1", "x2", "cb")
+      val tri = tbl("3").map { case (g, c) =>
+          val i = g.indexOf(' '); val j = g.lastIndexOf(' ')
+          (g.substring(0, i), g.substring(i + 1, j), g.substring(j + 1), c) }
+        .toDF("w1", "w2", "w3", "c123")
+      val (nTok, vocab) = {
+        val u = tbl("1"); (u.map(_._2).sum, u.size.toLong)
+      }
       val scored = tris(test)
         .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
         .join(broadcast(big.select(col("x1").as("w1"), col("x2").as("w2"),
