@@ -235,6 +235,18 @@ private[graft] object DedupQueries extends QueryFamily {
         .orderBy(col("hamming"), col("a"), col("b")).limit(100)
     }),
 
+    // ---- blocked edit-distance fuzzy join (q153): all pairs within
+    // Levenshtein 8 — the template-dedup primitive (boilerplate pages
+    // differing by an id or date) that Jaccard-family near-dup misses.
+    // Blocking is SOUND (length bound: dist >= |Δlen|, width-9 buckets
+    // with next-bucket emission), so recall is exactly 1 and the DuckDB
+    // twin can replay the full |Δlen| <= 8 universe with exact
+    // levenshtein; the Spark verify is candidate-driven (broadcast id
+    // semi-join) with the banded 3-arg levenshtein — O(maxDist*len) per
+    // pair, never O(len^2), and only (id, len) ever shuffles. ----------
+    "q153_edit_distance_join" -> ((s, dir) =>
+      Dedup.editDistanceJoin(docs(s, dir), maxDist = 8)),
+
     // Eval-decontamination scan: corpus docs sharing >= 10 distinct 8-gram
     // shingles with the "benchmark" slice (doc_id % 100 == 0) are flagged.
     // Benchmark shingles broadcast; corpus streams map-side. The oracle
@@ -249,6 +261,16 @@ private[graft] object DedupQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Exact replay of the fuzzy join's contract: every pair with
+    // |Δlen| <= 8 (the sound blocking universe) at levenshtein <= 8.
+    "q153_edit_distance_join" ->
+      """WITH cand AS (SELECT a.doc_id AS a, b.doc_id AS b,
+           levenshtein(a.text, b.text) AS d
+           FROM documents a JOIN documents b
+             ON a.doc_id < b.doc_id
+            AND abs(len(a.text) - len(b.text)) <= 8)
+         SELECT a, b, CAST(d AS BIGINT) AS dist FROM cand WHERE d <= 8""",
 
     "q16_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

@@ -131,6 +131,28 @@ private[graft] object EventQueries extends QueryFamily {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // ---- JSON property extraction (q156): schema-on-read over the
+    // semi-structured props column — typed from_json parse, per-type
+    // validity counts and value aggregates. The metadata-extraction
+    // step every event/crawl pipeline runs before the props ever get a
+    // real schema; parse + aggregate is one map-side pass into a
+    // model-sized (event_type) aggregation, no shuffle of the raw
+    // strings. The twin re-parses with DuckDB's json_extract. ----------
+    "q156_json_props" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+      ev.select(col("event_type"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n"),
+          count(col("k")).cast("long").as("n_valid"),
+          sum(col("k")).cast("long").as("sum_k"),
+          round(avg(col("k")), 6).as("avg_k"),
+          min(col("k")).cast("long").as("min_k"),
+          max(col("k")).cast("long").as("max_k"))
+    }),
+
     // ---- funnel conversion (q136): ordered view -> click -> purchase
     // within a q78-rule session — each step's earliest time must be
     // STRICTLY after the previous step's (the standard ordered-funnel
@@ -247,6 +269,18 @@ private[graft] object EventQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    "q156_json_props" ->
+      """WITH p AS (SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(k) AS BIGINT) AS n_valid,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           round(avg(k), 6) AS avg_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k
+         FROM p GROUP BY 1""",
 
     // Rolling-features twin: identical strictly-prior row frames.
     "q114_rolling_features" ->

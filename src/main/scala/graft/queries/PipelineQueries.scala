@@ -153,6 +153,18 @@ private[graft] object PipelineQueries extends QueryFamily {
         "n_distinct_words" -> exact.toDouble))
     }),
 
+    // ---- weighted reservoir sample (q155): length-weighted sampling
+    // without replacement (Efraimidis–Spirakis), integer-exact — the
+    // key is the max of n_chars per-(id, j) affine hashes, which is
+    // distributionally the textbook u^(1/w) priority with no ln/pow
+    // (cross-engine libm ulp differences sit exactly where a top-k
+    // boundary lands). One map-side O(corpus chars) scan, then a
+    // distributed TakeOrdered of 20 (rkey, id, weight) triples — no
+    // payload ever shuffles. The twin replays hash, max, and the
+    // (key desc, id) tie-break bit-for-bit. ----------------------------
+    "q155_weighted_reservoir" -> ((s, dir) =>
+      Packing.weightedReservoir(docs(s, dir), k = 20)),
+
     // ---- temperature mixture sampling (q132): the multi-source mixing
     // scheme of multilingual/multi-corpus training (alpha-weighted:
     // small sources up-weighted relative to size) — per-source quota
@@ -240,6 +252,18 @@ private[graft] object PipelineQueries extends QueryFamily {
   val oracles: Seq[(String, String)] = Seq(
 
     // Mixture-sampling twin: the MINSTD-style affine hash, the ppm rate
+    // Integer replay of the ES reservoir: same affine constants as the
+    // Spark expression (reduce mod p, multiply, offset), list_transform
+    // over 1..n_chars, identical tie-break.
+    "q155_weighted_reservoir" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+           list_max(list_transform(range(1, greatest(n_chars, 1) + 1),
+             j -> (((doc_id % 2147483647) * 1000003 + j) % 2147483647
+                   * 506952114 + 101) % 2147483647)) AS rkey
+           FROM documents)
+         SELECT doc_id, n_chars, CAST(rkey AS BIGINT) AS rkey
+         FROM k ORDER BY rkey DESC, doc_id LIMIT 20""",
+
     // derived from the source suffix, and the per-stratum kept counts are
     // all recomputed in pure integer SQL (doc_id >= 0, so % == pmod).
     "q88_mixture_sample" ->

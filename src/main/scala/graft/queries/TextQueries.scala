@@ -453,6 +453,52 @@ private[graft] object TextQueries extends QueryFamily {
           round(avg(-log(s3)), 6).as("avg_nll"))
     }),
 
+    // ---- model-based quality filter (q154): the classifier stage every
+    // large-corpus pipeline runs (fastText-shaped: RefinedWeb/DataComp) —
+    // multinomial NB over words, WEAK-LABELED by the Gopher gate (q95's
+    // rules), fit on even doc_ids, scored on odd. Count tables are
+    // vocabulary-bounded: ONE training scan groups (word, label), the
+    // model collects driver-side and broadcasts, and scoring is one
+    // map-side join + per-doc aggregation — the corpus never shuffles.
+    // The twin refits the identical NB in SQL, so priors, add-1
+    // smoothing, OOV handling and the keep decision are value-gated. ----
+    "q154_nb_quality_filter" -> ((s, dir) => {
+      val labeled = docs(s, dir).select(col("doc_id"),
+        lower(trim(col("text"))).as("t"),
+        TextFunctions.gopherGate(col("text")).getField("keep").as("label"))
+      val train = labeled.where(col("doc_id") % 2 === 0)
+      val test = labeled.where(col("doc_id") % 2 === 1)
+      val wc = train.select(col("label"),
+          explode(filter(split(col("t"), "\\s+"), w => w =!= "")).as("w"))
+        .groupBy("w", "label").agg(count(lit(1)).as("c")).collect()
+      val byClass = train.groupBy("label").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val (n1, n0) = (byClass.getOrElse(1, 0L), byClass.getOrElse(0, 0L))
+      val rows = wc.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val vocabV = rows.map(_._1).distinct.length.toLong
+      val tok1 = rows.iterator.filter(_._2 == 1).map(_._3).sum
+      val tok0 = rows.iterator.filter(_._2 == 0).map(_._3).sum
+      val c1 = rows.iterator.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+      val c0 = rows.iterator.filter(_._2 == 0).map(t => t._1 -> t._3).toMap
+      import s.implicits._
+      val delta = rows.map(_._1).distinct.toSeq.map { w =>
+        (w, math.log((c1.getOrElse(w, 0L) + 1.0) / (tok1 + vocabV)) -
+            math.log((c0.getOrElse(w, 0L) + 1.0) / (tok0 + vocabV)))
+      }.toDF("w", "dlt")
+      val dOov = math.log((tok0 + vocabV).toDouble) -
+        math.log((tok1 + vocabV).toDouble)
+      val prior = math.log(n1.toDouble) - math.log(n0.toDouble)
+      val llr = round((lit(prior) + col("ssum")) / col("n_words"), 6)
+      test.select(col("doc_id"),
+          explode(filter(split(col("t"), "\\s+"), w => w =!= "")).as("w"))
+        .join(broadcast(delta), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          sum(coalesce(col("dlt"), lit(dOov))).as("ssum"))
+        .select(col("doc_id"), col("n_words"), llr.as("llr_pw"),
+          when(llr > 0, 1).otherwise(0).as("pred"))
+    }),
+
     // ---- HTML boilerplate stripping (q131): the crawl-cleaning step —
     // deterministic markup is injected by doc_id class (full page /
     // inline tags / clean), then stripped: tags out, the common entities
@@ -513,6 +559,56 @@ private[graft] object TextQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Full NB refit in SQL: q95's gate expressions produce the weak
+    // label, then identical priors / add-1 smoothing / OOV constant /
+    // per-word log-likelihood-ratio scoring.
+    "q154_nb_quality_filter" ->
+      """WITH g AS (SELECT doc_id, text,
+           len(regexp_extract_all(text, '\S+')) AS nw,
+           CAST(len(text) - len(regexp_extract_all(text, '\s')) AS DOUBLE) /
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ml,
+           CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+             CAST(greatest(len(str_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS af,
+           len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS ns
+           FROM documents),
+         lab AS (SELECT doc_id, trim(lower(text)) AS t,
+           CASE WHEN nw >= 50 AND nw <= 100000 AND ml >= 3.0 AND ml <= 10.0
+                AND af >= 0.8 AND ns >= 2 THEN 1 ELSE 0 END AS label
+           FROM g),
+         tr AS (SELECT * FROM lab WHERE doc_id % 2 = 0),
+         te AS (SELECT * FROM lab WHERE doc_id % 2 = 1),
+         wc AS (SELECT w, label, count(*) AS c FROM (
+             SELECT label, unnest(str_split_regex(t, '\s+')) AS w FROM tr)
+           WHERE w <> '' GROUP BY 1, 2),
+         agg AS (SELECT w,
+             CAST(sum(CASE WHEN label = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN label = 0 THEN c ELSE 0 END) AS BIGINT) AS c0
+           FROM wc GROUP BY 1),
+         cst AS (SELECT CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(c1) AS BIGINT) AS tok1,
+             CAST(sum(c0) AS BIGINT) AS tok0
+           FROM agg),
+         pri AS (SELECT CAST(sum(label) AS BIGINT) AS n1,
+             CAST(sum(1 - label) AS BIGINT) AS n0 FROM tr),
+         delta AS (SELECT w,
+             ln((c1 + 1.0) / (tok1 + v)) - ln((c0 + 1.0) / (tok0 + v)) AS dlt
+           FROM agg CROSS JOIN cst),
+         twf AS (SELECT doc_id, w FROM (
+             SELECT doc_id, unnest(str_split_regex(t, '\s+')) AS w FROM te)
+           WHERE w <> ''),
+         sc AS (SELECT twf.doc_id, count(*) AS nw,
+             sum(coalesce(delta.dlt,
+               ln(CAST(tok0 + v AS DOUBLE)) - ln(CAST(tok1 + v AS DOUBLE)))) AS ssum
+           FROM twf LEFT JOIN delta ON twf.w = delta.w CROSS JOIN cst
+           GROUP BY 1)
+         SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+           round((ln(CAST(n1 AS DOUBLE)) - ln(CAST(n0 AS DOUBLE)) + ssum) / nw, 6)
+             AS llr_pw,
+           CAST(CASE WHEN round((ln(CAST(n1 AS DOUBLE)) - ln(CAST(n0 AS DOUBLE))
+             + ssum) / nw, 6) > 0 THEN 1 ELSE 0 END AS INT) AS pred
+         FROM sc CROSS JOIN pri""",
 
     "q17_token_stats" ->
       """SELECT doc_id,

@@ -39,6 +39,34 @@ object Packing {
   def mixtureKeep(key: Column, ratePpm: Column): Column =
     sampleHashPpm(key) < ratePpm
 
+  /** Efraimidis–Spirakis weighted-reservoir key, integer-exact: an
+    * item with integer weight w gets key = max of w per-(id, j) affine
+    * hashes — distributionally identical to the textbook u^(1/w) key
+    * (max of w iid uniforms), with NO transcendentals, so the DuckDB
+    * twin replays the selection bit-for-bit (ln/pow differ across libms
+    * in the last ulp, which is exactly where a top-k boundary sits).
+    * Cost is O(w) per item = O(corpus chars) when w is a length — the
+    * same order as reading the text once; top-k by (key desc, id) is
+    * then a distributed TakeOrdered, no shuffle of payload. Same
+    * overflow discipline as [[sampleHashPpm]]: reduce mod p before the
+    * multiply so the product peaks at ~1.1e18. */
+  def reservoirKey(id: Column, weight: Column): Column = {
+    val p = 2147483647L
+    val m = 2654435761L % p
+    array_max(transform(
+      sequence(lit(1L), greatest(weight.cast("long"), lit(1L))),
+      j => pmod(pmod(pmod(id.cast("long"), lit(p)) * lit(1000003L) + j,
+        lit(p)) * lit(m) + lit(101L), lit(p))))
+  }
+
+  /** Deterministic weighted sample without replacement: the `k` items
+    * with the largest [[reservoirKey]] (ties by ascending id). */
+  def weightedReservoir(df: DataFrame, k: Int, idCol: String = "doc_id",
+                        weightCol: String = "n_chars"): DataFrame =
+    df.select(col(idCol), col(weightCol),
+        reservoirKey(col(idCol), col(weightCol)).as("rkey"))
+      .orderBy(col("rkey").desc, col(idCol)).limit(k)
+
   /** Greedy sequential (next-fit) packing: within each (source,
     * doc_id-chunk) group, documents in doc_id order are packed into
     * shards of at most `budget` tokens; a document that would overflow

@@ -187,6 +187,32 @@ object ScaleAudit {
         s"(target $target, bound ${6L * target}) ${if (cellOk) "OK" else "FAIL"}")
     }
 
+    // invariant 6 — the edit-distance join's length blocking stays
+    // bounded at 10x: no length bucket exceeds the cap (so the bucket
+    // self-join is at most nBuckets * cap^2 / 2, never corpus-quadratic)
+    // and the candidate-pair count is reported against a fixed bound.
+    // The verify stage is NOT run at 10x — near-uniform-length corpora
+    // make |Δlen|<=t inherently pair-heavy, which is exactly why the
+    // operator carries the cap (and why content-blocked near-dup, q21,
+    // stays the unbounded-corpus default).
+    locally {
+      val w = 9
+      val buckets = d10
+        .select((org.apache.spark.sql.functions.length(col("text")) / w)
+          .cast("long").as("bkt"))
+        .groupBy("bkt").count()
+      val maxBucket = buckets.agg(org.apache.spark.sql.functions.max("count"))
+        .head().getLong(0)
+      val cap = 100000L
+      val cands = graft.dedup.Dedup.lengthBucketCandidates(d10, maxDist = 8)
+        .count()
+      val bktOk = maxBucket <= cap && cands < 20000000L
+      if (!bktOk) failures += 1
+      println(s"[scale-audit] q153 length-blocking max bucket=$maxBucket " +
+        s"(cap $cap), candidates=$cands (bound 20000000) " +
+        s"${if (bktOk) "OK" else "FAIL"}")
+    }
+
     // invariant 5 — the exact-jaccard reporting rungs (q20/q127) pair a
     // FIXED-COUNT selection: the candidate id set must stay at its cap
     // (256) however large the corpus, so the crossJoin is constant-size

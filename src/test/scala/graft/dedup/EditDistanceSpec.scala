@@ -1,0 +1,100 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Blocked edit-distance fuzzy join (q153): sound length blocking
+  * (recall 1 vs brute force), banded verify values, cap behavior. */
+class EditDistanceSpec extends SparkSpec with Matchers {
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // deterministic word-salad with planted near-identical pairs whose
+  // lengths intentionally straddle bucket boundaries
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private val docs = mkDocs(Seq(
+    (0L, base),
+    (1L, base + " x"),                       // dist 2, adjacent length
+    (2L, base.replace("quick", "quack")),    // dist 1, same length
+    (3L, base.replace("brown fox", "green cat")), // dist ~6
+    (4L, "completely different content entirely unrelated to anything"),
+    (5L, base + " xyzzy plugh extra words appended beyond the threshold"),
+    (6L, "short text"),
+    (7L, "short tixt"),                      // dist 1 with 6
+    (8L, "a" * 26),                          // bucket boundary probes:
+    (9L, "a" * 27),                          // len 26 vs 27 cross 27/9=3
+    (10L, "a" * 35)))                        // 27 vs 35 dist 8, buckets 3|3
+
+  private def brute(maxDist: Int): Set[(Long, Long, Long)] = {
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      d = levDriver(ta, tb) if d <= maxDist
+    } yield (ia, ib, d.toLong)).toSet
+  }
+
+  // reference Levenshtein, driver-side
+  private def levDriver(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
+
+  test("editDistanceJoin matches brute force exactly (recall 1 incl. cross-bucket pairs)") {
+    for (t <- Seq(2, 8)) {
+      val got = Dedup.editDistanceJoin(docs, maxDist = t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      got shouldBe brute(t)
+    }
+  }
+
+  test("adjacent-bucket pair with larger-id longer doc is found (orientation regression)") {
+    // ids chosen so the longer doc has the LARGER id — the r05-style
+    // a<b filter on the raw join orientation dropped exactly this case
+    val d = mkDocs(Seq((1L, "b" * 17), (2L, "b" * 19)))
+    val got = Dedup.editDistanceJoin(d, maxDist = 8).collect()
+    got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet shouldBe
+      Set((1L, 2L, 2L))
+  }
+
+  test("candidate set is exactly the |Δlen| <= maxDist universe when caps do not fire") {
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1).length))
+    val expected = (for {
+      (ia, la) <- rows; (ib, lb) <- rows
+      if ia < ib && math.abs(la - lb) <= 8
+    } yield (ia, ib)).toSet
+    val got = Dedup.lengthBucketCandidates(docs, maxDist = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe expected
+  }
+
+  test("maxBucketSize drops over-cap buckets but keeps the rest") {
+    // 5 same-length docs (one bucket of 5) + a pair elsewhere
+    val d = mkDocs((0L to 4L).map(i => (i, "c" * 20)) ++
+      Seq((10L, "d" * 40), (11L, "d" * 41)))
+    val got = Dedup.editDistanceJoin(d, maxDist = 8, maxBucketSize = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((10L, 11L)) // the capped bucket contributes nothing
+  }
+
+  test("banded verify reports the exact distance and drops above-threshold pairs") {
+    val d = mkDocs(Seq((0L, "abcdef"), (1L, "abXdef"), (2L, "ghijkl")))
+    import spark.implicits._
+    val pairs = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("a", "b")
+    val got = Dedup.editDistanceVerify(d, pairs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set((0L, 1L, 1L))
+  }
+}
