@@ -251,6 +251,35 @@ object Dedup {
       lengthBucketCandidates(docs, maxDist, textCol, idCol, maxBucketSize),
       maxDist, textCol, idCol)
 
+  /** Damped PageRank over an undirected edge list, driver-side under
+    * the same edge bound as [[duplicateClusters]]' union-find (ScaleAudit
+    * asserts < 1M edges at the 10x corpus; a Pregel-style distributed
+    * iteration is the beyond-bound path). Every node of an undirected
+    * graph has out-degree >= 1, so there is no dangling-mass term.
+    * Returns (rank by node id, final L-inf residual, iterations). */
+  def pageRank(edges: Seq[(Long, Long)], beta: Double = 0.85,
+               tol: Double = 1e-9, maxIter: Int = 200): (Map[Long, Double], Double, Int) = {
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = und.map(_._1).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    if (n == 0) return (Map.empty, 0.0, 0)
+    val outDeg = Array.fill(n)(0)
+    und.foreach { case (u, _) => outDeg(idx(u)) += 1 }
+    val adj = und.map { case (u, v) => (idx(u), idx(v)) }
+    var pr = Array.fill(n)(1.0 / n)
+    var resid = 1.0
+    var iters = 0
+    while (resid > tol && iters < maxIter) {
+      val nxt = Array.fill(n)((1 - beta) / n)
+      adj.foreach { case (u, v) => nxt(v) += beta * pr(u) / outDeg(u) }
+      resid = (0 until n).iterator.map(i => math.abs(nxt(i) - pr(i))).max
+      pr = nxt
+      iters += 1
+    }
+    (nodes.zip(pr).toMap, resid, iters)
+  }
+
   /** 64-bit SimHash of whitespace tokens: bit j of the signature is the
     * sign of sum over tokens of (+1 if bit j of xxhash64(token) else -1).
     * Token hashing uses Spark's native xxhash64; the bit-vote is a native

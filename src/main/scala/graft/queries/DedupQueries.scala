@@ -235,6 +235,32 @@ private[graft] object DedupQueries extends QueryFamily {
         .orderBy(col("hamming"), col("a"), col("b")).limit(100)
     }),
 
+    // ---- dup-graph PageRank (q157): centrality over the verified
+    // near-dup graph — the web-graph quality-weighting signal in its
+    // original habitat, here ranking which document is the "hub" of
+    // each duplication neighborhood (a better canonical-pick signal
+    // than min-id when clusters are star-shaped). Reads the SAME
+    // memoized edge set as q21/q76/q130; the power iteration runs
+    // driver-side on the collected edges under the identical 1M-edge
+    // bound the union-find documents (ScaleAudit-asserted at 10x; a
+    // Pregel-style distributed iteration is the beyond-bound path).
+    // Battery oracle: the twin recomputes n_nodes/n_edges from the
+    // exact >= 0.6 shingle-jaccard pair set, and convergence / mass /
+    // teleport-floor invariants must round to exactly zero. -----------
+    "q157_dup_pagerank" -> ((s, dir) => {
+      val e = dupEdges(s, dir).select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val (pr, resid, _) = Dedup.pageRank(e)
+      val n = pr.size
+      val floor = if (n == 0) 0.0 else 0.15 / n
+      checksDf(s, Seq(
+        "n_nodes" -> n.toDouble,
+        "n_edges" -> e.length.toDouble,
+        "sum_dev" -> (if (n == 0) 0.0 else math.abs(pr.values.sum - 1.0)),
+        "final_residual" -> resid,
+        "floor_violations" -> pr.values.count(_ < floor - 1e-12).toDouble))
+    }),
+
     // ---- blocked edit-distance fuzzy join (q153): all pairs within
     // Levenshtein 8 — the template-dedup primitive (boilerplate pages
     // differing by an id or date) that Jaccard-family near-dup misses.
@@ -261,6 +287,28 @@ private[graft] object DedupQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Battery twin: node/edge counts recomputed from the exact >= 0.6
+    // shingle-jaccard pair set (q21's universe); the convergence, mass
+    // and teleport-floor rows must round to exactly 0.0.
+    "q157_dup_pagerank" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS s
+           FROM documents WHERE len(text) >= 5),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT a, b FROM (SELECT a, b,
+             CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac
+           FROM inter JOIN sizes sa ON sa.doc_id = a
+             JOIN sizes sb ON sb.doc_id = b) WHERE jac >= 0.6)
+         SELECT 'n_nodes' AS check,
+           CAST(count(DISTINCT x) AS DOUBLE) + 0.0 AS value
+           FROM (SELECT a AS x FROM j UNION SELECT b FROM j)
+         UNION ALL SELECT 'n_edges', CAST(count(*) AS DOUBLE) FROM j
+         UNION ALL SELECT 'sum_dev', 0.0
+         UNION ALL SELECT 'final_residual', 0.0
+         UNION ALL SELECT 'floor_violations', 0.0""",
 
     // Exact replay of the fuzzy join's contract: every pair with
     // |Δlen| <= 8 (the sound blocking universe) at levenshtein <= 8.

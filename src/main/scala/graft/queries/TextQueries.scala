@@ -382,6 +382,47 @@ private[graft] object TextQueries extends QueryFamily {
           col("df").cast("long").as("df"), col("rk"))
     }),
 
+    // ---- sparse TF-IDF cosine search (q158): the inverted-index dual
+    // of the dense ANN family (q23/q28/q64) — for each query doc
+    // (doc_id % 100 == 0), the top-5 corpus docs by cosine over TF-IDF
+    // vectors, computed SPARSELY: the term-match join IS the inverted-
+    // index probe, so a query only ever touches postings of terms it
+    // contains. Scale shape: idf/norms are corpus aggregates (one
+    // scan); the query-side term vectors are a fixed slice and
+    // BROADCAST; the dot-product is one map-side join + (query, doc)
+    // aggregation; ranking uses the ROUNDED score (q117 convention) so
+    // parity never rides on last-ulp sum order. ------------------------
+    "q158_tfidf_search" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nDocs = d.count()
+      val tf = d.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
+      val wgt = tf.join(broadcast(dfreq), "term")
+        .select(col("doc_id"), col("term"),
+          round(col("cnt").cast("double") *
+            log(lit(nDocs.toDouble) / col("dfreq").cast("double")), 6).as("w"))
+      val norms = wgt.groupBy("doc_id")
+        .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      val qw = wgt.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("term"), col("w").as("wq"))
+      val dots = wgt.join(broadcast(qw), Seq("term"))
+        .where(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("w") * col("wq")).as("dot"))
+      val scored = dots
+        .join(broadcast(norms.where(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qid"), col("nrm").as("nq"))), "qid")
+        .join(norms, "doc_id")
+        .select(col("qid"), col("doc_id"),
+          round(col("dot") / (col("nq") * col("nrm")), 6).as("cos"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+    }),
+
     // ---- stupid-backoff trigram LM (q129): the web-scale LM scoring
     // rung above q103's interpolated bigram (Brants et al. 2007: no
     // discounting, fixed 0.4 backoff — the scheme built FOR distributed
@@ -559,6 +600,31 @@ private[graft] object TextQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Sparse-search twin: identical tf-idf weights (rounded before any
+    // aggregate), norms, self-exclusion, rounded-cosine ranking.
+    "q158_tfidf_search" ->
+      """WITH tf AS (SELECT doc_id, w AS term, count(*) AS cnt FROM (
+             SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
+             FROM documents) WHERE w <> '' GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         wgt AS (SELECT doc_id, term, round(cnt * ln(n / df), 6) AS w
+           FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+         nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wgt GROUP BY 1),
+         qw AS (SELECT doc_id AS qid, term, w AS wq
+           FROM wgt WHERE doc_id % 100 = 0),
+         dots AS (SELECT qid, wgt.doc_id AS doc_id, sum(wgt.w * qw.wq) AS dot
+           FROM wgt JOIN qw USING (term) WHERE wgt.doc_id <> qw.qid
+           GROUP BY 1, 2),
+         sc AS (SELECT qid, dots.doc_id AS doc_id,
+             round(dot / (nq.nrm * nc.nrm), 6) AS cos
+           FROM dots JOIN nrm nq ON nq.doc_id = dots.qid
+             JOIN nrm nc ON nc.doc_id = dots.doc_id),
+         r AS (SELECT qid, doc_id, cos, CAST(ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY cos DESC, doc_id) AS BIGINT) AS rk
+           FROM sc)
+         SELECT qid, doc_id, cos, rk FROM r WHERE rk <= 5""",
 
     // Full NB refit in SQL: q95's gate expressions produce the weak
     // label, then identical priors / add-1 smoothing / OOV constant /
