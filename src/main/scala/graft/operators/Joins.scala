@@ -61,6 +61,53 @@ object Joins {
         payloadCols.map(col).toIndexedSeq): _*), descending = true)
   }
 
+  /** Nearest as-of join: for every left row, the right row (same key)
+    * whose time is CLOSEST by |Δt|, equal timestamps allowed; the tie
+    * between an equally-distant earlier and later right row goes to the
+    * EARLIER one (the pandas merge_asof direction='nearest' shape).
+    * Returns the matched right time as `__match.__mt`.
+    *
+    * Decomposition: the same single-exchange union-tag frame, with the
+    * right rows tagged to sort BEFORE left rows at equal time (so an
+    * exact-time match is visible), and TWO window passes over the one
+    * sort — running last non-null (nearest earlier) and running first
+    * non-null over the suffix frame (nearest later) — then a pure
+    * column pick by absolute distance. Still no join operator, still
+    * one hash exchange per key. Right rows sharing (key, time) are
+    * indistinguishable in the output because the payload is the matched
+    * time itself. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String): DataFrame = {
+    val pay = struct(col(rightTime).as("__mt"))
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(0))
+      .withColumn("__pay",
+        lit(null).cast(right.select(pay).schema.fields(0).dataType))
+    val r0 = right.select(col(key), col(rightTime).as("__t"), pay.as("__pay"))
+      .withColumn("__tag", lit(-1)) // before left at equal time: exact matches visible
+    val leftCols = left.columns
+    val r = leftCols.foldLeft(r0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
+    val unioned = l.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
+      .unionByName(r)
+    val ord = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dPrev = col("__t") - col("__prev").getField("__mt")
+    val dNext = col("__next").getField("__mt") - col("__t")
+    unioned
+      .withColumn("__prev", last(col("__pay"), ignoreNulls = true).over(wPrev))
+      .withColumn("__next", first(col("__pay"), ignoreNulls = true).over(wNext))
+      .where(col("__tag") === 0)
+      .withColumn("__match",
+        when(col("__next").isNull, col("__prev"))
+          .when(col("__prev").isNull, col("__next"))
+          .when(dPrev <= dNext, col("__prev"))
+          .otherwise(col("__next")))
+      .drop("__t", "__tag", "__pay", "__prev", "__next")
+  }
+
   /** Shared union-tag as-of core: tag left 0 / right 1, align schemas,
     * ONE per-key window ordered by (time [desc], tag, payload), carry
     * the last non-null payload. The tag order makes equal-timestamp

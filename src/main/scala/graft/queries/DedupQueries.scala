@@ -273,6 +273,33 @@ private[graft] object DedupQueries extends QueryFamily {
     "q153_edit_distance_join" -> ((s, dir) =>
       Dedup.editDistanceJoin(docs(s, dir), maxDist = 8)),
 
+    // ---- snapshot diff (q161): incremental-ingestion accounting — the
+    // added/removed/changed/unchanged census between two corpus
+    // snapshots by normalized-text fingerprint, the bookkeeping step an
+    // incremental pipeline runs before reprocessing anything. The
+    // "previous" snapshot derives deterministically from the current
+    // one (new: doc_id%7==0 absent from prev; removed: +10M mirror ids
+    // for %13==0; changed: %11==0 texts edited in prev). Scale shape:
+    // fingerprints compute map-side, ONE id-keyed full-outer join of
+    // (id, fp) pairs — the text never shuffles, output is 4 rows. ------
+    "q161_snapshot_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val fp = graft.text.TextFunctions.fingerprint(col("text"))
+      val cur = d.select(col("doc_id"), fp.as("fp_c"))
+      val prev = d.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), graft.text.TextFunctions.fingerprint(
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" prev-edit")))
+            .otherwise(col("text"))).as("fp_p"))
+        .union(d.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), fp.as("fp_p")))
+      cur.join(prev, Seq("doc_id"), "full_outer")
+        .select(when(col("fp_p").isNull, "added")
+          .when(col("fp_c").isNull, "removed")
+          .when(col("fp_c") =!= col("fp_p"), "changed")
+          .otherwise("unchanged").as("change"))
+        .groupBy("change").agg(count(lit(1)).as("n"))
+    }),
+
     // Eval-decontamination scan: corpus docs sharing >= 10 distinct 8-gram
     // shingles with the "benchmark" slice (doc_id % 100 == 0) are flagged.
     // Benchmark shingles broadcast; corpus streams map-side. The oracle
@@ -287,6 +314,30 @@ private[graft] object DedupQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Census replay: identical prev-snapshot derivation (q16's
+    // fingerprint normalization), full-outer fp compare.
+    "q161_snapshot_diff" ->
+      """WITH cur AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_c
+           FROM documents),
+         prev AS (SELECT doc_id,
+             md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 11 = 0 THEN text || ' prev-edit'
+                    ELSE text END), '\s+', ' ', 'g'))) AS fp_p
+           FROM documents WHERE doc_id % 7 <> 0
+           UNION ALL
+           SELECT doc_id + 10000000,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           FROM documents WHERE doc_id % 13 = 0),
+         j AS (SELECT c.fp_c, p.fp_p
+           FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+         SELECT CASE WHEN fp_p IS NULL THEN 'added'
+                     WHEN fp_c IS NULL THEN 'removed'
+                     WHEN fp_c <> fp_p THEN 'changed'
+                     ELSE 'unchanged' END AS change,
+           CAST(count(*) AS BIGINT) AS n
+         FROM j GROUP BY 1""",
 
     // Battery twin: node/edge counts recomputed from the exact >= 0.6
     // shingle-jaccard pair set (q21's universe); the convergence, mass

@@ -87,6 +87,29 @@ private[graft] object EventQueries extends QueryFamily {
           round(col("__match.next_click_value"), 6).as("next_click_value"))
     }),
 
+    // ---- nearest as-of join (q160): completes the as-of surface
+    // (q108 backward / q121 forward / nearest) — for every click, the
+    // CLOSEST purchase time of the same user by |Δt|, exact matches
+    // allowed, equidistant tie to the earlier purchase (the pandas
+    // merge_asof direction='nearest' contract). Same single-exchange
+    // union-tag frame as q108/q121 with two window passes over ONE
+    // sort; the payload is the matched time itself, so same-timestamp
+    // right rows cannot make the pick ambiguous. The twin replays
+    // nearest-by-|Δ| with the identical tie rule. ----------------------
+    "q160_asof_nearest" -> ((s, dir) => {
+      val e = Trajectories.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"),
+          col("event_type"))
+      val clicks = e.where(col("event_type") === "click")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"))
+      Joins.asofJoinNearest(clicks, purchases, key = "user_id",
+          leftTime = "t", rightTime = "t")
+        .select(col("event_id"), col("user_id"), col("t").as("t_click"),
+          col("__match.__mt").as("t_purchase"),
+          (col("__match.__mt") - col("t")).as("delta_us"))
+    }),
+
     // ---- session path mining (q134): funnel/journey analytics — per
     // q78-rule session, the ordered event-type path (capped at the first
     // 5 steps), then the top-20 most common paths. The per-session
@@ -269,6 +292,22 @@ private[graft] object EventQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Nearest replay: min |Δ| with the earlier-purchase tie rule; LEFT
+    // JOIN + NULLS LAST keeps purchase-less clicks with null match.
+    "q160_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
+           FROM events),
+         c AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT c.event_id, c.user_id, c.t AS t_click,
+             p.t AS t_purchase,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+               ORDER BY abs(p.t - c.t), p.t) AS rk
+           FROM c LEFT JOIN p USING (user_id))
+         SELECT event_id, user_id, t_click, t_purchase,
+           CAST(t_purchase - t_click AS BIGINT) AS delta_us
+         FROM j WHERE rk = 1""",
 
     "q156_json_props" ->
       """WITH p AS (SELECT event_type,

@@ -67,6 +67,46 @@ private[graft] object StreamingQueries extends QueryFamily {
       s.table(sink).select(col("s0"), col("s1"), col("cnt").cast("long").as("cnt"))
     }),
 
+    // ---- streaming weighted reservoir under the ORACLE gate (q159):
+    // the q155 ES sampler as a REAL update-mode StreamingQuery — per
+    // shard, O(k) state folds arrivals into the running top-k; because
+    // the integer ES key is a pure function of (id, weight), the
+    // streaming sample equals the batch selection whatever the arrival
+    // order or micro-batch cuts, and the q155 twin gates it exactly.
+    // Docs stream in doc_id order across 4 micro-batches; the sink
+    // reader takes each shard's LATEST emission (max seen) and the
+    // global k-best of the shard tops. ---------------------------------
+    "q159_streaming_reservoir" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = docs(s, dir)
+        .select(col("doc_id").cast("long"), col("n_chars").cast("long"),
+          Packing.reservoirKey(col("doc_id"), col("n_chars")).as("rkey"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val stream = mem.toDF().toDF("doc_id", "n_chars", "rkey")
+      val res = graft.streaming.Streaming.streamingReservoir(stream, k = 20)
+      val sink = "q159_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = res.writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      try {
+        data.grouped(math.max(1, data.length / 4 + 1)).foreach { chunk =>
+          mem.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      val latest = Window.partitionBy("shard").orderBy(col("seen").desc)
+      s.table(sink)
+        .withColumn("rn", row_number().over(latest)).where(col("rn") === 1)
+        .select(explode(arrays_zip(col("rkeys"), col("ids"), col("weights"))).as("t"))
+        .select(col("t.ids").as("doc_id"), col("t.weights").as("n_chars"),
+          col("t.rkeys").as("rkey"))
+        .orderBy(col("rkey").desc, col("doc_id")).limit(20)
+    }),
+
     // ---- streaming rolling features under the ORACLE gate (q126): the
     // q114 point-in-time feature primitive as a REAL append-mode
     // StreamingQuery — per-user O(window) state serves strictly-prior
@@ -196,6 +236,17 @@ private[graft] object StreamingQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // q155's integer ES replay — the streaming path must land on the
+    // identical selection (order-independence of the pure-function key).
+    "q159_streaming_reservoir" ->
+      """WITH k AS (SELECT doc_id, n_chars,
+           list_max(list_transform(range(1, greatest(n_chars, 1) + 1),
+             j -> (((doc_id % 2147483647) * 1000003 + j) % 2147483647
+                   * 506952114 + 101) % 2147483647)) AS rkey
+           FROM documents)
+         SELECT doc_id, n_chars, CAST(rkey AS BIGINT) AS rkey
+         FROM k ORDER BY rkey DESC, doc_id LIMIT 20""",
 
     // Streaming-counts twin: the streaming query's final state must equal
     // the batch sliding count matrix (same SQL as q05's twin).

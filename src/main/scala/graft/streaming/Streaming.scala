@@ -226,6 +226,45 @@ object Streaming {
         "prev_value", "n_trail")
   }
 
+  /** Per-shard state for the streaming weighted reservoir: the current
+    * top-`k` (rkey, id, weight) triples plus a seen-counter that lets a
+    * sink reader pick each shard's LATEST update-mode emission. */
+  case class ReservoirState(top: List[(Long, Long, Long)], seen: Long)
+
+  /** Streaming weighted-reservoir sampling: the stateful twin of the
+    * batch Efraimidis–Spirakis top-k (Packing.weightedReservoir). Input
+    * rows carry a precomputed integer ES key (`rkey`); each shard
+    * (id mod `shards`) folds arrivals into O(k) state — insert, sort by
+    * (key desc, id), truncate — and emits its running top-k in update
+    * mode with the seen-count, so the final sample is the k best of the
+    * shards' latest emissions. The ES key is a pure function of
+    * (id, weight), so the streaming sample is IDENTICAL to the batch
+    * selection whatever the arrival order or micro-batch boundaries —
+    * the property that makes reservoir sampling the streaming-ingest
+    * sampler (one pass, bounded memory, no reprocessing). */
+  def streamingReservoir(stream: DataFrame, k: Int, shards: Int = 4): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col("doc_id").cast("long"), col("n_chars").cast("long"),
+        col("rkey").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1 % shards)
+      .mapGroupsWithState[ReservoirState, (Long, Long, Seq[Long], Seq[Long], Seq[Long])](
+        GroupStateTimeout.NoTimeout()) { (shard, rows, state) =>
+          val st = state.getOption.getOrElse(ReservoirState(Nil, 0L))
+          var top = st.top
+          var seen = st.seen
+          rows.foreach { case (id, w, key) =>
+            seen += 1
+            top = ((key, id, w) :: top)
+              .sortBy { case (ky, id2, _) => (-ky, id2) }.take(k)
+          }
+          state.update(ReservoirState(top, seen))
+          (shard, seen, top.map(_._1), top.map(_._2), top.map(_._3))
+        }
+      .toDF("shard", "seen", "rkeys", "ids", "weights")
+  }
+
   /** Per-bucket state for streaming LSH near-dup candidates: the first
     * `maxStored` doc ids seen in the (band, band_hash) bucket. */
   case class BucketState(members: List[Long])

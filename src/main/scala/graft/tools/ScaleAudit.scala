@@ -187,29 +187,36 @@ object ScaleAudit {
         s"(target $target, bound ${6L * target}) ${if (cellOk) "OK" else "FAIL"}")
     }
 
-    // invariant 6 — the edit-distance join's length blocking stays
-    // bounded at 10x: no length bucket exceeds the cap (so the bucket
-    // self-join is at most nBuckets * cap^2 / 2, never corpus-quadratic)
-    // and the candidate-pair count is reported against a fixed bound.
-    // The verify stage is NOT run at 10x — near-uniform-length corpora
-    // make |Δlen|<=t inherently pair-heavy, which is exactly why the
-    // operator carries the cap (and why content-blocked near-dup, q21,
-    // stays the unbounded-corpus default).
+    // invariant 6 — the edit-distance join's candidate generation stays
+    // LINEAR at 10x: on this near-uniform-length corpus all-pairs
+    // length blocking measured 38M candidates (corpus-quadratic), so
+    // the operator caps buckets at maxBucketSize and degrades over-cap
+    // buckets to a sorted-neighborhood sweep — the audit pins the
+    // DEFAULT-parameter candidate count under exactBound + N*snmWindow
+    // (with cap 512 here so the fallback provably engages at 10x; the
+    // sf0.01/sf0.1 test corpora stay in the exact regime, which is what
+    // the q153 oracle replays). The verify stage is not run at 10x.
     locally {
       val w = 9
-      val buckets = d10
+      val bucketCounts = d10
         .select((org.apache.spark.sql.functions.length(col("text")) / w)
           .cast("long").as("bkt"))
-        .groupBy("bkt").count()
-      val maxBucket = buckets.agg(org.apache.spark.sql.functions.max("count"))
-        .head().getLong(0)
-      val cap = 100000L
-      val cands = graft.dedup.Dedup.lengthBucketCandidates(d10, maxDist = 8)
-        .count()
-      val bktOk = maxBucket <= cap && cands < 20000000L
+        .groupBy("bkt").count().collect().map(_.getLong(1))
+      val maxBucket = bucketCounts.max
+      val cap = 512L
+      val snmW = 16L
+      val nDocs10 = bucketCounts.sum
+      // exact-regime bound: small buckets pair within themselves and to
+      // the next bucket; over-cap rows contribute <= snmWindow each
+      val small = bucketCounts.filter(_ <= cap)
+      val exactBound = small.map(n => n * n).sum + small.map(n => n * cap).sum
+      val bound = exactBound + nDocs10 * snmW
+      val cands = graft.dedup.Dedup.lengthBucketCandidates(d10, maxDist = 8,
+        maxBucketSize = cap.toInt, snmWindow = snmW.toInt).count()
+      val bktOk = cands <= bound && cands < 5000000L
       if (!bktOk) failures += 1
-      println(s"[scale-audit] q153 length-blocking max bucket=$maxBucket " +
-        s"(cap $cap), candidates=$cands (bound 20000000) " +
+      println(s"[scale-audit] q153 length-blocking max bucket=$maxBucket, " +
+        s"candidates=$cands (linear bound $bound, hard bound 5000000) " +
         s"${if (bktOk) "OK" else "FAIL"}")
     }
 

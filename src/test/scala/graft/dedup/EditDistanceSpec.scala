@@ -80,13 +80,24 @@ class EditDistanceSpec extends SparkSpec with Matchers {
     got shouldBe expected
   }
 
-  test("maxBucketSize drops over-cap buckets but keeps the rest") {
-    // 5 same-length docs (one bucket of 5) + a pair elsewhere
-    val d = mkDocs((0L to 4L).map(i => (i, "c" * 20)) ++
+  test("over-cap buckets degrade to the bounded sorted-neighborhood sweep") {
+    // 6 same-length docs (one bucket of 6, over cap 4) + a pair elsewhere.
+    // With snmWindow=2 each over-cap member pairs with its next 2
+    // (len, id)-rank neighbors: candidates <= 6*2, NOT 15 all-pairs —
+    // and the exact small-bucket pair still comes through untouched.
+    val d = mkDocs((0L to 5L).map(i => (i, "c" * 20)) ++
       Seq((10L, "d" * 40), (11L, "d" * 41)))
-    val got = Dedup.editDistanceJoin(d, maxDist = 8, maxBucketSize = 4).collect()
+    val cands = Dedup.lengthBucketCandidates(d, maxDist = 8,
+      maxBucketSize = 4, snmWindow = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    got shouldBe Set((10L, 11L)) // the capped bucket contributes nothing
+    // rank order in the c-bucket is id order; window 2 pairs (i, i+1/i+2)
+    val expectedSnm = (0L to 5L).flatMap(i =>
+      Seq(i -> (i + 1), i -> (i + 2))).filter(_._2 <= 5L).toSet
+    cands shouldBe (expectedSnm + (10L -> 11L))
+    // the verify stage then reports all surviving exact distances
+    val got = Dedup.editDistanceJoin(d, maxDist = 8, maxBucketSize = 4,
+      snmWindow = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe cands // all c-dups are dist 0, the d-pair dist 1
   }
 
   test("banded verify reports the exact distance and drops above-threshold pairs") {

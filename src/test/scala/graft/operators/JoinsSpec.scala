@@ -102,6 +102,44 @@ class JoinsSpec extends SparkSpec with Matchers {
     out shouldBe exp
   }
 
+  test("asofJoinNearest: closest by |Δt|, exact matches allowed, ties to earlier") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L),  // rights at 4, 14: |6| vs |4| -> 14
+      (1L, 9L),   // |5| vs |5| tie -> earlier (4)
+      (1L, 4L),   // exact match at 4 -> 4
+      (2L, 50L),  // only right at 70 -> 70
+      (3L, 5L)    // no rights for key 3 -> null
+    ).toDF("k", "t").withColumn("lid", monotonically_increasing_id())
+    val right = Seq((1L, 4L), (1L, 14L), (2L, 70L)).toDF("k", "t")
+    val out = Joins.asofJoinNearest(left, right, "k", "t", "t")
+      .select(col("k"), col("t"), col("__match.__mt").as("mt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    out shouldBe Set(
+      (1L, 10L, 14L), (1L, 9L, 4L), (1L, 4L, 4L), (2L, 50L, 70L), (3L, 5L, -1L))
+  }
+
+  test("asofJoinNearest matches a brute-force nearest computation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = (0 until 200).map(_ =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+    val out = Joins.asofJoinNearest(left.toDF("k", "t", "lid"),
+        right.toDF("k", "t"), "k", "t", "t")
+      .select(col("lid"), col("__match.__mt").as("mt")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    left.foreach { case (k, t, lid) =>
+      val cands = right.filter(_._1 == k).map(_._2)
+      val expected = if (cands.isEmpty) None
+        else Some(cands.minBy(rt => (math.abs(rt - t), rt)))
+      out(lid) shouldBe expected
+    }
+  }
+
   test("rangeJoin: exact containment incl. boundaries and bucket-spanning intervals") {
     import spark.implicits._
     val pts = Seq(0.0, 5.0, 10.0, 19.999, 20.0, 35.0, 60.0).zipWithIndex

@@ -117,6 +117,40 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally { query.stop() }
   }
 
+  test("streaming reservoir equals the batch ES selection across any batch cuts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 120L).map(i => (i, 10L + (i * 53L) % 300L))
+    val withKeys = rows.toDF("doc_id", "n_chars")
+      .withColumn("rkey", graft.text.Packing.reservoirKey(col("doc_id"), col("n_chars")))
+    val batchTop = graft.text.Packing.weightedReservoir(
+        rows.toDF("doc_id", "n_chars"), k = 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keyed = withKeys.as[(Long, Long, Long)].collect()
+    val input = MemoryStream[(Long, Long, Long)]
+    val res = Streaming.streamingReservoir(
+      input.toDF().toDF("doc_id", "n_chars", "rkey"), k = 15, shards = 3)
+    val query = res.writeStream.format("memory")
+      .queryName("res_sink").outputMode("update").start()
+    try {
+      // adversarial cuts: reversed order, uneven chunks
+      keyed.sortBy(-_._1).grouped(37).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val latest = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy(col("seen").desc)
+      val streamTop = spark.table("res_sink")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(latest))
+        .where(col("rn") === 1)
+        .select(explode(arrays_zip(col("rkeys"), col("ids"), col("weights"))).as("t"))
+        .select(col("t.ids"), col("t.weights"), col("t.rkeys"))
+        .orderBy(col("rkeys").desc, col("ids")).limit(15).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      streamTop.toSeq shouldBe batchTop.toSeq
+    } finally { query.stop() }
+  }
+
   test("streaming near-dup candidates equal the batch minhash candidates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
