@@ -50,6 +50,38 @@ private[graft] object SimilarityQueries extends QueryFamily {
       sc.withColumn("rk", row_number().over(w).cast("long")).where(col("rk") <= 3)
     }),
 
+    // ---- trajectory similarity search (q162): top-k similar USERS by
+    // their event-value time-series — the REPOSE-style distributed
+    // trajectory search reduced to its scale skeleton: each trajectory
+    // compresses to a fixed 8-bucket positional-resample signature
+    // (one scan + one user-keyed aggregation), queries are a fixed
+    // slice, and the search is a signature-table pass — the raw series
+    // never pairs, never shuffles twice. Users with < 8 events are out
+    // of scope (every bucket nonempty). Bucket means are rounded
+    // BEFORE the distance (both sides), ranking uses the rounded
+    // distance with a user tie-break. ----------------------------------
+    "q162_traj_similarity" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sig = ev.withColumn("rn", row_number().over(wo))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+        .where(col("n") >= 8)
+        .withColumn("b", expr("((rn - 1) * 8) div n"))
+        .groupBy(col("user_id"), col("b"))
+        .agg(round(avg(col("value")), 6).as("s"))
+      val q = sig.where(col("user_id") % 20 === 0)
+        .select(col("user_id").as("qid"), col("b"), col("s").as("qs"))
+      val dists = sig.join(broadcast(q), Seq("b"))
+        .where(col("user_id") =!= col("qid"))
+        .groupBy(col("qid"), col("user_id"))
+        .agg(round(sum((col("s") - col("qs")) * (col("s") - col("qs"))), 6)
+          .as("dist"))
+      val wr = Window.partitionBy("qid").orderBy(col("dist"), col("user_id"))
+      dists.withColumn("rk", row_number().over(wr).cast("long"))
+        .where(col("rk") <= 3)
+    }),
+
     // ---- hard-negative mining (q122): contrastive-training data prep —
     // for each of 20 deterministic anchor vectors, the top-3 most-cosine-
     // similar vectors with a DIFFERENT label (the "hard negatives" an
@@ -225,6 +257,28 @@ private[graft] object SimilarityQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Signature replay: identical positional resample (row_number over
+    // (ts, event_id), integer-div bucket), rounded bucket means, rounded
+    // squared distance, same tie rule.
+    "q162_traj_similarity" ->
+      """WITH e AS (SELECT user_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+           FROM events),
+         sig AS (SELECT user_id, ((rn - 1) * 8) // n AS b,
+             round(avg(value), 6) AS s
+           FROM e WHERE n >= 8 GROUP BY 1, 2),
+         q AS (SELECT user_id AS qid, b, s AS qs FROM sig
+           WHERE user_id % 20 = 0),
+         d AS (SELECT qid, sig.user_id AS user_id,
+             round(sum((sig.s - q.qs) * (sig.s - q.qs)), 6) AS dist
+           FROM sig JOIN q USING (b) WHERE sig.user_id <> q.qid
+           GROUP BY 1, 2),
+         r AS (SELECT qid, user_id, dist, CAST(ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY dist, user_id) AS BIGINT) AS rk
+           FROM d)
+         SELECT qid, user_id, dist, rk FROM r WHERE rk <= 3""",
 
     // SemDeDup battery twin: residuals are exact zeros when the
     // keep/drop partition equals the "no earlier same-cluster neighbor"
