@@ -70,6 +70,7 @@ private[graft] object SimilarityQueries extends QueryFamily {
         .withColumn("b", expr("((rn - 1) * 8) div n"))
         .groupBy(col("user_id"), col("b"))
         .agg(round(avg(col("value")), 6).as("s"))
+        .localCheckpoint() // sig feeds the query slice AND the probe
       val q = sig.where(col("user_id") % 20 === 0)
         .select(col("user_id").as("qid"), col("b"), col("s").as("qs"))
       val dists = sig.join(broadcast(q), Seq("b"))

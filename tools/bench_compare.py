@@ -58,11 +58,11 @@ BASELINES = {
     "q150": 2.613, "q151": 0.371,
     # round-8 build cycle, second batch (quiet sweep first-appearance)
     "q152": 0.392, "q153": 4.224, "q154": 1.075, "q155": 0.289,
-    "q156": 0.182, "q157": 0.048, "q158": 3.517, "q159": 1.342,
+    "q156": 0.182, "q157": 0.048, "q158": 1.626, "q159": 1.342,
     "q160": 0.134, "q161": 0.360,
     # q162 first appearance: targeted two-pass min (post-warmup), not a
     # full-sweep slot — conservative by construction
-    "q162": 0.818,
+    "q162": 0.673,
 }
 
 
