@@ -223,7 +223,10 @@ private[graft] object TextQueries extends QueryFamily {
       val words = d.select(col("doc_id"),
           explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
         .where(col("term") =!= "")
+      // materialized once: exchange reuse does not fire across the
+      // tf -> dfreq and tf -> scored consumers (q124 rationale)
       val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
       val nw = Window.partitionBy("doc_id")
       // rank on the ROUNDED score (q118/q119/q122 convention): JVM log
