@@ -67,6 +67,58 @@ private[graft] object StreamingQueries extends QueryFamily {
       s.table(sink).select(col("s0"), col("s1"), col("cnt").cast("long").as("cnt"))
     }),
 
+    // ---- watermarked stream-stream join under the ORACLE gate (q163):
+    // the attribution join (purchase within 1 h after a click, same
+    // user) as a REAL inner stream-stream join — both sides watermarked,
+    // the range predicate on the event-time columns so join state
+    // expires instead of growing with the stream. Events feed in
+    // event-time order across 4 micro-batches cutting through the
+    // window, so matches genuinely span batch boundaries; the emitted
+    // pair set must equal the batch interval join the twin replays. ----
+    "q163_streaming_join" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      // deterministic quarter of the users: the harness feeds rows
+      // driver-side, and the full sf0.1 event stream through two
+      // MemoryStreams + join state costs ~9 s of pure transport; the
+      // operator under test is identical (the twin mirrors the slice)
+      val ev = Trajectories.events(s, dir)
+        .where(col("user_id") % 4 === 0)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          expr("ts div 1000").as("tsu"), col("event_type"))
+        .as[(Long, Long, Long, String)].collect().sortBy(_._3)
+      val memC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val memP = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val joined = graft.streaming.Streaming.streamingIntervalJoin(
+        memC.toDF().toDF("event_id", "user_id", "tsu"),
+        memP.toDF().toDF("event_id", "user_id", "tsu"),
+        windowMicros = 3600000000L)
+      val sink = "q163_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val clicks = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
+        val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+        val tmax = ev.iterator.map(_._3).max
+        val tmin = ev.iterator.map(_._3).min
+        (0 to 3).foreach { k =>
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 4
+          val lo = tmin + (tmax - tmin + 1) * k / 4
+          val cc = clicks.filter(e => e._3 >= lo && e._3 < hi)
+          val pp = purchases.filter(e => e._3 >= lo && e._3 < hi)
+          if (cc.nonEmpty) memC.addData(cc.toIndexedSeq: _*)
+          if (pp.nonEmpty) memP.addData(pp.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink).select(col("click_event_id"), col("user_id"),
+        col("t_click"), col("purchase_event_id"), col("t_purchase"))
+    }),
+
     // ---- streaming weighted reservoir under the ORACLE gate (q159):
     // the q155 ES sampler as a REAL update-mode StreamingQuery — per
     // shard, O(k) state folds arrivals into the running top-k; because
@@ -236,6 +288,20 @@ private[graft] object StreamingQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Batch replay of the attribution interval join — the streaming
+    // pair set must match it exactly.
+    "q163_streaming_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
+           FROM events),
+         c AS (SELECT event_id AS click_event_id, user_id, t FROM e
+           WHERE event_type = 'click' AND user_id % 4 = 0),
+         p AS (SELECT event_id AS purchase_event_id, user_id, t AS tp FROM e
+           WHERE event_type = 'purchase' AND user_id % 4 = 0)
+         SELECT c.click_event_id, c.user_id, c.t AS t_click,
+           p.purchase_event_id, p.tp AS t_purchase
+         FROM c JOIN p USING (user_id)
+         WHERE p.tp > c.t AND p.tp <= c.t + 3600000000""",
 
     // q155's integer ES replay — the streaming path must land on the
     // identical selection (order-independence of the pure-function key).

@@ -226,6 +226,41 @@ object Streaming {
         "prev_value", "n_trail")
   }
 
+  /** Watermarked stream-stream interval join: clicks x purchases of the
+    * same user with the purchase inside (click, click + windowMicros]
+    * — the attribution-join shape (conversion within the attribution
+    * window) as a REAL stream-stream inner join. Both sides carry
+    * event-time watermarks and the join condition bounds the time range
+    * in BOTH directions, so Spark can size and expire the join state
+    * (an unbounded-range stream-stream join would hold every row
+    * forever — the state-blowup trap this operator's contract avoids).
+    * Inputs carry `tsu` (micros since epoch, long); event-time columns
+    * are derived as real timestamps for the watermark machinery. */
+  def streamingIntervalJoin(clicks: DataFrame, purchases: DataFrame,
+                            windowMicros: Long,
+                            delayThreshold: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .withColumn("c_ts", timestamp_micros(col("tsu")))
+      .withWatermark("c_ts", delayThreshold)
+      .select(col("event_id").as("click_event_id"),
+        col("user_id"), col("tsu").as("c_tsu"), col("c_ts"))
+    val p = purchases
+      .withColumn("p_ts", timestamp_micros(col("tsu")))
+      .withWatermark("p_ts", delayThreshold)
+      .select(col("event_id").as("purchase_event_id"),
+        col("user_id").as("p_user_id"), col("tsu").as("p_tsu"), col("p_ts"))
+    // the range predicate is on the WATERMARKED event-time columns, so
+    // the state store can expire rows outside the window on both sides
+    c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") > col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMicros MICROSECOND"),
+        "inner")
+      .select(col("click_event_id"), col("user_id"),
+        col("c_tsu").as("t_click"), col("purchase_event_id"),
+        col("p_tsu").as("t_purchase"))
+  }
+
   /** Per-shard state for the streaming weighted reservoir: the current
     * top-`k` (rkey, id, weight) triples plus a seen-counter that lets a
     * sink reader pick each shard's LATEST update-mode emission. */

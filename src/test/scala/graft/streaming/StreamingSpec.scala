@@ -151,6 +151,43 @@ class StreamingSpec extends SparkSpec with Matchers {
     } finally { query.stop() }
   }
 
+  test("watermarked stream-stream interval join equals the batch pair set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    // event times in micros, well inside one watermark delay; window 50us
+    val clicks = (0 until 60).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(300).toLong))
+    val purchases = (100 until 140).map(i =>
+      (i.toLong, rnd.nextInt(4).toLong, rnd.nextInt(300).toLong))
+    val expected = (for {
+      (ce, cu, ct) <- clicks; (pe, pu, pt) <- purchases
+      if cu == pu && pt > ct && pt <= ct + 50
+    } yield (ce, pe)).toSet
+    val memC = MemoryStream[(Long, Long, Long)]
+    val memP = MemoryStream[(Long, Long, Long)]
+    val joined = Streaming.streamingIntervalJoin(
+      memC.toDF().toDF("event_id", "user_id", "tsu"),
+      memP.toDF().toDF("event_id", "user_id", "tsu"), windowMicros = 50L)
+    val q = joined.writeStream.format("memory")
+      .queryName("ivj_sink").outputMode("append").start()
+    try {
+      // event-time-ordered thirds, so pairs span micro-batch boundaries
+      (0 until 3).foreach { k =>
+        val (lo, hi) = (k * 100L, (k + 1) * 100L)
+        val cc = clicks.filter(c => c._3 >= lo && c._3 < hi)
+        val pp = purchases.filter(p => p._3 >= lo && p._3 < hi)
+        if (cc.nonEmpty) memC.addData(cc: _*)
+        if (pp.nonEmpty) memP.addData(pp: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("ivj_sink")
+        .select("click_event_id", "purchase_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe expected
+    } finally q.stop()
+  }
+
   test("streaming near-dup candidates equal the batch minhash candidates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
