@@ -37,7 +37,57 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "array_cosine"),
       (children: Seq[Expression]) => ArrayCosineSimilarity(children(0), children(1))))
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectOptimizerRule(_ => LevenshteinBandRewrite)
   }
+}
+
+/** Optimizer rule: a thresholded Levenshtein comparison
+  * `levenshtein(a, b) <= t` (or `<`, or the flipped `>=`/`>` forms)
+  * computes the FULL O(|a|*|b|) DP only to compare against a constant.
+  * The banded 3-arg form costs O(t*|a|) and early-exits, returning -1
+  * above the threshold — so the predicate rewrites to
+  * `levenshtein(a, b, t) >= 0`. For a fuzzy-join verify at t=8 over
+  * ~300-char docs that is a ~20x kernel. Only fires on a foldable
+  * non-negative integer threshold and a 2-arg levenshtein (an explicit
+  * threshold means the caller already banded it — and may want the
+  * -1 sentinel). */
+object LevenshteinBandRewrite extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{
+    GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Levenshtein, Not}
+  import org.apache.spark.sql.types.IntegerType
+
+  // threshold >= 1: Spark's banded Levenshtein requires a positive
+  // threshold, and lev <= 0 is better written as string equality anyway
+  private object IntThreshold {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) if v >= 1 => Some(v)
+      case _ => None
+    }
+  }
+
+  private def banded(l: Levenshtein, t: Int): Expression =
+    GreaterThanOrEqual(
+      Levenshtein(l.left, l.right, Some(Literal(t))), Literal(0))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // lev(a,b) <= t  ===  lev(a,b,t) >= 0
+      case LessThanOrEqual(l @ Levenshtein(_, _, None), IntThreshold(t)) =>
+        banded(l, t)
+      case GreaterThanOrEqual(IntThreshold(t), l @ Levenshtein(_, _, None)) =>
+        banded(l, t)
+      // lev(a,b) < t  ===  lev(a,b,t-1) >= 0   (banded threshold >= 1)
+      case LessThan(l @ Levenshtein(_, _, None), IntThreshold(t)) if t >= 2 =>
+        banded(l, t - 1)
+      case GreaterThan(IntThreshold(t), l @ Levenshtein(_, _, None)) if t >= 2 =>
+        banded(l, t - 1)
+      // lev(a,b) > t  ===  NOT (lev(a,b,t) >= 0)
+      case GreaterThan(l @ Levenshtein(_, _, None), IntThreshold(t)) =>
+        Not(banded(l, t))
+      case LessThan(IntThreshold(t), l @ Levenshtein(_, _, None)) =>
+        Not(banded(l, t))
+    }
 }
 
 /** Optimizer rule: fuse `aggregate(zip_with(x, y, *), 0.0, +)` into

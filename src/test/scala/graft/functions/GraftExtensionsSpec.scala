@@ -79,4 +79,51 @@ class GraftExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll with Matche
     df.queryExecution.optimizedPlan.toString should not include "array_dot"
     df.collect()(0).getDouble(0) shouldBe 10.0 +- 1e-12
   }
+
+  test("thresholded levenshtein comparisons rewrite to the banded form") {
+    import spark.implicits._
+    val words = Seq(("abcdef", "abXdef"), ("abcdef", "ghijkl"),
+      ("abcdef", "abcdef"), ("abc", "abcd"))
+    val df = spark.createDataset(words).toDF("a", "b")
+      // range-backed so ConvertToLocalRelation cannot fold it away
+      .crossJoin(spark.range(1))
+    def plan(c: org.apache.spark.sql.Column): String = {
+      val q = df.select(c.as("p"))
+      q.queryExecution.optimizedPlan.toString
+    }
+    // <= and the flipped >= rewrite (threshold literal lands in the plan)
+    plan(levenshtein(col("a"), col("b")) <= 2) should include ("levenshtein(a#")
+    plan(levenshtein(col("a"), col("b")) <= 2) should include ("Some(2)) >= 0")
+    plan(lit(2) >= levenshtein(col("a"), col("b"))) should include ("Some(2)) >= 0")
+    plan(levenshtein(col("a"), col("b")) < 3) should include ("Some(2)) >= 0")
+    // NOT(lev3 >= 0) is simplified by the optimizer to lev3 < 0
+    plan(levenshtein(col("a"), col("b")) > 2) should include ("Some(2)) < 0")
+    // 3-arg form already banded: untouched
+    plan(levenshtein(col("a"), col("b"), 5) <= 2) should not include ("Some(2)) >= 0")
+    // semantics preserved across all rewritten comparison shapes
+    val got = df.select(col("a"), col("b"),
+      (levenshtein(col("a"), col("b")) <= 2).as("le"),
+      (levenshtein(col("a"), col("b")) < 3).as("lt"),
+      (levenshtein(col("a"), col("b")) > 2).as("gt")).collect()
+    got.foreach { r =>
+      val d = levRef(r.getString(0), r.getString(1))
+      r.getBoolean(2) shouldBe (d <= 2)
+      r.getBoolean(3) shouldBe (d < 3)
+      r.getBoolean(4) shouldBe (d > 2)
+    }
+  }
+
+  private def levRef(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0); dp(0) = i
+      for (j <- 1 to b.length) {
+        val cur = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(b.length)
+  }
 }
