@@ -200,9 +200,15 @@ object Dedup {
                              maxBucketSize: Int = 4096,
                              snmWindow: Int = 16): DataFrame = {
     val w = maxDist + 1
+    // sig: 64-bit simhash computed AT THE SCAN (text never shuffles; the
+    // 8-byte signature does) — the sorted-neighborhood fallback orders
+    // over-cap bucket members by content, so near-identical documents
+    // land adjacent and the bounded window actually catches them (an id
+    // sort would give random neighborhoods)
     val base = docs.select(col(idCol).as("id"),
       (length(col(textCol)) / w).cast("long").as("bkt"),
-      length(col(textCol)).as("len"))
+      length(col(textCol)).as("len"),
+      simhash(col(textCol)).as("sig"))
     val bw = Window.partitionBy("bkt")
     val sized = base.withColumn("bucket_n", count(lit(1)).over(bw))
     val capped = sized.where(col("bucket_n") <= maxBucketSize).drop("bucket_n")
@@ -220,13 +226,13 @@ object Dedup {
         abs(col("la") - col("lb")) <= maxDist)
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-    // bounded fallback: rank over-cap bucket members by (len, id) and
-    // probe only the next `snmWindow` ranks — the neighbor list comes
+    // bounded fallback: rank over-cap bucket members by (simhash, id)
+    // and probe only the next `snmWindow` ranks — the neighbor list comes
     // from an explode + equi-join on (bkt, rank), so the intermediate
     // is EXACTLY bucket_n * snmWindow rows, never a filtered cross
     // product
     val over = sized.where(col("bucket_n") > maxBucketSize)
-    val ow = Window.partitionBy("bkt").orderBy(col("len"), col("id"))
+    val ow = Window.partitionBy("bkt").orderBy(col("sig"), col("id"))
     val ranked = over.withColumn("rnk", row_number().over(ow))
     val snm = ranked.select(col("bkt"), col("id").as("a"), col("len").as("la"),
         explode(sequence(col("rnk") + 1, col("rnk") + snmWindow)).as("rnk2"))

@@ -83,14 +83,15 @@ class EditDistanceSpec extends SparkSpec with Matchers {
   test("over-cap buckets degrade to the bounded sorted-neighborhood sweep") {
     // 6 same-length docs (one bucket of 6, over cap 4) + a pair elsewhere.
     // With snmWindow=2 each over-cap member pairs with its next 2
-    // (len, id)-rank neighbors: candidates <= 6*2, NOT 15 all-pairs —
+    // (simhash, id)-rank neighbors: candidates <= 6*2, NOT 15 all-pairs —
     // and the exact small-bucket pair still comes through untouched.
     val d = mkDocs((0L to 5L).map(i => (i, "c" * 20)) ++
       Seq((10L, "d" * 40), (11L, "d" * 41)))
     val cands = Dedup.lengthBucketCandidates(d, maxDist = 8,
       maxBucketSize = 4, snmWindow = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // rank order in the c-bucket is id order; window 2 pairs (i, i+1/i+2)
+    // identical texts share a simhash, so rank order in the c-bucket is
+    // the id tie-break; window 2 pairs (i, i+1/i+2)
     val expectedSnm = (0L to 5L).flatMap(i =>
       Seq(i -> (i + 1), i -> (i + 2))).filter(_._2 <= 5L).toSet
     cands shouldBe (expectedSnm + (10L -> 11L))
