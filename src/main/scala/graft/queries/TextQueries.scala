@@ -554,6 +554,32 @@ private[graft] object TextQueries extends QueryFamily {
           when(llr > 0, 1).otherwise(0).as("pred"))
     }),
 
+    // ---- filter-agreement matrix (q164): calibration of the two
+    // quality signals every pipeline runs — the Gopher RULE gate (q95)
+    // against unigram-LM perplexity QUARTILES (q97's scorer): the
+    // (keep, quartile) contingency counts reveal whether the rule gate
+    // and the statistical gate reject the same documents (the
+    // filter-calibration report from the CCNet/Gopher line of work).
+    // Quartiles are RANK-based over (rounded nll, doc_id) — a total
+    // order in integer arithmetic, so both engines agree exactly
+    // (interpolated percentile thresholds would differ in the last ulp
+    // and flip boundary docs). The global rank is the documented
+    // exact-reporting rung (q79 precedent); approx_percentile is the
+    // 100 TB path. -----------------------------------------------------
+    "q164_filter_agreement" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val gate = d.select(col("doc_id"),
+        TextFunctions.gopherGate(col("text")).getField("keep").as("keep"))
+      val nll = Scoring.unigramNll(d).select(col("doc_id"), col("avg_nll"))
+        .localCheckpoint()
+      val m = nll.count()
+      val wq = Window.orderBy(col("avg_nll"), col("doc_id"))
+      val quart = nll.withColumn("rk", row_number().over(wq))
+        .withColumn("quartile", expr(s"CAST(((rk - 1) * 4) div ${m}L AS INT)"))
+      gate.join(quart, "doc_id")
+        .groupBy("keep", "quartile").agg(count(lit(1)).as("n"))
+    }),
+
     // ---- HTML boilerplate stripping (q131): the crawl-cleaning step —
     // deterministic markup is injected by doc_id class (full page /
     // inline tags / clean), then stripped: tags out, the common entities
@@ -614,6 +640,41 @@ private[graft] object TextQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Agreement twin: q95's gate rules x q97's LM refit, rank-based
+    // quartiles over the identical (rounded nll, doc_id) total order.
+    "q164_filter_agreement" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         totals AS (SELECT sum(c) AS t_total, count(*) AS v FROM counts),
+         nll AS (SELECT doc_id,
+             round(avg(-ln(CAST(c + 1 AS DOUBLE) /
+               CAST(t_total + v AS DOUBLE))), 6) AS avg_nll
+           FROM toks JOIN counts USING (tok) CROSS JOIN totals
+           GROUP BY doc_id),
+         gt AS (SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS nw,
+           CAST(len(text) - len(regexp_extract_all(text, '\s')) AS DOUBLE) /
+             CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE) AS ml,
+           CAST(len(list_filter(str_split_regex(trim(text), '\s+'),
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+             CAST(greatest(len(str_split_regex(trim(text), '\s+')), 1) AS DOUBLE) AS af,
+           len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS ns
+           FROM documents),
+         g AS (SELECT doc_id,
+           CAST(CASE WHEN nw >= 50 AND nw <= 100000 AND ml >= 3.0
+                AND ml <= 10.0 AND af >= 0.8 AND ns >= 2
+                THEN 1 ELSE 0 END AS INT) AS keep
+           FROM gt),
+         nq AS (SELECT count(*) AS m FROM nll),
+         r AS (SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY avg_nll, doc_id) AS rk
+           FROM nll)
+         SELECT g.keep, CAST(((rk - 1) * 4) // m AS INT) AS quartile,
+           CAST(count(*) AS BIGINT) AS n
+         FROM r JOIN g USING (doc_id) CROSS JOIN nq GROUP BY 1, 2""",
 
     // Sparse-search twin: identical tf-idf weights (rounded before any
     // aggregate), norms, self-exclusion, rounded-cosine ranking.

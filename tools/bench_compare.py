@@ -63,7 +63,7 @@ BASELINES = {
     # q162 first appearance: targeted two-pass min (post-warmup), not a
     # full-sweep slot — conservative by construction
     "q162": 0.673,
-    "q163": 4.906,
+    "q163": 4.906, "q164": 1.068,
 }
 
 
