@@ -159,6 +159,14 @@ object ArrayNumeric {
     GraftExpressionBridge.toColumn(SignPlaneBuckets(
       expr(v.cast("array<double>")), dim, nPlanes, numTables, seed))
 
+  /** PQ asymmetric-distance score: Σ_j lut[j*ksub + codes[j]] over an
+    * ARRAY<INT> code column and a flattened [m][ksub] ARRAY<DOUBLE> lookup
+    * table (native codegen; the inner loop of a product-quantized corpus
+    * scan — m table lookups per row instead of d multiplies). */
+  def pqAdcScore(codes: Column, lut: Column): Column =
+    GraftExpressionBridge.toColumn(PqAdcScore(
+      expr(codes.cast("array<int>")), expr(lut.cast("array<double>"))))
+
   /** x / max(||x||, 1e-150) over an ARRAY<DOUBLE> column (native codegen).
     * Value-identical to the old `transform(v, x => x / sqrt(greatest(
     * dot(v, v), 1e-300)))` HOF (same left-to-right squared-sum order),
@@ -308,6 +316,70 @@ case class SignPlaneBuckets(child: Expression, dim: Int, nPlanes: Int,
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Product-quantization ADC (asymmetric distance computation) score:
+  * given a row's PQ codes (ARRAY<INT>, one centroid id per subspace) and a
+  * query's flattened [m][ksub] lookup table of per-subspace partial dots
+  * (ARRAY<DOUBLE>, ksub = lut.length / codes.length), returns
+  * Σ_j lut[j*ksub + codes[j]] — the approximate query·row dot product.
+  * One fused loop, zero allocation, whole-stage codegen: this is the inner
+  * loop of a PQ corpus scan, where the 100 TB win is scanning m-byte codes
+  * instead of d-float vectors. NULL on null/ragged input or out-of-range
+  * codes (defensive: a corrupt code must not read a wrong LUT slot). */
+case class PqAdcScore(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "pq_adc_score"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    if (m == 0 || lut.numElements() % m != 0) return null
+    val ksub = lut.numElements() / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      if (codes.isNullAt(j)) return null
+      val c = codes.getInt(j)
+      if (c < 0 || c >= ksub) return null
+      s += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (codes, lut) => {
+      val m = ctx.freshName("m")
+      val ksub = ctx.freshName("ksub")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val s = ctx.freshName("s")
+      val ok = ctx.freshName("ok")
+      s"""
+         |int $m = $codes.numElements();
+         |boolean $ok = ($m > 0 && $lut.numElements() % $m == 0);
+         |if ($ok) {
+         |  int $ksub = $lut.numElements() / $m;
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $m && $ok; $j++) {
+         |    if ($codes.isNullAt($j)) { $ok = false; break; }
+         |    int $c = $codes.getInt($j);
+         |    if ($c < 0 || $c >= $ksub) { $ok = false; break; }
+         |    $s += $lut.getDouble($j * $ksub + $c);
+         |  }
+         |  if ($ok) ${ev.value} = $s; else ${ev.isNull} = true;
+         |} else {
+         |  ${ev.isNull} = true;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit SimHash signature from a pre-hashed token array: bit j of the

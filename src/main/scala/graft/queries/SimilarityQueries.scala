@@ -203,6 +203,36 @@ private[graft] object SimilarityQueries extends QueryFamily {
         "n_queries" -> row.getLong(2).toDouble))
     }),
 
+    // ---- PQ ANN (q165): product-quantized corpus scan (Jégou et al.
+    // 2011) — per-subspace codebooks on a row-capped sample, m-int codes,
+    // broadcast per-query ADC lookup tables, native PqAdcScore codegen
+    // scan, WindowGroupLimit shortlist, exact re-rank. Like q64 the
+    // codebook isn't SQL-reproducible, so the oracle gates the CONTRACT:
+    // recall@5 vs in-query brute force (>= 0.9 — on this near-uniform
+    // sphere corpus a 64-float -> 8-byte (32x) compression still ranks
+    // true neighbors into a 48-deep shortlist), exactly 5 results per
+    // query, exact query count, and the compression ratio itself
+    // (dim * 4 bytes vs m code bytes = 32, a literal contract). --------
+    "q165_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") % 40 === 0)
+      val pq = Similarity.pqTopK(e, q, k = 5, dim = 64, m = 8, ksub = 64,
+          shortlist = 48, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = Similarity.bruteForceTopK(e, q, 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val perQ = pq.join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"), count(lit(1)).as("k"))
+      val row = perQ.agg(avg(col("hits") / 5.0).as("recall"),
+        max(abs(col("k") - 5)).as("kviol"), count(lit(1)).as("nq")).collect()(0)
+      checksDf(s, Seq(
+        "recall_below_0p9" -> math.max(0.0, 0.9 - row.getDouble(0)),
+        "results_per_query_minus_5" -> row.getLong(1).toDouble,
+        "n_queries" -> row.getLong(2).toDouble,
+        "compression_ratio" -> (64.0 * 4.0) / 8.0))
+    }),
+
     // Embedding-cosine near-duplicate pairs (the embedding leg of the
     // dedup family): sign-plane LSH buckets -> capped bucket self-join ->
     // exact-cosine verify at threshold 0.35 (this corpus has no planted
@@ -407,6 +437,14 @@ private[graft] object SimilarityQueries extends QueryFamily {
          UNION ALL SELECT 'results_per_query_minus_5', 0.0
          UNION ALL SELECT 'n_queries',
            (SELECT CAST(count(*) AS DOUBLE) FROM embeddings WHERE vec_id % 40 = 0)""",
+
+    // PQ ANN recall/contract battery; query count + compression exact SQL.
+    "q165_ann_pq" ->
+      """SELECT 'recall_below_0p9' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'results_per_query_minus_5', 0.0
+         UNION ALL SELECT 'n_queries',
+           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings WHERE vec_id % 40 = 0)
+         UNION ALL SELECT 'compression_ratio', 32.0""",
 
     "q23_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

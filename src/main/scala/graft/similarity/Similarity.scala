@@ -282,4 +282,180 @@ object Similarity {
       .select(col(idCol), col("cell"),
         when(col("hit").isNull, 1).otherwise(0).as("keep"))
   }
+
+  /** Product-quantization model: `m` subspaces of `dsub` dims each, `ksub`
+    * centroids per subspace. `codebooks(j)(t)` is centroid t of subspace j.
+    * Codes compress a d-float vector to m small ints — at 100 TB the
+    * difference between scanning 256 bytes/vector and m bytes/vector. */
+  case class PqModel(m: Int, ksub: Int, dsub: Int,
+                     codebooks: Array[Array[Array[Double]]]) {
+    /** PQ codes of a unit-normalized vector (nearest centroid per subspace,
+      * ties to the lower centroid id). */
+    def encode(v: Array[Double]): Array[Int] = {
+      val out = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        val cb = codebooks(j)
+        var best = 0; var bestD = Double.MaxValue
+        var t = 0
+        while (t < ksub) {
+          var d2 = 0.0; var i = 0
+          while (i < dsub) {
+            val d = v(j * dsub + i) - cb(t)(i); d2 += d * d; i += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = t }
+          t += 1
+        }
+        out(j) = best
+        j += 1
+      }
+      out
+    }
+    /** Flattened [m][ksub] ADC lookup table for a unit-normalized query:
+      * lut(j*ksub + t) = dot(q_j, c_{j,t}), so Σ_j lut[j*ksub+codes[j]]
+      * approximates dot(q, x). */
+    def lut(q: Array[Double]): Array[Double] = {
+      val out = new Array[Double](m * ksub)
+      var j = 0
+      while (j < m) {
+        var t = 0
+        while (t < ksub) {
+          var s = 0.0; var i = 0
+          while (i < dsub) { s += q(j * dsub + i) * codebooks(j)(t)(i); i += 1 }
+          out(j * ksub + t) = s
+          t += 1
+        }
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** Seeded local Lloyd on a driver-side sample (k-means++ init). The
+    * sample is BOUNDED (caller caps rows independent of corpus size) and
+    * sorted by id before use, so training is deterministic for a given
+    * (input, seed) at any parallelism. */
+  private def localLloyd(points: Array[Array[Double]], k: Int, seed: Long,
+                         iters: Int = 12): Array[Array[Double]] = {
+    val d = points(0).length
+    val rnd = new java.util.Random(seed)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = scala.collection.mutable.ArrayBuffer(points(rnd.nextInt(points.length)).clone())
+    val minD = points.map(p => dist2(p, centers(0)))
+    while (centers.length < k) {
+      val tot = minD.sum
+      val pick =
+        if (tot <= 0) points(rnd.nextInt(points.length))
+        else {
+          var r = rnd.nextDouble() * tot
+          var i = 0
+          while (i < points.length - 1 && r > minD(i)) { r -= minD(i); i += 1 }
+          points(i)
+        }
+      centers += pick.clone()
+      var i = 0
+      while (i < points.length) {
+        val dd = dist2(points(i), pick)
+        if (dd < minD(i)) minD(i) = dd
+        i += 1
+      }
+    }
+    val cs = centers.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bd = Double.MaxValue
+        var t = 0
+        while (t < k) { val dd = dist2(points(i), cs(t)); if (dd < bd) { bd = dd; best = t }; t += 1 }
+        counts(best) += 1
+        var j = 0
+        while (j < d) { sums(best)(j) += points(i)(j); j += 1 }
+        i += 1
+      }
+      var t = 0
+      while (t < k) {
+        if (counts(t) > 0) {
+          var j = 0
+          while (j < d) { cs(t)(j) = sums(t)(j) / counts(t); j += 1 }
+        }
+        t += 1
+      }
+      it += 1
+    }
+    cs
+  }
+
+  /** Train a PQ model on a seeded row-capped sample (deeptime has no ANN
+    * surface; this is the training-data-pipeline extension, after Jégou
+    * et al. 2011, "Product quantization for nearest neighbor search").
+    * The cap is in ROWS (not a corpus fraction — see ivfTopK): the
+    * collected sample is ≤ cap × d doubles on the driver at any corpus
+    * size, and the m sub-trainings run driver-side on that bounded sample
+    * (m tiny Lloyd runs beat m distributed MLlib fits by ~25 jobs each). */
+  def pqTrain(corpus: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
+              seed: Long = 42L, idCol: String = "vec_id",
+              vecCol: String = "embedding", maxTrainRows: Long = 0L): PqModel = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    val cap = if (maxTrainRows > 0) maxTrainRows else math.max(256L * ksub, 16384L)
+    val n = corpus.count()
+    val frac = if (n <= cap) 1.0 else cap.toDouble / n
+    def unit(c: Column): Column = graft.functions.ArrayNumeric.unit(c)
+    val sample = corpus.sample(withReplacement = false, frac, seed)
+      .select(col(idCol).cast("long"), unit(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+      localLloyd(sub, ksub, seed + j)
+    }
+    PqModel(m, ksub, dsub, codebooks)
+  }
+
+  /** PQ-compressed ANN: ADC scan over broadcast per-query lookup tables →
+    * per-query shortlist → exact-cosine re-rank → top-k.
+    *
+    * Scale shape: the corpus is encoded once in one map pass (codes are
+    * m ints — the scan-side compression that makes a 100 TB corpus scan
+    * memory-feasible); queries with their LUTs broadcast (m × ksub doubles
+    * each); the ADC score is a native codegen expression
+    * (functions.PqAdcScore); the rank-≤shortlist filter runs map-side via
+    * WindowGroupLimit so only ~shortlist rows per (query, partition)
+    * shuffle; only the shortlist joins back to full vectors for the exact
+    * re-rank. At 100 TB, compose with ivfTopK cells to cut the scan too. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             m: Int = 8, ksub: Int = 16, shortlist: Int = 32,
+             seed: Long = 42L, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val model = pqTrain(corpus, dim, m, ksub, seed, idCol, vecCol)
+    def unit(c: Column): Column = graft.functions.ArrayNumeric.unit(c)
+    val encodeU = udf { (v: Seq[Double]) => model.encode(v.toArray) }
+    val lutU = udf { (v: Seq[Double]) => model.lut(v.toArray) }
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      encodeU(unit(col(vecCol))).as("codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      lutU(unit(col(vecCol))).as("lut")))
+    val scored = codes.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.ArrayNumeric.pqAdcScore(col("codes"), col("lut")).as("adc"))
+    val ws = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val short = scored.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val exact = short.join(qv, "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val wk = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(wk)).where(col("rank") <= k)
+  }
 }
