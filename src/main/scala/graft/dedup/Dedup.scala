@@ -351,6 +351,36 @@ object Dedup {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).cast("int").as("contaminated"))
   }
 
+  /** Per-doc contamination COVERAGE: the fraction of each corpus doc's
+    * distinct `shingleLen`-char shingles that appear anywhere in the
+    * benchmark — the graded measure behind `contaminationScan`'s binary
+    * flag (a doc 90% covered by benchmark text is a leak; a doc sharing
+    * one idiom is noise). Same scale shape: benchmark shingles broadcast,
+    * corpus streams map-side, only (id, hash) rows move.
+    *
+    * Returns (idCol, n_total, n_overlap, coverage) for every corpus doc;
+    * coverage = 0 when the doc has no shingles. */
+  def contaminationCoverage(corpus: DataFrame, benchmark: DataFrame,
+                            shingleLen: Int = 8, textCol: String = "text",
+                            idCol: String = "doc_id"): DataFrame = {
+    def hashed(c: Column) =
+      array_distinct(graft.functions.Shingles.charHashes(c, shingleLen))
+    val bench = benchmark.select(explode(hashed(col(textCol))).as("h")).distinct()
+    val corp = corpus.select(col(idCol), explode(hashed(col(textCol))).as("h"))
+    val totals = corp.groupBy(idCol).agg(count(lit(1)).as("n_total"))
+    val overlaps = corp.join(broadcast(bench), Seq("h"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(coalesce(col("n_total"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(coalesce(col("n_overlap"), lit(0L)) /
+            col("n_total"), 6)).as("coverage"))
+  }
+
   /** Connected components over near-duplicate pairs by iterative min-label
     * propagation: label_v <- min(label_v, min over neighbors' labels),
     * repeated to a fixpoint. Rounds <= component diameter (near-dup
@@ -645,5 +675,45 @@ object Dedup {
       .where(mightContain(col("fp")))
       .join(refFp.distinct(), Seq("fp"), "left_semi")
       .select(col(idCol), col("fp"))
+  }
+
+  /** Chunk-level exact dedup: split each doc into consecutive
+    * `chunkWords`-word windows, drop every chunk whose exact text already
+    * occurred earlier in the corpus (keep-first on (doc_id, chunk_idx)),
+    * and reassemble the survivors — the sub-document granularity between
+    * doc-level `exact` and the k-char span machinery of
+    * `removeDuplicateSpans` (boilerplate paragraphs, quoted headers).
+    *
+    * Returns one row per doc: (idCol, n_chunks, n_kept, cleaned) with
+    * `cleaned` the kept chunks re-joined in order (empty string when
+    * every chunk was a repeat).
+    *
+    * Scale shape: chunks shuffle once keyed by their TEXT (the group key
+    * is the chunk itself — no hash-collision epsilon in the result) to
+    * rank first-occurrences, then once by doc id to reassemble; both are
+    * chunk-granular rows, nothing is all-pairs. At 100 TB the first
+    * exchange can ship (xxhash64(chunk), doc_id, idx) instead of text and
+    * semi-join winners back — trade an epsilon collision rate for 10x
+    * exchange volume; the window/agg structure is unchanged. */
+  def chunkDedup(docs: DataFrame, chunkWords: Int = 20,
+                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nChunks = ceil(size(split(col(textCol), " ")) / lit(chunkWords.toDouble))
+      .cast("int")
+    val chunks = docs
+      .select(col(idCol), split(col(textCol), " ").as("ws"), nChunks.as("nc"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, nc - 1), i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))"))
+        .as(Seq("idx", "chunk")))
+    val w = Window.partitionBy("chunk").orderBy(col(idCol), col("idx"))
+    val flagged = chunks
+      .withColumn("keep", row_number().over(w) === 1)
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // reassemble: collect_list skips the NULLs of dropped chunks;
+        // sort_array orders the (idx, chunk) structs by idx
+        concat_ws(" ", transform(sort_array(collect_list(
+          when(col("keep"), struct(col("idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("cleaned"))
   }
 }

@@ -311,6 +311,30 @@ private[graft] object DedupQueries extends QueryFamily {
         d.where(col("doc_id") % 100 === 0),
         shingleLen = 8, minOverlap = 10L)
     }),
+
+    // ---- chunk-level dedup (q166): sub-document granularity — every
+    // 20-word window that already occurred earlier in the corpus is
+    // dropped and the doc reassembled (dedup/Dedup.chunkDedup; keep-first
+    // on (doc_id, idx), group key is the chunk TEXT so the result has no
+    // hash-collision epsilon). Output: per-doc chunk counts + md5 key of
+    // the reassembled text — the oracle replays split/slice/rank/
+    // reassemble exactly. -----------------------------------------------
+    "q166_chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkDedup(docs(s, dir), chunkWords = 20)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          substring(md5(col("cleaned")), 1, 16).as("clean_key"))
+    }),
+
+    // ---- contamination coverage (q169): the graded measure behind
+    // q83's binary flag — per corpus doc, the FRACTION of its distinct
+    // 8-gram shingles found anywhere in the benchmark slice. Benchmark
+    // shingles broadcast, corpus map-side, (id, hash) rows only. --------
+    "q169_contamination_coverage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminationCoverage(
+        d.where(col("doc_id") % 100 =!= 0),
+        d.where(col("doc_id") % 100 === 0), shingleLen = 8)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -634,5 +658,38 @@ private[graft] object DedupQueries extends QueryFamily {
            (SELECT CAST(count(*) AS BIGINT)
             FROM e e1 JOIN e e2 ON e1.b = e2.a
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""",
+
+    "q166_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id, t.idx AS idx,
+                 array_to_string(ws[(t.idx*20+1):(t.idx*20+20)], ' ') AS chunk
+               FROM d, LATERAL UNNEST(range(0, CAST(ceil(len(ws)/20.0) AS BIGINT))) AS t(idx)),
+         k AS (SELECT doc_id, idx, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM c)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           substring(md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+             ' ' ORDER BY idx), '')), 1, 16) AS clean_key
+         FROM k GROUP BY doc_id""",
+
+    // Coverage twin: q83's shingle sets, with per-doc totals and the
+    // rounded overlap fraction.
+    "q169_contamination_coverage" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(text) - 6), i -> substr(text, CAST(i AS INT), 8)))) AS s
+           FROM documents WHERE len(text) >= 8),
+         bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 0),
+         corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 100 != 0),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+           FROM corp GROUP BY 1),
+         ov AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM corp c JOIN bench b ON b.s = c.s GROUP BY 1)
+         SELECT d.doc_id, coalesce(tot.n_total, 0) AS n_total,
+           coalesce(ov.n_overlap, 0) AS n_overlap,
+           CASE WHEN coalesce(tot.n_total, 0) = 0 THEN 0.0
+                ELSE round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+                  / tot.n_total, 6) END AS coverage
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 100 != 0) d
+         LEFT JOIN tot USING (doc_id) LEFT JOIN ov USING (doc_id)""",
   )
 }

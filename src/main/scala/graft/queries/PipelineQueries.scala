@@ -247,6 +247,62 @@ private[graft] object PipelineQueries extends QueryFamily {
         "cluster_centers_roundtrip" -> centerDiff,
         "n_centers" -> kmBack.centers.length.toDouble))
     }),
+
+    // ---- partitioned sink + pruned re-scan (q167): the write-side
+    // layout lever — events land hive-partitioned by event_type
+    // (sources/Sinks.writePartitioned) and the re-scan's event_type
+    // filter prunes to ONE directory BEFORE any I/O. Both pruning facts
+    // are asserted loud in-query (executed-plan PartitionFilters + every
+    // input file under event_type=click/); the agg answer itself is
+    // layout-invariant, which is exactly what the oracle checks. --------
+    "q167_partitioned_sink" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value"))
+      val path = graft.sources.Sinks.writePartitioned(
+        ev, "events_by_type", dir, "event_type")
+      val back = s.read.parquet(path).where(col("event_type") === "click")
+      val plan = back.queryExecution.executedPlan.toString
+      require(plan.contains("PartitionFilters"),
+        s"q167: expected partition pruning in plan:\n$plan")
+      // the EXECUTED scan's selected partitions (inputFiles would list the
+      // whole relation pre-pruning)
+      val files = back.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.flatMap(_.selectedPartitions.toPartitionArray).map(_.filePath.toString)
+      require(files.nonEmpty && files.forall(_.contains("event_type=click")),
+        s"q167: scan not pruned to the click partition: ${files.take(3).mkString(",")}")
+      back.groupBy((col("user_id") % 16).as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+    }),
+
+    // ---- bucketed-table co-located join (q168): both per-user aggregate
+    // tables are WRITTEN bucketed+sorted on user_id (sources/
+    // Sinks.writeBucketed, 8 buckets), so the recurring join reads back
+    // hash-partitioned and plans with ZERO exchanges — the join's shuffle
+    // was paid once at write time, the point of bucketing a 100 TB fact
+    // table's join key. Asserted loud in-query: the joined plan contains
+    // no Exchange operator and no broadcast (merge hint), yet is a
+    // SortMergeJoin over the bucketed scans. ----------------------------
+    "q168_bucketed_join" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("value"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_clicks"), round(avg(col("value")), 6).as("avg_click"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"), round(avg(col("value")), 6).as("avg_purchase"))
+      val tc = graft.sources.Sinks.writeBucketed(clicks, "q168_clicks", dir, "user_id", 8)
+      val tp = graft.sources.Sinks.writeBucketed(purchases, "q168_purch", dir, "user_id", 8)
+      val joined = s.table(tc).join(s.table(tp).hint("merge"), Seq("user_id"))
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange"),
+        s"q168: bucketed join should have no exchange:\n$plan")
+      require(plan.contains("SortMergeJoin"),
+        s"q168: expected a sort-merge join over bucketed scans:\n$plan")
+      joined.select(col("user_id"), col("n_clicks"), col("avg_click"),
+        col("n_purchases"), col("avg_purchase"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -427,5 +483,24 @@ private[graft] object PipelineQueries extends QueryFamily {
          UNION ALL SELECT 'koopman_tau_dim', 0.0
          UNION ALL SELECT 'cluster_centers_roundtrip', 0.0
          UNION ALL SELECT 'n_centers', 3.0""",
+
+    // Layout-invariant twin: the partitioned sink must not change the
+    // answer, only the I/O (pruning is asserted Spark-side).
+    "q167_partitioned_sink" ->
+      """SELECT user_id % 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS avg_value
+         FROM events WHERE event_type = 'click' GROUP BY 1""",
+
+    // Bucketing-invariant twin: same join, plain SQL (the zero-exchange
+    // plan shape is asserted Spark-side).
+    "q168_bucketed_join" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+             round(avg(value), 6) AS avg_click
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+             round(avg(value), 6) AS avg_purchase
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT user_id, n_clicks, avg_click, n_purchases, avg_purchase
+         FROM c JOIN p USING (user_id)""",
   )
 }

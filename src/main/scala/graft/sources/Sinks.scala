@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Materialized sinks — the write-side half of a pipeline: hive-style
+  * partitioned parquet layouts (partition pruning at read time) and
+  * bucketed tables (co-located, shuffle-free joins).
+  *
+  * Scale rationale: at 100 TB the dominant cost of most queries is the
+  * scan, and the two levers a layout controls are (a) WHICH directories a
+  * filter has to read at all — `partitionBy` turns a predicate on the
+  * partition column into directory pruning before any I/O — and (b)
+  * whether a recurring join key needs an exchange — `bucketBy` pins both
+  * sides' hash-partitioning into the file layout so the join's shuffle
+  * happens ONCE at write time and never again. Both are plain open-format
+  * parquet, readable by any engine. */
+object Sinks {
+
+  /** Deterministic per-(tag, source-dir) scratch path under java.io.tmpdir
+    * — re-runs overwrite in place; sf0.01 and sf0.1 runs never collide. */
+  def scratchPath(tag: String, srcDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"${System.getProperty("java.io.tmpdir")}/graft-sink-$tag-$h"
+  }
+
+  /** Write `df` as parquet partitioned by `partCols` (hive-style
+    * `col=value/` directories) and return the sink path. Overwrites. */
+  def writePartitioned(df: DataFrame, tag: String, srcDir: String,
+                       partCols: String*): String = {
+    val path = scratchPath(tag, srcDir)
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
+    path
+  }
+
+  /** Deterministic per-(tag, source-dir) table name in the session
+    * catalog's default database. */
+  def tableName(tag: String, srcDir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"graft_${tag}_$h"
+  }
+
+  /** Write `df` as a bucketed+sorted parquet table on `bucketCol` and
+    * return the table name. Both sides of a recurring join written this
+    * way read back hash-partitioned, so the join plans with NO exchange
+    * (asserted by the q168 rung). Overwrites. */
+  def writeBucketed(df: DataFrame, tag: String, srcDir: String,
+                    bucketCol: String, nBuckets: Int): String = {
+    val name = tableName(tag, srcDir)
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
+    name
+  }
+
+  /** Read back a partitioned sink. */
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}
