@@ -233,6 +233,35 @@ private[graft] object SimilarityQueries extends QueryFamily {
         "compression_ratio" -> (64.0 * 4.0) / 8.0))
     }),
 
+    // ---- D4-style prototypicality pruning (q171): after SemDeDup (q99),
+    // the second D4 leg — drop the most-prototypical 25% of every k-means
+    // cell (cosine-to-own-centroid rank). The MLlib codebook isn't
+    // SQL-reproducible, so the oracle gates the CONTRACT: per-cell drop
+    // counts match ceil(0.25*|cell|) exactly, no kept vector outranks a
+    // dropped one within its cell (beyond fp epsilon), and the total
+    // vector count is exact SQL. ----------------------------------------
+    "q171_proto_prune" -> ((s, dir) => {
+      val pruned = Similarity.prototypicalityPrune(
+        emb(s, dir), dropFrac = 0.25, nClusters = 8, seed = 42L)
+      val cells = pruned.groupBy("cell").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("keep") === 0, 1L).otherwise(0L)).as("dropped"),
+        max(when(col("keep") === 1, col("proto"))).as("max_kept"),
+        min(when(col("keep") === 0, col("proto"))).as("min_dropped"))
+        .collect()
+      // row: (cell, n, dropped, max_kept, min_dropped)
+      val dropViol = cells.map(r =>
+        math.abs(r.getLong(2) - math.ceil(r.getLong(1) * 0.25).toLong)).sum
+      val orderViol = cells.count { r =>
+        !r.isNullAt(3) && !r.isNullAt(4) && r.getDouble(3) > r.getDouble(4) + 1e-12
+      }
+      val nTotal = cells.map(_.getLong(1)).sum
+      checksDf(s, Seq(
+        "drop_count_viol" -> dropViol.toDouble,
+        "order_viol" -> orderViol.toDouble,
+        "n_vectors" -> nTotal.toDouble))
+    }),
+
     // Embedding-cosine near-duplicate pairs (the embedding leg of the
     // dedup family): sign-plane LSH buckets -> capped bucket self-join ->
     // exact-cosine verify at threshold 0.35 (this corpus has no planted
@@ -437,6 +466,14 @@ private[graft] object SimilarityQueries extends QueryFamily {
          UNION ALL SELECT 'results_per_query_minus_5', 0.0
          UNION ALL SELECT 'n_queries',
            (SELECT CAST(count(*) AS DOUBLE) FROM embeddings WHERE vec_id % 40 = 0)""",
+
+    // D4 prototypicality-prune battery: exact-zero invariants + exact
+    // corpus count.
+    "q171_proto_prune" ->
+      """SELECT 'drop_count_viol' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'order_viol', 0.0
+         UNION ALL SELECT 'n_vectors',
+           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings)""",
 
     // PQ ANN recall/contract battery; query count + compression exact SQL.
     "q165_ann_pq" ->

@@ -285,9 +285,79 @@ private[graft] object StreamingQueries extends QueryFamily {
         .select(col("user_id"), unix_micros(col("sess_start")).as("sess_start_us"),
           col("n_events"))
     }),
+
+    // ---- streaming windowed approx-distinct (q170): per-day tumbling
+    // windows of distinct active users, computed as a REAL append-mode
+    // StreamingQuery whose per-window state is ONE HLL++ sketch
+    // (streaming/Streaming.windowedDistinct) — the windowed-distinct
+    // shape that survives an unbounded high-cardinality stream. Fed in 3
+    // event-time chunks; two same-far-window sentinels push the watermark
+    // past every real window WITHOUT emitting their own. The gate: every
+    // streamed window must join an exact batch distinct count within the
+    // 5% HLL tolerance (residual rounds to exactly 0.0), missing or
+    // spurious windows surface as nulls that break the hash. ------------
+    "q170_streaming_distinct" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val widthUs = 86400000000L // 1-day tumbling windows
+      val data = Trajectories.events(s, dir)
+        .select(col("user_id").cast("long"), expr("ts div 1000").cast("long"))
+        .as[(Long, Long)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val stream = mem.toDF().toDF("user_id", "tsu")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+      val est = graft.streaming.Streaming.windowedDistinct(
+        stream, "ts", "user_id", "1 day", "0 seconds", rsd = 0.02)
+      val sink = "q170_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = est.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val tmax = data.iterator.map(_._2).max
+        val tmin = data.iterator.map(_._2).min
+        (0 to 2).foreach { k =>
+          val lo = tmin + (tmax - tmin + 1) * k / 3
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 3
+          val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
+          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        // sentinels land INSIDE one far-future day window (watermark
+        // advances past all real windows; the sentinel window itself
+        // never closes, so it is never emitted)
+        val sentinel = ((tmax / widthUs) + 1000L) * widthUs + 1L
+        mem.addData((-1L, sentinel))
+        query.processAllAvailable()
+        mem.addData((-2L, sentinel + 1L))
+        query.processAllAvailable()
+      } finally query.stop()
+      val streamed = s.table(sink)
+        .select(unix_micros(col("win_start")).as("win_start_us"), col("est"))
+      val exact = Trajectories.events(s, dir)
+        .select((expr("ts div 1000").cast("long") / widthUs).cast("long")
+            .multiply(widthUs).as("win_start_us"),
+          col("user_id"))
+        .groupBy("win_start_us")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      streamed.join(exact, Seq("win_start_us"), "full_outer")
+        .select(col("win_start_us"),
+          coalesce(col("n_exact"), lit(-1L)).as("n_exact"),
+          round(greatest(lit(0.0),
+            abs(coalesce(col("est"), lit(0L)) - col("n_exact")) /
+              col("n_exact") - lit(0.05)), 6).as("err_over_5pct"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Windowed-distinct twin: exact per-day distinct users; the streamed
+    // HLL estimate must sit within 5% of every window's exact count.
+    "q170_streaming_distinct" ->
+      """WITH d AS (SELECT epoch_us(ts) AS tsu, user_id FROM events)
+         SELECT CAST((tsu // 86400000000) * 86400000000 AS BIGINT) AS win_start_us,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           0.0 AS err_over_5pct
+         FROM d GROUP BY 1""",
 
     // Batch replay of the attribution interval join — the streaming
     // pair set must match it exactly.

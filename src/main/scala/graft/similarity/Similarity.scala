@@ -283,6 +283,56 @@ object Similarity {
         when(col("hit").isNull, 1).otherwise(0).as("keep"))
   }
 
+  /** D4-style prototypicality pruning (Tirumala et al. 2023,
+    * arXiv:2308.12284 — the "SSL prototypes" leg that follows SemDeDup in
+    * the D4 recipe): cluster the corpus, score each vector by cosine to
+    * its OWN cluster centroid (prototypicality), and drop the most
+    * prototypical `dropFrac` of every cluster — near-centroid points are
+    * the templated/boilerplate mass; the diverse tail is what a training
+    * mix wants.
+    *
+    * Scale shape: quantizer fit on a row-capped sample (one MLlib fit);
+    * assignment + centroid cosine are one codegen map pass against the
+    * BROADCAST centroid table; the only corpus shuffle is the per-cell
+    * rank window, keyed by cell. Per-cell drop count is
+    * ceil(dropFrac * |cell|) with (proto desc, id) deterministic order.
+    *
+    * Returns (idCol, cell, proto, keep ∈ {0,1}). `nClusters = 0`
+    * auto-scales cells with corpus size like semDedup. */
+  def prototypicalityPrune(corpus: DataFrame, dropFrac: Double,
+                           nClusters: Int = 0, seed: Long = 42L,
+                           maxIter: Int = 6, idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           maxTrainRows: Long = 0L,
+                           targetCellRows: Long = 4096L): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0, s"dropFrac $dropFrac")
+    def unit(c: Column): Column = graft.functions.ArrayNumeric.unit(c)
+    val n = corpus.count()
+    val k = if (nClusters > 0) nClusters
+            else math.max(8L, (n + targetCellRows - 1) / targetCellRows).toInt
+    val cap = if (maxTrainRows > 0) maxTrainRows else math.max(100L * k, 65536L)
+    val frac = if (n <= cap) 1.0 else cap.toDouble / n
+    val trainDf = corpus.sample(withReplacement = false, frac, seed)
+      .select(unit(col(vecCol)).as(graft.core.Trajectories.FeatCol))
+    val codebook = graft.clustering.KMeans.fit(trainDf, k, maxIter = maxIter, seed = seed)
+    val centersDf = broadcast(corpus.sparkSession.createDataFrame(
+      codebook.centers.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) })
+      .toDF("cell", "centroid"))
+    val assigned = corpus.select(col(idCol), col(vecCol).as("v"),
+        codebook.assignColumn(unit(col(vecCol))).as("cell"))
+      .join(centersDf, "cell")
+      .select(col(idCol), col("cell"), cosine(col("v"), col("centroid")).as("proto"))
+    val w = Window.partitionBy("cell").orderBy(col("proto").desc, col(idCol))
+    val wc = Window.partitionBy("cell")
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cell_n", count(lit(1)).over(wc))
+      .withColumn("keep",
+        (col("rk") > ceil(col("cell_n") * dropFrac)).cast("int"))
+      .select(col(idCol), col("cell"), col("proto"), col("keep"))
+  }
+
   /** Product-quantization model: `m` subspaces of `dsub` dims each, `ksub`
     * centroids per subspace. `codebooks(j)(t)` is centroid t of subspace j.
     * Codes compress a d-float vector to m small ints — at 100 TB the

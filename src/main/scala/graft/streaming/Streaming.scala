@@ -146,6 +146,23 @@ object Streaming {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col(stateCol), col("cnt"))
 
+  /** Watermarked windowed approx-distinct (streaming HLL++): per tumbling
+    * `windowDur` window, the approximate distinct count of `keyCol` —
+    * the streaming twin of the q90 sketch family. The per-window state is
+    * ONE mergeable HLL sketch (2^p registers) instead of a distinct-key
+    * set, so state size is O(windows x 2^p) regardless of stream rate —
+    * the only windowed-distinct shape that survives an unbounded
+    * high-cardinality stream. Append mode emits each window exactly once
+    * at watermark passage. */
+  def windowedDistinct(stream: DataFrame, tsCol: String, keyCol: String,
+                       windowDur: String, delay: String,
+                       rsd: Double = 0.02): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("est"))
+      .select(col("window.start").as("win_start"), col("est"))
+
   /** Streaming sessionization (the streaming twin of
     * `Trajectories.sessionize`): Structured Streaming's `session_window`
     * merges events into gap-bounded sessions per user; with a watermark,
