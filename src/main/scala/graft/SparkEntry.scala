@@ -20,7 +20,7 @@ import graft.queries._
 object SparkEntry {
 
   private val families: Seq[QueryFamily] = Seq(
-    CoreQueries, MarkovQueries, DecompositionQueries, TextQueries,
+    CoreQueries, MarkovQueries, MarkovBatteryQueries, DecompositionQueries, TextQueries,
     DedupQueries, SimilarityQueries, PipelineQueries, EventQueries,
     StreamingQueries, MultimodalQueries)
 
