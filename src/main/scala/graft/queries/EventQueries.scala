@@ -289,9 +289,46 @@ private[graft] object EventQueries extends QueryFamily {
         buckets = 16)
         .withColumnRenamed("n_distinct", "n_users")
     }),
+
+    // ---- LOCF grid resample (q173): each user's irregular event-value
+    // series regularized onto a 1-day grid, gaps filled by
+    // last-observation-carried-forward (operators/Resample.locfGrid) —
+    // the feature-store alignment step between raw logs and model inputs.
+    // Within a day the LAST event wins (ts, event_id tie-break); the twin
+    // replays slot-last, per-user grid, and the LOCF window exactly. ----
+    "q173_locf_resample" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("value"), col("event_id"))
+      graft.operators.Resample.locfGrid(ev, "user_id", "tsu", "value",
+          stepUs = 86400000000L, tieCol = "event_id")
+        .select(col("user_id"), col("slot"), col("slot_start_us"),
+          round(col("value"), 6).as("value"), col("is_observed"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // LOCF twin: slot-last selection, per-user grid span, IGNORE NULLS
+    // carry-forward.
+    "q173_locf_resample" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, value, event_id FROM events),
+         s AS (SELECT user_id, tsu // 86400000000 AS slot, tsu, value, event_id FROM d),
+         lastv AS (SELECT user_id, slot, value AS obs FROM (
+             SELECT user_id, slot, value, ROW_NUMBER() OVER (
+               PARTITION BY user_id, slot ORDER BY tsu DESC, event_id DESC) AS rn
+             FROM s) WHERE rn = 1),
+         b AS (SELECT user_id, min(slot) AS lo, max(slot) AS hi FROM s GROUP BY 1),
+         g AS (SELECT b.user_id, t.slot
+           FROM b, LATERAL UNNEST(range(lo, hi + 1)) AS t(slot)),
+         f AS (SELECT g.user_id, g.slot, lastv.obs
+           FROM g LEFT JOIN lastv USING (user_id, slot))
+         SELECT user_id, CAST(slot AS BIGINT) AS slot,
+           CAST(slot * 86400000000 AS BIGINT) AS slot_start_us,
+           round(last_value(obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY slot ROWS UNBOUNDED PRECEDING), 6) AS value,
+           CAST(CASE WHEN obs IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_observed
+         FROM f""",
 
     // Nearest replay: min |Δ| with the earlier-purchase tie rule; LEFT
     // JOIN + NULLS LAST keeps purchase-less clicks with null match.

@@ -286,6 +286,58 @@ private[graft] object StreamingQueries extends QueryFamily {
           col("n_events"))
     }),
 
+    // ---- stream-static enrichment join (q172): the event stream joins a
+    // STATIC per-user tier dimension (derived from the batch click
+    // history: >= 12 clicks -> 'high'; an exact integer rule so tier
+    // assignment can never ride on float sum-order) broadcast per micro-batch,
+    // then per-day windows count events per tier — the "enrich with a
+    // profile table" shape (streaming/Streaming.streamStaticWindowedCounts).
+    // Users with no click history inner-join away, matching the twin.
+    // Same chunked feed + same-far-window sentinel flush as q170. -------
+    "q172_stream_static_join" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val widthUs = 86400000000L
+      val ev = Trajectories.events(s, dir)
+      val statics = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id").cast("long").as("user_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .select(col("user_id"),
+          when(col("n_clicks") >= 12L, "high").otherwise("low").as("tier"))
+      val data = ev
+        .select(col("user_id").cast("long"), expr("ts div 1000").cast("long"))
+        .as[(Long, Long)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val stream = mem.toDF().toDF("user_id", "tsu")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+      val counts = graft.streaming.Streaming.streamStaticWindowedCounts(
+        stream, statics, "ts", "user_id", "tier", "1 day", "0 seconds")
+      val sink = "q172_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val tmax = data.iterator.map(_._2).max
+        val tmin = data.iterator.map(_._2).min
+        (0 to 2).foreach { k =>
+          val lo = tmin + (tmax - tmin + 1) * k / 3
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 3
+          val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
+          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val sentinel = ((tmax / widthUs) + 1000L) * widthUs + 1L
+        mem.addData((-1L, sentinel))
+        query.processAllAvailable()
+        mem.addData((-2L, sentinel + 1L))
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink)
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("tier"), col("n"))
+    }),
+
     // ---- streaming windowed approx-distinct (q170): per-day tumbling
     // windows of distinct active users, computed as a REAL append-mode
     // StreamingQuery whose per-window state is ONE HLL++ sketch
@@ -350,6 +402,18 @@ private[graft] object StreamingQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Stream-static twin: the deterministic batch replay — same tier dim,
+    // same inner join, same day windows.
+    "q172_stream_static_join" ->
+      """WITH t AS (SELECT user_id,
+             CASE WHEN count(*) >= 12 THEN 'high' ELSE 'low' END AS tier
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         d AS (SELECT e.user_id, epoch_us(e.ts) AS tsu, t.tier
+           FROM events e JOIN t USING (user_id))
+         SELECT CAST((tsu // 86400000000) * 86400000000 AS BIGINT) AS win_start_us,
+           tier, CAST(count(*) AS BIGINT) AS n
+         FROM d GROUP BY 1, 2""",
+
     // Windowed-distinct twin: exact per-day distinct users; the streamed
     // HLL estimate must sit within 5% of every window's exact count.
     "q170_streaming_distinct" ->

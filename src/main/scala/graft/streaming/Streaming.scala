@@ -163,6 +163,25 @@ object Streaming {
       .agg(approx_count_distinct(col(keyCol), rsd).as("est"))
       .select(col("window.start").as("win_start"), col("est"))
 
+  /** Stream-static enrichment join + windowed rollup: each stream row
+    * joins the (small, broadcastable) static dimension on `keyCol`, then
+    * tumbling `windowDur` windows count rows per `dimCol` value — the
+    * canonical "enrich the event stream with a profile table" shape.
+    * The static side is re-resolved per micro-batch (so a dim refresh is
+    * picked up) and broadcast; stream state is the windowed agg only,
+    * bounded by the watermark. Append mode emits each (window, dim)
+    * exactly once. */
+  def streamStaticWindowedCounts(stream: DataFrame, statics: DataFrame,
+                                 tsCol: String, keyCol: String,
+                                 dimCol: String, windowDur: String,
+                                 delay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .join(broadcast(statics), Seq(keyCol))
+      .groupBy(window(col(tsCol), windowDur), col(dimCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(dimCol), col("n"))
+
   /** Streaming sessionization (the streaming twin of
     * `Trajectories.sessionize`): Structured Streaming's `session_window`
     * merges events into gap-bounded sessions per user; with a watermark,
