@@ -305,9 +305,43 @@ private[graft] object EventQueries extends QueryFamily {
         .select(col("user_id"), col("slot"), col("slot_start_us"),
           round(col("value"), 6).as("value"), col("is_observed"))
     }),
+
+    // ---- exact equi-depth binning (q174): 10 deciles of the event-value
+    // distribution with ties-keep-together semantics — bucket(v) =
+    // (rows strictly below v) * 10 div n, assigned per DISTINCT value.
+    // Scale shape: the corpus collapses to the distinct-value frame first
+    // (one hash aggregation; the value domain is bounded — cents-priced
+    // here, any fixed-precision column in general), and the ordered
+    // cumulative window runs over THAT model-sized frame, never the
+    // corpus — the standard exact-histogram decomposition. The twin
+    // replays the same group -> cumulate -> integer-div bucketing. ------
+    "q174_equidepth_bins" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir).select(col("value"))
+      val n = ev.count()
+      val vals = ev.groupBy("value").agg(count(lit(1)).as("c"))
+      val w = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      vals.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+        .withColumn("bucket", expr(s"(cb * 10) div ${n}L"))
+        .groupBy("bucket")
+        .agg(sum(col("c")).as("n_rows"),
+          round(min(col("value")), 6).as("vmin"),
+          round(max(col("value")), 6).as("vmax"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Equi-depth twin: distinct-value cumulate + integer-div bucketing.
+    "q174_equidepth_bins" ->
+      """WITH c AS (SELECT value, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+         t AS (SELECT value, c, coalesce(sum(c) OVER (ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM c),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+         SELECT CAST((cb * 10) // n.n AS BIGINT) AS bucket,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+         FROM t, n GROUP BY 1""",
 
     // LOCF twin: slot-last selection, per-user grid span, IGNORE NULLS
     // carry-forward.

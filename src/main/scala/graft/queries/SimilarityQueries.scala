@@ -262,6 +262,59 @@ private[graft] object SimilarityQueries extends QueryFamily {
         "n_vectors" -> nTotal.toDouble))
     }),
 
+    // ---- orthogonal Procrustes alignment (q176): the embedding-
+    // migration op — a "retrained" embedding version is simulated by a
+    // deterministic orthogonal transform (seeded coordinate permutation +
+    // sign pattern) of the real vectors; Procrustes.align must recover a
+    // rotation that is exactly orthogonal and drives the alignment
+    // residual to machine zero (the cross-gram is one treeAggregate of
+    // rank-1 outer products, the SVD a driver d×d solve). Battery oracle:
+    // exact-zero residuals + the exact corpus count. --------------------
+    "q176_procrustes_align" -> ((s, dir) => {
+      val d = 64
+      val rnd = new scala.util.Random(7)
+      val perm = rnd.shuffle((0 until d).toVector).toArray
+      val sign = Array.tabulate(d)(j =>
+        if (scala.util.hashing.MurmurHash3.productHash((13, j)) >= 0) 1.0 else -1.0)
+      val toB = udf { (a: Seq[Double]) =>
+        Array.tabulate(d)(j => sign(j) * a(perm(j))).toSeq
+      }
+      val pairs = emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("va"))
+        .withColumn("vb", toB(col("va")))
+      val r = graft.similarity.Procrustes.align(pairs, "va", "vb", d)
+      // orthogonality: max |RᵀR − I|
+      val orth = (0 until d).flatMap { i =>
+        (0 until d).map { j =>
+          val dot = (0 until d).map(k => r(k)(i) * r(k)(j)).sum
+          math.abs(dot - (if (i == j) 1.0 else 0.0))
+        }
+      }.max
+      val rBc = s.sparkContext.broadcast(r)
+      val mseU = udf { (a: Seq[Double], b: Seq[Double]) =>
+        val rr = rBc.value
+        var sAligned = 0.0; var sRaw = 0.0
+        var j = 0
+        while (j < d) {
+          var p = 0.0; var i = 0
+          while (i < d) { p += a(i) * rr(i)(j); i += 1 }
+          sAligned += (p - b(j)) * (p - b(j))
+          sRaw += (a(j) - b(j)) * (a(j) - b(j))
+          j += 1
+        }
+        Seq(sAligned / d, sRaw / d)
+      }
+      val row = pairs.select(mseU(col("va"), col("vb")).as("m"))
+        .agg(avg(element_at(col("m"), 1)).as("aligned"),
+          avg(element_at(col("m"), 2)).as("raw"),
+          count(lit(1)).as("n")).collect()(0)
+      checksDf(s, Seq(
+        "r_orthogonality" -> orth,
+        "aligned_mse" -> row.getDouble(0),
+        "aligned_worse_than_raw" -> math.max(0.0, row.getDouble(0) - row.getDouble(1)),
+        "n_vectors" -> row.getLong(2).toDouble))
+    }),
+
     // Embedding-cosine near-duplicate pairs (the embedding leg of the
     // dedup family): sign-plane LSH buckets -> capped bucket self-join ->
     // exact-cosine verify at threshold 0.35 (this corpus has no planted
@@ -466,6 +519,14 @@ private[graft] object SimilarityQueries extends QueryFamily {
          UNION ALL SELECT 'results_per_query_minus_5', 0.0
          UNION ALL SELECT 'n_queries',
            (SELECT CAST(count(*) AS DOUBLE) FROM embeddings WHERE vec_id % 40 = 0)""",
+
+    // Procrustes battery: machine-zero residuals + exact corpus count.
+    "q176_procrustes_align" ->
+      """SELECT 'r_orthogonality' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'aligned_mse', 0.0
+         UNION ALL SELECT 'aligned_worse_than_raw', 0.0
+         UNION ALL SELECT 'n_vectors',
+           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings)""",
 
     // D4 prototypicality-prune battery: exact-zero invariants + exact
     // corpus count.

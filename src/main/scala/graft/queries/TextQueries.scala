@@ -637,9 +637,30 @@ private[graft] object TextQueries extends QueryFamily {
       docs(s, dir).select(col("doc_id"),
         graft.multimodal.Tokenize.preTokenCount(col("text")).as("n_pretokens"),
         graft.multimodal.Tokenize.subwordCountEstimate(col("text")).as("n_subwords_est"))),
+
+    // ---- multi-granularity rollup report (q175): corpus composition at
+    // (source, lang), per-source, and grand-total levels in ONE pass —
+    // Spark's ROLLUP plans a single Expand + one aggregation, the 100 TB
+    // answer to "run the report three times". Rolled-up levels surface as
+    // '(all)' (no NULL keys exist in the data). -------------------------
+    "q175_rollup_report" -> ((s, dir) =>
+      docs(s, dir).rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("total_chars"))),
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Rollup twin: GROUP BY ROLLUP with the same '(all)' surfacing.
+    "q175_rollup_report" ->
+      """SELECT coalesce(source, '(all)') AS source,
+           coalesce(lang, '(all)') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY ROLLUP (source, lang)""",
 
     // Agreement twin: q95's gate rules x q97's LM refit, rank-based
     // quartiles over the identical (rounded nll, doc_id) total order.

@@ -111,7 +111,8 @@ object ScaleAudit {
       "q116_image_ahash", "q117_tfidf_topk", "q118_naive_bayes",
       "q119_embedding_outliers", "q127_containment", "q128_cross_source_dup",
       "q129_trigram_backoff", "q131_html_strip", "q132_temperature_mixture",
-      "q133_bmp_decode")
+      "q133_bmp_decode", "q166_chunk_dedup", "q169_contamination_coverage",
+      "q171_proto_prune")
     var failures = 0
     targets.foreach { name =>
       val t0 = System.nanoTime()
@@ -218,6 +219,43 @@ object ScaleAudit {
       println(s"[scale-audit] q153 length-blocking max bucket=$maxBucket, " +
         s"candidates=$cands (linear bound $bound, hard bound 5000000) " +
         s"${if (bktOk) "OK" else "FAIL"}")
+    }
+
+    // invariant 7 — the PQ ANN scan at 10x: the ADC pass must scan CODES
+    // (m ints/vector), never shuffle an embedding payload (vectors rejoin
+    // candidate-driven for the exact re-rank only), and deliver exactly
+    // k rows per query
+    locally {
+      val emb10 = spark.read.parquet(s"$out/embeddings.parquet")
+      val q = emb10.where(col("vec_id") % 400 === 0)
+      val df = graft.similarity.Similarity.pqTopK(emb10, q, k = 5, dim = 64,
+        m = 8, ksub = 64, shortlist = 48, seed = 42L)
+      val qe = df.queryExecution
+      val rows = qe.toRdd.count()
+      val nq = q.count()
+      val leaked = shuffledPayloadColumns(df)
+      val pqOk = leaked.isEmpty && rows == nq * 5
+      if (!pqOk) failures += 1
+      println(s"[scale-audit] q165 pq scan rows=$rows (expect ${nq * 5})  " +
+        s"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")}  " +
+        s"${if (pqOk) "OK" else "FAIL"}")
+    }
+
+    // invariant 8 — prototypicality pruning's per-cell rank window stays
+    // cell-bounded with auto-scaled clusters, same discipline as the
+    // semdedup bound (the window shuffles (id, cell, proto) rows only —
+    // covered by the q171 payload audit above; here the cell-size bound)
+    locally {
+      val emb10 = spark.read.parquet(s"$out/embeddings.parquet")
+      val cells = graft.similarity.Similarity.prototypicalityPrune(
+        emb10, dropFrac = 0.25, seed = 42L)
+      val maxCell = cells.groupBy("cell").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      val target = 4096L
+      val cellOk = maxCell <= 6L * target
+      if (!cellOk) failures += 1
+      println(s"[scale-audit] proto-prune max cell=$maxCell " +
+        s"(target $target, bound ${6L * target}) ${if (cellOk) "OK" else "FAIL"}")
     }
 
     // invariant 5 — the exact-jaccard reporting rungs (q20/q127) pair a
