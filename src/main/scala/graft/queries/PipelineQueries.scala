@@ -303,6 +303,60 @@ private[graft] object PipelineQueries extends QueryFamily {
       joined.select(col("user_id"), col("n_clicks"), col("avg_click"),
         col("n_purchases"), col("avg_purchase"))
     }),
+
+    // ---- small-files compaction (q177): a fragmented sink (64 shards of
+    // the events table — a day of streaming micro-batches in miniature)
+    // compacted to 4 scan-sized files (sources/Sinks.compact). The
+    // battery asserts the maintenance contract: file count collapses
+    // 64 -> <= 4, and BOTH layouts carry exactly the base-table row count
+    // and value sum (content untouched, the part the oracle recomputes).
+    "q177_compaction" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val frag = graft.sources.Sinks.scratchPath("q177_frag", dir)
+      ev.repartition(64).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(frag)
+      val nBefore = graft.sources.Sinks.dataFileCount(frag)
+      val compacted = graft.sources.Sinks.compact(s, frag, 4)
+      val nAfter = graft.sources.Sinks.dataFileCount(compacted)
+      val a = s.read.parquet(frag)
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sid")).collect()(0)
+      val b = s.read.parquet(compacted)
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sid")).collect()(0)
+      checksDf(s, Seq(
+        "files_before_under_64" -> math.max(0L, nBefore - 64L).toDouble,
+        "files_after_over_4" -> math.max(0L, nAfter - 4L).toDouble,
+        "row_drift" -> math.abs(a.getLong(0) - b.getLong(0)).toDouble,
+        "id_sum_drift" -> math.abs(a.getLong(1) - b.getLong(1)).toDouble,
+        "n_rows" -> a.getLong(0).toDouble))
+    }),
+
+    // ---- range-clustered sink (q178): events written range-partitioned
+    // + sorted on user_id (sources/Sinks.writeRangeClustered) so every
+    // output file covers a DISJOINT user interval — the open-format
+    // cluster-by that makes parquet min/max stats prune user_id filters.
+    // The battery PROVES disjointness from the files themselves (per-file
+    // min/max via input_file_name) and pins content parity. ------------
+    "q178_range_clustered_sink" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val path = graft.sources.Sinks.writeRangeClustered(
+        ev, "q178_cluster", dir, "user_id", nFiles = 8)
+      val perFile = s.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("user_id")).as("lo"), max(col("user_id")).as("hi"),
+          count(lit(1)).as("n"))
+        .collect().sortBy(_.getLong(1))
+      val overlaps = perFile.sliding(2).count {
+        case Array(a, b) => b.getLong(1) <= a.getLong(2)
+        case _ => false
+      }
+      val nRows = perFile.map(_.getLong(3)).sum
+      checksDf(s, Seq(
+        "file_range_overlaps" -> overlaps.toDouble,
+        "files_over_8" -> math.max(0, perFile.length - 8).toDouble,
+        "n_rows" -> nRows.toDouble))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -502,5 +556,23 @@ private[graft] object PipelineQueries extends QueryFamily {
            FROM events WHERE event_type = 'purchase' GROUP BY 1)
          SELECT user_id, n_clicks, avg_click, n_purchases, avg_purchase
          FROM c JOIN p USING (user_id)""",
+
+    // Compaction twin: layout invariants are Spark-side facts; the row
+    // count anchors to the base table.
+    "q177_compaction" ->
+      """SELECT 'files_before_under_64' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'files_after_over_4', 0.0
+         UNION ALL SELECT 'row_drift', 0.0
+         UNION ALL SELECT 'id_sum_drift', 0.0
+         UNION ALL SELECT 'n_rows',
+           (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
+
+    // Range-clustering twin: disjointness is proven Spark-side from the
+    // written files; the row count anchors to the base table.
+    "q178_range_clustered_sink" ->
+      """SELECT 'file_range_overlaps' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'files_over_8', 0.0
+         UNION ALL SELECT 'n_rows',
+           (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
   )
 }

@@ -58,4 +58,39 @@ object Sinks {
 
   /** Read back a partitioned sink. */
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Compact a parquet directory to `nFiles` output files (content
+    * unchanged). The small-files problem is the slow death of a 100 TB
+    * lake — a day of streaming micro-batches leaves thousands of KB-sized
+    * files whose open/footer costs dominate the next scan; periodic
+    * compaction to scan-sized files is standard table maintenance.
+    * Writes to a sibling `-compact` path and returns it (no in-place
+    * rewrite: a failed compaction must never take the source with it). */
+  def compact(spark: SparkSession, path: String, nFiles: Int): String = {
+    val out = s"$path-compact"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    out
+  }
+
+  /** Count the data files of a parquet directory (driver-side listing). */
+  def dataFileCount(path: String): Long = {
+    val d = new java.io.File(path)
+    if (!d.isDirectory) 0L
+    else d.listFiles().count(f => f.getName.endsWith(".parquet"))
+  }
+
+  /** Write `df` range-clustered on `rangeCol` into at most `nFiles`
+    * files: rows are range-partitioned and sorted so each output file
+    * covers a DISJOINT key interval — the open-format stand-in for
+    * cluster-by/z-order, making parquet min/max stats actually prune
+    * when the table is filtered on `rangeCol`. Returns the sink path. */
+  def writeRangeClustered(df: DataFrame, tag: String, srcDir: String,
+                          rangeCol: String, nFiles: Int): String = {
+    val path = scratchPath(tag, srcDir)
+    df.repartitionByRange(nFiles, df.col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
 }
