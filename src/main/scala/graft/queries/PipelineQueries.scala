@@ -357,6 +357,23 @@ private[graft] object PipelineQueries extends QueryFamily {
         "files_over_8" -> math.max(0, perFile.length - 8).toDouble,
         "n_rows" -> nRows.toDouble))
     }),
+
+    // ---- content fingerprint (q179): an ORDER-INDEPENDENT per-source
+    // checksum — sum of a 32-bit md5 slice of each row's canonical
+    // "doc_id|text" form. The lineage/integrity primitive of a pipeline:
+    // a copy job, a migration, or a re-partition must reproduce the exact
+    // fp_sum; any dropped/duplicated/mutated row shifts it. Pure map-side
+    // math + one small aggregation; commutative, so partitioning and row
+    // order can never change the answer. --------------------------------
+    "q179_content_fingerprint" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"),
+          conv(substring(md5(concat_ws("|",
+            col("doc_id").cast("string"), col("text"))), 1, 8), 16, 10)
+            .cast("long").as("key32"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("key32")).as("fp_sum"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -574,5 +591,13 @@ private[graft] object PipelineQueries extends QueryFamily {
          UNION ALL SELECT 'files_over_8', 0.0
          UNION ALL SELECT 'n_rows',
            (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
+
+    // Fingerprint twin: identical canonical form, md5 slice, and sum.
+    "q179_content_fingerprint" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(concat('0x',
+             substr(md5(concat(CAST(doc_id AS VARCHAR), '|', text)), 1, 8))
+             AS BIGINT)) AS BIGINT) AS fp_sum
+         FROM documents GROUP BY source""",
   )
 }
