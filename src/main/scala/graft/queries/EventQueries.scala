@@ -328,9 +328,88 @@ private[graft] object EventQueries extends QueryFamily {
           round(min(col("value")), 6).as("vmin"),
           round(max(col("value")), 6).as("vmax"))
     }),
+
+    // ---- time-weighted average (q180): per user, the step-function
+    // (LOCF) time integral of value over the observation span divided by
+    // the span — the correct mean of an irregularly-sampled signal
+    // (arithmetic means over-weight bursts). One lead() window per user,
+    // one aggregation; weights normalized to hours to keep magnitudes
+    // O(1)-O(100) for rounding parity. Users with a single event (zero
+    // span) report their value directly. -------------------------------
+    "q180_time_weighted_avg" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("value"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      val stepped = ev
+        .withColumn("t_next", lead(col("tsu"), 1).over(w))
+        .withColumn("dt_h",
+          (col("t_next") - col("tsu")) / lit(3600000000.0d))
+      stepped.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("dt_h")).as("span_h"),
+          sum(col("value") * col("dt_h")).as("integral"),
+          avg(col("value")).as("vavg"))
+        .select(col("user_id"), col("n_events"),
+          round(coalesce(col("span_h"), lit(0.0)), 6).as("span_h"),
+          // zero-span users (single event, or all events on one
+          // timestamp) fall back to the plain mean — deterministic on
+          // both sides, unlike any "first value" rule
+          round(when(col("span_h") > 0.0, col("integral") / col("span_h"))
+            .otherwise(col("vavg")), 6).as("twa"))
+    }),
+
+    // ---- salted skew join (q181): a deliberately skewed probe (80% of
+    // events collapse onto hot key 0) joined to a small per-key dim via
+    // util/Salting.saltJoinSides — the build side replicates x16 and the
+    // probe salts on event_id, so the hot key spreads over 16 tasks
+    // instead of melting one reducer. The aggregate answer is
+    // salt-invariant, which is exactly what the twin checks. ------------
+    "q181_salted_join" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("skew_key",
+          when(col("user_id") % 10 < 8, 0L).otherwise(col("user_id")))
+      val dim = ev.select(col("skew_key")).distinct()
+        .withColumn("label",
+          when(col("skew_key") === 0L, "hot").otherwise("cold"))
+      val (probe, build) = graft.util.Salting.saltJoinSides(
+        ev, dim, "skew_key", buckets = 16, probeTieBreak = "event_id")
+      probe.join(build, Seq("skew_key", "__salt"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("avg_value"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Time-weighted-average twin: same lead() steps, hour-normalized
+    // weights, zero-span mean fallback.
+    "q180_time_weighted_avg" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, value, event_id FROM events),
+         s AS (SELECT user_id, value,
+             (lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+               - tsu) / 3600000000.0 AS dt_h
+           FROM d)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(coalesce(sum(dt_h), 0.0), 6) AS span_h,
+           round(CASE WHEN coalesce(sum(dt_h), 0.0) > 0.0
+             THEN sum(value * dt_h) / sum(dt_h) ELSE avg(value) END, 6) AS twa
+         FROM s GROUP BY user_id""",
+
+    // Salted-join twin: the aggregate is salt-invariant — a plain join
+    // over the same skew mapping.
+    "q181_salted_join" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+             CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS skew_key
+           FROM events),
+         dim AS (SELECT DISTINCT skew_key,
+             CASE WHEN skew_key = 0 THEN 'hot' ELSE 'cold' END AS label
+           FROM e)
+         SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS avg_value
+         FROM e JOIN dim USING (skew_key) GROUP BY label""",
 
     // Equi-depth twin: distinct-value cumulate + integer-div bucketing.
     "q174_equidepth_bins" ->
