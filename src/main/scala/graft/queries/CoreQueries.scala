@@ -399,9 +399,91 @@ private[graft] object CoreQueries extends QueryFamily {
       val m = Covariance.fitFeaturesSparse(traj, d = 4)
       covModelDf(s, m, lagged = false)
     }),
+
+    // ---- SQL entry point, TPC-H Q3 shape (q182): shipping-priority —
+    // the `spark.sql(...)` surface over registered views, exercising the
+    // classic dim-filter -> broadcast-joined fact scan -> agg -> top-k
+    // chain that Catalyst should plan with the customer filter pushed to
+    // its scan and the small side broadcast. Dates normalize to DATE at
+    // view registration (type-agnostic to the parquet timestamp width).
+    // Revenue is reported in thousands so 6-dp rounding parity never
+    // rides on last-ulp sum order. --------------------------------------
+    "q182_sql_q3" -> ((s, dir) => {
+      registerTpchViews(s, dir)
+      s.sql("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 6)
+                 AS revenue_k,
+               o_orderdate, o_orderpriority
+        FROM th_customer JOIN th_orders ON c_custkey = o_custkey
+          JOIN th_lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < DATE'1998-01-01'
+          AND l_shipdate > DATE'1998-01-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue_k DESC, l_orderkey
+        LIMIT 10""")
+    }),
+
+    // ---- SQL entry point, TPC-H Q5 shape (q183): local-supplier
+    // volume — the six-table star join (customer and supplier in the
+    // SAME nation), per-nation revenue in a one-year window. The dims
+    // chain region -> nation -> (customer, supplier) and broadcast; the
+    // only big shuffle is the orders-lineitem join. ---------------------
+    "q183_sql_q5" -> ((s, dir) => {
+      registerTpchViews(s, dir)
+      s.sql("""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 6)
+                 AS revenue_k
+        FROM th_customer
+          JOIN th_orders ON c_custkey = o_custkey
+          JOIN th_lineitem ON l_orderkey = o_orderkey
+          JOIN th_supplier ON l_suppkey = s_suppkey
+            AND c_nationkey = s_nationkey
+          JOIN th_nation ON c_nationkey = n_nationkey
+          JOIN th_region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= DATE'1997-01-01'
+          AND o_orderdate < DATE'1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue_k DESC, n_name""")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Q3 twin: identical SQL over the same normalized DATE views.
+    "q182_sql_q3" ->
+      """SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 6)
+             AS revenue_k,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+           AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+         GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+         ORDER BY revenue_k DESC, l_orderkey
+         LIMIT 10""",
+
+    // Q5 twin.
+    "q183_sql_q5" ->
+      """SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 6)
+             AS revenue_k
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+           AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         GROUP BY n_name
+         ORDER BY revenue_k DESC, n_name""",
     "q01_tpch_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 4) AS sum_qty,

@@ -62,6 +62,25 @@ private[graft] object QShared {
       Dedup.ngramJaccard(d, cand, 5).where(col("jaccard") >= 0.6)
     }
 
+  /** Register the TPC-H-ish tables as `th_*` temp views for the
+    * `spark.sql(...)` entry-point queries (q182/q183), with date columns
+    * normalized to DATE whatever the parquet timestamp width (the events
+    * ts lesson: with nanosAsLong a nanos-typed column arrives as LONG). */
+  private[graft] def registerTpchViews(s: SparkSession, dir: String): Unit = {
+    def dateNorm(df: DataFrame, c: String): DataFrame = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, to_date(timestamp_micros(expr(s"$c div 1000"))))
+      case _ => df.withColumn(c, to_date(col(c)))
+    }
+    Seq("customer", "supplier", "nation", "region", "part").foreach { t =>
+      Trajectories.table(s, dir, t).createOrReplaceTempView("th_" + t)
+    }
+    dateNorm(Trajectories.table(s, dir, "orders"), "o_orderdate")
+      .createOrReplaceTempView("th_orders")
+    dateNorm(Trajectories.table(s, dir, "lineitem"), "l_shipdate")
+      .createOrReplaceTempView("th_lineitem")
+  }
+
   /** The (doc_id, term, cnt) postings table — the object an indexing
     * pipeline persists — materialized once per (session, dir) and shared
     * by the q117/q124/q158 retrieval family (each previously paid its own

@@ -54,6 +54,30 @@ object PlanChecks {
       ("WindowGroupLimit pushdown present", _.contains("WindowGroupLimit")),
       ("centroid broadcast, not shuffled", _.contains("BroadcastHashJoin")),
       ("no cartesian", !_.contains("CartesianProduct")))
+    check("q182_sql_q3")(
+      ("dim side broadcast", _.contains("BroadcastHashJoin")),
+      ("mktsegment filter pushed to the customer scan",
+        _.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")),
+      ("no cartesian", !_.contains("CartesianProduct")))
+    check("q183_sql_q5")(
+      ("dims broadcast", p => "BroadcastHashJoin".r.findAllIn(p).length >= 3),
+      ("region filter pushed to the region scan",
+        _.contains("EqualTo(r_name,ASIA)")),
+      ("no cartesian", !_.contains("CartesianProduct")))
+    // q165's registered query returns the battery frame, so audit the
+    // ANN plan itself: the shortlist rank filter must push map-side
+    locally {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.where(org.apache.spark.sql.functions.col("vec_id") % 40 === 0)
+      val plan = graft.similarity.Similarity.pqTopK(emb, q, k = 5, dim = 64,
+        m = 8, ksub = 64, shortlist = 48, seed = 42L)
+        .queryExecution.executedPlan.toString
+      val ok1 = plan.contains("WindowGroupLimit")
+      val ok2 = !plan.contains("CartesianProduct")
+      if (!ok1 || !ok2) failed += 1
+      println(s"[plan] q165 pqTopK :: WindowGroupLimit=${ok1} noCartesian=${ok2} " +
+        s"-> ${if (ok1 && ok2) "OK" else "FAIL"}")
+    }
     if (failed > 0) { println(s"[plan] $failed FAILED"); sys.exit(1) }
     println("[plan] ALL PLAN CLAIMS HOLD")
     spark.stop()
