@@ -374,6 +374,52 @@ private[graft] object PipelineQueries extends QueryFamily {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("key32")).as("fp_sum"))
     }),
+
+    // ---- changelog / CDC upsert (q184): the MERGE INTO primitive —
+    // a deterministic synthetic changelog (every doc_id%6==0 gets an
+    // update at seq 2, every doc_id%9==0 a delete at seq 3) folds onto
+    // the doc_id%3==0 snapshot latest-wins (operators/Changelog:
+    // one union + one per-key rank window, a single key exchange).
+    // Output: per doc_id%7 bucket, surviving count + char sum — the twin
+    // replays insert/update/delete precedence exactly. ------------------
+    "q184_changelog_merge" -> ((s, dir) => {
+      val base = docs(s, dir).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      val updates = docs(s, dir).where(col("doc_id") % 6 === 0)
+        .select(col("doc_id"), (col("n_chars") + 1000L).as("n_chars"),
+          lit(2L).as("seq"), lit("U").as("op"))
+      val deletes = docs(s, dir).where(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), lit(0L).as("n_chars"),
+          lit(3L).as("seq"), lit("D").as("op"))
+      val merged = graft.operators.Changelog.applyLatestWins(
+        base, updates.unionByName(deletes), "doc_id", "seq", "op")
+      merged.groupBy((col("doc_id") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    }),
+
+    // ---- schema-evolution union read (q185): two parquet batches with
+    // DIFFERENT schemas (batch 1 without the value column, batch 2 with
+    // it) read back as one table via mergeSchema — the additive-column
+    // migration every long-lived dataset goes through; old rows surface
+    // NULL for the new column. One write + one merged scan; the agg
+    // proves both the union arithmetic and the null-fill. ---------------
+    "q185_schema_evolution" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+      val root = graft.sources.Sinks.scratchPath("q185_evolve", dir)
+      ev.select(col("event_id"), col("user_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/batch=1")
+      ev.select(col("event_id"), col("user_id"), col("value"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/batch=2")
+      val merged = s.read.option("mergeSchema", "true").parquet(root)
+      require(merged.columns.contains("value"),
+        s"q185: merged schema lost the evolved column: ${merged.columns.mkString(",")}")
+      merged.groupBy((col("user_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value")).as("n_with_value"),
+          round(avg(col("value")), 6).as("avg_value"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -591,6 +637,33 @@ private[graft] object PipelineQueries extends QueryFamily {
          UNION ALL SELECT 'files_over_8', 0.0
          UNION ALL SELECT 'n_rows',
            (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
+
+    // Changelog twin: I/U/D precedence replayed by seq rank.
+    "q184_changelog_merge" ->
+      """WITH base AS (SELECT doc_id, n_chars, 0 AS seq, 'I' AS op
+           FROM documents WHERE doc_id % 3 = 0),
+         ups AS (SELECT doc_id, n_chars + 1000 AS n_chars, 2 AS seq, 'U' AS op
+           FROM documents WHERE doc_id % 6 = 0),
+         dels AS (SELECT doc_id, 0 AS n_chars, 3 AS seq, 'D' AS op
+           FROM documents WHERE doc_id % 9 = 0),
+         a AS (SELECT * FROM base UNION ALL SELECT * FROM ups
+               UNION ALL SELECT * FROM dels),
+         r AS (SELECT doc_id, n_chars, op,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY seq DESC, op DESC) AS rn FROM a)
+         SELECT doc_id % 7 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM r WHERE rn = 1 AND op != 'D' GROUP BY 1""",
+
+    // Schema-evolution twin: the union arithmetic from the base table
+    // (batch 1 contributes NULL values).
+    "q185_schema_evolution" ->
+      """WITH m AS (SELECT event_id, user_id, NULL::DOUBLE AS value FROM events
+           UNION ALL SELECT event_id, user_id, value FROM events)
+         SELECT user_id % 8 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(value) AS BIGINT) AS n_with_value,
+           round(avg(value), 6) AS avg_value
+         FROM m GROUP BY 1""",
 
     // Fingerprint twin: identical canonical form, md5 slice, and sum.
     "q179_content_fingerprint" ->
