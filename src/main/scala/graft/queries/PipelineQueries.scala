@@ -375,6 +375,37 @@ private[graft] object PipelineQueries extends QueryFamily {
         .agg(count(lit(1)).as("n_docs"), sum(col("key32")).as("fp_sum"))
     }),
 
+    // ---- curriculum shard assignment (q186): docs rank by quality
+    // within their source and deal round-robin into 8 shards — every
+    // shard gets a near-identical quality mixture (the deterministic
+    // alternative to shuffling before sharding, and re-runs/appends keep
+    // assignments stable). One per-source rank window; output is the
+    // per-shard census the twin replays exactly. ------------------------
+    "q186_curriculum_shards" -> ((s, dir) => {
+      val q = docs(s, dir).select(col("doc_id"), col("source"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+      q.withColumn("shard", (row_number().over(w) - 1) % 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+    }),
+
+    // ---- stratified fixed-k sample (q187): exactly k=8 docs per source
+    // by the q155 integer ES key restricted per stratum — the
+    // "balanced eval slice" sampler (per-domain holdouts, per-language
+    // probes). Same RNG-free key, so the stratified sample is stable
+    // under re-runs and appends; one window per stratum, no global
+    // ordering anywhere. ------------------------------------------------
+    "q187_stratified_sample" -> ((s, dir) => {
+      val keyed = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"),
+        Packing.reservoirKey(col("doc_id"), col("n_chars")).as("rkey"))
+      val w = Window.partitionBy("source").orderBy(col("rkey").desc, col("doc_id"))
+      keyed.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 8)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+    }),
+
     // ---- changelog / CDC upsert (q184): the MERGE INTO primitive —
     // a deterministic synthetic changelog (every doc_id%6==0 gets an
     // update at seq 2, every doc_id%9==0 a delete at seq 3) folds onto
@@ -637,6 +668,35 @@ private[graft] object PipelineQueries extends QueryFamily {
          UNION ALL SELECT 'files_over_8', 0.0
          UNION ALL SELECT 'n_rows',
            (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
+
+    // Curriculum twin: the q107 quality replay, round-robin by rank.
+    "q186_curriculum_shards" ->
+      """WITH q AS (SELECT doc_id, source, round(
+           least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+           + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+               / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
+           + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
+               / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
+           , 6) AS quality FROM documents),
+         r AS (SELECT quality,
+           (row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) - 1) % 8
+             AS shard FROM q)
+         SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n,
+           round(avg(quality), 6) AS avg_quality
+         FROM r GROUP BY shard""",
+
+    // Stratified-sample twin: the q155 integer key, ranked per source.
+    "q187_stratified_sample" ->
+      """WITH k AS (SELECT doc_id, source, n_chars,
+           list_max(list_transform(range(1, greatest(n_chars, 1) + 1),
+             j -> (((doc_id % 2147483647) * 1000003 + j) % 2147483647
+                   * 506952114 + 101) % 2147483647)) AS rkey
+           FROM documents),
+         r AS (SELECT source, doc_id, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY rkey DESC, doc_id) AS rk
+           FROM k)
+         SELECT source, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 8""",
 
     // Changelog twin: I/U/D precedence replayed by seq rank.
     "q184_changelog_merge" ->
