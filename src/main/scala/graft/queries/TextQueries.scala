@@ -625,6 +625,49 @@ private[graft] object TextQueries extends QueryFamily {
         graft.multimodal.Tokenize.preTokenCount(col("text")).as("n_pretokens"),
         graft.multimodal.Tokenize.subwordCountEstimate(col("text")).as("n_subwords_est"))),
 
+    // ---- overlapping passage windows (q188): RAG-style chunking — each
+    // doc splits into 40-word passages at stride 20 (50% overlap so no
+    // answer span straddles a boundary unseen), each with provenance
+    // (doc_id, passage idx, start word) and a content key. Pure map-side
+    // explode — the shape that feeds an embedding pipeline at any corpus
+    // size. The twin replays window starts, slicing, and keys exactly. --
+    "q188_passage_windows" -> ((s, dir) => {
+      val win = 40; val stride = 20
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("np",
+          (lit(1) + greatest(lit(0),
+            ceil((size(col("ws")) - lit(win)).cast("double") / lit(stride))))
+            .cast("int"))
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, np - 1), p -> array_join(slice(ws, p * $stride + 1, $win), ' '))"))
+          .as(Seq("p", "passage")))
+        .select(col("doc_id"), col("p"),
+          (col("p") * stride).as("start_word"),
+          size(split(col("passage"), " ")).as("n_words"),
+          substring(md5(col("passage")), 1, 16).as("passage_key"))
+    }),
+
+    // ---- deterministic epoch shuffle (q189): per training epoch, a
+    // DIFFERENT but fully reproducible permutation of the corpus —
+    // rank by a 32-bit md5 slice of (doc_id, epoch). Re-runs, resumes,
+    // and appends see identical order; no RNG state anywhere. Output:
+    // the first 20 positions of epochs 0 and 1 (the twin replays hash,
+    // rank and tie-break). ----------------------------------------------
+    "q189_epoch_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      val epochs = Seq(0, 1).toDF("epoch")
+      val keyed = docs(s, dir).select(col("doc_id"))
+        .crossJoin(broadcast(epochs))
+        .withColumn("h", conv(substring(md5(concat_ws("|",
+          col("doc_id").cast("string"), col("epoch").cast("string"))), 1, 8), 16, 10)
+          .cast("long"))
+      val w = Window.partitionBy("epoch").orderBy(col("h"), col("doc_id"))
+      keyed.withColumn("pos", row_number().over(w).cast("long"))
+        .where(col("pos") <= 20)
+        .select(col("epoch"), col("pos"), col("doc_id"))
+    }),
+
     // ---- multi-granularity rollup report (q175): corpus composition at
     // (source, lang), per-source, and grand-total levels in ONE pass —
     // Spark's ROLLUP plans a single Expand + one aggregation, the 100 TB
@@ -640,6 +683,34 @@ private[graft] object TextQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+
+    // Passage-window twin: same starts, slices, and keys.
+    "q188_passage_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         n AS (SELECT doc_id, ws,
+             1 + greatest(0, CAST(ceil((len(ws) - 40) / 20.0) AS BIGINT)) AS np
+           FROM d),
+         p AS (SELECT doc_id, t.p AS p,
+             array_to_string(ws[(t.p*20+1):(t.p*20+40)], ' ') AS passage
+           FROM n, LATERAL UNNEST(range(0, np)) AS t(p))
+         SELECT doc_id, CAST(p AS INT) AS p,
+           CAST(p * 20 AS INT) AS start_word,
+           CAST(len(string_split(passage, ' ')) AS INT) AS n_words,
+           substring(md5(passage), 1, 16) AS passage_key
+         FROM p""",
+
+    // Epoch-shuffle twin: same 32-bit md5 slice, rank, tie-break.
+    "q189_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([0, 1]) AS epoch),
+         k AS (SELECT d.doc_id, e.epoch,
+             CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR),
+               '|', CAST(e.epoch AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+           FROM documents d, e),
+         r AS (SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+           FROM k)
+         SELECT CAST(epoch AS INT) AS epoch, CAST(pos AS BIGINT) AS pos, doc_id
+         FROM r WHERE pos <= 20""",
 
     // Rollup twin: GROUP BY ROLLUP with the same '(all)' surfacing.
     "q175_rollup_report" ->
