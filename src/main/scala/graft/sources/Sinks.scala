@@ -48,6 +48,22 @@ object Sinks {
   def writeBucketed(df: DataFrame, tag: String, srcDir: String,
                     bucketCol: String, nBuckets: Int): String = {
     val name = tableName(tag, srcDir)
+    val spark = df.sparkSession
+    // Overwrite only replaces a table the CATALOG knows about; a fresh
+    // session with an orphaned warehouse directory from a previous run
+    // fails with LOCATION_ALREADY_EXISTS — drop both the entry and the
+    // stray location first (this is a scratch table by construction).
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = new java.io.File(wh, name.toLowerCase)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
     df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, bucketCol)
