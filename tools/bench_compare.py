@@ -65,11 +65,14 @@ BASELINES = {
     "q162": 0.673,
     "q163": 4.906, "q164": 1.068,
     # round-7 third batch first-appearance (quiet full sweep, post-memoization)
-    "q165": 2.125, "q166": 0.368, "q167": 0.535, "q168": 0.104,
+    "q165": 2.125, "q166": 0.368, "q167": 0.535, "q168": 0.613,  # corrected: 0.104 was a fast-crash artifact (LOCATION_ALREADY_EXISTS), see BASELINE.md
     "q169": 0.120, "q170": 5.555, "q171": 1.393, "q172": 3.715,
     "q173": 0.638, "q174": 0.418, "q175": 0.199, "q176": 1.042,
     "q177": 1.299, "q178": 0.607, "q179": 0.198, "q180": 0.167,
     "q181": 0.360,
+    # round-7 fourth batch first-appearance (quiet full sweep)
+    "q182": 0.747, "q183": 0.814, "q184": 0.333, "q185": 0.424,
+    "q186": 0.378, "q187": 0.338, "q188": 0.199, "q189": 0.231,
 }
 
 
