@@ -320,6 +320,56 @@ private[graft] object SimilarityQueries extends QueryFamily {
         "n_vectors" -> row.getLong(2).toDouble))
     }),
 
+    // ---- embedding PCA (q190): dimensionality reduction before ANN —
+    // the moments engine (one distributed pass, Chan merge) builds the
+    // 64x64 covariance, spdEig on the driver. Battery: eigenvalues
+    // descending, eigenvectors orthonormal, V Λ Vᵀ reconstructs C to
+    // machine zero, and TWO SQL anchors — the eigenvalue sum must equal
+    // the per-dimension variance sum DuckDB computes independently, and
+    // the exact corpus count. -------------------------------------------
+    "q190_embedding_pca" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, DenseVector}
+      val e = emb(s, dir)
+      val traj = e.select(col("embedding").cast("array<double>")
+        .as(graft.core.Trajectories.FeatCol))
+      val m = Covariance.fitFeatures(traj)
+      val d = m.d
+      val c = new DenseMatrix(d, d, m.cov00).t
+      val (lam, v) = LinAlg.spdEig(c) // values desc, may truncate near-zero
+      val k = lam.length
+      val desc = (1 until k).map(i =>
+        math.max(0.0, lam(i) - lam(i - 1))).sum
+      val vtv = v.t * v
+      val orth = (0 until k).flatMap(i => (0 until k).map(j =>
+        math.abs(vtv(i, j) - (if (i == j) 1.0 else 0.0)))).max
+      val rec = v * breeze.linalg.diag(DenseVector(lam.toArray: _*)) * v.t
+      val recResid = (0 until d).flatMap(i => (0 until d).map(j =>
+        math.abs(rec(i, j) - c(i, j)))).max
+      checksDf(s, Seq(
+        "rank_deficit" -> (d - k).toDouble,
+        "eigs_descending_viol" -> desc,
+        "orthonormality_resid" -> orth,
+        "reconstruction_resid" -> recResid,
+        "total_variance" -> breeze.linalg.sum(lam),
+        "n_vectors" -> m.count.toDouble))
+    }),
+
+    // ---- cross-table correlation (q191): documents x embeddings joined
+    // on id — Pearson correlation between doc length and embedding L2
+    // norm (the sanity probe before using either as a quality signal).
+    // One broadcast-joinable id join + one aggregation. -----------------
+    "q191_quality_norm_corr" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val e = emb(s, dir).select(col("vec_id").as("doc_id"),
+        sqrt(graft.functions.ArrayNumeric.dot(col("embedding"), col("embedding")))
+          .as("l2norm"))
+      d.join(e, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          round(avg(col("l2norm")), 6).as("avg_norm"),
+          round(corr(col("n_chars"), col("l2norm")), 6).as("pearson_r"))
+    }),
+
     // Embedding-cosine near-duplicate pairs (the embedding leg of the
     // dedup family): sign-plane LSH buckets -> capped bucket self-join ->
     // exact-cosine verify at threshold 0.35 (this corpus has no planted
@@ -524,6 +574,36 @@ private[graft] object SimilarityQueries extends QueryFamily {
          UNION ALL SELECT 'results_per_query_minus_5', 0.0
          UNION ALL SELECT 'n_queries',
            (SELECT CAST(count(*) AS DOUBLE) FROM embeddings WHERE vec_id % 40 = 0)""",
+
+    // PCA battery: algebraic zeros + the variance-sum / count anchors
+    // DuckDB computes independently (var_samp = the same Bessel
+    // normalization as the moments engine).
+    "q190_embedding_pca" ->
+      """SELECT 'rank_deficit' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'eigs_descending_viol', 0.0
+         UNION ALL SELECT 'orthonormality_resid', 0.0
+         UNION ALL SELECT 'reconstruction_resid', 0.0
+         UNION ALL SELECT 'total_variance',
+           (WITH x AS (SELECT t.i AS i,
+               CAST(embedding AS DOUBLE[])[t.i] AS v
+              FROM embeddings,
+                LATERAL UNNEST(generate_series(1, len(embedding))) AS t(i))
+            SELECT round(sum(vv), 6)
+            FROM (SELECT var_samp(v) AS vv FROM x GROUP BY i))
+         UNION ALL SELECT 'n_vectors',
+           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings)""",
+
+    // Cross-table correlation twin.
+    "q191_quality_norm_corr" ->
+      """WITH j AS (SELECT d.n_chars,
+           sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+             CAST(e.embedding AS DOUBLE[]))) AS nrm
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(avg(nrm), 6) AS avg_norm,
+           round(corr(n_chars, nrm), 6) AS pearson_r
+         FROM j""",
 
     // Procrustes battery: machine-zero residuals + exact corpus count.
     "q176_procrustes_align" ->
