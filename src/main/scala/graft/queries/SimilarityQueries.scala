@@ -320,6 +320,31 @@ private[graft] object SimilarityQueries extends QueryFamily {
         "n_vectors" -> row.getLong(2).toDouble))
     }),
 
+    // ---- IVF+PQ composed ANN (q192): the 100 TB production shape — the
+    // coarse quantizer cuts WHICH rows scan (6/8 cells), PQ codes cut
+    // WHAT a scanned row costs (8 bytes, native ADC), shortlist 64 exact
+    // re-rank. Same contract gate as q64/q165; on this near-uniform
+    // sphere the composition's recall floor is the binding constraint,
+    // so the gate is the q64 bar. ---------------------------------------
+    "q192_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.where(col("vec_id") % 40 === 0)
+      val ann = Similarity.ivfPqTopK(e, q, k = 5, dim = 64, nCells = 8,
+          nProbe = 6, m = 8, ksub = 64, shortlist = 64, seed = 42L)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = Similarity.bruteForceTopK(e, q, 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val perQ = ann.join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"), count(lit(1)).as("k"))
+      val row = perQ.agg(avg(col("hits") / 5.0).as("recall"),
+        max(abs(col("k") - 5)).as("kviol"), count(lit(1)).as("nq")).collect()(0)
+      checksDf(s, Seq(
+        "recall_below_0p9" -> math.max(0.0, 0.9 - row.getDouble(0)),
+        "results_per_query_minus_5" -> row.getLong(1).toDouble,
+        "n_queries" -> row.getLong(2).toDouble))
+    }),
+
     // ---- embedding PCA (q190): dimensionality reduction before ANN —
     // the moments engine (one distributed pass, Chan merge) builds the
     // 64x64 covariance, spdEig on the driver. Battery: eigenvalues
@@ -570,6 +595,13 @@ private[graft] object SimilarityQueries extends QueryFamily {
 
     // IVF ANN recall/contract battery; the query count is exact SQL.
     "q64_ann_ivf" ->
+      """SELECT 'recall_below_0p9' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'results_per_query_minus_5', 0.0
+         UNION ALL SELECT 'n_queries',
+           (SELECT CAST(count(*) AS DOUBLE) FROM embeddings WHERE vec_id % 40 = 0)""",
+
+    // IVF+PQ recall/contract battery.
+    "q192_ann_ivfpq" ->
       """SELECT 'recall_below_0p9' AS "check", 0.0 AS "value"
          UNION ALL SELECT 'results_per_query_minus_5', 0.0
          UNION ALL SELECT 'n_queries',

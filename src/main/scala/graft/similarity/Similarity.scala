@@ -283,6 +283,60 @@ object Similarity {
         when(col("hit").isNull, 1).otherwise(0).as("keep"))
   }
 
+  /** IVF+PQ composed ANN — the production shape at 100 TB: the coarse
+    * quantizer cuts WHICH rows are scanned (nProbe/nCells of the corpus),
+    * PQ codes cut WHAT a scanned row costs (m bytes + m table lookups
+    * instead of d floats), and only the shortlist touches full vectors
+    * for the exact re-rank. One cell-keyed equi-join on (cell), ADC via
+    * the native PqAdcScore codegen expression, WindowGroupLimit
+    * shortlist, candidate-driven exact verify. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                nCells: Int = 8, nProbe: Int = 6, m: Int = 8, ksub: Int = 64,
+                shortlist: Int = 64, seed: Long = 42L,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def unit(c: Column): Column = graft.functions.ArrayNumeric.unit(c)
+    // coarse quantizer (spherical cells, q64 regime)
+    val cap = math.max(100L * nCells, 65536L)
+    val n = corpus.count()
+    val frac = if (n <= cap) 1.0 else cap.toDouble / n
+    val trainDf = corpus.sample(withReplacement = false, frac, seed)
+      .select(unit(col(vecCol)).as(graft.core.Trajectories.FeatCol))
+    val codebook = graft.clustering.KMeans.fit(trainDf, nCells, maxIter = 6, seed = seed)
+    // fine quantizer (global PQ on unit vectors)
+    val pq = pqTrain(corpus, dim, m, ksub, seed + 1, idCol, vecCol)
+    val encodeU = udf { (v: Seq[Double]) => pq.encode(v.toArray) }
+    val lutU = udf { (v: Seq[Double]) => pq.lut(v.toArray) }
+    val corpusCells = corpus.select(col(idCol).as("neighbor_id"),
+      codebook.assignColumn(unit(col(vecCol))).as("cell"),
+      encodeU(unit(col(vecCol))).as("codes"))
+    val centers = codebook.centers
+    val probe = udf { (x: Seq[Double]) =>
+      val nrm = math.max(math.sqrt(x.map(v => v * v).sum), 1e-300)
+      centers.indices.map { j =>
+        var s = 0.0; var i = 0
+        while (i < x.length) { val d = x(i) / nrm - centers(j)(i); s += d * d; i += 1 }
+        (j, s)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val queryCells = broadcast(queries.select(col(idCol).as("query_id"),
+      lutU(unit(col(vecCol))).as("lut"),
+      explode(probe(col(vecCol).cast("array<double>"))).as("cell")))
+    val scored = queryCells.join(corpusCells, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        graft.functions.ArrayNumeric.pqAdcScore(col("codes"), col("lut")).as("adc"))
+    val ws = Window.partitionBy("query_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val short = scored.withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val exact = short.join(qv, "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val wk = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(wk)).where(col("rank") <= k)
+  }
+
   /** D4-style prototypicality pruning (Tirumala et al. 2023,
     * arXiv:2308.12284 — the "SSL prototypes" leg that follows SemDeDup in
     * the D4 recipe): cluster the corpus, score each vector by cosine to

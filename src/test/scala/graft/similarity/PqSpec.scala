@@ -84,6 +84,21 @@ class PqSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("ivf+pq composition keeps high recall while probing a cell subset") {
+    val corpus = uniformEmbeddings(2000, 16, seed = 5L).cache()
+    val queries = corpus.where(col("vec_id") % 100 === 0)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(corpus, queries, k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfPqTopK(corpus, queries, k, dim = 16,
+        nCells = 4, nProbe = 3, m = 4, ksub = 32, shortlist = 96, seed = 11L)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be > 0.85
+  }
+
   test("pq training and top-k are deterministic for a fixed seed") {
     val corpus = clusteredEmbeddings(500, 16, 4, seed = 9L).cache()
     val queries = corpus.where(col("vec_id") % 100 === 0)
