@@ -375,6 +375,42 @@ private[graft] object PipelineQueries extends QueryFamily {
         .agg(count(lit(1)).as("n_docs"), sum(col("key32")).as("fp_sum"))
     }),
 
+    // ---- JSONL source (q193): the interchange format every ingest
+    // pipeline meets — events round-trip through line-delimited JSON and
+    // read back with an EXPLICIT schema (never inference: schema
+    // inference is a full extra scan of a 100 TB drop, and a silently
+    // widened type). The agg must be byte-identical to the parquet path.
+    "q193_jsonl_source" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val path = graft.sources.Sinks.scratchPath("q193_jsonl", dir)
+      ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite).json(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType)))
+      s.read.schema(schema).json(path)
+        .groupBy((col("user_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+          round(avg(col("value")), 6).as("avg_value"))
+    }),
+
+    // ---- CSV source (q194): same contract over CSV (explicit schema,
+    // no header) — the format the most data still arrives in. ----------
+    "q194_csv_source" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val path = graft.sources.Sinks.scratchPath("q194_csv", dir)
+      ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite).csv(path)
+      s.read.schema("event_id LONG, user_id LONG, value DOUBLE").csv(path)
+        .groupBy((col("user_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+          round(avg(col("value")), 6).as("avg_value"))
+    }),
+
     // ---- curriculum shard assignment (q186): docs rank by quality
     // within their source and deal round-robin into 8 shards — every
     // shard gets a near-identical quality mixture (the deterministic
@@ -668,6 +704,18 @@ private[graft] object PipelineQueries extends QueryFamily {
          UNION ALL SELECT 'files_over_8', 0.0
          UNION ALL SELECT 'n_rows',
            (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
+
+    // Source-format twins: the answer is format-invariant.
+    "q193_jsonl_source" ->
+      """SELECT user_id % 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(avg(value), 6) AS avg_value
+         FROM events GROUP BY 1""",
+    "q194_csv_source" ->
+      """SELECT user_id % 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(avg(value), 6) AS avg_value
+         FROM events GROUP BY 1""",
 
     // Curriculum twin: the q107 quality replay, round-robin by rank.
     "q186_curriculum_shards" ->
