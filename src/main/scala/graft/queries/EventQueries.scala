@@ -359,6 +359,22 @@ private[graft] object EventQueries extends QueryFamily {
             .otherwise(col("vavg")), 6).as("twa"))
     }),
 
+    // ---- distributed global index (q196): rank every event in the
+    // total (ts, event_id) order WITHOUT a single-partition window —
+    // range-repartition + local sort + driver prefix-sums over
+    // per-partition counts + broadcast offsets (operators/GlobalIndex).
+    // The twin is the SQL row_number, so a wrong boundary or offset
+    // anywhere breaks the hash; output sampled every 997th position to
+    // bound rows. -------------------------------------------------------
+    "q196_global_index" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("event_id"), expr("ts div 1000").as("tsu"))
+      graft.operators.GlobalIndex
+        .withGlobalIndex(ev, "pos", col("tsu"), col("event_id"))
+        .where((col("pos") % 997) === 0)
+        .select(col("pos"), col("event_id"), col("tsu"))
+    }),
+
     // ---- salted skew join (q181): a deliberately skewed probe (80% of
     // events collapse onto hot key 0) joined to a small per-key dim via
     // util/Salting.saltJoinSides — the build side replicates x16 and the
@@ -397,6 +413,14 @@ private[graft] object EventQueries extends QueryFamily {
            round(CASE WHEN coalesce(sum(dt_h), 0.0) > 0.0
              THEN sum(value * dt_h) / sum(dt_h) ELSE avg(value) END, 6) AS twa
          FROM s GROUP BY user_id""",
+
+    // Global-index twin: plain row_number over the same total order.
+    "q196_global_index" ->
+      """WITH d AS (SELECT event_id, epoch_us(ts) AS tsu,
+             row_number() OVER (ORDER BY epoch_us(ts), event_id) - 1 AS pos
+           FROM events)
+         SELECT CAST(pos AS BIGINT) AS pos, event_id, CAST(tsu AS BIGINT) AS tsu
+         FROM d WHERE pos % 997 = 0""",
 
     // Salted-join twin: the aggregate is salt-invariant — a plain join
     // over the same skew mapping.

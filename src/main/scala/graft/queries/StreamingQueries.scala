@@ -338,6 +338,60 @@ private[graft] object StreamingQueries extends QueryFamily {
           col("tier"), col("n"))
     }),
 
+    // ---- watermark late-data drop (q195): the semantics every
+    // watermarked pipeline lives by, pinned exactly — per-day event
+    // counts stream in order and flush; then the corpus's EARLIEST event
+    // (min (tsu, event_id)) is delivered LAST, long after the watermark
+    // passed its window. Append mode must DROP it (the window was
+    // finalized and its state evicted), so its day's count is short by
+    // exactly one — which is precisely what the twin computes. A runtime
+    // that silently reopened or double-emitted the window breaks the
+    // hash. -------------------------------------------------------------
+    "q195_streaming_late_drop" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val widthUs = 86400000000L
+      val data = Trajectories.events(s, dir)
+        .select(col("event_id").cast("long"), expr("ts div 1000").cast("long"))
+        .as[(Long, Long)].collect()
+      val late = data.minBy(r => (r._2, r._1)) // earliest event, delivered last
+      val onTime = data.filterNot(_ == late)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val stream = mem.toDF().toDF("event_id", "tsu")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+        .withColumn("one", lit(1))
+      val counts = graft.streaming.Streaming.windowedStateCounts(
+        stream, "ts", "one", "1 day", "0 seconds")
+      val sink = "q195_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val tmax = data.iterator.map(_._2).max
+        val tmin = data.iterator.map(_._2).min
+        (0 to 2).foreach { k =>
+          val lo = tmin + (tmax - tmin + 1) * k / 3
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 3
+          val chunk = onTime.filter(r => r._2 >= lo && r._2 < hi)
+          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        val sentinel = ((tmax / widthUs) + 1000L) * widthUs + 1L
+        mem.addData((-1L, sentinel))
+        query.processAllAvailable()
+        mem.addData((-2L, sentinel + 1L))
+        query.processAllAvailable()
+        // NOW the late delivery: its event time is below the watermark,
+        // its window closed and emitted — it must be dropped
+        mem.addData(late)
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink)
+        .select(unix_micros(col("win_start")).as("win_start_us"),
+          col("cnt").cast("long").as("cnt"))
+    }),
+
     // ---- streaming windowed approx-distinct (q170): per-day tumbling
     // windows of distinct active users, computed as a REAL append-mode
     // StreamingQuery whose per-window state is ONE HLL++ sketch
@@ -402,6 +456,16 @@ private[graft] object StreamingQueries extends QueryFamily {
   )
 
   val oracles: Seq[(String, String)] = Seq(
+    // Late-drop twin: per-day counts EXCLUDING the earliest event (the
+    // row the watermark must discard).
+    "q195_streaming_late_drop" ->
+      """WITH d AS (SELECT event_id, epoch_us(ts) AS tsu,
+             row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events)
+         SELECT CAST((tsu // 86400000000) * 86400000000 AS BIGINT) AS win_start_us,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM d WHERE rn > 1 GROUP BY 1""",
+
     // Stream-static twin: the deterministic batch replay — same tier dim,
     // same inner join, same day windows.
     "q172_stream_static_join" ->
