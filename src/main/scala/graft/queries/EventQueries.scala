@@ -396,6 +396,40 @@ private[graft] object EventQueries extends QueryFamily {
         .agg(count(lit(1)).as("n"),
           round(avg(col("value")), 6).as("avg_value"))
     }),
+
+    // ---- A/B experiment readout (q199): deterministic user_id-parity
+    // variant assignment, per-user conversion (>= 1 purchase), and the
+    // pooled two-proportion z statistic — the experimentation primitive
+    // every event pipeline ends in. One per-user aggregation (the only
+    // exchange) then a model-sized conditional aggregate; the z formula
+    // is written in the identical operation order on both engines and
+    // rounded at 6 dp. --------------------------------------------------
+    "q199_ab_test" -> ((s, dir) => {
+      // experiment unit = (user, day): a unit converts if a purchase
+      // happened that day (~40% base rate at every SF — the per-user
+      // lifetime rate saturates at 1.0 and degenerates the z statistic)
+      val perUser = Trajectories.events(s, dir)
+        .groupBy(col("user_id"), expr("ts div 86400000000000").as("day_idx"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("va", when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+      perUser.agg(
+          sum(col("va")).as("n_a"),
+          sum(col("va") * col("conv")).as("conv_a"),
+          sum(lit(1L) - col("va")).as("n_b"),
+          sum((lit(1L) - col("va")) * col("conv")).as("conv_b"))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          round(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
+          round(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
+          round(
+            (col("conv_a").cast("double") / col("n_a")
+              - col("conv_b").cast("double") / col("n_b")) /
+            sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+                  (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                  (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z_stat"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -648,5 +682,27 @@ private[graft] object EventQueries extends QueryFamily {
            round(CAST(n3 AS DOUBLE) / CAST(greatest(n2, 1) AS DOUBLE), 6)
              AS purchase_after_click_rate
          FROM c""",
+
+    // A/B twin: identical parity assignment, per-user conversion, and
+    // the same-operation-order pooled z statistic.
+    "q199_ab_test" ->
+      """WITH u AS (SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day_idx,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS va
+           FROM events GROUP BY user_id, day_idx),
+         a AS (SELECT CAST(sum(va) AS BIGINT) AS n_a,
+             CAST(sum(va * conv) AS BIGINT) AS conv_a,
+             CAST(sum(1 - va) AS BIGINT) AS n_b,
+             CAST(sum((1 - va) * conv) AS BIGINT) AS conv_b
+           FROM u)
+         SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+           round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
+         FROM a""",
   )
 }

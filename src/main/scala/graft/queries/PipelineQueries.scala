@@ -487,6 +487,56 @@ private[graft] object PipelineQueries extends QueryFamily {
           count(col("value")).as("n_with_value"),
           round(avg(col("value")), 6).as("avg_value"))
     }),
+
+    // ---- ORC source (q197): third columnar round-trip after parquet/
+    // JSONL/CSV — ORC ships in Spark core (no extra dependency) and is
+    // the other columnar format a lake migration meets. Same
+    // format-invariance contract: write events as ORC, read back with
+    // the explicit schema, aggregate must equal the parquet answer. ----
+    "q197_orc_source" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val path = graft.sources.Sinks.scratchPath("q197_orc", dir)
+      ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite).orc(path)
+      s.read.schema("event_id LONG, user_id LONG, value DOUBLE").orc(path)
+        .groupBy((col("user_id") % 8).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"),
+          round(avg(col("value")), 6).as("avg_value"))
+    }),
+
+    // ---- Z-order layout (q198): Morton-interleave quantized
+    // (o_custkey, o_totalprice) and bucket the table by the code's top 5
+    // bits (32 quad-tree cells) vs the single-column layout (top 5 bits
+    // of qx alone). The output is the DATA-SKIPPING ledger: for a probe
+    // range on each dimension, how many of the 32 buckets' min/max spans
+    // overlap it — the z-order layout prunes on BOTH dimensions, the
+    // linear layout only on its sort key. Pure integer arithmetic (the
+    // qy quantization divides doubles by the same literal on both
+    // engines, then floors), so the twin replays it exactly;
+    // sources/Layout holds the interleave expression. ------------------
+    "q198_zorder_layout" -> ((s, dir) => {
+      val o = Trajectories.table(s, dir, "orders")
+      val maxes = o.agg(max(col("o_custkey")).as("maxc"),
+        max(col("o_totalprice")).as("maxp"))
+      val q = o.crossJoin(broadcast(maxes))
+        .select(col("o_orderkey"),
+          expr("CAST((o_custkey * 256) DIV (maxc + 1) AS BIGINT)").as("qx"),
+          expr("CAST(floor(o_totalprice * 256.0 / (maxp + 1.0)) AS BIGINT)").as("qy"))
+        .withColumn("morton",
+          graft.sources.Layout.mortonInterleave(col("qx"), col("qy"), 8))
+      // bucket spans under each layout: morton top-5-bits vs qx top-5-bits
+      def spans(bucketCol: org.apache.spark.sql.Column, layout: String) =
+        q.groupBy(bucketCol.as("bucket"))
+          .agg(min(col("qx")).as("min_qx"), max(col("qx")).as("max_qx"),
+            min(col("qy")).as("min_qy"), max(col("qy")).as("max_qy"))
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when(col("min_qx") <= 31, 1L).otherwise(0L)).as("scan_qx"),
+            sum(when(col("min_qy") <= 31, 1L).otherwise(0L)).as("scan_qy"))
+          .select(lit(layout).as("layout"), col("n_buckets"),
+            col("scan_qx"), col("scan_qy"))
+      spans(shiftright(col("morton"), 11), "zorder")
+        .unionByName(spans(shiftright(col("qx"), 3), "linear"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -780,5 +830,41 @@ private[graft] object PipelineQueries extends QueryFamily {
              substr(md5(concat(CAST(doc_id AS VARCHAR), '|', text)), 1, 8))
              AS BIGINT)) AS BIGINT) AS fp_sum
          FROM documents GROUP BY source""",
+
+    // ORC twin: the answer is format-invariant (same as q193/q194).
+    "q197_orc_source" ->
+      """SELECT user_id % 8 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           round(avg(value), 6) AS avg_value
+         FROM events GROUP BY 1""",
+
+    // Z-order twin: identical quantization (integer floor-div for qx,
+    // double divide + floor for qy), the same 8-bit Morton interleave
+    // via list arithmetic, the same top-5-bit bucketing and probe-span
+    // overlap counts.
+    "q198_zorder_layout" ->
+      """WITH mx AS (SELECT max(o_custkey) AS maxc, max(o_totalprice) AS maxp
+             FROM orders),
+         q AS (SELECT (o_custkey * 256) // (maxc + 1) AS qx,
+             CAST(floor(o_totalprice * 256.0 / (maxp + 1.0)) AS BIGINT) AS qy
+           FROM orders CROSS JOIN mx),
+         m AS (SELECT qx, qy,
+             list_sum(list_transform(range(0, 8),
+               i -> (((qx >> i) & 1) << (2*i)) + (((qy >> i) & 1) << (2*i+1))))
+               AS morton
+           FROM q),
+         z AS (SELECT morton >> 11 AS bucket,
+             min(qx) AS min_qx, min(qy) AS min_qy FROM m GROUP BY 1),
+         l AS (SELECT qx >> 3 AS bucket,
+             min(qx) AS min_qx, min(qy) AS min_qy FROM m GROUP BY 1)
+         SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN min_qx <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS scan_qx,
+           CAST(sum(CASE WHEN min_qy <= 31 THEN 1 ELSE 0 END) AS BIGINT) AS scan_qy
+         FROM z
+         UNION ALL
+         SELECT 'linear', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN min_qx <= 31 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(sum(CASE WHEN min_qy <= 31 THEN 1 ELSE 0 END) AS BIGINT)
+         FROM l""",
   )
 }

@@ -680,6 +680,29 @@ private[graft] object TextQueries extends QueryFamily {
         .select(coalesce(col("source"), lit("(all)")).as("source"),
           coalesce(col("lang"), lit("(all)")).as("lang"),
           col("n_docs"), col("total_chars"))),
+
+    // ---- CCNet-style perplexity buckets (q200): per-language
+    // head/middle/tail split by unigram-LM perplexity terciles — the
+    // CCNet curation scheme (Wenzek et al. 2020: keep head+middle, drop
+    // tail) downstream of q97's scorer. ntile(3) over the ROUNDED
+    // per-doc NLL with a doc_id tie-break is deterministic cross-engine;
+    // the per-language windows are corpus-partitioned, so no global
+    // ordering exists anywhere. -----------------------------------------
+    "q200_ccnet_buckets" -> ((s, dir) => {
+      val nll = Scoring.unigramNll(docs(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_nll"), col("doc_id"))
+      nll.withColumn("b", ntile(3).over(w))
+        .withColumn("bucket",
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("avg_nll")), 6).as("mean_nll"),
+          min(col("avg_nll")).as("min_nll"),
+          max(col("avg_nll")).as("max_nll"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1279,5 +1302,30 @@ private[graft] object TextQueries extends QueryFamily {
                 ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
            CAST((SELECT n FROM n) AS BIGINT) AS n_docs
          FROM terms""",
+
+    // CCNet-bucket twin: the q97 scorer CTE, the same ntile(3) tercile
+    // rule over (rounded nll, doc_id) per language.
+    "q200_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+         totals AS (SELECT sum(c) AS t_total, count(*) AS v FROM counts),
+         nll AS (SELECT doc_id,
+           round(avg(-ln(CAST(c + 1 AS DOUBLE) / CAST(t_total + v AS DOUBLE))), 6)
+             AS avg_nll
+           FROM toks JOIN counts USING (tok) CROSS JOIN totals
+           GROUP BY doc_id),
+         b AS (SELECT d.lang, nll.avg_nll,
+             ntile(3) OVER (PARTITION BY d.lang
+               ORDER BY nll.avg_nll, nll.doc_id) AS b
+           FROM nll JOIN documents d USING (doc_id))
+         SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(avg_nll), 6) AS mean_nll,
+           min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+         FROM b GROUP BY 1, 2""",
   )
 }
