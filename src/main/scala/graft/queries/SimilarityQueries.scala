@@ -447,6 +447,66 @@ private[graft] object SimilarityQueries extends QueryFamily {
         "dropped_without_earlier_neighbor" -> row.getLong(1).toDouble,
         "n_vectors" -> row.getLong(2).toDouble))
     }),
+
+    // ---- Rademacher random projection (q201): Johnson–Lindenstrauss
+    // dimensionality reduction with a HASH-DERIVED +-1 matrix — no RNG
+    // state, no materialized matrix, re-runs and appends bit-stable. Over
+    // the int8-quantized vectors (q77's contract) every projected
+    // coordinate is an INTEGER sum, so the twin replays it exactly; the
+    // norm-ratio column makes the JL norm-preservation property (E[|y|^2]
+    // = K * |q|^2) oracle-visible. Pure per-row codegen expressions — no
+    // shuffle, no explode, nothing leaves the scan. ---------------------
+    "q201_random_projection" -> ((s, dir) => {
+      val K = 16
+      val e = emb(s, dir).where(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qv"))
+      // sign(j,k) = 1 - 2 * bit16 of Knuth-hash(j*K + k): integer-exact,
+      // unbiased across (j,k) (an LCG's LOW bit would alternate with j)
+      def proj(k: Int): org.apache.spark.sql.Column =
+        aggregate(
+          zip_with(col("qv"), sequence(lit(0), size(col("qv")) - 1),
+            (q, j) => q * (lit(1L) - lit(2L) *
+              shiftright((lit(2654435761L) * (j.cast("long") * K + k)) % lit(4294967296L), 16)
+                .bitwiseAND(lit(1L)))),
+          lit(0L), (acc, x) => acc + x.cast("long"))
+      val projected = e.select(
+        (Seq(col("vec_id")) ++ (0 until 4).map(k => proj(k).as(s"y$k")) :+
+          (0 until K).map(k => proj(k) * proj(k)).reduce(_ + _).as("ynorm2") :+
+          aggregate(col("qv"), lit(0L),
+            (acc, x) => acc + (x * x).cast("long")).as("qnorm2")): _*)
+      projected.select(col("vec_id"), col("y0"), col("y1"), col("y2"), col("y3"),
+        col("ynorm2"), col("qnorm2"),
+        round(col("ynorm2").cast("double") /
+          (col("qnorm2").cast("double") * K), 4).as("norm_ratio"))
+    }),
+
+    // ---- mutual-kNN graph (q202): symmetric nearest-neighbor edges —
+    // a is kept iff a is in b's top-5 AND b is in a's top-5 (by quantized
+    // cosine, neighbor-id tie-break). The mutual filter is the standard
+    // noise-robust graph for clustering/manifold steps. Runs on a
+    // FIXED-COUNT 256-vector probe slice (bounded 256^2 integer-dot
+    // pairs at ANY corpus size — same discipline as q20); the corpus
+    // rung composes the same ranking with q192's IVF candidates. Output
+    // is the mutual-degree histogram. -----------------------------------
+    "q202_mutual_knn" -> ((s, dir) => {
+      val sub = emb(s, dir).where(col("vec_id") % 3 === 0)
+        .orderBy(col("vec_id")).limit(256)
+        .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("qv"))
+      val a = sub.select(col("vec_id").as("ida"), col("qv").as("qa"))
+      val b = sub.select(col("vec_id").as("idb"), col("qv").as("qb"))
+      val scored = a.join(broadcast(b), col("ida") =!= col("idb"))
+        .select(col("ida"), col("idb"),
+          round(Similarity.quantizedCosine(col("qa"), col("qb")), 6).as("qcos"))
+      val w = Window.partitionBy(col("ida"))
+        .orderBy(col("qcos").desc, col("idb"))
+      val knn = scored.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("ida"), col("idb"))
+      val mutual = knn.join(
+        knn.select(col("ida").as("idb"), col("idb").as("ida")),
+        Seq("ida", "idb"))
+      mutual.groupBy(col("ida")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -719,5 +779,55 @@ private[graft] object SimilarityQueries extends QueryFamily {
              ORDER BY cos_hn DESC, vec_id) AS rk FROM sc)
          SELECT anchor_id, vec_id, cos_hn, CAST(rk AS BIGINT) AS rk
          FROM r WHERE rk <= 3""",
+
+    // Random-projection twin: the q77 quantization, the same Knuth-hash
+    // sign matrix, the same integer sums (all list arithmetic on
+    // integer-valued doubles, cast back to BIGINT).
+    "q201_random_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 7 = 0),
+         q AS (SELECT vec_id,
+           list_transform(v, x -> round(x /
+             (greatest(list_max(list_transform(v, y -> abs(y))), 1e-300) / 127.0)))
+             AS qv
+           FROM e),
+         p AS (SELECT vec_id, qv,
+           list_transform(range(0, 16), k ->
+             list_sum(list_transform(range(1, len(qv) + 1), j ->
+               qv[j] * (1 - 2 * (((2654435761 * ((j-1)*16 + k)) % 4294967296 >> 16) & 1)))))
+             AS ys
+           FROM q)
+         SELECT vec_id,
+           CAST(ys[1] AS BIGINT) AS y0, CAST(ys[2] AS BIGINT) AS y1,
+           CAST(ys[3] AS BIGINT) AS y2, CAST(ys[4] AS BIGINT) AS y3,
+           CAST(list_sum(list_transform(ys, y -> y*y)) AS BIGINT) AS ynorm2,
+           CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS qnorm2,
+           round(list_sum(list_transform(ys, y -> y*y)) /
+             (list_sum(list_transform(qv, x -> x*x)) * 16), 4) AS norm_ratio
+         FROM p""",
+
+    // Mutual-kNN twin: identical fixed slice, quantized-cosine ranking,
+    // reverse-pair mutual filter, and degree histogram.
+    "q202_mutual_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 256),
+         q AS (SELECT vec_id,
+           list_transform(v, x -> round(x /
+             (greatest(list_max(list_transform(v, y -> abs(y))), 1e-300) / 127.0)))
+             AS qv
+           FROM e),
+         s AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+             round(list_dot_product(a.qv, b.qv) /
+               (sqrt(list_dot_product(a.qv, a.qv)) *
+                sqrt(list_dot_product(b.qv, b.qv))), 6) AS qcos
+           FROM q a JOIN q b ON a.vec_id != b.vec_id),
+         k AS (SELECT ida, idb FROM (SELECT ida, idb,
+             row_number() OVER (PARTITION BY ida ORDER BY qcos DESC, idb) AS rk
+           FROM s) WHERE rk <= 5),
+         m AS (SELECT k.ida, k.idb
+           FROM k JOIN k k2 ON k.ida = k2.idb AND k.idb = k2.ida),
+         d AS (SELECT ida, count(*) AS deg FROM m GROUP BY 1)
+         SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
+         FROM d GROUP BY 1""",
   )
 }
