@@ -227,6 +227,63 @@ private[graft] object MultimodalQueries extends QueryFamily {
         .select(col("doc_id"), col("frame_idx"),
           round(col("rms"), 6).as("rms"), col("zero_crossings"))
     }),
+
+    // ---- FFT spectral features (q203): encode a pure tone at an EXACT
+    // bin-center frequency (f = k * sr/N, k = 8 + doc_id % 100) as real
+    // PCM16 WAV, decode it back, and run a 256-point radix-2 FFT
+    // (util/Fft) per clip. The oracle gates the dominant one-sided bin
+    // (must equal the generating k), the peak magnitude against the
+    // closed-form N/2 * amplitude (ratio rounds to 1.0 — int16
+    // quantization perturbs it by < 2e-4), the next-peak leakage (rounds
+    // to 0.0 at a bin-centered tone), and the Parseval residual. One
+    // map-side transform per row; nothing shuffles but the result. ------
+    "q203_fft_spectral" -> ((s, dir) => {
+      val sr = 8000
+      val n = 256
+      val amp = 8000.0
+      val mk = udf { (docId: Long) =>
+        val k = (8 + docId % 100).toInt
+        val samples = Array.tabulate(n)(i =>
+          math.round(amp * math.sin(2.0 * math.Pi * k * i / n)).toShort)
+        graft.multimodal.WavCodec.encodePcm16(sr, 1, samples)
+      }
+      val spect = udf { (bytes: Array[Byte]) =>
+        graft.multimodal.WavCodec.decode(bytes).map { d =>
+          val x = d.samples.map(f => math.round(f * 32768.0f).toDouble)
+          val mags = graft.util.Fft.spectrum(x)
+          // dominant bin over k in [1, n/2] (skip DC), id-free argmax:
+          // strictly-greater keeps the lowest index on exact ties
+          var kBest = 1
+          var i = 2
+          while (i < mags.length) {
+            if (mags(i) > mags(kBest)) kBest = i
+            i += 1
+          }
+          var second = 0.0
+          i = 1
+          while (i < mags.length) {
+            if (i != kBest && mags(i) > second) second = mags(i)
+            i += 1
+          }
+          val sumsqTime = x.map(v => v * v).sum
+          val sumsqFreq = {
+            val re = x.clone(); val im = new Array[Double](x.length)
+            graft.util.Fft.fft(re, im)
+            re.indices.map(j => re(j) * re(j) + im(j) * im(j)).sum / x.length
+          }
+          (kBest.toLong, mags(kBest) / (x.length / 2 * amp),
+            second / mags(kBest),
+            math.abs(sumsqTime - sumsqFreq) / sumsqTime)
+        }.orNull
+      }
+      docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
+        .select(col("doc_id"), spect(col("payload"))
+          .cast("struct<bin: bigint, mag: double, second: double, pres: double>").as("d"))
+        .select(col("doc_id"), col("d.bin").as("dominant_bin"),
+          round(col("d.mag"), 2).as("mag_ratio"),
+          round(col("d.second"), 1).as("leak_ratio"),
+          round(col("d.pres"), 6).as("parseval_resid"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -341,5 +398,15 @@ private[graft] object MultimodalQueries extends QueryFamily {
            CAST(list_sum(list_transform(range(0, width * height),
              i -> (doc_id * 17 + i * 11) % 256)) AS BIGINT) AS px_sum
          FROM d""",
+
+    // FFT twin: a bin-centered tone's spectrum is closed-form — the
+    // dominant bin IS the generating k, the peak magnitude is N/2 * amp
+    // (ratio 1.0 at 2 dp under int16 quantization), leakage and the
+    // Parseval residual round to zero. The Spark side must reproduce
+    // these through the real WAV encode/decode + radix-2 transform.
+    "q203_fft_spectral" ->
+      """SELECT doc_id, CAST(8 + doc_id % 100 AS BIGINT) AS dominant_bin,
+           1.0 AS mag_ratio, 0.0 AS leak_ratio, 0.0 AS parseval_resid
+         FROM documents""",
   )
 }

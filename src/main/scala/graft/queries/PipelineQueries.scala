@@ -537,6 +537,38 @@ private[graft] object PipelineQueries extends QueryFamily {
       spans(shiftright(col("morton"), 11), "zorder")
         .unionByName(spans(shiftright(col("qx"), 3), "linear"))
     }),
+
+    // ---- SCD type-2 dimension build (q204): turn a customer's ordered
+    // status history (orders as the changelog) into versioned rows with
+    // [effective_from, effective_to) validity and an is_current flag —
+    // the warehouse-dimension primitive next to q184's latest-wins
+    // merge. Gaps-and-islands with two per-customer windows (one hash
+    // exchange): a change flag via lag, a running version id via sum,
+    // then lead over version starts for the closing edge. ---------------
+    "q204_scd2" -> ((s, dir) => {
+      val o = Trajectories.table(s, dir, "orders")
+        .select(col("o_custkey").as("cust"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("tsu"),
+          col("o_orderkey").as("okey"), col("o_orderstatus").as("status"))
+      val wOrd = Window.partitionBy("cust").orderBy(col("tsu"), col("okey"))
+      val flagged = o
+        .withColumn("chg",
+          when(lag(col("status"), 1).over(wOrd).isNull ||
+            lag(col("status"), 1).over(wOrd) =!= col("status"), 1L).otherwise(0L))
+        .withColumn("version", sum(col("chg")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val versions = flagged.groupBy(col("cust"), col("version"), col("status"))
+        .agg(min(col("tsu")).as("eff_from"))
+      val wVer = Window.partitionBy("cust").orderBy(col("version"))
+      versions
+        .withColumn("eff_to",
+          coalesce(lead(col("eff_from"), 1).over(wVer), lit(-1L)))
+        .withColumn("is_current",
+          when(col("eff_to") === -1L, 1L).otherwise(0L))
+        .where(col("cust") % 17 === 0)
+        .select(col("cust"), col("version"), col("status"),
+          col("eff_from"), col("eff_to"), col("is_current"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -866,5 +898,29 @@ private[graft] object PipelineQueries extends QueryFamily {
            CAST(sum(CASE WHEN min_qx <= 31 THEN 1 ELSE 0 END) AS BIGINT),
            CAST(sum(CASE WHEN min_qy <= 31 THEN 1 ELSE 0 END) AS BIGINT)
          FROM l""",
+
+    // SCD2 twin: the same change-flag / running-version / lead-close
+    // gaps-and-islands construction.
+    "q204_scd2" ->
+      """WITH o AS (SELECT o_custkey AS cust, epoch_us(o_orderdate) AS tsu,
+             o_orderkey AS okey, o_orderstatus AS status FROM orders),
+         f AS (SELECT cust, tsu, okey, status,
+             CASE WHEN lag(status) OVER w IS NULL
+                    OR lag(status) OVER w != status THEN 1 ELSE 0 END AS chg
+           FROM o WINDOW w AS (PARTITION BY cust ORDER BY tsu, okey)),
+         v AS (SELECT cust, tsu, status,
+             sum(chg) OVER (PARTITION BY cust ORDER BY tsu, okey
+               ROWS UNBOUNDED PRECEDING) AS version
+           FROM f),
+         g AS (SELECT cust, version, status, min(tsu) AS eff_from
+           FROM v GROUP BY 1, 2, 3),
+         c AS (SELECT cust, CAST(version AS BIGINT) AS version, status, eff_from,
+             coalesce(lead(eff_from) OVER (PARTITION BY cust ORDER BY version),
+               -1) AS eff_to
+           FROM g)
+         SELECT cust, version, status, CAST(eff_from AS BIGINT) AS eff_from,
+           CAST(eff_to AS BIGINT) AS eff_to,
+           CAST(CASE WHEN eff_to = -1 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         FROM c WHERE cust % 17 = 0""",
   )
 }

@@ -703,6 +703,34 @@ private[graft] object TextQueries extends QueryFamily {
           min(col("avg_nll")).as("min_nll"),
           max(col("avg_nll")).as("max_nll"))
     }),
+
+    // ---- dataset card (q205): the one-stop per-source summary a
+    // mixture designer reads before weighting — volume (docs/chars),
+    // exact-dup fraction (text fingerprints), mean quality score, and
+    // language entropy (nats). Two aggregations over one scan (the
+    // fingerprint distinct and the (source, lang) census) joined at
+    // model size. --------------------------------------------------------
+    "q205_dataset_card" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("lang"), col("n_chars"),
+        substring(md5(col("text")), 1, 16).as("fp"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      val base = d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("fp")).as("n_unique"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+        .withColumn("dup_frac",
+          round(lit(1.0) - col("n_unique").cast("double") / col("n_docs"), 6))
+      val ent = d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy("source")))
+        .groupBy(col("source"))
+        .agg(round(-sum((col("c").cast("double") / col("tot")) *
+          log(col("c").cast("double") / col("tot"))), 6).as("lang_entropy"))
+      base.join(ent, Seq("source"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("dup_frac"), col("avg_quality"), col("lang_entropy"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1327,5 +1355,35 @@ private[graft] object TextQueries extends QueryFamily {
            round(avg(avg_nll), 6) AS mean_nll,
            min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
          FROM b GROUP BY 1, 2""",
+
+    // Dataset-card twin: the q186 quality replay, md5 fingerprints, and
+    // the same entropy term structure.
+    "q205_dataset_card" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+           substr(md5(text), 1, 16) AS fp,
+           round(
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+             + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+                 / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
+             + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
+                 / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
+             , 6) AS quality
+           FROM documents),
+         base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             count(DISTINCT fp) AS n_unique,
+             round(avg(quality), 6) AS avg_quality
+           FROM d GROUP BY source),
+         lc AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+         lt AS (SELECT source, lang, c, sum(c) OVER (PARTITION BY source) AS tot
+           FROM lc),
+         ent AS (SELECT source,
+             round(-sum((CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot)), 6)
+               AS lang_entropy
+           FROM lt GROUP BY source)
+         SELECT base.source, n_docs, total_chars,
+           round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_frac,
+           avg_quality, lang_entropy
+         FROM base JOIN ent ON base.source = ent.source""",
   )
 }
