@@ -240,6 +240,56 @@ private[graft] object StreamingQueries extends QueryFamily {
       s.table(sink).select(col("doc_id"), col("fp"))
     }),
 
+    // ---- streaming dedup with TTL state (q206): q113's exactly-once
+    // gate upgraded to BOUNDED state via dropDuplicatesWithinWatermark —
+    // fingerprint state expires once the watermark passes its horizon,
+    // which is what makes a streaming dedup run FOREVER at 100 TB/day
+    // (q113's plain dropDuplicates state grows with corpus cardinality).
+    // Event time is synthesized at 1 s per doc with every clone landing
+    // 1 s after its original, so each duplicate arrives while the
+    // original's state is still live whatever the chunking (the watermark
+    // trails the clone's own event time by the full delay) — the emitted
+    // set must therefore STILL equal the batch min-id-per-fingerprint
+    // rule, and a premature state eviction breaks the hash. -------------
+    "q206_stream_dedup_ttl" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val orig = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)].collect()
+      val aug = orig ++ orig.filter(_._1 % 10 == 0)
+        .map { case (id, t) => (id + 1000000L, t) }
+      // base epoch offset: a row at event time 0 sits ON the initial
+      // watermark and is discarded as late before any state exists
+      val base = 1000000000000000L
+      val data = aug.map { case (id, t) =>
+        val tsu = base + (if (id >= 1000000L) (id - 1000000L) * 1000000L + 1000000L
+                          else id * 1000000L)
+        (id, tsu, t)
+      }.sortBy(r => (r._2, r._1))
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "tsu", "text")
+        .withColumn("ts", timestamp_micros(col("tsu")))
+        .withWatermark("ts", "2000 seconds")
+      val dd = graft.streaming.Streaming.streamingDedup(stream, withinWatermark = true)
+      val sink = "q206_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = dd.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        data.grouped(math.max(1, data.length / 4 + 1)).foreach { chunk =>
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          val batch = chunk.filter { case (_, _, text) =>
+            val k = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+            seen.add(k.stripPrefix(" ").stripSuffix(" "))
+          }
+          if (batch.nonEmpty) mem.addData(batch.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink).select(col("doc_id"), col("fp"))
+    }),
+
     // ---- streaming session windows under the oracle gate (q111): the
     // session_window + watermark path (streaming/Streaming.scala) run as
     // a REAL append-mode StreamingQuery over event-time-ordered chunks,
@@ -526,6 +576,20 @@ private[graft] object StreamingQueries extends QueryFamily {
     // over the SAME clone-augmented corpus (doc_id-ordered feed makes
     // the streaming first-occurrence = the global minimum).
     "q113_streaming_dedup" ->
+      """WITH aug AS (SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+         f AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM aug)
+         SELECT doc_id, fp FROM
+           (SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS mid FROM f)
+         WHERE doc_id = mid""",
+
+    // TTL-dedup twin: identical to q113's — every duplicate arrives
+    // inside the original's state window, so bounded state must not
+    // change the answer.
+    "q206_stream_dedup_ttl" ->
       """WITH aug AS (SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),

@@ -731,6 +731,43 @@ private[graft] object TextQueries extends QueryFamily {
         .select(col("source"), col("n_docs"), col("total_chars"),
           col("dup_frac"), col("avg_quality"), col("lang_entropy"))
     }),
+
+    // ---- URL canonicalization dedup (q207): the crawl-frontier rung —
+    // mixed-case hosts, tracking params (utm_*/ref), trailing slashes
+    // and fragments all collapse to one canonical form before dedup
+    // (lowercased scheme+host, fragment stripped, tracking params
+    // dropped, surviving params sorted, trailing slash removed). URLs
+    // are synthesized deterministically from doc_id so every variant
+    // class is exercised at every SF; the whole chain is codegen string
+    // ops at the scan, and only (source, canonical) pairs aggregate. ----
+    "q207_url_canonical" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/Page/"),
+          (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&utm_campaign=c"),
+          (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("&ref=mail")).otherwise(lit("")),
+          lit("#sec"), (col("doc_id") % 7).cast("string")).as("url"))
+      val noFrag = regexp_replace(col("url"), "#.*$", "")
+      val basePart = regexp_replace(noFrag, "\\?.*$", "")
+      val queryPart = when(noFrag.contains("?"),
+        regexp_replace(noFrag, "^[^?]*\\?", "")).otherwise(lit(""))
+      val keptParams = array_join(array_sort(filter(
+        split(queryPart, "&"),
+        p => !(p.rlike("^(utm_[a-z]+|ref)=") || p === ""))), "&")
+      val schemeHost = lower(regexp_extract(basePart, "^[^/]*//[^/]*", 0))
+      val path = regexp_replace(
+        regexp_replace(basePart, "^[^/]*//[^/]*", ""), "/$", "")
+      val canonical = concat(schemeHost, path,
+        when(keptParams === "", lit("")).otherwise(concat(lit("?"), keptParams)))
+      d.withColumn("canonical", canonical)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canonical")).as("n_canonical"))
+        .withColumn("dup_frac", round(lit(1.0) -
+          col("n_canonical").cast("double") / col("n_urls"), 6))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1385,5 +1422,38 @@ private[graft] object TextQueries extends QueryFamily {
            round(1.0 - CAST(n_unique AS DOUBLE) / n_docs, 6) AS dup_frac,
            avg_quality, lang_entropy
          FROM base JOIN ent ON base.source = ent.source""",
+
+    // URL-canonicalization twin: the same synthetic construction and
+    // the same strip/filter/sort/reassemble chain in list form.
+    "q207_url_canonical" ->
+      """WITH u AS (SELECT doc_id, source,
+           'HTTPS://WWW.' || source || '.Example.COM/Page/' ||
+           CAST(doc_id % 50 AS VARCHAR) ||
+           CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+           '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 5 AS VARCHAR) ||
+           CASE WHEN doc_id % 2 = 0 THEN '&ref=mail' ELSE '' END ||
+           '#sec' || CAST(doc_id % 7 AS VARCHAR) AS url
+           FROM documents),
+         c AS (SELECT doc_id, source,
+           regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '') AS base_part,
+           CASE WHEN contains(regexp_replace(url, '#.*$', ''), '?')
+             THEN regexp_replace(regexp_replace(url, '#.*$', ''), '^[^?]*\?', '')
+             ELSE '' END AS query_part
+           FROM u),
+         k AS (SELECT doc_id, source, base_part,
+           coalesce(array_to_string(list_sort(list_filter(str_split(query_part, '&'),
+             p -> NOT (regexp_matches(p, '^(utm_[a-z]+|ref)=') OR p = ''))), '&'), '')
+             AS kept
+           FROM c),
+         canon AS (SELECT source,
+           lower(regexp_extract(base_part, '^[^/]*//[^/]*', 0)) ||
+           regexp_replace(regexp_replace(base_part, '^[^/]*//[^/]*', ''), '/$', '') ||
+           CASE WHEN kept = '' THEN '' ELSE '?' || kept END AS canonical
+           FROM k)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+           count(DISTINCT canonical) AS n_canonical,
+           round(1.0 - CAST(count(DISTINCT canonical) AS DOUBLE) / count(*), 6)
+             AS dup_frac
+         FROM canon GROUP BY source""",
   )
 }
