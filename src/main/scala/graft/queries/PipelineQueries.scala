@@ -100,7 +100,11 @@ private[graft] object PipelineQueries extends QueryFamily {
         .where(col("g.keep") === 1).drop("g")
       val withFp = gated.withColumn("fp", TextFunctions.fingerprint(col("text")))
       val minIds = withFp.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      // both downstream consumers (LM scoring and the sample->pack leg)
+      // read the deduped frame: materialize the regex-heavy gate+dedup
+      // once instead of deriving it per consumer
       val deduped = withFp.join(minIds, Seq("fp", "doc_id"), "left_semi")
+        .localCheckpoint()
       val scored = Scoring.unigramNll(deduped).select(col("doc_id"), col("avg_nll"))
       val ratePpm = (lit(100000L) + lit(50000L) *
         (expr("CAST(substr(source, 4) AS INT)") % 10)).cast("long")

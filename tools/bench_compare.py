@@ -73,6 +73,17 @@ BASELINES = {
     # round-7 fourth batch first-appearance (quiet full sweep)
     "q182": 0.747, "q183": 0.814, "q184": 0.333, "q185": 0.424,
     "q186": 0.378, "q187": 0.338, "q188": 0.199, "q189": 0.231,
+    # round-7 fifth batch first-appearance (quiet full sweep, 207-query
+    # surface): PCA/corr (q190/q191), IVF+PQ (q192), JSONL/CSV/ORC
+    # sources (q193/q194/q197), late-drop + global index (q195/q196),
+    # z-order (q198), A/B z-test (q199), CCNet buckets (q200), random
+    # projection (q201), mutual-kNN (q202), FFT (q203), SCD2 (q204),
+    # dataset card (q205), TTL streaming dedup (q206), URL canon (q207)
+    "q190": 0.429, "q191": 0.268, "q192": 3.701, "q193": 0.421,
+    "q194": 0.437, "q195": 3.788, "q196": 0.563, "q197": 0.459,
+    "q198": 0.296, "q199": 0.161, "q200": 0.993, "q201": 0.247,
+    "q202": 1.492, "q203": 0.134, "q204": 0.301, "q205": 0.402,
+    "q206": 2.346, "q207": 0.314,
 }
 
 
