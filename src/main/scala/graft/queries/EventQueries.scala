@@ -430,6 +430,52 @@ private[graft] object EventQueries extends QueryFamily {
                   (col("n_a") + col("n_b"))) *
               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z_stat"))
     }),
+
+    // ---- per-entity EWMA (q208): exponentially weighted moving average
+    // over each user's value series (alpha = 1/2 — an exact binary
+    // scale, so every fold step is reproducible bit-for-bit), seeded at
+    // the first observation: y_1 = x_1, y_i = x_i/2 + y_{i-1}/2. The
+    // recursion runs as an ordered in-group fold (collect the per-user
+    // series, fold left) — one hash exchange, O(series) state, the same
+    // shape DuckDB's list_reduce replays exactly. A NaN sentinel seeds
+    // the fold (NaN never occurs in the data). --------------------------
+    "q208_ewma" -> ((s, dir) => {
+      val series = Trajectories.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("value")))).as("sv"))
+        .withColumn("xs", transform(col("sv"), r => r.getField("value")))
+      series.select(col("user_id"),
+          size(col("xs")).cast("long").as("n_events"),
+          round(aggregate(col("xs"), lit(Double.NaN),
+            (acc, x) => when(isnan(acc), x)
+              .otherwise(x * lit(0.5) + acc * lit(0.5))), 6).as("ewma"))
+    }),
+
+    // ---- rolling z-score anomalies (q209): per user, each value scored
+    // against its strictly-prior trailing-9 window (mean/variance from
+    // explicit sum/sumsq over the same ordered frame both engines
+    // evaluate); |z| rounded at 3 dp, flagged above 2. The monitoring
+    // rung of the q114 feature family — one hash exchange, O(window)
+    // frame state, flags aggregate per user. ----------------------------
+    "q209_rolling_zscore" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, -1)
+      val scored = Trajectories.events(s, dir)
+        .withColumn("n", count(col("value")).over(w).cast("double"))
+        .withColumn("s1", sum(col("value")).over(w))
+        .withColumn("s2", sum(col("value") * col("value")).over(w))
+        .where(col("n") >= 5)
+        .withColumn("variance",
+          (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1.0))
+        .withColumn("z", when(col("variance") > 0.0,
+          round(abs(col("value") - col("s1") / col("n")) / sqrt(col("variance")), 3))
+          .otherwise(lit(0.0)))
+      scored.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(col("z") > 2.0, 1L).otherwise(0L)).as("n_anomalies"),
+          max(col("z")).as("max_z"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -704,5 +750,42 @@ private[graft] object EventQueries extends QueryFamily {
                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
                * (1.0 / n_a + 1.0 / n_b)), 6) AS z_stat
          FROM a""",
+
+    // EWMA twin: DuckDB's list_reduce seeds at the first element —
+    // exactly the y_1 = x_1 contract — and alpha = 1/2 keeps every step
+    // an exact binary operation.
+    "q208_ewma" ->
+      """WITH d AS (SELECT user_id, value,
+             epoch_us(ts) AS tsu, event_id FROM events),
+         g AS (SELECT user_id,
+             list(value ORDER BY tsu, event_id) AS xs
+           FROM d GROUP BY user_id)
+         SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+           round(list_reduce(xs, (acc, x) -> x * 0.5 + acc * 0.5), 6) AS ewma
+         FROM g""",
+
+    // Rolling-zscore twin: identical strictly-prior frame, identical
+    // sum/sumsq variance formula and 3 dp rounding before the flag.
+    "q209_rolling_zscore" ->
+      """WITH d AS (SELECT user_id, value, epoch_us(ts) AS tsu, event_id
+           FROM events),
+         f AS (SELECT user_id, value,
+             CAST(count(value) OVER w AS DOUBLE) AS n,
+             sum(value) OVER w AS s1,
+             sum(value * value) OVER w AS s2
+           FROM d
+           WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT user_id,
+             CASE WHEN (s2 - s1 * s1 / n) / (n - 1.0) > 0.0
+               THEN round(abs(value - s1 / n) /
+                 sqrt((s2 - s1 * s1 / n) / (n - 1.0)), 3)
+               ELSE 0.0 END AS z
+           FROM f WHERE n >= 5)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalies,
+           max(z) AS max_z
+         FROM z GROUP BY user_id""",
   )
 }

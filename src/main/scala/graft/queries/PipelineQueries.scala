@@ -573,6 +573,32 @@ private[graft] object PipelineQueries extends QueryFamily {
         .select(col("cust"), col("version"), col("status"),
           col("eff_from"), col("eff_to"), col("is_current"))
     }),
+
+    // ---- partition backfill (q211): the lake correction primitive —
+    // events land partitioned by day; one day is later re-written with
+    // corrected values (value doubled) under DYNAMIC partition
+    // overwrite, which replaces ONLY the partitions present in the new
+    // write (static overwrite would wipe the whole table; per-partition
+    // idempotent re-writes are how a 100 TB pipeline backfills). The
+    // read-back aggregate proves exactly one day changed. ---------------
+    "q211_backfill" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts div 86400000000000").as("day"))
+      val path = graft.sources.Sinks.scratchPath("q211_backfill", dir)
+      ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("day").parquet(path)
+      val fixDay = 19725L  // 2024-01-03, present at every SF
+      val corrected = ev.where(col("day") === fixDay)
+        .withColumn("value", col("value") * 2.0)
+      corrected.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(path)
+      // partition-column values read back type-inferred as INT
+      s.read.parquet(path)
+        .groupBy(col("day").cast("long").as("day"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -926,5 +952,15 @@ private[graft] object PipelineQueries extends QueryFamily {
            CAST(eff_to AS BIGINT) AS eff_to,
            CAST(CASE WHEN eff_to = -1 THEN 1 ELSE 0 END AS BIGINT) AS is_current
          FROM c WHERE cust % 17 = 0""",
+
+    // Backfill twin: one day's values doubled, everything else intact.
+    "q211_backfill" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day,
+             CASE WHEN epoch_us(ts) // 86400000000 = 19725
+               THEN value * 2.0 ELSE value END AS value
+           FROM events)
+         SELECT CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS avg_value
+         FROM d GROUP BY 1""",
   )
 }

@@ -67,6 +67,44 @@ private[graft] object StreamingQueries extends QueryFamily {
       s.table(sink).select(col("s0"), col("s1"), col("cnt").cast("long").as("cnt"))
     }),
 
+    // ---- checkpoint-recovery exactly-once (q210): q102's streaming
+    // count matrix run across a PLANNED STOP AND RESTART — two chunks
+    // feed query #1, it stops, a NEW query resumes from the same
+    // checkpointLocation and feeds the rest. The lag-pair buffers and
+    // aggregation state must come back from the state-store checkpoint,
+    // and the re-planned query must not re-count committed offsets: the
+    // final matrix must STILL equal the batch twin. This is the property
+    // that makes a 100 TB streaming job survive deploys — recovery is
+    // exactly-once, not at-least-once. ----------------------------------
+    "q210_stream_restart" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val data = dtrajEv(s, dir).as[(Long, Long, Int)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Int)]
+      val stream = mem.toDF().toDF("traj_id", "t", "state")
+      val counts = graft.streaming.Streaming.streamingCountMatrix(stream, tau = 1)
+      val sink = "q210_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val ckpt = java.nio.file.Files.createTempDirectory("q210_ckpt").toString
+      def start() = counts.writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").start()
+      val tmax = data.iterator.map(_._2).max
+      def feed(query: org.apache.spark.sql.streaming.StreamingQuery, k: Int): Unit = {
+        val lo = (tmax + 1) * k / 4
+        val hi = (tmax + 1) * (k + 1) / 4
+        val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
+        if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
+        query.processAllAvailable()
+      }
+      val q1 = start()
+      try { feed(q1, 0); feed(q1, 1) } finally q1.stop()
+      val q2 = start()
+      try { feed(q2, 2); feed(q2, 3) } finally q2.stop()
+      s.table(sink).select(col("s0"), col("s1"), col("cnt").cast("long").as("cnt"))
+    }),
+
     // ---- watermarked stream-stream join under the ORACLE gate (q163):
     // the attribution join (purchase within 1 h after a click, same
     // user) as a REAL inner stream-stream join — both sides watermarked,
@@ -565,6 +603,16 @@ private[graft] object StreamingQueries extends QueryFamily {
     // Streaming-counts twin: the streaming query's final state must equal
     // the batch sliding count matrix (same SQL as q05's twin).
     "q102_streaming_counts" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM d)
+          SELECT s0, s1, count(*) AS cnt FROM p
+          WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY s0, s1""",
+
+    // Restart twin: recovery must not change the answer — identical to
+    // the q102 batch formulation.
+    "q210_stream_restart" ->
       s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
             ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
           p AS (SELECT state AS s0,

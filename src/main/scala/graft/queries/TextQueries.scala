@@ -768,6 +768,18 @@ private[graft] object TextQueries extends QueryFamily {
         .withColumn("dup_frac", round(lit(1.0) -
           col("n_canonical").cast("double") / col("n_urls"), 6))
     }),
+
+    // ---- cube report (q212): the full (source x lang) cross-
+    // classification in ONE pass — cube() adds the per-lang slice q175's
+    // rollup lacks; Spark plans a single Expand + aggregation (4 grouping
+    // sets), the 100 TB answer to running the report four times. --------
+    "q212_cube_report" -> ((s, dir) =>
+      docs(s, dir).cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(coalesce(col("source"), lit("(all)")).as("source"),
+          coalesce(col("lang"), lit("(all)")).as("lang"),
+          col("n_docs"), col("total_chars"))),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1455,5 +1467,13 @@ private[graft] object TextQueries extends QueryFamily {
            round(1.0 - CAST(count(DISTINCT canonical) AS DOUBLE) / count(*), 6)
              AS dup_frac
          FROM canon GROUP BY source""",
+
+    // Cube twin: GROUP BY CUBE over the same two dimensions.
+    "q212_cube_report" ->
+      """SELECT coalesce(source, '(all)') AS source,
+           coalesce(lang, '(all)') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY CUBE (source, lang)""",
   )
 }
