@@ -599,6 +599,28 @@ private[graft] object PipelineQueries extends QueryFamily {
         .groupBy(col("day").cast("long").as("day"))
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
     }),
+
+    // ---- partition-pruning proof (q214): a day-filtered scan over a
+    // hive-partitioned layout must touch ONE day=... directory — the
+    // n_day_dirs column counts the distinct partition directories the
+    // executed scan actually read (via input_file_name), so a broken
+    // pruning path (filter not reaching the scan, wrong partition
+    // schema) turns 1 into 30 and breaks the hash. total_days anchors
+    // the full layout width. --------------------------------------------
+    "q214_partition_pruning" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("event_id"), col("value"),
+          expr("ts div 86400000000000").as("day"))
+      val path = graft.sources.Sinks.scratchPath("q214_prune", dir)
+      ev.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("day").parquet(path)
+      val pruned = s.read.parquet(path).where(col("day") === 19725)
+        .select(col("event_id"),
+          regexp_extract(input_file_name(), "day=\\d+", 0).as("pdir"))
+      pruned.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("pdir")).as("n_day_dirs"))
+        .crossJoin(ev.agg(countDistinct(col("day")).as("total_days")))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -962,5 +984,14 @@ private[graft] object PipelineQueries extends QueryFamily {
          SELECT CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n,
            round(avg(value), 6) AS avg_value
          FROM d GROUP BY 1""",
+
+    // Pruning twin: the filtered-day row count, the single-directory
+    // invariant, and the layout width.
+    "q214_partition_pruning" ->
+      """SELECT (SELECT CAST(count(*) AS BIGINT) FROM events
+             WHERE epoch_us(ts) // 86400000000 = 19725) AS n_rows,
+           CAST(1 AS BIGINT) AS n_day_dirs,
+           (SELECT count(DISTINCT epoch_us(ts) // 86400000000) FROM events)
+             AS total_days""",
   )
 }

@@ -507,6 +507,40 @@ private[graft] object SimilarityQueries extends QueryFamily {
       mutual.groupBy(col("ida")).agg(count(lit(1)).as("deg"))
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
     }),
+
+    // ---- kNN classification eval (q213): leave-one-out 5-NN majority
+    // vote over the labeled embeddings (q202's fixed 256-vector slice
+    // and quantized-cosine ranking; majority tie-break = smallest
+    // label) scored against the true labels — the eval rung that tells
+    // a curation pipeline whether its embedding space separates classes
+    // at all. Output: per-class n / correct / accuracy. -----------------
+    "q213_knn_classify" -> ((s, dir) => {
+      val sub = emb(s, dir).where(col("vec_id") % 3 === 0)
+        .orderBy(col("vec_id")).limit(256)
+        .select(col("vec_id"), col("label"),
+          Similarity.quantizeInt8(col("embedding")).as("qv"))
+      val a = sub.select(col("vec_id").as("ida"), col("label").as("la"), col("qv").as("qa"))
+      val b = sub.select(col("vec_id").as("idb"), col("label").as("lb"), col("qv").as("qb"))
+      val scored = a.join(broadcast(b), col("ida") =!= col("idb"))
+        .select(col("ida"), col("la"), col("idb"), col("lb"),
+          round(Similarity.quantizedCosine(col("qa"), col("qb")), 6).as("qcos"))
+      val wTop = Window.partitionBy(col("ida"))
+        .orderBy(col("qcos").desc, col("idb"))
+      val votes = scored.withColumn("rk", row_number().over(wTop))
+        .where(col("rk") <= 5)
+        .groupBy(col("ida"), col("la"), col("lb"))
+        .agg(count(lit(1)).as("v"))
+      val wVote = Window.partitionBy(col("ida"))
+        .orderBy(col("v").desc, col("lb"))
+      val pred = votes.withColumn("vr", row_number().over(wVote))
+        .where(col("vr") === 1)
+        .select(col("ida"), col("la"), col("lb").as("pred"))
+      pred.groupBy(col("la").as("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred") === col("la"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n"), 6))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -829,5 +863,35 @@ private[graft] object SimilarityQueries extends QueryFamily {
          d AS (SELECT ida, count(*) AS deg FROM m GROUP BY 1)
          SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
          FROM d GROUP BY 1""",
+
+    // kNN-eval twin: the q202 ranking with labels, majority vote with
+    // the same (count desc, label asc) tie rule, per-class accuracy.
+    "q213_knn_classify" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id % 3 = 0 ORDER BY vec_id LIMIT 256),
+         q AS (SELECT vec_id, label,
+           list_transform(v, x -> round(x /
+             (greatest(list_max(list_transform(v, y -> abs(y))), 1e-300) / 127.0)))
+             AS qv
+           FROM e),
+         s AS (SELECT a.vec_id AS ida, a.label AS la,
+             b.vec_id AS idb, b.label AS lb,
+             round(list_dot_product(a.qv, b.qv) /
+               (sqrt(list_dot_product(a.qv, a.qv)) *
+                sqrt(list_dot_product(b.qv, b.qv))), 6) AS qcos
+           FROM q a JOIN q b ON a.vec_id != b.vec_id),
+         k AS (SELECT ida, la, lb FROM (SELECT ida, la, lb,
+             row_number() OVER (PARTITION BY ida ORDER BY qcos DESC, idb) AS rk
+           FROM s) WHERE rk <= 5),
+         votes AS (SELECT ida, la, lb, count(*) AS v FROM k GROUP BY 1, 2, 3),
+         pred AS (SELECT ida, la, lb AS pred FROM (SELECT ida, la, lb,
+             row_number() OVER (PARTITION BY ida ORDER BY v DESC, lb) AS vr
+           FROM votes) WHERE vr = 1)
+         SELECT la AS label, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN pred = la THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(CAST(sum(CASE WHEN pred = la THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS accuracy
+         FROM pred GROUP BY la""",
   )
 }
