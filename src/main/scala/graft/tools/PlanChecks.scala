@@ -64,6 +64,19 @@ object PlanChecks {
       ("region filter pushed to the region scan",
         _.contains("EqualTo(r_name,ASIA)")),
       ("no cartesian", !_.contains("CartesianProduct")))
+    check("q201_random_projection")(
+      ("no exchange at all — projection stays at the scan",
+        p => !p.contains("Exchange")),
+      ("no cartesian", !_.contains("CartesianProduct")))
+    check("q213_knn_classify")(
+      ("probe slice broadcast (bounded nested loop by construction)",
+        _.contains("BroadcastNestedLoop")),
+      ("no cartesian", !_.contains("CartesianProduct")))
+    check("q214_partition_pruning")(
+      ("day filter reaches the scan as a partition filter",
+        p => p.contains("PartitionFilters") && p.contains("day#") &&
+          p.contains("19725")),
+      ("no cartesian", !_.contains("CartesianProduct")))
     // q165's registered query returns the battery frame, so audit the
     // ANN plan itself: the shortlist rank filter must push map-side
     locally {
