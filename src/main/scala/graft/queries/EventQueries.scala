@@ -476,6 +476,59 @@ private[graft] object EventQueries extends QueryFamily {
           sum(when(col("z") > 2.0, 1L).otherwise(0L)).as("n_anomalies"),
           max(col("z")).as("max_z"))
     }),
+
+    // ---- basket lift (q216): market-basket co-occurrence over
+    // (user, day) baskets of event types — for each unordered type pair,
+    // support and lift = P(ab) / (P(a) P(b)), the association measure
+    // behind "users who X also Y". Baskets from one distinct pass; the
+    // pair join fans out within basket only (<= 5 types); margins are
+    // model-sized and broadcast. -----------------------------------------
+    "q216_basket_lift" -> ((s, dir) => {
+      val baskets = Trajectories.events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"),
+          col("event_type")).distinct()
+      val nB = baskets.select(col("user_id"), col("day")).distinct().count()
+      val margins = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
+      val a = baskets.select(col("user_id"), col("day"), col("event_type").as("ta"))
+      val b = baskets.select(col("user_id"), col("day"), col("event_type").as("tb"))
+      a.join(b, Seq("user_id", "day")).where(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("supp"))
+        .join(broadcast(margins.select(col("event_type").as("ta"), col("m").as("ma"))), Seq("ta"))
+        .join(broadcast(margins.select(col("event_type").as("tb"), col("m").as("mb"))), Seq("tb"))
+        .select(col("ta"), col("tb"), col("supp"),
+          round((col("supp").cast("double") / nB) /
+            ((col("ma").cast("double") / nB) * (col("mb").cast("double") / nB)),
+            6).as("lift"))
+    }),
+
+    // ---- as-of join with tolerance (q217): q108's point-in-time
+    // backward match REJECTED when staler than 2 h — the feature-store
+    // contract ("use the latest reading unless it has gone stale"). Same
+    // single-exchange union-tag core; the tolerance is a post-filter on
+    // the matched gap, checked against DuckDB's native ASOF join with
+    // the same staleness cut. -------------------------------------------
+    "q217_asof_tolerance" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+      // dedup quotes per (user, time) keeping max value — DuckDB's ASOF
+      // picks arbitrarily among equal-time matches (q108 discipline)
+      val qw = Window.partitionBy("user_id", "tsu").orderBy(col("value").desc)
+      val quotes = ev.where(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"), col("value"))
+        .withColumn("rn", row_number().over(qw)).where(col("rn") === 1)
+        .select(col("user_id"), col("tsu"), col("value").as("quote_value"),
+          col("tsu").as("quote_tsu"))
+      val trades = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts div 1000").as("tsu"), col("event_id"))
+      Joins.asofJoinStrict(trades, quotes, key = "user_id",
+          leftTime = "tsu", rightTime = "tsu")
+        .withColumn("stale_us", col("tsu") - col("__match.quote_tsu"))
+        .withColumn("fresh",
+          col("__match").isNotNull && col("stale_us") <= 7200000000L)
+        .select(col("user_id"), col("event_id"), col("tsu"),
+          when(col("fresh"), round(col("__match.quote_value"), 6))
+            .as("quote_value"),
+          when(col("fresh"), col("stale_us")).as("staleness_us"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -787,5 +840,43 @@ private[graft] object EventQueries extends QueryFamily {
              AS n_anomalies,
            max(z) AS max_z
          FROM z GROUP BY user_id""",
+
+    // Basket-lift twin: identical (user, day) baskets, pair supports,
+    // margins, and the same lift term structure.
+    "q216_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+         nb AS (SELECT count(*) AS n FROM
+           (SELECT DISTINCT user_id, day FROM b)),
+         m AS (SELECT event_type, count(*) AS m FROM b GROUP BY 1),
+         p AS (SELECT a.event_type AS ta, c.event_type AS tb,
+             count(*) AS supp
+           FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+           WHERE a.event_type < c.event_type GROUP BY 1, 2)
+         SELECT tb, ta, CAST(supp AS BIGINT) AS supp,
+           round((CAST(supp AS DOUBLE) / nb.n) /
+             ((CAST(ma.m AS DOUBLE) / nb.n) * (CAST(mb.m AS DOUBLE) / nb.n)), 6)
+             AS lift
+         FROM p
+         JOIN m ma ON p.ta = ma.event_type
+         JOIN m mb ON p.tb = mb.event_type
+         CROSS JOIN nb""",
+
+    // Tolerance-asof twin: DuckDB's native ASOF with the same staleness
+    // cut and equal-time dedup.
+    "q217_asof_tolerance" ->
+      """WITH q0 AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events
+           WHERE event_type = 'view'
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts)
+             ORDER BY value DESC) = 1),
+         t AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+           WHERE event_type = 'purchase')
+         SELECT t.user_id, t.event_id, CAST(t.tsu AS BIGINT) AS tsu,
+           CASE WHEN q0.tsu IS NOT NULL AND t.tsu - q0.tsu <= 7200000000
+             THEN round(q0.value, 6) END AS quote_value,
+           CASE WHEN q0.tsu IS NOT NULL AND t.tsu - q0.tsu <= 7200000000
+             THEN CAST(t.tsu - q0.tsu AS BIGINT) END AS staleness_us
+         FROM t ASOF LEFT JOIN q0
+           ON t.user_id = q0.user_id AND t.tsu > q0.tsu""",
   )
 }

@@ -621,6 +621,35 @@ private[graft] object PipelineQueries extends QueryFamily {
           countDistinct(col("pdir")).as("n_day_dirs"))
         .crossJoin(ev.agg(countDistinct(col("day")).as("total_days")))
     }),
+
+    // ---- runtime bloom-filter join (q215): the semi-join reduction a
+    // 100 TB fact-dim join lives on — joining lineitem to a SELECTIVE
+    // slice of orders (1 of 5 priorities), Spark's runtime row-level
+    // filter injects a bloom filter built from the dim keys into the
+    // fact scan, so most fact rows drop BEFORE the shuffle. A dedicated
+    // session pins the feature on with thresholds the test corpus
+    // clears; the aggregate is filter-invariant (the bloom only
+    // prefilters, the join re-checks). ----------------------------------
+    "q215_runtime_filter" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // the test dim fits a broadcast, which would subsume the runtime
+      // filter — disable it to exercise the shuffle-join path this rung
+      // exists for (a 100 TB dim side does not broadcast; q182 is the
+      // broadcast rung)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Trajectories.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val dim = Trajectories.table(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      li.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 6).as("sum_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -993,5 +1022,13 @@ private[graft] object PipelineQueries extends QueryFamily {
            CAST(1 AS BIGINT) AS n_day_dirs,
            (SELECT count(DISTINCT epoch_us(ts) // 86400000000) FROM events)
              AS total_days""",
+
+    // Runtime-filter twin: the bloom prefilter must not change the join.
+    "q215_runtime_filter" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 6) AS sum_qty,
+           round(avg(l_extendedprice), 6) AS avg_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'""",
   )
 }

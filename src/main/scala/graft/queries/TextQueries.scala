@@ -780,6 +780,29 @@ private[graft] object TextQueries extends QueryFamily {
         .select(coalesce(col("source"), lit("(all)")).as("source"),
           coalesce(col("lang"), lit("(all)")).as("lang"),
           col("n_docs"), col("total_chars"))),
+
+    // ---- bitmap rollup (q218): slot-membership bitmaps as the
+    // mergeable distinct structure — per source, OR together one-hot
+    // masks of doc_id mod 60; the popcount equals the exact distinct
+    // slot count, and the '(all)' row re-aggregates the PER-SOURCE
+    // bitmaps (OR is associative), the keep-per-shard-bitmaps-and-merge
+    // identity the q125 HLL family proves for sketches, here exact. -----
+    "q218_bitmap_rollup" -> ((s, dir) => {
+      val perSource = docs(s, dir)
+        .withColumn("mask",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"))
+        .groupBy(col("source"))
+        .agg(expr("bit_or(mask)").as("bitmap"),
+          countDistinct(expr("doc_id % 60")).as("exact_slots"))
+        .withColumn("n_slots", expr("bit_count(bitmap)").cast("long"))
+      val allRow = perSource.agg(expr("bit_or(bitmap)").as("bitmap"))
+        .crossJoin(docs(s, dir).agg(
+          countDistinct(expr("doc_id % 60")).as("exact_slots")))
+        .select(lit("(all)").as("source"), col("bitmap"), col("exact_slots"),
+          expr("bit_count(bitmap)").cast("long").as("n_slots"))
+      perSource.select(col("source"), col("bitmap"), col("exact_slots"),
+        col("n_slots")).unionByName(allRow)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1475,5 +1498,23 @@ private[graft] object TextQueries extends QueryFamily {
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY CUBE (source, lang)""",
+
+    // Bitmap twin: the same one-hot masks, per-source OR, popcount, and
+    // re-aggregated global row.
+    "q218_bitmap_rollup" ->
+      """WITH m AS (SELECT source,
+             (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT)) AS mask,
+             doc_id % 60 AS slot
+           FROM documents),
+         ps AS (SELECT source, bit_or(mask) AS bitmap,
+             count(DISTINCT slot) AS exact_slots
+           FROM m GROUP BY source)
+         SELECT source, bitmap, exact_slots,
+           CAST(bit_count(bitmap) AS BIGINT) AS n_slots FROM ps
+         UNION ALL
+         SELECT '(all)', bit_or(bitmap),
+           (SELECT count(DISTINCT slot) FROM m),
+           CAST(bit_count(bit_or(bitmap)) AS BIGINT)
+         FROM ps""",
   )
 }

@@ -72,6 +72,11 @@ object PlanChecks {
       ("probe slice broadcast (bounded nested loop by construction)",
         _.contains("BroadcastNestedLoop")),
       ("no cartesian", !_.contains("CartesianProduct")))
+    check("q215_runtime_filter")(
+      ("runtime bloom filter injected into the fact scan",
+        _.contains("might_contain")),
+      ("shuffle join path exercised", p =>
+        p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")))
     check("q214_partition_pruning")(
       ("day filter reaches the scan as a partition filter",
         p => p.contains("PartitionFilters") && p.contains("day#") &&
