@@ -529,6 +529,25 @@ private[graft] object EventQueries extends QueryFamily {
             .as("quote_value"),
           when(col("fresh"), col("stale_us")).as("staleness_us"))
     }),
+
+    // ---- activity streaks (q219): longest run of CONSECUTIVE active
+    // days per user — the engagement metric gaps-and-islands answers
+    // without a self-join: day - row_number() is constant within a
+    // consecutive run, so one distinct pass + one per-user window + one
+    // grouped max finds every streak. ------------------------------------
+    "q219_activity_streaks" -> ((s, dir) => {
+      val days = Trajectories.events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy(col("day"))
+      days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("streak"))
+        .groupBy(col("user_id"))
+        .agg(max(col("streak")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("streak")).as("active_days"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -878,5 +897,20 @@ private[graft] object EventQueries extends QueryFamily {
              THEN CAST(t.tsu - q0.tsu AS BIGINT) END AS staleness_us
          FROM t ASOF LEFT JOIN q0
            ON t.user_id = q0.user_id AND t.tsu > q0.tsu""",
+
+    // Streak twin: the same day - row_number() islands rule.
+    "q219_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         g AS (SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+           FROM d),
+         st AS (SELECT user_id, grp, count(*) AS streak
+           FROM g GROUP BY 1, 2)
+         SELECT user_id, CAST(max(streak) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(streak) AS BIGINT) AS active_days
+         FROM st GROUP BY user_id""",
   )
 }

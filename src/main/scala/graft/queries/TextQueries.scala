@@ -803,6 +803,44 @@ private[graft] object TextQueries extends QueryFamily {
       perSource.select(col("source"), col("bitmap"), col("exact_slots"),
         col("n_slots")).unionByName(allRow)
     }),
+
+    // ---- BM25 ranking (q220): the retrieval-standard upgrade of the
+    // q117/q158 TF-IDF family — Lucene-form idf with tf saturation (k1 =
+    // 1.5) and length normalization (b = 0.75; both exact binary
+    // literals), query = the corpus's top-3 df terms (deterministic
+    // df desc / term asc). Model tables (df, avglen) broadcast; scoring
+    // is one map-side join + per-doc sum of <= 3 terms; top-20 by
+    // (rounded score desc, doc_id). --------------------------------------
+    "q220_bm25" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"),
+        avg(col("len")).as("avglen"))
+      val dfTab = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val qterms = dfTab.orderBy(col("df").desc, col("tok")).limit(3)
+      val tf = toks.join(broadcast(qterms), Seq("tok"))
+        .groupBy(col("doc_id"), col("tok"), col("df"))
+        .agg(count(lit(1)).as("tf"))
+      val scored = tf.join(broadcast(lens), Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log(
+          (col("n_docs").cast("double") - col("df") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0))
+        .withColumn("term_score", col("idf") *
+          (col("tf").cast("double") * (lit(1.5) + 1.0)) /
+          (col("tf").cast("double") + lit(1.5) *
+            (lit(1.0) - lit(0.75) + lit(0.75) *
+              (col("len").cast("double") / col("avglen")))))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("term_score")), 6).as("bm25"),
+          count(lit(1)).as("n_terms_hit"))
+      val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 20)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1516,5 +1554,35 @@ private[graft] object TextQueries extends QueryFamily {
            (SELECT count(DISTINCT slot) FROM m),
            CAST(bit_count(bit_or(bitmap)) AS BIGINT)
          FROM ps""",
+
+    // BM25 twin: identical tokenization, df/avglen model, idf and
+    // saturation/normalization term structure, and top-20 rule.
+    "q220_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         t AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+         lens AS (SELECT doc_id, count(*) AS len FROM t GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs, avg(len) AS avglen FROM lens),
+         dft AS (SELECT tok, count(*) AS df FROM
+           (SELECT DISTINCT doc_id, tok FROM t) GROUP BY 1),
+         q AS (SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 3),
+         tf AS (SELECT doc_id, t.tok, df, count(*) AS tf
+           FROM t JOIN q ON t.tok = q.tok GROUP BY 1, 2, 3),
+         sc AS (SELECT tf.doc_id,
+             ln((CAST(n_docs AS DOUBLE) - df + 0.5) /
+                (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+             (CAST(tf AS DOUBLE) * (1.5 + 1.0)) /
+             (CAST(tf AS DOUBLE) + 1.5 *
+               (1.0 - 0.75 + 0.75 * (CAST(len AS DOUBLE) / avglen)))
+               AS term_score
+           FROM tf JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats),
+         agg AS (SELECT doc_id, round(sum(term_score), 6) AS bm25,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+           FROM sc GROUP BY doc_id)
+         SELECT doc_id, bm25, n_terms_hit,
+           CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+             AS rk
+         FROM agg QUALIFY rk <= 20""",
   )
 }
