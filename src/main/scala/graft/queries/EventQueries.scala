@@ -548,6 +548,23 @@ private[graft] object EventQueries extends QueryFamily {
           count(lit(1)).as("n_streaks"),
           sum(col("streak")).as("active_days"))
     }),
+
+    // ---- week-over-week growth (q223): the period-over-period report —
+    // per event type, weekly volume and its relative change vs the prior
+    // week (lag window over the model-sized weekly table; the heavy part
+    // is one grouped count over the scan). ------------------------------
+    "q223_wow_growth" -> ((s, dir) => {
+      val weekly = Trajectories.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 604800000000").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("week"))
+      weekly.withColumn("prev", lag(col("n"), 1).over(w))
+        .withColumn("wow_growth",
+          round((col("n") - col("prev")).cast("double") / col("prev"), 6))
+        .select(col("event_type"), col("week"), col("n"), col("prev"),
+          col("wow_growth"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -912,5 +929,18 @@ private[graft] object EventQueries extends QueryFamily {
            CAST(count(*) AS BIGINT) AS n_streaks,
            CAST(sum(streak) AS BIGINT) AS active_days
          FROM st GROUP BY user_id""",
+
+    // WoW twin: same weekly buckets and lag structure.
+    "q223_wow_growth" ->
+      """WITH wk AS (SELECT event_type,
+             epoch_us(ts) // 604800000000 AS week, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT event_type, week, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev
+           FROM wk)
+         SELECT event_type, CAST(week AS BIGINT) AS week,
+           CAST(n AS BIGINT) AS n, CAST(prev AS BIGINT) AS prev,
+           round(CAST(n - prev AS DOUBLE) / prev, 6) AS wow_growth
+         FROM l""",
   )
 }

@@ -841,6 +841,85 @@ private[graft] object TextQueries extends QueryFamily {
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 20)
     }),
+
+    // ---- hybrid retrieval fusion (q221): Reciprocal Rank Fusion of a
+    // LEXICAL ranking (q220's BM25 top-50) and a SEMANTIC ranking
+    // (quantized cosine to the doc-0 embedding, top-50) — the standard
+    // hybrid-search combiner: rrf = Σ 1/(60 + rank), outer-joined so a
+    // doc ranked by only one system still scores. Both rankings are
+    // deterministic (rounded score desc, id tie-break); the semantic leg
+    // is a broadcast-one-query scan (the corpus rung composes q192's IVF
+    // candidates). -------------------------------------------------------
+    "q221_rrf_fusion" -> ((s, dir) => {
+      // lexical leg: q220's BM25 chain, top-50
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+        .where(col("tok") =!= "")
+      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
+      val dfTab = toks.select(col("doc_id"), col("tok")).distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val qterms = dfTab.orderBy(col("df").desc, col("tok")).limit(3)
+      val bm25 = toks.join(broadcast(qterms), Seq("tok"))
+        .groupBy(col("doc_id"), col("tok"), col("df")).agg(count(lit(1)).as("tf"))
+        .join(broadcast(lens), Seq("doc_id")).crossJoin(broadcast(stats))
+        .withColumn("term_score",
+          log((col("n_docs").cast("double") - col("df") + 0.5) /
+            (col("df").cast("double") + 0.5) + 1.0) *
+          (col("tf").cast("double") * (lit(1.5) + 1.0)) /
+          (col("tf").cast("double") + lit(1.5) * (lit(1.0) - lit(0.75) +
+            lit(0.75) * (col("len").cast("double") / col("avglen")))))
+        .groupBy(col("doc_id")).agg(round(sum(col("term_score")), 6).as("s"))
+      val wb = Window.orderBy(col("s").desc, col("doc_id"))
+      val lexical = bm25.withColumn("rk_lex", row_number().over(wb).cast("long"))
+        .where(col("rk_lex") <= 50).select(col("doc_id"), col("rk_lex"))
+      // semantic leg: quantized cosine to the doc-0 vector, top-50
+      val qv = emb(s, dir).select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding")).as("q"))
+      val anchor = qv.where(col("vec_id") === 0)
+        .select(col("q").as("qa"))
+      val sim = qv.where(col("vec_id") =!= 0).crossJoin(broadcast(anchor))
+        .select(col("vec_id").as("doc_id"),
+          round(Similarity.quantizedCosine(col("q"), col("qa")), 6).as("cos"))
+      val ws = Window.orderBy(col("cos").desc, col("doc_id"))
+      val semantic = sim.withColumn("rk_sem", row_number().over(ws).cast("long"))
+        .where(col("rk_sem") <= 50).select(col("doc_id"), col("rk_sem"))
+      val fused = lexical.join(semantic, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("rk_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("rk_sem")), lit(0.0)), 6))
+      val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rk", row_number().over(wf).cast("long"))
+        .where(col("rk") <= 20)
+        .select(col("doc_id"), col("rk_lex"), col("rk_sem"), col("rrf"), col("rk"))
+    }),
+
+    // ---- per-group OLS (q222): quality vs log-length regression per
+    // source — slope/intercept/r² from the five raw sums (single
+    // aggregation pass; the same closed form both engines evaluate).
+    // The mixture-design diagnostic: does "longer = better-scored" hold
+    // per source, and how tightly. --------------------------------------
+    "q222_group_ols" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        log(length(col("text")).cast("double")).as("x"),
+        TextFunctions.qualityScore(col("text")).as("y"))
+      d.groupBy(col("source")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("source"), col("n").cast("long").as("n_docs"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+            col("n"), 6).as("intercept"),
+          round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1584,5 +1663,81 @@ private[graft] object TextQueries extends QueryFamily {
            CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
              AS rk
          FROM agg QUALIFY rk <= 20""",
+
+    // RRF twin: the q220 lexical chain, the q77-style quantized cosine
+    // leg, and the same 1/(60+rank) fusion.
+    "q221_rrf_fusion" ->
+      """WITH toks AS (SELECT doc_id,
+           unnest(str_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents),
+         t AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+         lens AS (SELECT doc_id, count(*) AS len FROM t GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs, avg(len) AS avglen FROM lens),
+         dft AS (SELECT tok, count(*) AS df FROM
+           (SELECT DISTINCT doc_id, tok FROM t) GROUP BY 1),
+         q AS (SELECT tok, df FROM dft ORDER BY df DESC, tok LIMIT 3),
+         tf AS (SELECT doc_id, t.tok, df, count(*) AS tf
+           FROM t JOIN q ON t.tok = q.tok GROUP BY 1, 2, 3),
+         sc AS (SELECT tf.doc_id,
+             ln((CAST(n_docs AS DOUBLE) - df + 0.5) /
+                (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+             (CAST(tf AS DOUBLE) * (1.5 + 1.0)) /
+             (CAST(tf AS DOUBLE) + 1.5 *
+               (1.0 - 0.75 + 0.75 * (CAST(len AS DOUBLE) / avglen)))
+               AS term_score
+           FROM tf JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats),
+         bm AS (SELECT doc_id, round(sum(term_score), 6) AS s
+           FROM sc GROUP BY doc_id),
+         lex AS (SELECT doc_id, rk_lex FROM (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT)
+               AS rk_lex FROM bm) WHERE rk_lex <= 50),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         qe AS (SELECT vec_id,
+           list_transform(v, x -> round(x /
+             (greatest(list_max(list_transform(v, y -> abs(y))), 1e-300) / 127.0)))
+             AS qv
+           FROM e),
+         anchor AS (SELECT qv AS qa FROM qe WHERE vec_id = 0),
+         sim AS (SELECT vec_id AS doc_id,
+             round(list_dot_product(qv, qa) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(qa, qa))),
+               6) AS cos
+           FROM qe CROSS JOIN anchor WHERE vec_id != 0),
+         sem AS (SELECT doc_id, rk_sem FROM (SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+               AS rk_sem FROM sim) WHERE rk_sem <= 50),
+         fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             rk_lex, rk_sem,
+             round(coalesce(1.0 / (60.0 + rk_lex), 0.0) +
+                   coalesce(1.0 / (60.0 + rk_sem), 0.0), 6) AS rrf
+           FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         SELECT doc_id, rk_lex, rk_sem, rrf,
+           CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rk
+         FROM fused QUALIFY rk <= 20""",
+
+    // OLS twin: the q186-style quality replay and the same raw-sums
+    // closed form.
+    "q222_group_ols" ->
+      """WITH d AS (SELECT source,
+           ln(CAST(len(text) AS DOUBLE)) AS x,
+           round(
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+             + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+                 / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
+             + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
+                 / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
+             , 6) AS y
+           FROM documents),
+         s AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+             sum(y*y) AS syy, sum(x*y) AS sxy
+           FROM d GROUP BY source)
+         SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+         FROM s""",
   )
 }
