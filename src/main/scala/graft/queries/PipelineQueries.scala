@@ -650,6 +650,96 @@ private[graft] object PipelineQueries extends QueryFamily {
           round(sum(col("l_quantity")), 6).as("sum_qty"),
           round(avg(col("l_extendedprice")), 6).as("avg_price"))
     }),
+
+    // ---- data-contract validation (q224): the dbt-test/Great-
+    // Expectations rung — uniqueness, not-null, accepted-values, and
+    // range checks over an ingest batch, emitted as a violations report.
+    // Violations are PLANTED deterministically (cloned ids, nulled
+    // values, a rogue type, an out-of-range timestamp) so every check
+    // fires at every SF; each check is one conditional aggregate over a
+    // single scan + one id-group pass for uniqueness. --------------------
+    "q224_data_contract" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      // planted bad batch: every 100th event re-ingested with the same
+      // id (uniqueness), every 150th with NULL value (not-null), every
+      // 200th with a rogue type (accepted-values), every 250th at a
+      // far-future ts (range)
+      val bad = ev.where(col("event_id") % 100 === 0)
+        .unionByName(ev.where(col("event_id") % 150 === 0)
+          .withColumn("value", lit(null).cast("double")))
+        .unionByName(ev.where(col("event_id") % 200 === 0)
+          .withColumn("event_type", lit("__corrupt__")))
+        .unionByName(ev.where(col("event_id") % 250 === 0)
+          .withColumn("ts", lit(4102444800000000000L)))
+      val batch = ev.unionByName(bad)
+      val dupIds = batch.groupBy(col("event_id")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).agg(count(lit(1)).as("v")).select(
+          lit("unique_event_id").as("check"), col("v").as("violations"))
+      val scans = batch.agg(
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("nn"),
+        sum(when(!col("event_type").isin("view", "click", "purchase",
+          "signup", "error"), 1L).otherwise(0L)).as("av"),
+        sum(when(col("ts") > 1893456000000000000L, 1L).otherwise(0L)).as("rg"))
+      dupIds.unionByName(scans.select(lit("not_null_value").as("check"),
+          col("nn").as("violations")))
+        .unionByName(scans.select(lit("accepted_event_type").as("check"),
+          col("av").as("violations")))
+        .unionByName(scans.select(lit("ts_in_range").as("check"),
+          col("rg").as("violations")))
+    }),
+
+    // ---- dead-letter routing (q225): malformed records split off the
+    // ingest path instead of killing it — the props JSON is corrupted
+    // for a deterministic slice, from_json failures route to the DLQ
+    // with an error class, clean rows continue; the report counts both
+    // streams (map-side classify, model-sized aggregate). ----------------
+    "q225_dead_letter" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("props"))
+        .withColumn("raw",
+          when(col("event_id") % 7 === 0, concat(lit("{broken"), col("props")))
+            .when(col("event_id") % 11 === 0, lit(""))
+            .otherwise(col("props")))
+      val parsed = ev.withColumn("k",
+        from_json(col("raw"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k"))
+      parsed.withColumn("route",
+          when(col("k").isNotNull, "ok")
+            .when(col("raw") === "", "dlq_empty")
+            .otherwise("dlq_malformed"))
+        .groupBy(col("route"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("k"), lit(0L))).as("k_sum"))
+    }),
+
+    // ---- FK integrity audit (q226): referential-integrity counts a
+    // warehouse runs after every load — orphan facts per relationship
+    // via LEFT ANTI joins (orphans PLANTED by key-shifting a slice so
+    // the check fires at every SF), plus the clean-row anchors. ----------
+    "q226_fk_audit" -> ((s, dir) => {
+      val li = Trajectories.table(s, dir, "lineitem")
+        .select(col("l_orderkey"))
+        // shift a deterministic slice out of the key space -> orphans
+        .withColumn("l_orderkey",
+          when(col("l_orderkey") % 97 === 0, col("l_orderkey") + 900000000L)
+            .otherwise(col("l_orderkey")))
+      val ords = Trajectories.table(s, dir, "orders").select(col("o_orderkey"))
+      val cust = Trajectories.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = Trajectories.table(s, dir, "nation").select(col("n_nationkey"))
+      val liOrph = li.join(ords, col("l_orderkey") === col("o_orderkey"),
+        "left_anti").agg(count(lit(1)).as("orphans"))
+        .select(lit("lineitem_orders").as("relationship"), col("orphans"))
+      val custOrph = cust.join(nat, col("c_nationkey") === col("n_nationkey"),
+        "left_anti").agg(count(lit(1)).as("orphans"))
+        .select(lit("customer_nation").as("relationship"), col("orphans"))
+      val anchors = li.agg(count(lit(1)).as("orphans"))
+        .select(lit("lineitem_total").as("relationship"), col("orphans"))
+      liOrph.unionByName(custOrph).unionByName(anchors)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1030,5 +1120,58 @@ private[graft] object PipelineQueries extends QueryFamily {
            round(avg(l_extendedprice), 6) AS avg_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'""",
+
+    // Contract twin: the planted-violation counts in closed form (ids
+    // divisible by the planting moduli; originals are never null /
+    // always in the accepted set / always pre-2030).
+    "q224_data_contract" ->
+      """SELECT 'unique_event_id' AS "check", CAST(count(*) AS BIGINT)
+             AS violations
+           FROM events WHERE event_id % 100 = 0 OR event_id % 150 = 0
+             OR event_id % 200 = 0 OR event_id % 250 = 0
+         UNION ALL
+         SELECT 'not_null_value', CAST(count(*) AS BIGINT)
+           FROM events WHERE event_id % 150 = 0
+         UNION ALL
+         SELECT 'accepted_event_type', CAST(count(*) AS BIGINT)
+           FROM events WHERE event_id % 200 = 0
+         UNION ALL
+         SELECT 'ts_in_range', CAST(count(*) AS BIGINT)
+           FROM events WHERE event_id % 250 = 0""",
+
+    // Dead-letter twin: the same corruption rule replayed with
+    // json_valid / json_extract.
+    "q225_dead_letter" ->
+      """WITH r AS (SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN '{broken' || props
+                  WHEN event_id % 11 = 0 THEN ''
+                  ELSE props END AS raw
+           FROM events),
+         c AS (SELECT event_id, raw,
+             CASE WHEN json_valid(raw)
+                    AND json_extract(raw, '$.k') IS NOT NULL
+               THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
+           FROM r)
+         SELECT CASE WHEN k IS NOT NULL THEN 'ok'
+             WHEN raw = '' THEN 'dlq_empty'
+             ELSE 'dlq_malformed' END AS route,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(coalesce(k, 0)) AS BIGINT) AS k_sum
+         FROM c GROUP BY 1""",
+
+    // FK-audit twin: the same key-shift and anti-join counts.
+    "q226_fk_audit" ->
+      """WITH li AS (SELECT CASE WHEN l_orderkey % 97 = 0
+             THEN l_orderkey + 900000000 ELSE l_orderkey END AS k
+           FROM lineitem)
+         SELECT 'lineitem_orders' AS relationship, CAST(count(*) AS BIGINT)
+             AS orphans
+           FROM li WHERE k NOT IN (SELECT o_orderkey FROM orders)
+         UNION ALL
+         SELECT 'customer_nation', CAST(count(*) AS BIGINT)
+           FROM customer WHERE c_nationkey NOT IN
+             (SELECT n_nationkey FROM nation)
+         UNION ALL
+         SELECT 'lineitem_total', CAST(count(*) AS BIGINT) FROM lineitem""",
   )
 }
