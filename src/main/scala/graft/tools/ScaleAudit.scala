@@ -112,7 +112,13 @@ object ScaleAudit {
       "q119_embedding_outliers", "q127_containment", "q128_cross_source_dup",
       "q129_trigram_backoff", "q131_html_strip", "q132_temperature_mixture",
       "q133_bmp_decode", "q166_chunk_dedup", "q169_contamination_coverage",
-      "q171_proto_prune")
+      "q171_proto_prune",
+      // fifth-batch docs/embeddings-only rungs: CCNet buckets, random
+      // projection (zero-exchange), mutual-kNN + kNN-eval (fixed slice),
+      // dataset card, URL canon, BM25, RRF fusion
+      "q200_ccnet_buckets", "q201_random_projection", "q202_mutual_knn",
+      "q205_dataset_card", "q207_url_canonical", "q213_knn_classify",
+      "q220_bm25", "q221_rrf_fusion")
     var failures = 0
     targets.foreach { name =>
       val t0 = System.nanoTime()

@@ -84,6 +84,17 @@ BASELINES = {
     "q198": 0.296, "q199": 0.161, "q200": 0.993, "q201": 0.247,
     "q202": 1.492, "q203": 0.134, "q204": 0.301, "q205": 0.402,
     "q206": 2.346, "q207": 0.314,
+    # round-7 sixth batch first-appearance (quiet full sweep, 226-query
+    # surface): EWMA/zscore/restart/backfill/cube (q208-q212), kNN eval
+    # (q213), pruning proof (q214), bloom runtime filter (q215), basket
+    # lift (q216), tolerance asof (q217), bitmap (q218), streaks (q219),
+    # BM25 (q220), RRF (q221), OLS (q222), WoW (q223), data quality
+    # (q224-q226)
+    "q208": 0.270, "q209": 0.455, "q210": 4.573, "q211": 1.358,
+    "q212": 0.260, "q213": 0.887, "q214": 1.234, "q215": 0.809,
+    "q216": 1.148, "q217": 0.215, "q218": 0.347, "q219": 0.276,
+    "q220": 1.479, "q221": 2.893, "q222": 0.203, "q223": 0.411,
+    "q224": 0.620, "q225": 1.020, "q226": 0.537,
 }
 
 
