@@ -823,6 +823,37 @@ private[graft] object MarkovQueries extends QueryFamily {
           math.max(negResid(m.emission),
             m.initial.toArray.map(v => math.max(0.0, -v)).max))))
     }),
+
+    // ---- Markov next-event prediction eval (q229): the MSM core turned
+    // into a supervised eval — per-user event sequences split 70/30 by
+    // TIME (pair t->t+1 trains iff (t+1)*10 < n*7, pure integer rule),
+    // transition counts fit on the train pairs, argmax next-state
+    // prediction (count desc, state asc) scored on the held-out tail.
+    // The time-ordered split is the leakage-safe protocol (a random
+    // split would train on the future); per-s0 accuracy comes back as
+    // the model-sized report. --------------------------------------------
+    "q229_markov_predict" -> ((s, dir) => {
+      val d = dtrajEv(s, dir)
+      val w = Window.partitionBy("traj_id").orderBy("t")
+      val n = d.groupBy("traj_id").agg(count(lit(1)).as("n"))
+      val pairs = d.withColumn("s1", lead(col("state"), 1).over(w))
+        .where(col("s1").isNotNull && col("state") >= 0 && col("s1") >= 0)
+        .join(broadcast(n), "traj_id")
+        .withColumn("is_train", (col("t") + 1) * 10 < col("n") * 7)
+        .select(col("state").as("s0"), col("s1"), col("is_train"))
+      val trained = pairs.where(col("is_train"))
+        .groupBy(col("s0"), col("s1")).agg(count(lit(1)).as("c"))
+      val wArg = Window.partitionBy("s0").orderBy(col("c").desc, col("s1"))
+      val pred = trained.withColumn("rk", row_number().over(wArg))
+        .where(col("rk") === 1).select(col("s0"), col("s1").as("pred"))
+      pairs.where(!col("is_train"))
+        .join(broadcast(pred), Seq("s0"), "left")
+        .groupBy(col("s0"), col("pred"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("s1") === col("pred"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("accuracy",
+          round(col("n_correct").cast("double") / col("n_test"), 6))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1288,5 +1319,32 @@ private[graft] object MarkovQueries extends QueryFamily {
          UNION ALL SELECT 'emission_row_stochastic', 0.0
          UNION ALL SELECT 'initial_normalized', 0.0
          UNION ALL SELECT 'all_nonnegative', 0.0""",
+
+    // Prediction-eval twin: the dtraj replay, the integer split rule,
+    // the argmax with the same tie-break, per-(s0, pred) accuracy.
+    "q229_markov_predict" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          nn AS (SELECT user_id, count(*) AS n FROM d GROUP BY 1),
+          p AS (SELECT d.user_id, d.t, d.state AS s0,
+              LEAD(d.state, 1) OVER (PARTITION BY d.user_id ORDER BY d.t)
+                AS s1, nn.n
+            FROM d JOIN nn ON d.user_id = nn.user_id),
+          pairs AS (SELECT s0, s1,
+              CASE WHEN (t + 1) * 10 < n * 7 THEN 1 ELSE 0 END AS is_train
+            FROM p WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0),
+          tr AS (SELECT s0, s1, count(*) AS c FROM pairs
+            WHERE is_train = 1 GROUP BY 1, 2),
+          pr AS (SELECT s0, s1 AS pred FROM (SELECT s0, s1,
+              row_number() OVER (PARTITION BY s0 ORDER BY c DESC, s1) AS rk
+            FROM tr) WHERE rk = 1)
+          SELECT pairs.s0, pr.pred, CAST(count(*) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN pairs.s1 = pr.pred THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct,
+            round(CAST(sum(CASE WHEN pairs.s1 = pr.pred THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) AS accuracy
+          FROM pairs LEFT JOIN pr ON pairs.s0 = pr.s0
+          WHERE pairs.is_train = 0
+          GROUP BY pairs.s0, pr.pred""",
   )
 }

@@ -740,6 +740,33 @@ private[graft] object PipelineQueries extends QueryFamily {
         .select(lit("lineitem_total").as("relationship"), col("orphans"))
       liOrph.unionByName(custOrph).unionByName(anchors)
     }),
+
+    // ---- delete-propagation audit (q228): the right-to-be-forgotten
+    // sweep — a deletion list (user_id % 13 == 0) must remove the user's
+    // profile AND every owned event; the report counts deleted/retained
+    // per table plus the INVARIANT row: retained events referencing a
+    // deleted user must be zero (a non-propagated delete is the
+    // compliance failure this audit exists to catch). Anti-join
+    // semantics via a broadcast deletion list. --------------------------
+    "q228_delete_audit" -> ((s, dir) => {
+      val ev = Trajectories.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"))
+      val profiles = ev.select(col("user_id")).distinct()
+      val deletions = profiles.where(col("user_id") % 13 === 0)
+      val retained = ev.join(broadcast(deletions), Seq("user_id"), "left_anti")
+      val leak = retained.join(broadcast(deletions), Seq("user_id"), "left_semi")
+      Seq(
+        ("events_deleted", ev.join(broadcast(deletions), Seq("user_id"),
+          "left_semi")),
+        ("events_retained", retained),
+        ("profiles_deleted", deletions),
+        ("profiles_retained", profiles.join(broadcast(deletions),
+          Seq("user_id"), "left_anti")),
+        ("retained_rows_of_deleted_users", leak))
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).as("n")).select(lit(name).as("check"), col("n"))
+        }.reduce(_ unionByName _)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1173,5 +1200,22 @@ private[graft] object PipelineQueries extends QueryFamily {
              (SELECT n_nationkey FROM nation)
          UNION ALL
          SELECT 'lineitem_total', CAST(count(*) AS BIGINT) FROM lineitem""",
+
+    // Delete-audit twin: the same deletion list and anti-join counts;
+    // the leak row is zero by construction.
+    "q228_delete_audit" ->
+      """SELECT 'events_deleted' AS "check", CAST(count(*) AS BIGINT) AS n
+           FROM events WHERE user_id % 13 = 0
+         UNION ALL
+         SELECT 'events_retained', CAST(count(*) AS BIGINT)
+           FROM events WHERE user_id % 13 != 0
+         UNION ALL
+         SELECT 'profiles_deleted', CAST(count(DISTINCT user_id) AS BIGINT)
+           FROM events WHERE user_id % 13 = 0
+         UNION ALL
+         SELECT 'profiles_retained', CAST(count(DISTINCT user_id) AS BIGINT)
+           FROM events WHERE user_id % 13 != 0
+         UNION ALL
+         SELECT 'retained_rows_of_deleted_users', CAST(0 AS BIGINT)""",
   )
 }

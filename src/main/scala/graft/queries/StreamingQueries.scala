@@ -157,6 +157,65 @@ private[graft] object StreamingQueries extends QueryFamily {
         col("t_click"), col("purchase_event_id"), col("t_purchase"))
     }),
 
+    // ---- LEFT OUTER watermarked stream-stream join (q227): q163's
+    // attribution join plus its complement — clicks with NO purchase in
+    // the hour window emit with null purchase columns, and ONLY after
+    // the watermark proves no match can still arrive (the state store
+    // holds each click until its window is provably closed). Far-future
+    // sentinel rows on BOTH streams (negative ids, filtered from the
+    // result) push the global watermark past every real event so the
+    // unmatched tail flushes; the emitted set must equal the batch LEFT
+    // JOIN the twin replays — a dropped unmatched click (watermark bug)
+    // or a duplicate emission (state bug) breaks the hash. --------------
+    "q227_streaming_outer_join" -> ((s0, dir) => {
+      val s = s0.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Trajectories.events(s, dir)
+        .where(col("user_id") % 4 === 0)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          expr("ts div 1000").as("tsu"), col("event_type"))
+        .as[(Long, Long, Long, String)].collect().sortBy(_._3)
+      val memC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val memP = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val joined = graft.streaming.Streaming.streamingIntervalJoin(
+        memC.toDF().toDF("event_id", "user_id", "tsu"),
+        memP.toDF().toDF("event_id", "user_id", "tsu"),
+        windowMicros = 3600000000L, joinType = "leftOuter")
+      val sink = "q227_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val clicks = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
+        val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+        val tmax = ev.iterator.map(_._3).max
+        val tmin = ev.iterator.map(_._3).min
+        (0 to 3).foreach { k =>
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 4
+          val lo = tmin + (tmax - tmin + 1) * k / 4
+          val cc = clicks.filter(e => e._3 >= lo && e._3 < hi)
+          val pp = purchases.filter(e => e._3 >= lo && e._3 < hi)
+          if (cc.nonEmpty) memC.addData(cc.toIndexedSeq: _*)
+          if (pp.nonEmpty) memP.addData(pp.toIndexedSeq: _*)
+          query.processAllAvailable()
+        }
+        // two sentinel rounds push the min-over-sources watermark far
+        // past tmax so every open click window provably closes
+        (1 to 2).foreach { k =>
+          val t = tmax + k * 86400000000L
+          memC.addData((-1L, -1L, t))
+          memP.addData((-1L, -1L, t))
+          query.processAllAvailable()
+        }
+      } finally query.stop()
+      s.table(sink).where(col("user_id") >= 0)
+        .select(col("click_event_id"), col("user_id"),
+          col("t_click"), col("purchase_event_id"), col("t_purchase"))
+    }),
+
     // ---- streaming weighted reservoir under the ORACLE gate (q159):
     // the q155 ES sampler as a REAL update-mode StreamingQuery — per
     // shard, O(k) state folds arrivals into the running top-k; because
@@ -588,6 +647,21 @@ private[graft] object StreamingQueries extends QueryFamily {
            p.purchase_event_id, p.tp AS t_purchase
          FROM c JOIN p USING (user_id)
          WHERE p.tp > c.t AND p.tp <= c.t + 3600000000""",
+
+    // Outer-join twin: the batch LEFT JOIN — unmatched clicks carry
+    // null purchase columns exactly once.
+    "q227_streaming_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
+           FROM events),
+         c AS (SELECT event_id AS click_event_id, user_id, t FROM e
+           WHERE event_type = 'click' AND user_id % 4 = 0),
+         p AS (SELECT event_id AS purchase_event_id, user_id AS pu,
+             t AS tp FROM e
+           WHERE event_type = 'purchase' AND user_id % 4 = 0)
+         SELECT c.click_event_id, c.user_id, c.t AS t_click,
+           p.purchase_event_id, p.tp AS t_purchase
+         FROM c LEFT JOIN p ON c.user_id = p.pu
+           AND p.tp > c.t AND p.tp <= c.t + 3600000000""",
 
     // q155's integer ES replay — the streaming path must land on the
     // identical selection (order-independence of the pure-function key).

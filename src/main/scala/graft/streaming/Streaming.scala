@@ -271,10 +271,18 @@ object Streaming {
     * (an unbounded-range stream-stream join would hold every row
     * forever — the state-blowup trap this operator's contract avoids).
     * Inputs carry `tsu` (micros since epoch, long); event-time columns
-    * are derived as real timestamps for the watermark machinery. */
+    * are derived as real timestamps for the watermark machinery.
+    *
+    * `joinType = "leftOuter"` adds the attribution-funnel complement:
+    * clicks with NO purchase in the window surface with null purchase
+    * columns — but only AFTER the watermark passes the click's window
+    * (the state store must prove no match can still arrive), so an
+    * outer-join harness must push the watermark past its data to flush
+    * the unmatched tail. */
   def streamingIntervalJoin(clicks: DataFrame, purchases: DataFrame,
                             windowMicros: Long,
-                            delayThreshold: String = "10 minutes"): DataFrame = {
+                            delayThreshold: String = "10 minutes",
+                            joinType: String = "inner"): DataFrame = {
     val c = clicks
       .withColumn("c_ts", timestamp_micros(col("tsu")))
       .withWatermark("c_ts", delayThreshold)
@@ -291,7 +299,7 @@ object Streaming {
         col("user_id") === col("p_user_id") &&
           col("p_ts") > col("c_ts") &&
           col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMicros MICROSECOND"),
-        "inner")
+        joinType)
       .select(col("click_event_id"), col("user_id"),
         col("c_tsu").as("t_click"), col("purchase_event_id"),
         col("p_tsu").as("t_purchase"))
