@@ -541,6 +541,31 @@ private[graft] object SimilarityQueries extends QueryFamily {
         .withColumn("accuracy",
           round(col("n_correct").cast("double") / col("n"), 6))
     }),
+
+    // ---- source-centroid similarity (q232): the corpus-drift matrix —
+    // per-source embedding centroids (map-side-combined (source, dim)
+    // partial sums, the q119 shape) and every source pair's centroid
+    // cosine. 20 centroids -> 190 model-sized pairs; vectors never
+    // shuffle, only (source, dim, partial-sum) triples do. --------------
+    "q232_source_centroid_sim" -> ((s, dir) => {
+      val sv = emb(s, dir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .join(docs(s, dir).select(col("doc_id").as("vec_id"), col("source")),
+          Seq("vec_id"))
+      val cent = sv.select(col("source"),
+          posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("source"), col("i"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("c"))
+        .withColumn("m", col("sx") / col("c"))
+        .groupBy(col("source"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          x => x.getField("m")).as("cv"))
+      val a = cent.select(col("source").as("sa"), col("cv").as("va"))
+      val b = cent.select(col("source").as("sb"), col("cv").as("vb"))
+      a.join(broadcast(b), col("sa") < col("sb"))
+        .select(col("sa"), col("sb"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -893,5 +918,22 @@ private[graft] object SimilarityQueries extends QueryFamily {
            round(CAST(sum(CASE WHEN pred = la THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS accuracy
          FROM pred GROUP BY la""",
+
+    // Centroid-similarity twin: per-source element-wise means over the
+    // 64 dims, pairwise cosine on the model-sized centroid table.
+    "q232_source_centroid_sim" ->
+      """WITH sv AS (SELECT d.source, CAST(e.embedding AS DOUBLE[]) AS v
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         ex AS (SELECT source, i, v[i] AS x
+           FROM sv CROSS JOIN (SELECT unnest(range(1, 65)) AS i)),
+         cent AS (SELECT source, i, sum(x) / count(*) AS m
+           FROM ex GROUP BY 1, 2),
+         cv AS (SELECT source, list(m ORDER BY i) AS cv
+           FROM cent GROUP BY source)
+         SELECT a.source AS sa, b.source AS sb,
+           round(list_dot_product(a.cv, b.cv) /
+             (sqrt(list_dot_product(a.cv, a.cv)) *
+              sqrt(list_dot_product(b.cv, b.cv))), 6) AS cos
+         FROM cv a JOIN cv b ON a.source < b.source""",
   )
 }

@@ -920,6 +920,54 @@ private[graft] object TextQueries extends QueryFamily {
             ((col("n") * col("sxx") - col("sx") * col("sx")) *
              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
     }),
+
+    // ---- n-gram novelty (q230): per document, the fraction of its
+    // distinct 3-shingles NOT seen in any EARLIER document (doc_id
+    // order = crawl order) — the freshness signal a curation pass uses
+    // to down-weight recycled content. One (gram -> first doc) aggregate
+    // (gram-keyed, Zipf-bounded) joined back to the per-doc gram sets;
+    // reported per source (novelty decays as the corpus accumulates). ---
+    "q230_ngram_novelty" -> ((s, dir) => {
+      val grams = docs(s, dir).select(col("doc_id"), col("source"),
+          explode(graft.functions.Shingles.words(col("text"), 3)).as("g"))
+        .distinct()
+      val firstSeen = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = grams.join(firstSeen, Seq("g"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("total_grams"),
+          sum(col("n_novel")).as("novel_grams"),
+          round(avg(col("n_novel").cast("double") / col("n_grams")), 6)
+            .as("avg_novelty"))
+    }),
+
+    // ---- Neyman allocation (q231): optimal stratified-sampling design
+    // — allocate a fixed budget n=1000 across sources proportional to
+    // W_h * sigma_h (stratum share x within-stratum std of the quality
+    // score), the variance-minimizing allocation; closed form from the
+    // per-stratum sums both engines evaluate identically. The sampling-
+    // DESIGN complement of the q187 executor. ---------------------------
+    "q231_neyman_allocation" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        TextFunctions.qualityScore(col("text")).as("y"))
+      val strata = d.groupBy(col("source")).agg(
+          count(lit(1)).cast("double").as("nh"),
+          sum(col("y")).as("sy"), sum(col("y") * col("y")).as("syy"))
+        .withColumn("sigma", sqrt(greatest(
+          (col("syy") - col("sy") * col("sy") / col("nh")) /
+            (col("nh") - 1.0), lit(0.0))))
+      val tot = strata.agg(sum(col("nh")).as("ntot"),
+        sum(col("nh") * col("sigma")).as("wsum"))
+      strata.crossJoin(broadcast(tot))
+        .select(col("source"), col("nh").cast("long").as("n_docs"),
+          round(col("sigma"), 6).as("sigma"),
+          round(lit(1000.0) * (col("nh") * col("sigma")) / col("wsum"), 6)
+            .as("alloc"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1739,5 +1787,47 @@ private[graft] object TextQueries extends QueryFamily {
            round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
              ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
          FROM s""",
+
+    // Novelty twin: the same trigram construction, first-doc aggregate,
+    // and per-source rollup.
+    "q230_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, source,
+           str_split_regex(trim(text), '\s+') AS l FROM documents),
+         g AS (SELECT DISTINCT doc_id, source,
+           unnest(list_transform(range(1, len(l) - 1),
+             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS g
+           FROM d),
+         fs AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g),
+         pd AS (SELECT doc_id, source, count(*) AS n_grams,
+             sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+           FROM g JOIN fs USING (g) GROUP BY 1, 2)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT) AS total_grams,
+           CAST(sum(n_novel) AS BIGINT) AS novel_grams,
+           round(avg(CAST(n_novel AS DOUBLE) / n_grams), 6) AS avg_novelty
+         FROM pd GROUP BY source""",
+
+    // Neyman twin: same per-stratum sums and allocation formula.
+    "q231_neyman_allocation" ->
+      """WITH d AS (SELECT source,
+           round(
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+             + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+                 / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
+             + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
+                 / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
+             , 6) AS y
+           FROM documents),
+         st AS (SELECT source, CAST(count(*) AS DOUBLE) AS nh,
+             sum(y) AS sy, sum(y*y) AS syy
+           FROM d GROUP BY source),
+         sg AS (SELECT source, nh,
+             sqrt(greatest((syy - sy * sy / nh) / (nh - 1.0), 0.0)) AS sigma
+           FROM st),
+         tot AS (SELECT sum(nh) AS ntot, sum(nh * sigma) AS wsum FROM sg)
+         SELECT source, CAST(nh AS BIGINT) AS n_docs,
+           round(sigma, 6) AS sigma,
+           round(1000.0 * (nh * sigma) / wsum, 6) AS alloc
+         FROM sg CROSS JOIN tot""",
   )
 }

@@ -41,6 +41,7 @@ object ScaleAudit {
           (w, i) => when(pmod(i + col("id"), lit(7)) === 0,
             concat(lit("cp"), col("id"), lit("_"), w)).otherwise(w)))
       ).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
