@@ -565,6 +565,86 @@ private[graft] object EventQueries extends QueryFamily {
         .select(col("event_type"), col("week"), col("n"), col("prev"),
           col("wow_growth"))
     }),
+
+    // ---- RFM segmentation (q233): the classic customer-value cube —
+    // per customer: Recency (days since last order vs the corpus max
+    // date, integer day arithmetic), Frequency (order count), Monetary
+    // (total spend); each dimension quintiled by ntile(5) with custkey
+    // tie-breaks; the model-sized (r, f, m) census comes back. ----------
+    "q233_rfm" -> ((s, dir) => {
+      val o = Trajectories.table(s, dir, "orders")
+        .select(col("o_custkey").as("cust"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+            .as("day"), col("o_totalprice"))
+      val maxDay = o.agg(max(col("day")).as("max_day"))
+      val perCust = o.groupBy(col("cust"))
+        .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+          round(sum(col("o_totalprice")), 6).as("monetary"))
+        .crossJoin(broadcast(maxDay))
+        .withColumn("recency", col("max_day") - col("last_day"))
+      val scored = perCust
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(col("recency"), col("cust"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("freq").desc, col("cust"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("cust"))))
+      scored.groupBy(col("r").cast("long").as("r"),
+          col("f").cast("long").as("f"), col("m").cast("long").as("m"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg(col("monetary")), 6).as("avg_monetary"))
+    }),
+
+    // ---- Welch t-test (q234): unequal-variance comparison of purchase
+    // values between the q199 variants — the continuous-metric
+    // experiment readout next to q199's proportion z. One conditional
+    // aggregate; identical operation order on both engines. -------------
+    "q234_welch_ttest" -> ((s, dir) => {
+      val p = Trajectories.events(s, dir)
+        .where(col("event_type") === "purchase")
+        .withColumn("va", when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+      p.agg(
+          sum(col("va")).as("n_a"),
+          sum(col("va") * col("value")).as("s_a"),
+          sum(col("va") * col("value") * col("value")).as("ss_a"),
+          sum(lit(1L) - col("va")).as("n_b"),
+          sum((lit(1L) - col("va")) * col("value")).as("s_b"),
+          sum((lit(1L) - col("va")) * col("value") * col("value")).as("ss_b"))
+        .select(col("n_a"), col("n_b"),
+          round(col("s_a") / col("n_a"), 6).as("mean_a"),
+          round(col("s_b") / col("n_b"), 6).as("mean_b"),
+          round((col("s_a") / col("n_a") - col("s_b") / col("n_b")) /
+            sqrt(
+              ((col("ss_a") - col("s_a") * col("s_a") / col("n_a")) /
+                (col("n_a") - 1.0)) / col("n_a") +
+              ((col("ss_b") - col("s_b") * col("s_b") / col("n_b")) /
+                (col("n_b") - 1.0)) / col("n_b")), 6).as("t_stat"))
+    }),
+
+    // ---- engagement ledger (q235): DAU / trailing-7-day WAU /
+    // trailing-28-day MAU / stickiness per day — each (user, day)
+    // activity row contributes to the 7- and 28-day windows of the
+    // following days (bounded explode: x28 on the DISTINCT user-day
+    // table, never on raw events). At petabyte user counts the same
+    // report runs on per-day HLL sketches union-merged over the window
+    // (the q125 identity); this is the exact rung. ----------------------
+    "q235_engagement" -> ((s, dir) => {
+      val ud = Trajectories.events(s, dir)
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+      val dayRange = ud.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      def windowed(n: Int, name: String) = ud
+        .select(col("user_id"), explode(sequence(col("day"),
+          col("day") + (n - 1))).as("day"))
+        .crossJoin(broadcast(dayRange))
+        .where(col("day") <= col("dmax"))
+        .groupBy(col("day")).agg(countDistinct(col("user_id")).as(name))
+      dau.join(windowed(7, "wau"), Seq("day"))
+        .join(windowed(28, "mau"), Seq("day"))
+        .withColumn("stickiness",
+          round(col("dau").cast("double") / col("mau"), 6))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -942,5 +1022,65 @@ private[graft] object EventQueries extends QueryFamily {
            CAST(n AS BIGINT) AS n, CAST(prev AS BIGINT) AS prev,
            round(CAST(n - prev AS DOUBLE) / prev, 6) AS wow_growth
          FROM l""",
+
+    // RFM twin: integer day arithmetic, the same quintile orderings and
+    // tie-breaks, the same segment census.
+    "q233_rfm" ->
+      """WITH o AS (SELECT o_custkey AS cust,
+             epoch_us(o_orderdate) // 86400000000 AS day, o_totalprice
+           FROM orders),
+         mx AS (SELECT max(day) AS max_day FROM o),
+         pc AS (SELECT cust, max(day) AS last_day, count(*) AS freq,
+             round(sum(o_totalprice), 6) AS monetary
+           FROM o GROUP BY cust),
+         sc AS (SELECT cust, monetary,
+             ntile(5) OVER (ORDER BY max_day - last_day, cust) AS r,
+             ntile(5) OVER (ORDER BY freq DESC, cust) AS f,
+             ntile(5) OVER (ORDER BY monetary DESC, cust) AS m
+           FROM pc CROSS JOIN mx)
+         SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(monetary), 6) AS avg_monetary
+         FROM sc GROUP BY 1, 2, 3""",
+
+    // Welch twin: identical sums and same-order t statistic.
+    "q234_welch_ttest" ->
+      """WITH p AS (SELECT value,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS va
+           FROM events WHERE event_type = 'purchase'),
+         a AS (SELECT CAST(sum(va) AS BIGINT) AS n_a,
+             sum(va * value) AS s_a, sum(va * value * value) AS ss_a,
+             CAST(sum(1 - va) AS BIGINT) AS n_b,
+             sum((1 - va) * value) AS s_b,
+             sum((1 - va) * value * value) AS ss_b
+           FROM p)
+         SELECT n_a, n_b,
+           round(s_a / n_a, 6) AS mean_a,
+           round(s_b / n_b, 6) AS mean_b,
+           round((s_a / n_a - s_b / n_b) /
+             sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1.0)) / n_a +
+                  ((ss_b - s_b * s_b / n_b) / (n_b - 1.0)) / n_b), 6)
+             AS t_stat
+         FROM a""",
+
+    // Engagement twin: the same bounded explode of the distinct
+    // user-day table into the trailing windows.
+    "q235_engagement" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         mx AS (SELECT max(day) AS dmax FROM ud),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau
+           FROM ud GROUP BY 1),
+         w7 AS (SELECT t.day, count(DISTINCT t.user_id) AS wau
+           FROM (SELECT user_id, day + k AS day FROM ud
+             CROSS JOIN (SELECT unnest(range(0, 7)) AS k)) t
+           CROSS JOIN mx WHERE t.day <= mx.dmax GROUP BY t.day),
+         w28 AS (SELECT t.day, count(DISTINCT t.user_id) AS mau
+           FROM (SELECT user_id, day + k AS day FROM ud
+             CROSS JOIN (SELECT unnest(range(0, 28)) AS k)) t
+           CROSS JOIN mx WHERE t.day <= mx.dmax GROUP BY t.day)
+         SELECT CAST(dau.day AS BIGINT) AS day, dau, wau, mau,
+           round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+         FROM dau JOIN w7 ON dau.day = w7.day JOIN w28 ON dau.day = w28.day""",
   )
 }
