@@ -645,6 +645,48 @@ private[graft] object EventQueries extends QueryFamily {
         .withColumn("stickiness",
           round(col("dau").cast("double") / col("mau"), 6))
     }),
+
+    // ---- exponentially decayed counts (q236): trending scores — each
+    // event contributes 0.5^(age_days) to its type's score (half-life =
+    // 1 day). Ages are small integers and 0.5^k is an exact binary
+    // double, so every term is exact and the per-type sum is
+    // order-independent at 6 dp; one conditional aggregate, no state. ---
+    "q236_decayed_counts" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+      val mx = ev.agg(max(col("day")).as("max_day"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("wgt", pow(lit(0.5), (col("max_day") - col("day"))
+          .cast("double")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          round(sum(col("wgt")), 6).as("decayed_score"))
+    }),
+
+    // ---- funnel time-to-convert (q239): for q136's full-funnel
+    // sessions, the view->purchase latency profile (count / min / mean /
+    // max seconds) — the "how fast do converters convert" readout; same
+    // one-pass conditional-min session frame as q136. -------------------
+    "q239_time_to_convert" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("user_id"), expr("ts div 1000").as("tsu"),
+          col("event_id"), col("event_type"))
+      val sess = Trajectories.sessionize(ev, gapMicros = 30000000000L)
+      val per = sess.groupBy("user_id", "session_idx").agg(
+        min(when(col("event_type") === "view", col("tsu"))).as("t1"),
+        sort_array(collect_list(
+          when(col("event_type") === "click", col("tsu")))).as("clicks"),
+        sort_array(collect_list(
+          when(col("event_type") === "purchase", col("tsu")))).as("purchases"))
+        .withColumn("t2", array_min(filter(col("clicks"), c => c > col("t1"))))
+        .withColumn("t3", array_min(filter(col("purchases"), c => c > col("t2"))))
+        .where(col("t3").isNotNull)
+        .withColumn("latency_s", expr("(t3 - t1) DIV 1000000"))
+      per.agg(count(lit(1)).as("n_converted"),
+        min(col("latency_s")).as("min_s"),
+        round(avg(col("latency_s")), 6).as("mean_s"),
+        max(col("latency_s")).as("max_s"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1082,5 +1124,45 @@ private[graft] object EventQueries extends QueryFamily {
          SELECT CAST(dau.day AS BIGINT) AS day, dau, wau, mau,
            round(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
          FROM dau JOIN w7 ON dau.day = w7.day JOIN w28 ON dau.day = w28.day""",
+
+    // Decayed-counts twin: integer ages, exact binary powers of 1/2.
+    "q236_decayed_counts" ->
+      """WITH d AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         mx AS (SELECT max(day) AS max_day FROM d)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+           round(sum(pow(0.5, CAST(max_day - day AS DOUBLE))), 6)
+             AS decayed_score
+         FROM d CROSS JOIN mx GROUP BY event_type""",
+
+    // Time-to-convert twin: the q136 funnel CTEs, latency stats over
+    // full-funnel sessions.
+    "q239_time_to_convert" ->
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+           FROM events),
+         s0 AS (SELECT user_id, tsu, event_id, event_type,
+           CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
+             THEN 1 ELSE 0 END AS brk
+           FROM d WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+         x AS (SELECT user_id, tsu, event_type,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess
+           FROM s0),
+         t1 AS (SELECT user_id, sess,
+             min(CASE WHEN event_type = 'view' THEN tsu END) AS t1
+           FROM x GROUP BY 1, 2 HAVING t1 IS NOT NULL),
+         t2 AS (SELECT x.user_id, x.sess, min(x.tsu) AS t2
+           FROM x JOIN t1 ON x.user_id = t1.user_id AND x.sess = t1.sess
+           WHERE x.event_type = 'click' AND x.tsu > t1.t1 GROUP BY 1, 2),
+         t3 AS (SELECT x.user_id, x.sess, min(x.tsu) AS t3
+           FROM x JOIN t2 ON x.user_id = t2.user_id AND x.sess = t2.sess
+           WHERE x.event_type = 'purchase' AND x.tsu > t2.t2 GROUP BY 1, 2),
+         lat AS (SELECT (t3.t3 - t1.t1) // 1000000 AS latency_s
+           FROM t3 JOIN t1 ON t3.user_id = t1.user_id AND t3.sess = t1.sess)
+         SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(min(latency_s) AS BIGINT) AS min_s,
+           round(avg(latency_s), 6) AS mean_s,
+           CAST(max(latency_s) AS BIGINT) AS max_s
+         FROM lat""",
   )
 }

@@ -968,6 +968,46 @@ private[graft] object TextQueries extends QueryFamily {
           round(lit(1000.0) * (col("nh") * col("sigma")) / col("wsum"), 6)
             .as("alloc"))
     }),
+
+    // ---- quantile transform (q237): map the quality score onto its
+    // empirical CDF (percent_rank with doc_id tie-break) and bucket into
+    // deciles — the rank-normalization that makes thresholds transfer
+    // across corpora; the decile census is uniform by construction,
+    // which is exactly what the gate checks. ----------------------------
+    "q237_quantile_transform" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      val w = Window.orderBy(col("q"), col("doc_id"))
+      d.withColumn("pr", percent_rank().over(w))
+        .withColumn("decile",
+          least(floor(col("pr") * 10).cast("long"), lit(9L)))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+    }),
+
+    // ---- vocabulary overlap matrix (q238): pairwise Jaccard of the
+    // per-source word vocabularies — the LEXICAL drift matrix next to
+    // q232's embedding one. The (word, source) distinct table self-joins
+    // on word (vocabulary-sized, Zipf-bounded), unions come from the
+    // per-source vocab sizes — no document ever re-reads. ---------------
+    "q238_vocab_overlap" -> ((s, dir) => {
+      val ws = docs(s, dir).select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+        .where(col("w") =!= "").distinct()
+      val sizes = ws.groupBy(col("source")).agg(count(lit(1)).as("vsize"))
+      val inter = ws.select(col("source").as("sa"), col("w"))
+        .join(ws.select(col("source").as("sb"), col("w")), Seq("w"))
+        .where(col("sa") < col("sb"))
+        .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("sa"), col("vsize").as("va"))), Seq("sa"))
+        .join(broadcast(sizes.select(col("source").as("sb"), col("vsize").as("vb"))), Seq("sb"))
+        .select(col("sa"), col("sb"), col("inter"),
+          (col("va") + col("vb") - col("inter")).as("uni"),
+          round(col("inter").cast("double") /
+            (col("va") + col("vb") - col("inter")), 6).as("jaccard"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1829,5 +1869,41 @@ private[graft] object TextQueries extends QueryFamily {
            round(sigma, 6) AS sigma,
            round(1000.0 * (nh * sigma) / wsum, 6) AS alloc
          FROM sg CROSS JOIN tot""",
+
+    // Quantile-transform twin: the same percent_rank and decile floor.
+    "q237_quantile_transform" ->
+      """WITH d AS (SELECT doc_id,
+           round(
+             least(CAST(len(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+             + (1.0 - least(CAST(len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) AS DOUBLE)
+                 / greatest(CAST(len(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.2
+             + least(CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|it|that|for)\b')) AS DOUBLE)
+                 / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.4
+             , 6) AS q
+           FROM documents),
+         p AS (SELECT q,
+             percent_rank() OVER (ORDER BY q, doc_id) AS pr FROM d)
+         SELECT least(CAST(floor(pr * 10) AS BIGINT), 9) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(q) AS min_q, max(q) AS max_q
+         FROM p GROUP BY 1""",
+
+    // Vocab-overlap twin: the same distinct (source, word) table and
+    // Jaccard arithmetic.
+    "q238_vocab_overlap" ->
+      """WITH ws AS (SELECT DISTINCT source,
+             unnest(str_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents),
+         wf AS (SELECT source, w FROM ws WHERE w != ''),
+         sz AS (SELECT source, count(*) AS vsize FROM wf GROUP BY 1),
+         iv AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+           FROM wf a JOIN wf b ON a.w = b.w AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT sa, sb, CAST(inter AS BIGINT) AS inter,
+           CAST(va.vsize + vb.vsize - inter AS BIGINT) AS uni,
+           round(CAST(inter AS DOUBLE) / (va.vsize + vb.vsize - inter), 6)
+             AS jaccard
+         FROM iv JOIN sz va ON iv.sa = va.source
+         JOIN sz vb ON iv.sb = vb.source""",
   )
 }
