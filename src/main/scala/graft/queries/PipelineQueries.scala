@@ -767,6 +767,49 @@ private[graft] object PipelineQueries extends QueryFamily {
           df.agg(count(lit(1)).as("n")).select(lit(name).as("check"), col("n"))
         }.reduce(_ unionByName _)
     }),
+
+    // ---- Pareto frontier (q240): orders that are not dominated on
+    // (price low, date recent) — no other order is both cheaper AND at
+    // least as recent. One integer-cents sort + a running max over the
+    // STRICTLY-CHEAPER range frame (RANGE ... 1 PRECEDING on the integer
+    // key) replaces the quadratic dominance self-join; equal-price rows
+    // never dominate each other under the strict rule. ------------------
+    "q240_pareto_frontier" -> ((s, dir) => {
+      val o = Trajectories.table(s, dir, "orders")
+        .select(col("o_orderkey"),
+          expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+            .as("day"))
+      val w = Window.orderBy(col("cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val front = o.withColumn("best_prior_day", max(col("day")).over(w))
+        .where(col("best_prior_day").isNull ||
+          col("day") > col("best_prior_day"))
+      front.agg(count(lit(1)).as("n_frontier"),
+          min(col("cents")).as("min_cents"), max(col("day")).as("max_day"),
+          sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    // ---- weighted median (q241): the smallest price whose cumulative
+    // quantity share reaches 1/2 (and the p90 analog) — the
+    // distribution summary that respects weights, from one sort + one
+    // cumulative window; integer quantities keep the cumsum exact. ------
+    "q241_weighted_median" -> ((s, dir) => {
+      val li = Trajectories.table(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+          .as("cents"), col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("cents")).agg(sum(col("qty")).as("q"))
+      val tot = li.agg(sum(col("q")).as("qtot"))
+      val w = Window.orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = li.withColumn("cq", sum(col("q")).over(w))
+        .crossJoin(broadcast(tot))
+      def quantile(frac: Double, name: String) = cum
+        .where(col("cq") * 2 >= col("qtot") * (2 * frac))
+        .agg(min(col("cents")).as(name))
+      quantile(0.5, "wp50_cents").crossJoin(quantile(0.9, "wp90_cents"))
+        .crossJoin(tot)
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1217,5 +1260,36 @@ private[graft] object PipelineQueries extends QueryFamily {
            FROM events WHERE user_id % 13 != 0
          UNION ALL
          SELECT 'retained_rows_of_deleted_users', CAST(0 AS BIGINT)""",
+
+    // Frontier twin: the same integer-cents running-max dominance rule.
+    "q240_pareto_frontier" ->
+      """WITH o AS (SELECT o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             epoch_us(o_orderdate) // 86400000000 AS day FROM orders),
+         f AS (SELECT o_orderkey, cents, day,
+             max(day) OVER (ORDER BY cents
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bpd
+           FROM o)
+         SELECT CAST(count(*) AS BIGINT) AS n_frontier,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(day) AS BIGINT) AS max_day,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         FROM f WHERE bpd IS NULL OR day > bpd""",
+
+    // Weighted-median twin: identical cumulative-share thresholds.
+    "q241_weighted_median" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+             AS cents, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+         g AS (SELECT cents, sum(qty) AS q FROM li GROUP BY 1),
+         t AS (SELECT sum(q) AS qtot FROM g),
+         c AS (SELECT cents,
+             sum(q) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cq
+           FROM g)
+         SELECT
+           (SELECT CAST(min(cents) AS BIGINT) FROM c CROSS JOIN t
+             WHERE cq * 2 >= qtot * 1.0) AS wp50_cents,
+           (SELECT CAST(min(cents) AS BIGINT) FROM c CROSS JOIN t
+             WHERE cq * 2 >= qtot * 1.8) AS wp90_cents,
+           (SELECT CAST(qtot AS BIGINT) FROM t) AS qtot""",
   )
 }
