@@ -50,14 +50,11 @@ object Packing {
     * then a distributed TakeOrdered, no shuffle of payload. Same
     * overflow discipline as [[sampleHashPpm]]: reduce mod p before the
     * multiply so the product peaks at ~1.1e18. */
-  def reservoirKey(id: Column, weight: Column): Column = {
-    val p = 2147483647L
-    val m = 2654435761L % p
-    array_max(transform(
-      sequence(lit(1L), greatest(weight.cast("long"), lit(1L))),
-      j => pmod(pmod(pmod(id.cast("long"), lit(p)) * lit(1000003L) + j,
-        lit(p)) * lit(m) + lit(101L), lit(p))))
-  }
+  def reservoirKey(id: Column, weight: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.toColumn(
+      graft.functions.ReservoirKeyExpr(
+        org.apache.spark.sql.GraftExpressionBridge.toExpression(id.cast("long")),
+        org.apache.spark.sql.GraftExpressionBridge.toExpression(weight.cast("long"))))
 
   /** Deterministic weighted sample without replacement: the `k` items
     * with the largest [[reservoirKey]] (ties by ascending id). */

@@ -93,4 +93,25 @@ class PackingSpec extends SparkSpec with Matchers {
     val hi = ids.where(Packing.mixtureKeep(col("doc_id"), lit(600000L)))
     kept.join(hi, Seq("doc_id"), "left_anti").count() shouldBe 0L
   }
+
+  test("native reservoirKey equals the HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(200).toDF("doc_id")
+      .withColumn("w", (col("doc_id") * 37 % 91) + 1)
+    val p = 2147483647L
+    val m = 2654435761L % p
+    val hof = array_max(transform(
+      sequence(lit(1L), greatest(col("w").cast("long"), lit(1L))),
+      j => pmod(pmod(pmod(col("doc_id").cast("long"), lit(p)) * lit(1000003L) + j,
+        lit(p)) * lit(m) + lit(101L), lit(p))))
+    val diffs = df.select(
+        Packing.reservoirKey(col("doc_id"), col("w")).as("nat"), hof.as("ref"))
+      .where(col("nat") =!= col("ref")).count()
+    diffs shouldBe 0L
+    // weight <= 0 clamps to 1 (single hash), and huge ids do not overflow
+    val one = df.sparkSession.range(1).toDF("doc_id")
+      .select(Packing.reservoirKey(lit(9007199254740993L), lit(0L)).as("k"))
+      .head().getLong(0)
+    one should be >= 0L
+  }
 }

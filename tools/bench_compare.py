@@ -95,6 +95,16 @@ BASELINES = {
     "q216": 1.148, "q217": 0.215, "q218": 0.347, "q219": 0.276,
     "q220": 1.479, "q221": 2.893, "q222": 0.203, "q223": 0.411,
     "q224": 0.620, "q225": 1.020, "q226": 0.537,
+    # round-7 seventh batch first-appearance (quiet full sweep, 241-query
+    # surface): outer stream join (q227), delete audit (q228), Markov
+    # prediction (q229), novelty (q230), Neyman (q231), centroid sim
+    # (q232), RFM (q233), Welch (q234), engagement (q235), decayed counts
+    # (q236), quantile transform (q237), vocab overlap (q238),
+    # time-to-convert (q239), Pareto (q240), weighted median (q241)
+    "q227": 8.125, "q228": 0.409, "q229": 0.732, "q230": 1.034,
+    "q231": 0.225, "q232": 0.436, "q233": 0.506, "q234": 0.161,
+    "q235": 0.536, "q236": 0.284, "q237": 0.398, "q238": 0.550,
+    "q239": 0.670, "q240": 0.366, "q241": 1.657,
 }
 
 
