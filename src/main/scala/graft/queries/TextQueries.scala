@@ -1008,6 +1008,32 @@ private[graft] object TextQueries extends QueryFamily {
           round(col("inter").cast("double") /
             (col("va") + col("vb") - col("inter")), 6).as("jaccard"))
     }),
+
+    // ---- Cohen's kappa (q242): chance-corrected agreement of the q19
+    // heuristic language-id against the ground-truth lang column — the
+    // labeler-quality metric accuracy alone overstates when classes are
+    // imbalanced. po/pe/kappa from the confusion marginals in one
+    // model-sized pass after the per-doc classify scan. -----------------
+    "q242_cohens_kappa" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"),
+        TextFunctions.langIdGuess(col("text")).as("guess"))
+      val cells = d.groupBy(col("lang"), col("guess")).agg(count(lit(1)).as("c"))
+      val n = cells.agg(sum(col("c")).as("n"))
+      val agree = cells.where(col("lang") === col("guess"))
+        .agg(sum(col("c")).as("agree"))
+      val pe = cells.groupBy(col("lang")).agg(sum(col("c")).as("row_n"))
+        .join(cells.groupBy(col("guess")).agg(sum(col("c")).as("col_n"))
+          .withColumnRenamed("guess", "lang"), Seq("lang"))
+        .agg(sum(col("row_n") * col("col_n")).as("rc_sum"))
+      agree.crossJoin(n).crossJoin(pe)
+        .select(col("n"), col("agree"),
+          round(col("agree").cast("double") / col("n"), 6).as("po"),
+          round(col("rc_sum").cast("double") / (col("n") * col("n")), 6).as("pe"),
+          round((col("agree").cast("double") / col("n") -
+              col("rc_sum").cast("double") / (col("n") * col("n"))) /
+            (lit(1.0) - col("rc_sum").cast("double") / (col("n") * col("n"))),
+            6).as("kappa"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1905,5 +1931,37 @@ private[graft] object TextQueries extends QueryFamily {
              AS jaccard
          FROM iv JOIN sz va ON iv.sa = va.source
          JOIN sz vb ON iv.sb = vb.source""",
+
+    // Kappa twin: the q19 classifier replay, confusion marginals, and
+    // the same po/pe/kappa term structure.
+    "q242_cohens_kappa" ->
+      """WITH c AS (SELECT lang,
+           len(regexp_extract_all(text, '\b(the|and|of|is|with)\b')) AS en,
+           len(regexp_extract_all(text, '\b(le|la|les|et|des|une)\b')) AS fr,
+           len(regexp_extract_all(text, '\b(der|die|das|und|ist|ein)\b')) AS de,
+           len(regexp_extract_all(text, '\b(el|los|las|y|una|es)\b')) AS es,
+           len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS zh
+         FROM documents),
+         g AS (SELECT lang, CASE
+             WHEN en >= fr AND en >= de AND en >= es AND en >= zh THEN 'en'
+             WHEN fr >= de AND fr >= es AND fr >= zh THEN 'fr'
+             WHEN de >= es AND de >= zh THEN 'de'
+             WHEN es >= zh THEN 'es' ELSE 'zh' END AS guess
+           FROM c),
+         cells AS (SELECT lang, guess, count(*) AS c FROM g GROUP BY 1, 2),
+         nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+         ag AS (SELECT CAST(sum(c) AS BIGINT) AS agree FROM cells
+           WHERE lang = guess),
+         rows_ AS (SELECT lang, sum(c) AS row_n FROM cells GROUP BY 1),
+         cols_ AS (SELECT guess AS lang, sum(c) AS col_n FROM cells GROUP BY 1),
+         rc AS (SELECT CAST(sum(row_n * col_n) AS BIGINT) AS rc_sum
+           FROM rows_ JOIN cols_ USING (lang))
+         SELECT n, agree,
+           round(CAST(agree AS DOUBLE) / n, 6) AS po,
+           round(CAST(rc_sum AS DOUBLE) / (n * n), 6) AS pe,
+           round((CAST(agree AS DOUBLE) / n
+               - CAST(rc_sum AS DOUBLE) / (n * n)) /
+             (1.0 - CAST(rc_sum AS DOUBLE) / (n * n)), 6) AS kappa
+         FROM ag CROSS JOIN nn CROSS JOIN rc""",
   )
 }
