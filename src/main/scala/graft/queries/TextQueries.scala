@@ -1034,6 +1034,45 @@ private[graft] object TextQueries extends QueryFamily {
             (lit(1.0) - col("rc_sum").cast("double") / (col("n") * col("n"))),
             6).as("kappa"))
     }),
+
+    // ---- exact per-group percentiles (q243): p50/p90/p99 of doc length
+    // per source by the DISCRETE rank rule (value at rank ceil(p*n) in
+    // (value, doc_id) order) — deterministic cross-engine where
+    // interpolating quantile implementations are not, and the exact
+    // complement of the q90/q112 sketch rungs. One rank window per
+    // group, integer values end to end. ---------------------------------
+    "q243_exact_percentiles" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("n_chars"), col("doc_id"))
+      val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      val ranked = d.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      def pick(p: Double, name: String) =
+        ranked.where(col("rk") === ceil(lit(p) * col("n")))
+          .select(col("source"), col("n_chars").as(name))
+      pick(0.5, "p50").join(pick(0.9, "p90"), Seq("source"))
+        .join(pick(0.99, "p99"), Seq("source"))
+        .join(d.groupBy("source").agg(count(lit(1)).as("n_docs")), Seq("source"))
+    }),
+
+    // ---- median absolute deviation (q244): the robust scale — per
+    // source, MAD = median(|n_chars - median(n_chars)|) by the same
+    // discrete rank rule; outliers that wreck a stddev leave the MAD
+    // untouched. Two rank passes over integer values. -------------------
+    "q244_mad" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"), col("n_chars"), col("doc_id"))
+      val w = Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      val med = d.withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .where(col("rk") === ceil(lit(0.5) * col("n")))
+        .select(col("source"), col("n_chars").as("median"))
+      val dev = d.join(broadcast(med), Seq("source"))
+        .withColumn("dev", abs(col("n_chars") - col("median")))
+      val wd = Window.partitionBy("source").orderBy(col("dev"), col("doc_id"))
+      dev.withColumn("rk", row_number().over(wd))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .where(col("rk") === ceil(lit(0.5) * col("n")))
+        .select(col("source"), col("median"), col("dev").as("mad"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -1963,5 +2002,45 @@ private[graft] object TextQueries extends QueryFamily {
                - CAST(rc_sum AS DOUBLE) / (n * n)) /
              (1.0 - CAST(rc_sum AS DOUBLE) / (n * n)), 6) AS kappa
          FROM ag CROSS JOIN nn CROSS JOIN rc""",
+
+    // Exact-percentile twin: the same discrete ceil(p*n) rank rule.
+    "q243_exact_percentiles" ->
+      """WITH r AS (SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents),
+         p50 AS (SELECT source, n_chars AS p50 FROM r
+           WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)),
+         p90 AS (SELECT source, n_chars AS p90 FROM r
+           WHERE rk = CAST(ceil(0.9 * n) AS BIGINT)),
+         p99 AS (SELECT source, n_chars AS p99 FROM r
+           WHERE rk = CAST(ceil(0.99 * n) AS BIGINT)),
+         nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY 1)
+         SELECT source, p50, p90, p99, n_docs
+         FROM p50 JOIN p90 USING (source) JOIN p99 USING (source)
+         JOIN nd USING (source)""",
+
+    // MAD twin: the same two-pass discrete-median rule.
+    "q244_mad" ->
+      """WITH r AS (SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM documents),
+         med AS (SELECT source, n_chars AS median FROM r
+           WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)),
+         dev AS (SELECT d.source, med.median,
+             abs(d.n_chars - med.median) AS dev, d.doc_id
+           FROM documents d JOIN med ON d.source = med.source),
+         r2 AS (SELECT source, median, dev,
+             row_number() OVER (PARTITION BY source
+               ORDER BY dev, doc_id) AS rk,
+             count(*) OVER (PARTITION BY source) AS n
+           FROM dev)
+         SELECT source, CAST(median AS BIGINT) AS median,
+           CAST(dev AS BIGINT) AS mad
+         FROM r2 WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)""",
   )
 }
