@@ -69,21 +69,47 @@ object Bench {
     }
     // The driver captures only the LAST 2000 bytes of stdout (measured from
     // BENCH_r04.json's tail field), and sbt's trailing "[success] Total
-    // time" line eats ~80 of those. 83 full query names alone are 1355
-    // chars, so a full-named line (~2.2 KB in r02-r04) can NEVER fit ->
-    // four consecutive rounds of parsed:null. Fix: emit the unique "qNN"
-    // prefix as the key (full-name mapping is documented in BASELINE.md's
-    // per-query table, which the judge reads alongside this file); keep
-    // second (not ms) units per the driver contract; and print the line
-    // twice so the tail always ends with one complete copy.
+    // time" line eats ~80 of those. Even with "qNN" short keys a 244-entry
+    // named map is ~2.7 KB and can NEVER fit whole — BENCH_r07.json again
+    // recorded parsed:null with only 152 timings surviving in the tail.
+    // Fix: emit per-query times as integer MILLISECONDS in a plain JSON
+    // array ordered by ascending query number ("queries_ms"), ~1.1 KB for
+    // 244 queries. The rank->name mapping is the committed manifest
+    // tools/bench_names.json (BenchManifestSpec pins it to the registry,
+    // and tools/bench_compare.py decodes BENCH_r{N}.json directly from it).
+    // A small "queries" map with the top slots by wall time is kept for
+    // at-a-glance reading; it is a SUBSET, not the measurement record.
+    // Print the compact line twice so the tail always ends with one
+    // complete copy even if the line grows past 1 KB.
     // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
     // comma-decimal locale would render 1,234 — invalid JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def shortName(n: String): String = n.takeWhile(_ != '_')
-    val qs = results.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt(v) }
+    def qnum(n: String): Int = shortName(n).drop(1).toInt
+    val ordered = results.toSeq.sortBy { case (k, _) => qnum(k) }
+    require(ordered.map(p => qnum(p._1)).distinct.size == ordered.size,
+      "duplicate query numbers would corrupt the rank-ordered bench array")
+    // full verbose map for local logs only — key chosen so neither the
+    // driver's nor bench_compare's '{"metric"' scan can latch onto it
+    println("{\"full_queries\":" + ordered.map { case (k, v) =>
+      "\"" + shortName(k) + "\":" + fmt(v) }.mkString("{", ",", "}") + "}")
+    val msArr = ordered.map { case (_, v) => math.round(v * 1000).toString }
+      .mkString("[", ",", "]")
+    val top = ordered.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + shortName(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs}"""
+    // a SPARK_GRAFT_ONLY-filtered run would misalign the rank array with
+    // the full manifest — emit the legacy named map instead (local logs
+    // are read whole, so the tail limit doesn't apply there)
+    val line = if (only.isDefined)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":""" +
+        ordered.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt(v) }
+          .mkString("{", ",", "}") + "}"
+    else
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${ordered.size},""" +
+        s""""enc":"queries_ms = integer ms by ascending qNN; names in tools/bench_names.json; queries = top-10 subset",""" +
+        s""""queries_ms":$msArr,"queries":$top}"""
     println(line)
     println(line)
     spark.stop()

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -34,6 +35,16 @@ object ReservoirKeyOps {
 
 case class ReservoirKeyExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  // analysis-time type contract: a non-long child is an analysis error,
+  // never a runtime ClassCastException in nullSafeEval or broken
+  // generated code (AbstractDataType is private[sql], so the check is
+  // spelled out instead of via ExpectsInputTypes)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"reservoir_key expects (BIGINT, BIGINT), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
 

@@ -437,8 +437,9 @@ private[graft] object EventQueries extends QueryFamily {
     // the first observation: y_1 = x_1, y_i = x_i/2 + y_{i-1}/2. The
     // recursion runs as an ordered in-group fold (collect the per-user
     // series, fold left) — one hash exchange, O(series) state, the same
-    // shape DuckDB's list_reduce replays exactly. A NaN sentinel seeds
-    // the fold (NaN never occurs in the data). --------------------------
+    // shape DuckDB's list_reduce replays exactly. The fold accumulator is
+    // an explicit (seen, acc) struct so the seed step never depends on a
+    // sentinel value occurring (or not) in the data. --------------------
     "q208_ewma" -> ((s, dir) => {
       val series = Trajectories.events(s, dir)
         .groupBy(col("user_id"))
@@ -447,9 +448,13 @@ private[graft] object EventQueries extends QueryFamily {
         .withColumn("xs", transform(col("sv"), r => r.getField("value")))
       series.select(col("user_id"),
           size(col("xs")).cast("long").as("n_events"),
-          round(aggregate(col("xs"), lit(Double.NaN),
-            (acc, x) => when(isnan(acc), x)
-              .otherwise(x * lit(0.5) + acc * lit(0.5))), 6).as("ewma"))
+          round(aggregate(col("xs"),
+            struct(lit(false).as("seen"), lit(0.0).as("acc")),
+            (st, x) => struct(lit(true).as("seen"),
+              when(!st.getField("seen"), x)
+                .otherwise(x * lit(0.5) + st.getField("acc") * lit(0.5))
+                .as("acc")),
+            st => st.getField("acc")), 6).as("ewma"))
     }),
 
     // ---- rolling z-score anomalies (q209): per user, each value scored
@@ -487,7 +492,10 @@ private[graft] object EventQueries extends QueryFamily {
       val baskets = Trajectories.events(s, dir)
         .select(col("user_id"), expr("ts div 86400000000000").as("day"),
           col("event_type")).distinct()
-      val nB = baskets.select(col("user_id"), col("day")).distinct().count()
+      // basket total as an in-plan broadcast 1-row aggregate (q235/q236
+      // discipline) — keeps query construction lazy, no eager count()
+      val nB = broadcast(baskets.select(col("user_id"), col("day")).distinct()
+        .agg(count(lit(1)).cast("double").as("nb")))
       val margins = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("m"))
       val a = baskets.select(col("user_id"), col("day"), col("event_type").as("ta"))
       val b = baskets.select(col("user_id"), col("day"), col("event_type").as("tb"))
@@ -495,9 +503,10 @@ private[graft] object EventQueries extends QueryFamily {
         .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("supp"))
         .join(broadcast(margins.select(col("event_type").as("ta"), col("m").as("ma"))), Seq("ta"))
         .join(broadcast(margins.select(col("event_type").as("tb"), col("m").as("mb"))), Seq("tb"))
+        .crossJoin(nB)
         .select(col("ta"), col("tb"), col("supp"),
-          round((col("supp").cast("double") / nB) /
-            ((col("ma").cast("double") / nB) * (col("mb").cast("double") / nB)),
+          round((col("supp").cast("double") / col("nb")) /
+            ((col("ma").cast("double") / col("nb")) * (col("mb").cast("double") / col("nb"))),
             6).as("lift"))
     }),
 
@@ -1011,7 +1020,7 @@ private[graft] object EventQueries extends QueryFamily {
              count(*) AS supp
            FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
            WHERE a.event_type < c.event_type GROUP BY 1, 2)
-         SELECT tb, ta, CAST(supp AS BIGINT) AS supp,
+         SELECT ta, tb, CAST(supp AS BIGINT) AS supp,
            round((CAST(supp AS DOUBLE) / nb.n) /
              ((CAST(ma.m AS DOUBLE) / nb.n) * (CAST(mb.m AS DOUBLE) / nb.n)), 6)
              AS lift

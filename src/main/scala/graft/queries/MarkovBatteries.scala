@@ -276,6 +276,79 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
         "committor_adjoint_vs_forward" -> qResid,
         "n_states" -> n.toDouble))
     }),
+
+    // ---- TRAM thermodynamic-overlap statistic (q245): the post_hoc_RE
+    // connectivity kernel (reference connected_set.h
+    // OverlapPostHocReplicaExchange) as a DISTRIBUTED query — per
+    // (markov_state, k, l) ensemble pair, the estimated replica-exchange
+    // acceptance n_sum = Σ min(e^Δ, 1) over all sample pairs binned in
+    // that Markov state, plus the acceptance criterion
+    // (n+m)·n_avg·factor ≥ 1. One self-join keyed on the Markov state;
+    // at 100 TB the fan-out stays within-state and the bias payload is a
+    // fixed K-vector — no all-pairs anywhere. Ensembles and biases are
+    // derived deterministically from the dtraj (therm = t mod 3, bias a
+    // closed form of t) and cells are capped at 40 samples for the
+    // testdata twin. ------------------------------------------------------
+    "q245_tram_overlap" -> ((s, dir) => {
+      val base = dtrajEv(s, dir).where(col("state") >= 0)
+        .withColumn("therm", (col("t") % 3).cast("int"))
+      val w = Window.partitionBy("state", "therm").orderBy("traj_id", "t")
+      val sampled = base.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 40)
+        .select(col("state").as("markov_state"), col("therm"),
+          array((0 to 2).map(k =>
+            lit(0.3) * ((col("t") * 7 + lit(k * 13)) % 5).cast("double")): _*)
+            .as("bias"))
+      val stats = graft.markov.TramDataset.postHocOverlap(sampled, 1.0)
+      val cells = sampled.groupBy(col("markov_state"), col("therm"))
+        .agg(count(lit(1)).as("c"))
+      stats
+        .join(broadcast(cells.select(col("markov_state"),
+          col("therm").as("k"), col("c").as("n_k"))), Seq("markov_state", "k"))
+        .join(broadcast(cells.select(col("markov_state"),
+          col("therm").as("l"), col("c").as("m_l"))), Seq("markov_state", "l"))
+        .select(col("markov_state"), col("k"), col("l"), col("n_pairs"),
+          col("n_sum"), col("n_avg"),
+          when((col("n_k") + col("m_l")).cast("double") * col("n_avg") >= 1.0,
+            1L).otherwise(0L).as("overlap"))
+    }),
+
+    // ---- TRAM connected-set restriction (q246): TRAMDataset
+    // restrict_to_largest_connected_set end-to-end (reference
+    // _tram_dataset.py:309) on a DELIBERATELY DISCONNECTED two-ensemble
+    // construction: ensemble 0 (even users) keeps states 0..4, ensemble 1
+    // (odd users) lives on the disjoint block 5..8 — the joint space
+    // splits into a 5-state and a 4-state component, so the largest
+    // summed-count SCC is exactly ensemble 0's block and the restriction
+    // must zero ensemble 1 out entirely (its dtraj becomes all -1). The
+    // output is the full (therm × state) grid of post-restriction state
+    // counts and per-state outgoing transition counts; the twin replays
+    // the expected restriction in closed form. Assumes (and the data
+    // guarantees, same q85 discipline) ensemble 0's 5 states form one
+    // SCC. The dtraj collect is the documented TRAM driver boundary
+    // (model-sized fixture, Tram.fit contract). --------------------------
+    "q246_tram_restrict" -> ((s, dir) => {
+      val d = dtrajEv(s, dir).where(col("state") >= 0)
+        .withColumn("ens", (col("traj_id") % 2).cast("int"))
+        .withColumn("st", when(col("ens") === 0, col("state"))
+          .otherwise(least(col("state"), lit(3)) + 5))
+        .select("ens", "traj_id", "t", "st")
+        .orderBy("ens", "traj_id", "t")
+        .collect()
+      val byEns = Array(0, 1).map(e =>
+        d.filter(_.getInt(0) == e).map(_.getInt(3)))
+      val bias = byEns.map(tr => Array.fill(tr.length)(Array.fill(2)(1.0)))
+      val ds = new graft.markov.TramDataset(byEns, bias,
+        nMarkovStatesOpt = Some(9))
+      ds.restrictToLargestConnectedSet("summed_count_matrix")
+      val sc = ds.stateCounts
+      val tc = ds.transitionCounts
+      import s.implicits._
+      (for (k <- 0 until 2; st <- 0 until 9) yield
+        (k, st, sc(k)(st),
+          (0 until 9).map(j => tc(k)(st, j)).sum.toLong))
+        .toDF("therm", "state", "n_samples", "n_trans_out")
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -314,5 +387,64 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
          UNION ALL SELECT 'committor_adjoint_vs_forward', 0.0
          UNION ALL SELECT 'n_states', (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
            FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)""",
+
+    // TRAM overlap twin: the identical pairwise acceptance statistic via
+    // an independent SQL self-join (list indexing for the bias vector).
+    "q245_tram_overlap" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          b AS (SELECT user_id, t, state, CAST(t % 3 AS INT) AS therm
+            FROM d WHERE state >= 0),
+          c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY state, therm
+              ORDER BY user_id, t) AS rn FROM b),
+          sm AS (SELECT state AS markov_state, therm,
+              [0.3 * CAST((t * 7) % 5 AS DOUBLE),
+               0.3 * CAST((t * 7 + 13) % 5 AS DOUBLE),
+               0.3 * CAST((t * 7 + 26) % 5 AS DOUBLE)] AS bias
+            FROM c WHERE rn <= 40),
+          pr AS (SELECT a.markov_state, a.therm AS k, f.therm AS l,
+              least(exp(a.bias[a.therm + 1] + f.bias[f.therm + 1]
+                - a.bias[f.therm + 1] - f.bias[a.therm + 1]), 1.0) AS term
+            FROM sm a JOIN sm f ON a.markov_state = f.markov_state
+              AND a.therm <> f.therm),
+          g AS (SELECT markov_state, k, l, CAST(count(*) AS BIGINT) AS n_pairs,
+              sum(term) AS s FROM pr GROUP BY 1, 2, 3),
+          cells AS (SELECT markov_state, therm, count(*) AS c
+            FROM sm GROUP BY 1, 2)
+          SELECT g.markov_state, g.k, g.l, g.n_pairs,
+            round(g.s, 6) AS n_sum, round(g.s / g.n_pairs, 6) AS n_avg,
+            CAST(CASE WHEN CAST(nk.c + ml.c AS DOUBLE)
+                * round(g.s / g.n_pairs, 6) >= 1.0
+              THEN 1 ELSE 0 END AS BIGINT) AS overlap
+          FROM g
+          JOIN cells nk ON g.markov_state = nk.markov_state AND g.k = nk.therm
+          JOIN cells ml ON g.markov_state = ml.markov_state AND g.l = ml.therm""",
+
+    // TRAM restriction twin: the construction makes the largest summed
+    // SCC exactly ensemble 0's {0..4} block (5 states vs 4), so the
+    // post-restriction bookkeeping is closed-form — ensemble 0 keeps
+    // every sample (histogram = per-state counts, transitions = adjacent
+    // pairs of the glued even-user sequence), ensemble 1 zeroes out.
+    "q246_tram_restrict" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          f AS (SELECT user_id, t, CAST(state AS INT) AS st
+            FROM d WHERE state >= 0 AND user_id % 2 = 0),
+          p AS (SELECT st AS s0, LEAD(st) OVER (ORDER BY user_id, t) AS s1
+            FROM f),
+          h AS (SELECT st, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+          tr AS (SELECT s0 AS st, CAST(count(*) AS BIGINT) AS n FROM p
+            WHERE s1 IS NOT NULL GROUP BY 1),
+          grid AS (SELECT k.therm, s.state
+            FROM (VALUES (0), (1)) k(therm)
+            CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8)) s(state))
+          SELECT grid.therm, grid.state,
+            CAST(CASE WHEN grid.therm = 0 THEN coalesce(h.n, 0) ELSE 0 END
+              AS BIGINT) AS n_samples,
+            CAST(CASE WHEN grid.therm = 0 THEN coalesce(tr.n, 0) ELSE 0 END
+              AS BIGINT) AS n_trans_out
+          FROM grid
+          LEFT JOIN h ON grid.state = h.st
+          LEFT JOIN tr ON grid.state = tr.st""",
   )
 }

@@ -682,12 +682,33 @@ private[graft] object PipelineQueries extends QueryFamily {
         sum(when(!col("event_type").isin("view", "click", "purchase",
           "signup", "error"), 1L).otherwise(0L)).as("av"),
         sum(when(col("ts") > 1893456000000000000L, 1L).otherwise(0L)).as("rg"))
+      // anchors: the DuckDB twin counts the planted violations in CLOSED
+      // FORM, which assumes the BASE table has unique event_ids, no null
+      // values, only accepted types, and no ts past the range cut. Measure
+      // those assumptions here while the twin pins them at literal 0 — a
+      // generator change that breaks the contract fails loudly at an
+      // anchor row instead of as an unexplained planted-count mismatch.
+      val anchors = ev.agg(
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("bn"),
+        sum(when(!col("event_type").isin("view", "click", "purchase",
+          "signup", "error"), 1L).otherwise(0L)).as("bt"),
+        sum(when(col("ts") > 1893456000000000000L, 1L).otherwise(0L)).as("br"))
+      val baseDups = ev.groupBy(col("event_id")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1).agg(count(lit(1)).as("v")).select(
+          lit("base_unique_event_id").as("check"), col("v").as("violations"))
       dupIds.unionByName(scans.select(lit("not_null_value").as("check"),
           col("nn").as("violations")))
         .unionByName(scans.select(lit("accepted_event_type").as("check"),
           col("av").as("violations")))
         .unionByName(scans.select(lit("ts_in_range").as("check"),
           col("rg").as("violations")))
+        .unionByName(baseDups)
+        .unionByName(anchors.select(lit("base_not_null_value").as("check"),
+          col("bn").as("violations")))
+        .unionByName(anchors.select(lit("base_accepted_event_type").as("check"),
+          col("bt").as("violations")))
+        .unionByName(anchors.select(lit("base_ts_in_range").as("check"),
+          col("br").as("violations")))
     }),
 
     // ---- dead-letter routing (q225): malformed records split off the
@@ -1192,8 +1213,11 @@ private[graft] object PipelineQueries extends QueryFamily {
          WHERE o_orderpriority = '1-URGENT'""",
 
     // Contract twin: the planted-violation counts in closed form (ids
-    // divisible by the planting moduli; originals are never null /
-    // always in the accepted set / always pre-2030).
+    // divisible by the planting moduli). The closed form is only valid
+    // while the BASE table has unique ids / no nulls / accepted types /
+    // in-range ts — the base_* rows pin those assumptions at literal 0
+    // against the Spark side's measured anchors, so a generator change
+    // surfaces as a named anchor mismatch.
     "q224_data_contract" ->
       """SELECT 'unique_event_id' AS "check", CAST(count(*) AS BIGINT)
              AS violations
@@ -1207,7 +1231,11 @@ private[graft] object PipelineQueries extends QueryFamily {
            FROM events WHERE event_id % 200 = 0
          UNION ALL
          SELECT 'ts_in_range', CAST(count(*) AS BIGINT)
-           FROM events WHERE event_id % 250 = 0""",
+           FROM events WHERE event_id % 250 = 0
+         UNION ALL SELECT 'base_unique_event_id', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'base_not_null_value', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'base_accepted_event_type', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'base_ts_in_range', CAST(0 AS BIGINT)""",
 
     // Dead-letter twin: the same corruption rule replayed with
     // json_valid / json_extract.

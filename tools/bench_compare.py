@@ -108,19 +108,72 @@ BASELINES = {
 }
 
 
+def _last_metric_line(text):
+    """Last complete {"metric":...} JSON object in the text, or None."""
+    line = None
+    for ln in text.splitlines():
+        idx = ln.find('{"metric"')
+        if idx >= 0:
+            cand = ln[idx:].strip()
+            try:
+                json.loads(cand)
+                line = cand
+            except json.JSONDecodeError:
+                pass  # truncated copy (e.g. clipped at the tail boundary)
+    return line
+
+
+def _decode_queries(rec):
+    """Per-query seconds from a bench record.
+
+    Preferred: "queries_ms" (integer ms, rank-ordered by ascending query
+    number) decoded via tools/bench_names.json. Falls back to the legacy
+    full "queries" map (in the new format "queries" is only a top-10
+    subset, so queries_ms always wins when present).
+    """
+    if "queries_ms" in rec:
+        import os
+        names_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "bench_names.json")
+        with open(names_path) as f:
+            names = json.load(f)
+        ms = rec["queries_ms"]
+        if len(ms) != len(names):
+            print(f"WARNING: {len(ms)} timings vs {len(names)} manifest names"
+                  f" — manifest may be from a different surface; decoding by"
+                  f" ascending-qNN rank prefix")
+        short = [n.split("_")[0] for n in names]
+        return {short[i]: ms[i] / 1000.0 for i in range(min(len(ms), len(short)))}
+    return rec["queries"]
+
+
 def main():
     path = sys.argv[1]
     cap = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
-    line = None
     with open(path) as f:
-        for ln in f:
-            if '{"metric"' in ln:
-                line = ln[ln.index('{"metric"'):].strip()
-    if line is None:
-        print("no bench line found")
-        sys.exit(1)
-    rec = json.loads(line)
-    qs = rec["queries"]
+        text = f.read()
+    rec = None
+    # BENCH_r{N}.json driver record: {"n":..,"rc":..,"tail":..,"parsed":..}
+    try:
+        outer = json.loads(text)
+        if isinstance(outer, dict) and ("parsed" in outer or "tail" in outer):
+            if outer.get("parsed"):
+                rec = outer["parsed"]
+            else:
+                line = _last_metric_line(outer.get("tail", ""))
+                if line:
+                    rec = json.loads(line)
+        elif isinstance(outer, dict) and "metric" in outer:
+            rec = outer
+    except json.JSONDecodeError:
+        pass
+    if rec is None:  # raw log: scan for the last complete metric line
+        line = _last_metric_line(text)
+        if line is None:
+            print("no bench line found")
+            sys.exit(1)
+        rec = json.loads(line)
+    qs = _decode_queries(rec)
     rows = []
     for k, v in qs.items():
         b = BASELINES.get(k)
