@@ -169,4 +169,13 @@ object Trajectories {
     ev.select(col(TrajCol), col(TimeCol),
       least(floor((col("value") - mn) / width), lit(nBins - 1)).cast("int").as("state"))
   }
+
+  /** One-hot encoding of a discrete state column over n states
+    * (reference clustering/_box.py:30 `BoxDiscretizationModel
+    * .transform_onehot`): ARRAY<DOUBLE> of length n with 1.0 at the
+    * state index, 0.0 elsewhere (all-zero for out-of-range states).
+    * Pure codegen column expression — no UDF, stays in whole-stage
+    * codegen wherever the downstream basis/covariance pipeline uses it. */
+  def onehot(state: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    array((0 until n).map(i => when(state === i, 1.0).otherwise(0.0)): _*)
 }

@@ -173,4 +173,185 @@ object BayesianHmm {
       reversible = reversible)
     sample(dtraj, ml, nObs, nSamples, reversible = reversible, seed = seed)
   }
+
+  // --- Gaussian output models -----------------------------------------------
+
+  /** Per-sweep sufficient statistics of a sampled hidden path over
+    * CONTINUOUS observations: hidden transition/initial counts plus per-
+    * state (n, Σx, Σx²) — everything the (μ, σ) posterior draw needs, so
+    * observations never leave the executors. */
+  case class GaussCountStats(trans: Array[Double], init: Array[Double],
+                             n: Array[Double], sx: Array[Double], sxx: Array[Double]) {
+    def merge(o: GaussCountStats): GaussCountStats = {
+      def add(a: Array[Double], b: Array[Double]) = {
+        val r = a.clone; var i = 0
+        while (i < r.length) { r(i) += b(i); i += 1 }
+        r
+      }
+      GaussCountStats(add(trans, o.trans), add(init, o.init),
+        add(n, o.n), add(sx, o.sx), add(sxx, o.sxx))
+    }
+  }
+
+  @inline private def gaussPdf(x: Double, mu: Double, sigma: Double): Double = {
+    val s = math.max(sigma, 1e-8)
+    val z = (x - mu) / s
+    math.exp(-0.5 * z * z) / (s * math.sqrt(2.0 * math.Pi))
+  }
+
+  /** Forward-filter backward-sample over Gaussian emissions; emits the
+    * sampled path's sufficient statistics. */
+  private[hmm] def ffbsGaussCounts(obs: Array[Double], a: Array[Double],
+                                   means: Array[Double], sigmas: Array[Double],
+                                   pi: Array[Double], m: Int,
+                                   rng: java.util.SplittableRandom): GaussCountStats = {
+    val tLen = obs.length
+    val alpha = Array.ofDim[Double](tLen, m)
+    var s0 = 0.0
+    var i = 0
+    while (i < m) { alpha(0)(i) = pi(i) * gaussPdf(obs(0), means(i), sigmas(i)); s0 += alpha(0)(i); i += 1 }
+    if (s0 <= 0) s0 = 1e-300
+    i = 0; while (i < m) { alpha(0)(i) /= s0; i += 1 }
+    var t = 1
+    while (t < tLen) {
+      var st = 0.0
+      var j = 0
+      while (j < m) {
+        var acc = 0.0
+        var k = 0
+        while (k < m) { acc += alpha(t - 1)(k) * a(k * m + j); k += 1 }
+        val v = acc * gaussPdf(obs(t), means(j), sigmas(j))
+        alpha(t)(j) = v; st += v
+        j += 1
+      }
+      if (st <= 0) st = 1e-300
+      j = 0; while (j < m) { alpha(t)(j) /= st; j += 1 }
+      t += 1
+    }
+    def drawFrom(w: Array[Double]): Int = {
+      val z = w.sum
+      if (z <= 0) return rng.nextInt(m)
+      var u = rng.nextDouble() * z
+      var k = 0
+      while (k < w.length - 1) {
+        u -= w(k)
+        if (u < 0) return k
+        k += 1
+      }
+      w.length - 1
+    }
+    val path = new Array[Int](tLen)
+    path(tLen - 1) = drawFrom(alpha(tLen - 1))
+    t = tLen - 2
+    while (t >= 0) {
+      val w = Array.tabulate(m)(k => alpha(t)(k) * a(k * m + path(t + 1)))
+      path(t) = drawFrom(w)
+      t -= 1
+    }
+    val trans = new Array[Double](m * m)
+    val init = new Array[Double](m)
+    val n = new Array[Double](m)
+    val sx = new Array[Double](m)
+    val sxx = new Array[Double](m)
+    init(path(0)) = 1.0
+    t = 0
+    while (t < tLen) {
+      val k = path(t); val x = obs(t)
+      n(k) += 1.0; sx(k) += x; sxx(k) += x * x
+      if (t < tLen - 1) trans(k * m + path(t + 1)) += 1.0
+      t += 1
+    }
+    GaussCountStats(trans, init, n, sx, sxx)
+  }
+
+  case class BayesianGaussianHmmPosterior(prior: GaussianHmm.GaussianHmmModel,
+                                          samples: Seq[GaussianHmm.GaussianHmmModel]) {
+    def gatherStats(f: GaussianHmm.GaussianHmmModel => Array[Double],
+                    quantity: String = "", conf: Double = 0.95): graft.util.QuantityStatistics =
+      graft.util.QuantityStatistics.gather(samples, f, quantity, conf)
+  }
+
+  /** Gibbs sampler over GAUSSIAN output models (_bayesian_hmm.py `_update`
+    * with GaussianOutputModel.sample, _output_model.py:435): per sweep,
+    * (1) FFBS hidden paths (one Spark pass, sufficient stats reduced
+    * tree-wise), (2) emission posterior per state —
+    * μ_k ~ N(mean_k, σ_k/√n_k), then σ_k = √(mean((x−μ_k)²)) /
+    * √(χ²(n_k−1)/n_k) under the Jeffreys prior P(μ,σ²) ∝ 1/σ —
+    * (3) transition + initial posterior draws as in the discrete case. */
+  def sampleGaussian(traj: DataFrame, mlModel: GaussianHmm.GaussianHmmModel,
+                     nSamples: Int = 50, stride: Int = 2, reversible: Boolean = true,
+                     seed: Long = 42L, valueCol: String = "value",
+                     priorPseudocount: Double = 1e-2): BayesianGaussianHmmPosterior = {
+    val spark = traj.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val m = mlModel.transition.rows
+    val trajs: Dataset[(Long, Array[Double])] =
+      traj.select(col("traj_id").cast("long"), col("t").cast("long"),
+          col(valueCol).cast("double")).as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapGroups { (id, it) => (id, it.toArray.sortBy(_._2).map(_._3)) }
+        .cache()
+    trajs.count()
+
+    var a = mlModel.transition.copy
+    var means = mlModel.means.clone()
+    var sigmas = mlModel.sigmas.clone()
+    var piV = mlModel.initial.copy
+    val rng = new java.util.SplittableRandom(seed)
+    val out = scala.collection.mutable.ArrayBuffer.empty[GaussianHmm.GaussianHmmModel]
+    var sweep = 0
+    while (out.length < nSamples) {
+      val aF = graft.linalg.LinAlg.toFlat(a)
+      val meansF = means.clone(); val sigmasF = sigmas.clone()
+      val piF = piV.toArray
+      val sweepSeed = rng.nextLong()
+      val stats = trajs
+        .map { case (id, obs) =>
+          val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
+          ffbsGaussCounts(obs, aF, meansF, sigmasF, piF, m, trng)
+        }
+        .reduce((x, y) => x.merge(y))
+      // (2) Gaussian emission posterior per state (reference order: μ with
+      // the CURRENT σ, then σ with the NEW μ; skip empty states)
+      for (k <- 0 until m) {
+        val nk = stats.n(k)
+        if (nk > 0) {
+          val xbar = stats.sx(k) / nk
+          means(k) = rng.nextGaussian() * sigmas(k) / math.sqrt(nk) + xbar
+        }
+        if (nk > 1) {
+          val chi2 = 2.0 * RandomVariates.gamma(rng, (nk - 1.0) / 2.0)
+          // mean((x-μ)²) from the sufficient statistics
+          val sigmahat2 = stats.sxx(k) / nk - 2.0 * means(k) * stats.sx(k) / nk +
+            means(k) * means(k)
+          sigmas(k) = math.sqrt(math.max(sigmahat2, 1e-12)) /
+            math.sqrt(math.max(chi2, 1e-12) / nk)
+        }
+      }
+      // (3) transition + initial posterior
+      val transCounts = graft.linalg.LinAlg.fromFlat(stats.trans, m) +:+ priorPseudocount
+      a = if (reversible)
+        TmatrixSampler.sampleReversible(transCounts, 1, rng.nextLong(), nSteps = 1, burnIn = 0).head
+      else TmatrixSampler.sampleNonReversible(transCounts, rng)
+      val piDraw = RandomVariates.dirichlet(rng,
+        Array.tabulate(m)(k => stats.init(k) + priorPseudocount))
+      piV = DenseVector(piDraw)
+      sweep += 1
+      if (sweep % stride == 0)
+        out += GaussianHmm.GaussianHmmModel(a.copy, means.clone(), sigmas.clone(),
+          piV.copy, Double.NaN, sweep)
+    }
+    trajs.unpersist()
+    BayesianGaussianHmmPosterior(mlModel, out.toSeq)
+  }
+
+  /** Convenience: Gaussian ML (Baum-Welch) fit then posterior sampling. */
+  def fitGaussian(traj: DataFrame, nHidden: Int, nSamples: Int = 50,
+                  reversible: Boolean = true, seed: Long = 42L,
+                  valueCol: String = "value", maxIterMl: Int = 50): BayesianGaussianHmmPosterior = {
+    val ml = GaussianHmm.fit(traj, nHidden, valueCol, maxIter = maxIterMl)
+    sampleGaussian(traj, ml, nSamples, reversible = reversible, seed = seed,
+      valueCol = valueCol)
+  }
 }

@@ -96,6 +96,26 @@ private[graft] object CoreQueries extends QueryFamily {
         .groupBy(col("state")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // ---- box one-hot transform (q249): transform_onehot (reference
+    // clustering/_box.py:30) over the q11 box discretization — each row
+    // becomes a length-10 one-hot ARRAY<DOUBLE> (a pure codegen column
+    // expression, the input shape the VAMP/covariance basis pipeline
+    // consumes). Verified by its column sums (== the state histogram)
+    // and a row-sum anchor (every one-hot row sums to exactly 1). One
+    // scan, one model-sized aggregate — no explode. ----------------------
+    "q249_box_onehot" -> ((s, dir) => {
+      val nB = 10
+      val d = Trajectories.dtrajFromEventValues(s, dir, nB)
+        .withColumn("oh", Trajectories.onehot(col("state"), nB))
+      val aggCols = (0 until nB).map(j =>
+        sum(element_at(col("oh"), j + 1)).cast("long").as(s"c$j")) :+
+        sum(when(abs(expr("aggregate(oh, 0D, (a, x) -> a + x)") - lit(1.0)) > 1e-12,
+          1L).otherwise(0L)).as("bad")
+      val a1 = d.agg(aggCols.head, aggCols.tail: _*)
+      val stackArgs = (0 until nB).map(j => s"'$j', c$j").mkString(", ")
+      a1.selectExpr(s"stack(${nB + 1}, $stackArgs, 'rowsum_bad', bad) AS (component, n_ones)")
+    }),
+
     "q14_hist2d" -> ((s, dir) => hist2d(s, dir)),
 
     "q15_energy2d" -> ((s, dir) => {
@@ -564,6 +584,20 @@ private[graft] object CoreQueries extends QueryFamily {
          b AS (SELECT CAST(least(floor((value - mn) / ((mx - mn) / 10)), 9) AS INT) AS state
                FROM events, mm)
          SELECT state, count(*) AS cnt FROM b GROUP BY state""",
+
+    // One-hot twin: column sums of the one-hot matrix are the state
+    // histogram over the full 0..9 component grid; the row-sum anchor is
+    // 0 by construction (exactly one component fires per row).
+    "q249_box_onehot" ->
+      """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+         b AS (SELECT CAST(least(floor((value - mn) / ((mx - mn) / 10)), 9) AS INT) AS state
+               FROM events, mm),
+         h AS (SELECT state, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY state),
+         grid AS (SELECT * FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) g(state))
+         SELECT CAST(grid.state AS VARCHAR) AS component,
+           coalesce(h.n, 0) AS n_ones
+         FROM grid LEFT JOIN h ON grid.state = h.state
+         UNION ALL SELECT 'rowsum_bad', CAST(0 AS BIGINT)""",
 
     "q14_hist2d" ->
       s"""SELECT CAST(least(floor(value / 30.0), 10) AS INT) AS vbin,

@@ -349,6 +349,103 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
           (0 until 9).map(j => tc(k)(st, j)).sum.toLong))
         .toDF("therm", "state", "n_samples", "n_trans_out")
     }),
+
+    // ---- Bayesian HMM over GAUSSIAN outputs (q247): the Gibbs sampler
+    // with posterior (μ, σ) draws per hidden state (reference
+    // _bayesian_hmm.py + GaussianOutputModel.sample, Jeffreys prior) run
+    // over the per-user event VALUE series — every posterior sample must
+    // be a valid model (stochastic transitions, normalized initial
+    // distribution, positive σ) and the sampled means must stay inside
+    // the observed value span (+1 margin: μ_k = x̄_k + noise/√n_k).
+    // Sweep passes are the documented distributed shape: FFBS per
+    // trajectory on the executors, only (m² + 3m) sufficient statistics
+    // reduced. Recovery accuracy is spec-gated (BayesianHmmSpec). --------
+    "q247_bayes_gauss_hmm" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("user_id").cast("long").as("traj_id"),
+          col("ts").as("t"), col("value"))
+      val post = graft.markov.hmm.BayesianHmm.fitGaussian(ev, nHidden = 2,
+        nSamples = 10, seed = 47L, maxIterMl = 10)
+      val span = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+      val (vLo, vHi) = (span.getDouble(0) - 1.0, span.getDouble(1) + 1.0)
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+      val stochResid = maxAbs(post.samples.flatMap(m =>
+        (0 until 2).map(i => breeze.linalg.sum(m.transition(i, ::).t) - 1.0)))
+      val piResid = maxAbs(post.samples.map(m =>
+        breeze.linalg.sum(m.initial) - 1.0))
+      val sigViol = maxAbs(post.samples.flatMap(_.sigmas.map(sg => math.min(sg, 0.0))))
+      val muViol = maxAbs(post.samples.flatMap(_.means.map(mu =>
+        math.max(0.0, math.max(vLo - mu, mu - vHi)))))
+      checksDf(s, Seq(
+        "n_samples" -> post.samples.size.toDouble,
+        "trans_stochastic" -> stochResid,
+        "pi_normalized" -> piResid,
+        "sigmas_positive" -> sigViol,
+        "mu_within_span" -> muViol))
+    }),
+
+    // ---- fingerprint / expected-counts identity battery (q248): the two
+    // §2.6 analysis families that were spec-only made oracle-visible.
+    // Spectral replay vs direct propagation (genuinely independent code
+    // paths — rdlReversible eigendecomposition vs iterated matvec) plus
+    // the closed-form count-conservation identities of expected_counts
+    // (reference analysis/_fingerprints.py, tools/analysis/_api.py:758).
+    "q248_msm_fingerprints" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+      import graft.markov.MsmAnalysis
+      val counts = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1)
+      val msm = graft.markov.Msm.fromCounts(counts, 5, tau = 1, reversible = true)
+      val t = msm.transitionMatrix
+      val n = msm.n
+      val pi = msm.stationaryDistribution
+      val obsA = DenseVector.tabulate(n)(i => i.toDouble)
+      val obsB = DenseVector.tabulate(n)(i => (i * i).toDouble / n)
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+
+      val times = 0 to 5
+      // correlation: direct <pi.a | T^t | b> vs fingerprint spectral sum
+      val corrDirect = MsmAnalysis.correlation(t, obsA, obsB, times)
+      val (r, vals, l) = MsmAnalysis.rdlReversible(t)
+      val wA = DenseVector.tabulate(n)(i => pi(i) * obsA(i))
+      val amps = (0 until n).map(k => (wA dot r(::, k)) * (l(k, ::).t dot obsB))
+      val corrSpectral = times.map(tt =>
+        (0 until n).map(k => math.pow(vals(k), tt) * amps(k)).sum)
+      val corrResid = maxAbs(times.indices.map(i => corrDirect(i) - corrSpectral(i)))
+
+      // relaxation from a point mass: direct vs spectral
+      val p0 = DenseVector.zeros[Double](n); p0(0) = 1.0
+      val relaxDirect = MsmAnalysis.relaxation(t, p0, obsB, times)
+      val ampsR = (0 until n).map(k => (p0 dot r(::, k)) * (l(k, ::).t dot obsB))
+      val relaxSpectral = times.map(tt =>
+        (0 until n).map(k => math.pow(vals(k), tt) * ampsR(k)).sum)
+      val relaxResid = maxAbs(times.indices.map(i => relaxDirect(i) - relaxSpectral(i)))
+
+      // relaxation limit -> stationary expectation
+      val relaxInf = MsmAnalysis.relaxation(t, p0, obsB, Seq(2000)).head
+      val expect = pi dot obsB
+      val limitResid = relaxInf - expect
+
+      // expected counts conserve total probability mass: sum E[C^(N)] = N
+      val nSteps = 7
+      val ec = MsmAnalysis.expectedCounts(t, p0, nSteps)
+      val totalResid = bsum(ec) - nSteps.toDouble
+      // stationary: row sums N*pi_i, and expectedCounts from pi IS stationary
+      val ecS = MsmAnalysis.expectedCountsStationary(t, nSteps)
+      val rowResid = maxAbs((0 until n).map(i =>
+        bsum(ecS(i, ::).t) - nSteps * pi(i)))
+      val ecPi = MsmAnalysis.expectedCounts(t, pi, nSteps)
+      val statResid = maxAbs(for (i <- 0 until n; j <- 0 until n)
+        yield ecPi(i, j) - ecS(i, j))
+
+      checksDf(s, Seq(
+        "corr_direct_vs_spectral" -> corrResid,
+        "relax_direct_vs_spectral" -> relaxResid,
+        "relax_limit_vs_expectation" -> limitResid,
+        "expected_counts_total" -> totalResid,
+        "expected_counts_stationary_rows" -> rowResid,
+        "expected_counts_pi_is_stationary" -> statResid,
+        "n_states" -> n.toDouble))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -446,5 +543,26 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
           FROM grid
           LEFT JOIN h ON grid.state = h.st
           LEFT JOIN tr ON grid.state = tr.st""",
+
+    // Bayesian Gaussian HMM twin: validity invariants are driver-exact
+    // zeros; the sample count is the configured draw count.
+    "q247_bayes_gauss_hmm" ->
+      """SELECT * FROM (VALUES
+           ('n_samples', 10.0), ('trans_stochastic', 0.0),
+           ('pi_normalized', 0.0), ('sigmas_positive', 0.0),
+           ('mu_within_span', 0.0)
+         ) AS t("check", "value")""",
+
+    // Fingerprint / expected-counts twin: every identity residual is a
+    // driver-exact zero; the state count anchors the data support.
+    "q248_msm_fingerprints" ->
+      s"""SELECT 'corr_direct_vs_spectral' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'relax_direct_vs_spectral', 0.0
+         UNION ALL SELECT 'relax_limit_vs_expectation', 0.0
+         UNION ALL SELECT 'expected_counts_total', 0.0
+         UNION ALL SELECT 'expected_counts_stationary_rows', 0.0
+         UNION ALL SELECT 'expected_counts_pi_is_stationary', 0.0
+         UNION ALL SELECT 'n_states', (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
+           FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)""",
   )
 }

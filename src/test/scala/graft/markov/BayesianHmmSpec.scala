@@ -47,4 +47,46 @@ class BayesianHmmSpec extends SparkSpec with Matchers {
     val (meanA11, _, _, _) = post.gather(s => s.transition(s1, s1))
     meanA11 shouldBe 0.94 +- 0.05
   }
+
+  test("Gaussian-output posterior recovers (mu, sigma) on a 2-state chain") {
+    import spark.implicits._
+    // well-separated Gaussian emissions: state 0 ~ N(-1, 0.4), state 1 ~ N(2, 0.6)
+    val a = Array(Array(0.93, 0.07), Array(0.05, 0.95))
+    val mus = Array(-1.0, 2.0)
+    val sds = Array(0.4, 0.6)
+    val rng = new java.util.SplittableRandom(71L)
+    def draw(p: Array[Double]): Int = if (rng.nextDouble() < p(0)) 0 else 1
+    val data = (0 until 4).flatMap { id =>
+      var h = 0
+      (0 until 1200).map { t =>
+        val x = mus(h) + sds(h) * rng.nextGaussian()
+        val row = (id.toLong, t.toLong, x)
+        h = draw(a(h)); row
+      }
+    }.toDF("traj_id", "t", "value").cache()
+
+    val post = BayesianHmm.fitGaussian(data, nHidden = 2, nSamples = 25,
+      seed = 83L, maxIterMl = 40)
+    post.samples.size shouldBe 25
+    // valid models: stochastic transitions, positive sigmas
+    post.samples.foreach { s =>
+      (0 until 2).foreach(i => bsum(s.transition(i, ::).t) shouldBe 1.0 +- 1e-8)
+      s.sigmas.foreach(_ should be > 0.0)
+    }
+    // label-match by means of the ML prior
+    val (s0, s1) = if (post.prior.means(0) < post.prior.means(1)) (0, 1) else (1, 0)
+    val muStats = post.gatherStats(s => Array(s.means(s0), s.means(s1)), "means")
+    muStats.mean(0) shouldBe -1.0 +- 0.1
+    muStats.mean(1) shouldBe 2.0 +- 0.1
+    val sigStats = post.gatherStats(s => Array(s.sigmas(s0), s.sigmas(s1)), "sigmas")
+    sigStats.mean(0) shouldBe 0.4 +- 0.08
+    sigStats.mean(1) shouldBe 0.6 +- 0.08
+    // posterior genuinely varies (it is a sampler, not a point estimate)
+    muStats.std(0) should be > 0.0
+    sigStats.std(0) should be > 0.0
+    // and the transition posterior concentrates near truth
+    val aStats = post.gatherStats(s => Array(s.transition(s0, s0), s.transition(s1, s1)), "a_diag")
+    aStats.mean(0) shouldBe 0.93 +- 0.05
+    aStats.mean(1) shouldBe 0.95 +- 0.05
+  }
 }
