@@ -280,4 +280,24 @@ object Tram {
   def fit(framesPerTherm: Seq[DataFrame], tau: Int, nMarkov: Int,
           maxIter: Int, maxErr: Double): TramModel =
     fit(inputFromFrames(framesPerTherm, tau, nMarkov), maxIter, maxErr, tau)
+
+  /** The reference user workflow (_tram.py fit over a TRAMDataset):
+    * dataset -> (optional prior connected-set restriction) -> fixed
+    * point. Counts and the sample table come straight from the dataset's
+    * bookkeeping; samples mapped to -1 by a restriction are excluded. */
+  def fit(dataset: TramDataset, maxIter: Int, maxErr: Double,
+          tau: Int): TramModel = {
+    val k = dataset.nThermStates
+    val n = dataset.nMarkovStates
+    val transitionCounts = dataset.transitionCounts
+      .map(graft.linalg.LinAlg.toFlat)
+    val stateCounts = dataset.stateCounts.map(_.map(_.toDouble))
+    val samples = for {
+      j <- dataset.dtrajs.indices.toArray
+      t <- dataset.dtrajs(j).indices
+      if dataset.dtrajs(j)(t) >= 0
+    } yield (dataset.dtrajs(j)(t), dataset.biasMatrices(j)(t))
+    fit(TramInput(k, n, transitionCounts, stateCounts, samples),
+      maxIter, maxErr, tau)
+  }
 }

@@ -82,6 +82,12 @@ object PlanChecks {
         p => p.contains("PartitionFilters") && p.contains("day#") &&
           p.contains("19725")),
       ("no cartesian", !_.contains("CartesianProduct")))
+    check("q245_tram_overlap")(
+      ("overlap self-join is a hash equi-join on the markov state", p =>
+        p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+          p.contains("BroadcastHashJoin")),
+      ("no cartesian", !_.contains("CartesianProduct")),
+      ("no nested loop", !_.contains("BroadcastNestedLoop")))
     // q165's registered query returns the battery frame, so audit the
     // ANN plan itself: the shortlist rank filter must push map-side
     locally {

@@ -105,6 +105,12 @@ BASELINES = {
     "q231": 0.225, "q232": 0.436, "q233": 0.506, "q234": 0.161,
     "q235": 0.536, "q236": 0.284, "q237": 0.398, "q238": 0.550,
     "q239": 0.670, "q240": 0.366, "q241": 1.657,
+    # round-8 first-appearance values (quiet sweep on the 249 surface):
+    # per-group percentiles (q242), MAD (q243), kappa (q244), TRAM overlap
+    # (q245) + restriction (q246), Bayesian Gaussian HMM (q247),
+    # fingerprint battery (q248), box one-hot (q249)
+    "q242": 0.560, "q243": 0.392, "q244": 0.514, "q245": 0.425,
+    "q246": 0.333, "q247": 2.681, "q248": 0.208, "q249": 0.556,
 }
 
 
