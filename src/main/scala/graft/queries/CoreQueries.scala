@@ -116,6 +116,82 @@ private[graft] object CoreQueries extends QueryFamily {
       a1.selectExpr(s"stack(${nB + 1}, $stackArgs, 'rowsum_bad', bad) AS (component, n_ones)")
     }),
 
+    // ---- model persistence roundtrips (q250): the io/Persistence rung
+    // (reference base.py save/load + the JSON interchange) made oracle-
+    // visible — a VAMP Koopman model fitted from the data roundtrips
+    // through BOTH the JSON codec and Java serialization bit-exactly,
+    // and a k-means ClusterModel through the cluster JSON codec. Every
+    // residual is a max-abs array diff that must be exactly 0; the
+    // files go through a temp dir (driver-side, model-sized). ------------
+    "q250_model_persistence" -> ((s, dir) => {
+      val cov = Covariance.fit(liPairs(s, dir))
+      val vamp = graft.decomposition.Vamp.fitFromCovariance(cov, 1)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-persist")
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+      def diff(a: Array[Double], b: Array[Double]): Double =
+        if (a.length != b.length) 1.0
+        else maxAbs(a.zip(b).map { case (x, y) => x - y })
+      // JSON roundtrip
+      val jsonPath = tmp.resolve("koopman.json").toString
+      graft.io.Persistence.saveJson(graft.io.Persistence.koopmanToJson(vamp), jsonPath)
+      val vj = graft.io.Persistence.koopmanFromJson(
+        graft.io.Persistence.loadJson(jsonPath))
+      val jsonResid = Seq(diff(vj.u, vamp.u), diff(vj.mean0, vamp.mean0),
+        diff(vj.meant, vamp.meant), diff(vj.singularValues, vamp.singularValues),
+        if (vj.tau == vamp.tau && vj.d == vamp.d && vj.k == vamp.k) 0.0 else 1.0).max
+      // Java-serialization roundtrip
+      val serPath = tmp.resolve("koopman.bin").toString
+      graft.io.Persistence.save(vamp, serPath)
+      val vs = graft.io.Persistence.load[graft.decomposition.KoopmanModel](serPath)
+      val serResid = Seq(diff(vs.u, vamp.u), diff(vs.singularValues,
+        vamp.singularValues)).max
+      // ClusterModel JSON roundtrip (k-means on the embeddings)
+      val km = graft.clustering.KMeans.fit(
+        Trajectories.table(s, dir, "embeddings")
+          .select(col("embedding").cast("array<double>").as(Trajectories.FeatCol)),
+        k = 4, maxIter = 3, seed = 11L)
+      val cj = graft.io.Persistence.clusterFromJson(
+        graft.io.Persistence.clusterToJson(km))
+      val clusterResid =
+        if (cj.centers.length != km.centers.length) 1.0
+        else maxAbs(cj.centers.zip(km.centers).map { case (a, b) => diff(a, b) })
+      checksDf(s, Seq(
+        "koopman_json_roundtrip" -> jsonResid,
+        "koopman_serialization_roundtrip" -> serResid,
+        "cluster_json_roundtrip" -> clusterResid,
+        "koopman_k" -> vamp.k.toDouble))
+    }),
+
+    // ---- constant-column sparsification (q251): the fitFeaturesSparse
+    // path (reference covariance sparsification: constant columns are
+    // detected, excluded from the O(d²) moment gemm, and reconstituted)
+    // on a frame with two PLANTED constant columns — the sparse model
+    // must match the dense path entry-for-entry, detect exactly the
+    // planted constants, and carry their exact values as means. ----------
+    "q251_sparse_covariance" -> ((s, dir) => {
+      val base = Trajectories.fromLineitem(s, dir)
+      // plant constants: [x0, 3.5, x1, -2.0] from the 4-feature vector
+      val planted = base.select(col(Trajectories.TrajCol), col(Trajectories.TimeCol),
+        array(element_at(col(Trajectories.FeatCol), 1), lit(3.5),
+          element_at(col(Trajectories.FeatCol), 2), lit(-2.0))
+          .as(Trajectories.FeatCol))
+      val dense = graft.agg.Covariance.fitFeatures(planted)
+      val sparse = graft.agg.Covariance.fitFeaturesSparse(planted, 4)
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+      val meanResid = maxAbs(dense.mean0.zip(sparse.mean0).map { case (a, b) => a - b })
+      val covResid = maxAbs(dense.cov00.zip(sparse.cov00).map { case (a, b) => a - b })
+      val constMeans = math.max(math.abs(sparse.mean0(1) - 3.5),
+        math.abs(sparse.mean0(3) + 2.0))
+      val constRows = maxAbs(for (j <- 0 until 4; i <- Seq(1, 3))
+        yield sparse.cov00(i * 4 + j))
+      checksDf(s, Seq(
+        "sparse_vs_dense_means" -> meanResid,
+        "sparse_vs_dense_cov" -> covResid,
+        "planted_constant_means" -> constMeans,
+        "constant_rows_zero_cov" -> constRows,
+        "n_rows" -> sparse.count.toDouble))
+    }),
+
     "q14_hist2d" -> ((s, dir) => hist2d(s, dir)),
 
     "q15_energy2d" -> ((s, dir) => {
@@ -584,6 +660,28 @@ private[graft] object CoreQueries extends QueryFamily {
          b AS (SELECT CAST(least(floor((value - mn) / ((mx - mn) / 10)), 9) AS INT) AS state
                FROM events, mm)
          SELECT state, count(*) AS cnt FROM b GROUP BY state""",
+
+    // Persistence twin: every roundtrip residual is a driver-exact zero;
+    // the VAMP component count on the full-rank 4-feature lineitem
+    // trajectory is 4 (same data assumption as q30's spectral grid).
+    "q250_model_persistence" ->
+      """SELECT * FROM (VALUES
+           ('koopman_json_roundtrip', 0.0),
+           ('koopman_serialization_roundtrip', 0.0),
+           ('cluster_json_roundtrip', 0.0),
+           ('koopman_k', 4.0)
+         ) AS t("check", "value")""",
+
+    // Sparsification twin: the sparse path is exactly the dense path on
+    // any data (the residuals are driver-exact zeros); the row anchor is
+    // the lineitem count.
+    "q251_sparse_covariance" ->
+      """SELECT 'sparse_vs_dense_means' AS "check", 0.0 AS "value"
+         UNION ALL SELECT 'sparse_vs_dense_cov', 0.0
+         UNION ALL SELECT 'planted_constant_means', 0.0
+         UNION ALL SELECT 'constant_rows_zero_cov', 0.0
+         UNION ALL SELECT 'n_rows',
+           (SELECT CAST(count(*) AS DOUBLE) FROM lineitem)""",
 
     // One-hot twin: column sums of the one-hot matrix are the state
     // histogram over the full 0..9 component grid; the row-sum anchor is
