@@ -85,7 +85,10 @@ object Bench {
     // comma-decimal locale would render 1,234 — invalid JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     def shortName(n: String): String = n.takeWhile(_ != '_')
-    def qnum(n: String): Int = shortName(n).drop(1).toInt
+    // ordering is BenchManifest's — the single definition the committed
+    // tools/bench_names.json decoder manifest is generated from, so the
+    // rank array and the manifest cannot drift independently
+    def qnum(n: String): Int = graft.tools.BenchManifest.qnum(n)
     val ordered = results.toSeq.sortBy { case (k, _) => qnum(k) }
     require(ordered.map(p => qnum(p._1)).distinct.size == ordered.size,
       "duplicate query numbers would corrupt the rank-ordered bench array")

@@ -284,9 +284,11 @@ object Tram {
   /** The reference user workflow (_tram.py fit over a TRAMDataset):
     * dataset -> (optional prior connected-set restriction) -> fixed
     * point. Counts and the sample table come straight from the dataset's
-    * bookkeeping; samples mapped to -1 by a restriction are excluded. */
-  def fit(dataset: TramDataset, maxIter: Int, maxErr: Double,
-          tau: Int): TramModel = {
+    * bookkeeping; samples mapped to -1 by a restriction are excluded.
+    * The lag is the dataset's OWN lagtime — the one its transition
+    * counts were built at — so the model and its counts cannot drift. */
+  def fit(dataset: TramDataset, maxIter: Int, maxErr: Double): TramModel = {
+    val tau = dataset.lagtime
     val k = dataset.nThermStates
     val n = dataset.nMarkovStates
     val transitionCounts = dataset.transitionCounts

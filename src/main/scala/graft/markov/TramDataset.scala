@@ -48,6 +48,19 @@ final class TramDataset(
 
   def dtrajs: Array[Array[Int]] = _dtrajs
 
+  // structural checks FIRST, so degenerate inputs fail with these messages
+  // rather than an opaque empty.max from the derived-size initializers
+  require(_dtrajs.nonEmpty, "need at least one trajectory")
+  require(_dtrajs.forall(_.nonEmpty), "trajectories must be non-empty")
+  require(_dtrajs.length == biasMatrices.length,
+    "number of trajectories != number of bias matrices")
+  ttrajs.foreach { ts =>
+    require(ts.length == _dtrajs.length, "number of ttrajs is not equal to number of dtrajs")
+    require(ts.forall(_.nonEmpty), "ttrajs must be non-empty")
+    ts.indices.foreach(i => require(ts(i).length == _dtrajs(i).length,
+      s"ttraj $i and dtraj $i must be of equal length"))
+  }
+
   val nThermStates: Int = nThermStatesOpt.getOrElse(
     ttrajs match {
       case Some(ts) => ts.map(_.max).max + 1
@@ -55,19 +68,12 @@ final class TramDataset(
     })
   val nMarkovStates: Int = nMarkovStatesOpt.getOrElse(_dtrajs.map(_.max).max + 1)
 
-  require(_dtrajs.length == biasMatrices.length,
-    "number of trajectories != number of bias matrices")
   _dtrajs.indices.foreach { i =>
     require(_dtrajs(i).length == biasMatrices(i).length,
       s"dtraj $i and bias matrix $i must be of equal length")
     require(biasMatrices(i).forall(_.length == nThermStates),
       s"bias matrix $i second dimension must be nThermStates=$nThermStates")
     require(_dtrajs(i).length > lagtime, s"trajectory $i shorter than lagtime")
-  }
-  ttrajs.foreach { ts =>
-    require(ts.length == _dtrajs.length, "number of ttrajs != number of dtrajs")
-    ts.indices.foreach(i => require(ts(i).length == _dtrajs(i).length,
-      s"ttraj $i and dtraj $i must be of equal length"))
   }
 
   private var _countModels: Array[TramCountModel] = computeCounts()
@@ -222,7 +228,10 @@ final class TramDataset(
   private[markov] def trajectoryFragments: Array[Seq[Array[Int]]] = {
     ttrajs match {
       case None =>
-        Array.tabulate(nThermStates)(k => Seq(_dtrajs(k).filter(_ >= 0)))
+        // an explicit nThermStates larger than the trajectory count leaves
+        // the surplus ensembles with no samples (empty count models)
+        Array.tabulate(nThermStates)(k =>
+          if (k < _dtrajs.length) Seq(_dtrajs(k).filter(_ >= 0)) else Seq.empty)
       case Some(_) =>
         fragmentIndices.map { frags =>
           frags.flatMap { case (traj, start, stop) =>
@@ -369,13 +378,14 @@ object TramDataset {
 
   /** Distributed post_hoc_RE overlap statistic: from a sample frame
     * (markov_state int, therm int, bias array<double> of length K),
-    * computes per (markov_state, k, l) the pairwise overlap sum
-    * n_sum = Σ min(e^Δ, 1), counts n, m and the acceptance criterion —
-    * one self-join keyed on the Markov state (bias payloads are small
-    * fixed-K arrays; the join fans out only within a state). Used by
-    * q245; the same statistic the driver-side test gates on. */
-  def postHocOverlap(samples: org.apache.spark.sql.DataFrame,
-                     factor: Double): org.apache.spark.sql.DataFrame = {
+    * computes per (markov_state, k, l) the pair count and the pairwise
+    * overlap sum n_sum = Σ min(e^Δ, 1) — one self-join keyed on the
+    * Markov state (bias payloads are small fixed-K arrays; the join fans
+    * out only within a state). The acceptance GATE
+    * (n+m)·(n_sum/nm)·factor ≥ 1 needs the per-cell counts and the
+    * caller's factor; q245 derives it by joining these stats with the
+    * broadcast cell counts. */
+  def postHocOverlap(samples: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val a = samples.select(col("markov_state"), col("therm").as("k"),
       col("bias").as("bias_a"))

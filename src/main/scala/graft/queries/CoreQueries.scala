@@ -126,7 +126,12 @@ private[graft] object CoreQueries extends QueryFamily {
     "q250_model_persistence" -> ((s, dir) => {
       val cov = Covariance.fit(liPairs(s, dir))
       val vamp = graft.decomposition.Vamp.fitFromCovariance(cov, 1)
+      // bench runs this query repeatedly — clean the temp artifacts up on
+      // JVM exit instead of littering /tmp per execution
       val tmp = java.nio.file.Files.createTempDirectory("graft-persist")
+      tmp.toFile.deleteOnExit()
+      Seq("koopman.json", "koopman.bin").foreach(f =>
+        tmp.resolve(f).toFile.deleteOnExit())
       def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
       def diff(a: Array[Double], b: Array[Double]): Double =
         if (a.length != b.length) 1.0

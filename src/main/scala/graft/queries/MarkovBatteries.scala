@@ -293,13 +293,17 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
       val base = dtrajEv(s, dir).where(col("state") >= 0)
         .withColumn("therm", (col("t") % 3).cast("int"))
       val w = Window.partitionBy("state", "therm").orderBy("traj_id", "t")
+      // localCheckpoint: the capped sample frame feeds the overlap
+      // self-join AND the cell-count aggregate — unmaterialized, the
+      // events scan + per-cell window would execute twice
       val sampled = base.withColumn("rn", row_number().over(w))
         .where(col("rn") <= 40)
         .select(col("state").as("markov_state"), col("therm"),
           array((0 to 2).map(k =>
             lit(0.3) * ((col("t") * 7 + lit(k * 13)) % 5).cast("double")): _*)
             .as("bias"))
-      val stats = graft.markov.TramDataset.postHocOverlap(sampled, 1.0)
+        .localCheckpoint()
+      val stats = graft.markov.TramDataset.postHocOverlap(sampled)
       val cells = sampled.groupBy(col("markov_state"), col("therm"))
         .agg(count(lit(1)).as("c"))
       stats

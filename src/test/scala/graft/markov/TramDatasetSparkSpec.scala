@@ -19,7 +19,7 @@ class TramDatasetSparkSpec extends SparkSpec with Matchers {
       (st, th, Array.fill(k)(math.rint(rng.nextDouble() * 100) / 50.0))
     }
     val df = rows.toDF("markov_state", "therm", "bias")
-    val got = TramDataset.postHocOverlap(df, 1.0)
+    val got = TramDataset.postHocOverlap(df)
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
         (r.getLong(3), r.getDouble(4), r.getDouble(5))))
@@ -58,7 +58,7 @@ class TramDatasetSparkSpec extends SparkSpec with Matchers {
     ds.restrictToLargestConnectedSet("summed_count_matrix")
     // the isolated trailing-3 block must be dropped
     ds.dtrajs(1).takeRight(49).forall(_ == -1) shouldBe true
-    val model = Tram.fit(ds, maxIter = 200, maxErr = 1e-8, tau = 1)
+    val model = Tram.fit(ds, maxIter = 200, maxErr = 1e-8)
     val pi = model.stationaryDistribution
     val piSum = (0 until pi.length).map(pi(_)).sum
     piSum shouldBe 1.0 +- 1e-9

@@ -148,11 +148,18 @@ def _decode_queries(rec):
             names = json.load(f)
         ms = rec["queries_ms"]
         if len(ms) != len(names):
-            print(f"WARNING: {len(ms)} timings vs {len(names)} manifest names"
-                  f" — manifest may be from a different surface; decoding by"
-                  f" ascending-qNN rank prefix")
+            # a mid-sequence divergence would silently mislabel every
+            # timing after it — refuse positional decoding entirely and
+            # fall back to the (top-10 subset) named map
+            print(f"WARNING: {len(ms)} timings vs {len(names)} manifest "
+                  f"names — the record and tools/bench_names.json are from "
+                  f"different surfaces; positional decode would mislabel "
+                  f"queries. Falling back to the named 'queries' subset; "
+                  f"regenerate the manifest (graft.tools.BenchManifest) "
+                  f"from the record's commit for the full map.")
+            return rec.get("queries", {})
         short = [n.split("_")[0] for n in names]
-        return {short[i]: ms[i] / 1000.0 for i in range(min(len(ms), len(short)))}
+        return {short[i]: ms[i] / 1000.0 for i in range(len(ms))}
     return rec["queries"]
 
 
