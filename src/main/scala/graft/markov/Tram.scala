@@ -57,7 +57,10 @@ object Tram {
       markovStateEnergies: DenseVector[Double],  // f_i
       thermStateEnergies: DenseVector[Double],   // f^k
       transitionMatrices: Array[DenseMatrix[Double]],
-      iterations: Int, finalError: Double) {
+      iterations: Int, finalError: Double,
+      /** log R^k_i — the modified state counts the sample-weight /
+        * observable / PMF / likelihood methods need (tram.h:61). */
+      modifiedStateCountsLog: DenseMatrix[Double] = null) {
     /** Unbiased stationary estimate pi_i proportional to exp(-f_i). */
     def stationaryDistribution: DenseVector[Double] = {
       val w = markovStateEnergies.toArray.map(f => math.exp(-f))
@@ -273,7 +276,106 @@ object Tram {
       }
       t
     }
-    TramModel(biasedConf, markovEnergies, thermEnergies, tms, iter, err)
+    TramModel(biasedConf, markovEnergies, thermEnergies, tms, iter, err,
+      modStateCountsLog.copy)
+  }
+
+  /** Per-sample log statistical weights log μ(x) (reference
+    * _tram_model.py:124 `compute_sample_weights_log` + tram.h:61):
+    * appends `log_weight` to a sample frame (state INT, bias
+    * ARRAY<DOUBLE> of length K), normalized so Σ exp(log_weight) = 1
+    * over the frame (the reference wrapper's normalization).
+    * thermState -1 gives the unbiased μ(x); k >= 0 gives μ^k(x).
+    * Out-of-set samples (state < 0) get -inf, contributing zero weight.
+    *
+    * Distributed shape: log R^k_i and f^k enter as model-sized literals,
+    * the raw weight is a pure column expression, and the normalizer is
+    * one scalar logsumexp aggregate — samples never hit the driver. */
+  def sampleWeightsLog(samples: DataFrame, model: TramModel,
+                       thermState: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val kT = model.thermStateEnergies.length
+    val n = model.biasedConfEnergies.cols
+    val rByState: Seq[Seq[Double]] = (0 until n).map(i =>
+      (0 until kT).map(l => model.modifiedStateCountsLog(l, i)))
+    val rLit = typedLit(rByState)
+    val terms = (0 until kT).map(l =>
+      element_at(element_at(rLit, col("state") + 1), l + 1)
+        - element_at(col("bias"), l + 1))
+    // logsumexp over the K per-ensemble terms; exp(-inf - m) = 0 drops
+    // ensembles with no modified counts at the state, like the C++ o-loop
+    val logDiv = if (kT == 1) terms.head else {
+      val m = greatest(terms: _*)
+      m + log(terms.map(t => exp(t - m)).reduce(_ + _))
+    }
+    val raw = if (thermState < 0) -logDiv
+      else -element_at(col("bias"), thermState + 1) - logDiv +
+        lit(model.thermStateEnergies(thermState))
+    val withRaw = samples.withColumn("lw_raw",
+      when(col("state") < 0, lit(Double.NegativeInfinity)).otherwise(raw))
+      .localCheckpoint() // reused by the normalizer aggregate and the output
+    val mRow = withRaw.agg(max(col("lw_raw")).as("m")).collect()(0)
+    val mShift = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
+    val z = withRaw.agg(sum(exp(col("lw_raw") - mShift))).collect()(0).getDouble(0)
+    val logZ = mShift + math.log(z)
+    withRaw.withColumn("log_weight", col("lw_raw") - logZ).drop("lw_raw")
+  }
+
+  /** Expected observable value under μ (reference _tram_model.py:163
+    * `compute_observable`): Σ_x exp(log μ(x)) v(x). */
+  def computeObservable(samples: DataFrame, model: TramModel,
+                        valueCol: String, thermState: Int = -1): Double = {
+    import org.apache.spark.sql.functions._
+    sampleWeightsLog(samples, model, thermState)
+      .agg(sum(exp(col("log_weight")) * col(valueCol)))
+      .collect()(0).getDouble(0)
+  }
+
+  /** Potential of mean force over bins (reference _tram_model.py:198
+    * `compute_PMF`): PMF_b = -log Σ_{x in b} exp(log μ(x)); empty bins
+    * are +inf. Normalized weights lie in (0, 1], so the direct exp-sum
+    * is safe at any realistic sample count. */
+  def computePmf(samples: DataFrame, model: TramModel, binCol: String,
+                 nBins: Int, thermState: Int = -1): Array[Double] = {
+    import org.apache.spark.sql.functions._
+    val perBin = sampleWeightsLog(samples, model, thermState)
+      .groupBy(col(binCol)).agg(sum(exp(col("log_weight"))).as("wsum"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    Array.tabulate(nBins)(b =>
+      perBin.get(b).map(w => -math.log(w)).getOrElse(inf))
+  }
+
+  /** Parameter-dependent part of the TRAM log-likelihood (reference
+    * _tram_model.py:245 + tram.h computeDiscreteLikelihood /
+    * computeLogLikelihood, Wu et al. 2016 Eq. 9): the discrete term
+    * Σ_{ijk} c^k_ij log p^k_ij + Σ_{ik} N^k_i f^k_i plus the logsumexp
+    * of the UNNORMALIZED sample weight logs. Driver-side over the
+    * model-sized counts and the TramInput's (capped) sample table. */
+  def logLikelihood(model: TramModel, input: TramInput): Double = {
+    val kT = input.nTherm
+    val n = input.nMarkov
+    var ll = 0.0
+    for (k <- 0 until kT; i <- 0 until n) {
+      if (input.stateCounts(k)(i) > 0)
+        ll += input.stateCounts(k)(i) * model.biasedConfEnergies(k, i)
+      for (j <- 0 until n) {
+        val c = input.transitionCounts(k)(i * n + j)
+        if (c > 0) ll += c * math.log(model.transitionMatrices(k)(i, j))
+      }
+    }
+    // raw (unnormalized) log weights over the sample table
+    val scratch = new Array[Double](kT)
+    val raws = input.samples.collect { case (i, b) if i >= 0 && i < n =>
+      var o = 0
+      for (l <- 0 until kT) {
+        if (model.modifiedStateCountsLog(l, i) > -inf) {
+          scratch(o) = model.modifiedStateCountsLog(l, i) - b(l)
+          o += 1
+        }
+      }
+      -logsumexp(scratch, o)
+    }
+    ll + logsumexp(raws, raws.length)
   }
 
   /** End-to-end: per-ensemble frames -> input assembly -> fixed point. */

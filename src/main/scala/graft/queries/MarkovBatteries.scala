@@ -450,6 +450,43 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
         "expected_counts_pi_is_stationary" -> statResid,
         "n_states" -> n.toDouble))
     }),
+
+    // ---- TRAM model evaluation surface (q252): the fitted-model methods
+    // a multi-ensemble user calls after `fit` (reference _tram_model.py:
+    // compute_sample_weights_log :124, compute_observable :163,
+    // compute_PMF :198, compute_log_likelihood :245) — normalized sample
+    // weights are a distribution (unbiased AND per-ensemble), the
+    // weighted constant observable is exactly 1, the state-binned PMF is
+    // finite on every occupied state, and the log-likelihood is finite.
+    // Weights run DISTRIBUTED (model-sized literals + one scalar
+    // normalizer aggregate; the sample table never hits the driver). ----
+    "q252_tram_weights" -> ((s, dir) => {
+      val d = dtrajEv(s, dir).where(col("state") >= 0)
+      val biasVec = Seq(2.0, 1.5, 1.0, 0.5, 0.0)
+      def withBias(df: DataFrame): DataFrame = df.withColumn("bias",
+        array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
+      val d0 = withBias(d)
+      val d1 = withBias(Lag.strided(d, 2))
+      val input = graft.markov.Tram.inputFromFrames(Seq(d0, d1), tau = 1, nMarkov = 5)
+      val model = graft.markov.Tram.fit(input, maxIter = 100, maxErr = 1e-8)
+      val samples = d0.select(col("state"), col("bias"))
+      def sumW(therm: Int): Double =
+        graft.markov.Tram.sampleWeightsLog(samples, model, therm)
+          .agg(sum(exp(col("log_weight")))).collect()(0).getDouble(0)
+      val obsOne = graft.markov.Tram.computeObservable(
+        samples.withColumn("one", lit(1.0)), model, "one")
+      val pmf = graft.markov.Tram.computePmf(
+        samples.withColumn("bin", col("state")), model, "bin", 5)
+      val ll = graft.markov.Tram.logLikelihood(model, input)
+      checksDf(s, Seq(
+        "weights_sum_one" -> (sumW(-1) - 1.0),
+        "weights_sum_one_biased" -> (sumW(0) - 1.0),
+        "observable_of_one" -> (obsOne - 1.0),
+        "pmf_occupied_finite" ->
+          (if (pmf.forall(v => !v.isNaN && !v.isInfinite)) 0.0 else 1.0),
+        "pmf_is_distribution" -> (pmf.map(v => math.exp(-v)).sum - 1.0),
+        "loglik_finite" -> (if (ll.isNaN || ll.isInfinite) 1.0 else 0.0)))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -488,6 +525,15 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
          UNION ALL SELECT 'committor_adjoint_vs_forward', 0.0
          UNION ALL SELECT 'n_states', (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
            FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)""",
+
+    // TRAM model-evaluation twin: the weight/observable/PMF identities
+    // are exact by the normalization; likelihood finiteness is a flag.
+    "q252_tram_weights" ->
+      """SELECT * FROM (VALUES
+           ('weights_sum_one', 0.0), ('weights_sum_one_biased', 0.0),
+           ('observable_of_one', 0.0), ('pmf_occupied_finite', 0.0),
+           ('pmf_is_distribution', 0.0), ('loglik_finite', 0.0)
+         ) AS t("check", "value")""",
 
     // TRAM overlap twin: the identical pairwise acceptance statistic via
     // an independent SQL self-join (list indexing for the bias vector).

@@ -67,4 +67,47 @@ class TramDatasetSparkSpec extends SparkSpec with Matchers {
       model.markovStateEnergies(i).isInfinite shouldBe false
     }
   }
+
+  test("sample weights, observable, PMF and likelihood over a fitted model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new java.util.SplittableRandom(11L)
+    def walk(n: Int): Array[Int] = Array.fill(n)(rng.nextInt(3))
+    val d = Array(walk(600), walk(600))
+    val bias = d.zipWithIndex.map { case (t, k) =>
+      t.map(s => Array(0.0, 0.4 * s + 0.2 * k))
+    }
+    val ds = new TramDataset(d, bias)
+    val model = Tram.fit(ds, maxIter = 300, maxErr = 1e-10)
+    assert(model.modifiedStateCountsLog != null)
+
+    val samples = d.indices.flatMap(j => d(j).zip(bias(j)))
+      .toDF("state", "bias")
+    // normalized weights sum to one — unbiased and per-ensemble
+    for (therm <- Seq(-1, 0, 1)) {
+      val w = Tram.sampleWeightsLog(samples, model, therm)
+      val s1 = w.agg(sum(exp(col("log_weight")))).collect()(0).getDouble(0)
+      s1 shouldBe 1.0 +- 1e-9
+    }
+    // observable of the constant 1 is exactly the weight total
+    Tram.computeObservable(samples.withColumn("one", lit(1.0)), model,
+      "one") shouldBe 1.0 +- 1e-9
+    // PMF over the state binning: all 3 states occupied -> finite,
+    // exp(-PMF) sums to 1; a 4th empty bin is +inf
+    val pmf = Tram.computePmf(samples.withColumn("bin", col("state")),
+      model, "bin", 4)
+    pmf.take(3).foreach(v => v.isInfinite shouldBe false)
+    pmf(3).isInfinite shouldBe true
+    pmf.take(3).map(v => math.exp(-v)).sum shouldBe 1.0 +- 1e-9
+    // likelihood: finite, and not worse after convergence than early on
+    val input = Tram.TramInput(ds.nThermStates, ds.nMarkovStates,
+      ds.transitionCounts.map(graft.linalg.LinAlg.toFlat),
+      ds.stateCounts.map(_.map(_.toDouble)),
+      d.indices.toArray.flatMap(j => d(j).zip(bias(j))))
+    val early = Tram.fit(input, maxIter = 1, maxErr = 0.0)
+    val llEarly = Tram.logLikelihood(early, input)
+    val llConv = Tram.logLikelihood(model, input)
+    llConv.isNaN shouldBe false
+    llConv should be >= llEarly - 1e-6
+  }
 }
