@@ -470,17 +470,26 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
       val input = graft.markov.Tram.inputFromFrames(Seq(d0, d1), tau = 1, nMarkov = 5)
       val model = graft.markov.Tram.fit(input, maxIter = 100, maxErr = 1e-8)
       val samples = d0.select(col("state"), col("bias"))
-      def sumW(therm: Int): Double =
-        graft.markov.Tram.sampleWeightsLog(samples, model, therm)
-          .agg(sum(exp(col("log_weight")))).collect()(0).getDouble(0)
+      // ONE unbiased weight pipeline serves the sum check and the
+      // state-binned PMF (computePmf would rebuild it); the biased sum
+      // and the observable exercise their own public API paths
+      val wUnb = graft.markov.Tram.sampleWeightsLog(samples, model)
+        .localCheckpoint()
+      val sumUnb = wUnb.agg(sum(exp(col("log_weight"))))
+        .collect()(0).getDouble(0)
+      val pmfRows = wUnb.groupBy(col("state"))
+        .agg(sum(exp(col("log_weight"))).as("w")).collect()
+        .map(r => r.getInt(0) -> -math.log(r.getDouble(1))).toMap
+      val pmf = Array.tabulate(5)(b =>
+        pmfRows.getOrElse(b, Double.PositiveInfinity))
+      val sumBias = graft.markov.Tram.sampleWeightsLog(samples, model, 0)
+        .agg(sum(exp(col("log_weight")))).collect()(0).getDouble(0)
       val obsOne = graft.markov.Tram.computeObservable(
         samples.withColumn("one", lit(1.0)), model, "one")
-      val pmf = graft.markov.Tram.computePmf(
-        samples.withColumn("bin", col("state")), model, "bin", 5)
       val ll = graft.markov.Tram.logLikelihood(model, input)
       checksDf(s, Seq(
-        "weights_sum_one" -> (sumW(-1) - 1.0),
-        "weights_sum_one_biased" -> (sumW(0) - 1.0),
+        "weights_sum_one" -> (sumUnb - 1.0),
+        "weights_sum_one_biased" -> (sumBias - 1.0),
         "observable_of_one" -> (obsOne - 1.0),
         "pmf_occupied_finite" ->
           (if (pmf.forall(v => !v.isNaN && !v.isInfinite)) 0.0 else 1.0),
