@@ -112,8 +112,8 @@ BASELINES = {
     "q242": 0.560, "q243": 0.392, "q244": 0.514, "q245": 0.425,
     "q246": 0.333, "q247": 2.681, "q248": 0.208, "q249": 0.556,
     # final round-8 sweep first-appearance: persistence roundtrips (q250),
-    # sparse covariance (q251)
-    "q250": 1.002, "q251": 0.907,
+    # sparse covariance (q251), TRAM model evaluation (q252)
+    "q250": 1.002, "q251": 0.907, "q252": 2.828,
 }
 
 
