@@ -507,13 +507,15 @@ private[graft] object CoreQueries extends QueryFamily {
     // chain that Catalyst should plan with the customer filter pushed to
     // its scan and the small side broadcast. Dates normalize to DATE at
     // view registration (type-agnostic to the parquet timestamp width).
-    // Revenue is reported in thousands so 6-dp rounding parity never
-    // rides on last-ulp sum order. --------------------------------------
+    // Revenue is reported in thousands and rounded at 3 dp (dollar
+    // precision) — at 6 dp the O(100) group sums sat ~3% per value from
+    // the sum-order noise floor, and an sf0.001 robustness check caught
+    // exactly that one-ulp straddle. ------------------------------------
     "q182_sql_q3" -> ((s, dir) => {
       registerTpchViews(s, dir)
       s.sql("""
         SELECT l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 6)
+               round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 3)
                  AS revenue_k,
                o_orderdate, o_orderpriority
         FROM th_customer JOIN th_orders ON c_custkey = o_custkey
@@ -535,7 +537,7 @@ private[graft] object CoreQueries extends QueryFamily {
       registerTpchViews(s, dir)
       s.sql("""
         SELECT n_name,
-               round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 6)
+               round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 3)
                  AS revenue_k
         FROM th_customer
           JOIN th_orders ON c_custkey = o_custkey
@@ -557,7 +559,7 @@ private[graft] object CoreQueries extends QueryFamily {
     // Q3 twin: identical SQL over the same normalized DATE views.
     "q182_sql_q3" ->
       """SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 6)
+           round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 3)
              AS revenue_k,
            CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
          FROM customer JOIN orders ON c_custkey = o_custkey
@@ -572,7 +574,7 @@ private[graft] object CoreQueries extends QueryFamily {
     // Q5 twin.
     "q183_sql_q5" ->
       """SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 6)
+           round(sum(l_extendedprice * (1 - l_discount)) / 1000.0, 3)
              AS revenue_k
          FROM customer
            JOIN orders ON c_custkey = o_custkey
