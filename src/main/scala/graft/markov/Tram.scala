@@ -304,18 +304,27 @@ object Tram {
         - element_at(col("bias"), l + 1))
     // logsumexp over the K per-ensemble terms; exp(-inf - m) = 0 drops
     // ensembles with no modified counts at the state, like the C++ o-loop
+    // in tram.h computeSampleWeightsLog. When ALL terms are -inf (the
+    // sample's state has no modified counts in any ensemble), m = -inf
+    // would make exp(t - m) NaN — guard that case and map the all--inf
+    // divisor to log_weight = -inf (zero weight), as the reference's
+    // o-loop leaves divisor = -inf and the weight exp(-inf - ...) = 0.
+    val negInf = lit(Double.NegativeInfinity)
     val logDiv = if (kT == 1) terms.head else {
       val m = greatest(terms: _*)
-      m + log(terms.map(t => exp(t - m)).reduce(_ + _))
+      when(m === negInf, negInf)
+        .otherwise(m + log(terms.map(t => exp(t - m)).reduce(_ + _)))
     }
-    val raw = if (thermState < 0) -logDiv
+    val rawFinite = if (thermState < 0) -logDiv
       else -element_at(col("bias"), thermState + 1) - logDiv +
         lit(model.thermStateEnergies(thermState))
+    val raw = when(logDiv === negInf, negInf).otherwise(rawFinite)
     val withRaw = samples.withColumn("lw_raw",
       when(col("state") < 0, lit(Double.NegativeInfinity)).otherwise(raw))
       .localCheckpoint() // reused by the normalizer aggregate and the output
     val mRow = withRaw.agg(max(col("lw_raw")).as("m")).collect()(0)
-    val mShift = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
+    val mMax = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
+    val mShift = if (mMax.isNegInfinity) 0.0 else mMax // all--inf frame
     val z = withRaw.agg(sum(exp(col("lw_raw") - mShift))).collect()(0).getDouble(0)
     val logZ = mShift + math.log(z)
     withRaw.withColumn("log_weight", col("lw_raw") - logZ).drop("lw_raw")

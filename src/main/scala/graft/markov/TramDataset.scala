@@ -160,7 +160,13 @@ final class TramDataset(
       // undirected connected components of the (K·M)-node overlap graph;
       // largest by size (tie: smallest node), then unique Markov states
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.toArray
-      if (nodes.isEmpty) Array.empty[Int]
+      // Zero-edge degenerate case: the reference's submodel_largest
+      // (directed=False) runs over the FULL K·M node set of the sparse
+      // overlap matrix, so every node is a singleton component; scipy's
+      // connected_components labels node 0 first and the stable
+      // size-descending sort keeps it → Markov state 0 survives (never
+      // an empty set). Mirror that instead of wiping every sample to -1.
+      if (nodes.isEmpty) Array(0)
       else {
         val uf = new UnionFind(nK * nM)
         edges.foreach { case (a, b) => uf.union(a, b) }
@@ -381,16 +387,47 @@ object TramDataset {
     * computes per (markov_state, k, l) the pair count and the pairwise
     * overlap sum n_sum = Σ min(e^Δ, 1) — one self-join keyed on the
     * Markov state (bias payloads are small fixed-K arrays; the join fans
-    * out only within a state). The acceptance GATE
-    * (n+m)·(n_sum/nm)·factor ≥ 1 needs the per-cell counts and the
-    * caller's factor; q245 derives it by joining these stats with the
-    * broadcast cell counts. */
-  def postHocOverlap(samples: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    * out only within a state). The per-cell sample counts are appended
+    * as `n_k`/`m_l` (broadcast-joined from the same capped frame), so
+    * the caller can evaluate the acceptance GATE
+    * (n_k+m_l)·n_avg·factor ≥ 1 directly; q245 does exactly that.
+    *
+    * The kernel is quadratic WITHIN a (markov_state, k, l) cell pair by
+    * the reference's own semantics (connected_set.h computes every
+    * cross-ensemble bias-difference pair). `maxSamplesPerCell` is the
+    * reference-semantic-preserving bound on that fan-out at scale: keep
+    * at most N samples per (markov_state, therm) cell, chosen
+    * deterministically by `orderCols` (required when the cap is set —
+    * a nondeterministic cap would make the statistic run-dependent).
+    * The overlap estimate n_sum / n_pairs is a mean over pairs, so a
+    * deterministic per-cell subsample estimates the same quantity with
+    * bounded cost; Int.MaxValue (default) disables the cap. */
+  def postHocOverlap(samples: org.apache.spark.sql.DataFrame,
+                     maxSamplesPerCell: Int = Int.MaxValue,
+                     orderCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val a = samples.select(col("markov_state"), col("therm").as("k"),
+    val capped =
+      if (maxSamplesPerCell == Int.MaxValue) samples
+      else {
+        require(orderCols.nonEmpty,
+          "maxSamplesPerCell needs orderCols for a deterministic cap")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("markov_state", "therm")
+          .orderBy(orderCols.map(col): _*)
+        // localCheckpoint: the capped frame feeds both self-join legs AND
+        // the cell-count aggregate — unmaterialized, the upstream scan +
+        // per-cell window would execute three times
+        samples.withColumn("graft_cell_rn", row_number().over(w))
+          .where(col("graft_cell_rn") <= maxSamplesPerCell)
+          .drop("graft_cell_rn")
+          .localCheckpoint()
+      }
+    val a = capped.select(col("markov_state"), col("therm").as("k"),
       col("bias").as("bias_a"))
-    val b = samples.select(col("markov_state"), col("therm").as("l"),
+    val b = capped.select(col("markov_state"), col("therm").as("l"),
       col("bias").as("bias_b"))
+    val cells = capped.groupBy(col("markov_state"), col("therm"))
+      .agg(count(lit(1)).as("c"))
     a.join(b, Seq("markov_state")).where(col("k") =!= col("l"))
       .select(col("markov_state"), col("k"), col("l"),
         least(exp(element_at(col("bias_a"), col("k") + 1)
@@ -399,8 +436,13 @@ object TramDataset {
             - element_at(col("bias_b"), col("k") + 1)), lit(1.0)).as("term"))
       .groupBy(col("markov_state"), col("k"), col("l"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("term")).as("n_sum"))
+      .join(broadcast(cells.select(col("markov_state"),
+        col("therm").as("k"), col("c").as("n_k"))), Seq("markov_state", "k"))
+      .join(broadcast(cells.select(col("markov_state"),
+        col("therm").as("l"), col("c").as("m_l"))), Seq("markov_state", "l"))
       .select(col("markov_state"), col("k"), col("l"), col("n_pairs"),
         round(col("n_sum"), 6).as("n_sum"),
-        round(col("n_sum") / col("n_pairs"), 6).as("n_avg"))
+        round(col("n_sum") / col("n_pairs"), 6).as("n_avg"),
+        col("n_k"), col("m_l"))
   }
 }

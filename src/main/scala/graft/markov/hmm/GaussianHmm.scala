@@ -148,8 +148,9 @@ object GaussianHmm {
   }
 
   /** Deterministic initial guess: means at evenly spaced quantiles of the
-    * pooled observations (stands in for the reference's GMM init — same
-    * role, deterministic), sigmas = pooled std / m, uniform chain. */
+    * pooled observations, sigmas = pooled std / m, uniform chain. Kept as
+    * the cheap fallback; the reference-parity default is
+    * [[initialGuessGmm]] (init/gaussian/_init_gaussian_impl.py). */
   def initialGuess(traj: DataFrame, nHidden: Int, valueCol: String): GaussianHmmModel = {
     val m = nHidden
     val probs = (1 to m).map(i => i.toDouble / (m + 1)).toArray
@@ -163,13 +164,166 @@ object GaussianHmm {
       DenseVector.fill(m)(1.0 / m), Double.NegativeInfinity, 0)
   }
 
-  /** Baum-Welch EM over (traj_id, t, value) observations. */
+  /** 1-d Gaussian mixture fitted by EM (the distributed stand-in for the
+    * scikit-learn `GaussianMixture` the reference init uses). */
+  case class GmmModel(weights: Array[Double], means: Array[Double],
+                      sigmas: Array[Double], logLikelihood: Double,
+                      iterations: Int)
+
+  /** Distributed EM fit of a 1-d Gaussian mixture over the pooled
+    * observation column (reference init/gaussian/_init_gaussian_impl.py:46
+    * `GaussianMixture(n_components).fit`). Seeding is sklearn-parity:
+    * k-means on the pooled values (via the exact 1-d Lloyd path,
+    * deterministic seed) followed by the one-hot-responsibility M-step —
+    * this is what lets a rare far-out mode claim its own component before
+    * EM starts, which is the whole point of the reference's GMM init.
+    * Then per iteration ONE codegen aggregation: the E-step
+    * responsibilities are pure column expressions over the broadcast
+    * (w, mu, sigma) literals and the M-step needs only the 3m
+    * gamma-weighted sums (Σr, Σr·x, Σr·x²) plus the loglik — samples
+    * never hit the driver, any data size is one scan per iteration.
+    * reg_covar = 1e-6 as in sklearn; tol on the mean per-sample loglik. */
+  def gmmFit(traj: DataFrame, nComponents: Int, valueCol: String = "value",
+             maxIter: Int = 100, tol: Double = 1e-3,
+             seed: Long = 42L): GmmModel = {
+    import org.apache.spark.sql.functions._
+    val m = nComponents
+    val vals = traj.selectExpr(s"CAST($valueCol AS DOUBLE) AS v")
+      .where(col("v").isNotNull).cache()
+    // k-means seeding + one-hot M-step (sklearn GaussianMixture init)
+    val centers = graft.clustering.KMeans
+      .fit1dExact(vals.select(array(col("v")).as("features")), m, seed = seed)
+      .centers.map(_(0))
+    val mc = centers.length // < m only when the data has < m distinct values
+    val dArr = array(centers.map(c => abs(col("v") - lit(c))): _*)
+    val assign = array_position(dArr, array_min(dArr)) - 1 // first-min tie-break
+    val seedAggs = (0 until mc).flatMap { j =>
+      val in = when(assign === j, 1.0).otherwise(0.0)
+      Seq(sum(in).as(s"n$j"), sum(in * col("v")).as(s"sx$j"),
+        sum(in * col("v") * col("v")).as(s"sxx$j"))
+    }
+    val seedRow = vals.agg(seedAggs.head, seedAggs.tail: _*).collect()(0)
+    val nTot = (0 until mc).map(j => seedRow.getDouble(3 * j)).sum
+    var means = new Array[Double](m)
+    var sigmas = new Array[Double](m)
+    var weights = new Array[Double](m)
+    for (j <- 0 until m) {
+      val nj = if (j < mc) seedRow.getDouble(3 * j) else 0.0
+      if (nj > 0) {
+        weights(j) = nj / nTot
+        means(j) = seedRow.getDouble(3 * j + 1) / nj
+        val v = seedRow.getDouble(3 * j + 2) / nj - means(j) * means(j)
+        sigmas(j) = math.sqrt(math.max(v, 0.0) + 1e-6)
+      } else { // empty/missing cluster: flat stand-in, EM reassigns it
+        weights(j) = 1e-6
+        means(j) = if (mc > 0) centers(j % mc) else 0.0
+        sigmas(j) = 1.0
+      }
+    }
+    var lastLl = Double.NegativeInfinity
+    var ll = Double.NegativeInfinity
+    var iter = 0
+    var converged = false
+    val invSqrt2Pi = 1.0 / math.sqrt(2.0 * math.Pi)
+    while (iter < maxIter && !converged) {
+      val dens = (0 until m).map { j =>
+        val z = (col("v") - lit(means(j))) / lit(sigmas(j))
+        lit(weights(j) * invSqrt2Pi / sigmas(j)) * exp(lit(-0.5) * z * z)
+      }
+      val tot = greatest(dens.reduce(_ + _), lit(1e-300))
+      val r = dens.map(_ / tot)
+      val aggs = (0 until m).flatMap { j =>
+        Seq(sum(r(j)).as(s"r$j"), sum(r(j) * col("v")).as(s"rx$j"),
+          sum(r(j) * col("v") * col("v")).as(s"rxx$j"))
+      } :+ sum(log(tot)).as("ll") :+ count(lit(1)).as("n")
+      val row = vals.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val n = row.getLong(3 * m + 1).toDouble
+      val wNew = new Array[Double](m)
+      val muNew = new Array[Double](m)
+      val sNew = new Array[Double](m)
+      for (j <- 0 until m) {
+        val rj = row.getDouble(3 * j)
+        if (rj > 1e-12) {
+          wNew(j) = rj / n
+          muNew(j) = row.getDouble(3 * j + 1) / rj
+          val v = row.getDouble(3 * j + 2) / rj - muNew(j) * muNew(j)
+          sNew(j) = math.sqrt(math.max(v, 0.0) + 1e-6) // sklearn reg_covar
+        } else { wNew(j) = weights(j); muNew(j) = means(j); sNew(j) = sigmas(j) }
+      }
+      ll = row.getDouble(3 * m)
+      converged = math.abs(ll - lastLl) / n < tol
+      lastLl = ll
+      weights = wNew; means = muNew; sigmas = sNew
+      iter += 1
+    }
+    vals.unpersist()
+    GmmModel(weights, means, sigmas, ll, iter)
+  }
+
+  /** Reference-parity initial guess (init/gaussian/_init_gaussian_impl.py:
+    * `from_data`): fit a Gaussian mixture to the pooled observations,
+    * take its (means, sigmas) as the output model, accumulate FRACTIONAL
+    * state-membership transition counts Nij = Σ_t pobs_t ⊗ pobs_{t+1}
+    * (pobs = per-frame state likelihoods row-normalized, NO mixture
+    * weights — exactly `to_state_probability_trajectory`), run the MLE
+    * transition estimator on Nij, and start from its stationary vector.
+    *
+    * Distributed shape: the Nij accumulation is one window lead() per
+    * trajectory plus a single m²-column aggregation of pure column
+    * expressions — no per-trajectory collect, no shuffle beyond the
+    * window's traj partitioning. */
+  def initialGuessGmm(traj: DataFrame, nHidden: Int, valueCol: String,
+                      reversible: Boolean = true): GaussianHmmModel = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val m = nHidden
+    val gmm = gmmFit(traj, m, valueCol)
+    val invSqrt2Pi = 1.0 / math.sqrt(2.0 * math.Pi)
+    def stateProbs(v: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+      val dens = (0 until m).map { j =>
+        val z = (v - lit(gmm.means(j))) / lit(gmm.sigmas(j))
+        lit(invSqrt2Pi / gmm.sigmas(j)) * exp(lit(-0.5) * z * z)
+      }
+      val tot = dens.reduce(_ + _)
+      // outlier guard (_output_model.py ignore_outliers): all-zero row
+      // of state likelihoods normalizes to uniform, not NaN
+      dens.map(d => when(tot < 1e-300, lit(1.0 / m)).otherwise(d / tot))
+    }
+    val w = Window.partitionBy("traj_id").orderBy("t")
+    val pairs = traj
+      .selectExpr("traj_id", "t", s"CAST($valueCol AS DOUBLE) AS v")
+      .withColumn("vn", lead(col("v"), 1).over(w))
+      .where(col("vn").isNotNull)
+    val p = stateProbs(col("v"))
+    val q = stateProbs(col("vn"))
+    val aggs = for (i <- 0 until m; j <- 0 until m)
+      yield sum(p(i) * q(j)).as(s"n_${i}_$j")
+    val row = pairs.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val nij = DenseMatrix.tabulate(m, m)((i, j) => row.getDouble(i * m + j))
+    val a = if (reversible) TransitionMatrixMle.reversible(nij)
+            else TransitionMatrixMle.nonReversible(nij)
+    val pi = graft.linalg.LinAlg.stationaryDistribution(a)
+    GaussianHmmModel(a, gmm.means, gmm.sigmas, pi,
+      Double.NegativeInfinity, 0)
+  }
+
+  /** Baum-Welch EM over (traj_id, t, value) observations.
+    *
+    * `init` selects the initial guess: "gmm" (default — the reference's
+    * GMM + fractional-membership-counts heuristic, see
+    * [[initialGuessGmm]]) or "quantile" (the cheap spread guess). */
   def fit(traj: DataFrame, nHidden: Int, valueCol: String = "value",
           maxIter: Int = 100, tol: Double = 1e-6,
-          reversible: Boolean = true): GaussianHmmModel = {
+          reversible: Boolean = true,
+          init: String = "gmm"): GaussianHmmModel = {
     val spark = traj.sparkSession
     import spark.implicits._
-    var model = initialGuess(traj, nHidden, valueCol)
+    var model = init match {
+      case "gmm" => initialGuessGmm(traj, nHidden, valueCol, reversible)
+      case "quantile" => initialGuess(traj, nHidden, valueCol)
+      case other => throw new IllegalArgumentException(
+        s"Unknown init '$other'. Must be one of gmm, quantile.")
+    }
     val m = nHidden
     val trajs = trajectories(traj, valueCol).cache()
     var lastLl = Double.NegativeInfinity
@@ -204,6 +358,54 @@ object GaussianHmm {
     }
     trajs.unpersist()
     model
+  }
+
+  /** True data log-likelihood of a fitted model: the scaled forward pass
+    * per trajectory, summed — with per-frame likelihoods FLOORED at
+    * 1e-300 rather than outlier-flattened, so a model that assigns ~zero
+    * probability to real samples is scored accordingly (the training
+    * loop's ignore_outliers flattening deliberately hides that, which is
+    * right for EM robustness but wrong for model comparison). */
+  def scoreLogLikelihood(traj: DataFrame, model: GaussianHmmModel,
+                         valueCol: String = "value"): Double = {
+    val spark = traj.sparkSession
+    import spark.implicits._
+    val m = model.transition.rows
+    val a = graft.linalg.LinAlg.toFlat(model.transition)
+    val pi = model.initial.toArray
+    val means = model.means; val sigmas = model.sigmas
+    trajectories(traj, valueCol)
+      .map { case (_, obs) =>
+        val tLen = obs.length
+        val alpha = new Array[Double](m)
+        val next = new Array[Double](m)
+        var ll = 0.0
+        var i = 0
+        var s = 0.0
+        while (i < m) {
+          alpha(i) = pi(i) * math.max(gaussPdf(obs(0), means(i), sigmas(i)), 1e-300)
+          s += alpha(i); i += 1
+        }
+        ll += math.log(s); i = 0
+        while (i < m) { alpha(i) /= s; i += 1 }
+        var t = 1
+        while (t < tLen) {
+          var j = 0
+          s = 0.0
+          while (j < m) {
+            var acc = 0.0
+            var k = 0
+            while (k < m) { acc += alpha(k) * a(k * m + j); k += 1 }
+            next(j) = acc * math.max(gaussPdf(obs(t), means(j), sigmas(j)), 1e-300)
+            s += next(j); j += 1
+          }
+          ll += math.log(s); j = 0
+          while (j < m) { alpha(j) = next(j) / s; j += 1 }
+          t += 1
+        }
+        ll
+      }
+      .reduce(_ + _)
   }
 
   /** Viterbi decode per frame: (traj_id, t, hidden). */

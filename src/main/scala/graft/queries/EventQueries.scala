@@ -317,12 +317,16 @@ private[graft] object EventQueries extends QueryFamily {
     // replays the same group -> cumulate -> integer-div bucketing. ------
     "q174_equidepth_bins" -> ((s, dir) => {
       val ev = Trajectories.events(s, dir).select(col("value"))
-      val n = ev.count()
       val vals = ev.groupBy("value").agg(count(lit(1)).as("c"))
+      // corpus total as an in-plan broadcast 1-row aggregate (q216/q235
+      // discipline) — keeps query construction lazy, no eager count();
+      // summed from the already-model-sized distinct-value frame
+      val n = broadcast(vals.agg(sum(col("c")).as("n_total")))
       val w = Window.orderBy("value")
         .rowsBetween(Window.unboundedPreceding, -1)
       vals.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
-        .withColumn("bucket", expr(s"(cb * 10) div ${n}L"))
+        .crossJoin(n)
+        .withColumn("bucket", expr("(cb * 10) div n_total"))
         .groupBy("bucket")
         .agg(sum(col("c")).as("n_rows"),
           round(min(col("value")), 6).as("vmin"),

@@ -287,30 +287,20 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
     // at 100 TB the fan-out stays within-state and the bias payload is a
     // fixed K-vector — no all-pairs anywhere. Ensembles and biases are
     // derived deterministically from the dtraj (therm = t mod 3, bias a
-    // closed form of t) and cells are capped at 40 samples for the
-    // testdata twin. ------------------------------------------------------
+    // closed form of t); the per-cell 40-sample cap — the bound on the
+    // within-state quadratic fan-out — lives in the library API
+    // (TramDataset.postHocOverlap maxSamplesPerCell), not here. ----------
     "q245_tram_overlap" -> ((s, dir) => {
-      val base = dtrajEv(s, dir).where(col("state") >= 0)
+      val sampled = dtrajEv(s, dir).where(col("state") >= 0)
         .withColumn("therm", (col("t") % 3).cast("int"))
-      val w = Window.partitionBy("state", "therm").orderBy("traj_id", "t")
-      // localCheckpoint: the capped sample frame feeds the overlap
-      // self-join AND the cell-count aggregate — unmaterialized, the
-      // events scan + per-cell window would execute twice
-      val sampled = base.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 40)
         .select(col("state").as("markov_state"), col("therm"),
           array((0 to 2).map(k =>
             lit(0.3) * ((col("t") * 7 + lit(k * 13)) % 5).cast("double")): _*)
-            .as("bias"))
-        .localCheckpoint()
-      val stats = graft.markov.TramDataset.postHocOverlap(sampled)
-      val cells = sampled.groupBy(col("markov_state"), col("therm"))
-        .agg(count(lit(1)).as("c"))
-      stats
-        .join(broadcast(cells.select(col("markov_state"),
-          col("therm").as("k"), col("c").as("n_k"))), Seq("markov_state", "k"))
-        .join(broadcast(cells.select(col("markov_state"),
-          col("therm").as("l"), col("c").as("m_l"))), Seq("markov_state", "l"))
+            .as("bias"),
+          col("traj_id"), col("t"))
+      graft.markov.TramDataset
+        .postHocOverlap(sampled, maxSamplesPerCell = 40,
+          orderCols = Seq("traj_id", "t"))
         .select(col("markov_state"), col("k"), col("l"), col("n_pairs"),
           col("n_sum"), col("n_avg"),
           when((col("n_k") + col("m_l")).cast("double") * col("n_avg") >= 1.0,
@@ -496,6 +486,118 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
         "pmf_is_distribution" -> (pmf.map(v => math.exp(-v)).sum - 1.0),
         "loglik_finite" -> (if (ll.isNaN || ll.isInfinite) 1.0 else 0.0)))
     }),
+
+    // ---- Gaussian-HMM GMM-parity init battery (q253): the reference's
+    // init/gaussian/_init_gaussian_impl.py heuristic — distributed GMM
+    // (k-means-seeded EM, one codegen aggregation per iteration) +
+    // fractional-membership transition counts + MLE + stationary start —
+    // gated on its contract: stochastic rows, normalized start, positive
+    // sigmas, strictly separated means inside the data span, and the
+    // GMM's own invariants (weights simplex, loglik finite). ------------
+    "q253_gauss_hmm_gmm_init" -> ((s, dir) => {
+      val ev = Trajectories.events(s, dir)
+        .select(col("user_id").cast("long").as("traj_id"),
+          col("ts").as("t"), col("value"))
+      val gmm = graft.markov.hmm.GaussianHmm.gmmFit(ev, 2)
+      val init = graft.markov.hmm.GaussianHmm.initialGuessGmm(ev, 2, "value")
+      val span = ev.agg(min(col("value")), max(col("value"))).collect()(0)
+      val (vLo, vHi) = (span.getDouble(0) - 1.0, span.getDouble(1) + 1.0)
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+      val stochResid = maxAbs((0 until 2).map(i =>
+        breeze.linalg.sum(init.transition(i, ::).t) - 1.0))
+      val negResid = maxAbs(init.transition.toArray.map(v => math.min(v, 0.0)))
+      val muViol = maxAbs(init.means.map(mu =>
+        math.max(0.0, math.max(vLo - mu, mu - vHi))))
+      checksDf(s, Seq(
+        "n_states" -> init.transition.rows.toDouble,
+        "trans_stochastic" -> stochResid,
+        "trans_nonnegative" -> negResid,
+        "pi_normalized" -> (breeze.linalg.sum(init.initial) - 1.0),
+        "sigmas_positive" ->
+          (if (init.sigmas.forall(_ > 0)) 0.0 else 1.0),
+        "means_strictly_separated" ->
+          (if (math.abs(init.means(0) - init.means(1)) > 1e-6) 0.0 else 1.0),
+        "means_within_span" -> muViol,
+        "gmm_weights_simplex" -> maxAbs(
+          Seq(gmm.weights.sum - 1.0) ++ gmm.weights.map(w => math.min(w, 0.0))),
+        "gmm_loglik_finite" ->
+          (if (gmm.logLikelihood.isNaN || gmm.logLikelihood.isInfinite) 1.0 else 0.0)))
+    }),
+
+    // ---- sensitivity VALUE replay on a closed-form 2-state chain
+    // (q254): q85 gates the sensitivity machinery's internal identities
+    // at zero; this battery replays ACTUAL sensitivity values. Coarse-
+    // grain the event dtraj to 2 states (state mod 2), row-normalize the
+    // sliding counts (a = T01, b = T10 — plain SQL), and the machinery's
+    // outputs have closed forms the twin recomputes from the data:
+    // dλ₂/dT = outer((1,-1)/(a+b), (a,-b)), dts₂ = dλ₂/(λ₂ ln²λ₂),
+    // dmfpt₁→₀/dT₁₁ = 1/b² (from the replaced-row adjoint solve). -------
+    "q254_sensitivity_2state" -> ((s, dir) => {
+      import breeze.linalg.DenseMatrix
+      import graft.markov.{Sensitivity, TransitionCounting}
+      val coarse = dtrajEv(s, dir).withColumn("state",
+        when(col("state") >= 0, col("state") % 2).otherwise(lit(-1)))
+      val cRows = TransitionCounting.slidingCounts(coarse, 1).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2).toDouble)).toMap
+      val c = DenseMatrix.tabulate(2, 2)((i, j) => cRows.getOrElse((i, j), 0.0))
+      val t = graft.markov.TransitionMatrixMle.nonReversible(c)
+      val (a, b) = (t(0, 1), t(1, 0))
+      val sEig = Sensitivity.eigenvalueSensitivity(t, 1)
+      val sMfpt = Sensitivity.mfptSensitivity(t, target = 0, j = 1)
+      val lam2 = 1.0 - a - b
+      val base = Seq(
+        "a_up" -> a, "b_down" -> b,
+        "dlam2_d00" -> sEig(0, 0), "dlam2_d01" -> sEig(0, 1),
+        "dlam2_d10" -> sEig(1, 0), "dlam2_d11" -> sEig(1, 1),
+        "dmfpt1_d11" -> sMfpt(1, 1))
+      // the timescale chain factor needs λ₂ in (0, 1); on data where the
+      // coarse chain mixes faster than stationary (λ₂ <= 0) the reference
+      // timescale is undefined, so the row is emitted only when valid —
+      // the twin applies the same guard in SQL
+      val ts = if (lam2 > 0 && lam2 < 1)
+        Seq("dts2_d11" -> Sensitivity.timescaleSensitivity(t, 1)(1, 1))
+      else Seq.empty
+      checksDf(s, base ++ ts)
+    }),
+
+    // ---- fixed-π spectral fingerprint VALUE replay (q255): q248 gates
+    // spectral-vs-direct at zero; here the amplitude arithmetic itself is
+    // data-visible. With π fixed to the EMPIRICAL state distribution
+    // (reversibleMleFixedPi — detailed balance w.r.t. the given π holds
+    // exactly by construction), the spectral amplitude sum Σ_k γ_k equals
+    // Σ_i π_i a_i b_i, and E[C]_stationary row sums equal N·π_i = h_i —
+    // every output is plain SQL over the state histogram. ----------------
+    "q255_fixedpi_spectral" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, DenseVector}
+      import graft.markov.{MsmAnalysis, TransitionCounting}
+      val n = 5
+      val hRows = dtrajEv(s, dir).where(col("state") >= 0)
+        .groupBy(col("state")).agg(count(lit(1)).as("h")).collect()
+        .map(r => (r.getInt(0), r.getLong(1).toDouble)).toMap
+      val h = DenseVector.tabulate(n)(i => hRows.getOrElse(i, 0.0))
+      val nTot = breeze.linalg.sum(h)
+      val piEmp = h / nTot
+      val cRows = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2).toDouble)).toMap
+      val c = DenseMatrix.tabulate(n, n)((i, j) => cRows.getOrElse((i, j), 0.0))
+      val t = MsmAnalysis.reversibleMleFixedPi(c, piEmp)
+      val obsA = DenseVector.tabulate(n)(i => i.toDouble)
+      val obsB = DenseVector.tabulate(n)(i => (i * i).toDouble / n)
+      // spectral amplitudes through the eigendecomposition path
+      val (r, _, l) = MsmAnalysis.rdlReversible(t, Some(piEmp))
+      val wA = DenseVector.tabulate(n)(i => piEmp(i) * obsA(i))
+      val corr0Spectral = (0 until n)
+        .map(k => (wA dot r(::, k)) * (l(k, ::).t dot obsB)).sum
+      val corr0Direct = MsmAnalysis.correlation(t, obsA, obsB, Seq(0),
+        Some(piEmp)).head
+      val ec = MsmAnalysis.expectedCountsStationary(t, nTot.toInt, Some(piEmp))
+      val ecRows = (0 until n).map(i =>
+        s"ec_stat_row_$i" -> breeze.linalg.sum(ec(i, ::).t))
+      checksDf(s, Seq(
+        "corr0_spectral" -> corr0Spectral,
+        "corr0_direct" -> corr0Direct) ++ ecRows :+
+        ("ec_stat_total" -> ec.toArray.sum))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -623,5 +725,72 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
          UNION ALL SELECT 'expected_counts_pi_is_stationary', 0.0
          UNION ALL SELECT 'n_states', (SELECT CAST(count(DISTINCT ${Trajectories.eventTypeStateSql}) AS DOUBLE)
            FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0)""",
+
+    // GMM-init twin: shape anchor plus driver-exact-zero contract
+    // residuals (the init must produce a usable HMM whatever the data).
+    "q253_gauss_hmm_gmm_init" ->
+      """SELECT * FROM (VALUES
+           ('n_states', 2.0), ('trans_stochastic', 0.0),
+           ('trans_nonnegative', 0.0), ('pi_normalized', 0.0),
+           ('sigmas_positive', 0.0), ('means_strictly_separated', 0.0),
+           ('means_within_span', 0.0), ('gmm_weights_simplex', 0.0),
+           ('gmm_loglik_finite', 0.0)
+         ) AS t("check", "value")""",
+
+    // Sensitivity value twin: the machinery's outputs recomputed from
+    // the 2-state closed forms on the SAME row-normalized counts —
+    // dλ₂/dT = outer((1,-1), (a,-b))/(a+b), dmfpt = 1/b², the
+    // timescale chain factor 1/(λ₂ ln²λ₂) guarded exactly as the driver.
+    "q254_sensitivity_2state" ->
+      s"""WITH d AS (SELECT user_id, ${Trajectories.eventTypeStateSql} AS state,
+            ROW_NUMBER() OVER ($evWindowSql) - 1 AS t FROM events),
+          c2 AS (SELECT user_id, t,
+            CASE WHEN state >= 0 THEN state % 2 ELSE -1 END AS state FROM d),
+          p AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM c2),
+          cnt AS (SELECT s0, s1, CAST(count(*) AS DOUBLE) AS n FROM p
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY 1, 2),
+          ab AS (SELECT
+            (SELECT coalesce(sum(n), 0) FROM cnt WHERE s0 = 0 AND s1 = 1) /
+              (SELECT sum(n) FROM cnt WHERE s0 = 0) AS a,
+            (SELECT coalesce(sum(n), 0) FROM cnt WHERE s0 = 1 AND s1 = 0) /
+              (SELECT sum(n) FROM cnt WHERE s0 = 1) AS b)
+          SELECT 'a_up' AS "check", round(a, 6) AS "value" FROM ab
+          UNION ALL SELECT 'b_down', round(b, 6) FROM ab
+          UNION ALL SELECT 'dlam2_d00', round(a / (a + b), 6) FROM ab
+          UNION ALL SELECT 'dlam2_d01', round(-b / (a + b), 6) FROM ab
+          UNION ALL SELECT 'dlam2_d10', round(-a / (a + b), 6) FROM ab
+          UNION ALL SELECT 'dlam2_d11', round(b / (a + b), 6) FROM ab
+          UNION ALL SELECT 'dmfpt1_d11', round(1.0 / (b * b), 6) FROM ab
+          UNION ALL SELECT 'dts2_d11',
+            round(b / (a + b) / ((1 - a - b) * ln(1 - a - b) * ln(1 - a - b)), 6)
+            FROM ab WHERE 1 - a - b > 0 AND 1 - a - b < 1""",
+
+    // Fixed-π spectral twin: with π pinned to the empirical histogram,
+    // the spectral amplitude sum and stationary expected-count margins
+    // are plain arithmetic over the state histogram.
+    "q255_fixedpi_spectral" ->
+      s"""WITH d AS (SELECT ${Trajectories.eventTypeStateSql} AS state
+            FROM events),
+          h AS (SELECT state, CAST(count(*) AS DOUBLE) AS h FROM d
+            WHERE state >= 0 GROUP BY 1),
+          tot AS (SELECT sum(h) AS n FROM h)
+          SELECT 'corr0_spectral' AS "check",
+            (SELECT round(sum((h.h / tot.n) * h.state * h.state * h.state / 5.0), 6)
+             FROM h, tot) AS "value"
+          UNION ALL SELECT 'corr0_direct',
+            (SELECT round(sum((h.h / tot.n) * h.state * h.state * h.state / 5.0), 6)
+             FROM h, tot)
+          UNION ALL SELECT 'ec_stat_row_0',
+            (SELECT coalesce(sum(h), 0) FROM h WHERE state = 0)
+          UNION ALL SELECT 'ec_stat_row_1',
+            (SELECT coalesce(sum(h), 0) FROM h WHERE state = 1)
+          UNION ALL SELECT 'ec_stat_row_2',
+            (SELECT coalesce(sum(h), 0) FROM h WHERE state = 2)
+          UNION ALL SELECT 'ec_stat_row_3',
+            (SELECT coalesce(sum(h), 0) FROM h WHERE state = 3)
+          UNION ALL SELECT 'ec_stat_row_4',
+            (SELECT coalesce(sum(h), 0) FROM h WHERE state = 4)
+          UNION ALL SELECT 'ec_stat_total', (SELECT n FROM tot)""",
   )
 }

@@ -110,4 +110,87 @@ class TramDatasetSparkSpec extends SparkSpec with Matchers {
     llConv.isNaN shouldBe false
     llConv should be >= llEarly - 1e-6
   }
+
+  test("sampleWeightsLog: a state with no modified counts in ANY " +
+    "ensemble gets weight zero, not NaN (tram.h o-loop -inf filter)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val ninf = Double.NegativeInfinity
+    // 3 Markov states, 2 ensembles; state 2 has log R = -inf everywhere
+    def model(kT: Int) = Tram.TramModel(
+      biasedConfEnergies = DenseMatrix.zeros[Double](kT, 3),
+      markovStateEnergies = DenseVector.zeros[Double](3),
+      thermStateEnergies = DenseVector.zeros[Double](kT),
+      transitionMatrices = Array.fill(kT)(DenseMatrix.eye[Double](3)),
+      iterations = 0, finalError = 0.0,
+      modifiedStateCountsLog = DenseMatrix.tabulate(kT, 3)((k, i) =>
+        if (i == 2) ninf else 0.1 * (k + 1) + 0.2 * i))
+    for (kT <- Seq(2, 1)) { // kT == 1 exercises the no-greatest short path
+      val samples = Seq(
+        (0, Array.fill(kT)(0.3)), (1, Array.fill(kT)(0.1)),
+        (2, Array.fill(kT)(0.2)), // the dead state
+        (-1, Array.fill(kT)(0.0))).toDF("state", "bias")
+      val w = Tram.sampleWeightsLog(samples, model(kT)).collect()
+        .map(r => (r.getInt(0), r.getDouble(r.length - 1)))
+      w.foreach { case (_, lw) => lw.isNaN shouldBe false }
+      w.filter(r => r._1 == 2 || r._1 == -1)
+        .foreach(_._2 shouldBe ninf)
+      w.map(r => math.exp(r._2)).sum shouldBe 1.0 +- 1e-9
+    }
+  }
+
+  test("postHocOverlap maxSamplesPerCell: deterministic per-cell cap " +
+    "matches the driver kernel on the capped subset") {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(23L)
+    val k = 2
+    val rows = (0 until 200).map { idx =>
+      (idx, idx % 3, rng.nextInt(k),
+        Array.fill(k)(math.rint(rng.nextDouble() * 100) / 50.0))
+    }
+    val df = rows.toDF("sid", "markov_state", "therm", "bias")
+    val cap = 5
+    val got = TramDataset.postHocOverlap(df, maxSamplesPerCell = cap,
+        orderCols = Seq("sid")).collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+        (r.getLong(3), r.getDouble(4), r.getLong(6), r.getLong(7))))
+      .toMap
+    // driver replay: first `cap` rows per (state, therm) by sid order
+    val capped = rows.groupBy(r => (r._2, r._3)).values
+      .flatMap(_.sortBy(_._1).take(cap)).toSeq
+    for (i <- 0 until 3; kk <- 0 until k; ll <- 0 until k if kk != ll) {
+      val atK = capped.filter(r => r._2 == i && r._3 == kk).map(_._4)
+      val atL = capped.filter(r => r._2 == i && r._3 == ll).map(_._4)
+      if (atK.nonEmpty && atL.nonEmpty) {
+        var nSum = 0.0
+        atK.foreach(a => atL.foreach(b =>
+          nSum += math.min(math.exp(a(kk) + b(ll) - a(ll) - b(kk)), 1.0)))
+        val (nPairs, gotSum, nK, mL) = got((i, kk, ll))
+        nK shouldBe atK.length.toLong
+        mL shouldBe atL.length.toLong
+        nK should be <= cap.toLong
+        nPairs shouldBe atK.length.toLong * atL.length
+        gotSum shouldBe nSum +- 2e-6
+      } else got.contains((i, kk, ll)) shouldBe false
+    }
+    // uncapped call without orderCols still works (no cap applied)
+    TramDataset.postHocOverlap(df).count() should be > 0L
+    an[IllegalArgumentException] should be thrownBy
+      TramDataset.postHocOverlap(df, maxSamplesPerCell = 3)
+  }
+
+  test("zero-edge overlap graph: restriction keeps Markov state 0 " +
+    "(reference submodel_largest over the full K*M node set)") {
+    // each ensemble lives in its own single state: no cross-ensemble
+    // overlap pairs and no within-ensemble chains -> zero edges
+    val d0 = Array.fill(50)(0)
+    val d1 = Array.fill(50)(1)
+    val bias = Array(d0, d1).map(_.map(_ => Array(0.0, 0.0)))
+    val ds = new TramDataset(Array(d0, d1), bias)
+    ds.largestConnectedSet("post_hoc_RE") shouldBe Array(0)
+    ds.restrictToLargestConnectedSet("post_hoc_RE")
+    ds.dtrajs(0).forall(_ == 0) shouldBe true  // survives
+    ds.dtrajs(1).forall(_ == -1) shouldBe true // dropped, but not ALL data
+  }
 }

@@ -1,12 +1,21 @@
 #!/usr/bin/env python3
 """Compare a bench JSON line against the per-query baselines.
 
-Usage: python3 tools/bench_compare.py <bench.log|bench.json> [cap]
+Usage: python3 tools/bench_compare.py <bench.log|bench.json> [cap] [--subset]
 
 Parses the LAST {"metric":...} line from the file, joins against the
 baseline table below (values = first round in which each query appeared,
 per BASELINE.md protocol), and prints ratio-sorted results plus any
 cap violations (default cap 2.0; pass 1.5 for the contended gate).
+
+A queries_ms / bench_names.json length mismatch is a hard error (exit 2)
+unless --subset is passed, in which case only the named top-10 'queries'
+subset is compared (clearly reduced coverage, stated in the output).
+
+Noise floor (BASELINE.md "cap ledger noise floor" rule): entries whose
+baseline is < 200 ms AND whose absolute delta is < 300 ms are below the
+box's measured scheduler jitter — their ratios are reported in a separate
+noise-floor section and never counted as cap violations.
 """
 import json
 import re
@@ -132,7 +141,11 @@ def _last_metric_line(text):
     return line
 
 
-def _decode_queries(rec):
+NOISE_BASELINE_S = 0.200  # baselines under this are scheduler-noise-sized
+NOISE_DELTA_S = 0.300     # measured same-box jitter; deltas under this are noise
+
+
+def _decode_queries(rec, allow_subset=False):
     """Per-query seconds from a bench record.
 
     Preferred: "queries_ms" (integer ms, rank-ordered by ascending query
@@ -149,14 +162,23 @@ def _decode_queries(rec):
         ms = rec["queries_ms"]
         if len(ms) != len(names):
             # a mid-sequence divergence would silently mislabel every
-            # timing after it — refuse positional decoding entirely and
-            # fall back to the (top-10 subset) named map
-            print(f"WARNING: {len(ms)} timings vs {len(names)} manifest "
-                  f"names — the record and tools/bench_names.json are from "
-                  f"different surfaces; positional decode would mislabel "
-                  f"queries. Falling back to the named 'queries' subset; "
-                  f"regenerate the manifest (graft.tools.BenchManifest) "
-                  f"from the record's commit for the full map.")
+            # timing after it — refuse positional decoding entirely. A
+            # stale manifest must NOT quietly shrink cap coverage from the
+            # full surface to the top-10 subset, so this is a hard error
+            # unless the caller explicitly opted into --subset.
+            msg = (f"ERROR: {len(ms)} timings vs {len(names)} manifest "
+                   f"names — the record and tools/bench_names.json are from "
+                   f"different surfaces; positional decode would mislabel "
+                   f"queries. Regenerate the manifest "
+                   f"(graft.tools.BenchManifest) from the record's commit.")
+            if not allow_subset:
+                print(msg)
+                print("Refusing to compare (pass --subset to force the "
+                      "reduced top-10 named comparison).")
+                sys.exit(2)
+            print(msg)
+            print("--subset given: comparing ONLY the named top-10 subset "
+                  "(reduced coverage).")
             return rec.get("queries", {})
         short = [n.split("_")[0] for n in names]
         return {short[i]: ms[i] / 1000.0 for i in range(len(ms))}
@@ -164,8 +186,10 @@ def _decode_queries(rec):
 
 
 def main():
-    path = sys.argv[1]
-    cap = float(sys.argv[2]) if len(sys.argv) > 2 else 2.0
+    args = [a for a in sys.argv[1:] if a != "--subset"]
+    allow_subset = "--subset" in sys.argv[1:]
+    path = args[0]
+    cap = float(args[1]) if len(args) > 1 else 2.0
     with open(path) as f:
         text = f.read()
     rec = None
@@ -189,26 +213,43 @@ def main():
             print("no bench line found")
             sys.exit(1)
         rec = json.loads(line)
-    qs = _decode_queries(rec)
+    qs = _decode_queries(rec, allow_subset)
     rows = []
     for k, v in qs.items():
         b = BASELINES.get(k)
         rows.append((k, v, b, v / b if b else None))
     rows.sort(key=lambda r: -(r[3] or 0))
-    viol = [r for r in rows if r[3] and r[3] > cap]
+
+    def is_noise(r):  # sub-scheduler-jitter entries: never cap violations
+        _, v, b, ratio = r
+        return (ratio is not None and b < NOISE_BASELINE_S
+                and abs(v - b) < NOISE_DELTA_S)
+
+    viol = [r for r in rows if r[3] and r[3] > cap and not is_noise(r)]
+    noise = [r for r in rows if r[3] and r[3] > cap and is_noise(r)]
     new = [r for r in rows if r[3] is None]
     print(f"total {rec['value']:.1f}s over {len(qs)} queries; "
           f"baselined sum {sum(r[1] for r in rows if r[2]):.1f}s vs "
           f"{sum(r[2] for r in rows if r[2]):.1f}s = "
           f"{sum(r[1] for r in rows if r[2]) / sum(r[2] for r in rows if r[2]):.2f}x")
     print(f"\ntop ratios (cap {cap}x):")
-    for k, v, b, r in rows[:15]:
-        flag = " <-- VIOLATION" if r and r > cap else ""
+    for row in rows[:15]:
+        k, v, b, r = row
+        flag = ""
+        if r and r > cap:
+            flag = (" <-- noise floor (not a violation)" if is_noise(row)
+                    else " <-- VIOLATION")
         print(f"  {k}  {v:7.3f}s  base {b if b else '---':>7}  "
               f"{f'{r:.2f}x' if r else 'new'}{flag}")
     if new:
         print("\nnew queries (no baseline yet): " +
               ", ".join(f"{k}={v:.3f}s" for k, v, _, _ in new))
+    if noise:
+        print(f"\nnoise-floor entries over cap (baseline < "
+              f"{NOISE_BASELINE_S*1000:.0f} ms and delta < "
+              f"{NOISE_DELTA_S*1000:.0f} ms — excluded from the ledger): "
+              + ", ".join(f"{k} {r:.2f}x ({v*1000:.0f} ms vs {b*1000:.0f} ms)"
+                          for k, v, b, r in noise))
     print(f"\n{len(viol)} violation(s) at cap {cap}x"
           + ("" if not viol else ": " + ", ".join(r[0] for r in viol)))
 
