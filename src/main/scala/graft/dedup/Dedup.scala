@@ -112,7 +112,8 @@ object Dedup {
     * `pairs` has columns (a, b); docs joined in twice (broadcast when the
     * candidate set is small). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, shingleLen: Int = 5,
-                   textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                   textCol: String = "text", idCol: String = "doc_id",
+                   broadcastIds: Boolean = true): DataFrame = {
     // shingles are hashed to 64-bit BEFORE the pair join: the intersection
     // and union sizes (hence jaccard) are unchanged barring a 64-bit
     // collision (P ~ |shingles|^2 / 2^64, ~1e-12 here), while the shuffled
@@ -127,13 +128,18 @@ object Dedup {
     // when it is itself an expensive pipeline.
     val ids = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol))) // left_semi dedups itself
-    // BROADCAST the candidate-id set: a shuffle semi-join would move the
-    // whole corpus (text included) through an exchange keyed by doc id —
-    // the one full-corpus shuffle this pipeline is designed to avoid. The
-    // id set is 8 bytes per candidate endpoint (ScaleAudit: ~100k ids =
-    // <1 MB at the 10x corpus); at scales where even that outgrows the
-    // broadcast budget, pre-bucketing docs by id is the intended path.
-    val sh = docs.join(broadcast(ids), Seq(idCol), "left_semi").select(col(idCol),
+    // BROADCAST the candidate-id set (default): a shuffle semi-join would
+    // move the whole corpus (text included) through an exchange keyed by
+    // doc id — the one full-corpus shuffle this pipeline is designed to
+    // avoid. The id set is 8 bytes per candidate endpoint (ScaleAudit:
+    // ~100k ids = <1 MB at the 10x corpus). When the candidate set
+    // outgrows the broadcast budget (~10M+ endpoints), pass
+    // broadcastIds = false: the semi-join is left to Catalyst/AQE, which
+    // pays the documented corpus shuffle instead of a driver OOM —
+    // pre-bucketing docs by id remains the zero-shuffle path at that
+    // scale.
+    val idsMaybeHinted = if (broadcastIds) broadcast(ids) else ids
+    val sh = docs.join(idsMaybeHinted, Seq(idCol), "left_semi").select(col(idCol),
       array_distinct(graft.functions.Shingles.charHashes(col(textCol), shingleLen)).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
@@ -153,10 +159,12 @@ object Dedup {
     * reported quantities are set CARDINALITIES, unchanged by hashing
     * barring a ~1e-12 collision). */
   def ngramContainment(docs: DataFrame, pairs: DataFrame, shingleLen: Int = 5,
-                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val ids = pairs.select(col("a").as(idCol))
+                       textCol: String = "text", idCol: String = "doc_id",
+                       broadcastIds: Boolean = true): DataFrame = {
+    val ids0 = pairs.select(col("a").as(idCol))
       .union(pairs.select(col("b").as(idCol)))
-    val sh = docs.join(broadcast(ids), Seq(idCol), "left_semi").select(col(idCol),
+    val ids = if (broadcastIds) broadcast(ids0) else ids0
+    val sh = docs.join(ids, Seq(idCol), "left_semi").select(col(idCol),
       array_distinct(graft.functions.Shingles.charHashes(col(textCol), shingleLen)).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")

@@ -23,23 +23,44 @@ import org.apache.spark.sql.functions._
   */
 object ScaleAudit {
 
-  def buildCorpus(spark: SparkSession, src: String, out: String): Unit = {
+  def buildCorpus(spark: SparkSession, src: String, out: String,
+                  copies: Int = 10, period: Int = 7): Unit = {
     val fs = new java.io.File(out)
     if (new java.io.File(fs, "_DONE").exists()) return
     fs.mkdirs()
-    val copies = 10
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    // copy k != 0 replaces every 7th word (phase k) with a copy-tagged
-    // token: ~14% word turnover kills ~70% of 5-shingles, so replicas sit
-    // far below the 0.6 near-dup threshold while in-copy planted pairs
-    // keep their similarity structure
+    // copy k != 0 replaces every `period`-th word (phase k) with a token
+    // derived from hash(doc_id, copy, position): the replacement carries
+    // NO shared prefix across docs or positions, so perturbation adds
+    // zero common shingle mass. (The earlier "cp{k}_word" scheme put the
+    // same 4-5-char prefix on every perturbed word of copy k — at period
+    // 3 a third of every doc's shingle windows shared it, making
+    // UNRELATED docs within one copy minhash-collide: 49M candidates at
+    // 100x, a corpus artifact.) CALIBRATION (char 5-shingle jaccard
+    // between two perturbed copies of the same doc, measured on sf0.1):
+    // period 7 -> median ~0.55 (brushes the 0.6 near-dup threshold; at
+    // 100 copies the 4950 copy-pairs/doc x ~34% band-collision rate is a
+    // quadratic cross-copy explosion); period 3 -> median ~0.35, zero
+    // pairs >= 0.5 — replicas sit far below the threshold as intended
+    // while in-copy planted pairs keep their similarity structure. The
+    // 10x audit keeps period 7 (borderline load is modest at 45
+    // copy-pairs/doc); the 100x audit passes 3.
+    // The extra `i == id mod numWords` clause guarantees at least ONE
+    // perturbed word per copy: without it, documents shorter than
+    // `period` words get no replacement in most phases, so their copies
+    // are EXACT duplicates — clique-squared candidate blowup (51M pairs
+    // observed at 100x), again a corpus artifact, not an operator
+    // property.
+    val words = split(col("text"), " ")
     spark.range(copies).crossJoin(docs).select(
       (col("doc_id") + col("id") * 10000000L).as("doc_id"),
       col("source"), col("lang"),
       when(col("id") === 0, col("text")).otherwise(
-        concat_ws(" ", transform(split(col("text"), " "),
-          (w, i) => when(pmod(i + col("id"), lit(7)) === 0,
-            concat(lit("cp"), col("id"), lit("_"), w)).otherwise(w)))
+        concat_ws(" ", transform(words,
+          (w, i) => when(pmod(i + col("id"), lit(period)) === 0 ||
+              i === pmod(col("id"), greatest(size(words), lit(1))),
+            concat(lit("x"), pmod(abs(hash(col("doc_id"), col("id"), i, w)),
+              lit(1000000000L)))).otherwise(w)))
       ).as("text"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
@@ -71,27 +92,119 @@ object ScaleAudit {
     * plans (bare ShuffleExchangeExec) and adaptively executed ones, where
     * materialized exchanges hide inside LEAF ShuffleQueryStageExec nodes
     * that a plain collect would not descend into. */
+  /** Every physical node of an (executed or unexecuted) plan,
+    * INCLUDING the subtrees AQE hides behind QueryStageExec leaves.
+    * Spark 4.1 wraps the final adaptive plan in a ResultQueryStageExec
+    * whose subtree hangs off `.plan` (with Shuffle/BroadcastQueryStage
+    * leaves below, each wrapping its exchange) — a plain TreeNode
+    * traversal of a POST-execution plan sees exactly one leaf and no
+    * exchanges, which silently turned every exchange-shape invariant
+    * here into a vacuous pass. All audit inspections go through this
+    * walk. */
+  def allPlanNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
+      case q: QueryStageExec => p +: walk(q.plan)
+      case _ => p +: p.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
   def shuffledPayloadColumns(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
-    val plan = df.queryExecution.executedPlan
-    val inner = plan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
     // "payload"/"v" cover the audited queries' renamed binary/vector
     // columns (q116's PNG bytes, q119's cast embedding)
     def payload(names: Seq[String]): Seq[String] =
       names.filter(n =>
         n == "text" || n == "embedding" || n == "payload" || n == "v")
-    inner.collect {
+    allPlanNodes(df).collect {
       case e: ShuffleExchangeExec => payload(e.output.map(_.name))
-      case s: ShuffleQueryStageExec => payload(s.output.map(_.name))
     }.flatten.distinct
   }
 
   def hasCartesian(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("CartesianProduct")
+    allPlanNodes(df).exists(_.nodeName.contains("CartesianProduct"))
+
+  /** Post-execution shuffle-exchange maxima of an executed plan:
+    * (max records written through any one exchange, max dataSize bytes
+    * through any one exchange, number of exchanges). Metric names are
+    * matched loosely (Spark's write metrics are registered under
+    * display names) so a rename degrades to 0 rather than crashing. */
+  def exchangeMaxima(df: DataFrame): (Long, Long, Int) = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val exs = allPlanNodes(df)
+      .collect { case e: ShuffleExchangeExec => e }
+    def metric(e: ShuffleExchangeExec, needle: String): Long =
+      e.metrics.collect {
+        case (k, m) if k.toLowerCase.contains(needle) ||
+          m.name.exists(_.toLowerCase.contains(needle)) => m.value
+      }.foldLeft(0L)(math.max)
+    val rec = exs.map(metric(_, "records")).foldLeft(0L)(math.max)
+    val bytes = exs.map(metric(_, "datasize")).foldLeft(0L)(math.max)
+    (rec, bytes, exs.length)
+  }
+
+  /** 100x rotation (VERDICT r08 item 6): the minhash -> verify -> CC
+    * dedup chain — the most shuffle-intensive family — against a 100x
+    * replica corpus (~500k documents), recording the largest exchange
+    * (records and bytes) of each stage for the BASELINE.md ledger plus
+    * the same payload/cartesian/edge-bound invariants as the 10x audit.
+    * Run: sbt "runMain graft.tools.ScaleAudit minhash100". */
+  def minhash100(spark: SparkSession, src: String, out: String): Int = {
+    buildCorpus(spark, src, out, copies = 100, period = 3)
+    var failures = 0
+    val d100 = spark.read.parquet(s"$out/documents.parquet")
+    val nDocs = d100.count()
+
+    def audit(name: String, df: DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val qe = df.queryExecution
+      val rows = qe.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val leaked = shuffledPayloadColumns(df)
+      val cart = hasCartesian(df)
+      val (maxRec, maxBytes, nEx) = exchangeMaxima(df)
+      val ok = leaked.isEmpty && !cart
+      if (!ok) failures += 1
+      println(f"[scale-100x] $name%-18s rows=$rows%-9d ${sec}%7.2f s  " +
+        f"exchanges=$nEx max-exchange-rows=$maxRec%-10d " +
+        f"max-exchange-MB=${maxBytes / 1e6}%9.1f  " +
+        s"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")}  " +
+        s"cartesian=$cart  ${if (ok) "OK" else "FAIL"}")
+      df
+    }
+
+    // stage 1: banded minhash candidate generation (id-only pairs)
+    val cand = audit("minhash-cands",
+      graft.dedup.Dedup.minhashCandidates(d100, bands = 8, rowsPerBand = 5))
+      .localCheckpoint()
+    // stage 2: exact n-gram jaccard verification (candidate-driven
+    // rejoin). The candidate-id broadcast is the zero-corpus-shuffle
+    // fast path up to ~10M endpoints; beyond that the operator's
+    // explicit fallback pays the semi-join shuffle instead of a driver
+    // OOM — the audit exercises whichever side of the boundary the
+    // corpus lands on and reports the choice.
+    val nCand = cand.count()
+    val bcastIds = nCand * 2 < 8000000L
+    println(s"[scale-100x] candidates=$nCand -> broadcastIds=$bcastIds")
+    val edges = audit("jaccard-verify",
+      graft.dedup.Dedup.ngramJaccard(d100, cand, 5,
+        broadcastIds = bcastIds)).localCheckpoint()
+    val nEdges = edges.where(col("jaccard") >= 0.6).count()
+    val edgeOk = nEdges < 1000000L
+    if (!edgeOk) failures += 1
+    println(s"[scale-100x] verified edges=$nEdges at 100x " +
+      s"(driver union-find bound 1000000) ${if (edgeOk) "OK" else "FAIL"}")
+    // stage 3: connected components -> cluster labels
+    val cc = audit("dup-clusters",
+      graft.dedup.Dedup.duplicateClusters(
+        edges.where(col("jaccard") >= 0.6).select(col("a"), col("b"))))
+    println(s"[scale-100x] corpus docs=$nDocs; " +
+      s"clusters=${cc.select("cluster_id").distinct().count()}")
+    failures
+  }
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SRC", "/root/testdata/sf0.1")
@@ -105,6 +218,15 @@ object ScaleAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("minhash100")) {
+      val out100 = sys.env.getOrElse("SCALE_DIR_100", "/tmp/graft_sf10")
+      val failures = minhash100(spark, src, out100)
+      println(if (failures == 0) "[scale-100x] ALL INVARIANTS HOLD"
+              else s"[scale-100x] $failures FAILURES")
+      spark.stop()
+      if (failures > 0) sys.exit(1)
+      return
+    }
     buildCorpus(spark, src, out)
 
     val targets = Seq("q21_minhash_candidates", "q76_dup_clusters",
@@ -149,15 +271,10 @@ object ScaleAudit {
       val rows = qe.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
-      val inner = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
+      val textExchanges = allPlanNodes(df).count {
+        case e: ShuffleExchangeExec => e.output.exists(_.name == "text")
+        case _ => false
       }
-      val textExchanges = inner.collect {
-        case e: ShuffleExchangeExec if e.output.exists(_.name == "text") => 1
-        case s: ShuffleQueryStageExec if s.output.exists(_.name == "text") => 1
-      }.sum
       val cart = hasCartesian(df)
       val ok = textExchanges <= 1 && !cart
       if (!ok) failures += 1

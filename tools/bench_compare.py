@@ -123,6 +123,10 @@ BASELINES = {
     # final round-8 sweep first-appearance: persistence roundtrips (q250),
     # sparse covariance (q251), TRAM model evaluation (q252)
     "q250": 1.002, "q251": 0.907, "q252": 2.828,
+    # round-9 first-appearance: GMM-parity Gaussian-HMM init (q253),
+    # 2-state closed-form sensitivity values (q254), fixed-pi spectral
+    # amplitude replay (q255) — quiet full sweep, r9 build cycle
+    "q253": 2.757, "q254": 0.333, "q255": 0.419,
 }
 
 
