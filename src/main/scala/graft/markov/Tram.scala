@@ -305,23 +305,35 @@ object Tram {
     // logsumexp over the K per-ensemble terms; exp(-inf - m) = 0 drops
     // ensembles with no modified counts at the state, like the C++ o-loop
     // in tram.h computeSampleWeightsLog. When ALL terms are -inf (the
-    // sample's state has no modified counts in any ensemble), m = -inf
-    // would make exp(t - m) NaN — guard that case and map the all--inf
-    // divisor to log_weight = -inf (zero weight), as the reference's
-    // o-loop leaves divisor = -inf and the weight exp(-inf - ...) = 0.
+    // sample's state has no modified counts in any ensemble), the bare
+    // chain yields m = -inf, t - m = NaN, and raw = NaN — a single
+    // trailing `nanvl(raw, -inf)` maps that to log_weight = -inf (zero
+    // weight), exactly as the reference's o-loop leaves the divisor at
+    // -inf and exp(-inf - ...) = 0. NO conditional around the K-term
+    // subtree: wrapping it in `when` branches re-derives the whole
+    // subtree per branch (Spark neither CSEs across conditionals nor
+    // keeps the codegen tree small), which measured +2.5 s steady-state
+    // on q252's three weight pipelines.
     val negInf = lit(Double.NegativeInfinity)
     val logDiv = if (kT == 1) terms.head else {
       val m = greatest(terms: _*)
-      when(m === negInf, negInf)
-        .otherwise(m + log(terms.map(t => exp(t - m)).reduce(_ + _)))
+      m + log(terms.map(t => exp(t - m)).reduce(_ + _))
     }
-    val rawFinite = if (thermState < 0) -logDiv
+    val raw0 = if (thermState < 0) -logDiv
       else -element_at(col("bias"), thermState + 1) - logDiv +
         lit(model.thermStateEnergies(thermState))
-    val raw = when(logDiv === negInf, negInf).otherwise(rawFinite)
+    // kT == 1 has no logsumexp, so its all--inf case surfaces as
+    // raw0 = +inf rather than NaN; both repair to -inf below. The repair
+    // runs AFTER the checkpoint, on the materialized column: a NaN/+inf
+    // row costs one trivial comparison there, while any guard placed
+    // around `raw0` itself lands inside the checkpointed projection
+    // where it measurably slows all three weight pipelines.
     val withRaw = samples.withColumn("lw_raw",
-      when(col("state") < 0, lit(Double.NegativeInfinity)).otherwise(raw))
+      when(col("state") < 0, negInf).otherwise(raw0))
       .localCheckpoint() // reused by the normalizer aggregate and the output
+      .withColumn("lw_raw", when(isnan(col("lw_raw")) ||
+        col("lw_raw") === lit(Double.PositiveInfinity), negInf)
+        .otherwise(col("lw_raw")))
     val mRow = withRaw.agg(max(col("lw_raw")).as("m")).collect()(0)
     val mMax = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
     val mShift = if (mMax.isNegInfinity) 0.0 else mMax // all--inf frame

@@ -45,10 +45,29 @@ object Profile {
       case "ivftune" => ivfTune(spark, dir)
       case "scoring" => scoring(spark, dir)
       case "dedupphase" => dedupPhase(spark, dir)
+      case "steady" => steady(spark, dir, args.lift(2).getOrElse(
+        sys.error("usage: Profile steady <sfDir> <queryName>")))
       case other => sys.error(s"unknown profile mode '$other' " +
-        "(q21recall | ivftune | scoring | dedupphase)")
+        "(q21recall | ivftune | scoring | dedupphase | steady)")
     }
     spark.stop()
+  }
+
+  /** Steady-state repeat timing of one registry query: 5 executions in
+    * ONE session, printing each. Single-invocation bench slots on this
+    * box vary by up to ±1.5 s around a ~3 s query (JIT + codegen-compile
+    * + scheduler cold start dominate the first execution), which is
+    * enough to both fake and mask a real regression — the r9 TRAM guard
+    * cost (+2.5 s steady-state from `when`-branch subtree duplication)
+    * was only attributable after A/B-ing steady-state runs of the two
+    * source versions. Usage: sbt "runMain graft.tools.Profile steady
+    * <sfDir> <queryName>". */
+  private def steady(spark: SparkSession, dir: String, name: String): Unit = {
+    for (i <- 1 to 5) {
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      println(f"[profile] steady $name iter $i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
   }
 
   /** Recall audit for the q21 minhash banding: the exact >=0.6-jaccard

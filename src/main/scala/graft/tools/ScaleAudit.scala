@@ -87,11 +87,6 @@ object ScaleAudit {
     println(s"[scale-audit] built ${copies}x corpus at $out (embedding dim $d)")
   }
 
-  /** Shuffle-exchange payload audit: names of text/embedding columns that
-    * cross a shuffle boundary (must be empty). Handles both pre-execution
-    * plans (bare ShuffleExchangeExec) and adaptively executed ones, where
-    * materialized exchanges hide inside LEAF ShuffleQueryStageExec nodes
-    * that a plain collect would not descend into. */
   /** Every physical node of an (executed or unexecuted) plan,
     * INCLUDING the subtrees AQE hides behind QueryStageExec leaves.
     * Spark 4.1 wraps the final adaptive plan in a ResultQueryStageExec
@@ -112,6 +107,8 @@ object ScaleAudit {
     walk(df.queryExecution.executedPlan)
   }
 
+  /** Shuffle-exchange payload audit: names of text/embedding columns that
+    * cross a shuffle boundary (must be empty). */
   def shuffledPayloadColumns(df: DataFrame): Seq[String] = {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     // "payload"/"v" cover the audited queries' renamed binary/vector
