@@ -204,27 +204,45 @@ object Similarity {
     * LSH buckets (near-dup detection for embedding-indexed corpora).
     *
     * Scale shape mirrors Dedup.minhashCandidates: multiple independent
-    * sign-plane tables for recall, and a `maxBucketSize` cap that drops
-    * degenerate mega-buckets (at 100 TB a boilerplate-heavy bucket would
-    * otherwise quadratically explode the self-join; a true near-dup pair
-    * still collides in another table). Buckets for all tables come from
-    * one pass; candidate pairs dedup on ids across tables BEFORE vectors
-    * join back for the exact-cosine verify. */
+    * sign-plane tables for recall, and a `maxBucketSize` cap that keeps
+    * degenerate mega-buckets LINEAR via multi-hub star edges (at 100 TB
+    * a boilerplate-heavy bucket would otherwise quadratically explode
+    * the self-join). Buckets for all tables come from one pass;
+    * candidate pairs dedup on ids across tables BEFORE vectors join
+    * back for the exact-cosine verify. */
   def cosineNearDupes(corpus: DataFrame, threshold: Double, dim: Int,
                       nPlanes: Int = 10, numTables: Int = 2,
-                      maxBucketSize: Int = 1000, idCol: String = "vec_id",
+                      maxBucketSize: Int = 1000, nHubs: Int = 3,
+                      idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    // Over-cap buckets (> maxBucketSize members — at web scale, a dense
+    // clique of near-identical embeddings landing in one sign-LSH
+    // bucket) emit STAR edges from the `nHubs` smallest-id members to
+    // every member instead of all pairs, the same policy as
+    // Dedup.minhashCandidates: candidate count stays LINEAR in bucket
+    // size while members remain connected through the hubs. The
+    // pre-round-9 behavior DROPPED over-cap buckets outright, silently
+    // losing exactly the densest duplicate groups. Same recall caveat as
+    // the minhash path: hub-mediated edges guarantee candidate-graph
+    // connectivity, not that every true pair is verified directly.
+    val bw = Window.partitionBy("tbl", "bucket")
     val b = corpus.select(col(idCol),
         posexplode(hyperplaneBuckets(col(vecCol), dim, nPlanes, numTables))
           .as(Seq("tbl", "bucket")))
-      .withColumn("bucket_n", count(lit(1))
-        .over(Window.partitionBy("tbl", "bucket")))
-      .where(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-    val l = b.select(col("tbl"), col("bucket"), col(idCol).as("a"))
-    val r = b.select(col("tbl"), col("bucket"), col(idCol).as("b"))
+      .withColumn("bucket_n", count(lit(1)).over(bw))
+      .withColumn("rk", row_number().over(bw.orderBy(col(idCol))))
+    val small = b.where(col("bucket_n") <= maxBucketSize)
+    val l = small.select(col("tbl"), col("bucket"), col(idCol).as("a"))
+    val r = small.select(col("tbl"), col("bucket"), col(idCol).as("b"))
+    val over = b.where(col("bucket_n") > maxBucketSize)
+    val starPairs = over.where(col("rk") <= nHubs)
+      .select(col("tbl"), col("bucket"), col(idCol).as("a"))
+      .join(over.select(col("tbl"), col("bucket"), col(idCol).as("b")),
+        Seq("tbl", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
     val cand = l.join(r, Seq("tbl", "bucket")).where(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b").union(starPairs).distinct()
     val va = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
     val vb = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
     // no broadcast hint: the candidate set's size is data-dependent (a

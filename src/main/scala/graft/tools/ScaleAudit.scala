@@ -203,6 +203,88 @@ object ScaleAudit {
     failures
   }
 
+  /** 100x rotation, second family: the embedding/ANN chain — SemDeDup,
+    * sign-LSH cosine near-dup, and composed IVF+PQ top-k — against the
+    * 100x corpus's 2M 64-d embeddings. The embedding family's documented
+    * shape DOES move vectors through cell-/bucket-keyed exchanges (one
+    * cell-keyed shuffle per self-join leg is the design; candidates are
+    * ids); the invariant here is therefore a BOUNDED COUNT of
+    * vector-carrying exchanges per stage plus the usual no-cartesian,
+    * cell-size and candidate-linearity bounds, with exchange maxima
+    * recorded for the ledger.
+    * Run: sbt "runMain graft.tools.ScaleAudit ann100". */
+  def ann100(spark: SparkSession, src: String, out: String): Int = {
+    buildCorpus(spark, src, out, copies = 100, period = 3)
+    var failures = 0
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val nVec = emb.count()
+
+    def audit(name: String, df: DataFrame, maxVecExchanges: Int): DataFrame = {
+      val t0 = System.nanoTime()
+      val rows = df.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val vecEx = shuffledPayloadColumns(df)
+      val nVecEx = {
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        allPlanNodes(df).count {
+          case e: ShuffleExchangeExec => e.output.exists(a =>
+            a.name == "embedding" || a.name == "v" || a.name == "va" ||
+              a.name == "vb" || a.name == "qv" || a.name == "cv")
+          case _ => false
+        }
+      }
+      val cart = hasCartesian(df)
+      val (maxRec, maxBytes, nEx) = exchangeMaxima(df)
+      val ok = nVecEx <= maxVecExchanges && !cart
+      if (!ok) failures += 1
+      println(f"[scale-100x-ann] $name%-16s rows=$rows%-9d ${sec}%7.2f s  " +
+        f"exchanges=$nEx max-exchange-rows=$maxRec%-10d " +
+        f"max-exchange-MB=${maxBytes / 1e6}%9.1f  " +
+        s"vector-exchanges=$nVecEx (bound $maxVecExchanges, cols ${
+          if (vecEx.isEmpty) "-" else vecEx.mkString(",")})  " +
+        s"cartesian=$cart  ${if (ok) "OK" else "FAIL"}")
+      df
+    }
+
+    // stage 1: SemDeDup — auto-scaled cell count keeps sum(|cell|^2)
+    // linear; cells carry (cell, id, vec) through ONE exchange per
+    // self-join leg + the assignment shuffle
+    val sd = audit("semdedup",
+      graft.similarity.Similarity.semDedup(emb, tau = 0.3, seed = 42L),
+      maxVecExchanges = 4)
+    val maxCell = sd.groupBy("cell").count().agg(max("count")).head().getLong(0)
+    val cellOk = maxCell <= 6L * 4096L
+    if (!cellOk) failures += 1
+    println(s"[scale-100x-ann] semdedup max cell=$maxCell " +
+      s"(target 4096, bound ${6L * 4096L}) ${if (cellOk) "OK" else "FAIL"}")
+
+    // stage 2: sign-LSH cosine near-dup — 14 planes size buckets to
+    // ~200k/16k ≈ 12 members (candidates stay O(corpus) while buckets
+    // are non-trivial; 18 planes left them all singleton and the stage
+    // audited an empty join); threshold matches q86's 0.35 so the
+    // verify actually accepts the corpus's organic similarity pairs.
+    // Over-cap buckets (if any) degrade to hub stars, never dropped.
+    val nd = audit("cosine-neardup",
+      graft.similarity.Similarity.cosineNearDupes(emb, threshold = 0.35,
+        dim = 64, nPlanes = 14, numTables = 2), maxVecExchanges = 4)
+      .localCheckpoint()
+    val nEdges = nd.count()
+    val edgeOk = nEdges < 50000000L
+    if (!edgeOk) failures += 1
+    println(s"[scale-100x-ann] verified cosine pairs=$nEdges " +
+      s"(linearity bound 50M) ${if (edgeOk) "OK" else "FAIL"}")
+
+    // stage 3: composed IVF+PQ top-k — coarse cells cut rows scanned, PQ
+    // codes cut per-row cost, WindowGroupLimit shortlists map-side
+    val q = emb.where(col("vec_id") % 40000 === 0)
+    audit("ivfpq-topk",
+      graft.similarity.Similarity.ivfPqTopK(emb, q, k = 5, dim = 64,
+        nCells = 64, nProbe = 8, m = 8, ksub = 64, shortlist = 48,
+        seed = 42L), maxVecExchanges = 4)
+    println(s"[scale-100x-ann] corpus vectors=$nVec queries=${q.count()}")
+    failures
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SCALE_DIR", "/tmp/graft_sf1")
@@ -215,9 +297,11 @@ object ScaleAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.contains("minhash100")) {
+    if (args.headOption.exists(Set("minhash100", "ann100"))) {
       val out100 = sys.env.getOrElse("SCALE_DIR_100", "/tmp/graft_sf10")
-      val failures = minhash100(spark, src, out100)
+      val failures =
+        if (args.head == "minhash100") minhash100(spark, src, out100)
+        else ann100(spark, src, out100)
       println(if (failures == 0) "[scale-100x] ALL INVARIANTS HOLD"
               else s"[scale-100x] $failures FAILURES")
       spark.stop()
