@@ -336,10 +336,18 @@ object Tram {
         .otherwise(col("lw_raw")))
     val mRow = withRaw.agg(max(col("lw_raw")).as("m")).collect()(0)
     val mMax = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
-    val mShift = if (mMax.isNegInfinity) 0.0 else mMax // all--inf frame
-    val z = withRaw.agg(sum(exp(col("lw_raw") - mShift))).collect()(0).getDouble(0)
-    val logZ = mShift + math.log(z)
-    withRaw.withColumn("log_weight", col("lw_raw") - logZ).drop("lw_raw")
+    if (mMax.isNegInfinity || mRow.isNullAt(0)) {
+      // ALL-dead frame (every sample out-of-set or weight-zero): there
+      // is no normalizer; -inf - logZ would be -inf - (-inf) = NaN for
+      // any logZ we could form, so return the raw -inf weights as-is
+      // (zero weight each, matching the reference's empty-measure case)
+      withRaw.withColumn("log_weight", col("lw_raw")).drop("lw_raw")
+    } else {
+      val mShift = mMax
+      val z = withRaw.agg(sum(exp(col("lw_raw") - mShift))).collect()(0).getDouble(0)
+      val logZ = mShift + math.log(z)
+      withRaw.withColumn("log_weight", col("lw_raw") - logZ).drop("lw_raw")
+    }
   }
 
   /** Expected observable value under μ (reference _tram_model.py:163

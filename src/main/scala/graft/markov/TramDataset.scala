@@ -406,17 +406,18 @@ object TramDataset {
                      maxSamplesPerCell: Int = Int.MaxValue,
                      orderCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    // localCheckpoint on BOTH branches: the (capped) frame feeds both
+    // self-join legs AND the cell-count aggregate — unmaterialized, the
+    // upstream pipeline (plus the per-cell window when capping) would
+    // execute three times per call
     val capped =
-      if (maxSamplesPerCell == Int.MaxValue) samples
+      if (maxSamplesPerCell == Int.MaxValue) samples.localCheckpoint()
       else {
         require(orderCols.nonEmpty,
           "maxSamplesPerCell needs orderCols for a deterministic cap")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("markov_state", "therm")
           .orderBy(orderCols.map(col): _*)
-        // localCheckpoint: the capped frame feeds both self-join legs AND
-        // the cell-count aggregate — unmaterialized, the upstream scan +
-        // per-cell window would execute three times
         samples.withColumn("graft_cell_rn", row_number().over(w))
           .where(col("graft_cell_rn") <= maxSamplesPerCell)
           .drop("graft_cell_rn")

@@ -273,11 +273,15 @@ object GaussianHmm {
     * expressions — no per-trajectory collect, no shuffle beyond the
     * window's traj partitioning. */
   def initialGuessGmm(traj: DataFrame, nHidden: Int, valueCol: String,
-                      reversible: Boolean = true): GaussianHmmModel = {
+                      reversible: Boolean = true,
+                      precomputedGmm: Option[GmmModel] = None): GaussianHmmModel = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val m = nHidden
-    val gmm = gmmFit(traj, m, valueCol)
+    // callers that already ran the distributed EM (q253's battery checks
+    // the GMM itself AND the init built from it) pass it in rather than
+    // paying a second full fit
+    val gmm = precomputedGmm.getOrElse(gmmFit(traj, m, valueCol))
     val invSqrt2Pi = 1.0 / math.sqrt(2.0 * math.Pi)
     def stateProbs(v: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
       val dens = (0 until m).map { j =>

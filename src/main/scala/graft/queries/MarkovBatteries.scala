@@ -499,7 +499,8 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
         .select(col("user_id").cast("long").as("traj_id"),
           col("ts").as("t"), col("value"))
       val gmm = graft.markov.hmm.GaussianHmm.gmmFit(ev, 2)
-      val init = graft.markov.hmm.GaussianHmm.initialGuessGmm(ev, 2, "value")
+      val init = graft.markov.hmm.GaussianHmm.initialGuessGmm(ev, 2, "value",
+        precomputedGmm = Some(gmm))
       val span = ev.agg(min(col("value")), max(col("value"))).collect()(0)
       val (vLo, vHi) = (span.getDouble(0) - 1.0, span.getDouble(1) + 1.0)
       def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max

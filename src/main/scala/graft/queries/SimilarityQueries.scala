@@ -649,16 +649,23 @@ private[graft] object SimilarityQueries extends QueryFamily {
     },
 
     // Full simulation of the cosine near-dup pipeline: per-table bucket
-    // sizes mirror the Spark-side maxBucketSize=1000 drop, candidates
-    // union over tables, exact cosine at the threshold.
+    // sizes mirror the Spark-side maxBucketSize=1000 policy — all-pairs
+    // at or under the cap, multi-hub (3 smallest-id) STAR edges above it
+    // (the round-9 operator change; the l.rk <= 3 leg is exactly Spark's
+    // hub-side join because hubs are the smallest ids, so the a < b
+    // filter puts them on the left) — candidates union over tables,
+    // exact cosine at the threshold.
     "q86_cosine_neardup" -> {
       val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 7, numTables = 2)
       val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
-      val ncols = b.indices.map(t => s"count(*) OVER (PARTITION BY b$t) AS n$t")
+      val ncols = (b.indices.map(t => s"count(*) OVER (PARTITION BY b$t) AS n$t") ++
+        b.indices.map(t =>
+          s"ROW_NUMBER() OVER (PARTITION BY b$t ORDER BY vec_id) AS rk$t"))
         .mkString(",\n           ")
       val unions = b.indices.map(t =>
         s"""SELECT l.vec_id AS a, r.vec_id AS b FROM cb2 l JOIN cb2 r
-            ON l.b$t = r.b$t AND l.vec_id < r.vec_id WHERE l.n$t <= 1000""")
+            ON l.b$t = r.b$t AND l.vec_id < r.vec_id
+            WHERE l.n$t <= 1000 OR l.rk$t <= 3""")
         .mkString("\n           UNION ALL ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          cb AS (SELECT vec_id,

@@ -26,7 +26,24 @@ object ScaleAudit {
   def buildCorpus(spark: SparkSession, src: String, out: String,
                   copies: Int = 10, period: Int = 7): Unit = {
     val fs = new java.io.File(out)
-    if (new java.io.File(fs, "_DONE").exists()) return
+    // the sentinel ENCODES the build parameters + perturbation scheme:
+    // a bare _DONE let a corpus built with different (copies, period) —
+    // or the pre-round-9 shared-prefix token scheme — be silently
+    // reused, so the audit validated its invariants against the wrong
+    // corpus while printing OK
+    val stamp = s"copies=$copies period=$period scheme=hashtok-v1"
+    val done = new java.io.File(fs, "_DONE")
+    if (done.exists() &&
+        new String(java.nio.file.Files.readAllBytes(done.toPath),
+          "UTF-8") == stamp) return
+    if (fs.exists()) {
+      println(s"[scale-audit] corpus at $out is stale or unstamped — rebuilding ($stamp)")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(fs)
+    }
     fs.mkdirs()
     val docs = spark.read.parquet(s"$src/documents.parquet")
     // copy k != 0 replaces every `period`-th word (phase k) with a token
@@ -83,7 +100,7 @@ object ScaleAudit {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     // the q21/q76/q86 shapes only read documents + embeddings; symlink
     // nothing else
-    new java.io.FileOutputStream(new java.io.File(fs, "_DONE")).close()
+    java.nio.file.Files.write(done.toPath, stamp.getBytes("UTF-8"))
     println(s"[scale-audit] built ${copies}x corpus at $out (embedding dim $d)")
   }
 
@@ -99,9 +116,15 @@ object ScaleAudit {
   def allPlanNodes(df: DataFrame): Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
       case q: QueryStageExec => p +: walk(q.plan)
+      // persisted stages: the audited 100x pipelines persist() each
+      // stage so ONE execution serves both the audit and the downstream
+      // consumers — the real plan (and its exchange metrics) lives
+      // behind the cache scan leaf
+      case c: InMemoryTableScanExec => p +: walk(c.relation.cachedPlan)
       case _ => p +: p.children.flatMap(walk)
     }
     walk(df.queryExecution.executedPlan)
@@ -173,10 +196,14 @@ object ScaleAudit {
       df
     }
 
-    // stage 1: banded minhash candidate generation (id-only pairs)
+    // stage 1: banded minhash candidate generation (id-only pairs).
+    // persist() BEFORE the audit: the audit's own execution populates
+    // the cache, so downstream consumers reuse it instead of re-running
+    // the stage (the earlier audit-then-localCheckpoint pattern executed
+    // every stage twice and under-reported its wall-clock)
     val cand = audit("minhash-cands",
-      graft.dedup.Dedup.minhashCandidates(d100, bands = 8, rowsPerBand = 5))
-      .localCheckpoint()
+      graft.dedup.Dedup.minhashCandidates(d100, bands = 8, rowsPerBand = 5)
+        .persist())
     // stage 2: exact n-gram jaccard verification (candidate-driven
     // rejoin). The candidate-id broadcast is the zero-corpus-shuffle
     // fast path up to ~10M endpoints; beyond that the operator's
@@ -188,7 +215,7 @@ object ScaleAudit {
     println(s"[scale-100x] candidates=$nCand -> broadcastIds=$bcastIds")
     val edges = audit("jaccard-verify",
       graft.dedup.Dedup.ngramJaccard(d100, cand, 5,
-        broadcastIds = bcastIds)).localCheckpoint()
+        broadcastIds = bcastIds).persist())
     val nEdges = edges.where(col("jaccard") >= 0.6).count()
     val edgeOk = nEdges < 1000000L
     if (!edgeOk) failures += 1
@@ -249,8 +276,12 @@ object ScaleAudit {
     // stage 1: SemDeDup — auto-scaled cell count keeps sum(|cell|^2)
     // linear; cells carry (cell, id, vec) through ONE exchange per
     // self-join leg + the assignment shuffle
+    // persist() before each audit: the audit execution populates the
+    // cache so the downstream consumer (max-cell check / edge count)
+    // does not re-run the stage
     val sd = audit("semdedup",
-      graft.similarity.Similarity.semDedup(emb, tau = 0.3, seed = 42L),
+      graft.similarity.Similarity.semDedup(emb, tau = 0.3, seed = 42L)
+        .persist(),
       maxVecExchanges = 4)
     val maxCell = sd.groupBy("cell").count().agg(max("count")).head().getLong(0)
     val cellOk = maxCell <= 6L * 4096L
@@ -266,8 +297,8 @@ object ScaleAudit {
     // Over-cap buckets (if any) degrade to hub stars, never dropped.
     val nd = audit("cosine-neardup",
       graft.similarity.Similarity.cosineNearDupes(emb, threshold = 0.35,
-        dim = 64, nPlanes = 14, numTables = 2), maxVecExchanges = 4)
-      .localCheckpoint()
+        dim = 64, nPlanes = 14, numTables = 2).persist(),
+      maxVecExchanges = 4)
     val nEdges = nd.count()
     val edgeOk = nEdges < 50000000L
     if (!edgeOk) failures += 1

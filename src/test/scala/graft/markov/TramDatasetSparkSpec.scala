@@ -140,6 +140,27 @@ class TramDatasetSparkSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("sampleWeightsLog: an ALL-dead frame (every sample out-of-set " +
+    "or weight-zero) yields -inf weights, never NaN from a -inf - -inf " +
+    "normalizer") {
+    import spark.implicits._
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    val ninf = Double.NegativeInfinity
+    val model = Tram.TramModel(
+      biasedConfEnergies = DenseMatrix.zeros[Double](2, 2),
+      markovStateEnergies = DenseVector.zeros[Double](2),
+      thermStateEnergies = DenseVector.zeros[Double](2),
+      transitionMatrices = Array.fill(2)(DenseMatrix.eye[Double](2)),
+      iterations = 0, finalError = 0.0,
+      modifiedStateCountsLog = DenseMatrix.fill(2, 2)(ninf)) // all dead
+    val samples = Seq((0, Array(0.1, 0.2)), (1, Array(0.3, 0.1)),
+      (-1, Array(0.0, 0.0))).toDF("state", "bias")
+    val w = Tram.sampleWeightsLog(samples, model).collect()
+      .map(_.getDouble(2))
+    w should have length 3
+    w.foreach { lw => lw.isNaN shouldBe false; lw shouldBe ninf }
+  }
+
   test("postHocOverlap maxSamplesPerCell: deterministic per-cell cap " +
     "matches the driver kernel on the capped subset") {
     import spark.implicits._

@@ -41,6 +41,19 @@ class ScaleAuditInspectionSpec extends SparkSpec with Matchers {
     ScaleAudit.shuffledPayloadColumns(idsOnly) shouldBe empty
   }
 
+  test("inspections see through a persisted stage (cache-scan leaf)") {
+    // the 100x audits persist() each stage so one execution serves both
+    // the audit and downstream consumers — the real plan then hides
+    // behind an InMemoryTableScanExec leaf
+    val df = spark.range(50000).withColumn("k", col("id") % 53)
+      .groupBy("k").count().persist()
+    try {
+      df.queryExecution.toRdd.count()
+      val (_, _, nEx) = ScaleAudit.exchangeMaxima(df)
+      nEx should be >= 1
+    } finally df.unpersist()
+  }
+
   test("hasCartesian flags an executed cross join and clears an equi-join") {
     import spark.implicits._
     val a = (1 to 10).toDF("x")
