@@ -417,6 +417,20 @@ private[graft] object SimilarityQueries extends QueryFamily {
         .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
     }),
 
+    // ---- sign-LSH near-dup OVER-CAP star regime (q256): q86's organic
+    // buckets sit far under its 1000 cap, so the round-9 multi-hub
+    // star-edge policy (over-cap buckets emit hub->member edges instead
+    // of being dropped OR going quadratic) is inert there. This query
+    // forces the regime at driver scale — 4 planes put ~31 vectors in
+    // each of 16 buckets, cap 20 makes most of them over-cap, 2 hubs —
+    // so the DuckDB twin verifies the star semantics bit-exactly
+    // (hub-anchored candidate set, exact cosine at the threshold). ------
+    "q256_cosine_star" -> ((s, dir) => {
+      Similarity.cosineNearDupes(emb(s, dir), threshold = 0.35, dim = 64,
+        nPlanes = 4, numTables = 2, maxBucketSize = 20, nHubs = 2)
+        .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+    }),
+
     // ---- SemDeDup semantic dedup (q99): k-means clusters confine the
     // cosine sweep; a vector is dropped iff a smaller-id same-cluster
     // vector is cosine >= tau. The battery independently re-derives the
@@ -568,6 +582,42 @@ private[graft] object SimilarityQueries extends QueryFamily {
     }),
   )
 
+  /** Star-aware DuckDB simulation of `Similarity.cosineNearDupes`:
+    * literal sign-plane bucket terms, per-table bucket sizes, all-pairs
+    * at or under `cap`, multi-hub star edges above it (the `l.rk <= hubs`
+    * leg is exactly Spark's hub-side join because hubs are the
+    * smallest ids, so the a < b filter puts them on the left),
+    * candidate dedup over tables, exact cosine at the threshold. */
+  private def cosineNearDupSql(nPlanes: Int, numTables: Int,
+                               cap: Int, hubs: Int): String = {
+    val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = nPlanes,
+      numTables = numTables)
+    val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
+    val ncols = (b.indices.map(t => s"count(*) OVER (PARTITION BY b$t) AS n$t") ++
+      b.indices.map(t =>
+        s"ROW_NUMBER() OVER (PARTITION BY b$t ORDER BY vec_id) AS rk$t"))
+      .mkString(",\n           ")
+    val unions = b.indices.map(t =>
+      s"""SELECT l.vec_id AS a, r.vec_id AS b FROM cb2 l JOIN cb2 r
+          ON l.b$t = r.b$t AND l.vec_id < r.vec_id
+          WHERE l.n$t <= $cap OR l.rk$t <= $hubs""")
+      .mkString("\n           UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       cb AS (SELECT vec_id,
+         $bcols
+         FROM e),
+       cb2 AS (SELECT *,
+         $ncols
+         FROM cb),
+       cand AS (SELECT DISTINCT a, b FROM ($unions)),
+       sc AS (SELECT cand.a, cand.b,
+         list_dot_product(ae.v, be.v) /
+           (sqrt(list_dot_product(ae.v, ae.v)) * sqrt(list_dot_product(be.v, be.v))) AS cos
+         FROM cand JOIN e ae ON ae.vec_id = cand.a
+                   JOIN e be ON be.vec_id = cand.b)
+       SELECT a, b, round(cos, 6) AS cos FROM sc WHERE cos >= 0.35"""
+  }
+
   val oracles: Seq[(String, String)] = Seq(
 
     // Signature replay: identical positional resample (row_number over
@@ -655,33 +705,15 @@ private[graft] object SimilarityQueries extends QueryFamily {
     // hub-side join because hubs are the smallest ids, so the a < b
     // filter puts them on the left) — candidates union over tables,
     // exact cosine at the threshold.
-    "q86_cosine_neardup" -> {
-      val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 7, numTables = 2)
-      val bcols = b.zipWithIndex.map { case (e, t) => s"$e AS b$t" }.mkString(",\n           ")
-      val ncols = (b.indices.map(t => s"count(*) OVER (PARTITION BY b$t) AS n$t") ++
-        b.indices.map(t =>
-          s"ROW_NUMBER() OVER (PARTITION BY b$t ORDER BY vec_id) AS rk$t"))
-        .mkString(",\n           ")
-      val unions = b.indices.map(t =>
-        s"""SELECT l.vec_id AS a, r.vec_id AS b FROM cb2 l JOIN cb2 r
-            ON l.b$t = r.b$t AND l.vec_id < r.vec_id
-            WHERE l.n$t <= 1000 OR l.rk$t <= 3""")
-        .mkString("\n           UNION ALL ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         cb AS (SELECT vec_id,
-           $bcols
-           FROM e),
-         cb2 AS (SELECT *,
-           $ncols
-           FROM cb),
-         cand AS (SELECT DISTINCT a, b FROM ($unions)),
-         sc AS (SELECT cand.a, cand.b,
-           list_dot_product(ae.v, be.v) /
-             (sqrt(list_dot_product(ae.v, ae.v)) * sqrt(list_dot_product(be.v, be.v))) AS cos
-           FROM cand JOIN e ae ON ae.vec_id = cand.a
-                     JOIN e be ON be.vec_id = cand.b)
-         SELECT a, b, round(cos, 6) AS cos FROM sc WHERE cos >= 0.35"""
-    },
+    "q86_cosine_neardup" ->
+      cosineNearDupSql(nPlanes = 7, numTables = 2, cap = 1000, hubs = 3),
+
+    // Same simulation with q256's constants: cap 20 over ~31-member
+    // buckets forces the star regime the driver SFs never reach at
+    // q86's 1000 cap, so the hub-anchored candidate set itself is
+    // oracle-verified.
+    "q256_cosine_star" ->
+      cosineNearDupSql(nPlanes = 4, numTables = 2, cap = 20, hubs = 2),
 
     "q68_ann_recall" -> {
       val b = Similarity.bucketSqlExprs("v", dim = 64, nPlanes = 2, numTables = 8)

@@ -127,6 +127,9 @@ BASELINES = {
     # 2-state closed-form sensitivity values (q254), fixed-pi spectral
     # amplitude replay (q255) — quiet full sweep, r9 build cycle
     "q253": 2.757, "q254": 0.333, "q255": 0.419,
+    # q256 first appearance: targeted two-run min (q162 precedent —
+    # authored after the round's final full sweep), sign-LSH star regime
+    "q256": 0.893,
 }
 
 
