@@ -205,8 +205,20 @@ object Dedup {
     * regime). */
   def lengthBucketCandidates(docs: DataFrame, maxDist: Int,
                              textCol: String = "text", idCol: String = "doc_id",
-                             maxBucketSize: Int = 4096,
+                             maxBucketSize: Int = 0,
                              snmWindow: Int = 16): DataFrame = {
+    // maxBucketSize = 0 (default) AUTO-SCALES the cap to 32 x snmWindow:
+    // the exact regime costs up to `cap` candidate pairs per member vs
+    // `snmWindow` in the fallback, so the cap bounds the exact regime's
+    // per-member cost at 32x the fallback's. A FIXED large cap is a
+    // scale trap the semDedup auto-cluster rule already closed for
+    // cells: at the 100x audit corpus (~2500 docs per 9-char length
+    // band, all just UNDER the old 4096 default) every bucket stayed
+    // "exact" and the blocking went corpus-quadratic (~600M pairs)
+    // while technically respecting the per-bucket cap. Small corpora
+    // (driver SFs: max bucket ~100) keep the exactness contract either
+    // way.
+    val cap = if (maxBucketSize > 0) maxBucketSize else 32 * snmWindow
     val w = maxDist + 1
     // sig: 64-bit simhash computed AT THE SCAN (text never shuffles; the
     // 8-byte signature does) — the sorted-neighborhood fallback orders
@@ -219,7 +231,7 @@ object Dedup {
       simhash(col(textCol)).as("sig"))
     val bw = Window.partitionBy("bkt")
     val sized = base.withColumn("bucket_n", count(lit(1)).over(bw))
-    val capped = sized.where(col("bucket_n") <= maxBucketSize).drop("bucket_n")
+    val capped = sized.where(col("bucket_n") <= cap).drop("bucket_n")
     val l = capped.select(col("id").as("a"), col("bkt"), col("len").as("la"))
     val r = capped.select(col("id").as("b"), col("bkt"), col("len").as("lb"))
       .union(capped.select(col("id").as("b"), (col("bkt") + 1).as("bkt"),
@@ -239,7 +251,7 @@ object Dedup {
     // from an explode + equi-join on (bkt, rank), so the intermediate
     // is EXACTLY bucket_n * snmWindow rows, never a filtered cross
     // product
-    val over = sized.where(col("bucket_n") > maxBucketSize)
+    val over = sized.where(col("bucket_n") > cap)
     val ow = Window.partitionBy("bkt").orderBy(col("sig"), col("id"))
     val ranked = over.withColumn("rnk", row_number().over(ow))
     val snm = ranked.select(col("bkt"), col("id").as("a"), col("len").as("la"),
@@ -284,7 +296,7 @@ object Dedup {
     * one shingle neighborhood. */
   def editDistanceJoin(docs: DataFrame, maxDist: Int,
                        textCol: String = "text", idCol: String = "doc_id",
-                       maxBucketSize: Int = 4096, snmWindow: Int = 16): DataFrame =
+                       maxBucketSize: Int = 0, snmWindow: Int = 16): DataFrame =
     editDistanceVerify(docs,
       lengthBucketCandidates(docs, maxDist, textCol, idCol, maxBucketSize,
         snmWindow),

@@ -316,6 +316,46 @@ object ScaleAudit {
     failures
   }
 
+  /** 100x rotation, third family: the edit-distance join's length
+    * blocking at 500k docs with DEFAULT parameters. This is the corpus
+    * shape that exposed the fixed-cap trap: ~2500 docs per 9-char
+    * length band sat just UNDER the old 4096 default, so every bucket
+    * stayed in the exact all-pairs regime and blocking went
+    * corpus-quadratic (~600M pairs) while technically respecting the
+    * per-bucket cap. The auto cap (32 x snmWindow = 512) pushes those
+    * bands into the bounded sorted-neighborhood sweep; the audit pins
+    * candidates under the exact+snm linear bound and records exchange
+    * maxima. (The Levenshtein verify is not run at 100x — its cost is
+    * linear in candidates and the 10x audit covers it.)
+    * Run: sbt "runMain graft.tools.ScaleAudit editdist100". */
+  def editdist100(spark: SparkSession, src: String, out: String): Int = {
+    buildCorpus(spark, src, out, copies = 100, period = 3)
+    var failures = 0
+    val d100 = spark.read.parquet(s"$out/documents.parquet")
+    val nDocs = d100.count()
+    val cands = graft.dedup.Dedup.lengthBucketCandidates(d100, maxDist = 8)
+      .persist()
+    val t0 = System.nanoTime()
+    val n = cands.queryExecution.toRdd.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val leaked = shuffledPayloadColumns(cands)
+    val cart = hasCartesian(cands)
+    val (maxRec, maxBytes, nEx) = exchangeMaxima(cands)
+    // exact regime bound: sum over under-cap buckets of bucket^2 (each
+    // <= 512 members); snm bound: nDocs x window x 2 (own + adjacent
+    // bucket legs)
+    val cap = 32L * 16L
+    val bound = nDocs * cap + nDocs * 16L * 2L
+    val ok = leaked.isEmpty && !cart && n <= bound
+    if (!ok) failures += 1
+    println(f"[scale-100x-ed] length-blocking docs=$nDocs candidates=$n " +
+      f"(linear bound $bound) ${sec}%.2f s exchanges=$nEx " +
+      f"max-exchange-rows=$maxRec max-exchange-MB=${maxBytes / 1e6}%.1f " +
+      s"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")} " +
+      s"cartesian=$cart ${if (ok) "OK" else "FAIL"}")
+    failures
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SCALE_DIR", "/tmp/graft_sf1")
@@ -328,11 +368,13 @@ object ScaleAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.exists(Set("minhash100", "ann100"))) {
+    if (args.headOption.exists(Set("minhash100", "ann100", "editdist100"))) {
       val out100 = sys.env.getOrElse("SCALE_DIR_100", "/tmp/graft_sf10")
-      val failures =
-        if (args.head == "minhash100") minhash100(spark, src, out100)
-        else ann100(spark, src, out100)
+      val failures = args.head match {
+        case "minhash100" => minhash100(spark, src, out100)
+        case "ann100" => ann100(spark, src, out100)
+        case _ => editdist100(spark, src, out100)
+      }
       println(if (failures == 0) "[scale-100x] ALL INVARIANTS HOLD"
               else s"[scale-100x] $failures FAILURES")
       spark.stop()
