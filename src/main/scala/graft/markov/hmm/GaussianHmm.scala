@@ -165,7 +165,13 @@ object GaussianHmm {
   }
 
   /** 1-d Gaussian mixture fitted by EM (the distributed stand-in for the
-    * scikit-learn `GaussianMixture` the reference init uses). */
+    * scikit-learn `GaussianMixture` the reference init uses).
+    *
+    * `logLikelihood` is the E-step log-likelihood evaluated under the
+    * PENULTIMATE parameter set (the E-step of the final iteration runs
+    * before that iteration's M-step updates weights/means/sigmas) — the
+    * exact semantics of sklearn's `GaussianMixture.lower_bound_`, which
+    * graft matches deliberately for parity. */
   case class GmmModel(weights: Array[Double], means: Array[Double],
                       sigmas: Array[Double], logLikelihood: Double,
                       iterations: Int)
@@ -204,6 +210,9 @@ object GaussianHmm {
     }
     val seedRow = vals.agg(seedAggs.head, seedAggs.tail: _*).collect()(0)
     val nTot = (0 until mc).map(j => seedRow.getDouble(3 * j)).sum
+    require(nTot > 0,
+      s"gmmFit: column '$valueCol' has no non-null values — cannot seed a " +
+        s"$m-component mixture (an all-NaN model would otherwise be returned silently)")
     var means = new Array[Double](m)
     var sigmas = new Array[Double](m)
     var weights = new Array[Double](m)

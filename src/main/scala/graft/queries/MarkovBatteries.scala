@@ -599,6 +599,64 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
         "corr0_direct" -> corr0Direct) ++ ecRows :+
         ("ec_stat_total" -> ec.toArray.sum))
     }),
+
+    // ---- Bayesian MSM with FIXED stationary distribution (q257): the
+    // last estimator option in the MSM stack — the reversible
+    // transition-matrix Gibbs sampler constrained to a given π
+    // (reference sampler_revpi.py `SamplerRevPi` + sampler.h:23
+    // `RevPiSampler`, dispatched via _bayesian_msm.py:253 when
+    // `stationary_distribution_constraint` is set). π is pinned to the
+    // EMPIRICAL state distribution so the π rows are value-replayed by
+    // the SQL twin; the sampler holds it exactly by construction (X
+    // symmetric with row sums pinned at π), so detailed balance and
+    // stationarity w.r.t. the CONSTRAINED π are driver-exact zeros for
+    // every posterior sample, not just on average. Stochasticity gate:
+    // no two consecutive samples identical; concentration gate: the
+    // 20-sample posterior mean stays entrywise near the fixed-π MLE
+    // prior (tight recovery accuracy is spec-gated in BayesianSpec). --
+    "q257_bayes_fixedpi" -> ((s, dir) => {
+      import breeze.linalg.{DenseMatrix, DenseVector, sum => bsum}
+      import graft.markov.{BayesianMsm, TransitionCounting}
+      val n = 5
+      val hRows = dtrajEv(s, dir).where(col("state") >= 0)
+        .groupBy(col("state")).agg(count(lit(1)).as("h")).collect()
+        .map(r => (r.getInt(0), r.getLong(1).toDouble)).toMap
+      val h = DenseVector.tabulate(n)(i => hRows.getOrElse(i, 0.0))
+      val piEmp = h / bsum(h)
+      val cRows = TransitionCounting.slidingCounts(dtrajEv(s, dir), 1).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2).toDouble)).toMap
+      val c = DenseMatrix.tabulate(n, n)((i, j) => cRows.getOrElse((i, j), 0.0))
+      val post = BayesianMsm.fromCountsLocal(c, tau = 1,
+        states = (0 until n).toArray, nSamples = 20, reversible = true,
+        seed = 57L, nChains = 4, piConstraint = Some(piEmp.toArray))
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+      val mats = post.samples.map(_.transitionMatrix)
+      val mle = post.prior.transitionMatrix
+      val stoch = maxAbs(mats.flatMap(t =>
+        (0 until n).map(i => bsum(t(i, ::).t) - 1.0)))
+      val nonneg = maxAbs(mats.flatMap(t =>
+        for (i <- 0 until n; j <- 0 until n) yield math.min(t(i, j), 0.0)))
+      val db = maxAbs(mats.flatMap(t =>
+        for (i <- 0 until n; j <- 0 until n)
+          yield piEmp(i) * t(i, j) - piEmp(j) * t(j, i)))
+      val stat = maxAbs(mats.flatMap(t => (0 until n).map(j =>
+        (0 until n).map(i => piEmp(i) * t(i, j)).sum - piEmp(j))))
+      val priorDb = maxAbs(for (i <- 0 until n; j <- 0 until n)
+        yield piEmp(i) * mle(i, j) - piEmp(j) * mle(j, i))
+      val stuck = mats.sliding(2).count { case Seq(a, b) =>
+        (0 until n).forall(i => (0 until n).forall(j => a(i, j) == b(i, j))) }
+      val meanDev = maxAbs(for (i <- 0 until n; j <- 0 until n)
+        yield mats.map(_(i, j)).sum / mats.size - mle(i, j))
+      checksDf(s, (0 until n).map(i => s"pi_$i" -> piEmp(i)) ++ Seq(
+        "n_samples" -> mats.size.toDouble,
+        "trans_stochastic" -> stoch,
+        "trans_nonneg" -> nonneg,
+        "detailed_balance_pi" -> db,
+        "pi_stationary" -> stat,
+        "prior_detailed_balance_pi" -> priorDb,
+        "consecutive_stuck" -> stuck.toDouble,
+        "mean_within_015_of_mle" -> (if (meanDev < 0.15) 0.0 else meanDev)))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -793,5 +851,40 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
           UNION ALL SELECT 'ec_stat_row_4',
             (SELECT coalesce(sum(h), 0) FROM h WHERE state = 4)
           UNION ALL SELECT 'ec_stat_total', (SELECT n FROM tot)""",
+
+    // Fixed-π Bayesian twin: the constrained π rows replay the empirical
+    // state histogram in SQL; every sampler invariant (stochastic rows,
+    // detailed balance and stationarity w.r.t. the CONSTRAINED π, prior
+    // balance, no stuck consecutive samples, posterior-mean proximity to
+    // the fixed-π MLE) is a driver-exact zero by construction.
+    "q257_bayes_fixedpi" ->
+      s"""WITH d AS (SELECT ${Trajectories.eventTypeStateSql} AS state
+            FROM events),
+          h AS (SELECT state, CAST(count(*) AS DOUBLE) AS h FROM d
+            WHERE state >= 0 GROUP BY 1),
+          tot AS (SELECT sum(h) AS n FROM h)
+          SELECT 'pi_0' AS "check",
+            (SELECT round(coalesce(sum(h), 0) / (SELECT n FROM tot), 6)
+             FROM h WHERE state = 0) AS "value"
+          UNION ALL SELECT 'pi_1',
+            (SELECT round(coalesce(sum(h), 0) / (SELECT n FROM tot), 6)
+             FROM h WHERE state = 1)
+          UNION ALL SELECT 'pi_2',
+            (SELECT round(coalesce(sum(h), 0) / (SELECT n FROM tot), 6)
+             FROM h WHERE state = 2)
+          UNION ALL SELECT 'pi_3',
+            (SELECT round(coalesce(sum(h), 0) / (SELECT n FROM tot), 6)
+             FROM h WHERE state = 3)
+          UNION ALL SELECT 'pi_4',
+            (SELECT round(coalesce(sum(h), 0) / (SELECT n FROM tot), 6)
+             FROM h WHERE state = 4)
+          UNION ALL SELECT 'n_samples', 20.0
+          UNION ALL SELECT 'trans_stochastic', 0.0
+          UNION ALL SELECT 'trans_nonneg', 0.0
+          UNION ALL SELECT 'detailed_balance_pi', 0.0
+          UNION ALL SELECT 'pi_stationary', 0.0
+          UNION ALL SELECT 'prior_detailed_balance_pi', 0.0
+          UNION ALL SELECT 'consecutive_stuck', 0.0
+          UNION ALL SELECT 'mean_within_015_of_mle', 0.0""",
   )
 }

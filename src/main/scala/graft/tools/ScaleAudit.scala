@@ -37,6 +37,16 @@ object ScaleAudit {
         new String(java.nio.file.Files.readAllBytes(done.toPath),
           "UTF-8") == stamp) return
     if (fs.exists()) {
+      // safety: only ever delete something that LOOKS like a prior audit
+      // corpus (has our stamp file or the documents.parquet we wrote) —
+      // a misconfigured SCALE_DIR pointing at an unrelated directory must
+      // abort, not be silently wiped
+      val looksLikeCorpus = done.exists() ||
+        new java.io.File(fs, "documents.parquet").exists()
+      require(looksLikeCorpus,
+        s"[scale-audit] refusing to delete $out: it exists but has neither " +
+          "a _DONE stamp nor documents.parquet — not a prior audit corpus. " +
+          "Point SCALE_DIR/SCALE_DIR_100 at an empty or audit-owned path.")
       println(s"[scale-audit] corpus at $out is stale or unstamped — rebuilding ($stamp)")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

@@ -71,6 +71,68 @@ class BayesianSpec extends SparkSpec with Matchers {
     mean01 shouldBe mle(0, 1) +- 0.05
   }
 
+  test("fixed-pi sampler: samples are stochastic, reversible w.r.t. the constrained pi, and concentrate near the fixed-pi MLE") {
+    import breeze.linalg.DenseVector
+    val c = DenseMatrix((300.0, 40.0, 2.0), (45.0, 500.0, 30.0), (1.0, 35.0, 200.0))
+    val pi = DenseVector(0.35, 0.45, 0.20)
+    val samples = TmatrixSampler.sampleReversibleFixedPi(c, pi, nSamples = 80, seed = 17L)
+    samples.foreach { t =>
+      val msm = MarkovStateModel(t)
+      msm.isTransitionMatrix(1e-8) shouldBe true
+      // detailed balance w.r.t. the CONSTRAINED pi, not the empirical one
+      for (i <- 0 until 3; j <- 0 until 3)
+        pi(i) * t(i, j) shouldBe pi(j) * t(j, i) +- 1e-10
+      // pi is exactly stationary for every sample
+      for (j <- 0 until 3)
+        (0 until 3).map(i => pi(i) * t(i, j)).sum shouldBe pi(j) +- 1e-10
+    }
+    // genuine stochasticity: consecutive samples differ
+    val distinct = samples.sliding(2).count { case Seq(a, b) =>
+      (0 until 3).exists(i => (0 until 3).exists(j => a(i, j) != b(i, j))) }
+    distinct shouldBe 79
+    val mle = MsmAnalysis.reversibleMleFixedPi(c, pi)
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val mean = samples.map(_(i, j)).sum / samples.size
+      mean shouldBe mle(i, j) +- 0.06
+    }
+  }
+
+  test("fixed-pi sampler: zero-diagonal counts get the regularized P0 + diagonal prior") {
+    import breeze.linalg.DenseVector
+    // state 1 never self-transitions in the data
+    val c = DenseMatrix((50.0, 10.0), (12.0, 0.0))
+    val pi = DenseVector(0.7, 0.3)
+    val samples = TmatrixSampler.sampleReversibleFixedPi(c, pi, nSamples = 40, seed = 3L)
+    samples.foreach { t =>
+      MarkovStateModel(t).isTransitionMatrix(1e-8) shouldBe true
+      for (i <- 0 until 2; j <- 0 until 2)
+        pi(i) * t(i, j) shouldBe pi(j) * t(j, i) +- 1e-10
+    }
+  }
+
+  test("BayesianMsm.fit with piConstraint: prior is the fixed-pi MLE, every posterior sample holds pi") {
+    val piFull = Array(0.1, 0.15, 0.5, 0.15, 0.1)
+    val post = BayesianMsm.fit(dtraj, tau = 1, nStates = chain.n,
+      nSamples = 40, seed = 23L, nChains = 4, piConstraint = Some(piFull))
+    post.samples.size shouldBe 40
+    val n = post.prior.n
+    val piSub = {
+      val restricted = post.prior.states.map(piFull(_))
+      val z = restricted.sum
+      restricted.map(_ / z)
+    }
+    // prior == fixed-pi MLE on the same restricted counts
+    val priorT = post.prior.transitionMatrix
+    for (i <- 0 until n; j <- 0 until n)
+      piSub(i) * priorT(i, j) shouldBe piSub(j) * priorT(j, i) +- 1e-8
+    post.samples.foreach { msm =>
+      msm.isTransitionMatrix(1e-8) shouldBe true
+      val t = msm.transitionMatrix
+      for (i <- 0 until n; j <- 0 until n)
+        piSub(i) * t(i, j) shouldBe piSub(j) * t(j, i) +- 1e-10
+    }
+  }
+
   test("bayesian msm posterior covers the true timescale") {
     val post = BayesianMsm.fit(dtraj, tau = 1, nStates = chain.n,
       nSamples = 60, seed = 23L, nChains = 4)

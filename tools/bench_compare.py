@@ -13,9 +13,11 @@ unless --subset is passed, in which case only the named top-10 'queries'
 subset is compared (clearly reduced coverage, stated in the output).
 
 Noise floor (BASELINE.md "cap ledger noise floor" rule): entries whose
-baseline is < 200 ms AND whose absolute delta is < 300 ms are below the
-box's measured scheduler jitter — their ratios are reported in a separate
-noise-floor section and never counted as cap violations.
+baseline is < 200 ms AND whose absolute delta is < 300 ms AND whose ratio
+is < 3x are below the box's measured scheduler jitter — their ratios are
+reported in a separate noise-floor section and never counted as cap
+violations. The 3x ratio bound keeps a genuinely-regressed tiny query
+from hiding in the noise section forever (ADVICE r09).
 """
 import json
 import re
@@ -130,6 +132,10 @@ BASELINES = {
     # q256 first appearance: targeted two-run min (q162 precedent —
     # authored after the round's final full sweep), sign-LSH star regime
     "q256": 0.893,
+    # round-10 first-appearance: fixed-pi reversible Bayesian sampler
+    # battery (q257) — Profile steady min 0.43 s plus in-sweep overhead;
+    # to be confirmed against the round-10 final quiet sweep
+    "q257": 0.55,
 }
 
 
@@ -150,6 +156,10 @@ def _last_metric_line(text):
 
 NOISE_BASELINE_S = 0.200  # baselines under this are scheduler-noise-sized
 NOISE_DELTA_S = 0.300     # measured same-box jitter; deltas under this are noise
+NOISE_RATIO_MAX = 3.0     # even a tiny-baseline entry over this ratio is a
+                          # real violation, not noise — without this bound a
+                          # sub-200 ms query could regress ~2.5x forever and
+                          # only ever show up in the printed noise section
 
 
 def _decode_queries(rec, allow_subset=False):
@@ -230,7 +240,7 @@ def main():
     def is_noise(r):  # sub-scheduler-jitter entries: never cap violations
         _, v, b, ratio = r
         return (ratio is not None and b < NOISE_BASELINE_S
-                and abs(v - b) < NOISE_DELTA_S)
+                and abs(v - b) < NOISE_DELTA_S and ratio < NOISE_RATIO_MAX)
 
     viol = [r for r in rows if r[3] and r[3] > cap and not is_noise(r)]
     noise = [r for r in rows if r[3] and r[3] > cap and is_noise(r)]
