@@ -160,11 +160,18 @@ object Pcca {
     fillMatrix(cropOpt, evecs)
   }
 
-  def apply(msm: MarkovStateModel, m: Int): PccaModel = {
-    val t = msm.transitionMatrix
+  def apply(msm: MarkovStateModel, m: Int): PccaModel =
+    fromTransitionMatrix(msm.transitionMatrix, msm.stationaryDistribution, m)
+
+  /** Same as `apply` but with an explicitly supplied stationary vector —
+    * for disconnected models whose π comes from the count-weighted
+    * estimator (`TransitionRepair.stationaryDistributionDisconnected`)
+    * rather than the leading eigenvector (reference metastable_from_msm
+    * builds `MarkovStateModel(P, stationary_distribution=pi)`). */
+  def fromTransitionMatrix(t: DenseMatrix[Double], pi: DenseVector[Double],
+                           m: Int): PccaModel = {
     val n = t.rows
     require(m >= 2 && m <= n, s"need 2 <= m <= $n")
-    val pi = msm.stationaryDistribution
 
     // pi-orthonormal right eigenvectors via the reversible symmetrization
     // (dense/_pcca.py:253-262: evec /= sqrt(<evec*pi, evec>), first positive)

@@ -155,27 +155,149 @@ object Hmm {
   }
 
   /** Initial model from the MSM+PCCA heuristic
-    * (markov/hmm/init/discrete/_init_discrete_impl.py). */
-  def initialGuess(dtraj: DataFrame, nHidden: Int, nObs: Int, lagtime: Int): HmmModel =
+    * (markov/hmm/init/discrete/_init_discrete_impl.py
+    * `metastable_from_data`, default mode 'largest-regularized'). */
+  def initialGuess(dtraj: DataFrame, nHidden: Int, nObs: Int, lagtime: Int,
+                   separate: Option[Seq[Int]] = None): HmmModel =
     initialGuessFromCounts(TransitionCounting.toDense(
-      TransitionCounting.slidingCounts(dtraj, lagtime), nObs), nHidden, nObs, lagtime)
+      TransitionCounting.slidingCounts(dtraj, lagtime), nObs), nHidden, nObs,
+      lagtime, separate)
 
-  /** Same heuristic from an already-collected count matrix (callers that
-    * fused counting with other work pay zero extra Spark jobs). */
-  def initialGuessFromCounts(counts: breeze.linalg.DenseMatrix[Double],
-                             nHidden: Int, nObs: Int, lagtime: Int): HmmModel = {
-    val msm = Msm.fromDense(counts, lagtime, reversible = true)
-    val m = math.min(nHidden, msm.n)
-    val pcca = Pcca(msm, m)
-    // emission: B[k, obs] ∝ memberships(state, k) * pi(state), states mapped
-    // back to original labels
-    val b = DenseMatrix.zeros[Double](m, nObs) +:+ 1e-6
-    val pi = msm.stationaryDistribution
-    for (si <- 0 until msm.n; k <- 0 until m) {
-      b(k, msm.states(si)) += pcca.memberships(si, k) * pi(si)
+  /** Coarse-grain P with memberships M: (M'M)^-1 M'PM, clipped
+    * non-negative and row-renormalized (_init_discrete_impl.py:122
+    * `_coarse_grain_transition_matrix`). */
+  private[hmm] def coarseGrain(p: DenseMatrix[Double],
+                               m: DenseMatrix[Double]): DenseMatrix[Double] = {
+    val pc = breeze.linalg.inv(m.t * m) * (m.t * p * m)
+    for (i <- 0 until pc.rows; j <- 0 until pc.cols if pc(i, j) < 0) pc(i, j) = 0.0
+    for (i <- 0 until pc.rows) {
+      val s = bsum(pc(i, ::).t)
+      if (s > 0) pc(i, ::) :/= s else pc(i, i) = 1.0
     }
-    for (k <- 0 until m) { val s = bsum(b(k, ::).t); b(k, ::) :/= s }
-    HmmModel(pcca.coarseT, b, pcca.coarsePi, Double.NegativeInfinity, 0)
+    pc
+  }
+
+  /** The full reference init heuristic from an already-collected count
+    * matrix (_init_discrete_impl.py `metastable_from_data` →
+    * `metastable_from_msm`): neighbor-prior regularization of the counts,
+    * largest-connected-set restriction, the disconnected-safe MLE
+    * (`TransitionRepair.estimateP` — partial-rev blocks / closed-set
+    * reversible), PCCA+ coarse-graining, optional `separate` observed
+    * symbols forced into their own (last) hidden state
+    * (:85-104, :222-248), reversibility enforcement on closed sets, and
+    * eps-regularization of the hidden matrices and output probabilities.
+    *
+    * `stationary = true` replicates the reference exactly, including
+    * `_regularize_hidden`'s no-op stationary branch (:61-64 computes the
+    * stationary distribution but never assigns it), so p0 stays the
+    * pre-regularization count-weighted stationary vector. */
+  def initialGuessFromCounts(counts: breeze.linalg.DenseMatrix[Double],
+                             nHidden: Int, nObs: Int, lagtime: Int,
+                             separate: Option[Seq[Int]] = None,
+                             reversible: Boolean = true,
+                             stationary: Boolean = false,
+                             regularize: Boolean = true,
+                             mode: String = "largest-regularized"): HmmModel = {
+    import graft.markov.TransitionRepair
+    separate.foreach(sep => require(sep.forall(s => s >= 0 && s < nObs),
+      s"separate set has indices outside the full state space [0, $nObs)"))
+    val c = counts.copy
+    if (mode.endsWith("-regularized")) {
+      c :+= TransitionRepair.priorNeighbor(c, 0.001)
+      val nonempty = (0 until nObs).filter(i =>
+        bsum(c(i, ::).t) + bsum(c(::, i)) > 0)
+      for (i <- nonempty) c(i, i) = math.max(c(i, i), 0.001)
+    }
+    // active set: largest directed connected set (sorted by size, or by
+    // population for 'populous'); 'all' keeps every state
+    val active: Array[Int] =
+      if (mode.startsWith("all")) (0 until nObs).toArray
+      else {
+        val sets = TransitionRepair.connectedSets(c, directed = true)
+        if (mode.startsWith("populous"))
+          sets.maxBy(s => s.map(i => bsum(c(i, ::).t)).sum)
+        else sets.head
+      }
+    val cSub = graft.markov.Connectivity.submatrix(c, active)
+    val nActive = active.length
+    // MSM over the active set (MaximumLikelihoodMSM reversible,
+    // allow_disconnected=True, maxerr=1e-3, maxiter=10000)
+    val p = TransitionRepair.estimateP(cSub, reversible = true,
+      maxIter = 10000, maxErr = 1e-3)
+    val statdist = TransitionRepair.stationaryDistributionDisconnected(p, Some(cSub))
+
+    val m = math.min(nHidden, nActive)
+    val sepSymbols = separate.map(_.toSet).getOrElse(Set.empty)
+    val sepStates = (0 until nActive).filter(i => sepSymbols.contains(active(i)))
+    val nonsepStates = (0 until nActive).filterNot(i => sepSymbols.contains(active(i)))
+    val useSeparate = separate.isDefined && sepStates.nonEmpty && m >= 2
+
+    // PCCA (or identity when #metastable == #states) on the non-separate MSM
+    val nMeta = if (useSeparate) m - 1 else m
+    val (nonsepP, nonsepPi) =
+      if (useSeparate) {
+        val cNs = graft.markov.Connectivity.submatrix(cSub, nonsepStates.toArray)
+        val pNs = TransitionRepair.estimateP(cNs, reversible = true)
+        (pNs, TransitionRepair.stationaryDistributionDisconnected(pNs, Some(cNs)))
+      } else (p, statdist)
+    val nNonsep = nonsepStates.length
+    // memberships chi (nNonsep x nMeta) and metastable distributions
+    // (nMeta x nNonsep)
+    val (chi, dists) =
+      if (nMeta == nNonsep) (DenseMatrix.eye[Double](nMeta), DenseMatrix.eye[Double](nMeta))
+      else if (nMeta == 1) {
+        val d = DenseMatrix.zeros[Double](1, nNonsep)
+        for (i <- 0 until nNonsep) d(0, i) = nonsepPi(i)
+        (DenseMatrix.ones[Double](nNonsep, 1), d / bsum(d))
+      } else {
+        val pcca = Pcca.fromTransitionMatrix(nonsepP, nonsepPi, nMeta)
+        (pcca.memberships, pcca.metastableDistributions)
+      }
+
+    // full membership matrix over the active set (:243-248)
+    val memberships = DenseMatrix.zeros[Double](nActive, m)
+    for ((s, i) <- nonsepStates.zipWithIndex; k <- 0 until nMeta)
+      memberships(s, k) = chi(i, k)
+    if (useSeparate) for (s <- sepStates) memberships(s, m - 1) = 1.0
+
+    var hiddenT = coarseGrain(p, memberships)
+    if (reversible) hiddenT = TransitionRepair.enforceReversibleOnClosed(hiddenT)
+    val hiddenCounts = memberships.t * cSub * memberships
+    var hiddenPi = TransitionRepair.stationaryDistributionDisconnected(
+      hiddenT, Some(hiddenCounts))
+
+    // output probabilities over the FULL observed space (:255-263)
+    val b = DenseMatrix.zeros[Double](m, nObs)
+    for ((s, i) <- nonsepStates.zipWithIndex; k <- 0 until nMeta)
+      b(k, active(s)) = dists(k, i)
+    if (useSeparate) for (s <- sepStates) b(m - 1, active(s)) = statdist(s)
+
+    // regularization (_regularize_hidden eps 0.01/n, _regularize_pobs
+    // eps 0.01/#active over ALL observed columns)
+    if (regularize) {
+      val epsA = 0.01 / m
+      for (i <- 0 until m; j <- 0 until m) hiddenT(i, j) = math.max(hiddenT(i, j), epsA)
+      for (i <- 0 until m) hiddenT(i, ::) :/= bsum(hiddenT(i, ::).t)
+      if (reversible) hiddenT = TransitionRepair.enforceReversibleOnClosed(hiddenT)
+      if (!stationary) {
+        hiddenPi = hiddenPi.map(v => math.max(v, epsA))
+        hiddenPi :/= bsum(hiddenPi)
+      } // stationary=true: reference regularizes P only, p0 stays (:61-64)
+      val epsB = 0.01 / nActive
+      if (useSeparate) {
+        for (k <- 0 until m - 1; o <- 0 until nObs if !sepSymbols.contains(o))
+          b(k, o) = math.max(b(k, o), epsB)
+        for (o <- 0 until nObs if sepSymbols.contains(o))
+          b(m - 1, o) = math.max(b(m - 1, o), epsB)
+      } else {
+        for (k <- 0 until m; o <- 0 until nObs) b(k, o) = math.max(b(k, o), epsB)
+      }
+    }
+    for (k <- 0 until m) {
+      val s = bsum(b(k, ::).t)
+      if (s > 0) b(k, ::) :/= s else b(k, ::) := DenseVector.fill(nObs)(1.0 / nObs).t
+    }
+    HmmModel(hiddenT, b, hiddenPi, Double.NegativeInfinity, 0)
   }
 
   /** Collect each trajectory's state sequence ordered by t. */

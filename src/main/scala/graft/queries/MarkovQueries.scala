@@ -805,14 +805,37 @@ private[graft] object MarkovQueries extends QueryFamily {
     // are proper stochastic objects of the requested shape, gated as
     // exact residuals. ----------------------------------------------------
     "q151_hmm_init" -> ((s, dir) => {
-      val m = graft.markov.hmm.Hmm.initialGuess(
-        dtrajEv(s, dir).where(col("state") >= 0), nHidden = 2, nObs = 5,
-        lagtime = 1)
+      import graft.markov.hmm.Hmm
+      val d = dtrajEv(s, dir).where(col("state") >= 0)
+      val m = Hmm.initialGuess(d, nHidden = 2, nObs = 5, lagtime = 1)
       def rowResid(a: breeze.linalg.DenseMatrix[Double]): Double =
         (0 until a.rows).map(i =>
           math.abs(breeze.linalg.sum(a(i, ::).t) - 1.0)).max
       def negResid(a: breeze.linalg.DenseMatrix[Double]): Double =
         a.toArray.map(v => math.max(0.0, -v)).max
+      def validity(mm: Hmm.HmmModel): Double = math.max(
+        math.max(rowResid(mm.transition), rowResid(mm.emission)),
+        math.max(math.abs(breeze.linalg.sum(mm.initial) - 1.0),
+          math.max(negResid(mm.transition), math.max(negResid(mm.emission),
+            mm.initial.toArray.map(v => math.max(0.0, -v)).max))))
+      // DISCONNECTED case (reference estimate_P repair path): odd
+      // trajectories shifted to states 5-9 — two blocks the data never
+      // bridges; mode='all' keeps both, PCCA must split them cleanly
+      val dis = d.withColumn("state",
+        (col("state") + lit(5) * (col("traj_id") % 2)).cast("int"))
+      val mDis = Hmm.initialGuessFromCounts(
+        graft.markov.TransitionCounting.toDense(
+          graft.markov.TransitionCounting.slidingCounts(dis, 1), 10),
+        nHidden = 2, nObs = 10, lagtime = 1, mode = "all")
+      val purity = (0 until 2).map { k =>
+        val lo = (0 until 5).map(mDis.emission(k, _)).sum
+        math.max(lo, 1.0 - lo)
+      }.min
+      // SEPARATE case (_init_discrete_impl.py:85-104): symbol 4 forced
+      // into the last hidden state — that row emits ONLY symbol 4 and the
+      // metastable rows never emit it (both exact by construction)
+      val mSep = Hmm.initialGuess(d, nHidden = 3, nObs = 5, lagtime = 1,
+        separate = Some(Seq(4)))
       checksDf(s, Seq(
         "transition_shape" -> (m.transition.rows * 10 + m.transition.cols).toDouble,
         "emission_shape" -> (m.emission.rows * 10 + m.emission.cols).toDouble,
@@ -821,7 +844,13 @@ private[graft] object MarkovQueries extends QueryFamily {
         "initial_normalized" -> math.abs(breeze.linalg.sum(m.initial) - 1.0),
         "all_nonnegative" -> math.max(negResid(m.transition),
           math.max(negResid(m.emission),
-            m.initial.toArray.map(v => math.max(0.0, -v)).max))))
+            m.initial.toArray.map(v => math.max(0.0, -v)).max)),
+        "disc_valid_model" -> validity(mDis),
+        "disc_block_purity" -> (if (purity > 0.9) 0.0 else purity),
+        "sep_valid_model" -> validity(mSep),
+        "sep_row_emits_only_4" -> (1.0 - mSep.emission(2, 4)),
+        "sep_leak_to_metastable_rows" ->
+          math.max(mSep.emission(0, 4), mSep.emission(1, 4))))
     }),
 
     // ---- Markov next-event prediction eval (q229): the MSM core turned
@@ -1318,7 +1347,12 @@ private[graft] object MarkovQueries extends QueryFamily {
          UNION ALL SELECT 'transition_row_stochastic', 0.0
          UNION ALL SELECT 'emission_row_stochastic', 0.0
          UNION ALL SELECT 'initial_normalized', 0.0
-         UNION ALL SELECT 'all_nonnegative', 0.0""",
+         UNION ALL SELECT 'all_nonnegative', 0.0
+         UNION ALL SELECT 'disc_valid_model', 0.0
+         UNION ALL SELECT 'disc_block_purity', 0.0
+         UNION ALL SELECT 'sep_valid_model', 0.0
+         UNION ALL SELECT 'sep_row_emits_only_4', 0.0
+         UNION ALL SELECT 'sep_leak_to_metastable_rows', 0.0""",
 
     // Prediction-eval twin: the dtraj replay, the integer split rule,
     // the argmax with the same tie-break, per-(s0, pred) accuracy.

@@ -188,4 +188,95 @@ class HmmSpec extends SparkSpec with Matchers {
     bsum(init.emission(0, ::).t) shouldBe 1.0 +- 1e-9
     bsum(init.initial) shouldBe 1.0 +- 1e-9
   }
+
+  def validModel(init: Hmm.HmmModel): Unit = {
+    val m = init.transition.rows
+    for (i <- 0 until m) {
+      bsum(init.transition(i, ::).t) shouldBe 1.0 +- 1e-9
+      bsum(init.emission(i, ::).t) shouldBe 1.0 +- 1e-9
+      init.transition(i, ::).t.toArray.foreach(_ should be >= 0.0)
+      init.emission(i, ::).t.toArray.foreach(_ should be >= 0.0)
+    }
+    bsum(init.initial) shouldBe 1.0 +- 1e-9
+    init.initial.toArray.foreach(_ should be >= 0.0)
+  }
+
+  test("init with separate symbols: last hidden state emits exactly the separate set") {
+    // well-connected 5-state chain; symbol 4 forced into its own hidden state
+    // (reference _init_discrete_impl.py:85-104 separate_symbols)
+    val counts = DenseMatrix(
+      (40.0, 12.0, 1.0, 0.0, 2.0),
+      (11.0, 35.0, 9.0, 1.0, 1.0),
+      (1.0, 10.0, 30.0, 8.0, 2.0),
+      (0.0, 2.0, 7.0, 25.0, 3.0),
+      (2.0, 1.0, 2.0, 4.0, 20.0))
+    val init = Hmm.initialGuessFromCounts(counts, nHidden = 3, nObs = 5,
+      lagtime = 1, separate = Some(Seq(4)))
+    validModel(init)
+    // the separate hidden state (last row) carries nearly all its mass on
+    // symbol 4; non-separate rows only see the eps floor there
+    init.emission(2, 4) should be > 0.9
+    init.emission(0, 4) should be < 0.01
+    init.emission(1, 4) should be < 0.01
+    // non-separate rows partition the metastable {0,1} / {2,3} structure:
+    // the two rows put clearly different mass on the low block
+    val low0 = init.emission(0, 0) + init.emission(0, 1)
+    val low1 = init.emission(1, 0) + init.emission(1, 1)
+    math.abs(low0 - low1) should be > 0.5
+  }
+
+  test("init on genuinely disconnected counts (mode=all): closed-set repair keeps both blocks") {
+    // two 2-state blocks with NO transitions between them — the old init's
+    // plain reversible MLE had no defined behavior here; the repair
+    // estimates each closed set separately and weights pi by counts
+    // (_transition_matrix.py estimate_P + stationary_distribution(P, C))
+    val counts = DenseMatrix(
+      (30.0, 10.0, 0.0, 0.0),
+      (9.0, 25.0, 0.0, 0.0),
+      (0.0, 0.0, 20.0, 6.0),
+      (0.0, 0.0, 7.0, 15.0))
+    val init = Hmm.initialGuessFromCounts(counts, nHidden = 2, nObs = 4,
+      lagtime = 1, mode = "all")
+    validModel(init)
+    // PCCA must discover the two blocks as the two hidden states
+    val block0 = init.emission(0, 0) + init.emission(0, 1)
+    val block1 = init.emission(1, 0) + init.emission(1, 1)
+    math.abs(block0 - block1) should be > 0.9 // one row on block {0,1}, the other on {2,3}
+  }
+
+  test("partial-rev repair: transient block keeps outflow, closed block is reversible") {
+    // one-way bridge 1 -> 2: strong components {0,1} (with outflow) and
+    // {2,3} (closed) — exercises transition_matrix_partial_rev
+    val counts = DenseMatrix(
+      (10.0, 5.0, 0.0, 0.0),
+      (4.0, 10.0, 2.0, 0.0),
+      (0.0, 0.0, 8.0, 6.0),
+      (0.0, 0.0, 5.0, 9.0))
+    val p = graft.markov.TransitionRepair.estimateP(counts, reversible = true)
+    for (i <- 0 until 4) bsum(p(i, ::).t) shouldBe 1.0 +- 1e-6
+    p(1, 2) should be > 0.0 // outflow preserved
+    p(0, 2) shouldBe 0.0
+    p(2, 0) shouldBe 0.0    // closed block never flows back
+    // the closed block {2,3} is exactly the standard reversible MLE of its
+    // count block (estimate_P dispatches closed sets to the plain estimator)
+    val mleClosed = graft.markov.TransitionMatrixMle.reversible(
+      DenseMatrix((8.0, 6.0), (5.0, 9.0)))
+    for (i <- 0 until 2; j <- 0 until 2)
+      p(2 + i, 2 + j) shouldBe mleClosed(i, j) +- 1e-6
+  }
+
+  test("enforceReversibleOnClosed preserves the stationary vector and yields detailed balance") {
+    val p = DenseMatrix(
+      (0.7, 0.2, 0.1),
+      (0.05, 0.8, 0.15),
+      (0.25, 0.05, 0.7))
+    val piBefore = graft.linalg.LinAlg.stationaryDistribution(p)
+    val pRev = graft.markov.TransitionRepair.enforceReversibleOnClosed(p)
+    val piAfter = graft.linalg.LinAlg.stationaryDistribution(pRev)
+    for (i <- 0 until 3) {
+      piAfter(i) shouldBe piBefore(i) +- 1e-10
+      for (j <- 0 until 3)
+        piAfter(i) * pRev(i, j) shouldBe piAfter(j) * pRev(j, i) +- 1e-10
+    }
+  }
 }
