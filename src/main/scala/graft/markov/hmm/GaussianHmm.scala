@@ -234,38 +234,69 @@ object GaussianHmm {
     var iter = 0
     var converged = false
     val invSqrt2Pi = 1.0 / math.sqrt(2.0 * math.Pi)
-    while (iter < maxIter && !converged) {
-      val dens = (0 until m).map { j =>
-        val z = (col("v") - lit(means(j))) / lit(sigmas(j))
-        lit(weights(j) * invSqrt2Pi / sigmas(j)) * exp(lit(-0.5) * z * z)
+    // EM iterations run as an RDD aggregation over the cached value
+    // column rather than per-iteration Column expressions: the (w, mu,
+    // sigma) parameters only change LITERALS, and a literal change is a
+    // new expression tree — Spark recompiled a fresh whole-stage codegen
+    // unit for every one of up to 100 sequential iterations (~20-30 ms
+    // each of pure janino time on this box, the dominant cost of q247 /
+    // q253). The closure-captured parameter arrays keep the job
+    // byte-identical in plan shape, so each iteration is one scheduling
+    // round over the cached partitions — the same sanctioned shape as the
+    // HMM EM loop. Accumulator layout: [r_j, rx_j, rxx_j]*m, ll, n.
+    val rdd = {
+      val spark = traj.sparkSession
+      import spark.implicits._
+      vals.as[Double].rdd
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      while (iter < maxIter && !converged) {
+        val (w, mu, sg) = (weights, means, sigmas)
+        val mm = m
+        val row = rdd.treeAggregate(new Array[Double](3 * mm + 2))(
+          (acc, v) => {
+            var tot = 0.0
+            var j = 0
+            val dens = new Array[Double](mm)
+            while (j < mm) {
+              val z = (v - mu(j)) / sg(j)
+              val d = w(j) * invSqrt2Pi / sg(j) * math.exp(-0.5 * z * z)
+              dens(j) = d; tot += d; j += 1
+            }
+            if (tot < 1e-300) tot = 1e-300
+            j = 0
+            while (j < mm) {
+              val r = dens(j) / tot
+              acc(3 * j) += r; acc(3 * j + 1) += r * v; acc(3 * j + 2) += r * v * v
+              j += 1
+            }
+            acc(3 * mm) += math.log(tot); acc(3 * mm + 1) += 1.0
+            acc
+          },
+          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+        val n = row(3 * m + 1)
+        val wNew = new Array[Double](m)
+        val muNew = new Array[Double](m)
+        val sNew = new Array[Double](m)
+        for (j <- 0 until m) {
+          val rj = row(3 * j)
+          if (rj > 1e-12) {
+            wNew(j) = rj / n
+            muNew(j) = row(3 * j + 1) / rj
+            val v = row(3 * j + 2) / rj - muNew(j) * muNew(j)
+            sNew(j) = math.sqrt(math.max(v, 0.0) + 1e-6) // sklearn reg_covar
+          } else { wNew(j) = weights(j); muNew(j) = means(j); sNew(j) = sigmas(j) }
+        }
+        ll = row(3 * m)
+        converged = math.abs(ll - lastLl) / n < tol
+        lastLl = ll
+        weights = wNew; means = muNew; sigmas = sNew
+        iter += 1
       }
-      val tot = greatest(dens.reduce(_ + _), lit(1e-300))
-      val r = dens.map(_ / tot)
-      val aggs = (0 until m).flatMap { j =>
-        Seq(sum(r(j)).as(s"r$j"), sum(r(j) * col("v")).as(s"rx$j"),
-          sum(r(j) * col("v") * col("v")).as(s"rxx$j"))
-      } :+ sum(log(tot)).as("ll") :+ count(lit(1)).as("n")
-      val row = vals.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val n = row.getLong(3 * m + 1).toDouble
-      val wNew = new Array[Double](m)
-      val muNew = new Array[Double](m)
-      val sNew = new Array[Double](m)
-      for (j <- 0 until m) {
-        val rj = row.getDouble(3 * j)
-        if (rj > 1e-12) {
-          wNew(j) = rj / n
-          muNew(j) = row.getDouble(3 * j + 1) / rj
-          val v = row.getDouble(3 * j + 2) / rj - muNew(j) * muNew(j)
-          sNew(j) = math.sqrt(math.max(v, 0.0) + 1e-6) // sklearn reg_covar
-        } else { wNew(j) = weights(j); muNew(j) = means(j); sNew(j) = sigmas(j) }
-      }
-      ll = row.getDouble(3 * m)
-      converged = math.abs(ll - lastLl) / n < tol
-      lastLl = ll
-      weights = wNew; means = muNew; sigmas = sNew
-      iter += 1
+    } finally {
+      rdd.unpersist(blocking = false)
+      vals.unpersist()
     }
-    vals.unpersist()
     GmmModel(weights, means, sigmas, ll, iter)
   }
 
