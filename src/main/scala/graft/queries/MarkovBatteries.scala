@@ -536,21 +536,34 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
     "q254_sensitivity_2state" -> ((s, dir) => {
       import breeze.linalg.DenseMatrix
       import graft.markov.{Sensitivity, TransitionCounting}
-      val coarse = dtrajEv(s, dir).withColumn("state",
-        when(col("state") >= 0, col("state") % 2).otherwise(lit(-1)))
-      val cRows = TransitionCounting.slidingCounts(coarse, 1).collect()
+      // ONE 5-state count scan; both coarse chains (state % 2 and
+      // state % 3) are exact margins of it, since the coarse maps are
+      // per-frame and -1 frames are excluded identically
+      val c5Rows = TransitionCounting.slidingCounts(
+        dtrajEv(s, dir), 1).collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2).toDouble)).toMap
-      val c = DenseMatrix.tabulate(2, 2)((i, j) => cRows.getOrElse((i, j), 0.0))
+      def coarse(k: Int): DenseMatrix[Double] = {
+        val c = DenseMatrix.zeros[Double](k, k)
+        c5Rows.foreach { case ((i, j), v) => c(i % k, j % k) += v }
+        c
+      }
+      val c = coarse(2)
       val t = graft.markov.TransitionMatrixMle.nonReversible(c)
       val (a, b) = (t(0, 1), t(1, 0))
       val sEig = Sensitivity.eigenvalueSensitivity(t, 1)
       val sMfpt = Sensitivity.mfptSensitivity(t, target = 0, j = 1)
       val lam2 = 1.0 - a - b
+      // 2-state π-sensitivity (the bordered least-squares EIGENVECTOR
+      // branch, _sensitivity.py:280): closed form [[ab, -b²], [a², -ab]]
+      // / (a+b)³, value-replayed by the twin
+      val sPi = Sensitivity.stationaryDistributionSensitivity(t, 0)
       val base = Seq(
         "a_up" -> a, "b_down" -> b,
         "dlam2_d00" -> sEig(0, 0), "dlam2_d01" -> sEig(0, 1),
         "dlam2_d10" -> sEig(1, 0), "dlam2_d11" -> sEig(1, 1),
-        "dmfpt1_d11" -> sMfpt(1, 1))
+        "dmfpt1_d11" -> sMfpt(1, 1),
+        "dpi0_d00" -> sPi(0, 0), "dpi0_d01" -> sPi(0, 1),
+        "dpi0_d10" -> sPi(1, 0), "dpi0_d11" -> sPi(1, 1))
       // the timescale chain factor needs λ₂ in (0, 1); on data where the
       // coarse chain mixes faster than stationary (λ₂ <= 0) the reference
       // timescale is undefined, so the row is emitted only when valid —
@@ -558,7 +571,37 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
       val ts = if (lam2 > 0 && lam2 < 1)
         Seq("dts2_d11" -> Sensitivity.timescaleSensitivity(t, 1)(1, 1))
       else Seq.empty
-      checksDf(s, base ++ ts)
+      // SECOND REGIME (3-state coarse chain): λ₂ from the characteristic
+      // quadratic and dλ₂/dT from the adjugate outer product
+      // l_i r_j / (l·r) with l = adj(T - λ₂I) row 0, r = column 0 — the
+      // eigen machinery value-replayed in closed form at n = 3. Rows are
+      // emitted only when λ₂ is real and simple (disc > 0) and the
+      // adjugate row/column are usable (|l·r| above tolerance); the twin
+      // applies identical guards in SQL.
+      val t3 = graft.markov.TransitionMatrixMle.nonReversible(coarse(3))
+      val e1 = t3(0, 0) + t3(1, 1) + t3(2, 2)
+      val e2 = (t3(0, 0) * t3(1, 1) - t3(0, 1) * t3(1, 0)) +
+        (t3(0, 0) * t3(2, 2) - t3(0, 2) * t3(2, 0)) +
+        (t3(1, 1) * t3(2, 2) - t3(1, 2) * t3(2, 1))
+      val disc = (e1 - 1) * (e1 - 1) - 4 * (e2 - e1 + 1)
+      val threeState: Seq[(String, Double)] =
+        if (disc > 1e-12) {
+          val l2 = ((e1 - 1) + math.sqrt(disc)) / 2
+          val mm = t3 - DenseMatrix.eye[Double](3) * l2
+          def cof(i: Int, j: Int): Double = {
+            val (r1, r2) = ((0 to 2).filter(_ != i), (0 to 2).filter(_ != j))
+            val sgn = if ((i + j) % 2 == 0) 1.0 else -1.0
+            sgn * (mm(r1(0), r2(0)) * mm(r1(1), r2(1)) -
+              mm(r1(0), r2(1)) * mm(r1(1), r2(0)))
+          }
+          val lr = (0 until 3).map(i => cof(i, 0) * cof(0, i)).sum
+          if (math.abs(lr) > 1e-12) {
+            val sE3 = Sensitivity.eigenvalueSensitivity(t3, 1)
+            ("lam2_3s" -> l2) +: (for (i <- 0 until 3; j <- 0 until 3)
+              yield s"dlam2_3s_d$i$j" -> sE3(i, j))
+          } else Seq.empty
+        } else Seq.empty
+      checksDf(s, base ++ ts ++ threeState)
     }),
 
     // ---- fixed-π spectral fingerprint VALUE replay (q255): q248 gates
@@ -813,7 +856,47 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
             (SELECT coalesce(sum(n), 0) FROM cnt WHERE s0 = 0 AND s1 = 1) /
               (SELECT sum(n) FROM cnt WHERE s0 = 0) AS a,
             (SELECT coalesce(sum(n), 0) FROM cnt WHERE s0 = 1 AND s1 = 0) /
-              (SELECT sum(n) FROM cnt WHERE s0 = 1) AS b)
+              (SELECT sum(n) FROM cnt WHERE s0 = 1) AS b),
+          c3 AS (SELECT user_id, t,
+            CASE WHEN state >= 0 THEN state % 3 ELSE -1 END AS state FROM d),
+          p3 AS (SELECT state AS s0,
+            LEAD(state, 1) OVER (PARTITION BY user_id ORDER BY t) AS s1 FROM c3),
+          cnt3 AS (SELECT s0, s1, CAST(count(*) AS DOUBLE) AS n FROM p3
+            WHERE s1 IS NOT NULL AND s0 >= 0 AND s1 >= 0 GROUP BY 1, 2),
+          rs3 AS (SELECT s0, sum(n) AS tot FROM cnt3 GROUP BY 1),
+          t3 AS (SELECT
+            coalesce(sum(CASE WHEN s0 = 0 AND s1 = 0 THEN n / tot END), 0) AS t00,
+            coalesce(sum(CASE WHEN s0 = 0 AND s1 = 1 THEN n / tot END), 0) AS t01,
+            coalesce(sum(CASE WHEN s0 = 0 AND s1 = 2 THEN n / tot END), 0) AS t02,
+            coalesce(sum(CASE WHEN s0 = 1 AND s1 = 0 THEN n / tot END), 0) AS t10,
+            coalesce(sum(CASE WHEN s0 = 1 AND s1 = 1 THEN n / tot END), 0) AS t11,
+            coalesce(sum(CASE WHEN s0 = 1 AND s1 = 2 THEN n / tot END), 0) AS t12,
+            coalesce(sum(CASE WHEN s0 = 2 AND s1 = 0 THEN n / tot END), 0) AS t20,
+            coalesce(sum(CASE WHEN s0 = 2 AND s1 = 1 THEN n / tot END), 0) AS t21,
+            coalesce(sum(CASE WHEN s0 = 2 AND s1 = 2 THEN n / tot END), 0) AS t22
+            FROM cnt3 JOIN rs3 USING (s0)),
+          q3 AS (SELECT t3.*,
+            t00 + t11 + t22 AS e1,
+            (t00*t11 - t01*t10) + (t00*t22 - t02*t20) + (t11*t22 - t12*t21) AS e2
+            FROM t3),
+          lam AS (SELECT q3.*,
+            ((e1 - 1) + sqrt((e1-1)*(e1-1) - 4*(e2 - e1 + 1))) / 2 AS l2
+            FROM q3 WHERE (e1-1)*(e1-1) - 4*(e2 - e1 + 1) > 1e-12),
+          m3 AS (SELECT l2, t00 - l2 AS m00, t01 AS m01, t02 AS m02,
+            t10 AS m10, t11 - l2 AS m11, t12 AS m12,
+            t20 AS m20, t21 AS m21, t22 - l2 AS m22 FROM lam),
+          cf AS (SELECT l2,
+             (m11*m22 - m12*m21) AS c00,
+            -(m10*m22 - m12*m20) AS c01,
+             (m10*m21 - m11*m20) AS c02,
+            -(m01*m22 - m02*m21) AS c10,
+             (m00*m22 - m02*m20) AS c11,
+            -(m00*m21 - m01*m20) AS c12,
+             (m01*m12 - m02*m11) AS c20,
+            -(m00*m12 - m02*m10) AS c21,
+             (m00*m11 - m01*m10) AS c22 FROM m3),
+          sens AS (SELECT cf.*, c00*c00 + c10*c01 + c20*c02 AS lr FROM cf
+            WHERE abs(c00*c00 + c10*c01 + c20*c02) > 1e-12)
           SELECT 'a_up' AS "check", round(a, 6) AS "value" FROM ab
           UNION ALL SELECT 'b_down', round(b, 6) FROM ab
           UNION ALL SELECT 'dlam2_d00', round(a / (a + b), 6) FROM ab
@@ -821,9 +904,23 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
           UNION ALL SELECT 'dlam2_d10', round(-a / (a + b), 6) FROM ab
           UNION ALL SELECT 'dlam2_d11', round(b / (a + b), 6) FROM ab
           UNION ALL SELECT 'dmfpt1_d11', round(1.0 / (b * b), 6) FROM ab
+          UNION ALL SELECT 'dpi0_d00', round(a * b / pow(a + b, 3), 6) FROM ab
+          UNION ALL SELECT 'dpi0_d01', round(-b * b / pow(a + b, 3), 6) FROM ab
+          UNION ALL SELECT 'dpi0_d10', round(a * a / pow(a + b, 3), 6) FROM ab
+          UNION ALL SELECT 'dpi0_d11', round(-a * b / pow(a + b, 3), 6) FROM ab
           UNION ALL SELECT 'dts2_d11',
             round(b / (a + b) / ((1 - a - b) * ln(1 - a - b) * ln(1 - a - b)), 6)
-            FROM ab WHERE 1 - a - b > 0 AND 1 - a - b < 1""",
+            FROM ab WHERE 1 - a - b > 0 AND 1 - a - b < 1
+          UNION ALL SELECT 'lam2_3s', round(l2, 6) FROM sens
+          UNION ALL SELECT 'dlam2_3s_d00', round(c00*c00 / lr, 6) FROM sens
+          UNION ALL SELECT 'dlam2_3s_d01', round(c00*c01 / lr, 6) FROM sens
+          UNION ALL SELECT 'dlam2_3s_d02', round(c00*c02 / lr, 6) FROM sens
+          UNION ALL SELECT 'dlam2_3s_d10', round(c10*c00 / lr, 6) FROM sens
+          UNION ALL SELECT 'dlam2_3s_d11', round(c10*c01 / lr, 6) FROM sens
+          UNION ALL SELECT 'dlam2_3s_d12', round(c10*c02 / lr, 6) FROM sens
+          UNION ALL SELECT 'dlam2_3s_d20', round(c20*c00 / lr, 6) FROM sens
+          UNION ALL SELECT 'dlam2_3s_d21', round(c20*c01 / lr, 6) FROM sens
+          UNION ALL SELECT 'dlam2_3s_d22', round(c20*c02 / lr, 6) FROM sens""",
 
     // Fixed-π spectral twin: with π pinned to the empirical histogram,
     // the spectral amplitude sum and stationary expected-count margins

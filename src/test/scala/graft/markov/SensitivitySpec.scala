@@ -117,4 +117,54 @@ class SensitivitySpec extends SparkSpec with Matchers {
       math.abs((0 until n).map(j => v(j) * sens(j)(a, b)).sum)).max
     resid should be < 1e-9
   }
+
+  test("2-state pi sensitivity matches the (a,b) closed form") {
+    // free-perturbation derivative of pi_0 for T = [[1-a, a], [b, 1-b]]:
+    // dpi0/dT = [[ab, -b^2], [a^2, -ab]] / (a+b)^3 (eigenvalue-corrected
+    // left-eigenvector derivative; the q254 second-regime SQL twin
+    // replays these values)
+    val (a, b) = (0.3, 0.2)
+    val t2 = DenseMatrix((1 - a, a), (b, 1 - b))
+    val s = Sensitivity.stationaryDistributionSensitivity(t2, 0)
+    val d3 = math.pow(a + b, 3)
+    s(0, 0) shouldBe a * b / d3 +- 1e-10
+    s(0, 1) shouldBe -b * b / d3 +- 1e-10
+    s(1, 0) shouldBe a * a / d3 +- 1e-10
+    s(1, 1) shouldBe -a * b / d3 +- 1e-10
+  }
+
+  test("3-state eigenvalue sensitivity matches the adjugate closed form") {
+    // dlambda2/dT_kl = l_k r_l / (l . r) with r any nonzero column and l
+    // any nonzero row of adj(T - lambda2 I); lambda2 from the quadratic
+    // x^2 - (e1 - 1) x + (e2 - e1 + 1) = 0 (e1 = trace, e2 = sum of
+    // principal 2x2 minors). This is the independent replay the q254
+    // second-regime SQL twin computes.
+    val t3 = DenseMatrix(
+      (0.80, 0.15, 0.05),
+      (0.10, 0.70, 0.20),
+      (0.06, 0.24, 0.70))
+    val e1 = t3(0, 0) + t3(1, 1) + t3(2, 2)
+    val e2 = (t3(0, 0) * t3(1, 1) - t3(0, 1) * t3(1, 0)) +
+      (t3(0, 0) * t3(2, 2) - t3(0, 2) * t3(2, 0)) +
+      (t3(1, 1) * t3(2, 2) - t3(1, 2) * t3(2, 1))
+    val disc = (e1 - 1) * (e1 - 1) - 4 * (e2 - e1 + 1)
+    disc should be > 0.0
+    val lam2 = ((e1 - 1) + math.sqrt(disc)) / 2
+    // adjugate of M = T - lam2 I
+    val m = t3 - DenseMatrix.eye[Double](3) * lam2
+    def cof(i: Int, j: Int): Double = {
+      val (r1, r2) = ((0 to 2).filter(_ != i), (0 to 2).filter(_ != j))
+      val sgn = if ((i + j) % 2 == 0) 1.0 else -1.0
+      sgn * (m(r1(0), r2(0)) * m(r1(1), r2(1)) - m(r1(0), r2(1)) * m(r1(1), r2(0)))
+    }
+    val adj = DenseMatrix.tabulate(3, 3)((i, j) => cof(j, i)) // adj = cof'
+    // r = column 0 of adj, l = row 0 of adj (both in lambda2's eigenspace)
+    val r = adj(::, 0)
+    val l = adj(0, ::).t
+    val lr = l dot r
+    math.abs(lr) should be > 1e-12
+    val s = Sensitivity.eigenvalueSensitivity(t3, 1)
+    for (i <- 0 until 3; j <- 0 until 3)
+      s(i, j) shouldBe l(i) * r(j) / lr +- 1e-9
+  }
 }
