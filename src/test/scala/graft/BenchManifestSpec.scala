@@ -20,25 +20,34 @@ class BenchManifestSpec extends AnyFunSuite {
     assert(nums.distinct.size == nums.size, "duplicate qNN prefixes")
   }
 
-  test("bench_compare.py BASELINES covers exactly the registry " +
+  test("tools/baselines.json covers exactly the registry with sane values " +
     "(manifest, baseline table and registry are one surface)") {
     // the three places that must agree: SparkEntry.queries (the code),
     // tools/bench_names.json (the decoder — pinned above), and
-    // tools/bench_compare.py's BASELINES dict (the cap ledger). A stale
+    // tools/baselines.json (the SINGLE canonical cap ledger, consumed by
+    // bench_compare.py; r09 and earlier embedded the table in the python
+    // source, which let the narrative and the tool drift). A stale
     // ledger silently shrinks regression coverage; a leftover entry
     // means a query was dropped without its baseline.
-    val py = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("tools/bench_compare.py")), "UTF-8")
-    val block = py.substring(py.indexOf("BASELINES = {"))
-    val baselineKeys = "\"(q\\d+)\"\\s*:".r.findAllMatchIn(block)
-      .map(_.group(1)).toSet
+    val path = java.nio.file.Paths.get("tools/baselines.json")
+    assert(java.nio.file.Files.exists(path), s"$path missing")
+    val jsonTxt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+    val entries = "\"(q\\d+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(jsonTxt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val registryKeys = SparkEntry.queries.keys
       .map(_.split("_")(0)).toSet
-    val missing = registryKeys -- baselineKeys
-    val stale = baselineKeys -- registryKeys
+    val missing = registryKeys -- entries.keySet
+    val stale = entries.keySet -- registryKeys
     assert(missing.isEmpty && stale.isEmpty,
-      s"bench_compare.py BASELINES drift — missing: ${missing.toSeq.sorted
+      s"tools/baselines.json drift — missing: ${missing.toSeq.sorted
         .mkString(",")}; stale: ${stale.toSeq.sorted.mkString(",")} " +
         "(add first-appearance baselines per BASELINE.md protocol)")
+    val bad = entries.filter { case (_, v) => !(v > 0.0 && v < 600.0) }
+    assert(bad.isEmpty, s"implausible baseline values: $bad")
+    // bench_compare.py must consume the JSON, not re-embed a table
+    val py = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/bench_compare.py")), "UTF-8")
+    assert(py.contains("baselines.json") && !py.contains("BASELINES = {"),
+      "bench_compare.py must load tools/baselines.json (single source of truth)")
   }
 }
