@@ -736,4 +736,45 @@ object Dedup {
           when(col("keep"), struct(col("idx"), col("chunk"))))),
           s => s.getField("chunk"))).as("cleaned"))
   }
+
+  /** `chunkDedup`'s 100 TB shape: identical keep-first semantics, but the
+    * chunk-identity exchanges carry a 128-bit chunk fingerprint
+    * (two independently-seeded xxhash64 lanes) instead of the chunk
+    * text, and reassembly re-slices the ORIGINAL document rather than
+    * re-materializing it from shuffled chunks. Exchange ledger: the
+    * rank shuffle ships (id, idx, h1, h2), the reassembly agg ships
+    * kept (id, idx) pairs, and the document text crosses exactly ONE
+    * exchange (the final doc-keyed join) — vs two full text exchanges
+    * in the exact-text variant. The result is bit-identical to
+    * `chunkDedup` absent a 128-bit collision (P < 1e-18 per 10^10
+    * chunks); the q258 oracle replays the exact-text semantics against
+    * this variant, so a collision would fail the gate rather than pass
+    * silently. */
+  def chunkDedupByHash(docs: DataFrame, chunkWords: Int = 20,
+                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val nChunks = ceil(size(split(col(textCol), " ")) / lit(chunkWords.toDouble))
+      .cast("int")
+    val fps = docs
+      .select(col(idCol), split(col(textCol), " ").as("ws"), nChunks.as("nc"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, nc - 1), i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))"))
+        .as(Seq("idx", "chunk")))
+      // project the text away BEFORE the exchange: only the fingerprint
+      // lanes cross the shuffle boundary
+      .select(col(idCol), col("idx"),
+        xxhash64(col("chunk")).as("h1"),
+        xxhash64(lit("graft-chunk-lane2"), col("chunk")).as("h2"))
+    val w = Window.partitionBy("h1", "h2").orderBy(col(idCol), col("idx"))
+    val kept = fps
+      .withColumn("keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sort_array(collect_list(when(col("keep"), col("idx")))).as("kept_idx"))
+    docs.select(col(idCol), split(col(textCol), " ").as("ws"))
+      .join(kept, Seq(idCol))
+      .select(col(idCol), col("n_chunks"), col("n_kept"),
+        concat_ws(" ", flatten(transform(col("kept_idx"),
+          i => slice(col("ws"), i * chunkWords + 1, lit(chunkWords))))).as("cleaned"))
+  }
 }

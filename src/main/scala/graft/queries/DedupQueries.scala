@@ -325,6 +325,19 @@ private[graft] object DedupQueries extends QueryFamily {
           substring(md5(col("cleaned")), 1, 16).as("clean_key"))
     }),
 
+    // ---- chunk-level dedup, 100 TB shape (q258): q166's semantics via
+    // the hash-keyed path — chunk identity crosses the shuffle as a
+    // 128-bit fingerprint, reassembly re-slices the original doc, text
+    // crosses exactly ONE exchange (the doc-keyed join). The oracle is
+    // q166's exact-text replay, so a fingerprint collision or a
+    // reassembly divergence breaks the hash instead of passing
+    // silently. ---------------------------------------------------------
+    "q258_chunk_dedup_hash" -> ((s, dir) => {
+      Dedup.chunkDedupByHash(docs(s, dir), chunkWords = 20)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          substring(md5(col("cleaned")), 1, 16).as("clean_key"))
+    }),
+
     // ---- contamination coverage (q169): the graded measure behind
     // q83's binary flag — per corpus doc, the FRACTION of its distinct
     // 8-gram shingles found anywhere in the benchmark slice. Benchmark
@@ -660,6 +673,21 @@ private[graft] object DedupQueries extends QueryFamily {
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""",
 
     "q166_chunk_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (SELECT doc_id, t.idx AS idx,
+                 array_to_string(ws[(t.idx*20+1):(t.idx*20+20)], ' ') AS chunk
+               FROM d, LATERAL UNNEST(range(0, CAST(ceil(len(ws)/20.0) AS BIGINT))) AS t(idx)),
+         k AS (SELECT doc_id, idx, chunk,
+                 ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM c)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           substring(md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+             ' ' ORDER BY idx), '')), 1, 16) AS clean_key
+         FROM k GROUP BY doc_id""",
+
+    // The hash-keyed scale variant must reproduce the exact-text replay
+    // bit-for-bit (identical twin to q166 by design).
+    "q258_chunk_dedup_hash" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
          c AS (SELECT doc_id, t.idx AS idx,
                  array_to_string(ws[(t.idx*20+1):(t.idx*20+20)], ' ') AS chunk

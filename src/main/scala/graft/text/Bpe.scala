@@ -68,7 +68,7 @@ object Bpe {
   /** The one tokenize/filter/group pipeline both frequency entry points
     * share — a tokenization tweak must reach them together or the q100
     * anchor identity between the training table and the totals breaks. */
-  private def groupedWords(docs: DataFrame, textCol: String): DataFrame =
+  private[graft] def groupedWords(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))

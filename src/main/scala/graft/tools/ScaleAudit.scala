@@ -366,6 +366,326 @@ object ScaleAudit {
     failures
   }
 
+  /** 100x rotation, fourth family (VERDICT r09 item 5, text half): the
+    * chunk-level dedup and the BPE corpus scan at 500k docs.
+    *
+    * Chunk dedup runs the 100 TB shape (`chunkDedupByHash`, oracle-gated
+    * at driver SFs as q258 against q166's exact-text replay): chunk
+    * identity crosses the shuffle as a 128-bit fingerprint and the
+    * document text crosses exactly ONE exchange (the reassembly join) —
+    * the invariant counted here — vs two full text exchanges in the
+    * exact-text variant.
+    *
+    * BPE is audited as its two scale stages: (1) the one corpus scan
+    * reducing text to the word-frequency table — the `text` payload must
+    * never cross a shuffle (only map-side-combined (w, c) rows do) and
+    * the exchange row count is pinned against the distinct-vocabulary
+    * size (NOT the corpus word count: partial aggregation must be
+    * doing its job); (2) the broadcast-ranks encode scan — ZERO shuffle
+    * exchanges, one output row per doc.
+    * Run: sbt "runMain graft.tools.ScaleAudit text100". */
+  def text100(spark: SparkSession, src: String, out: String): Int = {
+    buildCorpus(spark, src, out, copies = 100, period = 3)
+    var failures = 0
+    val d100 = spark.read.parquet(s"$out/documents.parquet")
+    val nDocs = d100.count()
+
+    def textColumns(df: DataFrame): Seq[(String, Int)] = {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      // ws = the split word array (the payload in another costume);
+      // chunk = the materialized chunk text
+      val names = Set("text", "ws", "chunk")
+      val hits = allPlanNodes(df).collect {
+        case e: ShuffleExchangeExec if e.output.exists(a => names(a.name)) =>
+          e.output.map(_.name).filter(names).mkString(",")
+      }
+      hits.groupBy(identity).view.mapValues(_.size).toSeq
+    }
+
+    // stage 1: hash-keyed chunk dedup
+    locally {
+      val t0 = System.nanoTime()
+      val cd = graft.dedup.Dedup.chunkDedupByHash(d100, chunkWords = 20)
+      val rows = cd.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val textEx = textColumns(cd)
+      val nTextEx = textEx.map(_._2).sum
+      val cart = hasCartesian(cd)
+      val (maxRec, maxBytes, nEx) = exchangeMaxima(cd)
+      val ok = nTextEx <= 1 && !cart && rows == nDocs
+      if (!ok) failures += 1
+      println(f"[scale-100x-text] chunk-dedup-hash  rows=$rows%-9d ${sec}%7.2f s  " +
+        f"exchanges=$nEx max-exchange-rows=$maxRec%-10d " +
+        f"max-exchange-MB=${maxBytes / 1e6}%9.1f  " +
+        s"text-exchanges=$nTextEx (bound 1, cols ${
+          if (textEx.isEmpty) "-" else textEx.map(t => s"${t._1}x${t._2}").mkString(";")})  " +
+        s"cartesian=$cart  ${if (ok) "OK" else "FAIL"}")
+    }
+
+    // stage 2: the BPE corpus scan (word-frequency table)
+    val vocabBound = locally {
+      val grouped = graft.text.Bpe.groupedWords(d100, "text").persist()
+      val t0 = System.nanoTime()
+      val nDistinct = grouped.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val leaked = shuffledPayloadColumns(grouped)
+      val (maxRec, maxBytes, nEx) = exchangeMaxima(grouped)
+      // partial-aggregation invariant: the exchange ships at most the
+      // per-partition distinct vocab (32 partitions x nDistinct worst
+      // case), NEVER the raw corpus word stream. The corpus has ~27M
+      // word occurrences; a missing map-side combine would ship all of
+      // them.
+      val totalWords = d100.select(sum(size(split(col("text"), "\\s+"))))
+        .head().getLong(0)
+      val ok = leaked.isEmpty && maxRec < totalWords / 2
+      if (!ok) failures += 1
+      println(f"[scale-100x-text] bpe-word-freqs    rows=$nDistinct%-9d ${sec}%7.2f s  " +
+        f"exchanges=$nEx max-exchange-rows=$maxRec%-10d " +
+        f"max-exchange-MB=${maxBytes / 1e6}%9.1f  " +
+        f"corpus-words=$totalWords (combine bound ${totalWords / 2})  " +
+        s"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")}  " +
+        s"${if (ok) "OK" else "FAIL"}")
+      grouped
+    }
+    // the truncated training table + driver merge loop on the REAL 100x
+    // vocabulary (Zipf head), then the encode scan
+    val wf = vocabBound.orderBy(col("c").desc, col("w").asc).limit(65536)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (model, _) = graft.text.Bpe.trainFromFrequencies(wf, numMerges = 32)
+    locally {
+      val t0 = System.nanoTime()
+      val tc = graft.text.Bpe.tokenCounts(d100, model)
+      val rows = tc.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val nEx = allPlanNodes(tc).count(_.isInstanceOf[ShuffleExchangeExec])
+      val ok = nEx == 0 && rows == nDocs
+      if (!ok) failures += 1
+      println(f"[scale-100x-text] bpe-encode-scan   rows=$rows%-9d ${sec}%7.2f s  " +
+        s"exchanges=$nEx (bound 0)  ${if (ok) "OK" else "FAIL"}")
+    }
+    println(s"[scale-100x-text] corpus docs=$nDocs")
+    failures
+  }
+
+  /** 100x rotation, fourth family (streaming half): the q163/q227
+    * watermarked stream-stream interval joins at 10x event volume
+    * (~400k events, 10 independent user universes) fed in event-time
+    * order across 30 daily micro-batches. The scale claim under test is
+    * the one that matters at 100 TB/day: join state is bounded by the
+    * WATERMARK HORIZON (events within the last delay+window of event
+    * time), not by stream length — cumulative input grows 30x across
+    * the run while per-batch state must stay pinned near one day's
+    * volume. Reads the REAL `StreamingQueryProgress.stateOperators`
+    * rows/memory per batch (the StateGrowthSpec instrument) and records
+    * the maxima for the BASELINE.md ledger.
+    * Run: sbt "runMain graft.tools.ScaleAudit streaming100". */
+  def streaming100(spark: SparkSession, src: String): Int = {
+    var failures = 0
+    val copies = 10
+    val ev0 = graft.core.Trajectories.events(spark, src)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        expr("ts div 1000").as("tsu"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // 10 independent user universes: joins never cross copies, so match
+    // volume scales linearly with the corpus as it would under real
+    // traffic growth
+    val ev = (0 until copies).flatMap { k =>
+      ev0.map { case (eid, uid, tsu, ty) =>
+        (eid + k * 100000000L, uid + k * 100000000L, tsu, ty)
+      }
+    }.sortBy(_._3)
+    val tmin = ev.head._3
+    val tmax = ev.last._3
+    val dayUs = 86400000000L
+    val nBatches = ((tmax - tmin) / dayUs + 1).toInt
+    println(s"[scale-100x-stream] events=${ev.length} days=$nBatches " +
+      s"(~${ev.length / nBatches}/day)")
+
+    Seq("inner", "leftOuter").foreach { joinType =>
+      val s = spark.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val memC = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val memP = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Long)]
+      val joined = graft.streaming.Streaming.streamingIntervalJoin(
+        memC.toDF().toDF("event_id", "user_id", "tsu"),
+        memP.toDF().toDF("event_id", "user_id", "tsu"),
+        windowMicros = 3600000000L, joinType = joinType)
+      val sink = "audit_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val query = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val stateBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val batchRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val t0 = System.nanoTime()
+      try {
+        (0 until nBatches).foreach { k =>
+          val lo = tmin + k.toLong * dayUs
+          val hi = lo + dayUs
+          val slice = ev.filter(e => e._3 >= lo && e._3 < hi)
+          val cc = slice.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
+          val pp = slice.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+          if (cc.nonEmpty) memC.addData(cc: _*)
+          if (pp.nonEmpty) memP.addData(pp: _*)
+          query.processAllAvailable()
+          val p = query.recentProgress.reverse
+            .find(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
+            .orElse(query.recentProgress.reverse.find(_.stateOperators.nonEmpty))
+          stateRows += p.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+          stateBytes += p.map(_.stateOperators.map(_.memoryUsedBytes).sum).getOrElse(0L)
+          batchRows += slice.length.toLong
+        }
+      } finally query.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val emitted = s.table(sink).count()
+      val maxState = stateRows.max
+      val maxDay = batchRows.max
+      val cumulative = batchRows.sum
+      // bounded-by-horizon: state holds at most ~the current batch plus
+      // the not-yet-evicted tail of the previous one (watermark advances
+      // at batch END, eviction lands the following batch) — 3x one
+      // day's rows is generous; linear growth to the 30x cumulative
+      // volume is the failure mode this pins against
+      val horizonOk = maxState <= 3L * maxDay
+      // explicitly flat, not drifting: the max over the last 5 batches
+      // must not exceed the max over batches 5-10 by more than 50%
+      val early = stateRows.slice(5, 10).max
+      val late = stateRows.takeRight(5).max
+      val flatOk = late <= early * 3 / 2
+      val ok = horizonOk && flatOk
+      if (!ok) failures += 1
+      println(f"[scale-100x-stream] $joinType%-9s batches=$nBatches " +
+        f"input=$cumulative emitted=$emitted ${sec}%6.1f s  " +
+        f"max-state-rows=$maxState (day-max=$maxDay, bound ${3L * maxDay})  " +
+        f"max-state-MB=${stateBytes.max / 1e6}%.1f  " +
+        s"early5-10/late-max=$early/$late  " +
+        s"${if (ok) "OK" else "FAIL"}")
+      println(s"[scale-100x-stream] $joinType state-rows per batch: " +
+        stateRows.mkString(","))
+    }
+    failures
+  }
+
+  /** 100x rotation, fifth family: the near-dup graph's DISTRIBUTED
+    * connected-components path. The organic 100x candidate graph (~225k
+    * verified-threshold edges) sits BELOW the 1M-edge driver union-find
+    * crossover, so every prior audit only ever exercised the driver
+    * path. This audit replicates the organic candidate set across 10
+    * disjoint id universes (~2M+ undirected edges — components can
+    * never cross universes, so the graph structure stays organic),
+    * which crosses the crossover ORGANICALLY and runs the
+    * label-propagation loop for real. Invariants:
+    *   1. the distributed labels are IDENTICAL to driver union-find
+    *      labels on the SAME edge set (threshold forced high) — the
+    *      two paths must be indistinguishable to a caller,
+    *   2. convergence within maxIter (the loop fails loud itself),
+    *   3. per-path wall-clock recorded for the ledger (the crossover
+    *      constant is a documented tradeoff, not a guess).
+    * Run: sbt "runMain graft.tools.ScaleAudit graph100". */
+  def graph100(spark: SparkSession, src: String, out: String): Int = {
+    buildCorpus(spark, src, out, copies = 100, period = 3)
+    var failures = 0
+    val d100 = spark.read.parquet(s"$out/documents.parquet")
+    val cand = graft.dedup.Dedup.minhashCandidates(d100, bands = 8, rowsPerBand = 5)
+      .persist()
+    val nCand = cand.count()
+    // 10 disjoint universes: ids offset by k*10^10 (far above any real
+    // doc id), so the union graph is 10 organic copies side by side
+    val universes = 10
+    val edges = spark.range(universes).crossJoin(cand)
+      .select((col("a") + col("id") * 10000000000L).as("a"),
+        (col("b") + col("id") * 10000000000L).as("b"))
+      .persist()
+    val nEdges = edges.count()
+    cand.unpersist()
+    println(s"[scale-100x-graph] organic candidates=$nCand -> " +
+      s"${universes}-universe edges=$nEdges (driver crossover 1000000)")
+
+    def run(name: String, threshold: Long): DataFrame = {
+      val t0 = System.nanoTime()
+      val labels = graft.dedup.Dedup.duplicateClusters(edges,
+        driverEdgeThreshold = threshold).persist()
+      val n = labels.count()
+      val nClusters = labels.select("cluster_id").distinct().count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-100x-graph] $name%-12s nodes=$n%-9d clusters=$nClusters%-8d ${sec}%7.2f s")
+      labels
+    }
+    // the real path selection at this edge count: distributed label-prop
+    val dist = run("distributed", 1000000L)
+    // the reference answer: driver union-find forced on the same edges
+    val drv = run("union-find", Long.MaxValue)
+    val mismatches = dist.as("d")
+      .join(drv.as("u"), col("d.id") === col("u.id"), "full")
+      .where(col("d.cluster_id").isNull || col("u.cluster_id").isNull ||
+        col("d.cluster_id") =!= col("u.cluster_id"))
+      .count()
+    val ok = mismatches == 0
+    if (!ok) failures += 1
+    println(s"[scale-100x-graph] label equality distributed==union-find: " +
+      s"mismatches=$mismatches ${if (ok) "OK" else "FAIL"}")
+    dist.unpersist(); drv.unpersist(); edges.unpersist()
+    failures
+  }
+
+  /** 100x rotation, fifth family (substring half): cross-document
+    * exact-substring dedup (Lee et al. 2021) at 500k docs — BOTH steps,
+    * the detect (`duplicateWindowStats`, q92's shape) and the trim
+    * (`removeDuplicateSpans`, q93's shape). This family explodes the
+    * corpus to one row per k-word window (~27M rows at 100x), the
+    * largest intermediate of any operator here; the scale claims under
+    * test: the window table shuffles 16-char hashes + positions ONLY
+    * (never text/ws/chunk), no cartesian anywhere, detect output is one
+    * row per doc, and trim reconstructs from the ORIGINAL doc via one
+    * doc-keyed join. Exchange maxima recorded for the ledger.
+    * Run: sbt "runMain graft.tools.ScaleAudit substring100". */
+  def substring100(spark: SparkSession, src: String, out: String): Int = {
+    buildCorpus(spark, src, out, copies = 100, period = 3)
+    var failures = 0
+    val d100 = spark.read.parquet(s"$out/documents.parquet")
+    val nDocs = d100.count()
+
+    def audit(name: String, df: DataFrame, textBound: Int): Unit = {
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val t0 = System.nanoTime()
+      val rows = df.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val names = Set("text", "ws", "chunk", "kept", "cleaned", "words")
+      val textEx = allPlanNodes(df).count {
+        case e: ShuffleExchangeExec => e.output.exists(a => names(a.name))
+        case _ => false
+      }
+      val cart = hasCartesian(df)
+      val (maxRec, maxBytes, nEx) = exchangeMaxima(df)
+      val ok = textEx <= textBound && !cart && rows == nDocs
+      if (!ok) failures += 1
+      println(f"[scale-100x-substr] $name%-14s rows=$rows%-9d ${sec}%7.2f s  " +
+        f"exchanges=$nEx max-exchange-rows=$maxRec%-10d " +
+        f"max-exchange-MB=${maxBytes / 1e6}%9.1f  " +
+        s"text-exchanges=$textEx (bound $textBound)  cartesian=$cart  " +
+        s"${if (ok) "OK" else "FAIL"}")
+    }
+
+    // detect: per-doc duplicated-window fraction. Text reaches the plan
+    // only at the scan; nothing textual may cross any exchange.
+    audit("window-stats", graft.dedup.Dedup.duplicateWindowStats(d100, k = 10),
+      textBound = 0)
+    // trim: the reconstruction join is doc-keyed — the kept-words array
+    // crosses at most the one final exchange if AQE plans it as a
+    // shuffle join (organically it broadcasts the start table; bound 1
+    // tolerates either)
+    audit("span-trim", graft.dedup.Dedup.removeDuplicateSpans(d100, k = 10),
+      textBound = 1)
+    println(s"[scale-100x-substr] corpus docs=$nDocs")
+    failures
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SCALE_DIR", "/tmp/graft_sf1")
@@ -378,11 +698,16 @@ object ScaleAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.exists(Set("minhash100", "ann100", "editdist100"))) {
+    if (args.headOption.exists(Set("minhash100", "ann100", "editdist100",
+        "text100", "streaming100", "graph100", "substring100"))) {
       val out100 = sys.env.getOrElse("SCALE_DIR_100", "/tmp/graft_sf10")
       val failures = args.head match {
         case "minhash100" => minhash100(spark, src, out100)
         case "ann100" => ann100(spark, src, out100)
+        case "text100" => text100(spark, src, out100)
+        case "streaming100" => streaming100(spark, src)
+        case "graph100" => graph100(spark, src, out100)
+        case "substring100" => substring100(spark, src, out100)
         case _ => editdist100(spark, src, out100)
       }
       println(if (failures == 0) "[scale-100x] ALL INVARIANTS HOLD"

@@ -18,12 +18,18 @@ import graft.SparkSpec
 class StateGrowthSpec extends SparkSpec with Matchers {
 
   /** Feed chunks through a fresh 4-partition session; returns the
-    * state-operator total row count observed after each chunk. */
-  private def stateRowsPerBatch[T](chunks: Seq[Seq[T]])(
+    * state-operator total row count observed after each chunk.
+    * `rocksdb = true` swaps the state backend for the
+    * RocksDBStateStoreProvider (what a real 100 TB/day cluster runs —
+    * state spills off-heap/disk instead of living on the JVM heap);
+    * the contract numbers must be backend-independent. */
+  private def stateRowsPerBatch[T](chunks: Seq[Seq[T]], rocksdb: Boolean = false)(
       build: (org.apache.spark.sql.SparkSession, MemoryStream[T]) => DataFrame)(
       implicit enc: org.apache.spark.sql.Encoder[T]): Seq[Long] = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", 4)
+    if (rocksdb) s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     implicit val sqlCtx = s.sqlContext
     val mem = MemoryStream[T]
     val out = build(s, mem)
@@ -116,5 +122,49 @@ class StateGrowthSpec extends SparkSpec with Matchers {
     rows.takeRight(3).max - rows.takeRight(3).min should be <= 1000L
     // and explicitly NOT monotone growth to the full stream size
     rows.max should be < 6000L
+  }
+
+  test("RocksDB state backend: identical state contract to the default " +
+    "HDFS backend (watermark-TTL dedup)") {
+    import spark.implicits._
+    val base = 1000000000000000L
+    val batchSpanUs = 4000L * 1000000L
+    val chunks = (0 until 5).map(b =>
+      (0 until 800).map { i =>
+        val id = b * 800L + i
+        (id, base + b * batchSpanUs + i * 1000000L, s"unique document text $id payload")
+      })
+    def run(rocksdb: Boolean): Seq[Long] =
+      stateRowsPerBatch(chunks, rocksdb = rocksdb) { (s, mem) =>
+        graft.streaming.Streaming.streamingDedup(
+          mem.toDF().toDF("doc_id", "tsu", "text")
+            .withColumn("ts", timestamp_micros(col("tsu")))
+            .withWatermark("ts", "2000 seconds"),
+          withinWatermark = true)
+      }
+    val hdfs = run(rocksdb = false)
+    val rocks = run(rocksdb = true)
+    // the state CONTRACT (row counts per batch after watermark expiry)
+    // is a property of the operator, not the storage backend — a real
+    // cluster running RocksDB must see the same bounded curve the
+    // default-backend specs above pin
+    rocks shouldBe hdfs
+    rocks.last should be > 0L
+    rocks.max should be < 4000L
+  }
+
+  test("RocksDB state backend: streaming reservoir O(shards) contract holds") {
+    import spark.implicits._
+    val chunks = (0 until 5).map(b =>
+      (0 until 1500).map(i => (b * 1500L + i, 100L + i % 37)))
+    val rows = stateRowsPerBatch(chunks, rocksdb = true) { (s, mem) =>
+      graft.streaming.Streaming.streamingReservoir(
+        mem.toDF().toDF("doc_id", "n_chars").withColumn("rkey",
+          graft.text.Packing.reservoirKey(col("doc_id"), col("n_chars"))),
+        k = 20, shards = 4)
+    }
+    rows.last should be > 0L
+    rows.last should be <= 4L
+    rows.drop(1).distinct.length shouldBe 1
   }
 }
