@@ -304,8 +304,8 @@ object Dedup {
 
   /** Damped PageRank over an undirected edge list, driver-side under
     * the same edge bound as [[duplicateClusters]]' union-find (ScaleAudit
-    * asserts < 1M edges at the 10x corpus; a Pregel-style distributed
-    * iteration is the beyond-bound path). Every node of an undirected
+    * asserts < 1M edges at the 10x corpus; [[pageRankDistributed]] is
+    * the beyond-bound path, [[pageRankAuto]] the dispatcher). Every node of an undirected
     * graph has out-degree >= 1, so there is no dangling-mass term.
     * Returns (rank by node id, final L-inf residual, iterations). */
   def pageRank(edges: Seq[(Long, Long)], beta: Double = 0.85,
@@ -329,6 +329,97 @@ object Dedup {
       iters += 1
     }
     (nodes.zip(pr).toMap, resid, iters)
+  }
+
+  /** The beyond-bound PageRank path [[pageRank]]'s scaladoc promises:
+    * Pregel-style damped power iteration over an undirected edge
+    * DataFrame, for dup graphs past the driver's 1M-edge collect bound
+    * (the graph100 audit crosses it organically at 2.25M edges).
+    *
+    * Per iteration: one src-keyed join of the degree-annotated edge
+    * table against the rank frame, one dst-keyed sum, one id-keyed join
+    * against the previous ranks for the L-inf residual — three
+    * node/edge-bounded exchanges, nothing all-pairs, nothing on the
+    * driver but the scalar residual. The rank frame is eagerly
+    * localCheckpoint'ed every iteration (node-count rows), so lineage
+    * stays flat however many iterations convergence takes. Every node
+    * of an undirected graph has in- AND out-degree >= 1, so there is no
+    * dangling mass and no rank row ever goes missing (same invariant
+    * the driver path relies on).
+    *
+    * Same semantics as [[pageRank]] (init 1/n, stop when L-inf residual
+    * <= tol or maxIter); results agree with the driver path to
+    * float-sum-order noise (~1e-15 per term; spec-pinned at 1e-9).
+    * Returns (ranks (id, rank), final residual, iterations). */
+  def pageRankDistributed(edges: DataFrame, beta: Double = 0.85,
+                          tol: Double = 1e-9, maxIter: Int = 200): (DataFrame, Double, Int) = {
+    val spark = edges.sparkSession
+    val nEdges = edges.count()
+    if (nEdges == 0L) {
+      import spark.implicits._
+      return (Seq.empty[(Long, Double)].toDF("id", "rank"), 0.0, 0)
+    }
+    // size the iteration's parallelism by EDGE count, not the session
+    // default (duplicateClusters discipline): a power step is several
+    // node/edge-bounded stages whose per-round scheduling cost at 32
+    // partitions would dominate small-graph convergence (~128 rounds at
+    // beta=0.85, tol=1e-9)
+    val parts = math.max(1, math.min(64, (nEdges / 250000L).toInt + 1))
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = und.groupBy("src").agg(count(lit(1)).cast("double").as("deg"))
+    // static across iterations: (src, dst, deg), partitioned by the join
+    // key so each round's rank join co-locates without re-exchanging the
+    // edge side
+    val undDeg = und.join(deg, "src").repartition(parts, col("src"))
+      .localCheckpoint()
+    val n = deg.count()
+    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
+      .repartition(parts, col("id")).localCheckpoint()
+    // one power step as a plan fragment; STEPS_PER_ROUND steps chain
+    // unmaterialized between localCheckpoints — geometric convergence
+    // means the residual check only needs round granularity (we may run
+    // up to STEPS_PER_ROUND-1 extra steps past tol; each only tightens
+    // the answer), while per-round scheduling cost drops 4x
+    def step(r: DataFrame): DataFrame = undDeg
+      .join(r.select(col("id").as("src"), col("rank")), "src")
+      .groupBy(col("dst").as("id"))
+      .agg((lit((1 - beta) / n) + lit(beta) * sum(col("rank") / col("deg"))).as("rank"))
+    val stepsPerRound = 4
+    var resid = 1.0
+    var iters = 0
+    while (resid > tol && iters < maxIter) {
+      val advanced = (1 until stepsPerRound).foldLeft(step(ranks))((r, _) => step(r))
+      val stepped = advanced
+        .join(ranks.select(col("id"), col("rank").as("prev")), "id")
+        .select(col("id"), col("rank"), abs(col("rank") - col("prev")).as("d"))
+        .localCheckpoint() // eager: materializes the round, cuts lineage
+      // L-inf over the whole round; the per-STEP residual it bounds is
+      // smaller (geometric decay), so stopping on it is conservative
+      resid = stepped.agg(max(col("d"))).head().getDouble(0)
+      ranks = stepped.select("id", "rank")
+      iters += stepsPerRound
+    }
+    (ranks, resid, iters)
+  }
+
+  /** Size-dispatched PageRank mirroring [[duplicateClusters]]' crossover:
+    * below `driverEdgeThreshold` undirected input edges the exact
+    * driver-side power iteration runs on collected edges; above it the
+    * distributed path takes over. The two are interchangeable to a
+    * caller (spec + graph100 pin rank agreement at 1e-9). Returns the
+    * rank frame plus the convergence scalars either path reports. */
+  def pageRankAuto(edges: DataFrame, beta: Double = 0.85, tol: Double = 1e-9,
+                   maxIter: Int = 200,
+                   driverEdgeThreshold: Long = 1000000L): (DataFrame, Double, Int) = {
+    if (edges.count() < driverEdgeThreshold) {
+      val e = edges.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val (pr, resid, iters) = pageRank(e, beta, tol, maxIter)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      (pr.toSeq.toDF("id", "rank"), resid, iters)
+    } else pageRankDistributed(edges, beta, tol, maxIter)
   }
 
   /** 64-bit SimHash of whitespace tokens: bit j of the signature is the

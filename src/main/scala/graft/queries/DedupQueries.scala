@@ -242,8 +242,9 @@ private[graft] object DedupQueries extends QueryFamily {
     // than min-id when clusters are star-shaped). Reads the SAME
     // memoized edge set as q21/q76/q130; the power iteration runs
     // driver-side on the collected edges under the identical 1M-edge
-    // bound the union-find documents (ScaleAudit-asserted at 10x; a
-    // Pregel-style distributed iteration is the beyond-bound path).
+    // bound the union-find documents (ScaleAudit-asserted at 10x; the
+    // Pregel-style distributed iteration is the beyond-bound path,
+    // forced + parity-gated by q259 and run at 2.25M edges in graph100).
     // Battery oracle: the twin recomputes n_nodes/n_edges from the
     // exact >= 0.6 shingle-jaccard pair set, and convergence / mass /
     // teleport-floor invariants must round to exactly zero. -----------
@@ -259,6 +260,36 @@ private[graft] object DedupQueries extends QueryFamily {
         "sum_dev" -> (if (n == 0) 0.0 else math.abs(pr.values.sum - 1.0)),
         "final_residual" -> resid,
         "floor_violations" -> pr.values.count(_ < floor - 1e-12).toDouble))
+    }),
+
+    // ---- distributed dup-graph PageRank (q259): the beyond-1M-edge
+    // path q157's driver iteration documents, FORCED at driver SFs the
+    // way q256 forces the star regime — the Pregel-style DataFrame
+    // iteration runs on the same memoized edge set and must agree with
+    // the driver power iteration rank-for-rank at 1e-9 (float-sum-order
+    // noise only). Battery: q157's convergence/mass/floor invariants
+    // plus the cross-path parity deviation, all rounding to exactly
+    // zero; the twin replays n_nodes/n_edges from the exact jaccard
+    // pair universe. graph100 runs the same parity check at 2.25M
+    // edges, where the distributed path is the organic selection. -----
+    "q259_dup_pagerank_dist" -> ((s, dir) => {
+      val e = dupEdges(s, dir)
+      val (distRanks, resid, _) = Dedup.pageRankDistributed(e)
+      val eSeq = e.select(col("a"), col("b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val (drv, _, _) = Dedup.pageRank(eSeq)
+      val dist = distRanks.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val n = dist.length
+      val floor = if (n == 0) 0.0 else 0.15 / n
+      val parityDev = if (n == 0) 0.0
+        else dist.iterator.map { case (id, rk) => math.abs(rk - drv(id)) }.max
+      checksDf(s, Seq(
+        "n_nodes" -> n.toDouble,
+        "n_edges" -> eSeq.length.toDouble,
+        "sum_dev" -> (if (n == 0) 0.0 else math.abs(dist.map(_._2).sum - 1.0)),
+        "final_residual" -> resid,
+        "floor_violations" -> dist.count(_._2 < floor - 1e-12).toDouble,
+        "driver_parity_dev" -> parityDev))
     }),
 
     // ---- blocked edit-distance fuzzy join (q153): all pairs within
@@ -397,6 +428,29 @@ private[graft] object DedupQueries extends QueryFamily {
          UNION ALL SELECT 'sum_dev', 0.0
          UNION ALL SELECT 'final_residual', 0.0
          UNION ALL SELECT 'floor_violations', 0.0""",
+
+    // The distributed path must land on the identical battery — same
+    // node/edge universe, all invariants (including the cross-path
+    // parity deviation) rounding to exactly zero.
+    "q259_dup_pagerank_dist" ->
+      """WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, len(text) - 3), i -> substr(text, CAST(i AS INT), 5)))) AS s
+           FROM documents WHERE len(text) >= 5),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS ni
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         j AS (SELECT a, b FROM (SELECT a, b,
+             CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac
+           FROM inter JOIN sizes sa ON sa.doc_id = a
+             JOIN sizes sb ON sb.doc_id = b) WHERE jac >= 0.6)
+         SELECT 'n_nodes' AS check,
+           CAST(count(DISTINCT x) AS DOUBLE) + 0.0 AS value
+           FROM (SELECT a AS x FROM j UNION SELECT b FROM j)
+         UNION ALL SELECT 'n_edges', CAST(count(*) AS DOUBLE) FROM j
+         UNION ALL SELECT 'sum_dev', 0.0
+         UNION ALL SELECT 'final_residual', 0.0
+         UNION ALL SELECT 'floor_violations', 0.0
+         UNION ALL SELECT 'driver_parity_dev', 0.0""",
 
     // Exact replay of the fuzzy join's contract: every pair with
     // |Δlen| <= 8 (the sound blocking universe) at levenshtein <= 8.

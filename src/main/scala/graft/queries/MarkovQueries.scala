@@ -807,7 +807,20 @@ private[graft] object MarkovQueries extends QueryFamily {
     "q151_hmm_init" -> ((s, dir) => {
       import graft.markov.hmm.Hmm
       val d = dtrajEv(s, dir).where(col("state") >= 0)
-      val m = Hmm.initialGuess(d, nHidden = 2, nObs = 5, lagtime = 1)
+      // ONE count scan serves all three init cases: the parity-shifted
+      // frame (odd trajectories moved to states 5-9) never pairs across
+      // blocks, so its 10x10 count matrix holds the base 5x5 counts as
+      // the sum of its two diagonal blocks — deriving them here avoids
+      // two further full passes over the dtraj (the battery tripled the
+      // query's scan cost when the disconnected/separate cases landed)
+      val dis = d.withColumn("state",
+        (col("state") + lit(5) * (col("traj_id") % 2)).cast("int"))
+      val cDis = graft.markov.TransitionCounting.toDense(
+        graft.markov.TransitionCounting.slidingCounts(dis, 1), 10)
+      val cBase = breeze.linalg.DenseMatrix.tabulate[Double](5, 5)((i, j) =>
+        cDis(i, j) + cDis(i + 5, j + 5))
+      val m = Hmm.initialGuessFromCounts(cBase, nHidden = 2, nObs = 5,
+        lagtime = 1)
       def rowResid(a: breeze.linalg.DenseMatrix[Double]): Double =
         (0 until a.rows).map(i =>
           math.abs(breeze.linalg.sum(a(i, ::).t) - 1.0)).max
@@ -818,14 +831,10 @@ private[graft] object MarkovQueries extends QueryFamily {
         math.max(math.abs(breeze.linalg.sum(mm.initial) - 1.0),
           math.max(negResid(mm.transition), math.max(negResid(mm.emission),
             mm.initial.toArray.map(v => math.max(0.0, -v)).max))))
-      // DISCONNECTED case (reference estimate_P repair path): odd
-      // trajectories shifted to states 5-9 — two blocks the data never
-      // bridges; mode='all' keeps both, PCCA must split them cleanly
-      val dis = d.withColumn("state",
-        (col("state") + lit(5) * (col("traj_id") % 2)).cast("int"))
-      val mDis = Hmm.initialGuessFromCounts(
-        graft.markov.TransitionCounting.toDense(
-          graft.markov.TransitionCounting.slidingCounts(dis, 1), 10),
+      // DISCONNECTED case (reference estimate_P repair path): two blocks
+      // the data never bridges; mode='all' keeps both, PCCA must split
+      // them cleanly
+      val mDis = Hmm.initialGuessFromCounts(cDis,
         nHidden = 2, nObs = 10, lagtime = 1, mode = "all")
       val purity = (0 until 2).map { k =>
         val lo = (0 until 5).map(mDis.emission(k, _)).sum
@@ -834,8 +843,8 @@ private[graft] object MarkovQueries extends QueryFamily {
       // SEPARATE case (_init_discrete_impl.py:85-104): symbol 4 forced
       // into the last hidden state — that row emits ONLY symbol 4 and the
       // metastable rows never emit it (both exact by construction)
-      val mSep = Hmm.initialGuess(d, nHidden = 3, nObs = 5, lagtime = 1,
-        separate = Some(Seq(4)))
+      val mSep = Hmm.initialGuessFromCounts(cBase, nHidden = 3, nObs = 5,
+        lagtime = 1, separate = Some(Seq(4)))
       checksDf(s, Seq(
         "transition_shape" -> (m.transition.rows * 10 + m.transition.cols).toDouble,
         "emission_shape" -> (m.emission.rows * 10 + m.emission.cols).toDouble,

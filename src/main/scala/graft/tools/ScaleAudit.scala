@@ -630,7 +630,34 @@ object ScaleAudit {
     if (!ok) failures += 1
     println(s"[scale-100x-graph] label equality distributed==union-find: " +
       s"mismatches=$mismatches ${if (ok) "OK" else "FAIL"}")
-    dist.unpersist(); drv.unpersist(); edges.unpersist()
+    dist.unpersist(); drv.unpersist()
+
+    // PageRank over the same 2.25M-edge graph: the Pregel-style path
+    // (q259's shape, the organic selection past the 1M-edge driver
+    // bound) against the driver power iteration as the reference
+    // answer. Both stop at L-inf 1e-9, leaving each within
+    // ~tol/(1-beta) ~ 6.7e-9 of the fixpoint — parity bound 1e-7.
+    locally {
+      val t0 = System.nanoTime()
+      val (prDist, resid, iters) = graft.dedup.Dedup.pageRankDistributed(edges)
+      prDist.persist(); val nRanks = prDist.count()
+      val secDist = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val eSeq = edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val (prDrv, _, _) = graft.dedup.Dedup.pageRank(eSeq)
+      val secDrv = (System.nanoTime() - t1) / 1e9
+      val drvB = spark.sparkContext.broadcast(prDrv)
+      val maxDev = prDist.select(col("id"), col("rank")).rdd
+        .map(r => math.abs(r.getDouble(1) - drvB.value(r.getLong(0))))
+        .max()
+      val prOk = maxDev <= 1e-7 && nRanks == prDrv.size && resid <= 1e-9
+      if (!prOk) failures += 1
+      println(f"[scale-100x-graph] pagerank     nodes=$nRanks%-9d iters=$iters " +
+        f"dist=${secDist}%7.2f s drv=${secDrv}%7.2f s  " +
+        f"max-parity-dev=$maxDev%.2e (bound 1e-7)  ${if (prOk) "OK" else "FAIL"}")
+      prDist.unpersist()
+    }
+    edges.unpersist()
     failures
   }
 

@@ -48,3 +48,70 @@ class PageRankSpec extends AnyFunSuite with Matchers {
     Dedup.pageRank(Nil) shouldBe ((Map.empty[Long, Double], 0.0, 0))
   }
 }
+
+/** Distributed PageRank (q259, graph100): the beyond-1M-edge path must
+  * be indistinguishable from the driver power iteration. */
+class PageRankDistributedSpec extends graft.SparkSpec with Matchers {
+
+  private def parity(edges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val df = edges.toDF("a", "b")
+    val (distDf, resid, iters) = Dedup.pageRankDistributed(df)
+    val (drv, residDrv, itersDrv) = Dedup.pageRank(edges)
+    val dist = distDf.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    dist.keySet shouldBe drv.keySet
+    // both paths stop at L-inf residual <= 1e-9, each leaving up to
+    // ~tol/(1-beta) of distance to the true fixpoint — parity bound 5e-8
+    dist.foreach { case (id, rk) => rk shouldBe drv(id) +- 5e-8 }
+    resid should be <= 1e-9
+    // iteration COUNTS are not comparable across the two stopping rules
+    // (the 4-step round diff can cancel on bipartite-ish graphs where
+    // the transient eigenvalue is negative) — the contract is rank
+    // parity + convergence, asserted above; both must just terminate
+    // well before the cap
+    iters should be <= 200
+    itersDrv should be <= 200
+    residDrv should be <= 1e-9
+  }
+
+  test("star + cycle + disconnected fixtures: rank-for-rank driver parity") {
+    parity((1 to 4).map(i => (0L, i.toLong)))
+    parity((0L until 6L).map(i => (i, (i + 1) % 6)))
+    parity(Seq((0L, 1L), (10L, 11L), (10L, 12L)))
+  }
+
+  test("random near-dup-shaped graph (stars + chains + cliques): parity") {
+    // deterministic construction, no RNG: 30 star hubs of width 5,
+    // 20 chains of length 6, 5 cliques of size 5 — the shapes dup
+    // graphs actually take
+    val stars = (0 until 30).flatMap(h =>
+      (1 to 5).map(i => (h * 100L, h * 100L + i)))
+    val chains = (0 until 20).flatMap(c =>
+      (0 until 5).map(i => (10000L + c * 10 + i, 10000L + c * 10 + i + 1)))
+    val cliques = (0 until 5).flatMap(q => for {
+      i <- 0 until 5; j <- (i + 1) until 5
+    } yield (20000L + q * 10 + i, 20000L + q * 10 + j))
+    parity(stars ++ chains ++ cliques)
+  }
+
+  test("empty edge frame yields the empty model") {
+    import spark.implicits._
+    val (df, resid, iters) =
+      Dedup.pageRankDistributed(Seq.empty[(Long, Long)].toDF("a", "b"))
+    df.count() shouldBe 0L
+    resid shouldBe 0.0
+    iters shouldBe 0
+  }
+
+  test("pageRankAuto dispatches by edge count, both sides parity-equal") {
+    import spark.implicits._
+    val edges = (1 to 4).map(i => (0L, i.toLong))
+    val df = edges.toDF("a", "b")
+    val (lo, _, _) = Dedup.pageRankAuto(df, driverEdgeThreshold = 1000L)
+    val (hi, _, _) = Dedup.pageRankAuto(df, driverEdgeThreshold = 0L)
+    val l = lo.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val h = hi.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    l.keySet shouldBe h.keySet
+    l.foreach { case (id, rk) => rk shouldBe h(id) +- 5e-8 }
+  }
+}
