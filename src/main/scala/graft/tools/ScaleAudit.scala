@@ -713,6 +713,96 @@ object ScaleAudit {
     failures
   }
 
+  /** 100x rotation, family 6: the temporal-join primitives at 100x
+    * event volume (~4M rows, 100 disjoint user universes). The scale
+    * claims under test are the ones the Joins scaladocs make:
+    *   - all three as-of variants (backward/forward/nearest) are the
+    *     union-tag single-window decomposition — ZERO join operators,
+    *     EXACTLY ONE shuffle exchange, and that exchange ships exactly
+    *     |L| + |R| rows (every row crosses once; nothing fans out),
+    *   - rangeJoin is a bucket-keyed hash/sort-merge equi-join — no
+    *     cartesian, no nested loop — with interval replication bounded
+    *     by ceil(width/bucketWidth)+1 = 2 buckets here (universe-offset
+    *     values keep the interval matching per-universe, so output
+    *     scales linearly in copies as real per-tenant traffic would).
+    * Run: sbt "runMain graft.tools.ScaleAudit asof100". */
+  def asof100(spark: SparkSession, src: String): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    var failures = 0
+    val copies = 100
+    val ev0 = graft.core.Trajectories.events(spark, src)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").cast("long"), expr("ts div 1000").as("tsu"),
+        col("event_type"))
+    val ev = spark.range(copies).crossJoin(ev0)
+      .select((col("user_id") + col("id") * 100000000L).as("user_id"),
+        col("tsu"), col("event_type"), col("id").as("uni"))
+      .localCheckpoint() // inputs materialized: the replication join must
+                         // not pollute the audited operator plans
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("tsu"), col("uni")).localCheckpoint()
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsu").as("ptsu"), col("uni"),
+        col("tsu").as("pay_t")).localCheckpoint()
+    val nL = clicks.count(); val nR = purch.count()
+    println(s"[scale-100x-asof] clicks=$nL purchases=$nR (100 universes)")
+
+    def auditAsof(name: String, df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nodes = allPlanNodes(df)
+      val joins = nodes.count(_.getClass.getSimpleName.contains("Join"))
+      val exchanges = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+      val (maxRec, maxBytes, _) = exchangeMaxima(df)
+      val ok = joins == 0 && exchanges == 1 && maxRec == nL + nR && rows == nL
+      if (!ok) failures += 1
+      println(f"[scale-100x-asof] $name%-14s rows=$rows%-9d ${sec}%7.2f s  " +
+        f"joins=$joins (bound 0)  exchanges=$exchanges (bound 1)  " +
+        f"exchange-rows=$maxRec (expect ${nL + nR})  " +
+        f"exchange-MB=${maxBytes / 1e6}%7.1f  ${if (ok) "OK" else "FAIL"}")
+    }
+    auditAsof("asof-backward",
+      graft.operators.Joins.asofJoinStrict(clicks, purch, "user_id", "tsu", "ptsu"))
+    auditAsof("asof-forward",
+      graft.operators.Joins.asofJoinForwardStrict(clicks, purch, "user_id", "tsu", "ptsu"))
+    auditAsof("asof-nearest",
+      graft.operators.Joins.asofJoinNearest(clicks, purch, "user_id", "tsu", "ptsu"))
+
+    // range join: universe-offset values make interval containment a
+    // per-universe event (value = uni * 4e15 + tsu; sf0.1 event times
+    // span ~2.6e12 us, far below the offset stride)
+    locally {
+      val pts = clicks.select((col("uni") * 4000000000000000L + col("tsu")).as("v"))
+        .localCheckpoint()
+      val ivs = purch.select(
+        (col("uni") * 4000000000000000L + col("ptsu") - 300000000L).as("lo"),
+        (col("uni") * 4000000000000000L + col("ptsu") + 300000000L).as("hi"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val joined = graft.operators.Joins.rangeJoin(pts, "v", ivs, "lo", "hi",
+        bucketWidth = 3.6e9)
+      val rows = joined.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nodes = allPlanNodes(joined)
+      val cart = nodes.exists(n => {
+        val s = n.getClass.getSimpleName
+        s.contains("CartesianProduct") || s.contains("BroadcastNestedLoopJoin")
+      })
+      val (maxRec, maxBytes, nEx) = exchangeMaxima(joined)
+      // replication bound: each +-300 s interval overlaps at most 2 of
+      // the 3600 s buckets, so no exchange may exceed points + 2x
+      // intervals
+      val ok = !cart && maxRec <= nL + 2 * nR && rows > 0
+      if (!ok) failures += 1
+      println(f"[scale-100x-asof] range-join     rows=$rows%-9d ${sec}%7.2f s  " +
+        f"exchanges=$nEx max-exchange-rows=$maxRec (bound ${nL + 2 * nR})  " +
+        f"max-exchange-MB=${maxBytes / 1e6}%7.1f  cartesian=$cart  " +
+        s"${if (ok) "OK" else "FAIL"}")
+    }
+    failures
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SCALE_DIR", "/tmp/graft_sf1")
@@ -726,7 +816,7 @@ object ScaleAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.exists(Set("minhash100", "ann100", "editdist100",
-        "text100", "streaming100", "graph100", "substring100"))) {
+        "text100", "streaming100", "graph100", "substring100", "asof100"))) {
       val out100 = sys.env.getOrElse("SCALE_DIR_100", "/tmp/graft_sf10")
       val failures = args.head match {
         case "minhash100" => minhash100(spark, src, out100)
@@ -735,6 +825,7 @@ object ScaleAudit {
         case "streaming100" => streaming100(spark, src)
         case "graph100" => graph100(spark, src, out100)
         case "substring100" => substring100(spark, src, out100)
+        case "asof100" => asof100(spark, src)
         case _ => editdist100(spark, src, out100)
       }
       println(if (failures == 0) "[scale-100x] ALL INVARIANTS HOLD"

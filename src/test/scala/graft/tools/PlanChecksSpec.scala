@@ -47,4 +47,41 @@ class PlanChecksSpec extends SparkSpec with Matchers {
       n.contains("CartesianProduct") || n.contains("BroadcastNestedLoopJoin"))
     bad shouldBe empty
   }
+
+  test("post-execution: substring-dedup detect ships hashes only — no " +
+    "textish column through any exchange (substring100's invariant)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = graft.core.Trajectories.table(spark, dir, "documents")
+    val df = graft.dedup.Dedup.duplicateWindowStats(docs, k = 10)
+    df.count() should be > 0L
+    val nodes = ScaleAudit.allPlanNodes(df)
+    nodes.length should be > 3
+    val textish = Set("text", "ws", "chunk", "words", "kept", "cleaned")
+    val leaked = nodes.collect {
+      case e: ShuffleExchangeExec if e.output.exists(a => textish(a.name)) =>
+        e.output.map(_.name).filter(textish).mkString(",")
+    }
+    leaked shouldBe empty
+  }
+
+  test("post-execution: BPE word-frequency scan is map-side combined — " +
+    "the exchange ships vocab-bounded partials, not the corpus word " +
+    "stream (text100's invariant)") {
+    val docs = graft.core.Trajectories.table(spark, dir, "documents")
+    val grouped = graft.text.Bpe.groupedWords(docs, "text")
+    val nDistinct = grouped.count()
+    nDistinct should be > 0L
+    val totalWords = docs.select(
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), "\\s+"))))
+      .head().getLong(0)
+    val (maxRec, _, nEx) = ScaleAudit.exchangeMaxima(grouped)
+    nEx should be >= 1
+    // a missing partial aggregation would ship every word occurrence;
+    // the partial-combined exchange is bounded by partitions x vocab
+    // and on this corpus sits far below half the occurrence count
+    maxRec should be < totalWords / 2
+  }
 }
