@@ -141,6 +141,80 @@ object Joins {
       .drop("__t", "__tag", "__pay")
   }
 
+  /** Skew-safe as-of join: identical semantics to [[asofJoinStrict]],
+    * decomposed so no single key's full history ever has to fit one
+    * partition sort — the refinement the plain shape needs at 100 TB
+    * when a hot key (a bot user, a null-ish default key) outgrows a
+    * partition.
+    *
+    * Two-pass bucket seeding:
+    *   1. the union-tag frame gains `bucket = floor(time / bucketWidth)`
+    *      and the running last-non-null payload is computed per
+    *      (key, bucket) — partition sorts are bounded by one bucket's
+    *      rows regardless of key heat;
+    *   2. a (key, bucket)-grained summary table (one aggregate row per
+    *      OCCUPIED bucket: the bucket's final right payload, null when
+    *      the bucket holds no right rows) is prefix-scanned per key —
+    *      `last(_, ignoreNulls)` over buckets strictly before — to
+    *      produce each bucket's carry-in, which seeds rows whose local
+    *      running value is still null.
+    *
+    * The ordering inside a bucket equals the global ordering restricted
+    * to that bucket and the carry-in is exactly the global running value
+    * at the bucket boundary, so the result is row-identical to
+    * [[asofJoinStrict]] (spec-pinned, incl. boundary/tie/empty-bucket
+    * cases). Cost shape: one (key, bucket) exchange of |L|+|R| rows for
+    * the window, one bucket-grained aggregate off the same partitioning,
+    * and the carry joins back broadcast (|keys| x |occupied buckets|
+    * rows — summary-sized by construction when bucketWidth is chosen so
+    * buckets hold many rows). */
+  def asofJoinStrictSkew(left: DataFrame, right: DataFrame, key: String,
+                         leftTime: String, rightTime: String,
+                         bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val payloadCols = right.columns.filter(c => c != key && c != rightTime)
+    val pay = struct(payloadCols.map(col).toIndexedSeq: _*)
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(0))
+      .withColumn("__pay",
+        lit(null).cast(right.select(pay).schema.fields(0).dataType))
+    val r0 = right.select(col(key), col(rightTime).as("__t"), pay.as("__pay"))
+      .withColumn("__tag", lit(1))
+    val leftCols = left.columns
+    val r = leftCols.foldLeft(r0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
+    val unioned = l.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
+      .unionByName(r)
+      .withColumn("__bk", floor(col("__t") / bucketWidth).cast("long"))
+    // pass 1: running last within (key, bucket) — same (t, tag, pay)
+    // order as the global shape, restricted to the bucket
+    val wLocal = Window.partitionBy(key, "__bk")
+      .orderBy(col("__t"), col("__tag"), col("__pay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pass 2: per-(key, occupied-bucket) final right payload; the max of
+    // (t, tag, pay) over right rows IS the bucket-final running value
+    // (right rows sort after left rows at equal t, ties by greatest pay —
+    // the exact order wLocal uses)
+    val finals = unioned
+      .groupBy(col(key), col("__bk"))
+      .agg(max(when(col("__pay").isNotNull,
+        struct(col("__t"), col("__tag"), col("__pay")))).as("__fin"))
+    val wCarry = Window.partitionBy(key).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = finals
+      .withColumn("__carry",
+        last(col("__fin"), ignoreNulls = true).over(wCarry))
+      .select(col(key), col("__bk"),
+        col("__carry").getField("__pay").as("__carry_pay"))
+    unioned
+      .withColumn("__local", last(col("__pay"), ignoreNulls = true).over(wLocal))
+      .join(broadcast(carry), Seq(key, "__bk"), "left")
+      .where(col("__tag") === 0)
+      .withColumn("__match", coalesce(col("__local"), col("__carry_pay")))
+      .drop("__t", "__tag", "__pay", "__bk", "__local", "__carry_pay")
+  }
+
   /** Interval (range) join: pair every point row with every interval row
     * whose [lo, hi] contains the point, without a nested-loop join.
     *

@@ -241,6 +241,31 @@ private[graft] object EventQueries extends QueryFamily {
           round(col("__match.prior_click_value"), 6).as("prior_click_value"))
     }),
 
+    // ---- skew-safe as-of join (q260): q108's exact semantics through
+    // the two-pass bucket-seeded decomposition (per-(key, day-bucket)
+    // window + per-key bucket-carry prefix scan) — the refinement that
+    // keeps a hot key's history from having to fit one partition sort
+    // at 100 TB. Day buckets put ~30 occupied buckets per user at the
+    // driver SFs, so multi-bucket carries (incl. across empty buckets)
+    // are exercised for real; the oracle is q108's DuckDB ASOF twin, so
+    // any divergence between the two decompositions fails the gate. ----
+    "q260_asof_skew" -> ((s, dir) => {
+      val e = Trajectories.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("t"),
+          col("event_type"), col("value"))
+      val cw = Window.partitionBy("user_id", "t").orderBy(col("event_id").desc)
+      val clicks = e.where(col("event_type") === "click")
+        .withColumn("rn", row_number().over(cw)).where(col("rn") === 1)
+        .select(col("user_id"), col("t"),
+          col("event_id").as("prior_click_event_id"),
+          col("value").as("prior_click_value"))
+      Joins.asofJoinStrictSkew(e, clicks, key = "user_id",
+          leftTime = "t", rightTime = "t", bucketWidth = 86400000000000L)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("__match.prior_click_event_id").as("prior_click_event_id"),
+          round(col("__match.prior_click_value"), 6).as("prior_click_value"))
+    }),
+
     // ---- bucketed range join (q109): lineitems priced within ±1% of a
     // part's retail price, WITHOUT the BroadcastNestedLoopJoin Spark
     // plans for a bare BETWEEN (|points|x|intervals| comparisons). Each
@@ -816,6 +841,19 @@ private[graft] object EventQueries extends QueryFamily {
     // via the > inequality), so the union-tag window decomposition is
     // checked against a real asof operator, not a replay of itself.
     "q108_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.value,
+           c.event_id AS prior_click_event_id,
+           round(c.value, 6) AS prior_click_value
+         FROM events e ASOF LEFT JOIN
+           (SELECT user_id, ts, event_id, value FROM events
+            WHERE event_type = 'click'
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
+              ORDER BY event_id DESC) = 1) c
+           ON e.user_id = c.user_id AND e.ts > c.ts""",
+
+    // The skew-safe decomposition must reproduce the identical ASOF
+    // result — same twin as q108.
+    "q260_asof_skew" ->
       """SELECT e.event_id, e.user_id, e.value,
            c.event_id AS prior_click_event_id,
            round(c.value, 6) AS prior_click_value

@@ -769,6 +769,62 @@ object ScaleAudit {
     auditAsof("asof-nearest",
       graft.operators.Joins.asofJoinNearest(clicks, purch, "user_id", "tsu", "ptsu"))
 
+    // skew-safe as-of (q260's shape) under a PLANTED ultra-hot key:
+    // universe 0's clicks replicated 100x more onto ONE synthetic user
+    // (~2M rows on a single key — the regime where the plain shape must
+    // sort one key's whole history in one partition). Gates: the skew
+    // decomposition's output is row-identical to the plain single-window
+    // shape on the same inputs, and its big exchange is (key, bucket)-
+    // partitioned carrying exactly |L|+|R| rows.
+    locally {
+      val hotL = spark.range(100).crossJoin(
+          ev.where(col("event_type") === "click" && col("uni") === 0))
+        .select((col("tsu") + col("id")).as("tsu"), lit(-1L).as("user_id"))
+      val hotR = spark.range(100).crossJoin(
+          ev.where(col("event_type") === "purchase" && col("uni") === 0))
+        .select((col("tsu") + col("id")).as("ptsu"), lit(-1L).as("user_id"))
+      val l2 = clicks.select(col("user_id"), col("tsu")).unionByName(hotL)
+        .withColumn("event_id", monotonically_increasing_id())
+        .localCheckpoint()
+      val r2 = purch.select(col("user_id"), col("ptsu"), col("pay_t"))
+        .unionByName(hotR.select(col("user_id"), col("ptsu"),
+          col("ptsu").as("pay_t")))
+        // dedupe (key, time) so equal-time tie-resolution cannot differ
+        .groupBy("user_id", "ptsu").agg(max(col("pay_t")).as("pay_t"))
+        .localCheckpoint()
+      val nL2 = l2.count(); val nR2 = r2.count()
+      val dayUs = 86400000000L
+      val t0 = System.nanoTime()
+      val skew = graft.operators.Joins.asofJoinStrictSkew(
+        l2, r2, "user_id", "tsu", "ptsu", bucketWidth = dayUs)
+      skew.persist()
+      val rows = skew.queryExecution.toRdd.count()
+      val secSkew = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val plain = graft.operators.Joins.asofJoinStrict(
+        l2, r2, "user_id", "tsu", "ptsu").persist()
+      plain.count()
+      val secPlain = (System.nanoTime() - t1) / 1e9
+      val mism = skew.select(col("event_id"),
+          col("__match.pay_t").as("m")).as("a")
+        .join(plain.select(col("event_id"), col("__match.pay_t").as("m")).as("b"),
+          col("a.event_id") === col("b.event_id"), "full")
+        .where(col("a.event_id").isNull || col("b.event_id").isNull ||
+          (col("a.m").isNull =!= col("b.m").isNull) ||
+          (col("a.m").isNotNull && col("a.m") =!= col("b.m")))
+        .count()
+      val (maxRec, maxBytes, nEx) = exchangeMaxima(skew)
+      val hotRows = nL2 + nR2 - nL - nR
+      val ok = mism == 0 && rows == nL2 && maxRec == nL2 + nR2
+      if (!ok) failures += 1
+      println(f"[scale-100x-asof] asof-skew      rows=$rows%-9d ${secSkew}%7.2f s " +
+        f"(plain ${secPlain}%6.2f s)  hot-key-rows=$hotRows  " +
+        f"exchanges=$nEx exchange-rows=$maxRec (expect ${nL2 + nR2})  " +
+        f"exchange-MB=${maxBytes / 1e6}%7.1f  " +
+        f"mismatches-vs-plain=$mism  ${if (ok) "OK" else "FAIL"}")
+      skew.unpersist(); plain.unpersist()
+    }
+
     // range join: universe-offset values make interval containment a
     // per-universe event (value = uni * 4e15 + tsu; sf0.1 event times
     // span ~2.6e12 us, far below the offset stride)

@@ -165,4 +165,54 @@ class JoinsSpec extends SparkSpec with Matchers {
     plan should not include "BroadcastNestedLoopJoin"
     plan should not include "CartesianProduct"
   }
+
+  /** The skew-safe two-pass decomposition must be ROW-IDENTICAL to the
+    * single-window shape on every edge the bucketing introduces. */
+  private def asofIdentity(left: Seq[(Long, Long, Long)],
+                           right: Seq[(Long, Long, Long)],
+                           bucketWidth: Long): Unit = {
+    import spark.implicits._
+    val l = left.toDF("k", "t", "lv")
+    val r = right.toDF("k", "t", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("t"), col("lv"), col("__match.rv").as("rv"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3)))
+      .sortBy(identity).toSeq
+    canon(Joins.asofJoinStrictSkew(l, r, "k", "t", "t", bucketWidth)) shouldBe
+      canon(Joins.asofJoinStrict(l, r, "k", "t", "t"))
+  }
+
+  test("asofJoinStrictSkew identical to asofJoinStrict: boundary ties, " +
+    "empty buckets, multi-bucket carry, strictness at equal time") {
+    // bucketWidth 10; rights at exact bucket boundaries (t=10, 20),
+    // a left row AT a right row's time (strictness), long gaps so the
+    // carry must cross several EMPTY buckets, and a key with no rights
+    val left = Seq(
+      (1L, 5L, 1L), (1L, 10L, 2L), (1L, 11L, 3L), (1L, 47L, 4L),
+      (1L, 95L, 5L), (2L, 20L, 6L), (2L, 21L, 7L), (3L, 30L, 8L))
+    val right = Seq(
+      (1L, 10L, 100L), (1L, 10L, 150L), // same (k,t) tie -> greatest pay
+      (1L, 93L, 200L), (2L, 20L, 300L))
+    asofIdentity(left, right, bucketWidth = 10L)
+    asofIdentity(left, right, bucketWidth = 3L)
+    asofIdentity(left, right, bucketWidth = 1000L) // everything one bucket
+  }
+
+  test("asofJoinStrictSkew identical to asofJoinStrict on random data " +
+    "with a planted hot key") {
+    val rnd = new scala.util.Random(23)
+    // key 0 is hot: 500 of 700 left rows and 300 of 400 right rows
+    val left = (0 until 700).map(i =>
+      (if (i < 500) 0L else rnd.nextInt(4).toLong + 1L,
+        rnd.nextInt(1000).toLong, i.toLong))
+    val right0 = (0 until 400).map(i =>
+      (if (i < 300) 0L else rnd.nextInt(4).toLong + 1L,
+        rnd.nextInt(1000).toLong, i.toLong))
+    // dedupe right on (k, t) so the expected match is well-defined
+    val right = right0.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    asofIdentity(left, right, bucketWidth = 50L)
+    asofIdentity(left, right, bucketWidth = 7L)
+  }
 }
