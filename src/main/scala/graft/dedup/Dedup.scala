@@ -832,15 +832,25 @@ object Dedup {
     * chunk-identity exchanges carry a 128-bit chunk fingerprint
     * (two independently-seeded xxhash64 lanes) instead of the chunk
     * text, and reassembly re-slices the ORIGINAL document rather than
-    * re-materializing it from shuffled chunks. Exchange ledger: the
-    * rank shuffle ships (id, idx, h1, h2), the reassembly agg ships
-    * kept (id, idx) pairs, and the document text crosses exactly ONE
-    * exchange (the final doc-keyed join) — vs two full text exchanges
-    * in the exact-text variant. The result is bit-identical to
-    * `chunkDedup` absent a 128-bit collision (P < 1e-18 per 10^10
-    * chunks); the q258 oracle replays the exact-text semantics against
-    * this variant, so a collision would fail the gate rather than pass
-    * silently. */
+    * re-materializing it from shuffled chunks.
+    *
+    * First-occurrence selection is a partial-combined groupBy-min plus
+    * an equi-join back, NOT a rank window: a window partitioned by the
+    * chunk hash puts every copy of a mega-duplicated chunk (site
+    * boilerplate at web scale) into ONE task's sort, which AQE cannot
+    * split — whereas the aggregate combines map-side (the exchange
+    * ships at most the per-partition distinct fingerprints) and the
+    * join back is ordinary skew-join territory.
+    *
+    * Exchange ledger: the min-agg exchange ships distinct (h1, h2,
+    * min-struct) partials, the join ships (id, idx, h1, h2), the
+    * reassembly agg ships kept (id, idx) pairs, and the document text
+    * crosses exactly ONE exchange (the final doc-keyed join) — vs two
+    * full text exchanges in the exact-text variant. The result is
+    * bit-identical to `chunkDedup` absent a 128-bit collision
+    * (P < 1e-18 per 10^10 chunks); the q258 oracle replays the
+    * exact-text semantics against this variant, so a collision would
+    * fail the gate rather than pass silently. */
   def chunkDedupByHash(docs: DataFrame, chunkWords: Int = 20,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nChunks = ceil(size(split(col(textCol), " ")) / lit(chunkWords.toDouble))
@@ -855,9 +865,10 @@ object Dedup {
       .select(col(idCol), col("idx"),
         xxhash64(col("chunk")).as("h1"),
         xxhash64(lit("graft-chunk-lane2"), col("chunk")).as("h2"))
-    val w = Window.partitionBy("h1", "h2").orderBy(col(idCol), col("idx"))
-    val kept = fps
-      .withColumn("keep", row_number().over(w) === 1)
+    val firsts = fps.groupBy("h1", "h2")
+      .agg(min(struct(col(idCol), col("idx"))).as("__first"))
+    val kept = fps.join(firsts, Seq("h1", "h2"))
+      .withColumn("keep", struct(col(idCol), col("idx")) === col("__first"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
