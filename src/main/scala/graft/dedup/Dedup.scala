@@ -88,21 +88,27 @@ object Dedup {
     // depended on. Multiple hubs make that a "below threshold vs ALL
     // nHubs hubs" event rather than a single-doc dependence; buckets at or
     // under the cap keep the exact all-pairs guarantee.
-    val bw = Window.partitionBy("band_idx", "band_hash")
+    // Bucket statistics (size + the nHubs smallest member ids) come from
+    // ONE partial-combined aggregation, NOT a window: `count + row_number
+    // OVER (PARTITION BY bucket)` forces every member of a mega-bucket
+    // through a single task's sort — the unsplittable hot partition AQE
+    // cannot repair — whereas the MinKLongAgg partials are <= nHubs longs
+    // per (partition, bucket) however hot the bucket is, and the join
+    // back is ordinary AQE skew-join territory. Hub selection is
+    // UNCHANGED (the nHubs smallest ids == the old rk <= nHubs rows).
     val banded = lshBands(docs, textCol, idCol, shingleLen, bands, rowsPerBand)
-      .withColumn("bucket_n", count(lit(1)).over(bw))
-      .withColumn("rk", row_number().over(bw.orderBy(col(idCol))))
-    val small = banded.where(col("bucket_n") <= maxBucketSize)
+    val buckets = banded.groupBy("band_idx", "band_hash")
+      .agg(count(lit(1)).as("bucket_n"),
+        graft.functions.MinK.minKLong(col(idCol), nHubs).as("hubs"))
+    val joined = banded.join(buckets, Seq("band_idx", "band_hash"))
+    val small = joined.where(col("bucket_n") <= maxBucketSize)
     val l = small.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
     val r = small.select(col("band_idx"), col("band_hash"), col(idCol).as("b"))
     val allPairs = l.join(r, Seq("band_idx", "band_hash"))
       .where(col("a") < col("b"))
       .select("a", "b")
-    val over = banded.where(col("bucket_n") > maxBucketSize)
-    val starPairs = over.where(col("rk") <= nHubs)
-      .select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
-      .join(over.select(col("band_idx"), col("band_hash"), col(idCol).as("b")),
-        Seq("band_idx", "band_hash"))
+    val starPairs = joined.where(col("bucket_n") > maxBucketSize)
+      .select(explode(col("hubs")).as("a"), col(idCol).as("b"))
       .where(col("a") < col("b"))
       .select("a", "b")
     allPairs.union(starPairs).distinct()

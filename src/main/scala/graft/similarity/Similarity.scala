@@ -225,20 +225,25 @@ object Similarity {
     // losing exactly the densest duplicate groups. Same recall caveat as
     // the minhash path: hub-mediated edges guarantee candidate-graph
     // connectivity, not that every true pair is verified directly.
-    val bw = Window.partitionBy("tbl", "bucket")
-    val b = corpus.select(col(idCol),
-        posexplode(hyperplaneBuckets(col(vecCol), dim, nPlanes, numTables))
-          .as(Seq("tbl", "bucket")))
-      .withColumn("bucket_n", count(lit(1)).over(bw))
-      .withColumn("rk", row_number().over(bw.orderBy(col(idCol))))
+    // Bucket size + hub ids via one partial-combined aggregation + a
+    // join back, not a `count/row_number OVER (PARTITION BY bucket)`
+    // window: a mega-bucket under a window is ONE task's unsplittable
+    // sort, while the MinKLongAgg partials are <= nHubs longs per
+    // (partition, bucket) and the join back is AQE skew-join territory
+    // (same rework as Dedup.minhashCandidates; hub selection unchanged —
+    // the nHubs smallest ids).
+    val banded = corpus.select(col(idCol),
+      posexplode(hyperplaneBuckets(col(vecCol), dim, nPlanes, numTables))
+        .as(Seq("tbl", "bucket")))
+    val buckets = banded.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("bucket_n"),
+        graft.functions.MinK.minKLong(col(idCol), nHubs).as("hubs"))
+    val b = banded.join(buckets, Seq("tbl", "bucket"))
     val small = b.where(col("bucket_n") <= maxBucketSize)
     val l = small.select(col("tbl"), col("bucket"), col(idCol).as("a"))
     val r = small.select(col("tbl"), col("bucket"), col(idCol).as("b"))
-    val over = b.where(col("bucket_n") > maxBucketSize)
-    val starPairs = over.where(col("rk") <= nHubs)
-      .select(col("tbl"), col("bucket"), col(idCol).as("a"))
-      .join(over.select(col("tbl"), col("bucket"), col(idCol).as("b")),
-        Seq("tbl", "bucket"))
+    val starPairs = b.where(col("bucket_n") > maxBucketSize)
+      .select(explode(col("hubs")).as("a"), col(idCol).as("b"))
       .where(col("a") < col("b"))
       .select("a", "b")
     val cand = l.join(r, Seq("tbl", "bucket")).where(col("a") < col("b"))
