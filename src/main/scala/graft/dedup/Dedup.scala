@@ -20,12 +20,18 @@ object Dedup {
 
   /** Exact duplicate groups by normalized-text fingerprint. Returns
     * (doc_id, fp, keep) where keep = doc_id is the group minimum —
-    * the "keep-first" policy of standard corpus dedup. */
+    * the "keep-first" policy of standard corpus dedup.
+    *
+    * Group-min via partial-combined aggregate + join back, not
+    * `min OVER (PARTITION BY fp)`: a window has no map-side combine and
+    * puts a mega-group (a document duplicated millions of times at web
+    * scale) into one task, while the aggregate ships one row per
+    * (partition, fp) and the join back is AQE skew-join territory. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
-    val w = Window.partitionBy("fp")
-    docs.select(col(idCol), fp.as("fp"))
-      .withColumn("keep", col(idCol) === min(idCol).over(w))
+    val keyed = docs.select(col(idCol), fp.as("fp"))
+    keyed.join(keyed.groupBy("fp").agg(min(col(idCol)).as("__keep_id")), "fp")
+      .select(col(idCol), col("fp"), (col(idCol) === col("__keep_id")).as("keep"))
   }
 
   /** MinHash signatures, one row per doc with k hash columns h0..h{k-1},
@@ -235,8 +241,16 @@ object Dedup {
       (length(col(textCol)) / w).cast("long").as("bkt"),
       length(col(textCol)).as("len"),
       simhash(col(textCol)).as("sig"))
-    val bw = Window.partitionBy("bkt")
-    val sized = base.withColumn("bucket_n", count(lit(1)).over(bw))
+    // bucket sizes via partial-combined aggregate + join back, not a
+    // count-over-partition window (no map-side combine, one task per
+    // mega length-band at web scale). The SNM fallback's rank window
+    // below still sorts each OVER-CAP bucket in one task — that sort is
+    // the one remaining per-bucket term (band-sized, not corpus-sized);
+    // the two-pass range-partitioned rank (asofJoinStrictSkew's bucket
+    // seeding, applied to rank offsets) is the refinement if bands ever
+    // outgrow a task.
+    val sized = base.join(
+      base.groupBy("bkt").agg(count(lit(1)).as("bucket_n")), "bkt")
     val capped = sized.where(col("bucket_n") <= cap).drop("bucket_n")
     val l = capped.select(col("id").as("a"), col("bkt"), col("len").as("la"))
     val r = capped.select(col("id").as("b"), col("bkt"), col("len").as("lb"))

@@ -58,10 +58,15 @@ private[graft] object DedupQueries extends QueryFamily {
       val q = d.select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
       val clustered = q.join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
-      val w = Window.partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id"))
-      clustered.withColumn("rk", row_number().over(w))
+      // per-cluster argmax via partial-combined aggregate + join back,
+      // not a rank window (no limit filter -> no WindowGroupLimit, so a
+      // mega duplicate cluster would be one task's sort). min of
+      // (-quality, doc_id) == (quality desc, doc_id asc) rank 1.
+      val best = clustered.groupBy("cluster_id")
+        .agg(min(struct((-col("quality")).as("nq"), col("doc_id"))).as("__best"))
+      clustered.join(best, Seq("cluster_id"))
         .select(col("doc_id"), col("cluster_id"), col("quality"),
-          when(col("rk") === 1, 1L).otherwise(0L).as("keep"))
+          when(col("doc_id") === col("__best.doc_id"), 1L).otherwise(0L).as("keep"))
     }),
 
     // ---- leakage-safe train/val split (q105): the test-set-leakage
