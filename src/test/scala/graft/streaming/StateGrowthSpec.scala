@@ -23,7 +23,8 @@ class StateGrowthSpec extends SparkSpec with Matchers {
     * RocksDBStateStoreProvider (what a real 100 TB/day cluster runs —
     * state spills off-heap/disk instead of living on the JVM heap);
     * the contract numbers must be backend-independent. */
-  private def stateRowsPerBatch[T](chunks: Seq[Seq[T]], rocksdb: Boolean = false)(
+  private def stateRowsPerBatch[T](chunks: Seq[Seq[T]], rocksdb: Boolean = false,
+      outputMode: String = "update")(
       build: (org.apache.spark.sql.SparkSession, MemoryStream[T]) => DataFrame)(
       implicit enc: org.apache.spark.sql.Encoder[T]): Seq[Long] = {
     val s = spark.newSession()
@@ -35,7 +36,7 @@ class StateGrowthSpec extends SparkSpec with Matchers {
     val out = build(s, mem)
     val sink = "sg_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val query: StreamingQuery = out.writeStream.format("memory")
-      .queryName(sink).outputMode("update").start()
+      .queryName(sink).outputMode(outputMode).start()
     try {
       chunks.map { chunk =>
         mem.addData(chunk: _*)
@@ -151,6 +152,54 @@ class StateGrowthSpec extends SparkSpec with Matchers {
     rocks shouldBe hdfs
     rocks.last should be > 0L
     rocks.max should be < 4000L
+  }
+
+  test("streaming near-dup LSH bucket state is capped: rows pinned at the " +
+    "bucket count while members grow 6x past the cap") {
+    import spark.implicits._
+    // every doc is the SAME text (identical minhash signature -> the
+    // same `bands` buckets) with a distinct id: 6 x 1000 arrivals pile
+    // members onto a CONSTANT bucket set. With maxStoredPerBucket = 8,
+    // stored membership stops at 8 per bucket; the state ROW count (one
+    // row per bucket key) must stay pinned at the band count while
+    // cumulative input grows 6x — unbounded member storage would not
+    // change the row count but WOULD change emitted-pair growth, so
+    // both are asserted (late arrivals emit at most cap pairs each).
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val chunks = (0 until 6).map(b =>
+      (0 until 1000).map(i => (b * 1000L + i, text)))
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", 4)
+    implicit val sqlCtx = s2.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.Streaming.streamingNearDupCandidates(
+      mem.toDF().toDF("doc_id", "text"), bands = 8, rowsPerBand = 5,
+      maxStoredPerBucket = 8)
+    val sink = "sg_nd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val stateRows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      chunks.foreach { chunk =>
+        mem.addData(chunk: _*)
+        query.processAllAvailable()
+        val p = query.recentProgress.reverse
+          .find(p => p.stateOperators.nonEmpty && p.numInputRows > 0)
+          .orElse(query.recentProgress.reverse.find(_.stateOperators.nonEmpty))
+        stateRows += p.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+        emitted += s2.table(sink).count()
+      }
+    } finally query.stop()
+    stateRows.last should be > 0L
+    // identical signatures -> at most `bands` bucket keys, forever
+    stateRows.foreach(_ should be <= 8L)
+    stateRows.drop(1).distinct.length shouldBe 1
+    // emission growth is LINEAR at <= bands * cap pairs per arrival
+    // (each arrival pairs with at most the 8 stored members per bucket),
+    // NOT quadratic: batch 6's increment must match batch 2's
+    val increments = emitted.sliding(2).map(w => w(1) - w(0)).toSeq
+    increments.last shouldBe increments.head +- (increments.head / 10)
   }
 
   test("RocksDB state backend: streaming reservoir O(shards) contract holds") {
