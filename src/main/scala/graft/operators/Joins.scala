@@ -215,6 +215,28 @@ object Joins {
       .drop("__t", "__tag", "__pay", "__bk", "__local", "__carry_pay")
   }
 
+  /** Skew-safe FORWARD as-of join: [[asofJoinForwardStrict]]'s semantics
+    * through [[asofJoinStrictSkew]]'s bucket-seeded decomposition, by
+    * time-axis negation — strictly-after in t is strictly-before in -t,
+    * and the equal-timestamp exclusion carries over unchanged (right
+    * rows sort after left rows at equal negated time too). The matched
+    * right time comes back as `__match.__mt` like the plain forward
+    * variant (payload field order differs, which only affects
+    * tie-resolution among right rows sharing (key, time) — where the
+    * fields that could differ are compared identically because `__mt`
+    * is equal by construction). */
+  def asofJoinForwardStrictSkew(left: DataFrame, right: DataFrame, key: String,
+                                leftTime: String, rightTime: String,
+                                bucketWidth: Long): DataFrame = {
+    val ln = left.withColumn("__negt", -col(leftTime))
+    val rn = right
+      .withColumn("__mt", col(rightTime))
+      .withColumn("__negt", -col(rightTime))
+      .drop(rightTime)
+    asofJoinStrictSkew(ln, rn, key, "__negt", "__negt", bucketWidth)
+      .drop("__negt")
+  }
+
   /** Interval (range) join: pair every point row with every interval row
     * whose [lo, hi] contains the point, without a nested-loop join.
     *

@@ -859,6 +859,55 @@ object ScaleAudit {
     failures
   }
 
+  /** 100x rotation, family 7: eval-decontamination at 500k corpus docs.
+    * The scale claims in `contaminationScan`/`contaminationCoverage`'s
+    * scaladocs, measured: the benchmark side (eval-suite sized — here
+    * ~0.1% of the corpus) reduces to a distinct shingle-hash set that
+    * BROADCASTS; the corpus streams map-side through one semi-join +
+    * per-doc count, so no exchange ever carries text and every shuffle
+    * is doc-count-bounded (partial-combined (id, count) rows), never
+    * shingle-count-bounded (~27M exploded shingles at this corpus).
+    * Run: sbt "runMain graft.tools.ScaleAudit contamination100". */
+  def contamination100(spark: SparkSession, src: String, out: String): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    buildCorpus(spark, src, out, copies = 100, period = 3)
+    var failures = 0
+    val d100 = spark.read.parquet(s"$out/documents.parquet")
+    val nDocs = d100.count()
+    val bench = d100.where(pmod(col("doc_id"), lit(997)) === 0)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val nBench = bench.count()
+
+    def audit(name: String, df: DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = df.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nodes = allPlanNodes(df)
+      val textEx = nodes.count {
+        case e: ShuffleExchangeExec => e.output.exists(_.name == "text")
+        case _ => false
+      }
+      val bcast = nodes.exists(
+        _.getClass.getSimpleName.contains("BroadcastExchange"))
+      val cart = hasCartesian(df)
+      val (maxRec, maxBytes, nEx) = exchangeMaxima(df)
+      // doc-count-bounded shuffles: partial-combined (id, count) rows —
+      // 3x headroom for multi-stage partials; the 27M-shingle explode
+      // must never be what crosses an exchange
+      val ok = textEx == 0 && bcast && !cart && rows == nDocs &&
+        maxRec <= 3 * nDocs
+      if (!ok) failures += 1
+      println(f"[scale-100x-contam] $name%-10s rows=$rows%-9d ${sec}%7.2f s  " +
+        f"exchanges=$nEx max-exchange-rows=$maxRec (bound ${3 * nDocs})  " +
+        f"max-exchange-MB=${maxBytes / 1e6}%7.1f  text-exchanges=$textEx " +
+        s"broadcast=$bcast cartesian=$cart  ${if (ok) "OK" else "FAIL"}")
+    }
+    audit("scan", graft.dedup.Dedup.contaminationScan(d100, bench))
+    audit("coverage", graft.dedup.Dedup.contaminationCoverage(d100, bench))
+    println(s"[scale-100x-contam] corpus docs=$nDocs benchmark docs=$nBench")
+    failures
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SCALE_DIR", "/tmp/graft_sf1")
@@ -872,7 +921,8 @@ object ScaleAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.exists(Set("minhash100", "ann100", "editdist100",
-        "text100", "streaming100", "graph100", "substring100", "asof100"))) {
+        "text100", "streaming100", "graph100", "substring100", "asof100",
+        "contamination100"))) {
       val out100 = sys.env.getOrElse("SCALE_DIR_100", "/tmp/graft_sf10")
       val failures = args.head match {
         case "minhash100" => minhash100(spark, src, out100)
@@ -882,6 +932,7 @@ object ScaleAudit {
         case "graph100" => graph100(spark, src, out100)
         case "substring100" => substring100(spark, src, out100)
         case "asof100" => asof100(spark, src)
+        case "contamination100" => contamination100(spark, src, out100)
         case _ => editdist100(spark, src, out100)
       }
       println(if (failures == 0) "[scale-100x] ALL INVARIANTS HOLD"

@@ -200,6 +200,44 @@ class JoinsSpec extends SparkSpec with Matchers {
     asofIdentity(left, right, bucketWidth = 1000L) // everything one bucket
   }
 
+  private def asofForwardIdentity(left: Seq[(Long, Long, Long)],
+                                  right: Seq[(Long, Long, Long)],
+                                  bucketWidth: Long): Unit = {
+    import spark.implicits._
+    val l = left.toDF("k", "t", "lv")
+    val r = right.toDF("k", "t", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("t"), col("lv"),
+        col("__match.__mt").as("mt"), col("__match.rv").as("rv"))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3),
+        if (x.isNullAt(4)) -1L else x.getLong(4)))
+      .sortBy(identity).toSeq
+    canon(Joins.asofJoinForwardStrictSkew(l, r, "k", "t", "t", bucketWidth)) shouldBe
+      canon(Joins.asofJoinForwardStrict(l, r, "k", "t", "t"))
+  }
+
+  test("asofJoinForwardStrictSkew identical to asofJoinForwardStrict: " +
+    "boundary ties, empty buckets, hot key") {
+    val left = Seq(
+      (1L, 5L, 1L), (1L, 10L, 2L), (1L, 11L, 3L), (1L, 47L, 4L),
+      (1L, 95L, 5L), (2L, 20L, 6L), (2L, 21L, 7L), (3L, 30L, 8L))
+    val right = Seq(
+      (1L, 10L, 100L), (1L, 10L, 150L), (1L, 93L, 200L), (2L, 20L, 300L))
+    asofForwardIdentity(left, right, 10L)
+    asofForwardIdentity(left, right, 3L)
+    val rnd = new scala.util.Random(31)
+    val hotL = (0 until 600).map(i =>
+      (if (i < 400) 0L else rnd.nextInt(4).toLong + 1L,
+        rnd.nextInt(800).toLong, i.toLong))
+    val hotR0 = (0 until 300).map(i =>
+      (if (i < 200) 0L else rnd.nextInt(4).toLong + 1L,
+        rnd.nextInt(800).toLong, i.toLong))
+    val hotR = hotR0.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    asofForwardIdentity(hotL, hotR, 40L)
+  }
+
   test("asofJoinStrictSkew identical to asofJoinStrict on random data " +
     "with a planted hot key") {
     val rnd = new scala.util.Random(23)
