@@ -75,7 +75,14 @@ object Joins {
     * column pick by absolute distance. Still no join operator, still
     * one hash exchange per key. Right rows sharing (key, time) are
     * indistinguishable in the output because the payload is the matched
-    * time itself. */
+    * time itself.
+    *
+    * Hot-key note: like the plain backward/forward shapes, one key's
+    * history sorts in one partition; when that outgrows a task, compose
+    * the bucket-seeded decompositions ([[asofJoinStrictSkew]] for the
+    * earlier side, [[asofJoinForwardStrictSkew]] for the later side)
+    * and pick by |Δt| — the two carries are exactly this operator's
+    * `__prev`/`__next`. */
   def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
                       leftTime: String, rightTime: String): DataFrame = {
     val pay = struct(col(rightTime).as("__mt"))
