@@ -48,6 +48,30 @@ class PlanChecksSpec extends SparkSpec with Matchers {
     bad shouldBe empty
   }
 
+  test("post-execution: as-of union-tag shape ships every row exactly once — " +
+    "one exchange of |L|+|R| rows, zero join operators (asof100's invariant)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    val e = graft.core.Trajectories.events(spark, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("long").as("t"), col("event_type"))
+    val l = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("t")).localCheckpoint()
+    val r = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("t").as("pt"), col("t").as("pay"))
+      .localCheckpoint()
+    val nL = l.count(); val nR = r.count()
+    val df = graft.operators.Joins.asofJoinStrict(l, r, "user_id", "t", "pt")
+    // execute df's OWN plan (toRdd) — Dataset.count() builds a separate
+    // aggregate plan, leaving df's exchange metrics at zero
+    df.queryExecution.toRdd.count() shouldBe nL
+    val nodes = ScaleAudit.allPlanNodes(df)
+    nodes.count(_.getClass.getSimpleName.contains("Join")) shouldBe 0
+    nodes.count(_.isInstanceOf[ShuffleExchangeExec]) shouldBe 1
+    val (maxRec, _, _) = ScaleAudit.exchangeMaxima(df)
+    maxRec shouldBe nL + nR
+  }
+
   test("post-execution: substring-dedup detect ships hashes only — no " +
     "textish column through any exchange (substring100's invariant)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
