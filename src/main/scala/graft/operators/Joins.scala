@@ -170,56 +170,82 @@ object Joins {
     * to that bucket and the carry-in is exactly the global running value
     * at the bucket boundary, so the result is row-identical to
     * [[asofJoinStrict]] (spec-pinned, incl. boundary/tie/empty-bucket
-    * cases). Cost shape: one (key, bucket) exchange of |L|+|R| rows for
-    * the window, one bucket-grained aggregate off the same partitioning,
-    * and the carry joins back broadcast (|keys| x |occupied buckets|
-    * rows — summary-sized by construction when bucketWidth is chosen so
-    * buckets hold many rows). */
+    * cases). The carry-in enters as SEED ROWS, not a join: each occupied
+    * (key, bucket)'s carry becomes one synthetic row with a null time and
+    * tag -1, which sorts FIRST inside its bucket (asc = nulls first, then
+    * the tag), so the local running last-non-null picks it up exactly
+    * when no in-bucket right row precedes. Two wins over the r09 carry
+    * JOIN this replaces: (a) no join operator at all — in particular no
+    * forced broadcast of a carry table whose cardinality is
+    * data-dependent (one row per (key, occupied bucket) approaches
+    * |L|+|R| when keys are numerous and cold — a driver OOM at 100 TB,
+    * VERDICT r10 item 1); (b) null KEYS keep the row-identity contract —
+    * every grouping here (window partitionBy, groupBy) treats null as an
+    * ordinary group, where the replaced equi-join dropped null-key
+    * carries silently (ADVICE r10).
+    *
+    * Cost shape: one (key, bucket) exchange of |L|+|R|+|seeds| rows for
+    * the window (seeds <= occupied (key, bucket) pairs — the summary-
+    * sized term), one partial-combined bucket-grained aggregate, and one
+    * key-grained window over the summary rows. Zero joins, zero
+    * broadcasts (asof100 + PlanChecksSpec pin both). */
   def asofJoinStrictSkew(left: DataFrame, right: DataFrame, key: String,
                          leftTime: String, rightTime: String,
                          bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
     val payloadCols = right.columns.filter(c => c != key && c != rightTime)
     val pay = struct(payloadCols.map(col).toIndexedSeq: _*)
+    val payType = right.select(pay).schema.fields(0).dataType
     val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(0))
-      .withColumn("__pay",
-        lit(null).cast(right.select(pay).schema.fields(0).dataType))
+      .withColumn("__pay", lit(null).cast(payType))
     val r0 = right.select(col(key), col(rightTime).as("__t"), pay.as("__pay"))
       .withColumn("__tag", lit(1))
     val leftCols = left.columns
-    val r = leftCols.foldLeft(r0) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
+    def alignLeft(df: DataFrame): DataFrame = leftCols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val r = alignLeft(r0)
+      .select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
     val unioned = l.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
       .unionByName(r)
       .withColumn("__bk", floor(col("__t") / bucketWidth).cast("long"))
-    // pass 1: running last within (key, bucket) — same (t, tag, pay)
-    // order as the global shape, restricted to the bucket
-    val wLocal = Window.partitionBy(key, "__bk")
-      .orderBy(col("__t"), col("__tag"), col("__pay"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // pass 2: per-(key, occupied-bucket) final right payload; the max of
-    // (t, tag, pay) over right rows IS the bucket-final running value
-    // (right rows sort after left rows at equal t, ties by greatest pay —
-    // the exact order wLocal uses)
+    // carry computation: per-(key, occupied-bucket) final right payload;
+    // the max of (t, tag, pay) over the bucket's right rows IS the
+    // bucket-final running value (right rows sort after left rows at
+    // equal t, ties by greatest pay — the exact order wLocal uses). The
+    // groupBy combines map-side, so this exchange ships at most the
+    // per-partition distinct (key, bucket) count however hot a key is.
     val finals = unioned
       .groupBy(col(key), col("__bk"))
       .agg(max(when(col("__pay").isNotNull,
         struct(col("__t"), col("__tag"), col("__pay")))).as("__fin"))
+    // prefix-scan per key over occupied buckets (summary-sized window):
+    // each bucket's carry-in = last non-null bucket-final strictly before
     val wCarry = Window.partitionBy(key).orderBy(col("__bk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = finals
-      .withColumn("__carry",
-        last(col("__fin"), ignoreNulls = true).over(wCarry))
-      .select(col(key), col("__bk"),
-        col("__carry").getField("__pay").as("__carry_pay"))
-    unioned
-      .withColumn("__local", last(col("__pay"), ignoreNulls = true).over(wLocal))
-      .join(broadcast(carry), Seq(key, "__bk"), "left")
+    val seeds = alignLeft(finals
+      .withColumn("__pay",
+        last(col("__fin"), ignoreNulls = true).over(wCarry)
+          .getField("__pay"))
+      .where(col("__pay").isNotNull)
+      .withColumn("__t", lit(null).cast(unioned.schema("__t").dataType))
+      .withColumn("__tag", lit(-1))
+      .drop("__fin"))
+      .select(unioned.columns.map(col).toIndexedSeq: _*)
+    // pass 2: running last within (key, bucket) over real rows + seeds —
+    // same (t, tag, pay) order as the global shape restricted to the
+    // bucket, with the seed first (null time, tag -1). Null-TIME real
+    // rows land in bucket null, which wCarry's asc-nulls-first order
+    // places before every numbered bucket — exactly where the global
+    // single-window shape sorts null-time rows.
+    val wLocal = Window.partitionBy(key, "__bk")
+      .orderBy(col("__t"), col("__tag"), col("__pay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned.unionByName(seeds)
+      .withColumn("__match", last(col("__pay"), ignoreNulls = true).over(wLocal))
       .where(col("__tag") === 0)
-      .withColumn("__match", coalesce(col("__local"), col("__carry_pay")))
-      .drop("__t", "__tag", "__pay", "__bk", "__local", "__carry_pay")
+      .drop("__t", "__tag", "__pay", "__bk")
   }
 
   /** Skew-safe FORWARD as-of join: [[asofJoinForwardStrict]]'s semantics

@@ -554,10 +554,13 @@ object ScaleAudit {
       // volume is the failure mode this pins against
       val horizonOk = maxState <= 3L * maxDay
       // explicitly flat, not drifting: the max over the last 5 batches
-      // must not exceed the max over batches 5-10 by more than 50%
-      val early = stateRows.slice(5, 10).max
-      val late = stateRows.takeRight(5).max
-      val flatOk = late <= early * 3 / 2
+      // must not exceed the max over batches 5-10 by more than 50%.
+      // Guarded on run length (ADVICE r10): a short corpus (< 10 daily
+      // batches) has no early/late windows to compare — fall back to the
+      // horizon bound alone instead of crashing on an empty .max
+      val early = stateRows.slice(5, 10).reduceOption(_ max _).getOrElse(0L)
+      val late = stateRows.takeRight(5).reduceOption(_ max _).getOrElse(0L)
+      val flatOk = stateRows.length < 10 || late <= early * 3 / 2
       val ok = horizonOk && flatOk
       if (!ok) failures += 1
       println(f"[scale-100x-stream] $joinType%-9s batches=$nBatches " +
@@ -774,8 +777,12 @@ object ScaleAudit {
     // (~2M rows on a single key — the regime where the plain shape must
     // sort one key's whole history in one partition). Gates: the skew
     // decomposition's output is row-identical to the plain single-window
-    // shape on the same inputs, and its big exchange is (key, bucket)-
-    // partitioned carrying exactly |L|+|R| rows.
+    // shape on the same inputs; the plan has ZERO join operators and
+    // ZERO broadcast exchanges (the r10 shape force-broadcast a
+    // data-dependent carry table — VERDICT r10 item 1); and the big
+    // (key, bucket) exchange carries |L|+|R| real rows plus at most one
+    // seed per occupied (key, bucket) pair (the carry-cardinality
+    // invariant).
     locally {
       val hotL = spark.range(100).crossJoin(
           ev.where(col("event_type") === "click" && col("uni") === 0))
@@ -815,11 +822,24 @@ object ScaleAudit {
         .count()
       val (maxRec, maxBytes, nEx) = exchangeMaxima(skew)
       val hotRows = nL2 + nR2 - nL - nR
-      val ok = mism == 0 && rows == nL2 && maxRec == nL2 + nR2
+      // carry-cardinality invariant: the only rows beyond |L|+|R| through
+      // ANY exchange are the carry seeds, bounded by occupied (key, day)
+      // pairs — summary-sized however hot a key is
+      val occupied = l2.select(col("user_id"), floor(col("tsu") / dayUs).as("bk"))
+        .unionByName(r2.select(col("user_id"), floor(col("ptsu") / dayUs).as("bk")))
+        .distinct().count()
+      val skewNodes = allPlanNodes(skew)
+      val nJoins = skewNodes.count(_.getClass.getSimpleName.contains("Join"))
+      val nBcast = skewNodes.count(
+        _.getClass.getSimpleName.contains("BroadcastExchange"))
+      val ok = mism == 0 && rows == nL2 && nJoins == 0 && nBcast == 0 &&
+        maxRec >= nL2 + nR2 && maxRec <= nL2 + nR2 + occupied
       if (!ok) failures += 1
       println(f"[scale-100x-asof] asof-skew      rows=$rows%-9d ${secSkew}%7.2f s " +
         f"(plain ${secPlain}%6.2f s)  hot-key-rows=$hotRows  " +
-        f"exchanges=$nEx exchange-rows=$maxRec (expect ${nL2 + nR2})  " +
+        f"joins=$nJoins (bound 0)  broadcasts=$nBcast (bound 0)  " +
+        f"exchanges=$nEx exchange-rows=$maxRec " +
+        f"(bound ${nL2 + nR2}+$occupied seeds)  " +
         f"exchange-MB=${maxBytes / 1e6}%7.1f  " +
         f"mismatches-vs-plain=$mism  ${if (ok) "OK" else "FAIL"}")
       skew.unpersist(); plain.unpersist()

@@ -238,6 +238,60 @@ class JoinsSpec extends SparkSpec with Matchers {
     asofForwardIdentity(hotL, hotR, 40L)
   }
 
+  test("asofJoinStrictSkew identical to asofJoinStrict for NULL keys and " +
+    "NULL times (the r10 carry-join dropped null-key carries)") {
+    import spark.implicits._
+    // null key with its carry in an EARLIER bucket (t=5 right, t=47 left
+    // at bucketWidth 10 — the exact regime the null-unsafe equi-join
+    // lost), plus a null-TIME right row (sorts first globally, so it is
+    // the carry-of-last-resort for every later left row of its key) and
+    // a null-time left row (matches only null-time right rows before it
+    // in (tag, pay) order — none here, so null match)
+    val left = Seq(
+      (Option.empty[Long], 47L, 1L), (Option.empty[Long], 6L, 2L),
+      (Some(1L), 25L, 3L), (Some(1L), 3L, 4L), (Some(2L), 9L, 5L))
+      .toDF("k", "t", "lv")
+      .union(Seq((Some(1L), 6L)).toDF("k", "lv")
+        .select(col("k"), lit(null).cast("long").as("t"), col("lv")))
+      .select("k", "t", "lv")
+    val right = Seq(
+      (Option.empty[Long], 5L, 100L), (Some(1L), 4L, 200L), (Some(2L), 9L, 300L))
+      .toDF("k", "t", "rv")
+      .union(Seq((Some(1L), 400L)).toDF("k", "rv")
+        .select(col("k"), lit(null).cast("long").as("t"), col("rv")))
+      .select("k", "t", "rv")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("t"), col("lv"), col("__match.rv").as("rv"))
+      .collect()
+      .map(x => (if (x.isNullAt(0)) -99L else x.getLong(0),
+        if (x.isNullAt(1)) -99L else x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3)))
+      .sortBy(identity).toSeq
+    val skew = canon(Joins.asofJoinStrictSkew(left, right, "k", "t", "t", 10L))
+    skew shouldBe canon(Joins.asofJoinStrict(left, right, "k", "t", "t"))
+    // and pin the carry VALUES themselves: left (null, 47) must see
+    // right (null, 5) across four empty buckets; (1, 3) must see the
+    // null-TIME right row 400 carried in from the null bucket; (1, 25)
+    // must see the bucket-0 right row 200, NOT the older 400
+    skew.find(r => r._1 == -99L && r._2 == 47L).get._4 shouldBe 100L
+    skew.find(r => r._1 == 1L && r._2 == 3L).get._4 shouldBe 400L
+    skew.find(r => r._1 == 1L && r._2 == 25L).get._4 shouldBe 200L
+  }
+
+  test("asofJoinStrictSkew plans zero joins and zero broadcasts " +
+    "(the r10 forced carry broadcast is gone)") {
+    import spark.implicits._
+    val l = (0 until 200).map(i => (i % 5L, i.toLong, i.toLong)).toDF("k", "t", "lv")
+    val r = (0 until 100).map(i => (i % 5L, i * 2L + 1, i.toLong)).toDF("k", "t", "rv")
+    val df = Joins.asofJoinStrictSkew(l, r, "k", "t", "t", 16L)
+    df.count() shouldBe 200L
+    val nodes = graft.tools.ScaleAudit.allPlanNodes(df)
+    nodes.length should be > 3
+    val bad = nodes.map(_.getClass.getSimpleName)
+      .filter(n => n.contains("Join") || n.contains("BroadcastExchange"))
+    withClue(bad.mkString(", ")) { bad shouldBe empty }
+  }
+
   test("asofJoinStrictSkew identical to asofJoinStrict on random data " +
     "with a planted hot key") {
     val rnd = new scala.util.Random(23)
