@@ -1,6 +1,39 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+  // comma-decimal locale would render 1,234 — invalid JSON
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", v)
+  private def shortName(n: String): String = n.takeWhile(_ != '_')
+
+  /** The driver-parsed metric line, built from (name, seconds) pairs
+    * ordered by ascending query number.
+    *
+    * The driver captures only the LAST 2000 bytes of stdout (measured
+    * from BENCH_r04.json's tail field) and sbt's trailing "[success]"
+    * line eats ~90 of those. A 260-entry named map (~2.7 KB) can NEVER
+    * fit, and even the r09 integer-millisecond rank array left < 600
+    * bytes of headroom at 270 queries — one stray log line was enough to
+    * evict it (BENCH_r07 + r10 both recorded parsed:null). Encoding:
+    * integer CENTISECONDS in a plain JSON array ordered by ascending
+    * query number ("queries_cs", ~3.5 bytes/entry); the rank->name
+    * mapping is the committed manifest tools/bench_names.json
+    * (BenchManifestSpec pins it to the registry; tools/bench_compare.py
+    * decodes either encoding). 10 ms granularity is an order of
+    * magnitude below the box's measured scheduler jitter (±300 ms,
+    * BASELINE.md), and sub-200 ms baselines sit in bench_compare's
+    * noise-floor section regardless. BenchManifestSpec asserts >= 800
+    * bytes of tail headroom for this line at 270 all-at-2x-cap entries. */
+  def metricLine(ordered: Seq[(String, Double)]): String = {
+    val total = ordered.map(_._2).sum
+    val csArr = ordered.map { case (_, v) => math.round(v * 100).toString }
+      .mkString("[", ",", "]")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${ordered.size},""" +
+      s""""enc":"centisec by qNN asc; tools/bench_names.json",""" +
+      s""""queries_cs":$csArr}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -67,24 +100,6 @@ object Bench {
         name -> (if (ok3) math.min(t, t3) else t)
       } else name -> t
     }
-    // The driver captures only the LAST 2000 bytes of stdout (measured from
-    // BENCH_r04.json's tail field), and sbt's trailing "[success] Total
-    // time" line eats ~80 of those. Even with "qNN" short keys a 244-entry
-    // named map is ~2.7 KB and can NEVER fit whole — BENCH_r07.json again
-    // recorded parsed:null with only 152 timings surviving in the tail.
-    // Fix: emit per-query times as integer MILLISECONDS in a plain JSON
-    // array ordered by ascending query number ("queries_ms"), ~1.1 KB for
-    // 244 queries. The rank->name mapping is the committed manifest
-    // tools/bench_names.json (BenchManifestSpec pins it to the registry,
-    // and tools/bench_compare.py decodes BENCH_r{N}.json directly from it).
-    // A small "queries" map with the top slots by wall time is kept for
-    // at-a-glance reading; it is a SUBSET, not the measurement record.
-    // Print the compact line twice so the tail always ends with one
-    // complete copy even if the line grows past 1 KB.
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
-    // comma-decimal locale would render 1,234 — invalid JSON
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    def shortName(n: String): String = n.takeWhile(_ != '_')
     // ordering is BenchManifest's — the single definition the committed
     // tools/bench_names.json decoder manifest is generated from, so the
     // rank array and the manifest cannot drift independently
@@ -92,29 +107,47 @@ object Bench {
     val ordered = results.toSeq.sortBy { case (k, _) => qnum(k) }
     require(ordered.map(p => qnum(p._1)).distinct.size == ordered.size,
       "duplicate query numbers would corrupt the rank-ordered bench array")
-    // full verbose map for local logs only — key chosen so neither the
-    // driver's nor bench_compare's '{"metric"' scan can latch onto it
+    // full verbose map + top-10 for local logs only — keys chosen so
+    // neither the driver's nor bench_compare's '{"metric"' scan can
+    // latch onto them
     println("{\"full_queries\":" + ordered.map { case (k, v) =>
       "\"" + shortName(k) + "\":" + fmt(v) }.mkString("{", ",", "}") + "}")
-    val msArr = ordered.map { case (_, v) => math.round(v * 1000).toString }
-      .mkString("[", ",", "]")
-    val top = ordered.sortBy(-_._2).take(10)
+    println("{\"top10\":" + ordered.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + shortName(k) + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+      .mkString("{", ",", "}") + "}")
     // a SPARK_GRAFT_ONLY-filtered run would misalign the rank array with
     // the full manifest — emit the legacy named map instead (local logs
     // are read whole, so the tail limit doesn't apply there)
     val line = if (only.isDefined)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":""" +
+      s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec","queries":""" +
         ordered.map { case (k, v) => "\"" + shortName(k) + "\":" + fmt(v) }
           .mkString("{", ",", "}") + "}"
-    else
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${ordered.size},""" +
-        s""""enc":"queries_ms = integer ms by ascending qNN; names in tools/bench_names.json; queries = top-10 subset",""" +
-        s""""queries_ms":$msArr,"queries":$top}"""
-    println(line)
-    println(line)
+    else metricLine(ordered)
+    // ---- shutdown choreography (VERDICT r10 item 2): the metric lines
+    // must be the FINAL stdout act. BENCH_r07 and BENCH_r10 both lost
+    // the record to a post-spark.stop() state-store maintenance stack
+    // trace ("Could not unload state store provider... RpcEnv already
+    // stopped", ~1.9 KB) that landed AFTER the metric println and evicted
+    // it from the driver's 2000-byte tail. Order of operations:
+    //   1. stop any still-active streaming queries (each bench fn stops
+    //      its own, but a failed pass can leak one);
+    //   2. unload all state-store providers and their maintenance thread
+    //      WHILE the RpcEnv is still alive (StateStore.stop() — reached
+    //      reflectively: private[sql] erases to public bytecode), so the
+    //      maintenance thread cannot wake up mid-shutdown and stack-trace;
+    //   3. spark.stop();
+    //   4. a short drain sleep for any async logger flush;
+    //   5. print the metric line twice, flush, exit.
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      cls.getMethod("stop").invoke(cls.getField("MODULE$").get(null))
+    } catch { case _: Throwable => () }
     spark.stop()
+    Thread.sleep(1500)
+    println(line)
+    println(line)
+    System.out.flush()
   }
 }

@@ -49,5 +49,29 @@ class BenchManifestSpec extends AnyFunSuite {
       java.nio.file.Paths.get("tools/bench_compare.py")), "UTF-8")
     assert(py.contains("baselines.json") && !py.contains("BASELINES = {"),
       "bench_compare.py must load tools/baselines.json (single source of truth)")
+    // ...and must decode the r11+ centisecond rank array
+    assert(py.contains("queries_cs"),
+      "bench_compare.py must decode the queries_cs encoding Bench emits")
+  }
+
+  test("the driver metric line keeps >= 800 bytes of tail headroom at 270 " +
+    "all-at-2x-cap entries (BENCH_r07/r10 were evicted from the 2000-byte tail)") {
+    // worst realistic payload: every query at exactly 2x its baseline
+    // (the cap — anything past that is a failed round regardless of the
+    // record), padded to 270 entries with the median. The driver's tail
+    // is 2000 bytes and sbt's "[success] Total time..." line costs ~90,
+    // so the line must stay under 1110 bytes for one complete copy plus
+    // 800 bytes of stray-log insurance.
+    val jsonTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/baselines.json")), "UTF-8")
+    val base = "\"(q\\d+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(jsonTxt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toSeq.sortBy(_._1)
+    val atCap = base.map { case (k, v) => k -> v * 2.0 }
+    val med = atCap.map(_._2).sorted.apply(atCap.size / 2)
+    val padded = atCap ++ (atCap.size until 270).map(i => s"q${900 + i}" -> med)
+    val line = graft.Bench.metricLine(padded)
+    assert(line.length <= 2000 - 90 - 800,
+      s"metric line ${line.length} bytes at 270 cap-level entries — " +
+        "less than 800 bytes of tail headroom; shrink the encoding")
   }
 }

@@ -61,18 +61,21 @@ NOISE_RATIO_MAX = 3.0     # even a tiny-baseline entry over this ratio is a
 def _decode_queries(rec, allow_subset=False):
     """Per-query seconds from a bench record.
 
-    Preferred: "queries_ms" (integer ms, rank-ordered by ascending query
-    number) decoded via tools/bench_names.json. Falls back to the legacy
-    full "queries" map (in the new format "queries" is only a top-10
-    subset, so queries_ms always wins when present).
+    Preferred: "queries_cs" (integer centiseconds, rank-ordered by
+    ascending query number — the r11+ encoding, sized so the line keeps
+    >= 800 bytes of tail headroom) or the r09/r10 "queries_ms" (integer
+    ms), both decoded via tools/bench_names.json. Falls back to the
+    legacy full "queries" map (in the new formats "queries" is only a
+    top-10 subset, so the rank arrays always win when present).
     """
-    if "queries_ms" in rec:
+    if "queries_cs" in rec or "queries_ms" in rec:
         import os
         names_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "bench_names.json")
         with open(names_path) as f:
             names = json.load(f)
-        ms = rec["queries_ms"]
+        cs = rec.get("queries_cs")
+        ms = [c * 10 for c in cs] if cs is not None else rec["queries_ms"]
         if len(ms) != len(names):
             # a mid-sequence divergence would silently mislabel every
             # timing after it — refuse positional decoding entirely. A
