@@ -110,9 +110,13 @@ private[graft] object StreamingQueries extends QueryFamily {
     // user) as a REAL inner stream-stream join — both sides watermarked,
     // the range predicate on the event-time columns so join state
     // expires instead of growing with the stream. Events feed in
-    // event-time order across 4 micro-batches cutting through the
-    // window, so matches genuinely span batch boundaries; the emitted
-    // pair set must equal the batch interval join the twin replays. ----
+    // event-time order across two micro-batches cutting through the
+    // window, so matches genuinely span batch boundaries (TWO event-time
+    // halves: each processAllAvailable is a full micro-batch scheduling
+    // round-trip with per-partition state commits, the dominant cost of
+    // the harness — VERDICT r10 item 3 cut the chunk count to the
+    // minimum that still crosses a batch boundary); the emitted pair
+    // set must equal the batch interval join the twin replays. ----
     "q163_streaming_join" -> ((s0, dir) => {
       val s = s0.newSession()
       s.conf.set("spark.sql.shuffle.partitions", 4)
@@ -143,9 +147,9 @@ private[graft] object StreamingQueries extends QueryFamily {
         val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
         val tmax = ev.iterator.map(_._3).max
         val tmin = ev.iterator.map(_._3).min
-        (0 to 3).foreach { k =>
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 4
-          val lo = tmin + (tmax - tmin + 1) * k / 4
+        (0 to 1).foreach { k =>
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 2
+          val lo = tmin + (tmax - tmin + 1) * k / 2
           val cc = clicks.filter(e => e._3 >= lo && e._3 < hi)
           val pp = purchases.filter(e => e._3 >= lo && e._3 < hi)
           if (cc.nonEmpty) memC.addData(cc.toIndexedSeq: _*)
@@ -193,9 +197,9 @@ private[graft] object StreamingQueries extends QueryFamily {
         val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
         val tmax = ev.iterator.map(_._3).max
         val tmin = ev.iterator.map(_._3).min
-        (0 to 3).foreach { k =>
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 4
-          val lo = tmin + (tmax - tmin + 1) * k / 4
+        (0 to 1).foreach { k =>
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 2
+          val lo = tmin + (tmax - tmin + 1) * k / 2
           val cc = clicks.filter(e => e._3 >= lo && e._3 < hi)
           val pp = purchases.filter(e => e._3 >= lo && e._3 < hi)
           if (cc.nonEmpty) memC.addData(cc.toIndexedSeq: _*)
@@ -399,7 +403,14 @@ private[graft] object StreamingQueries extends QueryFamily {
       s.conf.set("spark.sql.shuffle.partitions", 4)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
+      // deterministic half of the users (q163's transport rationale —
+      // the MemoryStream feed is driver-side row-at-a-time serialization;
+      // the session operator under test is identical and the twin mirrors
+      // the slice). Remaining wall-clock is the 4-round micro-batch
+      // scheduling floor (~1.3 s/round on this box), not data volume:
+      // measured 5.3 s with the full table, 5.3 s with the half, solo.
       val data = Trajectories.events(s, dir)
+        .where(col("user_id") % 2 === 0)
         .select(col("user_id").cast("long"), expr("ts div 1000").cast("long"))
         .as[(Long, Long)].collect()
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
@@ -413,9 +424,9 @@ private[graft] object StreamingQueries extends QueryFamily {
       try {
         val tmax = data.iterator.map(_._2).max
         val tmin = data.iterator.map(_._2).min
-        (0 to 2).foreach { k =>
-          val lo = tmin + (tmax - tmin + 1) * k / 3
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 3
+        (0 to 1).foreach { k =>
+          val lo = tmin + (tmax - tmin + 1) * k / 2
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 2
           val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
           if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
           query.processAllAvailable()
@@ -467,9 +478,9 @@ private[graft] object StreamingQueries extends QueryFamily {
       try {
         val tmax = data.iterator.map(_._2).max
         val tmin = data.iterator.map(_._2).min
-        (0 to 2).foreach { k =>
-          val lo = tmin + (tmax - tmin + 1) * k / 3
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 3
+        (0 to 1).foreach { k =>
+          val lo = tmin + (tmax - tmin + 1) * k / 2
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 2
           val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
           if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
           query.processAllAvailable()
@@ -517,9 +528,9 @@ private[graft] object StreamingQueries extends QueryFamily {
       try {
         val tmax = data.iterator.map(_._2).max
         val tmin = data.iterator.map(_._2).min
-        (0 to 2).foreach { k =>
-          val lo = tmin + (tmax - tmin + 1) * k / 3
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 3
+        (0 to 1).foreach { k =>
+          val lo = tmin + (tmax - tmin + 1) * k / 2
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 2
           val chunk = onTime.filter(r => r._2 >= lo && r._2 < hi)
           if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
           query.processAllAvailable()
@@ -543,7 +554,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // windows of distinct active users, computed as a REAL append-mode
     // StreamingQuery whose per-window state is ONE HLL++ sketch
     // (streaming/Streaming.windowedDistinct) — the windowed-distinct
-    // shape that survives an unbounded high-cardinality stream. Fed in 3
+    // shape that survives an unbounded high-cardinality stream. Fed in two
     // event-time chunks; two same-far-window sentinels push the watermark
     // past every real window WITHOUT emitting their own. The gate: every
     // streamed window must join an exact batch distinct count within the
@@ -569,9 +580,9 @@ private[graft] object StreamingQueries extends QueryFamily {
       try {
         val tmax = data.iterator.map(_._2).max
         val tmin = data.iterator.map(_._2).min
-        (0 to 2).foreach { k =>
-          val lo = tmin + (tmax - tmin + 1) * k / 3
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 3
+        (0 to 1).foreach { k =>
+          val lo = tmin + (tmax - tmin + 1) * k / 2
+          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 2
           val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
           if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
           query.processAllAvailable()
@@ -725,7 +736,8 @@ private[graft] object StreamingQueries extends QueryFamily {
     // Streaming-sessions twin: the batch gap rule (q78), reporting each
     // session's exact start micros + event count.
     "q111_streaming_sessions" ->
-      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events),
+      """WITH d AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+           WHERE user_id % 2 = 0),
          s AS (SELECT user_id, tsu, event_id,
            CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 30000000000
              THEN 1 ELSE 0 END AS brk
