@@ -30,7 +30,15 @@ object Dedup {
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
     val keyed = docs.select(col(idCol), fp.as("fp"))
-    keyed.join(keyed.groupBy("fp").agg(min(col(idCol)).as("__keep_id")), "fp")
+    // null-SAFE join back (ADVICE r10): fp is null for null-text docs,
+    // and a plain equi-join would silently drop those rows where the
+    // window formulation this aggregate replaced kept them (one
+    // null-fingerprint group, exactly like SQL GROUP BY treats it).
+    // <=> is an ordinary equi-join key to the planner (hash/SMJ, AQE
+    // skew handling intact), so the scale shape is unchanged.
+    val mins = keyed.groupBy("fp").agg(min(col(idCol)).as("__keep_id"))
+      .withColumnRenamed("fp", "__fp")
+    keyed.join(mins, col("fp") <=> col("__fp"))
       .select(col(idCol), col("fp"), (col(idCol) === col("__keep_id")).as("keep"))
   }
 
@@ -372,9 +380,10 @@ object Dedup {
     * float-sum-order noise (~1e-15 per term; spec-pinned at 1e-9).
     * Returns (ranks (id, rank), final residual, iterations). */
   def pageRankDistributed(edges: DataFrame, beta: Double = 0.85,
-                          tol: Double = 1e-9, maxIter: Int = 200): (DataFrame, Double, Int) = {
+                          tol: Double = 1e-9, maxIter: Int = 200,
+                          knownEdgeCount: Long = -1L): (DataFrame, Double, Int) = {
     val spark = edges.sparkSession
-    val nEdges = edges.count()
+    val nEdges = if (knownEdgeCount >= 0L) knownEdgeCount else edges.count()
     if (nEdges == 0L) {
       import spark.implicits._
       return (Seq.empty[(Long, Double)].toDF("id", "rank"), 0.0, 0)
@@ -432,14 +441,18 @@ object Dedup {
   def pageRankAuto(edges: DataFrame, beta: Double = 0.85, tol: Double = 1e-9,
                    maxIter: Int = 200,
                    driverEdgeThreshold: Long = 1000000L): (DataFrame, Double, Int) = {
-    if (edges.count() < driverEdgeThreshold) {
+    // count ONCE and hand it down — the distributed path needs the same
+    // number for its parallelism sizing, and recounting there was one
+    // redundant job per invocation (VERDICT r10 item 7)
+    val nEdges = edges.count()
+    if (nEdges < driverEdgeThreshold) {
       val e = edges.select(col("a"), col("b")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       val (pr, resid, iters) = pageRank(e, beta, tol, maxIter)
       val spark = edges.sparkSession
       import spark.implicits._
       (pr.toSeq.toDF("id", "rank"), resid, iters)
-    } else pageRankDistributed(edges, beta, tol, maxIter)
+    } else pageRankDistributed(edges, beta, tol, maxIter, knownEdgeCount = nEdges)
   }
 
   /** 64-bit SimHash of whitespace tokens: bit j of the signature is the

@@ -15,6 +15,21 @@ class DedupRecallSpec extends SparkSpec with Matchers {
   lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
   lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
 
+  test("exact dedup preserves null-text rows as one fingerprint group " +
+    "(ADVICE r10: the aggregate join-back must be null-safe)") {
+    import spark.implicits._
+    val d = Seq((1L, Option("a b")), (2L, Option("a b")),
+      (3L, Option.empty[String]), (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(d).select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    out.size shouldBe 4 // null-text rows NOT dropped
+    out(1L) shouldBe true
+    out(2L) shouldBe false
+    out(3L) shouldBe true  // group minimum of the null-fingerprint group
+    out(4L) shouldBe false
+  }
+
   test("minhash banding recalls every pair with exact jaccard >= 0.6") {
     val ids = docs.select(col("doc_id"))
     val allPairs = ids.select(col("doc_id").as("a"))
