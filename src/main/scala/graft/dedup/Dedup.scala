@@ -251,12 +251,7 @@ object Dedup {
       simhash(col(textCol)).as("sig"))
     // bucket sizes via partial-combined aggregate + join back, not a
     // count-over-partition window (no map-side combine, one task per
-    // mega length-band at web scale). The SNM fallback's rank window
-    // below still sorts each OVER-CAP bucket in one task — that sort is
-    // the one remaining per-bucket term (band-sized, not corpus-sized);
-    // the two-pass range-partitioned rank (asofJoinStrictSkew's bucket
-    // seeding, applied to rank offsets) is the refinement if bands ever
-    // outgrow a task.
+    // mega length-band at web scale).
     val sized = base.join(
       base.groupBy("bkt").agg(count(lit(1)).as("bucket_n")), "bkt")
     val capped = sized.where(col("bucket_n") <= cap).drop("bucket_n")
@@ -278,10 +273,57 @@ object Dedup {
     // and probe only the next `snmWindow` ranks — the neighbor list comes
     // from an explode + equi-join on (bkt, rank), so the intermediate
     // is EXACTLY bucket_n * snmWindow rows, never a filtered cross
-    // product
+    // product.
+    //
+    // The rank itself is TWO-PASS RANGE-PARTITIONED (VERDICT r10 item 4 —
+    // the last content-keyed single-task sort in the codebase): a plain
+    // `row_number OVER (PARTITION BY bkt)` puts a mega length-band (a
+    // near-uniform-length corpus at web scale) into ONE task's sort with
+    // no WindowGroupLimit pushdown and no AQE repair. Instead:
+    //   1. range-partition the over-cap rows on the FULL sort key
+    //      (bkt, sig, id) — keys are unique (ids are), so the sampler can
+    //      balance any distribution, including one band ≫ task size;
+    //   2. local rank per (physical range partition, bkt) — each group is
+    //      a CONTIGUOUS slice of its band's global order, task-bounded by
+    //      the range partition size;
+    //   3. per-(partition, bkt) counts prefix-scanned per band over
+    //      partition ids (summary-sized: <= partitions x touched bands) —
+    //      asofJoinStrictSkew's carry seeding applied to rank offsets;
+    //   4. global rank = local rank + carry offset, joined back on the
+    //      (partition, bkt) keys the window already partitioned by.
+    // Rank values (hence the candidate set) are identical to the
+    // single-window shape whatever the sampled partition boundaries —
+    // EditDistanceSpec pins row-identity on a multi-partition diverse
+    // band; editdist100 pins the exact candidate count under a planted
+    // 500k-row mega-band.
+    //
+    // The ranked frame MUST be materialized once (localCheckpoint):
+    // range boundaries are re-SAMPLED per materialization (RDD-id-seeded
+    // sketch), and spark_partition_id() is nondeterministic, so separate
+    // evaluations of this subtree inside one plan (it feeds both SNM
+    // join sides, and `offs` re-reads `local`) can disagree on the pid
+    // universe — offsets from one boundary set against local ranks from
+    // another yields duplicate/gapped ranks and a silently-inflated
+    // candidate set (observed at the 100x audit: 8.08M candidates vs
+    // the 8.00M true count, and distinct() returning MORE rows than its
+    // input). Checkpointing freezes one consistent ranking; only the
+    // over-cap subset pays the materialization.
     val over = sized.where(col("bucket_n") > cap)
-    val ow = Window.partitionBy("bkt").orderBy(col("sig"), col("id"))
-    val ranked = over.withColumn("rnk", row_number().over(ow))
+    val rp = over.repartitionByRange(col("bkt"), col("sig"), col("id"))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid", "bkt")
+      .orderBy(col("sig"), col("id"))
+    val local = rp.withColumn("__lrnk", row_number().over(wLocal).cast("long"))
+      .localCheckpoint()
+    val wOff = Window.partitionBy("bkt").orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = local.groupBy(col("__pid"), col("bkt"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .drop("__n")
+    val ranked = local.join(offs, Seq("__pid", "bkt"))
+      .withColumn("rnk", col("__lrnk") + col("__off"))
+      .drop("__pid", "__lrnk", "__off")
     val snm = ranked.select(col("bkt"), col("id").as("a"), col("len").as("la"),
         explode(sequence(col("rnk") + 1, col("rnk") + snmWindow)).as("rnk2"))
       .join(ranked.select(col("bkt"), col("rnk").as("rnk2"),

@@ -363,6 +363,42 @@ object ScaleAudit {
       f"max-exchange-rows=$maxRec max-exchange-MB=${maxBytes / 1e6}%.1f " +
       s"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")} " +
       s"cartesian=$cart ${if (ok) "OK" else "FAIL"}")
+
+    // planted MEGA-BAND (VERDICT r10 item 4): every doc forced into ONE
+    // width-9 length band (text padded/cut to 400 chars; content
+    // otherwise untouched so the simhash rank order stays organic) —
+    // 500k rows in a single band, ~1000x the cap, the regime where the
+    // pre-r11 single-window rank sorted the whole band in ONE task.
+    // Gate: the candidate count equals the closed form EXACTLY —
+    // one band of n equal-length docs yields n*W - W(W+1)/2 distinct
+    // SNM pairs (every doc paired with its next W rank-neighbors, tail
+    // truncated) and nothing else. Any rank duplication or gap (the
+    // failure mode of an unfrozen range-partitioned rank — observed
+    // before the localCheckpoint fix as 8.08M vs the true 8.00M) moves
+    // this count; row-identity of the two-pass rank to the single-window
+    // shape is additionally spec-pinned (EditDistanceSpec) on a
+    // multi-partition diverse band, and the rank window's (pid, band)
+    // partitioning keeps every task's sort to one range slice.
+    locally {
+      val mega = d100.select(col("doc_id"),
+        rpad(substring(col("text"), 1, 400), 400, "x").as("text"))
+        .localCheckpoint()
+      val t0m = System.nanoTime()
+      val snmW = 16L
+      val c2 = graft.dedup.Dedup.lengthBucketCandidates(mega, maxDist = 8)
+        .persist()
+      val n2 = c2.queryExecution.toRdd.count()
+      val secM = (System.nanoTime() - t0m) / 1e9
+      val expectM = nDocs * snmW - snmW * (snmW + 1) / 2
+      val (maxRecM, maxBytesM, nExM) = exchangeMaxima(c2)
+      val okM = n2 == expectM
+      if (!okM) failures += 1
+      println(f"[scale-100x-ed] mega-band docs=$nDocs candidates=$n2 " +
+        f"(expect exactly $expectM) ${secM}%.2f s exchanges=$nExM " +
+        f"max-exchange-rows=$maxRecM max-exchange-MB=${maxBytesM / 1e6}%.1f " +
+        s"${if (okM) "OK" else "FAIL"}")
+      c2.unpersist()
+    }
     failures
   }
 

@@ -101,6 +101,61 @@ class EditDistanceSpec extends SparkSpec with Matchers {
     got shouldBe cands // all c-dups are dist 0, the d-pair dist 1
   }
 
+  test("two-pass range-partitioned SNM rank is candidate-identical to the " +
+    "single-window shape on a diverse over-cap band") {
+    // 400 docs in ONE length band (content varies, so simhash rank order
+    // is content-driven and rows genuinely spread across several range
+    // partitions), plus a second over-cap band and an under-cap exact
+    // band. Reference = the pre-r11 formulation: one row_number window
+    // partitioned by bkt alone.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{functions => F} // Matchers shadows `length`
+    val rnd = new scala.util.Random(17)
+    def word() = ("abcdefghij" (rnd.nextInt(10))).toString * (1 + rnd.nextInt(3))
+    val band1 = (0L until 400L).map(i =>
+      (i, (0 until 7).map(_ => word()).mkString(" ").padTo(60, 'x')))
+    val band2 = (1000L until 1200L).map(i =>
+      (i, (0 until 9).map(_ => word()).mkString(" ").padTo(90, 'y')))
+    val small = Seq((5000L, "z" * 200), (5001L, "z" * 201))
+    val d = mkDocs(band1 ++ band2 ++ small)
+    val got = Dedup.lengthBucketCandidates(d, maxDist = 8,
+      maxBucketSize = 64, snmWindow = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: identical pipeline with the legacy single-window rank
+    val w = maxOf(8) // width = maxDist + 1
+    val base = d.select(col("doc_id").as("id"),
+      (F.length(col("text")) / w).cast("long").as("bkt"),
+      F.length(col("text")).as("len"),
+      Dedup.simhash(col("text")).as("sig"))
+    val sized = base.join(
+      base.groupBy("bkt").agg(count(lit(1)).as("bucket_n")), "bkt")
+    val capped = sized.where(col("bucket_n") <= 64).drop("bucket_n")
+    val l = capped.select(col("id").as("a"), col("bkt"), col("len").as("la"))
+    val r = capped.select(col("id").as("b"), col("bkt"), col("len").as("lb"))
+      .union(capped.select(col("id").as("b"), (col("bkt") + 1).as("bkt"),
+        col("len").as("lb")))
+    val exact = l.join(r, Seq("bkt"))
+      .where(col("a") =!= col("b") && abs(col("la") - col("lb")) <= 8)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+    val over = sized.where(col("bucket_n") > 64)
+    val ow = Window.partitionBy("bkt").orderBy(col("sig"), col("id"))
+    val ranked = over.withColumn("rnk", row_number().over(ow).cast("long"))
+    val snm = ranked.select(col("bkt"), col("id").as("a"), col("len").as("la"),
+        explode(sequence(col("rnk") + 1, col("rnk") + 5)).as("rnk2"))
+      .join(ranked.select(col("bkt"), col("rnk").as("rnk2"),
+        col("id").as("b"), col("len").as("lb")), Seq("bkt", "rnk2"))
+      .where(abs(col("la") - col("lb")) <= 8)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+    val ref = exact.union(snm).distinct().collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    got shouldBe ref
+    got.size should be > 400 // the snm sweep actually fired
+  }
+
+  private def maxOf(maxDist: Int): Int = maxDist + 1
+
   test("banded verify reports the exact distance and drops above-threshold pairs") {
     val d = mkDocs(Seq((0L, "abcdef"), (1L, "abXdef"), (2L, "ghijkl")))
     import spark.implicits._
