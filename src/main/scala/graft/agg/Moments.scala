@@ -151,7 +151,15 @@ object Covariance {
   /** Fit from a pair frame with columns x: ARRAY<DOUBLE>, y: ARRAY<DOUBLE>
     * (use Lag.pairs; pass x=y for unlagged) and optional weight column. */
   def fit(pairs: DataFrame, weightCol: Option[String] = None,
-          bessel: Boolean = true): CovarianceModel = {
+          bessel: Boolean = true): CovarianceModel =
+    fitPlan(pairs, weightCol, bessel).head()
+
+  /** The aggregation PLAN `fit` executes, exposed for the scale audits:
+    * moments100 walks the executed plan to pin that the only thing
+    * crossing an exchange is the per-partition MomentsBuf partials
+    * (O(partitions) rows of d^2 sums), never the feature vectors. */
+  private[graft] def fitPlan(pairs: DataFrame, weightCol: Option[String] = None,
+                             bessel: Boolean = true): org.apache.spark.sql.Dataset[CovarianceModel] = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val wcol = weightCol.map(col).getOrElse(lit(1.0))
@@ -159,7 +167,7 @@ object Covariance {
       col("x").cast("array<double>").as("x"),
       col("y").cast("array<double>").as("y"),
       wcol.cast("double").as("w")).as[LagRow]
-    ds.select(new MomentsAggregator(bessel).toColumn).head()
+    ds.select(new MomentsAggregator(bessel).toColumn)
   }
 
   /** Per-group covariances in ONE pass (e.g. cross-validation folds,

@@ -402,6 +402,217 @@ object ScaleAudit {
     failures
   }
 
+  /** Names + types of ARRAY/BINARY columns crossing any shuffle exchange
+    * — the generic "no wide payload through an exchange" probe (feature
+    * vectors, decoded pixels, media bytes), complementing the name-based
+    * [[shuffledPayloadColumns]]. */
+  def shuffledWideColumns(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, BinaryType}
+    allPlanNodes(df).collect {
+      case e: ShuffleExchangeExec =>
+        e.output.filter(a => a.dataType.isInstanceOf[ArrayType] ||
+          a.dataType == BinaryType).map(a => s"${a.name}:${a.dataType.simpleString}")
+    }.flatten.distinct
+  }
+
+  /** 100x rotation, eighth family (VERDICT r10 item 5a): the
+    * moments/covariance engine — the numerical workhorse under q03/q04/
+    * q149 and every TICA/VAMP estimator — at 10M rows x 8 feature dims
+    * (the sf0.1 event table replicated to 100 trajectory universes,
+    * generated MAP-SIDE so the audit measures the operator, not corpus
+    * I/O). Invariants (count-based — the partial-buffer exchange
+    * legitimately carries array-typed MomentsBuf columns, so types can't
+    * distinguish partials from row data):
+    *   1. unlagged fit (q03 shape): NO exchange ships more than
+    *      O(partitions) rows — the 10M feature vectors reduce map-side
+    *      via the Chan-combine aggregator, only per-partition buffers
+    *      move;
+    *   2. lagged chain (q04 shape — Lag.pairs then fit): EXACTLY ONE
+    *      row-granular exchange (the lag-alignment window, carrying
+    *      exactly n rows), everything above it partial-combined;
+    *   3. per-key fit (the CV-fold shape, fitByKey): partial aggregation
+    *      holds per key — agg exchange rows <= partitions x keys beyond
+    *      the one lag window.
+    * Run: sbt "runMain graft.tools.ScaleAudit moments100". */
+  def moments100(spark: SparkSession, src: String): Int = {
+    var failures = 0
+    val copies = 100
+    val parts = spark.sparkContext.defaultParallelism
+    val ev0 = graft.core.Trajectories.events(spark, src)
+      .select(col("user_id").cast("long").as("uid"),
+        col("ts").cast("long").as("t"), col("value").cast("double").as("v"))
+    val nBase = ev0.count()
+    // map-side replication: 100 universes, 8 deterministic feature dims
+    val feats = array((0 until 8).map(i =>
+      col("v") * (i + 1) + pmod(col("t") + i, lit(97)).cast("double")): _*)
+    val traj = spark.range(copies).crossJoin(ev0)
+      .select((col("uid") + col("id") * 100000000L).as(graft.core.Trajectories.TrajCol),
+        col("t").as(graft.core.Trajectories.TimeCol), feats.as(graft.core.Trajectories.FeatCol))
+    val n = nBase * copies
+
+    // The partial-buffer exchange legitimately carries ARRAY columns (a
+    // MomentsBuf is d + 3d^2 doubles), so the probe is COUNT-based: a
+    // "full" exchange ships ~n rows (row-granular data — allowed only
+    // where declared, and then carrying exactly n rows, the lag window);
+    // every other exchange must be partial-combined summary rows.
+    def audit(name: String, ds: org.apache.spark.sql.Dataset[_],
+              expectRows: Long, fullExchangesAllowed: Int,
+              partialRowBound: Long): Unit = {
+      val df = ds.toDF()
+      val t0 = System.nanoTime()
+      val rows = df.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exs = allPlanNodes(df).collect { case e: ShuffleExchangeExec => e }
+      def recs(e: ShuffleExchangeExec): Long = e.metrics.collect {
+        case (k, m) if k.toLowerCase.contains("records") ||
+          m.name.exists(_.toLowerCase.contains("records")) => m.value
+      }.foldLeft(0L)(math.max)
+      val recsList = exs.map(recs)
+      val full = recsList.filter(_ > partialRowBound)
+      // any full exchange must be the lag window: exactly n rows, never
+      // an aggregation that failed to combine map-side
+      val fullOk = full.length <= fullExchangesAllowed && full.forall(_ == n)
+      val cart = hasCartesian(df)
+      val ok = rows == expectRows && fullOk && !cart
+      if (!ok) failures += 1
+      println(f"[scale-100x-mom] $name%-13s rows=$rows%-9d ${sec}%7.2f s  " +
+        f"exchange-rows=[${recsList.sorted.reverse.mkString(",")}]  " +
+        f"full-exchanges=${full.length} (bound $fullExchangesAllowed, each must = $n)  " +
+        f"partial-bound=$partialRowBound  cartesian=$cart  " +
+        s"${if (ok) "OK" else "FAIL"}")
+    }
+
+    // 1. q03 shape: unlagged covariance of 10M 8-dim rows — NO full
+    //    exchange anywhere: the vectors reduce map-side, only
+    //    O(partitions) Chan-combinable buffers move
+    val unlagged = traj
+      .select(col(graft.core.Trajectories.FeatCol).as("x"))
+      .withColumn("y", col("x"))
+    audit("cov-fit", graft.agg.Covariance.fitPlan(unlagged),
+      expectRows = 1L, fullExchangesAllowed = 0, partialRowBound = 4L * parts)
+
+    // 2. q04 shape: lag pairing (the ONE unavoidable row-granular
+    //    exchange — co-locating consecutive trajectory rows) then fit
+    val pairs = graft.lag.Lag.pairs(traj, tau = 2)
+    audit("lag-cov-chain", graft.agg.Covariance.fitPlan(pairs),
+      expectRows = 1L, fullExchangesAllowed = 1, partialRowBound = 4L * parts)
+
+    // 3. CV-fold shape: 5 folds in one pass (fitByKey's plan) — partials
+    //    stay per (partition, key)
+    locally {
+      import spark.implicits._
+      val keyed = pairs.withColumn("k", pmod(col("traj_id"), lit(5)))
+      val agg = new graft.agg.MomentsAggregator(true)
+      val byKey = keyed.select(
+          col("k").cast("long").as("k"),
+          col("x").cast("array<double>").as("x"),
+          col("y").cast("array<double>").as("y"),
+          lit(1.0).as("w"))
+        .as[(Long, Array[Double], Array[Double], Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, x, y, w) => graft.agg.LagRow(x, y, w) }
+        .agg(agg.toColumn)
+      audit("cov-by-key", byKey,
+        expectRows = 5L, fullExchangesAllowed = 1,
+        partialRowBound = 5L * 4L * parts)
+    }
+    println(s"[scale-100x-mom] rows=$n dims=8 universes=$copies parts=$parts")
+    failures
+  }
+
+  /** 100x rotation, ninth family (VERDICT r10 item 5b): the multimodal
+    * decode chain at 500k synthetic PNGs — q116 (decode -> 8x8 thumbnail
+    * -> average-hash -> hash-group dedup) and q110 (decode -> stride
+    * resize -> pixel aggregate). Invariants:
+    *   1. q116: image bytes and decoded pixel arrays NEVER cross an
+    *      exchange (decode+hash are map-side); the dedup groupBy ships
+    *      partial-combined (hash, count, min-id) rows bounded by
+    *      partitions x distinct-hash-values, orders of magnitude under
+    *      the doc count;
+    *   2. q110: ZERO shuffle exchanges — decode/resize/aggregate is a
+    *      pure map pipeline, one output row per doc.
+    * Run: sbt "runMain graft.tools.ScaleAudit multimodal100". */
+  def multimodal100(spark: SparkSession, src: String, out: String): Int = {
+    buildCorpus(spark, src, out, copies = 100, period = 3)
+    var failures = 0
+    val d100 = spark.read.parquet(s"$out/documents.parquet")
+    val nDocs = d100.count()
+
+    // q116 chain on the 100x ids (base = doc_id % 37 keeps the hash
+    // group structure organic: every group replicates ~100x)
+    val mkPng = udf { (docId: Long) =>
+      val base = docId % 37
+      val w = (6 + base % 5).toInt
+      val h = (4 + (base * 3) % 4).toInt
+      val px = Array.tabulate(w * h)(i => ((base * 31 + i * 7) % 256).toByte)
+      graft.multimodal.PngCodec.encode(w, h, 1, px)
+    }
+    locally {
+      val withPng = d100.select(col("doc_id"), mkPng(col("doc_id")).as("payload"))
+      val thumb = graft.multimodal.Multimodal.resizePixelsDyn(col("decoded"),
+        col("decoded.width"), col("decoded.height"), 8, 8)
+      val tp = graft.multimodal.Multimodal.decodeImages(withPng, "payload")
+        .select(col("doc_id"),
+          transform(thumb, p => round(p * lit(255.0f)).cast("long")).as("tp"))
+        .withColumn("avg64",
+          aggregate(col("tp"), lit(0L), (a, p) => a + p).cast("double") / lit(64.0))
+      def half(off: Int): org.apache.spark.sql.Column = aggregate(
+        zip_with(slice(col("tp"), off + 1, 32), sequence(lit(0), lit(31)),
+          (p, i) => when(p.cast("double") > col("avg64"), pow(lit(2.0), i))
+            .otherwise(lit(0.0))),
+        lit(0.0), (a, x) => a + x).cast("long")
+      val dedup = tp.select(col("doc_id"), half(0).as("ahash_lo"), half(32).as("ahash_hi"))
+        .groupBy("ahash_lo", "ahash_hi")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+      val t0 = System.nanoTime()
+      val rows = dedup.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val wide = shuffledWideColumns(dedup)
+      val (maxRec, maxBytes, nEx) = exchangeMaxima(dedup)
+      // 37 base patterns -> <= 37 distinct hashes; partials <= parts x 37
+      // (10x headroom for AQE partition counts)
+      val bound = 370L * spark.sparkContext.defaultParallelism
+      val ok = wide.isEmpty && maxRec <= bound && rows > 0 && rows <= 37
+      if (!ok) failures += 1
+      println(f"[scale-100x-mm] ahash-dedup   docs=$nDocs groups=$rows ${sec}%7.2f s  " +
+        f"exchanges=$nEx max-exchange-rows=$maxRec (bound $bound)  " +
+        f"max-exchange-MB=${maxBytes / 1e6}%7.1f  " +
+        s"wide-through-shuffle=${if (wide.isEmpty) "NONE" else wide.mkString(",")}  " +
+        s"${if (ok) "OK" else "FAIL"}")
+    }
+
+    // q110 chain: decode -> resize -> aggregate, map-only
+    locally {
+      val mk = udf { (docId: Long) =>
+        val w = (3 + docId % 6).toInt
+        val h = (2 + (docId * 7) % 5).toInt
+        val px = Array.tabulate(w * h)(i => ((docId * 31 + i * 7) % 256).toByte)
+        graft.multimodal.PngCodec.encode(w, h, 1, px)
+      }
+      val withPng = d100.select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      val resized = graft.multimodal.Multimodal.decodeImages(withPng, "payload")
+        .select(col("doc_id"),
+          graft.multimodal.Multimodal.resizePixelsDyn(col("decoded"),
+            col("decoded.width"), col("decoded.height"), 4, 3).as("thumb"))
+        .select(col("doc_id"),
+          size(col("thumb")).cast("long").as("n_px"),
+          aggregate(col("thumb"), lit(0L),
+            (acc, p) => acc + round(p * 255.0f).cast("long")).as("px_sum"))
+      val t0 = System.nanoTime()
+      val rows = resized.queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (maxRec, _, nEx) = exchangeMaxima(resized)
+      val ok = nEx == 0 && rows == nDocs
+      if (!ok) failures += 1
+      println(f"[scale-100x-mm] decode-resize docs=$nDocs rows=$rows ${sec}%7.2f s  " +
+        f"exchanges=$nEx (bound 0) max-exchange-rows=$maxRec  " +
+        s"${if (ok) "OK" else "FAIL"}")
+    }
+    failures
+  }
+
   /** 100x rotation, fourth family (VERDICT r09 item 5, text half): the
     * chunk-level dedup and the BPE corpus scan at 500k docs.
     *
@@ -978,7 +1189,7 @@ object ScaleAudit {
     spark.sparkContext.setLogLevel("WARN")
     if (args.headOption.exists(Set("minhash100", "ann100", "editdist100",
         "text100", "streaming100", "graph100", "substring100", "asof100",
-        "contamination100"))) {
+        "contamination100", "moments100", "multimodal100"))) {
       val out100 = sys.env.getOrElse("SCALE_DIR_100", "/tmp/graft_sf10")
       val failures = args.head match {
         case "minhash100" => minhash100(spark, src, out100)
@@ -989,6 +1200,8 @@ object ScaleAudit {
         case "substring100" => substring100(spark, src, out100)
         case "asof100" => asof100(spark, src)
         case "contamination100" => contamination100(spark, src, out100)
+        case "moments100" => moments100(spark, src)
+        case "multimodal100" => multimodal100(spark, src, out100)
         case _ => editdist100(spark, src, out100)
       }
       println(if (failures == 0) "[scale-100x] ALL INVARIANTS HOLD"
