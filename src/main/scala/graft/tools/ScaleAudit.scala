@@ -1175,6 +1175,31 @@ object ScaleAudit {
     failures
   }
 
+  /** The named 100x families, in the round-rotation order AuditBattery
+    * uses. streaming100 is last: it is the slowest (30 forced
+    * micro-batches) and has no corpus to share with the others. */
+  val families100: Vector[String] = Vector("minhash100", "ann100",
+    "editdist100", "text100", "graph100", "substring100", "asof100",
+    "contamination100", "moments100", "multimodal100", "streaming100")
+
+  /** Run one named 100x family; returns its failure count. */
+  def run100x(spark: SparkSession, family: String, src: String,
+              out100: String): Int = family match {
+    case "minhash100" => minhash100(spark, src, out100)
+    case "ann100" => ann100(spark, src, out100)
+    case "text100" => text100(spark, src, out100)
+    case "streaming100" => streaming100(spark, src)
+    case "graph100" => graph100(spark, src, out100)
+    case "substring100" => substring100(spark, src, out100)
+    case "asof100" => asof100(spark, src)
+    case "contamination100" => contamination100(spark, src, out100)
+    case "moments100" => moments100(spark, src)
+    case "multimodal100" => multimodal100(spark, src, out100)
+    case "editdist100" => editdist100(spark, src, out100)
+    case other => throw new IllegalArgumentException(
+      s"unknown 100x family '$other' (known: ${families100.mkString(", ")})")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SCALE_SRC", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SCALE_DIR", "/tmp/graft_sf1")
@@ -1187,29 +1212,24 @@ object ScaleAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.headOption.exists(Set("minhash100", "ann100", "editdist100",
-        "text100", "streaming100", "graph100", "substring100", "asof100",
-        "contamination100", "moments100", "multimodal100"))) {
+    if (args.headOption.exists(families100.contains)) {
       val out100 = sys.env.getOrElse("SCALE_DIR_100", "/tmp/graft_sf10")
-      val failures = args.head match {
-        case "minhash100" => minhash100(spark, src, out100)
-        case "ann100" => ann100(spark, src, out100)
-        case "text100" => text100(spark, src, out100)
-        case "streaming100" => streaming100(spark, src)
-        case "graph100" => graph100(spark, src, out100)
-        case "substring100" => substring100(spark, src, out100)
-        case "asof100" => asof100(spark, src)
-        case "contamination100" => contamination100(spark, src, out100)
-        case "moments100" => moments100(spark, src)
-        case "multimodal100" => multimodal100(spark, src, out100)
-        case _ => editdist100(spark, src, out100)
-      }
+      val failures = run100x(spark, args.head, src, out100)
       println(if (failures == 0) "[scale-100x] ALL INVARIANTS HOLD"
               else s"[scale-100x] $failures FAILURES")
       spark.stop()
       if (failures > 0) sys.exit(1)
       return
     }
+    val failures = run10x(spark, src, out)
+    println(if (failures == 0) "[scale-audit] ALL INVARIANTS HOLD"
+            else s"[scale-audit] $failures FAILURES")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+
+  /** The full 10x battery; returns its failure count. */
+  def run10x(spark: SparkSession, src: String, out: String): Int = {
     buildCorpus(spark, src, out)
 
     val targets = Seq("q21_minhash_candidates", "q76_dup_clusters",
@@ -1378,9 +1398,6 @@ object ScaleAudit {
     }
     println(s"[scale-audit] corpus docs=${d10.count()} " +
       s"embeddings=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
-    println(if (failures == 0) "[scale-audit] ALL INVARIANTS HOLD"
-            else s"[scale-audit] $failures FAILURES")
-    spark.stop()
-    if (failures > 0) sys.exit(1)
+    failures
   }
 }
