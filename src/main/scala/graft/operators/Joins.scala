@@ -69,11 +69,19 @@ object Joins {
     *
     * Decomposition: the same single-exchange union-tag frame, with the
     * right rows tagged to sort BEFORE left rows at equal time (so an
-    * exact-time match is visible), and TWO window passes over the one
-    * sort — running last non-null (nearest earlier) and running first
-    * non-null over the suffix frame (nearest later) — then a pure
+    * exact-time match is visible), and TWO running-last window passes
+    * over the one exchange — ascending time for the nearest-earlier
+    * carry, DESCENDING time for the nearest-later carry — then a pure
     * column pick by absolute distance. Still no join operator, still
-    * one hash exchange per key. Right rows sharing (key, time) are
+    * one hash exchange per key; the second pass costs one extra
+    * partition sort, not a shuffle. Both frames are
+    * (unboundedPreceding, currentRow) running state: the r10 shape
+    * computed the later side as `first(...) over (currentRow,
+    * unboundedFollowing)`, which Spark executes as an
+    * UnboundedFollowingWindowFunctionFrame that RESCANS the suffix for
+    * every row — O(rows²) per partition, a silent hot-key quadratic
+    * (surfaced by the asof100 nearest stage under a planted 4M-row key:
+    * effectively hung). Right rows sharing (key, time) are
     * indistinguishable in the output because the payload is the matched
     * time itself.
     *
@@ -98,14 +106,20 @@ object Joins {
     }.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
     val unioned = l.select((leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))).toIndexedSeq: _*)
       .unionByName(r)
-    val ord = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
-    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy(key).orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // nearest-later as a running last over the REVERSED sort (equal-time
+    // rights sort after left under (t desc, tag desc) too, so they stay
+    // excluded from the later side exactly as in the ascending suffix
+    // frame this replaces — which was O(rows²) per partition)
+    val wNextRev = Window.partitionBy(key)
+      .orderBy(col("__t").desc, col("__tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val dPrev = col("__t") - col("__prev").getField("__mt")
     val dNext = col("__next").getField("__mt") - col("__t")
     unioned
       .withColumn("__prev", last(col("__pay"), ignoreNulls = true).over(wPrev))
-      .withColumn("__next", first(col("__pay"), ignoreNulls = true).over(wNext))
+      .withColumn("__next", last(col("__pay"), ignoreNulls = true).over(wNextRev))
       .where(col("__tag") === 0)
       .withColumn("__match",
         when(col("__next").isNull, col("__prev"))
@@ -172,7 +186,7 @@ object Joins {
     * [[asofJoinStrict]] (spec-pinned, incl. boundary/tie/empty-bucket
     * cases). The carry-in enters as SEED ROWS, not a join: each occupied
     * (key, bucket)'s carry becomes one synthetic row with a null time and
-    * tag -1, which sorts FIRST inside its bucket (asc = nulls first, then
+    * tag -2, which sorts FIRST inside its bucket (asc = nulls first, then
     * the tag), so the local running last-non-null picks it up exactly
     * when no in-bucket right row precedes. Two wins over the r09 carry
     * JOIN this replaces: (a) no join operator at all — in particular no
@@ -192,14 +206,30 @@ object Joins {
   def asofJoinStrictSkew(left: DataFrame, right: DataFrame, key: String,
                          leftTime: String, rightTime: String,
                          bucketWidth: Long): DataFrame = {
-    require(bucketWidth > 0)
     val payloadCols = right.columns.filter(c => c != key && c != rightTime)
-    val pay = struct(payloadCols.map(col).toIndexedSeq: _*)
+    asofSkewCore(left, right, key, leftTime, rightTime, bucketWidth,
+      struct(payloadCols.map(col).toIndexedSeq: _*), strict = true)
+  }
+
+  /** Shared bucket-seeded backward-carry core: `strict = true` gives
+    * [[asofJoinStrictSkew]]'s semantics (right rows invisible to an
+    * equal-timestamp left row — right tag sorts AFTER left); `strict =
+    * false` the non-strict variant (equal-time rights VISIBLE — right
+    * tag sorts BEFORE left, the backward half of the nearest
+    * composition). The seed tag sorts before both. Strict vs non-strict
+    * only reorders rows at EQUAL time, which cannot span buckets, so
+    * the carry logic is shared unchanged. */
+  private def asofSkewCore(left: DataFrame, right: DataFrame, key: String,
+                           leftTime: String, rightTime: String,
+                           bucketWidth: Long, pay: Column,
+                           strict: Boolean): DataFrame = {
+    require(bucketWidth > 0)
+    val rightTag = if (strict) 1 else -1
     val payType = right.select(pay).schema.fields(0).dataType
     val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(0))
       .withColumn("__pay", lit(null).cast(payType))
     val r0 = right.select(col(key), col(rightTime).as("__t"), pay.as("__pay"))
-      .withColumn("__tag", lit(1))
+      .withColumn("__tag", lit(rightTag))
     val leftCols = left.columns
     def alignLeft(df: DataFrame): DataFrame = leftCols.foldLeft(df) { (d, c) =>
       if (d.columns.contains(c)) d
@@ -230,7 +260,7 @@ object Joins {
           .getField("__pay"))
       .where(col("__pay").isNotNull)
       .withColumn("__t", lit(null).cast(unioned.schema("__t").dataType))
-      .withColumn("__tag", lit(-1))
+      .withColumn("__tag", lit(-2)) // before left AND right at any time
       .drop("__fin"))
       .select(unioned.columns.map(col).toIndexedSeq: _*)
     // pass 2: running last within (key, bucket) over real rows + seeds —
@@ -268,6 +298,55 @@ object Joins {
       .drop(rightTime)
     asofJoinStrictSkew(ln, rn, key, "__negt", "__negt", bucketWidth)
       .drop("__negt")
+  }
+
+  /** Skew-safe NEAREST as-of join: [[asofJoinNearest]]'s semantics (match
+    * by min |Δt|, exact times allowed, equal-distance ties to the EARLIER
+    * right row) through the bucket-seeded decomposition — the composition
+    * [[asofJoinNearest]]'s hot-key note promises: a NON-STRICT backward
+    * pass (equal-time rights visible — right tag sorts before left) gives
+    * `__prev`, the same pass on the negated time axis gives `__next`, and
+    * the match is a pure column pick by |Δt|.
+    *
+    * Cost shape (the hot-key price): two bucket-seeded pipelines of
+    * |L|+|R| rows each plus one row-id equi-join to zip their results —
+    * vs the plain shape's single per-key window. Every task stays bounded
+    * by one (key, bucket) slice regardless of key heat. The left frame is
+    * localCheckpoint'ed with a synthetic row id (monotonically increasing
+    * ids are nondeterministic across evaluations — both pipelines must
+    * see the SAME ids, the editdist-rank lesson).
+    *
+    * Contract: null KEYS follow the plain operator (one null-key group);
+    * rows with null event TIMES are out of contract for this composition
+    * (the negated-axis pass cannot mirror the plain operator's
+    * nulls-first suffix semantics) — clean them first, as pandas
+    * merge_asof requires. Spec pins row-identity to [[asofJoinNearest]]
+    * on random + planted-hot-key + null-key data with non-null times. */
+  def asofJoinNearestSkew(left: DataFrame, right: DataFrame, key: String,
+                          leftTime: String, rightTime: String,
+                          bucketWidth: Long): DataFrame = {
+    val pay = struct(col(rightTime).as("__mt"))
+    val lrid = left.withColumn("__rid", monotonically_increasing_id())
+      .localCheckpoint()
+    val prev = asofSkewCore(lrid, right, key, leftTime, rightTime,
+      bucketWidth, pay, strict = false)
+      .withColumnRenamed("__match", "__prev")
+    val ln = lrid.select(col("__rid"), col(key), (-col(leftTime)).as("__negt"))
+    val rn = right.select(col(key), (-col(rightTime)).as("__negt"),
+      col(rightTime).as("__mt"))
+    val next = asofSkewCore(ln, rn, key, "__negt", "__negt",
+      bucketWidth, struct(col("__mt")), strict = false)
+      .select(col("__rid").as("__rid2"), col("__match").as("__next"))
+    val lt = col(leftTime)
+    val dPrev = lt - col("__prev").getField("__mt")
+    val dNext = col("__next").getField("__mt") - lt
+    prev.join(next, col("__rid") === col("__rid2"))
+      .withColumn("__match",
+        when(col("__next").isNull, col("__prev"))
+          .when(col("__prev").isNull, col("__next"))
+          .when(dPrev <= dNext, col("__prev"))
+          .otherwise(col("__next")))
+      .drop("__rid", "__rid2", "__prev", "__next")
   }
 
   /** Interval (range) join: pair every point row with every interval row

@@ -1089,6 +1089,41 @@ object ScaleAudit {
         f"(bound ${nL2 + nR2}+$occupied seeds)  " +
         f"exchange-MB=${maxBytes / 1e6}%7.1f  " +
         f"mismatches-vs-plain=$mism  ${if (ok) "OK" else "FAIL"}")
+
+      // nearest-skew composition on the same hot-key inputs: row-identity
+      // to the plain nearest shape, at most the ONE row-id zip join, and
+      // at these row counts the zip must NOT be a broadcast (a forced
+      // hint — or a planner gone wrong — would surface here)
+      val t2 = System.nanoTime()
+      val nearSkew = graft.operators.Joins.asofJoinNearestSkew(
+        l2, r2, "user_id", "tsu", "ptsu", bucketWidth = dayUs).persist()
+      val rowsNear = nearSkew.queryExecution.toRdd.count()
+      val secNear = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val nearPlain = graft.operators.Joins.asofJoinNearest(
+        l2, r2, "user_id", "tsu", "ptsu").persist()
+      nearPlain.count()
+      val secNearPlain = (System.nanoTime() - t3) / 1e9
+      val mismNear = nearSkew.select(col("event_id"),
+          col("__match.__mt").as("m")).as("a")
+        .join(nearPlain.select(col("event_id"), col("__match.__mt").as("m")).as("b"),
+          col("a.event_id") === col("b.event_id"), "full")
+        .where(col("a.event_id").isNull || col("b.event_id").isNull ||
+          (col("a.m").isNull =!= col("b.m").isNull) ||
+          (col("a.m").isNotNull && col("a.m") =!= col("b.m")))
+        .count()
+      val nearNodes = allPlanNodes(nearSkew)
+      val nearJoins = nearNodes.count(_.getClass.getSimpleName.contains("Join"))
+      val nearBcast = nearNodes.count(
+        _.getClass.getSimpleName.contains("BroadcastExchange"))
+      val okNear = mismNear == 0 && rowsNear == nL2 &&
+        nearJoins <= 1 && nearBcast == 0
+      if (!okNear) failures += 1
+      println(f"[scale-100x-asof] asof-near-skew rows=$rowsNear%-9d ${secNear}%7.2f s " +
+        f"(plain ${secNearPlain}%6.2f s)  joins=$nearJoins (bound 1: the rid zip)  " +
+        f"broadcasts=$nearBcast (bound 0)  " +
+        f"mismatches-vs-plain=$mismNear  ${if (okNear) "OK" else "FAIL"}")
+      nearSkew.unpersist(); nearPlain.unpersist()
       skew.unpersist(); plain.unpersist()
     }
 
