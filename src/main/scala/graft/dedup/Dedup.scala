@@ -687,21 +687,33 @@ object Dedup {
                                       bandBits: Int, maxHamming: Int,
                                       maxBucketSize: Int, nHubs: Int): DataFrame = {
     val mask = (1L << bandBits) - 1L
-    val bw = Window.partitionBy("band_idx", "chunk")
     val banded = sigs.select(col(idCol), col("sig"), posexplode(
       array((0 until 4).map(b =>
         shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
       .as(Seq("band_idx", "chunk")))
-      .withColumn("bucket_n", count(lit(1)).over(bw))
-      .withColumn("rk", row_number().over(bw.orderBy(col(idCol))))
+    // Bucket statistics via ONE partial-combined aggregate + join back,
+    // not `count/row_number OVER (PARTITION BY chunk)` — the r10
+    // hot-partition rule this path missed: with no rank-limit filter
+    // (bucket_n has none, and rk feeds several branches so
+    // WindowGroupLimit cannot push) a web-scale boilerplate mega-bucket
+    // becomes ONE task's unsplittable sort, while the MinKLongAgg
+    // partials are <= nHubs longs per (partition, bucket) however hot
+    // the bucket is. Hub selection is UNCHANGED (the nHubs smallest ids
+    // == the old rk <= nHubs rows), so candidate sets are identical —
+    // same argument and spec coverage as minhashCandidates' r10 rework.
+    val buckets = banded.groupBy("band_idx", "chunk")
+      .agg(count(lit(1)).as("bucket_n"),
+        graft.functions.MinK.minKLong(col(idCol), nHubs).as("hubs"))
+    val joined = banded.join(buckets, Seq("band_idx", "chunk"))
     def side(df: DataFrame, n: String, s: String) =
       df.select(col("band_idx"), col("chunk"), col(idCol).as(n), col("sig").as(s))
-    val small = banded.where(col("bucket_n") <= maxBucketSize)
+    val small = joined.where(col("bucket_n") <= maxBucketSize)
     val allPairs = side(small, "a", "siga")
       .join(side(small, "b", "sigb"), Seq("band_idx", "chunk"))
       .where(col("a") < col("b"))
-    val over = banded.where(col("bucket_n") > maxBucketSize)
-    val starPairs = side(over.where(col("rk") <= nHubs), "a", "siga")
+    val over = joined.where(col("bucket_n") > maxBucketSize)
+    val hubRows = over.where(array_contains(col("hubs"), col(idCol)))
+    val starPairs = side(hubRows, "a", "siga")
       .join(side(over, "b", "sigb"), Seq("band_idx", "chunk"))
       .where(col("a") < col("b"))
     allPairs.union(starPairs)

@@ -73,6 +73,21 @@ class DedupRecallSpec extends SparkSpec with Matchers {
     assert(maxSig >= 0L && maxSig < (1L << 60))
   }
 
+  test("simhash over-cap buckets emit hub star edges from the nHubs " +
+    "smallest ids (the r11 agg rework preserves the rk<=nHubs selection)") {
+    import spark.implicits._
+    // ten identical docs -> every band bucket holds all ten (over cap 3);
+    // hubs = the 2 smallest ids; candidates = hub-to-member pairs only
+    val d = (0L until 10L).map(i => (i, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashCandidates(d, maxBucketSize = 3, nHubs = 2)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      h <- Seq(0L, 1L); m <- 0L until 10L if h < m
+    } yield (h, m)).toSet
+    got shouldBe expected
+  }
+
   test("wide-bucket LSH ANN reaches recall@5 >= 0.9 vs brute force") {
     val q = emb.where(col("vec_id") % 40 === 0)
     val brute = Similarity.bruteForceTopK(emb, q, 5)
