@@ -266,6 +266,30 @@ private[graft] object EventQueries extends QueryFamily {
           round(col("__match.prior_click_value"), 6).as("prior_click_value"))
     }),
 
+    // ---- skew-safe NEAREST as-of join (q261): q160's exact semantics
+    // through the bucket-seeded composition (non-strict backward pass +
+    // negated-axis pass + |Δt| pick over a checkpointed row id) — the
+    // variant whose every task sort is bounded by one (user, day) slice
+    // however hot a user is, and which removed the plain shape's
+    // O(rows²)-per-partition unbounded-following frame from the hot
+    // path entirely. Day buckets exercise multi-bucket carries on BOTH
+    // time directions at the driver SFs; the oracle is q160's
+    // nearest-by-|Δ| twin, so any divergence between the compositions
+    // fails the gate. ---------------------------------------------------
+    "q261_asof_nearest_skew" -> ((s, dir) => {
+      val e = Trajectories.events(s, dir)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"),
+          col("event_type"))
+      val clicks = e.where(col("event_type") === "click")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t"))
+      Joins.asofJoinNearestSkew(clicks, purchases, key = "user_id",
+          leftTime = "t", rightTime = "t", bucketWidth = 86400000000L)
+        .select(col("event_id"), col("user_id"), col("t").as("t_click"),
+          col("__match.__mt").as("t_purchase"),
+          (col("__match.__mt") - col("t")).as("delta_us"))
+    }),
+
     // ---- bucketed range join (q109): lineitems priced within ±1% of a
     // part's retail price, WITHOUT the BroadcastNestedLoopJoin Spark
     // plans for a bare BETWEEN (|points|x|intervals| comparisons). Each
@@ -863,6 +887,22 @@ private[graft] object EventQueries extends QueryFamily {
             QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts
               ORDER BY event_id DESC) = 1) c
            ON e.user_id = c.user_id AND e.ts > c.ts""",
+
+    // Nearest-skew twin: identical to q160's nearest-by-|Δ| replay —
+    // the composed decomposition must be row-identical to it.
+    "q261_asof_nearest_skew" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, event_type
+           FROM events),
+         c AS (SELECT event_id, user_id, t FROM e WHERE event_type = 'click'),
+         p AS (SELECT user_id, t FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT c.event_id, c.user_id, c.t AS t_click,
+             p.t AS t_purchase,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+               ORDER BY abs(p.t - c.t), p.t) AS rk
+           FROM c LEFT JOIN p USING (user_id))
+         SELECT event_id, user_id, t_click, t_purchase,
+           CAST(t_purchase - t_click AS BIGINT) AS delta_us
+         FROM j WHERE rk = 1""",
 
     // Range-join twin: plain BETWEEN join (DuckDB plans an IEJoin) +
     // exact integer aggregates.
