@@ -298,9 +298,19 @@ object MsmAnalysis {
     val maxRankDf = broadcast(maxRank.toSeq.toDF("state", "max_rank"))
     val w = Window.partitionBy(col("state"))
       .orderBy(xxhash64(col("traj_id"), col("t"), lit(seed)))
+    // rank-limit the window on a LITERAL bound first: the per-state bound
+    // is a broadcast COLUMN, which InferWindowGroupLimit cannot use, so
+    // without the literal the window would sort every occurrence of a
+    // state in one task (a common state at scale = a mega-partition).
+    // With it, each map partition pre-keeps only the global-max top
+    // ranks per state before the exchange; the column filter then trims
+    // to the per-state need as before.
+    val gMax = maxRank.values.foldLeft(0)(math.max)
     val ranked = dtraj.where(col("state") >= 0)
       .join(maxRankDf, "state")
-      .withColumn("occ", row_number().over(w) - 1)
+      .withColumn("graft_rn", row_number().over(w))
+      .where(col("graft_rn") <= lit(gMax + 1))
+      .withColumn("occ", col("graft_rn") - 1)
       .where(col("occ") <= col("max_rank"))
       .select(col("state"), col("occ"), col("traj_id"), col("t"))
     // per-state occurrence counts for the mod-available resolution

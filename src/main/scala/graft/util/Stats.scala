@@ -89,19 +89,30 @@ object Stats {
 
   /** Exact discrete quantiles of a numeric column: value at rank
     * ceil(q*n) in ascending order (percentile_disc semantics — the
-    * smallest value whose cumulative rank reaches q). The global sort is
-    * one single-partition window: exact quantiles are inherently a total
-    * order, so at 100 TB use `approx_percentile` instead — this is the
-    * oracle-checkable exact path for corpus-statistics reporting. */
+    * smallest value whose cumulative rank reaches q).
+    *
+    * Scale shape: exact quantiles are inherently a total order, but a
+    * total order is NOT a single-partition sort — the global rank comes
+    * from a range-partitioned `orderBy` (every partition sorts its own
+    * value range) plus `zipWithIndex`'s per-partition offsets (one extra
+    * count pass), the same decomposition the bootstrap indexer above
+    * uses past its window threshold. The r10 shape was a no-partition
+    * row_number window — Spark's "Moving all data to a single partition"
+    * WARN, a driver-sized sort at 100 TB. (`approx_percentile` remains
+    * the cheaper one-pass choice when exactness isn't required.) */
   def exactQuantiles(df: DataFrame, valueCol: String,
                      qs: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val n = df.count()
     val ranks = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong)).toDF("q", "rn")
-    val ranked = df.select(col(valueCol).as("v"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("v"))).cast("long"))
+    val sorted = df.select(col(valueCol).as("v")).orderBy(col("v"))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rn", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i + 1L) }, schema)
     ranks.join(ranked, "rn").select(col("q"), col("v"))
   }
 
