@@ -43,4 +43,186 @@ object GlobalIndex {
     spark.createDataFrame(indexed,
       schema.add(indexCol, org.apache.spark.sql.types.LongType, nullable = false))
   }
+
+  /** Global RUNNING aggregate over a total order without the
+    * single-partition window — the cumulative-statistics sibling of
+    * [[withGlobalIndex]] (equi-depth bins, weighted medians, Pareto
+    * frontiers: all "agg over everything sorted before me" shapes that
+    * a bare `sum(...) OVER (ORDER BY ...)` funnels through ONE task).
+    *
+    * Same two-pass decomposition: range-repartition on the sort key,
+    * sort within partitions, per-partition aggregate totals -> driver
+    * prefix-combine (nPartitions values), then one local pass emitting
+    * offset ⊕ local-running per row.
+    *
+    * `agg` is "sum" or "max" over a non-null LONG column. `frame`:
+    *   - "rows_incl"  = ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    *   - "rows_excl"  = ROWS BETWEEN UNBOUNDED PRECEDING AND -1
+    *   - "range_excl" = RANGE BETWEEN UNBOUNDED PRECEDING AND -1 over
+    *     `rangeKey` (strictly smaller keys only — equal-key runs are
+    *     never split across range partitions, so the cross-partition
+    *     offset is always strictly-smaller mass)
+    * An empty frame yields NULL, matching the window semantics. Ties in
+    * the ROWS frames must be broken by the caller's sort columns
+    * (include a unique key last), exactly like the window formulation
+    * they replace. */
+  def withRunning(df: DataFrame, runCol: String, aggCol: String,
+                  agg: String, frame: String,
+                  sortCols: Seq[Column], rangeKey: Option[String] = None): DataFrame = {
+    require(Set("sum", "max")(agg), s"unknown agg '$agg'")
+    require(Set("rows_incl", "rows_excl", "range_excl")(frame),
+      s"unknown frame '$frame'")
+    require(frame != "range_excl" || rangeKey.nonEmpty,
+      "range_excl needs the rangeKey column")
+    val spark = df.sparkSession
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // range_excl partitions on the RANGE KEY ALONE: boundaries over the
+    // full sort tuple would split an equal-key run across partitions
+    // (different tie-break ids land either side of a (key, id) boundary),
+    // and the cross-partition offset would then include same-key mass —
+    // exactly the ties the frame must exclude. Partitioning on the key
+    // keeps every equal-key run whole; one run must fit a partition
+    // (far weaker than the single-task global sort this replaces).
+    val partCols = if (frame == "range_excl") Seq(col(rangeKey.get)) else sortCols
+    val sorted = df.repartitionByRange(n, partCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .localCheckpoint()
+    val schema = sorted.schema
+    val aggIdx = schema.fieldIndex(aggCol)
+    val keyIdx = rangeKey.map(schema.fieldIndex)
+    def combine(a: Long, b: Long): Long = if (agg == "sum") a + b else math.max(a, b)
+    val rdd = sorted.rdd
+    val totals = rdd.mapPartitionsWithIndex({ (i, it) =>
+      var acc = Option.empty[Long]
+      it.foreach { r =>
+        val v = r.getLong(aggIdx)
+        acc = Some(acc.fold(v)(combine(_, v)))
+      }
+      Iterator.single((i, acc))
+    }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+    // offsets(i) = combine of every partition strictly before i
+    val offsets = totals.scanLeft(Option.empty[Long]) { (o, t) =>
+      (o, t) match {
+        case (Some(a), Some(b)) => Some(combine(a, b))
+        case (Some(a), None) => Some(a)
+        case (None, b) => b
+      }
+    }.init
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var committed = bc.value(i) // agg over the frame's cross-partition part
+      var pending = Option.empty[Long] // range_excl: current equal-key run
+      var lastKey: Any = null
+      var started = false
+      def comb(a: Option[Long], b: Option[Long]): Option[Long] = (a, b) match {
+        case (Some(x), Some(y)) => Some(combine(x, y))
+        case (Some(x), None) => Some(x)
+        case (None, y) => y
+      }
+      it.map { r =>
+        val v = r.getLong(aggIdx)
+        val value: Option[Long] = frame match {
+          case "rows_incl" =>
+            committed = comb(committed, Some(v)); committed
+          case "rows_excl" =>
+            val before = committed
+            committed = comb(committed, Some(v)); before
+          case "range_excl" =>
+            val k = r.get(keyIdx.get)
+            if (!started || k != lastKey) {
+              committed = comb(committed, pending)
+              pending = None
+              lastKey = k
+              started = true
+            }
+            pending = comb(pending, Some(v))
+            committed
+        }
+        Row.fromSeq(r.toSeq :+ value.map(Long.box).orNull)
+      }
+    }
+    spark.createDataFrame(out,
+      schema.add(runCol, org.apache.spark.sql.types.LongType, nullable = true))
+  }
+
+  /** Size-dispatched running aggregate (duplicateClusters' crossover
+    * discipline): the model-sized frames the report queries cumulate
+    * (distinct-value histograms, per-customer rollups) are FINE in one
+    * task below the threshold — one cheap count on the already-reduced
+    * frame picks the plain window there, and [[withRunning]]'s two-pass
+    * decomposition takes over above it (identical values, spec-pinned).
+    * The two paths are indistinguishable to a caller. */
+  def withRunningAuto(df0: DataFrame, runCol: String, aggCol: String,
+                      agg: String, frame: String, sortCols: Seq[Column],
+                      rangeKey: Option[String] = None,
+                      windowThreshold: Long = 2000000L,
+                      knownCount: Long = -1L): DataFrame = {
+    // cache before the dispatch count: the count and the chosen path
+    // must not compute the input plan twice (cached not unpersisted —
+    // the returned plan is lazy; LRU-evictable, the q29 pattern).
+    // Callers that already know the row count pass it (knownCount) and
+    // skip both the count and the cache — the pageRankDistributed
+    // pattern; q164 measured the avoidable recount+cache at ~0.5 s.
+    val df = if (knownCount >= 0L) df0 else df0.cache()
+    val n0 = if (knownCount >= 0L) knownCount else df.count()
+    if (n0 <= windowThreshold) {
+      import org.apache.spark.sql.expressions.Window
+      val w = frame match {
+        case "rows_incl" => Window.orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        case "rows_excl" => Window.orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        case "range_excl" => Window.orderBy(col(rangeKey.getOrElse(
+            throw new IllegalArgumentException("range_excl needs rangeKey"))))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        case other => throw new IllegalArgumentException(s"unknown frame '$other'")
+      }
+      val fn = if (agg == "sum") sum(col(aggCol))
+        else if (agg == "max") max(col(aggCol))
+        else throw new IllegalArgumentException(s"unknown agg '$agg'")
+      df.withColumn(runCol, fn.over(w))
+    } else withRunning(df, runCol, aggCol, agg, frame, sortCols, rangeKey)
+  }
+
+  /** Size-dispatched global row index: plain row_number window below the
+    * threshold, [[withGlobalIndex]] above. Index is 0-based. */
+  def withGlobalIndexAuto(df0: DataFrame, indexCol: String,
+                          sortCols: Seq[Column],
+                          windowThreshold: Long = 2000000L,
+                          knownCount: Long = -1L): DataFrame = {
+    val df = if (knownCount >= 0L) df0 else df0.cache() // see withRunningAuto
+    val n0 = if (knownCount >= 0L) knownCount else df.count()
+    if (n0 <= windowThreshold) {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn(indexCol,
+        (row_number().over(Window.orderBy(sortCols: _*)) - 1).cast("long"))
+    } else withGlobalIndex(df, indexCol, sortCols: _*)
+  }
+
+  /** Size-dispatched global NTILE: Spark's ntile window below the
+    * threshold; above it the bucket comes from the distributed global
+    * rank via Spark's exact ntile arithmetic (the first n mod k buckets
+    * take ceil(n/k) rows, the rest floor(n/k) — spec-pinned parity). */
+  def withNtile(df0: DataFrame, outCol: String, k: Int, sortCols: Seq[Column],
+                windowThreshold: Long = 2000000L,
+                knownCount: Long = -1L): DataFrame = {
+    require(k > 0)
+    val df = if (knownCount >= 0L) df0 else df0.cache() // see withRunningAuto
+    val n = if (knownCount >= 0L) knownCount else df.count()
+    if (n <= windowThreshold) {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn(outCol, ntile(k).over(Window.orderBy(sortCols: _*)))
+    } else {
+      val base = n / k
+      val rem = n % k
+      val big = base + 1
+      val indexed = withGlobalIndex(df, "__gi", sortCols: _*)
+      val r = col("__gi") + 1 // 1-based global rank
+      val bucket =
+        if (base == 0L) r // n < k: one row per bucket, Spark's behavior
+        else when(r <= lit(rem * big), (r - 1) / lit(big) + 1)
+          .otherwise(lit(rem) + (r - 1 - lit(rem * big)) / lit(base) + 1)
+      indexed.withColumn(outCol, bucket.cast("int")).drop("__gi")
+    }
+  }
 }

@@ -371,9 +371,14 @@ private[graft] object EventQueries extends QueryFamily {
       // discipline) — keeps query construction lazy, no eager count();
       // summed from the already-model-sized distinct-value frame
       val n = broadcast(vals.agg(sum(col("c")).as("n_total")))
-      val w = Window.orderBy("value")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      vals.withColumn("cb", coalesce(sum(col("c")).over(w), lit(0L)))
+      // size-dispatched cumulative (GlobalIndex.withRunningAuto): the
+      // distinct-value frame takes the plain window in one task while it
+      // is model-sized, and the two-pass range-partitioned running sum
+      // above the threshold — an unbounded value domain (raw doubles at
+      // web scale) can no longer funnel the frame through one task
+      graft.operators.GlobalIndex.withRunningAuto(vals, "cb0", "c",
+          agg = "sum", frame = "rows_excl", sortCols = Seq(col("value")))
+        .withColumn("cb", coalesce(col("cb0"), lit(0L)))
         .crossJoin(n)
         .withColumn("bucket", expr("(cb * 10) div n_total"))
         .groupBy("bucket")
@@ -644,13 +649,16 @@ private[graft] object EventQueries extends QueryFamily {
           round(sum(col("o_totalprice")), 6).as("monetary"))
         .crossJoin(broadcast(maxDay))
         .withColumn("recency", col("max_day") - col("last_day"))
-      val scored = perCust
-        .withColumn("r", ntile(5).over(
-          Window.orderBy(col("recency"), col("cust"))))
-        .withColumn("f", ntile(5).over(
-          Window.orderBy(col("freq").desc, col("cust"))))
-        .withColumn("m", ntile(5).over(
-          Window.orderBy(col("monetary").desc, col("cust"))))
+      // size-dispatched quintiles (GlobalIndex.withNtile): plain ntile
+      // windows while the per-customer rollup is model-sized; above the
+      // threshold each dimension quintiles via the distributed global
+      // rank + Spark's exact ntile arithmetic (customer cardinality at
+      // 100 TB outgrows a single task's sort)
+      import graft.operators.GlobalIndex.withNtile
+      val scored = withNtile(withNtile(withNtile(perCust,
+          "r", 5, Seq(col("recency"), col("cust"))),
+          "f", 5, Seq(col("freq").desc, col("cust"))),
+          "m", 5, Seq(col("monetary").desc, col("cust")))
       scored.groupBy(col("r").cast("long").as("r"),
           col("f").cast("long").as("f"), col("m").cast("long").as("m"))
         .agg(count(lit(1)).as("n_customers"),

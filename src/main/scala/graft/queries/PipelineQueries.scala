@@ -801,9 +801,13 @@ private[graft] object PipelineQueries extends QueryFamily {
           expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"),
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
             .as("day"))
-      val w = Window.orderBy(col("cents"))
-        .rangeBetween(Window.unboundedPreceding, -1)
-      val front = o.withColumn("best_prior_day", max(col("day")).over(w))
+      // size-dispatched prefix max over strictly-cheaper orders
+      // (GlobalIndex.withRunningAuto, range_excl): the frontier scan is
+      // order-cardinality — a single-task global sort at 100 TB without
+      // the two-pass decomposition above the threshold
+      val front = graft.operators.GlobalIndex.withRunningAuto(o,
+        "best_prior_day", "day", agg = "max", frame = "range_excl",
+        sortCols = Seq(col("cents")), rangeKey = Some("cents"))
         .where(col("best_prior_day").isNull ||
           col("day") > col("best_prior_day"))
       front.agg(count(lit(1)).as("n_frontier"),
@@ -821,9 +825,10 @@ private[graft] object PipelineQueries extends QueryFamily {
           .as("cents"), col("l_quantity").cast("long").as("qty"))
         .groupBy(col("cents")).agg(sum(col("qty")).as("q"))
       val tot = li.agg(sum(col("q")).as("qtot"))
-      val w = Window.orderBy(col("cents"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = li.withColumn("cq", sum(col("q")).over(w))
+      // size-dispatched cumulative quantity (distinct-cents frame;
+      // two-pass running sum past the model-sized threshold)
+      val cum = graft.operators.GlobalIndex.withRunningAuto(li, "cq", "q",
+          agg = "sum", frame = "rows_incl", sortCols = Seq(col("cents")))
         .crossJoin(broadcast(tot))
       def quantile(frac: Double, name: String) = cum
         .where(col("cq") * 2 >= col("qtot") * (2 * frac))

@@ -560,9 +560,13 @@ private[graft] object TextQueries extends QueryFamily {
       val nll = Scoring.unigramNll(d).select(col("doc_id"), col("avg_nll"))
         .localCheckpoint()
       val m = nll.count()
-      val wq = Window.orderBy(col("avg_nll"), col("doc_id"))
-      val quart = nll.withColumn("rk", row_number().over(wq))
-        .withColumn("quartile", expr(s"CAST(((rk - 1) * 4) div ${m}L AS INT)"))
+      // size-dispatched global rank (GlobalIndex.withGlobalIndexAuto):
+      // this ranks EVERY doc (no top-k filter, so WindowGroupLimit never
+      // applies) — a corpus-cardinality single-task sort past the
+      // model-sized threshold without the two-pass index
+      val quart = graft.operators.GlobalIndex.withGlobalIndexAuto(nll,
+          "gi", Seq(col("avg_nll"), col("doc_id")), knownCount = m)
+        .withColumn("quartile", expr(s"CAST((gi * 4) div ${m}L AS INT)"))
       gate.join(quart, "doc_id")
         .groupBy("keep", "quartile").agg(count(lit(1)).as("n"))
     }),

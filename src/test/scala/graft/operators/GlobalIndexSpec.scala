@@ -25,6 +25,78 @@ class GlobalIndexSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("withRunning matches the single-partition window for all frames " +
+    "and both aggs, incl. ties in the range frame") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(29)
+    // heavy ties in key (range_excl must treat equal keys as one mass)
+    val df = (0 until 4000).map(i =>
+      (i.toLong, rnd.nextInt(60).toLong, rnd.nextInt(1000).toLong + 1))
+      .toDF("id", "key", "v").repartition(7)
+    def canon(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("id"), col(c)).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val wRows = Window.orderBy(col("key"), col("id"))
+    val wRange = Window.orderBy(col("key"))
+    // rows_incl sum
+    canon(GlobalIndex.withRunning(df, "r", "v", "sum", "rows_incl",
+      Seq(col("key"), col("id"))), "r") shouldBe
+      canon(df.withColumn("r", sum(col("v")).over(
+        wRows.rowsBetween(Window.unboundedPreceding, Window.currentRow))), "r")
+    // rows_excl sum (first row null)
+    canon(GlobalIndex.withRunning(df, "r", "v", "sum", "rows_excl",
+      Seq(col("key"), col("id"))), "r") shouldBe
+      canon(df.withColumn("r", sum(col("v")).over(
+        wRows.rowsBetween(Window.unboundedPreceding, -1))), "r")
+    // range_excl max (strictly smaller keys; ties excluded together)
+    canon(GlobalIndex.withRunning(df, "r", "v", "max", "range_excl",
+      Seq(col("key"), col("id")), rangeKey = Some("key")), "r") shouldBe
+      canon(df.withColumn("r", max(col("v")).over(
+        wRange.rangeBetween(Window.unboundedPreceding, -1))), "r")
+    // range_excl sum
+    canon(GlobalIndex.withRunning(df, "r", "v", "sum", "range_excl",
+      Seq(col("key"), col("id")), rangeKey = Some("key")), "r") shouldBe
+      canon(df.withColumn("r", sum(col("v")).over(
+        wRange.rangeBetween(Window.unboundedPreceding, -1))), "r")
+  }
+
+  test("withNtile distributed arithmetic matches Spark ntile exactly " +
+    "(remainder buckets, n < k, threshold forced to 0)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(3, 5, 23, 100, 101, 104)) {
+      val df = (0 until n).map(i => (i.toLong, (i * 31 % 97).toLong))
+        .toDF("id", "v").repartition(4)
+      val got = GlobalIndex.withNtile(df, "b", 5,
+          Seq(col("v"), col("id")), windowThreshold = 0L)
+        .select("id", "b").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val exp = df.withColumn("b", ntile(5).over(
+          Window.orderBy(col("v"), col("id"))))
+        .select("id", "b").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      withClue(s"n=$n: ") { got shouldBe exp }
+    }
+  }
+
+  test("withRunningAuto and withGlobalIndexAuto: both dispatch paths agree") {
+    import spark.implicits._
+    val df = (0 until 800).map(i => (i.toLong, (i * 13 % 50).toLong, (i % 7 + 1).toLong))
+      .toDF("id", "key", "v").repartition(5)
+    def runs(th: Long) = GlobalIndex.withRunningAuto(df, "r", "v", "sum",
+        "range_excl", Seq(col("key"), col("id")), rangeKey = Some("key"),
+        windowThreshold = th)
+      .select("id", "r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    runs(0L) shouldBe runs(1000000L)
+    def idx(th: Long) = GlobalIndex.withGlobalIndexAuto(df, "i",
+        Seq(col("key"), col("id")), windowThreshold = th)
+      .select("id", "i").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    idx(0L) shouldBe idx(1000000L)
+  }
+
   test("deterministic across runs") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toLong, (i * 37 % 100).toLong))
