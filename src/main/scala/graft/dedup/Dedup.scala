@@ -902,9 +902,18 @@ object Dedup {
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, nc - 1), i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))"))
         .as(Seq("idx", "chunk")))
-    val w = Window.partitionBy("chunk").orderBy(col(idCol), col("idx"))
-    val flagged = chunks
-      .withColumn("keep", row_number().over(w) === 1)
+    // first-occurrence via partial-combined groupBy-min + join back, not
+    // `row_number OVER (PARTITION BY chunk)` — the same hot-partition
+    // hazard chunkDedupByHash documents (a mega-duplicated boilerplate
+    // chunk = one task's unsplittable sort; the aggregate combines
+    // map-side and the join back is ordinary AQE skew-join territory).
+    // This exact-text variant still keys by the chunk TEXT by design
+    // (zero-collision contract; the hashed shape above is the 100 TB
+    // default) — the rework only removes the single-task sort.
+    val firsts = chunks.groupBy("chunk")
+      .agg(min(struct(col(idCol), col("idx"))).as("__first"))
+    val flagged = chunks.join(firsts, Seq("chunk"))
+      .withColumn("keep", struct(col(idCol), col("idx")) === col("__first"))
     flagged.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),

@@ -980,9 +980,18 @@ private[graft] object TextQueries extends QueryFamily {
     // which is exactly what the gate checks. ----------------------------
     "q237_quantile_transform" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"),
-        TextFunctions.qualityScore(col("text")).as("q"))
-      val w = Window.orderBy(col("q"), col("doc_id"))
-      d.withColumn("pr", percent_rank().over(w))
+        TextFunctions.qualityScore(col("text")).as("q")).cache()
+      // size-dispatched CDF: percent_rank with a unique tie-break equals
+      // rank/(n-1) over the global index — the no-partition window ranks
+      // EVERY doc (no top-k filter, no WindowGroupLimit), a
+      // corpus-cardinality single-task sort past the model-sized
+      // threshold without the two-pass index (d cached: the count and
+      // the chosen path share one qualityScore pass)
+      val m = d.count()
+      graft.operators.GlobalIndex.withGlobalIndexAuto(d, "gi",
+          Seq(col("q"), col("doc_id")), knownCount = m)
+        .withColumn("pr",
+          col("gi").cast("double") / lit(math.max(m - 1L, 1L)).cast("double"))
         .withColumn("decile",
           least(floor(col("pr") * 10).cast("long"), lit(9L)))
         .groupBy(col("decile"))
