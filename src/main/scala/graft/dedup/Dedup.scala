@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.FrozenOps
 import graft.text.TextFunctions
 
 /** Deduplication operators for training-data pipelines, designed for the
@@ -314,7 +315,7 @@ object Dedup {
     val wLocal = Window.partitionBy("__pid", "bkt")
       .orderBy(col("sig"), col("id"))
     val local = rp.withColumn("__lrnk", row_number().over(wLocal).cast("long"))
-      .localCheckpoint()
+      .frozen()
     val wOff = Window.partitionBy("bkt").orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = local.groupBy(col("__pid"), col("bkt"))
@@ -443,10 +444,10 @@ object Dedup {
     // key so each round's rank join co-locates without re-exchanging the
     // edge side
     val undDeg = und.join(deg, "src").repartition(parts, col("src"))
-      .localCheckpoint()
+      .frozen()
     val n = deg.count()
     var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
-      .repartition(parts, col("id")).localCheckpoint()
+      .repartition(parts, col("id")).frozen()
     // one power step as a plan fragment; STEPS_PER_ROUND steps chain
     // unmaterialized between localCheckpoints — geometric convergence
     // means the residual check only needs round granularity (we may run
@@ -464,7 +465,7 @@ object Dedup {
       val stepped = advanced
         .join(ranks.select(col("id"), col("rank").as("prev")), "id")
         .select(col("id"), col("rank"), abs(col("rank") - col("prev")).as("d"))
-        .localCheckpoint() // eager: materializes the round, cuts lineage
+        .frozen() // eager: materializes the round, cuts lineage
       // L-inf over the whole round; the per-STEP residual it bounds is
       // smaller (geometric decay), so stopping on it is conservative
       resid = stepped.agg(max(col("d"))).head().getDouble(0)
@@ -631,7 +632,7 @@ object Dedup {
     // per round) and analysis cost explodes exponentially; checkpointed
     // partitions live on the executors, the right place at scale.
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .withColumn("label", col("id")).frozen()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -646,7 +647,7 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           (coalesce(col("nlabel"), col("label")) < col("label"))
             .cast("long").as("chg"))
-        .localCheckpoint()
+        .frozen()
       changed = next.agg(sum(col("chg"))).collect()(0).getLong(0)
       labels = next.drop("chg")
       it += 1
@@ -829,7 +830,7 @@ object Dedup {
     val dupStarts = windows.join(dupSpans, Seq("span"), "left_semi")
       .select(col(idCol), (col("pos0") + 1).as("i"))
       .groupBy(idCol).agg(collect_set(col("i")).as("starts"))
-      .localCheckpoint()
+      .frozen()
     windows.unpersist()
     val starts = coalesce(col("starts"), array().cast("array<int>"))
     // covered 1-based word positions = union of [i, i+k-1] per dup start

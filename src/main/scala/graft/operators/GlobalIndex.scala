@@ -25,10 +25,12 @@ object GlobalIndex {
     val n = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
     // materialize the sorted layout once: the count pass and the index
     // pass must see the SAME partitions (and at scale you persist before
-    // any double-pass anyway)
-    val sorted = df.repartitionByRange(n, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .localCheckpoint()
+    // any double-pass anyway). Materialize.frozen = localCheckpoint, or
+    // reliable checkpoint under spark.graft.reliableCheckpoint (the
+    // preemptible-cluster switch).
+    val sorted = graft.util.Materialize.frozen(
+      df.repartitionByRange(n, sortCols: _*)
+        .sortWithinPartitions(sortCols: _*))
     val schema = sorted.schema
     val rdd = sorted.rdd
     val counts = rdd.mapPartitionsWithIndex((i, it) =>
@@ -65,7 +67,14 @@ object GlobalIndex {
     * An empty frame yields NULL, matching the window semantics. Ties in
     * the ROWS frames must be broken by the caller's sort columns
     * (include a unique key last), exactly like the window formulation
-    * they replace. */
+    * they replace.
+    *
+    * PRECONDITION (range_excl): `sortCols` must order by `rangeKey`
+    * FIRST. Partitioning is on the key alone, and the per-partition run
+    * tracking (k != lastKey) assumes equal-key rows are CONTIGUOUS in
+    * the partition sort — an interleaved order (some other column first)
+    * would over-commit same-key mass into the strictly-smaller frame.
+    * Enforced below against the head sort column's expression string. */
   def withRunning(df: DataFrame, runCol: String, aggCol: String,
                   agg: String, frame: String,
                   sortCols: Seq[Column], rangeKey: Option[String] = None): DataFrame = {
@@ -74,6 +83,13 @@ object GlobalIndex {
       s"unknown frame '$frame'")
     require(frame != "range_excl" || rangeKey.nonEmpty,
       "range_excl needs the rangeKey column")
+    require(frame != "range_excl" ||
+      sortCols.headOption.exists(c =>
+        c.toString == rangeKey.get || c.toString == col(rangeKey.get).toString),
+      s"range_excl requires sortCols to order by the rangeKey " +
+        s"'${rangeKey.orNull}' first (got head sort column " +
+        s"'${sortCols.headOption.orNull}'): equal-key runs must be " +
+        "contiguous within partitions")
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
     // range_excl partitions on the RANGE KEY ALONE: boundaries over the
@@ -84,9 +100,9 @@ object GlobalIndex {
     // keeps every equal-key run whole; one run must fit a partition
     // (far weaker than the single-task global sort this replaces).
     val partCols = if (frame == "range_excl") Seq(col(rangeKey.get)) else sortCols
-    val sorted = df.repartitionByRange(n, partCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-      .localCheckpoint()
+    val sorted = graft.util.Materialize.frozen(
+      df.repartitionByRange(n, partCols: _*)
+        .sortWithinPartitions(sortCols: _*))
     val schema = sorted.schema
     val aggIdx = schema.fieldIndex(aggCol)
     val keyIdx = rangeKey.map(schema.fieldIndex)
@@ -145,6 +161,36 @@ object GlobalIndex {
       schema.add(runCol, org.apache.spark.sql.types.LongType, nullable = true))
   }
 
+  /** Dispatch plumbing shared by the Auto entry points. Callers that
+    * already know the row count pass `knownCount` and skip both the
+    * count and any materialization — the pageRankDistributed pattern;
+    * q164 measured the avoidable recount at ~0.5 s. Otherwise: cache →
+    * count → hand the chosen path a frame it can consume without
+    * recomputing the input — then RELEASE the cache entry (previously it
+    * was left for LRU; q199's triple-nested ntile accumulated three
+    * cached plans per bench invocation in the long-lived 262-query
+    * session, competing with legitimate caches). Below the threshold the
+    * frame is model-sized, so freezing the cached rows is one cheap pass
+    * and the blocks are ContextCleaner-collected when the plan is
+    * released — unlike cacheManager entries, which live until an
+    * explicit unpersist. Above it the two-pass machinery freezes its own
+    * repartitioned copy eagerly before this returns, so the cache drops
+    * with nothing left lazy over it. */
+  private def dispatched(df0: DataFrame, windowThreshold: Long, knownCount: Long)
+                        (small: DataFrame => DataFrame)
+                        (big: DataFrame => DataFrame): DataFrame = {
+    if (knownCount >= 0L) {
+      if (knownCount <= windowThreshold) small(df0) else big(df0)
+    } else {
+      val cached = df0.cache()
+      try {
+        if (cached.count() <= windowThreshold)
+          small(graft.util.Materialize.frozen(cached))
+        else big(cached) // eager freeze inside withRunning/withGlobalIndex
+      } finally cached.unpersist()
+    }
+  }
+
   /** Size-dispatched running aggregate (duplicateClusters' crossover
     * discipline): the model-sized frames the report queries cumulate
     * (distinct-value histograms, per-customer rollups) are FINE in one
@@ -156,16 +202,8 @@ object GlobalIndex {
                       agg: String, frame: String, sortCols: Seq[Column],
                       rangeKey: Option[String] = None,
                       windowThreshold: Long = 2000000L,
-                      knownCount: Long = -1L): DataFrame = {
-    // cache before the dispatch count: the count and the chosen path
-    // must not compute the input plan twice (cached not unpersisted —
-    // the returned plan is lazy; LRU-evictable, the q29 pattern).
-    // Callers that already know the row count pass it (knownCount) and
-    // skip both the count and the cache — the pageRankDistributed
-    // pattern; q164 measured the avoidable recount+cache at ~0.5 s.
-    val df = if (knownCount >= 0L) df0 else df0.cache()
-    val n0 = if (knownCount >= 0L) knownCount else df.count()
-    if (n0 <= windowThreshold) {
+                      knownCount: Long = -1L): DataFrame =
+    dispatched(df0, windowThreshold, knownCount) { df =>
       import org.apache.spark.sql.expressions.Window
       val w = frame match {
         case "rows_incl" => Window.orderBy(sortCols: _*)
@@ -181,23 +219,19 @@ object GlobalIndex {
         else if (agg == "max") max(col(aggCol))
         else throw new IllegalArgumentException(s"unknown agg '$agg'")
       df.withColumn(runCol, fn.over(w))
-    } else withRunning(df, runCol, aggCol, agg, frame, sortCols, rangeKey)
-  }
+    }(withRunning(_, runCol, aggCol, agg, frame, sortCols, rangeKey))
 
   /** Size-dispatched global row index: plain row_number window below the
     * threshold, [[withGlobalIndex]] above. Index is 0-based. */
   def withGlobalIndexAuto(df0: DataFrame, indexCol: String,
                           sortCols: Seq[Column],
                           windowThreshold: Long = 2000000L,
-                          knownCount: Long = -1L): DataFrame = {
-    val df = if (knownCount >= 0L) df0 else df0.cache() // see withRunningAuto
-    val n0 = if (knownCount >= 0L) knownCount else df.count()
-    if (n0 <= windowThreshold) {
+                          knownCount: Long = -1L): DataFrame =
+    dispatched(df0, windowThreshold, knownCount) { df =>
       import org.apache.spark.sql.expressions.Window
       df.withColumn(indexCol,
         (row_number().over(Window.orderBy(sortCols: _*)) - 1).cast("long"))
-    } else withGlobalIndex(df, indexCol, sortCols: _*)
-  }
+    }(withGlobalIndex(_, indexCol, sortCols: _*))
 
   /** Size-dispatched global NTILE: Spark's ntile window below the
     * threshold; above it the bucket comes from the distributed global
@@ -207,16 +241,22 @@ object GlobalIndex {
                 windowThreshold: Long = 2000000L,
                 knownCount: Long = -1L): DataFrame = {
     require(k > 0)
-    val df = if (knownCount >= 0L) df0 else df0.cache() // see withRunningAuto
-    val n = if (knownCount >= 0L) knownCount else df.count()
+    // the big branch needs the realized count for the bucket arithmetic,
+    // so the dispatch helper is inlined here with the same release rule
+    val (df, n, release) =
+      if (knownCount >= 0L) (df0, knownCount, false)
+      else { val c = df0.cache(); (c, c.count(), true) }
     if (n <= windowThreshold) {
       import org.apache.spark.sql.expressions.Window
-      df.withColumn(outCol, ntile(k).over(Window.orderBy(sortCols: _*)))
+      val in = if (release) graft.util.Materialize.frozen(df) else df
+      if (release) df.unpersist()
+      in.withColumn(outCol, ntile(k).over(Window.orderBy(sortCols: _*)))
     } else {
       val base = n / k
       val rem = n % k
       val big = base + 1
-      val indexed = withGlobalIndex(df, "__gi", sortCols: _*)
+      val indexed = withGlobalIndex(df, "__gi", sortCols: _*) // eager freeze inside
+      if (release) df.unpersist()
       val r = col("__gi") + 1 // 1-based global rank
       val bucket =
         if (base == 0L) r // n < k: one row per bucket, Spark's behavior

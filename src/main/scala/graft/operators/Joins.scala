@@ -265,7 +265,8 @@ object Joins {
       .select(unioned.columns.map(col).toIndexedSeq: _*)
     // pass 2: running last within (key, bucket) over real rows + seeds —
     // same (t, tag, pay) order as the global shape restricted to the
-    // bucket, with the seed first (null time, tag -1). Null-TIME real
+    // bucket, with the seed first (null time, tag -2 so it sorts before
+    // the non-strict right tag -1 at equal time). Null-TIME real
     // rows land in bucket null, which wCarry's asc-nulls-first order
     // places before every numbered bucket — exactly where the global
     // single-window shape sorts null-time rows.

@@ -368,8 +368,10 @@ private[graft] object EventQueries extends QueryFamily {
       val ev = Trajectories.events(s, dir).select(col("value"))
       val vals = ev.groupBy("value").agg(count(lit(1)).as("c"))
       // corpus total as an in-plan broadcast 1-row aggregate (q216/q235
-      // discipline) — keeps query construction lazy, no eager count();
-      // summed from the already-model-sized distinct-value frame
+      // discipline), summed from the already-model-sized distinct-value
+      // frame. (Construction is NOT fully lazy here: withRunningAuto
+      // below performs its dispatch count eagerly — the price of the
+      // size dispatch when the caller has no count to pass.)
       val n = broadcast(vals.agg(sum(col("c")).as("n_total")))
       // size-dispatched cumulative (GlobalIndex.withRunningAuto): the
       // distinct-value frame takes the plain window in one task while it

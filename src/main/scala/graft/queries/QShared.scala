@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.FrozenOps
 
 import graft.core.Trajectories
 import graft.lag.Lag
@@ -37,7 +38,7 @@ private[graft] object QShared {
                        (build: => DataFrame): DataFrame =
     frameMemo.computeIfAbsent(
       System.identityHashCode(s) + "|" + dir + "|" + key,
-      _ => build.localCheckpoint())
+      _ => build.frozen())
 
   /** lineitem 4-feature trajectories, materialized once per session. */
   private[graft] def liTraj(s: SparkSession, dir: String): DataFrame =
@@ -58,7 +59,7 @@ private[graft] object QShared {
     memoFrame(s, dir, "dupEdges") {
       val d = docs(s, dir)
       val cand = Dedup.minhashCandidates(d, bands = 8, rowsPerBand = 5)
-        .localCheckpoint()
+        .frozen()
       Dedup.ngramJaccard(d, cand, 5).where(col("jaccard") >= 0.6)
     }
 

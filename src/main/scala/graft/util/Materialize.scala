@@ -1,0 +1,49 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Central frame-freezing point for every site where MATERIALIZATION IS A
+  * CORRECTNESS REQUIREMENT (the nondeterministic-plan rule): frames built
+  * on `repartitionByRange` (boundaries re-SAMPLED per materialization) or
+  * `spark_partition_id()` that are consumed more than once inside one
+  * plan, and the per-iteration label/rank frames whose lineage must stay
+  * flat.
+  *
+  * Default (`spark.graft.reliableCheckpoint=false`): `localCheckpoint()` —
+  * eager, executor-local blocks, the right call at local[32] and on
+  * non-preemptible clusters (no fs round-trip).
+  *
+  * `spark.graft.reliableCheckpoint=true`: reliable `checkpoint()` to the
+  * SparkContext checkpoint directory — on a preemptible/spot cluster a
+  * localCheckpoint'ed block dies WITH its executor and, because the
+  * lineage was truncated, the job cannot recompute it; the reliable path
+  * survives executor loss at the price of one fs write per frozen frame.
+  * The caller must have set `sc.setCheckpointDir(...)` (HDFS/object store
+  * at cluster scale); enabling the flag without a directory fails loud
+  * here rather than deep inside Spark.
+  *
+  * Both paths are eager and yield the same rows (MaterializeSpec pins
+  * frame identity across the flag). */
+object Materialize {
+
+  /** Spark conf key switching frozen frames to reliable checkpoints. */
+  val ReliableConfKey = "spark.graft.reliableCheckpoint"
+
+  /** Freeze `df`: materialize it eagerly and cut lineage, so every
+    * downstream consumer sees ONE consistent evaluation. */
+  def frozen(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.conf.get(ReliableConfKey, "false").toBoolean) df.localCheckpoint()
+    else {
+      require(spark.sparkContext.getCheckpointDir.nonEmpty,
+        s"$ReliableConfKey=true requires sc.setCheckpointDir(...) " +
+          "(an HDFS/object-store path on a real cluster)")
+      df.checkpoint()
+    }
+  }
+
+  /** Method-chain sugar: `df.frozen()` == `Materialize.frozen(df)`. */
+  implicit class FrozenOps(private val df: DataFrame) extends AnyVal {
+    def frozen(): DataFrame = Materialize.frozen(df)
+  }
+}

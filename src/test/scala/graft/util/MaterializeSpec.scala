@@ -1,0 +1,81 @@
+package graft.util
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** The reliable-checkpoint switch (spark.graft.reliableCheckpoint): the
+  * cluster-durability path must yield frames IDENTICAL to the default
+  * localCheckpoint path — Materialize.frozen is the single choke point
+  * every frozenness-critical site (GlobalIndex two-pass, Dedup SNM rank,
+  * CC/PageRank rounds, QShared memoization) routes through. */
+class MaterializeSpec extends SparkSpec with Matchers {
+
+  private def withReliable[T](body: => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt")
+    spark.conf.set(Materialize.ReliableConfKey, "true")
+    sc.setCheckpointDir(dir.toString)
+    try body
+    finally spark.conf.set(Materialize.ReliableConfKey, "false")
+  }
+
+  test("frozen yields the same rows on both paths and cuts lineage") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i.toLong, (i * 31 % 97).toLong))
+      .toDF("id", "v").repartition(5)
+    val local = Materialize.frozen(df).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val reliable = withReliable {
+      val f = Materialize.frozen(df)
+      // reliable checkpoint truncates the logical lineage too
+      f.queryExecution.analyzed.collectLeaves() should not be empty
+      f.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    reliable shouldBe local
+  }
+
+  test("reliable flag without a checkpoint dir fails loud") {
+    // a fresh session shares the context; simulate no-dir by clearing is
+    // not possible on a shared sc, so only assert when unset so far
+    if (sc.getCheckpointDir.isEmpty) {
+      spark.conf.set(Materialize.ReliableConfKey, "true")
+      try {
+        import spark.implicits._
+        val e = intercept[IllegalArgumentException] {
+          Materialize.frozen(Seq((1L, 2L)).toDF("a", "b"))
+        }
+        e.getMessage should include(Materialize.ReliableConfKey)
+      } finally spark.conf.set(Materialize.ReliableConfKey, "false")
+    }
+  }
+
+  test("GlobalIndex two-pass decomposition is identical under the reliable path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 3000).map(i =>
+      (i.toLong, rnd.nextInt(40).toLong, rnd.nextInt(500).toLong + 1))
+      .toDF("id", "key", "v").repartition(6)
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "r").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val plain = canon(graft.operators.GlobalIndex.withRunning(
+      df, "r", "v", "sum", "range_excl",
+      Seq(col("key"), col("id")), rangeKey = Some("key")))
+    val rel = withReliable {
+      canon(graft.operators.GlobalIndex.withRunning(
+        df, "r", "v", "sum", "range_excl",
+        Seq(col("key"), col("id")), rangeKey = Some("key")))
+    }
+    rel shouldBe plain
+  }
+
+  test("range_excl rejects sort orders that do not lead with the rangeKey") {
+    import spark.implicits._
+    val df = Seq((1L, 2L, 3L)).toDF("id", "key", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.GlobalIndex.withRunning(df, "r", "v", "sum", "range_excl",
+        Seq(col("id"), col("key")), rangeKey = Some("key"))
+    }
+    e.getMessage should include("rangeKey")
+  }
+}
