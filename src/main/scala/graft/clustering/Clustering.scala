@@ -257,8 +257,17 @@ object LloydKMeans {
     require(k > 0, "k must be positive")
     val spark = traj.sparkSession
     import spark.implicits._
+    // persist the training frame across the Lloyd iterations: every
+    // iteration is one job over `data`, and without the persist each of
+    // them (plus the seeder's count + sample) re-ran the caller's whole
+    // input pipeline — scan + unit-normalize per iteration (q99/q171
+    // measured the fit at ~4x its data cost on exactly that). Callers
+    // pass capped samples by contract (semDedup/IVF/PQ train on <= ~65k
+    // rows), so the footprint is bounded; unpersisted before returning.
     val data = traj.select(col(featCol).cast("array<double>")).as[Seq[Double]]
-    var centers = KMeansPlusPlus.seed(traj, k, seed, featCol = featCol)
+      .persist()
+    try {
+    var centers = KMeansPlusPlus.seed(data.toDF(featCol), k, seed, featCol = featCol)
     val m = metric
     var iter = 0
     var moved = Double.MaxValue
@@ -299,5 +308,6 @@ object LloydKMeans {
       iter += 1
     }
     ClusterModel(centers)
+    } finally data.unpersist()
   }
 }

@@ -705,7 +705,18 @@ object Dedup {
     val buckets = banded.groupBy("band_idx", "chunk")
       .agg(count(lit(1)).as("bucket_n"),
         graft.functions.MinK.minKLong(col(idCol), nHubs).as("hubs"))
-    val joined = banded.join(buckets, Seq("band_idx", "chunk"))
+    // freeze the bucket-annotated banded frame: it feeds THREE consumers
+    // (both sides of the small-bucket self-join + the over-cap star
+    // branch), each of which would otherwise recompute the signature
+    // pipeline AND the bucket join from the corpus scan (r11 driver
+    // record had q27 at 1.45x on exactly that — three signature passes).
+    // The frozen frame is narrow (id + sig + band slice + bucket stats,
+    // ~50 B/doc-band) and deterministic; freezing is purely a
+    // shared-scan optimization, sized linear in the corpus like the
+    // shuffle it feeds. Materialize.frozen honors the reliable-
+    // checkpoint switch on preemptible clusters.
+    val joined = graft.util.Materialize.frozen(
+      banded.join(buckets, Seq("band_idx", "chunk")))
     def side(df: DataFrame, n: String, s: String) =
       df.select(col("band_idx"), col("chunk"), col(idCol).as(n), col("sig").as(s))
     val small = joined.where(col("bucket_n") <= maxBucketSize)
@@ -903,26 +914,30 @@ object Dedup {
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, nc - 1), i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))"))
         .as(Seq("idx", "chunk")))
-    // first-occurrence via partial-combined groupBy-min + join back, not
-    // `row_number OVER (PARTITION BY chunk)` — the same hot-partition
-    // hazard chunkDedupByHash documents (a mega-duplicated boilerplate
-    // chunk = one task's unsplittable sort; the aggregate combines
-    // map-side and the join back is ordinary AQE skew-join territory).
-    // This exact-text variant still keys by the chunk TEXT by design
-    // (zero-collision contract; the hashed shape above is the 100 TB
-    // default) — the rework only removes the single-task sort.
-    val firsts = chunks.groupBy("chunk")
+    // first-occurrence via ONE partial-combined groupBy-min — no window
+    // (the chunkDedupByHash hot-partition note) and, since r12, NO join
+    // back either: min(struct(id, idx)) over a chunk group IS the single
+    // kept occurrence, so the kept set is the aggregate's output itself.
+    // The old shape joined the chunk-granular frame against the winners
+    // to flag keeps, which consumed the explode+split pipeline twice and
+    // paid a chunk-granular equi-join; this one scans the corpus once.
+    // Per-doc totals (n_chunks) come from the document itself (nc), not
+    // from re-counting exploded rows. This exact-text variant still keys
+    // by the chunk TEXT by design (zero-collision contract; the hashed
+    // shape above is the 100 TB default) — the group key doubles as the
+    // text carried into reassembly.
+    val kept = chunks.groupBy("chunk")
       .agg(min(struct(col(idCol), col("idx"))).as("__first"))
-    val flagged = chunks.join(firsts, Seq("chunk"))
-      .withColumn("keep", struct(col(idCol), col("idx")) === col("__first"))
-    flagged.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        // reassemble: collect_list skips the NULLs of dropped chunks;
-        // sort_array orders the (idx, chunk) structs by idx
+      .groupBy(col("__first").getField(idCol).as(idCol))
+      .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(sort_array(collect_list(
-          when(col("keep"), struct(col("idx"), col("chunk"))))),
+          struct(col("__first").getField("idx").as("idx"), col("chunk")))),
           s => s.getField("chunk"))).as("cleaned"))
+    docs.select(col(idCol), nChunks.cast("long").as("n_chunks"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
   /** `chunkDedup`'s 100 TB shape: identical keep-first semantics, but the
@@ -931,23 +946,25 @@ object Dedup {
     * text, and reassembly re-slices the ORIGINAL document rather than
     * re-materializing it from shuffled chunks.
     *
-    * First-occurrence selection is a partial-combined groupBy-min plus
-    * an equi-join back, NOT a rank window: a window partitioned by the
-    * chunk hash puts every copy of a mega-duplicated chunk (site
-    * boilerplate at web scale) into ONE task's sort, which AQE cannot
-    * split — whereas the aggregate combines map-side (the exchange
-    * ships at most the per-partition distinct fingerprints) and the
-    * join back is ordinary skew-join territory.
+    * First-occurrence selection is a partial-combined groupBy-min, NOT
+    * a rank window: a window partitioned by the chunk hash puts every
+    * copy of a mega-duplicated chunk (site boilerplate at web scale)
+    * into ONE task's sort, which AQE cannot split — whereas the
+    * aggregate combines map-side (the exchange ships at most the
+    * per-partition distinct fingerprints). Since r12 there is no join
+    * back either: min(struct(id, idx)) IS the kept occurrence, so the
+    * kept set is the aggregate output itself and the fingerprint
+    * pipeline is scanned exactly once (the old flag-join consumed it
+    * twice and paid a chunk-granular equi-join).
     *
     * Exchange ledger: the min-agg exchange ships distinct (h1, h2,
-    * min-struct) partials, the join ships (id, idx, h1, h2), the
-    * reassembly agg ships kept (id, idx) pairs, and the document text
-    * crosses exactly ONE exchange (the final doc-keyed join) — vs two
-    * full text exchanges in the exact-text variant. The result is
-    * bit-identical to `chunkDedup` absent a 128-bit collision
-    * (P < 1e-18 per 10^10 chunks); the q258 oracle replays the
-    * exact-text semantics against this variant, so a collision would
-    * fail the gate rather than pass silently. */
+    * min-struct) partials, the reassembly agg ships kept (id, idx)
+    * pairs, and the document text crosses exactly ONE exchange (the
+    * final doc-keyed join) — vs two full text exchanges in the old
+    * exact-text variant. The result is bit-identical to `chunkDedup`
+    * absent a 128-bit collision (P < 1e-18 per 10^10 chunks); the q258
+    * oracle replays the exact-text semantics against this variant, so a
+    * collision would fail the gate rather than pass silently. */
   def chunkDedupByHash(docs: DataFrame, chunkWords: Int = 20,
                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val nChunks = ceil(size(split(col(textCol), " ")) / lit(chunkWords.toDouble))
@@ -962,18 +979,18 @@ object Dedup {
       .select(col(idCol), col("idx"),
         xxhash64(col("chunk")).as("h1"),
         xxhash64(lit("graft-chunk-lane2"), col("chunk")).as("h2"))
-    val firsts = fps.groupBy("h1", "h2")
+    val kept = fps.groupBy("h1", "h2")
       .agg(min(struct(col(idCol), col("idx"))).as("__first"))
-    val kept = fps.join(firsts, Seq("h1", "h2"))
-      .withColumn("keep", struct(col(idCol), col("idx")) === col("__first"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sort_array(collect_list(when(col("keep"), col("idx")))).as("kept_idx"))
-    docs.select(col(idCol), split(col(textCol), " ").as("ws"))
-      .join(kept, Seq(idCol))
-      .select(col(idCol), col("n_chunks"), col("n_kept"),
-        concat_ws(" ", flatten(transform(col("kept_idx"),
-          i => slice(col("ws"), i * chunkWords + 1, lit(chunkWords))))).as("cleaned"))
+      .groupBy(col("__first").getField(idCol).as(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(col("__first").getField("idx"))).as("kept_idx"))
+    docs.select(col(idCol), split(col(textCol), " ").as("ws"),
+        nChunks.cast("long").as("n_chunks"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(concat_ws(" ", flatten(transform(col("kept_idx"),
+          i => slice(col("ws"), i * chunkWords + 1, lit(chunkWords))))), lit(""))
+          .as("cleaned"))
   }
 }

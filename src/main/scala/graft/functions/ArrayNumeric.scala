@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Native Catalyst expressions for the embedding hot path (SURVEY §2.8 /
   * the build brief's preference order: custom `Expression` with
@@ -23,6 +24,48 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 abstract class ArrayPairFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  /** Element types are read DIRECTLY (double/float/long/int/short/byte),
+    * never via an up-front `cast(array<double>)`: the cast materializes a
+    * fresh double array per row per side — two allocations per pair on
+    * the hottest loops in the engine (float32 embedding cosine, int8
+    * quantized sweeps). Widening to double inside the loop is exact for
+    * every supported type, so results are bit-identical to the old
+    * cast-first form. */
+  protected final def isNumericElem(t: DataType): Boolean = t match {
+    case DoubleType | FloatType | LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(a, _), ArrayType(b, _)) if isNumericElem(a) && isNumericElem(b) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two numeric arrays, got $l and $r")
+  }
+  @transient protected lazy val leftElem: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  @transient protected lazy val rightElem: DataType =
+    right.dataType.asInstanceOf[ArrayType].elementType
+  protected final def elemAt(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+  /** java source for reading element `i` of `a` (typed accessor widened
+    * to double — stays inside whole-stage codegen, zero allocation). */
+  protected final def elemCode(a: String, t: DataType, i: String): String = t match {
+    case DoubleType => s"$a.getDouble($i)"
+    case FloatType => s"((double) $a.getFloat($i))"
+    case LongType => s"((double) $a.getLong($i))"
+    case IntegerType => s"((double) $a.getInt($i))"
+    case ShortType => s"((double) $a.getShort($i))"
+    case ByteType => s"((double) $a.getByte($i))"
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
 
   /** (x, y, n) -> result, called only with equal-length all-non-null arrays. */
   protected def fold(x: ArrayData, y: ArrayData, n: Int): Double
@@ -74,7 +117,7 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends ArrayPai
   protected def fold(x: ArrayData, y: ArrayData, n: Int): Double = {
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) { s += elemAt(x, leftElem, i) * elemAt(y, rightElem, i); i += 1 }
     s
   }
 
@@ -83,7 +126,7 @@ case class ArrayDotProduct(left: Expression, right: Expression) extends ArrayPai
     val i = ctx.freshName("i")
     s"""
        |for (int $i = 0; $i < $n; $i++) {
-       |  $result += $x.getDouble($i) * $y.getDouble($i);
+       |  $result += ${elemCode(x, leftElem, i)} * ${elemCode(y, rightElem, i)};
        |}
      """.stripMargin
   }
@@ -101,7 +144,7 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression) extends Ar
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = elemAt(x, leftElem, i); val yi = elemAt(y, rightElem, i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -121,8 +164,8 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression) extends Ar
     s"""
        |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
        |for (int $i = 0; $i < $n; $i++) {
-       |  double $xi = $x.getDouble($i);
-       |  double $yi = $y.getDouble($i);
+       |  double $xi = ${elemCode(x, leftElem, i)};
+       |  double $yi = ${elemCode(y, rightElem, i)};
        |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
        |}
        |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
@@ -137,15 +180,16 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression) extends Ar
 object ArrayNumeric {
   private def expr(c: Column): Expression = GraftExpressionBridge.toExpression(c)
 
-  /** x . y over two ARRAY<DOUBLE> columns (native codegen). */
+  /** x . y over two numeric-array columns (native codegen; double, float,
+    * long, int, short and tinyint elements are read DIRECTLY — no
+    * allocating cast-to-double pass, values bit-identical to one). */
   def dot(x: Column, y: Column): Column =
-    GraftExpressionBridge.toColumn(ArrayDotProduct(
-      expr(x.cast("array<double>")), expr(y.cast("array<double>"))))
+    GraftExpressionBridge.toColumn(ArrayDotProduct(expr(x), expr(y)))
 
-  /** cosine(x, y) over two ARRAY<DOUBLE> columns (native codegen). */
+  /** cosine(x, y) over two numeric-array columns (native codegen; same
+    * direct typed-element reads as [[dot]]). */
   def cosine(x: Column, y: Column): Column =
-    GraftExpressionBridge.toColumn(ArrayCosineSimilarity(
-      expr(x.cast("array<double>")), expr(y.cast("array<double>"))))
+    GraftExpressionBridge.toColumn(ArrayCosineSimilarity(expr(x), expr(y)))
 
 
   /** 64-bit simhash of a pre-hashed token array (native codegen). */
@@ -444,6 +488,140 @@ case class SimhashFromHashes(child: Expression)
          |${ev.value} = $sig;
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** int8-quantization kernels (static forwarders for generated code).
+  * One fused primitive loop each — the HOF formulation (`transform` with
+  * the scale aggregate EMBEDDED in the per-element lambda) evaluated the
+  * O(d) scale reduction once per element, i.e. O(d²) interpreted lambda
+  * calls per vector, and HOFs never enter whole-stage codegen. Element
+  * type is read directly via a small type tag (double/float/long/int/
+  * short/byte), no cast pass.
+  *
+  * Rounding is half-away-from-zero (floor(x+0.5) / ceil(x-0.5)), matching
+  * Spark `round(x, 0)` up to sub-ulp BigDecimal edge cases; `quantize`
+  * and `residual` use the SAME formula, so the certified bound
+  * |cos(qa,qb) - cos(va,vb)| <= 2(rho_a + rho_b) holds for exactly the
+  * codes this kernel emits (self-consistency is what the bound needs —
+  * parity with the HOF `quantizeInt8` is not required and not claimed). */
+object QuantOps {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  def kindOf(t: DataType): Int = t match {
+    case DoubleType => 0
+    case FloatType => 1
+    case LongType => 2
+    case IntegerType => 3
+    case ShortType => 4
+    case ByteType => 5
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+  private def read(a: ArrayData, k: Int, i: Int): Double = k match {
+    case 0 => a.getDouble(i)
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getLong(i).toDouble
+    case 3 => a.getInt(i).toDouble
+    case 4 => a.getShort(i).toDouble
+    case _ => a.getByte(i).toDouble
+  }
+  private def roundAway(x: Double): Double =
+    if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+
+  /** array<tinyint> codes: per-vector scale = max(maxabs, 1e-300)/127. */
+  def quantize(a: ArrayData, k: Int): ArrayData = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(read(a, k, i)); if (v > mx) mx = v; i += 1
+    }
+    val scale = math.max(mx, 1e-300) / 127.0
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) = roundAway(read(a, k, i) / scale).toByte
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Certified relative residual rho = |v - s*q| / |v| for the codes
+    * [[quantize]] emits; NaN on a zero (or underflowed) norm. */
+  def residual(a: ArrayData, k: Int): Double = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(read(a, k, i)); if (v > mx) mx = v; i += 1
+    }
+    val scale = math.max(mx, 1e-300) / 127.0
+    var rnum = 0.0
+    var den = 0.0
+    i = 0
+    while (i < n) {
+      val v = read(a, k, i)
+      val r = v - scale * roundAway(v / scale)
+      rnum += r * r
+      den += v * v
+      i += 1
+    }
+    if (den > 0.0) math.sqrt(rnum / den) else Double.NaN
+  }
+}
+
+/** Fused int8 quantization to ARRAY<TINYINT> (native codegen; see
+  * [[QuantOps]]). The storage-true shuffle form: 1 byte/element through
+  * every exchange vs 8 for double. */
+case class QuantizeInt8Bytes(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "quantize_int8"
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = true
+  @transient private lazy val kind: Int =
+    QuantOps.kindOf(child.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if scala.util.Try(QuantOps.kindOf(t)).isSuccess =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    QuantOps.quantize(input.asInstanceOf[ArrayData], kind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QuantOps.quantize($c, $kind);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Fused certified quantization residual (native codegen; see
+  * [[QuantOps.residual]]). */
+case class QuantResidual(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "quant_residual"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  @transient private lazy val kind: Int =
+    QuantOps.kindOf(child.dataType.asInstanceOf[ArrayType].elementType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(t, _) if scala.util.Try(QuantOps.kindOf(t)).isSuccess =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric array, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    QuantOps.residual(input.asInstanceOf[ArrayData], kind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.QuantOps.residual($c, $kind);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -48,12 +48,27 @@ class ArrayNumericSpec extends SparkSpec with Matchers {
   }
 
   test("interpreted (non-codegen) eval agrees with codegen") {
-    // force interpreted path via the expression's eval
+    // force interpreted path via the expression's eval (typed children:
+    // the fold reads elements through the resolved element type now)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val x = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
     val y = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(4.0, 5.0, 6.0))
-    val d = ArrayDotProduct(null, null).nullSafeEval(x, y).asInstanceOf[Double]
+    val cx = Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType))
+    val cy = Literal.create(Seq(4.0, 5.0, 6.0), ArrayType(DoubleType))
+    val d = ArrayDotProduct(cx, cy).nullSafeEval(x, y).asInstanceOf[Double]
     d shouldBe 32.0 +- 1e-12
-    val c = ArrayCosineSimilarity(null, null).nullSafeEval(x, y).asInstanceOf[Double]
+    val c = ArrayCosineSimilarity(cx, cy).nullSafeEval(x, y).asInstanceOf[Double]
     c shouldBe 32.0 / (math.sqrt(14.0) * math.sqrt(77.0)) +- 1e-12
+    // typed reads: int8 x float arrays fold without a cast pass
+    import org.apache.spark.sql.types.{ByteType, FloatType}
+    val bx = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[Byte](1, -2, 3))
+    val fy = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array[Float](4f, 5f, 6f))
+    val cb = Literal.create(Seq[Byte](1, -2, 3), ArrayType(ByteType))
+    val cf = Literal.create(Seq[Float](4f, 5f, 6f), ArrayType(FloatType))
+    val db = ArrayDotProduct(cb, cf).nullSafeEval(bx, fy).asInstanceOf[Double]
+    db shouldBe (4.0 - 10.0 + 18.0) +- 1e-12
   }
 }
