@@ -77,7 +77,21 @@ object Tram {
   def inputFromFrames(framesPerTherm: Seq[DataFrame], tau: Int, nMarkov: Int,
                       maxSamples: Int = 200000, seed: Long = 42L): TramInput = {
     val k = framesPerTherm.length
-    val w = Window.partitionBy(TrajCol).orderBy(TimeCol)
+    val (transitionCounts, stateCounts) =
+      countsFromFrames(framesPerTherm, tau, nMarkov)
+    val all = framesPerTherm.map(_.select(col("state"), col("bias"))).reduce(_ unionAll _)
+    val total = all.count()
+    val frac = math.min(1.0, maxSamples.toDouble / math.max(1L, total))
+    val sampled = (if (frac < 1.0) all.sample(withReplacement = false, frac, seed) else all)
+      .limit(maxSamples).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    TramInput(k, nMarkov, transitionCounts, stateCounts, sampled)
+  }
+
+  /** Per-ensemble transition + state counts (one Spark pass each —
+    * model-sized results). */
+  private def countsFromFrames(framesPerTherm: Seq[DataFrame], tau: Int,
+                               nMarkov: Int): (Array[Array[Double]], Array[Array[Double]]) = {
     val transitionCounts = framesPerTherm.map { df =>
       val c = TransitionCounting.toDense(
         TransitionCounting.slidingCounts(df, tau), nMarkov)
@@ -89,26 +103,179 @@ object Tram {
       hist.foreach(r => arr(r.getInt(0)) = r.getLong(1).toDouble)
       arr
     }.toArray
-    val all = framesPerTherm.map(_.select(col("state"), col("bias"))).reduce(_ unionAll _)
-    val total = all.count()
-    val frac = math.min(1.0, maxSamples.toDouble / math.max(1L, total))
-    val sampled = (if (frac < 1.0) all.sample(withReplacement = false, frac, seed) else all)
-      .limit(maxSamples).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    TramInput(k, nMarkov, transitionCounts, stateCounts, sampled)
+    (transitionCounts, stateCounts)
   }
 
-  /** Self-consistent TRAM iteration (tram.h:248 `estimate`). */
-  def fit(input: TramInput, maxIter: Int = 1000, maxErr: Double = 1e-8,
-          tau: Int = 1): TramModel = {
-    val kT = input.nTherm
-    val n = input.nMarkov
-    def tc(k: Int, i: Int, j: Int) = input.transitionCounts(k)(i * n + j)
-    def sc(k: Int, i: Int) = input.stateCounts(k)(i)
+  /** Fully-distributed TRAM fit: the fixed point iterates over ALL
+    * samples — the reference's semantics (tram.h:671 sums every sample;
+    * the capped [[fit]] path is the landmark approximation) — with the
+    * bias table held as a persisted Spark RDD and each E-step one
+    * treeAggregate whose partials are K x n logsumexp cells. Nothing
+    * sample-sized ever reaches the driver; at 100 TB of bias samples the
+    * per-iteration exchange is (partitions x K x n) doubles.
+    *
+    * Parallelism is sized by sample count (the duplicateClusters
+    * discipline): a fixture-sized table at 32 partitions would pay ~30
+    * scheduling round-trips per sweep for nothing. */
+  def fitDistributed(framesPerTherm: Seq[DataFrame], tau: Int, nMarkov: Int,
+                     maxIter: Int = 1000, maxErr: Double = 1e-8): TramModel = {
+    val k = framesPerTherm.length
+    val (transitionCounts, stateCounts) =
+      countsFromFrames(framesPerTherm, tau, nMarkov)
+    val all = framesPerTherm.map(_.select(col("state"), col("bias")))
+      .reduce(_ unionAll _)
+    val rdd0 = all.rdd.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val parts = math.max(1, math.min(
+      all.sparkSession.sparkContext.defaultParallelism,
+      (rdd0.getNumPartitions / 4) + 1))
+    val rdd = (if (rdd0.getNumPartitions > parts) rdd0.coalesce(parts) else rdd0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      fitCore(k, nMarkov, transitionCounts, stateCounts,
+        new DistributedTramSamples(rdd, k, nMarkov), maxIter, maxErr, tau)
+    } finally rdd.unpersist(blocking = false)
+  }
 
-    // samples grouped by markov state
-    val samplesByState = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
-    input.samples.foreach { case (i, b) => if (i >= 0 && i < n) samplesByState(i) += b }
+  /** The two sample-dependent sums of the fixed point, abstracted so the
+    * SAME iteration runs over a driver-collected sample array (the capped
+    * landmark path) or a Spark-distributed bias table (ALL samples — the
+    * reference's semantics, tram.h:671 iterates every sample). Everything
+    * else in the sweep is K x n model-sized driver algebra. */
+  trait TramSamples {
+    /** f^k_i update (tram.h updateBiasedConfEnergies): for every sample x
+      * in markov state i, divisor_x = logsumexp_k'(R^k'_i - b_k'(x)) over
+      * ensembles with finite R; returns
+      * newConf(k,i) = -logsumexp_x( -(divisor_x + b_k(x)) ). */
+    def confEnergyUpdate(modStateCountsLog: DenseMatrix[Double]): DenseMatrix[Double]
+    /** f_i update (tram.h updateMarkovStateEnergies):
+      * f_i = -logsumexp_x in i( -divisor_x ). */
+    def markovEnergyUpdate(modStateCountsLog: DenseMatrix[Double]): DenseVector[Double]
+  }
+
+  /** Driver-array sample sums — iteration order identical to the r11
+    * in-line loops (grouped by state, insertion order), so capped-path
+    * results are bit-for-bit unchanged. */
+  final class LocalTramSamples(samples: Array[(Int, Array[Double])],
+                               kT: Int, n: Int) extends TramSamples {
+    private val samplesByState =
+      Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    samples.foreach { case (i, b) => if (i >= 0 && i < n) samplesByState(i) += b }
+
+    def confEnergyUpdate(r: DenseMatrix[Double]): DenseMatrix[Double] = {
+      val newConf = DenseMatrix.fill(kT, n)(inf)
+      val scratch = new Array[Double](kT)
+      for (i <- 0 until n; b <- samplesByState(i)) {
+        var o = 0
+        for (k <- 0 until kT) {
+          if (r(k, i) > -inf) { scratch(o) = r(k, i) - b(k); o += 1 }
+        }
+        val divisor = logsumexp(scratch, o)
+        for (k <- 0 until kT)
+          newConf(k, i) = -logsumexpPair(-newConf(k, i), -(divisor + b(k)))
+      }
+      newConf
+    }
+
+    def markovEnergyUpdate(r: DenseMatrix[Double]): DenseVector[Double] = {
+      val energies = DenseVector.fill(n)(inf)
+      val scratch = new Array[Double](kT)
+      for (i <- 0 until n; b <- samplesByState(i)) {
+        var o = 0
+        for (k <- 0 until kT) {
+          if (r(k, i) > -inf) { scratch(o) = r(k, i) - b(k); o += 1 }
+        }
+        val divisor = logsumexp(scratch, o)
+        energies(i) = -logsumexpPair(-energies(i), -divisor)
+      }
+      energies
+    }
+  }
+
+  /** Distributed sample sums over an RDD of (markovState, biasEnergies):
+    * per call ONE treeAggregate whose accumulator is K x n (resp. n)
+    * logsumexp cells — partials are model-sized however many samples the
+    * bias table holds, the SURVEY §2.7 mapping. logsumexpPair is
+    * associative and commutative in exact arithmetic, so the tree
+    * combine computes the same sums as the sequential driver loop up to
+    * float re-association (~1e-15/term; TramDistributedSpec pins
+    * agreement). Broadcasts are destroyed per call — the fixed point may
+    * run hundreds of iterations. */
+  final class DistributedTramSamples(
+      rdd: org.apache.spark.rdd.RDD[(Int, Array[Double])],
+      kT: Int, n: Int) extends TramSamples {
+
+    private def aggregate(r: DenseMatrix[Double], markovOnly: Boolean): Array[Double] = {
+      val rFlat = Array.tabulate(kT * n)(x => r(x / n, x % n))
+      val bc = rdd.sparkContext.broadcast(rFlat)
+      val width = if (markovOnly) n else kT * n
+      val kT0 = kT
+      val n0 = n
+      val zero = Array.fill(width)(-inf)
+      val res = rdd.treeAggregate(zero)(
+        seqOp = { (acc, s) =>
+          val i = s._1
+          if (i >= 0 && i < n0) {
+            val b = s._2
+            val rf = bc.value
+            val scratch = new Array[Double](kT0)
+            var o = 0
+            var k = 0
+            while (k < kT0) {
+              val rv = rf(k * n0 + i)
+              if (rv > -inf) { scratch(o) = rv - b(k); o += 1 }
+              k += 1
+            }
+            val divisor = logsumexp(scratch, o)
+            if (markovOnly) acc(i) = logsumexpPair(acc(i), -divisor)
+            else {
+              k = 0
+              while (k < kT0) {
+                acc(k * n0 + i) = logsumexpPair(acc(k * n0 + i), -(divisor + b(k)))
+                k += 1
+              }
+            }
+          }
+          acc
+        },
+        combOp = { (a, b2) =>
+          var j = 0
+          while (j < a.length) { a(j) = logsumexpPair(a(j), b2(j)); j += 1 }
+          a
+        })
+      bc.destroy()
+      res
+    }
+
+    def confEnergyUpdate(r: DenseMatrix[Double]): DenseMatrix[Double] = {
+      val acc = aggregate(r, markovOnly = false)
+      DenseMatrix.tabulate(kT, n)((k, i) => -acc(k * n + i))
+    }
+
+    def markovEnergyUpdate(r: DenseMatrix[Double]): DenseVector[Double] = {
+      val acc = aggregate(r, markovOnly = true)
+      DenseVector.tabulate(n)(i => -acc(i))
+    }
+  }
+
+  /** Self-consistent TRAM iteration (tram.h:248 `estimate`) over the
+    * capped driver-collected sample table. */
+  def fit(input: TramInput, maxIter: Int = 1000, maxErr: Double = 1e-8,
+          tau: Int = 1): TramModel =
+    fitCore(input.nTherm, input.nMarkov, input.transitionCounts,
+      input.stateCounts,
+      new LocalTramSamples(input.samples, input.nTherm, input.nMarkov),
+      maxIter, maxErr, tau)
+
+  /** The fixed point itself, sample-backend-agnostic. */
+  private def fitCore(nTherm: Int, nMarkov: Int,
+                      transitionCounts: Array[Array[Double]],
+                      stateCounts: Array[Array[Double]],
+                      sampleSums: TramSamples,
+                      maxIter: Int, maxErr: Double, tau: Int): TramModel = {
+    val kT = nTherm
+    val n = nMarkov
+    def tc(k: Int, i: Int, j: Int) = transitionCounts(k)(i * n + j)
+    def sc(k: Int, i: Int) = stateCounts(k)(i)
 
     // state: log v, f^k_i, log R^k_i, f^k
     val logV = DenseMatrix.tabulate(kT, n) { (k, i) =>
@@ -177,21 +344,7 @@ object Tram {
     }
 
     def updateBiasedConfEnergies(): Unit = {
-      val newConf = DenseMatrix.fill(kT, n)(inf)
-      val scratch = new Array[Double](kT)
-      for (i <- 0 until n; b <- samplesByState(i)) {
-        var o = 0
-        for (k <- 0 until kT) {
-          if (modStateCountsLog(k, i) > -inf) {
-            scratch(o) = modStateCountsLog(k, i) - b(k)
-            o += 1
-          }
-        }
-        val divisor = logsumexp(scratch, o)
-        for (k <- 0 until kT)
-          newConf(k, i) = -logsumexpPair(-newConf(k, i), -(divisor + b(k)))
-      }
-      biasedConf = newConf
+      biasedConf = sampleSums.confEnergyUpdate(modStateCountsLog)
     }
 
     def updateThermEnergies(): Unit = {
@@ -229,19 +382,7 @@ object Tram {
 
     // markov state energies from samples (updateMarkovStateEnergies)
     updateStateCounts()
-    val markovEnergies = DenseVector.fill(n)(inf)
-    val scratch = new Array[Double](kT)
-    for (i <- 0 until n; b <- samplesByState(i)) {
-      var o = 0
-      for (k <- 0 until kT) {
-        if (modStateCountsLog(k, i) > -inf) {
-          scratch(o) = modStateCountsLog(k, i) - b(k)
-          o += 1
-        }
-      }
-      val divisor = logsumexp(scratch, o)
-      markovEnergies(i) = -logsumexpPair(-markovEnergies(i), -divisor)
-    }
+    val markovEnergies = sampleSums.markovEnergyUpdate(modStateCountsLog)
     // normalize: f0 = -logsumexp(-f_i)
     val f0 = -logsumexp(markovEnergies.toArray.map(-_), n)
     markovEnergies :-= f0

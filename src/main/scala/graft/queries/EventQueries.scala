@@ -759,6 +759,35 @@ private[graft] object EventQueries extends QueryFamily {
         round(avg(col("latency_s")), 6).as("mean_s"),
         max(col("latency_s")).as("max_s"))
     }),
+
+    // ---- forced two-pass global order statistics (q262): every other
+    // GlobalIndex consumer is model-sized at driver SFs and takes the
+    // plain-window branch, so the range-partitioned + offset-seeded
+    // decomposition itself was spec-gated only. This query FORCES the
+    // two-pass path (windowThreshold = 0, the q258 forced-regime
+    // pattern) for all four shapes — running sum (rows_excl), running
+    // sum over strictly-smaller keys (range_excl over a ties-heavy
+    // integer key), global row index, and exact ntile — and DuckDB
+    // replays them as the plain windows they must equal. ----------------
+    "q262_global_orderstats" -> ((s, dir) => {
+      import graft.operators.GlobalIndex
+      val perUser = Trajectories.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+      val sortCols = Seq(col("n_ev").desc, col("user_id"))
+      val a = GlobalIndex.withRunningAuto(perUser, "cum_prev", "n_ev",
+        agg = "sum", frame = "rows_excl", sortCols = sortCols,
+        windowThreshold = 0L)
+      val b = GlobalIndex.withRunningAuto(a, "cum_lt", "n_ev",
+        agg = "sum", frame = "range_excl",
+        sortCols = Seq(col("n_ev"), col("user_id")),
+        rangeKey = Some("n_ev"), windowThreshold = 0L)
+      val c = GlobalIndex.withGlobalIndexAuto(b, "gidx", sortCols,
+        windowThreshold = 0L)
+      GlobalIndex.withNtile(c, "tile", 7, sortCols, windowThreshold = 0L)
+        .select(col("user_id"), col("n_ev"), col("cum_prev"), col("cum_lt"),
+          col("gidx"), col("tile").cast("long").as("tile"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -808,6 +837,20 @@ private[graft] object EventQueries extends QueryFamily {
            CAST(sum(c) AS BIGINT) AS n_rows,
            round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
          FROM t, n GROUP BY 1""",
+
+    // Forced two-pass order statistics == the plain windows (rows_excl /
+    // value-based range_excl on an integer key / row_number-1 / ntile).
+    "q262_global_orderstats" ->
+      """WITH p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev
+             FROM events GROUP BY 1)
+         SELECT user_id, n_ev,
+           sum(n_ev) OVER (ORDER BY n_ev DESC, user_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_prev,
+           sum(n_ev) OVER (ORDER BY n_ev
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_lt,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_ev DESC, user_id) - 1 AS BIGINT) AS gidx,
+           CAST(NTILE(7) OVER (ORDER BY n_ev DESC, user_id) AS BIGINT) AS tile
+         FROM p""",
 
     // LOCF twin: slot-last selection, per-user grid span, IGNORE NULLS
     // carry-forward.

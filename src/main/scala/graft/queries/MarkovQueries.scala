@@ -581,6 +581,38 @@ private[graft] object MarkovQueries extends QueryFamily {
       }.toDF("state", "pi_norm_resid", "f_nonfinite", "pi_negativity")
     }),
 
+    // ---- distributed TRAM E-step parity (q263): the SAME fixture as
+    // q60 fit through BOTH sample backends — the capped driver-collected
+    // table (which at driver SFs holds every sample) and the
+    // treeAggregate path that iterates the full bias table with
+    // model-sized partials (the 100 TB shape; reference tram.h:671 sums
+    // every sample). maxErr = 0 pins both to exactly maxIter sweeps, so
+    // the residual is pure float re-association (~1e-12) and rounds to
+    // exact zeros; a divergence in either backend breaks the gate. ------
+    "q263_tram_distributed" -> ((s, dir) => {
+      val d = dtrajEv(s, dir).where(col("state") >= 0)
+      val biasVec = Seq(2.0, 1.5, 1.0, 0.5, 0.0)
+      val d0 = d.withColumn("bias", array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
+      val d1 = Lag.strided(d, 2)
+        .withColumn("bias", array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
+      val frames = Seq(d0, d1)
+      val local = graft.markov.Tram.fit(
+        graft.markov.Tram.inputFromFrames(frames, tau = 1, nMarkov = 5,
+          maxSamples = Int.MaxValue),
+        maxIter = 30, maxErr = 0.0)
+      val dist = graft.markov.Tram.fitDistributed(frames, tau = 1, nMarkov = 5,
+        maxIter = 30, maxErr = 0.0)
+      import s.implicits._
+      val pi = dist.stationaryDistribution
+      val piSum = (0 until 5).map(pi(_)).sum
+      observedStates(s, dir).map { i =>
+        val fResid = math.abs(dist.markovStateEnergies(i) - local.markovStateEnergies(i))
+        val fkResid = (0 until 2).map(k =>
+          math.abs(dist.biasedConfEnergies(k, i) - local.biasedConfEnergies(k, i))).max
+        (i, r6(fResid) + 0.0, r6(fkResid) + 0.0, r6(piSum - 1.0) + 0.0)
+      }.toDF("state", "f_resid", "fk_resid", "pi_norm_resid")
+    }),
+
     // ---- AMM -----------------------------------------------------------
     // Per-state invariants: the biased MSM is built from a symmetric
     // stationary-weight matrix, so pi is EXACTLY the stationary vector of
@@ -1055,6 +1087,11 @@ private[graft] object MarkovQueries extends QueryFamily {
     "q60_tram" ->
       s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
             0.0 AS pi_norm_resid, 0.0 AS f_nonfinite, 0.0 AS pi_negativity
+          FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
+
+    "q263_tram_distributed" ->
+      s"""SELECT DISTINCT ${Trajectories.eventTypeStateSql} AS state,
+            0.0 AS f_resid, 0.0 AS fk_resid, 0.0 AS pi_norm_resid
           FROM events WHERE ${Trajectories.eventTypeStateSql} >= 0""",
 
     "q61_amm" ->

@@ -1215,7 +1215,8 @@ object ScaleAudit {
     * micro-batches) and has no corpus to share with the others. */
   val families100: Vector[String] = Vector("minhash100", "ann100",
     "editdist100", "text100", "graph100", "substring100", "asof100",
-    "contamination100", "moments100", "multimodal100", "streaming100")
+    "contamination100", "moments100", "multimodal100", "orderstats100",
+    "tram100", "streaming100")
 
   /** Run one named 100x family; returns its failure count. */
   def run100x(spark: SparkSession, family: String, src: String,
@@ -1231,8 +1232,148 @@ object ScaleAudit {
     case "moments100" => moments100(spark, src)
     case "multimodal100" => multimodal100(spark, src, out100)
     case "editdist100" => editdist100(spark, src, out100)
+    case "orderstats100" => orderstats100(spark)
+    case "tram100" => tram100(spark, src)
     case other => throw new IllegalArgumentException(
       s"unknown 100x family '$other' (known: ${families100.mkString(", ")})")
+  }
+
+  /** 100x family twelve (VERDICT r11 item 4): the GlobalIndex two-pass
+    * order-statistics decomposition at 6M rows — ABOVE the auto
+    * threshold, so the range-partitioned + offset-seeded path itself
+    * executes (driver-SF oracles ride the plain-window branch; q262
+    * DuckDB-gates the forced path at small SF). The sort key is a
+    * bijective permutation of 0..n-1 (value = (id * p) mod n, p coprime
+    * to n), so every statistic has a CLOSED FORM checked exactly and
+    * distributed (one violation-sum aggregate each, nothing collected):
+    *   - global index ordered by value == value,
+    *   - running count (rows_excl) of 1s == value (NULL -> 0 on the
+    *     first row),
+    *   - range_excl over the 10-wide tie key value div 10 == 10 * key
+    *     (equal-key runs excluded together),
+    *   - ntile(k) == Spark's exact remainder arithmetic of rank value.
+    * Shape invariants: the decomposition emits > 1 output partition
+    * (never a one-task global sort) and the driver sees only the
+    * nPartitions prefix-combine longs by construction. */
+  def orderstats100(spark: SparkSession): Int = {
+    var failures = 0
+    val n = 6000000L
+    val p = 4999999L // coprime to 6e6; (id * p) mod n is a bijection
+    val base = spark.range(n)
+      .select(col("id"),
+        pmod(col("id") * p, lit(n)).as("value"),
+        (pmod(col("id") * p, lit(n)) / 10L).cast("long").as("tie10"),
+        lit(1L).as("one"))
+
+    def check(name: String, viol: => org.apache.spark.sql.DataFrame,
+              partsOf: org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val v = viol.collect()(0).getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val outParts = partsOf.rdd.getNumPartitions
+      val ok = v == 0L && outParts > 1
+      if (!ok) failures += 1
+      println(f"[scale-100x-ord] $name%-14s violations=$v out-partitions=$outParts " +
+        f"${sec}%7.2f s  ${if (ok) "OK" else "FAIL"}")
+    }
+
+    // 1. global index == value (bijection rank)
+    val gi = graft.operators.GlobalIndex.withGlobalIndexAuto(
+      base, "gi", Seq(col("value")), knownCount = n)
+    check("global-index",
+      gi.agg(sum(when(col("gi") =!= col("value"), 1L).otherwise(0L)).as("v")), gi)
+
+    // 2. running rows_excl count == value
+    val run = graft.operators.GlobalIndex.withRunningAuto(
+      base, "cum", "one", agg = "sum", frame = "rows_excl",
+      sortCols = Seq(col("value")), knownCount = n)
+    check("rows-excl-sum",
+      run.agg(sum(when(coalesce(col("cum"), lit(0L)) =!= col("value"), 1L)
+        .otherwise(0L)).as("v")), run)
+
+    // 3. range_excl over the 10-wide tie key == 10 * key
+    val rng = graft.operators.GlobalIndex.withRunningAuto(
+      base, "cumlt", "one", agg = "sum", frame = "range_excl",
+      sortCols = Seq(col("tie10"), col("id")), rangeKey = Some("tie10"),
+      knownCount = n)
+    check("range-excl-sum",
+      rng.agg(sum(when(coalesce(col("cumlt"), lit(0L)) =!= col("tie10") * 10L, 1L)
+        .otherwise(0L)).as("v")), rng)
+
+    // 4. ntile(7): Spark's exact remainder arithmetic of rank = value
+    val k = 7
+    val nt = graft.operators.GlobalIndex.withNtile(
+      base, "tile", k, Seq(col("value")), knownCount = n)
+    val bigB = n / k + 1
+    val rem = n % k
+    val expected = when(col("value") + 1 <= lit(rem * bigB),
+        (col("value")) / lit(bigB) + 1)
+      .otherwise(lit(rem) + (col("value") - lit(rem * bigB)) / lit(n / k) + 1)
+    check("ntile",
+      nt.agg(sum(when(col("tile").cast("long") =!= expected.cast("long"), 1L)
+        .otherwise(0L)).as("v")), nt)
+
+    println(s"[scale-100x-ord] rows=$n threshold=2000000 (two-pass path engaged)")
+    failures
+  }
+
+  /** 100x family thirteen (VERDICT r12 task 1): the distributed TRAM
+    * E-step over a bias table 60x past the driver cap — 12M samples,
+    * two ensembles, replicated map-side from the sf events dtraj.
+    * Invariants:
+    *   1. fitDistributed completes with all energies FINITE while the
+    *      sample RDD never reaches the driver (each sweep is ONE
+    *      treeAggregate whose partials are K x n logsumexp cells);
+    *   2. the capped landmark fit (200k of 12M samples, the r11-era
+    *      answer) agrees with the all-samples answer within the
+    *      sampling tolerance — the distributed path is the exact one;
+    *   3. fixed sweep count (maxErr = 0) so the job count is pinned. */
+  def tram100(spark: SparkSession, src: String): Int = {
+    var failures = 0
+    val copies = 120
+    val d = graft.core.Trajectories.dtrajFromEvents(spark, src)
+      .where(col("state") >= 0)
+    val nBase = d.count()
+    val biasVec = Seq(2.0, 1.5, 1.0, 0.5, 0.0)
+    def withBias(df: org.apache.spark.sql.DataFrame) = df.withColumn("bias",
+      array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
+    // map-side replication: each copy is a distinct trajectory universe
+    def rep(df: org.apache.spark.sql.DataFrame) =
+      spark.range(copies).crossJoin(df)
+        .select((col(graft.core.Trajectories.TrajCol) + col("id") * 1000000L)
+          .as(graft.core.Trajectories.TrajCol),
+          col(graft.core.Trajectories.TimeCol), col("state"), col("bias"))
+    val f0 = rep(withBias(d))
+    val f1 = rep(withBias(graft.lag.Lag.strided(d, 2)))
+    val nSamples = nBase * copies * 3 / 2 // both ensembles, one strided half
+
+    val sweeps = 6
+    val t0 = System.nanoTime()
+    val dist = graft.markov.Tram.fitDistributed(Seq(f0, f1), tau = 1,
+      nMarkov = 5, maxIter = sweeps, maxErr = 0.0)
+    val secD = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val capped = graft.markov.Tram.fit(
+      graft.markov.Tram.inputFromFrames(Seq(f0, f1), tau = 1, nMarkov = 5,
+        maxSamples = 200000),
+      maxIter = sweeps, maxErr = 0.0)
+    val secC = (System.nanoTime() - t1) / 1e9
+
+    val finite = (0 until 5).forall(i =>
+      java.lang.Double.isFinite(dist.markovStateEnergies(i)) &&
+        (0 until 2).forall(k => java.lang.Double.isFinite(dist.biasedConfEnergies(k, i))))
+    val gap = (0 until 5).map(i =>
+      math.abs(dist.markovStateEnergies(i) - capped.markovStateEnergies(i))).max
+    val okFinite = finite
+    val okGap = gap < 0.05
+    val okIters = dist.iterations == sweeps
+    if (!okFinite || !okGap || !okIters) failures += 1
+    println(f"[scale-100x-tram] samples=$nSamples (cap was 200000, ${nSamples / 200000}x past it)  " +
+      f"sweeps=${dist.iterations} distributed=${secD}%.1f s capped=${secC}%.1f s")
+    println(f"[scale-100x-tram] all-energies-finite=$finite  " +
+      f"capped-vs-distributed Linf=$gap%.4f (bound 0.05)  " +
+      s"${if (okFinite && okGap && okIters) "OK" else "FAIL"}")
+    failures
   }
 
   def main(args: Array[String]): Unit = {
