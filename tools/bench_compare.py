@@ -57,6 +57,15 @@ NOISE_RATIO_MAX = 3.0     # even a tiny-baseline entry over this ratio is a
                           # sub-200 ms query could regress ~2.5x forever and
                           # only ever show up in the printed noise section
 
+# Box-drift canaries (BASELINE.md r11 drift table): three stable,
+# code-untouched queries whose solo ratios track the VM's multi-hour
+# slowdown waves (observed 1.1-1.9x on identical binaries). The drift
+# coefficient is their median in-record ratio (or --drift X from a solo
+# pre-sweep trio); ratios are reported RAW (the cap protocol is
+# unchanged) and canary-NORMALIZED (raw / drift) so adjudication tables
+# shrink to genuinely anomalous queries.
+CANARIES = ["q153", "q163", "q91"]
+
 
 def _decode_queries(rec, allow_subset=False):
     """Per-query seconds from a bench record.
@@ -102,8 +111,20 @@ def _decode_queries(rec, allow_subset=False):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--subset"]
-    allow_subset = "--subset" in sys.argv[1:]
+    argv = sys.argv[1:]
+    allow_subset = "--subset" in argv
+    drift_arg = None
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--subset":
+            pass
+        elif argv[i] == "--drift":
+            drift_arg = float(argv[i + 1])
+            i += 1
+        else:
+            args.append(argv[i])
+        i += 1
     path = args[0]
     cap = float(args[1]) if len(args) > 1 else 2.0
     with open(path) as f:
@@ -144,19 +165,44 @@ def main():
     viol = [r for r in rows if r[3] and r[3] > cap and not is_noise(r)]
     noise = [r for r in rows if r[3] and r[3] > cap and is_noise(r)]
     new = [r for r in rows if r[3] is None]
+    raw_total = sum(r[1] for r in rows if r[2]) / sum(r[2] for r in rows if r[2])
     print(f"total {rec['value']:.1f}s over {len(qs)} queries; "
           f"baselined sum {sum(r[1] for r in rows if r[2]):.1f}s vs "
-          f"{sum(r[2] for r in rows if r[2]):.1f}s = "
-          f"{sum(r[1] for r in rows if r[2]) / sum(r[2] for r in rows if r[2]):.2f}x")
-    print(f"\ntop ratios (cap {cap}x):")
+          f"{sum(r[2] for r in rows if r[2]):.1f}s = {raw_total:.2f}x")
+
+    # canary drift coefficient: median of the canary trio's ratios
+    canary_rows = [(k, r) for k, _, _, r in rows if k in CANARIES and r]
+    if drift_arg is not None:
+        drift = drift_arg
+        print(f"canary drift coefficient: {drift:.2f}x (from --drift, "
+              f"solo pre-sweep trio)")
+    elif canary_rows:
+        rs = sorted(r for _, r in canary_rows)
+        drift = rs[len(rs) // 2] if len(rs) % 2 == 1 else \
+            (rs[len(rs) // 2 - 1] + rs[len(rs) // 2]) / 2.0
+        print("canary drift coefficient: "
+              f"{drift:.2f}x (median of in-record "
+              + ", ".join(f"{k} {r:.2f}x" for k, r in canary_rows) + ")")
+    else:
+        drift = 1.0
+        print("canary drift coefficient: none (canaries absent); raw == normalized")
+    drift = max(drift, 1e-9)
+    print(f"canary-normalized total: {raw_total / drift:.2f}x "
+          f"(raw {raw_total:.2f}x / drift {drift:.2f}x; violations are "
+          f"judged on RAW ratios — normalization is the adjudication aid)")
+
+    print(f"\ntop ratios (cap {cap}x; norm = raw / canary drift):")
     for row in rows[:15]:
         k, v, b, r = row
         flag = ""
         if r and r > cap:
             flag = (" <-- noise floor (not a violation)" if is_noise(row)
                     else " <-- VIOLATION")
+            if r and r / drift <= cap and "VIOLATION" in flag:
+                flag += " (under cap normalized — adjudicate solo)"
+        norm = f" norm {r / drift:.2f}x" if r else ""
         print(f"  {k}  {v:7.3f}s  base {b if b else '---':>7}  "
-              f"{f'{r:.2f}x' if r else 'new'}{flag}")
+              f"{f'{r:.2f}x' if r else 'new'}{norm}{flag}")
     if new:
         print("\nnew queries (no baseline yet): " +
               ", ".join(f"{k}={v:.3f}s" for k, v, _, _ in new))
