@@ -115,7 +115,15 @@ object Dedup {
     val buckets = banded.groupBy("band_idx", "band_hash")
       .agg(count(lit(1)).as("bucket_n"),
         graft.functions.MinK.minKLong(col(idCol), nHubs).as("hubs"))
-    val joined = banded.join(buckets, Seq("band_idx", "band_hash"))
+    // freeze the bucket-annotated banded frame (the r12
+    // bandedHammingCandidates rework, same rationale): THREE consumers
+    // below (small-bucket self-join l/r + the over-cap star branch)
+    // would otherwise each recompute the minhash-signature pipeline —
+    // the most expensive map-side work in the op — plus the bucket
+    // join. Narrow rows (id + band + hash + stats), deterministic;
+    // honors the reliable-checkpoint switch.
+    val joined = graft.util.Materialize.frozen(
+      banded.join(buckets, Seq("band_idx", "band_hash")))
     val small = joined.where(col("bucket_n") <= maxBucketSize)
     val l = small.select(col("band_idx"), col("band_hash"), col(idCol).as("a"))
     val r = small.select(col("band_idx"), col("band_hash"), col(idCol).as("b"))

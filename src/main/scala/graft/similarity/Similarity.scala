@@ -273,7 +273,12 @@ object Similarity {
     val buckets = banded.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("bucket_n"),
         graft.functions.MinK.minKLong(col(idCol), nHubs).as("hubs"))
-    val b = banded.join(buckets, Seq("tbl", "bucket"))
+    // frozen for the same reason as the minhash/simhash banded frames
+    // (r12): the small l/r legs and the star branch each re-derived the
+    // sign-plane bucketing + the bucket join; the frozen frame is
+    // (id, tbl, bucket, stats) — no vectors
+    val b = graft.util.Materialize.frozen(
+      banded.join(buckets, Seq("tbl", "bucket")))
     val small = b.where(col("bucket_n") <= maxBucketSize)
     val l = small.select(col("tbl"), col("bucket"), col(idCol).as("a"))
     val r = small.select(col("tbl"), col("bucket"), col(idCol).as("b"))
