@@ -469,9 +469,10 @@ object Tram {
     // row costs one trivial comparison there, while any guard placed
     // around `raw0` itself lands inside the checkpointed projection
     // where it measurably slows all three weight pipelines.
-    val withRaw = samples.withColumn("lw_raw",
-      when(col("state") < 0, negInf).otherwise(raw0))
-      .localCheckpoint() // reused by the normalizer aggregate and the output
+    val withRaw = graft.util.Materialize.frozen(
+      samples.withColumn("lw_raw",
+        when(col("state") < 0, negInf).otherwise(raw0)))
+      // frozen: reused by the normalizer aggregate and the output
       .withColumn("lw_raw", when(isnan(col("lw_raw")) ||
         col("lw_raw") === lit(Double.PositiveInfinity), negInf)
         .otherwise(col("lw_raw")))

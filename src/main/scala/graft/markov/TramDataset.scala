@@ -406,12 +406,13 @@ object TramDataset {
                      maxSamplesPerCell: Int = Int.MaxValue,
                      orderCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+import graft.util.Materialize.FrozenOps
     // localCheckpoint on BOTH branches: the (capped) frame feeds both
     // self-join legs AND the cell-count aggregate — unmaterialized, the
     // upstream pipeline (plus the per-cell window when capping) would
     // execute three times per call
     val capped =
-      if (maxSamplesPerCell == Int.MaxValue) samples.localCheckpoint()
+      if (maxSamplesPerCell == Int.MaxValue) samples.frozen()
       else {
         require(orderCols.nonEmpty,
           "maxSamplesPerCell needs orderCols for a deterministic cap")
@@ -421,7 +422,7 @@ object TramDataset {
         samples.withColumn("graft_cell_rn", row_number().over(w))
           .where(col("graft_cell_rn") <= maxSamplesPerCell)
           .drop("graft_cell_rn")
-          .localCheckpoint()
+          .frozen()
       }
     val a = capped.select(col("markov_state"), col("therm").as("k"),
       col("bias").as("bias_a"))

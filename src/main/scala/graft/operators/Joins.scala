@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.FrozenOps
 
 /** Temporal/interval join operators Spark lacks natively (the build
   * brief's "compose existing ops if semantics allow" rung — both of
@@ -328,7 +329,7 @@ object Joins {
                           bucketWidth: Long): DataFrame = {
     val pay = struct(col(rightTime).as("__mt"))
     val lrid = left.withColumn("__rid", monotonically_increasing_id())
-      .localCheckpoint()
+      .frozen()
     val prev = asofSkewCore(lrid, right, key, leftTime, rightTime,
       bucketWidth, pay, strict = false)
       .withColumnRenamed("__match", "__prev")

@@ -197,23 +197,25 @@ private[graft] object StreamingQueries extends QueryFamily {
         val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
         val tmax = ev.iterator.map(_._3).max
         val tmin = ev.iterator.map(_._3).min
-        (0 to 1).foreach { k =>
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 2
-          val lo = tmin + (tmax - tmin + 1) * k / 2
-          val cc = clicks.filter(e => e._3 >= lo && e._3 < hi)
-          val pp = purchases.filter(e => e._3 >= lo && e._3 < hi)
-          if (cc.nonEmpty) memC.addData(cc.toIndexedSeq: _*)
-          if (pp.nonEmpty) memP.addData(pp.toIndexedSeq: _*)
-          query.processAllAvailable()
-        }
-        // two sentinel rounds push the min-over-sources watermark far
-        // past tmax so every open click window provably closes
-        (1 to 2).foreach { k =>
-          val t = tmax + k * 86400000000L
-          memC.addData((-1L, -1L, t))
-          memP.addData((-1L, -1L, t))
-          query.processAllAvailable()
-        }
+        val mid = tmin + (tmax - tmin + 1) / 2
+        // THREE scheduling rounds (the q111/q170 r12 fold): the first
+        // far-future sentinel pair rides WITH the second data chunk —
+        // safe because the min-over-sources watermark after batch 1 is
+        // below mid, so no chunk-2 row is late and no still-matchable
+        // click window is pre-closed — then one sentinel round closes
+        // every real click window and flushes the unmatched tail.
+        def half(xs: Array[(Long, Long, Long)], lo: Long, hi: Long) =
+          xs.filter(e => e._3 >= lo && e._3 < hi)
+        memC.addData(half(clicks, tmin, mid).toIndexedSeq: _*)
+        memP.addData(half(purchases, tmin, mid).toIndexedSeq: _*)
+        query.processAllAvailable()
+        val s1 = tmax + 86400000000L
+        memC.addData((half(clicks, mid, tmax + 1) :+ ((-1L, -1L, s1))).toIndexedSeq: _*)
+        memP.addData((half(purchases, mid, tmax + 1) :+ ((-1L, -1L, s1))).toIndexedSeq: _*)
+        query.processAllAvailable()
+        memC.addData((-1L, -1L, s1 + 86400000000L))
+        memP.addData((-1L, -1L, s1 + 86400000000L))
+        query.processAllAvailable()
       } finally query.stop()
       s.table(sink).where(col("user_id") >= 0)
         .select(col("click_event_id"), col("user_id"),
@@ -492,15 +494,18 @@ private[graft] object StreamingQueries extends QueryFamily {
       try {
         val tmax = data.iterator.map(_._2).max
         val tmin = data.iterator.map(_._2).min
-        (0 to 1).foreach { k =>
-          val lo = tmin + (tmax - tmin + 1) * k / 2
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 2
-          val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
-          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
-          query.processAllAvailable()
-        }
+        val mid = tmin + (tmax - tmin + 1) / 2
+        // THREE scheduling rounds (q111's r12 fold, tumbling-window
+        // form): the first far-window sentinel rides WITH the second
+        // data chunk — safe because watermark(batch 1) = max(chunk 1) <
+        // mid, and any window containing a chunk-2 event (time >= mid)
+        // ends past mid, so nothing in batch 2 is late or pre-closed —
+        // then one eviction batch flushes every real window.
+        // Cross-batch state accumulation keeps its two data chunks.
         val sentinel = ((tmax / widthUs) + 1000L) * widthUs + 1L
-        mem.addData((-1L, sentinel))
+        mem.addData(data.filter(_._2 < mid).toIndexedSeq: _*)
+        query.processAllAvailable()
+        mem.addData((data.filter(_._2 >= mid) :+ ((-1L, sentinel))).toIndexedSeq: _*)
         query.processAllAvailable()
         mem.addData((-2L, sentinel + 1L))
         query.processAllAvailable()
@@ -594,18 +599,16 @@ private[graft] object StreamingQueries extends QueryFamily {
       try {
         val tmax = data.iterator.map(_._2).max
         val tmin = data.iterator.map(_._2).min
-        (0 to 1).foreach { k =>
-          val lo = tmin + (tmax - tmin + 1) * k / 2
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 2
-          val chunk = data.filter(r => r._2 >= lo && r._2 < hi)
-          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
-          query.processAllAvailable()
-        }
-        // sentinels land INSIDE one far-future day window (watermark
-        // advances past all real windows; the sentinel window itself
-        // never closes, so it is never emitted)
+        val mid = tmin + (tmax - tmin + 1) / 2
+        // THREE scheduling rounds (q111's r12 fold; see q172): the first
+        // far-window sentinel rides WITH the second data chunk, one
+        // eviction batch flushes every real window. Sentinels land
+        // INSIDE one far-future day window, which never closes, so it
+        // is never emitted.
         val sentinel = ((tmax / widthUs) + 1000L) * widthUs + 1L
-        mem.addData((-1L, sentinel))
+        mem.addData(data.filter(_._2 < mid).toIndexedSeq: _*)
+        query.processAllAvailable()
+        mem.addData((data.filter(_._2 >= mid) :+ ((-1L, sentinel))).toIndexedSeq: _*)
         query.processAllAvailable()
         mem.addData((-2L, sentinel + 1L))
         query.processAllAvailable()

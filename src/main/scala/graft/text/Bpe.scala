@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.FrozenOps
 
 import scala.collection.mutable
 
@@ -124,7 +125,7 @@ object Bpe {
   def wordFrequenciesWithTotals(docs: DataFrame, maxVocab: Int,
                                 textCol: String = "text"):
       (Array[(String, Long)], Long, Long) = {
-    val grouped = groupedWords(docs, textCol).localCheckpoint()
+    val grouped = groupedWords(docs, textCol).frozen()
     val t = grouped.agg(count(lit(1)).cast("long").as("nd"),
       sum(col("c")).cast("long").as("tot")).collect()(0)
     val wf = grouped.orderBy(col("c").desc, col("w").asc).limit(maxVocab)

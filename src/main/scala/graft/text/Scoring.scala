@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.FrozenOps
 
 /** Corpus-statistics document scoring for training-data curation:
   * n-gram language-model perplexity filtering (the CCNet/KenLM-style
@@ -76,10 +77,10 @@ object Scoring {
     // downstream broadcast build re-runs the corpus-wide explode (the
     // corpus would be scanned ~6x instead of 3x)
     val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+      .frozen()
     val ctx = big.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val t = tokens(docs, idCol, textCol)
-    val uni = t.groupBy("tok").agg(count(lit(1)).as("cu")).localCheckpoint()
+    val uni = t.groupBy("tok").agg(count(lit(1)).as("cu")).frozen()
     val totals = uni.agg(sum(col("cu")).as("t_total"), count(lit(1)).as("v"))
     val pBi = col("c12").cast("double") / col("c1").cast("double")
     val pUni = (col("cu") + lit(1)).cast("double") /
@@ -115,7 +116,7 @@ object Scoring {
     // totals agg and the broadcast build don't each re-run the corpus
     // explode + md5 bucket hash
     val buckets = grams.groupBy("b").agg(count(lit(1)).as("c_raw"),
-      sum(col("is_t")).as("c_t")).localCheckpoint()
+      sum(col("is_t")).as("c_t")).frozen()
     val totals = buckets.agg(sum(col("c_raw")).as("t_raw"), sum(col("c_t")).as("t_t"))
     val logRatio =
       log((col("c_t") + lit(1)).cast("double") / (col("t_t") + lit(nBuckets)).cast("double")) -

@@ -3,6 +3,7 @@ package graft.util
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Materialize.FrozenOps
 import graft.core.Trajectories.{TrajCol, TimeCol}
 
 /** Statistics utilities (reference util/stats.py): autocorrelation,
@@ -77,7 +78,7 @@ object Stats {
           org.apache.spark.sql.expressions.Window.orderBy(TrajCol)) - 1).cast("long"))
       else
         ids.orderBy(TrajCol).rdd.map(_.getLong(0)).zipWithIndex()
-          .toDF(TrajCol, "idx").localCheckpoint()
+          .toDF(TrajCol, "idx").frozen()
     // boot_id -> uniformly drawn source index, deterministic in (seed, id)
     val draws = spark.range(n).select(col("id").as("boot_id"),
       pmod(xxhash64(lit(seed), col("id")), lit(n)).as("idx"))
