@@ -162,33 +162,26 @@ object GlobalIndex {
   }
 
   /** Dispatch plumbing shared by the Auto entry points. Callers that
-    * already know the row count pass `knownCount` and skip both the
-    * count and any materialization — the pageRankDistributed pattern;
-    * q164 measured the avoidable recount at ~0.5 s. Otherwise: cache →
-    * count → hand the chosen path a frame it can consume without
-    * recomputing the input — then RELEASE the cache entry (previously it
-    * was left for LRU; q199's triple-nested ntile accumulated three
-    * cached plans per bench invocation in the long-lived 262-query
-    * session, competing with legitimate caches). Below the threshold the
-    * frame is model-sized, so freezing the cached rows is one cheap pass
-    * and the blocks are ContextCleaner-collected when the plan is
-    * released — unlike cacheManager entries, which live until an
-    * explicit unpersist. Above it the two-pass machinery freezes its own
-    * repartitioned copy eagerly before this returns, so the cache drops
-    * with nothing left lazy over it. */
+    * already know the row count pass `knownCount` and skip the count
+    * entirely — the pageRankDistributed pattern, and MANDATORY for
+    * chained calls (q233's triple ntile, q262's forced stack): with the
+    * count known, the plain-window branches are pure `withColumn`s that
+    * FUSE into one lazy plan, so a whole chain computes its input once.
+    * Without it, ONE uncached count job runs and the chosen path binds
+    * the original plan lazily (the input computes at most twice — once
+    * for the count, once at consumption; it is model-sized below the
+    * threshold by the operator's contract). NOTHING is cached or
+    * frozen here: the r12.0 shape cached + froze the input per call,
+    * which both accumulated state the ADVICE flagged AND cost an extra
+    * materialization pass per call (q174/q240/q241 measured 2.1-2.8x
+    * solo); the big path needs no pre-pass either, because
+    * withRunning/withGlobalIndex freeze their own repartitioned copy
+    * eagerly as their first step. */
   private def dispatched(df0: DataFrame, windowThreshold: Long, knownCount: Long)
                         (small: DataFrame => DataFrame)
                         (big: DataFrame => DataFrame): DataFrame = {
-    if (knownCount >= 0L) {
-      if (knownCount <= windowThreshold) small(df0) else big(df0)
-    } else {
-      val cached = df0.cache()
-      try {
-        if (cached.count() <= windowThreshold)
-          small(graft.util.Materialize.frozen(cached))
-        else big(cached) // eager freeze inside withRunning/withGlobalIndex
-      } finally cached.unpersist()
-    }
+    val n = if (knownCount >= 0L) knownCount else df0.count()
+    if (n <= windowThreshold) small(df0) else big(df0)
   }
 
   /** Size-dispatched running aggregate (duplicateClusters' crossover
@@ -242,21 +235,17 @@ object GlobalIndex {
                 knownCount: Long = -1L): DataFrame = {
     require(k > 0)
     // the big branch needs the realized count for the bucket arithmetic,
-    // so the dispatch helper is inlined here with the same release rule
-    val (df, n, release) =
-      if (knownCount >= 0L) (df0, knownCount, false)
-      else { val c = df0.cache(); (c, c.count(), true) }
+    // so the dispatch helper is inlined here (same no-cache rule)
+    val df = df0
+    val n = if (knownCount >= 0L) knownCount else df0.count()
     if (n <= windowThreshold) {
       import org.apache.spark.sql.expressions.Window
-      val in = if (release) graft.util.Materialize.frozen(df) else df
-      if (release) df.unpersist()
-      in.withColumn(outCol, ntile(k).over(Window.orderBy(sortCols: _*)))
+      df.withColumn(outCol, ntile(k).over(Window.orderBy(sortCols: _*)))
     } else {
       val base = n / k
       val rem = n % k
       val big = base + 1
       val indexed = withGlobalIndex(df, "__gi", sortCols: _*) // eager freeze inside
-      if (release) df.unpersist()
       val r = col("__gi") + 1 // 1-based global rank
       val bucket =
         if (base == 0L) r // n < k: one row per bucket, Spark's behavior

@@ -657,10 +657,15 @@ private[graft] object EventQueries extends QueryFamily {
       // rank + Spark's exact ntile arithmetic (customer cardinality at
       // 100 TB outgrows a single task's sort)
       import graft.operators.GlobalIndex.withNtile
+      // ONE count, passed through the chain: ntile never changes the row
+      // count, and with knownCount the three plain-window branches fuse
+      // into one lazy plan (the per-call dispatch count would recompute
+      // the rollup per level)
+      val nCust = perCust.count()
       val scored = withNtile(withNtile(withNtile(perCust,
-          "r", 5, Seq(col("recency"), col("cust"))),
-          "f", 5, Seq(col("freq").desc, col("cust"))),
-          "m", 5, Seq(col("monetary").desc, col("cust")))
+          "r", 5, Seq(col("recency"), col("cust")), knownCount = nCust),
+          "f", 5, Seq(col("freq").desc, col("cust")), knownCount = nCust),
+          "m", 5, Seq(col("monetary").desc, col("cust")), knownCount = nCust)
       scored.groupBy(col("r").cast("long").as("r"),
           col("f").cast("long").as("f"), col("m").cast("long").as("m"))
         .agg(count(lit(1)).as("n_customers"),
@@ -764,8 +769,9 @@ private[graft] object EventQueries extends QueryFamily {
     // GlobalIndex consumer is model-sized at driver SFs and takes the
     // plain-window branch, so the range-partitioned + offset-seeded
     // decomposition itself was spec-gated only. This query FORCES the
-    // two-pass path (windowThreshold = 0, the q258 forced-regime
-    // pattern) for all four shapes — running sum (rows_excl), running
+    // two-pass path (windowThreshold = -1 with the count passed once,
+    // the q258 forced-regime pattern) for all four shapes — running
+    // sum (rows_excl), running
     // sum over strictly-smaller keys (range_excl over a ties-heavy
     // integer key), global row index, and exact ntile — and DuckDB
     // replays them as the plain windows they must equal. ----------------
@@ -774,17 +780,21 @@ private[graft] object EventQueries extends QueryFamily {
       val perUser = Trajectories.events(s, dir)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_ev"))
+      // row count is invariant through the chain: count once, force the
+      // two-pass branch everywhere via threshold -1 < knownCount
+      val nUsers = perUser.count()
       val sortCols = Seq(col("n_ev").desc, col("user_id"))
       val a = GlobalIndex.withRunningAuto(perUser, "cum_prev", "n_ev",
         agg = "sum", frame = "rows_excl", sortCols = sortCols,
-        windowThreshold = 0L)
+        windowThreshold = -1L, knownCount = nUsers)
       val b = GlobalIndex.withRunningAuto(a, "cum_lt", "n_ev",
         agg = "sum", frame = "range_excl",
         sortCols = Seq(col("n_ev"), col("user_id")),
-        rangeKey = Some("n_ev"), windowThreshold = 0L)
+        rangeKey = Some("n_ev"), windowThreshold = -1L, knownCount = nUsers)
       val c = GlobalIndex.withGlobalIndexAuto(b, "gidx", sortCols,
-        windowThreshold = 0L)
-      GlobalIndex.withNtile(c, "tile", 7, sortCols, windowThreshold = 0L)
+        windowThreshold = -1L, knownCount = nUsers)
+      GlobalIndex.withNtile(c, "tile", 7, sortCols,
+        windowThreshold = -1L, knownCount = nUsers)
         .select(col("user_id"), col("n_ev"), col("cum_prev"), col("cum_lt"),
           col("gidx"), col("tile").cast("long").as("tile"))
     }),

@@ -826,14 +826,17 @@ private[graft] object PipelineQueries extends QueryFamily {
         .groupBy(col("cents")).agg(sum(col("qty")).as("q"))
       val tot = li.agg(sum(col("q")).as("qtot"))
       // size-dispatched cumulative quantity (distinct-cents frame;
-      // two-pass running sum past the model-sized threshold)
+      // two-pass running sum past the model-sized threshold). BOTH
+      // quantiles come from ONE conditional aggregate over the single
+      // cumulated frame — the r12.0 two-leg shape consumed the window
+      // twice, and with the dispatch cache gone (GlobalIndex no longer
+      // caches implicitly) each leg recomputed the sort (1.9x solo).
       val cum = graft.operators.GlobalIndex.withRunningAuto(li, "cq", "q",
           agg = "sum", frame = "rows_incl", sortCols = Seq(col("cents")))
         .crossJoin(broadcast(tot))
-      def quantile(frac: Double, name: String) = cum
-        .where(col("cq") * 2 >= col("qtot") * (2 * frac))
-        .agg(min(col("cents")).as(name))
-      quantile(0.5, "wp50_cents").crossJoin(quantile(0.9, "wp90_cents"))
+      def hit(frac: Double) = col("cq") * 2 >= col("qtot") * (2 * frac)
+      cum.agg(min(when(hit(0.5), col("cents"))).as("wp50_cents"),
+          min(when(hit(0.9), col("cents"))).as("wp90_cents"))
         .crossJoin(tot)
     }),
   )
