@@ -366,12 +366,15 @@ private[graft] object EventQueries extends QueryFamily {
     // replays the same group -> cumulate -> integer-div bucketing. ------
     "q174_equidepth_bins" -> ((s, dir) => {
       val ev = Trajectories.events(s, dir).select(col("value"))
-      val vals = ev.groupBy("value").agg(count(lit(1)).as("c"))
+      // the distinct-value frame has THREE consumers (the total
+      // aggregate, the dispatch count, the cumulative plan) — frozen
+      // once (q29 memoized-frame pattern) so the corpus aggregation
+      // runs a single time; the count is passed to the dispatch
+      val vals = graft.util.Materialize.frozen(
+        ev.groupBy("value").agg(count(lit(1)).as("c")))
+      val nVals = vals.count()
       // corpus total as an in-plan broadcast 1-row aggregate (q216/q235
-      // discipline), summed from the already-model-sized distinct-value
-      // frame. (Construction is NOT fully lazy here: withRunningAuto
-      // below performs its dispatch count eagerly — the price of the
-      // size dispatch when the caller has no count to pass.)
+      // discipline), summed from the already-model-sized frozen frame
       val n = broadcast(vals.agg(sum(col("c")).as("n_total")))
       // size-dispatched cumulative (GlobalIndex.withRunningAuto): the
       // distinct-value frame takes the plain window in one task while it
@@ -379,7 +382,8 @@ private[graft] object EventQueries extends QueryFamily {
       // above the threshold — an unbounded value domain (raw doubles at
       // web scale) can no longer funnel the frame through one task
       graft.operators.GlobalIndex.withRunningAuto(vals, "cb0", "c",
-          agg = "sum", frame = "rows_excl", sortCols = Seq(col("value")))
+          agg = "sum", frame = "rows_excl", sortCols = Seq(col("value")),
+          knownCount = nVals)
         .withColumn("cb", coalesce(col("cb0"), lit(0L)))
         .crossJoin(n)
         .withColumn("bucket", expr("(cb * 10) div n_total"))
@@ -657,12 +661,15 @@ private[graft] object EventQueries extends QueryFamily {
       // rank + Spark's exact ntile arithmetic (customer cardinality at
       // 100 TB outgrows a single task's sort)
       import graft.operators.GlobalIndex.withNtile
-      // ONE count, passed through the chain: ntile never changes the row
-      // count, and with knownCount the three plain-window branches fuse
-      // into one lazy plan (the per-call dispatch count would recompute
-      // the rollup per level)
-      val nCust = perCust.count()
-      val scored = withNtile(withNtile(withNtile(perCust,
+      // freeze the model-sized rollup once (the q29 memoized-frame
+      // pattern — eager blocks, ContextCleaner-collected, no cacheManager
+      // entry), then ONE count passed through the chain: ntile never
+      // changes the row count, and with knownCount the three plain-window
+      // branches fuse into one lazy plan over the frozen rows (the
+      // per-call dispatch count would recompute the rollup per level)
+      val perCustM = graft.util.Materialize.frozen(perCust)
+      val nCust = perCustM.count()
+      val scored = withNtile(withNtile(withNtile(perCustM,
           "r", 5, Seq(col("recency"), col("cust")), knownCount = nCust),
           "f", 5, Seq(col("freq").desc, col("cust")), knownCount = nCust),
           "m", 5, Seq(col("monetary").desc, col("cust")), knownCount = nCust)
