@@ -69,6 +69,23 @@ class MaterializeSpec extends SparkSpec with Matchers {
     rel shouldBe plain
   }
 
+  test("GlobalIndex Auto dispatch leaves NO cache entries behind " +
+    "(the r12 accumulation regression guard)") {
+    import spark.implicits._
+    val before = spark.sharedState.cacheManager.isEmpty
+    val df = (0 until 500).map(i => (i.toLong, (i * 7 % 50).toLong))
+      .toDF("id", "v").repartition(3)
+    // unknown count -> the dispatch runs its count; neither branch may
+    // cache (the r12.0 shape cached+froze per call: three nested calls
+    // accumulated three cached plans per bench invocation)
+    val a = graft.operators.GlobalIndex.withNtile(df, "t", 4, Seq(col("v"), col("id")))
+    val b = graft.operators.GlobalIndex.withRunningAuto(a, "r", "v",
+      agg = "sum", frame = "rows_incl", sortCols = Seq(col("v"), col("id")))
+    b.count()
+    if (before) assert(spark.sharedState.cacheManager.isEmpty,
+      "Auto dispatch left cached plans in the shared cacheManager")
+  }
+
   test("range_excl rejects sort orders that do not lead with the rangeKey") {
     import spark.implicits._
     val df = Seq((1L, 2L, 3L)).toDF("id", "key", "v")
