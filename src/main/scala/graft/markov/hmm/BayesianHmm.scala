@@ -109,21 +109,37 @@ object BayesianHmm {
       graft.util.QuantityStatistics.gather(samples, f, quantity, conf)
   }
 
+  /** Size crossover for the Gibbs sweep transport (the GlobalIndex Auto /
+    * duplicateClusters discipline): a Gibbs chain is inherently
+    * sequential — each sweep is one cluster-wide job whose useful work is
+    * tiny at driver SFs, so below this many TOTAL observations the
+    * trajectories are collected ONCE (id-sorted, model-sized by the
+    * bound) and every sweep runs driver-local with the SAME per-(sweep,
+    * traj) seeded RNG: counts are integer-valued, so the result is
+    * IDENTICAL to the distributed reduce, minus ~nSweeps × stride job
+    * launches. Above the bound, sweeps stay one-job-per-sweep with only
+    * O(m² + m·nObs) statistics reduced — the 100 TB shape. */
+  val LocalSweepThreshold: Long = 2000000L
+
   /** Gibbs sampler seeded from a maximum-likelihood model (the reference
     * initializes from an :class:`MaximumLikelihoodHMM` fit). `stride`
     * sweeps separate retained samples to decorrelate the chain. */
   def sample(dtraj: DataFrame, mlModel: Hmm.HmmModel, nObs: Int, nSamples: Int = 50,
              stride: Int = 2, reversible: Boolean = true, seed: Long = 42L,
-             priorPseudocount: Double = 1e-2): BayesianHmmPosterior = {
+             priorPseudocount: Double = 1e-2,
+             localThreshold: Long = LocalSweepThreshold): BayesianHmmPosterior = {
     val spark = dtraj.sparkSession
     import spark.implicits._
     val m = mlModel.transition.rows
-    val trajs: Dataset[(Long, Array[Int])] =
+    val grouped: Dataset[(Long, Array[Int])] =
       dtraj.select("traj_id", "t", "state").as[(Long, Long, Int)]
         .groupByKey(_._1)
         .mapGroups { (id, it) => (id, it.toArray.sortBy(_._2).map(_._3)) }
-        .cache()
-    trajs.count()
+    val localArr: Option[Array[(Long, Array[Int])]] =
+      if (dtraj.count() <= localThreshold) Some(grouped.collect().sortBy(_._1))
+      else None
+    val trajs = if (localArr.isEmpty) { val t = grouped.cache(); t.count(); t }
+                else grouped
 
     var a = mlModel.transition.copy
     var b = mlModel.emission.copy
@@ -136,12 +152,22 @@ object BayesianHmm {
       val bF = graft.linalg.LinAlg.toFlat(b)
       val piF = piV.toArray
       val sweepSeed = rng.nextLong()
-      val stats = trajs
-        .map { case (id, obs) =>
-          val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
-          ffbsCounts(obs, aF, bF, piF, m, nObs, trng)
-        }
-        .reduce((x, y) => x.merge(y))
+      // NOTE: the per-trajectory body is textually duplicated across the
+      // two branches because a shared local def would capture the module
+      // (non-serializable) into the distributed closure
+      val stats = localArr match {
+        case Some(arr) =>
+          arr.iterator.map { case (id, obs) =>
+            val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
+            ffbsCounts(obs, aF, bF, piF, m, nObs, trng)
+          }.reduce((x, y) => x.merge(y))
+        case None => trajs
+          .map { case (id, obs) =>
+            val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
+            ffbsCounts(obs, aF, bF, piF, m, nObs, trng)
+          }
+          .reduce((x, y) => x.merge(y))
+      }
       // (2) transition posterior
       val transCounts = graft.linalg.LinAlg.fromFlat(stats.trans, m) +:+ priorPseudocount
       a = if (reversible)
@@ -281,18 +307,27 @@ object BayesianHmm {
   def sampleGaussian(traj: DataFrame, mlModel: GaussianHmm.GaussianHmmModel,
                      nSamples: Int = 50, stride: Int = 2, reversible: Boolean = true,
                      seed: Long = 42L, valueCol: String = "value",
-                     priorPseudocount: Double = 1e-2): BayesianGaussianHmmPosterior = {
+                     priorPseudocount: Double = 1e-2,
+                     localThreshold: Long = LocalSweepThreshold): BayesianGaussianHmmPosterior = {
     val spark = traj.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val m = mlModel.transition.rows
-    val trajs: Dataset[(Long, Array[Double])] =
+    val grouped: Dataset[(Long, Array[Double])] =
       traj.select(col("traj_id").cast("long"), col("t").cast("long"),
           col(valueCol).cast("double")).as[(Long, Long, Double)]
         .groupByKey(_._1)
         .mapGroups { (id, it) => (id, it.toArray.sortBy(_._2).map(_._3)) }
-        .cache()
-    trajs.count()
+    // same crossover as `sample`: per-trajectory statistics are computed
+    // by identical seeded code either way; the id-sorted local merge and
+    // the distributed reduce differ only in float sum ORDER of (Σx, Σx²)
+    // partials — and the distributed order is itself nondeterministic, so
+    // callers already cannot rely on it
+    val localArr: Option[Array[(Long, Array[Double])]] =
+      if (traj.count() <= localThreshold) Some(grouped.collect().sortBy(_._1))
+      else None
+    val trajs = if (localArr.isEmpty) { val t = grouped.cache(); t.count(); t }
+                else grouped
 
     var a = mlModel.transition.copy
     var means = mlModel.means.clone()
@@ -306,12 +341,21 @@ object BayesianHmm {
       val meansF = means.clone(); val sigmasF = sigmas.clone()
       val piF = piV.toArray
       val sweepSeed = rng.nextLong()
-      val stats = trajs
-        .map { case (id, obs) =>
-          val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
-          ffbsGaussCounts(obs, aF, meansF, sigmasF, piF, m, trng)
-        }
-        .reduce((x, y) => x.merge(y))
+      // duplicated per-trajectory body: a shared local def would capture
+      // the module (non-serializable) into the distributed closure
+      val stats = localArr match {
+        case Some(arr) =>
+          arr.iterator.map { case (id, obs) =>
+            val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
+            ffbsGaussCounts(obs, aF, meansF, sigmasF, piF, m, trng)
+          }.reduce((x, y) => x.merge(y))
+        case None => trajs
+          .map { case (id, obs) =>
+            val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
+            ffbsGaussCounts(obs, aF, meansF, sigmasF, piF, m, trng)
+          }
+          .reduce((x, y) => x.merge(y))
+      }
       // (2) Gaussian emission posterior per state (reference order: μ with
       // the CURRENT σ, then σ with the NEW μ; skip empty states)
       for (k <- 0 until m) {

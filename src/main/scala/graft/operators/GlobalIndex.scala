@@ -61,20 +61,30 @@ object GlobalIndex {
     *   - "rows_incl"  = ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
     *   - "rows_excl"  = ROWS BETWEEN UNBOUNDED PRECEDING AND -1
     *   - "range_excl" = RANGE BETWEEN UNBOUNDED PRECEDING AND -1 over
-    *     `rangeKey` (strictly smaller keys only — equal-key runs are
-    *     never split across range partitions, so the cross-partition
-    *     offset is always strictly-smaller mass)
+    *     `rangeKey` (strictly smaller keys only — equal-key runs MAY
+    *     split across partitions; the driver walk below reconstructs
+    *     each partition's strictly-smaller offset and same-key seed)
     * An empty frame yields NULL, matching the window semantics. Ties in
     * the ROWS frames must be broken by the caller's sort columns
     * (include a unique key last), exactly like the window formulation
     * they replace.
     *
     * PRECONDITION (range_excl): `sortCols` must order by `rangeKey`
-    * FIRST. Partitioning is on the key alone, and the per-partition run
-    * tracking (k != lastKey) assumes equal-key rows are CONTIGUOUS in
-    * the partition sort — an interleaved order (some other column first)
-    * would over-commit same-key mass into the strictly-smaller frame.
-    * Enforced below against the head sort column's expression string. */
+    * FIRST — the per-partition run tracking (k != lastKey) assumes
+    * equal-key rows are CONTIGUOUS in the partition sort; an interleaved
+    * order (some other column first) would over-commit same-key mass
+    * into the strictly-smaller frame. Enforced below against the head
+    * sort column's leaf attribute (qualifier- and direction-insensitive).
+    *
+    * SKEW SAFETY (range_excl): partitioning uses the FULL sort tuple, so
+    * an equal-key run MAY split across partitions — a hot key holding
+    * half a 100 TB corpus spreads over many tasks instead of pinning one
+    * (the hot-partition rule). The cross-partition bookkeeping stays
+    * exact: a per-partition stats pass records (firstKey, lastKey,
+    * agg-below-lastKey, lastKey-run agg); a driver walk over those
+    * nPartitions tuples derives, for each partition, the strictly-
+    * smaller-key offset AND the earlier-partition mass of its first key,
+    * which seeds the local pending run so it commits only at key change. */
   def withRunning(df: DataFrame, runCol: String, aggCol: String,
                   agg: String, frame: String,
                   sortCols: Seq[Column], rangeKey: Option[String] = None): DataFrame = {
@@ -84,82 +94,129 @@ object GlobalIndex {
     require(frame != "range_excl" || rangeKey.nonEmpty,
       "range_excl needs the rangeKey column")
     require(frame != "range_excl" ||
-      sortCols.headOption.exists(c =>
-        c.toString == rangeKey.get || c.toString == col(rangeKey.get).toString),
+      sortCols.headOption.exists(c => headAttrName(c).contains(rangeKey.get)),
       s"range_excl requires sortCols to order by the rangeKey " +
         s"'${rangeKey.orNull}' first (got head sort column " +
         s"'${sortCols.headOption.orNull}'): equal-key runs must be " +
         "contiguous within partitions")
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    // range_excl partitions on the RANGE KEY ALONE: boundaries over the
-    // full sort tuple would split an equal-key run across partitions
-    // (different tie-break ids land either side of a (key, id) boundary),
-    // and the cross-partition offset would then include same-key mass —
-    // exactly the ties the frame must exclude. Partitioning on the key
-    // keeps every equal-key run whole; one run must fit a partition
-    // (far weaker than the single-task global sort this replaces).
-    val partCols = if (frame == "range_excl") Seq(col(rangeKey.get)) else sortCols
     val sorted = graft.util.Materialize.frozen(
-      df.repartitionByRange(n, partCols: _*)
+      df.repartitionByRange(n, sortCols: _*)
         .sortWithinPartitions(sortCols: _*))
     val schema = sorted.schema
     val aggIdx = schema.fieldIndex(aggCol)
-    val keyIdx = rangeKey.map(schema.fieldIndex)
-    def combine(a: Long, b: Long): Long = if (agg == "sum") a + b else math.max(a, b)
+    val isSum = agg == "sum"
+    def combine(a: Long, b: Long): Long = if (isSum) a + b else math.max(a, b)
+    def comb(a: Option[Long], b: Option[Long]): Option[Long] = (a, b) match {
+      case (Some(x), Some(y)) => Some(combine(x, y))
+      case (Some(x), None) => Some(x)
+      case (None, y) => y
+    }
     val rdd = sorted.rdd
-    val totals = rdd.mapPartitionsWithIndex({ (i, it) =>
-      var acc = Option.empty[Long]
-      it.foreach { r =>
-        val v = r.getLong(aggIdx)
-        acc = Some(acc.fold(v)(combine(_, v)))
-      }
-      Iterator.single((i, acc))
-    }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
-    // offsets(i) = combine of every partition strictly before i
-    val offsets = totals.scanLeft(Option.empty[Long]) { (o, t) =>
-      (o, t) match {
-        case (Some(a), Some(b)) => Some(combine(a, b))
-        case (Some(a), None) => Some(a)
-        case (None, b) => b
-      }
-    }.init
-    val bc = spark.sparkContext.broadcast(offsets)
-    val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var committed = bc.value(i) // agg over the frame's cross-partition part
-      var pending = Option.empty[Long] // range_excl: current equal-key run
-      var lastKey: Any = null
-      var started = false
-      def comb(a: Option[Long], b: Option[Long]): Option[Long] = (a, b) match {
-        case (Some(x), Some(y)) => Some(combine(x, y))
-        case (Some(x), None) => Some(x)
-        case (None, y) => y
-      }
-      it.map { r =>
-        val v = r.getLong(aggIdx)
-        val value: Option[Long] = frame match {
-          case "rows_incl" =>
-            committed = comb(committed, Some(v)); committed
-          case "rows_excl" =>
-            val before = committed
-            committed = comb(committed, Some(v)); before
-          case "range_excl" =>
-            val k = r.get(keyIdx.get)
-            if (!started || k != lastKey) {
-              committed = comb(committed, pending)
-              pending = None
-              lastKey = k
-              started = true
-            }
-            pending = comb(pending, Some(v))
-            committed
+    val out = if (frame != "range_excl") {
+      // ROWS frames: per-partition totals -> driver prefix-combine.
+      val totals = rdd.mapPartitionsWithIndex({ (i, it) =>
+        var acc = Option.empty[Long]
+        it.foreach { r => acc = comb(acc, Some(r.getLong(aggIdx))) }
+        Iterator.single((i, acc))
+      }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+      // offsets(i) = combine of every partition strictly before i
+      val offsets = totals.scanLeft(Option.empty[Long])(comb).init
+      val bc = spark.sparkContext.broadcast(offsets)
+      val incl = frame == "rows_incl"
+      rdd.mapPartitionsWithIndex { (i, it) =>
+        var committed = bc.value(i)
+        it.map { r =>
+          val v = r.getLong(aggIdx)
+          val value =
+            if (incl) { committed = comb(committed, Some(v)); committed }
+            else { val before = committed; committed = comb(committed, Some(v)); before }
+          Row.fromSeq(r.toSeq :+ value.map(Long.box).orNull)
         }
-        Row.fromSeq(r.toSeq :+ value.map(Long.box).orNull)
+      }
+    } else {
+      // RANGE frame, skew-safe: runs may span partitions. Stats pass
+      // (one tiny tuple per partition — never row-sized on the driver):
+      // (firstKey, lastKey, body = agg over keys strictly before lastKey,
+      //  tail = agg of the lastKey run). total(i) = comb(body, tail).
+      val keyIdx = schema.fieldIndex(rangeKey.get)
+      val stats: Array[Option[(Any, Any, Option[Long], Option[Long])]] =
+        rdd.mapPartitionsWithIndex({ (i, it) =>
+          var fk: Any = null; var lk: Any = null
+          var body = Option.empty[Long]; var run = Option.empty[Long]
+          var started = false
+          it.foreach { r =>
+            val k = r.get(keyIdx)
+            if (!started) { fk = k; lk = k; started = true }
+            else if (k != lk) { body = comb(body, run); run = None; lk = k }
+            run = comb(run, Some(r.getLong(aggIdx)))
+          }
+          Iterator.single((i, if (started) Some((fk, lk, body, run)) else None))
+        }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
+      // cumT(i) = agg over ALL rows in partitions strictly before i
+      val cumT = stats.map(_.flatMap(s => comb(s._3, s._4)))
+        .scanLeft(Option.empty[Long])(comb).init
+      val nP = stats.length
+      // For partition i with first key fk_i, walk earlier partitions
+      // backward while their LAST key still equals fk_i: their tail runs
+      // are earlier same-key mass (the pending seed, excluded from the
+      // strictly-smaller frame); the first partition that ends on a
+      // different — by range-partition order, strictly earlier — key
+      // closes the walk, and everything at or before it with key < fk_i
+      // is the committed offset. O(nPartitions) total driver longs.
+      val offBelow = Array.fill(nP)(Option.empty[Long])
+      val seed = Array.fill(nP)(Option.empty[Long])
+      val firstKeys = new Array[Any](nP)
+      for (i <- 0 until nP; s <- stats(i)) {
+        val fki = s._1
+        firstKeys(i) = fki
+        var sAcc = Option.empty[Long]
+        var j = i - 1
+        var open = true
+        while (j >= 0 && open) {
+          stats(j) match {
+            case None => j -= 1 // empty partition
+            case Some((fkj, lkj, bodyj, tailj)) =>
+              if (lkj == fki) {
+                sAcc = comb(tailj, sAcc) // same-key suffix of partition j
+                if (fkj == fki) j -= 1 // partition j is ENTIRELY the hot key
+                else { offBelow(i) = comb(cumT(j), bodyj); open = false }
+              } else { // lk_j sorts strictly before fk_i: all of j qualifies
+                offBelow(i) = comb(cumT(j), comb(bodyj, tailj)); open = false
+              }
+          }
+        }
+        seed(i) = sAcc
+      }
+      val bc = spark.sparkContext.broadcast((offBelow, seed, firstKeys))
+      rdd.mapPartitionsWithIndex { (i, it) =>
+        val (ob, sd, fks) = bc.value
+        var committed = ob(i) // strictly-smaller-key mass, cross-partition
+        var pending = sd(i) // current equal-key run (seeded w/ earlier mass)
+        var lastKey: Any = fks(i) // == first row's key by construction
+        it.map { r =>
+          val k = r.get(keyIdx)
+          if (k != lastKey) {
+            committed = comb(committed, pending)
+            pending = None
+            lastKey = k
+          }
+          pending = comb(pending, Some(r.getLong(aggIdx)))
+          Row.fromSeq(r.toSeq :+ committed.map(Long.box).orNull)
+        }
       }
     }
     spark.createDataFrame(out,
       schema.add(runCol, org.apache.spark.sql.types.LongType, nullable = true))
   }
+
+  /** Leaf attribute name of the head sort column via the ColumnNode walk
+    * in [[org.apache.spark.sql.GraftExpressionBridge.leafAttrName]] —
+    * qualifier- and sort-direction-insensitive (ADVICE r12); unrecognized
+    * shapes yield None and the require fails loud (the safe direction). */
+  private def headAttrName(c: Column): Option[String] =
+    org.apache.spark.sql.GraftExpressionBridge.leafAttrName(c)
 
   /** Dispatch plumbing shared by the Auto entry points. Callers that
     * already know the row count pass `knownCount` and skip the count
@@ -237,15 +294,23 @@ object GlobalIndex {
     // the big branch needs the realized count for the bucket arithmetic,
     // so the dispatch helper is inlined here (same no-cache rule)
     val df = df0
-    val n = if (knownCount >= 0L) knownCount else df0.count()
-    if (n <= windowThreshold) {
+    val nDispatch = if (knownCount >= 0L) knownCount else df0.count()
+    if (nDispatch <= windowThreshold) {
       import org.apache.spark.sql.expressions.Window
       df.withColumn(outCol, ntile(k).over(Window.orderBy(sortCols: _*)))
     } else {
+      val indexed = withGlobalIndex(df, "__gi", sortCols: _*) // eager freeze inside
+      // n is CORRECTNESS-load-bearing here (unlike the dispatch
+      // threshold): for an uncounted caller, derive it from the frozen
+      // indexed frame — a nondeterministic input plan (sample(),
+      // repartitionByRange-derived) re-evaluated after the dispatch
+      // count could otherwise hold a different row count than the one
+      // the bucket arithmetic was sized for (ADVICE r12). Counting
+      // materialized blocks is metadata-cheap.
+      val n = if (knownCount >= 0L) knownCount else indexed.count()
       val base = n / k
       val rem = n % k
       val big = base + 1
-      val indexed = withGlobalIndex(df, "__gi", sortCols: _*) // eager freeze inside
       val r = col("__gi") + 1 // 1-based global rank
       val bucket =
         if (base == 0L) r // n < k: one row per bucket, Spark's behavior

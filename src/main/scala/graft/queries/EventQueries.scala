@@ -805,6 +805,33 @@ private[graft] object EventQueries extends QueryFamily {
         .select(col("user_id"), col("n_ev"), col("cum_prev"), col("cum_lt"),
           col("gidx"), col("tile").cast("long").as("tile"))
     }),
+
+    // ---- forced two-pass range_excl under a PLANTED HOT TIE-RUN (q264):
+    // q262's range key (n_ev) is ties-heavy but never skewed, so the
+    // skew-safe split-run bookkeeping (seeded pending + strictly-smaller
+    // offsets across a run spanning partitions) was audit-gated only.
+    // The q181 skew mapping puts ~80% of all events on ONE range key;
+    // the forced two-pass path must split that run and still equal the
+    // plain RANGE windows DuckDB replays — both aggs (sum + max)
+    // cumulate over strictly-smaller keys. -------------------------------
+    "q264_orderstats_hot_ties" -> ((s, dir) => {
+      import graft.operators.GlobalIndex
+      val ev = Trajectories.events(s, dir)
+        .select(col("event_id"),
+          when(col("user_id") % 10 < 8, 0L)
+            .otherwise(col("user_id") % 97L).as("hkey"),
+          lit(1L).as("one"))
+      val nEv = ev.count()
+      val sortCols = Seq(col("hkey"), col("event_id"))
+      val a = GlobalIndex.withRunningAuto(ev, "cum_lt", "one", agg = "sum",
+        frame = "range_excl", sortCols = sortCols, rangeKey = Some("hkey"),
+        windowThreshold = -1L, knownCount = nEv)
+      val b = GlobalIndex.withRunningAuto(a, "max_lt", "event_id",
+        agg = "max", frame = "range_excl", sortCols = sortCols,
+        rangeKey = Some("hkey"), windowThreshold = -1L, knownCount = nEv)
+      b.where(col("event_id") % 13 === 0)
+        .select(col("event_id"), col("hkey"), col("cum_lt"), col("max_lt"))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -868,6 +895,21 @@ private[graft] object EventQueries extends QueryFamily {
            CAST(ROW_NUMBER() OVER (ORDER BY n_ev DESC, user_id) - 1 AS BIGINT) AS gidx,
            CAST(NTILE(7) OVER (ORDER BY n_ev DESC, user_id) AS BIGINT) AS tile
          FROM p""",
+
+    // Hot-tie-run twin: the same skewed range key replayed as plain RANGE
+    // windows (sum + max over strictly-smaller keys).
+    "q264_orderstats_hot_ties" ->
+      """WITH e AS (SELECT event_id,
+             CASE WHEN user_id % 10 < 8 THEN CAST(0 AS BIGINT)
+                  ELSE user_id % 97 END AS hkey
+           FROM events),
+         w AS (SELECT event_id, hkey,
+             CAST(sum(1) OVER (ORDER BY hkey
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS cum_lt,
+             CAST(max(event_id) OVER (ORDER BY hkey
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS max_lt
+           FROM e)
+         SELECT event_id, hkey, cum_lt, max_lt FROM w WHERE event_id % 13 = 0""",
 
     // LOCF twin: slot-last selection, per-user grid span, IGNORE NULLS
     // carry-forward.

@@ -1313,6 +1313,33 @@ object ScaleAudit {
       nt.agg(sum(when(col("tile").cast("long") =!= expected.cast("long"), 1L)
         .otherwise(0L)).as("v")), nt)
 
+    // 5. planted hot tie-run (VERDICT r13 task 1): HALF the corpus on ONE
+    // range_excl key — under the old key-only partitioning this run was
+    // required to fit a single task (the hot-partition failure mode at a
+    // low-cardinality cumulate key); the skew-safe bookkeeping must split
+    // it across partitions while the cumulate stays closed-form exact:
+    // hkey = 0 for value < n/2, else value div 10 (10-wide cold keys), so
+    // cum_lt = NULL->0 on the hot key and 10*hkey everywhere else
+    // (3M hot rows + (10*hkey - 3M) cold rows below).
+    val hot = base.withColumn("hkey",
+      when(col("value") < n / 2, 0L)
+        .otherwise((col("value") / 10L).cast("long")))
+    val hotRun = graft.operators.GlobalIndex.withRunningAuto(
+      hot, "cum", "one", agg = "sum", frame = "range_excl",
+      sortCols = Seq(col("hkey"), col("id")), rangeKey = Some("hkey"),
+      knownCount = n)
+    val expHot = when(col("hkey") === 0L, 0L).otherwise(col("hkey") * 10L)
+    check("hot-tie-range",
+      hotRun.agg(sum(when(coalesce(col("cum"), lit(0L)) =!= expHot, 1L)
+        .otherwise(0L)).as("v")), hotRun)
+    val partRows = hotRun.rdd
+      .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+    val maxPart = partRows.max
+    val okSplit = maxPart < n / 8 // hot run is n/2: one-task run refuted 4x over
+    if (!okSplit) failures += 1
+    println(f"[scale-100x-ord] hot-run-split  max-partition-rows=$maxPart " +
+      f"(hot run ${n / 2}, bound ${n / 8})  ${if (okSplit) "OK" else "FAIL"}")
+
     println(s"[scale-100x-ord] rows=$n threshold=2000000 (two-pass path engaged)")
     failures
   }

@@ -10,4 +10,27 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftExpressionBridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Leaf attribute name of a (possibly qualified / sort-directed) column:
+    * `col("k")`, `df("k")`, `col("t.k")`, `col("k").asc` all yield "k" —
+    * used by stringly-typed preconditions (GlobalIndex range_excl) so a
+    * resolved or direction-wrapped column is not false-rejected (ADVICE
+    * r12). Non-attribute shapes yield None (callers fail loud). */
+  def leafAttrName(c: Column): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, SortOrder => CatSortOrder}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => CatAttr}
+    def fromExpr(e: Expression): Option[String] = e match {
+      case s: CatSortOrder => fromExpr(s.child)
+      case a: AttributeReference => Some(a.name)
+      case u: CatAttr => u.nameParts.lastOption
+      case _ => None
+    }
+    def fromNode(n: internal.ColumnNode): Option[String] = n match {
+      case s: internal.SortOrder => fromNode(s.child)
+      case u: internal.UnresolvedAttribute => u.nameParts.lastOption
+      case e: classic.ExpressionColumnNode => fromExpr(e.expression)
+      case _ => None
+    }
+    fromNode(c.node)
+  }
 }

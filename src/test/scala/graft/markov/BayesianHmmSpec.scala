@@ -48,6 +48,37 @@ class BayesianHmmSpec extends SparkSpec with Matchers {
     meanA11 shouldBe 0.94 +- 0.05
   }
 
+  test("local-sweep crossover matches the distributed reduce: discrete " +
+    "posteriors bit-identical, Gaussian within float-merge-order ulps") {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(17L)
+    val disc = (0 until 3).flatMap { id =>
+      (0 until 400).map(t => (id.toLong, t.toLong, rng.nextInt(4)))
+    }.toDF("traj_id", "t", "state")
+    val mlD = Hmm.fit(disc, 2, 4, 1, maxIter = 5)
+    def runD(th: Long) = BayesianHmm.sample(disc, mlD, nObs = 4, nSamples = 5,
+      seed = 7L, localThreshold = th).samples
+    val (dLoc, dDist) = (runD(Long.MaxValue), runD(0L))
+    dLoc.zip(dDist).foreach { case (x, y) =>
+      x.transition.toArray shouldBe y.transition.toArray // integer-count stats: exact
+      x.emission.toArray shouldBe y.emission.toArray
+      x.initial.toArray shouldBe y.initial.toArray
+    }
+    val cont = (0 until 3).flatMap { id =>
+      (0 until 400).map(t => (id.toLong, t.toLong, rng.nextGaussian() + (t % 2) * 3.0))
+    }.toDF("traj_id", "t", "value")
+    val mlG = GaussianHmm.fit(cont, 2, "value", maxIter = 5)
+    def runG(th: Long) = BayesianHmm.sampleGaussian(cont, mlG, nSamples = 5,
+      seed = 7L, localThreshold = th).samples
+    val (gLoc, gDist) = (runG(Long.MaxValue), runG(0L))
+    gLoc.zip(gDist).foreach { case (x, y) =>
+      x.means.zip(y.means).foreach { case (p, q) => p shouldBe q +- 1e-9 }
+      x.sigmas.zip(y.sigmas).foreach { case (p, q) => p shouldBe q +- 1e-9 }
+      x.transition.toArray.zip(y.transition.toArray)
+        .foreach { case (p, q) => p shouldBe q +- 1e-9 }
+    }
+  }
+
   test("Gaussian-output posterior recovers (mu, sigma) on a 2-state chain") {
     import spark.implicits._
     // well-separated Gaussian emissions: state 0 ~ N(-1, 0.4), state 1 ~ N(2, 0.6)

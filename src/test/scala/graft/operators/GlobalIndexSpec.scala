@@ -79,6 +79,71 @@ class GlobalIndexSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("range_excl splits a hot equal-key run across partitions and still " +
+    "matches the window (skew-safe seed/offset bookkeeping)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(31)
+    // 70% of rows on ONE key: with 32 shuffle partitions over 4000 rows
+    // the hot run (2800 rows) MUST span many partitions under full-tuple
+    // range partitioning — the exact regime the old key-only partitioning
+    // could not survive at scale (one run pinned to one task).
+    val df = (0 until 4000).map { i =>
+      val key = if (rnd.nextInt(10) < 7) 13L else rnd.nextInt(40).toLong
+      (i.toLong, key, rnd.nextInt(1000).toLong + 1)
+    }.toDF("id", "key", "v").repartition(9)
+    def canon(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("id"), col(c)).collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val wRange = Window.orderBy(col("key"))
+    for (agg <- Seq("sum", "max")) {
+      val fn = if (agg == "sum") sum(col("v")) else max(col("v"))
+      withClue(s"agg=$agg: ") {
+        canon(GlobalIndex.withRunning(df, "r", "v", agg, "range_excl",
+          Seq(col("key"), col("id")), rangeKey = Some("key")), "r") shouldBe
+          canon(df.withColumn("r", fn.over(
+            wRange.rangeBetween(Window.unboundedPreceding, -1))), "r")
+      }
+    }
+    // hot run actually split: no output partition holds >= the hot mass
+    val out = GlobalIndex.withRunning(df, "r", "v", "sum", "range_excl",
+      Seq(col("key"), col("id")), rangeKey = Some("key"))
+    val parts = out.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    val hot = df.where(col("key") === 13L).count()
+    assert(parts.max < hot,
+      s"hot run (${hot} rows) fit one partition (max part ${parts.max}) — " +
+        "the skew regime was not exercised")
+  }
+
+  test("range_excl precondition accepts qualified / sort-directed head " +
+    "columns and rejects a non-key head") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, (i % 5).toLong, 1L))
+      .toDF("id", "key", "v")
+    def run(head: org.apache.spark.sql.Column) =
+      GlobalIndex.withRunning(df, "r", "v", "sum", "range_excl",
+        Seq(head, col("id")), rangeKey = Some("key")).count()
+    run(col("key")) shouldBe 100
+    run(df("key")) shouldBe 100 // resolved/qualified column
+    run(col("key").asc) shouldBe 100 // explicit sort direction
+    an[IllegalArgumentException] should be thrownBy run(col("id"))
+  }
+
+  test("withNtile big branch with an uncounted caller derives n from the " +
+    "frozen indexed frame (correct buckets without knownCount)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (0 until 303).map(i => (i.toLong, (i * 7 % 101).toLong))
+      .toDF("id", "v").repartition(5)
+    val got = GlobalIndex.withNtile(df, "b", 4, Seq(col("v"), col("id")),
+        windowThreshold = 0L) // forced big branch, knownCount defaulted
+      .select("id", "b").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val exp = df.withColumn("b", ntile(4).over(Window.orderBy(col("v"), col("id"))))
+      .select("id", "b").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    got shouldBe exp
+  }
+
   test("withRunningAuto and withGlobalIndexAuto: both dispatch paths agree") {
     import spark.implicits._
     val df = (0 until 800).map(i => (i.toLong, (i * 13 % 50).toLong, (i % 7 + 1).toLong))

@@ -88,6 +88,63 @@ class PlanChecksSpec extends SparkSpec with Matchers {
     leaked shouldBe empty
   }
 
+  test("GlobalIndex Auto-dispatch contract: a knownCount chain runs ZERO " +
+    "jobs at build time and fuses into one plan; an uncounted call runs " +
+    "exactly ONE count job (the r12.0 cache+freeze regression class)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.GlobalIndex
+    val df = spark.range(1000).select(col("id"), (col("id") % 97).as("v"))
+      .repartition(4)
+    val n = df.count()
+    // job attribution via job groups; listener-bus delivery is async, so
+    // poll until the group's job count is stable
+    def jobsDuring(tag: String)(body: => org.apache.spark.sql.DataFrame)
+        : (Int, org.apache.spark.sql.DataFrame) = {
+      val sc = spark.sparkContext
+      val g = s"dispatch-guard-$tag"
+      sc.setJobGroup(g, g, interruptOnCancel = false)
+      val out = try body finally sc.clearJobGroup()
+      def read() = sc.statusTracker.getJobIdsForGroup(g).length
+      var last = read(); var stable = 0
+      val deadline = System.nanoTime() + 5000000000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = read()
+        if (cur == last) stable += 1 else { last = cur; stable = 0 }
+      }
+      (last, out)
+    }
+    val sorted = Seq(col("v"), col("id"))
+    // chained Auto calls with knownCount passed: pure withColumn stack —
+    // NOTHING may count, cache, or freeze (q233's triple ntile shape)
+    val (jChain, chained) = jobsDuring("chain") {
+      GlobalIndex.withNtile(GlobalIndex.withNtile(GlobalIndex.withRunningAuto(
+        df, "cum", "v", "sum", "rows_excl", sorted, knownCount = n),
+        "t1", 4, sorted, knownCount = n), "t2", 5, sorted, knownCount = n)
+    }
+    jChain shouldBe 0
+    // ...and the stacked windows fuse into ONE plan over ONE input scan
+    val plan = chained.queryExecution.executedPlan.toString()
+    withClue(s"--- plan ---\n$plan\n---\n") {
+      "Range \\(".r.findAllIn(plan).length shouldBe 1
+      plan should include("ntile(4)")
+      plan should include("ntile(5)")
+    }
+    // an uncounted single Auto call: exactly the jobs of ONE count action
+    // (AQE splits a count over a shuffled frame into several jobs, so the
+    // baseline is measured the same way), never a second evaluation or a
+    // freeze pass on top
+    val (jCount, _) = jobsDuring("baseline") { df.count(); df }
+    val (jOne, _) = jobsDuring("one") {
+      GlobalIndex.withRunningAuto(df, "cum", "v", "sum", "rows_excl", sorted)
+    }
+    jOne shouldBe jCount
+    // no cache entries left behind (the MaterializeSpec invariant, pinned
+    // here too so the dispatch path can't silently regrow an implicit
+    // cache)
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+  }
+
   test("post-execution: BPE word-frequency scan is map-side combined — " +
     "the exchange ships vocab-bounded partials, not the corpus word " +
     "stream (text100's invariant)") {

@@ -120,11 +120,21 @@ def main():
         if argv[i] == "--subset":
             pass
         elif argv[i] == "--drift":
-            drift_arg = float(argv[i + 1])
+            if i + 1 >= len(argv):
+                print("usage: --drift X (solo canary-trio median ratio, e.g. --drift 1.23)")
+                sys.exit(2)
+            try:
+                drift_arg = float(argv[i + 1])
+            except ValueError:
+                print(f"usage: --drift X — got non-numeric '{argv[i + 1]}'")
+                sys.exit(2)
             i += 1
         else:
             args.append(argv[i])
         i += 1
+    if not args:
+        print("usage: bench_compare.py <bench.log|bench.json> [cap] [--subset] [--drift X]")
+        sys.exit(2)
     path = args[0]
     cap = float(args[1]) if len(args) > 1 else 2.0
     with open(path) as f:
@@ -206,6 +216,19 @@ def main():
     if new:
         print("\nnew queries (no baseline yet): " +
               ", ".join(f"{k}={v:.3f}s" for k, v, _, _ in new))
+        # first-appearance wave guard (VERDICT r12 task 7): q262's first
+        # baseline was recorded during a measured ~1.7x drift wave and only
+        # got corrected because its harness happened to change later. A
+        # first-appearance number captured while the canary trio runs hot
+        # is inflated by construction — flag it HERE, at recording time,
+        # and the protocol re-measures at the next quiet window (both
+        # numbers recorded in BASELINE.md).
+        if drift > 1.5:
+            print(f"  *** WAVE GUARD: canary drift {drift:.2f}x > 1.5x — these "
+                  f"timings are drift-inflated; do NOT record them as "
+                  f"first-appearance baselines. Re-measure solo at the next "
+                  f"quiet window (drift <= 1.5x) before adding to "
+                  f"tools/baselines.json.")
     if noise:
         print(f"\nnoise-floor entries over cap (baseline < "
               f"{NOISE_BASELINE_S*1000:.0f} ms and delta < "
