@@ -7,6 +7,14 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_RELIABLE=true runs the WHOLE oracle battery with
+    // Materialize's reliable-checkpoint path engaged (the preemptible-
+    // cluster configuration): every frozen frame goes through a real fs
+    // checkpoint instead of localCheckpoint, so the flag's end-to-end
+    // correctness is oracle-gated, not just MaterializeSpec's frame-
+    // identity pin. Checkpoint dir: $SPARK_GRAFT_CHECKPOINT_DIR or a
+    // temp dir (an HDFS/object-store path on a real cluster).
+    val reliable = sys.env.get("SPARK_GRAFT_RELIABLE").exists(_.toBoolean)
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")
@@ -15,9 +23,16 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long (used only
       // for ordering, where long-of-nanos sorts identically)
+      .config(graft.util.Materialize.ReliableConfKey, reliable.toString)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (reliable) {
+      val ckpt = sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR",
+        Files.createTempDirectory("graft_ckpt").toString)
+      spark.sparkContext.setCheckpointDir(ckpt)
+      System.err.println(s"[verify] reliable-checkpoint mode: dir=$ckpt")
+    }
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for fast targeted local checks
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

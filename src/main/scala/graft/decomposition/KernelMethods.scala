@@ -165,7 +165,11 @@ object Kvad {
   case class KvadModel(singularValues: Array[Double],
                        singularVectors: DenseMatrix[Double],
                        koopmanMatrix: DenseMatrix[Double],
-                       score: Double)
+                       score: Double,
+                       /** landmark-subset size the gram side actually used
+                         * (the KernelData cap contract, audited by
+                         * kernel100) */
+                       nLandmarks: Int)
 
   def fit(traj: DataFrame, kernel: Kernel, tau: Int, chi: Observable,
           inputDim: Int, dim: Int = -1, epsilon: Double = 1e-6,
@@ -210,7 +214,7 @@ object Kvad {
     val block = (fX.t * fY) / n.toDouble
     (0 until kk).foreach(i => (0 until kk).foreach(j => km(i + 1, j + 1) = block(i, j)))
     val score = bsum(sv) + bsum(gyy) / (n.toDouble * n)
-    KvadModel(sv.toArray, u, km, score)
+    KvadModel(sv.toArray, u, km, score, n)
   }
 
   /** Evaluate an Observable on a single driver-side row by round-tripping

@@ -363,15 +363,23 @@ object Similarity {
     // the fused native cosine reads the tinyint elements directly (one
     // loop, zero allocation — the three-dot quantizedCosine form costs
     // ~10x here); scales cancel, so it equals quantizedCosine on every
-    // nonzero vector, and a zero q is impossible for a nonzero v (the
-    // max-magnitude element always rounds to +-127)
+    // vector with a nonzero code. A nonzero v CAN still quantize to the
+    // all-zero code (max|element| below ~3.9e-303 underflows the 1e-300
+    // scale floor): there qcos = 0 by the zero-denominator convention
+    // and rho = 1, so m >= 2 puts the pair IN the band and the float64
+    // re-check decides it exactly (QuantBoundSpec pins this regime).
+    // Certification must never fire on a non-finite qcos/m, so `sure`
+    // requires finiteness explicitly rather than leaning on Spark's
+    // NaN-ordering semantics, and non-finite band values route to the
+    // exact re-check.
+    val qcosBad = isnan(col("qcos")) || isnan(col("m"))
     val cand = graft.util.Materialize.frozen(
       l.join(r, Seq("cell")).where(col("a") < col("b"))
         .select(col("a"), col("b"),
           cosine(col("qa"), col("qb")).as("qcos"), m.as("m"))
-        .where(col("qcos") >= lit(tau) - col("m"))
+        .where(qcosBad || col("qcos") >= lit(tau) - col("m"))
         .select(col("a"), col("b"),
-          (col("qcos") >= lit(tau) + col("m")).as("sure")))
+          (!qcosBad && col("qcos") >= lit(tau) + col("m")).as("sure")))
     val sureB = cand.where(col("sure")).select(col("b"))
     val va = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
     val vb = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))

@@ -1216,7 +1216,7 @@ object ScaleAudit {
   val families100: Vector[String] = Vector("minhash100", "ann100",
     "editdist100", "text100", "graph100", "substring100", "asof100",
     "contamination100", "moments100", "multimodal100", "orderstats100",
-    "tram100", "streaming100")
+    "tram100", "kernel100", "streaming100")
 
   /** Run one named 100x family; returns its failure count. */
   def run100x(spark: SparkSession, family: String, src: String,
@@ -1234,6 +1234,7 @@ object ScaleAudit {
     case "editdist100" => editdist100(spark, src, out100)
     case "orderstats100" => orderstats100(spark)
     case "tram100" => tram100(spark, src)
+    case "kernel100" => kernel100(spark, src)
     case other => throw new IllegalArgumentException(
       s"unknown 100x family '$other' (known: ${families100.mkString(", ")})")
   }
@@ -1400,6 +1401,129 @@ object ScaleAudit {
     println(f"[scale-100x-tram] all-energies-finite=$finite  " +
       f"capped-vs-distributed Linf=$gap%.4f (bound 0.05)  " +
       s"${if (okFinite && okGap && okIters) "OK" else "FAIL"}")
+    failures
+  }
+
+  /** 100x family fourteen (VERDICT r12 task 5): the T x T kernel-gram
+    * methods (KernelEDMD / KernelCCA / KVAD) under the landmark contract
+    * at a ~100x corpus. The hard-part contract
+    * (decomposition/KernelMethods.scala KernelData) says gram methods are
+    * inherently O(T^2) driver memory, so at scale they run on a bounded
+    * landmark subset drawn by a DISTRIBUTED seeded hash + limit — never a
+    * full collect. Invariants:
+    *   1. the collected landmark set never exceeds maxLandmarks, and
+    *      lands within the hash-sample variance band below it
+    *      (>= 0.75 * cap), at a corpus ~16,000x the cap;
+    *   2. landmark-estimate CONVERGENCE (the tram100 capped-vs-exact
+    *      pattern): a 2x-cap refit moves the leading spectrum by less
+    *      than a stated bound — KernelCCA top-3 canonical correlations,
+    *      KernelEDMD top-3 |eigenvalue|, KVAD score (relative);
+    *   3. wall time stays landmark-dominated (printed; the distributed
+    *      part is one count + one bounded scan per fit). */
+  def kernel100(spark: SparkSession, src: String): Int = {
+    var failures = 0
+    // Corpus: 9.6M frames of Ornstein-Uhlenbeck, generated DISTRIBUTED
+    // (one task per trajectory — the engine's own 100TB-shape source)
+    // rather than replicated testdata: the OU Koopman spectrum is
+    // ANALYTIC (eigenvalues a1^k with a1 = (1-alpha h)^nSteps under
+    // exact Euler-Maruyama AR(1)), so landmark convergence is checked
+    // against ground truth, not just self-consistency. Lineitem features
+    // were tried first and rejected: their lagged pairs carry ~zero true
+    // temporal correlation, so the sub-leading kernel spectrum there is
+    // pure sampling noise decaying ~1/sqrt(m) (measured 0.38 at m=400 ->
+    // 0.27 at m=800) — a drift gate on noise pins nothing.
+    val h = 0.01; val nSteps = 10
+    val a1 = math.pow(1.0 - h, nSteps) // lag-1 AR(1) factor ~0.9044
+    val traj = graft.data.Generators.trajectories(spark,
+        graft.data.Generators.OrnsteinUhlenbeck(), Array(Array(0.0)),
+        nTraj = 640, length = 15000, seed = 17L, h = h, nSteps = nSteps)
+      .where(col(graft.core.Trajectories.TimeCol) >= 200) // burn-in
+      .localCheckpoint()
+    val nRows = traj.count()
+    val cap = 400
+    println(f"[scale-100x-kernel] corpus rows=$nRows (~${nRows / cap}x the " +
+      f"$cap-landmark cap), analytic a1=$a1%.4f")
+    val kern = graft.kernels.GaussianKernel(0.5)
+
+    def gate(name: String, landmarks1: Int, landmarks2: Int,
+             drift: Double, bound: Double, sec: Double): Unit = {
+      val okCap = landmarks1 <= cap && landmarks1 >= (cap * 3) / 4 &&
+        landmarks2 <= 2 * cap && landmarks2 >= (2 * cap * 3) / 4
+      val okDrift = drift < bound
+      if (!okCap || !okDrift) failures += 1
+      println(f"[scale-100x-kernel] $name%-12s landmarks=$landmarks1/$landmarks2 " +
+        f"(caps $cap/${2 * cap})  cap-vs-2xcap drift=$drift%.4f (bound $bound)  " +
+        f"${sec}%6.1f s  ${if (okCap && okDrift) "OK" else "FAIL"}")
+    }
+
+    locally { // KernelCCA: top-3 spectrum of (G0+eps)^-1 G0 (G1+eps)^-1 G1.
+      // The reference regularizes with a FIXED eps against an n x n gram
+      // (_cca.py:107-108) whose eigenvalues scale ~n (unit gram diagonal),
+      // so the raw spectrum is n-COUPLED by definition — it inflates
+      // toward 1 as the landmark count grows (measured 0.68 -> 0.81 at
+      // fixed eps). The convergent estimand holds the PER-SAMPLE
+      // regularization constant: eps2 = 2 * eps1 at the 2x cap.
+      val t0 = System.nanoTime()
+      val eps = 1e-4
+      val m1 = graft.decomposition.KernelCca.fit(traj, kern, tau = 1,
+        nEigs = 3, epsilon = eps, maxLandmarks = cap, seed = 42L)
+      val m2 = graft.decomposition.KernelCca.fit(traj, kern, tau = 1,
+        nEigs = 3, epsilon = 2 * eps, maxLandmarks = 2 * cap, seed = 42L)
+      println("[scale-100x-kernel] cca eigs cap=" +
+        m1.eigenvalues.map(v => f"$v%.4f").mkString(",") +
+        " 2xcap(eps-scaled)=" +
+        m2.eigenvalues.map(v => f"$v%.4f").mkString(","))
+      // gated quantity: the LEADING canonical mode (converged at the
+      // cap; measured drift ~0.009). Higher modes are the documented
+      // Nystrom tradeoff — mode k needs proportionally more landmarks
+      // (measured: lambda_2/3 still moving 0.03-0.12 at m=400 vs 800) —
+      // so their spectra are printed into the ledger but not drift-gated.
+      val drift = math.abs(m1.eigenvalues.head - m2.eigenvalues.head)
+      gate("kernel-cca", m1.landmarks.length, m2.landmarks.length,
+        drift, 0.05, (System.nanoTime() - t0) / 1e9)
+    }
+    locally { // KernelEDMD (_dmd.py:419): the leading Koopman eigenvalue
+      // must sit at 1 at BOTH caps (constant eigenfunction), and the
+      // first nontrivial eigenvalue must match the ANALYTIC OU value a1
+      // — the landmark estimate converges to ground truth, not merely to
+      // itself.
+      val t0 = System.nanoTime()
+      val m1 = graft.decomposition.KernelEdmd.fit(traj, kern, tau = 1,
+        epsilon = 1e-6, maxLandmarks = cap, seed = 42L)
+      val m2 = graft.decomposition.KernelEdmd.fit(traj, kern, tau = 1,
+        epsilon = 1e-6, maxLandmarks = 2 * cap, seed = 42L)
+      def mags(re: Array[Double], im: Array[Double]) =
+        re.indices.map(i => math.hypot(re(i), im(i))).take(3)
+      val g1 = mags(m1.eigenvaluesRe, m1.eigenvaluesIm)
+      val g2 = mags(m2.eigenvaluesRe, m2.eigenvaluesIm)
+      println("[scale-100x-kernel] edmd |eig| cap=" +
+        g1.map(v => f"$v%.4f").mkString(",") + " 2xcap=" +
+        g2.map(v => f"$v%.4f").mkString(",") + f" analytic=1,$a1%.4f,...")
+      val okLead = math.abs(g1.head - 1.0) < 1e-3 && math.abs(g2.head - 1.0) < 1e-3
+      val okAnalytic = math.abs(g1(1) - a1) < 0.05 && math.abs(g2(1) - a1) < 0.05
+      if (!okLead || !okAnalytic) failures += 1
+      println(f"[scale-100x-kernel] edmd lead-eig-at-1=$okLead " +
+        f"lambda2-vs-analytic=|${g1(1)}%.4f-$a1%.4f| (bound 0.05) " +
+        f"${if (okLead && okAnalytic) "OK" else "FAIL"}")
+      val drift = g1.zip(g2).map { case (a, b) => math.abs(a - b) }.max
+      gate("kernel-edmd", m1.landmarks.length, m2.landmarks.length,
+        drift, 0.05, (System.nanoTime() - t0) / 1e9)
+    }
+    locally { // KVAD: variational score, relative drift
+      val t0 = System.nanoTime()
+      val chi = graft.basis.Monomials(2)
+      val m1 = graft.decomposition.Kvad.fit(traj, kern, tau = 1, chi = chi,
+        inputDim = 1, maxLandmarks = cap, seed = 42L)
+      val m2 = graft.decomposition.Kvad.fit(traj, kern, tau = 1, chi = chi,
+        inputDim = 1, maxLandmarks = 2 * cap, seed = 42L)
+      val drift = math.abs(m1.score - m2.score) /
+        math.max(math.abs(m2.score), 1e-12)
+      val okSv = m1.singularValues.nonEmpty &&
+        m1.singularValues.forall(v => java.lang.Double.isFinite(v) && v >= 0)
+      if (!okSv) failures += 1
+      gate("kvad", m1.nLandmarks, m2.nLandmarks,
+        drift, 0.05, (System.nanoTime() - t0) / 1e9)
+    }
     failures
   }
 

@@ -68,6 +68,47 @@ class QuantBoundSpec extends SparkSpec {
     assert(!rhos(1).isNaN && rhos(1) >= 0.0)
   }
 
+  test("denormal underflow regime: a nonzero v below the 1e-300 scale " +
+    "floor quantizes to the all-zero code, qcos=0/rho=1 routes it into " +
+    "the re-check band, and semDedup keep/drop still matches float64") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // max|element| ~1e-305 < ~3.9e-303: every element / (1e-300/127)
+    // rounds to 0 — the ADVICE r12 regime (the old comment claimed it
+    // was impossible)
+    val denormal = (0 until 8).map(_ => Array.fill(16)(rnd.nextGaussian() * 1e-305))
+    val base = Array.fill(16)(rnd.nextGaussian())
+    val dups = (0 until 6).map(_ => base.map(_ + rnd.nextGaussian() * 0.02))
+    val noise = (0 until 20).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val rows = (denormal ++ dups ++ noise).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    // zero code confirmed: the quantizer actually underflows here
+    val codes = rows.take(8).toDF("id", "v")
+      .select(Similarity.quantizeTinyint(col("v")).as("q")).collect()
+    codes.foreach(r => assert(r.getSeq[Byte](0).forall(_ == 0),
+      "denormal vector did not quantize to the all-zero code"))
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val res = Similarity.semDedup(df, tau = 0.8, nClusters = 2, seed = 7L)
+      .select("vec_id", "cell", "keep").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val cellOf = res.map(r => r._1 -> r._2).toMap
+    val cellDf = rows.map { case (id, v) => (id, v, cellOf(id)) }
+      .toDF("vec_id", "embedding", "cell")
+    val l = cellDf.select(col("cell"), col("vec_id").as("a"), col("embedding").as("va"))
+    val r2 = cellDf.select(col("cell"), col("vec_id").as("b"), col("embedding").as("vb"))
+    val droppedRef = l.join(r2, Seq("cell"))
+      .where(col("a") < col("b") && Similarity.cosine(
+        col("va").cast("array<double>"), col("vb").cast("array<double>")) >= 0.8)
+      .select("b").distinct().collect().map(_.getLong(0)).toSet
+    res.foreach { case (id, _, keep) =>
+      assert((keep == 0) == droppedRef.contains(id),
+        s"vec $id keep=$keep disagrees with float64 reference in the " +
+          "denormal regime")
+    }
+    // the near-dup cluster itself must still collapse (5 of 6 dropped)
+    assert(res.count { case (id, _, keep) => id >= 8 && id < 14 && keep == 0 } == 5)
+  }
+
   test("banded int8 semDedup keep/drop identical to a plain float64 sweep") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

@@ -139,10 +139,19 @@ class PlanChecksSpec extends SparkSpec with Matchers {
       GlobalIndex.withRunningAuto(df, "cum", "v", "sum", "rows_excl", sorted)
     }
     jOne shouldBe jCount
-    // no cache entries left behind (the MaterializeSpec invariant, pinned
-    // here too so the dispatch path can't silently regrow an implicit
-    // cache)
-    spark.sharedState.cacheManager.isEmpty shouldBe true
+    // no cache entries left behind on THE FRAMES THIS PATH TOUCHES (the
+    // MaterializeSpec invariant, pinned here too so the dispatch path
+    // can't silently regrow an implicit cache). Checked per-frame, not
+    // via cacheManager.isEmpty: suites share one SparkSession and run
+    // concurrently under sbt, so global emptiness asserts OTHER suites'
+    // caching behavior (this exact flake failed the r13 full-suite run
+    // while passing solo).
+    val cm = spark.sharedState.cacheManager
+    def cached(d: org.apache.spark.sql.DataFrame) =
+      cm.lookupCachedData(
+        d.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]).nonEmpty
+    cached(df) shouldBe false
+    cached(chained) shouldBe false
   }
 
   test("post-execution: BPE word-frequency scan is map-side combined — " +
