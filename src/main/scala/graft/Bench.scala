@@ -30,13 +30,16 @@ object Bench {
     val csArr = ordered.map { case (_, v) => math.round(v * 100).toString }
       .mkString("[", ",", "]")
     // "nf:" prints the noise-floor carve-out INTO the record (VERDICT r12
-    // task 8): sub-200ms-baseline entries within 300ms absolute delta and
+    // task 8): sub-200ms-baseline entries within 300ms absolute delta AND
     // under 3x ratio are scheduler jitter, never cap violations — the
     // rule bench_compare applies mechanically, stated (compactly — the
-    // 800-byte tail-headroom contract leaves ~20 bytes) where the
-    // adjudicator reads the timings; full text in BASELINE.md.
+    // 800-byte tail-headroom contract is tight) where the adjudicator
+    // reads the timings. All THREE clauses are printed: omitting the
+    // r<3 bound (r13 review) would let a 4x regression on a tiny
+    // baseline read as carved-out when the tool counts it as a
+    // violation. Full text in BASELINE.md.
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${ordered.size},""" +
-      s""""enc":"cs/qNN asc; bench_names.json; nf:d<.3s@b<.2s=noise",""" +
+      s""""enc":"cs/qNN asc; bench_names.json; nf:d<.3s&b<.2s&r<3x=noise",""" +
       s""""queries_cs":$csArr}"""
   }
 

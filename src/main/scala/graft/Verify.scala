@@ -14,7 +14,12 @@ object Verify {
     // correctness is oracle-gated, not just MaterializeSpec's frame-
     // identity pin. Checkpoint dir: $SPARK_GRAFT_CHECKPOINT_DIR or a
     // temp dir (an HDFS/object-store path on a real cluster).
-    val reliable = sys.env.get("SPARK_GRAFT_RELIABLE").exists(_.toBoolean)
+    val reliable = sys.env.get("SPARK_GRAFT_RELIABLE").exists {
+      case v if Set("true", "1", "yes")(v.toLowerCase) => true
+      case v if Set("false", "0", "no")(v.toLowerCase) => false
+      case other => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_RELIABLE='$other' — expected true/false (or 1/0, yes/no)")
+    }
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.GraftExtensions)
       .master(s"local[$cpus]")

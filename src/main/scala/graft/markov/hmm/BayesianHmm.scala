@@ -135,11 +135,19 @@ object BayesianHmm {
       dtraj.select("traj_id", "t", "state").as[(Long, Long, Int)]
         .groupByKey(_._1)
         .mapGroups { (id, it) => (id, it.toArray.sortBy(_._2).map(_._3)) }
+    // ONE evaluation of the input lineage: the cache fills while the
+    // observation count (== dtraj row count) reduces from it; the local
+    // branch then collects FROM the cache and releases it (r13 review:
+    // the dtraj.count()-then-cache shape scanned the input twice in the
+    // at-scale branch)
+    val trajs = grouped.cache()
+    val nTotal = trajs.map(_._2.length.toLong).reduce(_ + _)
     val localArr: Option[Array[(Long, Array[Int])]] =
-      if (dtraj.count() <= localThreshold) Some(grouped.collect().sortBy(_._1))
-      else None
-    val trajs = if (localArr.isEmpty) { val t = grouped.cache(); t.count(); t }
-                else grouped
+      if (nTotal <= localThreshold) {
+        val arr = trajs.collect().sortBy(_._1)
+        trajs.unpersist()
+        Some(arr)
+      } else None
 
     var a = mlModel.transition.copy
     var b = mlModel.emission.copy
@@ -152,21 +160,19 @@ object BayesianHmm {
       val bF = graft.linalg.LinAlg.toFlat(b)
       val piF = piV.toArray
       val sweepSeed = rng.nextLong()
-      // NOTE: the per-trajectory body is textually duplicated across the
-      // two branches because a shared local def would capture the module
-      // (non-serializable) into the distributed closure
+      // ONE per-trajectory body for both transports — a function VALUE
+      // capturing only the flat model arrays + sweep seed (Scala 2.12+
+      // lambdas reach module methods through the static MODULE$, so
+      // nothing non-serializable is captured; this is exactly how the
+      // distributed branch already called ffbsCounts). Keeping a single
+      // copy keeps the seed derivation bit-identical by construction.
+      val body = (t: (Long, Array[Int])) => {
+        val trng = new java.util.SplittableRandom(sweepSeed ^ (t._1 * 0x9E3779B97F4A7C15L))
+        ffbsCounts(t._2, aF, bF, piF, m, nObs, trng)
+      }
       val stats = localArr match {
-        case Some(arr) =>
-          arr.iterator.map { case (id, obs) =>
-            val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
-            ffbsCounts(obs, aF, bF, piF, m, nObs, trng)
-          }.reduce((x, y) => x.merge(y))
-        case None => trajs
-          .map { case (id, obs) =>
-            val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
-            ffbsCounts(obs, aF, bF, piF, m, nObs, trng)
-          }
-          .reduce((x, y) => x.merge(y))
+        case Some(arr) => arr.iterator.map(body).reduce((x, y) => x.merge(y))
+        case None => trajs.map(body).reduce((x, y) => x.merge(y))
       }
       // (2) transition posterior
       val transCounts = graft.linalg.LinAlg.fromFlat(stats.trans, m) +:+ priorPseudocount
@@ -187,7 +193,7 @@ object BayesianHmm {
       if (sweep % stride == 0)
         out += Hmm.HmmModel(a.copy, b.copy, piV.copy, Double.NaN, sweep)
     }
-    trajs.unpersist()
+    if (localArr.isEmpty) trajs.unpersist()
     BayesianHmmPosterior(mlModel, out.toSeq)
   }
 
@@ -323,11 +329,14 @@ object BayesianHmm {
     // the distributed reduce differ only in float sum ORDER of (Σx, Σx²)
     // partials — and the distributed order is itself nondeterministic, so
     // callers already cannot rely on it
+    val trajs = grouped.cache()
+    val nTotal = trajs.map(_._2.length.toLong).reduce(_ + _)
     val localArr: Option[Array[(Long, Array[Double])]] =
-      if (traj.count() <= localThreshold) Some(grouped.collect().sortBy(_._1))
-      else None
-    val trajs = if (localArr.isEmpty) { val t = grouped.cache(); t.count(); t }
-                else grouped
+      if (nTotal <= localThreshold) {
+        val arr = trajs.collect().sortBy(_._1)
+        trajs.unpersist()
+        Some(arr)
+      } else None
 
     var a = mlModel.transition.copy
     var means = mlModel.means.clone()
@@ -341,20 +350,14 @@ object BayesianHmm {
       val meansF = means.clone(); val sigmasF = sigmas.clone()
       val piF = piV.toArray
       val sweepSeed = rng.nextLong()
-      // duplicated per-trajectory body: a shared local def would capture
-      // the module (non-serializable) into the distributed closure
+      // one shared per-trajectory body (see `sample`)
+      val body = (t: (Long, Array[Double])) => {
+        val trng = new java.util.SplittableRandom(sweepSeed ^ (t._1 * 0x9E3779B97F4A7C15L))
+        ffbsGaussCounts(t._2, aF, meansF, sigmasF, piF, m, trng)
+      }
       val stats = localArr match {
-        case Some(arr) =>
-          arr.iterator.map { case (id, obs) =>
-            val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
-            ffbsGaussCounts(obs, aF, meansF, sigmasF, piF, m, trng)
-          }.reduce((x, y) => x.merge(y))
-        case None => trajs
-          .map { case (id, obs) =>
-            val trng = new java.util.SplittableRandom(sweepSeed ^ (id * 0x9E3779B97F4A7C15L))
-            ffbsGaussCounts(obs, aF, meansF, sigmasF, piF, m, trng)
-          }
-          .reduce((x, y) => x.merge(y))
+        case Some(arr) => arr.iterator.map(body).reduce((x, y) => x.merge(y))
+        case None => trajs.map(body).reduce((x, y) => x.merge(y))
       }
       // (2) Gaussian emission posterior per state (reference order: μ with
       // the CURRENT σ, then σ with the NEW μ; skip empty states)
@@ -386,7 +389,7 @@ object BayesianHmm {
         out += GaussianHmm.GaussianHmmModel(a.copy, means.clone(), sigmas.clone(),
           piV.copy, Double.NaN, sweep)
     }
-    trajs.unpersist()
+    if (localArr.isEmpty) trajs.unpersist()
     BayesianGaussianHmmPosterior(mlModel, out.toSeq)
   }
 

@@ -99,6 +99,18 @@ object GlobalIndex {
         s"'${rangeKey.orNull}' first (got head sort column " +
         s"'${sortCols.headOption.orNull}'): equal-key runs must be " +
         "contiguous within partitions")
+    // leafAttrName is deliberately direction-insensitive (resolved/.asc
+    // columns must not be false-rejected), so DESC needs its own loud
+    // reject: the plain-window dispatch branch hardcodes an ascending
+    // RANGE frame while this path would honor the descending order —
+    // identical caller code would return opposite-frame values depending
+    // on which side of the size threshold the data landed.
+    require(frame != "range_excl" ||
+      !sortCols.headOption.exists(
+        org.apache.spark.sql.GraftExpressionBridge.isDescendingSort),
+      "range_excl requires an ASCENDING rangeKey order (strictly-smaller " +
+        "frame); rewrite a descending cumulate as range_excl over the " +
+        "negated key")
     val spark = df.sparkSession
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val sorted = graft.util.Materialize.frozen(
@@ -154,40 +166,48 @@ object GlobalIndex {
           }
           Iterator.single((i, if (started) Some((fk, lk, body, run)) else None))
         }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
-      // cumT(i) = agg over ALL rows in partitions strictly before i
-      val cumT = stats.map(_.flatMap(s => comb(s._3, s._4)))
-        .scanLeft(Option.empty[Long])(comb).init
       val nP = stats.length
-      // For partition i with first key fk_i, walk earlier partitions
-      // backward while their LAST key still equals fk_i: their tail runs
-      // are earlier same-key mass (the pending seed, excluded from the
-      // strictly-smaller frame); the first partition that ends on a
-      // different — by range-partition order, strictly earlier — key
-      // closes the walk, and everything at or before it with key < fk_i
-      // is the committed offset. O(nPartitions) total driver longs.
+      // ONE forward pass over the nPartitions stat tuples — O(nP) driver
+      // work even when a hot run spans most partitions (the backward
+      // walk this replaces re-scanned the run's partitions per member:
+      // O(nP^2) exactly in the skew regime this path exists for).
+      // Invariant while scanning (partitions are range-ordered and
+      // internally sorted, so every key's rows are GLOBALLY contiguous):
+      //   curKey    = last key seen so far (the max),
+      //   curTail   = agg of curKey's rows seen so far (its trailing run),
+      //   massBelow = agg of all rows with key strictly below curKey.
+      // Partition i starting on fk == curKey continues the open run:
+      // offset = massBelow, seed = curTail. Starting on a NEW key, the
+      // open run closes beneath it: offset = massBelow + curTail.
       val offBelow = Array.fill(nP)(Option.empty[Long])
       val seed = Array.fill(nP)(Option.empty[Long])
       val firstKeys = new Array[Any](nP)
+      var massBelow = Option.empty[Long]
+      var curTail = Option.empty[Long]
+      var curKey: Any = null
+      var haveKey = false
       for (i <- 0 until nP; s <- stats(i)) {
-        val fki = s._1
-        firstKeys(i) = fki
-        var sAcc = Option.empty[Long]
-        var j = i - 1
-        var open = true
-        while (j >= 0 && open) {
-          stats(j) match {
-            case None => j -= 1 // empty partition
-            case Some((fkj, lkj, bodyj, tailj)) =>
-              if (lkj == fki) {
-                sAcc = comb(tailj, sAcc) // same-key suffix of partition j
-                if (fkj == fki) j -= 1 // partition j is ENTIRELY the hot key
-                else { offBelow(i) = comb(cumT(j), bodyj); open = false }
-              } else { // lk_j sorts strictly before fk_i: all of j qualifies
-                offBelow(i) = comb(cumT(j), comb(bodyj, tailj)); open = false
-              }
-          }
+        val (fk, lk, body, tail) = s
+        firstKeys(i) = fk
+        if (haveKey && fk == curKey) {
+          offBelow(i) = massBelow
+          seed(i) = curTail
+        } else {
+          offBelow(i) = comb(massBelow, curTail)
+          seed(i) = None
         }
-        seed(i) = sAcc
+        if (haveKey && lk == curKey) {
+          // partition i is entirely the open run (fk == lk == curKey,
+          // body == None by construction)
+          curTail = comb(curTail, tail)
+        } else {
+          // lk is a strictly larger key: everything earlier — the old
+          // run and this partition's body (keys < lk) — drops below it
+          massBelow = comb(comb(massBelow, curTail), body)
+          curKey = lk
+          curTail = tail
+          haveKey = true
+        }
       }
       val bc = spark.sparkContext.broadcast((offBelow, seed, firstKeys))
       rdd.mapPartitionsWithIndex { (i, it) =>

@@ -33,4 +33,24 @@ object GraftExpressionBridge {
     }
     fromNode(c.node)
   }
+
+  /** True iff the column is wrapped in a DESCENDING sort order. Used by
+    * GlobalIndex.range_excl's precondition: the direction-insensitive
+    * leafAttrName (above) would otherwise silently ADMIT `col("k").desc`,
+    * whose two dispatch paths disagree (the plain-window branch hardcodes
+    * an ascending RANGE frame while repartitionByRange would honor the
+    * descending order) — desc must be rejected loud, as the pre-r13
+    * toString compare did by accident. */
+  def isDescendingSort(c: Column): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{Descending, SortOrder => CatSortOrder}
+    def fromExpr(e: Expression): Boolean = e match {
+      case s: CatSortOrder => s.direction == Descending
+      case _ => false
+    }
+    c.node match {
+      case s: internal.SortOrder => s.sortDirection == internal.SortOrder.Descending
+      case e: classic.ExpressionColumnNode => fromExpr(e.expression)
+      case _ => false
+    }
+  }
 }

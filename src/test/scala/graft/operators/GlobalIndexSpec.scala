@@ -128,6 +128,13 @@ class GlobalIndexSpec extends SparkSpec with Matchers {
     run(df("key")) shouldBe 100 // resolved/qualified column
     run(col("key").asc) shouldBe 100 // explicit sort direction
     an[IllegalArgumentException] should be thrownBy run(col("id"))
+    // DESC must reject LOUD: the name-only precondition would admit it,
+    // but the plain-window dispatch branch hardcodes an ascending RANGE
+    // frame — identical caller code would return opposite-frame values
+    // depending on which side of the size threshold the data landed
+    // (r13 review finding)
+    an[IllegalArgumentException] should be thrownBy run(col("key").desc)
+    an[IllegalArgumentException] should be thrownBy run(df("key").desc)
   }
 
   test("withNtile big branch with an uncounted caller derives n from the " +
