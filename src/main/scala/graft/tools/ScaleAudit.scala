@@ -1216,7 +1216,7 @@ object ScaleAudit {
   val families100: Vector[String] = Vector("minhash100", "ann100",
     "editdist100", "text100", "graph100", "substring100", "asof100",
     "contamination100", "moments100", "multimodal100", "orderstats100",
-    "tram100", "kernel100", "streaming100")
+    "tram100", "kernel100", "layout100", "streaming100")
 
   /** Run one named 100x family; returns its failure count. */
   def run100x(spark: SparkSession, family: String, src: String,
@@ -1235,6 +1235,7 @@ object ScaleAudit {
     case "orderstats100" => orderstats100(spark)
     case "tram100" => tram100(spark, src)
     case "kernel100" => kernel100(spark, src)
+    case "layout100" => layout100(spark, src)
     case other => throw new IllegalArgumentException(
       s"unknown 100x family '$other' (known: ${families100.mkString(", ")})")
   }
@@ -1527,6 +1528,124 @@ object ScaleAudit {
       if (!okSv) failures += 1
       gate("kvad", m1.nLandmarks, m2.nLandmarks,
         drift, 0.05, (System.nanoTime() - t0) / 1e9)
+    }
+    failures
+  }
+
+  /** 100x family fifteen: the sink/layout levers at a 15M-row corpus —
+    * the write-side half of the 100 TB story (the read-side operators
+    * have their own families). Invariants:
+    *   1. COMPACTION: a fragmented sink (400 micro-files — the
+    *      streaming-ingest shape) compacts to exactly the requested
+    *      file count with zero row loss;
+    *   2. Z-ORDER: on the REAL written files (per-file min/max spans via
+    *      input_file_name, i.e. exactly what parquet row-group pruning
+    *      sees), the morton layout prunes on BOTH dimensions while the
+    *      linear layout is perfect on its own dimension and blind on the
+    *      other — the q198 span argument, but measured on files, not
+    *      logical buckets;
+    *   3. BUCKETED JOIN: fact and dim written bucketed on the join key
+    *      plan with ZERO shuffle exchanges at the full corpus;
+    *   4. PARTITION PRUNING: a hive-partitioned sink re-scanned with a
+    *      partition predicate selects files from ONE directory only. */
+  def layout100(spark: SparkSession, src: String): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.{Layout, Sinks}
+    var failures = 0
+    val copies = 100
+    val o0 = graft.core.Trajectories.table(spark, src, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+    val orders = spark.range(copies).crossJoin(o0)
+      .select((col("o_orderkey") + col("id") * 10000000000L).as("okey"),
+        col("o_custkey").as("cust"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      .localCheckpoint()
+    val n = orders.count()
+    println(s"[scale-100x-layout] corpus rows=$n (100 universes of orders)")
+
+    def gate(name: String, ok: Boolean, detail: String, t0: Long): Unit = {
+      if (!ok) failures += 1
+      println(f"[scale-100x-layout] $name%-14s $detail  " +
+        f"${(System.nanoTime() - t0) / 1e9}%6.1f s  ${if (ok) "OK" else "FAIL"}")
+    }
+
+    locally { // 1. compaction
+      val t0 = System.nanoTime()
+      val fragPath = Sinks.scratchPath("lay100frag", src)
+      orders.repartition(400).write.mode(SaveMode.Overwrite).parquet(fragPath)
+      val before = Sinks.dataFileCount(fragPath)
+      val cPath = Sinks.compact(spark, fragPath, 24)
+      val after = Sinks.dataFileCount(cPath)
+      val rows = spark.read.parquet(cPath).count()
+      gate("compaction", before >= 400 && after == 24 && rows == n,
+        s"files $before -> $after (want 24), rows=$rows (want $n)", t0)
+    }
+
+    locally { // 2. z-order vs linear, spans of the real files
+      val t0 = System.nanoTime()
+      val maxes = orders.agg(max(col("cust")).as("maxc"),
+        max(col("price")).as("maxp"))
+      val q = orders.crossJoin(broadcast(maxes))
+        .select(col("okey"),
+          expr("CAST((cust * 256) DIV (maxc + 1) AS BIGINT)").as("qx"),
+          expr("CAST(floor(price * 256.0 / (maxp + 1.0)) AS BIGINT)").as("qy"))
+        .withColumn("morton", Layout.mortonInterleave(col("qx"), col("qy"), 8))
+      val nF = 64
+      val zPath = Sinks.writeRangeClustered(q, "lay100z", src, "morton", nF)
+      val lPath = Sinks.writeRangeClustered(q, "lay100lin", src, "qx", nF)
+      // per-file spans == exactly the min/max a row-group-pruning scan
+      // consults; predicate = dim < 32 (1/8 of the quantized space)
+      def hits(path: String, dim: String): (Long, Long) = {
+        val spans = spark.read.parquet(path)
+          .groupBy(input_file_name().as("f"))
+          .agg(min(col(dim)).as("lo"))
+        (spans.where(col("lo") < 32).count(), spans.count())
+      }
+      val (zxH, zN) = hits(zPath, "qx"); val (zyH, _) = hits(zPath, "qy")
+      val (lxH, lN) = hits(lPath, "qx"); val (lyH, _) = hits(lPath, "qy")
+      // zorder must prune BOTH dims to <= half the files; linear is
+      // near-perfect on its own dim but must NOT prune the other (the
+      // one-column-sort blindness the morton layout exists to fix)
+      val ok = zN == nF && lN == nF &&
+        zxH <= nF / 2 && zyH <= nF / 2 &&
+        lxH <= nF / 4 && lyH >= (nF * 9) / 10
+      gate("zorder-spans", ok,
+        s"files hit by qx<32/qy<32: zorder $zxH/$zyH of $zN " +
+          s"(bound ${nF / 2}), linear $lxH/$lyH of $lN " +
+          s"(own-dim bound ${nF / 4}, other-dim floor ${(nF * 9) / 10})", t0)
+    }
+
+    locally { // 3. bucketed join: zero exchanges at the full corpus
+      val t0 = System.nanoTime()
+      val factT = Sinks.writeBucketed(orders.select("okey", "cust", "price"),
+        "lay100fact", src, "cust", 16)
+      val dimT = Sinks.writeBucketed(
+        orders.groupBy("cust").agg(sum(col("price")).as("tot")),
+        "lay100dim", src, "cust", 16)
+      val j = spark.table(factT).join(spark.table(dimT), "cust")
+      val rows = j.queryExecution.toRdd.count()
+      val exch = allPlanNodes(j).count(_.isInstanceOf[ShuffleExchangeExec])
+      gate("bucketed-join", exch == 0 && rows == n,
+        s"rows=$rows (want $n)  exchanges=$exch (bound 0)", t0)
+    }
+
+    locally { // 4. partition-pruned re-scan
+      val t0 = System.nanoTime()
+      val pPath = Sinks.writePartitioned(orders, "lay100part", src, "status")
+      val back = spark.read.parquet(pPath).where(col("status") === "F")
+      val scans = back.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val files = scans.flatMap(_.selectedPartitions.toPartitionArray)
+        .map(_.filePath.toString)
+      val rows = back.count()
+      val want = orders.where(col("status") === "F").count()
+      gate("partition-prune",
+        files.nonEmpty && files.forall(_.contains("status=F")) && rows == want,
+        s"selected-files=${files.length} (all under status=F: " +
+          s"${files.forall(_.contains("status=F"))}), rows=$rows (want $want)", t0)
     }
     failures
   }
