@@ -1216,7 +1216,7 @@ object ScaleAudit {
   val families100: Vector[String] = Vector("minhash100", "ann100",
     "editdist100", "text100", "graph100", "substring100", "asof100",
     "contamination100", "moments100", "multimodal100", "orderstats100",
-    "tram100", "kernel100", "layout100", "streaming100")
+    "tram100", "kernel100", "layout100", "hmm100", "streaming100")
 
   /** Run one named 100x family; returns its failure count. */
   def run100x(spark: SparkSession, family: String, src: String,
@@ -1236,6 +1236,7 @@ object ScaleAudit {
     case "tram100" => tram100(spark, src)
     case "kernel100" => kernel100(spark, src)
     case "layout100" => layout100(spark, src)
+    case "hmm100" => hmm100(spark, src)
     case other => throw new IllegalArgumentException(
       s"unknown 100x family '$other' (known: ${families100.mkString(", ")})")
   }
@@ -1647,6 +1648,75 @@ object ScaleAudit {
         s"selected-files=${files.length} (all under status=F: " +
           s"${files.forall(_.contains("status=F"))}), rows=$rows (want $want)", t0)
     }
+    failures
+  }
+
+  /** 100x family sixteen: distributed Baum-Welch + Viterbi at a 15M-frame
+    * corpus. The HMM E-step is the engine's canonical per-trajectory
+    * sequential recursion (`flatMapGroups`/map over grouped state arrays;
+    * SURVEY §2.7): ONE data-sized exchange groups trajectories, the
+    * grouped frame is cached, and every EM iteration is a single job
+    * whose reduce ships MODEL-SIZED EStats partials (m² + m·nObs + m
+    * doubles) — nothing row-sized ever reaches the driver. Invariants:
+    *   1. RECOVERY at 100x: a planted 6-state chain with two metastable
+    *      blocks (cross-block mass eps = 0.003/row) fitted as a 2-state
+    *      HMM recovers the blocks — metastable diagonal >= 0.985 and
+    *      each hidden state's emission row concentrates >= 0.95 mass on
+    *      its own (distinct) block;
+    *   2. Viterbi decodes the full corpus (row count preserved) and
+    *      >= 99% of frames decode to their observed state's block
+    *      (label-swap invariant);
+    *   3. the corpus is GENERATED distributed (one seeded task per
+    *      chain, `MarkovSim.simulate` — the engine's own source). */
+  def hmm100(spark: SparkSession, src: String): Int = {
+    var failures = 0
+    val eps = 0.003
+    val t6 = breeze.linalg.DenseMatrix.tabulate(6, 6) { (i, j) =>
+      val sameBlock = (i < 3) == (j < 3)
+      if (sameBlock) (1.0 - eps) / 3.0 else eps / 3.0
+    }
+    val nTraj = 600; val len = 25000
+    val dtraj = graft.data.MarkovSim.simulate(spark, t6, nTraj, len, seed = 23L)
+      .localCheckpoint()
+    val n = dtraj.count()
+    println(s"[scale-100x-hmm] corpus frames=$n ($nTraj chains x $len, " +
+      s"planted 2-block chain, eps=$eps)")
+
+    val t0 = System.nanoTime()
+    val model = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 6,
+      maxIter = 12, tol = 1e-9, reversible = true)
+    val secFit = (System.nanoTime() - t0) / 1e9
+    val a = model.transition
+    val diagOk = a(0, 0) >= 0.985 && a(1, 1) >= 0.985
+    def blockMass(k: Int, b: Int): Double =
+      (0 until 6).filter(o => (o < 3) == (b == 0)).map(model.emission(k, _)).sum
+    val blockOf = Array.tabulate(2)(k => if (blockMass(k, 0) >= blockMass(k, 1)) 0 else 1)
+    val emitOk = blockOf(0) != blockOf(1) &&
+      (0 until 2).forall(k => blockMass(k, blockOf(k)) >= 0.95)
+    val llOk = java.lang.Double.isFinite(model.logLikelihood)
+    if (!diagOk || !emitOk || !llOk) failures += 1
+    println(f"[scale-100x-hmm] baum-welch      iters=${model.iterations} " +
+      f"diag=${a(0, 0)}%.4f/${a(1, 1)}%.4f (bound 0.985)  " +
+      f"block-mass=${blockMass(0, blockOf(0))}%.4f/${blockMass(1, blockOf(1))}%.4f " +
+      f"(bound 0.95, distinct=${blockOf(0) != blockOf(1)})  ${secFit}%6.1f s  " +
+      s"${if (diagOk && emitOk && llOk) "OK" else "FAIL"}")
+
+    val t1 = System.nanoTime()
+    val hid = graft.markov.hmm.Hmm.viterbi(dtraj, model, nObs = 6)
+    val joined = hid.join(dtraj, Seq("traj_id", "t"))
+      .select(when(col("state") < 3, blockOf(0)).otherwise(blockOf(1))
+        .as("want"), col("hidden"))
+    val agg = joined.agg(count(lit(1)).as("n"),
+      sum(when(col("want") === col("hidden"), 1L).otherwise(0L)).as("match"))
+      .collect()(0)
+    val rows = agg.getLong(0); val matched = agg.getLong(1)
+    val secVit = (System.nanoTime() - t1) / 1e9
+    val frac = matched.toDouble / math.max(1L, rows)
+    val vitOk = rows == n && frac >= 0.99
+    if (!vitOk) failures += 1
+    println(f"[scale-100x-hmm] viterbi         rows=$rows (want $n)  " +
+      f"block-agreement=$frac%.5f (bound 0.99)  ${secVit}%6.1f s  " +
+      s"${if (vitOk) "OK" else "FAIL"}")
     failures
   }
 
