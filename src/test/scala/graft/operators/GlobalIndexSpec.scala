@@ -116,6 +116,46 @@ class GlobalIndexSpec extends SparkSpec with Matchers {
         "the skew regime was not exercised")
   }
 
+  test("randomized stress: withRunning equals the window twin across " +
+    "random key distributions, input partitionings, and aggs (the " +
+    "forward-pass bookkeeping under arbitrary run/partition overlap)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val master = new scala.util.Random(97)
+    for (round <- 0 until 8) {
+      val n = 500 + master.nextInt(3000)
+      val nKeys = round match {
+        case 0 => 1                 // ONE key: the whole frame is one run
+        case 1 => 2 + master.nextInt(3) // few keys: every run spans partitions
+        case _ => 1 + master.nextInt(200)
+      }
+      val rows = (0 until n).map { i =>
+        (i.toLong, master.nextInt(nKeys).toLong, (master.nextInt(999) + 1).toLong)
+      }
+      val df = rows.toDF("id", "key", "v")
+        .repartition(1 + master.nextInt(12))
+      def canon(d: org.apache.spark.sql.DataFrame) =
+        d.select(col("id"), col("r")).collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) Long.MinValue else r.getLong(1)))
+          .sortBy(_._1).toSeq
+      for (agg <- Seq("sum", "max"); frame <- Seq("rows_incl", "rows_excl", "range_excl")) {
+        val fn = if (agg == "sum") sum(col("v")) else max(col("v"))
+        val w0 = Window.orderBy(col("key"), col("id"))
+        val w = frame match {
+          case "rows_incl" => w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          case "rows_excl" => w0.rowsBetween(Window.unboundedPreceding, -1)
+          case "range_excl" => Window.orderBy(col("key"))
+            .rangeBetween(Window.unboundedPreceding, -1)
+        }
+        withClue(s"round=$round n=$n nKeys=$nKeys agg=$agg frame=$frame: ") {
+          canon(GlobalIndex.withRunning(df, "r", "v", agg, frame,
+            Seq(col("key"), col("id")), rangeKey = Some("key"))) shouldBe
+            canon(df.withColumn("r", fn.over(w)))
+        }
+      }
+    }
+  }
+
   test("range_excl precondition accepts qualified / sort-directed head " +
     "columns and rejects a non-key head") {
     import spark.implicits._
