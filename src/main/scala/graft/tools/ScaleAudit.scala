@@ -1216,7 +1216,8 @@ object ScaleAudit {
   val families100: Vector[String] = Vector("minhash100", "ann100",
     "editdist100", "text100", "graph100", "substring100", "asof100",
     "contamination100", "moments100", "multimodal100", "orderstats100",
-    "tram100", "kernel100", "layout100", "hmm100", "streaming100")
+    "tram100", "kernel100", "layout100", "hmm100", "cluster100",
+    "streaming100")
 
   /** Run one named 100x family; returns its failure count. */
   def run100x(spark: SparkSession, family: String, src: String,
@@ -1237,6 +1238,7 @@ object ScaleAudit {
     case "kernel100" => kernel100(spark, src)
     case "layout100" => layout100(spark, src)
     case "hmm100" => hmm100(spark, src)
+    case "cluster100" => cluster100(spark, src)
     case other => throw new IllegalArgumentException(
       s"unknown 100x family '$other' (known: ${families100.mkString(", ")})")
   }
@@ -1717,6 +1719,74 @@ object ScaleAudit {
     println(f"[scale-100x-hmm] viterbi         rows=$rows (want $n)  " +
       f"block-agreement=$frac%.5f (bound 0.99)  ${secVit}%6.1f s  " +
       s"${if (vitOk) "OK" else "FAIL"}")
+    failures
+  }
+
+  /** 100x family seventeen: the discretization contract at a 15M-point
+    * corpus — k-means TRAINS on the documented hash-sampled cap (seeding
+    * quality needs a representative sample, not the corpus;
+    * `Clustering.scala:110`) while ASSIGNMENT is a map-side codegen
+    * expression over every row. Invariants:
+    *   1. the capped fit RECOVERS the planted mixture: every planted
+    *      center has a fitted center within 0.2 (L2) — ~20x the
+    *      statistical error of the sample mean at this cap;
+    *   2. full-corpus assignment purity >= 0.999 against the planted
+    *      labels (majority cell per planted component);
+    *   3. shape: the assignment+purity plan has NO join and ships NO
+    *      feature vectors through any exchange — the only shuffle is the
+    *      partial-combined (label, cell) count, <= partitions * k^2
+    *      rows. */
+  def cluster100(spark: SparkSession, src: String): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    var failures = 0
+    val n = 15000000L
+    val k = 5
+    val pts = spark.range(n)
+      .select((col("id") % k).cast("int").as("c"))
+      .select(col("c"), array(
+        col("c") * 10.0 + randn(11), col("c") * 5.0 + randn(12),
+        col("c") * -3.0 + randn(13), col("c") * 2.0 + randn(14)).as("features"))
+      .localCheckpoint()
+    println(s"[scale-100x-cluster] corpus points=$n (planted $k-component " +
+      "mixture, unit noise)")
+
+    val t0 = System.nanoTime()
+    val train = pts.sample(withReplacement = false, 65536.0 / n, 7L)
+      .select("features")
+    val model = graft.clustering.KMeans.fit(train, k, maxIter = 20, seed = 42L)
+    val secFit = (System.nanoTime() - t0) / 1e9
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val planted = (0 until k).map(c =>
+      Array(c * 10.0, c * 5.0, c * -3.0, c * 2.0))
+    val worst = planted.map(p => model.centers.map(d2(p, _)).min).max
+    val okCenters = model.centers.length == k && worst < 0.2
+    if (!okCenters) failures += 1
+    println(f"[scale-100x-cluster] capped-fit      centers=${model.centers.length} " +
+      f"worst-planted-distance=$worst%.4f (bound 0.2, cap 65536 of $n)  " +
+      f"${secFit}%6.1f s  ${if (okCenters) "OK" else "FAIL"}")
+
+    val t1 = System.nanoTime()
+    val assigned = pts.withColumn("cell", model.assignColumn(col("features")))
+    val cells = assigned.groupBy("c", "cell").count()
+    val pur = cells.groupBy("c")
+      .agg(max(col("count")).as("m"), sum(col("count")).as("t"))
+      .agg(sum(col("m")).as("sm"), sum(col("t")).as("st"))
+    val r = pur.collect()(0)
+    val purity = r.getLong(0).toDouble / r.getLong(1)
+    val secAssign = (System.nanoTime() - t1) / 1e9
+    val leaked = shuffledPayloadColumns(pur)
+    val joins = allPlanNodes(pur).count(_.getClass.getSimpleName.contains("Join"))
+    val (maxRec, _, _) = exchangeMaxima(pur)
+    val recBound = 64L * k * k // partitions x k^2, generous
+    val okAssign = r.getLong(1) == n && purity >= 0.999 &&
+      leaked.isEmpty && joins == 0 && maxRec <= recBound
+    if (!okAssign) failures += 1
+    println(f"[scale-100x-cluster] assign-purity   rows=${r.getLong(1)} " +
+      f"purity=$purity%.5f (bound 0.999)  joins=$joins (bound 0)  " +
+      f"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")}  " +
+      f"max-exchange-rows=$maxRec (bound $recBound)  ${secAssign}%6.1f s  " +
+      s"${if (okAssign) "OK" else "FAIL"}")
     failures
   }
 
