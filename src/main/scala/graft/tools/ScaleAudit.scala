@@ -1217,7 +1217,7 @@ object ScaleAudit {
     "editdist100", "text100", "graph100", "substring100", "asof100",
     "contamination100", "moments100", "multimodal100", "orderstats100",
     "tram100", "kernel100", "layout100", "hmm100", "cluster100",
-    "streaming100")
+    "its100", "streaming100")
 
   /** Run one named 100x family; returns its failure count. */
   def run100x(spark: SparkSession, family: String, src: String,
@@ -1239,6 +1239,7 @@ object ScaleAudit {
     case "layout100" => layout100(spark, src)
     case "hmm100" => hmm100(spark, src)
     case "cluster100" => cluster100(spark, src)
+    case "its100" => its100(spark, src)
     case other => throw new IllegalArgumentException(
       s"unknown 100x family '$other' (known: ${families100.mkString(", ")})")
   }
@@ -1787,6 +1788,101 @@ object ScaleAudit {
       f"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")}  " +
       f"max-exchange-rows=$maxRec (bound $recBound)  ${secAssign}%6.1f s  " +
       s"${if (okAssign) "OK" else "FAIL"}")
+    failures
+  }
+
+  /** 100x family eighteen: the validation-workflow scan contract at a
+    * 15M-frame corpus. An ITS/CK study needs count matrices at a GRID of
+    * lagtimes; `Validation.multiLagCounts` computes the whole grid in ONE
+    * scan (lead column per lag -> explode -> partial-agg). Invariants:
+    *   1. EQUALITY: the single-scan counts == per-lag `slidingCounts`
+    *      (six separate scans), exactly, for every (lag, s0, s1);
+    *   2. scan shape: the executed multi-lag plan has exactly TWO
+    *      exchanges — the window's traj_id hash (data-sized, once) and
+    *      the partial-combined count (<= partitions * |lags| * n² rows);
+    *   3. ANALYTIC Chapman-Kolmogorov at scale: the planted chain gives
+    *      empirical P̂(lag=L) ≈ T^L — L∞ < 0.005 at every grid lag;
+    *   4. ANALYTIC implied timescales: the planted two-block chain has
+    *      λ₂ = 1 − 2ε exactly, so ITS(L) = −1/ln λ₂ ≈ 166.2 steps FLAT
+    *      across the grid (Markovian input) — each lag within 5%. */
+  def its100(spark: SparkSession, src: String): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    var failures = 0
+    val eps = 0.003
+    val t6 = breeze.linalg.DenseMatrix.tabulate(6, 6) { (i, j) =>
+      val sameBlock = (i < 3) == (j < 3)
+      if (sameBlock) (1.0 - eps) / 3.0 else eps / 3.0
+    }
+    val dtraj = graft.data.MarkovSim.simulate(spark, t6, nTraj = 600,
+      length = 25000, seed = 29L).localCheckpoint()
+    val n = dtraj.count()
+    val lags = Seq(1, 2, 5, 10, 20, 50)
+    println(s"[scale-100x-its] corpus frames=$n lag grid=${lags.mkString(",")}")
+
+    val t0 = System.nanoTime()
+    val multi = graft.markov.Validation.multiLagCounts(dtraj, lags)
+    val mm = multi.collect()
+      .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getLong(3))).toMap
+    val secMulti = (System.nanoTime() - t0) / 1e9
+    val nEx = allPlanNodes(multi).count(_.isInstanceOf[ShuffleExchangeExec])
+    val okShape = nEx == 2
+    if (!okShape) failures += 1
+    println(f"[scale-100x-its] one-scan grid   cells=${mm.size} " +
+      f"exchanges=$nEx (want 2: window hash + partial-agg count)  " +
+      f"${secMulti}%6.1f s  ${if (okShape) "OK" else "FAIL"}")
+
+    val t1 = System.nanoTime()
+    var eqBad = 0L
+    lags.foreach { tau =>
+      val per = graft.markov.TransitionCounting.slidingCounts(dtraj, tau).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      val keys = per.keySet ++ mm.keysIterator.collect { case (l, a, b) if l == tau => (a, b) }
+      keys.foreach { case (a, b) =>
+        if (per.getOrElse((a, b), 0L) != mm.getOrElse((tau, a, b), 0L)) eqBad += 1
+      }
+    }
+    val secEq = (System.nanoTime() - t1) / 1e9
+    if (eqBad > 0) failures += 1
+    println(f"[scale-100x-its] per-lag parity  mismatched-cells=$eqBad " +
+      f"(six separate scans vs the one-scan grid)  ${secEq}%6.1f s  " +
+      s"${if (eqBad == 0) "OK" else "FAIL"}")
+
+    // analytic CK: empirical P(lag=L) vs T^L
+    import breeze.linalg.DenseMatrix
+    def tPow(l: Int): DenseMatrix[Double] = {
+      var acc = DenseMatrix.eye[Double](6)
+      (0 until l).foreach(_ => acc = acc * t6)
+      acc
+    }
+    val ckBad = lags.map { tau =>
+      val rowSums = Array.tabulate(6)(i =>
+        (0 until 6).map(j => mm.getOrElse((tau, i, j), 0L)).sum.toDouble)
+      val tl = tPow(tau)
+      val linf = (for (i <- 0 until 6; j <- 0 until 6) yield
+        math.abs(mm.getOrElse((tau, i, j), 0L) / math.max(1.0, rowSums(i)) -
+          tl(i, j))).max
+      (tau, linf)
+    }
+    val okCk = ckBad.forall(_._2 < 0.005)
+    if (!okCk) failures += 1
+    println("[scale-100x-its] chapman-kolmogorov Linf per lag: " +
+      ckBad.map { case (l, v) => f"L$l=$v%.4f" }.mkString(" ") +
+      s" (bound 0.005)  ${if (okCk) "OK" else "FAIL"}")
+
+    // analytic ITS: flat at -1/ln(1 - 2 eps)
+    val t2 = System.nanoTime()
+    val its = graft.markov.Validation.impliedTimescales(dtraj, lags,
+      nStates = 6, k = 1)
+    val secIts = (System.nanoTime() - t2) / 1e9
+    val want = -1.0 / math.log(1.0 - 2.0 * eps)
+    val rel = its.lagtimes.indices.map(l =>
+      math.abs(its.its(l)(0) - want) / want)
+    val okIts = rel.max < 0.05
+    if (!okIts) failures += 1
+    println(f"[scale-100x-its] implied-ts      analytic=$want%.1f  measured=" +
+      its.lagtimes.indices.map(l => f"${its.its(l)(0)}%.1f").mkString(",") +
+      f"  max-rel-err=${rel.max}%.4f (bound 0.05, FLAT = Markovian)  " +
+      f"${secIts}%6.1f s  ${if (okIts) "OK" else "FAIL"}")
     failures
   }
 
