@@ -1217,7 +1217,7 @@ object ScaleAudit {
     "editdist100", "text100", "graph100", "substring100", "asof100",
     "contamination100", "moments100", "multimodal100", "orderstats100",
     "tram100", "kernel100", "layout100", "hmm100", "cluster100",
-    "its100", "streaming100")
+    "its100", "sindy100", "streaming100")
 
   /** Run one named 100x family; returns its failure count. */
   def run100x(spark: SparkSession, family: String, src: String,
@@ -1240,6 +1240,7 @@ object ScaleAudit {
     case "hmm100" => hmm100(spark, src)
     case "cluster100" => cluster100(spark, src)
     case "its100" => its100(spark, src)
+    case "sindy100" => sindy100(spark, src)
     case other => throw new IllegalArgumentException(
       s"unknown 100x family '$other' (known: ${families100.mkString(", ")})")
   }
@@ -1883,6 +1884,60 @@ object ScaleAudit {
       its.lagtimes.indices.map(l => f"${its.its(l)(0)}%.1f").mkString(",") +
       f"  max-rel-err=${rel.max}%.4f (bound 0.05, FLAT = Markovian)  " +
       f"${secIts}%6.1f s  ${if (okIts) "OK" else "FAIL"}")
+    failures
+  }
+
+  /** 100x family nineteen: SINDy system identification at a 15M-frame
+    * corpus — 3,000 jittered Lorenz trajectories generated DISTRIBUTED
+    * (RK4, one seeded task per trajectory), windowed-FD differentiated
+    * map-side, and reduced through ONE treeAggregate of p×p normal
+    * equations (p = 10 monomials; nothing row-sized on the driver — the
+    * moments100 aggregation shape applied to regression). Invariants:
+    *   1. RECOVERY: all seven Lorenz coefficients within the SindySpec
+    *      tolerances at 100x the spec's corpus;
+    *   2. SPARSITY: exactly the seven true terms survive STLSQ — no
+    *      spurious library terms at any magnitude above 1e-6;
+    *   3. the corpus never concentrates: generation, differentiation and
+    *      the library lift are all map-side (timed). */
+  def sindy100(spark: SparkSession, src: String): Int = {
+    var failures = 0
+    val h = 2e-5; val sub = 100; val dt = h * sub
+    val t0 = System.nanoTime()
+    val traj = graft.data.Generators.odeTrajectories(spark,
+        graft.data.Generators.Lorenz, Array(Array(-8.0, 8.0, 27.0)),
+        nTraj = 3000, length = 5000, seed = 41L, jitter = 2.0,
+        h = h, nSteps = sub)
+      .localCheckpoint()
+    val n = traj.count()
+    val secGen = (System.nanoTime() - t0) / 1e9
+    println(f"[scale-100x-sindy] corpus frames=$n (3000 jittered Lorenz " +
+      f"trajectories, RK4 distributed)  gen=${secGen}%6.1f s")
+
+    val t1 = System.nanoTime()
+    val model = graft.sindy.Sindy.fit(traj, inputDim = 3, degree = 2,
+      threshold = 0.5, alpha = 1e-10, dt = dt)
+    val secFit = (System.nanoTime() - t1) / 1e9
+    val names = model.featureNames
+    val iX = names.indexOf("x0"); val iY = names.indexOf("x1")
+    val iZ = names.indexOf("x2"); val iXZ = names.indexOf("x0 x2")
+    val iXY = names.indexOf("x0 x1")
+    val expected = Seq( // (row, col, value, tol) — the Lorenz system
+      (0, iX, -10.0, 0.3), (0, iY, 10.0, 0.3),
+      (1, iX, 28.0, 0.8), (1, iY, -1.0, 0.3), (1, iXZ, -1.0, 0.05),
+      (2, iXY, 1.0, 0.05), (2, iZ, -8.0 / 3.0, 0.3))
+    val coefErrs = expected.map { case (r, c, v, tol) =>
+      (s"c($r,${names(c)})", math.abs(model.coef(r, c) - v), tol)
+    }
+    val okRecover = coefErrs.forall { case (_, e, tol) => e < tol }
+    val nTerms = (for (r <- 0 until 3; c <- names.indices
+                       if math.abs(model.coef(r, c)) > 1e-6) yield 1).sum
+    val okSparse = nTerms == 7
+    if (!okRecover || !okSparse) failures += 1
+    println("[scale-100x-sindy] lorenz-recovery " +
+      coefErrs.map { case (nm, e, tol) => f"$nm=|err $e%.3f|<$tol" }.mkString(" "))
+    println(f"[scale-100x-sindy] fit             nonzero-terms=$nTerms " +
+      f"(want exactly 7)  ${secFit}%6.1f s  " +
+      s"${if (okRecover && okSparse) "OK" else "FAIL"}")
     failures
   }
 
