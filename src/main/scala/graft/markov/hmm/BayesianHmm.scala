@@ -197,13 +197,17 @@ object BayesianHmm {
     BayesianHmmPosterior(mlModel, out.toSeq)
   }
 
-  /** Convenience: ML fit then posterior sampling. */
+  /** Convenience: ML fit then posterior sampling. `localThreshold = 0`
+    * forces the distributed per-sweep reduce (the 100 TB transport) at
+    * any size — oracle-gated by q265 alongside the default crossover. */
   def fit(dtraj: DataFrame, nHidden: Int, nObs: Int, nSamples: Int = 50,
           lagtime: Int = 1, reversible: Boolean = true, seed: Long = 42L,
-          maxIterMl: Int = 50): BayesianHmmPosterior = {
+          maxIterMl: Int = 50,
+          localThreshold: Long = LocalSweepThreshold): BayesianHmmPosterior = {
     val ml = Hmm.fit(dtraj, nHidden, nObs, lagtime, maxIter = maxIterMl,
       reversible = reversible)
-    sample(dtraj, ml, nObs, nSamples, reversible = reversible, seed = seed)
+    sample(dtraj, ml, nObs, nSamples, reversible = reversible, seed = seed,
+      localThreshold = localThreshold)
   }
 
   // --- Gaussian output models -----------------------------------------------
@@ -393,12 +397,14 @@ object BayesianHmm {
     BayesianGaussianHmmPosterior(mlModel, out.toSeq)
   }
 
-  /** Convenience: Gaussian ML (Baum-Welch) fit then posterior sampling. */
+  /** Convenience: Gaussian ML (Baum-Welch) fit then posterior sampling.
+    * `localThreshold = 0` forces the distributed per-sweep reduce. */
   def fitGaussian(traj: DataFrame, nHidden: Int, nSamples: Int = 50,
                   reversible: Boolean = true, seed: Long = 42L,
-                  valueCol: String = "value", maxIterMl: Int = 50): BayesianGaussianHmmPosterior = {
+                  valueCol: String = "value", maxIterMl: Int = 50,
+                  localThreshold: Long = LocalSweepThreshold): BayesianGaussianHmmPosterior = {
     val ml = GaussianHmm.fit(traj, nHidden, valueCol, maxIter = maxIterMl)
     sampleGaussian(traj, ml, nSamples, reversible = reversible, seed = seed,
-      valueCol = valueCol)
+      valueCol = valueCol, localThreshold = localThreshold)
   }
 }

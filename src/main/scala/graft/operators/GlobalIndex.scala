@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Global ordered row index WITHOUT the single-partition window trap: a
   * bare `row_number() OVER (ORDER BY ...)` funnels the entire corpus
@@ -17,8 +21,30 @@ import org.apache.spark.sql.functions._
   *
   * The index equals the rank of the row in the total (sortCols) order —
   * verified against the SQL row_number twin. Ties MUST be broken by the
-  * caller's sort columns (include a unique key last). */
+  * caller's sort columns (include a unique key last).
+  *
+  * All per-row passes run on the Tungsten path: `queryExecution.toRdd`
+  * (UnsafeRow, zero deserialization) in, `UnsafeProjection` append out,
+  * mounted back via `internalCreateDataFrame` — never `df.rdd` /
+  * `Row.fromSeq`, whose GenericRow boxing costs 2-5x per row on what is,
+  * at 100 TB, a full-corpus loop. toRdd rows are REUSED buffers, so any
+  * value retained across rows is copied (`InternalRow.copyValue`). */
 object GlobalIndex {
+
+  /** Tungsten-path column append: stream the partition's UnsafeRows
+    * through a codegen'd projection that adds one trailing LONG field.
+    * `emit(row, setExtra)` sets the appended value (null allowed when
+    * `nullable`) via the passed single-field buffer. */
+  private def appendLongField(
+      rdd: RDD[InternalRow], outSchema: StructType)(
+      emit: (Int, Iterator[InternalRow], GenericInternalRow) => Iterator[InternalRow])
+      : RDD[InternalRow] =
+    rdd.mapPartitionsWithIndex { (i, it) =>
+      val joined = new JoinedRow
+      val extra = new GenericInternalRow(1)
+      val proj = UnsafeProjection.create(outSchema)
+      emit(i, it, extra).map(r => proj(joined(r, extra)))
+    }
 
   def withGlobalIndex(df: DataFrame, indexCol: String, sortCols: Column*): DataFrame = {
     val spark = df.sparkSession
@@ -32,18 +58,18 @@ object GlobalIndex {
       df.repartitionByRange(n, sortCols: _*)
         .sortWithinPartitions(sortCols: _*))
     val schema = sorted.schema
-    val rdd = sorted.rdd
+    val outSchema = schema.add(indexCol, LongType, nullable = false)
+    val rdd = sorted.queryExecution.toRdd
     val counts = rdd.mapPartitionsWithIndex((i, it) =>
       Iterator.single((i, it.size)), preservesPartitioning = true).collect()
       .sortBy(_._1).map(_._2.toLong)
     val offsets = counts.scanLeft(0L)(_ + _)
     val bc = spark.sparkContext.broadcast(offsets)
-    val indexed = rdd.mapPartitionsWithIndex { (i, it) =>
+    val indexed = appendLongField(rdd, outSchema) { (i, it, extra) =>
       var k = bc.value(i)
-      it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
+      it.map { r => extra.setLong(0, k); k += 1; r }
     }
-    spark.createDataFrame(indexed,
-      schema.add(indexCol, org.apache.spark.sql.types.LongType, nullable = false))
+    GraftExpressionBridge.internalCreateDataFrame(spark, indexed, outSchema)
   }
 
   /** Global RUNNING aggregate over a total order without the
@@ -125,7 +151,10 @@ object GlobalIndex {
       case (Some(x), None) => Some(x)
       case (None, y) => y
     }
-    val rdd = sorted.rdd
+    val outSchema = schema.add(runCol, LongType, nullable = true)
+    def setOpt(extra: GenericInternalRow, v: Option[Long]): Unit =
+      if (v.isEmpty) extra.setNullAt(0) else extra.setLong(0, v.get)
+    val rdd = sorted.queryExecution.toRdd
     val out = if (frame != "range_excl") {
       // ROWS frames: per-partition totals -> driver prefix-combine.
       val totals = rdd.mapPartitionsWithIndex({ (i, it) =>
@@ -137,14 +166,14 @@ object GlobalIndex {
       val offsets = totals.scanLeft(Option.empty[Long])(comb).init
       val bc = spark.sparkContext.broadcast(offsets)
       val incl = frame == "rows_incl"
-      rdd.mapPartitionsWithIndex { (i, it) =>
+      appendLongField(rdd, outSchema) { (i, it, extra) =>
         var committed = bc.value(i)
         it.map { r =>
           val v = r.getLong(aggIdx)
           val value =
             if (incl) { committed = comb(committed, Some(v)); committed }
             else { val before = committed; committed = comb(committed, Some(v)); before }
-          Row.fromSeq(r.toSeq :+ value.map(Long.box).orNull)
+          setOpt(extra, value); r
         }
       }
     } else {
@@ -153,15 +182,21 @@ object GlobalIndex {
       // (firstKey, lastKey, body = agg over keys strictly before lastKey,
       //  tail = agg of the lastKey run). total(i) = comb(body, tail).
       val keyIdx = schema.fieldIndex(rangeKey.get)
+      val keyType = schema(keyIdx).dataType
       val stats: Array[Option[(Any, Any, Option[Long], Option[Long])]] =
         rdd.mapPartitionsWithIndex({ (i, it) =>
           var fk: Any = null; var lk: Any = null
           var body = Option.empty[Long]; var run = Option.empty[Long]
           var started = false
           it.foreach { r =>
-            val k = r.get(keyIdx)
-            if (!started) { fk = k; lk = k; started = true }
-            else if (k != lk) { body = comb(body, run); run = None; lk = k }
+            // toRdd rows are reused buffers: a key RETAINED across rows
+            // (fk/lk) must be copied, or the next row overwrites it
+            val k = r.get(keyIdx, keyType)
+            if (!started) {
+              val kc = InternalRow.copyValue(k); fk = kc; lk = kc; started = true
+            } else if (k != lk) {
+              body = comb(body, run); run = None; lk = InternalRow.copyValue(k)
+            }
             run = comb(run, Some(r.getLong(aggIdx)))
           }
           Iterator.single((i, if (started) Some((fk, lk, body, run)) else None))
@@ -210,25 +245,24 @@ object GlobalIndex {
         }
       }
       val bc = spark.sparkContext.broadcast((offBelow, seed, firstKeys))
-      rdd.mapPartitionsWithIndex { (i, it) =>
+      appendLongField(rdd, outSchema) { (i, it, extra) =>
         val (ob, sd, fks) = bc.value
         var committed = ob(i) // strictly-smaller-key mass, cross-partition
         var pending = sd(i) // current equal-key run (seeded w/ earlier mass)
         var lastKey: Any = fks(i) // == first row's key by construction
         it.map { r =>
-          val k = r.get(keyIdx)
+          val k = r.get(keyIdx, keyType)
           if (k != lastKey) {
             committed = comb(committed, pending)
             pending = None
-            lastKey = k
+            lastKey = InternalRow.copyValue(k)
           }
           pending = comb(pending, Some(r.getLong(aggIdx)))
-          Row.fromSeq(r.toSeq :+ committed.map(Long.box).orNull)
+          setOpt(extra, committed); r
         }
       }
     }
-    spark.createDataFrame(out,
-      schema.add(runCol, org.apache.spark.sql.types.LongType, nullable = true))
+    GraftExpressionBridge.internalCreateDataFrame(spark, out, outSchema)
   }
 
   /** Leaf attribute name of the head sort column via the ColumnNode walk

@@ -700,6 +700,56 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
         "consecutive_stuck" -> stuck.toDouble,
         "mean_within_015_of_mle" -> (if (meanDev < 0.15) 0.0 else meanDev)))
     }),
+
+    // ---- forced-distributed FFBS/Gibbs transport (q265, VERDICT r13
+    // task 2): below the 2M-observation crossover every Bayesian-HMM
+    // battery (q247, q38's cousin shapes) takes the driver-local sweep
+    // transport, leaving the 100 TB path — one Spark job per sweep,
+    // only O(m² + m·nObs) sufficient statistics reduced — spec-only.
+    // This query forces localThreshold = 0 so the DISTRIBUTED reduce
+    // executes under the DuckDB gate, and pins the two transports
+    // against each other as oracle rows: discrete FFBS statistics are
+    // integer counts (bit-identical by the per-(sweep, traj) seeded
+    // RNG), Gaussian (Σx, Σx²) partials differ only in float merge
+    // order (≤ ~1e-9, BayesianHmmSpec) — both round to exactly 0.0
+    // at the battery's 6dp. ----------------------------------------
+    "q265_bayes_hmm_dist_transport" -> ((s, dir) => {
+      import graft.markov.hmm.{BayesianHmm, Hmm}
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+      // discrete transport: the event dtraj, both thresholds
+      val d = dtrajEv(s, dir).where(col("state") >= 0)
+      val mlD = Hmm.fit(d, nHidden = 2, nObs = 5, maxIter = 5)
+      def runD(th: Long) = BayesianHmm.sample(d, mlD, nObs = 5, nSamples = 4,
+        stride = 1, seed = 29L, localThreshold = th).samples
+      val dDist = runD(0L)
+      val dLoc = runD(Long.MaxValue)
+      val dParity = maxAbs(dDist.zip(dLoc).flatMap { case (x, y) =>
+        (x.transition.toArray ++ x.emission.toArray ++ x.initial.toArray)
+          .zip(y.transition.toArray ++ y.emission.toArray ++ y.initial.toArray)
+          .map { case (p, q) => p - q } })
+      // Gaussian transport: the q247 value series, both thresholds
+      val ev = Trajectories.events(s, dir)
+        .select(col("user_id").cast("long").as("traj_id"),
+          col("ts").as("t"), col("value"))
+      val mlG = graft.markov.hmm.GaussianHmm.fit(ev, 2, "value", maxIter = 5)
+      def runG(th: Long) = BayesianHmm.sampleGaussian(ev, mlG, nSamples = 4,
+        stride = 1, seed = 47L, localThreshold = th).samples
+      val gDist = runG(0L)
+      val gLoc = runG(Long.MaxValue)
+      val gParity = maxAbs(gDist.zip(gLoc).flatMap { case (x, y) =>
+        (x.transition.toArray ++ x.means ++ x.sigmas ++ x.initial.toArray)
+          .zip(y.transition.toArray ++ y.means ++ y.sigmas ++ y.initial.toArray)
+          .map { case (p, q) => p - q } })
+      val stoch = maxAbs(dDist.flatMap(m => (0 until 2).map(i =>
+        breeze.linalg.sum(m.transition(i, ::).t) - 1.0)) ++
+        gDist.flatMap(m => (0 until 2).map(i =>
+          breeze.linalg.sum(m.transition(i, ::).t) - 1.0)))
+      checksDf(s, Seq(
+        "n_samples" -> (dDist.size + gDist.size).toDouble,
+        "discrete_transport_parity" -> dParity,
+        "gauss_transport_parity" -> gParity,
+        "dist_trans_stochastic" -> stoch))
+    }),
   )
 
   val oracles: Seq[(String, String)] = Seq(
@@ -806,6 +856,15 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
           FROM grid
           LEFT JOIN h ON grid.state = h.st
           LEFT JOIN tr ON grid.state = tr.st""",
+
+    // Forced-distributed transport twin: both parity rows and the
+    // stochasticity residual are exact (or sub-6dp) zeros; the sample
+    // count is the two configured draw counts summed.
+    "q265_bayes_hmm_dist_transport" ->
+      """SELECT * FROM (VALUES
+           ('n_samples', 8.0), ('discrete_transport_parity', 0.0),
+           ('gauss_transport_parity', 0.0), ('dist_trans_stochastic', 0.0)
+         ) AS t("check", "value")""",
 
     // Bayesian Gaussian HMM twin: validity invariants are driver-exact
     // zeros; the sample count is the configured draw count.

@@ -11,6 +11,19 @@ object GraftExpressionBridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** DataFrame from an RDD[InternalRow] WITHOUT the GenericRow round-trip:
+    * `spark.createDataFrame(RDD[Row])` deserializes every row to boxed
+    * JVM objects and re-encodes them — on a full-corpus pass (GlobalIndex)
+    * that is a 2-5x constant-factor tax. `internalCreateDataFrame` mounts
+    * the UnsafeRow RDD directly as a LogicalRDD, keeping the pass on the
+    * Tungsten binary format end to end (the `private[sql]` API localCheckpoint
+    * itself uses). Rows fed in MUST be UnsafeRows matching `schema`. */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Leaf attribute name of a (possibly qualified / sort-directed) column:
     * `col("k")`, `df("k")`, `col("t.k")`, `col("k").asc` all yield "k" —
     * used by stringly-typed preconditions (GlobalIndex range_excl) so a
