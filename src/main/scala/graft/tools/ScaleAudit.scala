@@ -1217,7 +1217,7 @@ object ScaleAudit {
     "editdist100", "text100", "graph100", "substring100", "asof100",
     "contamination100", "moments100", "multimodal100", "orderstats100",
     "tram100", "kernel100", "layout100", "hmm100", "cluster100",
-    "its100", "sindy100", "streaming100")
+    "its100", "sindy100", "effcounts100", "rangejoin100", "streaming100")
 
   /** Run one named 100x family; returns its failure count. */
   def run100x(spark: SparkSession, family: String, src: String,
@@ -1241,6 +1241,8 @@ object ScaleAudit {
     case "cluster100" => cluster100(spark, src)
     case "its100" => its100(spark, src)
     case "sindy100" => sindy100(spark, src)
+    case "effcounts100" => effcounts100(spark)
+    case "rangejoin100" => rangejoin100(spark)
     case other => throw new IllegalArgumentException(
       s"unknown 100x family '$other' (known: ${families100.mkString(", ")})")
   }
@@ -1884,6 +1886,182 @@ object ScaleAudit {
       its.lagtimes.indices.map(l => f"${its.its(l)(0)}%.1f").mkString(",") +
       f"  max-rel-err=${rel.max}%.4f (bound 0.05, FLAT = Markovian)  " +
       f"${secIts}%6.1f s  ${if (okIts) "OK" else "FAIL"}")
+    failures
+  }
+
+  /** 100x family twenty (VERDICT r13 task 3a): the effective-counts
+    * single-scan all-pair indicator-ACF fan-out
+    * (markov/EffectiveCounts.scala, q35/q36) at 15M frames. The scale
+    * contract under audit: the reference's O(nnz · N) serial per-pair
+    * ACF loop is replaced by ONE conditional-frame scan whose explode
+    * (× |lags|) is reduced MAP-SIDE — the ×25 row blowup must never
+    * cross a shuffle, and the driver sees at most n² · |lags| aggregated
+    * sufficient-statistic rows regardless of corpus size. Correctness
+    * is analytic by planting an i.i.d.-state chain (all transition rows
+    * = uniform π): every conditional target sequence is i.i.d., so all
+    * indicator ACFs vanish, every statistical inefficiency is 1 and
+    * effective counts equal raw counts — in fact ANY exactly-Markov
+    * observed chain gives I = 1 (given s_t = i, s_{t+1} is independent
+    * of the past), which is itself the second pin: effective counts
+    * exist for NON-Markovian projections, so the opposite regime plants
+    * a slow hidden regime h (stay prob 1-ε) observed through a noisy
+    * 2-state emission (o = h w.p. 0.9) — the 4-state (h, o) product
+    * chain is Markov but the PROJECTED o-trajectory is not, its
+    * conditional targets ride the hidden dwell (~ε⁻¹ steps), and every
+    * inefficiency must fall far below 1. */
+  def effcounts100(spark: SparkSession): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    var failures = 0
+    val nStates = 6
+    val maxLag = 25
+    val lags = 1 to maxLag
+    val iid = breeze.linalg.DenseMatrix.fill(nStates, nStates)(1.0 / nStates)
+    val dtraj = graft.data.MarkovSim.simulate(spark, iid, nTraj = 600,
+      length = 25000, seed = 31L).localCheckpoint()
+    val n = dtraj.count()
+    println(s"[scale-100x-effc] corpus frames=$n states=$nStates maxLag=$maxLag")
+
+    // shape: the pair-count plan (the exact frame the estimator
+    // aggregates) — sufficient-stat rows bounded by n²·|lags|, and no
+    // exchange carries the exploded (×|lags|) frame
+    val t0 = System.nanoTime()
+    val cond = graft.markov.EffectiveCounts.conditionalFrame(dtraj, 1)
+    val pairs = graft.markov.EffectiveCounts.acfPairCounts(cond, lags)
+    val pairRows = pairs.queryExecution.toRdd.count()
+    val sec0 = (System.nanoTime() - t0) / 1e9
+    val bound = nStates.toLong * nStates * nStates * maxLag
+    val (maxRec, maxBytes, nEx) = exchangeMaxima(pairs)
+    val cart = hasCartesian(pairs)
+    // window hash exchanges carry ≤ n rows each; the post-explode
+    // partial agg carries ≤ partitions · n² · |lags| — far under 2n.
+    // An unreduced explode would push 25n rows through the last
+    // exchange and fail loudly here.
+    val okShape = pairRows <= bound && maxRec < 2 * n && !cart
+    if (!okShape) failures += 1
+    println(f"[scale-100x-effc] pair-scan  stat-rows=$pairRows (bound $bound)  " +
+      f"exchanges=$nEx max-exchange-rows=$maxRec (bound ${2 * n})  " +
+      f"max-exchange-MB=${maxBytes / 1e6}%7.1f cartesian=$cart  " +
+      f"${sec0}%6.1f s  ${if (okShape) "OK" else "FAIL"}")
+
+    // analytic: i.i.d. targets → I_ij = 1, c_eff = c (entrywise)
+    val t1 = System.nanoTime()
+    val (ineff, c) = graft.markov.EffectiveCounts.inefficienciesAndCounts(
+      dtraj, 1, nStates, maxLag = maxLag)
+    val ceff = graft.markov.EffectiveCounts.effectiveCountMatrix(
+      dtraj, 1, nStates, maxLag = maxLag)
+    val sec1 = (System.nanoTime() - t1) / 1e9
+    val cells = for (i <- 0 until nStates; j <- 0 until nStates if c(i, j) > 0) yield (i, j)
+    val iErr = cells.map { case (i, j) => math.abs(ineff(i, j) - 1.0) }.max
+    val cErr = cells.map { case (i, j) =>
+      math.abs(ceff(i, j) - c(i, j)) / c(i, j) }.max
+    val okIid = iErr < 0.1 && cErr < 0.1
+    if (!okIid) failures += 1
+    println(f"[scale-100x-effc] iid-chain  max|I-1|=$iErr%.4f (bound 0.1)  " +
+      f"max-rel|ceff-c|=$cErr%.4f (bound 0.1)  ${sec1}%6.1f s  " +
+      f"${if (okIid) "OK" else "FAIL"}")
+
+    // non-Markovian projection: hidden regime h switches slowly
+    // (stay 1-ε), observed o = h w.p. 0.9 — product state = 2h + o is
+    // Markov, the projected o-trajectory is NOT: its conditional
+    // targets are pinned to the hidden dwell, so I ≪ 1 everywhere
+    val eps = 0.001 // dwell ~1000 steps ≫ the 60-lag ACF horizon, so
+                    // the indicator ACF stays near its ceiling across it
+    val emit = 0.9
+    val t4 = breeze.linalg.DenseMatrix.tabulate(4, 4) { (s, s2) =>
+      val (h, h2, o2) = (s / 2, s2 / 2, s2 % 2)
+      val ph = if (h2 == h) 1.0 - eps else eps
+      val po = if (o2 == h2) emit else 1.0 - emit
+      ph * po
+    }
+    val hidden = graft.data.MarkovSim.simulate(spark, t4, nTraj = 600,
+      length = 25000, seed = 37L)
+    val proj = hidden.withColumn("state", col("state") % 2).localCheckpoint()
+    val t2 = System.nanoTime()
+    // longer ACF horizon here: the hidden dwell spans ~ε⁻¹ conditional
+    // lags, and the tent-window sum needs enough of it to push the
+    // correlation time well past 2.5 (the 25-lag horizon of the shape
+    // stage would truncate corrtime at ~1.7 even for perfectly
+    // correlated targets)
+    val ineffS = graft.markov.EffectiveCounts.statisticalInefficiencies(
+      proj, 1, 2, maxLag = 60)
+    val sec2 = (System.nanoTime() - t2) / 1e9
+    val maxProj = (for (i <- 0 until 2; j <- 0 until 2) yield ineffS(i, j)).max
+    val okProj = maxProj < 0.2
+    if (!okProj) failures += 1
+    println(f"[scale-100x-effc] hidden-regime  max I=$maxProj%.4f " +
+      f"(bound 0.2: non-Markovian targets must be heavily discounted)  " +
+      f"${sec2}%6.1f s  ${if (okProj) "OK" else "FAIL"}")
+    failures
+  }
+
+  /** 100x family twenty-one (VERDICT r13 task 3b): the interval/range
+    * join (operators/Joins.scala rangeJoin, q109) under adversarial
+    * interval-length skew — ONE interval spanning the whole domain while
+    * 100k cold intervals stay 2 units wide. The bucket decomposition's
+    * scale contract: the hot interval is REPLICATED once per domain
+    * bucket (1000 tiny rows, never a hot partition), the join stays a
+    * hash equi-join on the bucket key (no BroadcastNestedLoopJoin, no
+    * cartesian), exchanges stay input-proportional (the ×matches output
+    * explosion happens join-side and is never re-shuffled), and the
+    * 18M-row output under the planted grid is CLOSED-FORM exact. */
+  def rangejoin100(spark: SparkSession): Int = {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    var failures = 0
+    val nPts = 15000000L
+    // points on an exact 1/15 grid over [0, 1e6): x = k / 15 hits
+    // integer (and bucket) boundaries exactly in double arithmetic
+    val points = spark.range(nPts)
+      .select((col("id") / 15.0).as("x"), col("id").as("pid"))
+    val nCold = 100000L
+    // cold lo ∈ [0, 999000): every width-2 interval matches exactly 31
+    // grid points (15·2 + 1) with no domain-edge truncation
+    val cold = spark.range(nCold)
+      .select(col("id").as("iid"),
+        (col("id") * 9973L % 999000L).cast("double").as("lo"))
+      .withColumn("hi", col("lo") + 2.0)
+    val hot = spark.range(1)
+      .select(lit(-1L).as("iid"), lit(0.0).as("lo"), lit(999000.0).as("hi"))
+    val intervals = cold.unionByName(hot)
+    val joined = graft.operators.Joins.rangeJoin(
+      points, "x", intervals, "lo", "hi", bucketWidth = 1000.0)
+
+    val t0 = System.nanoTime()
+    val outRows = joined.queryExecution.toRdd.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    // closed form: 100k cold × 31 grid points + hot ⊇ all x ≤ 999000
+    // (k ≤ 14,985,000 → 14,985,001 points)
+    val expect = nCold * 31L + 14985001L
+    val okRows = outRows == expect
+    if (!okRows) failures += 1
+    println(f"[scale-100x-rjoin] output rows=$outRows (closed form $expect)  " +
+      f"${sec}%6.1f s  ${if (okRows) "OK" else "FAIL"}")
+
+    val nodes = allPlanNodes(joined)
+    val bnl = nodes.exists(_.nodeName.contains("BroadcastNestedLoop"))
+    val cart = hasCartesian(joined)
+    val (maxRec, maxBytes, nEx) = exchangeMaxima(joined)
+    // exchanges carry the point table once (15M) and the bucket-exploded
+    // interval table (~101k: cold + ~200 bucket-boundary crossers + the
+    // hot interval's 1000 replicas) — output (18M) is never re-shuffled
+    val okShape = !bnl && !cart && maxRec <= (nPts * 11) / 10
+    if (!okShape) failures += 1
+    println(f"[scale-100x-rjoin] plan  exchanges=$nEx max-exchange-rows=$maxRec " +
+      f"(bound ${nPts * 11 / 10})  max-exchange-MB=${maxBytes / 1e6}%7.1f  " +
+      f"bnl-join=$bnl cartesian=$cart  ${if (okShape) "OK" else "FAIL"}")
+
+    // skew: the hot interval's matches must spread across tasks — no
+    // output partition may hold more than a small multiple of its fair
+    // share (the decomposition assigns the hot interval's work bucket
+    // by bucket, so a domain-spanning interval cannot pin one task)
+    val partRows = joined.queryExecution.toRdd
+      .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+    val maxPart = partRows.max
+    val fair = expect / math.max(1, partRows.length)
+    val okSkew = maxPart < 8 * fair
+    if (!okSkew) failures += 1
+    println(f"[scale-100x-rjoin] skew  out-partitions=${partRows.length} " +
+      f"max-partition-rows=$maxPart (fair $fair, bound ${8 * fair})  " +
+      f"${if (okSkew) "OK" else "FAIL"}")
     failures
   }
 
