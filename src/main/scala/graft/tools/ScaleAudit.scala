@@ -1485,20 +1485,24 @@ object ScaleAudit {
         m1.eigenvalues.map(v => f"$v%.4f").mkString(",") +
         " 2xcap(eps-scaled)=" +
         m2.eigenvalues.map(v => f"$v%.4f").mkString(","))
-      // gated quantity: the LEADING canonical mode (converged at the
-      // cap; measured drift ~0.009). Higher modes are the documented
-      // Nystrom tradeoff — mode k needs proportionally more landmarks
-      // (measured: lambda_2/3 still moving 0.03-0.12 at m=400 vs 800) —
-      // so their spectra are printed into the ledger but not drift-gated.
-      val drift = math.abs(m1.eigenvalues.head - m2.eigenvalues.head)
+      // gated quantities (r13 verdict task 5 tightening): the leading
+      // mode (drift ~0.009) AND the second mode (drift ~0.030) — both
+      // inside 0.05 at the cap. λ₃ remains printed, not gated: mode-k
+      // Nyström error grows with k (measured 0.12 at m=400 vs 800) and
+      // the fixed-per-sample-eps estimand has no closed form to pin it
+      // to (the raw fixed-eps spectrum is n-coupled per _cca.py:107),
+      // so a λ₃ gate here would pin sampling noise, not convergence.
+      val drift = m1.eigenvalues.zip(m2.eigenvalues).take(2)
+        .map { case (a, b) => math.abs(a - b) }.max
       gate("kernel-cca", m1.landmarks.length, m2.landmarks.length,
         drift, 0.05, (System.nanoTime() - t0) / 1e9)
     }
-    locally { // KernelEDMD (_dmd.py:419): the leading Koopman eigenvalue
-      // must sit at 1 at BOTH caps (constant eigenfunction), and the
-      // first nontrivial eigenvalue must match the ANALYTIC OU value a1
-      // — the landmark estimate converges to ground truth, not merely to
-      // itself.
+    locally { // KernelEDMD (_dmd.py:419): the OU Koopman spectrum is the
+      // FULL Hermite ladder a1^k (k = 0, 1, 2, ...), so the leading
+      // eigenvalue must sit at 1 (constant eigenfunction) and BOTH
+      // sub-leading modes are gated against closed forms at both caps
+      // (r13 verdict task 5: λ₃ = a1² was printed, not gated — measured
+      // 0.7992/0.8278 vs analytic 0.8179, well inside the bound).
       val t0 = System.nanoTime()
       val m1 = graft.decomposition.KernelEdmd.fit(traj, kern, tau = 1,
         epsilon = 1e-6, maxLandmarks = cap, seed = 42L)
@@ -1508,15 +1512,18 @@ object ScaleAudit {
         re.indices.map(i => math.hypot(re(i), im(i))).take(3)
       val g1 = mags(m1.eigenvaluesRe, m1.eigenvaluesIm)
       val g2 = mags(m2.eigenvaluesRe, m2.eigenvaluesIm)
+      val a2 = a1 * a1 // Hermite-2 eigenvalue
       println("[scale-100x-kernel] edmd |eig| cap=" +
         g1.map(v => f"$v%.4f").mkString(",") + " 2xcap=" +
-        g2.map(v => f"$v%.4f").mkString(",") + f" analytic=1,$a1%.4f,...")
+        g2.map(v => f"$v%.4f").mkString(",") + f" analytic=1,$a1%.4f,$a2%.4f")
       val okLead = math.abs(g1.head - 1.0) < 1e-3 && math.abs(g2.head - 1.0) < 1e-3
-      val okAnalytic = math.abs(g1(1) - a1) < 0.05 && math.abs(g2(1) - a1) < 0.05
-      if (!okLead || !okAnalytic) failures += 1
+      val okL2 = math.abs(g1(1) - a1) < 0.05 && math.abs(g2(1) - a1) < 0.05
+      val okL3 = math.abs(g1(2) - a2) < 0.05 && math.abs(g2(2) - a2) < 0.05
+      if (!okLead || !okL2 || !okL3) failures += 1
       println(f"[scale-100x-kernel] edmd lead-eig-at-1=$okLead " +
-        f"lambda2-vs-analytic=|${g1(1)}%.4f-$a1%.4f| (bound 0.05) " +
-        f"${if (okLead && okAnalytic) "OK" else "FAIL"}")
+        f"lambda2-err=${math.abs(g1(1) - a1)}%.4f/${math.abs(g2(1) - a1)}%.4f " +
+        f"lambda3-err=${math.abs(g1(2) - a2)}%.4f/${math.abs(g2(2) - a2)}%.4f " +
+        f"(bounds 0.05) ${if (okLead && okL2 && okL3) "OK" else "FAIL"}")
       val drift = g1.zip(g2).map { case (a, b) => math.abs(a - b) }.max
       gate("kernel-edmd", m1.landmarks.length, m2.landmarks.length,
         drift, 0.05, (System.nanoTime() - t0) / 1e9)
