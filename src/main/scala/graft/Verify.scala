@@ -29,13 +29,29 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long (used only
       // for ordering, where long-of-nanos sorts identically)
       .config(graft.util.Materialize.ReliableConfKey, reliable.toString)
+      // GC'd frozen frames must release their reliable-checkpoint files
+      // (ADVICE r13: a 265-query battery otherwise accumulates one
+      // checkpoint per frozen frame for the whole run); core conf, so
+      // it must be set BEFORE context creation
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (reliable) {
-      val ckpt = sys.env.getOrElse("SPARK_GRAFT_CHECKPOINT_DIR",
+      val explicit = sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      val ckpt = explicit.getOrElse(
         Files.createTempDirectory("graft_ckpt").toString)
       spark.sparkContext.setCheckpointDir(ckpt)
+      // the context cleaner (cleanCheckpoints=true, set in the builder)
+      // removes GC'd frames' checkpoint files during the run; an
+      // AUTO-CREATED temp dir is additionally deleted outright on
+      // shutdown (an explicit dir is the caller's to manage)
+      if (explicit.isEmpty) sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(ckpt))
+      }
       System.err.println(s"[verify] reliable-checkpoint mode: dir=$ckpt")
     }
     new java.io.File(outDir).mkdirs()

@@ -369,10 +369,17 @@ object Similarity {
     // and rho = 1, so m >= 2 puts the pair IN the band and the float64
     // re-check decides it exactly (QuantBoundSpec pins this regime).
     // Certification must never fire on a non-finite qcos/m, so `sure`
-    // requires finiteness explicitly rather than leaning on Spark's
-    // NaN-ordering semantics, and non-finite band values route to the
-    // exact re-check.
-    val qcosBad = isnan(col("qcos")) || isnan(col("m"))
+    // requires FULL finiteness explicitly (NaN and ±Inf both — ADVICE
+    // r13: a +Inf qcos from Inf embedding elements passed the NaN-only
+    // check and could certify sure=true without the float64 re-check)
+    // rather than leaning on Spark's NaN-ordering semantics; non-finite
+    // band values route to the exact re-check. (Non-finite INPUT vectors
+    // are additionally rejected loudly upstream by the k-means
+    // summarizer — this guard is defense in depth for cell providers
+    // that bypass clustering; QuantBoundSpec pins both layers.)
+    def nonFinite(c: org.apache.spark.sql.Column) =
+      isnan(c) || abs(c) > lit(Double.MaxValue)
+    val qcosBad = nonFinite(col("qcos")) || nonFinite(col("m"))
     val cand = graft.util.Materialize.frozen(
       l.join(r, Seq("cell")).where(col("a") < col("b"))
         .select(col("a"), col("b"),

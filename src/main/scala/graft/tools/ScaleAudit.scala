@@ -1344,14 +1344,19 @@ object ScaleAudit {
     val partRows = hotRun.rdd
       .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
     val maxPart = partRows.max
-    // bound = the hot-run size itself: maxPart < n/2 proves the 3M-row
-    // run spans more than one task REGARDLESS of the session's partition
-    // count (an n/8-style bound encodes >8 partitions and false-fails a
-    // maximally-split run at SPARK_GRAFT_CPUS<=8 — r13 review finding)
-    val okSplit = maxPart < n / 2
+    // bound derived from REALIZED parallelism (ADVICE r13): a fair range
+    // split puts ~n/nP rows in a task; 4x slack absorbs sampled-boundary
+    // granularity, and the can-it-split-at-all floor n/2 keeps low-CPU
+    // sessions (nP <= 8, where 4n/nP >= n/2) from false-failing a
+    // maximally-split run — while a 32-partition session now has to beat
+    // 4n/32, not just "under half", so a near-degenerate 49% split FAILS
+    val nPSplit = math.max(1, partRows.length)
+    val splitBound = math.min(n / 2, 4L * n / nPSplit)
+    val okSplit = maxPart < splitBound
     if (!okSplit) failures += 1
     println(f"[scale-100x-ord] hot-run-split  max-partition-rows=$maxPart " +
-      f"(hot run ${n / 2}, bound <${n / 2})  ${if (okSplit) "OK" else "FAIL"}")
+      f"(hot run ${n / 2}, bound <$splitBound @ $nPSplit partitions)  " +
+      f"${if (okSplit) "OK" else "FAIL"}")
 
     println(s"[scale-100x-ord] rows=$n threshold=2000000 (two-pass path engaged)")
     failures
@@ -1789,7 +1794,11 @@ object ScaleAudit {
     val leaked = shuffledPayloadColumns(pur)
     val joins = allPlanNodes(pur).count(_.getClass.getSimpleName.contains("Join"))
     val (maxRec, _, _) = exchangeMaxima(pur)
-    val recBound = 64L * k * k // partitions x k^2, generous
+    // partial-combined (label, cell) partials: one k x k block per input
+    // partition at most — derive from the REALIZED partition count
+    // (ADVICE r13: a hardcoded 64 false-fails legitimately on sessions
+    // with defaultParallelism > 64)
+    val recBound = math.max(64L, pts.rdd.getNumPartitions.toLong) * k * k
     val okAssign = r.getLong(1) == n && purity >= 0.999 &&
       leaked.isEmpty && joins == 0 && maxRec <= recBound
     if (!okAssign) failures += 1

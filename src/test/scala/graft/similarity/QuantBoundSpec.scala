@@ -109,6 +109,44 @@ class QuantBoundSpec extends SparkSpec {
     assert(res.count { case (id, _, keep) => id >= 8 && id < 14 && keep == 0 } == 5)
   }
 
+  test("non-finite regime (ADVICE r13): Inf embedding elements are " +
+    "rejected LOUDLY upstream (k-means summarizer), never silently " +
+    "mis-certified; the band guard itself treats Inf qcos/m as bad") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    // end-to-end contract: Inf input cannot even reach the band stage —
+    // the clustering summarizer raises, so a caller gets a hard error
+    // rather than a sweep whose certification quietly saw +Inf >= tau+m
+    val infs = (0 until 4).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian())
+      v(i % 16) = if (i % 2 == 0) Double.PositiveInfinity
+                  else Double.NegativeInfinity
+      v
+    }
+    val noise = (0 until 20).map(_ => Array.fill(16)(rnd.nextGaussian()))
+    val rows = (infs ++ noise).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("vec_id", "embedding").repartition(3)
+    val e = intercept[Exception] {
+      Similarity.semDedup(df, tau = 0.8, nClusters = 2, seed = 7L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t.getMessage).toSeq ++ Option(t.getCause).toSeq.flatMap(msgs)
+    assert(msgs(e).exists(_.contains("NaN or Infinity")),
+      s"expected the loud non-finite rejection, got: ${e.getMessage}")
+
+    // band-guard defense in depth for paths that bypass the summarizer:
+    // the full-finiteness predicate (isnan || |x| > MaxValue, the guard
+    // Similarity uses for qcosBad) flags ±Inf AND NaN, so neither can
+    // satisfy `!bad && qcos >= tau + m` — the old NaN-only check let
+    // +Inf qcos certify
+    val vals = Seq(Double.PositiveInfinity, Double.NegativeInfinity,
+      Double.NaN, 0.9, -0.4).toDF("x")
+    val flagged = vals.select(
+      (isnan(col("x")) || abs(col("x")) > lit(Double.MaxValue)).as("bad"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(flagged == Seq(true, true, true, false, false))
+  }
+
   test("banded int8 semDedup keep/drop identical to a plain float64 sweep") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
