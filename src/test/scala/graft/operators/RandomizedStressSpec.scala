@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+/** Randomized-stress extension of GlobalIndexSpec's withRunning pattern
+  * to the two remaining multi-variant operators whose specs enumerated
+  * hand-picked cases only (VERDICT r13 task 8): `withNtile` (both
+  * dispatch branches vs Spark's ntile window) and the as-of family
+  * (strict / forward-strict / nearest, plus their skew twins, vs a
+  * driver brute force). ≥32 random configs each over (distribution,
+  * partitioning, k / tie density / key skew). */
+class RandomizedStressSpec extends SparkSpec with Matchers {
+
+  test("randomized stress: withNtile equals Spark's ntile across random " +
+    "sizes, k, tie densities and partitionings — BOTH dispatch branches") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val master = new scala.util.Random(131)
+    for (round <- 0 until 32) {
+      val n = 10 + master.nextInt(2500)
+      val k = 1 + master.nextInt(20)
+      // tie density: values drawn mod M — M=1 collapses ALL rows onto
+      // one value (pure tie-break by id), small M makes heavy tie runs
+      val m = round % 4 match {
+        case 0 => 1
+        case 1 => 1 + master.nextInt(5)
+        case _ => 1 + master.nextInt(500)
+      }
+      val rows = (0 until n).map(i => (i.toLong, master.nextInt(m).toLong))
+      val df = rows.toDF("id", "v").repartition(1 + master.nextInt(12))
+      val exp = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("v"), col("id"))))
+        .select("id", "b").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      // big branch (forced two-pass) and small branch (plain window via
+      // a threshold above n) must both match Spark exactly
+      for ((label, th) <- Seq("big" -> 0L, "small" -> (n + 1).toLong)) {
+        val got = GlobalIndex.withNtile(df, "b", k, Seq(col("v"), col("id")),
+            windowThreshold = th)
+          .select("id", "b").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+        withClue(s"round=$round n=$n k=$k mod=$m branch=$label: ") {
+          got shouldBe exp
+        }
+      }
+    }
+  }
+
+  test("randomized stress: as-of family (strict / forward / nearest + " +
+    "skew twins) equals a driver brute force across random key skew, " +
+    "tie densities, null keys and partitionings") {
+    import spark.implicits._
+    val master = new scala.util.Random(137)
+    for (round <- 0 until 32) {
+      val nL = 30 + master.nextInt(300)
+      val nR = 20 + master.nextInt(200)
+      val nKeys = 1 + master.nextInt(6)
+      val tSpan = Seq(20, 100, 1000)(master.nextInt(3))
+      // key skew: half the rounds pour ~60% of both sides onto key 0;
+      // every fourth round also injects NULL keys (grouped like any
+      // other key by the window partitioning)
+      val hot = round % 2 == 0
+      val nulls = round % 4 == 0
+      def drawKey(): Option[Long] = {
+        if (nulls && master.nextInt(10) == 0) None
+        else if (hot && master.nextBoolean()) Some(0L)
+        else Some(master.nextInt(nKeys).toLong)
+      }
+      val left = (0 until nL).map(i =>
+        (drawKey(), master.nextInt(tSpan).toLong, i.toLong))
+      // dedupe rights per (key, t) keeping max payload: tie order among
+      // same-(k,t) rights is contract-documented as greatest-payload,
+      // dedup makes the brute force independent of it
+      val right = (0 until nR).map(i =>
+        (drawKey(), master.nextInt(tSpan).toLong, i.toLong))
+        .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val lDf = left.toDF("k", "t", "lv").repartition(1 + master.nextInt(8))
+      val rDf = right.toDF("k", "t", "rv").repartition(1 + master.nextInt(8))
+      val bw = 1L + master.nextInt(tSpan) // skew-twin bucket width
+
+      // brute force (null key = a regular group, like partitionBy)
+      def cands(k: Option[Long]) = right.filter(_._1 == k)
+      val expStrict = left.map { case (k, t, lv) =>
+        val c = cands(k).filter(_._2 < t)
+        (lv, if (c.isEmpty) -1L else c.maxBy(r => (r._2, r._3))._3)
+      }.toMap
+      val expFwd = left.map { case (k, t, lv) =>
+        val c = cands(k).filter(_._2 > t)
+        (lv, if (c.isEmpty) -1L else c.minBy(r => (r._2, -r._3))._3)
+      }.toMap
+      val expNear = left.map { case (k, t, lv) =>
+        val c = cands(k)
+        val m = if (c.isEmpty) -1L
+          else c.minBy(r => (math.abs(r._2 - t), r._2))._2 // tie -> earlier
+        (lv, m)
+      }.toMap
+
+      def gotRv(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("lv"), col("__match.rv")).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      def gotMt(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("lv"), col("__match.__mt")).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+      val clue = s"round=$round nL=$nL nR=$nR keys=$nKeys span=$tSpan " +
+        s"hot=$hot nulls=$nulls bw=$bw: "
+      withClue(clue + "strict: ") {
+        gotRv(Joins.asofJoinStrict(lDf, rDf, "k", "t", "t")) shouldBe expStrict
+      }
+      withClue(clue + "forward: ") {
+        gotRv(Joins.asofJoinForwardStrict(lDf, rDf, "k", "t", "t")) shouldBe expFwd
+      }
+      withClue(clue + "nearest: ") {
+        gotMt(Joins.asofJoinNearest(lDf, rDf, "k", "t", "t")) shouldBe expNear
+      }
+      // skew twins: identical contract, every fourth round (they carry
+      // their own plan-shape specs; here only value parity is at stake)
+      if (round % 4 == 1) {
+        withClue(clue + "strictSkew: ") {
+          gotRv(Joins.asofJoinStrictSkew(lDf, rDf, "k", "t", "t", bw)) shouldBe
+            expStrict
+        }
+        withClue(clue + "forwardSkew: ") {
+          gotRv(Joins.asofJoinForwardStrictSkew(lDf, rDf, "k", "t", "t", bw)) shouldBe
+            expFwd
+        }
+        withClue(clue + "nearestSkew: ") {
+          gotMt(Joins.asofJoinNearestSkew(lDf, rDf, "k", "t", "t", bw)) shouldBe
+            expNear
+        }
+      }
+    }
+  }
+}
