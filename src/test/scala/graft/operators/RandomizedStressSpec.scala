@@ -131,4 +131,43 @@ class RandomizedStressSpec extends SparkSpec with Matchers {
       }
     }
   }
+
+  test("randomized stress: rangeJoin equals a brute-force containment " +
+    "filter across random interval lengths (incl. domain-spanning), " +
+    "bucket widths and partitionings") {
+    import spark.implicits._
+    val master = new scala.util.Random(139)
+    for (round <- 0 until 32) {
+      val nP = 50 + master.nextInt(400)
+      val nI = 10 + master.nextInt(80)
+      val span = 1000.0
+      val pts = (0 until nP).map(i => (i.toLong, master.nextDouble() * span))
+      // interval lengths: mostly short, every round a few long ones,
+      // every fourth round one spanning the whole domain (the hot-
+      // interval regime rangejoin100 audits at 15M rows)
+      val ivs = (0 until nI).map { i =>
+        val lo = master.nextDouble() * span
+        val len =
+          if (round % 4 == 0 && i == 0) span
+          else if (master.nextInt(5) == 0) master.nextDouble() * span / 2
+          else master.nextDouble() * 20
+        (i.toLong, math.min(lo, span - len), math.min(lo, span - len) + len)
+      }
+      val bw = Seq(1.0, 7.3, 50.0, span)(master.nextInt(4))
+      val exp = (for {
+        (iid, lo, hi) <- ivs
+        (pid, x) <- pts
+        if x >= lo && x <= hi
+      } yield (iid, pid)).sorted
+      val got = Joins.rangeJoin(
+          pts.toDF("pid", "x").repartition(1 + master.nextInt(8)), "x",
+          ivs.toDF("iid", "lo", "hi").repartition(1 + master.nextInt(6)),
+          "lo", "hi", bucketWidth = bw)
+        .select("iid", "pid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      withClue(s"round=$round nP=$nP nI=$nI bw=$bw: ") {
+        got shouldBe exp
+      }
+    }
+  }
 }
