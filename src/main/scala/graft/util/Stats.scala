@@ -3,7 +3,6 @@ package graft.util
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.util.Materialize.FrozenOps
 import graft.core.Trajectories.{TrajCol, TimeCol}
 
 /** Statistics utilities (reference util/stats.py): autocorrelation,
@@ -77,8 +76,10 @@ object Stats {
         ids.withColumn("idx", (row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(TrajCol)) - 1).cast("long"))
       else
-        ids.orderBy(TrajCol).rdd.map(_.getLong(0)).zipWithIndex()
-          .toDF(TrajCol, "idx").frozen()
+        // GlobalIndex's Tungsten-path two-pass (range-partitioned sort +
+        // broadcast offsets, frozen inside) — r14: replaces an
+        // orderBy.rdd.zipWithIndex round-trip through boxed rows
+        graft.operators.GlobalIndex.withGlobalIndex(ids, "idx", col(TrajCol))
     // boot_id -> uniformly drawn source index, deterministic in (seed, id)
     val draws = spark.range(n).select(col("id").as("boot_id"),
       pmod(xxhash64(lit(seed), col("id")), lit(n)).as("idx"))
@@ -107,13 +108,15 @@ object Stats {
     import spark.implicits._
     val n = df.count()
     val ranks = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong)).toDF("q", "rn")
-    val sorted = df.select(col(valueCol).as("v")).orderBy(col("v"))
-    val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
-        "rn", org.apache.spark.sql.types.LongType, nullable = false))
-    val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row(r.get(0), i + 1L) }, schema)
+    // the global rank comes from GlobalIndex's Tungsten-path two-pass
+    // decomposition (r14: this replaces a sorted.rdd.zipWithIndex →
+    // Row(...) → createDataFrame GenericRow round-trip — the same boxed
+    // full-corpus loop the GlobalIndex rewrite removed). Equal values
+    // may take either rank inside a tie run; the rank→value lookup is
+    // value-identical either way, which is all percentile_disc needs.
+    val ranked = graft.operators.GlobalIndex
+      .withGlobalIndex(df.select(col(valueCol).as("v")), "rn0", col("v"))
+      .select((col("rn0") + 1L).as("rn"), col("v"))
     ranks.join(ranked, "rn").select(col("q"), col("v"))
   }
 

@@ -72,5 +72,12 @@ class FixesSpec extends SparkSpec with Matchers {
     // a different seed draws a different sample
     val h3 = b3.orderBy("traj_id", "t").collect().toSeq
     h1 should not be h3
+    // the at-scale indexer branch (GlobalIndex two-pass past the window
+    // threshold — r14: previously the branch claimed draw-parity in a
+    // comment but no test forced it) draws the IDENTICAL sample: both
+    // paths assign idx by ascending id
+    val bBig = Stats.bootstrapTrajectories(traj, seed = 7L,
+      windowIndexThreshold = 0L)
+    bBig.orderBy("traj_id", "t").collect().toSeq shouldBe h1
   }
 }
