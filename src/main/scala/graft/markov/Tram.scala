@@ -124,7 +124,13 @@ object Tram {
       countsFromFrames(framesPerTherm, tau, nMarkov)
     val all = framesPerTherm.map(_.select(col("state"), col("bias")))
       .reduce(_ unionAll _)
-    val rdd0 = all.rdd.map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    // typed-encoder extraction (r14): `df.rdd` + Row getters deserialize
+    // every sample through GenericRow + boxed getSeq — the codegen'd
+    // tuple encoder builds (Int, Array[Double]) directly on the one pass
+    // that fills the persisted sweep cache
+    val spark0 = all.sparkSession
+    import spark0.implicits._
+    val rdd0 = all.as[(Int, Array[Double])].rdd
     val parts = math.max(1, math.min(
       all.sparkSession.sparkContext.defaultParallelism,
       (rdd0.getNumPartitions / 4) + 1))
