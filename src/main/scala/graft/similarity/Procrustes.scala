@@ -20,12 +20,17 @@ object Procrustes {
 
   /** Cross-gram AᵀB over (aCol, bCol) array columns (d×d, driver-side). */
   def crossGram(pairs: DataFrame, aCol: String, bCol: String, d: Int): DenseMatrix[Double] = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // typed-encoder extraction (r14): Row.getSeq deserializes every
+    // embedding through GenericRow + boxed WrappedArray — the codegen'd
+    // tuple encoder hands the hot loop primitive arrays directly
     val rows = pairs.select(col(aCol).cast("array<double>"),
-      col(bCol).cast("array<double>"))
+      col(bCol).cast("array<double>")).as[(Array[Double], Array[Double])]
     val m = rows.rdd.treeAggregate(DenseMatrix.zeros[Double](d, d))(
       seqOp = (acc, row) => {
-        val a = row.getSeq[Double](0)
-        val b = row.getSeq[Double](1)
+        val a = row._1
+        val b = row._2
         var i = 0
         while (i < d) {
           val ai = a(i)
