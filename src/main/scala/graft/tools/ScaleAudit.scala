@@ -1341,7 +1341,7 @@ object ScaleAudit {
     check("hot-tie-range",
       hotRun.agg(sum(when(coalesce(col("cum"), lit(0L)) =!= expHot, 1L)
         .otherwise(0L)).as("v")), hotRun)
-    val partRows = hotRun.rdd
+    val partRows = hotRun.queryExecution.toRdd
       .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
     val maxPart = partRows.max
     // bound derived from REALIZED parallelism (ADVICE r13): a fair range
