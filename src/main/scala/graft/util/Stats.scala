@@ -108,14 +108,19 @@ object Stats {
     import spark.implicits._
     val n = df.count()
     val ranks = qs.map(q => q -> math.max(1L, math.ceil(q * n).toLong)).toDF("q", "rn")
-    // the global rank comes from GlobalIndex's Tungsten-path two-pass
+    // the global rank comes from GlobalIndex's size-dispatched
     // decomposition (r14: this replaces a sorted.rdd.zipWithIndex →
     // Row(...) → createDataFrame GenericRow round-trip — the same boxed
-    // full-corpus loop the GlobalIndex rewrite removed). Equal values
-    // may take either rank inside a tie run; the rank→value lookup is
-    // value-identical either way, which is all percentile_disc needs.
+    // full-corpus loop the GlobalIndex rewrite removed): plain window
+    // below the threshold (model-sized report frames skip the two-pass
+    // freeze — the n we already counted rides along as knownCount, so
+    // the dispatch is free), Tungsten-path range-partitioned two-pass
+    // above it. Equal values may take either rank inside a tie run; the
+    // rank→value lookup is value-identical either way, which is all
+    // percentile_disc needs.
     val ranked = graft.operators.GlobalIndex
-      .withGlobalIndex(df.select(col(valueCol).as("v")), "rn0", col("v"))
+      .withGlobalIndexAuto(df.select(col(valueCol).as("v")), "rn0",
+        Seq(col("v")), knownCount = n)
       .select((col("rn0") + 1L).as("rn"), col("v"))
     ranks.join(ranked, "rn").select(col("q"), col("v"))
   }
