@@ -23,6 +23,18 @@ import graft.queries.QShared._
   * `oracleSql` maps the driver consumes, and ContractSpec keeps the
   * key sets equal. */
 private[graft] object StreamingQueries extends QueryFamily {
+
+  /** Dedicated harness session: 4 shuffle partitions — state-store
+    * count per stateful op, the fixed per-batch cost driver (q102's
+    * note). One helper instead of twelve copies (r14). Checkpoints stay
+    * on the default temp dir: tmpfs checkpoints were MEASURED neutral
+    * (page cache absorbs the tiny WAL writes; the residual floor is
+    * micro-batch scheduling latency, not I/O). */
+  private def streamSession(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    s
+  }
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // ---- Structured Streaming under the oracle gate (q102): the
@@ -42,8 +54,7 @@ private[graft] object StreamingQueries extends QueryFamily {
       // a toy stream. 4 partitions keeps the harness honest (parallel
       // state, cross-batch buffers) at 1/8 the fixed cost; a real
       // deployment sizes this to the key cardinality as usual.
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val data = dtrajEv(s, dir)
@@ -81,8 +92,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // that makes a 100 TB streaming job survive deploys — recovery is
     // exactly-once, not at-least-once. ----------------------------------
     "q210_stream_restart" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val data = dtrajEv(s, dir).as[(Long, Long, Int)].collect()
@@ -126,8 +136,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // minimum that still crosses a batch boundary); the emitted pair
     // set must equal the batch interval join the twin replays. ----
     "q163_streaming_join" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       // deterministic quarter of the users: the harness feeds rows
@@ -180,8 +189,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // JOIN the twin replays — a dropped unmatched click (watermark bug)
     // or a duplicate emission (state bug) breaks the hash. --------------
     "q227_streaming_outer_join" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val ev = Trajectories.events(s, dir)
@@ -240,8 +248,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // reader takes each shard's LATEST emission (max seen) and the
     // global k-best of the shard tops. ---------------------------------
     "q159_streaming_reservoir" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val data = docs(s, dir)
@@ -285,8 +292,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     "q126_streaming_features" -> ((s0, dir) => {
       // isolated session: the 4-partition state-store sizing (q102
       // rationale) must not leak into later queries on the shared session
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val data = Trajectories.events(s, dir)
@@ -328,8 +334,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // augmented corpus — a duplicate emission or a dropped
     // first-occurrence breaks the hash. ---------------------------------
     "q113_streaming_dedup" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val orig = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
@@ -375,8 +380,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // set must therefore STILL equal the batch min-id-per-fingerprint
     // rule, and a premature state eviction breaks the hash. -------------
     "q206_stream_dedup_ttl" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val orig = docs(s, dir).select(col("doc_id").cast("long"), col("text"))
@@ -425,8 +429,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // emitted EXACTLY once; the emitted set must equal the batch
     // sessionization that DuckDB replays (q78's gap rule). ---------------
     "q111_streaming_sessions" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       // deterministic half of the users (q163's transport rationale —
@@ -477,8 +480,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // Users with no click history inner-join away, matching the twin.
     // Same chunked feed + same-far-window sentinel flush as q170. -------
     "q172_stream_static_join" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val widthUs = 86400000000L
@@ -533,8 +535,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // that silently reopened or double-emitted the window breaks the
     // hash. -------------------------------------------------------------
     "q195_streaming_late_drop" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val widthUs = 86400000000L
@@ -588,8 +589,7 @@ private[graft] object StreamingQueries extends QueryFamily {
     // 5% HLL tolerance (residual rounds to exactly 0.0), missing or
     // spurious windows surface as nulls that break the hash. ------------
     "q170_streaming_distinct" -> ((s0, dir) => {
-      val s = s0.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", 4)
+      val s = streamSession(s0)
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
       val widthUs = 86400000000L // 1-day tumbling windows
