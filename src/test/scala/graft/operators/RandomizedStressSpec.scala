@@ -132,6 +132,49 @@ class RandomizedStressSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("randomized stress: locfGrid equals a driver brute force across " +
+    "random steps, gap structures, slot-tie densities and partitionings") {
+    import spark.implicits._
+    val master = new scala.util.Random(149)
+    for (round <- 0 until 32) {
+      val nKeys = 1 + master.nextInt(6)
+      val nObs = 5 + master.nextInt(200)
+      val step = Seq(1L, 7L, 100L, 1000L)(master.nextInt(4))
+      val span = step * (1 + master.nextInt(40)) // dense..gappy grids
+      val rows = (0 until nObs).map { i =>
+        (master.nextInt(nKeys).toLong,
+          (master.nextDouble() * span).toLong, i * 10.0, i.toLong)
+      }
+      val df = rows.toDF("k", "ts", "v", "tie")
+        .repartition(1 + master.nextInt(8))
+      val got = Resample.locfGrid(df, "k", "ts", "v", step, "tie")
+        .select(col("k"), col("slot"), col("value"), col("is_observed"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getLong(1)),
+          (if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getInt(3))))
+        .sortBy(_._1).toSeq
+      // brute force: per key, slots over [min, max]; slot-last by
+      // (ts, tie) desc; LOCF = latest slot-last at or before the slot
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (k, obs) =>
+        val slotOf = obs.map(o => (o._2 / step, o))
+        val lastPerSlot = slotOf.groupBy(_._1).map { case (s, xs) =>
+          s -> xs.map(_._2).maxBy(o => (o._2, o._4))._3
+        }
+        val lo = slotOf.map(_._1).min
+        val hi = slotOf.map(_._1).max
+        (lo to hi).map { s =>
+          val filled = (lo to s).reverse.collectFirst {
+            case t if lastPerSlot.contains(t) => lastPerSlot(t) }
+          ((k, s), (filled.getOrElse(Double.NaN),
+            if (lastPerSlot.contains(s)) 1 else 0))
+        }
+      }.sortBy(_._1)
+      withClue(s"round=$round keys=$nKeys obs=$nObs step=$step span=$span: ") {
+        got shouldBe exp
+      }
+    }
+  }
+
   test("randomized stress: rangeJoin equals a brute-force containment " +
     "filter across random interval lengths (incl. domain-spanning), " +
     "bucket widths and partitionings") {
