@@ -175,6 +175,49 @@ class RandomizedStressSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("randomized stress: changelog applyLatestWins equals a driver " +
+    "brute force across random op mixes, tombstone/reinsert chains and " +
+    "partitionings") {
+    import spark.implicits._
+    val master = new scala.util.Random(151)
+    for (round <- 0 until 32) {
+      val nKeys = 1 + master.nextInt(40)
+      // base covers a random subset of the key space
+      val baseRows = (0 until nKeys)
+        .filter(_ => master.nextBoolean())
+        .map(k => (k.toLong, master.nextInt(1000).toDouble))
+      // per key: 0..6 ops at distinct seqs >= 1 (the strictly-increasing
+      // contract), op mix weighted toward U with D tombstones and
+      // I reinserts interleaved
+      val ops = (0 until nKeys).flatMap { k =>
+        val n = master.nextInt(7)
+        master.shuffle((1 to 20).toList).take(n).map { seq =>
+          val op = master.nextInt(10) match {
+            case 0 | 1 => "D"
+            case 2 => "I"
+            case _ => "U"
+          }
+          (k.toLong, master.nextInt(1000).toDouble, seq.toLong, op)
+        }
+      }
+      val base = baseRows.toDF("k", "v").repartition(1 + master.nextInt(6))
+      val changes = ops.toDF("k", "v", "seq", "op")
+        .repartition(1 + master.nextInt(6))
+      val got = Changelog.applyLatestWins(base, changes, "k", "seq", "op")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      // brute force: per key, the record at max (seq, op) wins (op desc:
+      // 'U' > 'I' > 'D'); a winning tombstone drops the key
+      val records = baseRows.map { case (k, v) => (k, v, 0L, "I") } ++ ops
+      val exp = records.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val win = rs.maxBy(r => (r._3, r._4))
+        if (win._4 == "D") None else Some((k, win._2))
+      }.sortBy(_._1)
+      withClue(s"round=$round keys=$nKeys base=${baseRows.size} ops=${ops.size}: ") {
+        got shouldBe exp
+      }
+    }
+  }
+
   test("randomized stress: rangeJoin equals a brute-force containment " +
     "filter across random interval lengths (incl. domain-spanning), " +
     "bucket widths and partitionings") {
