@@ -172,7 +172,13 @@ object BayesianHmm {
       }
       val stats = localArr match {
         case Some(arr) => arr.iterator.map(body).reduce((x, y) => x.merge(y))
-        case None => trajs.map(body).reduce((x, y) => x.merge(y))
+        case None =>
+          // tag the per-sweep reduce job (UI legibility + the bayes100
+          // scheduler-level transport audit keys on this description)
+          val sc = spark.sparkContext
+          sc.setJobDescription(s"BayesianHmm FFBS sweep $sweep")
+          try trajs.map(body).reduce((x, y) => x.merge(y))
+          finally sc.setJobDescription(null)
       }
       // (2) transition posterior
       val transCounts = graft.linalg.LinAlg.fromFlat(stats.trans, m) +:+ priorPseudocount
@@ -361,7 +367,11 @@ object BayesianHmm {
       }
       val stats = localArr match {
         case Some(arr) => arr.iterator.map(body).reduce((x, y) => x.merge(y))
-        case None => trajs.map(body).reduce((x, y) => x.merge(y))
+        case None =>
+          val sc = spark.sparkContext
+          sc.setJobDescription(s"BayesianHmm Gaussian FFBS sweep $sweep")
+          try trajs.map(body).reduce((x, y) => x.merge(y))
+          finally sc.setJobDescription(null)
       }
       // (2) Gaussian emission posterior per state (reference order: μ with
       // the CURRENT σ, then σ with the NEW μ; skip empty states)

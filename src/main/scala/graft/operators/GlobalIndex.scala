@@ -144,6 +144,22 @@ object GlobalIndex {
         .sortWithinPartitions(sortCols: _*))
     val schema = sorted.schema
     val aggIdx = schema.fieldIndex(aggCol)
+    // Loud guard on the documented non-null precondition: toRdd's
+    // InternalRow.getLong silently yields 0 for a NULL field (the boxed
+    // Row.getLong this path replaced threw NPE), which would turn a
+    // caller contract violation into silently wrong running aggregates
+    // (ADVICE r14). A function VALUE, not a nested def — a def lifts
+    // onto the module and drags the non-serializable GlobalIndex$ into
+    // the task closures.
+    val aggVal: InternalRow => Long = {
+      val idx = aggIdx; val name = aggCol
+      r => {
+        if (r.isNullAt(idx))
+          throw new IllegalArgumentException(
+            s"withRunning: aggregate column '$name' must be non-null")
+        r.getLong(idx)
+      }
+    }
     val isSum = agg == "sum"
     def combine(a: Long, b: Long): Long = if (isSum) a + b else math.max(a, b)
     def comb(a: Option[Long], b: Option[Long]): Option[Long] = (a, b) match {
@@ -159,7 +175,7 @@ object GlobalIndex {
       // ROWS frames: per-partition totals -> driver prefix-combine.
       val totals = rdd.mapPartitionsWithIndex({ (i, it) =>
         var acc = Option.empty[Long]
-        it.foreach { r => acc = comb(acc, Some(r.getLong(aggIdx))) }
+        it.foreach { r => acc = comb(acc, Some(aggVal(r))) }
         Iterator.single((i, acc))
       }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
       // offsets(i) = combine of every partition strictly before i
@@ -169,7 +185,7 @@ object GlobalIndex {
       appendLongField(rdd, outSchema) { (i, it, extra) =>
         var committed = bc.value(i)
         it.map { r =>
-          val v = r.getLong(aggIdx)
+          val v = aggVal(r)
           val value =
             if (incl) { committed = comb(committed, Some(v)); committed }
             else { val before = committed; committed = comb(committed, Some(v)); before }
@@ -197,7 +213,7 @@ object GlobalIndex {
             } else if (k != lk) {
               body = comb(body, run); run = None; lk = InternalRow.copyValue(k)
             }
-            run = comb(run, Some(r.getLong(aggIdx)))
+            run = comb(run, Some(aggVal(r)))
           }
           Iterator.single((i, if (started) Some((fk, lk, body, run)) else None))
         }, preservesPartitioning = true).collect().sortBy(_._1).map(_._2)
@@ -257,7 +273,7 @@ object GlobalIndex {
             pending = None
             lastKey = InternalRow.copyValue(k)
           }
-          pending = comb(pending, Some(r.getLong(aggIdx)))
+          pending = comb(pending, Some(aggVal(r)))
           setOpt(extra, committed); r
         }
       }

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.util.Materialize.FrozenOps
 
 /** Temporal/interval join operators Spark lacks natively (the build
   * brief's "compose existing ops if semantics allow" rung — both of
@@ -306,49 +305,130 @@ object Joins {
     * by min |Δt|, exact times allowed, equal-distance ties to the EARLIER
     * right row) through the bucket-seeded decomposition — the composition
     * [[asofJoinNearest]]'s hot-key note promises: a NON-STRICT backward
-    * pass (equal-time rights visible — right tag sorts before left) gives
-    * `__prev`, the same pass on the negated time axis gives `__next`, and
+    * carry (equal-time rights visible — right tag sorts before left)
+    * gives `__prev`, the mirror-image forward carry gives `__next`, and
     * the match is a pure column pick by |Δt|.
     *
-    * Cost shape (the hot-key price): two bucket-seeded pipelines of
-    * |L|+|R| rows each plus one row-id equi-join to zip their results —
-    * vs the plain shape's single per-key window. Every task stays bounded
-    * by one (key, bucket) slice regardless of key heat. The left frame is
-    * localCheckpoint'ed with a synthetic row id (monotonically increasing
-    * ids are nondeterministic across evaluations — both pipelines must
-    * see the SAME ids, the editdist-rank lesson).
+    * Fused single-pipeline shape (r15; the r14 shape ran the whole
+    * bucket-seeded decomposition TWICE — once per direction, on a
+    * frozen row-id'd left — and zipped the halves with an equi-join,
+    * 2.6× the plain path in asof100): both directions now share ONE
+    * union-tag frame, ONE bucket-grained aggregate (emitting the
+    * bucket-FINAL right payload for the backward carry and the
+    * bucket-INITIAL right payload for the forward carry), ONE
+    * summary-sized per-key carry scan per direction over the same
+    * summary exchange, and ONE (key, bucket) data exchange carrying
+    * both seed kinds. A seed-band column `__sb` (backward −1, real 0,
+    * forward +1) places each seed where its direction's running pass
+    * starts and the OTHER direction's pass ends: the ascending `__prev`
+    * window orders (`__sb`, t, tag) so backward seeds lead and forward
+    * seeds trail (visible to no left row); the descending `__next`
+    * window orders (`__sb` desc, t desc, tag) so forward seeds lead —
+    * its running last-non-null then carries the nearest strictly-later
+    * right payload exactly as the plain shape's reversed window does.
+    * Zero joins, zero broadcasts, no row ids, no checkpoint; every task
+    * stays bounded by one (key, bucket) slice regardless of key heat.
     *
     * Contract: null KEYS follow the plain operator (one null-key group);
     * rows with null event TIMES are out of contract for this composition
-    * (the negated-axis pass cannot mirror the plain operator's
-    * nulls-first suffix semantics) — clean them first, as pandas
-    * merge_asof requires. Spec pins row-identity to [[asofJoinNearest]]
-    * on random + planted-hot-key + null-key data with non-null times. */
+    * (the forward carry cannot mirror the plain operator's nulls-first
+    * suffix semantics) — clean them first, as pandas merge_asof
+    * requires. Spec pins row-identity to [[asofJoinNearest]] on random +
+    * planted-hot-key + null-key data with non-null times, and the
+    * randomized stress family compares against a driver brute force. */
   def asofJoinNearestSkew(left: DataFrame, right: DataFrame, key: String,
                           leftTime: String, rightTime: String,
                           bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
     val pay = struct(col(rightTime).as("__mt"))
-    val lrid = left.withColumn("__rid", monotonically_increasing_id())
-      .frozen()
-    val prev = asofSkewCore(lrid, right, key, leftTime, rightTime,
-      bucketWidth, pay, strict = false)
-      .withColumnRenamed("__match", "__prev")
-    val ln = lrid.select(col("__rid"), col(key), (-col(leftTime)).as("__negt"))
-    val rn = right.select(col(key), (-col(rightTime)).as("__negt"),
-      col(rightTime).as("__mt"))
-    val next = asofSkewCore(ln, rn, key, "__negt", "__negt",
-      bucketWidth, struct(col("__mt")), strict = false)
-      .select(col("__rid").as("__rid2"), col("__match").as("__next"))
+    val payType = right.select(pay).schema.fields(0).dataType
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__tag", lit(0))
+      .withColumn("__pay", lit(null).cast(payType))
+    // right tag −1: equal-time rights sort before left rows in BOTH
+    // pass orders (tag is ascending in both), so exact-time matches are
+    // visible on both sides; the |Δt| pick then resolves them to __prev
+    // (dPrev = 0 ≤ dNext), matching the plain operator.
+    val r0 = right.select(col(key), col(rightTime).as("__t"), pay.as("__pay"))
+      .withColumn("__tag", lit(-1))
+    val leftCols = left.columns
+    def alignLeft(df: DataFrame): DataFrame = leftCols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val shape = leftCols.map(col) ++ Seq(col("__t"), col("__tag"), col("__pay"))
+    val base = l.select(shape.toIndexedSeq: _*)
+      .unionByName(alignLeft(r0).select(shape.toIndexedSeq: _*))
+      .withColumn("__bk", floor(col("__t") / bucketWidth).cast("long"))
+      .withColumn("__sb", lit(0))
+    // ONE bucket-grained aggregate feeds BOTH carries (map-side combined;
+    // ships at most the per-partition distinct (key, bucket) count):
+    // __finB = the bucket's LAST right payload in ascending (t, tag, pay)
+    // order (the backward running value at the bucket's end); __finF =
+    // the bucket's FIRST right payload — max over the negated time axis —
+    // (the forward running value at the bucket's start).
+    val finals = base.groupBy(col(key), col("__bk")).agg(
+      max(when(col("__pay").isNotNull,
+        struct(col("__t"), col("__tag"), col("__pay")))).as("__finB"),
+      max(when(col("__pay").isNotNull,
+        struct((-col("__t")).as("__negt"), col("__tag"), col("__pay"))))
+        .as("__finF"))
+    // per-key carry scans over occupied buckets (summary-sized; same
+    // partitioning → one exchange, two sorts): each bucket's backward
+    // carry-in is the last non-null bucket-final strictly BEFORE it,
+    // its forward carry-in the last non-null bucket-initial strictly
+    // AFTER it (a prefix scan on the reversed bucket order).
+    val wB = Window.partitionBy(key).orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wF = Window.partitionBy(key).orderBy(col("__bk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = finals
+      .withColumn("__cB",
+        last(col("__finB"), ignoreNulls = true).over(wB).getField("__pay"))
+      .withColumn("__cF",
+        last(col("__finF"), ignoreNulls = true).over(wF).getField("__pay"))
+    // ONE seeds branch for both directions: each occupied (key, bucket)
+    // explodes into ≤ 2 seed rows — the backward carry at band −1, the
+    // forward carry at band +1 — so the summary pipeline (union scan →
+    // bucket aggregate → carry scans) executes ONCE. Two per-direction
+    // branches would each prune the other's carry column and re-execute
+    // the whole summary subtree (no exchange reuse once the plans
+    // diverge) — measured ~1.4× on the asof100 hot-key frame.
+    val seeds = alignLeft(carried
+      .select(col(key), col("__bk"), explode(array(
+        struct(lit(-1).as("__sb"), col("__cB").as("__pay")),
+        struct(lit(1).as("__sb"), col("__cF").as("__pay")))).as("__s"))
+      .where(col("__s").getField("__pay").isNotNull)
+      .select(col(key), col("__bk"),
+        col("__s").getField("__sb").as("__sb"),
+        col("__s").getField("__pay").as("__pay"))
+      .withColumn("__t", lit(null).cast(base.schema("__t").dataType))
+      .withColumn("__tag", lit(-2)))
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    // ONE (key, bucket) data exchange, two window sorts over it. Within
+    // real rows (__sb = 0) the ascending order is exactly the plain
+    // nearest operator's (t, tag, pay) restricted to the bucket, and the
+    // descending order its reversed (t desc, tag, pay) — so each local
+    // running value, seeded with the carry at the bucket boundary,
+    // equals the global one.
+    val wPrev = Window.partitionBy(key, "__bk")
+      .orderBy(col("__sb"), col("__t"), col("__tag"), col("__pay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(key, "__bk")
+      .orderBy(col("__sb").desc, col("__t").desc, col("__tag"), col("__pay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val lt = col(leftTime)
     val dPrev = lt - col("__prev").getField("__mt")
     val dNext = col("__next").getField("__mt") - lt
-    prev.join(next, col("__rid") === col("__rid2"))
+    base.unionByName(seeds)
+      .withColumn("__prev", last(col("__pay"), ignoreNulls = true).over(wPrev))
+      .withColumn("__next", last(col("__pay"), ignoreNulls = true).over(wNext))
+      .where(col("__tag") === 0)
       .withColumn("__match",
         when(col("__next").isNull, col("__prev"))
           .when(col("__prev").isNull, col("__next"))
           .when(dPrev <= dNext, col("__prev"))
           .otherwise(col("__next")))
-      .drop("__rid", "__rid2", "__prev", "__next")
+      .drop("__t", "__tag", "__pay", "__bk", "__sb", "__prev", "__next")
   }
 
   /** Interval (range) join: pair every point row with every interval row

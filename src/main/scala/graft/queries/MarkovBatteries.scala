@@ -736,10 +736,19 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
         stride = 1, seed = 47L, localThreshold = th).samples
       val gDist = runG(0L)
       val gLoc = runG(Long.MaxValue)
-      val gParity = maxAbs(gDist.zip(gLoc).flatMap { case (x, y) =>
+      val gParityRaw = maxAbs(gDist.zip(gLoc).flatMap { case (x, y) =>
         (x.transition.toArray ++ x.means ++ x.sigmas ++ x.initial.toArray)
           .zip(y.transition.toArray ++ y.means ++ y.sigmas ++ y.initial.toArray)
           .map { case (p, q) => p - q } })
+      // The (Σx, Σx²) partials differ from the local transport only in
+      // float merge ORDER (~1e-9 measured, BayesianHmmSpec); clamp that
+      // known-benign band so the oracle row pins the transport contract
+      // rather than a scheduling-dependent residual staying under the
+      // 6dp rounding threshold (ADVICE r14). A real divergence (≥ 1e-7)
+      // passes through raw and fails the gate; the raw residual stays
+      // visible un-gated on stdout.
+      println(f"[q265] gauss_transport_parity raw residual = $gParityRaw%.3e")
+      val gParity = if (gParityRaw < 1e-7) 0.0 else gParityRaw
       val stoch = maxAbs(dDist.flatMap(m => (0 until 2).map(i =>
         breeze.linalg.sum(m.transition(i, ::).t) - 1.0)) ++
         gDist.flatMap(m => (0 until 2).map(i =>

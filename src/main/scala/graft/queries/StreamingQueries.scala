@@ -212,22 +212,19 @@ private[graft] object StreamingQueries extends QueryFamily {
         val clicks = ev.filter(_._4 == "click").map(e => (e._1, e._2, e._3))
         val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
         val tmax = ev.iterator.map(_._3).max
-        val tmin = ev.iterator.map(_._3).min
-        val mid = tmin + (tmax - tmin + 1) / 2
-        // THREE scheduling rounds (the q111/q170 r12 fold): the first
-        // far-future sentinel pair rides WITH the second data chunk —
-        // safe because the min-over-sources watermark after batch 1 is
-        // below mid, so no chunk-2 row is late and no still-matchable
-        // click window is pre-closed — then one sentinel round closes
-        // every real click window and flushes the unmatched tail.
-        def half(xs: Array[(Long, Long, Long)], lo: Long, hi: Long) =
-          xs.filter(e => e._3 >= lo && e._3 < hi)
-        memC.addData(half(clicks, tmin, mid).toIndexedSeq: _*)
-        memP.addData(half(purchases, tmin, mid).toIndexedSeq: _*)
-        query.processAllAvailable()
+        // TWO scheduling rounds (VERDICT r14 task 3, the q111 r12 fold
+        // taken to its minimum): the boundary under test is the
+        // WATERMARK CLOSE flushing the unmatched tail — cross-batch
+        // matching is q163's contract, per-query state carry q102's, so
+        // neither needs a data split here. All real rows plus the first
+        // far-future sentinel pair ride in ONE batch (the watermark
+        // during batch 1 is the initial floor, so nothing is late or
+        // pre-closed and every inner match emits); the second sentinel
+        // batch then runs under a watermark already past every real
+        // click window, evicting each unmatched click as a null row.
         val s1 = tmax + 86400000000L
-        memC.addData((half(clicks, mid, tmax + 1) :+ ((-1L, -1L, s1))).toIndexedSeq: _*)
-        memP.addData((half(purchases, mid, tmax + 1) :+ ((-1L, -1L, s1))).toIndexedSeq: _*)
+        memC.addData((clicks :+ ((-1L, -1L, s1))).toIndexedSeq: _*)
+        memP.addData((purchases :+ ((-1L, -1L, s1))).toIndexedSeq: _*)
         query.processAllAvailable()
         memC.addData((-1L, -1L, s1 + 86400000000L))
         memP.addData((-1L, -1L, s1 + 86400000000L))
@@ -503,19 +500,19 @@ private[graft] object StreamingQueries extends QueryFamily {
         .outputMode("append").start()
       try {
         val tmax = data.iterator.map(_._2).max
-        val tmin = data.iterator.map(_._2).min
-        val mid = tmin + (tmax - tmin + 1) / 2
-        // THREE scheduling rounds (q111's r12 fold, tumbling-window
-        // form): the first far-window sentinel rides WITH the second
-        // data chunk — safe because watermark(batch 1) = max(chunk 1) <
-        // mid, and any window containing a chunk-2 event (time >= mid)
-        // ends past mid, so nothing in batch 2 is late or pre-closed —
-        // then one eviction batch flushes every real window.
-        // Cross-batch state accumulation keeps its two data chunks.
+        // TWO scheduling rounds (VERDICT r14 task 3; q111's r12 fold
+        // taken to its minimum): the boundary under test is the
+        // per-batch static-side enrichment plus the WATERMARK CLOSE of
+        // the day windows — cross-batch window accumulation is ordinary
+        // streaming-agg state carry (q102's contract), so no data split.
+        // All real rows plus the far-window sentinel ride in ONE batch
+        // (watermark during batch 1 is the initial floor — nothing late
+        // or pre-closed); the second sentinel batch runs under a
+        // watermark past every real window and flushes them all. Both
+        // sentinels land INSIDE one far-future day window, which never
+        // closes, so neither is emitted.
         val sentinel = ((tmax / widthUs) + 1000L) * widthUs + 1L
-        mem.addData(data.filter(_._2 < mid).toIndexedSeq: _*)
-        query.processAllAvailable()
-        mem.addData((data.filter(_._2 >= mid) :+ ((-1L, sentinel))).toIndexedSeq: _*)
+        mem.addData((data :+ ((-1L, sentinel))).toIndexedSeq: _*)
         query.processAllAvailable()
         mem.addData((-2L, sentinel + 1L))
         query.processAllAvailable()
@@ -555,21 +552,21 @@ private[graft] object StreamingQueries extends QueryFamily {
         .outputMode("append").start()
       try {
         val tmax = data.iterator.map(_._2).max
-        val tmin = data.iterator.map(_._2).min
-        (0 to 1).foreach { k =>
-          val lo = tmin + (tmax - tmin + 1) * k / 2
-          val hi = tmin + (tmax - tmin + 1) * (k + 1) / 2
-          val chunk = onTime.filter(r => r._2 >= lo && r._2 < hi)
-          if (chunk.nonEmpty) mem.addData(chunk.toIndexedSeq: _*)
-          query.processAllAvailable()
-        }
+        // THREE scheduling rounds (VERDICT r14 task 3; was five): the
+        // boundary under test is the late-data DROP, which needs only
+        // (1) every on-time row plus the first far-window sentinel in
+        // one batch (initial-floor watermark — nothing late yet),
+        // (2) one eviction batch whose watermark is past every real
+        // window, finalizing and emitting them, then (3) the late
+        // delivery, now below the watermark with its window closed —
+        // it must be dropped. Cross-batch accumulation is q102's
+        // contract; the sentinels share one far-future day window that
+        // never closes, so neither is emitted.
         val sentinel = ((tmax / widthUs) + 1000L) * widthUs + 1L
-        mem.addData((-1L, sentinel))
+        mem.addData((onTime :+ ((-1L, sentinel))).toIndexedSeq: _*)
         query.processAllAvailable()
         mem.addData((-2L, sentinel + 1L))
         query.processAllAvailable()
-        // NOW the late delivery: its event time is below the watermark,
-        // its window closed and emitted — it must be dropped
         mem.addData(late)
         query.processAllAvailable()
       } finally query.stop()
@@ -606,17 +603,15 @@ private[graft] object StreamingQueries extends QueryFamily {
         .outputMode("append").start()
       try {
         val tmax = data.iterator.map(_._2).max
-        val tmin = data.iterator.map(_._2).min
-        val mid = tmin + (tmax - tmin + 1) / 2
-        // THREE scheduling rounds (q111's r12 fold; see q172): the first
-        // far-window sentinel rides WITH the second data chunk, one
-        // eviction batch flushes every real window. Sentinels land
-        // INSIDE one far-future day window, which never closes, so it
-        // is never emitted.
+        // TWO scheduling rounds (VERDICT r14 task 3; see q172 — the
+        // same minimum): all real rows plus the far-window sentinel in
+        // one initial-floor batch, then one eviction batch whose
+        // watermark is past every real window. Per-window HLL state
+        // carry across batches is q102-class streaming-agg state, not
+        // this harness's boundary. Sentinels share one far-future day
+        // window that never closes, so neither is emitted.
         val sentinel = ((tmax / widthUs) + 1000L) * widthUs + 1L
-        mem.addData(data.filter(_._2 < mid).toIndexedSeq: _*)
-        query.processAllAvailable()
-        mem.addData((data.filter(_._2 >= mid) :+ ((-1L, sentinel))).toIndexedSeq: _*)
+        mem.addData((data :+ ((-1L, sentinel))).toIndexedSeq: _*)
         query.processAllAvailable()
         mem.addData((-2L, sentinel + 1L))
         query.processAllAvailable()

@@ -41,20 +41,16 @@ object OrderStatsBench {
     secs.sorted.apply(reps / 2)
   }
 
-  def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val n = sys.env.getOrElse("ORD_ROWS", "6000000").toLong
+  /** Battery-embeddable run: times the three Tungsten-path passes on the
+    * wide frame and prints the one-line JSON record. Wired into
+    * AuditBattery (VERDICT r14 task 7) so the order-statistics constant
+    * factor lands in every round's ledger and a GenericRow-style
+    * regression cannot merge silently; medians are comparable round over
+    * round on the same box (canary-normalize before judging drift). */
+  def run(spark: SparkSession, n: Long, reps: Int = 3): Unit = {
     val base = graft.util.Materialize.frozen(wideCorpus(spark, n))
     base.queryExecution.toRdd.count() // warm the input out of the timings
-
     import graft.operators.GlobalIndex
-    val reps = 3
     val tIndex = timeOp(reps)(
       GlobalIndex.withGlobalIndex(base, "gi", col("value")))
     val tRows = timeOp(reps)(GlobalIndex.withRunning(
@@ -66,6 +62,17 @@ object OrderStatsBench {
     println(f"""{"bench":"orderstats_solo","rows":$n,"cols":12,""" +
       f""""global_index_s":$tIndex%.2f,"rows_excl_s":$tRows%.2f,""" +
       f""""range_excl_s":$tRange%.2f}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sys.env.getOrElse("ORD_ROWS", "6000000").toLong)
     spark.stop()
   }
 }

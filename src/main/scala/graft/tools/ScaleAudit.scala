@@ -284,15 +284,23 @@ object ScaleAudit {
     }
 
     // stage 1: SemDeDup — auto-scaled cell count keeps sum(|cell|^2)
-    // linear; cells carry (cell, id, vec) through ONE exchange per
-    // self-join leg + the assignment shuffle
+    // linear. Vector-class exchange FLOOR is 2 (bound tightened from 4,
+    // VERDICT r14 task 6, so a regression cannot hide under slack):
+    //   (a) the cell-keyed self-join exchange ships the int8-QUANTIZED
+    //       codes (`qv`) — this IS the certified q77 routing, 1/8th the
+    //       float64 payload, and some vector representation must reach
+    //       the intra-cell sweep by construction;
+    //   (b) the float64 re-check joins raw vectors (`va`/`vb`) back BY
+    //       ID for the band pairs only — candidate-driven, never
+    //       corpus-×-corpus, and unavoidable because the uncertainty
+    //       band is decided on exact cosines.
     // persist() before each audit: the audit execution populates the
     // cache so the downstream consumer (max-cell check / edge count)
     // does not re-run the stage
     val sd = audit("semdedup",
       graft.similarity.Similarity.semDedup(emb, tau = 0.3, seed = 42L)
         .persist(),
-      maxVecExchanges = 4)
+      maxVecExchanges = 2)
     val maxCell = sd.groupBy("cell").count().agg(max("count")).head().getLong(0)
     val cellOk = maxCell <= 6L * 4096L
     if (!cellOk) failures += 1
@@ -1091,9 +1099,10 @@ object ScaleAudit {
         f"mismatches-vs-plain=$mism  ${if (ok) "OK" else "FAIL"}")
 
       // nearest-skew composition on the same hot-key inputs: row-identity
-      // to the plain nearest shape, at most the ONE row-id zip join, and
-      // at these row counts the zip must NOT be a broadcast (a forced
-      // hint — or a planner gone wrong — would surface here)
+      // to the plain nearest shape, and since r15's fused single-pipeline
+      // rewrite ZERO joins and ZERO broadcasts — both carry directions
+      // ride one (key, bucket) exchange whose only rows beyond |L|+|R|
+      // are the two seed kinds (≤ 2× occupied (key, bucket) pairs)
       val t2 = System.nanoTime()
       val nearSkew = graft.operators.Joins.asofJoinNearestSkew(
         l2, r2, "user_id", "tsu", "ptsu", bucketWidth = dayUs).persist()
@@ -1116,12 +1125,16 @@ object ScaleAudit {
       val nearJoins = nearNodes.count(_.getClass.getSimpleName.contains("Join"))
       val nearBcast = nearNodes.count(
         _.getClass.getSimpleName.contains("BroadcastExchange"))
+      val (nearMaxRec, nearMaxBytes, nearNEx) = exchangeMaxima(nearSkew)
       val okNear = mismNear == 0 && rowsNear == nL2 &&
-        nearJoins <= 1 && nearBcast == 0
+        nearJoins == 0 && nearBcast == 0 &&
+        nearMaxRec <= nL2 + nR2 + 2 * occupied
       if (!okNear) failures += 1
       println(f"[scale-100x-asof] asof-near-skew rows=$rowsNear%-9d ${secNear}%7.2f s " +
-        f"(plain ${secNearPlain}%6.2f s)  joins=$nearJoins (bound 1: the rid zip)  " +
-        f"broadcasts=$nearBcast (bound 0)  " +
+        f"(plain ${secNearPlain}%6.2f s)  joins=$nearJoins (bound 0)  " +
+        f"broadcasts=$nearBcast (bound 0)  exchanges=$nearNEx " +
+        f"exchange-rows=$nearMaxRec (bound ${nL2 + nR2}+${2 * occupied} seeds)  " +
+        f"exchange-MB=${nearMaxBytes / 1e6}%7.1f  " +
         f"mismatches-vs-plain=$mismNear  ${if (okNear) "OK" else "FAIL"}")
       nearSkew.unpersist(); nearPlain.unpersist()
       skew.unpersist(); plain.unpersist()
@@ -1217,7 +1230,8 @@ object ScaleAudit {
     "editdist100", "text100", "graph100", "substring100", "asof100",
     "contamination100", "moments100", "multimodal100", "orderstats100",
     "tram100", "kernel100", "layout100", "hmm100", "cluster100",
-    "its100", "sindy100", "effcounts100", "rangejoin100", "streaming100")
+    "its100", "sindy100", "effcounts100", "rangejoin100", "bayes100",
+    "streaming100")
 
   /** Run one named 100x family; returns its failure count. */
   def run100x(spark: SparkSession, family: String, src: String,
@@ -1243,6 +1257,7 @@ object ScaleAudit {
     case "sindy100" => sindy100(spark, src)
     case "effcounts100" => effcounts100(spark)
     case "rangejoin100" => rangejoin100(spark)
+    case "bayes100" => bayes100(spark, src)
     case other => throw new IllegalArgumentException(
       s"unknown 100x family '$other' (known: ${families100.mkString(", ")})")
   }
@@ -1735,6 +1750,129 @@ object ScaleAudit {
     println(f"[scale-100x-hmm] viterbi         rows=$rows (want $n)  " +
       f"block-agreement=$frac%.5f (bound 0.99)  ${secVit}%6.1f s  " +
       s"${if (vitOk) "OK" else "FAIL"}")
+    failures
+  }
+
+  /** Per-job transport metrics aggregated from the scheduler: shuffle
+    * bytes written and the largest task RESULT shipped to the driver.
+    * Used by [[bayes100]], whose audited work is a `Dataset.reduce`
+    * ACTION per Gibbs sweep — there is no output frame whose plan
+    * [[exchangeMaxima]] could walk, so the bounds come from the
+    * scheduler's own accounting. */
+  private class SweepTransportMetrics extends org.apache.spark.scheduler.SparkListener {
+    import org.apache.spark.scheduler.{SparkListenerJobStart, SparkListenerTaskEnd}
+    final class JobAgg {
+      var shuffleWrite = 0L; var shuffleRead = 0L
+      var maxResult = 0L; var tasks = 0; var site = ""
+    }
+    val jobs = new scala.collection.concurrent.TrieMap[Int, JobAgg]()
+    private val stageToJob = new scala.collection.concurrent.TrieMap[Int, Int]()
+    override def onJobStart(e: SparkListenerJobStart): Unit = {
+      val site = Option(e.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.description")))
+        .getOrElse("")
+      jobs.getOrElseUpdate(e.jobId, new JobAgg).site = site
+      e.stageIds.foreach(s => stageToJob.put(s, e.jobId))
+    }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      for (j <- stageToJob.get(e.stageId); m <- Option(e.taskMetrics)) {
+        val agg = jobs.getOrElseUpdate(j, new JobAgg)
+        agg.synchronized {
+          agg.shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+          agg.shuffleRead += m.shuffleReadMetrics.totalBytesRead
+          agg.maxResult = math.max(agg.maxResult, m.resultSize)
+          agg.tasks += 1
+        }
+      }
+  }
+
+  /** 100x family twenty-two (VERDICT r14 task 2): the DISTRIBUTED
+    * FFBS/Gibbs transport — `BayesianHmm.sample` with localThreshold = 0,
+    * the q265 path — at hmm100's corpus scale. hmm100 pins the
+    * Baum-Welch/Viterbi scans; this family pins the Bayesian PER-SWEEP
+    * reduce's 100 TB shape, measured from the SCHEDULER rather than a
+    * plan walk (each sweep is a `Dataset.reduce` action over the cached
+    * per-trajectory observations — no output frame exists to audit).
+    * Invariants:
+    *   1. TRANSPORT: among every job the sampler runs after its ML warm
+    *      start, at most ONE writes any shuffle bytes (the groupByKey
+    *      cache fill — observation-sized exactly ONCE); there are
+    *      exactly nSweeps further reduce jobs and each writes ZERO
+    *      shuffle bytes and returns at most sufficient-statistic-sized
+    *      task results (O(m² + m·nObs) ≈ 18 doubles + task-metrics
+    *      overhead; bound 256 KB) — vs the ~2 MB/task an
+    *      observation-sized collect of this corpus would ship;
+    *   2. RECOVERY: every retained posterior transition sample keeps the
+    *      planted 2-block diagonal ≥ 0.98 with rows stochastic to 1e-9
+    *      (15M observations concentrate the posterior hard). */
+  def bayes100(spark: SparkSession, src: String): Int = {
+    var failures = 0
+    val eps = 0.003
+    val t6 = breeze.linalg.DenseMatrix.tabulate(6, 6) { (i, j) =>
+      val sameBlock = (i < 3) == (j < 3)
+      if (sameBlock) (1.0 - eps) / 3.0 else eps / 3.0
+    }
+    val nTraj = 600; val len = 25000
+    val dtraj = graft.data.MarkovSim.simulate(spark, t6, nTraj, len, seed = 23L)
+      .localCheckpoint()
+    val n = dtraj.count()
+    println(s"[scale-100x-bayes] corpus frames=$n ($nTraj chains x $len, " +
+      s"planted 2-block chain, eps=$eps)")
+    val ml = graft.markov.hmm.Hmm.fit(dtraj, nHidden = 2, nObs = 6,
+      maxIter = 8, tol = 1e-9, reversible = true)
+
+    val nSweeps = 3
+    val metrics = new SweepTransportMetrics
+    spark.sparkContext.addSparkListener(metrics)
+    val t0 = System.nanoTime()
+    val post = try {
+      graft.markov.hmm.BayesianHmm.sample(dtraj, ml, nObs = 6,
+        nSamples = nSweeps, stride = 1, seed = 31L, localThreshold = 0L)
+    } finally {
+      org.apache.spark.sql.GraftExpressionBridge
+        .drainListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(metrics)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val jobAggs = metrics.jobs.toSeq.sortBy(_._1).map(_._2)
+    jobAggs.zipWithIndex.foreach { case (j, i) =>
+      println(f"[scale-100x-bayes]   job#$i tasks=${j.tasks} " +
+        f"shuffle-write=${j.shuffleWrite}B shuffle-read=${j.shuffleRead}B " +
+        f"max-task-result=${j.maxResult}B site=${j.site}")
+    }
+    // sweep jobs carry the BayesianHmm job description; the cache-fill
+    // query may span several scheduler jobs (AQE runs the groupByKey
+    // shuffle-map and read stages as separate jobs), and every per-sweep
+    // reduce must be a pure cached-partition scan: zero shuffle bytes
+    // either direction, task results sufficient-statistic-sized.
+    val sweepJobs = jobAggs.filter(_.site.startsWith("BayesianHmm"))
+    val fillJobs = jobAggs.filterNot(_.site.startsWith("BayesianHmm"))
+    val maxSweepResult = if (sweepJobs.isEmpty) 0L else sweepJobs.map(_.maxResult).max
+    val resultBound = 262144L
+    val okTransport = fillJobs.count(_.shuffleWrite > 0) <= 1 &&
+      sweepJobs.size == nSweeps &&
+      sweepJobs.forall(j => j.shuffleWrite == 0 && j.shuffleRead == 0) &&
+      maxSweepResult <= resultBound
+    if (!okTransport) failures += 1
+    println(f"[scale-100x-bayes] sweep-transport jobs=${jobAggs.size} " +
+      f"(fill=${fillJobs.size}, of which shuffle-writers=" +
+      f"${fillJobs.count(_.shuffleWrite > 0)}, bound 1: the cache fill; " +
+      f"tagged zero-shuffle sweeps=${sweepJobs.size}, want $nSweeps)  " +
+      f"max-sweep-task-result=${maxSweepResult}B (bound ${resultBound}B; " +
+      f"an observation-sized collect ships ~${n * 4L / math.max(1,
+        spark.sparkContext.defaultParallelism)}B/task)  ${sec}%6.1f s  " +
+      s"${if (okTransport) "OK" else "FAIL"}")
+
+    val diags = post.samples.map(s => math.min(s.transition(0, 0), s.transition(1, 1)))
+    val rowRes = post.samples.flatMap(s => (0 until 2).map(i =>
+      math.abs(breeze.linalg.sum(s.transition(i, ::).t) - 1.0)))
+    val okRecover = post.samples.size == nSweeps &&
+      diags.forall(_ >= 0.98) && rowRes.forall(_ <= 1e-9)
+    if (!okRecover) failures += 1
+    println(f"[scale-100x-bayes] posterior       samples=${post.samples.size} " +
+      f"min-diag=${diags.min}%.5f (bound 0.98)  " +
+      f"max-row-residual=${rowRes.max}%.2e (bound 1e-9)  " +
+      s"${if (okRecover) "OK" else "FAIL"}")
     failures
   }
 

@@ -66,4 +66,12 @@ object GraftExpressionBridge {
       case _ => false
     }
   }
+
+  /** Drain the async scheduler listener bus. Scheduler-level audits
+    * (bayes100's per-sweep transport bounds) aggregate task metrics in a
+    * SparkListener and read them AFTER the action returns — without a
+    * drain the last tasks' events may not have posted yet. The bus is
+    * `private[spark]`, hence bridged here. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

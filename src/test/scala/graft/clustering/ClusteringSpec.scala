@@ -60,6 +60,25 @@ class ClusteringSpec extends SparkSpec with Matchers {
     sizes.foreach(_ should be > 1500L)
   }
 
+  test("minibatch kmeans: local and distributed transports agree " +
+    "(same hash-drawn batches, float merge order only)") {
+    val df = blobs(4000, 31L).cache()
+    try {
+      // forced-local vs forced-distributed (the BayesianHmm q265
+      // pattern): identical init (same seeded sample + fit), identical
+      // hash-drawn batch membership, so centers differ only in float
+      // summation order of the per-batch means
+      val local = MiniBatchKMeans.fit(df, k = 3, batchFraction = 0.2,
+        seed = 19L, localThreshold = Long.MaxValue)
+      val dist = MiniBatchKMeans.fit(df, k = 3, batchFraction = 0.2,
+        seed = 19L, localThreshold = 0L)
+      local.k shouldBe dist.k
+      local.centers.zip(dist.centers).foreach { case (a, b) =>
+        a.zip(b).foreach { case (x, y) => x shouldBe y +- 1e-6 }
+      }
+    } finally { df.unpersist(); () }
+  }
+
   test("metric registry resolves and computes correctly") {
     Metrics.available should contain allOf ("euclidean", "manhattan", "chebyshev")
     val x = Array(1.0, 2.0); val y = Array(4.0, 6.0)

@@ -161,26 +161,18 @@ class JoinsSpec extends SparkSpec with Matchers {
         canon(Joins.asofJoinNearest(l, r, "k", "t", "t"))
   }
 
-  test("asofJoinNearestSkew plans only the row-id zip join — no cartesian, " +
-    "no nested loop, no forced broadcast hint") {
+  test("asofJoinNearestSkew plans zero joins and zero broadcasts — one " +
+    "fused seeded pipeline, not two zipped halves") {
     import spark.implicits._
     val l = (0 until 300).map(i => (i % 5L, i.toLong * 3, i.toLong)).toDF("k", "t", "lid")
     val r = (0 until 200).map(i => (i % 5L, i * 2L + 1)).toDF("k", "t")
     val df = Joins.asofJoinNearestSkew(l, r, "k", "t", "t", 64L)
     df.count() shouldBe 300L
     val nodes = graft.tools.ScaleAudit.allPlanNodes(df)
-    // AQE may size-gate a broadcast-hash zip at toy scale (both sides are
-    // tiny) — that is the planner's free choice, exactly what the r10
-    // forced-hint fix is about; the at-scale no-broadcast assertion lives
-    // in asof100, where the row-count sides force a sort-merge zip.
-    val bad = nodes.map(_.getClass.getSimpleName).filter(n =>
-      n.contains("CartesianProduct") || n.contains("BroadcastNestedLoopJoin"))
-    bad shouldBe empty
-    nodes.count(n => n.getClass.getSimpleName.contains("Join")) should be <= 1
-    // no broadcast HINT in the logical plan (AQE's own size decision is
-    // fine; an unconditional hint is not)
+    nodes.count(n => n.getClass.getSimpleName.contains("Join")) shouldBe 0
+    nodes.count(n =>
+      n.getClass.getSimpleName.contains("BroadcastExchange")) shouldBe 0
     df.queryExecution.logical.toString should not include "UnresolvedHint"
-    df.queryExecution.analyzed.toString.toLowerCase should not include "broadcasthint"
   }
 
   test("rangeJoin: exact containment incl. boundaries and bucket-spanning intervals") {
