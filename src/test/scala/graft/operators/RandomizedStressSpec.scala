@@ -48,7 +48,7 @@ class RandomizedStressSpec extends SparkSpec with Matchers {
 
   test("randomized stress: as-of family (strict / forward / nearest + " +
     "skew twins) equals a driver brute force across random key skew, " +
-    "tie densities, null keys and partitionings") {
+    "tie densities, null keys, negative time axes and partitionings") {
     import spark.implicits._
     val master = new scala.util.Random(137)
     for (round <- 0 until 32) {
@@ -56,6 +56,11 @@ class RandomizedStressSpec extends SparkSpec with Matchers {
       val nR = 20 + master.nextInt(200)
       val nKeys = 1 + master.nextInt(6)
       val tSpan = Seq(20, 100, 1000)(master.nextInt(3))
+      // every third round shifts the time axis NEGATIVE: floor-bucketing
+      // of negative times (floor(-x/w) != -floor(x/w)) and the forward
+      // twin's negation path (whose negated axis is then positive) both
+      // get exercised, straddling zero
+      val tOff = if (round % 3 == 2) -(tSpan / 2).toLong else 0L
       // key skew: half the rounds pour ~60% of both sides onto key 0;
       // every fourth round also injects NULL keys (grouped like any
       // other key by the window partitioning)
@@ -67,12 +72,12 @@ class RandomizedStressSpec extends SparkSpec with Matchers {
         else Some(master.nextInt(nKeys).toLong)
       }
       val left = (0 until nL).map(i =>
-        (drawKey(), master.nextInt(tSpan).toLong, i.toLong))
+        (drawKey(), master.nextInt(tSpan).toLong + tOff, i.toLong))
       // dedupe rights per (key, t) keeping max payload: tie order among
       // same-(k,t) rights is contract-documented as greatest-payload,
       // dedup makes the brute force independent of it
       val right = (0 until nR).map(i =>
-        (drawKey(), master.nextInt(tSpan).toLong, i.toLong))
+        (drawKey(), master.nextInt(tSpan).toLong + tOff, i.toLong))
         .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
       val lDf = left.toDF("k", "t", "lv").repartition(1 + master.nextInt(8))
       val rDf = right.toDF("k", "t", "rv").repartition(1 + master.nextInt(8))
@@ -103,7 +108,7 @@ class RandomizedStressSpec extends SparkSpec with Matchers {
           .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
 
       val clue = s"round=$round nL=$nL nR=$nR keys=$nKeys span=$tSpan " +
-        s"hot=$hot nulls=$nulls bw=$bw: "
+        s"tOff=$tOff hot=$hot nulls=$nulls bw=$bw: "
       withClue(clue + "strict: ") {
         gotRv(Joins.asofJoinStrict(lDf, rDf, "k", "t", "t")) shouldBe expStrict
       }
