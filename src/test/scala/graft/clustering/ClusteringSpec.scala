@@ -79,6 +79,38 @@ class ClusteringSpec extends SparkSpec with Matchers {
     } finally { df.unpersist(); () }
   }
 
+  test("randomized stress: minibatch transport parity across shapes " +
+    "(forced-local == forced-distributed to float merge order)") {
+    import spark.implicits._
+    val master = new scala.util.Random(53)
+    for (round <- 0 until 6) {
+      val n = 800 + master.nextInt(2500)
+      val k = 2 + master.nextInt(3)
+      val d = 2 + master.nextInt(3)
+      val frac = Seq(0.1, 0.25, 0.5)(master.nextInt(3))
+      val centersTrue = Array.fill(k, d)(master.nextInt(9) * 4.0 - 16.0)
+      val rng = new java.util.SplittableRandom(round * 97L + 11L)
+      val pts = (0 until n).map { i =>
+        val c = centersTrue(i % k)
+        c.map(_ + rng.nextGaussian() * 0.5).toSeq
+      }
+      val df = pts.toDF("features").repartition(1 + master.nextInt(6)).cache()
+      try {
+        val seed = 7L + round
+        val local = MiniBatchKMeans.fit(df, k, batchFraction = frac,
+          maxEpochs = 2, seed = seed, localThreshold = Long.MaxValue)
+        val dist = MiniBatchKMeans.fit(df, k, batchFraction = frac,
+          maxEpochs = 2, seed = seed, localThreshold = 0L)
+        withClue(s"round=$round n=$n k=$k d=$d frac=$frac: ") {
+          local.k shouldBe dist.k
+          local.centers.zip(dist.centers).foreach { case (a, b) =>
+            a.zip(b).foreach { case (x, y) => x shouldBe y +- 1e-6 }
+          }
+        }
+      } finally { df.unpersist(); () }
+    }
+  }
+
   test("metric registry resolves and computes correctly") {
     Metrics.available should contain allOf ("euclidean", "manhattan", "chebyshev")
     val x = Array(1.0, 2.0); val y = Array(4.0, 6.0)

@@ -209,6 +209,24 @@ class GlobalIndexSpec extends SparkSpec with Matchers {
     idx(0L) shouldBe idx(1000000L)
   }
 
+  test("withRunning rejects a NULL aggregate value loudly (no silent 0)") {
+    import spark.implicits._
+    // the Tungsten path's InternalRow.getLong reads 0 for a NULL field —
+    // without the guard a caller violating the documented non-null
+    // precondition would get silently wrong running aggregates (the
+    // boxed-Row shape it replaced at least threw NPE); ADVICE r14
+    val df = Seq((1L, Some(2L)), (2L, None), (3L, Some(4L)))
+      .toDF("k", "v").repartition(2)
+    val ex = intercept[org.apache.spark.SparkException] {
+      GlobalIndex.withRunning(df, "cum", "v", agg = "sum",
+        frame = "rows_incl", sortCols = Seq(col("k"))).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    chain(ex).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("must be non-null")) shouldBe true
+  }
+
   test("deterministic across runs") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toLong, (i * 37 % 100).toLong))
