@@ -206,6 +206,35 @@ private[graft] object DecompositionQueries extends QueryFamily {
         "n_assigned" -> row.getLong(1).toDouble))
     }),
 
+    // ---- forced-distributed minibatch transport (q266): the r15 size
+    // dispatch routes q51 through the driver-LOCAL batch chain at bench
+    // SFs, which would leave the distributed per-batch reduce — the
+    // 100 TB transport — without a DuckDB gate (the exact gap q265
+    // closed for BayesianHmm). This query forces localThreshold = 0 so
+    // the DISTRIBUTED chain executes under the oracle, and pins the two
+    // transports against each other: identical seeded init, identical
+    // hash-drawn batch membership (`inBatch` is a pure content hash),
+    // so centers differ only in float summation order of batch means
+    // (~1e-15 relative; clamped below 1e-7, the q265 discipline —
+    // the raw residual stays visible un-gated on stdout). ------------
+    "q266_minibatch_dist_transport" -> ((s, dir) => {
+      val traj = Trajectories.fromEvents(s, dir)
+      def run(th: Long) = graft.clustering.MiniBatchKMeans.fit(traj, k = 4,
+        batchFraction = 0.2, maxEpochs = 3, seed = 42L, localThreshold = th)
+      val loc = run(Long.MaxValue)
+      val dist = run(0L)
+      val parityRaw = loc.centers.zip(dist.centers).flatMap { case (ca, cb) =>
+        ca.zip(cb).map { case (a, b) => math.abs(a - b) } }.max
+      println(f"[q266] minibatch_transport_parity raw residual = $parityRaw%.3e")
+      val parity = if (parityRaw < 1e-7) 0.0 else parityRaw
+      val nonfinite = dist.centers.iterator.flatMap(_.iterator)
+        .count(v => v.isNaN || v.isInfinite).toDouble
+      checksDf(s, Seq(
+        "transport_parity" -> parity,
+        "k_centers_minus_4" -> (dist.k - 4).toDouble,
+        "centers_nonfinite" -> nonfinite))
+    }),
+
     // ---- VAMP cross-validated scores ----------------------------------
     // Per-split invariants: VAMP2 CV scores are bounded by the score of
     // the constant singular function alone (>= 1) and by 1 + d from above
@@ -376,6 +405,13 @@ private[graft] object DecompositionQueries extends QueryFamily {
          UNION ALL SELECT 'k_centers_minus_4', 0.0
          UNION ALL SELECT 'centers_nonfinite', 0.0
          UNION ALL SELECT 'n_assigned', (SELECT CAST(count(*) AS DOUBLE) FROM events)""",
+
+    // Forced-distributed minibatch transport twin: parity (sub-clamp)
+    // and validity rows are exact zeros.
+    "q266_minibatch_dist_transport" ->
+      """SELECT * FROM (VALUES
+           ('transport_parity', 0.0), ('k_centers_minus_4', 0.0),
+           ('centers_nonfinite', 0.0)) AS t("check", "value")""",
 
     // Custom-metric Lloyd battery; the assigned-row count is exact SQL.
     "q84_custom_kmeans" ->
