@@ -251,9 +251,46 @@ object KMeans {
   * never shuffled and nothing but k*(d+1) doubles crosses the network. */
 object LloydKMeans {
 
+  /** Size crossover for the sequential Lloyd loop (the MiniBatchKMeans /
+    * BayesianHmm dispatch discipline), in VALUES (rows × dim, ≤ 64 MB of
+    * doubles): at or below, the persisted training frame is collected
+    * once and the loop runs driver-local — each distributed iteration
+    * was one cluster-wide job of tiny useful work on the ≤65k-row capped
+    * samples callers pass by contract; above, one job per iteration with
+    * k×(d+1)-double reduces — the 100 TB shape for full-corpus fits.
+    * Both transports run the SAME per-row body (q267 gates their parity;
+    * centers can differ only in float summation order). */
+  val LocalLloydThreshold: Long = 8000000L
+
+  /** One Lloyd iteration's statistics over `it`: per-center (sums,
+    * counts) under `m`-metric assignment. The SAME body runs
+    * per-partition in the distributed transport and over the collected
+    * array in the local one. */
+  private[clustering] def iterStats(it: Iterator[Array[Double]],
+      cs: Array[Array[Double]], m: Metric): (Array[Array[Double]], Array[Long]) = {
+    val kk = cs.length
+    val d = if (kk > 0) cs(0).length else 0
+    val sums = Array.ofDim[Double](kk, d)
+    val counts = new Array[Long](kk)
+    it.foreach { x =>
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < kk) {
+        val dist = m.dist(x, cs(j))
+        if (dist < bestD) { bestD = dist; best = j }
+        j += 1
+      }
+      counts(best) += 1
+      var i = 0
+      while (i < d) { sums(best)(i) += x(i); i += 1 }
+    }
+    (sums, counts)
+  }
+
   def fit(traj: DataFrame, k: Int, metric: Metric = EuclideanMetric,
           maxIter: Int = 50, tol: Double = 1e-6, seed: Long = 42L,
-          featCol: String = FeatCol): ClusterModel = {
+          featCol: String = FeatCol,
+          localThreshold: Long = LocalLloydThreshold): ClusterModel = {
     require(k > 0, "k must be positive")
     val spark = traj.sparkSession
     import spark.implicits._
@@ -267,44 +304,42 @@ object LloydKMeans {
     val data = traj.select(col(featCol).cast("array<double>")).as[Seq[Double]]
       .persist()
     try {
+    // one stats job sizes the dispatch (and fills the cache, so the
+    // seeder's count/sample below read cached partitions)
+    val statsRow = data.toDF(featCol).agg(count(lit(1)).as("n"),
+      max(size(col(featCol))).as("d")).collect()(0)
+    val n = statsRow.getLong(0)
+    val dim = if (statsRow.isNullAt(1)) 1 else math.max(1, statsRow.getInt(1))
+    val localArr: Option[Array[Array[Double]]] =
+      if (n * dim <= localThreshold) Some(data.collect().map(_.toArray))
+      else None
+    // seeding is shared by both transports (count + sample + collect on
+    // the cached frame; D²-weighting is driver-side already)
     var centers = KMeansPlusPlus.seed(data.toDF(featCol), k, seed, featCol = featCol)
     val m = metric
     var iter = 0
     var moved = Double.MaxValue
     while (iter < maxIter && moved > tol) {
-      val bc = spark.sparkContext.broadcast(centers)
-      val (sums, counts) = data
-        .mapPartitions { it =>
-          val cs = bc.value
-          val kk = cs.length
-          val d = if (kk > 0) cs(0).length else 0
-          val sums = Array.ofDim[Double](kk, d)
-          val counts = new Array[Long](kk)
-          it.foreach { xs =>
-            val x = xs.toArray
-            var best = 0; var bestD = Double.MaxValue
-            var j = 0
-            while (j < kk) {
-              val dist = m.dist(x, cs(j))
-              if (dist < bestD) { bestD = dist; best = j }
-              j += 1
-            }
-            counts(best) += 1
-            var i = 0
-            while (i < d) { sums(best)(i) += x(i); i += 1 }
-          }
-          Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
-        }
-        .reduce { (a, b) =>
-          (a._1.zip(b._1).map { case (ra, rb) => ra.zip(rb).map(t => t._1 + t._2) },
-            a._2.zip(b._2).map(t => t._1 + t._2))
-        }
+      val (sums, counts) = localArr match {
+        case Some(arr) => iterStats(arr.iterator, centers, m)
+        case None =>
+          val bc = spark.sparkContext.broadcast(centers)
+          try {
+            data
+              .mapPartitions(it =>
+                Iterator.single(iterStats(it.map(_.toArray), bc.value, m)))
+              .reduce { (a, b) =>
+                (a._1.zip(b._1).map { case (ra, rb) =>
+                  Array.tabulate(ra.length)(i => ra(i) + rb(i)) },
+                  a._2.zip(b._2).map(t => t._1 + t._2))
+              }
+          } finally { bc.destroy(); () }
+      }
       val next = centers.indices.map { j =>
-        if (counts(j) > 0) sums(j).map(_ / counts(j)).toArray else centers(j)
+        if (counts(j) > 0) sums(j).map(_ / counts(j)) else centers(j)
       }.toArray
       moved = centers.indices.map(j => m.dist(centers(j), next(j))).max
       centers = next
-      bc.destroy()
       iter += 1
     }
     ClusterModel(centers)

@@ -235,6 +235,35 @@ private[graft] object DecompositionQueries extends QueryFamily {
         "centers_nonfinite" -> nonfinite))
     }),
 
+    // ---- forced-distributed Lloyd transport (q267): LloydKMeans gained
+    // the same size dispatch as MiniBatchKMeans in r15, so q84's capped
+    // sample runs the driver-LOCAL loop at test SFs — this query forces
+    // localThreshold = 0 so the distributed per-iteration reduce (the
+    // full-corpus 100 TB shape) executes under the oracle, pinned
+    // against the local transport (identical seeding and per-row body;
+    // centers differ only in float summation order, clamped below 1e-7
+    // per the q265/q266 rule, raw residual printed un-gated). Manhattan
+    // metric on purpose: the metric-pluggable leg is the one the
+    // reference's registry exercises. ---------------------------------
+    "q267_lloyd_dist_transport" -> ((s, dir) => {
+      import graft.clustering.{LloydKMeans, ManhattanMetric}
+      val traj = liTraj(s, dir)
+      def run(th: Long) = LloydKMeans.fit(traj, k = 4, metric = ManhattanMetric,
+        maxIter = 8, tol = 1e-4, seed = 42L, localThreshold = th)
+      val loc = run(Long.MaxValue)
+      val dist = run(0L)
+      val parityRaw = loc.centers.zip(dist.centers).flatMap { case (ca, cb) =>
+        ca.zip(cb).map { case (a, b) => math.abs(a - b) } }.max
+      println(f"[q267] lloyd_transport_parity raw residual = $parityRaw%.3e")
+      val parity = if (parityRaw < 1e-7) 0.0 else parityRaw
+      val nonfinite = dist.centers.iterator.flatMap(_.iterator)
+        .count(v => v.isNaN || v.isInfinite).toDouble
+      checksDf(s, Seq(
+        "transport_parity" -> parity,
+        "k_centers_minus_4" -> (dist.k - 4).toDouble,
+        "centers_nonfinite" -> nonfinite))
+    }),
+
     // ---- VAMP cross-validated scores ----------------------------------
     // Per-split invariants: VAMP2 CV scores are bounded by the score of
     // the constant singular function alone (>= 1) and by 1 + d from above
@@ -409,6 +438,13 @@ private[graft] object DecompositionQueries extends QueryFamily {
     // Forced-distributed minibatch transport twin: parity (sub-clamp)
     // and validity rows are exact zeros.
     "q266_minibatch_dist_transport" ->
+      """SELECT * FROM (VALUES
+           ('transport_parity', 0.0), ('k_centers_minus_4', 0.0),
+           ('centers_nonfinite', 0.0)) AS t("check", "value")""",
+
+    // Forced-distributed Lloyd transport twin: parity (sub-clamp) and
+    // validity rows are exact zeros.
+    "q267_lloyd_dist_transport" ->
       """SELECT * FROM (VALUES
            ('transport_parity', 0.0), ('k_centers_minus_4', 0.0),
            ('centers_nonfinite', 0.0)) AS t("check", "value")""",

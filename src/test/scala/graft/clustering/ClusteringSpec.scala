@@ -111,6 +111,38 @@ class ClusteringSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("randomized stress: Lloyd transport parity across shapes and metrics " +
+    "(forced-local == forced-distributed to float merge order)") {
+    import spark.implicits._
+    val master = new scala.util.Random(71)
+    for (round <- 0 until 4) {
+      val n = 600 + master.nextInt(2000)
+      val k = 2 + master.nextInt(3)
+      val d = 2 + master.nextInt(3)
+      val metric = Seq(EuclideanMetric, ManhattanMetric, ChebyshevMetric)(round % 3)
+      val centersTrue = Array.fill(k, d)(master.nextInt(9) * 4.0 - 16.0)
+      val rng = new java.util.SplittableRandom(round * 131L + 5L)
+      val pts = (0 until n).map { i =>
+        val c = centersTrue(i % k)
+        c.map(_ + rng.nextGaussian() * 0.5).toSeq
+      }
+      val df = pts.toDF("features").repartition(1 + master.nextInt(6)).cache()
+      try {
+        val seed = 3L + round
+        val local = LloydKMeans.fit(df, k, metric = metric, maxIter = 6,
+          seed = seed, localThreshold = Long.MaxValue)
+        val dist = LloydKMeans.fit(df, k, metric = metric, maxIter = 6,
+          seed = seed, localThreshold = 0L)
+        withClue(s"round=$round n=$n k=$k d=$d metric=$metric: ") {
+          local.k shouldBe dist.k
+          local.centers.zip(dist.centers).foreach { case (a, b) =>
+            a.zip(b).foreach { case (x, y) => x shouldBe y +- 1e-6 }
+          }
+        }
+      } finally { df.unpersist(); () }
+    }
+  }
+
   test("metric registry resolves and computes correctly") {
     Metrics.available should contain allOf ("euclidean", "manhattan", "chebyshev")
     val x = Array(1.0, 2.0); val y = Array(4.0, 6.0)
