@@ -324,6 +324,9 @@ object LloydKMeans {
         case Some(arr) => iterStats(arr.iterator, centers, m)
         case None =>
           val bc = spark.sparkContext.broadcast(centers)
+          // tagged per-iteration job (UI legibility + the cluster100
+          // scheduler-level transport audit keys on this description)
+          spark.sparkContext.setJobDescription(s"LloydKMeans iteration $iter")
           try {
             data
               .mapPartitions(it =>
@@ -333,7 +336,10 @@ object LloydKMeans {
                   Array.tabulate(ra.length)(i => ra(i) + rb(i)) },
                   a._2.zip(b._2).map(t => t._1 + t._2))
               }
-          } finally { bc.destroy(); () }
+          } finally {
+            spark.sparkContext.setJobDescription(null)
+            bc.destroy(); ()
+          }
       }
       val next = centers.indices.map { j =>
         if (counts(j) > 0) sums(j).map(_ / counts(j)) else centers(j)

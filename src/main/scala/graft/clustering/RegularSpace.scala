@@ -236,6 +236,8 @@ object MiniBatchKMeans {
           batchStats(arr.iterator, centers, seed, bIdx, frac)
         case None =>
           val bc = spark.sparkContext.broadcast(centers)
+          // tagged per-batch job (UI legibility + scheduler-level audits)
+          spark.sparkContext.setJobDescription(s"MiniBatchKMeans batch $bIdx")
           try {
             data.as[Seq[Double]]
               .mapPartitions(it => Iterator.single(
@@ -246,7 +248,10 @@ object MiniBatchKMeans {
                 val counts = a._2.zip(b._2).map(t => t._1 + t._2)
                 (sums, counts, a._3 + b._3)
               }
-          } finally { bc.destroy(); () }
+          } finally {
+            spark.sparkContext.setJobDescription(null)
+            bc.destroy(); ()
+          }
       }
       centers = centers.indices.map { j =>
         if (counts(j) > 0) sums(j).map(_ / counts(j)) else centers(j)

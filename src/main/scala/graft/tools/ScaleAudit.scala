@@ -1945,6 +1945,44 @@ object ScaleAudit {
       f"payload-through-shuffle=${if (leaked.isEmpty) "NONE" else leaked.mkString(",")}  " +
       f"max-exchange-rows=$maxRec (bound $recBound)  ${secAssign}%6.1f s  " +
       s"${if (okAssign) "OK" else "FAIL"}")
+
+    // distributed Lloyd transport at corpus scale (the r15 size dispatch
+    // routes sub-8M-value fits driver-local, so the DISTRIBUTED
+    // per-iteration reduce — the full-corpus 100 TB shape — needs its
+    // own scale pin, the bayes100 discipline): 15M rows × 4 dims = 60M
+    // values forces the distributed branch on its own; scheduler-level
+    // bounds via the tagged per-iteration jobs — zero shuffle bytes
+    // either direction (cached-partition scans only), task results
+    // k×(d+1)-double-sized, and the planted mixture recovered.
+    locally {
+      val metrics = new SweepTransportMetrics
+      spark.sparkContext.addSparkListener(metrics)
+      val t2 = System.nanoTime()
+      val lloyd = try {
+        graft.clustering.LloydKMeans.fit(pts.select("features"), k,
+          maxIter = 6, tol = 1e-6, seed = 42L)
+      } finally {
+        org.apache.spark.sql.GraftExpressionBridge
+          .drainListenerBus(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(metrics)
+      }
+      val secLloyd = (System.nanoTime() - t2) / 1e9
+      val jobAggs = metrics.jobs.toSeq.sortBy(_._1).map(_._2)
+      val iterJobs = jobAggs.filter(_.site.startsWith("LloydKMeans"))
+      val maxIterResult =
+        if (iterJobs.isEmpty) 0L else iterJobs.map(_.maxResult).max
+      val worstLloyd = planted.map(p => lloyd.centers.map(d2(p, _)).min).max
+      val okLloyd = iterJobs.nonEmpty && iterJobs.size <= 6 &&
+        iterJobs.forall(j => j.shuffleWrite == 0 && j.shuffleRead == 0) &&
+        maxIterResult <= 262144L && worstLloyd < 0.2
+      if (!okLloyd) failures += 1
+      println(f"[scale-100x-cluster] lloyd-transport tagged-iter-jobs=" +
+        f"${iterJobs.size} (bound 6, all zero-shuffle: " +
+        f"${iterJobs.forall(j => j.shuffleWrite == 0 && j.shuffleRead == 0)})  " +
+        f"max-iter-task-result=${maxIterResult}B (bound 262144B)  " +
+        f"worst-planted-distance=$worstLloyd%.4f (bound 0.2)  " +
+        f"${secLloyd}%6.1f s  ${if (okLloyd) "OK" else "FAIL"}")
+    }
     failures
   }
 
