@@ -332,16 +332,35 @@ object Hmm {
   }
 
   /** Baum-Welch EM. `reversible` applies the detailed-balance MLE to the
-    * hidden transition counts in the M-step. */
+    * hidden transition counts in the M-step.
+    *
+    * Size dispatch (the BayesianHmm LocalSweepThreshold discipline, r15):
+    * EM is inherently sequential — each iteration is one cluster-wide job
+    * whose useful work is tiny at driver SFs — so at or below
+    * `localThreshold` TOTAL observations the trajectories are collected
+    * once (id-sorted) and the loop runs through [[fitArrays]] with the
+    * SAME initial guess and the SAME forward-backward/M-step kernels;
+    * results differ from the distributed loop only in the float merge
+    * order of the E-statistics (q268 gates the parity). Above the bound,
+    * one tagged job per iteration reduces only O(m² + m·nObs) statistics
+    * — the 100 TB shape hmm100 pins at 15M frames. */
   def fit(dtraj: DataFrame, nHidden: Int, nObs: Int, lagtime: Int = 1,
           maxIter: Int = 100, tol: Double = 1e-6,
-          reversible: Boolean = true): HmmModel = {
+          reversible: Boolean = true,
+          localThreshold: Long = BayesianHmm.LocalSweepThreshold): HmmModel = {
     val spark = dtraj.sparkSession
     import spark.implicits._
     var model = initialGuess(dtraj, nHidden, nObs, lagtime)
     val m = model.transition.rows
     val trajs = trajectories(if (lagtime == 1) dtraj
       else dtraj.where((org.apache.spark.sql.functions.col("t") % lagtime) === 0)).cache()
+    val nTotal = trajs.map(_._2.length.toLong).reduce(_ + _)
+    if (nTotal <= localThreshold) {
+      val arr = trajs.collect().sortBy(_._1).map(_._2)
+      trajs.unpersist()
+      return fitArrays(arr.toIndexedSeq, nHidden, nObs, maxIter, tol,
+        reversible, init = Some(model))
+    }
     var lastLl = Double.NegativeInfinity
     var iter = 0
     var converged = false
@@ -349,9 +368,12 @@ object Hmm {
       val a = graft.linalg.LinAlg.toFlat(model.transition)
       val b = graft.linalg.LinAlg.toFlat(model.emission)
       val pi = model.initial.toArray
-      val stats = trajs
-        .map { case (_, obs) => forwardBackward(obs, a, b, pi, m, nObs) }
-        .reduce((x, y) => x.merge(y))
+      spark.sparkContext.setJobDescription(s"Hmm Baum-Welch iteration $iter")
+      val stats = try {
+        trajs
+          .map { case (_, obs) => forwardBackward(obs, a, b, pi, m, nObs) }
+          .reduce((x, y) => x.merge(y))
+      } finally spark.sparkContext.setJobDescription(null)
       converged = math.abs(stats.loglik - lastLl) < tol * math.abs(stats.loglik)
       lastLl = stats.loglik
       model = mStep(stats, m, nObs, reversible, iter)

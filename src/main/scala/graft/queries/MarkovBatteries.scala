@@ -713,6 +713,38 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
     // RNG), Gaussian (Σx, Σx²) partials differ only in float merge
     // order (≤ ~1e-9, BayesianHmmSpec) — both round to exactly 0.0
     // at the battery's 6dp. ----------------------------------------
+    // ---- forced-distributed Baum-Welch transport (q268): Hmm.fit
+    // gained the BayesianHmm size dispatch in r15, so every ML fit at
+    // test SFs runs the driver-local loop — this query forces
+    // localThreshold = 0 so the DISTRIBUTED per-iteration E-step reduce
+    // (the 100 TB shape hmm100 pins at 15M frames) executes under the
+    // DuckDB gate, pinned against the local transport: identical
+    // initial guess and kernels, so parameters differ only in the float
+    // merge order of the E-statistics (clamped below 1e-7 per the
+    // q265/q266/q267 rule, raw residual printed un-gated). -----------
+    "q268_hmm_fit_dist_transport" -> ((s, dir) => {
+      import graft.markov.hmm.Hmm
+      def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
+      val d = dtrajEv(s, dir).where(col("state") >= 0)
+      def run(th: Long) = Hmm.fit(d, nHidden = 2, nObs = 5, maxIter = 5,
+        localThreshold = th)
+      val loc = run(Long.MaxValue)
+      val dist = run(0L)
+      val parityRaw = maxAbs(
+        (loc.transition.toArray ++ loc.emission.toArray ++ loc.initial.toArray)
+          .zip(dist.transition.toArray ++ dist.emission.toArray ++
+            dist.initial.toArray)
+          .map { case (p, q) => p - q })
+      println(f"[q268] hmm_fit_transport_parity raw residual = $parityRaw%.3e")
+      val parity = if (parityRaw < 1e-7) 0.0 else parityRaw
+      val stoch = maxAbs((0 until 2).map(i =>
+        breeze.linalg.sum(dist.transition(i, ::).t) - 1.0))
+      checksDf(s, Seq(
+        "iterated" -> (if (dist.iterations > 0) 0.0 else 1.0),
+        "fit_transport_parity" -> parity,
+        "dist_trans_stochastic" -> stoch))
+    }),
+
     "q265_bayes_hmm_dist_transport" -> ((s, dir) => {
       import graft.markov.hmm.{BayesianHmm, Hmm}
       def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
@@ -865,6 +897,13 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
           FROM grid
           LEFT JOIN h ON grid.state = h.st
           LEFT JOIN tr ON grid.state = tr.st""",
+
+    // Forced-distributed Baum-Welch twin: parity (sub-clamp) and
+    // validity rows are exact zeros.
+    "q268_hmm_fit_dist_transport" ->
+      """SELECT * FROM (VALUES
+           ('iterated', 0.0), ('fit_transport_parity', 0.0),
+           ('dist_trans_stochastic', 0.0)) AS t("check", "value")""",
 
     // Forced-distributed transport twin: both parity rows and the
     // stochasticity residual are exact (or sub-6dp) zeros; the sample
