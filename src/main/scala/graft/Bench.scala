@@ -29,6 +29,20 @@ object Bench {
     val total = ordered.map(_._2).sum
     val csArr = ordered.map { case (_, v) => math.round(v * 100).toString }
       .mkString("[", ",", "]")
+    // self-normalizing record (VERDICT r15 task 3): stamp the canary
+    // drift coefficient — median in-record ratio of the trio vs its
+    // pinned baselines, x100 — into the line so every BENCH_rNN.json
+    // carries its own box-drift measurement ("drift_cs":126 = 1.26x).
+    // ~17 bytes against the spec-asserted >= 800-byte tail headroom.
+    val byShort = ordered.map { case (k, v) => shortName(k) -> v }.toMap
+    val ratios = graft.tools.BenchManifest.canaryBaselines.flatMap {
+      case (q, b) => byShort.get(q).map(_ / b)
+    }.sorted
+    val driftField = if (ratios.isEmpty) "" else {
+      val med = if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+        else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
+      s""""drift_cs":${math.round(med * 100)},"""
+    }
     // "nf:" prints the noise-floor carve-out INTO the record (VERDICT r12
     // task 8): sub-200ms-baseline entries within 300ms absolute delta AND
     // under 3x ratio are scheduler jitter, never cap violations — the
@@ -37,9 +51,13 @@ object Bench {
     // reads the timings. All THREE clauses are printed: omitting the
     // r<3 bound (r13 review) would let a 4x regression on a tiny
     // baseline read as carved-out when the tool counts it as a
-    // violation. Full text in BASELINE.md.
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${ordered.size},""" +
-      s""""enc":"cs/qNN asc; bench_names.json; nf:d<.3s&b<.2s&r<3x=noise",""" +
+    // violation. Full text in BASELINE.md. (r16: the "=noise" label and
+    // the "n" count field were dropped to fund the drift_cs stamp under
+    // the same headroom bound — array length is the count, and
+    // bench_compare hard-errors on a manifest-length mismatch anyway.)
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""enc":"cs/qNN asc;bench_names.json;nf:d<.3s&b<.2s&r<3x",""" +
+      driftField +
       s""""queries_cs":$csArr}"""
   }
 

@@ -325,21 +325,21 @@ object LloydKMeans {
         case None =>
           val bc = spark.sparkContext.broadcast(centers)
           // tagged per-iteration job (UI legibility + the cluster100
-          // scheduler-level transport audit keys on this description)
-          spark.sparkContext.setJobDescription(s"LloydKMeans iteration $iter")
+          // scheduler-level transport audit keys on this description);
+          // JobTag restores the caller's own description afterwards
           try {
-            data
-              .mapPartitions(it =>
-                Iterator.single(iterStats(it.map(_.toArray), bc.value, m)))
-              .reduce { (a, b) =>
-                (a._1.zip(b._1).map { case (ra, rb) =>
-                  Array.tabulate(ra.length)(i => ra(i) + rb(i)) },
-                  a._2.zip(b._2).map(t => t._1 + t._2))
-              }
-          } finally {
-            spark.sparkContext.setJobDescription(null)
-            bc.destroy(); ()
-          }
+            graft.util.JobTag.withDescription(spark.sparkContext,
+                s"LloydKMeans iteration $iter") {
+              data
+                .mapPartitions(it =>
+                  Iterator.single(iterStats(it.map(_.toArray), bc.value, m)))
+                .reduce { (a, b) =>
+                  (a._1.zip(b._1).map { case (ra, rb) =>
+                    Array.tabulate(ra.length)(i => ra(i) + rb(i)) },
+                    a._2.zip(b._2).map(t => t._1 + t._2))
+                }
+            }
+          } finally { bc.destroy(); () }
       }
       val next = centers.indices.map { j =>
         if (counts(j) > 0) sums(j).map(_ / counts(j)) else centers(j)

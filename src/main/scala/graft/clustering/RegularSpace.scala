@@ -236,22 +236,22 @@ object MiniBatchKMeans {
           batchStats(arr.iterator, centers, seed, bIdx, frac)
         case None =>
           val bc = spark.sparkContext.broadcast(centers)
-          // tagged per-batch job (UI legibility + scheduler-level audits)
-          spark.sparkContext.setJobDescription(s"MiniBatchKMeans batch $bIdx")
+          // tagged per-batch job (UI legibility + scheduler-level audits);
+          // JobTag restores the caller's own description afterwards
           try {
-            data.as[Seq[Double]]
-              .mapPartitions(it => Iterator.single(
-                batchStats(it.map(_.toArray), bc.value, seed, bIdx, frac)))
-              .reduce { (a, b) =>
-                val sums = a._1.zip(b._1).map { case (ra, rb) =>
-                  Array.tabulate(ra.length)(i => ra(i) + rb(i)) }
-                val counts = a._2.zip(b._2).map(t => t._1 + t._2)
-                (sums, counts, a._3 + b._3)
-              }
-          } finally {
-            spark.sparkContext.setJobDescription(null)
-            bc.destroy(); ()
-          }
+            graft.util.JobTag.withDescription(spark.sparkContext,
+                s"MiniBatchKMeans batch $bIdx") {
+              data.as[Seq[Double]]
+                .mapPartitions(it => Iterator.single(
+                  batchStats(it.map(_.toArray), bc.value, seed, bIdx, frac)))
+                .reduce { (a, b) =>
+                  val sums = a._1.zip(b._1).map { case (ra, rb) =>
+                    Array.tabulate(ra.length)(i => ra(i) + rb(i)) }
+                  val counts = a._2.zip(b._2).map(t => t._1 + t._2)
+                  (sums, counts, a._3 + b._3)
+                }
+            }
+          } finally { bc.destroy(); () }
       }
       centers = centers.indices.map { j =>
         if (counts(j) > 0) sums(j).map(_ / counts(j)) else centers(j)

@@ -174,11 +174,12 @@ object BayesianHmm {
         case Some(arr) => arr.iterator.map(body).reduce((x, y) => x.merge(y))
         case None =>
           // tag the per-sweep reduce job (UI legibility + the bayes100
-          // scheduler-level transport audit keys on this description)
-          val sc = spark.sparkContext
-          sc.setJobDescription(s"BayesianHmm FFBS sweep $sweep")
-          try trajs.map(body).reduce((x, y) => x.merge(y))
-          finally sc.setJobDescription(null)
+          // scheduler-level transport audit keys on this description);
+          // JobTag restores the caller's own description afterwards
+          graft.util.JobTag.withDescription(spark.sparkContext,
+              s"BayesianHmm FFBS sweep $sweep") {
+            trajs.map(body).reduce((x, y) => x.merge(y))
+          }
       }
       // (2) transition posterior
       val transCounts = graft.linalg.LinAlg.fromFlat(stats.trans, m) +:+ priorPseudocount
@@ -368,10 +369,10 @@ object BayesianHmm {
       val stats = localArr match {
         case Some(arr) => arr.iterator.map(body).reduce((x, y) => x.merge(y))
         case None =>
-          val sc = spark.sparkContext
-          sc.setJobDescription(s"BayesianHmm Gaussian FFBS sweep $sweep")
-          try trajs.map(body).reduce((x, y) => x.merge(y))
-          finally sc.setJobDescription(null)
+          graft.util.JobTag.withDescription(spark.sparkContext,
+              s"BayesianHmm Gaussian FFBS sweep $sweep") {
+            trajs.map(body).reduce((x, y) => x.merge(y))
+          }
       }
       // (2) Gaussian emission posterior per state (reference order: μ with
       // the CURRENT σ, then σ with the NEW μ; skip empty states)

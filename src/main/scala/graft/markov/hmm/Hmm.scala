@@ -368,12 +368,12 @@ object Hmm {
       val a = graft.linalg.LinAlg.toFlat(model.transition)
       val b = graft.linalg.LinAlg.toFlat(model.emission)
       val pi = model.initial.toArray
-      spark.sparkContext.setJobDescription(s"Hmm Baum-Welch iteration $iter")
-      val stats = try {
+      val stats = graft.util.JobTag.withDescription(spark.sparkContext,
+          s"Hmm Baum-Welch iteration $iter") {
         trajs
           .map { case (_, obs) => forwardBackward(obs, a, b, pi, m, nObs) }
           .reduce((x, y) => x.merge(y))
-      } finally spark.sparkContext.setJobDescription(null)
+      }
       converged = math.abs(stats.loglik - lastLl) < tol * math.abs(stats.loglik)
       lastLl = stats.loglik
       model = mStep(stats, m, nObs, reversible, iter)

@@ -216,11 +216,18 @@ private[graft] object DecompositionQueries extends QueryFamily {
     // hash-drawn batch membership (`inBatch` is a pure content hash),
     // so centers differ only in float summation order of batch means
     // (~1e-15 relative; clamped below 1e-7, the q265 discipline —
-    // the raw residual stays visible un-gated on stdout). ------------
+    // the raw residual stays visible un-gated on stdout). tolerance = 0
+    // on purpose (ADVICE r15): a convergence exit keyed on the float-
+    // merge-order-sensitive batch cost could fire on different epochs
+    // per transport near the threshold, and the extra-epoch residual
+    // (~tolerance-sized, not float-noise-sized) would blow the clamp —
+    // both runs execute the full fixed maxEpochs x batchesPerEpoch
+    // schedule so only summation order can differ. --------------------
     "q266_minibatch_dist_transport" -> ((s, dir) => {
       val traj = Trajectories.fromEvents(s, dir)
       def run(th: Long) = graft.clustering.MiniBatchKMeans.fit(traj, k = 4,
-        batchFraction = 0.2, maxEpochs = 3, seed = 42L, localThreshold = th)
+        batchFraction = 0.2, maxEpochs = 3, tolerance = 0.0, seed = 42L,
+        localThreshold = th)
       val loc = run(Long.MaxValue)
       val dist = run(0L)
       val parityRaw = loc.centers.zip(dist.centers).flatMap { case (ca, cb) =>
@@ -248,8 +255,14 @@ private[graft] object DecompositionQueries extends QueryFamily {
     "q267_lloyd_dist_transport" -> ((s, dir) => {
       import graft.clustering.{LloydKMeans, ManhattanMetric}
       val traj = liTraj(s, dir)
+      // tol = 0 (ADVICE r15): `moved` is float-merge-order-sensitive, so
+      // a positive tol could converge on different iterations per
+      // transport and leak a tol-sized (not noise-sized) residual into
+      // the clamp; at 0 both runs execute the full 8 iterations (an
+      // exact-zero `moved` exit means a fixed point — extra iterations
+      // are no-ops within float noise either way)
       def run(th: Long) = LloydKMeans.fit(traj, k = 4, metric = ManhattanMetric,
-        maxIter = 8, tol = 1e-4, seed = 42L, localThreshold = th)
+        maxIter = 8, tol = 0.0, seed = 42L, localThreshold = th)
       val loc = run(Long.MaxValue)
       val dist = run(0L)
       val parityRaw = loc.centers.zip(dist.centers).flatMap { case (ca, cb) =>

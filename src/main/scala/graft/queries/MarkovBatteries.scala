@@ -726,8 +726,13 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
       import graft.markov.hmm.Hmm
       def maxAbs(xs: Iterable[Double]) = if (xs.isEmpty) 0.0 else xs.map(math.abs).max
       val d = dtrajEv(s, dir).where(col("state") >= 0)
+      // tol = 0 (ADVICE r15): the loglik-delta convergence test compares
+      // a float-merge-order-sensitive quantity against the threshold, so
+      // a positive tol could end the two transports on different
+      // iteration counts and leak a tol-sized residual into the parity
+      // clamp; at 0 both runs execute exactly maxIter EM iterations
       def run(th: Long) = Hmm.fit(d, nHidden = 2, nObs = 5, maxIter = 5,
-        localThreshold = th)
+        tol = 0.0, localThreshold = th)
       val loc = run(Long.MaxValue)
       val dist = run(0L)
       val parityRaw = maxAbs(

@@ -11,6 +11,17 @@ package graft.tools
 object BenchManifest {
   def qnum(n: String): Int = n.takeWhile(_ != '_').drop(1).toInt
 
+  /** Box-drift canary trio (BASELINE.md drift protocol): three stable,
+    * rarely-touched queries whose in-record ratios track the VM's
+    * multi-hour slowdown waves. Baselines are PINNED here so Bench can
+    * stamp the drift coefficient into the emitted record itself
+    * (VERDICT r15 task 3 — the 2x screen applies normalized without
+    * consulting BASELINE.md prose); BenchManifestSpec asserts these
+    * equal tools/baselines.json, so the stamp and bench_compare.py's
+    * own median can never silently disagree. */
+  val canaryBaselines: Seq[(String, Double)] = Seq(
+    "q153" -> 4.224, "q163" -> 4.906, "q91" -> 0.85)
+
   /** Registry keys ordered exactly like Bench's queries_ms array. */
   def orderedNames: Seq[String] =
     graft.SparkEntry.queries.keys.toSeq.sortBy(qnum)

@@ -22,21 +22,18 @@ object MiniBatchBench {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  /** Battery-embeddable run: the transport A/B on the sf corpus, one
+    * JSON line at the end. Wired into AuditBattery (VERDICT r15 task 6,
+    * the OrderStatsBench precedent) so a scheduling regression in the
+    * sequential-chain paths — a dispatch bound drifting, a per-batch job
+    * growing extra stages — lands in every round's ledger instead of
+    * merging silently. Trend numbers, not a gate: wall times need canary
+    * normalization on this box; the job COUNTS are load-bearing. */
+  def run(spark: SparkSession, sfDir: String): Unit = {
     val traj = graft.core.Trajectories.fromEvents(spark, sfDir)
       .localCheckpoint() // shared input, out of both timings
 
-    def run(label: String, threshold: Long): (Int, Double) = {
+    def once(threshold: Long): (Int, Double) = {
       val c = new JobCounter
       spark.sparkContext.addSparkListener(c)
       val t0 = System.nanoTime()
@@ -53,10 +50,25 @@ object MiniBatchBench {
     }
 
     // distributed first so its jobs cannot warm the local path's cache
-    val (jd, td) = run("distributed", 0L)
-    val (jl, tl) = run("local", graft.clustering.MiniBatchKMeans.LocalBatchThreshold)
+    val (jd, td) = once(0L)
+    val (jl, tl) = once(graft.clustering.MiniBatchKMeans.LocalBatchThreshold)
+    graft.util.Materialize.unfreeze(traj)
     println(f"""{"bench":"minibatch_ab","dist_jobs":$jd,"dist_s":$td%.2f,""" +
       f""""local_jobs":$jl,"local_s":$tl%.2f}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir)
     spark.stop()
   }
 }

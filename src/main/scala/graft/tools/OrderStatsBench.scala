@@ -36,7 +36,12 @@ object OrderStatsBench {
       val t0 = System.nanoTime()
       val df = build // freezes the sorted layout eagerly inside
       df.queryExecution.toRdd.count() // consume the emit pass
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // release the frozen layout NOW (outside the timing): embedded in
+      // AuditBattery's single JVM, 9 leaked 6M x 12 localCheckpoint
+      // frames otherwise pile onto the driver heap until GC runs
+      graft.util.Materialize.unfreeze(df)
+      t
     }
     secs.sorted.apply(reps / 2)
   }
@@ -59,6 +64,7 @@ object OrderStatsBench {
     val tRange = timeOp(reps)(GlobalIndex.withRunning(
       base, "cumlt", "one", agg = "sum", frame = "range_excl",
       sortCols = Seq(col("tie10"), col("id")), rangeKey = Some("tie10")))
+    graft.util.Materialize.unfreeze(base)
     println(f"""{"bench":"orderstats_solo","rows":$n,"cols":12,""" +
       f""""global_index_s":$tIndex%.2f,"rows_excl_s":$tRows%.2f,""" +
       f""""range_excl_s":$tRange%.2f}""")

@@ -1983,6 +1983,48 @@ object ScaleAudit {
         f"worst-planted-distance=$worstLloyd%.4f (bound 0.2)  " +
         f"${secLloyd}%6.1f s  ${if (okLloyd) "OK" else "FAIL"}")
     }
+
+    // distributed MINIBATCH transport at corpus scale (VERDICT r15 task
+    // 2 — the last size-dispatched 100 TB path without a scheduler pin:
+    // q266 oracle-gates the transport's RESULT, this pins its SHAPE).
+    // localThreshold = 0 forces the per-batch reduce chain; every tagged
+    // batch job must be a zero-shuffle cached-partition scan returning a
+    // k×(d+1)-double-sized result — vs the ~16 MB/task a feature-sized
+    // collect of this corpus would ship — and the batch-mean updates
+    // must still recover the planted mixture.
+    locally {
+      val maxEpochs = 2; val batchesPerEpoch = 5
+      val metrics = new SweepTransportMetrics
+      spark.sparkContext.addSparkListener(metrics)
+      val t3 = System.nanoTime()
+      val mb = try {
+        graft.clustering.MiniBatchKMeans.fit(pts.select("features"), k,
+          batchFraction = 0.02, maxEpochs = maxEpochs,
+          batchesPerEpoch = batchesPerEpoch, seed = 42L, localThreshold = 0L)
+      } finally {
+        org.apache.spark.sql.GraftExpressionBridge
+          .drainListenerBus(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(metrics)
+      }
+      val secMb = (System.nanoTime() - t3) / 1e9
+      val jobAggs = metrics.jobs.toSeq.sortBy(_._1).map(_._2)
+      val batchJobs = jobAggs.filter(_.site.startsWith("MiniBatchKMeans"))
+      val maxBatchResult =
+        if (batchJobs.isEmpty) 0L else batchJobs.map(_.maxResult).max
+      val worstMb = planted.map(p => mb.centers.map(d2(p, _)).min).max
+      val okMb = batchJobs.nonEmpty &&
+        batchJobs.size <= maxEpochs * batchesPerEpoch &&
+        batchJobs.forall(j => j.shuffleWrite == 0 && j.shuffleRead == 0) &&
+        maxBatchResult <= 262144L && worstMb < 0.2
+      if (!okMb) failures += 1
+      println(f"[scale-100x-cluster] minibatch-transport tagged-batch-jobs=" +
+        f"${batchJobs.size} (bound ${maxEpochs * batchesPerEpoch}, " +
+        f"all zero-shuffle: " +
+        f"${batchJobs.forall(j => j.shuffleWrite == 0 && j.shuffleRead == 0)})  " +
+        f"max-batch-task-result=${maxBatchResult}B (bound 262144B)  " +
+        f"worst-planted-distance=$worstMb%.4f (bound 0.2)  " +
+        f"${secMb}%6.1f s  ${if (okMb) "OK" else "FAIL"}")
+    }
     failures
   }
 

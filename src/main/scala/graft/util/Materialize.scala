@@ -42,6 +42,24 @@ object Materialize {
     }
   }
 
+  /** Release the storage behind a frame frozen by [[frozen]] NOW instead
+    * of waiting for the GC-driven ContextCleaner: a localCheckpoint'ed
+    * frame holds its blocks (MEMORY_AND_DISK on every executor that
+    * computed a partition) until the RDD object is collected, and a
+    * harness that freezes many frames in one JVM (AuditBattery's
+    * embedded batteries) accumulates them faster than the driver GC
+    * reclaims — observed as 8g-driver OOMs in late families. Walks the
+    * analyzed plan for the `LogicalRDD` leaves a checkpoint leaves
+    * behind and unpersists each; a no-op for reliable-checkpoint frames
+    * (file-backed, nothing persisted) and for frames that were never
+    * frozen. Only call once every consumer of the frame has finished. */
+  def unfreeze(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   /** Method-chain sugar: `df.frozen()` == `Materialize.frozen(df)`. */
   implicit class FrozenOps(private val df: DataFrame) extends AnyVal {
     def frozen(): DataFrame = Materialize.frozen(df)

@@ -52,6 +52,33 @@ class BenchManifestSpec extends AnyFunSuite {
     // ...and must decode the r11+ centisecond rank array
     assert(py.contains("queries_cs"),
       "bench_compare.py must decode the queries_cs encoding Bench emits")
+    // the canary baselines Bench stamps into the record as drift_cs must
+    // BE the canonical ledger values — a silent divergence would make the
+    // in-record drift and bench_compare's own median disagree
+    graft.tools.BenchManifest.canaryBaselines.foreach { case (q, b) =>
+      assert(entries.get(q).contains(b),
+        s"canary $q pinned at $b in BenchManifest but tools/baselines.json " +
+          s"has ${entries.get(q)} — re-pin BenchManifest.canaryBaselines")
+    }
+    // ...and bench_compare must use the same trio
+    graft.tools.BenchManifest.canaryBaselines.foreach { case (q, _) =>
+      assert(py.contains("\"" + q + "\""),
+        s"bench_compare.py CANARIES must include $q")
+    }
+  }
+
+  test("metricLine stamps the in-record canary drift coefficient (drift_cs)") {
+    // trio at exactly 1.30x of their pinned baselines, plus filler —
+    // the stamped median must read 130
+    val trio = graft.tools.BenchManifest.canaryBaselines.map {
+      case (q, b) => s"${q}_x" -> b * 1.3
+    }
+    val line = graft.Bench.metricLine((trio :+ ("q999_filler" -> 1.0))
+      .sortBy(p => graft.tools.BenchManifest.qnum(p._1)))
+    assert(line.contains("\"drift_cs\":130"), line)
+    // a canary-free subset emits no stamp rather than a misleading one
+    val noCanary = graft.Bench.metricLine(Seq("q999_filler" -> 1.0))
+    assert(!noCanary.contains("drift_cs"), noCanary)
   }
 
   test("the driver metric line keeps >= 800 bytes of tail headroom at 270 " +

@@ -182,6 +182,15 @@ def main():
 
     # canary drift coefficient: median of the canary trio's ratios
     canary_rows = [(k, r) for k, _, _, r in rows if k in CANARIES and r]
+    # r16+: Bench stamps its own coefficient into the record ("drift_cs":
+    # median trio ratio x100, computed against the SAME pinned baselines —
+    # BenchManifestSpec asserts the pin). Print it and cross-check: a
+    # mismatch beyond rounding means the record was decoded against a
+    # different baseline table than it was stamped with.
+    stamped = rec.get("drift_cs")
+    if stamped is not None:
+        print(f"in-record drift stamp: {stamped / 100:.2f}x (drift_cs, "
+              f"stamped by Bench at measurement time)")
     if drift_arg is not None:
         drift = drift_arg
         print(f"canary drift coefficient: {drift:.2f}x (from --drift, "
@@ -196,6 +205,11 @@ def main():
     else:
         drift = 1.0
         print("canary drift coefficient: none (canaries absent); raw == normalized")
+    if stamped is not None and drift_arg is None and canary_rows:
+        if abs(drift - stamped / 100) > 0.015:  # beyond cs rounding
+            print(f"WARNING: computed drift {drift:.2f}x disagrees with the "
+                  f"in-record stamp {stamped / 100:.2f}x — baseline table "
+                  f"changed for a canary since the record was stamped?")
     drift = max(drift, 1e-9)
     print(f"canary-normalized total: {raw_total / drift:.2f}x "
           f"(raw {raw_total:.2f}x / drift {drift:.2f}x; violations are "
