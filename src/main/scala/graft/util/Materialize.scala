@@ -53,12 +53,30 @@ object Materialize {
     * behind and unpersists each; a no-op for reliable-checkpoint frames
     * (file-backed, nothing persisted) and for frames that were never
     * frozen. Only call once every consumer of the frame has finished. */
-  def unfreeze(df: DataFrame): Unit =
+  def unfreeze(df: DataFrame): Unit = {
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    // frames built ON a frozen layout (GlobalIndex's two-pass emits) hold
+    // it as a PARENT RDD behind internalCreateDataFrame, not as a plan
+    // leaf — walk the RDD lineage from each LogicalRDD leaf and unpersist
+    // every locally-checkpointed ancestor. "Locally checkpointed" via the
+    // public surface = checkpointed AND persisted (a reliable checkpoint
+    // is file-backed, storage level NONE; a user .cache() is persisted
+    // but not checkpointed) — so shared caller-owned caches and reliable
+    // checkpoints stay untouched, and the walk stops naturally at
+    // checkpoint truncations.
+    def walk(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(rdd.id)) {
+        if (rdd.isCheckpointed &&
+            rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+          rdd.unpersist(blocking = false); ()
+        }
+        rdd.dependencies.foreach(d => walk(d.rdd))
+      }
     df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
+      case lr: org.apache.spark.sql.execution.LogicalRDD => walk(lr.rdd)
       case _ => ()
     }
+  }
 
   /** Method-chain sugar: `df.frozen()` == `Materialize.frozen(df)`. */
   implicit class FrozenOps(private val df: DataFrame) extends AnyVal {

@@ -95,4 +95,35 @@ class MaterializeSpec extends SparkSpec with Matchers {
     }
     e.getMessage should include("rangeKey")
   }
+
+  test("unfreeze releases frozen blocks — including a frame's INNER frozen " +
+    "layout behind internalCreateDataFrame — and leaves user caches alone") {
+    import spark.implicits._
+    def ckptIds: Set[Int] = sc.getPersistentRDDs.collect {
+      case (id, r) if r.isCheckpointed => id
+    }.toSet
+    val pre = ckptIds
+    // a directly frozen frame: its LogicalRDD leaf is the persisted RDD
+    val base = Materialize.frozen(
+      (0 until 2000).map(i => (i.toLong, (i * 31 % 97).toLong)).toDF("id", "v"))
+    // a frame BUILT ON frozen layouts: withGlobalIndex freezes its sorted
+    // layout internally; the returned plan's leaf is a NEW un-persisted
+    // RDD whose PARENT is the frozen one (the leak ADVICE r15 flagged)
+    val indexed = graft.operators.GlobalIndex.withGlobalIndex(
+      base, "gi", col("v"), col("id"))
+    indexed.count()
+    val during = ckptIds -- pre
+    assert(during.size >= 2, s"expected base + inner sorted layout " +
+      s"checkpointed, saw ids $during")
+    // a plain user cache must survive unfreeze untouched
+    val cached = base.select((col("v") * 2).as("w")).cache()
+    cached.count()
+    Materialize.unfreeze(indexed)
+    Materialize.unfreeze(base)
+    val after = ckptIds -- pre
+    assert(after.isEmpty, s"unfreeze left frozen blocks behind: ids $after")
+    assert(sc.getPersistentRDDs.values.exists(r => !r.isCheckpointed),
+      "user .cache() should not be touched by unfreeze")
+    cached.unpersist()
+  }
 }
