@@ -74,7 +74,12 @@ object AuditBattery {
       // task 7): the OrderStatsBench medians are recorded in every
       // round's ledger so a GenericRow-style regression on the Tungsten
       // passes cannot land silently (trend check, not a gate — absolute
-      // numbers need canary normalization on this box)
+      // numbers need canary normalization on this box). Settle the heap
+      // first: the 10x families leave tens of GB of old-gen residue
+      // whose collection otherwise lands INSIDE the timed reps (r16:
+      // in-battery rows_excl read 15.06 s vs 8.97 s solo at the same
+      // binary and drift — a 1.7x phantom the trend check would chase)
+      System.gc(); Thread.sleep(2000)
       println("[audit-battery] --- orderstats tripwire ---")
       OrderStatsBench.run(spark, n = 6000000L)
       // per-round sequential-chain transport tripwire (VERDICT r15 task
@@ -83,6 +88,7 @@ object AuditBattery {
       // recorded every round so a scheduling regression in the
       // sequential-chain paths (minibatch, Lloyd, Hmm EM share the
       // dispatch pattern) cannot land silently
+      System.gc(); Thread.sleep(2000) // same settle: orderstats frames precede
       println("[audit-battery] --- minibatch transport A/B tripwire ---")
       MiniBatchBench.run(spark, src)
       families.foreach { f =>
