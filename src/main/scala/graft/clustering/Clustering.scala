@@ -114,9 +114,7 @@ object KMeansPlusPlus {
   def seed(traj: DataFrame, k: Int, seedVal: Long = 42L,
            maxSampleRows: Long = 65536L, featCol: String = FeatCol): Array[Array[Double]] = {
     require(k > 0, "k must be positive")
-    val n = traj.count()
-    val frac = if (n <= maxSampleRows) 1.0 else maxSampleRows.toDouble / n
-    val rows = traj.sample(withReplacement = false, frac, seedVal)
+    val rows = graft.util.Sampling.rowCap(traj, maxSampleRows, seedVal)
       .select(col(featCol).cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "empty input")

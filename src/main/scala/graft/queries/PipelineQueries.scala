@@ -241,10 +241,7 @@ private[graft] object PipelineQueries extends QueryFamily {
       // cost ~7 passes over 600k rows here, all setup the gate never
       // looks at (VERDICT r15 task 4: q141 was the slowest query two
       // rounds running)
-      val liT = liTraj(s, dir)
-      val liN = math.max(1L, liT.count())
-      val kmTrain = if (liN <= 65536L) liT
-        else liT.sample(withReplacement = false, 65536.0 / liN, 42L)
+      val kmTrain = graft.util.Sampling.rowCap(liTraj(s, dir))
       val km = graft.clustering.KMeans.fit(kmTrain, k = 3,
         maxIter = 5, seed = 42L)
       graft.io.Persistence.saveJson(

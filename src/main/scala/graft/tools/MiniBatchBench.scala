@@ -36,14 +36,20 @@ object MiniBatchBench {
     def once(threshold: Long): (Int, Double) = {
       val c = new JobCounter
       spark.sparkContext.addSparkListener(c)
-      val t0 = System.nanoTime()
-      val model = graft.clustering.MiniBatchKMeans.fit(traj, k = 4,
-        batchFraction = 0.2, maxEpochs = 3, seed = 42L,
-        localThreshold = threshold)
-      val sec = (System.nanoTime() - t0) / 1e9
-      org.apache.spark.sql.GraftExpressionBridge
-        .drainListenerBus(spark.sparkContext)
-      spark.sparkContext.removeSparkListener(c)
+      // remove the listener even if fit throws: run() is embedded in
+      // AuditBattery's long-lived JVM, and a leaked JobCounter would
+      // double-count jobs in every later listener-based audit
+      val (model, sec) = try {
+        val t0 = System.nanoTime()
+        val m = graft.clustering.MiniBatchKMeans.fit(traj, k = 4,
+          batchFraction = 0.2, maxEpochs = 3, seed = 42L,
+          localThreshold = threshold)
+        (m, (System.nanoTime() - t0) / 1e9)
+      } finally {
+        org.apache.spark.sql.GraftExpressionBridge
+          .drainListenerBus(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(c)
+      }
       require(model.k == 4 && model.centers.flatten.forall(v =>
         !v.isNaN && !v.isInfinite))
       (c.jobs.get(), sec)

@@ -1905,7 +1905,8 @@ object ScaleAudit {
       "mixture, unit noise)")
 
     val t0 = System.nanoTime()
-    val train = pts.sample(withReplacement = false, 65536.0 / n, 7L)
+    val train = graft.util.Sampling.rowCap(pts, seed = 7L,
+        knownCount = Some(n))
       .select("features")
     val model = graft.clustering.KMeans.fit(train, k, maxIter = 20, seed = 42L)
     val secFit = (System.nanoTime() - t0) / 1e9
