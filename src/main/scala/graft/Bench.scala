@@ -93,17 +93,37 @@ object Bench {
     // 2.2 s in back-to-back sweeps); the per-query minimum is the
     // standard low-noise estimator and is applied uniformly — protocol
     // documented in BASELINE.md.
+    // release each query's frozen frames as soon as its pass is timed
+    // (VERDICT r16 task 2): a full sweep is 268 queries x 2-3 passes in
+    // ONE JVM against 29 Materialize.frozen call sites, and leaving the
+    // localCheckpoint blocks to the GC-driven ContextCleaner is exactly
+    // the accumulation class that OOM'd 8 GiB drivers in AuditBattery's
+    // late families. unpersist(blocking=false) runs OUTSIDE the timed
+    // window so the pinned baselines (measured pre-unfreeze) stay
+    // comparable. SPARK_GRAFT_NO_UNFREEZE=true restores the old behavior
+    // (the A/B knob the heap-ledger reading was recorded with).
+    val unfreeze = sys.env.get("SPARK_GRAFT_NO_UNFREEZE").isEmpty
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      var df: org.apache.spark.sql.DataFrame = null
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { df = fn(spark, sfDir); df.count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
       }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      if (unfreeze && df != null)
+        try graft.util.Materialize.unfreeze(df) catch { case _: Throwable => () }
+      (t, ok)
     }
+    // SPARK_GRAFT_PASSES=1: single-pass mode for one-off SCALING sweeps
+    // (the sf1.0 record) where the question is ">10x growth vs sf0.1",
+    // not a 2x-cap adjudication — min-of-2/3 noise suppression buys
+    // nothing against a 10x threshold and doubles a multi-hour sweep.
+    val singlePass = sys.env.get("SPARK_GRAFT_PASSES").contains("1")
     val pass1 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
-    val pass2 = selected.map { case (name, fn) => name -> timeOnce(name, fn) }
+    val pass2 = if (singlePass) pass1
+      else selected.map { case (name, fn) => name -> timeOnce(name, fn) }
     val results2 = selected.map { case (name, _) =>
       // min over SUCCESSFUL passes only — a fast crash must not masquerade
       // as a fast query; if both failed, report the slower (worst) time
@@ -122,11 +142,17 @@ object Bench {
     // baselines; a min-of-3 on just those (~20 s extra) halves that tail
     // risk without re-running the expensive queries
     val results = results2.map { case (name, t) =>
-      if (t < 2.0) {
+      if (t < 2.0 && !singlePass) {
         val (t3, ok3) = timeOnce(name, selected(name))
         name -> (if (ok3) math.min(t, t3) else t)
       } else name -> t
     }
+    // heap ledger line (VERDICT r16 tasks 2+4): the sweep's driver-heap
+    // high-water mark, on stderr so it can never evict the metric line
+    // from the driver's 2000-byte stdout tail
+    System.err.println(s"[bench] driver heap peak: " +
+      s"${graft.util.HeapStat.fmt(graft.util.HeapStat.peakGiB)} GiB " +
+      s"(unfreeze=$unfreeze, max ${Runtime.getRuntime.maxMemory / (1L << 30)} GiB)")
     // ordering is BenchManifest's — the single definition the committed
     // tools/bench_names.json decoder manifest is generated from, so the
     // rank array and the manifest cannot drift independently

@@ -62,11 +62,44 @@ object Verify {
     // Each failure is retried once (transient-error insurance) and then
     // recorded in _verify_errors.json next to the result dirs.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // release each query's frozen frames once its parquet is written
+    // (VERDICT r16 task 2): the full 268-query battery runs in ONE JVM
+    // against 29 Materialize.frozen sites — without eager unfreeze the
+    // localCheckpoint blocks accumulate until the GC ContextCleaner gets
+    // to them, the 8 GiB-driver OOM class AuditBattery already fixed.
+    // SPARK_GRAFT_NO_UNFREEZE=true restores the old behavior (the A/B
+    // knob the recorded heap-ledger reading was measured with).
+    val unfreeze = sys.env.get("SPARK_GRAFT_NO_UNFREEZE").isEmpty
+    // SPARK_GRAFT_MUTATION_SMOKE=<query>: the oracle-gate meta-check
+    // (VERDICT r16 task 5) — deliberately corrupt ONE query's output
+    // (first numeric column + 1) so tools/mutation_smoke.py can assert
+    // the DuckDB compare actually goes RED on a wrong answer. The whole
+    // verdict chain leans on that compare; this proves the gate has
+    // teeth instead of assuming it. Debug-only: loud on stderr, never
+    // set by the driver.
+    val mutate = sys.env.get("SPARK_GRAFT_MUTATION_SMOKE")
+    def perturb(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types._
+      val c = df.schema.fields.collectFirst {
+        case f if Set[DataType](DoubleType, FloatType, LongType, IntegerType)(f.dataType) => f.name
+      }.getOrElse(throw new IllegalStateException(
+        "mutation smoke needs a numeric column to perturb"))
+      df.withColumn(c, org.apache.spark.sql.functions.col(c) + 1)
+    }
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-        def attempt(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        def attempt(): Unit = {
+          val df = fn(spark, sfDir)
+          val out = if (mutate.contains(name)) {
+            System.err.println(s"[verify] MUTATION SMOKE: perturbing $name " +
+              "(first numeric column + 1) — this dump is NOT a correctness record")
+            perturb(df)
+          } else df
+          out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+          if (unfreeze)
+            try graft.util.Materialize.unfreeze(df) catch { case _: Throwable => () }
+        }
         try attempt()
         catch { case e1: Throwable =>
           System.err.println(s"[verify] $name failed (${e1.getClass.getSimpleName}: " +
@@ -100,6 +133,12 @@ object Verify {
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} PERMANENT FAILURES: " +
         errors.keys.mkString(", "))
+    // heap ledger line (VERDICT r16 task 2's done condition): the
+    // battery's driver-heap high-water mark, recorded per run so the
+    // localCheckpoint-accumulation class has a trend line
+    System.err.println(s"[verify] driver heap peak: " +
+      s"${graft.util.HeapStat.fmt(graft.util.HeapStat.peakGiB)} GiB " +
+      s"(unfreeze=$unfreeze, max ${Runtime.getRuntime.maxMemory / (1L << 30)} GiB)")
     spark.stop()
   }
 }

@@ -38,7 +38,11 @@ private[graft] object QShared {
                        (build: => DataFrame): DataFrame =
     frameMemo.computeIfAbsent(
       System.identityHashCode(s) + "|" + dir + "|" + key,
-      _ => build.frozen())
+      // pin: these frames outlive any one query — a harness that eagerly
+      // unfreezes a consumer's lineage (Verify/Bench per-query release)
+      // must walk past them, or the memo hands DEAD frames to the next
+      // query (47/268 CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, r17 draft)
+      _ => graft.util.Materialize.pin(build.frozen()))
 
   /** lineitem 4-feature trajectories, materialized once per session. */
   private[graft] def liTraj(s: SparkSession, dir: String): DataFrame =

@@ -69,7 +69,23 @@ object AuditBattery {
           "  WARNING: multi-family batteries are validated at 48g " +
             "(SPARK_DRIVER_MEM=48g) — low heaps have OOM'd in late families"
          else ""))
+      // per-family heap attribution (VERDICT r16 task 4): the low-heap
+      // warning above warns but records nothing — print each family's
+      // peak driver heap (JMX pool high-water, reset per family) so the
+      // localCheckpoint-accumulation class has a trend line in the
+      // ledger like the orderstats tripwire got. Soft band: any single
+      // family peaking above ~0.75x of max heap is the OOM precursor the
+      // r15 failures showed; documented in BASELINE.md (trend check, not
+      // a gate — corpus sizes differ per family by design).
+      def heapLine(tag: String): Unit = {
+        println(s"[audit-battery] heap[$tag]: peak " +
+          s"${graft.util.HeapStat.fmt(graft.util.HeapStat.peakGiB)} GiB, " +
+          s"settled ${graft.util.HeapStat.fmt(graft.util.HeapStat.usedGiB)} GiB")
+        graft.util.HeapStat.resetPeak()
+      }
+      graft.util.HeapStat.resetPeak()
       failures += ScaleAudit.run10x(spark, src, out10)
+      heapLine("10x")
       // per-round order-statistics constant-factor tripwire (VERDICT r14
       // task 7): the OrderStatsBench medians are recorded in every
       // round's ledger so a GenericRow-style regression on the Tungsten
@@ -82,6 +98,7 @@ object AuditBattery {
       System.gc(); Thread.sleep(2000)
       println("[audit-battery] --- orderstats tripwire ---")
       OrderStatsBench.run(spark, n = 6000000L)
+      heapLine("orderstats")
       // per-round sequential-chain transport tripwire (VERDICT r15 task
       // 6): the MiniBatchBench A/B that justified the r15 size dispatch
       // (49 jobs/7.47 s distributed -> 20 jobs/1.43 s local at sf0.1),
@@ -91,9 +108,11 @@ object AuditBattery {
       System.gc(); Thread.sleep(2000) // same settle: orderstats frames precede
       println("[audit-battery] --- minibatch transport A/B tripwire ---")
       MiniBatchBench.run(spark, src)
+      heapLine("minibatch_ab")
       families.foreach { f =>
         println(s"[audit-battery] --- 100x family: $f ---")
         failures += ScaleAudit.run100x(spark, f, src, out100)
+        heapLine(f)
       }
       println(if (failures == 0) "[audit-battery] ALL INVARIANTS HOLD"
               else s"[audit-battery] $failures FAILURES")

@@ -42,6 +42,27 @@ object Materialize {
     }
   }
 
+  // RDD ids of frozen frames that OUTLIVE any one consumer — the
+  // QShared per-(session, dir) memo hands the SAME frozen frame to many
+  // registry queries, so a harness unfreezing query A's lineage must not
+  // destroy the blocks query B will read (observed: 47/268 Verify
+  // failures with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND when the r17
+  // eager-unfreeze draft ran unpinned — the memo then hands the DEAD
+  // frame to every retry). Ids, not weak refs: the set is tiny (one
+  // entry per memo key) and an id is never reused within a SparkContext.
+  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Mark a frozen frame as SHARED: [[unfreeze]] will walk past it but
+    * never unpersist it. Call on memoized frames whose lifetime is the
+    * session, not one query. Returns `df` for chaining. */
+  def pin(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => pinnedIds.add(lr.rdd.id)
+      case _ => ()
+    }
+    df
+  }
+
   /** Release the storage behind a frame frozen by [[frozen]] NOW instead
     * of waiting for the GC-driven ContextCleaner: a localCheckpoint'ed
     * frame holds its blocks (MEMORY_AND_DISK on every executor that
@@ -52,7 +73,9 @@ object Materialize {
     * analyzed plan for the `LogicalRDD` leaves a checkpoint leaves
     * behind and unpersists each; a no-op for reliable-checkpoint frames
     * (file-backed, nothing persisted) and for frames that were never
-    * frozen. Only call once every consumer of the frame has finished. */
+    * frozen. Only call once every consumer of the frame has finished;
+    * frames registered via [[pin]] (session-lifetime memo frames) are
+    * skipped. */
   def unfreeze(df: DataFrame): Unit = {
     val seen = scala.collection.mutable.HashSet.empty[Int]
     // frames built ON a frozen layout (GlobalIndex's two-pass emits) hold
@@ -66,7 +89,7 @@ object Materialize {
     // checkpoint truncations.
     def walk(rdd: org.apache.spark.rdd.RDD[_]): Unit =
       if (seen.add(rdd.id)) {
-        if (rdd.isCheckpointed &&
+        if (!pinnedIds.contains(rdd.id) && rdd.isCheckpointed &&
             rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE) {
           rdd.unpersist(blocking = false); ()
         }

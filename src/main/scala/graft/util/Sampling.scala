@@ -15,8 +15,11 @@ object Sampling {
   val LandmarkRows: Long = 65536L
 
   /** `df` if it has at most `maxRows` rows, else a seeded Bernoulli
-    * sample with expected size `maxRows`. Pass `knownCount` when the
-    * caller already counted (avoids a second scan). */
+    * sample with EXPECTED size `maxRows` — not a hard bound: the
+    * collected sample exceeds the cap about half the time, by
+    * ~sqrt(maxRows) rows (a few hundred at 65536), which is well inside
+    * the driver-footprint budget the cap protects. Pass `knownCount`
+    * when the caller already counted (avoids a second scan). */
   def rowCap(df: DataFrame, maxRows: Long = LandmarkRows, seed: Long = 42L,
              knownCount: Option[Long] = None): DataFrame = {
     val n = math.max(1L, knownCount.getOrElse(df.count()))

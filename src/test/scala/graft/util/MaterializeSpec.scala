@@ -126,4 +126,28 @@ class MaterializeSpec extends SparkSpec with Matchers {
       "user .cache() should not be touched by unfreeze")
     cached.unpersist()
   }
+
+  test("pin: a shared (memoized) frozen frame survives a consumer's " +
+    "unfreeze and stays consumable — the 47-failure r17 draft regression") {
+    import spark.implicits._
+    def ckptIds: Set[Int] = sc.getPersistentRDDs.collect {
+      case (id, r) if r.isCheckpointed => id
+    }.toSet
+    val pre = ckptIds
+    // the QShared.memoFrame shape: one frozen frame handed to MANY queries
+    val shared = Materialize.pin(Materialize.frozen(
+      (0 until 2000).map(i => (i.toLong, (i * 13 % 89).toLong)).toDF("id", "v")))
+    // query A consumes it through its own frozen derivative, then the
+    // harness unfreezes A's full lineage
+    val qa = Materialize.frozen(shared.groupBy("v").count())
+    qa.count()
+    Materialize.unfreeze(qa)
+    // A's own frozen frame is released, the pinned shared frame is not
+    val left = ckptIds -- pre
+    assert(left.nonEmpty, "pinned shared frame must keep its blocks")
+    // query B (and a memo RETRY, the failure mode) still reads real blocks
+    shared.groupBy(col("v") % 7).count().count() shouldBe 7L
+    Materialize.unfreeze(shared) // pinned: explicit unfreeze is also a no-op
+    shared.count() shouldBe 2000L
+  }
 }

@@ -37,8 +37,9 @@ class SamplingSpec extends SparkSpec with Matchers {
     val df = (0 until 1000).map(_.toLong).toDF("id")
     // knownCount below cap: identity even though the real count exceeds it
     assert(Sampling.rowCap(df, maxRows = 10L, knownCount = Some(5L)) eq df)
-    // degenerate knownCount clamps to 1 and caps the fraction at maxRows/1,
-    // i.e. never a >1 sampling fraction (which Spark rejects)
+    // degenerate knownCount clamps to 1, which routes to the identity
+    // branch (1 <= maxRows) — the clamp's job is to keep a zero count
+    // from ever reaching the fraction computation, not to cap a fraction
     val s = Sampling.rowCap(df.limit(0), maxRows = 10L, knownCount = Some(0L))
     s.count() shouldBe 0L
   }
