@@ -383,12 +383,19 @@ private[graft] object TextQueries extends QueryFamily {
     }),
 
     // ---- sparse TF-IDF cosine search (q158): the inverted-index dual
-    // of the dense ANN family (q23/q28/q64) — for each query doc
-    // (doc_id % 100 == 0), the top-5 corpus docs by cosine over TF-IDF
-    // vectors, computed SPARSELY: the term-match join IS the inverted-
-    // index probe, so a query only ever touches postings of terms it
-    // contains. Scale shape: idf/norms are corpus aggregates (one
-    // scan); the query-side term vectors are a fixed slice and
+    // of the dense ANN family (q23/q28/q64) — for each query doc in a
+    // BOUNDED batch (doc_id % 100 == 0 AND doc_id < 5000, i.e. at most
+    // 50 queries at every SF), the top-5 corpus docs by cosine over
+    // TF-IDF vectors, computed SPARSELY: the term-match join IS the
+    // inverted-index probe, so a query only ever touches postings of
+    // terms it contains. The batch bound is load-bearing for scale
+    // (r17 sf1.0 sweep): with a constant-FRACTION query slice the
+    // probe work grows as corpus², measured 45.5x wall at 10x data —
+    // a search engine processes fixed query batches, so per-batch cost
+    // is O(corpus) and the broadcast query side is bounded. At the
+    // bench SFs (<= 5,000 docs) the bound is vacuous: rows identical,
+    // baseline untouched. Scale shape: idf/norms are corpus aggregates
+    // (one scan); the query-side term vectors are a fixed slice and
     // BROADCAST; the dot-product is one map-side join + (query, doc)
     // aggregation; ranking uses the ROUNDED score (q117 convention) so
     // parity never rides on last-ulp sum order. ------------------------
@@ -407,14 +414,15 @@ private[graft] object TextQueries extends QueryFamily {
         .localCheckpoint()
       val norms = wgt.groupBy("doc_id")
         .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-      val qw = wgt.where(col("doc_id") % 100 === 0)
+      val qw = wgt.where(col("doc_id") % 100 === 0 && col("doc_id") < 5000)
         .select(col("doc_id").as("qid"), col("term"), col("w").as("wq"))
       val dots = wgt.join(broadcast(qw), Seq("term"))
         .where(col("doc_id") =!= col("qid"))
         .groupBy(col("qid"), col("doc_id"))
         .agg(sum(col("w") * col("wq")).as("dot"))
       val scored = dots
-        .join(broadcast(norms.where(col("doc_id") % 100 === 0)
+        .join(broadcast(norms.where(col("doc_id") % 100 === 0 &&
+            col("doc_id") < 5000)
           .select(col("doc_id").as("qid"), col("nrm").as("nq"))), "qid")
         .join(norms, "doc_id")
         .select(col("qid"), col("doc_id"),
@@ -429,9 +437,19 @@ private[graft] object TextQueries extends QueryFamily {
     // discounting, fixed 0.4 backoff — the scheme built FOR distributed
     // count tables). Fit on even doc_ids, score the odd ones, so backoff
     // genuinely fires on unseen trigrams/bigrams; the unigram floor is
-    // add-1-smoothed so OOV words stay finite. Scale shape: three
-    // Zipf-bounded count tables broadcast; scoring is one map-side
-    // multi-join + a per-doc aggregation. -------------------------------
+    // add-1-smoothed so OOV words stay finite. Scale shape: the count
+    // tables are THRESHOLD-PRUNED (count >= 2, the Brants et al. 2007
+    // discipline — singleton grams are treated as unseen and back off)
+    // BEFORE the driver collect: unigram types follow Zipf, but bigram/
+    // trigram TYPES grow near-linearly with corpus tokens, so an
+    // unpruned collect is a driver-footprint scale-killer (r17 sf1.0
+    // sweep: 11.2x wall at 10x data, table growth ~linear). The OOV
+    // floor's totals (nTok, vocab) are aggregated over the UNPRUNED
+    // unigram counts, so smoothing mass is unchanged by pruning.
+    // Pruning is self-consistent: a surviving trigram's prefix bigram
+    // and context unigram survive too (their counts dominate), so no
+    // surviving numerator ever meets a pruned denominator. Scoring is
+    // one map-side multi-join + a per-doc aggregation. -----------------
     "q129_trigram_backoff" -> ((s, dir) => {
       val d = docs(s, dir)
       val train = d.where(col("doc_id") % 2 === 0)
@@ -448,14 +466,24 @@ private[graft] object TextQueries extends QueryFamily {
       // like the broadcasts it feeds. \u0001 can't appear in \s+-split
       // tokens, so the tag never collides with gram content.
       val txt = lower(trim(col("text")))
-      val tagged = train.select(explode(concat(
+      val grouped = graft.util.Materialize.frozen(
+        train.select(explode(concat(
           transform(filter(split(txt, "\\s+"), w => w =!= ""),
             w => concat_ws("\u0001", lit("1"), w)),
           transform(TextFunctions.wordShingles(txt, 2),
             g => concat_ws("\u0001", lit("2"), g)),
           transform(TextFunctions.wordShingles(txt, 3),
             g => concat_ws("\u0001", lit("3"), g)))).as("og"))
-        .groupBy("og").agg(count(lit(1)).as("c")).collect()
+        .groupBy("og").agg(count(lit(1)).as("c")))
+      // OOV-floor totals over the UNPRUNED unigram counts (distributed
+      // aggregate — the unpruned table itself never reaches the driver)
+      val floor = grouped.where(substring(col("og"), 1, 1) === "1")
+        .agg(sum(col("c")), count(lit(1))).head
+      val (nTok, vocab) = (floor.getLong(0), floor.getLong(1))
+      val tagged = grouped.where(col("c") >= 2).collect()
+      // both consumers (floor + pruned collect) are done; the model
+      // lives on the driver now, so the frozen aggregate can go
+      graft.util.Materialize.unfreeze(grouped)
       import s.implicits._
       def tbl(ord: String): Seq[(String, Long)] = tagged.iterator
         .map(r => (r.getString(0), r.getLong(1)))
@@ -469,9 +497,6 @@ private[graft] object TextQueries extends QueryFamily {
           val i = g.indexOf(' '); val j = g.lastIndexOf(' ')
           (g.substring(0, i), g.substring(i + 1, j), g.substring(j + 1), c) }
         .toDF("w1", "w2", "w3", "c123")
-      val (nTok, vocab) = {
-        val u = tbl("1"); (u.map(_._2).sum, u.size.toLong)
-      }
       val scored = tris(test)
         .join(broadcast(tri), Seq("w1", "w2", "w3"), "left")
         .join(broadcast(big.select(col("x1").as("w1"), col("x2").as("w2"),
@@ -1173,7 +1198,7 @@ private[graft] object TextQueries extends QueryFamily {
            FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
          nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wgt GROUP BY 1),
          qw AS (SELECT doc_id AS qid, term, w AS wq
-           FROM wgt WHERE doc_id % 100 = 0),
+           FROM wgt WHERE doc_id % 100 = 0 AND doc_id < 5000),
          dots AS (SELECT qid, wgt.doc_id AS doc_id, sum(wgt.w * qw.wq) AS dot
            FROM wgt JOIN qw USING (term) WHERE wgt.doc_id <> qw.qid
            GROUP BY 1, 2),
@@ -1605,8 +1630,9 @@ private[graft] object TextQueries extends QueryFamily {
          FROM r WHERE df >= 5 AND rk <= 10""",
 
     // Stupid-backoff twin: same even/odd split, same three count tables
-    // (q115's list-window idiom), and the identical nested-CASE backoff
-    // expression structure.
+    // (q115's list-window idiom) with the same count>=2 threshold prune
+    // (floor totals over the UNPRUNED unigrams), and the identical
+    // nested-CASE backoff expression structure.
     "q129_trigram_backoff" ->
       """WITH tr AS (SELECT doc_id, str_split_regex(trim(lower(text)), '\s+') AS l
            FROM documents WHERE doc_id % 2 = 0),
@@ -1614,14 +1640,17 @@ private[graft] object TextQueries extends QueryFamily {
            FROM documents WHERE doc_id % 2 = 1),
          t3tr AS (SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
            FROM (SELECT l, unnest(generate_series(1, len(l) - 2)) AS i FROM tr)),
-         tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM t3tr GROUP BY 1, 2, 3),
+         tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM t3tr
+           GROUP BY 1, 2, 3 HAVING count(*) >= 2),
          g2tr AS (SELECT l[i] AS x1, l[i+1] AS x2
            FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM tr)),
-         big AS (SELECT x1, x2, count(*) AS cb FROM g2tr GROUP BY 1, 2),
-         unitr AS (SELECT w, count(*) AS cu
+         big AS (SELECT x1, x2, count(*) AS cb FROM g2tr
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         alltok AS (SELECT w, count(*) AS cu
            FROM (SELECT unnest(l) AS w FROM tr) WHERE w <> '' GROUP BY 1),
+         unitr AS (SELECT w, cu FROM alltok WHERE cu >= 2),
          tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n,
-           CAST(count(*) AS BIGINT) AS v FROM unitr),
+           CAST(count(*) AS BIGINT) AS v FROM alltok),
          t3te AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
            FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
                  FROM te)),

@@ -10,7 +10,11 @@ import scala.jdk.CollectionConverters._
   * hoping. Peak = sum of per-pool JMX peak usage across heap pools —
   * the high-water mark since JVM start (or the last [[resetPeak]]),
   * which survives the GC that a point-in-time `totalMemory - freeMemory`
-  * reading misses. */
+  * reading misses. The pools peak at DIFFERENT instants (G1 moves
+  * regions between eden/survivor/old), so the sum is an UPPER bound on
+  * any instantaneous footprint and can exceed -Xmx (observed: 12.35
+  * "GiB" on an 8 GiB heap in the sf1.0 sweep) — read it as a trend
+  * line, not an absolute occupancy. */
 object HeapStat {
   private def heapPools =
     java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
