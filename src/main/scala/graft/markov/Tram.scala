@@ -118,10 +118,14 @@ object Tram {
     * discipline): a fixture-sized table at 32 partitions would pay ~30
     * scheduling round-trips per sweep for nothing. */
   def fitDistributed(framesPerTherm: Seq[DataFrame], tau: Int, nMarkov: Int,
-                     maxIter: Int = 1000, maxErr: Double = 1e-8): TramModel = {
+                     maxIter: Int = 1000, maxErr: Double = 1e-8,
+                     precomputedCounts: Option[(Array[Array[Double]], Array[Array[Double]])] = None): TramModel = {
     val k = framesPerTherm.length
-    val (transitionCounts, stateCounts) =
-      countsFromFrames(framesPerTherm, tau, nMarkov)
+    // callers that already assembled counts for the same frames (the
+    // q263 parity gate runs inputFromFrames over the identical fixture)
+    // pass them in rather than re-running the 2-jobs-per-frame assembly
+    val (transitionCounts, stateCounts) = precomputedCounts.getOrElse(
+      countsFromFrames(framesPerTherm, tau, nMarkov))
     val all = framesPerTherm.map(_.select(col("state"), col("bias")))
       .reduce(_ unionAll _)
     // typed-encoder extraction (r14): `df.rdd` + Row getters deserialize
@@ -167,31 +171,60 @@ object Tram {
       Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
     samples.foreach { case (i, b) => if (i >= 0 && i < n) samplesByState(i) += b }
 
+    // Both updates are parallelized OVER STATES (Par.mapOrdered): each
+    // state i reads its own sample bucket in insertion order and writes
+    // only the (·, i) cells, so the per-cell accumulation sequence — and
+    // therefore every float bit — is identical to the sequential loop.
+    // The sweeps dominate q60/q252/q263's driver time (a 100-sweep fit
+    // over 200k samples is ~20M logsumexp chains on one core otherwise).
     def confEnergyUpdate(r: DenseMatrix[Double]): DenseMatrix[Double] = {
       val newConf = DenseMatrix.fill(kT, n)(inf)
-      val scratch = new Array[Double](kT)
-      for (i <- 0 until n; b <- samplesByState(i)) {
-        var o = 0
-        for (k <- 0 until kT) {
-          if (r(k, i) > -inf) { scratch(o) = r(k, i) - b(k); o += 1 }
+      // per-state accumulation into THREAD-LOCAL cells (acc), written to
+      // the shared matrix once per state: the 2 x 5 result is a single
+      // cache line, and per-sample writes to it from 5 threads would
+      // false-share (measured: the shared-write variant ran SLOWER than
+      // the sequential loop it replaced)
+      graft.util.Par.mapOrdered(0 until n) { i =>
+        val scratch = new Array[Double](kT)
+        val rCol = Array.tabulate(kT)(k => r(k, i))
+        val acc = Array.fill(kT)(inf)
+        for (b <- samplesByState(i)) {
+          var o = 0
+          var k = 0
+          while (k < kT) {
+            if (rCol(k) > -inf) { scratch(o) = rCol(k) - b(k); o += 1 }
+            k += 1
+          }
+          val divisor = logsumexp(scratch, o)
+          k = 0
+          while (k < kT) {
+            acc(k) = -logsumexpPair(-acc(k), -(divisor + b(k)))
+            k += 1
+          }
         }
-        val divisor = logsumexp(scratch, o)
-        for (k <- 0 until kT)
-          newConf(k, i) = -logsumexpPair(-newConf(k, i), -(divisor + b(k)))
+        var k = 0
+        while (k < kT) { newConf(k, i) = acc(k); k += 1 }
       }
       newConf
     }
 
     def markovEnergyUpdate(r: DenseMatrix[Double]): DenseVector[Double] = {
       val energies = DenseVector.fill(n)(inf)
-      val scratch = new Array[Double](kT)
-      for (i <- 0 until n; b <- samplesByState(i)) {
-        var o = 0
-        for (k <- 0 until kT) {
-          if (r(k, i) > -inf) { scratch(o) = r(k, i) - b(k); o += 1 }
+      graft.util.Par.mapOrdered(0 until n) { i =>
+        val scratch = new Array[Double](kT)
+        val rCol = Array.tabulate(kT)(k => r(k, i))
+        var acc = inf
+        for (b <- samplesByState(i)) {
+          var o = 0
+          var k = 0
+          while (k < kT) {
+            if (rCol(k) > -inf) { scratch(o) = rCol(k) - b(k); o += 1 }
+            k += 1
+          }
+          val divisor = logsumexp(scratch, o)
+          acc = -logsumexpPair(-acc, -divisor)
         }
-        val divisor = logsumexp(scratch, o)
-        energies(i) = -logsumexpPair(-energies(i), -divisor)
+        energies(i) = acc
       }
       energies
     }

@@ -171,7 +171,14 @@ object BayesianHmm {
         ffbsCounts(t._2, aF, bF, piF, m, nObs, trng)
       }
       val stats = localArr match {
-        case Some(arr) => arr.iterator.map(body).reduce((x, y) => x.merge(y))
+        // parallel per-trajectory FFBS, SEQUENTIAL id-ordered merge —
+        // bit-identical to the old iterator fold (per-trajectory RNG is
+        // keyed by traj id, merge order unchanged); only the expensive
+        // FFBS passes spread across the app's cores
+        case Some(arr) =>
+          graft.util.Par.mapOrdered(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))(body)
+            .reduce((x, y) => x.merge(y))
         case None =>
           // tag the per-sweep reduce job (UI legibility + the bayes100
           // scheduler-level transport audit keys on this description);
@@ -367,7 +374,12 @@ object BayesianHmm {
         ffbsGaussCounts(t._2, aF, meansF, sigmasF, piF, m, trng)
       }
       val stats = localArr match {
-        case Some(arr) => arr.iterator.map(body).reduce((x, y) => x.merge(y))
+        // parallel per-trajectory FFBS, SEQUENTIAL id-ordered merge —
+        // bit-identical to the old iterator fold (see `sample`)
+        case Some(arr) =>
+          graft.util.Par.mapOrdered(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))(body)
+            .reduce((x, y) => x.merge(y))
         case None =>
           graft.util.JobTag.withDescription(spark.sparkContext,
               s"BayesianHmm Gaussian FFBS sweep $sweep") {

@@ -402,8 +402,12 @@ object Hmm {
       val a = graft.linalg.LinAlg.toFlat(model.transition)
       val b = graft.linalg.LinAlg.toFlat(model.emission)
       val pi = model.initial.toArray
-      val stats = obsTrajs.view
-        .map(obs => forwardBackward(obs, a, b, pi, m, nObs))
+      // parallel per-trajectory E-step, SEQUENTIAL in-order merge: the
+      // merge sequence (and so every float bit of the stats) is identical
+      // to the old .view fold — Par.mapOrdered only spreads the expensive
+      // forward-backward passes across the app's cores
+      val stats = graft.util.Par.mapOrdered(obsTrajs.toIndexedSeq)(
+          obs => forwardBackward(obs, a, b, pi, m, nObs))
         .reduce((x, y) => x.merge(y))
       converged = math.abs(stats.loglik - lastLl) < tol * math.abs(stats.loglik)
       lastLl = stats.loglik

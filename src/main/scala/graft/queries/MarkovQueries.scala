@@ -596,12 +596,15 @@ private[graft] object MarkovQueries extends QueryFamily {
       val d1 = Lag.strided(d, 2)
         .withColumn("bias", array(lit(0.0), element_at(typedLit(biasVec), col("state") + 1)))
       val frames = Seq(d0, d1)
-      val local = graft.markov.Tram.fit(
-        graft.markov.Tram.inputFromFrames(frames, tau = 1, nMarkov = 5,
-          maxSamples = Int.MaxValue),
-        maxIter = 30, maxErr = 0.0)
+      val input = graft.markov.Tram.inputFromFrames(frames, tau = 1, nMarkov = 5,
+        maxSamples = Int.MaxValue)
+      val local = graft.markov.Tram.fit(input, maxIter = 30, maxErr = 0.0)
+      // counts are shared: both backends consume the SAME count assembly
+      // (it is the sample sums being parity-tested, not the counting),
+      // saving the duplicate 2-jobs-per-frame count pass
       val dist = graft.markov.Tram.fitDistributed(frames, tau = 1, nMarkov = 5,
-        maxIter = 30, maxErr = 0.0)
+        maxIter = 30, maxErr = 0.0,
+        precomputedCounts = Some((input.transitionCounts, input.stateCounts)))
       import s.implicits._
       val pi = dist.stationaryDistribution
       val piSum = (0 until 5).map(pi(_)).sum

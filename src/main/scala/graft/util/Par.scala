@@ -1,0 +1,76 @@
+package graft.util
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
+
+/** Deterministic driver-side parallelism for the size-dispatched LOCAL
+  * transports (guide §1.2 "per-task work": the local legs of the
+  * FFBS/Baum-Welch/TRAM sweeps are single-threaded driver loops while 31
+  * of the box's cores idle).
+  *
+  * The only primitive is an ORDER-PRESERVING parallel map
+  * (out(i) = f(xs(i))): a caller parallelizes the expensive per-element
+  * work and keeps its reduction exactly as before — sequential, in
+  * element order — so results are bit-identical to the sequential loop
+  * whatever the thread timing. That is the property the transport-parity
+  * gates (q263, q265–q268) and the pinned oracle hashes rely on; a
+  * `.par`-style unordered reduce would reassociate float sums.
+  *
+  * Width: the Spark app's allotted core count (local[N] => N), read once
+  * at first use from the active session — the driver-local compute must
+  * scale with the same knob that sizes the executors (the driver re-runs
+  * the bench at a lower SPARK_GRAFT_CPUS to measure scaling; a hard
+  * Runtime.availableProcessors width would hide the local legs from that
+  * measurement). */
+object Par {
+
+  lazy val width: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.defaultParallelism)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+
+  // shared daemon pool: per-iteration callers (a 100-sweep TRAM fixed
+  // point calls mapOrdered every sweep) must not pay thread creation per
+  // call. Callers never nest mapOrdered, so a fixed pool cannot deadlock.
+  private lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      width,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-par-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** Order-preserving parallel map. Work is claimed element-at-a-time
+    * from an atomic cursor — elements at the call sites are chunky (a
+    * whole trajectory's FFBS pass, a whole Markov state's sample sweep),
+    * so skewed element costs self-balance. The first exception aborts
+    * remaining work and is rethrown on the caller. */
+  def mapOrdered[A, B](xs: scala.collection.IndexedSeq[A])(f: A => B): IndexedSeq[B] = {
+    val n = xs.length
+    if (n == 0) return Vector.empty
+    val w = math.min(width, n)
+    if (w <= 1) return xs.iterator.map(f).toIndexedSeq
+    val out = new Array[AnyRef](n)
+    val cursor = new AtomicInteger(0)
+    val err = new AtomicReference[Throwable](null)
+    val tasks = (0 until w).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var i = cursor.getAndIncrement()
+          while (i < n && err.get() == null) {
+            try out(i) = f(xs(i)).asInstanceOf[AnyRef]
+            catch { case t: Throwable => err.compareAndSet(null, t) }
+            i = cursor.getAndIncrement()
+          }
+        }
+      })
+    }
+    tasks.foreach(_.get()) // join: happens-before edge for the out() writes
+    if (err.get() != null) throw err.get()
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      .asInstanceOf[IndexedSeq[B]]
+  }
+}
