@@ -252,10 +252,17 @@ private[graft] object TextQueries extends QueryFamily {
     "q118_naive_bayes" -> ((s, dir) => {
       val d = docs(s, dir)
       val langs = d.select("lang").distinct().collect().map(_.getString(0)).sorted
-      val words = d.select(col("doc_id"), col("lang"),
-          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .where(col("w") =!= "")
-      val cw = words.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      // per-doc token counts from the memoized postings table
+      // (QShared.tfPostings) + a broadcast doc->lang map: the previous
+      // shape scanned + exploded the corpus TWICE (once for the count
+      // table, once for the per-doc scoring join). Per-token sums become
+      // cnt-weighted sums over distinct (doc, word) rows — integer counts
+      // are identical; the float log-sums reassociate at ~1e-9 absolute,
+      // five orders below the 6dp rounding.
+      val dl = d.select(col("doc_id"), col("lang"))
+      val words = tfPostings(s, dir).withColumnRenamed("term", "w")
+        .join(broadcast(dl), "doc_id")
+      val cw = words.groupBy("lang", "w").agg(sum(col("cnt")).as("c"))
         .localCheckpoint()
       val tot = cw.groupBy("lang").agg(sum(col("c")).as("t")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -264,12 +271,12 @@ private[graft] object TextQueries extends QueryFamily {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       val ndAll = nd.values.sum
       val piv = cw.groupBy("w").pivot("lang", langs).agg(first(col("c")))
-      val sums = langs.map(l => sum(
+      val sums = langs.map(l => sum(col("cnt").cast("double") *
         log((coalesce(col(l), lit(0L)) + 1).cast("double") /
           lit((tot(l) + vocab).toDouble))).as("s_" + l))
       val agged = words.join(broadcast(piv), "w")
         .groupBy(col("doc_id"), col("lang"))
-        .agg(sums.head, (sums.tail :+ count(lit(1)).as("nw")): _*)
+        .agg(sums.head, (sums.tail :+ sum(col("cnt")).as("nw")): _*)
       val priors = typedLit(langs.map(l =>
         l -> math.log(nd(l).toDouble / ndAll.toDouble)).toMap)
       val stacked = agged.select(col("doc_id"), col("lang"), col("nw"),
@@ -880,17 +887,19 @@ private[graft] object TextQueries extends QueryFamily {
     // is a broadcast-one-query scan (the corpus rung composes q192's IVF
     // candidates). -------------------------------------------------------
     "q221_rrf_fusion" -> ((s, dir) => {
-      // lexical leg: q220's BM25 chain, top-50
-      val toks = docs(s, dir).select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-        .where(col("tok") =!= "")
-      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      // lexical leg: q220's BM25 chain, top-50 — derived entirely from the
+      // memoized postings table (QShared.tfPostings): doc length is
+      // sum(cnt), document frequency is the postings row count per term,
+      // and tf IS cnt. The previous shape re-scanned + exploded the corpus
+      // three times (toks -> lens, dfTab, bm25) for frames the postings
+      // materialization already holds; all counts are integer-identical.
+      val tf0 = tfPostings(s, dir).withColumnRenamed("term", "tok")
+      val lens = tf0.groupBy("doc_id").agg(sum(col("cnt")).as("len"))
       val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("len")).as("avglen"))
-      val dfTab = toks.select(col("doc_id"), col("tok")).distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val dfTab = tf0.groupBy("tok").agg(count(lit(1)).as("df"))
       val qterms = dfTab.orderBy(col("df").desc, col("tok")).limit(3)
-      val bm25 = toks.join(broadcast(qterms), Seq("tok"))
-        .groupBy(col("doc_id"), col("tok"), col("df")).agg(count(lit(1)).as("tf"))
+      val bm25 = tf0.join(broadcast(qterms), Seq("tok"))
+        .select(col("doc_id"), col("tok"), col("df"), col("cnt").as("tf"))
         .join(broadcast(lens), Seq("doc_id")).crossJoin(broadcast(stats))
         .withColumn("term_score",
           log((col("n_docs").cast("double") - col("df") + 0.5) /
