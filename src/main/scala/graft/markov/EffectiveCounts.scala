@@ -73,22 +73,51 @@ object EffectiveCounts {
   def inefficienciesAndCounts(dtraj: DataFrame, tau: Int, nStates: Int,
                               maxLag: Int = 100, truncateAcf: Boolean = true,
                               mact: Double = 1.0): (DenseMatrix[Double], DenseMatrix[Double]) = {
-    val cond = conditionalFrame(dtraj, tau).cache()
+    val lags = 1 to math.max(1, maxLag)
+    // conditional frame WITH the multi-lag leads in one pass: within a
+    // (s0, traj) partition the conditional index u is a row_number over
+    // TimeCol, so lead-by-u == lead-by-t and the u column itself is
+    // never needed here — all |lags| leads collapse into ONE Window node
+    // over (s0, traj) x TimeCol. The previous conditionalFrame +
+    // acfPairCounts pair paid a second full sort (row_number window)
+    // and a third (lead window over u) for the same order.
+    val wu = Window.partitionBy(col("s0"), col(TrajCol)).orderBy(TimeCol)
+    val cond = lags.foldLeft(
+      dtraj
+        .withColumn("y", lead(col("state"), tau).over(w))
+        .where(col("y").isNotNull && col("state") >= 0 && col("y") >= 0)
+        .select(col("state").as("s0"), col(TrajCol), col(TimeCol), col("y"))) {
+        (df, l) => df.withColumn(s"y_$l", lead(col("y"), l).over(wu))
+      }.cache()
     try {
-      // per-(i,j) totals and per-i sequence stats
-      val cRows = cond.groupBy("s0", "y").agg(count(lit(1)).as("cnt")).collect()
+      // per-(i,j) totals AND per-(i, traj) sequence lengths from ONE
+      // grouped job (both are exact integer counts, so deriving them
+      // driver-side from the (s0, traj, y) histogram is bit-identical
+      // to the two separate aggregations it replaces)
+      val histRows = cond.groupBy("s0", TrajCol, "y")
+        .agg(count(lit(1)).as("cnt")).collect()
       val c = DenseMatrix.zeros[Double](nStates, nStates)
-      cRows.foreach(r => c(r.getInt(0), r.getInt(1)) = r.getLong(2).toDouble)
+      val lenByTraj = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+      histRows.foreach { r =>
+        val i = r.getInt(0); val tid = r.getLong(1)
+        c(i, r.getInt(2)) += r.getLong(3).toDouble
+        lenByTraj((i, tid)) = lenByTraj.getOrElse((i, tid), 0L) + r.getLong(3)
+      }
       val cRow = Array.tabulate(nStates)(i => breeze.linalg.sum(c(i, ::).t))
 
       // N_i = max conditional-sequence length over trajectories
-      val nMaxRows = cond.groupBy("s0", TrajCol).agg(count(lit(1)).as("len"))
-        .groupBy("s0").agg(max("len").as("nmax")).collect()
       val nMax = new Array[Long](nStates)
-      nMaxRows.foreach(r => nMax(r.getInt(0)) = r.getLong(1))
+      lenByTraj.foreach { case ((i, _), len) =>
+        if (len > nMax(i)) nMax(i) = len }
 
-      val lags = 1 to math.max(1, maxLag)
-      val pairRows = acfPairCounts(cond, lags).collect()
+      val stacked = array(lags.map(l =>
+        struct(lit(l).as("lag"), col(s"y_$l").as("y1"))): _*)
+      val pairRows = cond
+        .select(col("s0"), col("y").as("y0"), explode(stacked).as("p"))
+        .select(col("s0"), col("p.lag").as("lag"), col("y0"), col("p.y1").as("y1"))
+        .where(col("y1").isNotNull)
+        .groupBy("s0", "lag", "y0", "y1")
+        .agg(count(lit(1)).as("cnt")).collect()
       // (i, lag) -> [(y0, y1, cnt)]
       val grouped = pairRows.groupBy(r => (r.getInt(0), r.getInt(1)))
 
