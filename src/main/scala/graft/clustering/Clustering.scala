@@ -260,6 +260,30 @@ object LloydKMeans {
     * centers can differ only in float summation order). */
   val LocalLloydThreshold: Long = 8000000L
 
+  /** Deterministic parallel statistics over a LOCAL-transport array:
+    * fixed-size ordered chunks processed in parallel (Par.mapOrdered),
+    * merged SEQUENTIALLY in chunk order. Chunking is constant-sized and
+    * the merge order fixed, so the result is deterministic for ANY core
+    * count (the bench re-runs at lower SPARK_GRAFT_CPUS); it differs
+    * from the single sequential pass only by float re-association at
+    * chunk boundaries (~1e-15 relative), which every consumer gate
+    * absorbs — the q266/q267 transport-parity clamps sit at 1e-7 and
+    * the distributed transport's own partition-merge order was never
+    * pinned. Arrays at or under one chunk take the sequential path
+    * unchanged (bit-identical at the small correctness SFs). */
+  private[clustering] val LocalChunkRows = 32768
+  private[clustering] def chunkedLocal[S](arr: Array[Array[Double]],
+      perChunk: Iterator[Array[Double]] => S)(merge: (S, S) => S): S = {
+    if (arr.length <= LocalChunkRows) perChunk(arr.iterator)
+    else {
+      val ranges = (0 until arr.length by LocalChunkRows)
+        .map(s => (s, math.min(s + LocalChunkRows, arr.length)))
+      graft.util.Par.mapOrdered(ranges) { case (s, e) =>
+        perChunk((s until e).iterator.map(arr(_)))
+      }.reduce(merge)
+    }
+  }
+
   /** One Lloyd iteration's statistics over `it`: per-center (sums,
     * counts) under `m`-metric assignment. The SAME body runs
     * per-partition in the distributed transport and over the collected
@@ -288,7 +312,8 @@ object LloydKMeans {
   def fit(traj: DataFrame, k: Int, metric: Metric = EuclideanMetric,
           maxIter: Int = 50, tol: Double = 1e-6, seed: Long = 42L,
           featCol: String = FeatCol,
-          localThreshold: Long = LocalLloydThreshold): ClusterModel = {
+          localThreshold: Long = LocalLloydThreshold,
+          init: Option[Array[Array[Double]]] = None): ClusterModel = {
     require(k > 0, "k must be positive")
     val spark = traj.sparkSession
     import spark.implicits._
@@ -312,14 +337,25 @@ object LloydKMeans {
       if (n * dim <= localThreshold) Some(data.collect().map(_.toArray))
       else None
     // seeding is shared by both transports (count + sample + collect on
-    // the cached frame; D²-weighting is driver-side already)
-    var centers = KMeansPlusPlus.seed(data.toDF(featCol), k, seed, featCol = featCol)
+    // the cached frame; D²-weighting is driver-side already); callers
+    // that run fit twice with identical seeding (the q267 parity gate)
+    // pass the seed once via `init`
+    var centers = init.getOrElse(
+      KMeansPlusPlus.seed(data.toDF(featCol), k, seed, featCol = featCol))
     val m = metric
     var iter = 0
     var moved = Double.MaxValue
     while (iter < maxIter && moved > tol) {
       val (sums, counts) = localArr match {
-        case Some(arr) => iterStats(arr.iterator, centers, m)
+        case Some(arr) =>
+          // chunk-parallel local transport; merge matches the
+          // distributed reduce below
+          chunkedLocal(arr, (it: Iterator[Array[Double]]) =>
+            iterStats(it, centers, m)) { (a, b) =>
+            (a._1.zip(b._1).map { case (ra, rb) =>
+              Array.tabulate(ra.length)(i => ra(i) + rb(i)) },
+              a._2.zip(b._2).map(t => t._1 + t._2))
+          }
         case None =>
           val bc = spark.sparkContext.broadcast(centers)
           // tagged per-iteration job (UI legibility + the cluster100

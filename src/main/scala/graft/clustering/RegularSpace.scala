@@ -200,7 +200,8 @@ object MiniBatchKMeans {
   def fit(traj: DataFrame, k: Int, batchFraction: Double = 0.1, maxEpochs: Int = 5,
           batchesPerEpoch: Int = 10, tolerance: Double = 1e-5, seed: Long = 42L,
           featCol: String = FeatCol,
-          localThreshold: Long = LocalBatchThreshold): ClusterModel = {
+          localThreshold: Long = LocalBatchThreshold,
+          init: Option[Array[Array[Double]]] = None): ClusterModel = {
     val spark = traj.sparkSession
     import spark.implicits._
     // cache the projected frame ONCE: every mini-batch reads it, and
@@ -219,11 +220,13 @@ object MiniBatchKMeans {
         Some(data.as[Seq[Double]].collect().map(_.toArray))
       else None
     // init: k-means|| on one batch (reference init_strategy kmeans++) —
-    // shared by both transports (a handful of jobs on the sampled frame)
-    var centers = KMeans.fit(
+    // shared by both transports (a handful of jobs on the sampled frame);
+    // callers that run fit twice with identical seeding (the q266 parity
+    // gate) pass the seed once via `init`
+    var centers = init.getOrElse(KMeans.fit(
       data.sample(withReplacement = false, math.min(1.0, batchFraction), seed)
         .select(col("x").as(featCol)), k, maxIter = 5, seed = seed,
-      featCol = featCol).centers
+      featCol = featCol).centers)
     var lastCost = Double.MaxValue
     var converged = false
     var batch = 0
@@ -233,7 +236,15 @@ object MiniBatchKMeans {
       val bIdx = batch
       val (sums, counts, cost) = localArr match {
         case Some(arr) =>
-          batchStats(arr.iterator, centers, seed, bIdx, frac)
+          // chunk-parallel local transport (LloydKMeans.chunkedLocal);
+          // merge matches the distributed reduce below
+          LloydKMeans.chunkedLocal(arr, (it: Iterator[Array[Double]]) =>
+            batchStats(it, centers, seed, bIdx, frac)) { (a, b) =>
+            (a._1.zip(b._1).map { case (ra, rb) =>
+              Array.tabulate(ra.length)(i => ra(i) + rb(i)) },
+              a._2.zip(b._2).map(t => t._1 + t._2),
+              a._3 + b._3)
+          }
         case None =>
           val bc = spark.sparkContext.broadcast(centers)
           // tagged per-batch job (UI legibility + scheduler-level audits);
