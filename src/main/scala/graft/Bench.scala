@@ -73,6 +73,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // guide §2.2: size reduce partitions by bytes, not core count — AQE
+      // coalesces every post-shuffle stage toward the advisory size
+      // instead of defaultParallelism. At 100 TB this yields the
+      // 64 MB-1 GB partitions the guide prescribes; at bench SFs it
+      // collapses tiny shuffles to one task, cutting per-stage scheduling
+      // overhead. Parameterised (env) with the production-shaped default;
+      // SPARK_GRAFT_PARALLELISM_FIRST=true restores the old behavior.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated query-name filter for targeted timing

@@ -35,6 +35,12 @@ object Verify {
       // it must be set BEFORE context creation
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // guide §2.2: size reduce partitions by bytes, not core count (the
+      // Bench session's setting, mirrored so Verify executes the same
+      // plans the bench times); SPARK_GRAFT_PARALLELISM_FIRST=true
+      // restores the old behavior
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (reliable) {
