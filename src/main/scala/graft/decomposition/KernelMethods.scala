@@ -40,9 +40,12 @@ object Edmd {
     * — callers auditing the normal equations (q49) check against it
     * directly instead of paying a second full lift+aggregate scan. */
   def fitWithCov(traj: DataFrame, basis: Observable, tau: Int, inputDim: Int,
-                 operator: String = "koopman"): (EdmdModel, graft.agg.CovarianceModel) = {
+                 operator: String = "koopman",
+                 pairsOpt: Option[DataFrame] = None): (EdmdModel, graft.agg.CovarianceModel) = {
     val p = basis.outputDim(inputDim)
-    val pairs = Lag.pairs(traj, tau)
+    // pairsOpt: a caller-supplied lag-pair frame at the same tau (the
+    // session-memoized liPairs) — skips re-deriving the window sort
+    val pairs = pairsOpt.getOrElse(Lag.pairs(traj, tau))
       .select(basis(col("x").cast("array<double>"), inputDim).as("x"),
         basis(col("y").cast("array<double>"), inputDim).as("y"))
     val cov = Covariance.fit(pairs, bessel = false)
@@ -71,9 +74,15 @@ object Edmd {
   * at 100 TB they run on a bounded landmark subset (Nystrom regime) — the
   * subset draw itself is a distributed seeded hash, never a full collect. */
 object KernelData {
+  /** `pairsOpt`: a caller-supplied lag-pair frame (columns traj_id, t, x,
+    * y at the SAME tau) — the query registry's session-memoized liPairs
+    * materialization; without it every kernel fit re-derived the window
+    * (two full sorts per fit: the sizing count and the landmark collect). */
   def collectPairs(traj: DataFrame, tau: Int, maxRows: Int, seed: Long = 42L,
-                   featCol: String = FeatCol): (Array[Array[Double]], Array[Array[Double]]) = {
-    val pairs = Lag.pairs(traj.withColumnRenamed(featCol, FeatCol), tau)
+                   featCol: String = FeatCol,
+                   pairsOpt: Option[DataFrame] = None): (Array[Array[Double]], Array[Array[Double]]) = {
+    val pairs = pairsOpt.getOrElse(
+      Lag.pairs(traj.withColumnRenamed(featCol, FeatCol), tau))
     val n = pairs.count()
     val frac = math.min(1.0, maxRows.toDouble / math.max(1L, n))
     val sampled = (if (frac < 1.0)
@@ -102,8 +111,10 @@ object KernelEdmd {
   }
 
   def fit(traj: DataFrame, kernel: Kernel, tau: Int, epsilon: Double = 0.0,
-          maxLandmarks: Int = 500, seed: Long = 42L): KernelEdmdModel = {
-    val (xs, ys) = KernelData.collectPairs(traj, tau, maxLandmarks, seed)
+          maxLandmarks: Int = 500, seed: Long = 42L,
+          pairsOpt: Option[DataFrame] = None): KernelEdmdModel = {
+    val (xs, ys) = KernelData.collectPairs(traj, tau, maxLandmarks, seed,
+      pairsOpt = pairsOpt)
     val n = xs.length
     val g0 = DenseMatrix.tabulate(n, n)((i, j) => kernel.applyArrays(xs(i), xs(j)))
     val g1 = DenseMatrix.tabulate(n, n)((i, j) => kernel.applyArrays(xs(i), ys(j)))
@@ -132,8 +143,10 @@ object KernelCca {
   }
 
   def fit(traj: DataFrame, kernel: Kernel, tau: Int, nEigs: Int,
-          epsilon: Double = 1e-6, maxLandmarks: Int = 500, seed: Long = 42L): KernelCcaModel = {
-    val (xs, ys) = KernelData.collectPairs(traj, tau, maxLandmarks, seed)
+          epsilon: Double = 1e-6, maxLandmarks: Int = 500, seed: Long = 42L,
+          pairsOpt: Option[DataFrame] = None): KernelCcaModel = {
+    val (xs, ys) = KernelData.collectPairs(traj, tau, maxLandmarks, seed,
+      pairsOpt = pairsOpt)
     val n = xs.length
     val g0raw = DenseMatrix.tabulate(n, n)((i, j) => kernel.applyArrays(xs(i), xs(j)))
     val g1raw = DenseMatrix.tabulate(n, n)((i, j) => kernel.applyArrays(ys(i), ys(j)))
@@ -173,10 +186,12 @@ object Kvad {
 
   def fit(traj: DataFrame, kernel: Kernel, tau: Int, chi: Observable,
           inputDim: Int, dim: Int = -1, epsilon: Double = 1e-6,
-          maxLandmarks: Int = 500, seed: Long = 42L): KvadModel = {
+          maxLandmarks: Int = 500, seed: Long = 42L,
+          pairsOpt: Option[DataFrame] = None): KvadModel = {
     val chiDim = chi.outputDim(inputDim)
     // landmark sample for chi_x, chi_y, and y (gram side)
-    val (xs, ys) = KernelData.collectPairs(traj, tau, maxLandmarks, seed)
+    val (xs, ys) = KernelData.collectPairs(traj, tau, maxLandmarks, seed,
+      pairsOpt = pairsOpt)
     val n = xs.length
     def lift(rows: Array[Array[Double]]): DenseMatrix[Double] = {
       // driver-side evaluation of the observable on the landmark set: reuse

@@ -127,7 +127,8 @@ private[graft] object DecompositionQueries extends QueryFamily {
       // pinv solve against the covariance the fit actually consumed (the
       // r04 shape re-scanned the data to rebuild the same moments — same
       // code path, so no extra independence, 2x the data cost)
-      val (m, cov) = graft.decomposition.Edmd.fitWithCov(traj, basis, tau = 1, inputDim = 4)
+      val (m, cov) = graft.decomposition.Edmd.fitWithCov(traj, basis, tau = 1,
+        inputDim = 4, pairsOpt = Some(liPairs(s, dir)))
       val p = m.p
       def raw(c: Array[Double], ma: Array[Double], mb: Array[Double]) =
         DenseMatrix.tabulate(p, p)((i, j) => c(i * p + j) + ma(i) * mb(j))
@@ -378,7 +379,7 @@ private[graft] object DecompositionQueries extends QueryFamily {
     "q146_kernel_cca" -> ((s, dir) => {
       val m = graft.decomposition.KernelCca.fit(liTraj(s, dir),
         graft.kernels.GaussianKernel(1.0), tau = 1, nEigs = 5,
-        maxLandmarks = 200, seed = 42L)
+        maxLandmarks = 200, seed = 42L, pairsOpt = Some(liPairs(s, dir)))
       val ev = m.eigenvalues
       val inUnit = ev.map(v => math.max(0.0, math.max(-v, v - 1.0 - 1e-3))).max
       val sorted = if (ev.zip(ev.tail).forall { case (a, b) =>
@@ -401,7 +402,8 @@ private[graft] object DecompositionQueries extends QueryFamily {
       val basis = graft.basis.Monomials(1)
       val m = graft.decomposition.Kvad.fit(liTraj(s, dir),
         graft.kernels.GaussianKernel(1.0), tau = 1, chi = basis,
-        inputDim = 4, maxLandmarks = 200, seed = 42L)
+        inputDim = 4, maxLandmarks = 200, seed = 42L,
+        pairsOpt = Some(liPairs(s, dir)))
       val sv = m.singularValues
       val nonneg = sv.map(v => math.max(0.0, -v)).max
       val sorted = if (sv.zip(sv.tail).forall { case (a, b) => a >= b - 1e-12 })
