@@ -124,28 +124,39 @@ object BayesianHmm {
   /** Gibbs sampler seeded from a maximum-likelihood model (the reference
     * initializes from an :class:`MaximumLikelihoodHMM` fit). `stride`
     * sweeps separate retained samples to decorrelate the chain. */
+  /** The discrete per-trajectory grouping `sample` consumes — exposed so
+    * a caller running BOTH transports over the same input (the q265
+    * parity gate) can build + cache it once and pass it via
+    * `groupedOpt` instead of paying the groupByKey per run. */
+  def groupDiscrete(dtraj: DataFrame): Dataset[(Long, Array[Int])] = {
+    val spark = dtraj.sparkSession
+    import spark.implicits._
+    dtraj.select("traj_id", "t", "state").as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) => (id, it.toArray.sortBy(_._2).map(_._3)) }
+  }
+
   def sample(dtraj: DataFrame, mlModel: Hmm.HmmModel, nObs: Int, nSamples: Int = 50,
              stride: Int = 2, reversible: Boolean = true, seed: Long = 42L,
              priorPseudocount: Double = 1e-2,
-             localThreshold: Long = LocalSweepThreshold): BayesianHmmPosterior = {
+             localThreshold: Long = LocalSweepThreshold,
+             groupedOpt: Option[Dataset[(Long, Array[Int])]] = None): BayesianHmmPosterior = {
     val spark = dtraj.sparkSession
     import spark.implicits._
     val m = mlModel.transition.rows
-    val grouped: Dataset[(Long, Array[Int])] =
-      dtraj.select("traj_id", "t", "state").as[(Long, Long, Int)]
-        .groupByKey(_._1)
-        .mapGroups { (id, it) => (id, it.toArray.sortBy(_._2).map(_._3)) }
     // ONE evaluation of the input lineage: the cache fills while the
     // observation count (== dtraj row count) reduces from it; the local
     // branch then collects FROM the cache and releases it (r13 review:
     // the dtraj.count()-then-cache shape scanned the input twice in the
-    // at-scale branch)
-    val trajs = grouped.cache()
+    // at-scale branch). A caller-supplied grouping (groupedOpt) is
+    // caller-cached and caller-owned — never unpersisted here.
+    val ownGrouping = groupedOpt.isEmpty
+    val trajs = groupedOpt.getOrElse(groupDiscrete(dtraj).cache())
     val nTotal = trajs.map(_._2.length.toLong).reduce(_ + _)
     val localArr: Option[Array[(Long, Array[Int])]] =
       if (nTotal <= localThreshold) {
         val arr = trajs.collect().sortBy(_._1)
-        trajs.unpersist()
+        if (ownGrouping) trajs.unpersist()
         Some(arr)
       } else None
 
@@ -207,7 +218,7 @@ object BayesianHmm {
       if (sweep % stride == 0)
         out += Hmm.HmmModel(a.copy, b.copy, piV.copy, Double.NaN, sweep)
     }
-    if (localArr.isEmpty) trajs.unpersist()
+    if (localArr.isEmpty && ownGrouping) trajs.unpersist()
     BayesianHmmPosterior(mlModel, out.toSeq)
   }
 
@@ -328,31 +339,39 @@ object BayesianHmm {
     * μ_k ~ N(mean_k, σ_k/√n_k), then σ_k = √(mean((x−μ_k)²)) /
     * √(χ²(n_k−1)/n_k) under the Jeffreys prior P(μ,σ²) ∝ 1/σ —
     * (3) transition + initial posterior draws as in the discrete case. */
+  /** Gaussian twin of [[groupDiscrete]] (the q265 shared-grouping hook). */
+  def groupGaussian(traj: DataFrame,
+                    valueCol: String = "value"): Dataset[(Long, Array[Double])] = {
+    val spark = traj.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    traj.select(col("traj_id").cast("long"), col("t").cast("long"),
+        col(valueCol).cast("double")).as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) => (id, it.toArray.sortBy(_._2).map(_._3)) }
+  }
+
   def sampleGaussian(traj: DataFrame, mlModel: GaussianHmm.GaussianHmmModel,
                      nSamples: Int = 50, stride: Int = 2, reversible: Boolean = true,
                      seed: Long = 42L, valueCol: String = "value",
                      priorPseudocount: Double = 1e-2,
-                     localThreshold: Long = LocalSweepThreshold): BayesianGaussianHmmPosterior = {
+                     localThreshold: Long = LocalSweepThreshold,
+                     groupedOpt: Option[Dataset[(Long, Array[Double])]] = None): BayesianGaussianHmmPosterior = {
     val spark = traj.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.functions.col
     val m = mlModel.transition.rows
-    val grouped: Dataset[(Long, Array[Double])] =
-      traj.select(col("traj_id").cast("long"), col("t").cast("long"),
-          col(valueCol).cast("double")).as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .mapGroups { (id, it) => (id, it.toArray.sortBy(_._2).map(_._3)) }
     // same crossover as `sample`: per-trajectory statistics are computed
     // by identical seeded code either way; the id-sorted local merge and
     // the distributed reduce differ only in float sum ORDER of (Σx, Σx²)
     // partials — and the distributed order is itself nondeterministic, so
     // callers already cannot rely on it
-    val trajs = grouped.cache()
+    val ownGrouping = groupedOpt.isEmpty
+    val trajs = groupedOpt.getOrElse(groupGaussian(traj, valueCol).cache())
     val nTotal = trajs.map(_._2.length.toLong).reduce(_ + _)
     val localArr: Option[Array[(Long, Array[Double])]] =
       if (nTotal <= localThreshold) {
         val arr = trajs.collect().sortBy(_._1)
-        trajs.unpersist()
+        if (ownGrouping) trajs.unpersist()
         Some(arr)
       } else None
 
@@ -416,7 +435,7 @@ object BayesianHmm {
         out += GaussianHmm.GaussianHmmModel(a.copy, means.clone(), sigmas.clone(),
           piV.copy, Double.NaN, sweep)
     }
-    if (localArr.isEmpty) trajs.unpersist()
+    if (localArr.isEmpty && ownGrouping) trajs.unpersist()
     BayesianGaussianHmmPosterior(mlModel, out.toSeq)
   }
 

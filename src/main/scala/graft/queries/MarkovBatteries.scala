@@ -756,10 +756,15 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
       // discrete transport: the event dtraj, both thresholds
       val d = dtrajEv(s, dir).where(col("state") >= 0)
       val mlD = Hmm.fit(d, nHidden = 2, nObs = 5, maxIter = 5)
+      // ONE cached grouping shared by both transport runs (each used to
+      // pay its own groupByKey over the identical input)
+      val gD = BayesianHmm.groupDiscrete(d).cache()
       def runD(th: Long) = BayesianHmm.sample(d, mlD, nObs = 5, nSamples = 4,
-        stride = 1, seed = 29L, localThreshold = th).samples
+        stride = 1, seed = 29L, localThreshold = th,
+        groupedOpt = Some(gD)).samples
       val dDist = runD(0L)
       val dLoc = runD(Long.MaxValue)
+      gD.unpersist(blocking = false)
       val dParity = maxAbs(dDist.zip(dLoc).flatMap { case (x, y) =>
         (x.transition.toArray ++ x.emission.toArray ++ x.initial.toArray)
           .zip(y.transition.toArray ++ y.emission.toArray ++ y.initial.toArray)
@@ -769,10 +774,13 @@ private[graft] object MarkovBatteryQueries extends QueryFamily {
         .select(col("user_id").cast("long").as("traj_id"),
           col("ts").as("t"), col("value"))
       val mlG = graft.markov.hmm.GaussianHmm.fit(ev, 2, "value", maxIter = 5)
+      val gG = BayesianHmm.groupGaussian(ev).cache()
       def runG(th: Long) = BayesianHmm.sampleGaussian(ev, mlG, nSamples = 4,
-        stride = 1, seed = 47L, localThreshold = th).samples
+        stride = 1, seed = 47L, localThreshold = th,
+        groupedOpt = Some(gG)).samples
       val gDist = runG(0L)
       val gLoc = runG(Long.MaxValue)
+      gG.unpersist(blocking = false)
       val gParityRaw = maxAbs(gDist.zip(gLoc).flatMap { case (x, y) =>
         (x.transition.toArray ++ x.means ++ x.sigmas ++ x.initial.toArray)
           .zip(y.transition.toArray ++ y.means ++ y.sigmas ++ y.initial.toArray)
