@@ -343,16 +343,23 @@ private[graft] object CoreQueries extends QueryFamily {
     // ---- streaming partial_fit surface (oracle: chunked folds must equal
     // the one-shot covariance, so q04's SQL twin applies verbatim) --------
     "q66_partial_fit_cov" -> ((s, dir) => {
+      // persist the pair frame across the four batch scans: each
+      // partialFit is one aggregation job, and without the persist every
+      // batch re-ran the lag window sort over the full event series (4x
+      // the window cost for identical rows)
       val pairs = Lag.pairs(ev(s, dir)
         .withColumn(Trajectories.FeatCol, array(col("value")))
         .select(col("traj_id"), col("t"), col(Trajectories.FeatCol)), 2)
-      val rc = new graft.streaming.Streaming.RunningCovar()
-      // fold four trajectory-ranged batches, as a foreachBatch loop would
-      (0 until 4).foreach { k =>
-        rc.partialFit(pairs.where(pmod(col("traj_id"), lit(4)) === k)
-          .select(col("x"), col("y")))
-      }
-      covModelDf(s, rc.model, lagged = true)
+        .persist()
+      try {
+        val rc = new graft.streaming.Streaming.RunningCovar()
+        // fold four trajectory-ranged batches, as a foreachBatch loop would
+        (0 until 4).foreach { k =>
+          rc.partialFit(pairs.where(pmod(col("traj_id"), lit(4)) === k)
+            .select(col("x"), col("y")))
+        }
+        covModelDf(s, rc.model, lagged = true)
+      } finally { pairs.unpersist(blocking = false); () }
     }),
 
     // ---- Koopman reweighting ------------------------------------------
