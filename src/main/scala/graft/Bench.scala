@@ -73,15 +73,22 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // guide §2.2: size reduce partitions by bytes, not core count — AQE
-      // coalesces every post-shuffle stage toward the advisory size
-      // instead of defaultParallelism. At 100 TB this yields the
-      // 64 MB-1 GB partitions the guide prescribes; at bench SFs it
-      // collapses tiny shuffles to one task, cutting per-stage scheduling
-      // overhead. Parameterised (env) with the production-shaped default;
-      // SPARK_GRAFT_PARALLELISM_FIRST=true restores the old behavior.
+      // Spark-default AQE coalescing restored (VERDICT r17 item 1: the
+      // r17 parallelismFirst=false default coalesced every KB-sized
+      // shuffle to ONE task, serializing post-shuffle stages on a
+      // 32-core box — the driver's full-protocol record regressed 43%
+      // raw and 8 cores beat 32). parallelismFirst only changes behavior
+      // when shuffle bytes / advisory size < core count, i.e. at BENCH
+      // SFs — at 100 TB the bytes dominate and both settings coalesce to
+      // the same advisory-sized partitions, so the production shape
+      // loses nothing. r18 full-sweep A/B/A (plans/r18/): false 184.7 s
+      // @ drift 1.16 vs true 221.0 s @ drift 1.43 — geomean ratio 1.198
+      // ≈ the canary drift ratio 1.23, i.e. config-neutral at sf0.1; the
+      // Spark default additionally keeps reduce-stage parallelism for
+      // the driver's 8-vs-32-core scaling measurement. Env knob kept for
+      // byte-sized-partition experiments.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated query-name filter for targeted timing
@@ -208,6 +215,25 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.stop()
     Thread.sleep(1500)
+    // Driver per-query contract attempt (VERDICT r17 task 2): the
+    // contract line {"metric","value","unit","queries":{name:sec},"sf"}
+    // with FULL query names is ~7.5 KB — it can never survive the
+    // driver's measured 2000-byte stdout tail (see metricLine's doc), so
+    // it is printed FIRST: a comparator that scans the whole captured
+    // stdout finds a complete named map, while a tail-window parser
+    // still lands on the compact queries_cs record below, exactly as in
+    // r13–r17. The named line cannot evict the compact ones (it precedes
+    // them), so the worst case is the r17 status quo.
+    val sfField = {
+      val m = "sf([0-9.]+)$".r.findFirstMatchIn(sfDir.stripSuffix("/"))
+      m.map(mm => s""""sf":${mm.group(1)},""").getOrElse("")
+    }
+    if (only.isEmpty) {
+      println(s"""{"metric":"total","value":${fmt(results.values.sum)},"unit":"sec",""" +
+        sfField + "\"queries\":" +
+        ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}") + "}")
+    }
     println(line)
     println(line)
     System.out.flush()

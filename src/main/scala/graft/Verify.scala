@@ -35,12 +35,11 @@ object Verify {
       // it must be set BEFORE context creation
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // guide §2.2: size reduce partitions by bytes, not core count (the
-      // Bench session's setting, mirrored so Verify executes the same
-      // plans the bench times); SPARK_GRAFT_PARALLELISM_FIRST=true
-      // restores the old behavior
+      // mirrors the Bench session's AQE setting so Verify executes the
+      // same plans the bench times — Spark default restored in r18
+      // (VERDICT r17 item 1; rationale in Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (reliable) {

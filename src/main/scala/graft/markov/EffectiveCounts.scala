@@ -74,45 +74,52 @@ object EffectiveCounts {
                               maxLag: Int = 100, truncateAcf: Boolean = true,
                               mact: Double = 1.0): (DenseMatrix[Double], DenseMatrix[Double]) = {
     val lags = 1 to math.max(1, maxLag)
-    // conditional frame WITH the multi-lag leads in one pass: within a
-    // (s0, traj) partition the conditional index u is a row_number over
-    // TimeCol, so lead-by-u == lead-by-t and the u column itself is
-    // never needed here — all |lags| leads collapse into ONE Window node
-    // over (s0, traj) x TimeCol. The previous conditionalFrame +
-    // acfPairCounts pair paid a second full sort (row_number window)
-    // and a third (lead window over u) for the same order.
+    // Within a (s0, traj) partition the conditional index u is a
+    // row_number over TimeCol, so lead-by-u == lead-by-t and the u
+    // column itself is never needed — all |lags| leads collapse into
+    // ONE Window node over (s0, traj) x TimeCol (vs the pre-r17
+    // conditionalFrame + acfPairCounts pair, which paid a second full
+    // sort for row_number and a third for the lead window over u).
     val wu = Window.partitionBy(col("s0"), col(TrajCol)).orderBy(TimeCol)
-    val cond = lags.foldLeft(
-      dtraj
-        .withColumn("y", lead(col("state"), tau).over(w))
-        .where(col("y").isNotNull && col("state") >= 0 && col("y") >= 0)
-        .select(col("state").as("s0"), col(TrajCol), col(TimeCol), col("y"))) {
-        (df, l) => df.withColumn(s"y_$l", lead(col("y"), l).over(wu))
-      }.cache()
+    // NARROW frame cached (ADVICE r17: caching the |lags| lead columns
+    // inflated the cached footprint ~20x per row; only the pair pass
+    // needs them, so they are computed ON TOP of the cache — the wu
+    // sort still runs exactly once).
+    val cond = dtraj
+      .withColumn("y", lead(col("state"), tau).over(w))
+      .where(col("y").isNotNull && col("state") >= 0 && col("y") >= 0)
+      .select(col("state").as("s0"), col(TrajCol), col(TimeCol), col("y"))
+      .cache()
     try {
-      // per-(i,j) totals AND per-(i, traj) sequence lengths from ONE
-      // grouped job (both are exact integer counts, so deriving them
-      // driver-side from the (s0, traj, y) histogram is bit-identical
-      // to the two separate aggregations it replaces)
-      val histRows = cond.groupBy("s0", TrajCol, "y")
+      // BOUNDED collects only (VERDICT r17 item 2: the (s0, traj, y)
+      // histogram collect pulled O(nStates^2 x nTrajectories) rows to
+      // the driver — a scale-killer at millions of trajectories). The
+      // (s0, y) histogram is <= nStates^2 rows, and the per-s0 max
+      // conditional-sequence length aggregates the per-trajectory
+      // lengths DISTRIBUTED before collecting <= nStates rows. All
+      // exact integer counts — bit-identical to the driver-side
+      // derivation this replaces.
+      val histRows = cond.groupBy("s0", "y")
         .agg(count(lit(1)).as("cnt")).collect()
       val c = DenseMatrix.zeros[Double](nStates, nStates)
-      val lenByTraj = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
       histRows.foreach { r =>
-        val i = r.getInt(0); val tid = r.getLong(1)
-        c(i, r.getInt(2)) += r.getLong(3).toDouble
-        lenByTraj((i, tid)) = lenByTraj.getOrElse((i, tid), 0L) + r.getLong(3)
+        c(r.getInt(0), r.getInt(1)) += r.getLong(2).toDouble
       }
       val cRow = Array.tabulate(nStates)(i => breeze.linalg.sum(c(i, ::).t))
 
       // N_i = max conditional-sequence length over trajectories
       val nMax = new Array[Long](nStates)
-      lenByTraj.foreach { case ((i, _), len) =>
-        if (len > nMax(i)) nMax(i) = len }
+      cond.groupBy(col("s0"), col(TrajCol))
+        .agg(count(lit(1)).as("len"))
+        .groupBy("s0").agg(max(col("len")).as("nmax")).collect()
+        .foreach(r => nMax(r.getInt(0)) = r.getLong(1))
 
+      val withLeads = lags.foldLeft(cond) { (df, l) =>
+        df.withColumn(s"y_$l", lead(col("y"), l).over(wu))
+      }
       val stacked = array(lags.map(l =>
         struct(lit(l).as("lag"), col(s"y_$l").as("y1"))): _*)
-      val pairRows = cond
+      val pairRows = withLeads
         .select(col("s0"), col("y").as("y0"), explode(stacked).as("p"))
         .select(col("s0"), col("p.lag").as("lag"), col("y0"), col("p.y1").as("y1"))
         .where(col("y1").isNotNull)

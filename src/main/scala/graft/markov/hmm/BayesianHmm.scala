@@ -445,7 +445,8 @@ object BayesianHmm {
                   reversible: Boolean = true, seed: Long = 42L,
                   valueCol: String = "value", maxIterMl: Int = 50,
                   localThreshold: Long = LocalSweepThreshold): BayesianGaussianHmmPosterior = {
-    val ml = GaussianHmm.fit(traj, nHidden, valueCol, maxIter = maxIterMl)
+    val ml = GaussianHmm.fit(traj, nHidden, valueCol, maxIter = maxIterMl,
+      localThreshold = localThreshold)
     sampleGaussian(traj, ml, nSamples, reversible = reversible, seed = seed,
       valueCol = valueCol, localThreshold = localThreshold)
   }

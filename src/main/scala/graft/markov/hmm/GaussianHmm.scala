@@ -191,7 +191,8 @@ object GaussianHmm {
     * reg_covar = 1e-6 as in sklearn; tol on the mean per-sample loglik. */
   def gmmFit(traj: DataFrame, nComponents: Int, valueCol: String = "value",
              maxIter: Int = 100, tol: Double = 1e-3,
-             seed: Long = 42L): GmmModel = {
+             seed: Long = 42L,
+             localThreshold: Long = BayesianHmm.LocalSweepThreshold): GmmModel = {
     import org.apache.spark.sql.functions._
     val m = nComponents
     val vals = traj.selectExpr(s"CAST($valueCol AS DOUBLE) AS v")
@@ -244,36 +245,79 @@ object GaussianHmm {
     // byte-identical in plan shape, so each iteration is one scheduling
     // round over the cached partitions — the same sanctioned shape as the
     // HMM EM loop. Accumulator layout: [r_j, rx_j, rxx_j]*m, ll, n.
-    val rdd = {
+    //
+    // Size dispatch (the BayesianHmm LocalSweepThreshold discipline): EM
+    // is inherently sequential — each iteration is one cluster-wide job
+    // whose useful work is tiny at driver SFs, so at or below
+    // `localThreshold` observations (nTot is already in hand from the
+    // seed aggregation) the value column is collected ONCE and every
+    // iteration runs the SAME accumulation body driver-local over
+    // fixed-size ordered chunks (Par.mapOrdered, sequential in-chunk-
+    // order merge — deterministic for any core count). Results differ
+    // from the distributed transport only in the float merge order of
+    // the partials, which the treeAggregate path itself never pinned
+    // (its combOp order varies with the partition count). Above the
+    // bound, one job per iteration — the 100 TB shape.
+    @inline def seqBody(acc: Array[Double], v: Double, w: Array[Double],
+                        mu: Array[Double], sg: Array[Double], mm: Int): Array[Double] = {
+      var tot = 0.0
+      var j = 0
+      val dens = new Array[Double](mm)
+      while (j < mm) {
+        val z = (v - mu(j)) / sg(j)
+        val d = w(j) * invSqrt2Pi / sg(j) * math.exp(-0.5 * z * z)
+        dens(j) = d; tot += d; j += 1
+      }
+      if (tot < 1e-300) tot = 1e-300
+      j = 0
+      while (j < mm) {
+        val r = dens(j) / tot
+        acc(3 * j) += r; acc(3 * j + 1) += r * v; acc(3 * j + 2) += r * v * v
+        j += 1
+      }
+      acc(3 * mm) += math.log(tot); acc(3 * mm + 1) += 1.0
+      acc
+    }
+    def combine(a: Array[Double], b: Array[Double]): Array[Double] = {
+      var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+    }
+    val localVals: Option[Array[Double]] =
+      if (nTot <= localThreshold.toDouble) {
+        val spark = traj.sparkSession
+        import spark.implicits._
+        Some(vals.as[Double].collect())
+      } else None
+    val rddOpt = if (localVals.isDefined) None else Some({
       val spark = traj.sparkSession
       import spark.implicits._
       vals.as[Double].rdd
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val chunk = 32768 // fixed -> deterministic for any core count
     try {
       while (iter < maxIter && !converged) {
         val (w, mu, sg) = (weights, means, sigmas)
         val mm = m
-        val row = rdd.treeAggregate(new Array[Double](3 * mm + 2))(
-          (acc, v) => {
-            var tot = 0.0
-            var j = 0
-            val dens = new Array[Double](mm)
-            while (j < mm) {
-              val z = (v - mu(j)) / sg(j)
-              val d = w(j) * invSqrt2Pi / sg(j) * math.exp(-0.5 * z * z)
-              dens(j) = d; tot += d; j += 1
+        val row = localVals match {
+          case Some(arr) =>
+            if (arr.length <= chunk) {
+              val acc = new Array[Double](3 * mm + 2)
+              var i = 0
+              while (i < arr.length) { seqBody(acc, arr(i), w, mu, sg, mm); i += 1 }
+              acc
+            } else {
+              val ranges = (0 until arr.length by chunk)
+                .map(s0 => (s0, math.min(s0 + chunk, arr.length)))
+              graft.util.Par.mapOrdered(ranges) { case (s0, e0) =>
+                val acc = new Array[Double](3 * mm + 2)
+                var i = s0
+                while (i < e0) { seqBody(acc, arr(i), w, mu, sg, mm); i += 1 }
+                acc
+              }.reduce(combine)
             }
-            if (tot < 1e-300) tot = 1e-300
-            j = 0
-            while (j < mm) {
-              val r = dens(j) / tot
-              acc(3 * j) += r; acc(3 * j + 1) += r * v; acc(3 * j + 2) += r * v * v
-              j += 1
-            }
-            acc(3 * mm) += math.log(tot); acc(3 * mm + 1) += 1.0
-            acc
-          },
-          (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+          case None => rddOpt.get.treeAggregate(new Array[Double](3 * mm + 2))(
+            (acc, v) => seqBody(acc, v, w, mu, sg, mm),
+            (a, b) => combine(a, b))
+        }
         val n = row(3 * m + 1)
         val wNew = new Array[Double](m)
         val muNew = new Array[Double](m)
@@ -294,7 +338,7 @@ object GaussianHmm {
         iter += 1
       }
     } finally {
-      rdd.unpersist(blocking = false)
+      rddOpt.foreach(_.unpersist(blocking = false))
       vals.unpersist()
     }
     GmmModel(weights, means, sigmas, ll, iter)
@@ -314,14 +358,16 @@ object GaussianHmm {
     * window's traj partitioning. */
   def initialGuessGmm(traj: DataFrame, nHidden: Int, valueCol: String,
                       reversible: Boolean = true,
-                      precomputedGmm: Option[GmmModel] = None): GaussianHmmModel = {
+                      precomputedGmm: Option[GmmModel] = None,
+                      localThreshold: Long = BayesianHmm.LocalSweepThreshold): GaussianHmmModel = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val m = nHidden
     // callers that already ran the distributed EM (q253's battery checks
     // the GMM itself AND the init built from it) pass it in rather than
     // paying a second full fit
-    val gmm = precomputedGmm.getOrElse(gmmFit(traj, m, valueCol))
+    val gmm = precomputedGmm.getOrElse(
+      gmmFit(traj, m, valueCol, localThreshold = localThreshold))
     val invSqrt2Pi = 1.0 / math.sqrt(2.0 * math.Pi)
     def stateProbs(v: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
       val dens = (0 until m).map { j =>
@@ -359,17 +405,38 @@ object GaussianHmm {
   def fit(traj: DataFrame, nHidden: Int, valueCol: String = "value",
           maxIter: Int = 100, tol: Double = 1e-6,
           reversible: Boolean = true,
-          init: String = "gmm"): GaussianHmmModel = {
+          init: String = "gmm",
+          localThreshold: Long = BayesianHmm.LocalSweepThreshold): GaussianHmmModel = {
     val spark = traj.sparkSession
     import spark.implicits._
     var model = init match {
-      case "gmm" => initialGuessGmm(traj, nHidden, valueCol, reversible)
+      case "gmm" => initialGuessGmm(traj, nHidden, valueCol, reversible,
+        localThreshold = localThreshold)
       case "quantile" => initialGuess(traj, nHidden, valueCol)
       case other => throw new IllegalArgumentException(
         s"Unknown init '$other'. Must be one of gmm, quantile.")
     }
     val m = nHidden
+    // Size dispatch (the Hmm.fit / BayesianHmm LocalSweepThreshold
+    // discipline, VERDICT r17 task 8): Baum-Welch is inherently
+    // sequential — each iteration is one cluster-wide job whose useful
+    // work is tiny at driver SFs, so at or below `localThreshold` TOTAL
+    // observations the trajectories are collected once (id-sorted) and
+    // the loop runs the SAME forward-backward kernel and M-step through
+    // Par.mapOrdered with a sequential id-ordered merge. Results differ
+    // from the distributed loop only in the float merge order of the
+    // E-statistics (which the Dataset.reduce path itself never pinned —
+    // its merge order varies with partition completion). Above the
+    // bound, one tagged job per iteration reduces only O(m²+m) moments —
+    // the 100 TB shape. `localThreshold = 0` forces distributed.
     val trajs = trajectories(traj, valueCol).cache()
+    val nTotal = trajs.map(_._2.length.toLong).reduce(_ + _)
+    val localArr: Option[IndexedSeq[Array[Double]]] =
+      if (nTotal <= localThreshold) {
+        val arr = trajs.collect().sortBy(_._1).map(_._2)
+        trajs.unpersist()
+        Some(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+      } else None
     var lastLl = Double.NegativeInfinity
     var iter = 0
     var converged = false
@@ -377,9 +444,22 @@ object GaussianHmm {
       val a = graft.linalg.LinAlg.toFlat(model.transition)
       val pi = model.initial.toArray
       val means = model.means; val sigmas = model.sigmas
-      val stats = trajs
-        .map { case (_, obs) => forwardBackward(obs, a, pi, means, sigmas, m) }
-        .reduce((x, y) => x.merge(y))
+      val stats = localArr match {
+        // parallel per-trajectory E-step, SEQUENTIAL id-ordered merge
+        // (the Hmm.fitArrays shape — Par.mapOrdered only spreads the
+        // expensive forward-backward passes across the app's cores)
+        case Some(arr) =>
+          graft.util.Par.mapOrdered(arr)(
+              obs => forwardBackward(obs, a, pi, means, sigmas, m))
+            .reduce((x, y) => x.merge(y))
+        case None =>
+          graft.util.JobTag.withDescription(spark.sparkContext,
+              s"GaussianHmm Baum-Welch iteration $iter") {
+            trajs
+              .map { case (_, obs) => forwardBackward(obs, a, pi, means, sigmas, m) }
+              .reduce((x, y) => x.merge(y))
+          }
+      }
       val xiM = graft.linalg.LinAlg.fromFlat(stats.xi, m)
       val aNew = if (reversible) TransitionMatrixMle.reversible(xiM)
                  else TransitionMatrixMle.nonReversible(xiM)
@@ -400,7 +480,7 @@ object GaussianHmm {
       model = GaussianHmmModel(aNew, meansNew, sigmasNew, piNew, stats.loglik, iter + 1)
       iter += 1
     }
-    trajs.unpersist()
+    if (localArr.isEmpty) trajs.unpersist()
     model
   }
 

@@ -23,10 +23,18 @@ import java.util.concurrent.atomic.{AtomicInteger, AtomicReference}
   * measurement). */
 object Par {
 
-  lazy val width: Int =
-    org.apache.spark.sql.SparkSession.getActiveSession
+  lazy val width: Int = {
+    val base = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.defaultParallelism)
       .getOrElse(Runtime.getRuntime.availableProcessors())
+    // SPARK_GRAFT_PAR_WIDTH: A/B override for the driver-pool width
+    // (VERDICT r17 item 10 — 32 driver threads can contend with the
+    // executor task threads sharing the local-mode JVM). Default stays
+    // the app's core allotment so the local legs scale with the same
+    // SPARK_GRAFT_CPUS knob the driver varies.
+    sys.env.get("SPARK_GRAFT_PAR_WIDTH").map(_.trim.toInt)
+      .filter(_ > 0).getOrElse(base)
+  }
 
   // shared daemon pool: per-iteration callers (a 100-sweep TRAM fixed
   // point calls mapOrdered every sweep) must not pay thread creation per
@@ -51,6 +59,13 @@ object Par {
   def mapOrdered[A, B](xs: scala.collection.IndexedSeq[A])(f: A => B): IndexedSeq[B] = {
     val n = xs.length
     if (n == 0) return Vector.empty
+    // reentrancy guard (ADVICE r17): a nested mapOrdered from inside f
+    // would block on the same fixed-width pool and deadlock silently —
+    // detect a pool thread and run the nested call sequentially (same
+    // order, same result bits) instead of relying on the "callers never
+    // nest" convention
+    if (Thread.currentThread().getName.startsWith("graft-par-"))
+      return xs.iterator.map(f).toIndexedSeq
     val w = math.min(width, n)
     if (w <= 1) return xs.iterator.map(f).toIndexedSeq
     val out = new Array[AnyRef](n)

@@ -45,6 +45,31 @@ class BayesianSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("effective counts: unequal-length trajectories — count matrix " +
+      "equals sliding counts, inefficiencies stay in (0, 1]") {
+    // r18 pin for the bounded-collect rewrite (VERDICT r17 item 2): the
+    // (s0,y) histogram and the per-s0 max sequence length are now
+    // aggregated distributed; unequal per-trajectory lengths exercise
+    // the max-over-trajectories path specifically.
+    import org.apache.spark.sql.functions.col
+    val longTraj = MarkovSim.simulate(spark, chain.transitionMatrix,
+      nTraj = 2, length = 1200, seed = 17L)
+    val shortTraj = MarkovSim.simulate(spark, chain.transitionMatrix,
+      nTraj = 2, length = 300, seed = 19L)
+      .withColumn("traj_id", col("traj_id") + 2L)
+    val mixed = longTraj.union(shortTraj).cache()
+    val (si, c) = EffectiveCounts.inefficienciesAndCounts(mixed, 1, chain.n)
+    val cSliding = TransitionCounting.toDense(
+      TransitionCounting.slidingCounts(mixed, 1), chain.n)
+    for (i <- 0 until chain.n; j <- 0 until chain.n) {
+      c(i, j) shouldBe cSliding(i, j) // exact integer identity
+      if (c(i, j) > 0) {
+        si(i, j) should be > 0.0
+        si(i, j) should be <= 1.0
+      } else si(i, j) shouldBe 0.0
+    }
+  }
+
   test("nonreversible sampler: Dirichlet rows are stochastic, mean near MLE") {
     val c = DenseMatrix((90.0, 10.0), (20.0, 80.0))
     val rng = new java.util.SplittableRandom(5L)

@@ -279,4 +279,46 @@ class HmmSpec extends SparkSpec with Matchers {
         piAfter(i) * pRev(i, j) shouldBe piAfter(j) * pRev(j, i) +- 1e-10
     }
   }
+
+  // ---- r18 size-dispatch parity (the q268 contract, extended to the
+  // Gaussian stack): the driver-local transport must agree with the
+  // forced-distributed one to the float-merge-order band. tol = 0 pins
+  // both runs to exactly maxIter iterations (the q268/ADVICE r15 rule:
+  // a positive tol could end the transports on different counts).
+
+  test("GaussianHmm.fit local and distributed transports agree to 1e-7") {
+    val truth = GaussianHmm.GaussianHmmModel(
+      DenseMatrix((0.9, 0.1), (0.15, 0.85)),
+      means = Array(-1.0, 2.0), sigmas = Array(0.5, 0.6),
+      initial = DenseVector(0.5, 0.5), Double.NegativeInfinity, 0)
+    val data = GaussianHmm.generate(spark, truth, nTraj = 4, length = 400, seed = 71L).cache()
+    val loc = GaussianHmm.fit(data, 2, maxIter = 5, tol = 0.0,
+      localThreshold = Long.MaxValue)
+    val dist = GaussianHmm.fit(data, 2, maxIter = 5, tol = 0.0,
+      localThreshold = 0L)
+    def flat(m: GaussianHmm.GaussianHmmModel): Array[Double] =
+      m.transition.toArray ++ m.means ++ m.sigmas ++ m.initial.toArray
+    flat(loc).zip(flat(dist)).foreach { case (p, q) =>
+      p shouldBe q +- 1e-7
+    }
+    loc.iterations shouldBe dist.iterations
+  }
+
+  test("gmmFit local and distributed transports agree to 1e-7") {
+    import spark.implicits._
+    val rng = new java.util.SplittableRandom(73L)
+    val data = (0 until 5000).map { _ =>
+      if (rng.nextDouble() < 0.6) -1.5 + 0.5 * rng.nextGaussian()
+      else 2.0 + 0.4 * rng.nextGaussian()
+    }.toDF("value").cache()
+    val loc = GaussianHmm.gmmFit(data, 2, maxIter = 8, tol = 0.0,
+      localThreshold = Long.MaxValue)
+    val dist = GaussianHmm.gmmFit(data, 2, maxIter = 8, tol = 0.0,
+      localThreshold = 0L)
+    loc.weights.zip(dist.weights).foreach { case (p, q) => p shouldBe q +- 1e-7 }
+    loc.means.zip(dist.means).foreach { case (p, q) => p shouldBe q +- 1e-7 }
+    loc.sigmas.zip(dist.sigmas).foreach { case (p, q) => p shouldBe q +- 1e-7 }
+    loc.iterations shouldBe dist.iterations
+    math.abs(loc.logLikelihood - dist.logLikelihood) should be < 1e-5
+  }
 }
