@@ -27,13 +27,20 @@ object Par {
     val base = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sparkContext.defaultParallelism)
       .getOrElse(Runtime.getRuntime.availableProcessors())
-    // SPARK_GRAFT_PAR_WIDTH: A/B override for the driver-pool width
-    // (VERDICT r17 item 10 — 32 driver threads can contend with the
-    // executor task threads sharing the local-mode JVM). Default stays
-    // the app's core allotment so the local legs scale with the same
-    // SPARK_GRAFT_CPUS knob the driver varies.
+    // Default CAPPED at min(allotment, 8) (VERDICT r17 item 10): the
+    // local transport bodies (FFBS / Baum-Welch / Lloyd stats) are
+    // allocation- and memory-bandwidth-bound, and in the shared
+    // local-mode JVM 32 driver threads measurably ANTI-scale — r18 A/B
+    // over the local-leg family at cpus=32 (plans/r18/par_width_ab.md):
+    // width 8 = 23.4 s vs width 32 = 25.3 s with the drift canary
+    // slightly hotter in the width-8 run (q265 0.81x, q266 0.79x,
+    // q267 0.81x). The cap still honors the driver's low-core scaling
+    // run (min(8, 8) = 8; below 8 cores the allotment rules), and it
+    // touches only the size-dispatched LOCAL legs — at 100 TB the
+    // transports dispatch distributed. SPARK_GRAFT_PAR_WIDTH overrides
+    // for A/B.
     sys.env.get("SPARK_GRAFT_PAR_WIDTH").map(_.trim.toInt)
-      .filter(_ > 0).getOrElse(base)
+      .filter(_ > 0).getOrElse(math.min(base, 8))
   }
 
   // shared daemon pool: per-iteration callers (a 100-sweep TRAM fixed
