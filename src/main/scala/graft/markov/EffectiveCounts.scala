@@ -81,45 +81,53 @@ object EffectiveCounts {
     // conditionalFrame + acfPairCounts pair, which paid a second full
     // sort for row_number and a third for the lead window over u).
     val wu = Window.partitionBy(col("s0"), col(TrajCol)).orderBy(TimeCol)
-    // NARROW frame cached (ADVICE r17: caching the |lags| lead columns
-    // inflated the cached footprint ~20x per row; only the pair pass
-    // needs them, so they are computed ON TOP of the cache — the wu
-    // sort still runs exactly once).
-    val cond = dtraj
-      .withColumn("y", lead(col("state"), tau).over(w))
-      .where(col("y").isNotNull && col("state") >= 0 && col("y") >= 0)
-      .select(col("state").as("s0"), col(TrajCol), col(TimeCol), col("y"))
+    // Fused WIDE cache kept deliberately (r18): an ADVICE-r17-shaped
+    // narrow-cache variant (leads computed on top of the cache in the
+    // pair pass) was built and steady-state A/B'd at sf0.1 — it read
+    // 2.9-3.4 s vs 1.1-1.7 s for this shape (the pair pass re-pays the
+    // (s0,traj) exchange+sort the fused build otherwise amortizes into
+    // the cache). The lead columns are small ints in compressed columnar
+    // cache batches, and the collects below are bounded regardless — at
+    // spill-sensitive scale the narrow variant trades cache bytes for a
+    // second exchange of the full conditional frame, which is the wrong
+    // side of the §2 ledger.
+    // wlen = conditional-sequence length, as a whole-partition count over
+    // the SAME (s0, traj) partitioning the lead windows establish (no
+    // extra exchange; one more small int column in the cache). It rides
+    // into the histogram aggregation below so the per-s0 max sequence
+    // length needs NO extra job and NO per-trajectory collect.
+    val wuAll = Window.partitionBy(col("s0"), col(TrajCol))
+    val cond = lags.foldLeft(
+      dtraj
+        .withColumn("y", lead(col("state"), tau).over(w))
+        .where(col("y").isNotNull && col("state") >= 0 && col("y") >= 0)
+        .select(col("state").as("s0"), col(TrajCol), col(TimeCol), col("y"))) {
+        (df, l) => df.withColumn(s"y_$l", lead(col("y"), l).over(wu))
+      }.withColumn("wlen", count(lit(1)).over(wuAll))
       .cache()
     try {
       // BOUNDED collects only (VERDICT r17 item 2: the (s0, traj, y)
       // histogram collect pulled O(nStates^2 x nTrajectories) rows to
       // the driver — a scale-killer at millions of trajectories). The
-      // (s0, y) histogram is <= nStates^2 rows, and the per-s0 max
-      // conditional-sequence length aggregates the per-trajectory
-      // lengths DISTRIBUTED before collecting <= nStates rows. All
-      // exact integer counts — bit-identical to the driver-side
-      // derivation this replaces.
+      // (s0, y) histogram with max(wlen) is <= nStates^2 rows; every
+      // (s0, traj) group's rows carry wlen = that group's length, and
+      // the y-groups of one s0 cover all its rows, so
+      // max_y(max_wlen(s0, y)) IS the per-s0 max sequence length —
+      // exact integers, no per-trajectory data ever reaches the driver.
       val histRows = cond.groupBy("s0", "y")
-        .agg(count(lit(1)).as("cnt")).collect()
+        .agg(count(lit(1)).as("cnt"), max(col("wlen")).as("mw")).collect()
       val c = DenseMatrix.zeros[Double](nStates, nStates)
+      val nMax = new Array[Long](nStates)
       histRows.foreach { r =>
-        c(r.getInt(0), r.getInt(1)) += r.getLong(2).toDouble
+        val i = r.getInt(0)
+        c(i, r.getInt(1)) += r.getLong(2).toDouble
+        if (r.getLong(3) > nMax(i)) nMax(i) = r.getLong(3)
       }
       val cRow = Array.tabulate(nStates)(i => breeze.linalg.sum(c(i, ::).t))
 
-      // N_i = max conditional-sequence length over trajectories
-      val nMax = new Array[Long](nStates)
-      cond.groupBy(col("s0"), col(TrajCol))
-        .agg(count(lit(1)).as("len"))
-        .groupBy("s0").agg(max(col("len")).as("nmax")).collect()
-        .foreach(r => nMax(r.getInt(0)) = r.getLong(1))
-
-      val withLeads = lags.foldLeft(cond) { (df, l) =>
-        df.withColumn(s"y_$l", lead(col("y"), l).over(wu))
-      }
       val stacked = array(lags.map(l =>
         struct(lit(l).as("lag"), col(s"y_$l").as("y1"))): _*)
-      val pairRows = withLeads
+      val pairRows = cond
         .select(col("s0"), col("y").as("y0"), explode(stacked).as("p"))
         .select(col("s0"), col("p.lag").as("lag"), col("y0"), col("p.y1").as("y1"))
         .where(col("y1").isNotNull)
